@@ -1,0 +1,419 @@
+"""Deduplication operators for large-scale document pipelines.
+
+North-star extension (the reference has no dedup beyond pandas
+``drop_duplicates`` on driver-side frames, pandas.py:112-118). Five
+strategies, all shuffle-aware:
+
+* exact — hash-groupBy on a normalized fingerprint (one shuffle).
+* MinHash + LSH — shingle → minhash signature → band buckets →
+  candidate join; only candidate pairs are verified, never the n²
+  cross product.
+* SimHash — 64-bit near-dup signature via per-token hash bit voting.
+* n-gram Jaccard — exact similarity join via shingle-inverted-index
+  (explode + equi-join + count ratio).
+* embedding cosine — near-dup by vector similarity.
+
+Determinism: all hashing is xxhash64 with fixed seeds, so results are
+reproducible across runs/clusters. Skew note: common shingles create
+hot buckets; ``ngram_jaccard_join`` drops shingles above a document-
+frequency cap (stopword-shingle suppression) which bounds both skew
+and bucket size — the standard trick from web-scale dedup (Lee et al.,
+"Deduplicating Training Data Makes Language Models Better").
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame as SparkDF
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .text import normalize_text, tokenize
+
+
+def exact_dedup(
+    df: SparkDF,
+    text_col: str = 'text',
+    id_col: str = 'doc_id',
+    normalize: bool = True,
+) -> SparkDF:
+    """Keep one row (lowest id) per distinct (normalized) text.
+
+    One hash shuffle on the 128-bit fingerprint. At 100 TB hash the
+    text before the shuffle (done here) so only ~16-byte keys move.
+    """
+    key = F.md5(normalize_text(text_col)) if normalize \
+        else F.md5(F.col(text_col))
+    w = Window.partitionBy('__fp').orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn('__fp', key)
+        .withColumn('__rn', F.row_number().over(w))
+        .filter(F.col('__rn') == 1)
+        .drop('__fp', '__rn')
+    )
+
+
+def word_shingles(text_col: str, n: int = 3):
+    """Distinct word n-gram shingles of the normalized text (array col)."""
+    toks = tokenize(normalize_text(text_col))
+    k = F.size(toks) - (n - 1)
+    return F.when(k >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.concat_ws(' ', F.slice(toks, i + 1, n)),
+            )
+        )
+    ).otherwise(F.array(F.concat_ws(' ', toks)))
+
+
+def _splitmix64(x: int) -> int:
+    """Deterministic 64-bit mix (splitmix64) for seeding hash families."""
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return x ^ (x >> 31)
+
+
+def shingle_hashes(shingles_col):
+    """Hash each shingle string once → array<bigint> (32-bit range).
+
+    Evaluate this into a real column (with a barrier — see
+    :func:`minhash_signature`'s note) before fanning out to the
+    ``num_hashes`` min-loops, otherwise Catalyst inlines the shingle
+    construction into the per-function lambda and re-evaluates it once
+    per hash function.
+    """
+    return F.transform(
+        shingles_col,
+        lambda s: F.xxhash64(s).bitwiseAND(F.lit(0xFFFFFFFF)),
+    )
+
+
+def minhash_signature(hashes_col, num_hashes: int = 64):
+    """MinHash signature from a shingle-hash array column.
+
+    The ``num_hashes`` hash functions are the universal family
+    ``h*A_i + B_i`` with fixed 30-bit constants (every product fits a
+    signed 64-bit long — no ANSI overflow) so only one string hash is
+    paid per shingle. ``hashes_col`` must be a materialized column
+    (not an inline expression) or the input will be recomputed per
+    hash function.
+    """
+    a_consts = F.array(*[
+        F.lit((_splitmix64(i) & 0x3FFFFFFF) | 1)
+        for i in range(num_hashes)
+    ])
+    b_consts = F.array(*[
+        F.lit(_splitmix64(i + 1_000_003) & 0x3FFFFFFF)
+        for i in range(num_hashes)
+    ])
+    return F.zip_with(
+        a_consts,
+        b_consts,
+        lambda a, b: F.array_min(
+            F.transform(hashes_col, lambda h: h * a + b)
+        ),
+    )
+
+
+def minhash_lsh_candidates(
+    df: SparkDF,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> SparkDF:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    rows → (id, signature) → explode into ``bands`` band-hash keys →
+    self-join on (band, band_hash) → distinct (id_a < id_b) pairs.
+    Shuffle volume is O(rows × bands), never O(rows²).
+    """
+    rows_per_band = num_hashes // bands
+    # Barrier after shingle hashing: repartition materializes the
+    # hash array so the 64 per-function min-loops read a column
+    # instead of re-running tokenize/shingle/hash per function.
+    hashed = df.select(
+        F.col(id_col).alias('__id'),
+        shingle_hashes(word_shingles(text_col, shingle_n)).alias('__hs'),
+    ).repartition(F.col('__id'))
+    sig = hashed.select(
+        '__id',
+        minhash_signature(F.col('__hs'), num_hashes).alias('__sig'),
+    )
+    banded = sig.select(
+        '__id',
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias('band'),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ',',
+                            F.transform(
+                                F.slice(F.col('__sig'),
+                                        b * rows_per_band + 1,
+                                        rows_per_band),
+                                lambda x: x.cast('string'),
+                            ),
+                        )
+                    ).alias('bucket'),
+                ),
+            )
+        ).alias('bh'),
+    ).select('__id', 'bh.band', 'bh.bucket')
+
+    # Shuffle barrier: stops the optimizer from inlining the (large)
+    # signature expression tree into both self-join branches — the two
+    # sides then share one ReusedExchange instead of recomputing and
+    # recompiling the minhash pipeline twice.
+    banded = banded.repartition('band', 'bucket')
+
+    left = banded.alias('l')
+    right = banded.alias('r')
+    return (
+        left.join(
+            right,
+            on=[
+                F.col('l.band') == F.col('r.band'),
+                F.col('l.bucket') == F.col('r.bucket'),
+                F.col('l.__id') < F.col('r.__id'),
+            ],
+        )
+        .select(
+            F.col('l.__id').alias('id_a'),
+            F.col('r.__id').alias('id_b'),
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    df: SparkDF,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.8,
+) -> SparkDF:
+    """Remove near-duplicates: LSH candidates → exact Jaccard verify →
+    greedy keep-lowest-id.
+
+    Greedy rule: a row is dropped if it near-matches ANY lower id —
+    a one-pass approximation of connected components that needs no
+    iteration (sufficient for dedup; for full clustering run
+    connected components on the pair graph).
+    """
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, num_hashes, bands, shingle_n
+    )
+    verified = verify_jaccard(
+        cands, df, id_col, text_col, shingle_n, jaccard_threshold
+    )
+    to_drop = verified.select(F.col('id_b').alias(id_col)).distinct()
+    return df.join(to_drop, on=id_col, how='left_anti')
+
+
+def verify_jaccard(
+    pairs: SparkDF,
+    df: SparkDF,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    threshold: float,
+) -> SparkDF:
+    """Exact shingle-Jaccard for candidate pairs; keeps pairs >= threshold."""
+    sh = df.select(
+        F.col(id_col).alias('__id'),
+        word_shingles(text_col, shingle_n).alias('__sh'),
+    )
+    a = sh.select(F.col('__id').alias('id_a'), F.col('__sh').alias('sh_a'))
+    b = sh.select(F.col('__id').alias('id_b'), F.col('__sh').alias('sh_b'))
+    return (
+        pairs.join(a, 'id_a').join(b, 'id_b')
+        .withColumn(
+            'jaccard',
+            F.size(F.array_intersect('sh_a', 'sh_b')).cast('double')
+            / F.size(F.array_union('sh_a', 'sh_b')),
+        )
+        .filter(F.col('jaccard') >= threshold)
+        .select('id_a', 'id_b', 'jaccard')
+    )
+
+
+def simhash(text_col: str):
+    """SimHash signature as a 64-character bitstring column.
+
+    Each token is hashed once (xxhash64 → ``bin()`` bitstring); bit b
+    of the signature is 1 iff more tokens have bit b set than unset.
+    Hamming-close signatures ↔ similar documents. Pure higher-order
+    functions — the vote accumulation is a ``zip_with`` fold, no
+    shuffle, no Python. (A bitstring is used instead of a long because
+    Spark's shift functions take only literal shift amounts.)
+    """
+    toks = tokenize(normalize_text(text_col))
+    bitstrings = F.transform(
+        toks, lambda t: F.lpad(F.bin(F.xxhash64(t)), 64, '0')
+    )
+    votes = F.aggregate(
+        bitstrings,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda a, i: a + F.when(
+                s.substr(i, F.lit(1)) == '1', F.lit(1)
+            ).otherwise(F.lit(-1)),
+        ),
+    )
+    return F.array_join(
+        F.transform(
+            votes, lambda v: F.when(v > 0, F.lit('1')).otherwise(F.lit('0'))
+        ),
+        '',
+    )
+
+
+def simhash_blocks(sig_col, n_blocks: int = 4):
+    """Split a 64-bit simhash bitstring into ``n_blocks`` integer keys."""
+    width = 64 // n_blocks
+    return F.array(*[
+        F.conv(F.substring(sig_col, i * width + 1, width), 2, 10)
+        .cast('long')
+        for i in range(n_blocks)
+    ])
+
+
+def hamming_distance_blocks(a_blocks, b_blocks):
+    """Hamming distance between two block-array signatures."""
+    return F.aggregate(
+        F.zip_with(
+            a_blocks, b_blocks,
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_dedup(
+    df: SparkDF,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    max_hamming: int = 3,
+) -> SparkDF:
+    """Near-dedup by SimHash: 4-block banding finds all pairs within
+    Hamming distance 3 (pigeonhole: one 16-bit block must match
+    exactly), verified by true Hamming distance, then greedy
+    keep-lowest-id. Shuffle volume O(rows × 4), never O(rows²)."""
+    sigs = df.select(
+        F.col(id_col).alias('__id'),
+        simhash_blocks(simhash(text_col)).alias('__blocks'),
+    )
+    banded = sigs.select(
+        '__id', '__blocks',
+        F.posexplode('__blocks').alias('block', 'key'),
+    )
+    l, r = banded.alias('l'), banded.alias('r')
+    pairs = (
+        l.join(r, on=[
+            F.col('l.block') == F.col('r.block'),
+            F.col('l.key') == F.col('r.key'),
+            F.col('l.__id') < F.col('r.__id'),
+        ])
+        .filter(
+            hamming_distance_blocks(F.col('l.__blocks'),
+                                    F.col('r.__blocks'))
+            <= max_hamming
+        )
+        .select(F.col('r.__id').alias(id_col))
+        .distinct()
+    )
+    return df.join(pairs, on=id_col, how='left_anti')
+
+
+def ngram_jaccard_join(
+    df: SparkDF,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: Optional[int] = None,
+) -> SparkDF:
+    """Exact all-pairs Jaccard >= threshold via shingle inverted index.
+
+    explode(shingles) → self-equi-join on shingle → count common per
+    pair → Jaccard from set sizes. ``max_shingle_df`` drops shingles
+    appearing in more than that many docs (hot-key/skew cap); exact
+    for pairs whose similarity rests on rarer shingles.
+    """
+    sh = df.select(
+        F.col(id_col).alias('__id'),
+        word_shingles(text_col, shingle_n).alias('__sh'),
+    ).withColumn('__n', F.size('__sh'))
+    inv = sh.select('__id', '__n', F.explode('__sh').alias('shingle'))
+    if max_shingle_df is not None:
+        hot = (
+            inv.groupBy('shingle').count()
+            .filter(F.col('count') > max_shingle_df)
+            .select('shingle')
+        )
+        inv = inv.join(hot, 'shingle', 'left_anti')
+    a, b = inv.alias('a'), inv.alias('b')
+    common = (
+        a.join(b, on=[
+            F.col('a.shingle') == F.col('b.shingle'),
+            F.col('a.__id') < F.col('b.__id'),
+        ])
+        .groupBy(
+            F.col('a.__id').alias('id_a'),
+            F.col('b.__id').alias('id_b'),
+            F.col('a.__n').alias('n_a'),
+            F.col('b.__n').alias('n_b'),
+        )
+        .agg(F.count('*').alias('n_common'))
+    )
+    return (
+        common
+        .withColumn(
+            'jaccard',
+            F.col('n_common').cast('double')
+            / (F.col('n_a') + F.col('n_b') - F.col('n_common')),
+        )
+        .filter(F.col('jaccard') >= threshold)
+        .select('id_a', 'id_b', 'jaccard')
+    )
+
+
+def embedding_near_duplicates(
+    df: SparkDF,
+    id_col: str = 'vec_id',
+    vec_col: str = 'embedding',
+    threshold: float = 0.95,
+) -> SparkDF:
+    """Near-dup pairs by embedding cosine similarity.
+
+    Brute-force O(n²) pair generation — correct baseline, fine up to
+    ~10⁵ vectors per run. The scale path buckets by LSH first (see
+    similarity.random_hyperplane_lsh) and only verifies within-bucket.
+    """
+    from ..functions.arrays import cosine_similarity
+
+    a = df.select(F.col(id_col).alias('id_a'), F.col(vec_col).alias('v_a'))
+    b = df.select(F.col(id_col).alias('id_b'), F.col(vec_col).alias('v_b'))
+    return (
+        a.join(b, F.col('id_a') < F.col('id_b'))
+        .withColumn(
+            'cosine',
+            cosine_similarity(
+                F.col('v_a').cast('array<double>'),
+                F.col('v_b').cast('array<double>'),
+            ),
+        )
+        .filter(F.col('cosine') >= threshold)
+        .select('id_a', 'id_b', 'cosine')
+    )

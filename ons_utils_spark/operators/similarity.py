@@ -1,0 +1,171 @@
+"""Similarity search over embedding columns.
+
+North-star extension: approximate-nearest-neighbor over
+``array<float>`` embeddings.
+
+* :func:`cosine_topk` — brute-force exact top-k: broadcast the query
+  vectors, score every row with a codegen'd ``aggregate`` expression,
+  ranked-window top-k. Linear scan — the correctness baseline, and
+  actually the right plan up to ~10⁷ rows per query batch.
+* :func:`random_hyperplane_lsh` / :func:`lsh_topk` — the scale path:
+  sign-random-projection signatures bucket the corpus; queries probe
+  only their own bucket (plus optional multi-probe), turning the scan
+  into a hash join of buckets.
+
+Determinism: hyperplanes are derived from xxhash64 of (seed, plane,
+dim) — no RNG state, reproducible anywhere.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame as SparkDF
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.arrays import cosine_similarity
+
+
+def cosine_topk(
+    corpus: SparkDF,
+    queries: SparkDF,
+    k: int = 10,
+    corpus_id: str = 'vec_id',
+    corpus_vec: str = 'embedding',
+    query_id: str = 'query_id',
+    query_vec: str = 'query_vec',
+) -> SparkDF:
+    """Exact top-k by cosine similarity for each query vector.
+
+    ``queries`` is broadcast (must be small); the corpus is scanned
+    once with no shuffle until the final per-query top-k window on
+    ``query_id`` (tiny — k rows per query survive the ranked filter).
+    """
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        cosine_similarity(
+            F.col(corpus_vec).cast('array<double>'),
+            F.col(query_vec).cast('array<double>'),
+        ).alias('cosine'),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col('cosine').desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn('__rk', F.row_number().over(w))
+        .filter(F.col('__rk') <= k)
+        .drop('__rk')
+    )
+
+
+def _hyperplane(dim: int, plane: int, seed: int) -> list:
+    """Deterministic pseudo-random unit-free hyperplane weights.
+
+    Derived from a splitmix-style integer mix of (seed, plane, d) —
+    stable across machines, no numpy RNG state to ship.
+    """
+    weights = []
+    for d in range(dim):
+        x = (seed * 0x9E3779B97F4A7C15 + plane * 0xBF58476D1CE4E5B9
+             + d * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 30
+        x = (x * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 27
+        x = (x * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 31
+        # Map to [-1, 1)
+        weights.append((x / 2**63) - 1.0)
+    return weights
+
+
+def random_hyperplane_signature(
+    vec_col,
+    dim: int,
+    num_planes: int = 16,
+    seed: int = 42,
+):
+    """Sign-random-projection LSH signature (bigint bucket id).
+
+    Bit p of the signature is 1 iff ``vec · hyperplane_p > 0``. Cosine-
+    similar vectors collide with probability 1 - theta/pi per bit.
+    """
+    sig = F.lit(0).cast('long')
+    for p in range(num_planes):
+        w = _hyperplane(dim, p, seed)
+        dot = F.aggregate(
+            F.zip_with(
+                vec_col.cast('array<double>'),
+                F.array(*[F.lit(x) for x in w]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig.bitwiseOR(
+            F.when(dot > 0, F.shiftleft(F.lit(1).cast('long'), p))
+            .otherwise(F.lit(0).cast('long'))
+        )
+    return sig
+
+
+def random_hyperplane_lsh(
+    df: SparkDF,
+    vec_col: str = 'embedding',
+    dim: int = 64,
+    num_planes: int = 16,
+    seed: int = 42,
+    output_col: str = 'lsh_bucket',
+) -> SparkDF:
+    """Attach an LSH bucket id column to an embedding DataFrame."""
+    return df.withColumn(
+        output_col,
+        random_hyperplane_signature(F.col(vec_col), dim, num_planes, seed),
+    )
+
+
+def lsh_topk(
+    corpus: SparkDF,
+    queries: SparkDF,
+    k: int = 10,
+    dim: int = 64,
+    num_planes: int = 8,
+    seed: int = 42,
+    corpus_id: str = 'vec_id',
+    corpus_vec: str = 'embedding',
+    query_id: str = 'query_id',
+    query_vec: str = 'query_vec',
+) -> SparkDF:
+    """Approximate top-k: score only corpus rows in the query's bucket.
+
+    With b planes the corpus splits into ~2^b buckets, so the scanned
+    fraction is ~2^-b of brute force; recall drops for near-orthogonal
+    neighbors — tune ``num_planes`` per corpus. Same output schema as
+    :func:`cosine_topk` (may return < k rows when the bucket is small).
+    """
+    c = corpus.withColumn(
+        '__bucket',
+        random_hyperplane_signature(F.col(corpus_vec), dim, num_planes,
+                                    seed),
+    )
+    q = queries.withColumn(
+        '__bucket',
+        random_hyperplane_signature(F.col(query_vec), dim, num_planes,
+                                    seed),
+    )
+    scored = c.join(F.broadcast(q), on='__bucket').select(
+        F.col(query_id),
+        F.col(corpus_id),
+        cosine_similarity(
+            F.col(corpus_vec).cast('array<double>'),
+            F.col(query_vec).cast('array<double>'),
+        ).alias('cosine'),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col('cosine').desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn('__rk', F.row_number().over(w))
+        .filter(F.col('__rk') <= k)
+        .drop('__rk')
+    )

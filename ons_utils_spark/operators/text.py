@@ -1,0 +1,189 @@
+"""Text-analysis operators for large-scale document pipelines.
+
+North-star extension (not in the reference — SURVEY.md §2.2 lists no
+string functions): language-ID, quality scoring, token counting,
+fingerprinting over the ``documents`` table. Everything is built from
+native ``pyspark.sql.functions`` (JVM-side, whole-stage codegen) — no
+Python UDFs anywhere, so these run at parquet-scan speed on 100 TB.
+"""
+from __future__ import annotations
+
+from typing import Mapping, Optional, Sequence, Union
+
+from pyspark.sql import Column as SparkCol
+from pyspark.sql import DataFrame as SparkDF
+from pyspark.sql import functions as F
+
+from ..functions.columns import convert_to_spark_col
+
+ColumnOrName = Union[str, SparkCol]
+
+# Tiny built-in stopword list for quality scoring (language-agnostic
+# English core; callers pass their own for other languages).
+DEFAULT_STOPWORDS = (
+    'the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it',
+    'that', 'for', 'on', 'with', 'as', 'at', 'by', 'be',
+)
+
+# Character-frequency profiles for the n-gram language-ID heuristic:
+# distinctive character classes per language. Deliberately simple and
+# deterministic — a placeholder for a real fastText-style model, with
+# the Spark plumbing (scoring expression, argmax) production-shaped.
+_LANG_MARKERS: Mapping[str, str] = {
+    'en': r'\b(the|and|of|to|is)\b',
+    'es': r'\b(el|la|de|que|y)\b|[ñ¿¡]',
+    'fr': r'\b(le|la|les|de|et)\b|[àâçéèêëîïôûù]',
+    'de': r'\b(der|die|das|und|ist)\b|[äöüß]',
+    'zh': r'[一-鿿]',
+}
+
+
+def normalize_text(col: ColumnOrName) -> SparkCol:
+    """Canonical form for dedup: lowercase, collapse whitespace, trim."""
+    c = convert_to_spark_col(col)
+    return F.trim(F.regexp_replace(F.lower(c), r'\s+', ' '))
+
+
+def tokenize(col: ColumnOrName) -> SparkCol:
+    """Whitespace tokenization → array<string> (empty array for blank)."""
+    c = convert_to_spark_col(col)
+    return F.filter(
+        F.split(F.trim(c), r'\s+'), lambda x: x != F.lit('')
+    )
+
+
+def token_count(col: ColumnOrName) -> SparkCol:
+    """Number of whitespace tokens."""
+    return F.size(tokenize(col))
+
+
+def bpe_ish_token_count(col: ColumnOrName) -> SparkCol:
+    """Approximate BPE token count: word-pieces + digits + punctuation.
+
+    A regex proxy for tokenizer-based counting (count of alphanumeric
+    runs and individual punctuation marks) — the standard cheap
+    estimator when the real tokenizer can't run JVM-side.
+    """
+    c = convert_to_spark_col(col)
+    pieces = F.regexp_extract_all(c, F.lit(r'[A-Za-z0-9]{1,4}|[^\sA-Za-z0-9]'), 0)
+    return F.size(pieces)
+
+
+def char_count(col: ColumnOrName) -> SparkCol:
+    """Character length."""
+    return F.length(convert_to_spark_col(col))
+
+
+def stopword_ratio(
+    col: ColumnOrName,
+    stopwords: Sequence[str] = DEFAULT_STOPWORDS,
+) -> SparkCol:
+    """Fraction of tokens that are stopwords (0.0 for empty docs)."""
+    toks = tokenize(col)
+    stops = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, F.lower(t))))
+    n = F.size(toks)
+    return F.when(n > 0, n_stop.cast('double') / n).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: ColumnOrName) -> SparkCol:
+    """Fraction of characters that are punctuation (0.0 for empty)."""
+    c = convert_to_spark_col(col)
+    n = F.length(c)
+    n_punct = n - F.length(F.regexp_replace(c, r'[^\w\s]', ''))
+    return F.when(n > 0, n_punct.cast('double') / n).otherwise(F.lit(0.0))
+
+
+def mean_word_length(col: ColumnOrName) -> SparkCol:
+    """Mean token length (0.0 for empty docs)."""
+    toks = tokenize(col)
+    n = F.size(toks)
+    total = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    return F.when(n > 0, total.cast('double') / n).otherwise(F.lit(0.0))
+
+
+def quality_score(
+    col: ColumnOrName,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+) -> SparkCol:
+    """Heuristic [0,1] document-quality score.
+
+    Combines length fitness, stopword presence, and punctuation sanity
+    — the usual pre-training filter features (Gopher/C4-style rules),
+    expressed as one codegen'd column expression.
+    """
+    n = token_count(col)
+    length_ok = (
+        F.when((n >= min_tokens) & (n <= max_tokens), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+    )
+    stop_component = F.least(
+        stopword_ratio(col) * 5.0, F.lit(1.0)
+    )  # saturates at 20% stopwords
+    punct_component = F.lit(1.0) - F.least(
+        punct_ratio(col) * 4.0, F.lit(1.0)
+    )  # degrades past 25% punctuation
+    wl = mean_word_length(col)
+    word_len_ok = (
+        F.when((wl >= 2.0) & (wl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+    return (
+        length_ok * 0.4 + stop_component * 0.2
+        + punct_component * 0.2 + word_len_ok * 0.2
+    )
+
+
+def language_id(col: ColumnOrName) -> SparkCol:
+    """Heuristic language ID over marker-pattern hit counts.
+
+    Scores each language by regexp marker density and returns the
+    argmax ('und' when nothing matches). Deterministic, JVM-side.
+    """
+    c = convert_to_spark_col(col)
+    scores = [
+        (lang, F.size(F.regexp_extract_all(F.lower(c), F.lit(pat), 0)))
+        for lang, pat in _LANG_MARKERS.items()
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    expr = F.lit('und')
+    # Reverse order so earlier languages win ties.
+    for lang, s in reversed(scores):
+        expr = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(col: ColumnOrName, bits: int = 64) -> SparkCol:
+    """Deterministic document fingerprint of the normalized text.
+
+    ``bits=64`` → xxhash64 (bigint, cheapest); ``bits=128`` → md5 hex
+    (portable across engines — DuckDB computes the same value, which
+    is what the correctness oracle uses).
+    """
+    norm = normalize_text(col)
+    if bits == 64:
+        return F.xxhash64(norm)
+    if bits == 128:
+        return F.md5(norm)
+    raise ValueError('bits must be 64 or 128')
+
+
+def text_stats(
+    df: SparkDF,
+    text_col: str = 'text',
+    stopwords: Sequence[str] = DEFAULT_STOPWORDS,
+) -> SparkDF:
+    """Attach the standard per-document text-analysis columns."""
+    return df.select(
+        '*',
+        token_count(text_col).alias('n_tokens'),
+        char_count(text_col).alias('n_chars_computed'),
+        mean_word_length(text_col).alias('mean_word_len'),
+        stopword_ratio(text_col, stopwords).alias('stopword_ratio'),
+        punct_ratio(text_col).alias('punct_ratio'),
+        quality_score(text_col).alias('quality'),
+        language_id(text_col).alias('lang_pred'),
+        fingerprint(text_col, 128).alias('fingerprint'),
+    )

@@ -1,0 +1,788 @@
+"""The declared query suite: Spark implementations + DuckDB oracles.
+
+Each entry in :data:`QUERIES` is ``name -> fn(spark, sf_dir) -> DataFrame``;
+:data:`ORACLES` holds the equivalent ANSI SQL for DuckDB over the same
+parquet tables. Column names/aliases match EXACTLY between the two
+(the driver sorts columns by name and hashes values). Floating
+aggregates are rounded on both sides to keep fp-summation order
+differences out of the hash.
+
+The suite exercises every operator family from SURVEY.md §2 plus the
+north-star extensions: harmonizing concat, map_col, window specs,
+renames, grouped-map apply, joins (broadcast/semi/as-of/top-k),
+aggregation, pivot, JSON, time windows, dedup (exact/jaccard/minhash/
+simhash), similarity search, text analysis, array diff.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame as SparkDF
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.columns import map_col
+from ..functions.json import with_json_fields
+from ..functions.schema import map_column_names
+from ..functions.windows import get_window_spec
+from ..operators import dedup as dd
+from ..operators import similarity as sim
+from ..operators import text as tx
+from ..operators.concat import concat
+from ..operators.grouped import grouped_apply
+from ..operators.joins import as_of_join, broadcast_join, top_k_per_group
+from ..sources.readers import load_tables
+from ..streaming.windows import session_window_agg, tumbling_window_agg
+
+QueryFn = Callable[[SparkSession, str], SparkDF]
+
+_STOPWORDS_SQL = "('the','a','an','and','or','of','to','in','is','it')"
+_STOPWORDS = ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it')
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str):
+    tables = load_tables(spark, sf_dir, tables=names)
+    return [tables[n] for n in names]
+
+
+# --------------------------------------------------------------------
+# Relational core (TPC-H-style over the star schema)
+# --------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """TPC-H Q1-style pricing summary: one hash-agg over lineitem,
+    fully pushed to partial aggregation (map-side combine)."""
+    (lineitem,) = _t(spark, sf_dir, 'lineitem')
+    return (
+        lineitem.groupBy('l_returnflag', 'l_linestatus')
+        .agg(
+            F.round(F.sum('l_quantity'), 2).alias('sum_qty'),
+            F.round(F.sum('l_extendedprice'), 2).alias('sum_base_price'),
+            F.round(
+                F.sum(F.col('l_extendedprice') * (1 - F.col('l_discount'))),
+                2,
+            ).alias('sum_disc_price'),
+            F.round(F.avg('l_quantity'), 4).alias('avg_qty'),
+            F.round(F.avg('l_discount'), 4).alias('avg_disc'),
+            F.count('*').alias('count_order'),
+        )
+    )
+
+
+def q2_revenue_by_nation(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """TPC-H Q5-style: fact-to-fact join shuffles on keys; all four dims
+    broadcast (region/nation/customer are tiny at any SF)."""
+    lineitem, orders, customer, nation, region = _t(
+        spark, sf_dir, 'lineitem', 'orders', 'customer', 'nation', 'region'
+    )
+    return (
+        lineitem
+        .join(orders, F.col('l_orderkey') == F.col('o_orderkey'))
+        .join(
+            F.broadcast(customer),
+            F.col('o_custkey') == F.col('c_custkey'),
+        )
+        .join(
+            F.broadcast(nation),
+            F.col('c_nationkey') == F.col('n_nationkey'),
+        )
+        .join(
+            F.broadcast(region),
+            F.col('n_regionkey') == F.col('r_regionkey'),
+        )
+        .groupBy('r_name', 'n_name')
+        .agg(
+            F.round(
+                F.sum(F.col('l_extendedprice') * (1 - F.col('l_discount'))),
+                2,
+            ).alias('revenue'),
+            F.count('*').alias('n_lines'),
+        )
+    )
+
+
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Top-10 orders by line revenue (shuffle agg + global top-k)."""
+    lineitem, orders = _t(spark, sf_dir, 'lineitem', 'orders')
+    return (
+        lineitem
+        .join(orders, F.col('l_orderkey') == F.col('o_orderkey'))
+        .groupBy(
+            'o_orderkey',
+            F.date_format('o_orderdate', 'yyyy-MM-dd').alias('orderdate'),
+            'o_orderpriority',
+        )
+        .agg(
+            F.round(
+                F.sum(F.col('l_extendedprice') * (1 - F.col('l_discount'))),
+                2,
+            ).alias('revenue')
+        )
+        .orderBy(F.col('revenue').desc(), F.col('o_orderkey').asc())
+        .limit(10)
+    )
+
+
+def q4_priority_order_counts(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Orders with at least one line shipped after order date, counted
+    per priority — a semi-join (no row duplication from lineitem)."""
+    lineitem, orders = _t(spark, sf_dir, 'lineitem', 'orders')
+    shipped_late = (
+        lineitem.join(
+            orders, F.col('l_orderkey') == F.col('o_orderkey'), 'inner'
+        )
+        .filter(F.col('l_shipdate') > F.col('o_orderdate'))
+        .select('l_orderkey')
+        .distinct()
+    )
+    return (
+        orders.join(
+            shipped_late,
+            orders['o_orderkey'] == shipped_late['l_orderkey'],
+            'left_semi',
+        )
+        .groupBy('o_orderpriority')
+        .agg(F.count('*').alias('order_count'))
+    )
+
+
+def q5_segment_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Per-segment customer stats (single hash agg)."""
+    (customer,) = _t(spark, sf_dir, 'customer')
+    return customer.groupBy('c_mktsegment').agg(
+        F.count('*').alias('n_customers'),
+        F.round(F.avg('c_acctbal'), 2).alias('avg_acctbal'),
+        F.round(F.max('c_acctbal'), 2).alias('max_acctbal'),
+    )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """TPC-H Q6-style: pure scan-filter-agg; filters push to parquet."""
+    (lineitem,) = _t(spark, sf_dir, 'lineitem')
+    return (
+        lineitem
+        .filter(
+            (F.col('l_discount') >= 0.05)
+            & (F.col('l_discount') <= 0.07)
+            & (F.col('l_quantity') < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col('l_extendedprice') * F.col('l_discount')), 2
+            ).alias('revenue'),
+            F.count('*').alias('n_lines'),
+        )
+    )
+
+
+def q_pivot_status_priority(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Pivot: order counts, status × priority → wide (groupBy().pivot())."""
+    (orders,) = _t(spark, sf_dir, 'orders')
+    priorities = ['1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED',
+                  '5-LOW']
+    out = (
+        orders.groupBy('o_orderstatus')
+        .pivot('o_orderpriority', priorities)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, priorities)
+    )
+    renames = {p: f'p{p[0]}' for p in priorities}
+    return map_column_names(out, renames)
+
+
+# --------------------------------------------------------------------
+# Reference-operator showcases (concat / map_col / windows / grouped)
+# --------------------------------------------------------------------
+
+def q_concat_extracts(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Flagship concat: two schema-drifted monthly extracts unioned
+    with key columns, then aggregated (exercises type widening,
+    null-fill, and key prepending)."""
+    (lineitem,) = _t(spark, sf_dir, 'lineitem')
+    jan = lineitem.filter(F.month('l_shipdate') == 1).select(
+        'l_orderkey', 'l_quantity', 'l_returnflag'
+    )
+    feb = lineitem.filter(F.month('l_shipdate') == 2).select(
+        'l_orderkey',
+        F.col('l_quantity').cast('bigint').alias('l_quantity'),
+        'l_returnflag',
+        'l_discount',
+    )
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore')
+        combined = concat({'jan': jan, 'feb': feb}, names='extract_month')
+    return (
+        combined.groupBy('extract_month', 'l_returnflag')
+        .agg(
+            F.round(F.sum('l_quantity'), 2).alias('sum_qty'),
+            F.count('*').alias('n_rows'),
+            F.count('l_discount').alias('n_disc'),
+        )
+    )
+
+
+def q_map_col_status(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """map_col literal-map lookup + aggregate."""
+    (orders,) = _t(spark, sf_dir, 'orders')
+    status_names = {'O': 'open', 'F': 'fulfilled', 'P': 'pending'}
+    return (
+        orders.withColumn(
+            'status_name', map_col('o_orderstatus', status_names)
+        )
+        .groupBy('status_name')
+        .agg(
+            F.count('*').alias('n_orders'),
+            F.round(F.sum('o_totalprice'), 2).alias('total_price'),
+        )
+    )
+
+
+def q_window_revenue_share(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Window spec: each line's share of its order's revenue, averaged
+    per return flag (get_window_spec + ratio)."""
+    (lineitem,) = _t(spark, sf_dir, 'lineitem')
+    w = get_window_spec('l_orderkey')
+    rev = F.col('l_extendedprice') * (1 - F.col('l_discount'))
+    return (
+        lineitem.withColumn('share', rev / F.sum(rev).over(w))
+        .groupBy('l_returnflag')
+        .agg(
+            F.round(F.avg('share'), 6).alias('avg_share'),
+            F.count('*').alias('n_lines'),
+        )
+    )
+
+
+def q_topk_orders_per_status(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """top_k_per_group: 3 highest-value orders per status."""
+    (orders,) = _t(spark, sf_dir, 'orders')
+    ranked = top_k_per_group(
+        orders.select(
+            'o_orderstatus', 'o_orderkey',
+            F.round('o_totalprice', 2).alias('total_price'),
+        ),
+        groups='o_orderstatus',
+        order_by=['total_price', 'o_orderkey'],
+        k=3,
+    )
+    return ranked
+
+
+def q_grouped_demean(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """grouped_apply (applyInPandas): per-status price demeaning.
+
+    SQL-expressible (avg window) so the oracle checks the whole
+    Arrow round-trip + key re-attachment."""
+    import pandas as pd
+
+    (orders,) = _t(spark, sf_dir, 'orders')
+
+    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            'o_orderkey': pdf['o_orderkey'],
+            'centered': (
+                pdf['o_totalprice'] - pdf['o_totalprice'].mean()
+            ).round(2),
+        })
+
+    return grouped_apply(
+        orders, demean,
+        schema='o_orderstatus string, o_orderkey bigint, centered double',
+        groups='o_orderstatus',
+    )
+
+
+def q_asof_user_purchase(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """as_of_join: each event tagged with the user's most recent
+    'purchase' value at-or-before it."""
+    (events,) = _t(spark, sf_dir, 'events')
+    left = events.select('event_id', 'user_id', 'ts', 'event_type')
+    purchases = events.filter(F.col('event_type') == 'purchase').select(
+        'user_id', 'ts', F.col('value').alias('last_purchase_value')
+    )
+    joined = as_of_join(
+        left, purchases, on='user_id', left_time='ts', right_time='ts',
+        right_cols=['last_purchase_value'],
+    )
+    return joined.select(
+        'event_id', 'user_id', 'event_type',
+        F.round('last_purchase_value', 2).alias('last_purchase_value'),
+    )
+
+
+# --------------------------------------------------------------------
+# Events: JSON + time windows (streaming-ready shapes, run in batch)
+# --------------------------------------------------------------------
+
+def q_json_tumbling(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """JSON field extraction + 1-hour tumbling windows per event_type."""
+    (events,) = _t(spark, sf_dir, 'events')
+    ev = with_json_fields(events, 'props', {'k': '$.k:int'})
+    out = tumbling_window_agg(
+        ev, 'ts', '1 hour',
+        aggs=[
+            F.count('*').alias('n_events'),
+            F.round(F.sum('value'), 2).alias('sum_value'),
+            F.round(F.avg('k'), 4).alias('avg_k'),
+        ],
+        groups='event_type',
+    )
+    return out.select(
+        F.unix_timestamp('window_start').alias('window_start_epoch'),
+        'event_type', 'n_events', 'sum_value', 'avg_k',
+    )
+
+
+def q_session_windows(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Per-user session windows (30-minute inactivity gap)."""
+    (events,) = _t(spark, sf_dir, 'events')
+    out = session_window_agg(
+        events, 'ts', '30 minutes',
+        aggs=[
+            F.count('*').alias('n_events'),
+            F.round(F.sum('value'), 2).alias('sum_value'),
+        ],
+        groups='user_id',
+    )
+    return out.select(
+        F.unix_timestamp('session_start').alias('session_start_epoch'),
+        F.unix_timestamp('session_end').alias('session_end_epoch'),
+        'user_id', 'n_events', 'sum_value',
+    )
+
+
+# --------------------------------------------------------------------
+# Documents: text analysis + dedup
+# --------------------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Per-language text statistics (token counts, stopword ratio)."""
+    (documents,) = _t(spark, sf_dir, 'documents')
+    stats = documents.select(
+        'lang',
+        tx.token_count('text').alias('n_tokens'),
+        tx.char_count('text').alias('n_chars'),
+        tx.stopword_ratio('text', _STOPWORDS).alias('stop_ratio'),
+    )
+    return stats.groupBy('lang').agg(
+        F.count('*').alias('n_docs'),
+        F.round(F.avg('n_tokens'), 4).alias('avg_tokens'),
+        F.round(F.avg('n_chars'), 4).alias('avg_chars'),
+        F.round(F.avg('stop_ratio'), 6).alias('avg_stop_ratio'),
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Exact dedup on normalized text (keep lowest doc_id), summarized
+    per source."""
+    (documents,) = _t(spark, sf_dir, 'documents')
+    kept = dd.exact_dedup(documents, 'text', 'doc_id')
+    return kept.groupBy('source').agg(
+        F.count('*').alias('n_docs'),
+        F.sum('n_chars').alias('total_chars'),
+    )
+
+
+def q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """128-bit md5 fingerprint of normalized text (portable — DuckDB
+    computes the identical value)."""
+    (documents,) = _t(spark, sf_dir, 'documents')
+    return documents.select(
+        'doc_id', tx.fingerprint('text', bits=128).alias('fingerprint')
+    )
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Exact n-gram Jaccard similarity join (inverted shingle index)."""
+    (documents,) = _t(spark, sf_dir, 'documents')
+    pairs = dd.ngram_jaccard_join(
+        documents, 'doc_id', 'text', shingle_n=3, threshold=0.0333
+    )
+    return pairs.select(
+        'id_a', 'id_b', F.round('jaccard', 6).alias('jaccard')
+    )
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """MinHash-LSH near-dedup (no SQL oracle — hash-seeded LSH;
+    verified by unit tests with planted duplicates)."""
+    (documents,) = _t(spark, sf_dir, 'documents')
+    kept = dd.minhash_dedup(
+        documents, 'doc_id', 'text',
+        num_hashes=64, bands=16, jaccard_threshold=0.5,
+    )
+    return kept.groupBy('source').agg(F.count('*').alias('n_docs'))
+
+
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """SimHash near-dedup (no SQL oracle — bit-vote signature)."""
+    (documents,) = _t(spark, sf_dir, 'documents')
+    kept = dd.simhash_dedup(documents, 'doc_id', 'text', max_hamming=3)
+    return kept.groupBy('lang').agg(F.count('*').alias('n_docs'))
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Heuristic language-ID distribution (rows-only check — regex
+    marker profiles; exactness tested in unit tests)."""
+    (documents,) = _t(spark, sf_dir, 'documents')
+    return (
+        documents.select(tx.language_id('text').alias('lang_pred'))
+        .groupBy('lang_pred')
+        .agg(F.count('*').alias('n_docs'))
+    )
+
+
+# --------------------------------------------------------------------
+# Embeddings: similarity search + array ops
+# --------------------------------------------------------------------
+
+def q_diff_embeddings(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Native array diff (zip_with): total absolute first-difference."""
+    from ..functions.arrays import diff
+
+    (embeddings,) = _t(spark, sf_dir, 'embeddings')
+    d = diff(F.col('embedding').cast('array<double>'))
+    return embeddings.select(
+        'vec_id',
+        F.size('embedding').alias('dim'),
+        F.round(
+            F.aggregate(
+                d, F.lit(0.0), lambda acc, x: acc + F.abs(x)
+            ),
+            3,
+        ).alias('abs_diff_sum'),
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Brute-force cosine top-10 for 3 query vectors (exact baseline)."""
+    (embeddings,) = _t(spark, sf_dir, 'embeddings')
+    queries = embeddings.filter(F.col('vec_id') < 3).select(
+        F.col('vec_id').alias('query_id'),
+        F.col('embedding').alias('query_vec'),
+    )
+    out = sim.cosine_topk(
+        embeddings.filter(F.col('vec_id') >= 3), queries, k=10
+    )
+    return out.select(
+        'query_id', 'vec_id', F.round('cosine', 4).alias('cosine')
+    )
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """LSH-bucketed approximate top-k (rows-only — recall checked in
+    unit tests against the brute-force baseline)."""
+    (embeddings,) = _t(spark, sf_dir, 'embeddings')
+    queries = embeddings.filter(F.col('vec_id') < 3).select(
+        F.col('vec_id').alias('query_id'),
+        F.col('embedding').alias('query_vec'),
+    )
+    out = sim.lsh_topk(
+        embeddings.filter(F.col('vec_id') >= 3), queries,
+        k=10, dim=64, num_planes=4,
+    )
+    return out.select(
+        'query_id', 'vec_id', F.round('cosine', 4).alias('cosine')
+    )
+
+
+# --------------------------------------------------------------------
+# Registry + oracles
+# --------------------------------------------------------------------
+
+QUERIES: Dict[str, QueryFn] = {
+    'q1_pricing_summary': q1_pricing_summary,
+    'q2_revenue_by_nation': q2_revenue_by_nation,
+    'q3_top_orders': q3_top_orders,
+    'q4_priority_order_counts': q4_priority_order_counts,
+    'q5_segment_stats': q5_segment_stats,
+    'q6_forecast_revenue': q6_forecast_revenue,
+    'q_pivot_status_priority': q_pivot_status_priority,
+    'q_concat_extracts': q_concat_extracts,
+    'q_map_col_status': q_map_col_status,
+    'q_window_revenue_share': q_window_revenue_share,
+    'q_topk_orders_per_status': q_topk_orders_per_status,
+    'q_grouped_demean': q_grouped_demean,
+    'q_asof_user_purchase': q_asof_user_purchase,
+    'q_json_tumbling': q_json_tumbling,
+    'q_session_windows': q_session_windows,
+    'q_text_stats': q_text_stats,
+    'q_dedup_exact': q_dedup_exact,
+    'q_fingerprint_docs': q_fingerprint_docs,
+    'q_jaccard_pairs': q_jaccard_pairs,
+    'q_minhash_dedup': q_minhash_dedup,
+    'q_simhash_dedup': q_simhash_dedup,
+    'q_langid': q_langid,
+    'q_diff_embeddings': q_diff_embeddings,
+    'q_ann_cosine_topk': q_ann_cosine_topk,
+    'q_lsh_topk': q_lsh_topk,
+}
+
+
+ORACLES: Dict[str, str] = {
+    'q1_pricing_summary': """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)                          AS sum_qty,
+               round(sum(l_extendedprice), 2)                     AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+               round(avg(l_quantity), 4)                          AS avg_qty,
+               round(avg(l_discount), 4)                          AS avg_disc,
+               count(*)                                           AS count_order
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    'q2_revenue_by_nation': """
+        SELECT r_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    'q3_top_orders': """
+        SELECT o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderkey, orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    'q4_priority_order_counts': """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate > o_orderdate
+        )
+        GROUP BY o_orderpriority
+    """,
+    'q5_segment_stats': """
+        SELECT c_mktsegment,
+               count(*) AS n_customers,
+               round(avg(c_acctbal), 2) AS avg_acctbal,
+               round(max(c_acctbal), 2) AS max_acctbal
+        FROM customer GROUP BY c_mktsegment
+    """,
+    'q6_forecast_revenue': """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        WHERE l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    'q_pivot_status_priority': """
+        SELECT o_orderstatus,
+               count(*) FILTER (WHERE o_orderpriority = '1-URGENT')        AS p1,
+               count(*) FILTER (WHERE o_orderpriority = '2-HIGH')          AS p2,
+               count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM')        AS p3,
+               count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4,
+               count(*) FILTER (WHERE o_orderpriority = '5-LOW')           AS p5
+        FROM orders GROUP BY o_orderstatus
+    """,
+    'q_concat_extracts': """
+        WITH combined AS (
+            SELECT 'jan' AS extract_month, l_orderkey,
+                   l_quantity, l_returnflag,
+                   CAST(NULL AS DOUBLE) AS l_discount
+            FROM lineitem WHERE month(l_shipdate) = 1
+            UNION ALL
+            SELECT 'feb', l_orderkey,
+                   CAST(CAST(l_quantity AS BIGINT) AS DOUBLE),
+                   l_returnflag, l_discount
+            FROM lineitem WHERE month(l_shipdate) = 2
+        )
+        SELECT extract_month, l_returnflag,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n_rows,
+               count(l_discount) AS n_disc
+        FROM combined GROUP BY extract_month, l_returnflag
+    """,
+    'q_map_col_status': """
+        SELECT CASE o_orderstatus
+                 WHEN 'O' THEN 'open'
+                 WHEN 'F' THEN 'fulfilled'
+                 WHEN 'P' THEN 'pending'
+               END AS status_name,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders GROUP BY status_name
+    """,
+    'q_window_revenue_share': """
+        WITH shares AS (
+            SELECT l_returnflag,
+                   (l_extendedprice * (1 - l_discount))
+                   / sum(l_extendedprice * (1 - l_discount))
+                     OVER (PARTITION BY l_orderkey) AS share
+            FROM lineitem
+        )
+        SELECT l_returnflag,
+               round(avg(share), 6) AS avg_share,
+               count(*) AS n_lines
+        FROM shares GROUP BY l_returnflag
+    """,
+    'q_topk_orders_per_status': """
+        SELECT o_orderstatus, o_orderkey, total_price FROM (
+            SELECT o_orderstatus, o_orderkey,
+                   round(o_totalprice, 2) AS total_price,
+                   row_number() OVER (
+                       PARTITION BY o_orderstatus
+                       ORDER BY round(o_totalprice, 2) DESC,
+                                o_orderkey DESC
+                   ) AS rk
+            FROM orders
+        ) WHERE rk <= 3
+    """,
+    'q_grouped_demean': """
+        SELECT o_orderstatus, o_orderkey,
+               round(o_totalprice - avg(o_totalprice) OVER (
+                   PARTITION BY o_orderstatus), 2) AS centered
+        FROM orders
+    """,
+    'q_asof_user_purchase': """
+        SELECT e.event_id, e.user_id, e.event_type,
+               round(p.value, 2) AS last_purchase_value
+        FROM events e
+        ASOF LEFT JOIN (
+            SELECT user_id, ts, value FROM events
+            WHERE event_type = 'purchase'
+        ) p ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+    'q_json_tumbling': """
+        SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start_epoch,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value,
+               round(avg(CAST(props->>'k' AS INT)), 4) AS avg_k
+        FROM events
+        GROUP BY window_start_epoch, event_type
+    """,
+    'q_session_windows': """
+        WITH gaps AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - lag(ts) OVER w < INTERVAL 30 MINUTE
+                        THEN 0 ELSE 1 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sessions AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM gaps
+        )
+        SELECT CAST(floor(epoch(min(s.ts))) AS BIGINT)
+                   AS session_start_epoch,
+               CAST(floor(epoch(max(s.ts) + INTERVAL 30 MINUTE)) AS BIGINT)
+                   AS session_end_epoch,
+               s.user_id,
+               count(*) AS n_events,
+               round(sum(e.value), 2) AS sum_value
+        FROM sessions s JOIN events e
+          ON s.user_id = e.user_id AND s.ts = e.ts
+        GROUP BY s.user_id, s.session_id
+    """,
+    'q_text_stats': """
+        WITH toks AS (
+            SELECT lang,
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               t -> t <> '') AS t,
+                   length(text) AS n_chars
+            FROM documents
+        )
+        SELECT lang,
+               count(*) AS n_docs,
+               round(avg(len(t)), 4) AS avg_tokens,
+               round(avg(n_chars), 4) AS avg_chars,
+               round(avg(CASE WHEN len(t) > 0 THEN
+                   CAST(len(list_filter(t,
+                       x -> lower(x) IN {stopwords})) AS DOUBLE) / len(t)
+                   ELSE 0.0 END), 6) AS avg_stop_ratio
+        FROM toks GROUP BY lang
+    """.replace('{stopwords}', _STOPWORDS_SQL),
+    'q_dedup_exact': """
+        WITH fp AS (
+            SELECT *, md5(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                              'g'))) AS f,
+                   row_number() OVER (
+                       PARTITION BY md5(trim(regexp_replace(lower(text),
+                           '\\s+', ' ', 'g')))
+                       ORDER BY doc_id) AS rn
+            FROM documents
+        )
+        SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+        FROM fp WHERE rn = 1 GROUP BY source
+    """,
+    'q_fingerprint_docs': """
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS fingerprint
+        FROM documents
+    """,
+    'q_jaccard_pairs': """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                       ' '), t -> t <> '') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 3 THEN
+                       list_distinct(list_transform(
+                           generate_series(1, len(t) - 2),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                   ELSE [array_to_string(t, ' ')] END AS shingles
+            FROM toks
+        ), inv AS (
+            SELECT doc_id, len(shingles) AS n, unnest(shingles) AS shingle
+            FROM sh
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.n AS n_a, b.n AS n_b, count(*) AS n_common
+            FROM inv a JOIN inv b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT id_a, id_b,
+               round(CAST(n_common AS DOUBLE)
+                     / (n_a + n_b - n_common), 6) AS jaccard
+        FROM pairs
+        WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.0333
+    """,
+    'q_diff_embeddings': """
+        SELECT vec_id,
+               len(embedding) AS dim,
+               round(list_sum(list_transform(
+                   list_zip(embedding[2:],
+                            embedding[:len(embedding)-1]),
+                   x -> abs(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+               )), 3) AS abs_diff_sum
+        FROM embeddings
+    """,
+    'q_ann_cosine_topk': """
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 3
+        ), scored AS (
+            SELECT q.query_id, e.vec_id,
+                   round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS cosine,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
+                                e.vec_id ASC) AS rk
+            FROM embeddings e, q
+            WHERE e.vec_id >= 3
+        )
+        SELECT query_id, vec_id, cosine FROM scored WHERE rk <= 10
+    """,
+}
