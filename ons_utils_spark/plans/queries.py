@@ -360,11 +360,27 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> SparkDF:
 def q_text_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Per-language text statistics (token counts, stopword ratio)."""
     (documents,) = _t(spark, sf_dir, 'documents')
-    stats = documents.select(
+    # Tokenize once into a column; the stat expressions then read the
+    # materialized array instead of re-running the regex split each.
+    toks = documents.select(
         'lang',
-        tx.token_count('text').alias('n_tokens'),
+        tx.tokenize('text').alias('__toks'),
         tx.char_count('text').alias('n_chars'),
-        tx.stopword_ratio('text', _STOPWORDS).alias('stop_ratio'),
+    )
+    stops = F.array(*[F.lit(s) for s in _STOPWORDS])
+    stats = toks.select(
+        'lang',
+        F.size('__toks').alias('n_tokens'),
+        'n_chars',
+        F.when(
+            F.size('__toks') > 0,
+            F.size(
+                F.filter(
+                    '__toks',
+                    lambda t: F.array_contains(stops, F.lower(t)),
+                )
+            ).cast('double') / F.size('__toks'),
+        ).otherwise(F.lit(0.0)).alias('stop_ratio'),
     )
     return stats.groupBy('lang').agg(
         F.count('*').alias('n_docs'),

@@ -6,6 +6,14 @@ code path for batch DataFrames and streaming DataFrames: ``F.window``
 and ``F.session_window`` work on both; ``with_watermark`` is a no-op
 on batch frames so pipelines can be tested in batch and deployed on
 ``readStream`` unchanged.
+
+.. warning::
+   Do not ``filter`` on ``session_start``/``session_end`` AFTER a
+   session aggregation: Catalyst pushes group-key predicates below
+   the aggregate, where they apply to PRE-MERGE per-event windows and
+   silently change which sessions form. Materialize (collect/write)
+   before filtering on session bounds. Tumbling/sliding windows don't
+   have this hazard (their group keys are event-deterministic).
 """
 from __future__ import annotations
 

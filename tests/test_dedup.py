@@ -1,0 +1,146 @@
+"""Tests for dedup operators: planted duplicates must be found."""
+import pytest
+from pyspark.sql import functions as F
+
+from ons_utils_spark.operators import dedup as dd
+
+
+@pytest.fixture
+def docs_with_dups(spark_session):
+    base = (
+        'the quick brown fox jumps over the lazy dog while the cat'
+        ' watches from the warm windowsill in the afternoon sun light'
+    )
+    near = base.replace('lazy', 'sleepy')  # one-word change
+    far = (
+        'completely different content about spark query engines and'
+        ' distributed columnar execution with vectorized operators'
+    )
+    rows = [
+        (1, base),
+        (2, base.upper()),          # exact dup after normalization
+        (3, '  ' + base + '  '),    # whitespace dup
+        (4, near),                  # near dup
+        (5, far),
+        (6, 'tiny'),
+    ]
+    return spark_session.createDataFrame(rows, 'doc_id bigint, text string')
+
+
+class TestExactDedup:
+    def test_normalized_dups_removed(self, docs_with_dups):
+        kept = dd.exact_dedup(docs_with_dups, 'text', 'doc_id')
+        ids = sorted(r['doc_id'] for r in kept.collect())
+        assert ids == [1, 4, 5, 6]  # 2 and 3 normalize to doc 1
+
+    def test_no_normalize_keeps_case_variants(self, docs_with_dups):
+        kept = dd.exact_dedup(
+            docs_with_dups, 'text', 'doc_id', normalize=False
+        )
+        assert kept.count() == 6
+
+
+class TestMinHash:
+    def test_candidates_find_planted_pair(self, docs_with_dups):
+        cands = dd.minhash_lsh_candidates(
+            docs_with_dups, 'doc_id', 'text', num_hashes=64, bands=32
+        )
+        pairs = {(r['id_a'], r['id_b']) for r in cands.collect()}
+        # exact dups (1,2),(1,3),(2,3) must collide in every band;
+        # near-dup (x,4) should appear with 32 bands of 2 rows.
+        assert (1, 2) in pairs and (1, 3) in pairs
+        assert any(b == 4 for _, b in pairs)
+
+    def test_dedup_drops_planted_dups(self, docs_with_dups):
+        kept = dd.minhash_dedup(
+            docs_with_dups, 'doc_id', 'text',
+            num_hashes=64, bands=32, jaccard_threshold=0.5,
+        )
+        ids = sorted(r['doc_id'] for r in kept.collect())
+        assert 1 in ids and 5 in ids and 6 in ids
+        assert 2 not in ids and 3 not in ids
+
+    def test_signature_udf_matches_jvm(self, spark_session):
+        df = spark_session.createDataFrame(
+            [(1, 'alpha beta gamma delta epsilon zeta eta theta')],
+            'doc_id bigint, text string',
+        )
+        hashed = df.select(
+            'doc_id',
+            dd.shingle_hashes(dd.word_shingles('text', 3)).alias('hs'),
+        )
+        jvm = hashed.select(
+            dd.minhash_signature(F.col('hs'), 16).alias('sig')
+        ).collect()[0]['sig']
+        udf = hashed.select(
+            dd.minhash_signature_udf(16)(F.col('hs')).alias('sig')
+        ).collect()[0]['sig']
+        assert list(jvm) == list(udf)
+
+
+class TestSimHash:
+    def test_dedup_drops_exact_dups(self, docs_with_dups):
+        kept = dd.simhash_dedup(
+            docs_with_dups, 'doc_id', 'text', max_hamming=3
+        )
+        ids = sorted(r['doc_id'] for r in kept.collect())
+        assert 2 not in ids and 3 not in ids  # hamming 0 to doc 1
+        assert 5 in ids and 6 in ids
+
+    def test_blocks_udf_matches_jvm_expression(self, spark_session):
+        from ons_utils_spark.operators.text import (
+            normalize_text, tokenize,
+        )
+        df = spark_session.createDataFrame(
+            [(1, 'alpha beta gamma delta epsilon zeta')],
+            'doc_id bigint, text string',
+        )
+        token_hashes = F.transform(
+            tokenize(normalize_text('text')), lambda t: F.xxhash64(t)
+        )
+        udf_blocks = df.select(
+            dd.simhash_blocks_udf(4)(token_hashes).alias('b')
+        ).collect()[0]['b']
+        jvm_blocks = df.select(
+            dd.simhash_blocks(dd.simhash('text')).alias('b')
+        ).collect()[0]['b']
+        assert list(udf_blocks) == list(jvm_blocks)
+
+
+class TestJaccardJoin:
+    def test_planted_pair_found_with_score(self, docs_with_dups):
+        pairs = dd.ngram_jaccard_join(
+            docs_with_dups, 'doc_id', 'text', threshold=0.5
+        )
+        got = {(r['id_a'], r['id_b']): r['jaccard']
+               for r in pairs.collect()}
+        assert got[(1, 2)] == 1.0
+        assert got[(1, 3)] == 1.0
+        assert (1, 4) in got and 0.5 <= got[(1, 4)] < 1.0
+        assert all(a != 5 and b != 5 for a, b in got)
+
+    def test_hot_shingle_cap(self, docs_with_dups):
+        pairs = dd.ngram_jaccard_join(
+            docs_with_dups, 'doc_id', 'text', threshold=0.9,
+            max_shingle_df=2,
+        )
+        # shingles in >2 docs dropped; exact dups still share all rest
+        got = {(r['id_a'], r['id_b']) for r in pairs.collect()}
+        assert (1, 4) not in got
+
+
+class TestEmbeddingNearDup:
+    def test_finds_identical_vectors(self, spark_session):
+        rows = [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0]),
+            (3, [0.99, 0.12, 0.0]),
+            (4, [0.0, 1.0, 0.0]),
+        ]
+        df = spark_session.createDataFrame(
+            rows, 'vec_id bigint, embedding array<float>'
+        )
+        pairs = dd.embedding_near_duplicates(df, threshold=0.99)
+        got = {(r['id_a'], r['id_b']) for r in pairs.collect()}
+        assert (1, 2) in got
+        assert (1, 4) not in got

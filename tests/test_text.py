@@ -1,0 +1,107 @@
+"""Tests for text-analysis operators."""
+import pytest
+from pyspark.sql import functions as F
+
+from ons_utils_spark.operators import text as tx
+
+
+@pytest.fixture
+def sample_docs(spark_session):
+    rows = [
+        (1, 'The quick brown fox jumps over the lazy dog'),
+        (2, '   '),
+        (3, 'a'),
+        (4, 'Der Hund und die Katze sind müde, das ist klar.'),
+        (5, 'le chat et le chien sont à la maison près de la église'),
+        (6, '这 是 一个 中文 文档 的 例子'),
+        (7, 'el perro y el gato de la casa que duermen y sueñan'),
+        (8, '!!! ??? ... ###'),
+    ]
+    return spark_session.createDataFrame(rows, 'doc_id bigint, text string')
+
+
+class TestTokenStats:
+    def test_token_count(self, sample_docs):
+        got = {r['doc_id']: r['n']
+               for r in sample_docs.select(
+                   'doc_id', tx.token_count('text').alias('n')
+               ).collect()}
+        assert got[1] == 9
+        assert got[2] == 0
+        assert got[3] == 1
+
+    def test_stopword_ratio(self, sample_docs):
+        got = {r['doc_id']: r['s']
+               for r in sample_docs.select(
+                   'doc_id', tx.stopword_ratio('text').alias('s')
+               ).collect()}
+        assert got[1] == pytest.approx(2 / 9)  # 'The', 'the'
+        assert got[2] == 0.0
+
+    def test_punct_ratio(self, sample_docs):
+        got = {r['doc_id']: r['p']
+               for r in sample_docs.select(
+                   'doc_id', tx.punct_ratio('text').alias('p')
+               ).collect()}
+        assert got[1] == 0.0
+        assert got[8] > 0.5
+
+    def test_mean_word_length(self, sample_docs):
+        got = {r['doc_id']: r['m']
+               for r in sample_docs.select(
+                   'doc_id', tx.mean_word_length('text').alias('m')
+               ).collect()}
+        assert got[3] == 1.0
+        assert got[2] == 0.0
+
+    def test_bpe_ish_counts_more_than_words(self, sample_docs):
+        row = sample_docs.filter('doc_id = 1').select(
+            tx.bpe_ish_token_count('text').alias('n')
+        ).collect()[0]
+        assert row['n'] >= 9
+
+
+class TestQualityAndLang:
+    def test_quality_in_range_and_ordering(self, sample_docs):
+        got = {r['doc_id']: r['q']
+               for r in sample_docs.select(
+                   'doc_id', tx.quality_score('text', min_tokens=5)
+                   .alias('q')
+               ).collect()}
+        assert all(0.0 <= q <= 1.0 for q in got.values())
+        assert got[1] > got[8]  # prose beats punctuation soup
+        assert got[1] > got[2]  # prose beats empty
+
+    def test_language_id(self, sample_docs):
+        got = {r['doc_id']: r['lang']
+               for r in sample_docs.select(
+                   'doc_id', tx.language_id('text').alias('lang')
+               ).collect()}
+        assert got[1] == 'en'
+        assert got[4] == 'de'
+        assert got[5] == 'fr'
+        assert got[6] == 'zh'
+        assert got[7] == 'es'
+        assert got[8] == 'und'
+
+    def test_fingerprint_normalization_invariance(self, spark_session):
+        df = spark_session.createDataFrame(
+            [(1, 'Hello  World'), (2, 'hello world'), (3, 'other')],
+            'doc_id bigint, text string',
+        )
+        got = [r['f'] for r in df.select(
+            tx.fingerprint('text', 128).alias('f')
+        ).collect()]
+        assert got[0] == got[1]
+        assert got[0] != got[2]
+        # 64-bit variant returns bigint
+        got64 = df.select(tx.fingerprint('text', 64).alias('f')).dtypes
+        assert dict(got64)['f'] == 'bigint'
+        with pytest.raises(ValueError):
+            tx.fingerprint('text', 32)
+
+    def test_text_stats_bundle(self, sample_docs):
+        out = tx.text_stats(sample_docs)
+        assert {'n_tokens', 'quality', 'lang_pred', 'fingerprint'} \
+            <= set(out.columns)
+        assert out.count() == 8
