@@ -36,7 +36,16 @@ from .functions.windows import (
     shifted_within_year_ffill,
     with_global_agg,
 )
+from .functions.json import json_get, json_struct, with_json_fields
 from .operators.concat import UnequalSchemaWarning, concat, promote_dtypes
+from .operators.dedup import (
+    embedding_near_duplicates,
+    exact_dedup,
+    minhash_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_join,
+    simhash_dedup,
+)
 from .operators.grouped import grouped_apply
 from .operators.joins import (
     anti_join,
@@ -46,7 +55,22 @@ from .operators.joins import (
     semi_join,
     top_k_per_group,
 )
+from .operators.similarity import cosine_topk, lsh_topk, random_hyperplane_lsh
+from .operators.text import (
+    fingerprint,
+    language_id,
+    quality_score,
+    text_stats,
+    token_count,
+    tokenize,
+)
 from .session import get_spark
+from .streaming.windows import (
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+    with_watermark,
+)
 
 __version__ = '0.1.0'
 
@@ -66,4 +90,12 @@ __all__ = [
     'broadcast_join', 'null_safe_join', 'semi_join', 'anti_join',
     'as_of_join', 'top_k_per_group',
     'get_spark',
+    'json_get', 'json_struct', 'with_json_fields',
+    'exact_dedup', 'minhash_dedup', 'minhash_lsh_candidates',
+    'simhash_dedup', 'ngram_jaccard_join', 'embedding_near_duplicates',
+    'cosine_topk', 'lsh_topk', 'random_hyperplane_lsh',
+    'tokenize', 'token_count', 'quality_score', 'language_id',
+    'fingerprint', 'text_stats',
+    'tumbling_window_agg', 'sliding_window_agg', 'session_window_agg',
+    'with_watermark',
 ]

@@ -1,0 +1,241 @@
+"""Config validation: schema rules + catalog/filesystem existence.
+
+Parity target: ``ons_utils/config/validation.py`` — cerberus schema
+validation plus Hive-table and HDFS-path existence checks, collected
+into one underlined error report per section.
+
+Differences from the reference (intentional, SURVEY.md §7.0):
+
+* cerberus isn't available here; :class:`MiniValidator` implements the
+  subset the reference used (type / required / allowed / nested
+  schema / min / max, ``allow_unknown`` semantics). If cerberus IS
+  installed it is used instead.
+* table existence uses the public ``spark.catalog.tableExists``
+  (the reference reached into the JVM catalog, validation.py:318-320).
+* filesystem existence is injectable (``path_exists`` callable) so
+  no HDFS client is needed in tests; the reference had a latent
+  NameError from a missing ``hdfs`` import (validation.py:315).
+* ``get_inner`` recursion passes the config through (the reference
+  dropped the argument, validation.py:275).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, List, Mapping, Optional, Sequence
+
+try:  # pragma: no cover - exercised only when cerberus is installed
+    import cerberus
+
+    HAS_CERBERUS = True
+except ImportError:
+    HAS_CERBERUS = False
+
+
+class MiniValidator:
+    """Minimal cerberus-compatible validator.
+
+    Supports per-field rules: ``type`` (str name or list),
+    ``required``, ``allowed``, ``min``/``max``, ``schema`` (nested
+    mapping). Unknown fields are allowed (cerberus
+    ``allow_unknown=True``).
+    """
+
+    _TYPES = {
+        'string': str,
+        'integer': int,
+        'float': (int, float),
+        'number': (int, float),
+        'boolean': bool,
+        'list': (list, tuple),
+        'dict': dict,
+    }
+
+    def __init__(self, schema: Mapping[str, Any]):
+        self.schema = schema
+        self.errors: dict = {}
+
+    def validate(self, document: Mapping[str, Any]) -> bool:
+        self.errors = self._validate(document, self.schema)
+        return not self.errors
+
+    def _validate(
+        self, doc: Mapping[str, Any], schema: Mapping[str, Any]
+    ) -> dict:
+        errors: dict = {}
+        for field, rules in schema.items():
+            if field not in doc or doc[field] is None:
+                if rules.get('required'):
+                    errors[field] = ['required field']
+                continue
+            value = doc[field]
+            field_errors: list = []
+            expected = rules.get('type')
+            if expected:
+                names = (
+                    expected if isinstance(expected, list) else [expected]
+                )
+                ok = any(
+                    isinstance(value, self._TYPES[n])
+                    and not (n == 'integer' and isinstance(value, bool))
+                    for n in names
+                )
+                if not ok:
+                    field_errors.append(
+                        f'must be of type {expected!r}'
+                    )
+            if 'allowed' in rules and value not in rules['allowed']:
+                field_errors.append(
+                    f'unallowed value {value!r}'
+                )
+            if 'min' in rules and isinstance(value, (int, float)) \
+                    and value < rules['min']:
+                field_errors.append(f'min value is {rules["min"]}')
+            if 'max' in rules and isinstance(value, (int, float)) \
+                    and value > rules['max']:
+                field_errors.append(f'max value is {rules["max"]}')
+            if 'schema' in rules and isinstance(value, Mapping):
+                nested = self._validate(value, rules['schema'])
+                if nested:
+                    field_errors.append(nested)
+            if field_errors:
+                errors[field] = field_errors
+        return errors
+
+
+def get_validator(schema: Mapping[str, Any]):
+    """cerberus validator when installed, else :class:`MiniValidator`."""
+    if HAS_CERBERUS:  # pragma: no cover
+        return cerberus.Validator(schema, allow_unknown=True)
+    return MiniValidator(schema)
+
+
+def get_cerberus_errors(
+    config: Mapping[str, Any], schema: Mapping[str, Any]
+) -> List[str]:
+    """Flatten schema-validation errors into strings."""
+    v = get_validator(schema)
+    if v.validate(dict(config)):
+        return []
+    return [
+        f'{field}: {remove_list_wrappers(err)}'
+        for field, err in v.errors.items()
+    ]
+
+
+def validate_config_sections(
+    config: Mapping[str, Any],
+    section_schemas: Mapping[str, Mapping[str, Any]],
+    spark=None,
+    path_exists: Optional[Callable[[str], bool]] = None,
+) -> List[str]:
+    """Validate each config section: schema + table + path existence.
+
+    Sections with ``active: false`` are skipped (reference
+    validation.py:250-259). Table references live under a ``tables``
+    key as ``db.table`` strings; paths under a ``filepaths`` key.
+    """
+    errors: List[str] = []
+    for section, schema in section_schemas.items():
+        inner = get_inner(config, section)
+        if inner is None:
+            errors.append(get_underlined_header(section)
+                          + f'\nmissing section {section!r}')
+            continue
+        if isinstance(inner, Mapping) and inner.get('active') is False:
+            continue
+        section_errors = get_cerberus_errors(inner, schema)
+        if spark is not None:
+            section_errors += get_table_errors(spark, inner)
+        if path_exists is not None:
+            section_errors += get_filepath_errors(inner, path_exists)
+        if section_errors:
+            errors.append(
+                get_underlined_header(section) + '\n'
+                + '\n'.join(section_errors)
+            )
+    return errors
+
+
+def get_all_errors(
+    config: Mapping[str, Any],
+    section_schemas: Mapping[str, Mapping[str, Any]],
+    spark=None,
+    path_exists: Optional[Callable[[str], bool]] = None,
+) -> str:
+    """One joined report of every validation error ('' when clean)."""
+    return '\n\n'.join(
+        validate_config_sections(config, section_schemas, spark,
+                                 path_exists)
+    )
+
+
+def get_inner(config: Mapping[str, Any], section: str) -> Optional[Any]:
+    """Fetch a (possibly dotted) nested section."""
+    cur: Any = config
+    for part in section.split('.'):
+        if not isinstance(cur, Mapping) or part not in cur:
+            return None
+        cur = cur[part]
+    return cur
+
+
+# ---- existence checks ------------------------------------------------
+
+def table_exists(spark, table: str) -> bool:
+    """Catalog existence via the public API (works for Hive tables)."""
+    return spark.catalog.tableExists(table)
+
+
+def get_table_errors(spark, section: Mapping[str, Any]) -> List[str]:
+    """Check every ``db.table`` under the section's ``tables`` key."""
+    tables = section.get('tables') or {}
+    if isinstance(tables, Mapping):
+        tables = list(tables.values())
+    return [
+        f'table does not exist: {t}'
+        for t in tables
+        if not table_exists(spark, t)
+    ]
+
+
+def local_path_exists(path: str) -> bool:
+    """Default path checker (local/posix). On a cluster inject a
+    checker built on the Hadoop FileSystem API:
+
+    ``lambda p: spark._jvm.org.apache.hadoop.fs...`` or ``pyarrow.fs``.
+    """
+    return os.path.exists(path)
+
+
+def get_filepath_errors(
+    section: Mapping[str, Any],
+    path_exists: Callable[[str], bool] = local_path_exists,
+) -> List[str]:
+    """Check every path under the section's ``filepaths`` key."""
+    paths = section.get('filepaths') or {}
+    if isinstance(paths, Mapping):
+        paths = list(paths.values())
+    return [
+        f'path does not exist: {p}'
+        for p in paths
+        if not path_exists(p)
+    ]
+
+
+# ---- formatting ------------------------------------------------------
+
+def get_underlined_header(header: str, char: str = '-') -> str:
+    """Header text over a same-length underline."""
+    return f'{header}\n{char * len(header)}'
+
+
+def remove_list_wrappers(obj: Any) -> Any:
+    """Unwrap single-element list wrappers recursively (cerberus nests
+    errors as 1-lists)."""
+    if isinstance(obj, list) and len(obj) == 1:
+        return remove_list_wrappers(obj[0])
+    if isinstance(obj, list):
+        return [remove_list_wrappers(x) for x in obj]
+    if isinstance(obj, dict):
+        return {k: remove_list_wrappers(v) for k, v in obj.items()}
+    return obj
