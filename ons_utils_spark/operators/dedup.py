@@ -494,25 +494,45 @@ def embedding_near_duplicates(
     vec_col: str = 'embedding',
     threshold: float = 0.95,
 ) -> SparkDF:
-    """Near-dup pairs by embedding cosine similarity.
+    """Near-dup pairs by embedding cosine similarity (exact).
 
-    Brute-force O(n²) pair generation — correct baseline, fine up to
-    ~10⁵ vectors per run. The scale path buckets by LSH first (see
-    similarity.random_hyperplane_lsh) and only verifies within-bucket.
+    Broadcast-GEMM design: the (normalized) corpus matrix is broadcast
+    to every executor (numpy, ~0.5 MB per 2k×64-dim; fits comfortably
+    up to ~10⁶×64 ≈ 256 MB), and each partition streams its rows
+    through one BLAS matrix multiply per Arrow batch — ~100× faster
+    than per-pair expression evaluation, with no O(n²) join shuffle.
+    For corpora beyond broadcast size, block both sides (outer loop of
+    broadcast chunks) or LSH-bucket first
+    (similarity.random_hyperplane_lsh) and verify within buckets.
     """
-    from ..functions.arrays import cosine_similarity
+    spark = df.sparkSession
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    mat = np.asarray([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat = mat / norms
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
 
-    a = df.select(F.col(id_col).alias('id_a'), F.col(vec_col).alias('v_a'))
-    b = df.select(F.col(id_col).alias('id_b'), F.col(vec_col).alias('v_b'))
-    return (
-        a.join(b, F.col('id_a') < F.col('id_b'))
-        .withColumn(
-            'cosine',
-            cosine_similarity(
-                F.col('v_a').cast('array<double>'),
-                F.col('v_b').cast('array<double>'),
-            ),
-        )
-        .filter(F.col('cosine') >= threshold)
-        .select('id_a', 'id_b', 'cosine')
+    def scan(batches):
+        corpus_ids = b_ids.value
+        corpus = b_mat.value
+        for pdf in batches:
+            chunk_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            chunk = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            n = np.linalg.norm(chunk, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            sims = (chunk / n) @ corpus.T
+            # keep id_a < id_b (each unordered pair reported once)
+            rows_i, cols_j = np.where(sims >= threshold)
+            mask = chunk_ids[rows_i] < corpus_ids[cols_j]
+            yield pd.DataFrame({
+                'id_a': chunk_ids[rows_i[mask]],
+                'id_b': corpus_ids[cols_j[mask]],
+                'cosine': sims[rows_i[mask], cols_j[mask]],
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(
+        scan, 'id_a bigint, id_b bigint, cosine double'
     )

@@ -505,6 +505,125 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 # --------------------------------------------------------------------
+# Additional relational coverage (melt/rollup/set-ops/ffill/sliding)
+# --------------------------------------------------------------------
+
+def q_melt_part(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Unpivot (melt, Spark >= 3.4): part attributes to long form."""
+    (part,) = _t(spark, sf_dir, 'part')
+    return part.melt(
+        ids=['p_partkey'],
+        values=['p_size', 'p_retailprice'],
+        variableColumnName='attribute',
+        valueColumnName='val',
+    ).select('p_partkey', 'attribute', F.round('val', 2).alias('val'))
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Rollup: revenue at (region, nation), (region), and grand-total
+    levels in one pass."""
+    lineitem, orders, customer, nation, region = _t(
+        spark, sf_dir, 'lineitem', 'orders', 'customer', 'nation', 'region'
+    )
+    joined = (
+        lineitem
+        .join(orders, F.col('l_orderkey') == F.col('o_orderkey'))
+        .join(F.broadcast(customer),
+              F.col('o_custkey') == F.col('c_custkey'))
+        .join(F.broadcast(nation),
+              F.col('c_nationkey') == F.col('n_nationkey'))
+        .join(F.broadcast(region),
+              F.col('n_regionkey') == F.col('r_regionkey'))
+    )
+    return joined.rollup('r_name', 'n_name').agg(
+        F.round(
+            F.sum(F.col('l_extendedprice') * (1 - F.col('l_discount'))), 2
+        ).alias('revenue')
+    )
+
+
+def q_intersect_custkeys(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Set ops: customers ordering in BOTH halves of the year minus
+    urgent-only customers (intersect + exceptAll shapes)."""
+    (orders,) = _t(spark, sf_dir, 'orders')
+    h1 = orders.filter(F.month('o_orderdate') <= 6).select('o_custkey')
+    h2 = orders.filter(F.month('o_orderdate') > 6).select('o_custkey')
+    both = h1.intersect(h2)
+    urgent = orders.filter(
+        F.col('o_orderpriority') == '1-URGENT'
+    ).select('o_custkey').distinct()
+    return both.exceptAll(urgent).select(
+        F.col('o_custkey').alias('custkey')
+    )
+
+
+def q_ffill_lineitem(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Ordered-window forward fill: sparse price series per order
+    (NULL where discount < 0.02) ffilled by line number."""
+    from ..functions.windows import ffill
+
+    (lineitem,) = _t(spark, sf_dir, 'lineitem')
+    sparse = lineitem.withColumn(
+        'sparse_price',
+        F.when(F.col('l_discount') >= 0.02, F.col('l_extendedprice')),
+    )
+    # (l_orderkey, l_linenumber) is NOT unique in this data — order by
+    # a fully deterministic key so the fill agrees with the oracle.
+    order_key = ['l_linenumber', 'l_partkey', 'l_suppkey']
+    return sparse.select(
+        'l_orderkey', 'l_linenumber', 'l_partkey', 'l_suppkey',
+        F.round(
+            ffill('sparse_price', order_by=order_key,
+                  groups='l_orderkey'),
+            2,
+        ).alias('filled_price'),
+    )
+
+
+def q_sliding_events(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Sliding windows: 2-hour windows every hour per event type."""
+    from ..streaming.windows import sliding_window_agg
+
+    (events,) = _t(spark, sf_dir, 'events')
+    out = sliding_window_agg(
+        events, 'ts', '2 hours', '1 hour',
+        aggs=[F.count(F.lit(1)).alias('n_events'),
+              F.round(F.sum('value'), 2).alias('sum_value')],
+        groups='event_type',
+    )
+    return out.select(
+        F.unix_timestamp('window_start').alias('window_start_epoch'),
+        'event_type', 'n_events', 'sum_value',
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Embedding near-duplicate pairs (cosine >= 0.3 brute force)."""
+    (embeddings,) = _t(spark, sf_dir, 'embeddings')
+    pairs = dd.embedding_near_duplicates(
+        embeddings, 'vec_id', 'embedding', threshold=0.3
+    )
+    return pairs.select(
+        'id_a', 'id_b', F.round('cosine', 4).alias('cosine')
+    )
+
+
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """BPE-ish token estimate per source (regex word-piece count)."""
+    (documents,) = _t(spark, sf_dir, 'documents')
+    return (
+        documents.select(
+            'source', tx.bpe_ish_token_count('text').alias('n_bpe')
+        )
+        .groupBy('source')
+        .agg(
+            F.count('*').alias('n_docs'),
+            F.round(F.avg('n_bpe'), 4).alias('avg_bpe_tokens'),
+        )
+    )
+
+
+# --------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------
 
@@ -534,6 +653,13 @@ QUERIES: Dict[str, QueryFn] = {
     'q_diff_embeddings': q_diff_embeddings,
     'q_ann_cosine_topk': q_ann_cosine_topk,
     'q_lsh_topk': q_lsh_topk,
+    'q_melt_part': q_melt_part,
+    'q_rollup_revenue': q_rollup_revenue,
+    'q_intersect_custkeys': q_intersect_custkeys,
+    'q_ffill_lineitem': q_ffill_lineitem,
+    'q_sliding_events': q_sliding_events,
+    'q_embedding_neardup': q_embedding_neardup,
+    'q_bpe_tokens': q_bpe_tokens,
 }
 
 
@@ -800,5 +926,82 @@ ORACLES: Dict[str, str] = {
             WHERE e.vec_id >= 3
         )
         SELECT query_id, vec_id, cosine FROM scored WHERE rk <= 10
+    """,
+    'q_melt_part': """
+        SELECT p_partkey, 'p_size' AS attribute,
+               round(CAST(p_size AS DOUBLE), 2) AS val
+        FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_retailprice', round(p_retailprice, 2)
+        FROM part
+    """,
+    'q_rollup_revenue': """
+        SELECT r_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+    'q_intersect_custkeys': """
+        WITH both_halves AS (
+            SELECT o_custkey FROM orders WHERE month(o_orderdate) <= 6
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE month(o_orderdate) > 6
+        ), urgent AS (
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+        )
+        SELECT o_custkey AS custkey FROM both_halves
+        EXCEPT ALL
+        SELECT o_custkey FROM urgent
+    """,
+    'q_ffill_lineitem': """
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+               round(last_value(
+                   CASE WHEN l_discount >= 0.02
+                        THEN l_extendedprice END IGNORE NULLS
+               ) OVER (PARTITION BY l_orderkey
+                       ORDER BY l_linenumber, l_partkey, l_suppkey
+                       ROWS UNBOUNDED PRECEDING), 2) AS filled_price
+        FROM lineitem
+    """,
+    'q_sliding_events': """
+        WITH offsets AS (SELECT * FROM (VALUES (0), (1)) t(k)),
+        assigned AS (
+            SELECT date_trunc('hour', ts)
+                       - to_hours(k) AS window_start,
+                   event_type, value
+            FROM events, offsets
+        )
+        SELECT CAST(floor(epoch(window_start)) AS BIGINT)
+                   AS window_start_epoch,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM assigned
+        GROUP BY window_start, event_type
+    """,
+    'q_embedding_neardup': """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(
+                  CAST(a.embedding AS DOUBLE[]),
+                  CAST(b.embedding AS DOUBLE[])) >= 0.3
+    """,
+    'q_bpe_tokens': """
+        SELECT source,
+               count(*) AS n_docs,
+               round(avg(len(regexp_extract_all(
+                   text, '[A-Za-z0-9]{1,4}|[^\\sA-Za-z0-9]'))), 4)
+                   AS avg_bpe_tokens
+        FROM documents
+        GROUP BY source
     """,
 }
