@@ -55,6 +55,9 @@ from .operators.joins import (
     semi_join,
     top_k_per_group,
 )
+from .operators.reshape import SparkStacker
+from .operators.reshape import stack as stack_spark
+from .operators.reshape import unstack as unstack_spark
 from .operators.similarity import cosine_topk, lsh_topk, random_hyperplane_lsh
 from .operators.text import (
     fingerprint,
@@ -98,4 +101,5 @@ __all__ = [
     'fingerprint', 'text_stats',
     'tumbling_window_agg', 'sliding_window_agg', 'session_window_agg',
     'with_watermark',
+    'SparkStacker', 'stack_spark', 'unstack_spark',
 ]

@@ -440,8 +440,8 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 def q_langid(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """Heuristic language-ID distribution (rows-only check — regex
-    marker profiles; exactness tested in unit tests)."""
+    """Heuristic language-ID distribution (marker-regex argmax; the
+    oracle replicates the same scoring in SQL)."""
     (documents,) = _t(spark, sf_dir, 'documents')
     return (
         documents.select(tx.language_id('text').alias('lang_pred'))
@@ -926,6 +926,38 @@ ORACLES: Dict[str, str] = {
             WHERE e.vec_id >= 3
         )
         SELECT query_id, vec_id, cosine FROM scored WHERE rk <= 10
+    """,
+    'q_langid': """
+        WITH scored AS (
+            SELECT
+              len(regexp_extract_all(lower(text),
+                  '\\b(the|and|of|to|is)\\b')) AS s_en,
+              len(regexp_extract_all(lower(text),
+                  '\\b(el|la|de|que|y)\\b|[ñ¿¡]')) AS s_es,
+              len(regexp_extract_all(lower(text),
+                  '\\b(le|la|les|de|et)\\b|[àâçéèêëîïôûù]')) AS s_fr,
+              len(regexp_extract_all(lower(text),
+                  '\\b(der|die|das|und|ist)\\b|[äöüß]')) AS s_de,
+              len(regexp_extract_all(lower(text),
+                  '[一-鿿]')) AS s_zh
+            FROM documents
+        ), labeled AS (
+            SELECT CASE
+                WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0
+                    THEN 'und'
+                WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh)
+                    THEN 'en'
+                WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh)
+                    THEN 'es'
+                WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh)
+                    THEN 'fr'
+                WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_zh)
+                    THEN 'de'
+                ELSE 'zh' END AS lang_pred
+            FROM scored
+        )
+        SELECT lang_pred, count(*) AS n_docs
+        FROM labeled GROUP BY lang_pred
     """,
     'q_melt_part': """
         SELECT p_partkey, 'p_size' AS attribute,
