@@ -59,6 +59,7 @@ from .operators.reshape import SparkStacker
 from .operators.reshape import stack as stack_spark
 from .operators.reshape import unstack as unstack_spark
 from .operators.similarity import cosine_topk, lsh_topk, random_hyperplane_lsh
+from .operators.skew import salted_agg, salted_broadcast_join, with_salt
 from .operators.text import (
     fingerprint,
     language_id,
@@ -102,4 +103,5 @@ __all__ = [
     'tumbling_window_agg', 'sliding_window_agg', 'session_window_agg',
     'with_watermark',
     'SparkStacker', 'stack_spark', 'unstack_spark',
+    'with_salt', 'salted_agg', 'salted_broadcast_join',
 ]

@@ -1,0 +1,56 @@
+"""Tests for skew helpers (salted aggregation / join)."""
+import pytest
+from pyspark.sql import functions as F
+
+from ons_utils_spark.operators.skew import (
+    salted_agg,
+    salted_broadcast_join,
+    with_salt,
+)
+
+
+@pytest.fixture
+def skewed(spark_session):
+    # one hot key (90%) + tail
+    rows = [('hot', float(i)) for i in range(90)] + [
+        (f'k{i}', float(i)) for i in range(10)
+    ]
+    return spark_session.createDataFrame(rows, 'k string, v double')
+
+
+def test_with_salt_bounds(skewed):
+    out = with_salt(skewed, buckets=4)
+    salts = {r['__salt'] for r in out.collect()}
+    assert salts <= {0, 1, 2, 3}
+    assert len(salts) > 1  # actually spreads
+
+
+def test_salted_agg_matches_plain(skewed):
+    plain = {
+        (r['k']): (r['s'], r['n'])
+        for r in skewed.groupBy('k').agg(
+            F.sum('v').alias('s'), F.count('*').alias('n')
+        ).collect()
+    }
+    salted = {
+        (r['k']): (r['s'], r['n'])
+        for r in salted_agg(
+            skewed, 'k',
+            aggs=[F.sum('v').alias('ps'), F.count('*').alias('pn')],
+            final_aggs=[F.sum('ps').alias('s'), F.sum('pn').alias('n')],
+            buckets=4,
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_broadcast_join_matches_plain(skewed, spark_session):
+    dims = spark_session.createDataFrame(
+        [('hot', 'HOT'), ('k1', 'K1')], 'k string, label string'
+    )
+    plain = skewed.join(dims, 'k').count()
+    salted = salted_broadcast_join(skewed, dims, on='k', buckets=4)
+    assert salted.count() == plain
+    assert set(salted.columns) == {'k', 'v', 'label'}
+    labels = {r['label'] for r in salted.collect()}
+    assert labels == {'HOT', 'K1'}
