@@ -69,6 +69,7 @@ from .operators.text import (
     tokenize,
 )
 from .session import get_spark
+from .streaming.stateful import running_totals
 from .streaming.windows import (
     session_window_agg,
     sliding_window_agg,
@@ -104,4 +105,5 @@ __all__ = [
     'with_watermark',
     'SparkStacker', 'stack_spark', 'unstack_spark',
     'with_salt', 'salted_agg', 'salted_broadcast_join',
+    'running_totals',
 ]

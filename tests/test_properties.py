@@ -1,0 +1,114 @@
+"""Property-based tests (hypothesis) for pure functions.
+
+The reference has no property tests (SURVEY.md §5); these pin the
+algebraic properties of the type-promotion lattice and the tuple/dict
+utilities that everything else builds on.
+"""
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ons_utils_spark import (
+    fill_tuples,
+    flatten_dict,
+    list_convert,
+    promote_dtypes,
+    tuple_convert,
+    unflatten_dict,
+)
+
+NUMERIC = st.sampled_from(
+    ['tinyint', 'smallint', 'int', 'bigint', 'float', 'double']
+)
+ANY_DTYPE = st.sampled_from(
+    ['tinyint', 'int', 'bigint', 'float', 'double', 'string',
+     'decimal(10,0)', 'decimal(12,2)', 'timestamp', 'boolean']
+)
+
+
+class TestPromoteDtypesProperties:
+    @given(st.lists(NUMERIC, min_size=1, max_size=6))
+    def test_commutative(self, dtypes):
+        assert promote_dtypes(dtypes) == promote_dtypes(dtypes[::-1])
+
+    @given(st.lists(NUMERIC, min_size=1, max_size=6))
+    def test_idempotent(self, dtypes):
+        out = promote_dtypes(dtypes)
+        assert promote_dtypes(dtypes + [out]) == out
+
+    @given(st.lists(NUMERIC, min_size=1, max_size=4), st.data())
+    def test_monotone_absorbs_members(self, dtypes, data):
+        out = promote_dtypes(dtypes)
+        one = data.draw(st.sampled_from(dtypes))
+        assert promote_dtypes([one, out]) == out
+
+    @given(st.lists(ANY_DTYPE, min_size=1, max_size=6))
+    def test_string_always_wins_or_raises_consistently(self, dtypes):
+        try:
+            out = promote_dtypes(dtypes)
+        except TypeError:
+            # mixing non-coercible families — must NOT contain string
+            assert 'string' not in dtypes
+            return
+        if 'string' in dtypes:
+            assert out == 'string'
+
+    @given(st.lists(NUMERIC, min_size=1, max_size=6))
+    def test_reference_mode_picks_member(self, dtypes):
+        # the reference lattice always returns one of its inputs
+        assert promote_dtypes(dtypes, mode='reference') in dtypes
+
+
+class TestFlattenProperties:
+    nested = st.recursive(
+        st.integers() | st.text(max_size=5),
+        lambda children: st.dictionaries(
+            st.text(min_size=1, max_size=5), children, max_size=4
+        ),
+        max_leaves=20,
+    )
+
+    @given(st.dictionaries(st.text(min_size=1, max_size=5), nested,
+                           min_size=1, max_size=5))
+    @settings(max_examples=50)
+    def test_roundtrip(self, d):
+        # Empty dict leaves can't round-trip (flatten drops them);
+        # hypothesis may generate them — prune.
+        def prune(x):
+            if isinstance(x, dict):
+                return {
+                    k: prune(v) for k, v in x.items()
+                    if not (isinstance(v, dict) and len(v) == 0)
+                }
+            return x
+
+        d = prune(d)
+        # key collisions between dict/non-dict subtrees can't occur in
+        # a plain dict, so roundtrip must hold
+        assert unflatten_dict(flatten_dict(d)) == d
+
+
+class TestTupleProperties:
+    @given(st.lists(
+        st.one_of(
+            st.text(max_size=3),
+            st.integers(),
+            st.lists(st.integers(), min_size=1, max_size=4)
+            .map(tuple),
+        ),
+        min_size=1, max_size=5,
+    ))
+    def test_fill_tuples_uniform_length(self, tuples):
+        out = fill_tuples(tuples)
+        if any(isinstance(t, tuple) for t in tuples):
+            lengths = {len(tuple_convert(t)) for t in out}
+            assert len(lengths) == 1
+        else:
+            assert out == tuples
+
+    @given(st.one_of(st.text(max_size=5), st.integers(),
+                     st.lists(st.integers(), max_size=3)))
+    def test_converters_wrap_consistently(self, x):
+        t, li = tuple_convert(x), list_convert(x)
+        assert list(t) == li
+        if isinstance(x, (str, int)):
+            assert t == (x,) and li == [x]
