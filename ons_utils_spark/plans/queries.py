@@ -623,6 +623,51 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Null-safe equi-join: customers with nullified nation keys still
+    match the nullified nation row (eqNullSafe)."""
+    from ..operators.joins import null_safe_join
+
+    customer, nation = _t(spark, sf_dir, 'customer', 'nation')
+    cust = customer.select(
+        'c_custkey',
+        F.when(F.col('c_custkey') % 10 != 0, F.col('c_nationkey'))
+        .alias('nkey'),
+    )
+    nat = nation.select(
+        F.when(F.col('n_nationkey') != 0, F.col('n_nationkey'))
+        .alias('nkey'),
+        'n_name',
+    )
+    joined = null_safe_join(cust, nat, on='nkey')
+    return joined.groupBy('n_name').agg(
+        F.count('*').alias('n_customers')
+    )
+
+
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Cube: order counts at every (status × priority) grouping level."""
+    (orders,) = _t(spark, sf_dir, 'orders')
+    return orders.cube('o_orderstatus', 'o_orderpriority').agg(
+        F.count(F.lit(1)).alias('n_orders'),
+        F.round(F.sum('o_totalprice'), 2).alias('total_price'),
+    )
+
+
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Exact distinct aggregation: distinct parts/suppliers per flag.
+
+    (The approximate sketch path — approx_count_distinct — is exposed
+    in the API but can't hash-match a DuckDB oracle: different sketch.)
+    """
+    (lineitem,) = _t(spark, sf_dir, 'lineitem')
+    return lineitem.groupBy('l_returnflag').agg(
+        F.countDistinct('l_partkey').alias('n_parts'),
+        F.countDistinct('l_suppkey').alias('n_supps'),
+        F.count('*').alias('n_lines'),
+    )
+
+
 # --------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------
@@ -660,6 +705,9 @@ QUERIES: Dict[str, QueryFn] = {
     'q_sliding_events': q_sliding_events,
     'q_embedding_neardup': q_embedding_neardup,
     'q_bpe_tokens': q_bpe_tokens,
+    'q_null_safe_join': q_null_safe_join,
+    'q_cube_orders': q_cube_orders,
+    'q_distinct_counts': q_distinct_counts,
 }
 
 
@@ -1035,5 +1083,36 @@ ORACLES: Dict[str, str] = {
                    AS avg_bpe_tokens
         FROM documents
         GROUP BY source
+    """,
+    'q_null_safe_join': """
+        WITH cust AS (
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 10 <> 0 THEN c_nationkey END
+                       AS nkey
+            FROM customer
+        ), nat AS (
+            SELECT CASE WHEN n_nationkey <> 0 THEN n_nationkey END
+                       AS nkey,
+                   n_name
+            FROM nation
+        )
+        SELECT n_name, count(*) AS n_customers
+        FROM cust JOIN nat ON cust.nkey IS NOT DISTINCT FROM nat.nkey
+        GROUP BY n_name
+    """,
+    'q_cube_orders': """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    'q_distinct_counts': """
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS n_parts,
+               count(DISTINCT l_suppkey) AS n_supps,
+               count(*) AS n_lines
+        FROM lineitem
+        GROUP BY l_returnflag
     """,
 }

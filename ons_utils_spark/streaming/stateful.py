@@ -20,35 +20,38 @@ RUNNING_TOTAL_SCHEMA = 'key string, n_events bigint, total double'
 _STATE_SCHEMA = 'n bigint, total double'
 
 
-def _running_total_fn(
-    key: Tuple[str],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Accumulate (count, sum) per key across micro-batches."""
-    if state.hasTimedOut:
-        (n, total) = state.get
-        state.remove()
+def _make_running_total_fn(timeout_ms: int):
+    def _running_total_fn(
+        key: Tuple[str],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            (n, total) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {'key': [key[0]], 'n_events': [n], 'total': [total]}
+            )
+            return
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf['value'].sum())
+        state.update((n, total))
+        state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(
             {'key': [key[0]], 'n_events': [n], 'total': [total]}
         )
-        return
 
-    n, total = state.get if state.exists else (0, 0.0)
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf['value'].sum())
-    state.update((n, total))
-    state.setTimeoutDuration(60_000)
-    yield pd.DataFrame(
-        {'key': [key[0]], 'n_events': [n], 'total': [total]}
-    )
+    return _running_total_fn
 
 
 def running_totals(
     df: SparkDF,
     key_col: str,
     value_col: str = 'value',
+    state_timeout_ms: int = 60_000,
 ) -> SparkDF:
     """Per-key running (count, sum) maintained in operator state.
 
@@ -68,7 +71,7 @@ def running_totals(
             F.sum('value').alias('total'),
         )
     return keyed.groupBy('key').applyInPandasWithState(
-        _running_total_fn,
+        _make_running_total_fn(state_timeout_ms),
         outputStructType=RUNNING_TOTAL_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode='update',
