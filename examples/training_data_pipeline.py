@@ -1,0 +1,79 @@
+"""End-to-end training-data curation pipeline.
+
+The canonical 100 TB use-case this engine is built for, composed
+entirely from ons_utils_spark operators:
+
+    raw documents
+      → text stats + quality scoring (JVM expressions)
+      → quality filter
+      → exact dedup (hash groupBy)
+      → MinHash-LSH near-dedup (banded candidates + Jaccard verify)
+      → language distribution report
+      → curated parquet + per-language stats
+
+Run:  PYTHONPATH=. python examples/training_data_pipeline.py \
+          [sf_dir] [output_dir]
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ons_utils_spark import get_spark
+from ons_utils_spark.operators import dedup as dd
+from ons_utils_spark.operators import text as tx
+from ons_utils_spark.sources.readers import load_tables, write_parquet
+
+
+def curate(documents: DataFrame, quality_threshold: float = 0.5,
+           jaccard_threshold: float = 0.8) -> DataFrame:
+    """Quality-filter then dedup a documents frame (returns curated)."""
+    scored = documents.select(
+        '*',
+        tx.quality_score('text').alias('quality'),
+        tx.language_id('text').alias('lang_pred'),
+        tx.token_count('text').alias('n_tokens'),
+        tx.fingerprint('text', 64).alias('fp64'),
+    )
+    quality_ok = scored.filter(F.col('quality') >= quality_threshold)
+    exact_unique = dd.exact_dedup(quality_ok, 'text', 'doc_id')
+    return dd.minhash_dedup(
+        exact_unique, 'doc_id', 'text',
+        num_hashes=64, bands=16, jaccard_threshold=jaccard_threshold,
+    )
+
+
+def report(curated: DataFrame) -> DataFrame:
+    """Per-language curation stats."""
+    return curated.groupBy('lang_pred').agg(
+        F.count('*').alias('n_docs'),
+        F.round(F.avg('quality'), 4).alias('avg_quality'),
+        F.round(F.avg('n_tokens'), 2).alias('avg_tokens'),
+    )
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.001'
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else '/tmp/curated_docs'
+
+    spark = get_spark('training-data-pipeline')
+    spark.sparkContext.setLogLevel('ERROR')
+    docs = load_tables(spark, sf_dir, tables=['documents'])['documents']
+
+    n_raw = docs.count()
+    curated = curate(docs)
+    n_curated = curated.count()
+    print(f'raw={n_raw} curated={n_curated} '
+          f'removed={n_raw - n_curated}')
+    report(curated).show()
+
+    write_parquet(curated, os.path.join(out_dir, 'documents'))
+    write_parquet(report(curated), os.path.join(out_dir, 'stats'))
+    print(f'wrote {out_dir}')
+
+
+if __name__ == '__main__':
+    main()

@@ -32,6 +32,8 @@ def spark_session():
         .config('spark.sql.session.timeZone', 'UTC')
         .config('spark.ui.enabled', 'false')
         .config('spark.ui.showConsoleProgress', 'false')
+        .config('spark.sql.warehouse.dir',
+                '/tmp/ons-utils-spark-test-warehouse')
         .getOrCreate()
     )
     yield spark

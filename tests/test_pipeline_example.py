@@ -1,0 +1,37 @@
+"""Integration test: the example curation pipeline end-to-end."""
+from examples.training_data_pipeline import curate, report
+from ons_utils_spark.sources.readers import load_tables
+
+
+def test_pipeline_on_testdata(spark_session, tmp_path):
+    docs = load_tables(
+        spark_session, '/root/testdata/sf0.001', tables=['documents']
+    )['documents']
+    curated = curate(docs, quality_threshold=0.2)
+    n = curated.count()
+    assert 0 < n <= docs.count()
+    assert {'doc_id', 'text', 'quality', 'lang_pred', 'fp64'} \
+        <= set(curated.columns)
+
+    stats = report(curated)
+    rows = stats.collect()
+    assert sum(r['n_docs'] for r in rows) == n
+    assert all(0.0 <= r['avg_quality'] <= 1.0 for r in rows)
+
+
+def test_pipeline_drops_planted_duplicates(spark_session):
+    base = ('the quick brown fox jumps over the lazy dog and then '
+            'runs far away into the deep green forest tonight while '
+            'stars shine bright over the quiet sleeping town below')
+    rows = [
+        (1, base), (2, base.upper()),
+        (3, base.replace('quick', 'swift')),
+        (4, 'x'),  # too short -> quality filtered
+    ]
+    docs = spark_session.createDataFrame(
+        rows, 'doc_id bigint, text string'
+    )
+    curated = curate(docs, quality_threshold=0.3,
+                     jaccard_threshold=0.5)
+    ids = sorted(r['doc_id'] for r in curated.collect())
+    assert ids == [1]

@@ -1,0 +1,136 @@
+"""Tests for readers/writers incl. bucketed co-located joins."""
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ons_utils_spark.sources.bucketing import (
+    bucketed_join_is_shuffle_free,
+    write_bucketed,
+)
+from ons_utils_spark.sources.readers import (
+    load_tables,
+    read_csv,
+    read_json,
+    read_parquet,
+    write_parquet,
+)
+
+
+class TestReaders:
+    def test_parquet_nanos_timestamps(self, spark_session):
+        # events.ts is parquet TIMESTAMP(NANOS) — illegal for a plain
+        # spark.read.parquet; read_parquet must handle it.
+        df = read_parquet(
+            spark_session, '/root/testdata/sf0.001/events.parquet'
+        )
+        assert dict(df.dtypes)['ts'] == 'timestamp'
+        assert df.count() == 1000
+
+    def test_load_tables_registers_views(self, spark_session):
+        t = load_tables(
+            spark_session, '/root/testdata/sf0.001',
+            tables=['region', 'nation'], register_views=True,
+        )
+        assert set(t) == {'region', 'nation'}
+        assert spark_session.sql(
+            'SELECT count(*) AS n FROM region'
+        ).collect()[0]['n'] == 5
+
+    def test_csv_roundtrip(self, spark_session, tmp_path):
+        df = spark_session.createDataFrame(
+            [(1, 'a'), (2, 'b')], 'id bigint, name string'
+        )
+        path = str(tmp_path / 'out_csv')
+        df.write.mode('overwrite').option('header', True).csv(path)
+        back = read_csv(spark_session, path,
+                        schema='id bigint, name string')
+        assert sorted((r['id'], r['name']) for r in back.collect()) \
+            == [(1, 'a'), (2, 'b')]
+
+    def test_json_roundtrip(self, spark_session, tmp_path):
+        df = spark_session.createDataFrame(
+            [(1, 'a')], 'id bigint, name string'
+        )
+        path = str(tmp_path / 'out_json')
+        df.write.mode('overwrite').json(path)
+        back = read_json(spark_session, path,
+                         schema='id bigint, name string')
+        assert back.collect()[0]['name'] == 'a'
+
+    def test_write_parquet_partitioned(self, spark_session, tmp_path):
+        df = spark_session.createDataFrame(
+            [(1, 'x', 1.0), (2, 'y', 2.0)],
+            'id bigint, part string, v double',
+        )
+        path = str(tmp_path / 'out_parquet')
+        write_parquet(df, path, partition_by=['part'])
+        assert os.path.isdir(os.path.join(path, 'part=x'))
+        back = read_parquet(spark_session, path)
+        assert back.count() == 2
+
+
+class TestBucketing:
+    def test_cobucketed_join_has_no_shuffle(self, spark_session):
+        orders = read_parquet(
+            spark_session, '/root/testdata/sf0.001/orders.parquet'
+        )
+        lineitem = read_parquet(
+            spark_session, '/root/testdata/sf0.001/lineitem.parquet'
+        )
+        write_bucketed(
+            orders.withColumnRenamed('o_orderkey', 'key'),
+            'orders_b', bucket_by='key', num_buckets=4, sort_by='key',
+        )
+        write_bucketed(
+            lineitem.withColumnRenamed('l_orderkey', 'key'),
+            'lineitem_b', bucket_by='key', num_buckets=4, sort_by='key',
+        )
+        threshold = spark_session.conf.get(
+            'spark.sql.autoBroadcastJoinThreshold'
+        )
+        try:
+            # disable broadcast so the planner must choose between a
+            # shuffled and a bucket-co-located sort-merge join
+            spark_session.conf.set(
+                'spark.sql.autoBroadcastJoinThreshold', '-1'
+            )
+            assert bucketed_join_is_shuffle_free(
+                spark_session, 'orders_b', 'lineitem_b', on='key'
+            )
+            # and the join result is right
+            n = (
+                spark_session.table('orders_b')
+                .join(spark_session.table('lineitem_b'), 'key')
+                .count()
+            )
+            plain = orders.join(
+                lineitem,
+                orders['o_orderkey'] == lineitem['l_orderkey'],
+            ).count()
+            assert n == plain
+        finally:
+            spark_session.conf.set(
+                'spark.sql.autoBroadcastJoinThreshold', threshold
+            )
+            spark_session.sql('DROP TABLE IF EXISTS orders_b')
+            spark_session.sql('DROP TABLE IF EXISTS lineitem_b')
+
+    def test_mismatched_buckets_detected(self, spark_session):
+        region = read_parquet(
+            spark_session, '/root/testdata/sf0.001/region.parquet'
+        )
+        write_bucketed(region, 'r4', bucket_by='r_regionkey',
+                       num_buckets=4)
+        write_bucketed(region, 'r8', bucket_by='r_regionkey',
+                       num_buckets=8)
+        try:
+            # mismatched bucket counts may still avoid one side's
+            # shuffle but not both; helper reports honestly
+            result = bucketed_join_is_shuffle_free(
+                spark_session, 'r4', 'r8', on='r_regionkey'
+            )
+            assert isinstance(result, bool)
+        finally:
+            spark_session.sql('DROP TABLE IF EXISTS r4')
+            spark_session.sql('DROP TABLE IF EXISTS r8')
