@@ -623,6 +623,23 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Document quality scoring, aggregated per source (the oracle
+    replicates every component formula in SQL)."""
+    (documents,) = _t(spark, sf_dir, 'documents')
+    return (
+        documents.select(
+            'source', tx.quality_score('text').alias('q')
+        )
+        .groupBy('source')
+        .agg(
+            F.count(F.lit(1)).alias('n_docs'),
+            F.round(F.avg('q'), 4).alias('avg_quality'),
+            F.round(F.min('q'), 4).alias('min_quality'),
+        )
+    )
+
+
 def q_null_safe_join(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Null-safe equi-join: customers with nullified nation keys still
     match the nullified nation row (eqNullSafe)."""
@@ -708,6 +725,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_null_safe_join': q_null_safe_join,
     'q_cube_orders': q_cube_orders,
     'q_distinct_counts': q_distinct_counts,
+    'q_quality_scores': q_quality_scores,
 }
 
 
@@ -1114,5 +1132,50 @@ ORACLES: Dict[str, str] = {
                count(*) AS n_lines
         FROM lineitem
         GROUP BY l_returnflag
+    """,
+    # Mirrors operators/text.quality_score component-for-component:
+    # 0.4*length_ok + 0.2*min(stop_ratio*5,1)
+    # + 0.2*(1-min(punct_ratio*4,1)) + 0.2*word_len_ok
+    'q_quality_scores': """
+        WITH toks AS (
+            SELECT source, text,
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               t -> t <> '') AS t
+            FROM documents
+        ), feats AS (
+            SELECT source,
+                   len(t) AS n,
+                   CASE WHEN len(t) >= 10 AND len(t) <= 100000
+                        THEN 1.0 ELSE 0.0 END AS length_ok,
+                   CASE WHEN len(t) > 0 THEN
+                       CAST(len(list_filter(t, x -> lower(x) IN
+                           ('the','a','an','and','or','of','to','in',
+                            'is','it','that','for','on','with','as',
+                            'at','by','be'))) AS DOUBLE) / len(t)
+                   ELSE 0.0 END AS stop_ratio,
+                   CASE WHEN length(text) > 0 THEN
+                       CAST(length(text) - length(regexp_replace(text,
+                           '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                       / length(text)
+                   ELSE 0.0 END AS punct_ratio,
+                   CASE WHEN len(t) > 0 THEN
+                       CAST(list_sum(list_transform(t,
+                           x -> length(x))) AS DOUBLE) / len(t)
+                   ELSE 0.0 END AS wl
+            FROM toks
+        ), scored AS (
+            SELECT source,
+                   length_ok * 0.4
+                   + least(stop_ratio * 5.0, 1.0) * 0.2
+                   + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.2
+                   + (CASE WHEN wl >= 2.0 AND wl <= 12.0
+                          THEN 1.0 ELSE 0.0 END) * 0.2 AS q
+            FROM feats
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               round(avg(q), 4) AS avg_quality,
+               round(min(q), 4) AS min_quality
+        FROM scored GROUP BY source
     """,
 }
