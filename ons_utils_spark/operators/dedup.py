@@ -56,17 +56,24 @@ def exact_dedup(
 
 
 def word_shingles(text_col: str, n: int = 3):
-    """Distinct word n-gram shingles of the normalized text (array col)."""
+    """Distinct word n-gram shingles of the normalized text (array col).
+
+    Built from ``n`` shifted slices combined with ``zip_with`` concat —
+    O(tokens) with n array allocations. (The naive
+    ``transform(sequence, i -> concat_ws(slice(toks, i, n)))`` costs
+    O(tokens²) element copies plus an interpreted slice per index —
+    ~10× slower on real documents.)
+    """
     toks = tokenize(normalize_text(text_col))
     k = F.size(toks) - (n - 1)
-    return F.when(k >= 1,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), k - 1),
-                lambda i: F.concat_ws(' ', F.slice(toks, i + 1, n)),
-            )
+    shingled = F.slice(toks, 1, k)
+    for offset in range(1, n):
+        shifted = F.slice(toks, offset + 1, k)
+        shingled = F.zip_with(
+            shingled, shifted, lambda a, b: F.concat_ws(' ', a, b)
         )
-    ).otherwise(F.array(F.concat_ws(' ', toks)))
+    return F.when(k >= 1, F.array_distinct(shingled)) \
+        .otherwise(F.array(F.concat_ws(' ', toks)))
 
 
 def _splitmix64(x: int) -> int:
@@ -443,16 +450,22 @@ def ngram_jaccard_join(
     appearing in more than that many docs (hot-key/skew cap); exact
     for pairs whose similarity rests on rarer shingles.
     """
+    # Barrier right after shingle construction: '__sh' is consumed
+    # twice (size + explode) and would otherwise be re-evaluated per
+    # consumer. Hash shingles to 64-bit keys pre-shuffle: smaller
+    # keys, cheaper equi-join.
     sh = df.select(
         F.col(id_col).alias('__id'),
-        word_shingles(text_col, shingle_n).alias('__sh'),
-    ).withColumn('__n', F.size('__sh'))
-    # Shingles join on 64-bit hashes, not strings: smaller shuffle
-    # keys, cheaper equi-join. The repartition barrier materializes
-    # the exploded index once; the self-join then reuses one exchange.
+        # full 64-bit hashes as join keys (32-bit would risk
+        # cross-shingle collisions at corpus scale)
+        F.transform(
+            word_shingles(text_col, shingle_n),
+            lambda s: F.xxhash64(s),
+        ).alias('__sh'),
+    ).repartition(F.col('__id'))
     inv = (
-        sh.select('__id', '__n', F.explode('__sh').alias('__s'))
-        .select('__id', '__n', F.xxhash64('__s').alias('shingle'))
+        sh.select('__id', F.size('__sh').alias('__n'),
+                  F.explode('__sh').alias('shingle'))
         .repartition(F.col('shingle'))
     )
     if max_shingle_df is not None:
