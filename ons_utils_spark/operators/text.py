@@ -78,10 +78,16 @@ def stopword_ratio(
     col: ColumnOrName,
     stopwords: Sequence[str] = DEFAULT_STOPWORDS,
 ) -> SparkCol:
-    """Fraction of tokens that are stopwords (0.0 for empty docs)."""
+    """Fraction of tokens that are stopwords (0.0 for empty docs).
+
+    Membership via ``isin`` (optimized to an O(1) InSet probe per
+    token) — an ``array_contains`` against a literal array costs
+    O(|stopwords|) interpreted comparisons per token instead.
+    """
     toks = tokenize(col)
-    stops = F.array(*[F.lit(s) for s in stopwords])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, F.lower(t))))
+    n_stop = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(*stopwords))
+    )
     n = F.size(toks)
     return F.when(n > 0, n_stop.cast('double') / n).otherwise(F.lit(0.0))
 

@@ -367,7 +367,6 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
         tx.tokenize('text').alias('__toks'),
         tx.char_count('text').alias('n_chars'),
     )
-    stops = F.array(*[F.lit(s) for s in _STOPWORDS])
     stats = toks.select(
         'lang',
         F.size('__toks').alias('n_tokens'),
@@ -377,7 +376,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
             F.size(
                 F.filter(
                     '__toks',
-                    lambda t: F.array_contains(stops, F.lower(t)),
+                    lambda t: F.lower(t).isin(*_STOPWORDS),
                 )
             ).cast('double') / F.size('__toks'),
         ).otherwise(F.lit(0.0)).alias('stop_ratio'),
