@@ -36,6 +36,7 @@ from .functions.windows import (
     shifted_within_year_ffill,
     with_global_agg,
 )
+from .functions.approx import approx_distinct, approx_quantile_col, approx_quantiles
 from .functions.json import json_get, json_struct, with_json_fields
 from .operators.concat import UnequalSchemaWarning, concat, promote_dtypes
 from .operators.dedup import (
@@ -106,4 +107,5 @@ __all__ = [
     'SparkStacker', 'stack_spark', 'unstack_spark',
     'with_salt', 'salted_agg', 'salted_broadcast_join',
     'running_totals',
+    'approx_distinct', 'approx_quantiles', 'approx_quantile_col',
 ]

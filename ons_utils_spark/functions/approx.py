@@ -1,0 +1,69 @@
+"""Approximate/sketch aggregations (HyperLogLog++, t-digest quantiles).
+
+Extension (SURVEY.md §2.2: the reference has none). Thin, documented
+wrappers over Spark's built-in sketches — at 100 TB these replace
+exact distinct counts (full shuffle of all keys) with fixed-size
+mergeable sketches (map-side partials only).
+
+No DuckDB oracle is possible for these (different sketch algorithms
+produce different estimates); tests bound the relative error instead.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Union
+
+from pyspark.sql import Column as SparkCol
+from pyspark.sql import DataFrame as SparkDF
+from pyspark.sql import functions as F
+
+from .columns import convert_to_spark_col
+
+ColumnOrName = Union[str, SparkCol]
+
+
+def approx_distinct(col: ColumnOrName, rsd: float = 0.05) -> SparkCol:
+    """HyperLogLog++ distinct-count estimate (relative std dev ``rsd``).
+
+    Sketch size grows as ~1.04/rsd² registers — rsd=0.05 ≈ 435 per
+    group regardless of cardinality, vs. shuffling every distinct key
+    for the exact count.
+
+    ``rsd`` is floored at 0.001: Spark does not validate extreme
+    values and a tiny rsd (e.g. 1e-5) aborts the JVM outright trying
+    to allocate the register array (observed crash, not an exception).
+    """
+    if rsd < 0.001:
+        raise ValueError(
+            f'rsd={rsd} too small: sketch registers grow as 1.04/rsd^2'
+            ' and Spark crashes (JVM abort, not an exception) on'
+            ' extreme values; use rsd >= 0.001 or an exact'
+            ' countDistinct'
+        )
+    return F.approx_count_distinct(convert_to_spark_col(col), rsd)
+
+
+def approx_quantiles(
+    df: SparkDF,
+    col: str,
+    probabilities: Sequence[float] = (0.25, 0.5, 0.75),
+    relative_error: float = 0.01,
+) -> list:
+    """Greenwald-Khanna approximate quantiles (driver-side result).
+
+    One pass, mergeable per-partition summaries; exact quantiles would
+    need a full sort.
+    """
+    return df.approxQuantile(col, list(probabilities), relative_error)
+
+
+def approx_quantile_col(
+    col: ColumnOrName,
+    probabilities: Sequence[float],
+    accuracy: int = 10000,
+) -> SparkCol:
+    """``percentile_approx`` as an aggregate column (grouped use)."""
+    return F.percentile_approx(
+        convert_to_spark_col(col),
+        F.array(*[F.lit(p) for p in probabilities]),
+        F.lit(accuracy),
+    )

@@ -1,0 +1,44 @@
+"""Tests for approximate aggregations (error-bounded, no oracle)."""
+import pytest
+from pyspark.sql import functions as F
+
+from ons_utils_spark.functions.approx import (
+    approx_distinct,
+    approx_quantile_col,
+    approx_quantiles,
+)
+from ons_utils_spark.sources.readers import load_tables
+
+
+@pytest.fixture(scope='module')
+def lineitem(spark_session):
+    return load_tables(
+        spark_session, '/root/testdata/sf0.01', tables=['lineitem']
+    )['lineitem']
+
+
+def test_approx_distinct_within_rsd(lineitem):
+    exact = lineitem.select(
+        F.countDistinct('l_partkey').alias('n')
+    ).collect()[0]['n']
+    approx = lineitem.select(
+        approx_distinct('l_partkey', rsd=0.02).alias('n')
+    ).collect()[0]['n']
+    assert abs(approx - exact) / exact < 0.1
+
+
+def test_approx_quantiles_ordering(lineitem):
+    q25, q50, q75 = approx_quantiles(
+        lineitem, 'l_extendedprice', (0.25, 0.5, 0.75), 0.01
+    )
+    assert q25 <= q50 <= q75
+    mn = lineitem.agg(F.min('l_extendedprice')).collect()[0][0]
+    mx = lineitem.agg(F.max('l_extendedprice')).collect()[0][0]
+    assert mn <= q25 and q75 <= mx
+
+
+def test_approx_quantile_col_grouped(lineitem):
+    out = lineitem.groupBy('l_returnflag').agg(
+        approx_quantile_col('l_quantity', [0.5]).alias('med')
+    ).collect()
+    assert all(1.0 <= r['med'][0] <= 50.0 for r in out)
