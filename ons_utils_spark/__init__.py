@@ -38,6 +38,7 @@ from .functions.windows import (
 )
 from .functions.approx import approx_distinct, approx_quantile_col, approx_quantiles
 from .functions.json import json_get, json_struct, with_json_fields
+from .operators.clustering import connected_components, dedup_by_components
 from .operators.concat import UnequalSchemaWarning, concat, promote_dtypes
 from .operators.dedup import (
     embedding_near_duplicates,
@@ -108,4 +109,5 @@ __all__ = [
     'with_salt', 'salted_agg', 'salted_broadcast_join',
     'running_totals',
     'approx_distinct', 'approx_quantiles', 'approx_quantile_col',
+    'connected_components', 'dedup_by_components',
 ]

@@ -1,0 +1,101 @@
+"""Connected components over candidate-pair graphs.
+
+Completes the dedup story: LSH/similarity joins emit PAIRS; proper
+duplicate-group handling needs the transitive closure (A~B, B~C ⇒
+{A,B,C} one group). Implemented as iterative label propagation
+(large-star/small-star style) on DataFrames: each node adopts the
+minimum id among itself and its neighbors until a fixed point.
+Converges in O(log n) rounds on real dup-graphs (components are
+small); each round is one join + one aggregate.
+
+Scale notes: checkpoint/persist each round to cut lineage growth
+(the loop caches the frontier); components of near-dup graphs are
+tiny, so no giant-component skew handling is needed — if a corpus
+produced one, cap candidate-pair degree upstream.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame as SparkDF
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: SparkDF,
+    id_a: str = 'id_a',
+    id_b: str = 'id_b',
+    max_iterations: int = 20,
+) -> SparkDF:
+    """Resolve pair edges to components: ``(node, component)`` where
+    component = min node id reachable from ``node``.
+
+    Only nodes that appear in ``pairs`` are returned (isolated nodes
+    are their own components trivially).
+    """
+    edges = pairs.select(
+        F.col(id_a).cast('long').alias('a'),
+        F.col(id_b).cast('long').alias('b'),
+    )
+    # undirected: keep both directions
+    sym = edges.unionByName(
+        edges.select(F.col('b').alias('a'), F.col('a').alias('b'))
+    ).distinct()
+    # localCheckpoint (not persist): each round's plan would otherwise
+    # embed every previous round — plan size grows exponentially and
+    # the DRIVER OOMs during analysis after ~10 iterations.
+    sym = sym.repartition('a').localCheckpoint()
+
+    labels = (
+        sym.groupBy('a')
+        .agg(F.min('b').alias('min_neighbor'))
+        .select(
+            F.col('a').alias('node'),
+            F.least(F.col('a'), F.col('min_neighbor')).alias('comp'),
+        )
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iterations):
+        # propagate: each node's new label = min(own, neighbors')
+        neighbor_labels = (
+            sym.join(
+                labels, sym['b'] == labels['node'], 'inner'
+            )
+            .select(sym['a'].alias('node'), F.col('comp'))
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy('node')
+            .agg(F.min('comp').alias('comp'))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias('n')
+            .join(labels.alias('o'), 'node')
+            .filter(F.col('n.comp') != F.col('o.comp'))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels
+
+
+def dedup_by_components(
+    df: SparkDF,
+    pairs: SparkDF,
+    id_col: str = 'doc_id',
+) -> SparkDF:
+    """Keep one row (lowest id) per duplicate component.
+
+    The transitive-closure-correct version of the greedy
+    keep-lowest-id rule in ``minhash_dedup``: every member of a
+    duplicate group except its minimum id is dropped, even when some
+    members only connect through intermediates.
+    """
+    comps = connected_components(pairs)
+    to_drop = comps.filter(F.col('node') != F.col('comp')).select(
+        F.col('node').alias(id_col)
+    )
+    return df.join(to_drop, on=id_col, how='left_anti')
