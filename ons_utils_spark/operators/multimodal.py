@@ -5,17 +5,24 @@ with typed metadata (the Spark-idiomatic layout — same shape as
 ``spark.read.format('image')`` / Delta's media tables). All heavy
 per-item work runs through ``mapInPandas`` with Arrow batches, so the
 Spark-side contract (schema, batching, partition sizing) is real and
-tested; the actual decoders are STUBBED behind ``_decode_image`` /
-``_extract_audio_features`` because the codec libraries (Pillow,
-ffmpeg, torchaudio) are not in this container — each stub raises
-``NotImplementedError`` unless ``deterministic_fake=True``, which
-produces seeded fake features so pipelines are testable end-to-end.
+tested.
+
+Decoders: PPM (P6/P5 binary, P3/P2 ASCII) and uncompressed 24/32-bit
+BMP are decoded FOR REAL in pure Python/numpy (:func:`decode_ppm`,
+:func:`decode_bmp`) — features are an 8-bin luminance histogram of
+the actual pixels. Formats that need codec libraries not present in
+this container (JPEG/PNG/WebP → Pillow; audio → ffmpeg/torchaudio)
+are STUBBED: they raise ``NotImplementedError`` unless
+``deterministic_fake=True``, which produces seeded fake features so
+pipelines stay testable end-to-end.
 """
 from __future__ import annotations
 
+import struct
 import zlib
-from typing import Iterator
+from typing import Iterator, Optional, Tuple
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame as SparkDF
 from pyspark.sql import functions as F
@@ -35,15 +42,123 @@ AUDIO_FEATURE_SCHEMA = (
 )
 
 
-def _decode_image(payload: bytes, deterministic_fake: bool):
-    """STUB: decode an image payload to (width, height, feature[8]).
+def decode_ppm(payload: bytes) -> Optional[Tuple[int, int, np.ndarray]]:
+    """Decode a Netpbm image (P2/P3 ASCII, P5/P6 binary).
 
-    Real implementation needs Pillow/torchvision (not in container).
+    Returns ``(width, height, gray)`` where ``gray`` is a float64
+    ``(h, w)`` luminance array in [0, 1], or None if not Netpbm.
+    Pure Python/numpy — no codec library needed.
     """
+    if len(payload) < 2 or payload[0:1] != b'P' or payload[1:2] not in b'2356':
+        return None
+    magic = payload[:2].decode('ascii')
+    # Header tokens (width, height, maxval) with '#' comments allowed.
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if pos >= len(payload):
+            raise ValueError('truncated netpbm header')
+        if payload[pos:pos + 1] == b'#':
+            while pos < len(payload) and payload[pos:pos + 1] != b'\n':
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    w, h, maxval = tokens
+    if w <= 0 or h <= 0 or maxval <= 0:
+        raise ValueError('bad netpbm dimensions')
+    channels = 3 if magic in ('P3', 'P6') else 1
+    n = w * h * channels
+    if magic in ('P5', 'P6'):
+        pos += 1  # single whitespace byte after maxval
+        itemsize = 2 if maxval > 255 else 1
+        raw = np.frombuffer(
+            payload, dtype=f'>u{itemsize}', count=n, offset=pos
+        ).astype(np.float64)
+    else:
+        raw = np.array(payload[pos:].split()[:n], dtype=np.float64)
+        if raw.size != n:
+            raise ValueError('truncated netpbm pixel data')
+    pix = raw.reshape(h, w, channels) / float(maxval)
+    if channels == 3:
+        gray = (pix * np.array([0.299, 0.587, 0.114])).sum(axis=2)
+    else:
+        gray = pix[:, :, 0]
+    return w, h, gray
+
+
+def decode_bmp(payload: bytes) -> Optional[Tuple[int, int, np.ndarray]]:
+    """Decode an uncompressed 24/32-bit BMP (BITMAPINFOHEADER).
+
+    Returns ``(width, height, gray)`` luminance in [0, 1], or None if
+    the payload is not BMP. Raises on compressed / paletted variants.
+    """
+    if len(payload) < 54 or payload[:2] != b'BM':
+        return None
+    data_offset, = struct.unpack_from('<I', payload, 10)
+    header_size, = struct.unpack_from('<I', payload, 14)
+    if header_size < 40:
+        raise ValueError('BITMAPCOREHEADER BMPs not supported')
+    w, h_signed = struct.unpack_from('<ii', payload, 18)
+    bpp, = struct.unpack_from('<H', payload, 28)
+    compression, = struct.unpack_from('<I', payload, 30)
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(
+            f'only uncompressed 24/32-bit BMP supported'
+            f' (bpp={bpp}, compression={compression})'
+        )
+    h = abs(h_signed)
+    bottom_up = h_signed > 0
+    nbytes = bpp // 8
+    stride = (w * nbytes + 3) & ~3  # rows padded to 4 bytes
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_offset
+    ).reshape(h, stride)[:, : w * nbytes].reshape(h, w, nbytes)
+    if bottom_up:
+        rows = rows[::-1]
+    # BMP stores BGR(A)
+    b, g, r = (rows[:, :, i].astype(np.float64) for i in range(3))
+    gray = (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+    return w, h, gray
+
+
+def luminance_histogram(gray: np.ndarray, bins: int = 8) -> list:
+    """Normalized luminance histogram — the real image feature."""
+    hist, _ = np.histogram(gray, bins=bins, range=(0.0, 1.0))
+    total = max(int(hist.sum()), 1)
+    return [float(c) / total for c in hist]
+
+
+def resize_nearest(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize of a 2-D array (thumbnail extraction)."""
+    h, w = gray.shape
+    ri = (np.arange(out_h) * h) // out_h
+    ci = (np.arange(out_w) * w) // out_w
+    return gray[np.ix_(ri, ci)]
+
+
+def _decode_image(payload: bytes, deterministic_fake: bool):
+    """Decode an image payload to (width, height, feature[8]).
+
+    PPM/PGM (ASCII+binary) and uncompressed BMP decode for real —
+    feature is the 8-bin luminance histogram of actual pixels. Other
+    formats (JPEG/PNG/...) need Pillow, absent here: they raise
+    ``NotImplementedError`` unless ``deterministic_fake`` is set.
+    """
+    decoded = decode_ppm(payload)
+    if decoded is None:
+        decoded = decode_bmp(payload)
+    if decoded is not None:
+        w, h, gray = decoded
+        return w, h, luminance_histogram(gray, bins=8)
     if not deterministic_fake:
         raise NotImplementedError(
-            'image decoding requires Pillow/torchvision; pass'
-            ' deterministic_fake=True for plumbing tests'
+            'only PPM/PGM/BMP decode natively; other formats require'
+            ' Pillow/torchvision — pass deterministic_fake=True for'
+            ' plumbing tests'
         )
     h = zlib.crc32(payload) & 0xFFFFFFFF
     return (

@@ -49,6 +49,106 @@ def test_audio_features_fake(media):
     )['feature'] == 'array<float>'
 
 
+def _make_bmp_24(pixels):
+    """Encode rows of (r, g, b) tuples as an uncompressed 24-bit BMP."""
+    import struct
+    h = len(pixels)
+    w = len(pixels[0])
+    stride = (w * 3 + 3) & ~3
+    img = b''
+    for row in reversed(pixels):  # bottom-up storage
+        line = b''.join(bytes((b, g, r)) for (r, g, b) in row)
+        img += line + b'\x00' * (stride - len(line))
+    header = struct.pack('<2sIHHI', b'BM', 54 + len(img), 0, 0, 54)
+    info = struct.pack('<IiiHHIIiiII', 40, w, h, 1, 24, 0, len(img),
+                       2835, 2835, 0, 0)
+    return header + info + img
+
+
+class TestRealDecoders:
+    """PPM/PGM/BMP decode for real — pixel-accurate, no codec libs."""
+
+    def test_ppm_p6_binary(self):
+        # 2x1: pure white then pure black
+        payload = b'P6\n2 1\n255\n' + bytes([255, 255, 255, 0, 0, 0])
+        w, h, gray = mm.decode_ppm(payload)
+        assert (w, h) == (2, 1)
+        assert gray[0, 0] == pytest.approx(1.0)
+        assert gray[0, 1] == pytest.approx(0.0)
+
+    def test_ppm_p3_ascii_with_comment(self):
+        payload = b'P3\n# a comment\n1 2\n255\n255 0 0\n0 255 0\n'
+        w, h, gray = mm.decode_ppm(payload)
+        assert (w, h) == (1, 2)
+        assert gray[0, 0] == pytest.approx(0.299)  # red luminance
+        assert gray[1, 0] == pytest.approx(0.587)  # green luminance
+
+    def test_pgm_p5_binary(self):
+        payload = b'P5\n3 1\n255\n' + bytes([0, 128, 255])
+        w, h, gray = mm.decode_ppm(payload)
+        assert (w, h) == (3, 1)
+        assert gray[0, 1] == pytest.approx(128 / 255)
+
+    def test_ppm_16bit_maxval(self):
+        payload = b'P5\n1 1\n65535\n' + (32768).to_bytes(2, 'big')
+        _, _, gray = mm.decode_ppm(payload)
+        assert gray[0, 0] == pytest.approx(32768 / 65535)
+
+    def test_not_ppm_returns_none(self):
+        assert mm.decode_ppm(b'GIF89a...') is None
+
+    def test_bmp_24bit(self):
+        payload = _make_bmp_24([
+            [(255, 255, 255), (0, 0, 0)],
+            [(255, 0, 0), (0, 255, 0)],
+        ])
+        w, h, gray = mm.decode_bmp(payload)
+        assert (w, h) == (2, 2)
+        assert gray[0, 0] == pytest.approx(1.0)     # top-left white
+        assert gray[0, 1] == pytest.approx(0.0)
+        assert gray[1, 0] == pytest.approx(0.299)   # red
+        assert gray[1, 1] == pytest.approx(0.587)   # green
+
+    def test_not_bmp_returns_none(self):
+        assert mm.decode_bmp(b'\x89PNG\r\n' + b'\x00' * 64) is None
+
+    def test_luminance_histogram_normalized(self):
+        import numpy as np
+        gray = np.array([[0.0, 0.5], [0.5, 1.0]])
+        hist = mm.luminance_histogram(gray, bins=8)
+        assert len(hist) == 8
+        assert sum(hist) == pytest.approx(1.0)
+        assert hist[0] == pytest.approx(0.25)   # the 0.0 pixel
+        assert hist[4] == pytest.approx(0.5)    # the two 0.5 pixels
+        assert hist[7] == pytest.approx(0.25)   # the 1.0 pixel
+
+    def test_resize_nearest(self):
+        import numpy as np
+        gray = np.arange(16, dtype=float).reshape(4, 4)
+        thumb = mm.resize_nearest(gray, 2, 2)
+        assert thumb.shape == (2, 2)
+        assert thumb[0, 0] == 0.0 and thumb[1, 1] == 10.0
+
+    def test_image_features_real_end_to_end(self, spark_session):
+        """Real decode through the full mapInPandas Spark path."""
+        ppm = b'P6\n2 2\n255\n' + bytes(
+            [255, 255, 255, 0, 0, 0, 255, 255, 255, 0, 0, 0]
+        )
+        bmp = _make_bmp_24([[(0, 0, 0), (255, 255, 255)]])
+        df = spark_session.createDataFrame(
+            [(1, bytearray(ppm)), (2, bytearray(bmp))],
+            'media_id bigint, payload binary',
+        )
+        out = {r['media_id']: r for r in
+               mm.image_features(df, deterministic_fake=False).collect()}
+        assert (out[1]['width'], out[1]['height']) == (2, 2)
+        assert (out[2]['width'], out[2]['height']) == (2, 1)
+        # 2 white + 2 black pixels → histogram mass split at the edges
+        feat = out[1]['feature']
+        assert feat[0] == pytest.approx(0.5)
+        assert feat[7] == pytest.approx(0.5)
+
+
 def test_frame_sample_plan(spark_session):
     vids = spark_session.createDataFrame(
         [(1, 2500), (2, 0)], 'media_id bigint, duration_ms int'
