@@ -95,6 +95,115 @@ class TestSession:
         assert rows[0]['session_end'] == dt.datetime(2024, 1, 1, 10, 15)
 
 
+class TestFileSourceStream:
+    """Real micro-batch runs over parquet file chunks (bounded source,
+    so ``processAllAvailable`` terminates — unlike the rate source)."""
+
+    def test_stream_batch_parity_on_events(self, spark_session, tmp_path):
+        """Tumbling daily counts over events.parquet, streamed in 3
+        file chunks, must equal the one-shot batch aggregation."""
+        from ons_utils_spark.sources.readers import read_parquet
+        from ons_utils_spark.streaming.windows import read_event_stream
+
+        events = read_parquet(
+            spark_session, '/root/testdata/sf0.001/events.parquet'
+        ).select('event_id', 'ts', 'event_type', 'value')
+        in_dir = str(tmp_path / 'in')
+        for i in range(3):
+            events.filter(F.col('event_id') % 3 == i).coalesce(1) \
+                .write.mode('append').parquet(in_dir)
+
+        schema = ('event_id bigint, ts timestamp, event_type string,'
+                  ' value double')
+        stream = read_event_stream(
+            spark_session, in_dir, schema, max_files_per_trigger=1
+        )
+        agg = tumbling_window_agg(
+            stream, 'ts', '1 day',
+            aggs=[F.count(F.lit(1)).alias('n'),
+                  F.sum('value').alias('total')],
+            groups='event_type',
+        )
+        q = (
+            agg.writeStream.format('memory')
+            .queryName('parity_sink').outputMode('complete')
+            .option('checkpointLocation', str(tmp_path / 'ckpt'))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        got = {
+            (r['window_start'], r['event_type']): (r['n'], r['total'])
+            for r in spark_session.sql(
+                'SELECT * FROM parity_sink'
+            ).collect()
+        }
+        want = {
+            (r['window_start'], r['event_type']): (r['n'], r['total'])
+            for r in tumbling_window_agg(
+                events, 'ts', '1 day',
+                aggs=[F.count(F.lit(1)).alias('n'),
+                      F.sum('value').alias('total')],
+                groups='event_type',
+            ).collect()
+        }
+        assert set(got) == set(want)
+        for k, (n, total) in want.items():
+            assert got[k][0] == n
+            assert got[k][1] == pytest.approx(total)
+
+    def test_append_mode_drops_late_data(self, spark_session, tmp_path):
+        """An event older than the watermark must NOT update its
+        (already finalized) window in append mode."""
+        from ons_utils_spark.streaming.windows import read_event_stream
+
+        in_dir = str(tmp_path / 'in')
+        schema = 'user string, t timestamp, v double'
+
+        def write_chunk(rows):
+            spark_session.createDataFrame(rows, schema) \
+                .coalesce(1).write.mode('append').parquet(in_dir)
+
+        # Chunk 1: two on-time events in [10:00, 10:30), plus a later
+        # event that advances the watermark to 11:00 - 10min = 10:50,
+        # finalizing the first window.
+        write_chunk([('u1', ts(0), 1.0), ('u1', ts(5), 2.0)])
+        stream = read_event_stream(
+            spark_session, in_dir, schema, max_files_per_trigger=1
+        )
+        agg = tumbling_window_agg(
+            stream, 't', '30 minutes',
+            aggs=[F.count(F.lit(1)).alias('n')],
+            watermark='10 minutes',
+        )
+        q = (
+            agg.writeStream.format('memory')
+            .queryName('late_sink').outputMode('append')
+            .option('checkpointLocation', str(tmp_path / 'ckpt'))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            write_chunk([('u9', dt.datetime(2024, 1, 1, 11, 0), 0.0)])
+            q.processAllAvailable()
+            # Chunk 3: LATE event for the finalized 10:00 window (t is
+            # far below the 10:50 watermark) + a fresh on-time event.
+            write_chunk([('u1', ts(10), 99.0),
+                         ('u9', dt.datetime(2024, 1, 1, 11, 40), 0.0)])
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        rows = {r['window_start']: r['n'] for r in spark_session.sql(
+            'SELECT * FROM late_sink').collect()}
+        # The 10:00-10:30 window was emitted with the 2 on-time events
+        # only; the late arrival at 10:10 was dropped, not re-emitted.
+        assert rows[dt.datetime(2024, 1, 1, 10, 0)] == 2
+
+
 class TestWatermark:
     def test_batch_passthrough(self, clicks):
         assert with_watermark(clicks, 't', '5 minutes') is clicks
