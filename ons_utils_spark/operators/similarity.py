@@ -79,6 +79,38 @@ def _hyperplane(dim: int, plane: int, seed: int) -> list:
     return weights
 
 
+def _plane_dots(vec_col, dim: int, num_planes: int, seed: int):
+    """Array column of ``vec · hyperplane_p`` for p in [0, num_planes)."""
+    dots = []
+    for p in range(num_planes):
+        w = _hyperplane(dim, p, seed)
+        dots.append(
+            F.aggregate(
+                F.zip_with(
+                    vec_col.cast('array<double>'),
+                    F.array(*[F.lit(x) for x in w]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    return F.array(*dots)
+
+
+def _signature_from_dots(dots_col):
+    """Fold a dot-product array into the sign-bit bucket id."""
+    bits = F.transform(
+        dots_col,
+        lambda d, i: F.when(
+            d > 0, F.pow(F.lit(2.0), i).cast('long')
+        ).otherwise(F.lit(0).cast('long')),
+    )
+    return F.aggregate(
+        bits, F.lit(0).cast('long'), lambda acc, b: acc.bitwiseOR(b)
+    )
+
+
 def random_hyperplane_signature(
     vec_col,
     dim: int,
@@ -90,23 +122,36 @@ def random_hyperplane_signature(
     Bit p of the signature is 1 iff ``vec · hyperplane_p > 0``. Cosine-
     similar vectors collide with probability 1 - theta/pi per bit.
     """
-    sig = F.lit(0).cast('long')
-    for p in range(num_planes):
-        w = _hyperplane(dim, p, seed)
-        dot = F.aggregate(
-            F.zip_with(
-                vec_col.cast('array<double>'),
-                F.array(*[F.lit(x) for x in w]),
-                lambda a, b: a * b,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        sig = sig.bitwiseOR(
-            F.when(dot > 0, F.shiftleft(F.lit(1).cast('long'), p))
-            .otherwise(F.lit(0).cast('long'))
-        )
-    return sig
+    return _signature_from_dots(_plane_dots(vec_col, dim, num_planes, seed))
+
+
+def _probe_buckets(dots_col, bucket_col, probes: int):
+    """Base bucket + multi-probe buckets (array<long>).
+
+    Classic multi-probe for sign-random-projection: the bits most
+    likely to be wrong for a near neighbor are those whose projection
+    margin ``|vec · hyperplane|`` is smallest, so probe the buckets
+    obtained by flipping the ``probes`` smallest-margin bits.
+    """
+    ranked = F.slice(
+        F.sort_array(
+            F.transform(
+                dots_col,
+                lambda d, i: F.struct(
+                    F.abs(d).alias('m'), i.alias('p')
+                ),
+            )
+        ),
+        1,
+        probes,
+    )
+    flips = F.transform(
+        ranked,
+        lambda s: bucket_col.bitwiseXOR(
+            F.pow(F.lit(2.0), s['p']).cast('long')
+        ),
+    )
+    return F.concat(F.array(bucket_col), flips)
 
 
 def random_hyperplane_lsh(
@@ -131,6 +176,7 @@ def lsh_topk(
     dim: int = 64,
     num_planes: int = 8,
     seed: int = 42,
+    probes: int = 0,
     corpus_id: str = 'vec_id',
     corpus_vec: str = 'embedding',
     query_id: str = 'query_id',
@@ -142,17 +188,38 @@ def lsh_topk(
     fraction is ~2^-b of brute force; recall drops for near-orthogonal
     neighbors — tune ``num_planes`` per corpus. Same output schema as
     :func:`cosine_topk` (may return < k rows when the bucket is small).
+
+    ``probes > 0`` enables multi-probe: each query additionally scans
+    the buckets reached by flipping its ``probes`` smallest-margin
+    sign bits (the bits a true near-neighbor most plausibly disagrees
+    on), raising recall ~(probes+1)× scan cost without adding planes.
+    Probing expands the (small, broadcast) query side only — each
+    corpus row still has exactly one bucket, so no pair is scored
+    twice and no corpus shuffle is added.
     """
+    if not 0 <= probes <= num_planes:
+        raise ValueError(
+            f'probes must be in [0, num_planes={num_planes}],'
+            f' got {probes}'
+        )
     c = corpus.withColumn(
         '__bucket',
         random_hyperplane_signature(F.col(corpus_vec), dim, num_planes,
                                     seed),
     )
     q = queries.withColumn(
-        '__bucket',
-        random_hyperplane_signature(F.col(query_vec), dim, num_planes,
-                                    seed),
-    )
+        '__dots', _plane_dots(F.col(query_vec), dim, num_planes, seed)
+    ).withColumn('__base', _signature_from_dots(F.col('__dots')))
+    if probes:
+        q = q.withColumn(
+            '__bucket',
+            F.explode(
+                _probe_buckets(F.col('__dots'), F.col('__base'), probes)
+            ),
+        )
+    else:
+        q = q.withColumn('__bucket', F.col('__base'))
+    q = q.drop('__dots', '__base')
     scored = c.join(F.broadcast(q), on='__bucket').select(
         F.col(query_id),
         F.col(corpus_id),

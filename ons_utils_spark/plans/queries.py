@@ -496,7 +496,7 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
     out = sim.lsh_topk(
         embeddings.filter(F.col('vec_id') >= 3), queries,
-        k=10, dim=64, num_planes=4,
+        k=10, dim=64, num_planes=4, probes=2,
     )
     return out.select(
         'query_id', 'vec_id', F.round('cosine', 4).alias('cosine')
