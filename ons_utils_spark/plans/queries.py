@@ -223,6 +223,34 @@ def q_concat_extracts(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_concat_lattice(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Reference-lattice concat (bug-compat mode): a legacy extract
+    typed ``decimal(10,0)`` meets a modern ``double`` extract, and per
+    the reference's lattice (reference concat.py:25-33, pinned by its
+    own test test_concat.py:452-455) the DECIMAL WINS — every double
+    is cast to decimal(10,0), dropping cents. The oracle reproduces
+    that exact truncation in SQL, making the divergence from Spark's
+    findWiderTypeForTwo semantics (decimal+double → double) visible
+    and verified."""
+    (orders,) = _t(spark, sf_dir, 'orders')
+    legacy = orders.filter(F.col('o_orderkey') % 2 == 0).select(
+        'o_orderkey', 'o_orderstatus',
+        F.col('o_totalprice').cast('decimal(10,0)').alias('o_totalprice'),
+    )
+    modern = orders.filter(F.col('o_orderkey') % 2 == 1).select(
+        'o_orderkey', 'o_orderstatus', 'o_totalprice'  # stays double
+    )
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore')
+        combined = concat([legacy, modern], type_promotion='reference')
+    return combined.groupBy('o_orderstatus').agg(
+        F.sum('o_totalprice').cast('bigint').alias('sum_whole_price'),
+        F.count('*').alias('n_orders'),
+    )
+
+
 def q_map_col_status(spark: SparkSession, sf_dir: str) -> SparkDF:
     """map_col literal-map lookup + aggregate."""
     (orders,) = _t(spark, sf_dir, 'orders')
@@ -697,6 +725,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q6_forecast_revenue': q6_forecast_revenue,
     'q_pivot_status_priority': q_pivot_status_priority,
     'q_concat_extracts': q_concat_extracts,
+    'q_concat_lattice': q_concat_lattice,
     'q_map_col_status': q_map_col_status,
     'q_window_revenue_share': q_window_revenue_share,
     'q_topk_orders_per_status': q_topk_orders_per_status,
@@ -811,6 +840,21 @@ ORACLES: Dict[str, str] = {
                count(*) AS n_rows,
                count(l_discount) AS n_disc
         FROM combined GROUP BY extract_month, l_returnflag
+    """,
+    'q_concat_lattice': """
+        WITH combined AS (
+            SELECT o_orderstatus,
+                   CAST(o_totalprice AS DECIMAL(10,0)) AS p
+            FROM orders WHERE o_orderkey % 2 = 0
+            UNION ALL
+            SELECT o_orderstatus,
+                   CAST(o_totalprice AS DECIMAL(10,0))
+            FROM orders WHERE o_orderkey % 2 = 1
+        )
+        SELECT o_orderstatus,
+               CAST(sum(p) AS BIGINT) AS sum_whole_price,
+               count(*) AS n_orders
+        FROM combined GROUP BY o_orderstatus
     """,
     'q_map_col_status': """
         SELECT CASE o_orderstatus
