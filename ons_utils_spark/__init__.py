@@ -53,7 +53,9 @@ from .operators.joins import (
     anti_join,
     as_of_join,
     broadcast_join,
+    bucketed_range_join,
     null_safe_join,
+    range_join,
     semi_join,
     top_k_per_group,
 )
@@ -95,7 +97,8 @@ __all__ = [
     'concat', 'promote_dtypes', 'UnequalSchemaWarning',
     'grouped_apply',
     'broadcast_join', 'null_safe_join', 'semi_join', 'anti_join',
-    'as_of_join', 'top_k_per_group',
+    'as_of_join', 'top_k_per_group', 'range_join',
+    'bucketed_range_join',
     'get_spark',
     'json_get', 'json_struct', 'with_json_fields',
     'exact_dedup', 'minhash_dedup', 'minhash_lsh_candidates',

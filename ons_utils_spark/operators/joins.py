@@ -154,6 +154,98 @@ def as_of_join(
     )
 
 
+_CLOSED_PREDICATES = {
+    'both': lambda p, lo, hi: (p >= lo) & (p <= hi),
+    'left': lambda p, lo, hi: (p >= lo) & (p < hi),
+    'right': lambda p, lo, hi: (p > lo) & (p <= hi),
+    'neither': lambda p, lo, hi: (p > lo) & (p < hi),
+}
+
+
+def range_join(
+    left: SparkDF,
+    right: SparkDF,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    on: Union[str, Sequence[str], None] = None,
+    how: str = 'inner',
+    closed: str = 'left',
+    broadcast_right: bool = True,
+) -> SparkDF:
+    """Point-in-interval join: left rows matched to right intervals
+    containing ``left_point`` (plus optional equi-keys ``on``).
+
+    With ``broadcast_right`` (the default — right is typically a small
+    bands/dimension table) the plan is a broadcast nested-loop join:
+    the big side streams, nothing shuffles. When BOTH sides are large
+    use :func:`bucketed_range_join` instead — a plain non-equi join of
+    two large inputs degenerates to a cartesian product.
+    """
+    if closed not in _CLOSED_PREDICATES:
+        raise ValueError(f'closed must be one of {set(_CLOSED_PREDICATES)}')
+    cond = _CLOSED_PREDICATES[closed](
+        left[left_point], right[right_lo], right[right_hi]
+    )
+    for k in list_convert(on) if on else []:
+        cond = cond & (left[k] == right[k])
+    r = F.broadcast(right) if broadcast_right else right
+    joined = left.join(r, on=cond, how=how)
+    for k in list_convert(on) if on else []:
+        joined = joined.drop(right[k])
+    return joined
+
+
+def bucketed_range_join(
+    left: SparkDF,
+    right: SparkDF,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+    on: Union[str, Sequence[str], None] = None,
+    closed: str = 'left',
+) -> SparkDF:
+    """Range join for two LARGE inputs via interval bucketization.
+
+    Each left point hashes to one bucket ``floor(point/width)``; each
+    right interval explodes into every bucket it overlaps. The join
+    becomes an equi-join on (keys..., bucket) — shuffle-partitionable,
+    AQE/skew-split friendly — followed by the exact range refinement.
+    Each (row, interval) pair meets in exactly one bucket (the point's),
+    so no dedup is needed.
+
+    ``bucket_width`` tunes replication: right rows duplicate
+    ``~(interval span / width) + 1`` times. Pick width ≈ the typical
+    interval span so replication stays O(1). Point/bounds must be
+    numeric (cast timestamps to epoch seconds first).
+    """
+    if closed not in _CLOSED_PREDICATES:
+        raise ValueError(f'closed must be one of {set(_CLOSED_PREDICATES)}')
+    if bucket_width <= 0:
+        raise ValueError('bucket_width must be positive')
+    keys = list_convert(on) if on else []
+
+    w = F.lit(bucket_width)
+    lb = left.withColumn(
+        '__bucket', F.floor(F.col(left_point) / w).cast('long')
+    )
+    rb = right.withColumn(
+        '__bucket',
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / w).cast('long'),
+                F.floor(F.col(right_hi) / w).cast('long'),
+            )
+        ),
+    )
+    pred = _CLOSED_PREDICATES[closed](
+        lb[left_point], rb[right_lo], rb[right_hi]
+    )
+    joined = lb.join(rb, on=['__bucket', *keys], how='inner').filter(pred)
+    return joined.drop('__bucket')
+
+
 def top_k_per_group(
     df: SparkDF,
     groups: Union[str, Sequence[str]],

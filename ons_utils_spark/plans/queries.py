@@ -251,6 +251,30 @@ def q_concat_lattice(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_range_join_bands(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Point-in-interval join (operator Spark lacks natively): classify
+    lineitem rows into quantity bands and aggregate revenue per band.
+    The bands table is broadcast — a BroadcastNestedLoopJoin, zero
+    shuffle of the fact side (the both-sides-large path is
+    bucketed_range_join, parity-tested in tests/test_joins.py)."""
+    from ..operators.joins import range_join
+
+    (lineitem,) = _t(spark, sf_dir, 'lineitem')
+    bands = spark.createDataFrame(
+        [('scarce', 0.0, 10.0), ('normal', 10.0, 30.0),
+         ('bulk', 30.0, 1e9)],
+        'band string, lo double, hi double',
+    )
+    joined = range_join(
+        lineitem.select('l_quantity', 'l_extendedprice'),
+        bands, 'l_quantity', 'lo', 'hi', closed='left',
+    )
+    return joined.groupBy('band').agg(
+        F.count('*').alias('n_items'),
+        F.round(F.sum('l_extendedprice'), 2).alias('revenue'),
+    )
+
+
 def q_map_col_status(spark: SparkSession, sf_dir: str) -> SparkDF:
     """map_col literal-map lookup + aggregate."""
     (orders,) = _t(spark, sf_dir, 'orders')
@@ -726,6 +750,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_pivot_status_priority': q_pivot_status_priority,
     'q_concat_extracts': q_concat_extracts,
     'q_concat_lattice': q_concat_lattice,
+    'q_range_join_bands': q_range_join_bands,
     'q_map_col_status': q_map_col_status,
     'q_window_revenue_share': q_window_revenue_share,
     'q_topk_orders_per_status': q_topk_orders_per_status,
@@ -855,6 +880,16 @@ ORACLES: Dict[str, str] = {
                CAST(sum(p) AS BIGINT) AS sum_whole_price,
                count(*) AS n_orders
         FROM combined GROUP BY o_orderstatus
+    """,
+    'q_range_join_bands': """
+        SELECT band, count(*) AS n_items,
+               round(sum(l_extendedprice), 2) AS revenue
+        FROM lineitem
+        JOIN (VALUES ('scarce', 0.0, 10.0),
+                     ('normal', 10.0, 30.0),
+                     ('bulk', 30.0, 1e9)) AS bands(band, lo, hi)
+          ON l_quantity >= lo AND l_quantity < hi
+        GROUP BY band
     """,
     'q_map_col_status': """
         SELECT CASE o_orderstatus

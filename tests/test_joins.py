@@ -94,3 +94,82 @@ def test_top_k_per_group(create_spark_df):
     asc = top_k_per_group(df, groups='g', order_by='v', k=1,
                           ascending=True)
     assert {(r['g'], r['v']) for r in asc.collect()} == {('a', 1), ('b', 2)}
+
+
+class TestRangeJoin:
+    def _bands(self, create_spark_df):
+        return create_spark_df([
+            'band string, lo double, hi double',
+            ('low', 0.0, 10.0), ('mid', 10.0, 25.0), ('high', 25.0, 60.0),
+        ])
+
+    def test_point_in_interval(self, create_spark_df):
+        from ons_utils_spark import range_join
+        pts = create_spark_df([
+            'id bigint, x double',
+            (1, 5.0), (2, 10.0), (3, 24.9), (4, 60.0), (5, -1.0),
+        ])
+        out = range_join(pts, self._bands(create_spark_df),
+                         'x', 'lo', 'hi', closed='left')
+        got = {(r['id'], r['band']) for r in out.collect()}
+        # closed='left': lo <= x < hi; 60.0 and -1.0 match nothing
+        assert got == {(1, 'low'), (2, 'mid'), (3, 'mid')}
+
+    def test_closed_both_includes_upper(self, create_spark_df):
+        from ons_utils_spark import range_join
+        pts = create_spark_df(['id bigint, x double', (1, 10.0)])
+        out = range_join(pts, self._bands(create_spark_df),
+                         'x', 'lo', 'hi', closed='both')
+        assert {r['band'] for r in out.collect()} == {'low', 'mid'}
+
+    def test_equi_keys_restrict(self, create_spark_df):
+        from ons_utils_spark import range_join
+        pts = create_spark_df(['g string, x double', ('a', 5.0)])
+        bands = create_spark_df([
+            'g string, band string, lo double, hi double',
+            ('a', 'a-band', 0.0, 10.0), ('b', 'b-band', 0.0, 10.0),
+        ])
+        out = range_join(pts, bands, 'x', 'lo', 'hi', on='g')
+        rows = out.collect()
+        assert len(rows) == 1 and rows[0]['band'] == 'a-band'
+
+    def test_broadcast_plan(self, create_spark_df):
+        from ons_utils_spark import range_join
+        pts = create_spark_df(['id bigint, x double', (1, 5.0)])
+        out = range_join(pts, self._bands(create_spark_df),
+                         'x', 'lo', 'hi')
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert 'BroadcastNestedLoopJoin' in plan
+
+    def test_bucketed_matches_plain(self, spark_session):
+        """Bucketed equi-join formulation must agree exactly with the
+        nested-loop join, including intervals spanning many buckets."""
+        import random
+        from ons_utils_spark import bucketed_range_join, range_join
+        rnd = random.Random(7)
+        pts = spark_session.createDataFrame(
+            [(i, rnd.uniform(-50, 150)) for i in range(300)],
+            'id bigint, x double',
+        )
+        ivals = spark_session.createDataFrame(
+            [(j, lo := rnd.uniform(-60, 140), lo + rnd.uniform(0, 40))
+             for j in range(40)],
+            'iid bigint, lo double, hi double',
+        )
+        plain = {(r['id'], r['iid']) for r in range_join(
+            pts, ivals, 'x', 'lo', 'hi', closed='both').collect()}
+        for width in (1.0, 7.5, 100.0):
+            bucketed = [(r['id'], r['iid']) for r in bucketed_range_join(
+                pts, ivals, 'x', 'lo', 'hi', bucket_width=width,
+                closed='both').collect()]
+            assert len(bucketed) == len(set(bucketed)), 'duplicate pairs'
+            assert set(bucketed) == plain, f'width={width}'
+
+    def test_bucketed_validation(self, create_spark_df):
+        from ons_utils_spark import bucketed_range_join
+        pts = create_spark_df(['id bigint, x double', (1, 5.0)])
+        with pytest.raises(ValueError, match='bucket_width'):
+            bucketed_range_join(pts, pts, 'x', 'x', 'x', bucket_width=0)
+        with pytest.raises(ValueError, match='closed'):
+            bucketed_range_join(pts, pts, 'x', 'x', 'x', bucket_width=1,
+                                closed='bogus')
