@@ -62,7 +62,14 @@ from .operators.joins import (
 from .operators.reshape import SparkStacker
 from .operators.reshape import stack as stack_spark
 from .operators.reshape import unstack as unstack_spark
-from .operators.similarity import cosine_topk, lsh_topk, random_hyperplane_lsh
+from .operators.similarity import (
+    cosine_topk,
+    ivf_assign,
+    ivf_centroids,
+    ivf_topk,
+    lsh_topk,
+    random_hyperplane_lsh,
+)
 from .operators.skew import salted_agg, salted_broadcast_join, with_salt
 from .operators.text import (
     fingerprint,
@@ -104,6 +111,7 @@ __all__ = [
     'exact_dedup', 'minhash_dedup', 'minhash_lsh_candidates',
     'simhash_dedup', 'ngram_jaccard_join', 'embedding_near_duplicates',
     'cosine_topk', 'lsh_topk', 'random_hyperplane_lsh',
+    'ivf_topk', 'ivf_centroids', 'ivf_assign',
     'tokenize', 'token_count', 'quality_score', 'language_id',
     'fingerprint', 'text_stats',
     'tumbling_window_agg', 'sliding_window_agg', 'session_window_agg',

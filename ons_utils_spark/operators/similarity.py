@@ -14,11 +14,20 @@ North-star extension: approximate-nearest-neighbor over
 
 Determinism: hyperplanes are derived from xxhash64 of (seed, plane,
 dim) — no RNG state, reproducible anywhere.
+* :func:`ivf_topk` — the second scale path: an IVF (inverted-file)
+  index. Deterministic k-means coarse quantizer partitions the corpus
+  into cluster lists; each query probes only its ``nprobe`` nearest
+  clusters. With ``nprobe == n_clusters`` the scan is exhaustive and
+  the result exactly equals :func:`cosine_topk` (pinned by the DuckDB
+  oracle); smaller ``nprobe`` trades recall for a ~nprobe/n_clusters
+  scan fraction.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Iterator, Optional, Sequence, Tuple
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame as SparkDF
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -221,6 +230,157 @@ def lsh_topk(
         q = q.withColumn('__bucket', F.col('__base'))
     q = q.drop('__dots', '__base')
     scored = c.join(F.broadcast(q), on='__bucket').select(
+        F.col(query_id),
+        F.col(corpus_id),
+        cosine_similarity(
+            F.col(corpus_vec).cast('array<double>'),
+            F.col(query_vec).cast('array<double>'),
+        ).alias('cosine'),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col('cosine').desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn('__rk', F.row_number().over(w))
+        .filter(F.col('__rk') <= k)
+        .drop('__rk')
+    )
+
+
+# --------------------------------------------------------------------
+# IVF (inverted-file) index — centroid-bucketed ANN
+# --------------------------------------------------------------------
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def ivf_centroids(
+    corpus: SparkDF,
+    vec_col: str = 'embedding',
+    id_col: str = 'vec_id',
+    n_clusters: int = 16,
+    iters: int = 2,
+    seed: int = 42,
+) -> np.ndarray:
+    """Deterministic k-means coarse quantizer: (n_clusters, dim) array.
+
+    Init: the ``n_clusters`` rows with smallest ``xxhash64(id, seed)``
+    — a seeded, order-independent pseudo-random sample (no RNG state,
+    same result on any cluster layout). Refinement: ``iters`` Lloyd
+    passes; assignment is an Arrow-batched numpy GEMM per partition,
+    per-cluster means are one tiny ``applyInPandas`` job (rows sorted
+    by id inside each group so fp summation order — and therefore the
+    centroids — are bit-reproducible).
+
+    The result is driver-side numpy: k × dim × 8 bytes (a 65k × 1024
+    codebook is ~0.5 GB — at that point persist it to parquet instead
+    of recomputing per query batch).
+    """
+    init = (
+        corpus.select(F.col(vec_col).alias('v'))
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(n_clusters)
+        .collect()
+    )
+    cents = np.array([r['v'] for r in init], dtype=np.float64)
+    for _ in range(max(iters, 0)):
+        assigned = ivf_assign(corpus, cents, vec_col=vec_col)
+
+        def cluster_mean(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(id_col)
+            vecs = np.stack(pdf[vec_col].to_numpy())
+            return pd.DataFrame(
+                {'c': [key[0]], 'centroid': [vecs.mean(axis=0).tolist()]}
+            )
+
+        means = (
+            assigned.select(id_col, vec_col, '__ivf_c')
+            .groupBy('__ivf_c')
+            .applyInPandas(cluster_mean, 'c int, centroid array<double>')
+            .collect()
+        )
+        new = cents.copy()  # empty clusters keep their old centroid
+        for r in means:
+            new[r['c']] = r['centroid']
+        cents = new
+    return cents
+
+
+def ivf_assign(
+    df: SparkDF,
+    centroids: np.ndarray,
+    vec_col: str = 'embedding',
+    output_col: str = '__ivf_c',
+) -> SparkDF:
+    """Tag each row with its nearest centroid (cosine): one int column.
+
+    The centroid matrix ships to executors inside the UDF closure
+    (small — see :func:`ivf_centroids`); each Arrow batch is scored
+    with a single GEMM, so the per-row cost is BLAS, not Python.
+    """
+    cn = _normalize_rows(np.asarray(centroids, dtype=np.float64))
+
+    @F.pandas_udf('int')
+    def nearest(batch: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vecs in batch:
+            m = np.stack(vecs.to_numpy()).astype(np.float64)
+            # argmax_c (v · c_norm) == argmax_c cosine(v, c)
+            yield pd.Series(np.argmax(m @ cn.T, axis=1).astype(np.int32))
+
+    return df.withColumn(output_col, nearest(F.col(vec_col)))
+
+
+def ivf_topk(
+    corpus: SparkDF,
+    queries: SparkDF,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    seed: int = 42,
+    corpus_id: str = 'vec_id',
+    corpus_vec: str = 'embedding',
+    query_id: str = 'query_id',
+    query_vec: str = 'query_vec',
+    centroids: Optional[np.ndarray] = None,
+) -> SparkDF:
+    """IVF approximate top-k: probe the ``nprobe`` nearest cluster lists.
+
+    Plan shape: corpus tagged with its cluster (GEMM per Arrow batch,
+    no shuffle), queries exploded to their ``nprobe`` probe clusters
+    and broadcast, equi-join on cluster id, exact cosine refinement,
+    ranked-window top-k. Scanned fraction ≈ nprobe/n_clusters (data-
+    dependent); ``nprobe == n_clusters`` degenerates to an exhaustive
+    — exact — scan. Pass a precomputed ``centroids`` codebook to skip
+    the k-means jobs (recommended for repeated query batches).
+    """
+    if not 1 <= nprobe <= n_clusters:
+        raise ValueError(
+            f'nprobe must be in [1, n_clusters={n_clusters}], got {nprobe}'
+        )
+    if centroids is None:
+        centroids = ivf_centroids(
+            corpus, vec_col=corpus_vec, id_col=corpus_id,
+            n_clusters=n_clusters, iters=iters, seed=seed,
+        )
+    cn = _normalize_rows(np.asarray(centroids, dtype=np.float64))
+
+    c = ivf_assign(corpus, centroids, vec_col=corpus_vec)
+
+    @F.pandas_udf('array<int>')
+    def probe_clusters(batch: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vecs in batch:
+            m = np.stack(vecs.to_numpy()).astype(np.float64)
+            order = np.argsort(-(m @ cn.T), axis=1, kind='stable')
+            yield pd.Series(list(order[:, :nprobe].astype(np.int32)))
+
+    q = queries.withColumn(
+        '__ivf_c', F.explode(probe_clusters(F.col(query_vec)))
+    )
+    scored = c.join(F.broadcast(q), on='__ivf_c').select(
         F.col(query_id),
         F.col(corpus_id),
         cosine_similarity(

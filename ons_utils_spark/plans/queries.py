@@ -559,6 +559,27 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> SparkDF:
 # Additional relational coverage (melt/rollup/set-ops/ffill/sliding)
 # --------------------------------------------------------------------
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """IVF-indexed top-k at full probe (nprobe == n_clusters): the
+    centroid-bucketed plan scans every cluster list, so the result is
+    EXACT and the DuckDB brute-force oracle verifies the whole IVF
+    pipeline (deterministic k-means, GEMM assignment, probe join).
+    Partial-probe recall/cost tradeoffs are pinned in
+    tests/test_similarity.py::TestIvfTopK."""
+    (embeddings,) = _t(spark, sf_dir, 'embeddings')
+    queries = embeddings.filter(F.col('vec_id') < 3).select(
+        F.col('vec_id').alias('query_id'),
+        F.col('embedding').alias('query_vec'),
+    )
+    out = sim.ivf_topk(
+        embeddings.filter(F.col('vec_id') >= 3), queries,
+        k=10, n_clusters=8, nprobe=8, iters=1,
+    )
+    return out.select(
+        'query_id', 'vec_id', F.round('cosine', 4).alias('cosine')
+    )
+
+
 def q_melt_part(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Unpivot (melt, Spark >= 3.4): part attributes to long form."""
     (part,) = _t(spark, sf_dir, 'part')
@@ -768,6 +789,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_diff_embeddings': q_diff_embeddings,
     'q_ann_cosine_topk': q_ann_cosine_topk,
     'q_lsh_topk': q_lsh_topk,
+    'q_ivf_topk': q_ivf_topk,
     'q_melt_part': q_melt_part,
     'q_rollup_revenue': q_rollup_revenue,
     'q_intersect_custkeys': q_intersect_custkeys,
@@ -1102,6 +1124,24 @@ ORACLES: Dict[str, str] = {
         )
         SELECT lang_pred, count(*) AS n_docs
         FROM labeled GROUP BY lang_pred
+    """,
+    'q_ivf_topk': """
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 3
+        ), scored AS (
+            SELECT q.query_id, e.vec_id,
+                   round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS cosine,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
+                                e.vec_id ASC) AS rk
+            FROM embeddings e, q
+            WHERE e.vec_id >= 3
+        )
+        SELECT query_id, vec_id, cosine FROM scored WHERE rk <= 10
     """,
     'q_melt_part': """
         SELECT p_partkey, 'p_size' AS attribute,

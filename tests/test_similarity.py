@@ -101,3 +101,61 @@ class TestLshTopK:
         )
         n_buckets = bucketed.select('lsh_bucket').distinct().count()
         assert n_buckets > 4  # corpus actually splits
+
+
+class TestIvfTopK:
+    @pytest.fixture
+    def qset(self, corpus):
+        return corpus.filter(F.col('vec_id') < 5).select(
+            F.col('vec_id').alias('query_id'),
+            F.col('embedding').alias('query_vec'),
+        )
+
+    def test_full_probe_is_exact(self, corpus, qset):
+        """nprobe == n_clusters scans every cluster list — the result
+        must equal brute force exactly."""
+        exact = {(r['query_id'], r['vec_id'], round(r['cosine'], 9))
+                 for r in sim.cosine_topk(corpus, qset, k=10).collect()}
+        ivf = {(r['query_id'], r['vec_id'], round(r['cosine'], 9))
+               for r in sim.ivf_topk(corpus, qset, k=10, n_clusters=8,
+                                     nprobe=8).collect()}
+        assert ivf == exact
+
+    def test_partial_probe_recall(self, corpus, qset):
+        exact = {(r['query_id'], r['vec_id'])
+                 for r in sim.cosine_topk(corpus, qset, k=10).collect()}
+
+        def recall(nprobe):
+            got = {(r['query_id'], r['vec_id'])
+                   for r in sim.ivf_topk(corpus, qset, k=10,
+                                         n_clusters=8,
+                                         nprobe=nprobe).collect()}
+            return len(exact & got) / len(exact)
+
+        r1, r4 = recall(1), recall(4)
+        assert r4 >= r1
+        assert r4 >= 0.5, f'IVF nprobe=4/8 recall too low: {r4}'
+
+    def test_centroids_deterministic(self, corpus):
+        import numpy as np
+        c1 = sim.ivf_centroids(corpus, n_clusters=4, iters=1)
+        c2 = sim.ivf_centroids(corpus, n_clusters=4, iters=1)
+        assert c1.shape == (4, 64)
+        assert np.array_equal(c1, c2)
+
+    def test_precomputed_centroids_skip_kmeans(self, corpus, qset):
+        cents = sim.ivf_centroids(corpus, n_clusters=8, iters=1)
+        out = sim.ivf_topk(corpus, qset, k=3, n_clusters=8, nprobe=8,
+                           centroids=cents)
+        counts = out.groupBy('query_id').count().collect()
+        assert all(r['count'] == 3 for r in counts)
+
+    def test_assign_covers_all_clusters_reasonably(self, corpus):
+        cents = sim.ivf_centroids(corpus, n_clusters=8, iters=2)
+        assigned = sim.ivf_assign(corpus, cents)
+        n_used = assigned.select('__ivf_c').distinct().count()
+        assert n_used >= 4  # corpus actually spreads over clusters
+
+    def test_nprobe_validation(self, corpus, qset):
+        with pytest.raises(ValueError, match='nprobe'):
+            sim.ivf_topk(corpus, qset, n_clusters=4, nprobe=5)
