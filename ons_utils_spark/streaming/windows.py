@@ -124,3 +124,30 @@ def read_event_stream(
         .option('maxFilesPerTrigger', max_files_per_trigger)
         .load(path)
     )
+
+
+def streaming_dedup(
+    df: SparkDF,
+    keys: Union[str, Sequence[str]],
+    ts_col: Optional[str] = None,
+    within: Optional[str] = None,
+) -> SparkDF:
+    """Drop duplicate rows by key — bounded-state on streams.
+
+    On a stream with ``ts_col``/``within`` given, uses
+    ``dropDuplicatesWithinWatermark`` (Spark ≥3.5): duplicate arrivals
+    within the watermark delay are suppressed and each key's state is
+    EVICTED once the watermark passes it — state stays O(keys per
+    delay window), not O(all keys ever seen), which is what makes
+    exactly-once dedup viable on an unbounded 100 TB/day stream.
+    Without ``within`` it falls back to plain ``dropDuplicates``
+    (unbounded state on a stream — fine for batch, dangerous for
+    long-running streams; prefer the watermarked form).
+    """
+    key_list = list_convert(keys)
+    if df.isStreaming and within:
+        if not ts_col:
+            raise ValueError('ts_col is required when within is given')
+        return df.withWatermark(ts_col, within) \
+            .dropDuplicatesWithinWatermark(key_list)
+    return df.dropDuplicates(key_list)

@@ -215,3 +215,55 @@ class TestWatermark:
         )
         wm = with_watermark(stream, 'timestamp', '5 seconds')
         assert wm.isStreaming
+
+
+class TestStreamingDedup:
+    def test_batch_fallback(self, spark_session):
+        from ons_utils_spark.streaming.windows import streaming_dedup
+        df = spark_session.createDataFrame(
+            [(1, 'a'), (1, 'b'), (2, 'c')], 'k bigint, v string')
+        assert streaming_dedup(df, 'k').count() == 2
+
+    def test_requires_ts_col(self, spark_session):
+        import pytest as pt
+        from ons_utils_spark.streaming.windows import (
+            read_event_stream, streaming_dedup)
+        stream = (spark_session.readStream.format('rate')
+                  .option('rowsPerSecond', 1).load())
+        with pt.raises(ValueError, match='ts_col'):
+            streaming_dedup(stream, 'value', within='10 minutes')
+
+    def test_dedup_across_microbatches(self, spark_session, tmp_path):
+        """The same event_id arriving in a later micro-batch (within
+        the watermark) must be suppressed."""
+        from ons_utils_spark.streaming.windows import (
+            read_event_stream, streaming_dedup)
+
+        in_dir = str(tmp_path / 'in')
+        schema = 'event_id bigint, t timestamp, v double'
+
+        def write_chunk(rows):
+            spark_session.createDataFrame(rows, schema) \
+                .coalesce(1).write.mode('append').parquet(in_dir)
+
+        write_chunk([(1, ts(0), 1.0), (2, ts(1), 2.0)])
+        stream = read_event_stream(
+            spark_session, in_dir, schema, max_files_per_trigger=1)
+        deduped = streaming_dedup(stream, 'event_id', ts_col='t',
+                                  within='30 minutes')
+        q = (deduped.writeStream.format('memory')
+             .queryName('dedup_sink').outputMode('append')
+             .option('checkpointLocation', str(tmp_path / 'ckpt'))
+             .start())
+        try:
+            q.processAllAvailable()
+            # duplicate id=1 (same batch-window) + fresh id=3
+            write_chunk([(1, ts(2), 99.0), (3, ts(3), 3.0)])
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        rows = spark_session.sql(
+            'SELECT event_id, v FROM dedup_sink').collect()
+        got = sorted((r['event_id'], r['v']) for r in rows)
+        assert got == [(1, 1.0), (2, 2.0), (3, 3.0)]
