@@ -580,6 +580,34 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Skew-resistant two-phase aggregation: group by (key, salt) to
+    spread a hot key over many reducers, then combine partials by key.
+    Algebraically identical to the plain groupBy — which is exactly
+    what the DuckDB oracle checks. avg is decomposed as sum/count so
+    both phases stay combinable."""
+    from ..operators.skew import salted_agg
+
+    (lineitem,) = _t(spark, sf_dir, 'lineitem')
+    out = salted_agg(
+        lineitem,
+        groups='l_returnflag',
+        aggs=[
+            F.sum('l_extendedprice').alias('__s'),
+            F.count(F.lit(1)).alias('__n'),
+        ],
+        final_aggs=[
+            F.round(F.sum('__s'), 2).alias('revenue'),
+            F.sum('__n').alias('n_lines'),
+        ],
+        buckets=32,
+    )
+    return out.withColumn(
+        'avg_price',
+        F.round(F.col('revenue') / F.col('n_lines'), 4),
+    )
+
+
 def q_melt_part(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Unpivot (melt, Spark >= 3.4): part attributes to long form."""
     (part,) = _t(spark, sf_dir, 'part')
@@ -790,6 +818,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_ann_cosine_topk': q_ann_cosine_topk,
     'q_lsh_topk': q_lsh_topk,
     'q_ivf_topk': q_ivf_topk,
+    'q_salted_agg': q_salted_agg,
     'q_melt_part': q_melt_part,
     'q_rollup_revenue': q_rollup_revenue,
     'q_intersect_custkeys': q_intersect_custkeys,
@@ -1124,6 +1153,14 @@ ORACLES: Dict[str, str] = {
         )
         SELECT lang_pred, count(*) AS n_docs
         FROM labeled GROUP BY lang_pred
+    """,
+    'q_salted_agg': """
+        SELECT l_returnflag,
+               round(sum(l_extendedprice), 2) AS revenue,
+               count(*) AS n_lines,
+               round(round(sum(l_extendedprice), 2) / count(*), 4)
+                   AS avg_price
+        FROM lineitem GROUP BY l_returnflag
     """,
     'q_ivf_topk': """
         WITH q AS (
