@@ -54,6 +54,7 @@ def main() -> None:
             timings[name] = min(timings.get(name, dt), dt)
 
     extras = _bucketed_join_comparison(spark, sf_dir)
+    extras.update(_partition_pruning_comparison(spark, sf_dir))
 
     print(json.dumps({
         'metric': 'suite_total',
@@ -104,6 +105,73 @@ def _bucketed_join_comparison(spark, sf_dir: str) -> dict:
         }
     except Exception:  # noqa: BLE001 — extras must never fail bench
         return {}
+
+
+def _partition_pruning_comparison(spark, sf_dir: str) -> dict:
+    """Scale evidence: month-partitioned layout vs flat file for a
+    single-month query. At 100 TB the pruned scan reads ~1/72 of the
+    files; the flat layout reads (and row-filters) everything."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ons_utils_spark.sources.readers import read_parquet
+
+    out_dir = tempfile.mkdtemp(prefix='bench-part-')
+    try:
+        lineitem = read_parquet(
+            spark, os.path.join(sf_dir, 'lineitem.parquet')
+        )
+        part_path = os.path.join(out_dir, 'lineitem_by_month')
+        lineitem.withColumn(
+            'ship_month', F.date_format('l_shipdate', 'yyyy-MM')
+        ).write.partitionBy('ship_month').mode('overwrite').parquet(
+            part_path
+        )
+
+        def one_month(df, col):
+            return df.filter(F.col(col) == '1995-03').agg(
+                F.sum('l_extendedprice'), F.count('*')
+            )
+
+        t0 = time.time()
+        one_month(
+            lineitem.withColumn(
+                'ship_month', F.date_format('l_shipdate', 'yyyy-MM')
+            ),
+            'ship_month',
+        ).write.mode('overwrite').format('noop').save()
+        flat = round(time.time() - t0, 3)
+
+        pruned_df = one_month(spark.read.parquet(part_path), 'ship_month')
+        t0 = time.time()
+        pruned_df.write.mode('overwrite').format('noop').save()
+        pruned = round(time.time() - t0, 3)
+
+        # The scalable quantity is the scan fraction, not toy-SF wall
+        # time (a single flat file wins on listing overhead at MB
+        # scale; at 100 TB the pruned scan reads 1/72 of the bytes).
+        total_parts = len([
+            d for d in os.listdir(part_path)
+            if d.startswith('ship_month=')
+        ])
+        import re
+
+        plan = pruned_df._jdf.queryExecution().executedPlan().toString()
+        pruning_in_plan = re.search(
+            r'PartitionFilters: \[[^\]]*1995-03', plan
+        ) is not None
+        return {
+            'scan_flat_sec': flat,
+            'scan_partition_pruned_sec': pruned,
+            'partitions_total': total_parts,
+            'partitions_scanned': 1 if pruning_in_plan else total_parts,
+        }
+    except Exception:  # noqa: BLE001 — extras must never fail bench
+        return {}
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 if __name__ == '__main__':
