@@ -44,6 +44,32 @@ def normalize_text(col: ColumnOrName) -> SparkCol:
     return F.trim(F.regexp_replace(F.lower(c), r'\s+', ' '))
 
 
+def strip_html(col: ColumnOrName) -> SparkCol:
+    """Remove HTML: script/style blocks (with their content), all
+    tags, and the common entities. Pure JVM regex — no UDF."""
+    c = convert_to_spark_col(col)
+    c = F.regexp_replace(c, r'(?is)<(script|style)[^>]*>.*?</\1>', ' ')
+    c = F.regexp_replace(c, r'<[^>]+>', ' ')
+    # Entity strings contain no regex metacharacters, so they are
+    # literal-safe patterns; &amp; decodes LAST so '&amp;lt;' doesn't
+    # double-decode.
+    for entity, char in (
+        ('&lt;', '<'), ('&gt;', '>'), ('&quot;', '"'),
+        ('&#39;', "'"), ('&nbsp;', ' '), ('&amp;', '&'),
+    ):
+        c = F.regexp_replace(c, entity, char)
+    return c
+
+
+def clean_text(col: ColumnOrName) -> SparkCol:
+    """Training-corpus cleanup: strip HTML, drop C0/C1 control chars,
+    collapse whitespace. Case is preserved (use
+    :func:`normalize_text` afterwards for dedup canonicalization)."""
+    c = strip_html(col)
+    c = F.regexp_replace(c, r'[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '')
+    return F.trim(F.regexp_replace(c, r'\s+', ' '))
+
+
 def tokenize(col: ColumnOrName) -> SparkCol:
     """Whitespace tokenization → array<string> (empty array for blank)."""
     c = convert_to_spark_col(col)

@@ -105,3 +105,33 @@ class TestQualityAndLang:
         assert {'n_tokens', 'quality', 'lang_pred', 'fingerprint'} \
             <= set(out.columns)
         assert out.count() == 8
+
+
+class TestCleanText:
+    def _clean(self, spark_session, raw):
+        from ons_utils_spark.operators.text import clean_text
+        df = spark_session.createDataFrame([(raw,)], 't string')
+        return df.select(clean_text('t').alias('c')).collect()[0]['c']
+
+    def test_strips_tags_and_scripts(self, spark_session):
+        raw = ('<html><head><STYLE>p {color:red}</STYLE></head>'
+               '<body><p>Hello <b>world</b></p>'
+               '<script type="text/js">alert("x")</script>Bye</body>')
+        assert self._clean(spark_session, raw) == 'Hello world Bye'
+
+    def test_decodes_entities_once(self, spark_session):
+        assert self._clean(
+            spark_session, 'a &amp;lt; b &lt;tag&gt; &quot;q&quot;'
+        ) == 'a &lt; b <tag> "q"'
+
+    def test_drops_control_chars_keeps_case(self, spark_session):
+        assert self._clean(
+            spark_session, 'MiXeD\x00 \x07Case\tok\n  done'
+        ) == 'MiXeD Case ok done'
+
+    def test_strip_html_alone_preserves_whitespace_shape(
+            self, spark_session):
+        from ons_utils_spark.operators.text import strip_html
+        df = spark_session.createDataFrame([('<i>x</i>',)], 't string')
+        out = df.select(strip_html('t').alias('c')).collect()[0]['c']
+        assert out == ' x '
