@@ -72,9 +72,11 @@ from .operators.similarity import (
 )
 from .operators.skew import salted_agg, salted_broadcast_join, with_salt
 from .operators.text import (
+    clean_text,
     fingerprint,
     language_id,
     quality_score,
+    strip_html,
     text_stats,
     token_count,
     tokenize,
@@ -113,7 +115,7 @@ __all__ = [
     'cosine_topk', 'lsh_topk', 'random_hyperplane_lsh',
     'ivf_topk', 'ivf_centroids', 'ivf_assign',
     'tokenize', 'token_count', 'quality_score', 'language_id',
-    'fingerprint', 'text_stats',
+    'fingerprint', 'text_stats', 'clean_text', 'strip_html',
     'tumbling_window_agg', 'sliding_window_agg', 'session_window_agg',
     'with_watermark',
     'SparkStacker', 'stack_spark', 'unstack_spark',

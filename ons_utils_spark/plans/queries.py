@@ -740,6 +740,28 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_clean_text(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """HTML-strip + control-char cleanup (``operators.text.clean_text``)
+    over documents wrapped in deterministic synthetic markup, so the
+    oracle pins every regex pass.  The DuckDB side splits the
+    script/style alternation into two patterns because RE2 lacks the
+    backreference the Spark (Java-regex) side uses."""
+    (documents,) = _t(spark, sf_dir, 'documents')
+    raw = documents.select(
+        'doc_id',
+        F.concat(
+            F.lit('<div class="d"><script>var x = 1 < 2;</script>'),
+            F.col('text'),
+            F.lit(' &amp; <b>tail</b>\x07'),
+        ).alias('raw'),
+    )
+    return raw.select(
+        'doc_id',
+        tx.clean_text('raw').alias('cleaned'),
+        F.length(tx.clean_text('raw')).alias('clean_len'),
+    )
+
+
 def q_null_safe_join(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Null-safe equi-join: customers with nullified nation keys still
     match the nullified nation row (eqNullSafe)."""
@@ -830,6 +852,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_cube_orders': q_cube_orders,
     'q_distinct_counts': q_distinct_counts,
     'q_quality_scores': q_quality_scores,
+    'q_clean_text': q_clean_text,
 }
 
 
@@ -1332,5 +1355,35 @@ ORACLES: Dict[str, str] = {
                round(avg(q), 4) AS avg_quality,
                round(min(q), 4) AS min_quality
         FROM scored GROUP BY source
+    """,
+    'q_clean_text': """
+        WITH raw AS (
+            SELECT doc_id,
+                   '<div class="d"><script>var x = 1 < 2;</script>'
+                   || text || ' &amp; <b>tail</b>' || chr(7) AS raw
+            FROM documents
+        ), s1 AS (
+            SELECT doc_id, regexp_replace(regexp_replace(raw,
+                '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t
+            FROM raw
+        ), s2 AS (
+            SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t
+            FROM s1
+        ), s3 AS (
+            SELECT doc_id,
+                   replace(replace(replace(replace(replace(replace(t,
+                       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                       '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&')
+                       AS t
+            FROM s2
+        ), s4 AS (
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(t,
+                       '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '',
+                       'g'), '\\s+', ' ', 'g')) AS cleaned
+            FROM s3
+        )
+        SELECT doc_id, cleaned, length(cleaned) AS clean_len FROM s4
     """,
 }
