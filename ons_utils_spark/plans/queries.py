@@ -762,6 +762,22 @@ def q_clean_text(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Video frame-sampling plan (``operators.multimodal.
+    frame_sample_plan``): pure JVM ``sequence``+``explode`` expansion,
+    one row per planned frame. Media durations are derived
+    deterministically from ``documents.n_chars`` since the testdata
+    carries no media table; both sides use inclusive-stop series."""
+    from ..operators.multimodal import frame_sample_plan
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    media = documents.select(
+        F.col('doc_id').alias('media_id'),
+        (F.col('n_chars') * 10).alias('duration_ms'),
+    )
+    return frame_sample_plan(media, every_ms=2500)
+
+
 def q_null_safe_join(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Null-safe equi-join: customers with nullified nation keys still
     match the nullified nation row (eqNullSafe)."""
@@ -853,6 +869,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_distinct_counts': q_distinct_counts,
     'q_quality_scores': q_quality_scores,
     'q_clean_text': q_clean_text,
+    'q_frame_sample': q_frame_sample,
 }
 
 
@@ -1385,5 +1402,12 @@ ORACLES: Dict[str, str] = {
             FROM s3
         )
         SELECT doc_id, cleaned, length(cleaned) AS clean_len FROM s4
+    """,
+    'q_frame_sample': """
+        SELECT doc_id AS media_id,
+               unnest(generate_series(
+                   0, greatest(n_chars * 10 - 1, 0), 2500
+               )) AS frame_ts_ms
+        FROM documents
     """,
 }
