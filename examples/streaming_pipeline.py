@@ -1,0 +1,153 @@
+"""End-to-end streaming ingestion pipeline.
+
+The streaming counterpart of ``training_data_pipeline.py``, composed
+from ons_utils_spark streaming operators:
+
+    event files arriving in a directory (file source, bounded
+    micro-batches)
+      → bounded-state dedup (dropDuplicatesWithinWatermark)
+      → checkpointed, partitioned parquet sink (exactly-once)
+    and, on the same stream,
+      → watermarked tumbling-window aggregation
+      → foreachBatch sink (update mode, driver-side merge)
+
+Everything is verified at the end against DuckDB on the source
+parquet and against the same aggregation run in batch mode (the
+window helpers share one code path for batch and streaming frames).
+
+Run:  PYTHONPATH=. python examples/streaming_pipeline.py \
+          [sf_dir] [work_dir]
+"""
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+import duckdb
+from pyspark.sql import functions as F
+
+from ons_utils_spark import get_spark
+from ons_utils_spark.sources.readers import read_parquet
+from ons_utils_spark.streaming.sinks import (
+    foreach_batch_sink,
+    write_stream_parquet,
+)
+from ons_utils_spark.streaming.windows import (
+    read_event_stream,
+    streaming_dedup,
+    tumbling_window_agg,
+)
+
+SCHEMA = ('event_id bigint, ts timestamp, user_id bigint, '
+          'event_type string, value double, props string')
+
+
+def stage_chunks(spark, events_path: str, stage_dir: str,
+                 n_chunks: int = 5) -> None:
+    """Split the source events into n parquet files, simulating files
+    landing in an ingest directory."""
+    read_parquet(spark, events_path).select(
+        'event_id', 'ts', 'user_id', 'event_type', 'value', 'props'
+    ).repartition(n_chunks).write.mode('overwrite').parquet(stage_dir)
+
+
+def run_pipeline(spark, sf_dir: str, work: str) -> dict:
+    """Run both streaming paths and verify them; returns check stats."""
+    events_path = os.path.join(sf_dir, 'events.parquet')
+    stage_dir = os.path.join(work, 'incoming')
+    out_dir = os.path.join(work, 'bronze')
+    shutil.rmtree(work, ignore_errors=True)
+
+    stage_chunks(spark, events_path, stage_dir)
+
+    # ---- path 1: dedup → exactly-once partitioned parquet ----------
+    stream = read_event_stream(spark, stage_dir, SCHEMA,
+                               max_files_per_trigger=2)
+    # The staged replay arrives in RANDOM time order (each chunk spans
+    # the whole month), so the dedup/watermark delay must cover the
+    # full disorder — 35 days > the 30-day span. In production, with
+    # roughly time-ordered arrival, this is the real disorder bound
+    # (minutes/hours) and state stays correspondingly small.
+    deduped = streaming_dedup(stream, 'event_id', ts_col='ts',
+                              within='35 days')
+    q1 = write_stream_parquet(
+        deduped, out_dir, os.path.join(work, 'ckpt_bronze'),
+        partition_by='event_type', available_now=True,
+        query_name='bronze')
+    q1.awaitTermination(300)
+
+    # ---- path 2: windowed agg → foreachBatch (update mode) ---------
+    windows = {}
+
+    def merge_batch(batch_df, batch_id):
+        # Driver-side merge: last update per window key wins. A
+        # production target would upsert into a store keyed the same
+        # way (idempotent per batch_id).
+        for r in batch_df.collect():
+            windows[(r['window_start'], r['event_type'])] = \
+                (r['n_events'], r['sum_value'])
+
+    agg_stream = tumbling_window_agg(
+        read_event_stream(spark, stage_dir, SCHEMA,
+                          max_files_per_trigger=2),
+        ts_col='ts', duration='1 hour', groups='event_type',
+        aggs=[F.count('*').alias('n_events'),
+              F.round(F.sum('value'), 2).alias('sum_value')],
+        watermark='35 days',  # covers the unordered replay, see above
+    )
+    q2 = foreach_batch_sink(
+        agg_stream, merge_batch, os.path.join(work, 'ckpt_agg'),
+        output_mode='update', available_now=True)
+    q2.awaitTermination(300)
+
+    # ---- verification ----------------------------------------------
+    bronze = spark.read.parquet(out_dir)
+    n_bronze = bronze.count()
+    n_distinct, n_total = duckdb.sql(
+        f"SELECT count(DISTINCT event_id), count(*) "
+        f"FROM '{events_path}'").fetchone()
+    print(f'bronze rows={n_bronze} source distinct ids={n_distinct} '
+          f'(source total={n_total})')
+    assert n_bronze == n_distinct, (n_bronze, n_distinct)
+
+    per_type = dict(
+        (r['event_type'], r['n'])
+        for r in bronze.groupBy('event_type')
+        .agg(F.count('*').alias('n')).collect()
+    )
+    for etype, n in duckdb.sql(
+        f"SELECT event_type, count(DISTINCT event_id) "
+        f"FROM '{events_path}' GROUP BY event_type").fetchall():
+        assert per_type[etype] == n, (etype, per_type[etype], n)
+
+    batch_agg = {
+        (r['window_start'], r['event_type']):
+            (r['n_events'], r['sum_value'])
+        for r in tumbling_window_agg(
+            read_parquet(spark, events_path).dropDuplicates(['event_id']),
+            ts_col='ts', duration='1 hour', groups='event_type',
+            aggs=[F.count('*').alias('n_events'),
+                  F.round(F.sum('value'), 2).alias('sum_value')],
+        ).collect()
+    }
+    assert windows == batch_agg, (
+        len(windows), len(batch_agg),
+        sorted(set(windows) ^ set(batch_agg))[:5])
+    print(f'windowed agg: {len(windows)} windows match batch run')
+    return {'n_bronze': n_bronze, 'n_windows': len(windows)}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.001'
+    work = sys.argv[2] if len(sys.argv) > 2 else '/tmp/streaming_pipeline'
+    spark = get_spark('streaming-pipeline', master='local[8]',
+                      shuffle_partitions=8)
+    spark.sparkContext.setLogLevel('ERROR')
+    run_pipeline(spark, sf_dir, work)
+    print('STREAMING-PIPELINE-OK')
+    spark.stop()
+
+
+if __name__ == '__main__':
+    main()

@@ -82,6 +82,7 @@ from .operators.text import (
     tokenize,
 )
 from .session import get_spark
+from .streaming.sinks import foreach_batch_sink, write_stream_parquet
 from .streaming.stateful import running_totals
 from .streaming.windows import (
     session_window_agg,
@@ -117,7 +118,7 @@ __all__ = [
     'tokenize', 'token_count', 'quality_score', 'language_id',
     'fingerprint', 'text_stats', 'clean_text', 'strip_html',
     'tumbling_window_agg', 'sliding_window_agg', 'session_window_agg',
-    'with_watermark',
+    'with_watermark', 'write_stream_parquet', 'foreach_batch_sink',
     'SparkStacker', 'stack_spark', 'unstack_spark',
     'with_salt', 'salted_agg', 'salted_broadcast_join',
     'running_totals',

@@ -35,3 +35,15 @@ def test_pipeline_drops_planted_duplicates(spark_session):
                      jaccard_threshold=0.5)
     ids = sorted(r['doc_id'] for r in curated.collect())
     assert ids == [1]
+
+
+def test_streaming_pipeline_on_testdata(spark_session, tmp_path):
+    """Streaming example end-to-end: dedup → exactly-once parquet
+    sink, windowed agg → foreachBatch, both verified inside
+    run_pipeline (DuckDB + batch-mode parity)."""
+    from examples.streaming_pipeline import run_pipeline
+
+    stats = run_pipeline(
+        spark_session, '/root/testdata/sf0.001', str(tmp_path / 'wk'))
+    assert stats['n_bronze'] == 1000
+    assert stats['n_windows'] > 0

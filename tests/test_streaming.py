@@ -267,3 +267,78 @@ class TestStreamingDedup:
             'SELECT event_id, v FROM dedup_sink').collect()
         got = sorted((r['event_id'], r['v']) for r in rows)
         assert got == [(1, 1.0), (2, 2.0), (3, 3.0)]
+
+
+class TestSinks:
+    def test_parquet_sink_available_now(self, spark_session, tmp_path):
+        """File-source → checkpointed parquet sink with the
+        availableNow trigger: drains everything then terminates; the
+        written files round-trip through a plain batch read."""
+        from ons_utils_spark.streaming.sinks import write_stream_parquet
+        from ons_utils_spark.streaming.windows import read_event_stream
+
+        in_dir, out_dir = str(tmp_path / 'in'), str(tmp_path / 'out')
+        schema = 'event_id bigint, t timestamp, v double'
+        rows = [(i, ts(i), float(i)) for i in range(20)]
+        spark_session.createDataFrame(rows, schema) \
+            .repartition(4).write.parquet(in_dir)
+
+        stream = read_event_stream(
+            spark_session, in_dir, schema, max_files_per_trigger=2)
+        q = write_stream_parquet(
+            stream, out_dir, str(tmp_path / 'ckpt'),
+            available_now=True, query_name='pq_sink')
+        q.awaitTermination(120)
+
+        back = spark_session.read.parquet(out_dir)
+        assert back.count() == 20
+        assert sorted(r['event_id'] for r in back.collect()) \
+            == list(range(20))
+
+    def test_parquet_sink_partitioned(self, spark_session, tmp_path):
+        from ons_utils_spark.streaming.sinks import write_stream_parquet
+        from ons_utils_spark.streaming.windows import read_event_stream
+
+        in_dir, out_dir = str(tmp_path / 'in'), str(tmp_path / 'out')
+        schema = 'k string, v bigint'
+        spark_session.createDataFrame(
+            [('a', 1), ('a', 2), ('b', 3)], schema).write.parquet(in_dir)
+        q = write_stream_parquet(
+            read_event_stream(spark_session, in_dir, schema),
+            out_dir, str(tmp_path / 'ckpt'),
+            partition_by='k', available_now=True)
+        q.awaitTermination(120)
+        import os
+        dirs = {d for d in os.listdir(out_dir) if d.startswith('k=')}
+        assert dirs == {'k=a', 'k=b'}
+
+    def test_foreach_batch_sink(self, spark_session, tmp_path):
+        """foreachBatch receives ordinary batch frames + batch ids;
+        all input rows arrive exactly once across micro-batches."""
+        from ons_utils_spark.streaming.sinks import foreach_batch_sink
+        from ons_utils_spark.streaming.windows import read_event_stream
+
+        in_dir = str(tmp_path / 'in')
+        schema = 'event_id bigint, t timestamp, v double'
+        spark_session.createDataFrame(
+            [(i, ts(i), float(i)) for i in range(10)], schema
+        ).repartition(5).write.parquet(in_dir)
+
+        seen = []
+
+        def collect_batch(batch_df, batch_id):
+            seen.append(
+                (batch_id, sorted(r['event_id'] for r in
+                                  batch_df.collect())))
+
+        q = foreach_batch_sink(
+            read_event_stream(spark_session, in_dir, schema,
+                              max_files_per_trigger=2),
+            collect_batch, str(tmp_path / 'ckpt'),
+            output_mode='append', available_now=True)
+        q.awaitTermination(120)
+
+        batch_ids = [b for b, _ in seen]
+        assert batch_ids == sorted(set(batch_ids))  # distinct, ordered
+        got = sorted(e for _, ids in seen for e in ids)
+        assert got == list(range(10))
