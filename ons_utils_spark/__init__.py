@@ -59,6 +59,11 @@ from .operators.joins import (
     semi_join,
     top_k_per_group,
 )
+from .operators.multimodal import (
+    audio_features,
+    frame_sample_plan,
+    image_features,
+)
 from .operators.reshape import SparkStacker
 from .operators.reshape import stack as stack_spark
 from .operators.reshape import unstack as unstack_spark
@@ -124,4 +129,5 @@ __all__ = [
     'running_totals',
     'approx_distinct', 'approx_quantiles', 'approx_quantile_col',
     'connected_components', 'dedup_by_components',
+    'image_features', 'audio_features', 'frame_sample_plan',
 ]

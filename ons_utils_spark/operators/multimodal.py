@@ -7,14 +7,16 @@ per-item work runs through ``mapInPandas`` with Arrow batches, so the
 Spark-side contract (schema, batching, partition sizing) is real and
 tested.
 
-Decoders: PPM (P6/P5 binary, P3/P2 ASCII) and uncompressed 24/32-bit
-BMP are decoded FOR REAL in pure Python/numpy (:func:`decode_ppm`,
-:func:`decode_bmp`) — features are an 8-bin luminance histogram of
-the actual pixels. Formats that need codec libraries not present in
-this container (JPEG/PNG/WebP → Pillow; audio → ffmpeg/torchaudio)
-are STUBBED: they raise ``NotImplementedError`` unless
-``deterministic_fake=True``, which produces seeded fake features so
-pipelines stay testable end-to-end.
+Decoders: PPM (P6/P5 binary, P3/P2 ASCII), uncompressed 24/32-bit
+BMP, and RIFF/WAVE PCM audio are decoded FOR REAL in pure
+Python/numpy (:func:`decode_ppm`, :func:`decode_bmp`,
+:func:`decode_wav`) — image features are an 8-bin luminance histogram
+of the actual pixels; audio features are the 8-segment RMS energy
+envelope of the actual samples. Formats that need codec libraries not
+present in this container (JPEG/PNG/WebP → Pillow; MP3/AAC →
+ffmpeg/torchaudio) are STUBBED: they raise ``NotImplementedError``
+unless ``deterministic_fake=True``, which produces seeded fake
+features so pipelines stay testable end-to-end.
 """
 from __future__ import annotations
 
@@ -168,12 +170,85 @@ def _decode_image(payload: bytes, deterministic_fake: bool):
     )
 
 
+def decode_wav(payload: bytes) -> Optional[Tuple[int, np.ndarray]]:
+    """Decode a RIFF/WAVE file (PCM 8/16/32-bit int or IEEE float).
+
+    Returns ``(sample_rate, mono)`` where ``mono`` is float64 samples
+    in [-1, 1] (channels averaged), or None if the payload is not
+    RIFF/WAVE. Raises on compressed (non-PCM) variants. Pure
+    Python/numpy — no codec library needed.
+    """
+    if len(payload) < 12 or payload[:4] != b'RIFF' \
+            or payload[8:12] != b'WAVE':
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size, = struct.unpack_from('<I', payload, pos + 4)
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b'fmt ':
+            fmt = body
+        elif cid == b'data':
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError('missing/short fmt or data chunk')
+    audio_fmt, n_ch, rate = struct.unpack_from('<HHI', fmt, 0)
+    bits, = struct.unpack_from('<H', fmt, 14)
+    if n_ch < 1 or rate < 1:
+        raise ValueError('bad WAVE channel count / sample rate')
+    if audio_fmt == 1:  # integer PCM
+        if bits == 8:  # 8-bit WAV is unsigned
+            x = (np.frombuffer(data, np.uint8).astype(np.float64)
+                 - 128.0) / 128.0
+        elif bits == 16:
+            x = np.frombuffer(data, '<i2').astype(np.float64) / 32768.0
+        elif bits == 32:
+            x = np.frombuffer(data, '<i4').astype(np.float64) / 2.0**31
+        else:
+            raise ValueError(f'unsupported PCM bit depth {bits}')
+    elif audio_fmt == 3:  # IEEE float
+        x = np.frombuffer(
+            data, '<f4' if bits == 32 else '<f8'
+        ).astype(np.float64)
+    else:
+        raise ValueError(f'unsupported WAVE format code {audio_fmt}')
+    n = (x.size // n_ch) * n_ch
+    mono = x[:n].reshape(-1, n_ch).mean(axis=1)
+    return int(rate), mono
+
+
+def energy_envelope(mono: np.ndarray, segments: int = 8) -> list:
+    """Per-segment RMS energy — the real audio feature (8 floats in
+    [0, 1] for samples in [-1, 1])."""
+    if mono.size == 0:
+        return [0.0] * segments
+    bounds = (np.arange(segments + 1) * mono.size) // segments
+    return [
+        float(np.sqrt(np.mean(np.square(mono[bounds[i]:bounds[i + 1]]))))
+        if bounds[i + 1] > bounds[i] else 0.0
+        for i in range(segments)
+    ]
+
+
 def _extract_audio_features(payload: bytes, deterministic_fake: bool):
-    """STUB: decode audio to (duration_ms, feature[8])."""
+    """Decode audio to (duration_ms, feature[8]).
+
+    RIFF/WAVE PCM decodes for real — the feature is the 8-segment RMS
+    energy envelope of the actual samples. Compressed formats
+    (MP3/AAC/OGG) need codec libraries absent in this container: they
+    raise ``NotImplementedError`` unless ``deterministic_fake`` is
+    set.
+    """
+    decoded = decode_wav(payload)
+    if decoded is not None:
+        rate, mono = decoded
+        return int(mono.size * 1000 // rate), energy_envelope(mono, 8)
     if not deterministic_fake:
         raise NotImplementedError(
-            'audio decoding requires ffmpeg/torchaudio; pass'
-            ' deterministic_fake=True for plumbing tests'
+            'only RIFF/WAVE PCM decodes natively; compressed audio'
+            ' requires ffmpeg/torchaudio — pass deterministic_fake='
+            'True for plumbing tests'
         )
     h = zlib.crc32(payload) & 0xFFFFFFFF
     return (

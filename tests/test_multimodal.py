@@ -156,3 +156,93 @@ def test_frame_sample_plan(spark_session):
     out = mm.frame_sample_plan(vids, every_ms=1000).collect()
     got = sorted((r['media_id'], r['frame_ts_ms']) for r in out)
     assert got == [(1, 0), (1, 1000), (1, 2000), (2, 0)]
+
+
+def _make_wav(samples, rate=8000, n_ch=1, bits=16, fmt_code=1):
+    """Build a minimal RIFF/WAVE payload from float samples [-1,1]."""
+    import numpy as np
+    import struct as st
+    x = np.asarray(samples, dtype=np.float64)
+    if bits == 8:
+        data = (np.clip(x, -1, 1) * 128 + 128).clip(0, 255) \
+            .astype('u1').tobytes()
+    elif bits == 16 and fmt_code == 1:
+        data = (np.clip(x, -1, 1) * 32767).astype('<i2').tobytes()
+    elif bits == 32 and fmt_code == 1:
+        data = (np.clip(x, -1, 1) * (2**31 - 1)).astype('<i4').tobytes()
+    elif fmt_code == 3:
+        data = x.astype('<f4' if bits == 32 else '<f8').tobytes()
+    else:
+        raise ValueError
+    block = n_ch * bits // 8
+    fmt = st.pack('<HHIIHH', fmt_code, n_ch, rate, rate * block,
+                  block, bits)
+    chunks = (b'fmt ' + st.pack('<I', len(fmt)) + fmt
+              + b'data' + st.pack('<I', len(data)) + data)
+    return b'RIFF' + st.pack('<I', 4 + len(chunks)) + b'WAVE' + chunks
+
+
+class TestWavDecode:
+    def test_pcm16_roundtrip(self):
+        import numpy as np
+        t = np.arange(8000) / 8000.0
+        sine = 0.5 * np.sin(2 * np.pi * 440 * t)
+        rate, mono = mm.decode_wav(_make_wav(sine))
+        assert rate == 8000 and mono.size == 8000
+        assert np.abs(mono - sine).max() < 1e-3
+
+    def test_stereo_averages_to_mono(self):
+        import numpy as np
+        # L channel all +0.5, R channel all -0.5 → mono ≈ 0
+        inter = np.empty(200)
+        inter[0::2], inter[1::2] = 0.5, -0.5
+        rate, mono = mm.decode_wav(_make_wav(inter, n_ch=2))
+        assert mono.size == 100
+        assert np.abs(mono).max() < 1e-3
+
+    def test_pcm8_and_float32(self):
+        import numpy as np
+        x = np.linspace(-0.9, 0.9, 64)
+        for kw in ({'bits': 8}, {'bits': 32, 'fmt_code': 3},
+                   {'bits': 32, 'fmt_code': 1}):
+            _, mono = mm.decode_wav(_make_wav(x, **kw))
+            tol = 1e-2 if kw.get('bits') == 8 else 1e-6
+            assert np.abs(mono - x).max() < tol, kw
+
+    def test_not_wav_returns_none(self):
+        assert mm.decode_wav(b'\xff\xfb junk mp3') is None
+        assert mm.decode_wav(b'RIFFxxxxAVI ') is None
+
+    def test_compressed_raises(self):
+        import pytest as pt
+        import struct as st
+        fmt = st.pack('<HHIIHH', 85, 1, 8000, 8000, 1, 16)  # 85=MP3
+        payload = (b'RIFF' + st.pack('<I', 28) + b'WAVE'
+                   + b'fmt ' + st.pack('<I', len(fmt)) + fmt
+                   + b'data' + st.pack('<I', 0))
+        with pt.raises(ValueError, match='format code'):
+            mm.decode_wav(payload)
+
+    def test_energy_envelope_reflects_amplitude(self):
+        import numpy as np
+        # first half silent, second half loud → envelope steps up
+        x = np.concatenate([np.zeros(400), 0.8 * np.ones(400)])
+        env = mm.energy_envelope(x, segments=8)
+        assert env[:4] == [0.0] * 4
+        assert all(abs(e - 0.8) < 1e-9 for e in env[4:])
+
+    def test_audio_features_real_end_to_end(self, spark_session):
+        """Real WAV decode through the full mapInPandas Spark path."""
+        import numpy as np
+        quiet = _make_wav(0.1 * np.ones(4000), rate=8000)   # 500 ms
+        loud = _make_wav(0.9 * np.ones(16000), rate=16000)  # 1000 ms
+        df = spark_session.createDataFrame(
+            [(1, bytearray(quiet)), (2, bytearray(loud))],
+            'media_id bigint, payload binary',
+        )
+        out = {r['media_id']: r for r in
+               mm.audio_features(df, deterministic_fake=False).collect()}
+        assert out[1]['duration_ms'] == 500
+        assert out[2]['duration_ms'] == 1000
+        assert out[1]['feature'][0] == pytest.approx(0.1, abs=1e-3)
+        assert out[2]['feature'][7] == pytest.approx(0.9, abs=1e-3)
