@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from ..functions.columns import map_col
 from ..functions.json import with_json_fields
 from ..functions.schema import map_column_names
-from ..functions.windows import get_window_spec
+from ..functions.windows import get_ordered_window_spec, get_window_spec
 from ..operators import dedup as dd
 from ..operators import similarity as sim
 from ..operators import text as tx
@@ -740,6 +740,35 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_median_price(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Exact median + interpolated p90 of part prices per brand —
+    sort-based aggregation (not the approx sketch path)."""
+    (part,) = _t(spark, sf_dir, 'part')
+    return part.groupBy('p_brand').agg(
+        F.count('*').alias('n_parts'),
+        F.round(F.median('p_retailprice'), 2).alias('median_price'),
+        F.round(
+            F.percentile('p_retailprice', F.lit(0.9)), 2
+        ).alias('p90_price'),
+    )
+
+
+def q_lag_orders(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Ordered window lag: per customer, days since their previous
+    order and the price delta (get_ordered_window_spec + F.lag)."""
+    (orders,) = _t(spark, sf_dir, 'orders')
+    w = get_ordered_window_spec(
+        'o_custkey', ['o_orderdate', 'o_orderkey'])
+    d = F.to_date('o_orderdate')
+    return orders.select(
+        'o_custkey', 'o_orderkey',
+        F.datediff(d, F.lag(d).over(w)).alias('days_since_prev'),
+        F.round(
+            F.col('o_totalprice') - F.lag('o_totalprice').over(w), 2
+        ).alias('price_delta'),
+    )
+
+
 def q_clean_text(spark: SparkSession, sf_dir: str) -> SparkDF:
     """HTML-strip + control-char cleanup (``operators.text.clean_text``)
     over documents wrapped in deterministic synthetic markup, so the
@@ -870,6 +899,8 @@ QUERIES: Dict[str, QueryFn] = {
     'q_quality_scores': q_quality_scores,
     'q_clean_text': q_clean_text,
     'q_frame_sample': q_frame_sample,
+    'q_median_price': q_median_price,
+    'q_lag_orders': q_lag_orders,
 }
 
 
@@ -1409,5 +1440,23 @@ ORACLES: Dict[str, str] = {
                    0, greatest(n_chars * 10 - 1, 0), 2500
                )) AS frame_ts_ms
         FROM documents
+    """,
+    'q_median_price': """
+        SELECT p_brand,
+               count(*) AS n_parts,
+               round(median(p_retailprice), 2) AS median_price,
+               round(quantile_cont(p_retailprice, 0.9), 2) AS p90_price
+        FROM part GROUP BY p_brand
+    """,
+    'q_lag_orders': """
+        SELECT o_custkey, o_orderkey,
+               date_diff('day',
+                   lag(CAST(o_orderdate AS DATE)) OVER w,
+                   CAST(o_orderdate AS DATE)) AS days_since_prev,
+               round(o_totalprice
+                     - lag(o_totalprice) OVER w, 2) AS price_delta
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
     """,
 }
