@@ -769,6 +769,27 @@ def q_lag_orders(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_token_vocab(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Corpus vocabulary heavy hitters: top-20 normalized tokens by
+    document frequency then total count — the vocab-building staple
+    (explode → two-level agg; map-side partial aggs keep the shuffle
+    at |vocab|, not |tokens|)."""
+    (documents,) = _t(spark, sf_dir, 'documents')
+    toks = documents.select(
+        'doc_id',
+        F.explode(tx.tokenize(tx.normalize_text('text'))).alias('tok'),
+    )
+    return (
+        toks.groupBy('tok')
+        .agg(
+            F.count('*').alias('n_occurrences'),
+            F.countDistinct('doc_id').alias('n_docs'),
+        )
+        .orderBy(F.desc('n_occurrences'), F.asc('tok'))
+        .limit(20)
+    )
+
+
 def q_clean_text(spark: SparkSession, sf_dir: str) -> SparkDF:
     """HTML-strip + control-char cleanup (``operators.text.clean_text``)
     over documents wrapped in deterministic synthetic markup, so the
@@ -901,6 +922,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_frame_sample': q_frame_sample,
     'q_median_price': q_median_price,
     'q_lag_orders': q_lag_orders,
+    'q_token_vocab': q_token_vocab,
 }
 
 
@@ -1458,5 +1480,21 @@ ORACLES: Dict[str, str] = {
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey
                      ORDER BY o_orderdate, o_orderkey)
+    """,
+    'q_token_vocab': """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(
+                       trim(regexp_replace(lower(text), '\\s+', ' ',
+                                           'g')),
+                       ' '), t -> t <> '')) AS tok
+            FROM documents
+        )
+        SELECT tok,
+               count(*) AS n_occurrences,
+               count(DISTINCT doc_id) AS n_docs
+        FROM toks GROUP BY tok
+        ORDER BY n_occurrences DESC, tok ASC
+        LIMIT 20
     """,
 }
