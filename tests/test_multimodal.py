@@ -246,3 +246,30 @@ class TestWavDecode:
         assert out[2]['duration_ms'] == 1000
         assert out[1]['feature'][0] == pytest.approx(0.1, abs=1e-3)
         assert out[2]['feature'][7] == pytest.approx(0.9, abs=1e-3)
+
+
+class TestWavProperties:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        st.lists(st.floats(min_value=-1.0, max_value=1.0,
+                           allow_nan=False, width=32),
+                 min_size=2, max_size=64),
+        st.sampled_from([8000, 16000, 44100]),
+        st.sampled_from([1, 2, 3]),
+        st.sampled_from([(16, 1), (32, 1), (32, 3)]),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_decode_roundtrip(self, samples, rate, n_ch, bits_fmt):
+        import numpy as np
+        bits, fmt_code = bits_fmt
+        # replicate each sample across channels so mono avg == input
+        x = np.repeat(np.asarray(samples), n_ch)
+        got_rate, mono = mm.decode_wav(
+            _make_wav(x, rate=rate, n_ch=n_ch, bits=bits,
+                      fmt_code=fmt_code))
+        assert got_rate == rate
+        assert mono.size == len(samples)
+        tol = 1e-4 if bits == 16 else 1e-6
+        assert np.abs(mono - np.asarray(samples)).max() <= tol
