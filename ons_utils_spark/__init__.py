@@ -81,6 +81,8 @@ from .operators.text import (
     fingerprint,
     language_id,
     quality_score,
+    redact_pii,
+    repetition_score,
     strip_html,
     text_stats,
     token_count,
@@ -122,6 +124,7 @@ __all__ = [
     'ivf_topk', 'ivf_centroids', 'ivf_assign',
     'tokenize', 'token_count', 'quality_score', 'language_id',
     'fingerprint', 'text_stats', 'clean_text', 'strip_html',
+    'redact_pii', 'repetition_score',
     'tumbling_window_agg', 'sliding_window_agg', 'session_window_agg',
     'with_watermark', 'write_stream_parquet', 'foreach_batch_sink',
     'SparkStacker', 'stack_spark', 'unstack_spark',

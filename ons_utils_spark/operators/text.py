@@ -70,6 +70,51 @@ def clean_text(col: ColumnOrName) -> SparkCol:
     return F.trim(F.regexp_replace(c, r'\s+', ' '))
 
 
+# PII patterns deliberately use no backreferences/lookarounds so the
+# same pattern runs on Java regex (Spark) and RE2 (DuckDB oracle).
+# Order matters: emails before phones (digits in domains), IPs before
+# phones (dotted runs of digits).
+PII_PATTERNS = (
+    (r'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>'),
+    (r'\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>'),
+    (r'\+?\d[\d() -]{7,}\d', '<PHONE>'),
+)
+
+
+def redact_pii(col: ColumnOrName) -> SparkCol:
+    """Replace emails, IPv4 addresses, and phone-like digit runs with
+    ``<EMAIL>``/``<IP>``/``<PHONE>`` tokens. Pure JVM regex — runs at
+    scan speed; patterns are RE2-safe so oracles can mirror them."""
+    c = convert_to_spark_col(col)
+    for pattern, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, token)
+    return c
+
+
+def repetition_score(col: ColumnOrName, n: int = 2) -> SparkCol:
+    """Fraction of duplicated word n-grams: ``1 - distinct/total`` in
+    [0, 1] (0 for texts shorter than ``n`` tokens).
+
+    The Gopher-style repetition signal for corpus filtering: boiler-
+    plate and spam repeat phrases, clean prose doesn't. Built from the
+    same shifted-slice ``zip_with`` shingling as dedup (O(tokens),
+    JVM-only).
+    """
+    toks = tokenize(normalize_text(col))
+    k = F.size(toks) - (n - 1)
+    shingled = F.slice(toks, 1, F.greatest(k, F.lit(0)))
+    for offset in range(1, n):
+        shifted = F.slice(toks, offset + 1, F.greatest(k, F.lit(0)))
+        shingled = F.zip_with(
+            shingled, shifted, lambda a, b: F.concat_ws(' ', a, b)
+        )
+    return F.when(
+        k >= 1,
+        1.0 - F.size(F.array_distinct(shingled)).cast('double')
+        / F.size(shingled),
+    ).otherwise(F.lit(0.0))
+
+
 def tokenize(col: ColumnOrName) -> SparkCol:
     """Whitespace tokenization → array<string> (empty array for blank)."""
     c = convert_to_spark_col(col)

@@ -828,6 +828,46 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> SparkDF:
     return frame_sample_plan(media, every_ms=2500)
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """PII redaction (``operators.text.redact_pii``): deterministic
+    synthetic PII is appended per doc (the corpus itself carries
+    none), then emails/IPs/phones are replaced by tokens. Patterns
+    are RE2-safe so the oracle runs them verbatim."""
+    (documents,) = _t(spark, sf_dir, 'documents')
+    raw = documents.select(
+        'doc_id',
+        F.concat(
+            F.col('text'),
+            F.lit(' contact user'), F.col('doc_id'),
+            F.lit('@example.com or 10.0.'), F.col('doc_id') % 256,
+            F.lit('.7 or call +44 20 7946 00'), F.col('doc_id') % 89,
+        ).alias('raw'),
+    )
+    red = tx.redact_pii('raw')
+    return raw.select(
+        'doc_id',
+        red.alias('redacted'),
+        F.length(red).alias('redacted_len'),
+    )
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Gopher-style duplicate-bigram fraction, averaged per language
+    (``operators.text.repetition_score``)."""
+    (documents,) = _t(spark, sf_dir, 'documents')
+    return (
+        documents.select(
+            'lang', tx.repetition_score('text', n=2).alias('rep')
+        )
+        .groupBy('lang')
+        .agg(
+            F.count(F.lit(1)).alias('n_docs'),
+            F.round(F.avg('rep'), 6).alias('avg_repetition'),
+            F.round(F.max('rep'), 6).alias('max_repetition'),
+        )
+    )
+
+
 def q_null_safe_join(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Null-safe equi-join: customers with nullified nation keys still
     match the nullified nation row (eqNullSafe)."""
@@ -923,6 +963,8 @@ QUERIES: Dict[str, QueryFn] = {
     'q_median_price': q_median_price,
     'q_lag_orders': q_lag_orders,
     'q_token_vocab': q_token_vocab,
+    'q_redact_pii': q_redact_pii,
+    'q_repetition': q_repetition,
 }
 
 
@@ -1496,5 +1538,54 @@ ORACLES: Dict[str, str] = {
         FROM toks GROUP BY tok
         ORDER BY n_occurrences DESC, tok ASC
         LIMIT 20
+    """,
+    'q_redact_pii': """
+        WITH raw AS (
+            SELECT doc_id,
+                   text || ' contact user' || doc_id
+                        || '@example.com or 10.0.' || (doc_id % 256)
+                        || '.7 or call +44 20 7946 00'
+                        || (doc_id % 89) AS raw
+            FROM documents
+        ), red AS (
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(raw,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                       '<IP>', 'g'),
+                       '\\+?\\d[\\d() -]{7,}\\d', '<PHONE>', 'g')
+                       AS redacted
+            FROM raw
+        )
+        SELECT doc_id, redacted, length(redacted) AS redacted_len
+        FROM red
+    """,
+    'q_repetition': """
+        WITH toks AS (
+            SELECT lang,
+                   list_filter(string_split_regex(
+                       trim(regexp_replace(lower(text), '\\s+', ' ',
+                                           'g')),
+                       ' '), t -> t <> '') AS t
+            FROM documents
+        ), sh AS (
+            SELECT lang, len(t) - 1 AS k,
+                   list_transform(generate_series(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i+1]) AS grams
+            FROM toks
+        ), rep AS (
+            SELECT lang,
+                   CASE WHEN k >= 1 THEN
+                       1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                             / len(grams)
+                   ELSE 0.0 END AS r
+            FROM sh
+        )
+        SELECT lang,
+               count(*) AS n_docs,
+               round(avg(r), 6) AS avg_repetition,
+               round(max(r), 6) AS max_repetition
+        FROM rep GROUP BY lang
     """,
 }

@@ -135,3 +135,54 @@ class TestCleanText:
         df = spark_session.createDataFrame([('<i>x</i>',)], 't string')
         out = df.select(strip_html('t').alias('c')).collect()[0]['c']
         assert out == ' x '
+
+
+class TestRedactPii:
+    def _redact(self, spark_session, raw):
+        from ons_utils_spark.operators.text import redact_pii
+        df = spark_session.createDataFrame([(raw,)], 't string')
+        return df.select(redact_pii('t').alias('c')).collect()[0]['c']
+
+    def test_email_ip_phone(self, spark_session):
+        got = self._redact(
+            spark_session,
+            'mail a.b+c@sub.example.co.uk, ip 10.20.30.40, '
+            'tel +1 (555) 123-4567 done')
+        assert got == 'mail <EMAIL>, ip <IP>, tel <PHONE> done'
+
+    def test_plain_text_untouched(self, spark_session):
+        s = 'no pii here just words and the number 42'
+        assert self._redact(spark_session, s) == s
+
+    def test_email_wins_over_phone(self, spark_session):
+        # digits inside an address must not become <PHONE>
+        assert self._redact(spark_session, 'x 123456789@example.com y') \
+            == 'x <EMAIL> y'
+
+
+class TestRepetitionScore:
+    def _score(self, spark_session, raw, n=2):
+        from ons_utils_spark.operators.text import repetition_score
+        df = spark_session.createDataFrame([(raw,)], 't string')
+        return df.select(
+            repetition_score('t', n=n).alias('c')).collect()[0]['c']
+
+    def test_no_repetition(self, spark_session):
+        assert self._score(spark_session, 'a b c d e') == 0.0
+
+    def test_full_repetition(self, spark_session):
+        # 'x x x x x' → four bigrams, all 'x x' → 1 - 1/4
+        assert self._score(spark_session, 'x x x x x') \
+            == pytest.approx(0.75)
+
+    def test_short_text_zero(self, spark_session):
+        assert self._score(spark_session, 'one') == 0.0
+        assert self._score(spark_session, '') == 0.0
+
+    def test_trigram_mode(self, spark_session):
+        # 'a b a b a b' bigrams: [a b, b a, a b, b a, a b] → 1-2/5
+        assert self._score(spark_session, 'a b a b a b') \
+            == pytest.approx(0.6)
+        # trigrams: [a b a, b a b, a b a, b a b] → 1 - 2/4
+        assert self._score(spark_session, 'a b a b a b', n=3) \
+            == pytest.approx(0.5)
