@@ -77,6 +77,7 @@ from .operators.similarity import (
 )
 from .operators.skew import salted_agg, salted_broadcast_join, with_salt
 from .operators.text import (
+    chunk_text,
     clean_text,
     fingerprint,
     language_id,
@@ -124,7 +125,7 @@ __all__ = [
     'ivf_topk', 'ivf_centroids', 'ivf_assign',
     'tokenize', 'token_count', 'quality_score', 'language_id',
     'fingerprint', 'text_stats', 'clean_text', 'strip_html',
-    'redact_pii', 'repetition_score',
+    'redact_pii', 'repetition_score', 'chunk_text',
     'tumbling_window_agg', 'sliding_window_agg', 'session_window_agg',
     'with_watermark', 'write_stream_parquet', 'foreach_batch_sink',
     'SparkStacker', 'stack_spark', 'unstack_spark',

@@ -115,6 +115,40 @@ def repetition_score(col: ColumnOrName, n: int = 2) -> SparkCol:
     ).otherwise(F.lit(0.0))
 
 
+def chunk_text(
+    col: ColumnOrName,
+    chunk_tokens: int = 512,
+    overlap_tokens: int = 0,
+) -> SparkCol:
+    """Split text into overlapping token-window chunks →
+    ``array<string>`` (empty array for blank text).
+
+    The context-window chunking step of an LLM training pipeline:
+    chunk starts advance by ``chunk_tokens - overlap_tokens``; each
+    chunk holds up to ``chunk_tokens`` whitespace tokens. Pure JVM
+    (``sequence`` + ``transform`` + ``slice``) — one pass, no UDF, no
+    shuffle; fan-out to one-row-per-chunk is the caller's
+    ``posexplode``.
+    """
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError(
+            'need 0 <= overlap_tokens < chunk_tokens, got '
+            f'{overlap_tokens} / {chunk_tokens}'
+        )
+    step = chunk_tokens - overlap_tokens
+    toks = tokenize(col)
+    n = F.size(toks)
+    return F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n, F.lit(step)),
+            lambda s: F.array_join(
+                F.slice(toks, s, chunk_tokens), ' '
+            ),
+        ),
+    ).otherwise(F.array().cast('array<string>'))
+
+
 def tokenize(col: ColumnOrName) -> SparkCol:
     """Whitespace tokenization → array<string> (empty array for blank)."""
     c = convert_to_spark_col(col)

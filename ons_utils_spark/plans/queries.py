@@ -868,6 +868,23 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Context-window chunking (``operators.text.chunk_text``):
+    64-token chunks with 16-token overlap, exploded to one row per
+    chunk with its index and token count."""
+    (documents,) = _t(spark, sf_dir, 'documents')
+    chunked = documents.select(
+        'doc_id',
+        F.posexplode(tx.chunk_text('text', 64, 16))
+        .alias('chunk_idx', 'chunk'),
+    )
+    return chunked.select(
+        'doc_id', 'chunk_idx',
+        F.length('chunk').alias('chunk_chars'),
+        F.size(F.split('chunk', ' ')).alias('chunk_tokens'),
+    )
+
+
 def q_null_safe_join(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Null-safe equi-join: customers with nullified nation keys still
     match the nullified nation row (eqNullSafe)."""
@@ -965,6 +982,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_token_vocab': q_token_vocab,
     'q_redact_pii': q_redact_pii,
     'q_repetition': q_repetition,
+    'q_chunk_docs': q_chunk_docs,
 }
 
 
@@ -1587,5 +1605,29 @@ ORACLES: Dict[str, str] = {
                round(avg(r), 6) AS avg_repetition,
                round(max(r), 6) AS max_repetition
         FROM rep GROUP BY lang
+    """,
+    'q_chunk_docs': """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               t -> t <> '') AS t
+            FROM documents
+        ), ch AS (
+            SELECT doc_id,
+                   list_transform(
+                       generate_series(1, len(t), 48),
+                       s -> array_to_string(
+                           list_slice(t, s, s + 63), ' ')) AS chunks
+            FROM toks WHERE len(t) >= 1
+        ), idx AS (
+            SELECT doc_id,
+                   unnest(generate_series(1, len(chunks))) AS i,
+                   chunks
+            FROM ch
+        )
+        SELECT doc_id, i - 1 AS chunk_idx,
+               length(chunks[i]) AS chunk_chars,
+               len(string_split(chunks[i], ' ')) AS chunk_tokens
+        FROM idx
     """,
 }

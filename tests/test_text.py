@@ -186,3 +186,34 @@ class TestRepetitionScore:
         # trigrams: [a b a, b a b, a b a, b a b] → 1 - 2/4
         assert self._score(spark_session, 'a b a b a b', n=3) \
             == pytest.approx(0.5)
+
+
+class TestChunkText:
+    def _chunks(self, spark_session, raw, chunk, overlap=0):
+        from ons_utils_spark.operators.text import chunk_text
+        df = spark_session.createDataFrame([(raw,)], 't string')
+        return df.select(
+            chunk_text('t', chunk, overlap).alias('c')
+        ).collect()[0]['c']
+
+    def test_exact_multiple(self, spark_session):
+        assert self._chunks(spark_session, 'a b c d', 2) \
+            == ['a b', 'c d']
+
+    def test_ragged_tail(self, spark_session):
+        assert self._chunks(spark_session, 'a b c d e', 2) \
+            == ['a b', 'c d', 'e']
+
+    def test_overlap(self, spark_session):
+        # step = 3 - 1 = 2: starts at tokens 1, 3, 5
+        assert self._chunks(spark_session, 'a b c d e', 3, overlap=1) \
+            == ['a b c', 'c d e', 'e']
+
+    def test_blank_is_empty_array(self, spark_session):
+        assert self._chunks(spark_session, '   ', 4) == []
+
+    def test_bad_overlap_raises(self, spark_session):
+        import pytest as pt
+        from ons_utils_spark.operators.text import chunk_text
+        with pt.raises(ValueError, match='overlap'):
+            chunk_text('t', 4, 4)
