@@ -55,6 +55,20 @@ def report(curated: DataFrame) -> DataFrame:
     )
 
 
+def to_training_chunks(curated: DataFrame, chunk_tokens: int = 256,
+                       overlap_tokens: int = 32) -> DataFrame:
+    """Final corpus-prep step: PII-redact then split each curated doc
+    into overlapping context-window chunks, one row per chunk."""
+    redacted = curated.select(
+        'doc_id', tx.redact_pii(tx.clean_text('text')).alias('text'))
+    return redacted.select(
+        'doc_id',
+        F.posexplode(
+            tx.chunk_text('text', chunk_tokens, overlap_tokens)
+        ).alias('chunk_idx', 'chunk'),
+    )
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.001'
     out_dir = sys.argv[2] if len(sys.argv) > 2 else '/tmp/curated_docs'
@@ -70,8 +84,12 @@ def main() -> None:
           f'removed={n_raw - n_curated}')
     report(curated).show()
 
+    chunks = to_training_chunks(curated)
+    print(f'chunks={chunks.count()}')
+
     write_parquet(curated, os.path.join(out_dir, 'documents'))
     write_parquet(report(curated), os.path.join(out_dir, 'stats'))
+    write_parquet(chunks, os.path.join(out_dir, 'chunks'))
     print(f'wrote {out_dir}')
 
 

@@ -47,3 +47,18 @@ def test_streaming_pipeline_on_testdata(spark_session, tmp_path):
         spark_session, '/root/testdata/sf0.001', str(tmp_path / 'wk'))
     assert stats['n_bronze'] == 1000
     assert stats['n_windows'] > 0
+
+
+def test_training_chunks(spark_session):
+    from examples.training_data_pipeline import to_training_chunks
+
+    docs = spark_session.createDataFrame(
+        [(1, ' '.join(f'w{i}' for i in range(300))
+          + ' mail me@example.com')],
+        'doc_id bigint, text string')
+    chunks = to_training_chunks(docs, chunk_tokens=128,
+                                overlap_tokens=0).collect()
+    # 301 tokens -> chunks of 128/128/45
+    assert [r['chunk_idx'] for r in chunks] == [0, 1, 2]
+    assert all('me@example.com' not in r['chunk'] for r in chunks)
+    assert any('<EMAIL>' in r['chunk'] for r in chunks)
