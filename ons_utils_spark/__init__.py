@@ -79,6 +79,7 @@ from .operators.skew import salted_agg, salted_broadcast_join, with_salt
 from .operators.text import (
     chunk_text,
     clean_text,
+    dedup_lines,
     fingerprint,
     language_id,
     quality_score,
@@ -125,7 +126,7 @@ __all__ = [
     'ivf_topk', 'ivf_centroids', 'ivf_assign',
     'tokenize', 'token_count', 'quality_score', 'language_id',
     'fingerprint', 'text_stats', 'clean_text', 'strip_html',
-    'redact_pii', 'repetition_score', 'chunk_text',
+    'redact_pii', 'repetition_score', 'chunk_text', 'dedup_lines',
     'tumbling_window_agg', 'sliding_window_agg', 'session_window_agg',
     'with_watermark', 'write_stream_parquet', 'foreach_batch_sink',
     'SparkStacker', 'stack_spark', 'unstack_spark',

@@ -149,6 +149,22 @@ def chunk_text(
     ).otherwise(F.array().cast('array<string>'))
 
 
+def dedup_lines(col: ColumnOrName) -> SparkCol:
+    """Remove duplicate lines within a document, keeping first
+    occurrence order — the within-page boilerplate strip (repeated
+    nav/footer lines). ``array_distinct`` preserves first-occurrence
+    order; blank/whitespace-only lines are dropped entirely."""
+    c = convert_to_spark_col(col)
+    # NB: the lambda must be unary — a bare F.trim exposes a second
+    # optional parameter and pyspark then binds the (element, index)
+    # form, silently trimming the index instead of whitespace.
+    lines = F.filter(
+        F.transform(F.split(c, r'\n'), lambda ln: F.trim(ln)),
+        lambda ln: ln != '',
+    )
+    return F.array_join(F.array_distinct(lines), '\n')
+
+
 def tokenize(col: ColumnOrName) -> SparkCol:
     """Whitespace tokenization → array<string> (empty array for blank)."""
     c = convert_to_spark_col(col)

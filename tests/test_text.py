@@ -217,3 +217,24 @@ class TestChunkText:
         from ons_utils_spark.operators.text import chunk_text
         with pt.raises(ValueError, match='overlap'):
             chunk_text('t', 4, 4)
+
+
+class TestDedupLines:
+    def _dedup(self, spark_session, raw):
+        from ons_utils_spark.operators.text import dedup_lines
+        df = spark_session.createDataFrame([(raw,)], 't string')
+        return df.select(dedup_lines('t').alias('c')).collect()[0]['c']
+
+    def test_keeps_first_occurrence_order(self, spark_session):
+        assert self._dedup(
+            spark_session, 'Home\nAbout\nHome\nContent\nAbout'
+        ) == 'Home\nAbout\nContent'
+
+    def test_trims_and_drops_blank_lines(self, spark_session):
+        assert self._dedup(
+            spark_session, '  Menu \n\n   \nMenu\nBody'
+        ) == 'Menu\nBody'
+
+    def test_single_line_passthrough(self, spark_session):
+        assert self._dedup(spark_session, 'just one line') \
+            == 'just one line'
