@@ -36,7 +36,12 @@ from .functions.windows import (
     shifted_within_year_ffill,
     with_global_agg,
 )
-from .functions.approx import approx_distinct, approx_quantile_col, approx_quantiles
+from .functions.approx import (
+    approx_distinct,
+    approx_quantile_col,
+    approx_quantiles,
+    filter_by_percentile_range,
+)
 from .functions.json import json_get, json_struct, with_json_fields
 from .operators.clustering import connected_components, dedup_by_components
 from .operators.concat import UnequalSchemaWarning, concat, promote_dtypes
@@ -133,6 +138,7 @@ __all__ = [
     'with_salt', 'salted_agg', 'salted_broadcast_join',
     'running_totals',
     'approx_distinct', 'approx_quantiles', 'approx_quantile_col',
+    'filter_by_percentile_range',
     'connected_components', 'dedup_by_components',
     'image_features', 'audio_features', 'frame_sample_plan',
 ]

@@ -67,3 +67,37 @@ def approx_quantile_col(
         F.array(*[F.lit(p) for p in probabilities]),
         F.lit(accuracy),
     )
+
+
+def filter_by_percentile_range(
+    df: SparkDF,
+    col: ColumnOrName,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    exact: bool = True,
+) -> SparkDF:
+    """Keep rows whose ``col`` lies within [P_lower, P_upper].
+
+    The outlier-trimming step of a curation pipeline. Bounds are a
+    ONE-ROW aggregate broadcast-cross-joined onto the frame — the
+    scale-safe alternative to a global (single-partition) window.
+    ``exact=True`` uses sort-based ``percentile`` (one extra pass,
+    interpolated, oracle-reproducible); ``exact=False`` uses the
+    t-digest ``approx_percentile`` sketch (map-side partials only —
+    preferred at 100 TB where a 1% error on the trim bound is
+    irrelevant).
+    """
+    if not 0.0 <= lower <= upper <= 1.0:
+        raise ValueError(f'need 0 <= lower <= upper <= 1, '
+                         f'got {lower}/{upper}')
+    c = convert_to_spark_col(col)
+    fn = F.percentile if exact else F.approx_percentile
+    bounds = df.agg(
+        fn(c, F.lit(lower)).alias('__lo'),
+        fn(c, F.lit(upper)).alias('__hi'),
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .filter(c.between(F.col('__lo'), F.col('__hi')))
+        .drop('__lo', '__hi')
+    )

@@ -885,6 +885,22 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_price_trim(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Percentile-range outlier trim (``filter_by_percentile_range``
+    exact mode): keep lineitem rows with extendedprice in [P01, P99],
+    then summarize per return flag. Bounds are a broadcast one-row
+    aggregate, not a global window."""
+    from ..functions.approx import filter_by_percentile_range
+
+    (lineitem,) = _t(spark, sf_dir, 'lineitem')
+    trimmed = filter_by_percentile_range(
+        lineitem, 'l_extendedprice', 0.01, 0.99, exact=True)
+    return trimmed.groupBy('l_returnflag').agg(
+        F.count('*').alias('n_lines'),
+        F.round(F.sum('l_extendedprice'), 2).alias('sum_price'),
+    )
+
+
 def q_null_safe_join(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Null-safe equi-join: customers with nullified nation keys still
     match the nullified nation row (eqNullSafe)."""
@@ -983,6 +999,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_redact_pii': q_redact_pii,
     'q_repetition': q_repetition,
     'q_chunk_docs': q_chunk_docs,
+    'q_price_trim': q_price_trim,
 }
 
 
@@ -1629,5 +1646,18 @@ ORACLES: Dict[str, str] = {
                length(chunks[i]) AS chunk_chars,
                len(string_split(chunks[i], ' ')) AS chunk_tokens
         FROM idx
+    """,
+    'q_price_trim': """
+        WITH bounds AS (
+            SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
+                   quantile_cont(l_extendedprice, 0.99) AS hi
+            FROM lineitem
+        )
+        SELECT l_returnflag,
+               count(*) AS n_lines,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem, bounds
+        WHERE l_extendedprice BETWEEN lo AND hi
+        GROUP BY l_returnflag
     """,
 }

@@ -42,3 +42,42 @@ def test_approx_quantile_col_grouped(lineitem):
         approx_quantile_col('l_quantity', [0.5]).alias('med')
     ).collect()
     assert all(1.0 <= r['med'][0] <= 50.0 for r in out)
+
+
+class TestPercentileRangeFilter:
+    def test_exact_trims_tails(self, spark_session):
+        from ons_utils_spark.functions.approx import (
+            filter_by_percentile_range)
+        df = spark_session.createDataFrame(
+            [(float(i),) for i in range(1, 101)], 'v double')
+        kept = filter_by_percentile_range(df, 'v', 0.1, 0.9)
+        vals = sorted(r['v'] for r in kept.collect())
+        # P10 = 10.9, P90 = 90.1 (interpolated) → keep 11..90
+        assert vals[0] == 11.0 and vals[-1] == 90.0
+        assert len(vals) == 80
+
+    def test_approx_mode_close(self, spark_session):
+        from ons_utils_spark.functions.approx import (
+            filter_by_percentile_range)
+        df = spark_session.createDataFrame(
+            [(float(i),) for i in range(1000)], 'v double')
+        n = filter_by_percentile_range(
+            df, 'v', 0.05, 0.95, exact=False).count()
+        assert 850 <= n <= 950
+
+    def test_bad_bounds_raise(self, spark_session):
+        import pytest as pt
+        from ons_utils_spark.functions.approx import (
+            filter_by_percentile_range)
+        df = spark_session.createDataFrame([(1.0,)], 'v double')
+        with pt.raises(ValueError, match='lower'):
+            filter_by_percentile_range(df, 'v', 0.9, 0.1)
+
+    def test_broadcast_in_plan(self, spark_session):
+        from ons_utils_spark.functions.approx import (
+            filter_by_percentile_range)
+        df = spark_session.createDataFrame(
+            [(float(i),) for i in range(50)], 'v double')
+        plan = filter_by_percentile_range(
+            df, 'v')._jdf.queryExecution().toString()
+        assert 'Broadcast' in plan
