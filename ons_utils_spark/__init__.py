@@ -33,6 +33,7 @@ from .functions.windows import (
     ffill,
     get_ordered_window_spec,
     get_window_spec,
+    sessionize,
     shifted_within_year_ffill,
     with_global_agg,
 )
@@ -117,7 +118,7 @@ __all__ = [
     'get_fields', 'get_ddl_schema', 'map_column_names', 'to_list',
     'get_table_columns', 'get_first_group',
     'get_window_spec', 'get_ordered_window_spec', 'ffill', 'bfill',
-    'with_global_agg', 'shifted_within_year_ffill',
+    'with_global_agg', 'shifted_within_year_ffill', 'sessionize',
     'concat', 'promote_dtypes', 'UnequalSchemaWarning',
     'grouped_apply',
     'broadcast_join', 'null_safe_join', 'semi_join', 'anti_join',

@@ -126,3 +126,35 @@ def shifted_within_year_ffill(
             .rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
+
+
+def sessionize(
+    df: SparkDF,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+    order_cols: Optional[Sequence[str]] = None,
+    session_col: str = 'session_id',
+) -> SparkDF:
+    """Assign gap-based session ids per user (0-based, in time order).
+
+    A new session starts when the gap since the user's previous event
+    exceeds ``gap_seconds``. Classic lag-flag-cumsum over ONE ordered
+    window (one shuffle on ``user_col``); pass ``order_cols`` to break
+    timestamp ties deterministically. Complements
+    ``streaming.windows.session_window_agg`` (which merges windows
+    but does not expose ids on the event rows).
+    """
+    order = [ts_col, *(order_cols or [])]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    epoch = F.col(ts_col).cast('long')
+    prev = F.lag(F.col(ts_col)).over(w).cast('long')
+    new_session = F.when(
+        prev.isNull() | ((epoch - prev) > gap_seconds), 1
+    ).otherwise(0)
+    return df.withColumn(
+        session_col,
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ) - 1,
+    )

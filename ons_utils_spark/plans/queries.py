@@ -901,6 +901,24 @@ def q_price_trim(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Gap-based sessionization (``functions.windows.sessionize``,
+    30-min gap) summarized per session: lag-flag-cumsum, one shuffle
+    on user_id; ties broken by event_id on both sides."""
+    from ..functions.windows import sessionize
+
+    (events,) = _t(spark, sf_dir, 'events')
+    sessions = sessionize(
+        events, 'user_id', 'ts', gap_seconds=1800,
+        order_cols=['event_id'])
+    return sessions.groupBy('user_id', 'session_id').agg(
+        F.count('*').alias('n_events'),
+        F.round(F.sum('value'), 2).alias('sum_value'),
+        (F.max(F.col('ts').cast('long'))
+         - F.min(F.col('ts').cast('long'))).alias('duration_secs'),
+    )
+
+
 def q_null_safe_join(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Null-safe equi-join: customers with nullified nation keys still
     match the nullified nation row (eqNullSafe)."""
@@ -1000,6 +1018,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_repetition': q_repetition,
     'q_chunk_docs': q_chunk_docs,
     'q_price_trim': q_price_trim,
+    'q_sessionize': q_sessionize,
 }
 
 
@@ -1659,5 +1678,32 @@ ORACLES: Dict[str, str] = {
         FROM lineitem, bounds
         WHERE l_extendedprice BETWEEN lo AND hi
         GROUP BY l_returnflag
+    """,
+    'q_sessionize': """
+        WITH e AS (
+            SELECT user_id, ts, event_id, value,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS es,
+                   lag(CAST(floor(epoch(ts)) AS BIGINT))
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev
+            FROM events
+        ), flagged AS (
+            SELECT user_id, ts, event_id, value, es,
+                   CASE WHEN prev IS NULL OR es - prev > 1800
+                        THEN 1 ELSE 0 END AS f
+            FROM e
+        ), sess AS (
+            SELECT user_id, value, es,
+                   sum(f) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) - 1
+                       AS session_id
+            FROM flagged
+        )
+        SELECT user_id, session_id,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value,
+               max(es) - min(es) AS duration_secs
+        FROM sess GROUP BY user_id, session_id
     """,
 }

@@ -188,3 +188,41 @@ class TestArrays:
             expected = np.diff(np.array(raw[r['vec_id']],
                                         dtype=np.float32))
             assert np.allclose(r['d'], expected, rtol=1e-6)
+
+
+class TestSessionize:
+    def test_gap_splits_sessions(self, spark_session):
+        import datetime as dt
+        from ons_utils_spark.functions.windows import sessionize
+        base = dt.datetime(2024, 1, 1, 10, 0)
+
+        def t(minutes):
+            return base + dt.timedelta(minutes=minutes)
+
+        rows = [
+            (1, t(0), 100), (1, t(10), 101),   # session 0
+            (1, t(60), 102),                   # gap 50min > 30 → s1
+            (2, t(0), 200),                    # other user → own s0
+        ]
+        df = spark_session.createDataFrame(
+            rows, 'user_id bigint, ts timestamp, event_id bigint')
+        out = sessionize(df, 'user_id', 'ts', gap_seconds=1800,
+                         order_cols=['event_id'])
+        got = {(r['user_id'], r['event_id']): r['session_id']
+               for r in out.collect()}
+        assert got == {(1, 100): 0, (1, 101): 0, (1, 102): 1,
+                       (2, 200): 0}
+
+    def test_exact_gap_stays_same_session(self, spark_session):
+        import datetime as dt
+        from ons_utils_spark.functions.windows import sessionize
+        base = dt.datetime(2024, 1, 1)
+        df = spark_session.createDataFrame(
+            [(1, base, 1),
+             (1, base + dt.timedelta(seconds=1800), 2),
+             (1, base + dt.timedelta(seconds=3601), 3)],
+            'user_id bigint, ts timestamp, event_id bigint')
+        out = sessionize(df, 'user_id', 'ts', gap_seconds=1800)
+        got = {r['event_id']: r['session_id'] for r in out.collect()}
+        # gap == 1800 is NOT greater → same session; 1801 → new
+        assert got == {1: 0, 2: 0, 3: 1}
