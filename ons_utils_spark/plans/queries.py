@@ -919,6 +919,24 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Explicit GROUPING SETS (status / priority / grand total) in one
+    pass — Catalyst expands to a single Expand+HashAggregate, reading
+    the table once where three UNIONed aggs would read it thrice.
+    ``grouping()`` flags disambiguate set-nulls from data-nulls."""
+    (orders,) = _t(spark, sf_dir, 'orders')
+    orders.createOrReplaceTempView('__orders_gs')
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus) AS g_status,
+               grouping(o_orderpriority) AS g_priority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
 def q_null_safe_join(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Null-safe equi-join: customers with nullified nation keys still
     match the nullified nation row (eqNullSafe)."""
@@ -1019,6 +1037,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_chunk_docs': q_chunk_docs,
     'q_price_trim': q_price_trim,
     'q_sessionize': q_sessionize,
+    'q_grouping_sets': q_grouping_sets,
 }
 
 
@@ -1705,5 +1724,14 @@ ORACLES: Dict[str, str] = {
                round(sum(value), 2) AS sum_value,
                max(es) - min(es) AS duration_secs
         FROM sess GROUP BY user_id, session_id
+    """,
+    'q_grouping_sets': """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus) AS g_status,
+               grouping(o_orderpriority) AS g_priority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
 }
