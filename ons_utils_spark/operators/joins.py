@@ -82,15 +82,22 @@ def as_of_join(
     right_time: Optional[str] = None,
     right_cols: Optional[Sequence[str]] = None,
     direction: str = 'backward',
+    tolerance: Optional[float] = None,
 ) -> SparkDF:
-    """As-of join: for each left row, the latest right row at-or-before
-    (``backward``) / earliest at-or-after (``forward``) its timestamp,
-    within the same ``on`` keys.
+    """As-of join (pandas ``merge_asof`` semantics, distributed).
 
-    Implementation: tag + union both sides, then a single ordered
-    window per key forward/backward-fills the right-side payload onto
-    left rows. One shuffle (on ``on``), no range cross-product — the
-    standard scalable formulation (vs. the naive join+filter+rank which
+    For each left row: the latest right row at-or-before
+    (``backward``), earliest at-or-after (``forward``), or closest
+    either way (``nearest``, ties → backward) within the same ``on``
+    keys. ``tolerance`` (seconds for timestamps, plain units for
+    numeric axes) null-fills matches farther than that from the left
+    time.
+
+    Implementation: tag + union both sides, then ordered windows per
+    key forward/backward-fill the right-side payload onto left rows.
+    ONE shuffle (hash on ``on``) regardless of direction — ``nearest``
+    adds a second sort over the same partitioning, never a second
+    exchange — and no range cross-product (the naive join+filter+rank
     explodes on dense keys).
     """
     on = list_convert(on)
@@ -99,16 +106,21 @@ def as_of_join(
         right_cols = [
             c for c in right.columns if c not in on and c != right_time
         ]
+    if direction not in ('backward', 'forward', 'nearest'):
+        raise ValueError(
+            "direction must be 'backward', 'forward', or 'nearest'")
     left_payload = [c for c in left.columns if c not in on]
     right_dtypes = dict(right.dtypes)
     left_dtypes = dict(left.dtypes)
 
     # Union both sides with the other side's payload NULL-filled; the
     # left payload rides along so no re-join is needed afterwards.
+    # '__rt' carries the matched right time for tolerance/nearest.
     left_tagged = left.select(
         *on,
         F.col(left_time).alias('__t'),
         F.lit(1).alias('__is_left'),
+        F.lit(None).cast(right_dtypes[right_time]).alias('__rt'),
         *[F.col(c).alias(f'__l_{c}') for c in left_payload],
         *[F.lit(None).cast(right_dtypes[c]).alias(f'__r_{c}')
           for c in right_cols],
@@ -117,40 +129,81 @@ def as_of_join(
         *on,
         F.col(right_time).alias('__t'),
         F.lit(0).alias('__is_left'),
+        F.col(right_time).alias('__rt'),
         *[F.lit(None).cast(left_dtypes[c]).alias(f'__l_{c}')
           for c in left_payload],
         *[F.col(c).alias(f'__r_{c}') for c in right_cols],
     )
     union = left_tagged.unionByName(right_tagged)
 
-    if direction == 'backward':
-        # Right rows sort before left rows at equal time so <= matches.
-        spec = (
-            Window.partitionBy(*on)
-            .orderBy(F.col('__t').asc(), F.col('__is_left').asc())
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        fill = F.last
-    elif direction == 'forward':
-        spec = (
-            Window.partitionBy(*on)
-            .orderBy(F.col('__t').asc(), F.col('__is_left').desc())
-            .rowsBetween(0, Window.unboundedFollowing)
-        )
-        fill = F.first
-    else:
-        raise ValueError("direction must be 'backward' or 'forward'")
+    # Right rows sort before left rows at equal time so <= matches
+    # backward; the reverse tie-break makes >= match forward.
+    bwd_spec = (
+        Window.partitionBy(*on)
+        .orderBy(F.col('__t').asc(), F.col('__is_left').asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd_spec = (
+        Window.partitionBy(*on)
+        .orderBy(F.col('__t').asc(), F.col('__is_left').desc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
 
+    def _filled(fill, spec, suffix):
+        return [
+            fill(F.col(f'__r_{c}'), ignorenulls=True)
+            .over(spec).alias(f'__{suffix}_{c}')
+            for c in ['t_match'] + list(right_cols)
+        ]
+
+    # Alias '__rt' under the fill loop name 't_match'.
+    union = union.withColumn('__r_t_match', F.col('__rt'))
+
+    fills = []
+    if direction in ('backward', 'nearest'):
+        fills += _filled(F.last, bwd_spec, 'b')
+    if direction in ('forward', 'nearest'):
+        fills += _filled(F.first, fwd_spec, 'f')
     filled = union.select(
         *on, '__t', '__is_left',
         *[F.col(f'__l_{c}') for c in left_payload],
-        *[fill(F.col(f'__r_{c}'), ignorenulls=True)
-          .over(spec).alias(f'__r_{c}') for c in right_cols],
-    )
-    return filled.filter(F.col('__is_left') == 1).select(
+        *fills,
+    ).filter(F.col('__is_left') == 1)
+
+    def _delta(match_t):
+        return F.abs(F.col('__t').cast('double') - match_t.cast('double'))
+
+    if direction == 'nearest':
+        b_t, f_t = F.col('__b_t_match'), F.col('__f_t_match')
+        use_b = f_t.isNull() | (
+            b_t.isNotNull() & (_delta(b_t) <= _delta(f_t)))
+        picked = [
+            F.when(use_b, F.col(f'__b_{c}'))
+            .otherwise(F.col(f'__f_{c}')).alias(f'__p_{c}')
+            for c in ['t_match'] + list(right_cols)
+        ]
+        filled = filled.select(
+            *on, '__t',
+            *[F.col(f'__l_{c}') for c in left_payload], *picked)
+        prefix = '__p'
+    else:
+        prefix = '__b' if direction == 'backward' else '__f'
+
+    match_t = F.col(f'{prefix}_t_match')
+    if tolerance is not None:
+        in_tol = match_t.isNotNull() & (_delta(match_t) <= tolerance)
+        out_cols = [
+            F.when(in_tol, F.col(f'{prefix}_{c}'))
+            .otherwise(F.lit(None).cast(right_dtypes[c])).alias(c)
+            for c in right_cols
+        ]
+    else:
+        out_cols = [F.col(f'{prefix}_{c}').alias(c) for c in right_cols]
+
+    return filled.select(
         *on,
         *[F.col(f'__l_{c}').alias(c) for c in left_payload],
-        *[F.col(f'__r_{c}').alias(c) for c in right_cols],
+        *out_cols,
     )
 
 

@@ -173,3 +173,57 @@ class TestRangeJoin:
         with pytest.raises(ValueError, match='closed'):
             bucketed_range_join(pts, pts, 'x', 'x', 'x', bucket_width=1,
                                 closed='bogus')
+
+
+class TestAsOfNearestTolerance:
+    def _frames(self, spark_session):
+        import datetime as dt
+        base = dt.datetime(2024, 1, 1)
+
+        def t(m):
+            return base + dt.timedelta(minutes=m)
+
+        left = spark_session.createDataFrame(
+            [(1, t(10), 'l10'), (1, t(31), 'l31'), (1, t(100), 'l100')],
+            'k bigint, ts timestamp, lv string')
+        right = spark_session.createDataFrame(
+            [(1, t(0), 'r0'), (1, t(30), 'r30'), (1, t(35), 'r35')],
+            'k bigint, ts timestamp, rv string')
+        return left, right
+
+    def test_nearest_picks_closest_with_backward_ties(
+            self, spark_session):
+        from ons_utils_spark.operators.joins import as_of_join
+        left, right = self._frames(spark_session)
+        out = {r['lv']: r['rv'] for r in as_of_join(
+            left, right, on='k', left_time='ts',
+            direction='nearest').collect()}
+        # l10: r0 (10m) vs r30 (20m) -> r0; l31: r30 (1m) closer than
+        # r35 (4m); l100: r35 (backward only)
+        assert out == {'l10': 'r0', 'l31': 'r30', 'l100': 'r35'}
+
+    def test_tolerance_nulls_far_matches(self, spark_session):
+        from ons_utils_spark.operators.joins import as_of_join
+        left, right = self._frames(spark_session)
+        out = {r['lv']: r['rv'] for r in as_of_join(
+            left, right, on='k', left_time='ts',
+            direction='backward', tolerance=600).collect()}
+        # backward matches: l10<-r0 (600s, AT tolerance: kept),
+        # l31<-r30 (60s kept), l100<-r35 (3900s -> nulled)
+        assert out == {'l10': 'r0', 'l31': 'r30', 'l100': None}
+
+    def test_nearest_with_tolerance(self, spark_session):
+        from ons_utils_spark.operators.joins import as_of_join
+        left, right = self._frames(spark_session)
+        out = {r['lv']: r['rv'] for r in as_of_join(
+            left, right, on='k', left_time='ts',
+            direction='nearest', tolerance=120).collect()}
+        assert out == {'l10': None, 'l31': 'r30', 'l100': None}
+
+    def test_bad_direction_raises(self, spark_session):
+        import pytest as pt
+        from ons_utils_spark.operators.joins import as_of_join
+        left, right = self._frames(spark_session)
+        with pt.raises(ValueError, match='direction'):
+            as_of_join(left, right, on='k', left_time='ts',
+                       direction='sideways')
