@@ -364,6 +364,26 @@ def q_asof_user_purchase(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """as_of_join with tolerance: each click tagged with the user's
+    most recent purchase, but only if it happened within the last
+    hour. The DuckDB oracle is a native ASOF LEFT JOIN plus the same
+    interval cut."""
+    (events,) = _t(spark, sf_dir, 'events')
+    clicks = events.filter(F.col('event_type') == 'click').select(
+        'event_id', 'user_id', 'ts')
+    purchases = events.filter(F.col('event_type') == 'purchase').select(
+        'user_id', 'ts', F.col('value').alias('purchase_value'))
+    joined = as_of_join(
+        clicks, purchases, on='user_id', left_time='ts',
+        right_cols=['purchase_value'], tolerance=3600.0,
+    )
+    return joined.select(
+        'event_id', 'user_id',
+        F.round('purchase_value', 2).alias('purchase_value'),
+    )
+
+
 # --------------------------------------------------------------------
 # Events: JSON + time windows (streaming-ready shapes, run in batch)
 # --------------------------------------------------------------------
@@ -1038,6 +1058,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_price_trim': q_price_trim,
     'q_sessionize': q_sessionize,
     'q_grouping_sets': q_grouping_sets,
+    'q_asof_tolerance': q_asof_tolerance,
 }
 
 
@@ -1733,5 +1754,20 @@ ORACLES: Dict[str, str] = {
                round(sum(o_totalprice), 2) AS total_price
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    'q_asof_tolerance': """
+        WITH clicks AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'click'
+        ), purch AS (
+            SELECT user_id, ts, value FROM events
+            WHERE event_type = 'purchase'
+        )
+        SELECT c.event_id, c.user_id,
+               CASE WHEN p.ts IS NOT NULL
+                         AND epoch(c.ts) - epoch(p.ts) <= 3600.0
+                    THEN round(p.value, 2) END AS purchase_value
+        FROM clicks c ASOF LEFT JOIN purch p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
     """,
 }
