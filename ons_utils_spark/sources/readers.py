@@ -116,3 +116,26 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    **options,
+) -> SparkDF:
+    """ORC scan — same pushdown/pruning properties as parquet (both
+    columnar with min/max stats; pick by ecosystem, not performance)."""
+    return spark.read.options(**options).orc(path)
+
+
+def write_orc(
+    df: SparkDF,
+    path: str,
+    mode: str = 'overwrite',
+    partition_by: Optional[Iterable[str]] = None,
+) -> None:
+    """ORC sink; partition by low-cardinality keys for pruning."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

@@ -134,3 +134,31 @@ class TestBucketing:
         finally:
             spark_session.sql('DROP TABLE IF EXISTS r4')
             spark_session.sql('DROP TABLE IF EXISTS r8')
+
+
+class TestOrc:
+    def test_orc_roundtrip_with_pushdown(self, spark_session, tmp_path):
+        from pyspark.sql import functions as F
+        from ons_utils_spark.sources.readers import read_orc, write_orc
+
+        df = spark_session.createDataFrame(
+            [(i, f'n{i}') for i in range(100)], 'id bigint, name string')
+        path = str(tmp_path / 'orc')
+        write_orc(df, path)
+        back = read_orc(spark_session, path)
+        assert back.count() == 100
+        filtered = back.filter(F.col('id') < 10)
+        plan = filtered._jdf.queryExecution().executedPlan().toString()
+        assert 'PushedFilters: [IsNotNull(id), LessThan(id,10)]' in plan
+        assert filtered.count() == 10
+
+    def test_orc_partitioned_write(self, spark_session, tmp_path):
+        import os
+        from ons_utils_spark.sources.readers import write_orc
+
+        df = spark_session.createDataFrame(
+            [('a', 1), ('b', 2)], 'k string, v bigint')
+        path = str(tmp_path / 'orc_part')
+        write_orc(df, path, partition_by=['k'])
+        assert {d for d in os.listdir(path) if d.startswith('k=')} \
+            == {'k=a', 'k=b'}
