@@ -112,3 +112,63 @@ class TestTupleProperties:
         assert list(t) == li
         if isinstance(x, (str, int)):
             assert t == (x,) and li == [x]
+
+
+class TestConcatProperties:
+    """Whole-operator property: concat over random frame sets with
+    drifted schemas preserves rows, unions columns in first-seen
+    order, null-fills gaps, and promotes dtypes per the lattice."""
+
+    DTYPES = ['int', 'bigint', 'double', 'string']
+    COLS = ['c0', 'c1', 'c2']
+
+    @staticmethod
+    def _value(dtype, i):
+        return str(i) if dtype == 'string' else (
+            float(i) if dtype == 'double' else i)
+
+    @given(
+        st.lists(
+            st.tuples(
+                # per-frame: subset of columns with dtypes, row count
+                st.dictionaries(
+                    st.sampled_from(COLS),
+                    st.sampled_from(DTYPES),
+                    min_size=1, max_size=3,
+                ),
+                st.integers(min_value=1, max_value=3),
+            ),
+            min_size=1, max_size=3,
+        )
+    )
+    @settings(max_examples=12, deadline=None)
+    def test_concat_invariants(self, spark_session, frame_specs):
+        from ons_utils_spark import concat
+
+        frames, first_seen = [], []
+        for cols, n_rows in frame_specs:
+            for c in cols:
+                if c not in first_seen:
+                    first_seen.append(c)
+            schema = ', '.join(f'{c} {t}' for c, t in cols.items())
+            rows = [
+                tuple(self._value(t, i) for t in cols.values())
+                for i in range(n_rows)
+            ]
+            frames.append(spark_session.createDataFrame(rows, schema))
+
+        out = concat(frames)
+        total = sum(n for _, n in frame_specs)
+        assert out.count() == total
+        assert out.columns == first_seen
+
+        out_dtypes = dict(out.dtypes)
+        rows = out.collect()
+        for col in first_seen:
+            member = [spec.get(col) for spec, _ in frame_specs]
+            expected = promote_dtypes(member, mode='spark')
+            assert out_dtypes[col] == expected, (col, member)
+            missing_rows = sum(
+                n for spec, n in frame_specs if col not in spec)
+            assert sum(1 for r in rows if r[col] is None) \
+                == missing_rows, col
