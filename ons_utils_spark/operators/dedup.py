@@ -167,17 +167,22 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    hashed_shingles: Optional[SparkDF] = None,
 ) -> SparkDF:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
     rows → (id, signature) → explode into ``bands`` band-hash keys →
     self-join on (band, band_hash) → distinct (id_a < id_b) pairs.
     Shuffle volume is O(rows × bands), never O(rows²).
+
+    ``hashed_shingles`` (``__id``, ``__hs array<bigint>``) lets the
+    caller supply a precomputed — typically persisted — shingle-hash
+    frame so the (expensive) shingling is not re-derived here.
     """
     rows_per_band = num_hashes // bands
     # Shingle + hash in the JVM (one pass); signature fan-out in a
     # vectorized pandas UDF (Arrow transfer of small long arrays).
-    hashed = df.select(
+    hashed = hashed_shingles if hashed_shingles is not None else df.select(
         F.col(id_col).alias('__id'),
         shingle_hashes(word_shingles(text_col, shingle_n)).alias('__hs'),
     )
@@ -250,14 +255,49 @@ def minhash_dedup(
     iteration (sufficient for dedup; for full clustering run
     connected components on the pair graph).
     """
+    from pyspark import StorageLevel
+
+    # Shingle+hash ONCE and persist (8 B/shingle, spills to disk):
+    # the same frame feeds signature generation AND both sides of the
+    # verification join. Without this the shingle regex/concat
+    # pipeline — the most expensive stage — runs three times.
+    hashed = df.select(
+        F.col(id_col).alias('__id'),
+        shingle_hashes(word_shingles(text_col, shingle_n)).alias('__hs'),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cands = minhash_lsh_candidates(
-        df, id_col, text_col, num_hashes, bands, shingle_n
+        df, id_col, text_col, num_hashes, bands, shingle_n,
+        hashed_shingles=hashed,
     )
-    verified = verify_jaccard(
-        cands, df, id_col, text_col, shingle_n, jaccard_threshold
-    )
+    verified = verify_jaccard_hashed(cands, hashed, jaccard_threshold)
     to_drop = verified.select(F.col('id_b').alias(id_col)).distinct()
     return df.join(to_drop, on=id_col, how='left_anti')
+
+
+def verify_jaccard_hashed(
+    pairs: SparkDF,
+    hashed: SparkDF,
+    threshold: float,
+) -> SparkDF:
+    """Exact Jaccard on precomputed shingle-HASH arrays (``__id``,
+    ``__hs``) — set arithmetic on bigints instead of strings, and no
+    shingle recomputation when ``hashed`` is persisted. Identical to
+    string-shingle Jaccard up to 32-bit hash collisions within a pair
+    (~|shingles|²/2³² — immaterial for near-dup thresholds)."""
+    a = hashed.select(F.col('__id').alias('id_a'),
+                      F.col('__hs').alias('hs_a'))
+    b = hashed.select(F.col('__id').alias('id_b'),
+                      F.col('__hs').alias('hs_b'))
+    return (
+        pairs.join(a, 'id_a').join(b, 'id_b')
+        .withColumn(
+            'jaccard',
+            F.size(F.array_intersect('hs_a', 'hs_b')).cast('double')
+            / F.size(F.array_union('hs_a', 'hs_b')),
+        )
+        .filter(F.col('jaccard') >= threshold)
+        .select('id_a', 'id_b', 'jaccard')
+    )
 
 
 def verify_jaccard(
@@ -268,15 +308,43 @@ def verify_jaccard(
     shingle_n: int,
     threshold: float,
 ) -> SparkDF:
-    """Exact shingle-Jaccard for candidate pairs; keeps pairs >= threshold."""
+    """Exact shingle-Jaccard for candidate pairs; keeps pairs >= threshold.
+
+    Fast path: pairs whose NORMALIZED texts hash equal are exact
+    duplicates (Jaccard 1.0 by construction — identical shingle sets)
+    and skip the shingle join entirely. On web corpora exact
+    duplicates dominate LSH candidates, so this removes most of the
+    array_intersect/union work: only the near-miss tail pays for
+    shingle materialization. (64-bit xxhash equality stands in for
+    string equality; a collision is ~2⁻⁶⁴ per pair.)
+    """
+    fp = df.select(
+        F.col(id_col).alias('__id'),
+        F.xxhash64(normalize_text(text_col)).alias('__fp'),
+    )
+    keyed = (
+        pairs
+        .join(fp.select(F.col('__id').alias('id_a'),
+                        F.col('__fp').alias('__fp_a')), 'id_a')
+        .join(fp.select(F.col('__id').alias('id_b'),
+                        F.col('__fp').alias('__fp_b')), 'id_b')
+    )
+    exact = (
+        keyed.filter(F.col('__fp_a') == F.col('__fp_b'))
+        .select('id_a', 'id_b', F.lit(1.0).alias('jaccard'))
+        .filter(F.lit(1.0) >= threshold)
+    )
+    rest = keyed.filter(F.col('__fp_a') != F.col('__fp_b')) \
+        .select('id_a', 'id_b')
+
     sh = df.select(
         F.col(id_col).alias('__id'),
         word_shingles(text_col, shingle_n).alias('__sh'),
     )
     a = sh.select(F.col('__id').alias('id_a'), F.col('__sh').alias('sh_a'))
     b = sh.select(F.col('__id').alias('id_b'), F.col('__sh').alias('sh_b'))
-    return (
-        pairs.join(a, 'id_a').join(b, 'id_b')
+    near = (
+        rest.join(a, 'id_a').join(b, 'id_b')
         .withColumn(
             'jaccard',
             F.size(F.array_intersect('sh_a', 'sh_b')).cast('double')
@@ -285,6 +353,7 @@ def verify_jaccard(
         .filter(F.col('jaccard') >= threshold)
         .select('id_a', 'id_b', 'jaccard')
     )
+    return exact.unionByName(near)
 
 
 def simhash(text_col: str):
