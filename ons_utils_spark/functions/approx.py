@@ -92,9 +92,13 @@ def filter_by_percentile_range(
                          f'got {lower}/{upper}')
     c = convert_to_spark_col(col)
     fn = F.percentile if exact else F.approx_percentile
+    # Both bounds from ONE aggregate buffer (array of percentages) —
+    # two separate percentile aggs would each buffer the full column.
     bounds = df.agg(
-        fn(c, F.lit(lower)).alias('__lo'),
-        fn(c, F.lit(upper)).alias('__hi'),
+        fn(c, F.array(F.lit(lower), F.lit(upper))).alias('__b')
+    ).select(
+        F.col('__b')[0].alias('__lo'),
+        F.col('__b')[1].alias('__hi'),
     )
     return (
         df.crossJoin(F.broadcast(bounds))
