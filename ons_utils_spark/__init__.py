@@ -47,6 +47,7 @@ from .functions.json import json_get, json_struct, with_json_fields
 from .operators.clustering import connected_components, dedup_by_components
 from .operators.concat import UnequalSchemaWarning, concat, promote_dtypes
 from .operators.dedup import (
+    char_shingles,
     embedding_near_duplicates,
     exact_dedup,
     minhash_dedup,
@@ -127,6 +128,7 @@ __all__ = [
     'get_spark',
     'json_get', 'json_struct', 'with_json_fields',
     'exact_dedup', 'minhash_dedup', 'minhash_lsh_candidates',
+    'char_shingles',
     'simhash_dedup', 'ngram_jaccard_join', 'embedding_near_duplicates',
     'cosine_topk', 'lsh_topk', 'random_hyperplane_lsh',
     'ivf_topk', 'ivf_centroids', 'ivf_assign',

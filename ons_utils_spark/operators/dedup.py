@@ -76,6 +76,35 @@ def word_shingles(text_col: str, n: int = 3):
         .otherwise(F.array(F.concat_ws(' ', toks)))
 
 
+def char_shingles(text_col: str, n: int = 5):
+    """Distinct character n-gram shingles of the normalized text —
+    the dedup unit for scripts without whitespace word boundaries
+    (CJK, Thai) where :func:`word_shingles` degenerates to one giant
+    token. Pure JVM ``sequence``+``substring`` expansion; short texts
+    fall back to a single whole-string shingle."""
+    c = normalize_text(text_col)
+    k = F.length(c) - (n - 1)
+    return F.when(
+        k >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.substring(c, i, n),
+            )
+        ),
+    ).otherwise(F.array(c))
+
+
+def _shingler(kind: str):
+    """'word' → :func:`word_shingles`, 'char' → :func:`char_shingles`
+    (use 'char' for scripts without whitespace word boundaries)."""
+    if kind == 'word':
+        return word_shingles
+    if kind == 'char':
+        return char_shingles
+    raise ValueError(f"shingles must be 'word' or 'char', got {kind!r}")
+
+
 def _splitmix64(x: int) -> int:
     """Deterministic 64-bit mix (splitmix64) for seeding hash families."""
     x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
@@ -168,6 +197,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_n: int = 3,
     hashed_shingles: Optional[SparkDF] = None,
+    shingles: str = 'word',
 ) -> SparkDF:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -184,7 +214,8 @@ def minhash_lsh_candidates(
     # vectorized pandas UDF (Arrow transfer of small long arrays).
     hashed = hashed_shingles if hashed_shingles is not None else df.select(
         F.col(id_col).alias('__id'),
-        shingle_hashes(word_shingles(text_col, shingle_n)).alias('__hs'),
+        shingle_hashes(
+            _shingler(shingles)(text_col, shingle_n)).alias('__hs'),
     )
     sig = hashed.select(
         '__id',
@@ -246,6 +277,7 @@ def minhash_dedup(
     bands: int = 16,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.8,
+    shingles: str = 'word',
 ) -> SparkDF:
     """Remove near-duplicates: LSH candidates → exact Jaccard verify →
     greedy keep-lowest-id.
@@ -263,7 +295,8 @@ def minhash_dedup(
     # pipeline — the most expensive stage — runs three times.
     hashed = df.select(
         F.col(id_col).alias('__id'),
-        shingle_hashes(word_shingles(text_col, shingle_n)).alias('__hs'),
+        shingle_hashes(
+            _shingler(shingles)(text_col, shingle_n)).alias('__hs'),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     cands = minhash_lsh_candidates(
         df, id_col, text_col, num_hashes, bands, shingle_n,

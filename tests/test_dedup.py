@@ -144,3 +144,51 @@ class TestEmbeddingNearDup:
         got = {(r['id_a'], r['id_b']) for r in pairs.collect()}
         assert (1, 2) in got
         assert (1, 4) not in got
+
+
+class TestCharShingles:
+    def _sh(self, spark_session, raw, n=3):
+        from ons_utils_spark.operators.dedup import char_shingles
+        df = spark_session.createDataFrame([(raw,)], 't string')
+        return df.select(
+            char_shingles('t', n).alias('s')).collect()[0]['s']
+
+    def test_basic_trigrams(self, spark_session):
+        assert self._sh(spark_session, 'abcde') \
+            == ['abc', 'bcd', 'cde']
+
+    def test_normalizes_case_and_space(self, spark_session):
+        # 'A  bC' normalizes to 'a bc' -> trigrams 'a b', ' bc'
+        assert self._sh(spark_session, 'A  bC') == ['a b', ' bc']
+
+    def test_distinct(self, spark_session):
+        assert self._sh(spark_session, 'aaaa') == ['aaa']
+
+    def test_short_text_whole_string(self, spark_session):
+        assert self._sh(spark_session, 'ab') == ['ab']
+
+    def test_cjk_no_whitespace(self, spark_session):
+        # word_shingles sees ONE token; char shingles still split
+        got = self._sh(spark_session, '机器学习模型', n=2)
+        assert got == ['机器', '器学', '学习', '习模', '模型']
+
+
+def test_minhash_dedup_char_mode_collapses_cjk(spark_session):
+    """Char-shingle mode dedups whitespace-free text that word mode
+    cannot shingle meaningfully."""
+    from ons_utils_spark.operators.dedup import minhash_dedup
+    base = '机器学习模型在大规模数据集上的分布式训练方法研究综述' * 3
+    rows = [(1, base), (2, base), (3, '完全不同的另一篇文档内容' * 5)]
+    df = spark_session.createDataFrame(rows, 'doc_id bigint, text string')
+    kept = minhash_dedup(df, 'doc_id', 'text', shingle_n=5,
+                         jaccard_threshold=0.8, shingles='char')
+    assert sorted(r['doc_id'] for r in kept.collect()) == [1, 3]
+
+
+def test_bad_shingler_raises(spark_session):
+    import pytest as pt
+    from ons_utils_spark.operators.dedup import minhash_dedup
+    df = spark_session.createDataFrame([(1, 'x')],
+                                       'doc_id bigint, text string')
+    with pt.raises(ValueError, match='shingles'):
+        minhash_dedup(df, shingles='byte').count()
