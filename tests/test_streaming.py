@@ -342,3 +342,32 @@ class TestSinks:
         assert batch_ids == sorted(set(batch_ids))  # distinct, ordered
         got = sorted(e for _, ids in seen for e in ids)
         assert got == list(range(10))
+
+
+class TestStreamStaticJoin:
+    def test_stream_enriched_by_broadcast_dim(
+            self, spark_session, tmp_path):
+        """Stream-static join: each micro-batch joins against a static
+        (broadcastable) dimension with no stateful shuffle."""
+        from pyspark.sql import functions as F
+        from ons_utils_spark.streaming.sinks import write_stream_parquet
+        from ons_utils_spark.streaming.windows import read_event_stream
+
+        in_dir, out_dir = str(tmp_path / 'in'), str(tmp_path / 'out')
+        schema = 'event_id bigint, t timestamp, code string'
+        spark_session.createDataFrame(
+            [(1, ts(0), 'a'), (2, ts(1), 'b'), (3, ts(2), 'zz')],
+            schema).write.parquet(in_dir)
+        dim = spark_session.createDataFrame(
+            [('a', 'Alpha'), ('b', 'Beta')], 'code string, label string')
+
+        stream = read_event_stream(spark_session, in_dir, schema)
+        enriched = stream.join(F.broadcast(dim), 'code', 'left')
+        q = write_stream_parquet(
+            enriched, out_dir, str(tmp_path / 'ckpt'),
+            available_now=True)
+        q.awaitTermination(120)
+
+        got = {r['event_id']: r['label']
+               for r in spark_session.read.parquet(out_dir).collect()}
+        assert got == {1: 'Alpha', 2: 'Beta', 3: None}
