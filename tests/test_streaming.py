@@ -371,3 +371,58 @@ class TestStreamStaticJoin:
         got = {r['event_id']: r['label']
                for r in spark_session.read.parquet(out_dir).collect()}
         assert got == {1: 'Alpha', 2: 'Beta', 3: None}
+
+
+class TestStreamStreamJoin:
+    def test_watermarked_interval_join(self, spark_session, tmp_path):
+        """Stream-stream inner join: clicks matched to impressions
+        within a 30-minute follow window; watermarks on both sides
+        bound the join state."""
+        from pyspark.sql import functions as F
+        from ons_utils_spark.streaming.windows import read_event_stream
+
+        import datetime as dt
+
+        def at(minutes):
+            return dt.datetime(2024, 1, 1, 10, 0) \
+                + dt.timedelta(minutes=minutes)
+
+        imp_dir, clk_dir = str(tmp_path / 'imp'), str(tmp_path / 'clk')
+        spark_session.createDataFrame(
+            [(1, at(0)), (2, at(10)), (3, at(60))],
+            'ad_id bigint, imp_t timestamp').write.parquet(imp_dir)
+        spark_session.createDataFrame(
+            [(1, at(5)), (2, at(55)), (3, at(65)), (9, at(6))],
+            'ad_id bigint, clk_t timestamp').write.parquet(clk_dir)
+
+        imps = read_event_stream(
+            spark_session, imp_dir,
+            'ad_id bigint, imp_t timestamp').withWatermark(
+            'imp_t', '2 hours')
+        clicks = read_event_stream(
+            spark_session, clk_dir,
+            'ad_id bigint, clk_t timestamp').withWatermark(
+            'clk_t', '2 hours')
+
+        joined = imps.join(
+            clicks,
+            on=[
+                imps['ad_id'] == clicks['ad_id'],
+                clicks['clk_t'] >= imps['imp_t'],
+                clicks['clk_t']
+                <= imps['imp_t'] + F.expr('INTERVAL 30 MINUTES'),
+            ],
+        ).select(imps['ad_id'], 'imp_t', 'clk_t')
+
+        q = (joined.writeStream.format('memory')
+             .queryName('ss_join_sink').outputMode('append')
+             .option('checkpointLocation', str(tmp_path / 'ckpt'))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+        got = sorted(
+            r['ad_id'] for r in
+            spark_session.sql('SELECT * FROM ss_join_sink').collect())
+        # ad 1: click 5min after imp -> match; ad 2: 45min -> outside
+        # window; ad 3: 5min -> match; ad 9: no impression.
+        assert got == [1, 3]
