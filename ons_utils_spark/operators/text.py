@@ -257,10 +257,15 @@ def quality_score(
     word_len_ok = (
         F.when((wl >= 2.0) & (wl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
     )
-    return (
+    score = (
         length_ok * 0.4 + stop_component * 0.2
         + punct_component * 0.2 + word_len_ok * 0.2
     )
+    # NULL text is "no document", not a 0.2-quality one (the punct
+    # term's ELSE branch would otherwise leak through the nulls).
+    return F.when(
+        convert_to_spark_col(col).isNull(), F.lit(0.0)
+    ).otherwise(score)
 
 
 def language_id(col: ColumnOrName) -> SparkCol:
@@ -291,7 +296,9 @@ def fingerprint(col: ColumnOrName, bits: int = 64) -> SparkCol:
     """
     norm = normalize_text(col)
     if bits == 64:
-        return F.xxhash64(norm)
+        # xxhash64(NULL) yields the seed (42), which would make every
+        # null document a "duplicate"; propagate NULL like md5 does.
+        return F.when(norm.isNotNull(), F.xxhash64(norm))
     if bits == 128:
         return F.md5(norm)
     raise ValueError('bits must be 64 or 128')

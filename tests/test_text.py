@@ -238,3 +238,36 @@ class TestDedupLines:
     def test_single_line_passthrough(self, spark_session):
         assert self._dedup(spark_session, 'just one line') \
             == 'just one line'
+
+
+class TestNullText:
+    """NULL text propagates sanely: no fake fingerprints, zero
+    quality, 'und' language."""
+
+    def _one(self, spark_session, expr):
+        df = spark_session.createDataFrame(
+            [(None,)], 't string')
+        return df.select(expr.alias('v')).collect()[0]['v']
+
+    def test_fingerprint_null_is_null(self, spark_session):
+        from ons_utils_spark.operators.text import fingerprint
+        assert self._one(spark_session, fingerprint('t', 64)) is None
+        assert self._one(spark_session, fingerprint('t', 128)) is None
+
+    def test_quality_null_is_zero(self, spark_session):
+        from ons_utils_spark.operators.text import quality_score
+        assert self._one(spark_session, quality_score('t')) == 0.0
+
+    def test_langid_null_is_und(self, spark_session):
+        from ons_utils_spark.operators.text import language_id
+        assert self._one(spark_session, language_id('t')) == 'und'
+
+    def test_exact_dedup_groups_nulls(self, spark_session):
+        """All-null texts dedup to one row (null == null for
+        grouping) — pinned so the behavior is deliberate."""
+        from ons_utils_spark import exact_dedup
+        df = spark_session.createDataFrame(
+            [(1, None), (2, None), (3, 'x')],
+            'doc_id bigint, text string')
+        ids = sorted(r['doc_id'] for r in exact_dedup(df).collect())
+        assert ids == [1, 3]
