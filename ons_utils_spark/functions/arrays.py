@@ -62,5 +62,12 @@ def l2_norm(a: ColumnOrName) -> SparkCol:
 
 
 def cosine_similarity(a: ColumnOrName, b: ColumnOrName) -> SparkCol:
-    """Cosine similarity of two array columns (NULL-safe via division)."""
-    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity of two array columns.
+
+    NULL in → NULL out, and zero-norm vectors yield NULL instead of
+    raising: under ANSI mode (Spark 4 default) a plain division
+    throws DIVIDE_BY_ZERO, so one empty/zero embedding in a 100 TB
+    corpus would otherwise kill the whole job. ``try_divide`` keeps
+    the expression codegen'd.
+    """
+    return F.try_divide(dot_product(a, b), l2_norm(a) * l2_norm(b))

@@ -159,3 +159,22 @@ class TestIvfTopK:
     def test_nprobe_validation(self, corpus, qset):
         with pytest.raises(ValueError, match='nprobe'):
             sim.ivf_topk(corpus, qset, n_clusters=4, nprobe=5)
+
+
+class TestDegenerateVectors:
+    def test_zero_norm_and_null_dont_crash_ansi(self, spark_session):
+        """ANSI mode turns divide-by-zero into a job-killing error;
+        cosine must yield NULL for zero/NULL vectors instead."""
+        from ons_utils_spark import cosine_topk
+        corpus = spark_session.createDataFrame(
+            [(1, [1.0, 0.0]), (2, None), (3, [0.0, 0.0]),
+             (4, [0.6, 0.8])],
+            'vec_id bigint, embedding array<float>')
+        queries = spark_session.createDataFrame(
+            [(0, [1.0, 0.0])],
+            'query_id bigint, query_vec array<float>')
+        rows = {r['vec_id']: r['cosine']
+                for r in cosine_topk(corpus, queries, k=4).collect()}
+        assert rows[1] == 1.0
+        assert abs(rows[4] - 0.6) < 1e-6
+        assert rows.get(2) is None and rows.get(3) is None
