@@ -939,6 +939,28 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_char_shingles(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Character 5-gram shingle profile per source (the CJK-capable
+    dedup unit, ``operators.dedup.char_shingles``): distinct-shingle
+    counts and their ratio to text length."""
+    from ..operators.dedup import char_shingles
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    sh = documents.select(
+        'source',
+        F.size(char_shingles('text', 5)).alias('n_shingles'),
+        F.length(tx.normalize_text('text')).alias('n_norm_chars'),
+    )
+    return sh.groupBy('source').agg(
+        F.count(F.lit(1)).alias('n_docs'),
+        F.sum('n_shingles').alias('total_shingles'),
+        F.round(
+            F.avg(F.col('n_shingles').cast('double')
+                  / F.greatest(F.col('n_norm_chars'), F.lit(1))), 6
+        ).alias('avg_shingle_ratio'),
+    )
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Explicit GROUPING SETS (status / priority / grand total) in one
     pass — Catalyst expands to a single Expand+HashAggregate, reading
@@ -1059,6 +1081,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_sessionize': q_sessionize,
     'q_grouping_sets': q_grouping_sets,
     'q_asof_tolerance': q_asof_tolerance,
+    'q_char_shingles': q_char_shingles,
 }
 
 
@@ -1769,5 +1792,29 @@ ORACLES: Dict[str, str] = {
                     THEN round(p.value, 2) END AS purchase_value
         FROM clicks c ASOF LEFT JOIN purch p
           ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    'q_char_shingles': """
+        WITH norm AS (
+            SELECT source,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                       AS t
+            FROM documents
+        ), sh AS (
+            SELECT source,
+                   CASE WHEN length(t) - 4 >= 1 THEN
+                       len(list_distinct(list_transform(
+                           generate_series(1, length(t) - 4),
+                           i -> substr(t, i, 5))))
+                   ELSE 1 END AS n_shingles,
+                   length(t) AS n_norm_chars
+            FROM norm
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               sum(n_shingles) AS total_shingles,
+               round(avg(CAST(n_shingles AS DOUBLE)
+                         / greatest(n_norm_chars, 1)), 6)
+                   AS avg_shingle_ratio
+        FROM sh GROUP BY source
     """,
 }
