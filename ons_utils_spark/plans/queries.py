@@ -939,6 +939,26 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_lookup_join(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Broadcast-lookup enrichment (``lookup_join`` — the scale path
+    for map_col): customers tagged with a region-band name from a
+    Python dict, no shuffle of the fact side."""
+    from ..functions.columns import lookup_join
+
+    (customer,) = _t(spark, sf_dir, 'customer')
+    bands = {0: 'africa-emea', 1: 'americas', 2: 'asia',
+             3: 'europe', 4: 'middle-east'}
+    tagged = lookup_join(
+        customer.select(
+            'c_custkey', (F.col('c_nationkey') % 5).alias('band_key'),
+            'c_acctbal'),
+        'band_key', bands, 'band_name')
+    return tagged.groupBy('band_name').agg(
+        F.count(F.lit(1)).alias('n_customers'),
+        F.round(F.avg('c_acctbal'), 2).alias('avg_acctbal'),
+    )
+
+
 def q_char_shingles(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Character 5-gram shingle profile per source (the CJK-capable
     dedup unit, ``operators.dedup.char_shingles``): distinct-shingle
@@ -1082,6 +1102,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_grouping_sets': q_grouping_sets,
     'q_asof_tolerance': q_asof_tolerance,
     'q_char_shingles': q_char_shingles,
+    'q_lookup_join': q_lookup_join,
 }
 
 
@@ -1816,5 +1837,17 @@ ORACLES: Dict[str, str] = {
                          / greatest(n_norm_chars, 1)), 6)
                    AS avg_shingle_ratio
         FROM sh GROUP BY source
+    """,
+    'q_lookup_join': """
+        WITH bands(band_key, band_name) AS (
+            VALUES (0, 'africa-emea'), (1, 'americas'), (2, 'asia'),
+                   (3, 'europe'), (4, 'middle-east')
+        )
+        SELECT band_name,
+               count(*) AS n_customers,
+               round(avg(c_acctbal), 2) AS avg_acctbal
+        FROM customer
+        LEFT JOIN bands ON c_nationkey % 5 = band_key
+        GROUP BY band_name
     """,
 }
