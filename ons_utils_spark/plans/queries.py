@@ -939,6 +939,24 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_global_share(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Global-aggregate share via ``with_global_agg`` (broadcast
+    scalar cross-join — the scale-safe alternative to an unpartitioned
+    window): each return flag's share of total revenue."""
+    from ..functions.windows import with_global_agg
+
+    (lineitem,) = _t(spark, sf_dir, 'lineitem')
+    rev = F.col('l_extendedprice') * (1 - F.col('l_discount'))
+    with_total = with_global_agg(
+        lineitem.select('l_returnflag', rev.alias('rev')),
+        F.sum('rev'), 'total_rev')
+    return with_total.groupBy('l_returnflag').agg(
+        F.count(F.lit(1)).alias('n_lines'),
+        F.round((F.sum('rev') / F.first('total_rev')), 6)
+        .alias('revenue_share'),
+    )
+
+
 def q_lookup_join(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Broadcast-lookup enrichment (``lookup_join`` — the scale path
     for map_col): customers tagged with a region-band name from a
@@ -1103,6 +1121,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_asof_tolerance': q_asof_tolerance,
     'q_char_shingles': q_char_shingles,
     'q_lookup_join': q_lookup_join,
+    'q_global_share': q_global_share,
 }
 
 
@@ -1849,5 +1868,14 @@ ORACLES: Dict[str, str] = {
         FROM customer
         LEFT JOIN bands ON c_nationkey % 5 = band_key
         GROUP BY band_name
+    """,
+    'q_global_share': """
+        SELECT l_returnflag,
+               count(*) AS n_lines,
+               round(sum(l_extendedprice * (1 - l_discount))
+                     / (SELECT sum(l_extendedprice * (1 - l_discount))
+                        FROM lineitem), 6) AS revenue_share
+        FROM lineitem
+        GROUP BY l_returnflag
     """,
 }
