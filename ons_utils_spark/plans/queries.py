@@ -939,6 +939,25 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Skew-proof salted broadcast join (``salted_broadcast_join``):
+    lineitem joined to a replicated-per-salt nation-band dimension,
+    so a hot key spreads over 8 tasks. Result is provably identical
+    to the unsalted join — which is exactly what the oracle runs."""
+    from ..operators.skew import salted_broadcast_join
+
+    lineitem, supplier = _t(spark, sf_dir, 'lineitem', 'supplier')
+    dim = supplier.select(
+        F.col('s_suppkey').alias('l_suppkey'), 's_nationkey')
+    joined = salted_broadcast_join(
+        lineitem.select('l_suppkey', 'l_extendedprice'),
+        dim, on='l_suppkey', buckets=8)
+    return joined.groupBy('s_nationkey').agg(
+        F.count(F.lit(1)).alias('n_lines'),
+        F.round(F.sum('l_extendedprice'), 2).alias('total_price'),
+    )
+
+
 def q_global_share(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Global-aggregate share via ``with_global_agg`` (broadcast
     scalar cross-join — the scale-safe alternative to an unpartitioned
@@ -1122,6 +1141,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_char_shingles': q_char_shingles,
     'q_lookup_join': q_lookup_join,
     'q_global_share': q_global_share,
+    'q_salted_join': q_salted_join,
 }
 
 
@@ -1877,5 +1897,12 @@ ORACLES: Dict[str, str] = {
                         FROM lineitem), 6) AS revenue_share
         FROM lineitem
         GROUP BY l_returnflag
+    """,
+    'q_salted_join': """
+        SELECT s_nationkey,
+               count(*) AS n_lines,
+               round(sum(l_extendedprice), 2) AS total_price
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey
     """,
 }
