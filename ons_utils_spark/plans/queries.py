@@ -939,6 +939,20 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_balanced_sample(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Corpus balancing: deterministic per-language cap — keep the 40
+    highest-quality docs per language (``top_k_per_group``, ranked
+    window; ties broken by doc_id so the sample is reproducible)."""
+    (documents,) = _t(spark, sf_dir, 'documents')
+    scored = documents.select(
+        'lang', 'doc_id',
+        F.round(tx.quality_score('text'), 6).alias('quality'),
+    )
+    return top_k_per_group(
+        scored, groups='lang', order_by=['quality', 'doc_id'], k=40,
+    ).select('lang', 'doc_id', 'quality')
+
+
 def q_salted_join(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Skew-proof salted broadcast join (``salted_broadcast_join``):
     lineitem joined to a replicated-per-salt nation-band dimension,
@@ -1142,6 +1156,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_lookup_join': q_lookup_join,
     'q_global_share': q_global_share,
     'q_salted_join': q_salted_join,
+    'q_balanced_sample': q_balanced_sample,
 }
 
 
@@ -1904,5 +1919,49 @@ ORACLES: Dict[str, str] = {
                round(sum(l_extendedprice), 2) AS total_price
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         GROUP BY s_nationkey
+    """,
+    'q_balanced_sample': """
+        WITH toks AS (
+            SELECT lang, doc_id, text,
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               t -> t <> '') AS t
+            FROM documents
+        ), feats AS (
+            SELECT lang, doc_id,
+                   len(t) AS n,
+                   CASE WHEN len(t) >= 10 AND len(t) <= 100000
+                        THEN 1.0 ELSE 0.0 END AS length_ok,
+                   CASE WHEN len(t) > 0 THEN
+                       CAST(len(list_filter(t, x -> lower(x) IN
+                           ('the','a','an','and','or','of','to','in',
+                            'is','it','that','for','on','with','as',
+                            'at','by','be'))) AS DOUBLE) / len(t)
+                   ELSE 0.0 END AS stop_ratio,
+                   CASE WHEN length(text) > 0 THEN
+                       CAST(length(text) - length(regexp_replace(text,
+                           '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                       / length(text)
+                   ELSE 0.0 END AS punct_ratio,
+                   CASE WHEN len(t) > 0 THEN
+                       CAST(list_sum(list_transform(t,
+                           x -> length(x))) AS DOUBLE) / len(t)
+                   ELSE 0.0 END AS wl
+            FROM toks
+        ), scored AS (
+            SELECT lang, doc_id,
+                   round(length_ok * 0.4
+                   + least(stop_ratio * 5.0, 1.0) * 0.2
+                   + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.2
+                   + (CASE WHEN wl >= 2.0 AND wl <= 12.0
+                          THEN 1.0 ELSE 0.0 END) * 0.2, 6) AS quality
+            FROM feats
+        ), ranked AS (
+            SELECT lang, doc_id, quality,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY quality DESC, doc_id DESC) AS rk
+            FROM scored
+        )
+        SELECT lang, doc_id, quality FROM ranked WHERE rk <= 40
     """,
 }
