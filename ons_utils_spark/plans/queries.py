@@ -939,6 +939,30 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_connected_components(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Connected components (large-star/small-star label propagation)
+    on a deterministic chain graph: consecutive suppliers within each
+    nation are linked, so every nation forms ONE chain — the worst
+    case for naive propagation (diameter = nation size). The oracle
+    knows each component must be its nation's min supplier key."""
+    from ..operators.clustering import connected_components
+
+    (supplier,) = _t(spark, sf_dir, 'supplier')
+    w = get_ordered_window_spec('s_nationkey', 's_suppkey')
+    edges = supplier.select(
+        's_nationkey', 's_suppkey',
+        F.lag('s_suppkey').over(w).alias('prev_key'),
+    ).filter(F.col('prev_key').isNotNull()).select(
+        F.col('prev_key').alias('id_a'),
+        F.col('s_suppkey').alias('id_b'),
+    )
+    comps = connected_components(edges)
+    return comps.groupBy('comp').agg(
+        F.count(F.lit(1)).alias('n_nodes'),
+        F.max('node').alias('max_node'),
+    )
+
+
 def q_balanced_sample(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Corpus balancing: deterministic per-language cap — keep the 40
     highest-quality docs per language (``top_k_per_group``, ranked
@@ -1157,6 +1181,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_global_share': q_global_share,
     'q_salted_join': q_salted_join,
     'q_balanced_sample': q_balanced_sample,
+    'q_connected_components': q_connected_components,
 }
 
 
@@ -1963,5 +1988,20 @@ ORACLES: Dict[str, str] = {
             FROM scored
         )
         SELECT lang, doc_id, quality FROM ranked WHERE rk <= 40
+    """,
+    'q_connected_components': """
+        -- Each nation's supplier chain is one component labeled by
+        -- its min supplier key; nodes in edges = all suppliers of
+        -- nations with >= 2 suppliers.
+        WITH sized AS (
+            SELECT s_nationkey,
+                   min(s_suppkey) AS comp,
+                   count(*) AS n,
+                   max(s_suppkey) AS max_node
+            FROM supplier
+            GROUP BY s_nationkey
+            HAVING count(*) >= 2
+        )
+        SELECT comp, n AS n_nodes, max_node FROM sized
     """,
 }
