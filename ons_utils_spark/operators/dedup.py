@@ -80,19 +80,25 @@ def char_shingles(text_col: str, n: int = 5):
     """Distinct character n-gram shingles of the normalized text —
     the dedup unit for scripts without whitespace word boundaries
     (CJK, Thai) where :func:`word_shingles` degenerates to one giant
-    token. Pure JVM ``sequence``+``substring`` expansion; short texts
-    fall back to a single whole-string shingle."""
-    c = normalize_text(text_col)
-    k = F.length(c) - (n - 1)
-    return F.when(
-        k >= 1,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), k),
-                lambda i: F.substring(c, i, n),
-            )
-        ),
-    ).otherwise(F.array(c))
+    token. Short texts fall back to a single whole-string shingle.
+
+    Built like :func:`word_shingles`: split to a char array, then
+    ``n`` shifted slices combined with ``zip_with`` concat. The naive
+    ``transform(sequence(1, k), i -> substring(c, i, n))`` hits
+    pitfall #1 — ``c`` (the normalization regex) is inlined into the
+    per-element lambda and re-evaluated once PER CHARACTER, ~8×
+    slower on real documents.
+    """
+    chars = F.split(normalize_text(text_col), '')
+    k = F.size(chars) - (n - 1)
+    shingled = F.slice(chars, 1, F.greatest(k, F.lit(0)))
+    for offset in range(1, n):
+        shifted = F.slice(chars, offset + 1, F.greatest(k, F.lit(0)))
+        shingled = F.zip_with(
+            shingled, shifted, lambda a, b: F.concat(a, b)
+        )
+    return F.when(k >= 1, F.array_distinct(shingled)) \
+        .otherwise(F.array(F.array_join(chars, '')))
 
 
 def _shingler(kind: str):
