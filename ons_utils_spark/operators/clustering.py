@@ -3,7 +3,8 @@
 Completes the dedup story: LSH/similarity joins emit PAIRS; proper
 duplicate-group handling needs the transitive closure (A~B, B~C ⇒
 {A,B,C} one group). Implemented as iterative label propagation
-(large-star/small-star style) on DataFrames: each node adopts the
+(min-label propagation with pointer doubling) on DataFrames:
+each node adopts the
 minimum id among itself and its neighbors until a fixed point.
 Converges in O(log n) rounds on real dup-graphs (components are
 small); each round is one join + one aggregate.
@@ -55,7 +56,10 @@ def connected_components(
     )
 
     for _ in range(max_iterations):
-        # propagate: each node's new label = min(own, neighbors')
+        # pass 1 — neighbor min: label(a) = min(label(a), label(b))
+        # over edges. Alone this moves labels ONE hop per round, so a
+        # path of length L would need L rounds — the 20-iteration cap
+        # would silently return unconverged labels on long chains.
         neighbor_labels = (
             sym.join(
                 labels, sym['b'] == labels['node'], 'inner'
@@ -66,6 +70,27 @@ def connected_components(
             labels.unionByName(neighbor_labels)
             .groupBy('node')
             .agg(F.min('comp').alias('comp'))
+        )
+        # pass 2 — pointer doubling: label(node) = label(label(node)).
+        # Labels now jump 2^r hops after r rounds, so even a pure
+        # path converges in O(log L) rounds.
+        pointees = new_labels.select(
+            F.col('node').alias('__pnode'),
+            F.col('comp').alias('__pcomp'),
+        )
+        new_labels = (
+            new_labels.join(
+                pointees,
+                new_labels['comp'] == pointees['__pnode'],
+                'left',
+            )
+            .select(
+                'node',
+                F.coalesce(
+                    F.least(F.col('comp'), F.col('__pcomp')),
+                    F.col('comp'),
+                ).alias('comp'),
+            )
             .localCheckpoint()
         )
         changed = (

@@ -940,7 +940,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 def q_connected_components(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """Connected components (large-star/small-star label propagation)
+    """Connected components (min-label propagation + pointer doubling)
     on a deterministic chain graph: consecutive suppliers within each
     nation are linked, so every nation forms ONE chain — the worst
     case for naive propagation (diameter = nation size). The oracle

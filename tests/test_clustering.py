@@ -48,3 +48,15 @@ def test_dedup_by_components_transitive(spark_session):
         for r in dedup_by_components(df, pairs, 'doc_id').collect()
     )
     assert kept == [1, 9]
+
+
+def test_long_chain_converges_within_iteration_cap(spark_session):
+    """A 120-node path must fully converge: 1-hop propagation alone
+    would need 119 rounds; pointer doubling needs ~7."""
+    from ons_utils_spark import connected_components
+    edges = spark_session.createDataFrame(
+        [(i, i + 1) for i in range(100, 220)], 'id_a bigint, id_b bigint')
+    comps = connected_components(edges, max_iterations=20)
+    rows = comps.collect()
+    assert len(rows) == 121
+    assert all(r['comp'] == 100 for r in rows)
