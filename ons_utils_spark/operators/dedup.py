@@ -292,6 +292,14 @@ def minhash_dedup(
     a one-pass approximation of connected components that needs no
     iteration (sufficient for dedup; for full clustering run
     connected components on the pair graph).
+
+    The LSH/verify pipeline runs EAGERLY (the drop-list is
+    ``localCheckpoint``-ed): the expensive shingle cache is released
+    before this returns, so repeated calls in a long-lived session
+    don't accumulate cached partitions, and re-running actions on the
+    result re-executes only the cheap anti-join. (Local checkpoints
+    are not resilient to executor loss; on a real cluster pair this
+    with a checkpoint dir or accept the recompute on failure.)
     """
     from pyspark import StorageLevel
 
@@ -304,12 +312,23 @@ def minhash_dedup(
         shingle_hashes(
             _shingler(shingles)(text_col, shingle_n)).alias('__hs'),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    cands = minhash_lsh_candidates(
-        df, id_col, text_col, num_hashes, bands, shingle_n,
-        hashed_shingles=hashed,
-    )
-    verified = verify_jaccard_hashed(cands, hashed, jaccard_threshold)
-    to_drop = verified.select(F.col('id_b').alias(id_col)).distinct()
+    try:
+        cands = minhash_lsh_candidates(
+            df, id_col, text_col, num_hashes, bands, shingle_n,
+            hashed_shingles=hashed,
+        )
+        verified = verify_jaccard_hashed(cands, hashed, jaccard_threshold)
+        # Materialize the (id-only, tiny relative to df) drop-list and
+        # cut its lineage so the shingle cache can be released now
+        # instead of leaking for the SparkSession lifetime; the blocks
+        # live in executor storage (never the driver) and are cleaned
+        # by the ContextCleaner once the caller drops the result.
+        to_drop = (
+            verified.select(F.col('id_b').alias(id_col)).distinct()
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        hashed.unpersist()
     return df.join(to_drop, on=id_col, how='left_anti')
 
 

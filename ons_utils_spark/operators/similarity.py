@@ -90,6 +90,12 @@ def _hyperplane(dim: int, plane: int, seed: int) -> list:
 
 def _plane_dots(vec_col, dim: int, num_planes: int, seed: int):
     """Array column of ``vec · hyperplane_p`` for p in [0, num_planes)."""
+    if not 1 <= num_planes <= 64:
+        # Bit p of the bucket id is shiftleft(1L, p); Java shift counts
+        # wrap mod 64, so planes beyond 64 would silently alias buckets.
+        raise ValueError(
+            f'num_planes must be in [1, 64], got {num_planes}'
+        )
     dots = []
     for p in range(num_planes):
         w = _hyperplane(dim, p, seed)
@@ -112,7 +118,7 @@ def _signature_from_dots(dots_col):
     bits = F.transform(
         dots_col,
         lambda d, i: F.when(
-            d > 0, F.pow(F.lit(2.0), i).cast('long')
+            d > 0, F.call_function('shiftleft', F.lit(1).cast('long'), i)
         ).otherwise(F.lit(0).cast('long')),
     )
     return F.aggregate(
@@ -157,7 +163,7 @@ def _probe_buckets(dots_col, bucket_col, probes: int):
     flips = F.transform(
         ranked,
         lambda s: bucket_col.bitwiseXOR(
-            F.pow(F.lit(2.0), s['p']).cast('long')
+            F.call_function('shiftleft', F.lit(1).cast('long'), s['p'])
         ),
     )
     return F.concat(F.array(bucket_col), flips)

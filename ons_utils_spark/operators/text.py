@@ -62,11 +62,12 @@ def strip_html(col: ColumnOrName) -> SparkCol:
 
 
 def clean_text(col: ColumnOrName) -> SparkCol:
-    """Training-corpus cleanup: strip HTML, drop C0/C1 control chars,
-    collapse whitespace. Case is preserved (use
-    :func:`normalize_text` afterwards for dedup canonicalization)."""
+    """Training-corpus cleanup: strip HTML, drop C0 controls, DEL, and
+    C1 controls (U+0080-U+009F — common in mojibake web text), collapse
+    whitespace. Case is preserved (use :func:`normalize_text`
+    afterwards for dedup canonicalization)."""
     c = strip_html(col)
-    c = F.regexp_replace(c, r'[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '')
+    c = F.regexp_replace(c, r'[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]', '')
     return F.trim(F.regexp_replace(c, r'\s+', ' '))
 
 

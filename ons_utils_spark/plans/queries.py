@@ -822,7 +822,7 @@ def q_clean_text(spark: SparkSession, sf_dir: str) -> SparkDF:
         F.concat(
             F.lit('<div class="d"><script>var x = 1 < 2;</script>'),
             F.col('text'),
-            F.lit(' &amp; <b>tail</b>\x07'),
+            F.lit(' &amp; <b>tail</b>\x07\x85'),
         ).alias('raw'),
     )
     return raw.select(
@@ -1406,7 +1406,8 @@ ORACLES: Dict[str, str] = {
                        ORDER BY doc_id) AS rn
             FROM documents
         )
-        SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM fp WHERE rn = 1 GROUP BY source
     """,
     'q_fingerprint_docs': """
@@ -1689,7 +1690,8 @@ ORACLES: Dict[str, str] = {
         WITH raw AS (
             SELECT doc_id,
                    '<div class="d"><script>var x = 1 < 2;</script>'
-                   || text || ' &amp; <b>tail</b>' || chr(7) AS raw
+                   || text || ' &amp; <b>tail</b>' || chr(7)
+                   || chr(133) AS raw
             FROM documents
         ), s1 AS (
             SELECT doc_id, regexp_replace(regexp_replace(raw,
@@ -1709,8 +1711,8 @@ ORACLES: Dict[str, str] = {
         ), s4 AS (
             SELECT doc_id,
                    trim(regexp_replace(regexp_replace(t,
-                       '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '',
-                       'g'), '\\s+', ' ', 'g')) AS cleaned
+                       '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]',
+                       '', 'g'), '\\s+', ' ', 'g')) AS cleaned
             FROM s3
         )
         SELECT doc_id, cleaned, length(cleaned) AS clean_len FROM s4
@@ -1857,10 +1859,10 @@ ORACLES: Dict[str, str] = {
             FROM e
         ), sess AS (
             SELECT user_id, value, es,
-                   sum(f) OVER (PARTITION BY user_id
+                   CAST(sum(f) OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) - 1
-                       AS session_id
+                       AS BIGINT) AS session_id
             FROM flagged
         )
         SELECT user_id, session_id,

@@ -102,6 +102,23 @@ class TestLshTopK:
         n_buckets = bucketed.select('lsh_bucket').distinct().count()
         assert n_buckets > 4  # corpus actually splits
 
+    def test_64_plane_signature_no_ansi_overflow(self, corpus):
+        """Bit 63 is the long sign bit: shiftleft(1L, 63) must produce
+        a (negative) bucket id, not an ANSI cast-overflow error — the
+        F.pow(2.0, 63)-based formulation failed here."""
+        bucketed = sim.random_hyperplane_lsh(
+            corpus.limit(50), dim=64, num_planes=64
+        )
+        rows = bucketed.select('lsh_bucket').collect()
+        assert len(rows) == 50
+        # With 64 independent sign bits some signature must set bit 63
+        # (probability of none ~2^-50 over 50 rows).
+        assert any(r['lsh_bucket'] < 0 for r in rows)
+
+    def test_num_planes_validation(self, corpus):
+        with pytest.raises(ValueError, match='num_planes'):
+            sim.random_hyperplane_lsh(corpus, dim=64, num_planes=65)
+
 
 class TestIvfTopK:
     @pytest.fixture
