@@ -19,6 +19,7 @@ from typing import Callable, Dict
 
 from pyspark.sql import DataFrame as SparkDF
 from pyspark.sql import SparkSession
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.columns import map_col
@@ -1120,6 +1121,332 @@ def q_distinct_counts(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 # --------------------------------------------------------------------
+# TPC-H breadth (round 2): the join/agg shapes the reference's users
+# express through raw PySpark — two-sided dimension chains, scalar
+# subqueries, HAVING filters, OR-of-ANDs bracket predicates, anti-join
+# "not exists". Each mirrors a classic TPC-H query adapted to the
+# synthetic star schema (no partsupp/shipmode columns in testdata).
+# --------------------------------------------------------------------
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """TPC-H Q7-style: shipping volume between customer and supplier
+    nations per ship-year. The fact-side join shuffles once on
+    orderkey; all four dimensions broadcast (supplier is 0.01% of
+    lineitem at any SF)."""
+    lineitem, orders, customer, supplier, nation = _t(
+        spark, sf_dir, 'lineitem', 'orders', 'customer', 'supplier',
+        'nation')
+    cust_nation = nation.select(
+        F.col('n_nationkey').alias('cn_key'),
+        F.col('n_name').alias('cust_nation'))
+    supp_nation = nation.select(
+        F.col('n_nationkey').alias('sn_key'),
+        F.col('n_name').alias('supp_nation'))
+    return (
+        lineitem
+        .join(orders, F.col('l_orderkey') == F.col('o_orderkey'))
+        .join(F.broadcast(customer),
+              F.col('o_custkey') == F.col('c_custkey'))
+        .join(F.broadcast(supplier),
+              F.col('l_suppkey') == F.col('s_suppkey'))
+        .join(F.broadcast(cust_nation),
+              F.col('c_nationkey') == F.col('cn_key'))
+        .join(F.broadcast(supp_nation),
+              F.col('s_nationkey') == F.col('sn_key'))
+        .filter(F.col('cust_nation') != F.col('supp_nation'))
+        .groupBy('cust_nation', 'supp_nation',
+                 F.year('l_shipdate').alias('ship_year'))
+        .agg(
+            # Sum as DECIMAL: the per-row double product carries <= 4
+            # true decimal digits (2-decimal price × 2-decimal
+            # discount), so the cast is lossless and the decimal sum
+            # is EXACT — no float-summation-order .xx5 rounding
+            # flips across engines (many small groups here make those
+            # near-certain with a double sum).
+            F.round(
+                F.sum((F.col('l_extendedprice')
+                       * (1 - F.col('l_discount')))
+                      .cast('decimal(18,4)')),
+                2,
+            ).cast('double').alias('volume'),
+            F.count(F.lit(1)).alias('n_lines'),
+        )
+    )
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """TPC-H Q14-style: promo revenue share per ship-month —
+    conditional aggregation over a broadcast part join."""
+    lineitem, part = _t(spark, sf_dir, 'lineitem', 'part')
+    rev = F.col('l_extendedprice') * (1 - F.col('l_discount'))
+    return (
+        lineitem
+        .join(F.broadcast(part), F.col('l_partkey') == F.col('p_partkey'))
+        .groupBy(F.date_format('l_shipdate', 'yyyy-MM').alias('ship_month'))
+        .agg(
+            F.round(
+                100 * F.sum(F.when(F.col('p_type') == 'PROMO', rev)
+                            .otherwise(F.lit(0.0))) / F.sum(rev),
+                4,
+            ).alias('promo_share'),
+            F.round(F.sum(rev), 2).alias('total_revenue'),
+        )
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """TPC-H Q15-style: the supplier(s) whose revenue equals the global
+    max — the max is a one-row broadcast scalar (cross join), not a
+    global window, so the revenue agg stays fully partitioned."""
+    from ..functions.windows import with_global_agg
+
+    lineitem, supplier = _t(spark, sf_dir, 'lineitem', 'supplier')
+    revenue = (
+        lineitem
+        .filter((F.col('l_shipdate') >= '1995-01-01')
+                & (F.col('l_shipdate') < '1995-04-01'))
+        .groupBy('l_suppkey')
+        .agg(F.round(
+            F.sum(F.col('l_extendedprice') * (1 - F.col('l_discount'))),
+            2).alias('supp_revenue'))
+    )
+    with_max = with_global_agg(revenue, F.max('supp_revenue'), 'max_rev')
+    return (
+        with_max.filter(F.col('supp_revenue') == F.col('max_rev'))
+        .join(F.broadcast(supplier),
+              F.col('l_suppkey') == F.col('s_suppkey'))
+        .select('s_suppkey', 's_name', 'supp_revenue')
+    )
+
+
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """TPC-H Q16-style: distinct suppliers able to ship each
+    (brand, size) bucket, from the lineitem-part join (testdata has no
+    partsupp table). Two exact distinct aggs in one pass."""
+    lineitem, part = _t(spark, sf_dir, 'lineitem', 'part')
+    return (
+        lineitem
+        .join(F.broadcast(part), F.col('l_partkey') == F.col('p_partkey'))
+        .filter(F.col('p_size') <= 10)
+        .groupBy('p_brand', 'p_size')
+        .agg(
+            F.countDistinct('l_suppkey').alias('supplier_cnt'),
+            F.countDistinct('l_partkey').alias('part_cnt'),
+        )
+    )
+
+
+def q18_big_orders(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """TPC-H Q18-style: orders whose total quantity exceeds 200 —
+    an agg-then-HAVING on the fact table feeding a join back to
+    orders, summarized per priority."""
+    lineitem, orders = _t(spark, sf_dir, 'lineitem', 'orders')
+    big = (
+        lineitem.groupBy('l_orderkey')
+        .agg(F.sum('l_quantity').alias('order_qty'),
+             F.count(F.lit(1)).alias('n_lines'))
+        .filter(F.col('order_qty') > 200)
+    )
+    return (
+        big.join(orders, F.col('l_orderkey') == F.col('o_orderkey'))
+        .groupBy('o_orderpriority')
+        .agg(
+            F.count(F.lit(1)).alias('n_big_orders'),
+            F.round(F.avg('o_totalprice'), 2).alias('avg_totalprice'),
+            F.round(F.max('order_qty'), 2).alias('max_order_qty'),
+        )
+    )
+
+
+def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """TPC-H Q19-style: OR-of-ANDs bracket predicate (brand × size ×
+    quantity bands) evaluated in one scan over the broadcast part
+    join — Catalyst keeps the disjunction in a single Filter."""
+    lineitem, part = _t(spark, sf_dir, 'lineitem', 'part')
+    joined = lineitem.join(
+        F.broadcast(part), F.col('l_partkey') == F.col('p_partkey'))
+    bracket = (
+        ((F.col('p_brand') == 'Brand#1') & (F.col('p_size') <= 15)
+         & F.col('l_quantity').between(1, 20))
+        | ((F.col('p_brand') == 'Brand#2')
+           & F.col('p_size').between(16, 30)
+           & F.col('l_quantity').between(10, 30))
+        | ((F.col('p_type') == 'PROMO') & (F.col('p_size') >= 31)
+           & (F.col('l_quantity') >= 25))
+    )
+    return joined.filter(bracket).agg(
+        F.round(
+            F.sum(F.col('l_extendedprice') * (1 - F.col('l_discount'))), 2
+        ).alias('bracket_revenue'),
+        F.count(F.lit(1)).alias('n_lines'),
+    )
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """TPC-H Q22-style: customers with above-average positive balance
+    and NO urgent orders — scalar-subquery threshold (broadcast
+    one-row agg) plus a left-anti join standing in for NOT EXISTS.
+    (The classic no-orders-at-all predicate is vacuous on the
+    synthetic data: every customer has orders.)"""
+    from ..functions.windows import with_global_agg
+
+    customer, orders = _t(spark, sf_dir, 'customer', 'orders')
+    rich = with_global_agg(
+        customer,
+        F.avg(F.when(F.col('c_acctbal') > 0, F.col('c_acctbal'))),
+        'avg_bal',
+    ).filter(F.col('c_acctbal') > F.col('avg_bal'))
+    urgent = orders.filter(F.col('o_orderpriority') == '1-URGENT')
+    idle = rich.join(
+        urgent, F.col('c_custkey') == F.col('o_custkey'), 'left_anti')
+    return idle.groupBy('c_mktsegment').agg(
+        F.count(F.lit(1)).alias('n_customers'),
+        F.round(F.sum('c_acctbal'), 2).alias('total_acctbal'),
+    )
+
+
+# --------------------------------------------------------------------
+# Analytics extensions (round 2): regression aggregates, time-range
+# rolling windows, deterministic hash sampling, blocked fuzzy
+# matching, n-gram mining, token entropy.
+# --------------------------------------------------------------------
+
+def q_regr_price_size(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Per-brand least-squares fit of retail price on size via the
+    SQL regression aggregates (regr_slope/regr_intercept/corr) — one
+    hash agg, no MLlib, no driver math."""
+    (part,) = _t(spark, sf_dir, 'part')
+    return part.groupBy('p_brand').agg(
+        F.count(F.lit(1)).alias('n_parts'),
+        F.round(F.regr_slope('p_retailprice', 'p_size'), 4)
+        .alias('slope'),
+        F.round(F.regr_intercept('p_retailprice', 'p_size'), 4)
+        .alias('intercept'),
+        F.round(F.corr('p_retailprice', 'p_size'), 4).alias('price_corr'),
+    )
+
+
+def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Trailing 30-day average of daily order revenue — a RANGE-frame
+    window over integer epoch-days, so gaps in the calendar are
+    handled by value, not by row offset. The frame runs over the
+    pre-aggregated daily series (~10³ rows at any SF), so the
+    unpartitioned window is safe at scale."""
+    (orders,) = _t(spark, sf_dir, 'orders')
+    # 2-decimal totalprice → DECIMAL(18,2) is lossless, so daily and
+    # windowed sums are exact (no float-order rounding flips).
+    daily = (
+        orders.groupBy(F.to_date('o_orderdate').alias('d'))
+        .agg(F.sum(F.col('o_totalprice').cast('decimal(18,2)'))
+             .alias('day_rev_dec'))
+        .withColumn('epoch_day', F.unix_date(F.col('d')))
+    )
+    w = Window.orderBy('epoch_day').rangeBetween(-29, 0)
+    return daily.select(
+        F.date_format('d', 'yyyy-MM-dd').alias('day'),
+        F.col('day_rev_dec').cast('double').alias('day_rev'),
+        F.sum('day_rev_dec').over(w).cast('double').alias('sum_30d'),
+        F.count(F.lit(1)).over(w).alias('days_in_window'),
+    )
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Deterministic ~16% corpus sample: keep rows whose md5(doc_id)
+    hex prefix falls below a threshold — reproducible across engines
+    and scales (no RNG state), the standard trick for holdout splits
+    of a 100 TB corpus. Summarized per language."""
+    (documents,) = _t(spark, sf_dir, 'documents')
+    kept = documents.filter(
+        F.substring(F.md5(F.col('doc_id').cast('string')), 1, 2) <= '28'
+    )
+    return kept.groupBy('lang').agg(
+        F.count(F.lit(1)).alias('n_kept'),
+        F.sum('n_chars').alias('chars_kept'),
+    )
+
+
+def q_fuzzy_parts(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Blocked fuzzy matching (entity-resolution shape): part-name
+    pairs within a (brand, size) block at Levenshtein distance <= 4.
+    Blocking bounds the quadratic term — max 28 rows per block in the
+    testdata, so the self-join never explodes; at 100 TB the same
+    plan holds as long as blocks stay bounded (salt oversized blocks).
+    """
+    (part,) = _t(spark, sf_dir, 'part')
+    a = part.select(F.col('p_brand').alias('brand'),
+                    F.col('p_size').alias('size'),
+                    F.col('p_partkey').alias('key_a'),
+                    F.col('p_name').alias('name_a'))
+    b = part.select(F.col('p_brand').alias('brand'),
+                    F.col('p_size').alias('size'),
+                    F.col('p_partkey').alias('key_b'),
+                    F.col('p_name').alias('name_b'))
+    pairs = (
+        a.join(b, on=['brand', 'size'])
+        .filter(F.col('key_a') < F.col('key_b'))
+        .withColumn('dist', F.levenshtein('name_a', 'name_b'))
+        .filter(F.col('dist') <= 4)
+    )
+    return pairs.groupBy('brand').agg(
+        F.count(F.lit(1)).alias('n_pairs'),
+        F.round(F.avg('dist'), 4).alias('avg_dist'),
+        F.min('dist').alias('min_dist'),
+    )
+
+
+def q_bigrams_top(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Top-3 word bigrams per language — n-gram mining via the
+    shifted-slice zip_with pattern (O(tokens), no per-element regex
+    re-evaluation), explode, count, ranked-window top-k with
+    deterministic tie-break."""
+    (documents,) = _t(spark, sf_dir, 'documents')
+    toks = F.split(tx.normalize_text('text'), ' ')
+    k = F.size(toks) - 1
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(k, F.lit(0))),
+        F.slice(toks, 2, F.greatest(k, F.lit(0))),
+        lambda x, y: F.concat_ws(' ', x, y),
+    )
+    counts = (
+        documents.select('lang', F.explode(bigrams).alias('bigram'))
+        .groupBy('lang', 'bigram')
+        .agg(F.count(F.lit(1)).alias('n'))
+    )
+    w = Window.partitionBy('lang').orderBy(
+        F.col('n').desc(), F.col('bigram').asc())
+    return (
+        counts.withColumn('rank', F.row_number().over(w))
+        .filter(F.col('rank') <= 3)
+        .select('lang', 'rank', 'bigram', 'n')
+    )
+
+
+def q_entropy_tokens(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Shannon entropy of the token distribution per source, via the
+    closed form H = ln(N) - (Σ c·ln c)/N — two hash aggs, no window,
+    no per-token probability join."""
+    (documents,) = _t(spark, sf_dir, 'documents')
+    counts = (
+        documents.select(
+            'source',
+            F.explode(F.split(tx.normalize_text('text'), ' '))
+            .alias('token'))
+        .filter(F.col('token') != '')
+        .groupBy('source', 'token')
+        .agg(F.count(F.lit(1)).alias('c'))
+    )
+    return counts.groupBy('source').agg(
+        F.sum('c').alias('n_tokens'),
+        F.count(F.lit(1)).alias('n_distinct'),
+        F.round(
+            F.log(F.sum('c'))
+            - F.sum(F.col('c') * F.log('c')) / F.sum('c'),
+            5,
+        ).alias('entropy'),
+    )
+
+
+# --------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------
 
@@ -1182,6 +1509,19 @@ QUERIES: Dict[str, QueryFn] = {
     'q_salted_join': q_salted_join,
     'q_balanced_sample': q_balanced_sample,
     'q_connected_components': q_connected_components,
+    'q7_nation_volume': q7_nation_volume,
+    'q14_promo_share': q14_promo_share,
+    'q15_top_supplier': q15_top_supplier,
+    'q16_supplier_variety': q16_supplier_variety,
+    'q18_big_orders': q18_big_orders,
+    'q19_bracket_revenue': q19_bracket_revenue,
+    'q22_idle_customers': q22_idle_customers,
+    'q_regr_price_size': q_regr_price_size,
+    'q_rolling_revenue': q_rolling_revenue,
+    'q_hash_sample': q_hash_sample,
+    'q_fuzzy_parts': q_fuzzy_parts,
+    'q_bigrams_top': q_bigrams_top,
+    'q_entropy_tokens': q_entropy_tokens,
 }
 
 
@@ -2005,5 +2345,180 @@ ORACLES: Dict[str, str] = {
             HAVING count(*) >= 2
         )
         SELECT comp, n AS n_nodes, max_node FROM sized
+    """,
+    'q7_nation_volume': """
+        SELECT cn.n_name AS cust_nation,
+               sn.n_name AS supp_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS volume,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE cn.n_name <> sn.n_name
+        GROUP BY 1, 2, 3
+    """,
+    'q14_promo_share': """
+        SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+               round(100 * sum(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount)
+                     ELSE 0 END)
+                   / sum(l_extendedprice * (1 - l_discount)), 4)
+                   AS promo_share,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS total_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1
+    """,
+    'q15_top_supplier': """
+        WITH revenue AS (
+            SELECT l_suppkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS supp_revenue
+            FROM lineitem
+            WHERE l_shipdate >= '1995-01-01'
+              AND l_shipdate < '1995-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, supp_revenue
+        FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        WHERE supp_revenue = (SELECT max(supp_revenue) FROM revenue)
+    """,
+    'q16_supplier_variety': """
+        SELECT p_brand, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt,
+               count(DISTINCT l_partkey) AS part_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_size <= 10
+        GROUP BY p_brand, p_size
+    """,
+    'q18_big_orders': """
+        WITH big AS (
+            SELECT l_orderkey, sum(l_quantity) AS order_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum(l_quantity) > 200
+        )
+        SELECT o_orderpriority,
+               count(*) AS n_big_orders,
+               round(avg(o_totalprice), 2) AS avg_totalprice,
+               round(max(order_qty), 2) AS max_order_qty
+        FROM big JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+    'q19_bracket_revenue': """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS bracket_revenue,
+               count(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size <= 15
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 16 AND 30
+               AND l_quantity BETWEEN 10 AND 30)
+           OR (p_type = 'PROMO' AND p_size >= 31 AND l_quantity >= 25)
+    """,
+    'q22_idle_customers': """
+        SELECT c_mktsegment,
+               count(*) AS n_customers,
+               round(sum(c_acctbal), 2) AS total_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment
+    """,
+    'q_regr_price_size': """
+        SELECT p_brand,
+               count(*) AS n_parts,
+               round(regr_slope(p_retailprice, p_size), 4) AS slope,
+               round(regr_intercept(p_retailprice, p_size), 4)
+                   AS intercept,
+               round(corr(p_retailprice, p_size), 4) AS price_corr
+        FROM part GROUP BY p_brand
+    """,
+    'q_rolling_revenue': """
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS day_rev_dec
+            FROM orders GROUP BY 1
+        )
+        SELECT strftime(d, '%Y-%m-%d') AS day,
+               CAST(day_rev_dec AS DOUBLE) AS day_rev,
+               CAST(sum(day_rev_dec) OVER w AS DOUBLE) AS sum_30d,
+               count(*) OVER w AS days_in_window
+        FROM daily
+        WINDOW w AS (ORDER BY date_diff('day', DATE '1970-01-01', d)
+                     RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+    """,
+    'q_hash_sample': """
+        SELECT lang,
+               count(*) AS n_kept,
+               CAST(sum(n_chars) AS BIGINT) AS chars_kept
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '28'
+        GROUP BY lang
+    """,
+    'q_fuzzy_parts': """
+        SELECT a.p_brand AS brand,
+               count(*) AS n_pairs,
+               round(avg(levenshtein(a.p_name, b.p_name)), 4)
+                   AS avg_dist,
+               CAST(min(levenshtein(a.p_name, b.p_name)) AS INTEGER)
+                   AS min_dist
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+         AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 4
+        GROUP BY 1
+    """,
+    'q_bigrams_top': """
+        WITH toks AS (
+            SELECT lang,
+                   string_split(trim(regexp_replace(lower(text),
+                       '\\s+', ' ', 'g')), ' ') AS w
+            FROM documents
+        ), bg AS (
+            SELECT lang,
+                   unnest(list_transform(
+                       generate_series(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i + 1])) AS bigram
+            FROM toks
+        ), counts AS (
+            SELECT lang, bigram, count(*) AS n
+            FROM bg GROUP BY lang, bigram
+        )
+        SELECT lang,
+               CAST(row_number() OVER (PARTITION BY lang
+                    ORDER BY n DESC, bigram ASC) AS INTEGER) AS rank,
+               bigram, n
+        FROM counts
+        QUALIFY rank <= 3
+    """,
+    'q_entropy_tokens': """
+        WITH counts AS (
+            SELECT source, tok, count(*) AS c
+            FROM (
+                SELECT source,
+                       unnest(string_split(trim(regexp_replace(
+                           lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+                FROM documents
+            )
+            WHERE tok <> ''
+            GROUP BY source, tok
+        )
+        SELECT source,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               count(*) AS n_distinct,
+               round(ln(CAST(sum(c) AS DOUBLE))
+                     - sum(c * ln(CAST(c AS DOUBLE)))
+                       / CAST(sum(c) AS DOUBLE), 5) AS entropy
+        FROM counts GROUP BY source
     """,
 }

@@ -1,0 +1,121 @@
+"""Semantic invariants for the round-2 query additions.
+
+Value-level parity with DuckDB is pinned by the oracle gate
+(tools/check_correctness.py); these tests pin the invariants a hash
+can't express — bounds, monotonicity, determinism — at sf0.001.
+"""
+from __future__ import annotations
+
+import pytest
+
+from ons_utils_spark.plans.queries import QUERIES
+
+SF = '/root/testdata/sf0.001'
+
+
+def run(spark, name):
+    return QUERIES[name](spark, SF)
+
+
+class TestTpchBreadth:
+    def test_q7_no_self_pairs_and_positive_volume(self, spark_session):
+        rows = run(spark_session, 'q7_nation_volume').collect()
+        assert rows
+        assert all(r['cust_nation'] != r['supp_nation'] for r in rows)
+        assert all(r['volume'] > 0 and r['n_lines'] > 0 for r in rows)
+
+    def test_q14_share_bounded(self, spark_session):
+        rows = run(spark_session, 'q14_promo_share').collect()
+        assert rows
+        assert all(0.0 <= r['promo_share'] <= 100.0 for r in rows)
+
+    def test_q15_single_max_supplier(self, spark_session):
+        rows = run(spark_session, 'q15_top_supplier').collect()
+        # The max exists; with rounded revenue ties are possible but
+        # the synthetic data has a unique winner at every SF tested.
+        assert len(rows) == 1
+        assert rows[0]['supp_revenue'] > 0
+
+    def test_q16_supplier_cnt_bounded_by_lines(self, spark_session):
+        rows = run(spark_session, 'q16_supplier_variety').collect()
+        assert rows
+        assert all(r['p_size'] <= 10 for r in rows)
+        assert all(r['supplier_cnt'] >= 1 and r['part_cnt'] >= 1
+                   for r in rows)
+
+    def test_q18_threshold_respected(self, spark_session):
+        rows = run(spark_session, 'q18_big_orders').collect()
+        assert rows
+        assert all(r['max_order_qty'] > 200 for r in rows)
+
+    def test_q19_single_row(self, spark_session):
+        rows = run(spark_session, 'q19_bracket_revenue').collect()
+        assert len(rows) == 1
+
+    def test_q22_rich_without_urgent(self, spark_session):
+        rows = run(spark_session, 'q22_idle_customers').collect()
+        assert rows
+        assert all(r['n_customers'] > 0 for r in rows)
+
+
+class TestAnalyticsExtensions:
+    def test_regr_matches_numpy(self, spark_session):
+        import numpy as np
+
+        rows = run(spark_session, 'q_regr_price_size').collect()
+        assert rows
+        part = spark_session.read.parquet(f'{SF}/part.parquet')
+        pdf = part.toPandas()
+        for r in rows[:3]:
+            g = pdf[pdf.p_brand == r['p_brand']]
+            slope, intercept = np.polyfit(
+                g.p_size.astype(float), g.p_retailprice, 1)
+            assert r['slope'] == pytest.approx(slope, abs=1e-3)
+            assert r['intercept'] == pytest.approx(intercept, abs=1e-3)
+
+    def test_rolling_window_bounds(self, spark_session):
+        rows = run(spark_session, 'q_rolling_revenue').collect()
+        assert rows
+        assert all(1 <= r['days_in_window'] <= 30 for r in rows)
+        # Trailing sum covers at least the current day.
+        assert all(r['sum_30d'] >= r['day_rev'] for r in rows)
+
+    def test_hash_sample_fraction_and_determinism(self, spark_session):
+        out1 = run(spark_session, 'q_hash_sample').collect()
+        out2 = run(spark_session, 'q_hash_sample').collect()
+        assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+        total = spark_session.read.parquet(
+            f'{SF}/documents.parquet').count()
+        kept = sum(r['n_kept'] for r in out1)
+        # 0x00-0x28 prefixes = 41/256 ~ 16%; loose bounds for sf0.001.
+        assert 0.05 < kept / total < 0.30
+
+    def test_fuzzy_parts_distance_bound(self, spark_session):
+        # sf0.001 has only 200 parts — no (brand, size) block holds a
+        # close pair, so exercise the shape one SF up.
+        rows = QUERIES['q_fuzzy_parts'](
+            spark_session, '/root/testdata/sf0.01').collect()
+        assert rows
+        assert all(0 <= r['min_dist'] <= r['avg_dist'] <= 4
+                   for r in rows)
+
+    def test_bigrams_ranked_per_lang(self, spark_session):
+        rows = run(spark_session, 'q_bigrams_top').collect()
+        assert rows
+        by_lang = {}
+        for r in rows:
+            by_lang.setdefault(r['lang'], []).append(r)
+        for lang, rs in by_lang.items():
+            ranks = sorted(r['rank'] for r in rs)
+            assert ranks == list(range(1, len(ranks) + 1))
+            counts = [r['n'] for r in sorted(rs, key=lambda x: x['rank'])]
+            assert counts == sorted(counts, reverse=True)
+
+    def test_entropy_bounds(self, spark_session):
+        import math
+
+        rows = run(spark_session, 'q_entropy_tokens').collect()
+        assert rows
+        for r in rows:
+            # 0 <= H <= ln(n_distinct)
+            assert -1e-9 <= r['entropy'] <= math.log(r['n_distinct']) + 1e-9
