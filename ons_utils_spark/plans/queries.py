@@ -103,16 +103,17 @@ def q2_revenue_by_nation(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 def q3_top_orders(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """Top-10 orders by line revenue (shuffle agg + global top-k)."""
+    """Top-10 orders by line revenue.
+
+    Aggregates lineitem by orderkey BEFORE touching orders (the other
+    group keys are functionally dependent on the orderkey), so the
+    join input shrinks from |lineitem| to 10 rows and the orders side
+    broadcasts trivially — at 100 TB this is the difference between
+    joining the whole fact table and joining a constant."""
     lineitem, orders = _t(spark, sf_dir, 'lineitem', 'orders')
-    return (
+    top = (
         lineitem
-        .join(orders, F.col('l_orderkey') == F.col('o_orderkey'))
-        .groupBy(
-            'o_orderkey',
-            F.date_format('o_orderdate', 'yyyy-MM-dd').alias('orderdate'),
-            'o_orderpriority',
-        )
+        .groupBy(F.col('l_orderkey').alias('o_orderkey'))
         .agg(
             F.round(
                 F.sum(F.col('l_extendedprice') * (1 - F.col('l_discount'))),
@@ -121,6 +122,17 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> SparkDF:
         )
         .orderBy(F.col('revenue').desc(), F.col('o_orderkey').asc())
         .limit(10)
+    )
+    return (
+        F.broadcast(top)
+        .join(orders, on='o_orderkey')
+        .select(
+            'o_orderkey',
+            F.date_format('o_orderdate', 'yyyy-MM-dd').alias('orderdate'),
+            'o_orderpriority',
+            'revenue',
+        )
+        .orderBy(F.col('revenue').desc(), F.col('o_orderkey').asc())
     )
 
 
@@ -1446,6 +1458,47 @@ def q_entropy_tokens(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_skyline_suppliers(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """2D Pareto frontier (skyline): suppliers not dominated on
+    (acctbal, revenue) — q dominates p when q is >= on both axes and
+    strictly > on one.
+
+    Scale shape: collapse to one row per distinct acctbal (group max
+    revenue — a hash agg), then ONE ordered pass with a running max
+    decides the whole frontier; members rejoin by (acctbal, group
+    max). This is O(n log n) with a |distinct acctbal|-row window —
+    vs the naive O(n²) NOT-EXISTS self-join the oracle runs. (For a
+    frontier over a huge distinct-key set, run per-partition local
+    skylines first — skyline(skyline ∪ skyline) — then this pass.)
+    """
+    lineitem, supplier = _t(spark, sf_dir, 'lineitem', 'supplier')
+    rev = (
+        lineitem.groupBy('l_suppkey')
+        .agg(F.round(
+            F.sum((F.col('l_extendedprice') * (1 - F.col('l_discount')))
+                  .cast('decimal(18,4)')), 2)
+            .cast('double').alias('revenue'))
+    )
+    pts = supplier.join(
+        rev, F.col('s_suppkey') == F.col('l_suppkey')
+    ).select('s_suppkey', 's_acctbal', 'revenue')
+
+    grp = pts.groupBy('s_acctbal').agg(F.max('revenue').alias('grp_max'))
+    w = (Window.orderBy(F.col('s_acctbal').desc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    frontier_bals = (
+        grp.withColumn('prev_max', F.max('grp_max').over(w))
+        .filter(F.col('prev_max').isNull()
+                | (F.col('prev_max') < F.col('grp_max')))
+        .select('s_acctbal', 'grp_max')
+    )
+    return (
+        pts.join(F.broadcast(frontier_bals), on='s_acctbal')
+        .filter(F.col('revenue') == F.col('grp_max'))
+        .select('s_suppkey', 's_acctbal', 'revenue')
+    )
+
+
 # --------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------
@@ -1522,6 +1575,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_fuzzy_parts': q_fuzzy_parts,
     'q_bigrams_top': q_bigrams_top,
     'q_entropy_tokens': q_entropy_tokens,
+    'q_skyline_suppliers': q_skyline_suppliers,
 }
 
 
@@ -2520,5 +2574,25 @@ ORACLES: Dict[str, str] = {
                      - sum(c * ln(CAST(c AS DOUBLE)))
                        / CAST(sum(c) AS DOUBLE), 5) AS entropy
         FROM counts GROUP BY source
+    """,
+    'q_skyline_suppliers': """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,4))), 2) AS DOUBLE)
+                       AS revenue
+            FROM lineitem GROUP BY l_suppkey
+        ), pts AS (
+            SELECT s_suppkey, s_acctbal, revenue
+            FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        )
+        SELECT s_suppkey, s_acctbal, revenue
+        FROM pts p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pts q
+            WHERE q.s_acctbal >= p.s_acctbal
+              AND q.revenue >= p.revenue
+              AND (q.s_acctbal > p.s_acctbal OR q.revenue > p.revenue)
+        )
     """,
 }

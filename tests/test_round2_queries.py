@@ -111,6 +111,17 @@ class TestAnalyticsExtensions:
             counts = [r['n'] for r in sorted(rs, key=lambda x: x['rank'])]
             assert counts == sorted(counts, reverse=True)
 
+    def test_skyline_mutual_nondomination(self, spark_session):
+        rows = run(spark_session, 'q_skyline_suppliers').collect()
+        assert rows
+        pts = [(r['s_acctbal'], r['revenue']) for r in rows]
+        for i, (a1, r1) in enumerate(pts):
+            for j, (a2, r2) in enumerate(pts):
+                if i != j:
+                    dominated = (a2 >= a1 and r2 >= r1
+                                 and (a2 > a1 or r2 > r1))
+                    assert not dominated
+
     def test_entropy_bounds(self, spark_session):
         import math
 
