@@ -8,15 +8,17 @@ Spark-side contract (schema, batching, partition sizing) is real and
 tested.
 
 Decoders: PPM (P6/P5 binary, P3/P2 ASCII), uncompressed 24/32-bit
-BMP, and RIFF/WAVE PCM audio are decoded FOR REAL in pure
-Python/numpy (:func:`decode_ppm`, :func:`decode_bmp`,
-:func:`decode_wav`) — image features are an 8-bin luminance histogram
-of the actual pixels; audio features are the 8-segment RMS energy
-envelope of the actual samples. Formats that need codec libraries not
-present in this container (JPEG/PNG/WebP → Pillow; MP3/AAC →
-ffmpeg/torchaudio) are STUBBED: they raise ``NotImplementedError``
-unless ``deterministic_fake=True``, which produces seeded fake
-features so pipelines stay testable end-to-end.
+BMP, non-interlaced PNG (zlib inflate + all five scanline filters,
+gray/RGB/palette/alpha at 8/16-bit depth), and RIFF/WAVE PCM audio
+are decoded FOR REAL in pure Python/numpy (:func:`decode_ppm`,
+:func:`decode_bmp`, :func:`decode_png`, :func:`decode_wav`) — image
+features are an 8-bin luminance histogram of the actual pixels; audio
+features are the 8-segment RMS energy envelope of the actual samples.
+Formats that need codec libraries not present in this container
+(JPEG/WebP → Pillow; MP3/AAC → ffmpeg/torchaudio) are STUBBED: they
+raise ``NotImplementedError`` unless ``deterministic_fake=True``,
+which produces seeded fake features so pipelines stay testable
+end-to-end.
 """
 from __future__ import annotations
 
@@ -127,6 +129,110 @@ def decode_bmp(payload: bytes) -> Optional[Tuple[int, int, np.ndarray]]:
     return w, h, gray
 
 
+def decode_png(payload: bytes) -> Optional[Tuple[int, int, np.ndarray]]:
+    """Decode a non-interlaced 8/16-bit PNG (pure zlib + numpy).
+
+    Color types: 0 (gray), 2 (RGB), 3 (8-bit palette), 4 (gray+alpha),
+    6 (RGBA); all five scanline filters (None/Sub/Up/Average/Paeth).
+    Returns ``(width, height, gray)`` luminance in [0, 1], or None if
+    the payload is not PNG. Raises on interlaced/sub-byte-depth
+    variants. Chunk CRCs are verified.
+
+    Filters Up and Sub reconstruct vectorized (row add / per-residue
+    cumsum); Average and Paeth fall back to a per-pixel loop — fine
+    for thumbnail-scale payloads, and the mapInPandas boundary keeps
+    one task's batch bounded regardless.
+    """
+    if len(payload) < 8 or payload[:8] != b'\x89PNG\r\n\x1a\n':
+        return None
+    pos, idat, plte, ihdr = 8, [], None, None
+    while pos + 12 <= len(payload):
+        length, ctype = struct.unpack_from('>I4s', payload, pos)
+        data = payload[pos + 8:pos + 8 + length]
+        crc, = struct.unpack_from('>I', payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f'PNG chunk {ctype!r} CRC mismatch')
+        pos += 12 + length
+        if ctype == b'IHDR':
+            ihdr = struct.unpack('>IIBBBBB', data)
+        elif ctype == b'PLTE':
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b'IDAT':
+            idat.append(data)
+        elif ctype == b'IEND':
+            break
+    if ihdr is None or not idat:
+        raise ValueError('PNG missing IHDR/IDAT')
+    w, h, depth, ct, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError('only non-interlaced deflate PNGs supported')
+    if ct not in (0, 2, 3, 4, 6):
+        raise ValueError(f'unknown PNG color type {ct}')
+    if depth not in (8, 16) or (ct == 3 and depth != 8):
+        raise ValueError(f'unsupported PNG bit depth {depth} (type {ct})')
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ct]
+    sb = depth // 8
+    bpp = channels * sb
+    stride = w * bpp
+    raw = np.frombuffer(zlib.decompress(b''.join(idat)), np.uint8)
+    if raw.size != h * (stride + 1):
+        raise ValueError('PNG pixel data size mismatch')
+    raw = raw.reshape(h, stride + 1)
+    ftype, lines = raw[:, 0], raw[:, 1:].astype(np.int32)
+    recon = np.empty((h, stride), np.int32)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        f, line = int(ftype[y]), lines[y]
+        if f == 0:
+            cur = line
+        elif f == 1:  # Sub: per-residue-class cumulative sum mod 256
+            cur = line.copy()
+            for r in range(bpp):
+                cur[r::bpp] = np.cumsum(cur[r::bpp]) & 255
+        elif f == 2:  # Up
+            cur = (line + prev) & 255
+        elif f == 3:  # Average
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + (a + prev[x]) // 2) & 255
+        elif f == 4:  # Paeth
+            cur = line.copy()
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 255
+        else:
+            raise ValueError(f'bad PNG filter {f} on row {y}')
+        recon[y] = cur
+        prev = cur
+    pix8 = recon.astype(np.uint8)
+    if sb == 2:  # 16-bit: recombine big-endian sample pairs
+        samples = (
+            pix8.reshape(h, w, channels, 2).astype(np.float64)
+            @ np.array([256.0, 1.0])
+        ) / 65535.0
+    else:
+        samples = pix8.reshape(h, w, channels) / 255.0
+    if ct == 3:
+        if plte is None:
+            raise ValueError('palette PNG missing PLTE')
+        idx = pix8.reshape(h, w)
+        samples = plte[idx].astype(np.float64) / 255.0
+        ct = 2
+    if ct in (2, 6):
+        rgb = samples[:, :, :3]
+        gray = rgb @ np.array([0.299, 0.587, 0.114])
+    else:  # 0 or 4: first channel is luminance
+        gray = samples[:, :, 0]
+    return w, h, gray
+
+
 def luminance_histogram(gray: np.ndarray, bins: int = 8) -> list:
     """Normalized luminance histogram — the real image feature."""
     hist, _ = np.histogram(gray, bins=bins, range=(0.0, 1.0))
@@ -145,22 +251,25 @@ def resize_nearest(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 def _decode_image(payload: bytes, deterministic_fake: bool):
     """Decode an image payload to (width, height, feature[8]).
 
-    PPM/PGM (ASCII+binary) and uncompressed BMP decode for real —
-    feature is the 8-bin luminance histogram of actual pixels. Other
-    formats (JPEG/PNG/...) need Pillow, absent here: they raise
-    ``NotImplementedError`` unless ``deterministic_fake`` is set.
+    PPM/PGM (ASCII+binary), uncompressed BMP, and non-interlaced PNG
+    decode for real — feature is the 8-bin luminance histogram of
+    actual pixels. Formats needing codec libraries absent here
+    (JPEG/WebP → Pillow) raise ``NotImplementedError`` unless
+    ``deterministic_fake`` is set.
     """
     decoded = decode_ppm(payload)
     if decoded is None:
         decoded = decode_bmp(payload)
+    if decoded is None:
+        decoded = decode_png(payload)
     if decoded is not None:
         w, h, gray = decoded
         return w, h, luminance_histogram(gray, bins=8)
     if not deterministic_fake:
         raise NotImplementedError(
-            'only PPM/PGM/BMP decode natively; other formats require'
-            ' Pillow/torchvision — pass deterministic_fake=True for'
-            ' plumbing tests'
+            'only PPM/PGM/BMP/PNG decode natively; other formats'
+            ' require Pillow/torchvision — pass deterministic_fake='
+            'True for plumbing tests'
         )
     h = zlib.crc32(payload) & 0xFFFFFFFF
     return (

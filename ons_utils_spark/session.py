@@ -22,6 +22,13 @@ DEFAULT_CONFS = {
     'spark.sql.execution.arrow.pyspark.enabled': 'true',
     'spark.sql.session.timeZone': 'UTC',
     'spark.ui.showConsoleProgress': 'false',
+    # Runtime row-level pruning for large sort-merge joins: build a
+    # bloom filter from the (filtered) build side and push it into the
+    # probe-side scan. No-op on small/broadcast joins; at fact-fact
+    # scale it cuts the shuffled probe rows before the exchange.
+    # (Do NOT also enable runtimeFilter.semiJoinReduction — combined
+    # with the bloom filter it deadlocks session startup on 4.1.)
+    'spark.sql.optimizer.runtime.bloomFilter.enabled': 'true',
 }
 
 

@@ -112,6 +112,9 @@ class TestRealDecoders:
     def test_not_bmp_returns_none(self):
         assert mm.decode_bmp(b'\x89PNG\r\n' + b'\x00' * 64) is None
 
+    def test_not_png_returns_none(self):
+        assert mm.decode_png(b'BM' + b'\x00' * 64) is None
+
     def test_luminance_histogram_normalized(self):
         import numpy as np
         gray = np.array([[0.0, 0.5], [0.5, 1.0]])
@@ -273,3 +276,164 @@ class TestWavProperties:
         assert mono.size == len(samples)
         tol = 1e-4 if bits == 16 else 1e-6
         assert np.abs(mono - np.asarray(samples)).max() <= tol
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+    return (struct.pack('>I', len(data)) + ctype + data
+            + struct.pack('>I', zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def _make_png(pixels, color_type, filters=None, palette=None, depth=8):
+    """Minimal PNG encoder for round-trip tests.
+
+    ``pixels``: (h, w, channels) uint8/uint16 array. ``filters``: one
+    PNG filter id per row (default all 0); rows are FORWARD-filtered
+    so the decoder must reconstruct them.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels)
+    h, w, channels = px.shape
+    sb = depth // 8
+    if sb == 2:
+        flat = np.zeros((h, w * channels * 2), np.uint8)
+        flat[:, 0::2] = (px.reshape(h, -1) >> 8) & 255
+        flat[:, 1::2] = px.reshape(h, -1) & 255
+    else:
+        flat = px.reshape(h, -1).astype(np.uint8)
+    bpp = channels * sb
+    stride = w * bpp
+    filters = filters or [0] * h
+    out = bytearray()
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        cur = flat[y].astype(np.int32)
+        f = filters[y]
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            enc = (cur - left) & 255
+        elif f == 2:
+            enc = (cur - prev) & 255
+        elif f == 3:
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            enc = (cur - (left + prev) // 2) & 255
+        elif f == 4:
+            enc = np.empty(stride, np.int32)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                enc[x] = (cur[x] - pred) & 255
+        out.append(f)
+        out.extend(int(v) for v in enc)
+        prev = cur
+    ihdr = struct.pack('>IIBBBBB', w, h, depth, color_type, 0, 0, 0)
+    png = b'\x89PNG\r\n\x1a\n' + _png_chunk(b'IHDR', ihdr)
+    if palette is not None:
+        png += _png_chunk(b'PLTE', bytes(palette))
+    png += _png_chunk(b'IDAT', zlib.compress(bytes(out)))
+    png += _png_chunk(b'IEND', b'')
+    return png
+
+
+class TestPngDecode:
+    """Real PNG decode: inflate + unfilter, no codec libraries."""
+
+    def test_gray_filter0(self):
+        import numpy as np
+        px = np.array([[[0], [128]], [[255], [64]]], np.uint8)
+        w, h, gray = mm.decode_png(_make_png(px, color_type=0))
+        assert (w, h) == (2, 2)
+        assert gray[0, 1] == pytest.approx(128 / 255)
+        assert gray[1, 0] == pytest.approx(1.0)
+
+    def test_rgb_luminance(self):
+        import numpy as np
+        px = np.array([[[255, 0, 0], [0, 255, 0], [0, 0, 255]]],
+                      np.uint8)
+        w, h, gray = mm.decode_png(_make_png(px, color_type=2))
+        assert (w, h) == (3, 1)
+        assert gray[0, 0] == pytest.approx(0.299)
+        assert gray[0, 1] == pytest.approx(0.587)
+        assert gray[0, 2] == pytest.approx(0.114)
+
+    @pytest.mark.parametrize('f', [0, 1, 2, 3, 4])
+    def test_each_filter_roundtrips(self, f):
+        import numpy as np
+        rng = np.random.default_rng(f)
+        px = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint16) \
+            .astype(np.uint8).reshape(5, 7, 3)
+        png = _make_png(px, color_type=2, filters=[0] + [f] * 4)
+        w, h, gray = mm.decode_png(png)
+        want = (px.astype(np.float64) / 255.0) \
+            @ np.array([0.299, 0.587, 0.114])
+        assert np.abs(gray - want).max() < 1e-12
+
+    def test_mixed_filters_roundtrip(self):
+        import numpy as np
+        rng = np.random.default_rng(7)
+        px = rng.integers(0, 256, size=(6, 4, 4), dtype=np.int64) \
+            .astype(np.uint8)
+        png = _make_png(px, color_type=6,
+                        filters=[0, 1, 2, 3, 4, 2])  # RGBA
+        w, h, gray = mm.decode_png(png)
+        want = (px[:, :, :3].astype(np.float64) / 255.0) \
+            @ np.array([0.299, 0.587, 0.114])
+        assert np.abs(gray - want).max() < 1e-12
+
+    def test_palette(self):
+        import numpy as np
+        palette = [255, 0, 0, 0, 255, 0, 0, 0, 255]  # R, G, B entries
+        px = np.array([[[0], [1], [2]]], np.uint8)
+        w, h, gray = mm.decode_png(
+            _make_png(px, color_type=3, palette=palette))
+        assert gray[0, 0] == pytest.approx(0.299)
+        assert gray[0, 1] == pytest.approx(0.587)
+        assert gray[0, 2] == pytest.approx(0.114)
+
+    def test_16bit_gray(self):
+        import numpy as np
+        px = np.array([[[0], [32768]], [[65535], [16384]]], np.uint16)
+        w, h, gray = mm.decode_png(_make_png(px, color_type=0, depth=16))
+        assert gray[0, 1] == pytest.approx(32768 / 65535)
+        assert gray[1, 0] == pytest.approx(1.0)
+
+    def test_crc_mismatch_raises(self):
+        import numpy as np
+        png = bytearray(_make_png(
+            np.zeros((1, 1, 1), np.uint8), color_type=0))
+        png[-5] ^= 0xFF  # corrupt IEND... corrupt IDAT crc instead
+        png = bytearray(_make_png(
+            np.zeros((2, 2, 1), np.uint8), color_type=0))
+        # flip a byte inside the IDAT data region
+        idat_at = bytes(png).index(b'IDAT')
+        png[idat_at + 5] ^= 0xFF
+        with pytest.raises(ValueError, match='CRC'):
+            mm.decode_png(bytes(png))
+
+    def test_interlaced_raises(self):
+        import struct
+        ihdr = struct.pack('>IIBBBBB', 1, 1, 8, 0, 0, 0, 1)
+        png = (b'\x89PNG\r\n\x1a\n' + _png_chunk(b'IHDR', ihdr)
+               + _png_chunk(b'IDAT', b'x') + _png_chunk(b'IEND', b''))
+        with pytest.raises(ValueError, match='interlaced'):
+            mm.decode_png(png)
+
+    def test_image_features_picks_up_png(self):
+        import numpy as np
+        png = _make_png(
+            np.full((4, 4, 3), 255, np.uint8), color_type=2)
+        w, h, feat = mm._decode_image(png, deterministic_fake=False)
+        assert (w, h) == (4, 4)
+        assert feat[7] == pytest.approx(1.0)  # all-white histogram

@@ -162,3 +162,52 @@ class TestOrc:
         write_orc(df, path, partition_by=['k'])
         assert {d for d in os.listdir(path) if d.startswith('k=')} \
             == {'k=a', 'k=b'}
+
+
+class TestRuntimeBloomFilter:
+    """get_spark enables runtime bloom-filter join pruning; pin that
+    the optimizer actually injects it on a selective fact-fact join
+    (build-side agg + might_contain on the probe side)."""
+
+    def test_bloom_filter_injected_for_selective_join(
+            self, spark_session):
+        from pyspark.sql import functions as F
+
+        from ons_utils_spark.sources.readers import load_tables
+
+        conf = spark_session.conf
+        saved = {
+            k: conf.get(k, None) for k in (
+                'spark.sql.optimizer.runtime.bloomFilter.enabled',
+                'spark.sql.optimizer.runtime.bloomFilter'
+                '.applicationSideScanSizeThreshold',
+                'spark.sql.autoBroadcastJoinThreshold',
+            )
+        }
+        try:
+            conf.set(
+                'spark.sql.optimizer.runtime.bloomFilter.enabled',
+                'true')
+            # Test tables are tiny; drop the size gates so the rule
+            # fires the way it would on fact-scale inputs.
+            conf.set('spark.sql.optimizer.runtime.bloomFilter'
+                     '.applicationSideScanSizeThreshold', '0')
+            conf.set('spark.sql.autoBroadcastJoinThreshold', '-1')
+            t = load_tables(spark_session, '/root/testdata/sf0.001')
+            j = t['lineitem'].join(
+                t['orders'].filter(
+                    F.col('o_orderpriority') == '1-URGENT'),
+                F.col('l_orderkey') == F.col('o_orderkey'))
+            plan = j._jdf.queryExecution().optimizedPlan().toString()
+            assert 'bloom_filter_agg' in plan
+            assert 'might_contain' in plan
+            # and it still computes the right thing
+            assert j.count() == t['lineitem'].join(
+                t['orders'], F.col('l_orderkey') == F.col('o_orderkey')
+            ).filter(F.col('o_orderpriority') == '1-URGENT').count()
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    conf.unset(k)
+                else:
+                    conf.set(k, v)
