@@ -1499,6 +1499,68 @@ def q_skyline_suppliers(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_funnel_events(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Event-funnel analysis: users whose FIRST view precedes their
+    first click precedes their first purchase — one conditional-min
+    hash agg per user, then a one-row rollup; no joins, no windows,
+    no per-user event sorting.
+
+    Timestamps compare at whole-second precision on both engines
+    (events.ts is parquet TIMESTAMP(NANOS); DuckDB keeps ns, Spark
+    reads µs — sub-second digits would disagree)."""
+    (events,) = _t(spark, sf_dir, 'events')
+    es = F.col('ts').cast('long')
+    per_user = events.groupBy('user_id').agg(
+        F.min(F.when(F.col('event_type') == 'view', es)).alias('t_view'),
+        F.min(F.when(F.col('event_type') == 'click', es)).alias('t_click'),
+        F.min(F.when(F.col('event_type') == 'purchase', es))
+        .alias('t_buy'),
+    )
+    step2 = F.col('t_click') > F.col('t_view')
+    step3 = step2 & (F.col('t_buy') > F.col('t_click'))
+    return per_user.agg(
+        F.count('t_view').alias('n_viewed'),
+        F.count(F.when(step2, F.lit(1))).alias('n_view_then_click'),
+        F.count(F.when(step3, F.lit(1))).alias('n_full_funnel'),
+    )
+
+
+def q_ntile_deciles(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Account-balance deciles via ntile(10) — ordered by (acctbal,
+    custkey) so ties split deterministically. The global window runs
+    over customer (dimension-sized); for fact-scale data use
+    width-bucket arithmetic on approx quantile bounds instead."""
+    (customer,) = _t(spark, sf_dir, 'customer')
+    w = Window.orderBy(F.col('c_acctbal').asc(), F.col('c_custkey').asc())
+    tiled = customer.select(
+        'c_acctbal', F.ntile(10).over(w).alias('decile'))
+    return tiled.groupBy('decile').agg(
+        F.count(F.lit(1)).alias('n_customers'),
+        F.round(F.min('c_acctbal'), 2).alias('min_bal'),
+        F.round(F.max('c_acctbal'), 2).alias('max_bal'),
+        F.round(F.avg('c_acctbal'), 2).alias('avg_bal'),
+    )
+
+
+def q_mode_quantity(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Deterministic per-group mode: the most frequent quantity per
+    return flag, ties broken toward the smallest value (count →
+    ranked window; engine-native mode() functions have unspecified
+    tie behavior, so this shape is the portable one)."""
+    (lineitem,) = _t(spark, sf_dir, 'lineitem')
+    counts = lineitem.groupBy('l_returnflag', 'l_quantity').agg(
+        F.count(F.lit(1)).alias('n'))
+    w = Window.partitionBy('l_returnflag').orderBy(
+        F.col('n').desc(), F.col('l_quantity').asc())
+    return (
+        counts.withColumn('__rn', F.row_number().over(w))
+        .filter(F.col('__rn') == 1)
+        .select('l_returnflag',
+                F.col('l_quantity').alias('mode_quantity'),
+                F.col('n').alias('mode_count'))
+    )
+
+
 # --------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------
@@ -1576,6 +1638,9 @@ QUERIES: Dict[str, QueryFn] = {
     'q_bigrams_top': q_bigrams_top,
     'q_entropy_tokens': q_entropy_tokens,
     'q_skyline_suppliers': q_skyline_suppliers,
+    'q_funnel_events': q_funnel_events,
+    'q_ntile_deciles': q_ntile_deciles,
+    'q_mode_quantity': q_mode_quantity,
 }
 
 
@@ -2594,5 +2659,52 @@ ORACLES: Dict[str, str] = {
               AND q.revenue >= p.revenue
               AND (q.s_acctbal > p.s_acctbal OR q.revenue > p.revenue)
         )
+    """,
+    'q_funnel_events': """
+        WITH per_user AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view'
+                       THEN CAST(floor(epoch(ts)) AS BIGINT) END)
+                       AS t_view,
+                   min(CASE WHEN event_type = 'click'
+                       THEN CAST(floor(epoch(ts)) AS BIGINT) END)
+                       AS t_click,
+                   min(CASE WHEN event_type = 'purchase'
+                       THEN CAST(floor(epoch(ts)) AS BIGINT) END)
+                       AS t_buy
+            FROM events GROUP BY user_id
+        )
+        SELECT count(t_view) AS n_viewed,
+               count(CASE WHEN t_click > t_view THEN 1 END)
+                   AS n_view_then_click,
+               count(CASE WHEN t_click > t_view AND t_buy > t_click
+                     THEN 1 END) AS n_full_funnel
+        FROM per_user
+    """,
+    'q_ntile_deciles': """
+        WITH tiled AS (
+            SELECT c_acctbal,
+                   CAST(ntile(10) OVER (ORDER BY c_acctbal, c_custkey)
+                        AS INTEGER) AS decile
+            FROM customer
+        )
+        SELECT decile,
+               count(*) AS n_customers,
+               round(min(c_acctbal), 2) AS min_bal,
+               round(max(c_acctbal), 2) AS max_bal,
+               round(avg(c_acctbal), 2) AS avg_bal
+        FROM tiled GROUP BY decile
+    """,
+    'q_mode_quantity': """
+        WITH counts AS (
+            SELECT l_returnflag, l_quantity, count(*) AS n
+            FROM lineitem GROUP BY 1, 2
+        )
+        SELECT l_returnflag,
+               l_quantity AS mode_quantity,
+               n AS mode_count
+        FROM counts
+        QUALIFY row_number() OVER (PARTITION BY l_returnflag
+                                   ORDER BY n DESC, l_quantity ASC) = 1
     """,
 }

@@ -122,6 +122,34 @@ class TestAnalyticsExtensions:
                                  and (a2 > a1 or r2 > r1))
                     assert not dominated
 
+    def test_funnel_monotone(self, spark_session):
+        r = run(spark_session, 'q_funnel_events').collect()[0]
+        assert (r['n_viewed'] >= r['n_view_then_click']
+                >= r['n_full_funnel'] >= 0)
+        assert r['n_viewed'] > 0
+
+    def test_deciles_partition_customers(self, spark_session):
+        rows = run(spark_session, 'q_ntile_deciles').collect()
+        assert sorted(r['decile'] for r in rows) == list(range(1, 11))
+        sizes = [r['n_customers'] for r in rows]
+        assert max(sizes) - min(sizes) <= 1  # ntile balance property
+        by_decile = sorted(rows, key=lambda r: r['decile'])
+        for lo, hi in zip(by_decile, by_decile[1:]):
+            assert lo['max_bal'] <= hi['min_bal']
+
+    def test_mode_is_max_count(self, spark_session):
+        from pyspark.sql import functions as F
+        rows = run(spark_session, 'q_mode_quantity').collect()
+        assert rows
+        lineitem = spark_session.read.parquet(f'{SF}/lineitem.parquet')
+        counts = (lineitem.groupBy('l_returnflag', 'l_quantity')
+                  .agg(F.count(F.lit(1)).alias('n'))
+                  .groupBy('l_returnflag')
+                  .agg(F.max('n').alias('max_n')))
+        max_n = {r['l_returnflag']: r['max_n'] for r in counts.collect()}
+        for r in rows:
+            assert r['mode_count'] == max_n[r['l_returnflag']]
+
     def test_entropy_bounds(self, spark_session):
         import math
 
@@ -130,3 +158,47 @@ class TestAnalyticsExtensions:
         for r in rows:
             # 0 <= H <= ln(n_distinct)
             assert -1e-9 <= r['entropy'] <= math.log(r['n_distinct']) + 1e-9
+
+
+class TestSkylineProperty:
+    """The windowed skyline algorithm equals brute-force dominance on
+    arbitrary point sets — including duplicate points and per-axis
+    ties, which the testdata never produces."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @staticmethod
+    def _brute_frontier(pts):
+        out = []
+        for i, (a1, r1) in enumerate(pts):
+            dominated = any(
+                a2 >= a1 and r2 >= r1 and (a2 > a1 or r2 > r1)
+                for j, (a2, r2) in enumerate(pts) if j != i)
+            if not dominated:
+                out.append(i)
+        return out
+
+    @given(st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5)),
+        min_size=1, max_size=24))
+    @settings(max_examples=12, deadline=None)
+    def test_matches_brute_force(self, spark_session, pts):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        spark = spark_session
+        df = spark.createDataFrame(
+            [(i, float(a), float(r)) for i, (a, r) in enumerate(pts)],
+            'id bigint, a double, r double')
+        grp = df.groupBy('a').agg(F.max('r').alias('grp_max'))
+        w = (Window.orderBy(F.col('a').desc())
+             .rowsBetween(Window.unboundedPreceding, -1))
+        frontier_a = (
+            grp.withColumn('prev_max', F.max('grp_max').over(w))
+            .filter(F.col('prev_max').isNull()
+                    | (F.col('prev_max') < F.col('grp_max'))))
+        got = sorted(
+            r['id'] for r in df.join(frontier_a, on='a')
+            .filter(F.col('r') == F.col('grp_max')).collect())
+        assert got == sorted(self._brute_frontier(pts))
