@@ -69,6 +69,22 @@ def to_training_chunks(curated: DataFrame, chunk_tokens: int = 256,
     )
 
 
+def holdout_split(curated: DataFrame, id_col: str = 'doc_id',
+                  holdout_pct: int = 16) -> DataFrame:
+    """Tag each row 'train' / 'holdout' by deterministic md5-prefix
+    hash of its id — reproducible across runs, engines, and scales
+    (no RNG state to ship), and a pure scan-side expression. 16% ≈
+    prefixes 00-28 of 256."""
+    bound = format(max(0, holdout_pct * 256 // 100 - 1), '02x')
+    return curated.withColumn(
+        'split',
+        F.when(
+            F.substring(F.md5(F.col(id_col).cast('string')), 1, 2)
+            <= bound,
+            F.lit('holdout')).otherwise(F.lit('train')),
+    )
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.001'
     out_dir = sys.argv[2] if len(sys.argv) > 2 else '/tmp/curated_docs'
@@ -84,10 +100,14 @@ def main() -> None:
           f'removed={n_raw - n_curated}')
     report(curated).show()
 
-    chunks = to_training_chunks(curated)
-    print(f'chunks={chunks.count()}')
+    split = holdout_split(curated)
+    split.groupBy('split').count().show()
 
-    write_parquet(curated, os.path.join(out_dir, 'documents'))
+    chunks = to_training_chunks(split.filter(F.col('split') == 'train'))
+    print(f'train chunks={chunks.count()}')
+
+    write_parquet(split, os.path.join(out_dir, 'documents'),
+                  partition_by=['split'])
     write_parquet(report(curated), os.path.join(out_dir, 'stats'))
     write_parquet(chunks, os.path.join(out_dir, 'chunks'))
     print(f'wrote {out_dir}')

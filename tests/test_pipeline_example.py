@@ -18,6 +18,17 @@ def test_pipeline_on_testdata(spark_session, tmp_path):
     assert sum(r['n_docs'] for r in rows) == n
     assert all(0.0 <= r['avg_quality'] <= 1.0 for r in rows)
 
+    from examples.training_data_pipeline import holdout_split
+    split = holdout_split(curated)
+    counts = {r['split']: r['count']
+              for r in split.groupBy('split').count().collect()}
+    assert counts.get('train', 0) + counts.get('holdout', 0) == n
+    # determinism: same rows land in the same split on a re-run
+    again = {r['split']: r['count']
+             for r in holdout_split(curated)
+             .groupBy('split').count().collect()}
+    assert counts == again
+
 
 def test_pipeline_drops_planted_duplicates(spark_session):
     base = ('the quick brown fox jumps over the lazy dog and then '
