@@ -327,3 +327,56 @@ def top_k_per_group(
         .filter(F.col('__rk') <= k)
         .drop('__rk')
     )
+
+
+def fuzzy_blocked_pairs(
+    df: SparkDF,
+    block_cols: Union[str, Sequence[str]],
+    id_col: str,
+    text_col: str,
+    max_dist: int = 2,
+) -> SparkDF:
+    """Blocked fuzzy self-match (entity-resolution shape): pairs of
+    rows sharing the blocking key whose ``text_col`` values are within
+    Levenshtein distance ``max_dist``.
+
+    Scale shape: the self-join is equi-keyed on the blocking columns,
+    so cost is Σ|block|² — bounded by construction as long as blocks
+    stay bounded (salt or sub-split oversized blocks upstream). Two
+    guards keep the per-pair cost down before the quadratic term
+    bites:
+
+    * a length pre-filter — ``|len(a) − len(b)| > max_dist`` can never
+      be within distance, and length comparison is ~free next to edit
+      distance;
+    * the thresholded ``levenshtein(l, r, max_dist)`` form, which
+      abandons a pair as soon as the running distance exceeds the
+      bound (O(max_dist·min_len) instead of O(len²) per pair).
+
+    Returns one row per unordered pair: the blocking columns,
+    ``id_a`` < ``id_b``, and ``dist``.
+    """
+    blocks = list_convert(block_cols)
+    a = df.select(
+        *blocks,
+        F.col(id_col).alias('id_a'),
+        F.col(text_col).alias('__text_a'),
+        F.length(text_col).alias('__len_a'),
+    )
+    b = df.select(
+        *blocks,
+        F.col(id_col).alias('id_b'),
+        F.col(text_col).alias('__text_b'),
+        F.length(text_col).alias('__len_b'),
+    )
+    return (
+        a.join(b, on=blocks)
+        .filter(F.col('id_a') < F.col('id_b'))
+        .filter(
+            F.abs(F.col('__len_a') - F.col('__len_b')) <= max_dist)
+        .withColumn(
+            'dist',
+            F.levenshtein('__text_a', '__text_b', max_dist))
+        .filter(F.col('dist') >= 0)  # thresholded form returns -1 over
+        .select(*blocks, 'id_a', 'id_b', 'dist')
+    )

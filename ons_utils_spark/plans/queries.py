@@ -1378,27 +1378,22 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 def q_fuzzy_parts(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """Blocked fuzzy matching (entity-resolution shape): part-name
-    pairs within a (brand, size) block at Levenshtein distance <= 4.
-    Blocking bounds the quadratic term — max 28 rows per block in the
-    testdata, so the self-join never explodes; at 100 TB the same
-    plan holds as long as blocks stay bounded (salt oversized blocks).
-    """
+    """Blocked fuzzy matching (``operators.joins.fuzzy_blocked_pairs``):
+    part-name pairs within a (brand, size) block at Levenshtein
+    distance <= 4. Blocking bounds the quadratic term — max 28 rows
+    per block in the testdata, so the self-join never explodes; at
+    100 TB the same plan holds as long as blocks stay bounded (salt
+    oversized blocks). The operator adds a length pre-filter and uses
+    the thresholded levenshtein that abandons pairs early."""
+    from ..operators.joins import fuzzy_blocked_pairs
+
     (part,) = _t(spark, sf_dir, 'part')
-    a = part.select(F.col('p_brand').alias('brand'),
+    pairs = fuzzy_blocked_pairs(
+        part.select(F.col('p_brand').alias('brand'),
                     F.col('p_size').alias('size'),
-                    F.col('p_partkey').alias('key_a'),
-                    F.col('p_name').alias('name_a'))
-    b = part.select(F.col('p_brand').alias('brand'),
-                    F.col('p_size').alias('size'),
-                    F.col('p_partkey').alias('key_b'),
-                    F.col('p_name').alias('name_b'))
-    pairs = (
-        a.join(b, on=['brand', 'size'])
-        .filter(F.col('key_a') < F.col('key_b'))
-        .withColumn('dist', F.levenshtein('name_a', 'name_b'))
-        .filter(F.col('dist') <= 4)
-    )
+                    'p_partkey', 'p_name'),
+        block_cols=['brand', 'size'], id_col='p_partkey',
+        text_col='p_name', max_dist=4)
     return pairs.groupBy('brand').agg(
         F.count(F.lit(1)).alias('n_pairs'),
         F.round(F.avg('dist'), 4).alias('avg_dist'),

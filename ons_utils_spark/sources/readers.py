@@ -118,6 +118,38 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_csv(
+    df: SparkDF,
+    path: str,
+    mode: str = 'overwrite',
+    header: bool = True,
+    partition_by: Optional[Iterable[str]] = None,
+    **options,
+) -> None:
+    """CSV sink (header on by default). Interchange format only —
+    no pushdown, no types, no compression by default; use parquet
+    for anything a Spark job will read back."""
+    writer = df.write.mode(mode).options(header=header, **options)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.csv(path)
+
+
+def write_json(
+    df: SparkDF,
+    path: str,
+    mode: str = 'overwrite',
+    partition_by: Optional[Iterable[str]] = None,
+    **options,
+) -> None:
+    """JSON-lines sink — one object per row, schema carried in every
+    record (verbose; interchange only, like :func:`write_csv`)."""
+    writer = df.write.mode(mode).options(**options)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.json(path)
+
+
 def read_orc(
     spark: SparkSession,
     path: str,

@@ -227,3 +227,47 @@ class TestAsOfNearestTolerance:
         with pt.raises(ValueError, match='direction'):
             as_of_join(left, right, on='k', left_time='ts',
                        direction='sideways')
+
+
+class TestFuzzyBlockedPairs:
+    def _frame(self, spark_session):
+        rows = [
+            # block A: near-identical names
+            (1, 'A', 'blue widget'),
+            (2, 'A', 'blue widgit'),       # dist 1 from id 1
+            (3, 'A', 'red gear'),          # far from both
+            # block B: same name as block A but never cross-matched
+            (4, 'B', 'blue widget'),
+            (5, 'B', 'blue widget'),       # dist 0 from id 4
+            # length pre-filter: same block, length gap > max_dist
+            (6, 'B', 'blue widget extra words here'),
+        ]
+        return spark_session.createDataFrame(
+            rows, 'id bigint, block string, name string')
+
+    def test_matches_within_block_only(self, spark_session):
+        from ons_utils_spark.operators.joins import fuzzy_blocked_pairs
+
+        out = fuzzy_blocked_pairs(
+            self._frame(spark_session), 'block', 'id', 'name',
+            max_dist=2).collect()
+        pairs = {(r['id_a'], r['id_b']): r['dist'] for r in out}
+        assert pairs == {(1, 2): 1, (4, 5): 0}
+
+    def test_distance_matches_unthresholded(self, spark_session):
+        """The threshold guard must not change reported distances."""
+        from pyspark.sql import functions as F
+
+        from ons_utils_spark.operators.joins import fuzzy_blocked_pairs
+
+        df = self._frame(spark_session)
+        out = fuzzy_blocked_pairs(df, 'block', 'id', 'name', max_dist=20)
+        a = df.select(F.col('id').alias('id_a'),
+                      F.col('name').alias('na'))
+        b = df.select(F.col('id').alias('id_b'),
+                      F.col('name').alias('nb'))
+        full = {(r['id_a'], r['id_b']): r['d']
+                for r in out.join(a, 'id_a').join(b, 'id_b')
+                .withColumn('d', F.levenshtein('na', 'nb')).collect()}
+        got = {(r['id_a'], r['id_b']): r['dist'] for r in out.collect()}
+        assert got == full

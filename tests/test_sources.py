@@ -211,3 +211,29 @@ class TestRuntimeBloomFilter:
                     conf.unset(k)
                 else:
                     conf.set(k, v)
+
+
+class TestTextSinks:
+    def test_csv_sink_roundtrip(self, spark_session, tmp_path):
+        from ons_utils_spark.sources.readers import read_csv, write_csv
+
+        df = spark_session.createDataFrame(
+            [(1, 'a'), (2, 'b')], 'id bigint, v string')
+        write_csv(df, str(tmp_path / 'csv_out'))
+        back = read_csv(spark_session, str(tmp_path / 'csv_out'),
+                        schema='id bigint, v string')
+        assert sorted((r['id'], r['v']) for r in back.collect()) \
+            == [(1, 'a'), (2, 'b')]
+
+    def test_json_sink_roundtrip(self, spark_session, tmp_path):
+        from ons_utils_spark.sources.readers import (read_json,
+                                                     write_json)
+
+        df = spark_session.createDataFrame(
+            [(1, [1.0, 2.0]), (2, [])], 'id bigint, xs array<double>')
+        write_json(df, str(tmp_path / 'json_out'))
+        back = read_json(spark_session, str(tmp_path / 'json_out'),
+                         schema='id bigint, xs array<double>')
+        got = {r['id']: r['xs'] for r in back.collect()}
+        assert got[1] == [1.0, 2.0]
+        assert got[2] in ([], None)  # empty array vs dropped key
