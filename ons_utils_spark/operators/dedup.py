@@ -55,6 +55,37 @@ def exact_dedup(
     )
 
 
+def latest_by_key(
+    df: SparkDF,
+    keys,
+    order_by,
+    tiebreak=None,
+) -> SparkDF:
+    """CDC/SCD compaction: keep the single latest row per key.
+
+    One shuffle keyed by ``keys``; the ranked window never
+    materializes more than a partition. ``order_by`` is the recency
+    column (descending); ``tiebreak`` columns (descending) pin a
+    deterministic winner when recency ties — REQUIRED for
+    reproducible output if the recency column isn't unique per key.
+
+    The standard compaction step for upsert/changelog feeds before
+    joining them as dimensions; at scale prefer running it per
+    ingestion partition and merging, rather than over all history.
+    """
+    from ..generic import list_convert
+
+    order_cols = [F.col(c).desc() for c in list_convert(order_by)]
+    if tiebreak is not None:
+        order_cols += [F.col(c).desc() for c in list_convert(tiebreak)]
+    w = Window.partitionBy(*list_convert(keys)).orderBy(*order_cols)
+    return (
+        df.withColumn('__rn', F.row_number().over(w))
+        .filter(F.col('__rn') == 1)
+        .drop('__rn')
+    )
+
+
 def word_shingles(text_col: str, n: int = 3):
     """Distinct word n-gram shingles of the normalized text (array col).
 

@@ -1494,6 +1494,22 @@ def q_skyline_suppliers(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_latest_events(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """CDC-style compaction (``operators.dedup.latest_by_key``): each
+    user's single latest event (ties broken by event_id), then the
+    distribution of those latest event types. One shuffle on user_id.
+    """
+    from ..operators.dedup import latest_by_key
+
+    (events,) = _t(spark, sf_dir, 'events')
+    latest = latest_by_key(
+        events, keys='user_id', order_by='ts', tiebreak='event_id')
+    return latest.groupBy('event_type').agg(
+        F.count(F.lit(1)).alias('n_users'),
+        F.round(F.avg('value'), 4).alias('avg_value'),
+    )
+
+
 def q_funnel_events(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Event-funnel analysis: users whose FIRST view precedes their
     first click precedes their first purchase — one conditional-min
@@ -1636,6 +1652,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_funnel_events': q_funnel_events,
     'q_ntile_deciles': q_ntile_deciles,
     'q_mode_quantity': q_mode_quantity,
+    'q_latest_events': q_latest_events,
 }
 
 
@@ -2654,6 +2671,24 @@ ORACLES: Dict[str, str] = {
               AND q.revenue >= p.revenue
               AND (q.s_acctbal > p.s_acctbal OR q.revenue > p.revenue)
         )
+    """,
+    'q_latest_events': """
+        -- Order by microsecond-truncated ts (epoch_us) to match the
+        -- Spark side, where parquet TIMESTAMP(NANOS) reads as µs:
+        -- ns-level differences must TIE (event_id decides) on both
+        -- engines, not order DuckDB's ns timestamps.
+        WITH ranked AS (
+            SELECT event_type, value,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts) DESC, event_id DESC)
+                       AS rn
+            FROM events
+        )
+        SELECT event_type,
+               count(*) AS n_users,
+               round(avg(value), 4) AS avg_value
+        FROM ranked WHERE rn = 1 GROUP BY event_type
     """,
     'q_funnel_events': """
         WITH per_user AS (

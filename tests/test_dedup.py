@@ -192,3 +192,35 @@ def test_bad_shingler_raises(spark_session):
                                        'doc_id bigint, text string')
     with pt.raises(ValueError, match='shingles'):
         minhash_dedup(df, shingles='byte').count()
+
+
+class TestLatestByKey:
+    def test_keeps_latest_with_tiebreak(self, spark_session):
+        from ons_utils_spark.operators.dedup import latest_by_key
+
+        rows = [
+            (1, '2024-01-01 10:00:00', 1, 'a'),
+            (1, '2024-01-02 10:00:00', 2, 'b'),   # latest for key 1
+            (2, '2024-01-01 10:00:00', 3, 'c'),
+            (2, '2024-01-01 10:00:00', 4, 'd'),   # ts tie → higher id
+        ]
+        df = spark_session.createDataFrame(
+            rows, 'k bigint, ts string, seq bigint, v string'
+        ).selectExpr('k', "CAST(ts AS TIMESTAMP) ts", 'seq', 'v')
+        out = latest_by_key(df, keys='k', order_by='ts', tiebreak='seq')
+        got = {r['k']: r['v'] for r in out.collect()}
+        assert got == {1: 'b', 2: 'd'}
+
+    def test_deterministic_across_runs(self, spark_session):
+        from ons_utils_spark.operators.dedup import latest_by_key
+        from ons_utils_spark.sources.readers import load_tables
+
+        ev = load_tables(spark_session, '/root/testdata/sf0.001',
+                         tables=['events'])['events']
+        a = sorted(map(tuple, latest_by_key(
+            ev, 'user_id', 'ts', 'event_id').collect()))
+        b = sorted(map(tuple, latest_by_key(
+            ev, 'user_id', 'ts', 'event_id').collect()))
+        assert a == b
+        n_users = ev.select('user_id').distinct().count()
+        assert len(a) == n_users

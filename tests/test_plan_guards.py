@@ -1,0 +1,83 @@
+"""Physical-plan regression guards for scale-critical properties.
+
+PLANS.md documents the plans; these tests ENFORCE the properties the
+100 TB design depends on — broadcast hints landing, predicate
+pushdown reaching the parquet scan, column pruning, and map-side
+partial aggregation — so a refactor that silently degrades a plan
+fails CI rather than only showing up in the bench.
+"""
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from ons_utils_spark.plans.queries import QUERIES
+
+SF = '/root/testdata/sf0.001'
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution
+        .ExplainMode.fromString('formatted')
+    )
+
+
+class TestPlanGuards:
+    def test_q2_dimensions_broadcast_not_sortmerge(self, spark_session):
+        plan = plan_of(spark_session, 'q2_revenue_by_nation')
+        assert plan.count('BroadcastHashJoin') >= 3
+        assert 'SortMergeJoin' not in plan
+
+    def test_q6_filter_pushed_to_scan(self, spark_session):
+        plan = plan_of(spark_session, 'q6_forecast_revenue')
+        pushed = [p for p in
+                  re.findall(r'PushedFilters: \[([^\]]*)\]', plan)
+                  if p.strip()]
+        assert pushed, 'q6 predicate must reach the parquet scan'
+
+    def test_q1_map_side_partial_agg(self, spark_session):
+        plan = plan_of(spark_session, 'q1_pricing_summary')
+        # a partial (map-side) aggregate must exist alongside the
+        # exchange — i.e. sums combine before rows shuffle
+        assert 'partial_sum' in plan
+        assert 'Exchange' in plan
+
+    def test_q1_column_pruning(self, spark_session):
+        plan = plan_of(spark_session, 'q1_pricing_summary')
+        m = re.search(r'ReadSchema: struct<([^>]*)>', plan)
+        assert m, 'expected a parquet ReadSchema'
+        cols = {c.split(':')[0] for c in m.group(1).split(',') if c}
+        # q1 needs 6 of lineitem's 11 columns; pruning must drop keys
+        assert 'l_orderkey' not in cols
+        assert 'l_partkey' not in cols
+        assert {'l_returnflag', 'l_linestatus', 'l_quantity'} <= cols
+
+    def test_q3_broadcasts_topk_side(self, spark_session):
+        plan = plan_of(spark_session, 'q3_top_orders')
+        assert 'BroadcastHashJoin' in plan
+        assert 'SortMergeJoin' not in plan
+
+    def test_q14_part_broadcast(self, spark_session):
+        plan = plan_of(spark_session, 'q14_promo_share')
+        assert 'BroadcastHashJoin' in plan
+
+    def test_minhash_reuses_shingle_exchange(self, spark_session):
+        """The band/bucket repartition barrier must make the LSH
+        self-join share ONE exchange instead of recomputing the
+        signature pipeline per side."""
+        from ons_utils_spark.operators.dedup import (
+            minhash_lsh_candidates)
+        from ons_utils_spark.sources.readers import load_tables
+
+        docs = load_tables(
+            spark_session, SF, tables=['documents'])['documents']
+        cands = minhash_lsh_candidates(docs, 'doc_id', 'text')
+        # Exchange reuse is an AQE runtime decision — execute this
+        # QueryExecution (collect, not a write, which would clone it)
+        # and inspect the finalized plan.
+        cands.collect()
+        plan = cands._jdf.queryExecution().executedPlan().toString()
+        assert 'ReusedExchange' in plan
