@@ -402,3 +402,147 @@ def ivf_topk(
         .filter(F.col('__rk') <= k)
         .drop('__rk')
     )
+
+
+# --------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN
+# --------------------------------------------------------------------
+
+def pq_train(
+    corpus: SparkDF,
+    vec_col: str = 'embedding',
+    id_col: str = 'vec_id',
+    m: int = 8,
+    k: int = 16,
+    iters: int = 4,
+    seed: int = 42,
+    sample_size: int = 4096,
+) -> np.ndarray:
+    """Train per-subspace codebooks: an ``(m, k, dim/m)`` array.
+
+    The vector space splits into ``m`` contiguous subspaces; each gets
+    its own k-means over a seeded, order-independent sample (the
+    ``sample_size`` rows with smallest ``xxhash64(id, seed)`` — no RNG
+    state, reproducible on any cluster layout). Vectors are
+    L2-normalized first, so the compressed domain approximates
+    cosine. Training is driver-side numpy on the bounded sample —
+    codebooks are tiny (m × k × dim/m doubles).
+    """
+    rows = (
+        corpus.select(F.col(vec_col).alias('v'))
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(sample_size)
+        .collect()
+    )
+    x = _normalize_rows(np.array([r['v'] for r in rows], np.float64))
+    dim = x.shape[1]
+    if dim % m != 0:
+        raise ValueError(f'dim {dim} not divisible by m={m}')
+    sub = dim // m
+    books = np.empty((m, k, sub), np.float64)
+    for j in range(m):
+        xs = x[:, j * sub:(j + 1) * sub]
+        cents = xs[:k].copy()  # deterministic init: hash-ordered rows
+        for _ in range(max(iters, 0)):
+            # argmin ||x-c||² == argmax (x·c − ||c||²/2)
+            scores = xs @ cents.T - 0.5 * (cents ** 2).sum(axis=1)
+            assign = np.argmax(scores, axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = xs[mask].mean(axis=0)
+        books[j] = cents
+    return books
+
+
+def pq_encode(
+    df: SparkDF,
+    codebooks: np.ndarray,
+    vec_col: str = 'embedding',
+    output_col: str = 'pq_code',
+) -> SparkDF:
+    """Compress each vector to ``m`` bytes (one codebook id per
+    subspace) — a ``binary`` column. 64-dim float32 embeddings shrink
+    256 B → 8 B (32×), which is what lets a billion-vector corpus
+    sit in executor memory for ADC scanning. Encoding is a GEMM per
+    subspace per Arrow batch.
+    """
+    books = np.asarray(codebooks, np.float64)
+    m, k, sub = books.shape
+
+    @F.pandas_udf('binary')
+    def enc(batch: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vecs in batch:
+            x = _normalize_rows(
+                np.stack(vecs.to_numpy()).astype(np.float64))
+            codes = np.empty((x.shape[0], m), np.uint8)
+            for j in range(m):
+                xs = x[:, j * sub:(j + 1) * sub]
+                scores = xs @ books[j].T \
+                    - 0.5 * (books[j] ** 2).sum(axis=1)
+                codes[:, j] = np.argmax(scores, axis=1)
+            yield pd.Series([c.tobytes() for c in codes])
+
+    return df.withColumn(output_col, enc(F.col(vec_col)))
+
+
+def pq_topk(
+    corpus_codes: SparkDF,
+    queries: SparkDF,
+    codebooks: np.ndarray,
+    k: int = 10,
+    corpus_id: str = 'vec_id',
+    code_col: str = 'pq_code',
+    query_id: str = 'query_id',
+    query_vec: str = 'query_vec',
+) -> SparkDF:
+    """Approximate top-k by asymmetric distance computation (ADC).
+
+    Each (normalized) query pre-computes an ``(m, k)`` inner-product
+    table against the codebooks; a corpus vector's approximate cosine
+    is then ``Σ_j table[j, code[j]]`` — pure table lookups
+    (``np.take``-style indexing), zero FLOPs per vector. The query
+    tables ship in the UDF closure (tiny); the corpus never
+    re-shuffles; the only shuffle is the final per-query top-k
+    window, fed |corpus| × |queries| score rows exactly like
+    :func:`cosine_topk` — but scanning 8-byte codes, not 256-byte
+    vectors. ``queries`` must be small (collected to the driver).
+    """
+    books = np.asarray(codebooks, np.float64)
+    m, kk, sub = books.shape
+    qrows = queries.select(query_id, query_vec).collect()
+    qids = [r[query_id] for r in qrows]
+    qmat = _normalize_rows(
+        np.array([r[query_vec] for r in qrows], np.float64))
+    # tables[q, j, c] = q_sub[j] · codebook[j, c]
+    tables = np.einsum('qjs,jcs->qjc',
+                       qmat.reshape(len(qids), m, sub), books)
+
+    @F.pandas_udf('array<double>')
+    def adc(batch: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for codes in batch:
+            c = np.stack([np.frombuffer(b, np.uint8)
+                          for b in codes.to_numpy()])  # (n, m)
+            # scores[q, n] = Σ_j tables[q, j, c[n, j]]
+            scores = tables[:, np.arange(m)[None, :], c].sum(axis=2)
+            yield pd.Series(list(scores.T))
+
+    spark = corpus_codes.sparkSession
+    qid_map = spark.createDataFrame(
+        list(enumerate(qids)), '__qidx int, __qid string'
+    ).withColumnRenamed('__qid', query_id) if isinstance(qids[0], str) \
+        else spark.createDataFrame(
+            list(enumerate(qids)), f'__qidx int, {query_id} bigint')
+    scored = (
+        corpus_codes
+        .select(corpus_id, F.posexplode(adc(F.col(code_col)))
+                .alias('__qidx', 'pq_score'))
+        .join(F.broadcast(qid_map), on='__qidx')
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col('pq_score').desc(), F.col(corpus_id).asc())
+    return (
+        scored.withColumn('__rk', F.row_number().over(w))
+        .filter(F.col('__rk') <= k)
+        .select(query_id, corpus_id, 'pq_score')
+    )

@@ -588,6 +588,26 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Product-quantization ANN (rows-only — the compressed-domain
+    scores are approximate by design; recall is pinned in unit tests
+    against the brute-force baseline). Corpus vectors compress to
+    8-byte codes (32× smaller than float32); queries score them via
+    ADC table lookups, no per-vector FLOPs."""
+    (embeddings,) = _t(spark, sf_dir, 'embeddings')
+    queries = embeddings.filter(F.col('vec_id') < 3).select(
+        F.col('vec_id').alias('query_id'),
+        F.col('embedding').alias('query_vec'),
+    )
+    corpus = embeddings.filter(F.col('vec_id') >= 3)
+    books = sim.pq_train(corpus, m=8, k=256, sample_size=4096)
+    codes = sim.pq_encode(corpus, books)
+    out = sim.pq_topk(codes, queries, books, k=10)
+    return out.select(
+        'query_id', 'vec_id', F.round('pq_score', 4).alias('pq_score')
+    )
+
+
 # --------------------------------------------------------------------
 # Additional relational coverage (melt/rollup/set-ops/ffill/sliding)
 # --------------------------------------------------------------------
@@ -1653,6 +1673,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_ntile_deciles': q_ntile_deciles,
     'q_mode_quantity': q_mode_quantity,
     'q_latest_events': q_latest_events,
+    'q_pq_topk': q_pq_topk,
 }
 
 

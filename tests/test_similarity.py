@@ -195,3 +195,52 @@ class TestDegenerateVectors:
         assert rows[1] == 1.0
         assert abs(rows[4] - 0.6) < 1e-6
         assert rows.get(2) is None and rows.get(3) is None
+
+
+class TestProductQuantization:
+    @pytest.fixture
+    def qset(self, corpus):
+        return corpus.filter(F.col('vec_id') < 5).select(
+            F.col('vec_id').alias('query_id'),
+            F.col('embedding').alias('query_vec'),
+        )
+
+    def test_codes_are_m_bytes(self, corpus):
+        books = sim.pq_train(corpus, m=8, k=16, sample_size=256)
+        assert books.shape == (8, 16, 8)  # 64-dim / 8 subspaces
+        codes = sim.pq_encode(corpus.limit(20), books)
+        rows = codes.select('pq_code').collect()
+        assert all(len(r['pq_code']) == 8 for r in rows)
+
+    def test_train_deterministic(self, corpus):
+        import numpy as np
+        b1 = sim.pq_train(corpus, m=8, k=16, sample_size=256)
+        b2 = sim.pq_train(corpus, m=8, k=16, sample_size=256)
+        assert np.array_equal(b1, b2)
+
+    def test_recall_vs_brute_force(self, corpus, qset):
+        # Canonical byte-code config (k=256 centroids per subspace).
+        # These synthetic embeddings are near-orthogonal — PQ's worst
+        # case; deterministic measured recall 0.70 here.
+        books = sim.pq_train(corpus, m=8, k=256, sample_size=4096)
+        codes = sim.pq_encode(corpus, books)
+        approx = {(r['query_id'], r['vec_id'])
+                  for r in sim.pq_topk(codes, qset, books, k=10)
+                  .collect()}
+        exact = {(r['query_id'], r['vec_id'])
+                 for r in sim.cosine_topk(corpus, qset, k=10)
+                 .collect()}
+        recall = len(approx & exact) / len(exact)
+        assert recall >= 0.5, f'PQ recall too low: {recall}'
+
+    def test_self_match_top1(self, corpus, qset):
+        """A query's own (encoded) vector should rank at/near the top
+        — its ADC score is the max possible for its own codes."""
+        books = sim.pq_train(corpus, m=8, k=16, sample_size=512)
+        codes = sim.pq_encode(corpus, books)
+        top = sim.pq_topk(codes, qset, books, k=3).collect()
+        by_q = {}
+        for r in top:
+            by_q.setdefault(r['query_id'], []).append(r['vec_id'])
+        hits = sum(1 for q, ids in by_q.items() if q in ids)
+        assert hits >= 4  # 5 queries; codes collide rarely
