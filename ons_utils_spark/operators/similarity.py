@@ -546,3 +546,87 @@ def pq_topk(
         .filter(F.col('__rk') <= k)
         .select(query_id, corpus_id, 'pq_score')
     )
+
+
+def ivf_pq_topk(
+    corpus: SparkDF,
+    queries: SparkDF,
+    codebooks: np.ndarray,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    seed: int = 42,
+    corpus_id: str = 'vec_id',
+    corpus_vec: str = 'embedding',
+    query_id: str = 'query_id',
+    query_vec: str = 'query_vec',
+    centroids: Optional[np.ndarray] = None,
+) -> SparkDF:
+    """IVF-PQ: the standard billion-scale ANN layout — coarse IVF
+    clusters prune the corpus to ``nprobe/n_clusters`` of its lists,
+    and PQ codes make scanning a list table lookups over 8-byte codes
+    instead of float math over raw vectors.
+
+    Plan shape: corpus tagged with cluster id + PQ code (two
+    Arrow-batched passes, no shuffle), queries exploded to probe
+    clusters and broadcast, equi-join on cluster id, per-pair ADC
+    lookup, ranked top-k. Versus :func:`pq_topk` the scored row count
+    drops by ~nprobe/n_clusters; versus :func:`ivf_topk` each scored
+    row reads m bytes, not the full vector.
+    """
+    if not 1 <= nprobe <= n_clusters:
+        raise ValueError(
+            f'nprobe must be in [1, n_clusters={n_clusters}], got {nprobe}'
+        )
+    books = np.asarray(codebooks, np.float64)
+    m, kk, sub = books.shape
+    if centroids is None:
+        centroids = ivf_centroids(
+            corpus, vec_col=corpus_vec, id_col=corpus_id,
+            n_clusters=n_clusters, iters=iters, seed=seed,
+        )
+    cn = _normalize_rows(np.asarray(centroids, np.float64))
+
+    tagged = pq_encode(
+        ivf_assign(corpus, centroids, vec_col=corpus_vec),
+        books, vec_col=corpus_vec,
+    ).select(corpus_id, '__ivf_c', 'pq_code')
+
+    qrows = queries.select(query_id, query_vec).collect()
+    qids = [r[query_id] for r in qrows]
+    qmat = _normalize_rows(
+        np.array([r[query_vec] for r in qrows], np.float64))
+    tables = np.einsum('qjs,jcs->qjc',
+                       qmat.reshape(len(qids), m, sub), books)
+    probe_lists = np.argsort(-(qmat @ cn.T), axis=1,
+                             kind='stable')[:, :nprobe]
+
+    spark = corpus.sparkSession
+    id_type = 'bigint' if not isinstance(qids[0], str) else 'string'
+    q_probe = spark.createDataFrame(
+        [(int(i), qid, int(c))
+         for i, qid in enumerate(qids)
+         for c in probe_lists[i]],
+        f'__qidx int, {query_id} {id_type}, __ivf_c int')
+
+    @F.pandas_udf('double')
+    def adc_pair(codes: pd.Series, qidx: pd.Series) -> pd.Series:
+        c = np.stack([np.frombuffer(b, np.uint8)
+                      for b in codes.to_numpy()])
+        qi = qidx.to_numpy()
+        return pd.Series(
+            tables[qi[:, None], np.arange(m)[None, :], c].sum(axis=1))
+
+    scored = (
+        tagged.join(F.broadcast(q_probe), on='__ivf_c')
+        .withColumn('pq_score', adc_pair(F.col('pq_code'),
+                                         F.col('__qidx')))
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col('pq_score').desc(), F.col(corpus_id).asc())
+    return (
+        scored.withColumn('__rk', F.row_number().over(w))
+        .filter(F.col('__rk') <= k)
+        .select(query_id, corpus_id, 'pq_score')
+    )

@@ -244,3 +244,44 @@ class TestProductQuantization:
             by_q.setdefault(r['query_id'], []).append(r['vec_id'])
         hits = sum(1 for q, ids in by_q.items() if q in ids)
         assert hits >= 4  # 5 queries; codes collide rarely
+
+
+class TestIvfPq:
+    @pytest.fixture
+    def qset(self, corpus):
+        return corpus.filter(F.col('vec_id') < 5).select(
+            F.col('vec_id').alias('query_id'),
+            F.col('embedding').alias('query_vec'),
+        )
+
+    def test_full_probe_equals_pq(self, corpus, qset):
+        """nprobe == n_clusters scans every list — IVF-PQ must return
+        exactly what plain PQ returns (same codes, same tables)."""
+        books = sim.pq_train(corpus, m=8, k=256, sample_size=4096)
+        codes = sim.pq_encode(corpus, books)
+        pq = {(r['query_id'], r['vec_id'], round(r['pq_score'], 9))
+              for r in sim.pq_topk(codes, qset, books, k=10).collect()}
+        ivfpq = {(r['query_id'], r['vec_id'], round(r['pq_score'], 9))
+                 for r in sim.ivf_pq_topk(
+                     corpus, qset, books, k=10, n_clusters=8,
+                     nprobe=8).collect()}
+        assert ivfpq == pq
+
+    def test_partial_probe_recall_and_pruning(self, corpus, qset):
+        books = sim.pq_train(corpus, m=8, k=256, sample_size=4096)
+        full = {(r['query_id'], r['vec_id'])
+                for r in sim.ivf_pq_topk(
+                    corpus, qset, books, k=10, n_clusters=8,
+                    nprobe=8).collect()}
+        part = {(r['query_id'], r['vec_id'])
+                for r in sim.ivf_pq_topk(
+                    corpus, qset, books, k=10, n_clusters=8,
+                    nprobe=4).collect()}
+        recall = len(full & part) / len(full)
+        assert recall >= 0.4, f'IVF-PQ nprobe=4/8 recall: {recall}'
+
+    def test_nprobe_validation(self, corpus, qset):
+        books = sim.pq_train(corpus, m=8, k=16, sample_size=256)
+        with pytest.raises(ValueError, match='nprobe'):
+            sim.ivf_pq_topk(corpus, qset, books, n_clusters=4,
+                            nprobe=9)
