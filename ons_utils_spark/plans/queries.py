@@ -588,6 +588,27 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """IVF-PQ composed ANN (rows-only): coarse clusters prune to
+    nprobe/n_clusters of the lists, PQ codes make scanning them table
+    lookups. Full-probe equality with plain PQ is pinned by unit
+    test; this entry runs the pruned configuration."""
+    (embeddings,) = _t(spark, sf_dir, 'embeddings')
+    queries = embeddings.filter(F.col('vec_id') < 3).select(
+        F.col('vec_id').alias('query_id'),
+        F.col('embedding').alias('query_vec'),
+    )
+    corpus = embeddings.filter(F.col('vec_id') >= 3)
+    books = sim.pq_train(corpus, m=8, k=256, sample_size=4096)
+    # iters=1: one Lloyd pass is plenty for a coarse 8-cluster
+    # quantizer; each extra pass is a full assign+mean job chain.
+    out = sim.ivf_pq_topk(
+        corpus, queries, books, k=10, n_clusters=8, nprobe=4, iters=1)
+    return out.select(
+        'query_id', 'vec_id', F.round('pq_score', 4).alias('pq_score')
+    )
+
+
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Product-quantization ANN (rows-only — the compressed-domain
     scores are approximate by design; recall is pinned in unit tests
@@ -1674,6 +1695,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_mode_quantity': q_mode_quantity,
     'q_latest_events': q_latest_events,
     'q_pq_topk': q_pq_topk,
+    'q_ivf_pq_topk': q_ivf_pq_topk,
 }
 
 

@@ -21,6 +21,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from ons_utils_spark import cosine_topk, get_spark, ivf_topk  # noqa: E402
+from ons_utils_spark.operators.similarity import (  # noqa: E402
+    ivf_pq_topk, pq_train)
 from ons_utils_spark.sources.readers import load_tables  # noqa: E402
 
 
@@ -55,6 +57,14 @@ def main() -> None:
     ivf_rows = ivf.collect()
     t_ivf = round(time.time() - t0, 2)
 
+    # IVF-PQ: same pruning plus 8-byte codes instead of raw vectors.
+    t0 = time.time()
+    books = pq_train(corpus, m=8, k=256, sample_size=4096)
+    ivfpq_rows = ivf_pq_topk(
+        corpus, queries, books, k=10, n_clusters=32, nprobe=8
+    ).collect()
+    t_ivfpq = round(time.time() - t0, 2)
+
     def kth(rows):
         best = {}
         for r in rows:
@@ -67,11 +77,31 @@ def main() -> None:
         if q in v and all(abs(x - y) < 1e-6
                           for x, y in zip(b[q], v[q]))
     )
+    # IVF-PQ returns approximate (compressed-domain) scores — measure
+    # id-level recall of the true top-10 instead of score parity.
+    true_ids = {}
+    for r in brute:
+        true_ids.setdefault(r['query_id'], set()).add(r['vec_id'])
+    got_ids = {}
+    for r in ivfpq_rows:
+        got_ids.setdefault(r['query_id'], set()).add(r['vec_id'])
+    # Replicas make ids ambiguous (every vector has R identical
+    # copies) — compare on the base id (vec_id // replicas).
+    recalls = [
+        len({i // replicas for i in true_ids[q]}
+            & {i // replicas for i in got_ids.get(q, set())})
+        / len({i // replicas for i in true_ids[q]})
+        for q in true_ids
+    ]
     print(json.dumps({
         'n_corpus': n_corpus, 'n_queries': n_queries,
         'brute_sec': t_brute, 'ivf_sec': t_ivf,
+        'ivfpq_sec': t_ivfpq,
         'speedup': round(t_brute / t_ivf, 2) if t_ivf else None,
+        'ivfpq_speedup': round(t_brute / t_ivfpq, 2)
+        if t_ivfpq else None,
         'score_parity': f'{agree}/{len(b)}',
+        'ivfpq_base_id_recall': round(sum(recalls) / len(recalls), 3),
     }))
     spark.stop()
 
