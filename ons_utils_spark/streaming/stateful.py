@@ -77,3 +77,104 @@ def running_totals(
         outputMode='update',
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def _stage_from_firsts(firsts: Iterable) -> int:
+    """Funnel stage = length of the strictly-increasing prefix of
+    first-occurrence times (-1 = step never seen)."""
+    stage, prev = 0, None
+    for t in firsts:
+        if t is None or t < 0 or (prev is not None and t <= prev):
+            break
+        stage += 1
+        prev = t
+    return stage
+
+
+def funnel_stages(
+    df: SparkDF,
+    key_col: str = 'user_id',
+    type_col: str = 'event_type',
+    ts_col: str = 'ts',
+    steps: Tuple[str, ...] = ('view', 'click', 'purchase'),
+    state_timeout_ms: int = 300_000,
+) -> SparkDF:
+    """Per-key funnel progress: how many of ``steps`` each key has
+    completed IN ORDER (first occurrences strictly increasing, at
+    whole-second precision).
+
+    Streaming: ``applyInPandasWithState`` keeps only the per-step
+    first-occurrence epochs per key (fixed-width state, bounded by
+    the timeout) and re-emits a key's stage whenever new events
+    arrive — min() is associative, so arrival order never changes the
+    converged result. Batch: the equivalent conditional-min hash agg
+    (same schema), so pipelines are testable offline and the
+    streaming answer must converge to it.
+    """
+    n = len(steps)
+    out_schema = 'key string, stage int, ' + ', '.join(
+        f't{i} bigint' for i in range(n))
+    state_schema = ', '.join(f't{i} bigint' for i in range(n))
+
+    keyed = df.select(
+        F.col(key_col).cast('string').alias('key'),
+        F.col(type_col).alias('etype'),
+        F.col(ts_col).cast('long').alias('es'),
+    )
+
+    if not df.isStreaming:
+        agg = keyed.groupBy('key').agg(*[
+            F.min(F.when(F.col('etype') == s, F.col('es')))
+            .alias(f't{i}')
+            for i, s in enumerate(steps)
+        ])
+        stage = F.lit(0)
+        cond = F.lit(True)
+        prev = None
+        for i in range(n):
+            t = F.col(f't{i}')
+            step_ok = t.isNotNull() if prev is None \
+                else (t.isNotNull() & (t > prev))
+            cond = cond & step_ok
+            stage = stage + F.when(cond, 1).otherwise(0)
+            prev = t
+        return agg.select(
+            'key', stage.cast('int').alias('stage'),
+            # -1 sentinel for never-seen steps — matches the streaming
+            # state encoding so batch/stream outputs compare equal.
+            *[F.coalesce(F.col(f't{i}'), F.lit(-1)).alias(f't{i}')
+              for i in range(n)])
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            firsts = list(state.get)
+            state.remove()
+            yield pd.DataFrame({
+                'key': [key[0]],
+                'stage': [_stage_from_firsts(firsts)],
+                **{f't{i}': [firsts[i]] for i in range(n)},
+            })
+            return
+        firsts = list(state.get) if state.exists else [-1] * n
+        for pdf in pdfs:
+            for i, s in enumerate(steps):
+                es = pdf.loc[pdf['etype'] == s, 'es']
+                if len(es):
+                    m = int(es.min())
+                    firsts[i] = m if firsts[i] < 0 \
+                        else min(firsts[i], m)
+        state.update(tuple(firsts))
+        state.setTimeoutDuration(state_timeout_ms)
+        yield pd.DataFrame({
+            'key': [key[0]],
+            'stage': [_stage_from_firsts(firsts)],
+            **{f't{i}': [firsts[i]] for i in range(n)},
+        })
+
+    return keyed.groupBy('key').applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode='update',
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -44,3 +44,85 @@ def test_streaming_state_accumulates(spark_session):
         assert ok, f'state did not accumulate: {rows}'
     finally:
         q.stop()
+
+
+class TestFunnelStages:
+    ROWS = [
+        # u1 completes the full funnel in order
+        ('u1', 'view', 100), ('u1', 'click', 200),
+        ('u1', 'purchase', 300),
+        # u2 clicked BEFORE first view — stuck at stage 1
+        ('u2', 'click', 50), ('u2', 'view', 100),
+        # u3 view+click, no purchase
+        ('u3', 'view', 10), ('u3', 'click', 20),
+        # u4 purchase only — stage 0
+        ('u4', 'purchase', 99),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            self.ROWS, 'user_id string, event_type string, ts long')
+
+    def test_batch_stages(self, spark_session):
+        from ons_utils_spark.streaming.stateful import funnel_stages
+
+        out = funnel_stages(self._df(spark_session))
+        got = {r['key']: r['stage'] for r in out.collect()}
+        assert got == {'u1': 3, 'u2': 1, 'u3': 2, 'u4': 0}
+        t = {r['key']: (r['t0'], r['t1'], r['t2'])
+             for r in out.collect()}
+        assert t['u4'] == (-1, -1, 99)
+
+    @pytest.mark.slow
+    def test_stream_converges_to_batch(self, spark_session, tmp_path):
+        """Replay the same events through a chunked file source; the
+        last emitted stage per key must equal the batch answer."""
+        import pandas as pd
+
+        from ons_utils_spark.streaming.stateful import funnel_stages
+
+        src = tmp_path / 'funnel_src'
+        src.mkdir()
+        # two chunks, split mid-funnel so state must carry across
+        # micro-batches
+        pd.DataFrame(self.ROWS[:4],
+                     columns=['user_id', 'event_type', 'ts']).to_json(
+            src / 'a.json', orient='records', lines=True)
+        pd.DataFrame(self.ROWS[4:],
+                     columns=['user_id', 'event_type', 'ts']).to_json(
+            src / 'b.json', orient='records', lines=True)
+
+        stream = (
+            spark_session.readStream
+            .schema('user_id string, event_type string, ts long')
+            .option('maxFilesPerTrigger', 1)
+            .json(str(src))
+        )
+        out = funnel_stages(stream)
+        q = (
+            out.writeStream.format('memory').queryName('funnel_test')
+            .outputMode('update').start()
+        )
+        # NOT processAllAvailable(): with ProcessingTimeTimeout the
+        # engine schedules state-cleanup batches forever, so it never
+        # returns. Poll until both chunks' updates landed.
+        batch = {r['key']: r['stage'] for r in
+                 funnel_stages(self._df(spark_session)).collect()}
+        try:
+            deadline = time.time() + 90
+            got = {}
+            while time.time() < deadline:
+                time.sleep(3)
+                rows = spark_session.sql(
+                    """SELECT key, stage FROM (
+                           SELECT key, stage, row_number() OVER (
+                               PARTITION BY key ORDER BY t0 DESC,
+                               t1 DESC, t2 DESC, stage DESC) rn
+                           FROM funnel_test) WHERE rn = 1"""
+                ).collect()
+                got = {r['key']: r['stage'] for r in rows}
+                if got == batch:
+                    break
+        finally:
+            q.stop()
+        assert got == batch
