@@ -73,3 +73,26 @@ def test_training_chunks(spark_session):
     assert [r['chunk_idx'] for r in chunks] == [0, 1, 2]
     assert all('me@example.com' not in r['chunk'] for r in chunks)
     assert any('<EMAIL>' in r['chunk'] for r in chunks)
+
+
+def test_similarity_pipeline_on_testdata(spark_session):
+    from pyspark.sql import functions as F
+
+    from examples.similarity_search_pipeline import (build_and_search,
+                                                     dedup_corpus)
+
+    emb = load_tables(
+        spark_session, '/root/testdata/sf0.001', tables=['embeddings']
+    )['embeddings']
+    corpus = dedup_corpus(emb)
+    assert 0 < corpus.count() <= emb.count()
+
+    queries = emb.limit(3).select(
+        F.col('vec_id').alias('query_id'),
+        F.col('embedding').alias('query_vec'),
+    )
+    out = build_and_search(corpus, queries, k=5)
+    counts = {r['query_id']: r['count']
+              for r in out.groupBy('query_id').count().collect()}
+    assert len(counts) == 3
+    assert all(c == 5 for c in counts.values())
