@@ -37,7 +37,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent ANSI SQL per query (omitted entries get the
-    weaker rows-only check: LSH/SimHash/lang-ID, whose hash seeds are
-    not reproducible in SQL)."""
+    """DuckDB-equivalent ANSI SQL per query. Omitted entries get the
+    weaker rows-only check — q_minhash_dedup, q_simhash_dedup,
+    q_lsh_topk, q_pq_topk, q_ivf_pq_topk, whose hash-seeded /
+    codebook-trained internals are not expressible in SQL; their
+    semantics are pinned by unit tests against planted duplicates and
+    brute-force baselines instead."""
     return dict(ORACLES)
