@@ -64,6 +64,23 @@ class TestPlanGuards:
         plan = plan_of(spark_session, 'q14_promo_share')
         assert 'BroadcastHashJoin' in plan
 
+    def test_q7_entire_dimension_chain_broadcasts(self, spark_session):
+        """Customer/supplier/both nation legs must all broadcast —
+        five BroadcastHashJoins, no SortMergeJoin at test scale."""
+        plan = plan_of(spark_session, 'q7_nation_volume')
+        assert plan.count('BroadcastHashJoin') >= 4
+        assert 'SortMergeJoin' not in plan
+
+    def test_q16_distinct_agg_expands_before_exchange(
+            self, spark_session):
+        """The two countDistincts share one Expand+partial-agg pass —
+        not two scans of the join."""
+        plan = plan_of(spark_session, 'q16_supplier_variety')
+        assert 'Expand' in plan
+        # one physical scan per relation (lineitem + part), counted
+        # via the numbered detail nodes (the tree repeats headers)
+        assert len(re.findall(r'\(\d+\) Scan parquet', plan)) == 2
+
     def test_minhash_reuses_shingle_exchange(self, spark_session):
         """The band/bucket repartition barrier must make the LSH
         self-join share ONE exchange instead of recomputing the
