@@ -41,6 +41,11 @@ def read_parquet(spark: SparkSession, path: str) -> SparkDF:
     """
     from pyspark.sql import functions as F
 
+    # Parquet timestamps without isAdjustedToUTC would otherwise load
+    # as TIMESTAMP_NTZ (Spark 4 default), which has no cast to BIGINT
+    # and shifts epoch math; read them as LTZ instants so downstream
+    # unix_timestamp/cast semantics match the DuckDB oracles.
+    spark.conf.set('spark.sql.parquet.inferTimestampNTZ.enabled', 'false')
     nanos_cols = _nanos_timestamp_columns(path)
     if not nanos_cols:
         return spark.read.parquet(path)
