@@ -428,12 +428,19 @@ def pq_train(
     cosine. Training is driver-side numpy on the bounded sample —
     codebooks are tiny (m × k × dim/m doubles).
     """
+    if not 1 <= k <= 256:
+        # codes are uint8 — more than 256 centroids per subspace
+        # would alias code ids mod 256 at encode time
+        raise ValueError(f'k must be in [1, 256], got {k}')
     rows = (
         corpus.select(F.col(vec_col).alias('v'))
         .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
         .limit(sample_size)
         .collect()
     )
+    if len(rows) < k:
+        raise ValueError(
+            f'training sample has {len(rows)} vectors, need >= k={k}')
     x = _normalize_rows(np.array([r['v'] for r in rows], np.float64))
     dim = x.shape[1]
     if dim % m != 0:
@@ -475,6 +482,10 @@ def pq_encode(
         for vecs in batch:
             x = _normalize_rows(
                 np.stack(vecs.to_numpy()).astype(np.float64))
+            if x.shape[1] != m * sub:
+                raise ValueError(
+                    f'vector dim {x.shape[1]} != codebook dim '
+                    f'{m * sub} (m={m} x sub={sub})')
             codes = np.empty((x.shape[0], m), np.uint8)
             for j in range(m):
                 xs = x[:, j * sub:(j + 1) * sub]
@@ -511,9 +522,14 @@ def pq_topk(
     books = np.asarray(codebooks, np.float64)
     m, kk, sub = books.shape
     qrows = queries.select(query_id, query_vec).collect()
+    if not qrows:
+        raise ValueError('queries is empty')
     qids = [r[query_id] for r in qrows]
     qmat = _normalize_rows(
         np.array([r[query_vec] for r in qrows], np.float64))
+    if qmat.shape[1] != m * sub:
+        raise ValueError(
+            f'query dim {qmat.shape[1]} != codebook dim {m * sub}')
     # tables[q, j, c] = q_sub[j] · codebook[j, c]
     tables = np.einsum('qjs,jcs->qjc',
                        qmat.reshape(len(qids), m, sub), books)
@@ -594,9 +610,14 @@ def ivf_pq_topk(
     ).select(corpus_id, '__ivf_c', 'pq_code')
 
     qrows = queries.select(query_id, query_vec).collect()
+    if not qrows:
+        raise ValueError('queries is empty')
     qids = [r[query_id] for r in qrows]
     qmat = _normalize_rows(
         np.array([r[query_vec] for r in qrows], np.float64))
+    if qmat.shape[1] != m * sub:
+        raise ValueError(
+            f'query dim {qmat.shape[1]} != codebook dim {m * sub}')
     tables = np.einsum('qjs,jcs->qjc',
                        qmat.reshape(len(qids), m, sub), books)
     probe_lists = np.argsort(-(qmat @ cn.T), axis=1,

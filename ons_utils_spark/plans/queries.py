@@ -109,7 +109,14 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> SparkDF:
     group keys are functionally dependent on the orderkey), so the
     join input shrinks from |lineitem| to 10 rows and the orders side
     broadcasts trivially — at 100 TB this is the difference between
-    joining the whole fact table and joining a constant."""
+    joining the whole fact table and joining a constant.
+
+    ASSUMES lineitem→orders FK integrity: taking the top-10 before
+    the inner join is only equivalent to join-then-top-10 when every
+    l_orderkey has a matching order (true for the testdata and for
+    TPC-H). A dangling l_orderkey in the top-10 would drop at the
+    join and yield fewer than 10 rows; without that guarantee, keep a
+    larger candidate set (e.g. top-10 with ties) or join first."""
     lineitem, orders = _t(spark, sf_dir, 'lineitem', 'orders')
     top = (
         lineitem
@@ -1231,7 +1238,12 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> SparkDF:
     """TPC-H Q14-style: promo revenue share per ship-month —
     conditional aggregation over a broadcast part join."""
     lineitem, part = _t(spark, sf_dir, 'lineitem', 'part')
-    rev = F.col('l_extendedprice') * (1 - F.col('l_discount'))
+    # Sum as DECIMAL(18,4) (lossless for 2-decimal × 2-decimal
+    # products) so the sums are exact and order-independent; the
+    # single double division afterwards is deterministic across
+    # engines — no .xx5 float-summation rounding flips.
+    rev = (F.col('l_extendedprice')
+           * (1 - F.col('l_discount'))).cast('decimal(18,4)')
     return (
         lineitem
         .join(F.broadcast(part), F.col('l_partkey') == F.col('p_partkey'))
@@ -1239,10 +1251,12 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> SparkDF:
         .agg(
             F.round(
                 100 * F.sum(F.when(F.col('p_type') == 'PROMO', rev)
-                            .otherwise(F.lit(0.0))) / F.sum(rev),
+                            .otherwise(F.lit(0.0).cast('decimal(18,4)')))
+                .cast('double')
+                / F.sum(rev).cast('double'),
                 4,
             ).alias('promo_share'),
-            F.round(F.sum(rev), 2).alias('total_revenue'),
+            F.round(F.sum(rev), 2).cast('double').alias('total_revenue'),
         )
     )
 
@@ -1259,9 +1273,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> SparkDF:
         .filter((F.col('l_shipdate') >= '1995-01-01')
                 & (F.col('l_shipdate') < '1995-04-01'))
         .groupBy('l_suppkey')
+        # exact decimal sum → the rounded revenue (and the max-equality
+        # test on it) is order-independent across engines
         .agg(F.round(
-            F.sum(F.col('l_extendedprice') * (1 - F.col('l_discount'))),
-            2).alias('supp_revenue'))
+            F.sum((F.col('l_extendedprice')
+                   * (1 - F.col('l_discount'))).cast('decimal(18,4)')),
+            2).cast('double').alias('supp_revenue'))
     )
     with_max = with_global_agg(revenue, F.max('supp_revenue'), 'max_rev')
     return (
@@ -1296,7 +1313,8 @@ def q18_big_orders(spark: SparkSession, sf_dir: str) -> SparkDF:
     lineitem, orders = _t(spark, sf_dir, 'lineitem', 'orders')
     big = (
         lineitem.groupBy('l_orderkey')
-        .agg(F.sum('l_quantity').alias('order_qty'),
+        .agg(F.sum(F.col('l_quantity').cast('decimal(18,2)'))
+             .cast('double').alias('order_qty'),
              F.count(F.lit(1)).alias('n_lines'))
         .filter(F.col('order_qty') > 200)
     )
@@ -1305,7 +1323,12 @@ def q18_big_orders(spark: SparkSession, sf_dir: str) -> SparkDF:
         .groupBy('o_orderpriority')
         .agg(
             F.count(F.lit(1)).alias('n_big_orders'),
-            F.round(F.avg('o_totalprice'), 2).alias('avg_totalprice'),
+            # exact decimal sum / count: one deterministic double
+            # division instead of an order-dependent double avg
+            F.round(
+                F.sum(F.col('o_totalprice').cast('decimal(18,2)'))
+                .cast('double') / F.count(F.lit(1)),
+                2).alias('avg_totalprice'),
             F.round(F.max('order_qty'), 2).alias('max_order_qty'),
         )
     )
@@ -1329,8 +1352,10 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
     return joined.filter(bracket).agg(
         F.round(
-            F.sum(F.col('l_extendedprice') * (1 - F.col('l_discount'))), 2
-        ).alias('bracket_revenue'),
+            F.sum((F.col('l_extendedprice')
+                   * (1 - F.col('l_discount'))).cast('decimal(18,4)')),
+            2,
+        ).cast('double').alias('bracket_revenue'),
         F.count(F.lit(1)).alias('n_lines'),
     )
 
@@ -2539,12 +2564,15 @@ ORACLES: Dict[str, str] = {
     """,
     'q14_promo_share': """
         SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
-               round(100 * sum(CASE WHEN p_type = 'PROMO'
-                     THEN l_extendedprice * (1 - l_discount)
-                     ELSE 0 END)
-                   / sum(l_extendedprice * (1 - l_discount)), 4)
+               round(100 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,4))
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                   / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,4))) AS DOUBLE), 4)
                    AS promo_share,
-               round(sum(l_extendedprice * (1 - l_discount)), 2)
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,4))), 2) AS DOUBLE)
                    AS total_revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY 1
@@ -2552,7 +2580,8 @@ ORACLES: Dict[str, str] = {
     'q15_top_supplier': """
         WITH revenue AS (
             SELECT l_suppkey,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                  AS DECIMAL(18,4))), 2) AS DOUBLE)
                        AS supp_revenue
             FROM lineitem
             WHERE l_shipdate >= '1995-01-01'
@@ -2573,19 +2602,24 @@ ORACLES: Dict[str, str] = {
     """,
     'q18_big_orders': """
         WITH big AS (
-            SELECT l_orderkey, sum(l_quantity) AS order_qty
+            SELECT l_orderkey,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                        AS DOUBLE) AS order_qty
             FROM lineitem GROUP BY l_orderkey
-            HAVING sum(l_quantity) > 200
+            HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                        AS DOUBLE) > 200
         )
         SELECT o_orderpriority,
                count(*) AS n_big_orders,
-               round(avg(o_totalprice), 2) AS avg_totalprice,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DOUBLE) / count(*), 2) AS avg_totalprice,
                round(max(order_qty), 2) AS max_order_qty
         FROM big JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
     """,
     'q19_bracket_revenue': """
-        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2)
+        SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,4))), 2) AS DOUBLE)
                    AS bracket_revenue,
                count(*) AS n_lines
         FROM lineitem JOIN part ON l_partkey = p_partkey

@@ -81,10 +81,11 @@ def running_totals(
 
 def _stage_from_firsts(firsts: Iterable) -> int:
     """Funnel stage = length of the strictly-increasing prefix of
-    first-occurrence times (-1 = step never seen)."""
+    first-occurrence times (None/NULL = step never seen; negative
+    epochs — pre-1970 timestamps — are valid observations)."""
     stage, prev = 0, None
     for t in firsts:
-        if t is None or t < 0 or (prev is not None and t <= prev):
+        if t is None or (prev is not None and t <= prev):
             break
         stage += 1
         prev = t
@@ -140,36 +141,39 @@ def funnel_stages(
             prev = t
         return agg.select(
             'key', stage.cast('int').alias('stage'),
-            # -1 sentinel for never-seen steps — matches the streaming
-            # state encoding so batch/stream outputs compare equal.
-            *[F.coalesce(F.col(f't{i}'), F.lit(-1)).alias(f't{i}')
-              for i in range(n)])
+            # NULL marks a never-seen step — matches the streaming
+            # state encoding so batch/stream outputs compare equal,
+            # and keeps negative (pre-1970) epochs distinguishable.
+            *[F.col(f't{i}') for i in range(n)])
 
     def fn(key, pdfs, state: GroupState):
+        def emit(firsts):
+            # Nullable Int64 so a None (step unseen) survives the
+            # Arrow trip to a NULL bigint instead of becoming NaN.
+            return pd.DataFrame({
+                'key': pd.array([key[0]], dtype='string'),
+                'stage': pd.array(
+                    [_stage_from_firsts(firsts)], dtype='Int64'),
+                **{f't{i}': pd.array([firsts[i]], dtype='Int64')
+                   for i in range(n)},
+            })
+
         if state.hasTimedOut:
             firsts = list(state.get)
             state.remove()
-            yield pd.DataFrame({
-                'key': [key[0]],
-                'stage': [_stage_from_firsts(firsts)],
-                **{f't{i}': [firsts[i]] for i in range(n)},
-            })
+            yield emit(firsts)
             return
-        firsts = list(state.get) if state.exists else [-1] * n
+        firsts = list(state.get) if state.exists else [None] * n
         for pdf in pdfs:
             for i, s in enumerate(steps):
                 es = pdf.loc[pdf['etype'] == s, 'es']
                 if len(es):
                     m = int(es.min())
-                    firsts[i] = m if firsts[i] < 0 \
+                    firsts[i] = m if firsts[i] is None \
                         else min(firsts[i], m)
         state.update(tuple(firsts))
         state.setTimeoutDuration(state_timeout_ms)
-        yield pd.DataFrame({
-            'key': [key[0]],
-            'stage': [_stage_from_firsts(firsts)],
-            **{f't{i}': [firsts[i]] for i in range(n)},
-        })
+        yield emit(firsts)
 
     return keyed.groupBy('key').applyInPandasWithState(
         fn,

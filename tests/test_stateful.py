@@ -71,7 +71,23 @@ class TestFunnelStages:
         assert got == {'u1': 3, 'u2': 1, 'u3': 2, 'u4': 0}
         t = {r['key']: (r['t0'], r['t1'], r['t2'])
              for r in out.collect()}
-        assert t['u4'] == (-1, -1, 99)
+        assert t['u4'] == (None, None, 99)
+
+    def test_batch_pre_epoch_timestamps(self, spark_session):
+        """Negative epochs (pre-1970) are real observations, not the
+        unseen sentinel — NULL marks unseen."""
+        from ons_utils_spark.streaming.stateful import funnel_stages
+
+        df = spark_session.createDataFrame(
+            [('u1', 'view', -300), ('u1', 'click', -200),
+             ('u1', 'purchase', -100),
+             ('u2', 'view', -50), ('u2', 'purchase', 10)],
+            'user_id string, event_type string, ts long')
+        out = funnel_stages(df)
+        got = {r['key']: (r['stage'], r['t0'], r['t1'], r['t2'])
+               for r in out.collect()}
+        assert got == {'u1': (3, -300, -200, -100),
+                       'u2': (1, -50, None, 10)}
 
     @pytest.mark.slow
     def test_stream_converges_to_batch(self, spark_session, tmp_path):
