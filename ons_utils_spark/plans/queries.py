@@ -1384,6 +1384,286 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 # --------------------------------------------------------------------
+# TPC-H breadth, round 3: Q8-Q13, Q17, Q20, Q21 shapes adapted to the
+# synthetic star schema (no partsupp table, no shipmode/commit/receipt
+# dates — each adaptation keeps the original's OPERATOR shape: the
+# join topology, correlated-subquery/exists structure, and agg
+# nesting, which is what matters for plan quality at scale).
+# --------------------------------------------------------------------
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """TPC-H Q8-style market share: of revenue from ASIA customers,
+    the share supplied by one nation, per order year. Five joins —
+    every dimension side broadcast, the fact table never shuffles
+    before the final (25-group) aggregate."""
+    lineitem, orders, customer, supplier, nation, region = _t(
+        spark, sf_dir, 'lineitem', 'orders', 'customer', 'supplier',
+        'nation', 'region')
+    asia_nations = (
+        nation.join(F.broadcast(region.filter(F.col('r_name') == 'ASIA')),
+                    F.col('n_regionkey') == F.col('r_regionkey'))
+        .select(F.col('n_nationkey').alias('cn_key')))
+    supp_nation = nation.select(
+        F.col('n_nationkey').alias('sn_key'),
+        F.col('n_name').alias('supp_nation'))
+    vol = (F.col('l_extendedprice')
+           * (1 - F.col('l_discount'))).cast('decimal(18,4)')
+    return (
+        lineitem
+        .join(orders, F.col('l_orderkey') == F.col('o_orderkey'))
+        .join(F.broadcast(customer),
+              F.col('o_custkey') == F.col('c_custkey'))
+        .join(F.broadcast(asia_nations),
+              F.col('c_nationkey') == F.col('cn_key'), 'left_semi')
+        .join(F.broadcast(supplier),
+              F.col('l_suppkey') == F.col('s_suppkey'))
+        .join(F.broadcast(supp_nation),
+              F.col('s_nationkey') == F.col('sn_key'))
+        .groupBy(F.year('o_orderdate').alias('order_year'))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col('supp_nation') == 'NATION_5', vol)
+                      .otherwise(F.lit(0.0).cast('decimal(18,4)')))
+                .cast('double')
+                / F.sum(vol).cast('double'),
+                6,
+            ).alias('mkt_share'),
+            F.round(F.sum(vol), 2).cast('double').alias('asia_volume'),
+        )
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """TPC-H Q9-style profit by supplier nation x year. No partsupp
+    table, so supply cost is modeled as 60% of p_retailprice — the
+    shape (LIKE-filtered part join, per-line profit expression,
+    nation x year agg) is Q9's."""
+    lineitem, part, supplier, nation = _t(
+        spark, sf_dir, 'lineitem', 'part', 'supplier', 'nation')
+    profit = (
+        F.col('l_extendedprice') * (1 - F.col('l_discount'))
+        - F.lit(0.6) * F.col('p_retailprice') * F.col('l_quantity')
+    ).cast('decimal(18,4)')
+    return (
+        lineitem
+        .join(F.broadcast(part.filter(F.col('p_name').like('%widget%'))),
+              F.col('l_partkey') == F.col('p_partkey'))
+        .join(F.broadcast(supplier),
+              F.col('l_suppkey') == F.col('s_suppkey'))
+        .join(F.broadcast(nation),
+              F.col('s_nationkey') == F.col('n_nationkey'))
+        .groupBy(F.col('n_name').alias('supp_nation'),
+                 F.year('l_shipdate').alias('ship_year'))
+        .agg(F.round(F.sum(profit), 2).cast('double').alias('profit'),
+             F.count(F.lit(1)).alias('n_lines'))
+    )
+
+
+def q10_returned_customers(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """TPC-H Q10-style: top-20 customers by revenue on RETURNED lines
+    over two quarters — fact-side filter first, agg by custkey, then
+    broadcast-join the (20-row) result to customer/nation dims."""
+    lineitem, orders, customer, nation = _t(
+        spark, sf_dir, 'lineitem', 'orders', 'customer', 'nation')
+    rev = (F.col('l_extendedprice')
+           * (1 - F.col('l_discount'))).cast('decimal(18,4)')
+    top = (
+        lineitem.filter(F.col('l_returnflag') == 'R')
+        .join(orders.filter(
+            (F.col('o_orderdate') >= '1995-07-01')
+            & (F.col('o_orderdate') < '1996-01-01')),
+            F.col('l_orderkey') == F.col('o_orderkey'))
+        .groupBy('o_custkey')
+        .agg(F.round(F.sum(rev), 2).cast('double').alias('return_rev'))
+        .orderBy(F.col('return_rev').desc(), F.col('o_custkey').asc())
+        .limit(20)
+    )
+    return (
+        F.broadcast(top)
+        .join(customer, F.col('o_custkey') == F.col('c_custkey'))
+        .join(F.broadcast(nation),
+              F.col('c_nationkey') == F.col('n_nationkey'))
+        .select(F.col('c_custkey'), F.col('c_name'),
+                F.col('n_name').alias('nation'),
+                F.round('c_acctbal', 2).alias('acctbal'),
+                F.col('return_rev'))
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """TPC-H Q11-style 'important stock': parts whose shipped value
+    exceeds 1.5x the mean part value — group-agg plus a broadcast
+    one-row scalar threshold (never a 1-partition window). The
+    comparison runs on scale-4 integers (exact on both engines,
+    no double-threshold boundary cases)."""
+    lineitem, part = _t(spark, sf_dir, 'lineitem', 'part')
+    value = (F.col('l_quantity')
+             * F.col('p_retailprice')).cast('decimal(18,4)')
+    per_part = (
+        lineitem
+        .join(F.broadcast(part), F.col('l_partkey') == F.col('p_partkey'))
+        .groupBy('p_partkey')
+        .agg(F.sum(value).alias('part_value_dec'))
+    )
+    scalar = per_part.agg(
+        (F.sum('part_value_dec') * 10000).cast('bigint')
+        .alias('total_scaled'),
+        F.count(F.lit(1)).alias('n_parts'),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(scalar))
+        # value > 1.5 * total/n  ⇔  2*n*value > 3*total, in exact
+        # scale-4 integers
+        .filter((F.col('part_value_dec') * 10000).cast('bigint')
+                * F.col('n_parts') * 2
+                > F.col('total_scaled') * 3)
+        .select('p_partkey',
+                F.round('part_value_dec', 2).cast('double')
+                .alias('part_value'))
+    )
+
+
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """TPC-H Q12-style priority split of late shipments (no shipmode
+    or receipt date in the schema, so 'late' = shipped >90 days after
+    the order date): per ship-year counts of high- vs low-priority
+    orders — join + CASE-sum aggregation."""
+    lineitem, orders = _t(spark, sf_dir, 'lineitem', 'orders')
+    high = F.col('o_orderpriority').isin('1-URGENT', '2-HIGH')
+    return (
+        lineitem
+        .join(orders, F.col('l_orderkey') == F.col('o_orderkey'))
+        .filter(F.col('l_shipdate')
+                > F.col('o_orderdate') + F.expr('INTERVAL 90 DAYS'))
+        .groupBy(F.year('l_shipdate').alias('ship_year'))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias('high_line_count'),
+            F.sum(F.when(high, 0).otherwise(1)).alias('low_line_count'),
+        )
+    )
+
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """TPC-H Q13-style customer order-count distribution: LEFT join so
+    zero-order customers survive, per-customer count, then a second
+    aggregation into a histogram."""
+    customer, orders = _t(spark, sf_dir, 'customer', 'orders')
+    counted = (
+        customer.join(
+            orders.filter(F.col('o_orderpriority') != '4-NOT SPECIFIED'),
+            F.col('c_custkey') == F.col('o_custkey'), 'left')
+        .groupBy('c_custkey')
+        .agg(F.count('o_orderkey').alias('c_count'))
+    )
+    return (
+        counted.groupBy('c_count')
+        .agg(F.count(F.lit(1)).alias('custdist'))
+    )
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """TPC-H Q17-style small-quantity revenue: lines of one brand
+    whose quantity is below half the part's average quantity. The
+    correlated scalar subquery becomes a per-part aggregate
+    re-broadcast onto the fact scan (two passes over the brand's
+    lines, zero fact-side shuffles)."""
+    lineitem, part = _t(spark, sf_dir, 'lineitem', 'part')
+    brand_lines = lineitem.join(
+        F.broadcast(part.filter(F.col('p_brand') == 'Brand#3')),
+        F.col('l_partkey') == F.col('p_partkey'))
+    per_part_avg = (
+        brand_lines.groupBy(F.col('p_partkey').alias('avg_key'))
+        .agg((F.sum(F.col('l_quantity').cast('decimal(18,2)'))
+              .cast('double') / F.count(F.lit(1))).alias('avg_qty'))
+    )
+    return (
+        brand_lines
+        .join(F.broadcast(per_part_avg),
+              F.col('p_partkey') == F.col('avg_key'))
+        .filter(F.col('l_quantity') < 0.5 * F.col('avg_qty'))
+        .agg(
+            F.round(
+                F.sum(F.col('l_extendedprice').cast('decimal(18,2)'))
+                .cast('double') / 7.0,
+                2).alias('avg_yearly'),
+            F.count(F.lit(1)).alias('n_lines'),
+        )
+    )
+
+
+def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """TPC-H Q20-style: suppliers who shipped significant PROMO-part
+    volume in 1996 (no partsupp, so 'excess stock' becomes shipped
+    quantity over a threshold) — the EXISTS chain becomes agg →
+    HAVING → broadcast join to the supplier/nation dims."""
+    lineitem, part, supplier, nation = _t(
+        spark, sf_dir, 'lineitem', 'part', 'supplier', 'nation')
+    shipped = (
+        lineitem
+        .filter((F.col('l_shipdate') >= '1996-01-01')
+                & (F.col('l_shipdate') < '1997-01-01'))
+        .join(F.broadcast(part.filter(F.col('p_type') == 'PROMO')),
+              F.col('l_partkey') == F.col('p_partkey'), 'left_semi')
+        .groupBy('l_suppkey')
+        .agg(F.sum(F.col('l_quantity').cast('decimal(18,2)'))
+             .cast('double').alias('promo_qty'))
+        .filter(F.col('promo_qty') > 400)
+    )
+    return (
+        F.broadcast(shipped)
+        .join(supplier, F.col('l_suppkey') == F.col('s_suppkey'))
+        .join(F.broadcast(nation),
+              F.col('s_nationkey') == F.col('n_nationkey'))
+        .select('s_suppkey', 's_name',
+                F.col('n_name').alias('nation'),
+                F.round('promo_qty', 2).alias('promo_qty'))
+    )
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """TPC-H Q21-style 'suppliers who kept orders waiting': in
+    finished multi-supplier orders, the unique last supplier to ship
+    (no commit/receipt dates, so lateness = strictly latest first-ship
+    within the order). The EXISTS/NOT-EXISTS pair becomes one
+    order-keyed aggregate joined back to per-(order, supplier) mins —
+    two shuffles on the same key, no correlated re-scans."""
+    lineitem, orders, supplier = _t(
+        spark, sf_dir, 'lineitem', 'orders', 'supplier')
+    per_supp = (
+        lineitem
+        .join(orders.filter(F.col('o_orderstatus') == 'F'),
+              F.col('l_orderkey') == F.col('o_orderkey'), 'left_semi')
+        .groupBy('l_orderkey', 'l_suppkey')
+        .agg(F.max('l_shipdate').alias('supp_last_ship'))
+    )
+    order_stats = (
+        per_supp.groupBy(F.col('l_orderkey').alias('ok'))
+        .agg(F.count(F.lit(1)).alias('n_supps'),
+             F.max('supp_last_ship').alias('order_last_ship'))
+        .filter(F.col('n_supps') >= 2)
+    )
+    blamed = (
+        per_supp
+        .join(order_stats, F.col('l_orderkey') == F.col('ok'))
+        .filter(F.col('supp_last_ship') == F.col('order_last_ship'))
+        # strict: exactly one supplier achieved the order max
+        .withColumn('n_at_max',
+                    F.count(F.lit(1)).over(
+                        Window.partitionBy('l_orderkey')))
+        .filter(F.col('n_at_max') == 1)
+    )
+    return (
+        blamed.groupBy('l_suppkey')
+        .agg(F.count(F.lit(1)).alias('numwait'))
+        .join(F.broadcast(supplier),
+              F.col('l_suppkey') == F.col('s_suppkey'))
+        .orderBy(F.col('numwait').desc(), F.col('s_suppkey').asc())
+        .limit(20)
+        .select('s_suppkey', 's_name', 'numwait')
+    )
+
+
+# --------------------------------------------------------------------
 # Analytics extensions (round 2): regression aggregates, time-range
 # rolling windows, deterministic hash sampling, blocked fuzzy
 # matching, n-gram mining, token entropy.
@@ -1708,6 +1988,15 @@ QUERIES: Dict[str, QueryFn] = {
     'q18_big_orders': q18_big_orders,
     'q19_bracket_revenue': q19_bracket_revenue,
     'q22_idle_customers': q22_idle_customers,
+    'q8_market_share': q8_market_share,
+    'q9_product_profit': q9_product_profit,
+    'q10_returned_customers': q10_returned_customers,
+    'q11_important_parts': q11_important_parts,
+    'q12_late_shipments': q12_late_shipments,
+    'q13_order_distribution': q13_order_distribution,
+    'q17_small_qty_revenue': q17_small_qty_revenue,
+    'q20_promo_suppliers': q20_promo_suppliers,
+    'q21_waiting_suppliers': q21_waiting_suppliers,
     'q_regr_price_size': q_regr_price_size,
     'q_rolling_revenue': q_rolling_revenue,
     'q_hash_sample': q_hash_sample,
@@ -2640,6 +2929,164 @@ ORACLES: Dict[str, str] = {
                           WHERE o_custkey = c_custkey
                             AND o_orderpriority = '1-URGENT')
         GROUP BY c_mktsegment
+    """,
+    'q8_market_share': """
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+               round(CAST(sum(CASE WHEN sn.n_name = 'NATION_5'
+                     THEN CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,4))
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                   / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,4))) AS DOUBLE), 6)
+                   AS mkt_share,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS asia_volume
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE c_nationkey IN (
+            SELECT n_nationkey FROM nation
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA')
+        GROUP BY 1
+    """,
+    'q9_product_profit': """
+        SELECT n_name AS supp_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                              - 0.6 * p_retailprice * l_quantity
+                              AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS profit,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY 1, 2
+    """,
+    'q10_returned_customers': """
+        WITH top AS (
+            SELECT o_custkey,
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                  AS DECIMAL(18,4))), 2) AS DOUBLE)
+                       AS return_rev
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= '1995-07-01'
+              AND o_orderdate < '1996-01-01'
+            GROUP BY o_custkey
+            ORDER BY return_rev DESC, o_custkey ASC
+            LIMIT 20
+        )
+        SELECT c_custkey, c_name, n_name AS nation,
+               round(c_acctbal, 2) AS acctbal, return_rev
+        FROM top
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+    """,
+    'q11_important_parts': """
+        WITH per_part AS (
+            SELECT p_partkey,
+                   sum(CAST(l_quantity * p_retailprice
+                            AS DECIMAL(18,4))) AS part_value_dec
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_partkey
+        )
+        SELECT p_partkey,
+               CAST(round(part_value_dec, 2) AS DOUBLE) AS part_value
+        FROM per_part
+        WHERE CAST(part_value_dec * 10000 AS BIGINT)
+              * (SELECT count(*) FROM per_part) * 2
+              > (SELECT CAST(sum(part_value_dec) * 10000 AS BIGINT)
+                 FROM per_part) * 3
+    """,
+    'q12_late_shipments': """
+        SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+               CAST(sum(CASE WHEN o_orderpriority IN
+                        ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                    AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN
+                        ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+                    AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+        GROUP BY 1
+    """,
+    'q13_order_distribution': """
+        WITH counted AS (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders
+              ON c_custkey = o_custkey
+             AND o_orderpriority <> '4-NOT SPECIFIED'
+            GROUP BY c_custkey
+        )
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM counted GROUP BY c_count
+    """,
+    'q17_small_qty_revenue': """
+        WITH brand_lines AS (
+            SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#3'
+        ), per_part_avg AS (
+            SELECT l_partkey AS avg_key,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                        AS DOUBLE) / count(*) AS avg_qty
+            FROM brand_lines GROUP BY 1
+        )
+        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                          AS DOUBLE) / 7.0, 2) AS avg_yearly,
+               count(*) AS n_lines
+        FROM brand_lines JOIN per_part_avg ON l_partkey = avg_key
+        WHERE l_quantity < 0.5 * avg_qty
+    """,
+    'q20_promo_suppliers': """
+        WITH shipped AS (
+            SELECT l_suppkey,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                        AS DOUBLE) AS promo_qty
+            FROM lineitem
+            WHERE l_shipdate >= '1996-01-01'
+              AND l_shipdate < '1997-01-01'
+              AND l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_type = 'PROMO')
+            GROUP BY l_suppkey
+            HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                        AS DOUBLE) > 400
+        )
+        SELECT s_suppkey, s_name, n_name AS nation,
+               round(promo_qty, 2) AS promo_qty
+        FROM shipped
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+    """,
+    'q21_waiting_suppliers': """
+        WITH per_supp AS (
+            SELECT l_orderkey, l_suppkey,
+                   max(l_shipdate) AS supp_last_ship
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderstatus = 'F')
+            GROUP BY 1, 2
+        ), order_stats AS (
+            SELECT l_orderkey AS ok, count(*) AS n_supps,
+                   max(supp_last_ship) AS order_last_ship
+            FROM per_supp GROUP BY 1 HAVING count(*) >= 2
+        ), blamed AS (
+            SELECT p.l_suppkey
+            FROM per_supp p JOIN order_stats o ON p.l_orderkey = o.ok
+            WHERE p.supp_last_ship = o.order_last_ship
+            QUALIFY count(*) OVER (PARTITION BY p.l_orderkey) = 1
+        )
+        SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM blamed JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2
+        ORDER BY numwait DESC, s_suppkey ASC
+        LIMIT 20
     """,
     'q_regr_price_size': """
         SELECT p_brand,

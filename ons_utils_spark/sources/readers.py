@@ -46,6 +46,10 @@ def read_parquet(spark: SparkSession, path: str) -> SparkDF:
     # and shifts epoch math; read them as LTZ instants so downstream
     # unix_timestamp/cast semantics match the DuckDB oracles.
     spark.conf.set('spark.sql.parquet.inferTimestampNTZ.enabled', 'false')
+    # Pin date/year extraction from those instants to UTC regardless
+    # of the host session's zone — keeps results identical to the
+    # (zone-naive) DuckDB oracles.
+    spark.conf.set('spark.sql.session.timeZone', 'UTC')
     nanos_cols = _nanos_timestamp_columns(path)
     if not nanos_cols:
         return spark.read.parquet(path)

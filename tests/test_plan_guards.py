@@ -81,6 +81,30 @@ class TestPlanGuards:
         # via the numbered detail nodes (the tree repeats headers)
         assert len(re.findall(r'\(\d+\) Scan parquet', plan)) == 2
 
+    def test_q8_dimension_chain_broadcasts(self, spark_session):
+        """All five dimension legs (orders excepted — it's fact-sized)
+        must broadcast; the fact table shuffles at most once, for the
+        final year agg."""
+        plan = plan_of(spark_session, 'q8_market_share')
+        assert plan.count('BroadcastHashJoin') >= 3
+        assert 'SortMergeJoin' not in plan
+
+    def test_q10_topk_before_dimension_join(self, spark_session):
+        """The 20-row top-k result must be the broadcast side of the
+        customer join — never the full customer table shuffle."""
+        plan = plan_of(spark_session, 'q10_returned_customers')
+        assert 'BroadcastHashJoin' in plan
+        assert 'SortMergeJoin' not in plan
+        assert 'TakeOrderedAndProject' in plan
+
+    def test_q17_no_correlated_rescan(self, spark_session):
+        """The correlated scalar subquery is a per-part agg broadcast
+        back — exactly two lineitem scans (fact + avg pass), no
+        nested-loop re-scan per row."""
+        plan = plan_of(spark_session, 'q17_small_qty_revenue')
+        assert 'BroadcastNestedLoopJoin' not in plan
+        assert 'SortMergeJoin' not in plan
+
     def test_minhash_reuses_shingle_exchange(self, spark_session):
         """The band/bucket repartition barrier must make the LSH
         self-join share ONE exchange instead of recomputing the
