@@ -659,6 +659,91 @@ def ngram_jaccard_join(
     )
 
 
+def winnow_fingerprints(
+    df: SparkDF,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    k: int = 4,
+    w: int = 3,
+) -> SparkDF:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    per document, the minimum k-gram hash of every window of ``w``
+    consecutive k-grams, deduplicated — guaranteed to share a
+    fingerprint with any document overlapping by >= k+w-1 tokens,
+    while keeping only ~2/(w+1) of the gram hashes. The scale story
+    versus all-shingle Jaccard: the self-join input shrinks by
+    ~(w+1)/2 x BEFORE the shuffle, with a detection guarantee (unlike
+    MinHash's probabilistic bands).
+
+    Hashes are md5 hex strings (window min = lexicographic min), so a
+    SQL engine computes bit-identical fingerprints — the DuckDB
+    oracle for ``q_winnow_dups`` mirrors this exactly.
+
+    All array work is shifted-slice ``zip_with`` composition: no
+    ``transform(sequence(...), i -> slice(...))``, which re-evaluates
+    the upstream array per element (known Catalyst inlining pitfall).
+
+    Returns distinct ``(id, fp)`` rows.
+    """
+    toks = F.split(F.lower(F.col(text_col)), ' ')
+    n_grams = F.size(toks) - (k - 1)
+    gram = F.slice(toks, 1, F.greatest(n_grams, F.lit(0)))
+    for off in range(1, k):
+        gram = F.zip_with(
+            gram, F.slice(toks, off + 1, F.greatest(n_grams, F.lit(0))),
+            lambda a, b: F.concat_ws(' ', a, b))
+    hashes = F.transform(gram, lambda g: F.md5(g))
+
+    # need >= w k-grams ⇔ >= k+w-1 tokens; filtering on the raw token
+    # count keeps the md5 pipeline out of the filter predicate (the
+    # Filter node also acts as the projection-collapse barrier that
+    # stops the window-min slices below from inlining the hash
+    # pipeline once per shift)
+    with_h = (
+        df.filter(F.size(F.split(F.lower(F.col(text_col)), ' '))
+                  >= k + w - 1)
+        .select(F.col(id_col).alias('id'), hashes.alias('h'))
+    )
+    n_wins = F.size(F.col('h')) - (w - 1)
+    win_min = F.slice(F.col('h'), 1, n_wins)
+    for off in range(1, w):
+        win_min = F.zip_with(
+            win_min, F.slice(F.col('h'), off + 1, n_wins),
+            lambda a, b: F.least(a, b))
+    return (
+        with_h.select('id', F.explode(win_min).alias('fp'))
+        .distinct()
+    )
+
+
+def winnow_dup_pairs(
+    df: SparkDF,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    k: int = 4,
+    w: int = 3,
+    min_shared: int = 20,
+) -> SparkDF:
+    """Document pairs sharing >= ``min_shared`` winnowing
+    fingerprints — an equi-join on the fingerprint (hash-partitioned,
+    no cross product), then a pair-count HAVING. The repartition
+    barrier lets the self-join reuse one exchange instead of
+    recomputing the fingerprint pipeline per side."""
+    fps = winnow_fingerprints(
+        df, id_col=id_col, text_col=text_col, k=k, w=w,
+    ).repartition(F.col('fp'))
+    a, b = fps.alias('a'), fps.alias('b')
+    return (
+        a.join(b, on=[
+            F.col('a.fp') == F.col('b.fp'),
+            F.col('a.id') < F.col('b.id'),
+        ])
+        .groupBy(F.col('a.id').alias('id_a'), F.col('b.id').alias('id_b'))
+        .agg(F.count(F.lit(1)).alias('n_shared'))
+        .filter(F.col('n_shared') >= min_shared)
+    )
+
+
 def embedding_near_duplicates(
     df: SparkDF,
     id_col: str = 'vec_id',

@@ -1664,6 +1664,105 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 # --------------------------------------------------------------------
+# Training-data curation, round 3: winnowing dedup, benchmark
+# contamination, rare-token rate, length histogram.
+# --------------------------------------------------------------------
+
+def _word_grams(col, n: int):
+    """Ordered word n-grams of the space-split lowercased text —
+    shifted-slice zip_with composition (O(tokens), no per-element
+    re-evaluation of upstream expressions)."""
+    toks = F.split(F.lower(col), ' ')
+    m = F.size(toks) - (n - 1)
+    g = F.slice(toks, 1, F.greatest(m, F.lit(0)))
+    for off in range(1, n):
+        g = F.zip_with(
+            g, F.slice(toks, off + 1, F.greatest(m, F.lit(0))),
+            lambda a, b: F.concat_ws(' ', a, b))
+    return g
+
+
+def q_winnow_dups(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Winnowing near-dup pairs: documents sharing >= 20 window-min
+    k-gram fingerprints. The guaranteed-detection, reduced-join-input
+    alternative to full-shingle Jaccard (operators/dedup.py
+    winnow_dup_pairs)."""
+    (documents,) = _t(spark, sf_dir, 'documents')
+    return dd.winnow_dup_pairs(
+        documents, 'doc_id', 'text', k=4, w=3, min_shared=20)
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Benchmark contamination check: training docs (doc_id >= 20)
+    sharing any distinct word 4-gram with the benchmark set
+    (doc_id < 20). The benchmark gram set is tiny by construction —
+    broadcast semi-join, so the training side never shuffles."""
+    (documents,) = _t(spark, sf_dir, 'documents')
+    grams = documents.select(
+        'doc_id',
+        F.explode(F.array_distinct(_word_grams(F.col('text'), 4)))
+        .alias('g'))
+    bench = (grams.filter(F.col('doc_id') < 20)
+             .select('g').distinct())
+    return (
+        grams.filter(F.col('doc_id') >= 20)
+        .join(F.broadcast(bench), on='g', how='left_semi')
+        .groupBy('doc_id')
+        .agg(F.count(F.lit(1)).alias('n_shared_grams'))
+    )
+
+
+def q_rare_token_rate(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Per-document rare-token rate (OOV-ish quality signal): share
+    of token occurrences whose corpus frequency is below the median
+    token frequency. Corpus vocabulary is naturally bounded, so the
+    frequency/rare-set side is a broadcast; the document side
+    aggregates in one pass."""
+    (documents,) = _t(spark, sf_dir, 'documents')
+    toks = documents.select(
+        'doc_id', F.explode(F.split(F.lower('text'), ' ')).alias('tok'))
+    freq = toks.groupBy('tok').agg(F.count(F.lit(1)).alias('c'))
+    med = freq.agg(F.median('c').alias('med_c'))
+    rare = (
+        freq.crossJoin(F.broadcast(med))
+        .filter(F.col('c') < F.col('med_c'))
+        .select('tok').withColumn('__rare', F.lit(1))
+    )
+    return (
+        toks.join(F.broadcast(rare), on='tok', how='left')
+        .groupBy('doc_id')
+        .agg(
+            F.count(F.lit(1)).alias('n_tokens'),
+            F.sum(F.when(F.col('__rare') == 1, 1).otherwise(0))
+            .alias('n_rare'),
+        )
+        .withColumn(
+            'rare_ratio',
+            F.round(F.col('n_rare').cast('double')
+                    / F.col('n_tokens'), 6))
+    )
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Document token-length histogram in buckets of 10 — the
+    standard pre-training length-filter diagnostic. Exact integer
+    bucket arithmetic; average chars from an exact integer sum."""
+    (documents,) = _t(spark, sf_dir, 'documents')
+    n_toks = F.size(F.split(F.lower('text'), ' '))
+    return (
+        documents
+        .select((n_toks - F.pmod(n_toks, F.lit(10))).alias('bucket'),
+                'n_chars')
+        .groupBy('bucket')
+        .agg(
+            F.count(F.lit(1)).alias('n_docs'),
+            F.round(F.sum('n_chars').cast('double')
+                    / F.count(F.lit(1)), 2).alias('avg_chars'),
+        )
+    )
+
+
+# --------------------------------------------------------------------
 # Analytics extensions (round 2): regression aggregates, time-range
 # rolling windows, deterministic hash sampling, blocked fuzzy
 # matching, n-gram mining, token entropy.
@@ -1997,6 +2096,10 @@ QUERIES: Dict[str, QueryFn] = {
     'q17_small_qty_revenue': q17_small_qty_revenue,
     'q20_promo_suppliers': q20_promo_suppliers,
     'q21_waiting_suppliers': q21_waiting_suppliers,
+    'q_winnow_dups': q_winnow_dups,
+    'q_contamination': q_contamination,
+    'q_rare_token_rate': q_rare_token_rate,
+    'q_length_histogram': q_length_histogram,
     'q_regr_price_size': q_regr_price_size,
     'q_rolling_revenue': q_rolling_revenue,
     'q_hash_sample': q_hash_sample,
@@ -3087,6 +3190,74 @@ ORACLES: Dict[str, str] = {
         GROUP BY 1, 2
         ORDER BY numwait DESC, s_suppkey ASC
         LIMIT 20
+    """,
+    'q_winnow_dups': """
+        WITH toks AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS t
+            FROM documents
+        ), grams AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(t) - 2),
+                       i -> md5(array_to_string(t[i:i+3], ' '))) AS h
+            FROM toks WHERE len(t) >= 6
+        ), fps AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, len(h) - 1),
+                       i -> list_min(h[i:i+2]))) AS fp
+            FROM grams
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM fps a JOIN fps b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= 20
+    """,
+    'q_contamination': """
+        WITH toks AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS t
+            FROM documents
+        ), grams AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, len(t) - 2),
+                       i -> array_to_string(t[i:i+3], ' '))) AS g
+            FROM toks WHERE len(t) >= 4
+        ), bench AS (
+            SELECT DISTINCT g FROM grams WHERE doc_id < 20
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+        FROM grams
+        WHERE doc_id >= 20 AND g IN (SELECT g FROM bench)
+        GROUP BY doc_id
+    """,
+    'q_rare_token_rate': """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents
+        ), freq AS (
+            SELECT tok, count(*) AS c FROM toks GROUP BY tok
+        ), rare AS (
+            SELECT tok FROM freq
+            WHERE c < (SELECT median(c) FROM freq)
+        )
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               CAST(sum(CASE WHEN tok IN (SELECT tok FROM rare)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+               round(CAST(sum(CASE WHEN tok IN (SELECT tok FROM rare)
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS rare_ratio
+        FROM toks GROUP BY doc_id
+    """,
+    'q_length_histogram': """
+        SELECT CAST(n_toks - n_toks % 10 AS INTEGER) AS bucket,
+               count(*) AS n_docs,
+               round(CAST(sum(n_chars) AS DOUBLE) / count(*), 2)
+                   AS avg_chars
+        FROM (SELECT len(string_split(lower(text), ' ')) AS n_toks,
+                     n_chars
+              FROM documents)
+        GROUP BY 1
     """,
     'q_regr_price_size': """
         SELECT p_brand,

@@ -224,3 +224,52 @@ class TestLatestByKey:
         assert a == b
         n_users = ev.select('user_id').distinct().count()
         assert len(a) == n_users
+
+
+class TestWinnow:
+    def test_guarantee_shared_run_shares_fingerprint(self, spark_session):
+        """Winnowing guarantee: two documents sharing a run of at
+        least k+w-1 tokens share at least one fingerprint."""
+        from ons_utils_spark.operators.dedup import winnow_fingerprints
+
+        shared = 'alpha beta gamma delta epsilon zeta'  # 6 = k+w-1
+        df = spark_session.createDataFrame(
+            [(1, 'one two three ' + shared + ' four five'),
+             (2, 'six seven ' + shared + ' eight nine ten'),
+             (3, 'unrelated words entirely different from others '
+                 'nothing in common here at all today')],
+            'doc_id long, text string')
+        fps = winnow_fingerprints(df, 'doc_id', 'text', k=4, w=3)
+        by_doc = {
+            r['id']: set() for r in fps.select('id').distinct().collect()}
+        for r in fps.collect():
+            by_doc[r['id']].add(r['fp'])
+        assert by_doc[1] & by_doc[2], 'shared run must share a fingerprint'
+        assert not (by_doc[1] & by_doc[3])
+
+    def test_short_docs_dropped(self, spark_session):
+        from ons_utils_spark.operators.dedup import winnow_fingerprints
+
+        df = spark_session.createDataFrame(
+            [(1, 'too short'), (2, 'a b c d e f g h')],
+            'doc_id long, text string')
+        fps = winnow_fingerprints(df, 'doc_id', 'text', k=4, w=3)
+        ids = {r['id'] for r in fps.collect()}
+        assert ids == {2}
+
+    def test_dup_pairs_on_planted_duplicates(self, spark_session):
+        """The documents table's planted near-duplicates surface as
+        high-overlap winnow pairs, and fingerprint counts shrink by
+        ~2/(w+1) versus raw grams."""
+        from ons_utils_spark.operators.dedup import winnow_dup_pairs
+        from ons_utils_spark.sources.readers import load_tables
+
+        docs = load_tables(
+            spark_session, '/root/testdata/sf0.001',
+            tables=['documents'])['documents']
+        pairs = winnow_dup_pairs(
+            docs, 'doc_id', 'text', k=4, w=3, min_shared=20)
+        got = pairs.collect()
+        assert len(got) > 0
+        assert all(r['id_a'] < r['id_b'] for r in got)
+        assert all(r['n_shared'] >= 20 for r in got)
