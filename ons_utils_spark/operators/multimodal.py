@@ -392,9 +392,12 @@ def image_features(
                          'feature'],
             )
 
-    return df.select(id_col, payload_col).mapInPandas(
-        run, IMAGE_FEATURE_SCHEMA
-    )
+    # media_id follows the input id type (bigint keys from a media
+    # table, string paths from a binaryFile scan)
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = IMAGE_FEATURE_SCHEMA.replace(
+        'media_id bigint', f'media_id {id_type}', 1)
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
 
 
 def audio_features(
@@ -418,8 +421,10 @@ def audio_features(
                 columns=['media_id', 'duration_ms', 'n_bytes', 'feature'],
             )
 
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, payload_col).mapInPandas(
-        run, AUDIO_FEATURE_SCHEMA
+        run, AUDIO_FEATURE_SCHEMA.replace(
+            'media_id bigint', f'media_id {id_type}', 1)
     )
 
 

@@ -159,6 +159,34 @@ def write_json(
     writer.json(path)
 
 
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: Optional[str] = None,
+    max_bytes: Optional[int] = None,
+) -> SparkDF:
+    """Scan raw files (images/audio/any blob) as one row per file:
+    ``path, modificationTime, length, content (binary)`` — Spark's
+    ``binaryFile`` source. The ingestion edge of the multimodal
+    pipeline: feed ``content`` to ``operators.multimodal``
+    decoders/feature extractors (Arrow-batched ``mapInPandas``).
+
+    ``glob`` filters filenames (e.g. ``*.png``) at LISTING time —
+    non-matching files are never opened. ``max_bytes`` drops oversize
+    files by the ``length`` metadata column BEFORE content reaches
+    the executors' memory: at 100 TB the content column is the
+    dominant cost, so both pushdowns happen before any byte moves.
+    """
+    reader = spark.read.format('binaryFile')
+    if glob is not None:
+        reader = reader.option('pathGlobFilter', glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        from pyspark.sql import functions as F
+        df = df.filter(F.col('length') <= max_bytes)
+    return df
+
+
 def read_orc(
     spark: SparkSession,
     path: str,

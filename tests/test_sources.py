@@ -237,3 +237,43 @@ class TestTextSinks:
         got = {r['id']: r['xs'] for r in back.collect()}
         assert got[1] == [1.0, 2.0]
         assert got[2] in ([], None)  # empty array vs dropped key
+
+
+class TestBinaryFileSource:
+    def test_png_files_to_image_features(self, spark_session, tmp_path):
+        """Ingestion edge of the multimodal pipeline: real PNG files
+        on disk → binaryFile scan → decode → features."""
+        import numpy as np
+
+        from ons_utils_spark.operators.multimodal import image_features
+        from ons_utils_spark.sources.readers import read_binary_files
+        from tests.test_multimodal import _make_png
+
+        media = tmp_path / 'media'
+        media.mkdir()
+        for i, (h, w) in enumerate([(4, 6), (3, 5), (8, 2)]):
+            px = np.arange(h * w * 3, dtype=np.uint8).reshape(h, w, 3)
+            (media / f'img_{i}.png').write_bytes(
+                _make_png(px, color_type=2))
+        (media / 'notes.txt').write_text('not an image')
+
+        files = read_binary_files(
+            spark_session, str(media), glob='*.png')
+        assert files.count() == 3  # txt filtered at listing time
+        feats = image_features(
+            files.withColumnRenamed('content', 'payload'),
+            payload_col='payload', id_col='path')
+        got = {r['width']: r['height'] for r in feats.collect()}
+        assert got == {6: 4, 5: 3, 2: 8}
+
+    def test_max_bytes_filter(self, spark_session, tmp_path):
+        from ons_utils_spark.sources.readers import read_binary_files
+
+        d = tmp_path / 'blobs'
+        d.mkdir()
+        (d / 'small.bin').write_bytes(b'x' * 10)
+        (d / 'large.bin').write_bytes(b'y' * 10_000)
+        files = read_binary_files(spark_session, str(d), max_bytes=100)
+        rows = files.collect()
+        assert len(rows) == 1
+        assert rows[0]['length'] == 10
