@@ -1635,6 +1635,11 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> SparkDF:
               F.col('l_orderkey') == F.col('o_orderkey'), 'left_semi')
         .groupBy('l_orderkey', 'l_suppkey')
         .agg(F.max('l_shipdate').alias('supp_last_ship'))
+        # barrier: both consumers (order-level stats and the join
+        # back) subscribe to ONE order-keyed exchange, so the
+        # lineitem scan + semi join + first agg run once
+        # (ReusedExchange under AQE), not twice
+        .repartition('l_orderkey')
     )
     order_stats = (
         per_supp.groupBy(F.col('l_orderkey').alias('ok'))

@@ -105,6 +105,15 @@ class TestPlanGuards:
         assert 'BroadcastNestedLoopJoin' not in plan
         assert 'SortMergeJoin' not in plan
 
+    def test_q21_reuses_per_supplier_exchange(self, spark_session):
+        """The per-(order, supplier) aggregate feeds two consumers;
+        the repartition barrier must collapse them onto one exchange
+        (lineitem scanned/aggregated once, not twice)."""
+        df = QUERIES['q21_waiting_suppliers'](spark_session, SF)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert 'ReusedExchange' in plan
+
     def test_minhash_reuses_shingle_exchange(self, spark_session):
         """The band/bucket repartition barrier must make the LSH
         self-join share ONE exchange instead of recomputing the
