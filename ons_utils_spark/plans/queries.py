@@ -1748,6 +1748,46 @@ def q_rare_token_rate(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_quantile_ladder(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """P25/P50/P75/P95 of order totals per priority from ONE
+    percentile aggregation buffer (array of percentages) — four
+    quantiles for the price of one sort per group, vs four separate
+    aggs each buffering the column."""
+    (orders,) = _t(spark, sf_dir, 'orders')
+    q = F.percentile(
+        'o_totalprice',
+        F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95)))
+    return orders.groupBy('o_orderpriority').agg(
+        F.count(F.lit(1)).alias('n_orders'),
+        F.round(q[0], 2).alias('p25'),
+        F.round(q[1], 2).alias('p50'),
+        F.round(q[2], 2).alias('p75'),
+        F.round(q[3], 2).alias('p95'),
+    )
+
+
+def q_first_touch(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """First-touch attribution: each user's earliest event type and
+    value via min_by (one hash agg, no ordered window, no self-join
+    back to the row) — summarized per first-touch event type."""
+    (events,) = _t(spark, sf_dir, 'events')
+    # (ts, event_id) composite tie-break: min_by on a struct orders
+    # lexicographically, making the argmin deterministic
+    key = F.struct(F.col('ts'), F.col('event_id'))
+    per_user = events.groupBy('user_id').agg(
+        F.min_by('event_type', key).alias('first_type'),
+        F.min_by('value', key).alias('first_value'),
+        F.count(F.lit(1)).alias('n_events'),
+    )
+    return per_user.groupBy('first_type').agg(
+        F.count(F.lit(1)).alias('n_users'),
+        # max, not sum: order-independent over arbitrary doubles
+        F.round(F.max('first_value'), 2).alias('max_first_value'),
+        F.round(F.sum('n_events').cast('double')
+                / F.count(F.lit(1)), 2).alias('avg_events_per_user'),
+    )
+
+
 def q_length_histogram(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Document token-length histogram in buckets of 10 — the
     standard pre-training length-filter diagnostic. Exact integer
@@ -2105,6 +2145,8 @@ QUERIES: Dict[str, QueryFn] = {
     'q_contamination': q_contamination,
     'q_rare_token_rate': q_rare_token_rate,
     'q_length_histogram': q_length_histogram,
+    'q_quantile_ladder': q_quantile_ladder,
+    'q_first_touch': q_first_touch,
     'q_regr_price_size': q_regr_price_size,
     'q_rolling_revenue': q_rolling_revenue,
     'q_hash_sample': q_hash_sample,
@@ -3263,6 +3305,35 @@ ORACLES: Dict[str, str] = {
                      n_chars
               FROM documents)
         GROUP BY 1
+    """,
+    'q_quantile_ladder': """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+               round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+               round(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+               round(quantile_cont(o_totalprice, 0.95), 2) AS p95
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    'q_first_touch': """
+        WITH ranked AS (
+            SELECT user_id, event_type, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS n_events
+            FROM events
+        ), per_user AS (
+            SELECT user_id, event_type AS first_type,
+                   value AS first_value, n_events
+            FROM ranked WHERE rn = 1
+        )
+        SELECT first_type,
+               CAST(count(*) AS BIGINT) AS n_users,
+               round(max(first_value), 2) AS max_first_value,
+               round(CAST(sum(n_events) AS DOUBLE) / count(*), 2)
+                   AS avg_events_per_user
+        FROM per_user GROUP BY first_type
     """,
     'q_regr_price_size': """
         SELECT p_brand,
