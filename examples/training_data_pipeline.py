@@ -8,6 +8,8 @@ entirely from ons_utils_spark operators:
       → quality filter
       → exact dedup (hash groupBy)
       → MinHash-LSH near-dedup (banded candidates + Jaccard verify)
+      → winnowing sweep (guaranteed-detection residual near-dups)
+      → benchmark decontamination (4-gram broadcast semi-join)
       → language distribution report
       → curated parquet + per-language stats
 
@@ -44,6 +46,39 @@ def curate(documents: DataFrame, quality_threshold: float = 0.5,
         exact_unique, 'doc_id', 'text',
         num_hashes=64, bands=16, jaccard_threshold=jaccard_threshold,
     )
+
+
+def winnow_sweep(curated: DataFrame, min_shared: int = 20) -> DataFrame:
+    """Residual near-dup sweep after MinHash: winnowing has a
+    deterministic detection guarantee (any >= k+w-1-token overlap
+    shares a fingerprint), so it catches pairs the probabilistic
+    bands missed. Keeps the lower doc_id of each surviving pair."""
+    pairs = dd.winnow_dup_pairs(
+        curated, 'doc_id', 'text', k=4, w=3, min_shared=min_shared)
+    losers = pairs.select(F.col('id_b').alias('doc_id')).distinct()
+    return curated.join(losers, on='doc_id', how='left_anti')
+
+
+def decontaminate(curated: DataFrame, benchmark: DataFrame,
+                  gram_n: int = 4) -> DataFrame:
+    """Drop curated docs sharing any word n-gram with the benchmark
+    set (eval-set leakage guard). The benchmark gram set is small by
+    definition — broadcast semi-join, zero corpus shuffle."""
+    from ons_utils_spark.plans.queries import _word_grams
+
+    def grams(df):
+        return df.select(
+            'doc_id',
+            F.explode(F.array_distinct(_word_grams(F.col('text'), gram_n))
+                      ).alias('g'))
+
+    bench_grams = grams(benchmark).select('g').distinct()
+    tainted = (
+        grams(curated)
+        .join(F.broadcast(bench_grams), on='g', how='left_semi')
+        .select('doc_id').distinct()
+    )
+    return curated.join(tainted, on='doc_id', how='left_anti')
 
 
 def report(curated: DataFrame) -> DataFrame:
@@ -95,8 +130,15 @@ def main() -> None:
 
     n_raw = docs.count()
     curated = curate(docs)
+    n_minhash = curated.count()
+    curated = winnow_sweep(curated)
+    n_winnow = curated.count()
+    # stand-in benchmark set: the 20 lowest doc_ids
+    curated = decontaminate(
+        curated, docs.filter(F.col('doc_id') < 20))
     n_curated = curated.count()
-    print(f'raw={n_raw} curated={n_curated} '
+    print(f'raw={n_raw} after_minhash={n_minhash} '
+          f'after_winnow={n_winnow} after_decontam={n_curated} '
           f'removed={n_raw - n_curated}')
     report(curated).show()
 
