@@ -1788,6 +1788,77 @@ def q_first_touch(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_top_parts_array(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Per-brand top-3 parts by retail price as an ORDERED ARRAY
+    column — collect_list of (price, name) structs, sort_array
+    descending, slice, project names. Arrays stay bounded (3) so the
+    row is shuffle-safe at any corpus size; the struct sort makes
+    tie-break (price desc, name asc) explicit and engine-portable."""
+    (part,) = _t(spark, sf_dir, 'part')
+    # sort ascending on (-price, name) == price desc, name asc
+    entry = F.struct(
+        (-F.col('p_retailprice')).alias('neg_price'),
+        F.col('p_name').alias('name'))
+    return (
+        part.groupBy('p_brand')
+        .agg(F.slice(F.sort_array(F.collect_list(entry)), 1, 3)
+             .alias('top3'))
+        .select(
+            'p_brand',
+            F.transform(F.col('top3'), lambda s: s['name'])
+            .alias('top_names'),
+            F.round(-F.col('top3')[0]['neg_price'], 2)
+            .alias('top_price'),
+        )
+    )
+
+
+def q_calendar_gaps(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Calendar densification: per order-month, how many calendar
+    days saw NO orders — sequence() explodes each month to its day
+    range (bounded arrays), anti-join against observed order days.
+    The month spine is derived from the data itself, so no driver-
+    side date loop."""
+    (orders,) = _t(spark, sf_dir, 'orders')
+    days = orders.select(
+        F.to_date('o_orderdate').alias('d')).distinct()
+    months = (
+        days.select(F.trunc('d', 'month').alias('m0')).distinct()
+        .select('m0', F.last_day('m0').alias('m1'))
+    )
+    spine = months.select(
+        F.date_format('m0', 'yyyy-MM').alias('month'),
+        F.explode(F.sequence('m0', 'm1')).alias('d'))
+    return (
+        spine.join(days, on='d', how='left_anti')
+        .groupBy('month')
+        .agg(F.count(F.lit(1)).alias('n_gap_days'))
+    )
+
+
+def q_price_rank_bands(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """percent_rank / cume_dist over part prices within each brand,
+    summarized as the share of parts in the top decile band and the
+    price at the 90% cume_dist edge. Brand partitions are bounded, so
+    the ordered windows never see fact-scale rows."""
+    (part,) = _t(spark, sf_dir, 'part')
+    w = Window.partitionBy('p_brand').orderBy(
+        F.col('p_retailprice').asc(), F.col('p_partkey').asc())
+    ranked = part.select(
+        'p_brand', 'p_retailprice',
+        F.percent_rank().over(w).alias('pr'),
+        F.cume_dist().over(w).alias('cd'),
+    )
+    return ranked.groupBy('p_brand').agg(
+        F.count(F.lit(1)).alias('n_parts'),
+        F.sum(F.when(F.col('pr') >= 0.9, 1).otherwise(0))
+        .alias('n_top_decile'),
+        F.round(F.min(F.when(F.col('cd') >= 0.9,
+                             F.col('p_retailprice'))), 2)
+        .alias('p90_edge_price'),
+    )
+
+
 def q_length_histogram(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Document token-length histogram in buckets of 10 — the
     standard pre-training length-filter diagnostic. Exact integer
@@ -2147,6 +2218,9 @@ QUERIES: Dict[str, QueryFn] = {
     'q_length_histogram': q_length_histogram,
     'q_quantile_ladder': q_quantile_ladder,
     'q_first_touch': q_first_touch,
+    'q_top_parts_array': q_top_parts_array,
+    'q_calendar_gaps': q_calendar_gaps,
+    'q_price_rank_bands': q_price_rank_bands,
     'q_regr_price_size': q_regr_price_size,
     'q_rolling_revenue': q_rolling_revenue,
     'q_hash_sample': q_hash_sample,
@@ -3334,6 +3408,49 @@ ORACLES: Dict[str, str] = {
                round(CAST(sum(n_events) AS DOUBLE) / count(*), 2)
                    AS avg_events_per_user
         FROM per_user GROUP BY first_type
+    """,
+    'q_top_parts_array': """
+        SELECT p_brand,
+               (list(p_name ORDER BY p_retailprice DESC,
+                     p_name ASC))[1:3] AS top_names,
+               round(max(p_retailprice), 2) AS top_price
+        FROM part
+        GROUP BY p_brand
+    """,
+    'q_calendar_gaps': """
+        WITH days AS (
+            SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders
+        ), months AS (
+            SELECT DISTINCT date_trunc('month', d) AS m0,
+                   last_day(d) AS m1
+            FROM days
+        ), spine AS (
+            SELECT strftime(m0, '%Y-%m') AS month,
+                   unnest(generate_series(m0, m1,
+                          INTERVAL 1 DAY))::DATE AS d
+            FROM months
+        )
+        SELECT month, CAST(count(*) AS BIGINT) AS n_gap_days
+        FROM spine
+        WHERE d NOT IN (SELECT d FROM days)
+        GROUP BY month
+    """,
+    'q_price_rank_bands': """
+        WITH ranked AS (
+            SELECT p_brand, p_retailprice,
+                   percent_rank() OVER (PARTITION BY p_brand
+                       ORDER BY p_retailprice, p_partkey) AS pr,
+                   cume_dist() OVER (PARTITION BY p_brand
+                       ORDER BY p_retailprice, p_partkey) AS cd
+            FROM part
+        )
+        SELECT p_brand,
+               count(*) AS n_parts,
+               CAST(sum(CASE WHEN pr >= 0.9 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_top_decile,
+               round(min(CASE WHEN cd >= 0.9 THEN p_retailprice END),
+                     2) AS p90_edge_price
+        FROM ranked GROUP BY p_brand
     """,
     'q_regr_price_size': """
         SELECT p_brand,
