@@ -1,0 +1,109 @@
+"""Incremental (streaming) near-duplicate filtering.
+
+Extension territory (SURVEY.md §2.2 lists streaming as absent from
+the reference): a corpus that ARRIVES over time needs dedup against
+everything already accepted, not just within one batch. This module
+keeps a winnowing-fingerprint store on disk and filters each
+micro-batch against it via ``foreachBatch`` — the standard Spark
+pattern for streaming state too large for operator state (the store
+is corpus-sized; ``applyInPandasWithState`` state must fit per-key in
+memory).
+
+Scale notes:
+- The store holds ``(fp, doc_id, _batch_id)`` rows — ~2/(w+1) of the
+  corpus k-gram count (SCALE.md, winnowing). At 100 TB, write it
+  partitioned/bucketed by ``fp`` so the per-batch overlap join prunes
+  to matching buckets instead of scanning the full store.
+- Per batch: one self-dedup over the (small) batch, one equi-join of
+  batch fingerprints against the store, zero driver-side loops.
+- Idempotence: each batch's fingerprints carry ``_batch_id``; a
+  replayed batch (failure between micro-batches) is detected and
+  skipped, so the accepted-docs output is not duplicated. A crash
+  BETWEEN the two appends inside one batch (docs committed, store
+  not) degrades that batch to at-least-once — acceptable for dedup
+  (a re-run drops strictly more), documented rather than hidden.
+"""
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame as SparkDF
+from pyspark.sql import functions as F
+
+from ..operators.dedup import winnow_dup_pairs, winnow_fingerprints
+from .sinks import foreach_batch_sink
+
+
+def _store_exists(store_dir: str) -> bool:
+    return os.path.isdir(store_dir) and any(
+        name.endswith('.parquet') for name in os.listdir(store_dir))
+
+
+def incremental_winnow_dedup(
+    docs_stream: SparkDF,
+    out_dir: str,
+    store_dir: str,
+    checkpoint: str,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    k: int = 4,
+    w: int = 3,
+    min_shared: int = 20,
+    available_now: bool = True,
+):
+    """Filter a document stream against all previously-accepted docs.
+
+    Per micro-batch:
+      1. in-batch winnow dedup (keep the lower id of each pair),
+      2. drop batch docs sharing >= ``min_shared`` fingerprints with
+         the store (earlier batches win — arrival order, the natural
+         streaming tie-break),
+      3. append survivors to ``out_dir`` and their fingerprints (with
+         ``_batch_id``) to ``store_dir``.
+
+    Returns the started streaming query.
+    """
+    spark = docs_stream.sparkSession
+
+    def process(batch_df: SparkDF, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        have_store = _store_exists(store_dir)
+        if have_store:
+            store = spark.read.parquet(store_dir)
+            if store.filter(
+                    F.col('_batch_id') == batch_id).limit(1).count():
+                return  # replayed batch — already fully committed
+        # 1. in-batch dedup
+        losers = (
+            winnow_dup_pairs(batch_df, id_col, text_col,
+                             k=k, w=w, min_shared=min_shared)
+            .select(F.col('id_b').alias(id_col)).distinct()
+        )
+        clean = batch_df.join(losers, on=id_col, how='left_anti')
+        fps = winnow_fingerprints(clean, id_col, text_col, k=k, w=w)
+        # 2. drop docs overlapping the store
+        if have_store:
+            # pairwise overlap: >= min_shared fps with ONE stored doc
+            # (pooling fps across the whole store would over-drop)
+            dup_ids = (
+                fps.join(store.select(
+                    'fp', F.col('id').alias('__store_doc')), on='fp')
+                .groupBy('id', '__store_doc')
+                .agg(F.count(F.lit(1)).alias('n_shared'))
+                .filter(F.col('n_shared') >= min_shared)
+                .select('id').distinct()
+            )
+            clean = clean.join(
+                dup_ids.withColumnRenamed('id', id_col),
+                on=id_col, how='left_anti')
+            fps = fps.join(dup_ids, on='id', how='left_anti')
+        # 3. commit docs, then fingerprints (the _batch_id marker is
+        # written LAST so a replay after a mid-batch crash re-runs)
+        clean.write.mode('append').parquet(out_dir)
+        (fps.withColumn('_batch_id', F.lit(batch_id))
+            .write.mode('append').parquet(store_dir))
+
+    return foreach_batch_sink(
+        docs_stream, process, checkpoint,
+        output_mode='append', available_now=available_now)

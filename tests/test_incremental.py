@@ -1,0 +1,107 @@
+"""Tests for streaming incremental winnow dedup."""
+import pytest
+from pyspark.sql import functions as F
+
+
+def _stage(tmp_path, docs, n_chunks=3):
+    """Write docs as n json chunks, ordered by doc_id so arrival
+    order == id order (streaming first-wins then equals the batch
+    lowest-id-wins)."""
+    import pandas as pd
+
+    src = tmp_path / 'docs_src'
+    src.mkdir()
+    rows = sorted(docs, key=lambda r: r[0])
+    per = (len(rows) + n_chunks - 1) // n_chunks
+    for i in range(n_chunks):
+        chunk = rows[i * per:(i + 1) * per]
+        if chunk:
+            pd.DataFrame(chunk, columns=['doc_id', 'text']).to_json(
+                src / f'{i}.json', orient='records', lines=True)
+    return src
+
+
+@pytest.mark.slow
+class TestIncrementalWinnowDedup:
+    def _run(self, spark, tmp_path, docs, n_chunks=3):
+        from ons_utils_spark.streaming.incremental import (
+            incremental_winnow_dedup)
+
+        src = _stage(tmp_path, docs, n_chunks)
+        stream = (
+            spark.readStream
+            .schema('doc_id long, text string')
+            .option('maxFilesPerTrigger', 1)
+            .json(str(src))
+        )
+        q = incremental_winnow_dedup(
+            stream,
+            out_dir=str(tmp_path / 'accepted'),
+            store_dir=str(tmp_path / 'store'),
+            checkpoint=str(tmp_path / 'ckpt'),
+            min_shared=5,
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(str(tmp_path / 'accepted'))
+
+    def test_cross_batch_duplicates_dropped(
+            self, spark_session, tmp_path):
+        base = ('alpha beta gamma delta epsilon zeta eta theta iota '
+                'kappa lam mu nu xi omicron pi rho sigma tau upsilon')
+        docs = [
+            (1, base),                        # chunk 1: original
+            (2, 'totally different words nothing shared here at all '
+                'with the other documents in any chunk today ok fine'),
+            (10, base + ' extra tail'),       # later chunk: near-dup
+            (11, 'another unique document about completely other '
+                 'topics that shares no running grams with anyone'),
+        ]
+        accepted = self._run(spark_session, tmp_path, docs, n_chunks=2)
+        ids = sorted(r['doc_id'] for r in accepted.collect())
+        assert ids == [1, 2, 11], ids  # 10 dropped against the store
+
+    def test_matches_eager_chunk_fold(self, spark_session, tmp_path):
+        """The streaming run must equal the same per-chunk fold
+        computed eagerly: in-chunk pair dedup, then pairwise overlap
+        against the accepted-so-far fingerprint store (independent
+        Python-set reimplementation of the store join)."""
+        from ons_utils_spark.operators.dedup import (
+            winnow_dup_pairs, winnow_fingerprints)
+        from ons_utils_spark.sources.readers import load_tables
+
+        docs_df = load_tables(
+            spark_session, '/root/testdata/sf0.001',
+            tables=['documents'])['documents'].select('doc_id', 'text')
+        docs = [(r['doc_id'], r['text']) for r in docs_df.collect()]
+
+        accepted = self._run(spark_session, tmp_path, docs, n_chunks=3)
+        got = sorted(r['doc_id'] for r in accepted.collect())
+
+        # eager reference fold over the same id-ordered chunks
+        rows = sorted(docs, key=lambda r: r[0])
+        per = (len(rows) + 2) // 3
+        store = {}  # accepted doc_id -> set(fp)
+        kept = []
+        for i in range(3):
+            chunk = rows[i * per:(i + 1) * per]
+            if not chunk:
+                continue
+            chunk_df = spark_session.createDataFrame(
+                chunk, 'doc_id long, text string')
+            losers = {
+                r['id_b'] for r in winnow_dup_pairs(
+                    chunk_df, 'doc_id', 'text', min_shared=5).collect()}
+            fps = {}
+            for r in winnow_fingerprints(
+                    chunk_df, 'doc_id', 'text').collect():
+                fps.setdefault(r['id'], set()).add(r['fp'])
+            for doc_id, _ in chunk:
+                if doc_id in losers:
+                    continue
+                mine = fps.get(doc_id, set())
+                if any(len(mine & theirs) >= 5
+                       for theirs in store.values()):
+                    continue
+                store[doc_id] = mine
+                kept.append(doc_id)
+        assert got == sorted(kept), (len(got), len(kept))
