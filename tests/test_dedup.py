@@ -273,3 +273,45 @@ class TestWinnow:
         assert len(got) > 0
         assert all(r['id_a'] < r['id_b'] for r in got)
         assert all(r['n_shared'] >= 20 for r in got)
+
+
+class TestWinnowProperty:
+    @staticmethod
+    def _ref_winnow(text: str, k: int = 4, w: int = 3) -> set:
+        """Pure-Python reference: md5 k-gram hashes, window-of-w
+        minima, distinct."""
+        import hashlib
+
+        toks = text.lower().split(' ')
+        if len(toks) < k + w - 1:
+            return set()
+        grams = [' '.join(toks[i:i + k])
+                 for i in range(len(toks) - k + 1)]
+        hashes = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+        return {min(hashes[i:i + w])
+                for i in range(len(hashes) - w + 1)}
+
+    def test_matches_python_reference(self, spark_session):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from ons_utils_spark.operators.dedup import winnow_fingerprints
+
+        token = st.text(alphabet='abcdefg', min_size=1, max_size=3)
+        doc = st.lists(token, min_size=0, max_size=25).map(' '.join)
+
+        @settings(max_examples=15, deadline=None)
+        @given(st.lists(doc, min_size=1, max_size=6))
+        def check(texts):
+            df = spark_session.createDataFrame(
+                list(enumerate(texts)), 'doc_id long, text string')
+            got = {}
+            for r in winnow_fingerprints(
+                    df, 'doc_id', 'text', k=4, w=3).collect():
+                got.setdefault(r['id'], set()).add(r['fp'])
+            want = {i: self._ref_winnow(t)
+                    for i, t in enumerate(texts)
+                    if self._ref_winnow(t)}
+            assert got == want, (got, want)
+
+        check()
