@@ -1790,19 +1790,26 @@ def q_first_touch(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 def q_top_parts_array(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Per-brand top-3 parts by retail price as an ORDERED ARRAY
-    column — collect_list of (price, name) structs, sort_array
-    descending, slice, project names. Arrays stay bounded (3) so the
-    row is shuffle-safe at any corpus size; the struct sort makes
-    tie-break (price desc, name asc) explicit and engine-portable."""
+    column. Rank FIRST (row_number <= 3), collect after: the
+    aggregation only ever buffers 3 rows per group — a collect_list-
+    then-slice would buffer the whole group before truncating, which
+    doesn't survive fact-scale groups. Tie-break (price desc, name
+    asc) is explicit and engine-portable."""
     (part,) = _t(spark, sf_dir, 'part')
+    w = Window.partitionBy('p_brand').orderBy(
+        F.col('p_retailprice').desc(), F.col('p_name').asc())
+    top3 = (
+        part.select('p_brand', 'p_name', 'p_retailprice',
+                    F.row_number().over(w).alias('__rk'))
+        .filter(F.col('__rk') <= 3)
+    )
     # sort ascending on (-price, name) == price desc, name asc
     entry = F.struct(
         (-F.col('p_retailprice')).alias('neg_price'),
         F.col('p_name').alias('name'))
     return (
-        part.groupBy('p_brand')
-        .agg(F.slice(F.sort_array(F.collect_list(entry)), 1, 3)
-             .alias('top3'))
+        top3.groupBy('p_brand')
+        .agg(F.sort_array(F.collect_list(entry)).alias('top3'))
         .select(
             'p_brand',
             F.transform(F.col('top3'), lambda s: s['name'])
