@@ -723,15 +723,29 @@ def winnow_dup_pairs(
     k: int = 4,
     w: int = 3,
     min_shared: int = 20,
+    max_fp_df: Optional[int] = None,
 ) -> SparkDF:
     """Document pairs sharing >= ``min_shared`` winnowing
     fingerprints — an equi-join on the fingerprint (hash-partitioned,
     no cross product), then a pair-count HAVING. The repartition
     barrier lets the self-join reuse one exchange instead of
-    recomputing the fingerprint pipeline per side."""
+    recomputing the fingerprint pipeline per side.
+
+    ``max_fp_df`` drops fingerprints appearing in more than that many
+    documents before the join — the hot-key cap for corpus-scale
+    boilerplate (same role as ``max_shingle_df`` in
+    :func:`ngram_jaccard_join`); detection stays exact for pairs
+    whose overlap rests on rarer fingerprints."""
     fps = winnow_fingerprints(
         df, id_col=id_col, text_col=text_col, k=k, w=w,
     ).repartition(F.col('fp'))
+    if max_fp_df is not None:
+        hot = (
+            fps.groupBy('fp').count()
+            .filter(F.col('count') > max_fp_df)
+            .select('fp')
+        )
+        fps = fps.join(hot, on='fp', how='left_anti')
     a, b = fps.alias('a'), fps.alias('b')
     return (
         a.join(b, on=[

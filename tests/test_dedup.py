@@ -315,3 +315,25 @@ class TestWinnowProperty:
             assert got == want, (got, want)
 
         check()
+
+    def test_max_fp_df_drops_hot_fingerprints(self, spark_session):
+        """A boilerplate run shared by MANY docs is excluded by the
+        document-frequency cap; pairs resting only on it disappear,
+        pairs with rarer overlap survive."""
+        from ons_utils_spark.operators.dedup import winnow_dup_pairs
+
+        boiler = 'standard legal disclaimer text appended to all docs'
+        rare = 'unique shared passage only in two documents here now'
+        docs = [
+            (i, f'doc number {i} body content ' + boiler)
+            for i in range(10)
+        ] + [
+            (100, 'first twin ' + rare), (101, 'second twin ' + rare),
+        ]
+        df = spark_session.createDataFrame(
+            docs, 'doc_id long, text string')
+        capped = winnow_dup_pairs(
+            df, 'doc_id', 'text', min_shared=1, max_fp_df=5)
+        got = {(r['id_a'], r['id_b']) for r in capped.collect()}
+        assert (100, 101) in got
+        assert not any(a < 100 and b < 100 for a, b in got)
