@@ -1391,6 +1391,41 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> SparkDF:
 # nesting, which is what matters for plan quality at scale).
 # --------------------------------------------------------------------
 
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """TPC-H Q5 proper: revenue in one region/year where the supplier
+    is LOCAL (same nation as the customer) — the distinguishing
+    same-nation predicate lands as a post-join filter on two
+    broadcast-joined dim keys, so the fact table still shuffles only
+    for the orderkey join."""
+    lineitem, orders, customer, supplier, nation, region = _t(
+        spark, sf_dir, 'lineitem', 'orders', 'customer', 'supplier',
+        'nation', 'region')
+    europe = (
+        nation.join(
+            F.broadcast(region.filter(F.col('r_name') == 'EUROPE')),
+            F.col('n_regionkey') == F.col('r_regionkey'))
+        .select('n_nationkey', 'n_name'))
+    rev = (F.col('l_extendedprice')
+           * (1 - F.col('l_discount'))).cast('decimal(18,4)')
+    return (
+        lineitem
+        .join(orders.filter(
+            (F.col('o_orderdate') >= '1996-01-01')
+            & (F.col('o_orderdate') < '1997-01-01')),
+            F.col('l_orderkey') == F.col('o_orderkey'))
+        .join(F.broadcast(customer),
+              F.col('o_custkey') == F.col('c_custkey'))
+        .join(F.broadcast(supplier),
+              F.col('l_suppkey') == F.col('s_suppkey'))
+        .filter(F.col('c_nationkey') == F.col('s_nationkey'))
+        .join(F.broadcast(europe),
+              F.col('c_nationkey') == F.col('n_nationkey'))
+        .groupBy('n_name')
+        .agg(F.round(F.sum(rev), 2).cast('double').alias('revenue'),
+             F.count(F.lit(1)).alias('n_lines'))
+    )
+
+
 def q8_market_share(spark: SparkSession, sf_dir: str) -> SparkDF:
     """TPC-H Q8-style market share: of revenue from ASIA customers,
     the share supplied by one nation, per order year. Five joins —
@@ -2210,6 +2245,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q18_big_orders': q18_big_orders,
     'q19_bracket_revenue': q19_bracket_revenue,
     'q22_idle_customers': q22_idle_customers,
+    'q5_local_supplier': q5_local_supplier,
     'q8_market_share': q8_market_share,
     'q9_product_profit': q9_product_profit,
     'q10_returned_customers': q10_returned_customers,
@@ -3160,6 +3196,24 @@ ORACLES: Dict[str, str] = {
                           WHERE o_custkey = c_custkey
                             AND o_orderpriority = '1-URGENT')
         GROUP BY c_mktsegment
+    """,
+    'q5_local_supplier': """
+        SELECT n_name,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE c_nationkey = s_nationkey
+          AND r_name = 'EUROPE'
+          AND o_orderdate >= '1996-01-01'
+          AND o_orderdate < '1997-01-01'
+        GROUP BY n_name
     """,
     'q8_market_share': """
         SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
