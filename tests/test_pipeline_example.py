@@ -96,3 +96,21 @@ def test_similarity_pipeline_on_testdata(spark_session):
               for r in out.groupBy('query_id').count().collect()}
     assert len(counts) == 3
     assert all(c == 5 for c in counts.values())
+
+
+def test_multimodal_pipeline(spark_session, tmp_path):
+    """binaryFile scan → decode → features → cosine top-k, with the
+    size cap and glob dropping the planted junk files."""
+    from examples.multimodal_pipeline import run, synthesize_media
+
+    media = str(tmp_path / 'media')
+    synthesize_media(media, n_images=10, n_wavs=3)
+    img_feats, wav_feats, top = run(spark_session, media)
+    assert img_feats.count() == 10
+    assert wav_feats.count() == 3
+    rows = top.collect()
+    assert len(rows) == 4
+    # self-match ranks first with cosine ~1
+    best = max(rows, key=lambda r: r['cosine'])
+    assert best['query_id'] == best['media_id']
+    assert abs(best['cosine'] - 1.0) < 1e-9
