@@ -1783,6 +1783,27 @@ def q_rare_token_rate(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_sql_flag_year(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Pure-SQL API path: the same engine through ``spark.sql`` over
+    ``load_tables(register_views=True)`` — proving a SQL-first user
+    of the reference can run textual queries against the registry
+    and hit the identical Catalyst plans the DataFrame API gets."""
+    load_tables(spark, sf_dir, tables=('lineitem',),
+                register_views=True)
+    return spark.sql("""
+        SELECT l_returnflag,
+               CAST(year(l_shipdate) AS INT) AS ship_year,
+               count(*) AS n_lines,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS revenue
+        FROM lineitem
+        WHERE l_quantity >= 10
+        GROUP BY l_returnflag, year(l_shipdate)
+        HAVING count(*) > 100
+    """)
+
+
 def q_quantile_ladder(spark: SparkSession, sf_dir: str) -> SparkDF:
     """P25/P50/P75/P95 of order totals per priority from ONE
     percentile aggregation buffer (array of percentages) — four
@@ -2259,6 +2280,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_contamination': q_contamination,
     'q_rare_token_rate': q_rare_token_rate,
     'q_length_histogram': q_length_histogram,
+    'q_sql_flag_year': q_sql_flag_year,
     'q_quantile_ladder': q_quantile_ladder,
     'q_first_touch': q_first_touch,
     'q_top_parts_array': q_top_parts_array,
@@ -3440,6 +3462,18 @@ ORACLES: Dict[str, str] = {
                      n_chars
               FROM documents)
         GROUP BY 1
+    """,
+    'q_sql_flag_year': """
+        SELECT l_returnflag,
+               CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+               count(*) AS n_lines,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS revenue
+        FROM lineitem
+        WHERE l_quantity >= 10
+        GROUP BY l_returnflag, year(l_shipdate)
+        HAVING count(*) > 100
     """,
     'q_quantile_ladder': """
         SELECT o_orderpriority,
