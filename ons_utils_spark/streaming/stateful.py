@@ -182,3 +182,82 @@ def funnel_stages(
         outputMode='update',
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def running_topk(
+    df: SparkDF,
+    key_col: str,
+    value_col: str = 'value',
+    k: int = 3,
+) -> SparkDF:
+    """Per-key running top-k values, maintained across micro-batches.
+
+    Streaming: the Spark 4 ``transformWithStateInPandas`` API — a
+    typed ValueState holds just the current top-k array per key
+    (bounded state, no timeout bookkeeping needed), and the processor
+    merges each batch's values in. Requires the RocksDB state store
+    (``spark.sql.streaming.stateStore.providerClass``) and the
+    ``protobuf`` package (the runner's state wire format; raises
+    ``NotImplementedError`` without it). Batch: the
+    rank-then-aggregate equivalent (row_number <= k, then an ordered
+    collect of at most k rows per key), so pipelines are testable
+    offline and the streaming answer must converge to it.
+
+    Returns ``key string, topk array<double>`` (descending).
+    """
+    keyed = df.select(
+        F.col(key_col).cast('string').alias('key'),
+        F.col(value_col).cast('double').alias('value'),
+    )
+    if not df.isStreaming:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy('key').orderBy(F.col('value').desc())
+        return (
+            keyed.withColumn('__rk', F.row_number().over(w))
+            .filter(F.col('__rk') <= k)
+            .groupBy('key')
+            .agg(F.reverse(F.sort_array(F.collect_list('value')))
+                 .alias('topk'))
+        )
+
+    try:
+        # the transformWithState Python runner serializes state over
+        # protobuf; without it the worker crashes at start, so fail
+        # fast with a clear message instead
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            'streaming running_topk uses transformWithStateInPandas, '
+            'whose Python runner requires the protobuf package — not '
+            'installed in this environment. The batch path works '
+            'without it.'
+        ) from exc
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _TopK(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                'topk', 'vals array<double>')
+
+        def handleInputRows(self, key, rows, timer_values):
+            prev = self._state.get()
+            vals = list(prev[0]) if prev is not None else []
+            for pdf in rows:
+                vals.extend(float(v) for v in pdf['value'])
+            vals = sorted(vals, reverse=True)[:k]
+            self._state.update((vals,))
+            yield pd.DataFrame({'key': [key[0]], 'topk': [vals]})
+
+        def close(self) -> None:
+            pass
+
+    return keyed.groupBy('key').transformWithStateInPandas(
+        _TopK(),
+        outputStructType='key string, topk array<double>',
+        outputMode='Update',
+        timeMode='None',
+    )

@@ -142,3 +142,100 @@ class TestFunnelStages:
         finally:
             q.stop()
         assert got == batch
+
+
+class TestRunningTopK:
+    def test_batch_fallback(self, spark_session):
+        from ons_utils_spark.streaming.stateful import running_topk
+
+        df = spark_session.createDataFrame(
+            [('a', 5.0), ('a', 9.0), ('a', 1.0), ('a', 7.0),
+             ('b', 2.0)],
+            'k string, value double')
+        out = {r['key']: r['topk']
+               for r in running_topk(df, 'k', k=3).collect()}
+        assert out == {'a': [9.0, 7.0, 5.0], 'b': [2.0]}
+
+    def test_streaming_requires_protobuf(self, spark_session, tmp_path):
+        """Without protobuf the streaming path must fail fast with a
+        clear error (the runner would otherwise crash mid-query)."""
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+            pytest.skip('protobuf installed — gate inactive')
+        except ImportError:
+            pass
+        from ons_utils_spark.streaming.stateful import running_topk
+
+        stream = (
+            spark_session.readStream
+            .schema('k string, value double')
+            .json(str(tmp_path))
+        )
+        with pytest.raises(NotImplementedError, match='protobuf'):
+            running_topk(stream, 'k', k=3)
+
+    @pytest.mark.slow
+    def test_stream_converges_to_batch(self, spark_session, tmp_path):
+        """transformWithStateInPandas (Spark 4 typed-state API) over
+        a chunked replay must converge to the batch answer. Skipped
+        where protobuf (the state runner's wire format) is absent."""
+        import pandas as pd
+
+        pytest.importorskip('google.protobuf')
+        from ons_utils_spark.streaming.stateful import running_topk
+
+        rows = [(f'u{i % 4}', float((i * 37) % 100))
+                for i in range(60)]
+        src = tmp_path / 'topk_src'
+        src.mkdir()
+        for c in range(3):
+            pd.DataFrame(rows[c * 20:(c + 1) * 20],
+                         columns=['k', 'value']).to_json(
+                src / f'{c}.json', orient='records', lines=True)
+
+        prev = spark_session.conf.get(
+            'spark.sql.streaming.stateStore.providerClass', None)
+        spark_session.conf.set(
+            'spark.sql.streaming.stateStore.providerClass',
+            'org.apache.spark.sql.execution.streaming.state.'
+            'RocksDBStateStoreProvider')
+        try:
+            stream = (
+                spark_session.readStream
+                .schema('k string, value double')
+                .option('maxFilesPerTrigger', 1)
+                .json(str(src))
+            )
+            q = (
+                running_topk(stream, 'k', k=3)
+                .writeStream.format('memory').queryName('topk_test')
+                .outputMode('update')
+                .option('checkpointLocation', str(tmp_path / 'ckpt'))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(240)
+            # last update per key wins (memory sink keeps history)
+            got = {
+                r['key']: list(r['topk'])
+                for r in spark_session.sql(
+                    """SELECT key, topk FROM (
+                           SELECT key, topk, row_number() OVER (
+                               PARTITION BY key
+                               ORDER BY size(topk) DESC,
+                                        topk[0] DESC) rn
+                           FROM topk_test) WHERE rn = 1""").collect()
+            }
+        finally:
+            if prev is None:
+                spark_session.conf.unset(
+                    'spark.sql.streaming.stateStore.providerClass')
+            else:
+                spark_session.conf.set(
+                    'spark.sql.streaming.stateStore.providerClass',
+                    prev)
+        batch_df = spark_session.createDataFrame(
+            rows, 'k string, value double')
+        want = {r['key']: list(r['topk'])
+                for r in running_topk(batch_df, 'k', k=3).collect()}
+        assert got == want, (got, want)
