@@ -1783,6 +1783,22 @@ def q_rare_token_rate(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Per-user funnel-stage distribution via the
+    ``streaming.stateful.funnel_stages`` operator's BATCH path — the
+    same code the streaming path must converge to, here pinned
+    directly against a SQL oracle (conditional mins + strictly-
+    increasing-prefix stage)."""
+    from ..streaming.stateful import funnel_stages
+
+    (events,) = _t(spark, sf_dir, 'events')
+    staged = funnel_stages(
+        events, key_col='user_id', type_col='event_type', ts_col='ts',
+        steps=('view', 'click', 'purchase'))
+    return staged.groupBy('stage').agg(
+        F.count(F.lit(1)).alias('n_users'))
+
+
 def q_sql_flag_year(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Pure-SQL API path: the same engine through ``spark.sql`` over
     ``load_tables(register_views=True)`` — proving a SQL-first user
@@ -2280,6 +2296,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_contamination': q_contamination,
     'q_rare_token_rate': q_rare_token_rate,
     'q_length_histogram': q_length_histogram,
+    'q_funnel_stages': q_funnel_stages,
     'q_sql_flag_year': q_sql_flag_year,
     'q_quantile_ladder': q_quantile_ladder,
     'q_first_touch': q_first_touch,
@@ -3462,6 +3479,27 @@ ORACLES: Dict[str, str] = {
                      n_chars
               FROM documents)
         GROUP BY 1
+    """,
+    'q_funnel_stages': """
+        WITH per_user AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view'
+                       THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS t0,
+                   min(CASE WHEN event_type = 'click'
+                       THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS t1,
+                   min(CASE WHEN event_type = 'purchase'
+                       THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS t2
+            FROM events GROUP BY user_id
+        ), staged AS (
+            SELECT CASE
+                WHEN t0 IS NULL THEN 0
+                WHEN t1 IS NULL OR t1 <= t0 THEN 1
+                WHEN t2 IS NULL OR t2 <= t1 THEN 2
+                ELSE 3 END AS stage
+            FROM per_user
+        )
+        SELECT stage, CAST(count(*) AS BIGINT) AS n_users
+        FROM staged GROUP BY stage
     """,
     'q_sql_flag_year': """
         SELECT l_returnflag,
