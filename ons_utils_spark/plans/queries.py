@@ -1783,6 +1783,30 @@ def q_rare_token_rate(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_except_customers(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Set difference via ``exceptAll``: customers who ordered in
+    2000 but never again after — the churn cohort, summarized per
+    market segment. Both sides are distinct custkey projections, so
+    the EXCEPT hash-aggregates key sets, never full rows."""
+    customer, orders = _t(spark, sf_dir, 'customer', 'orders')
+    in_2000 = (
+        orders.filter((F.col('o_orderdate') >= '2000-01-01')
+                      & (F.col('o_orderdate') < '2001-01-01'))
+        .select('o_custkey').distinct())
+    after = (
+        orders.filter(F.col('o_orderdate') >= '2001-01-01')
+        .select('o_custkey').distinct())
+    churned = in_2000.exceptAll(after)
+    return (
+        churned.join(F.broadcast(customer),
+                     F.col('o_custkey') == F.col('c_custkey'))
+        .groupBy('c_mktsegment')
+        .agg(F.count(F.lit(1)).alias('n_churned'),
+             F.round(F.sum(F.col('c_acctbal').cast('decimal(18,2)')), 2)
+             .cast('double').alias('churned_balance'))
+    )
+
+
 def q_funnel_stages(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Per-user funnel-stage distribution via the
     ``streaming.stateful.funnel_stages`` operator's BATCH path — the
@@ -2296,6 +2320,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_contamination': q_contamination,
     'q_rare_token_rate': q_rare_token_rate,
     'q_length_histogram': q_length_histogram,
+    'q_except_customers': q_except_customers,
     'q_funnel_stages': q_funnel_stages,
     'q_sql_flag_year': q_sql_flag_year,
     'q_quantile_ladder': q_quantile_ladder,
@@ -3479,6 +3504,25 @@ ORACLES: Dict[str, str] = {
                      n_chars
               FROM documents)
         GROUP BY 1
+    """,
+    'q_except_customers': """
+        WITH in_2000 AS (
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate >= '2000-01-01'
+              AND o_orderdate < '2001-01-01'
+        ), after AS (
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate >= '2001-01-01'
+        )
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_churned,
+               CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2)
+                    AS DOUBLE) AS churned_balance
+        FROM (SELECT o_custkey FROM in_2000
+              EXCEPT
+              SELECT o_custkey FROM after) churned
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
     """,
     'q_funnel_stages': """
         WITH per_user AS (
