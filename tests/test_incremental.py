@@ -6,18 +6,26 @@ from pyspark.sql import functions as F
 def _stage(tmp_path, docs, n_chunks=3):
     """Write docs as n json chunks, ordered by doc_id so arrival
     order == id order (streaming first-wins then equals the batch
-    lowest-id-wins)."""
+    lowest-id-wins). Chunk mtimes are staggered explicitly — the
+    file source orders by modification time, and same-millisecond
+    writes would make chunk order nondeterministic."""
+    import os
+    import time
+
     import pandas as pd
 
     src = tmp_path / 'docs_src'
     src.mkdir()
     rows = sorted(docs, key=lambda r: r[0])
     per = (len(rows) + n_chunks - 1) // n_chunks
+    base = time.time() - 1000
     for i in range(n_chunks):
         chunk = rows[i * per:(i + 1) * per]
         if chunk:
+            path = src / f'{i}.json'
             pd.DataFrame(chunk, columns=['doc_id', 'text']).to_json(
-                src / f'{i}.json', orient='records', lines=True)
+                path, orient='records', lines=True)
+            os.utime(path, (base + 10 * i, base + 10 * i))
     return src
 
 
