@@ -1391,6 +1391,52 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> SparkDF:
 # nesting, which is what matters for plan quality at scale).
 # --------------------------------------------------------------------
 
+def q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """TPC-H Q2-style min-cost supplier (no partsupp, so 'cost' is
+    the minimum shipped per-unit price): for each size-15 part
+    shipped by an ASIA supplier, the supplier achieving that minimum.
+    The correlated MIN subquery becomes one min_by/min aggregation
+    per part — argmin without a join-back or a window over the fact
+    table; suppliers outside the region are semi-joined away before
+    the aggregation."""
+    lineitem, part, supplier, nation, region = _t(
+        spark, sf_dir, 'lineitem', 'part', 'supplier', 'nation',
+        'region')
+    asia_supps = (
+        supplier
+        .join(F.broadcast(
+            nation.join(
+                F.broadcast(region.filter(F.col('r_name') == 'ASIA')),
+                F.col('n_regionkey') == F.col('r_regionkey'))
+            .select('n_nationkey')),
+            F.col('s_nationkey') == F.col('n_nationkey'), 'left_semi')
+        .select('s_suppkey', 's_name'))
+    unit_price = (F.col('l_extendedprice') / F.col('l_quantity'))
+    best = (
+        lineitem
+        .join(F.broadcast(asia_supps),
+              F.col('l_suppkey') == F.col('s_suppkey'), 'left_semi')
+        .join(F.broadcast(part.filter(F.col('p_size') == 15)),
+              F.col('l_partkey') == F.col('p_partkey'))
+        .groupBy('p_partkey', 'p_brand')
+        .agg(
+            F.round(F.min(unit_price), 4).alias('min_unit_price'),
+            # argmin with (price, suppkey) struct: deterministic on
+            # per-unit-price ties
+            F.min_by('l_suppkey',
+                     F.struct(unit_price.alias('up'),
+                              F.col('l_suppkey').alias('sk')))
+            .alias('best_suppkey'),
+        )
+    )
+    return (
+        best.join(F.broadcast(asia_supps),
+                  F.col('best_suppkey') == F.col('s_suppkey'))
+        .select('p_partkey', 'p_brand', 'min_unit_price',
+                'best_suppkey', 's_name')
+    )
+
+
 def q5_local_supplier(spark: SparkSession, sf_dir: str) -> SparkDF:
     """TPC-H Q5 proper: revenue in one region/year where the supplier
     is LOCAL (same nation as the customer) — the distinguishing
@@ -2306,6 +2352,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q18_big_orders': q18_big_orders,
     'q19_bracket_revenue': q19_bracket_revenue,
     'q22_idle_customers': q22_idle_customers,
+    'q2_cheapest_supplier': q2_cheapest_supplier,
     'q5_local_supplier': q5_local_supplier,
     'q8_market_share': q8_market_share,
     'q9_product_profit': q9_product_profit,
@@ -3260,6 +3307,32 @@ ORACLES: Dict[str, str] = {
                           WHERE o_custkey = c_custkey
                             AND o_orderpriority = '1-URGENT')
         GROUP BY c_mktsegment
+    """,
+    'q2_cheapest_supplier': """
+        WITH asia_supps AS (
+            SELECT s_suppkey, s_name FROM supplier
+            WHERE s_nationkey IN (
+                SELECT n_nationkey FROM nation
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'ASIA')
+        ), lines AS (
+            SELECT p_partkey, p_brand, l_suppkey,
+                   l_extendedprice / l_quantity AS up
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_size = 15
+              AND l_suppkey IN (SELECT s_suppkey FROM asia_supps)
+        ), ranked AS (
+            SELECT p_partkey, p_brand, up, l_suppkey,
+                   row_number() OVER (PARTITION BY p_partkey
+                                      ORDER BY up, l_suppkey) AS rn
+            FROM lines
+        )
+        SELECT p_partkey, p_brand,
+               round(up, 4) AS min_unit_price,
+               l_suppkey AS best_suppkey, s_name
+        FROM ranked JOIN asia_supps ON l_suppkey = s_suppkey
+        WHERE rn = 1
     """,
     'q5_local_supplier': """
         SELECT n_name,
