@@ -114,6 +114,15 @@ class TestPlanGuards:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert 'ReusedExchange' in plan
 
+    def test_winnow_reuses_fingerprint_exchange(self, spark_session):
+        """Both sides of the winnow self-join must read ONE
+        fingerprint exchange (the repartition barrier), not recompute
+        the md5 pipeline per side."""
+        df = QUERIES['q_winnow_dups'](spark_session, SF)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert 'ReusedExchange' in plan
+
     def test_minhash_reuses_shingle_exchange(self, spark_session):
         """The band/bucket repartition barrier must make the LSH
         self-join share ONE exchange instead of recomputing the
