@@ -1908,6 +1908,28 @@ def q_quantile_ladder(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_approx_quantile_ladder(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """The 100 TB twin of :func:`q_quantile_ladder`: the same four
+    quantiles from the t-digest ``approx_percentile`` sketch — pure
+    map-side partials, no per-group sort or full-column buffering.
+    No SQL oracle (sketch internals aren't reproducible in DuckDB);
+    the driver records the rows-only check, and
+    ``tools/approx_probe.py`` pins the accuracy/speed trade (3.3x
+    faster, 0.005% row error at sf0.1)."""
+    (orders,) = _t(spark, sf_dir, 'orders')
+    q = F.approx_percentile(
+        'o_totalprice',
+        F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95)),
+        F.lit(10000))
+    return orders.groupBy('o_orderpriority').agg(
+        F.count(F.lit(1)).alias('n_orders'),
+        F.round(q[0], 2).alias('p25'),
+        F.round(q[1], 2).alias('p50'),
+        F.round(q[2], 2).alias('p75'),
+        F.round(q[3], 2).alias('p95'),
+    )
+
+
 def q_first_touch(spark: SparkSession, sf_dir: str) -> SparkDF:
     """First-touch attribution: each user's earliest event type and
     value via min_by (one hash agg, no ordered window, no self-join
@@ -2371,6 +2393,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_funnel_stages': q_funnel_stages,
     'q_sql_flag_year': q_sql_flag_year,
     'q_quantile_ladder': q_quantile_ladder,
+    'q_approx_quantile_ladder': q_approx_quantile_ladder,
     'q_first_touch': q_first_touch,
     'q_top_parts_array': q_top_parts_array,
     'q_calendar_gaps': q_calendar_gaps,

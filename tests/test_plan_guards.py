@@ -114,6 +114,28 @@ class TestPlanGuards:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert 'ReusedExchange' in plan
 
+    def test_q8_broadcasts_survive_zero_threshold(self, spark_session):
+        """The dimension broadcasts are HINT-driven, not size-driven:
+        with autoBroadcastJoinThreshold=-1 the q8 dim chain must
+        still broadcast (on a real cluster table sizes/stats differ —
+        the explicit hints are what we rely on). Only the fact-fact
+        lineitem-orders join may fall back to shuffle — which IS the
+        right plan at scale."""
+        threshold = spark_session.conf.get(
+            'spark.sql.autoBroadcastJoinThreshold')
+        spark_session.conf.set(
+            'spark.sql.autoBroadcastJoinThreshold', '-1')
+        try:
+            plan = plan_of(spark_session, 'q8_market_share')
+        finally:
+            spark_session.conf.set(
+                'spark.sql.autoBroadcastJoinThreshold', threshold)
+        # numbered detail nodes (the tree repeats headers)
+        bhj = len(re.findall(r'\(\d+\) BroadcastHashJoin', plan))
+        smj = len(re.findall(r'\(\d+\) SortMergeJoin', plan))
+        assert bhj >= 4, plan
+        assert smj <= 1, plan
+
     def test_winnow_reuses_fingerprint_exchange(self, spark_session):
         """Both sides of the winnow self-join must read ONE
         fingerprint exchange (the repartition barrier), not recompute
