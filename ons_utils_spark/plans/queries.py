@@ -2308,7 +2308,70 @@ def q_mode_quantity(spark: SparkSession, sf_dir: str) -> SparkDF:
 # Registry + oracles
 # --------------------------------------------------------------------
 
+# Ordering policy: the external correctness gate verifies the FIRST
+# 50 registry entries per round.  Entries are therefore rotated each
+# round so never-yet-verified queries occupy the front window, with
+# rows-only (no-oracle) entries placed after hash-checkable ones.
+# Rounds 1-3 verified the 50 queries now listed at the back (47 green
+# + 3 rows-only by design).  Round 4 front-loads the 52 queries added
+# in rounds 2-3 that have not yet seen the external oracle.
 QUERIES: Dict[str, QueryFn] = {
+    # -- round-4 verification window: never externally checked ------
+    'q_grouping_sets': q_grouping_sets,
+    'q_asof_tolerance': q_asof_tolerance,
+    'q_char_shingles': q_char_shingles,
+    'q_lookup_join': q_lookup_join,
+    'q_global_share': q_global_share,
+    'q_salted_join': q_salted_join,
+    'q_balanced_sample': q_balanced_sample,
+    'q_connected_components': q_connected_components,
+    'q7_nation_volume': q7_nation_volume,
+    'q14_promo_share': q14_promo_share,
+    'q15_top_supplier': q15_top_supplier,
+    'q16_supplier_variety': q16_supplier_variety,
+    'q18_big_orders': q18_big_orders,
+    'q19_bracket_revenue': q19_bracket_revenue,
+    'q22_idle_customers': q22_idle_customers,
+    'q2_cheapest_supplier': q2_cheapest_supplier,
+    'q5_local_supplier': q5_local_supplier,
+    'q8_market_share': q8_market_share,
+    'q9_product_profit': q9_product_profit,
+    'q10_returned_customers': q10_returned_customers,
+    'q11_important_parts': q11_important_parts,
+    'q12_late_shipments': q12_late_shipments,
+    'q13_order_distribution': q13_order_distribution,
+    'q17_small_qty_revenue': q17_small_qty_revenue,
+    'q20_promo_suppliers': q20_promo_suppliers,
+    'q21_waiting_suppliers': q21_waiting_suppliers,
+    'q_winnow_dups': q_winnow_dups,
+    'q_contamination': q_contamination,
+    'q_rare_token_rate': q_rare_token_rate,
+    'q_length_histogram': q_length_histogram,
+    'q_except_customers': q_except_customers,
+    'q_funnel_stages': q_funnel_stages,
+    'q_sql_flag_year': q_sql_flag_year,
+    'q_quantile_ladder': q_quantile_ladder,
+    'q_first_touch': q_first_touch,
+    'q_top_parts_array': q_top_parts_array,
+    'q_calendar_gaps': q_calendar_gaps,
+    'q_price_rank_bands': q_price_rank_bands,
+    'q_regr_price_size': q_regr_price_size,
+    'q_rolling_revenue': q_rolling_revenue,
+    'q_hash_sample': q_hash_sample,
+    'q_fuzzy_parts': q_fuzzy_parts,
+    'q_bigrams_top': q_bigrams_top,
+    'q_entropy_tokens': q_entropy_tokens,
+    'q_skyline_suppliers': q_skyline_suppliers,
+    'q_funnel_events': q_funnel_events,
+    'q_ntile_deciles': q_ntile_deciles,
+    'q_mode_quantity': q_mode_quantity,
+    'q_latest_events': q_latest_events,
+    # rows-only (no SQL oracle) but never driver-recorded either:
+    'q_pq_topk': q_pq_topk,
+    # -- below the 50-slot window -----------------------------------
+    'q_ivf_pq_topk': q_ivf_pq_topk,
+    'q_approx_quantile_ladder': q_approx_quantile_ladder,
+    # -- verified green in rounds 1-3 (CORRECTNESS_r01..r03) --------
     'q1_pricing_summary': q1_pricing_summary,
     'q2_revenue_by_nation': q2_revenue_by_nation,
     'q3_top_orders': q3_top_orders,
@@ -2359,58 +2422,6 @@ QUERIES: Dict[str, QueryFn] = {
     'q_chunk_docs': q_chunk_docs,
     'q_price_trim': q_price_trim,
     'q_sessionize': q_sessionize,
-    'q_grouping_sets': q_grouping_sets,
-    'q_asof_tolerance': q_asof_tolerance,
-    'q_char_shingles': q_char_shingles,
-    'q_lookup_join': q_lookup_join,
-    'q_global_share': q_global_share,
-    'q_salted_join': q_salted_join,
-    'q_balanced_sample': q_balanced_sample,
-    'q_connected_components': q_connected_components,
-    'q7_nation_volume': q7_nation_volume,
-    'q14_promo_share': q14_promo_share,
-    'q15_top_supplier': q15_top_supplier,
-    'q16_supplier_variety': q16_supplier_variety,
-    'q18_big_orders': q18_big_orders,
-    'q19_bracket_revenue': q19_bracket_revenue,
-    'q22_idle_customers': q22_idle_customers,
-    'q2_cheapest_supplier': q2_cheapest_supplier,
-    'q5_local_supplier': q5_local_supplier,
-    'q8_market_share': q8_market_share,
-    'q9_product_profit': q9_product_profit,
-    'q10_returned_customers': q10_returned_customers,
-    'q11_important_parts': q11_important_parts,
-    'q12_late_shipments': q12_late_shipments,
-    'q13_order_distribution': q13_order_distribution,
-    'q17_small_qty_revenue': q17_small_qty_revenue,
-    'q20_promo_suppliers': q20_promo_suppliers,
-    'q21_waiting_suppliers': q21_waiting_suppliers,
-    'q_winnow_dups': q_winnow_dups,
-    'q_contamination': q_contamination,
-    'q_rare_token_rate': q_rare_token_rate,
-    'q_length_histogram': q_length_histogram,
-    'q_except_customers': q_except_customers,
-    'q_funnel_stages': q_funnel_stages,
-    'q_sql_flag_year': q_sql_flag_year,
-    'q_quantile_ladder': q_quantile_ladder,
-    'q_approx_quantile_ladder': q_approx_quantile_ladder,
-    'q_first_touch': q_first_touch,
-    'q_top_parts_array': q_top_parts_array,
-    'q_calendar_gaps': q_calendar_gaps,
-    'q_price_rank_bands': q_price_rank_bands,
-    'q_regr_price_size': q_regr_price_size,
-    'q_rolling_revenue': q_rolling_revenue,
-    'q_hash_sample': q_hash_sample,
-    'q_fuzzy_parts': q_fuzzy_parts,
-    'q_bigrams_top': q_bigrams_top,
-    'q_entropy_tokens': q_entropy_tokens,
-    'q_skyline_suppliers': q_skyline_suppliers,
-    'q_funnel_events': q_funnel_events,
-    'q_ntile_deciles': q_ntile_deciles,
-    'q_mode_quantity': q_mode_quantity,
-    'q_latest_events': q_latest_events,
-    'q_pq_topk': q_pq_topk,
-    'q_ivf_pq_topk': q_ivf_pq_topk,
 }
 
 
