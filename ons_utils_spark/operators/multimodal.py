@@ -46,6 +46,23 @@ AUDIO_FEATURE_SCHEMA = (
 )
 
 
+def _feature_schema(base_ddl: str, df: SparkDF, id_col: str):
+    """Output schema for a feature extractor: the DDL constant with the
+    ``media_id`` field re-typed from the input's ``id_col`` (bigint keys
+    from a media table, string paths from a binaryFile scan). Built as a
+    StructType — not text substitution — so a drift in the constant's
+    spelling fails here, at the call site, not as an opaque Arrow type
+    error downstream."""
+    from pyspark.sql.types import StructField, StructType
+
+    base = StructType.fromDDL(base_ddl)
+    return StructType(
+        [StructField(base.fields[0].name,
+                     df.schema[id_col].dataType, True)]
+        + list(base.fields)[1:]
+    )
+
+
 def decode_ppm(payload: bytes) -> Optional[Tuple[int, int, np.ndarray]]:
     """Decode a Netpbm image (P2/P3 ASCII, P5/P6 binary).
 
@@ -392,11 +409,7 @@ def image_features(
                          'feature'],
             )
 
-    # media_id follows the input id type (bigint keys from a media
-    # table, string paths from a binaryFile scan)
-    id_type = df.schema[id_col].dataType.simpleString()
-    schema = IMAGE_FEATURE_SCHEMA.replace(
-        'media_id bigint', f'media_id {id_type}', 1)
+    schema = _feature_schema(IMAGE_FEATURE_SCHEMA, df, id_col)
     return df.select(id_col, payload_col).mapInPandas(run, schema)
 
 
@@ -421,11 +434,8 @@ def audio_features(
                 columns=['media_id', 'duration_ms', 'n_bytes', 'feature'],
             )
 
-    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, payload_col).mapInPandas(
-        run, AUDIO_FEATURE_SCHEMA.replace(
-            'media_id bigint', f'media_id {id_type}', 1)
-    )
+        run, _feature_schema(AUDIO_FEATURE_SCHEMA, df, id_col))
 
 
 def frame_sample_plan(

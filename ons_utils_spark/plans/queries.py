@@ -1575,8 +1575,12 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> SparkDF:
     """TPC-H Q11-style 'important stock': parts whose shipped value
     exceeds 1.5x the mean part value — group-agg plus a broadcast
     one-row scalar threshold (never a 1-partition window). The
-    comparison runs on scale-4 integers (exact on both engines,
-    no double-threshold boundary cases)."""
+    comparison runs in exact scale-4 DECIMAL on both engines: bigint
+    staging would wrap silently in non-ANSI Spark once total shipped
+    value passes ~3e14 in scale-4 units, whereas the decimal widths
+    below (24,4 per part; 34,4 corpus total; products capped at
+    precision 37) hold to ~1e20 per part / ~1e30 total and FAIL
+    loudly (null/ANSI error) rather than wrap beyond that."""
     lineitem, part = _t(spark, sf_dir, 'lineitem', 'part')
     value = (F.col('l_quantity')
              * F.col('p_retailprice')).cast('decimal(18,4)')
@@ -1587,17 +1591,19 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> SparkDF:
         .agg(F.sum(value).alias('part_value_dec'))
     )
     scalar = per_part.agg(
-        (F.sum('part_value_dec') * 10000).cast('bigint')
-        .alias('total_scaled'),
+        F.sum('part_value_dec').cast('decimal(34,4)')
+        .alias('total_value_dec'),
         F.count(F.lit(1)).alias('n_parts'),
     )
     return (
         per_part.crossJoin(F.broadcast(scalar))
-        # value > 1.5 * total/n  ⇔  2*n*value > 3*total, in exact
-        # scale-4 integers
-        .filter((F.col('part_value_dec') * 10000).cast('bigint')
-                * F.col('n_parts') * 2
-                > F.col('total_scaled') * 3)
+        # value > 1.5 * total/n  ⇔  2*n*value > 3*total, exact decimal:
+        # dec(24,4) * dec(12,0) -> dec(37,4) and dec(34,4) * dec(1,0)
+        # -> dec(36,4), both under Spark's 38-precision ceiling so no
+        # scale-loss rounding kicks in.
+        .filter(F.col('part_value_dec').cast('decimal(24,4)')
+                * (F.col('n_parts') * 2).cast('decimal(12,0)')
+                > F.col('total_value_dec') * F.lit(3).cast('decimal(1,0)'))
         .select('p_partkey',
                 F.round('part_value_dec', 2).cast('double')
                 .alias('part_value'))
@@ -3455,10 +3461,11 @@ ORACLES: Dict[str, str] = {
         SELECT p_partkey,
                CAST(round(part_value_dec, 2) AS DOUBLE) AS part_value
         FROM per_part
-        WHERE CAST(part_value_dec * 10000 AS BIGINT)
-              * (SELECT count(*) FROM per_part) * 2
-              > (SELECT CAST(sum(part_value_dec) * 10000 AS BIGINT)
-                 FROM per_part) * 3
+        WHERE CAST(part_value_dec AS DECIMAL(24,4))
+              * CAST((SELECT count(*) FROM per_part) * 2
+                     AS DECIMAL(12,0))
+              > (SELECT CAST(sum(part_value_dec) AS DECIMAL(34,4))
+                 FROM per_part) * CAST(3 AS DECIMAL(1,0))
     """,
     'q12_late_shipments': """
         SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,

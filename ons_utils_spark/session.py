@@ -21,6 +21,10 @@ DEFAULT_CONFS = {
     'spark.sql.adaptive.skewJoin.enabled': 'true',
     'spark.sql.execution.arrow.pyspark.enabled': 'true',
     'spark.sql.session.timeZone': 'UTC',
+    # Parquet timestamps without isAdjustedToUTC load as LTZ instants
+    # (not TIMESTAMP_NTZ) so epoch casts / unix_timestamp work and
+    # results match zone-naive engines (DuckDB) under the UTC pin.
+    'spark.sql.parquet.inferTimestampNTZ.enabled': 'false',
     'spark.ui.showConsoleProgress': 'false',
     # Runtime row-level pruning for large sort-merge joins: build a
     # bloom filter from the (filtered) build side and push it into the

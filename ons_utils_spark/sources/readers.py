@@ -31,25 +31,47 @@ def _nanos_timestamp_columns(path: str) -> list:
         return []
 
 
-def read_parquet(spark: SparkSession, path: str) -> SparkDF:
+def read_parquet(
+    spark: SparkSession,
+    path: str,
+    normalize_session: bool = True,
+) -> SparkDF:
     """Parquet scan — Catalyst gets predicate pushdown + column pruning.
 
     Handles parquet TIMESTAMP(NANOS) columns (illegal in Spark) by
     reading them as nano longs (``spark.sql.legacy.parquet.nanosAsLong``)
     and casting to microsecond timestamps — same truncation DuckDB
     applies, so oracles agree.
+
+    .. warning:: **Session-wide side effect.** With
+       ``normalize_session=True`` (default) this call PERMANENTLY pins
+       ``spark.sql.session.timeZone='UTC'`` and disables
+       ``spark.sql.parquet.inferTimestampNTZ`` on the whole session —
+       not just for this read. Timestamps load as UTC instants and all
+       later date/year extraction in the session happens in UTC. This
+       is deliberate: the correctness harness runs queries in a session
+       it does not build, and the pins must survive past the read (the
+       zone matters at query time, not scan time, so save-and-restore
+       would silently unpin before the query runs). Sessions built via
+       :func:`ons_utils_spark.get_spark` already carry both pins.
+       Library users embedding this reader in a zone-sensitive session
+       should pass ``normalize_session=False`` and manage the two confs
+       themselves.
     """
     from pyspark.sql import functions as F
 
-    # Parquet timestamps without isAdjustedToUTC would otherwise load
-    # as TIMESTAMP_NTZ (Spark 4 default), which has no cast to BIGINT
-    # and shifts epoch math; read them as LTZ instants so downstream
-    # unix_timestamp/cast semantics match the DuckDB oracles.
-    spark.conf.set('spark.sql.parquet.inferTimestampNTZ.enabled', 'false')
-    # Pin date/year extraction from those instants to UTC regardless
-    # of the host session's zone — keeps results identical to the
-    # (zone-naive) DuckDB oracles.
-    spark.conf.set('spark.sql.session.timeZone', 'UTC')
+    if normalize_session:
+        # Parquet timestamps without isAdjustedToUTC would otherwise
+        # load as TIMESTAMP_NTZ (Spark 4 default), which has no cast to
+        # BIGINT and shifts epoch math; read them as LTZ instants so
+        # downstream unix_timestamp/cast semantics match the DuckDB
+        # oracles.
+        spark.conf.set(
+            'spark.sql.parquet.inferTimestampNTZ.enabled', 'false')
+        # Pin date/year extraction from those instants to UTC regardless
+        # of the host session's zone — keeps results identical to the
+        # (zone-naive) DuckDB oracles.
+        spark.conf.set('spark.sql.session.timeZone', 'UTC')
     nanos_cols = _nanos_timestamp_columns(path)
     if not nanos_cols:
         return spark.read.parquet(path)

@@ -16,8 +16,10 @@ Scale notes:
   to matching buckets instead of scanning the full store.
 - Per batch: one self-dedup over the (small) batch, one equi-join of
   batch fingerprints against the store, zero driver-side loops.
-- Idempotence: each batch's fingerprints carry ``_batch_id``; a
-  replayed batch (failure between micro-batches) is detected and
+- Idempotence: each batch's fingerprints carry ``_batch_id``, plus
+  one unconditional null-fp marker row per committed batch (so even
+  a zero-fingerprint batch is detected); a replayed batch (failure
+  between micro-batches) is detected and
   skipped, so the accepted-docs output is not duplicated. A crash
   BETWEEN the two appends inside one batch (docs committed, store
   not) degrades that batch to at-least-once — acceptable for dedup
@@ -29,6 +31,7 @@ import os
 
 from pyspark.sql import DataFrame as SparkDF
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 from ..operators.dedup import winnow_dup_pairs, winnow_fingerprints
 from .sinks import foreach_batch_sink
@@ -99,9 +102,23 @@ def incremental_winnow_dedup(
                 on=id_col, how='left_anti')
             fps = fps.join(dup_ids, on='id', how='left_anti')
         # 3. commit docs, then fingerprints (the _batch_id marker is
-        # written LAST so a replay after a mid-batch crash re-runs)
+        # written LAST so a replay after a mid-batch crash re-runs).
+        # A null-fp marker row is appended UNCONDITIONALLY: a batch
+        # whose accepted docs are all shorter than k+w-1 tokens yields
+        # zero fingerprints, and without the marker a replay would not
+        # see the batch as committed and would append its docs again.
+        # Null fp never matches the store equi-join above, so markers
+        # are invisible to overlap detection.
         clean.write.mode('append').parquet(out_dir)
-        (fps.withColumn('_batch_id', F.lit(batch_id))
+        marker = spark.createDataFrame(
+            [(None, None)],
+            schema=StructType([
+                StructField(f.name, f.dataType, True)
+                for f in fps.schema.fields
+            ]),
+        )
+        (fps.unionByName(marker)
+            .withColumn('_batch_id', F.lit(batch_id))
             .write.mode('append').parquet(store_dir))
 
     return foreach_batch_sink(

@@ -68,6 +68,43 @@ class TestIncrementalWinnowDedup:
         ids = sorted(r['doc_id'] for r in accepted.collect())
         assert ids == [1, 2, 11], ids  # 10 dropped against the store
 
+    def test_zero_fingerprint_batch_replay_idempotent(
+            self, spark_session, tmp_path):
+        """A committed batch whose docs are all shorter than k+w-1
+        tokens produces NO fingerprints; commit detection must not
+        depend on fingerprint rows (the unconditional null-fp marker
+        carries the batch id), or a replay re-appends the docs."""
+        docs = [
+            (1, 'tiny doc'),          # 2 tokens < k+w-1 = 6
+            (2, 'three short words'),
+            (3, 'also very small'),
+        ]
+        accepted = self._run(spark_session, tmp_path, docs, n_chunks=2)
+        ids = sorted(r['doc_id'] for r in accepted.collect())
+        assert ids == [1, 2, 3], ids
+        # replay: same source and sinks, FRESH checkpoint — the file
+        # source re-delivers the same chunks as the same batch ids,
+        # exactly what a crash-before-checkpoint-commit does
+        from ons_utils_spark.streaming.incremental import (
+            incremental_winnow_dedup)
+        stream = (
+            spark_session.readStream
+            .schema('doc_id long, text string')
+            .option('maxFilesPerTrigger', 1)
+            .json(str(tmp_path / 'docs_src'))
+        )
+        q = incremental_winnow_dedup(
+            stream,
+            out_dir=str(tmp_path / 'accepted'),
+            store_dir=str(tmp_path / 'store'),
+            checkpoint=str(tmp_path / 'ckpt2'),
+            min_shared=5,
+        )
+        q.awaitTermination(300)
+        replayed = spark_session.read.parquet(str(tmp_path / 'accepted'))
+        ids2 = sorted(r['doc_id'] for r in replayed.collect())
+        assert ids2 == [1, 2, 3], ids2  # no duplicates appended
+
     def test_matches_eager_chunk_fold(self, spark_session, tmp_path):
         """The streaming run must equal the same per-chunk fold
         computed eagerly: in-chunk pair dedup, then pairwise overlap
