@@ -758,37 +758,39 @@ def winnow_dup_pairs(
     )
 
 
-def embedding_near_duplicates(
-    df: SparkDF,
-    id_col: str = 'vec_id',
-    vec_col: str = 'embedding',
-    threshold: float = 0.95,
-) -> SparkDF:
-    """Near-dup pairs by embedding cosine similarity (exact).
-
-    Broadcast-GEMM design: the (normalized) corpus matrix is broadcast
-    to every executor (numpy, ~0.5 MB per 2k×64-dim; fits comfortably
-    up to ~10⁶×64 ≈ 256 MB), and each partition streams its rows
-    through one BLAS matrix multiply per Arrow batch — ~100× faster
-    than per-pair expression evaluation, with no O(n²) join shuffle.
-    For corpora beyond broadcast size, block both sides (outer loop of
-    broadcast chunks) or LSH-bucket first
-    (similarity.random_hyperplane_lsh) and verify within buckets.
-    """
-    spark = df.sparkSession
+def _collect_normalized(df: SparkDF, id_col: str, vec_col: str):
+    """Collect ``(id, vec)`` rows to numpy and L2-normalize — the
+    broadcast side of one GEMM pass. Caller bounds the row count."""
     rows = df.select(id_col, vec_col).collect()
     ids = np.asarray([r[0] for r in rows], dtype=np.int64)
     mat = np.asarray([r[1] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    mat = mat / norms
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
+    if mat.ndim == 1:  # zero rows
+        mat = mat.reshape(0, 0)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True) if len(ids) else mat
+    if len(ids):
+        norms[norms == 0] = 1.0
+        mat = mat / norms
+    return ids, mat
 
+
+def _gemm_pairs(
+    scan_df: SparkDF,
+    b_ids,
+    b_mat,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+) -> SparkDF:
+    """One GEMM pass: every ``scan_df`` row against the broadcast
+    corpus block; emits each qualifying pair once (``id_a < id_b``
+    with ``id_b`` on the broadcast side, so across disjoint blocks no
+    pair repeats)."""
     def scan(batches):
         corpus_ids = b_ids.value
         corpus = b_mat.value
         for pdf in batches:
+            if not len(corpus_ids):
+                continue
             chunk_ids = pdf[id_col].to_numpy(dtype=np.int64)
             chunk = np.asarray(list(pdf[vec_col]), dtype=np.float64)
             n = np.linalg.norm(chunk, axis=1, keepdims=True)
@@ -803,6 +805,75 @@ def embedding_near_duplicates(
                 'cosine': sims[rows_i[mask], cols_j[mask]],
             })
 
-    return df.select(id_col, vec_col).mapInPandas(
+    return scan_df.select(id_col, vec_col).mapInPandas(
         scan, 'id_a bigint, id_b bigint, cosine double'
     )
+
+
+def embedding_near_duplicates(
+    df: SparkDF,
+    id_col: str = 'vec_id',
+    vec_col: str = 'embedding',
+    threshold: float = 0.95,
+    max_broadcast_rows: int = 500_000,
+    block_rows: Optional[int] = None,
+) -> SparkDF:
+    """Near-dup pairs by embedding cosine similarity (exact).
+
+    Broadcast-GEMM design: the (normalized) corpus matrix is broadcast
+    to every executor (numpy, ~0.5 MB per 2k×64-dim), and each
+    partition streams its rows through one BLAS matrix multiply per
+    Arrow batch — ~100× faster than per-pair expression evaluation,
+    with no O(n²) join shuffle.
+
+    Scale path: when the corpus exceeds ``max_broadcast_rows`` (or
+    ``block_rows`` is set explicitly), the corpus side is processed as
+    an outer loop of hash-disjoint broadcast blocks of at most
+    ``block_rows`` rows each. Per block: collect THAT block only
+    (driver memory stays bounded at one block), broadcast it, GEMM
+    the full corpus against it, eagerly ``localCheckpoint`` the
+    (sparse) pair results, then release the broadcast before the next
+    block. Each unordered pair lands in exactly one block — the one
+    holding its larger id — so the union needs no dedup. Total
+    compute is the same n² GEMM either way; the corpus is re-scanned
+    once per block, so it is cached (memory-then-disk) for the loop.
+    For sub-quadratic candidate generation at extreme scale, LSH-
+    bucket first (``similarity.random_hyperplane_lsh``) and verify
+    within buckets; this operator is the exact verifier.
+    """
+    spark = df.sparkSession
+    src = df.select(id_col, vec_col)
+    n = src.count()
+    if block_rows is None:
+        if n <= max_broadcast_rows:
+            ids, mat = _collect_normalized(src, id_col, vec_col)
+            b_ids = spark.sparkContext.broadcast(ids)
+            b_mat = spark.sparkContext.broadcast(mat)
+            return _gemm_pairs(src, b_ids, b_mat, threshold,
+                               id_col, vec_col)
+        block_rows = max_broadcast_rows
+    num_blocks = max(1, -(-n // block_rows))
+    block = F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks))
+    src = src.withColumn('__block', block)
+    from pyspark import StorageLevel
+    src.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        parts = []
+        for b in range(num_blocks):
+            ids, mat = _collect_normalized(
+                src.filter(F.col('__block') == b), id_col, vec_col)
+            b_ids = spark.sparkContext.broadcast(ids)
+            b_mat = spark.sparkContext.broadcast(mat)
+            pairs_b = _gemm_pairs(
+                src.drop('__block'), b_ids, b_mat, threshold,
+                id_col, vec_col,
+            ).localCheckpoint(eager=True)  # materialize, then free
+            b_ids.unpersist()
+            b_mat.unpersist()
+            parts.append(pairs_b)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+    finally:
+        src.unpersist()

@@ -145,6 +145,39 @@ class TestEmbeddingNearDup:
         assert (1, 2) in got
         assert (1, 4) not in got
 
+    def test_blocked_matches_single_broadcast(self, spark_session):
+        """The driver-bounded blocked path (outer loop of broadcast
+        blocks) must produce exactly the single-broadcast pairs on
+        the real embeddings table."""
+        from ons_utils_spark.sources.readers import load_tables
+
+        emb = load_tables(
+            spark_session, '/root/testdata/sf0.001',
+            tables=['embeddings'])['embeddings']
+        single = dd.embedding_near_duplicates(emb, threshold=0.3)
+        blocked = dd.embedding_near_duplicates(
+            emb, threshold=0.3, block_rows=97)  # forces many blocks
+        want = {(r['id_a'], r['id_b'], round(r['cosine'], 9))
+                for r in single.collect()}
+        got = {(r['id_a'], r['id_b'], round(r['cosine'], 9))
+               for r in blocked.collect()}
+        assert want, 'expected some near-dup pairs at threshold 0.3'
+        assert got == want, (len(got), len(want))
+
+    def test_oversize_corpus_switches_to_blocked(self, spark_session):
+        """Above max_broadcast_rows the operator must not collect the
+        full corpus in one piece — same answer, bounded blocks."""
+        rows = [(i, [1.0, 0.0, float(i % 7)]) for i in range(60)]
+        df = spark_session.createDataFrame(
+            rows, 'vec_id bigint, embedding array<float>'
+        )
+        single = dd.embedding_near_duplicates(df, threshold=0.999)
+        auto_blocked = dd.embedding_near_duplicates(
+            df, threshold=0.999, max_broadcast_rows=25)
+        want = {(r['id_a'], r['id_b']) for r in single.collect()}
+        got = {(r['id_a'], r['id_b']) for r in auto_blocked.collect()}
+        assert got == want and want
+
 
 class TestCharShingles:
     def _sh(self, spark_session, raw, n=3):
