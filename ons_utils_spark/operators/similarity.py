@@ -506,6 +506,7 @@ def pq_topk(
     code_col: str = 'pq_code',
     query_id: str = 'query_id',
     query_vec: str = 'query_vec',
+    max_query_rows: int = 100_000,
 ) -> SparkDF:
     """Approximate top-k by asymmetric distance computation (ADC).
 
@@ -517,11 +518,24 @@ def pq_topk(
     re-shuffles; the only shuffle is the final per-query top-k
     window, fed |corpus| × |queries| score rows exactly like
     :func:`cosine_topk` — but scanning 8-byte codes, not 256-byte
-    vectors. ``queries`` must be small (collected to the driver).
+    vectors. ``queries`` must be small (collected to the driver):
+    more than ``max_query_rows`` raises rather than silently OOMing
+    the driver — this operator is for interactive query batches, not
+    query-table joins (for those, use :func:`cosine_topk`'s join
+    path, or raise the cap explicitly if you know the batch fits).
     """
     books = np.asarray(codebooks, np.float64)
     m, kk, sub = books.shape
-    qrows = queries.select(query_id, query_vec).collect()
+    qrows = (queries.select(query_id, query_vec)
+             .limit(max_query_rows + 1).collect())
+    if len(qrows) > max_query_rows:
+        raise ValueError(
+            f'pq_topk collects the query set to the driver and got '
+            f'more than max_query_rows={max_query_rows} rows — this '
+            f'is the interactive-batch path, not a query-table join. '
+            f'Use cosine_topk for table-vs-table scoring, or raise '
+            f'max_query_rows if the batch genuinely fits in driver '
+            f'memory.')
     if not qrows:
         raise ValueError('queries is empty')
     qids = [r[query_id] for r in qrows]
@@ -578,6 +592,7 @@ def ivf_pq_topk(
     query_id: str = 'query_id',
     query_vec: str = 'query_vec',
     centroids: Optional[np.ndarray] = None,
+    max_query_rows: int = 100_000,
 ) -> SparkDF:
     """IVF-PQ: the standard billion-scale ANN layout — coarse IVF
     clusters prune the corpus to ``nprobe/n_clusters`` of its lists,
@@ -609,7 +624,16 @@ def ivf_pq_topk(
         books, vec_col=corpus_vec,
     ).select(corpus_id, '__ivf_c', 'pq_code')
 
-    qrows = queries.select(query_id, query_vec).collect()
+    qrows = (queries.select(query_id, query_vec)
+             .limit(max_query_rows + 1).collect())
+    if len(qrows) > max_query_rows:
+        raise ValueError(
+            f'ivf_pq_topk collects the query set to the driver and '
+            f'got more than max_query_rows={max_query_rows} rows — '
+            f'this is the interactive-batch path, not a query-table '
+            f'join. Use cosine_topk/ivf_topk for table-vs-table '
+            f'scoring, or raise max_query_rows if the batch genuinely '
+            f'fits in driver memory.')
     if not qrows:
         raise ValueError('queries is empty')
     qids = [r[query_id] for r in qrows]

@@ -285,3 +285,57 @@ class TestIvfPq:
         with pytest.raises(ValueError, match='nprobe'):
             sim.ivf_pq_topk(corpus, qset, books, n_clusters=4,
                             nprobe=9)
+
+    def test_recall_vs_brute_force(self, corpus, qset):
+        """End-to-end IVF-PQ against exact cosine on the real
+        embeddings table: both layers of approximation (coarse probe
+        pruning + 8-byte codes) together must still recover half the
+        true top-10."""
+        books = sim.pq_train(corpus, m=8, k=256, sample_size=4096)
+        exact = {(r['query_id'], r['vec_id'])
+                 for r in sim.cosine_topk(corpus, qset, k=10)
+                 .collect()}
+        approx = {(r['query_id'], r['vec_id'])
+                  for r in sim.ivf_pq_topk(
+                      corpus, qset, books, k=10, n_clusters=8,
+                      nprobe=6).collect()}
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.5, f'IVF-PQ vs brute recall: {recall}'
+
+
+class TestQueryBatchGuards:
+    """pq_topk / ivf_pq_topk collect the query set to the driver —
+    oversized query tables must fail loudly, not OOM."""
+
+    def test_pq_topk_raises_over_cap(self, corpus):
+        books = sim.pq_train(corpus, m=8, k=16, sample_size=256)
+        codes = sim.pq_encode(corpus, books)
+        queries = corpus.select(
+            F.col('vec_id').alias('query_id'),
+            F.col('embedding').alias('query_vec'),
+        )
+        with pytest.raises(ValueError, match='max_query_rows'):
+            sim.pq_topk(codes, queries, books, k=3, max_query_rows=10)
+
+    def test_ivf_pq_topk_raises_over_cap(self, corpus):
+        books = sim.pq_train(corpus, m=8, k=16, sample_size=256)
+        queries = corpus.select(
+            F.col('vec_id').alias('query_id'),
+            F.col('embedding').alias('query_vec'),
+        )
+        with pytest.raises(ValueError, match='max_query_rows'):
+            sim.ivf_pq_topk(corpus, queries, books, k=3,
+                            n_clusters=4, nprobe=2,
+                            max_query_rows=10)
+
+    def test_cap_allows_exact_batch_size(self, corpus):
+        """A batch exactly at the cap passes (limit n+1 probe)."""
+        books = sim.pq_train(corpus, m=8, k=16, sample_size=256)
+        codes = sim.pq_encode(corpus, books)
+        queries = corpus.filter(F.col('vec_id') < 5).select(
+            F.col('vec_id').alias('query_id'),
+            F.col('embedding').alias('query_vec'),
+        )
+        out = sim.pq_topk(codes, queries, books, k=3,
+                          max_query_rows=5)
+        assert out.groupBy('query_id').count().count() == 5
