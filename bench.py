@@ -3,14 +3,19 @@
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 python bench.py
 
 Each query is fully materialized through the `noop` sink (executes the
-whole plan, no driver collect). Prints:
+whole plan, no driver collect). Each query runs ``--repeat N`` times
+(default 3, env ``SPARK_GRAFT_REPEAT``) and reports the per-query
+MEDIAN — repeated identical suites on this host vary by ±6 s (~9%),
+so single-shot round-over-round deltas are mostly noise. Prints:
     {"metric": "suite_total", "value": <sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": <sf>}
+     "queries": {name: sec, ...}, "sf": <sf>, "repeat": N}
 """
 from __future__ import annotations
 
+import argparse
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -21,6 +26,13 @@ from ons_utils_spark.plans.queries import QUERIES  # noqa: E402
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        '--repeat', type=int,
+        default=int(os.environ.get('SPARK_GRAFT_REPEAT', '3')),
+        help='passes per query; the reported time is the median')
+    args = ap.parse_args()
+    repeat = max(1, args.repeat)
     sf_dir = os.environ.get('SPARK_GRAFT_SF_DIR', '/root/testdata/sf0.1')
     cpus = os.environ.get('SPARK_GRAFT_CPUS', '32')
     sf = os.path.basename(sf_dir.rstrip('/')).replace('sf', '')
@@ -41,17 +53,19 @@ def main() -> None:
         'overwrite'
     ).format('noop').save()
 
-    # Two passes per query, report the min — machine-load variance
-    # between runs on this host is large (observed ±40%).
-    timings = {}
-    for _ in range(2):
+    # repeat passes per query, report the per-query median — robust
+    # to the host's load spikes (observed ±40% on single shots)
+    # without the min's systematic optimism.
+    samples: dict = {name: [] for name in QUERIES}
+    for _ in range(repeat):
         for name, fn in QUERIES.items():
             t0 = time.time()
             fn(spark, sf_dir).write.mode('overwrite').format(
                 'noop'
             ).save()
-            dt = round(time.time() - t0, 3)
-            timings[name] = min(timings.get(name, dt), dt)
+            samples[name].append(time.time() - t0)
+    timings = {name: round(statistics.median(ts), 3)
+               for name, ts in samples.items()}
 
     extras = _bucketed_join_comparison(spark, sf_dir)
     extras.update(_partition_pruning_comparison(spark, sf_dir))
@@ -63,6 +77,7 @@ def main() -> None:
         'unit': 'sec',
         'queries': timings,
         'sf': sf_val,
+        'repeat': repeat,
         'extras': extras,
     }
     # Full detail for the repo (judge-readable); the stdout line below
@@ -89,6 +104,7 @@ def _compact_line(full: dict, budget: int = 1800) -> str:
             'unit': full['unit'],
             'queries': queries,
             'sf': full['sf'],
+            'repeat': full.get('repeat'),
         }
         if omitted:
             doc['omitted'] = omitted

@@ -250,6 +250,414 @@ def decode_png(payload: bytes) -> Optional[Tuple[int, int, np.ndarray]]:
     return w, h, gray
 
 
+# ---------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81): pure Python/numpy decode — no codec
+# library in this container. Sequential DCT, Huffman, grayscale or
+# YCbCr at 4:4:4 / 4:2:2 / 4:2:0, DRI/RSTn restart markers.
+# Progressive (SOF2) and arithmetic coding raise with a clear error.
+# ---------------------------------------------------------------
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+# DCT-II basis: forward F = _DCT_M @ f @ _DCT_M.T, inverse
+# f = _DCT_M.T @ F @ _DCT_M (orthonormal).
+_DCT_M = np.array([
+    [(np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8))
+     * np.cos((2 * x + 1) * u * np.pi / 16)
+     for x in range(8)]
+    for u in range(8)
+])
+
+
+class _HuffTable:
+    """Canonical JPEG Huffman table from DHT counts + symbols."""
+
+    def __init__(self, counts, symbols):
+        self.lookup = {}
+        code = 0
+        it = iter(symbols)
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                self.lookup[(length, code)] = next(it)
+                code += 1
+            code <<= 1
+
+    def decode(self, br) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | br.read_bit()
+            sym = self.lookup.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError('invalid JPEG Huffman code')
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 byte unstuffing."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError(
+                        f'unexpected marker 0xFF{nxt:02X} inside'
+                        ' entropy data')
+            self.buf = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.buf >> self.nbits) & 1
+
+    def receive_extend(self, s: int) -> int:
+        if s == 0:
+            return 0
+        v = 0
+        for _ in range(s):
+            v = (v << 1) | self.read_bit()
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    def restart(self) -> None:
+        """Byte-align and consume an RSTn marker."""
+        self.nbits = 0
+        while self.data[self.pos] == 0xFF \
+                and self.data[self.pos + 1] == 0xFF:
+            self.pos += 1  # fill bytes
+        if self.data[self.pos] != 0xFF or \
+                not 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+            raise ValueError('expected JPEG restart marker')
+        self.pos += 2
+
+
+def _decode_block(br, dc_tab, ac_tab, pred: int):
+    """Huffman-decode one 8x8 block; returns (zigzag coeffs, new DC)."""
+    coeffs = np.zeros(64, np.int32)
+    s = dc_tab.decode(br)
+    pred += br.receive_extend(s)
+    coeffs[0] = pred
+    k = 1
+    while k < 64:
+        rs = ac_tab.decode(br)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError('JPEG AC run past end of block')
+        coeffs[k] = br.receive_extend(size)
+        k += 1
+    return coeffs, pred
+
+
+def decode_jpeg(payload: bytes) -> Optional[Tuple[int, int, np.ndarray]]:
+    """Decode a baseline JPEG to ``(width, height, gray)`` luminance
+    in [0, 1], or None if the payload is not JPEG.
+
+    JPEG's Y channel IS BT.601 luminance, so the gray feature needs
+    no chroma reconstruction: chroma blocks are entropy-decoded (the
+    bitstream interleaves them per MCU, so they must be walked) but
+    skip dequant + IDCT entirely — the decoder does ~1/2 the IDCT
+    work of a full pixel decode at 4:2:0 and never upsamples.
+    Supports grayscale and 3-component YCbCr at 4:4:4 / 4:2:2 /
+    4:2:0, restart intervals, 8-bit precision. Progressive (SOF2)
+    and arithmetic-coded (SOF9+) streams raise ``ValueError``.
+    """
+    if len(payload) < 4 or payload[:2] != b'\xff\xd8':
+        return None
+    qt: dict = {}
+    huff: dict = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f'bad JPEG marker sync at {pos}')
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            pos += 2
+            continue
+        seglen, = struct.unpack_from('>H', payload, pos + 2)
+        seg = payload[pos + 4:pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 0x0F
+                off += 1
+                if pq:
+                    qt[tq] = np.frombuffer(
+                        seg, '>u2', 64, off).astype(np.int32)
+                    off += 128
+                else:
+                    qt[tq] = np.frombuffer(
+                        seg, np.uint8, 64, off).astype(np.int32)
+                    off += 64
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(seg):
+                tc, th = seg[off] >> 4, seg[off] & 0x0F
+                counts = list(seg[off + 1:off + 17])
+                n = sum(counts)
+                symbols = list(seg[off + 17:off + 17 + n])
+                huff[(tc, th)] = _HuffTable(counts, symbols)
+                off += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline/ext sequential
+            precision = seg[0]
+            if precision != 8:
+                raise ValueError(
+                    f'only 8-bit JPEG supported, got {precision}')
+            h, w = struct.unpack_from('>HH', seg, 1)
+            ncomp = seg[5]
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
+                comps.append({'id': cid, 'h': hv >> 4, 'v': hv & 0x0F,
+                              'tq': tq})
+            frame = {'h': h, 'w': w, 'comps': comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f'unsupported JPEG coding (SOF{marker - 0xC0}):'
+                ' only baseline/extended sequential Huffman')
+        elif marker == 0xDD:  # DRI
+            restart_interval, = struct.unpack_from('>H', seg, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError('JPEG SOS before SOF')
+            ns = seg[0]
+            scan_tabs = {}
+            for i in range(ns):
+                cs, td_ta = seg[1 + 2 * i:3 + 2 * i]
+                scan_tabs[cs] = (td_ta >> 4, td_ta & 0x0F)
+            return _decode_scan(
+                payload, pos, frame, scan_tabs, qt, huff,
+                restart_interval)
+    raise ValueError('JPEG has no scan data')
+
+
+def _decode_scan(payload, pos, frame, scan_tabs, qt, huff,
+                 restart_interval):
+    h, w, comps = frame['h'], frame['w'], frame['comps']
+    h_max = max(c['h'] for c in comps)
+    v_max = max(c['v'] for c in comps)
+    mcus_x = -(-w // (8 * h_max))
+    mcus_y = -(-h // (8 * v_max))
+    y_comp = comps[0]  # first component is Y (or the only one)
+    y_plane = np.zeros(
+        (mcus_y * y_comp['v'] * 8, mcus_x * y_comp['h'] * 8))
+    br = _BitReader(payload, pos)
+    preds = {c['id']: 0 for c in comps}
+    n_mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_mcu \
+                    and n_mcu % restart_interval == 0:
+                br.restart()
+                preds = {c['id']: 0 for c in comps}
+            for ci, c in enumerate(comps):
+                dc_t, ac_t = scan_tabs[c['id']]
+                for by in range(c['v']):
+                    for bx in range(c['h']):
+                        zz, preds[c['id']] = _decode_block(
+                            br, huff[(0, dc_t)], huff[(1, ac_t)],
+                            preds[c['id']])
+                        if ci != 0:
+                            continue  # chroma: bitstream walk only
+                        block = np.zeros(64)
+                        block[_ZIGZAG] = zz * qt[c['tq']]
+                        px = _DCT_M.T @ block.reshape(8, 8) @ _DCT_M
+                        r0 = (my * c['v'] + by) * 8
+                        c0 = (mx * c['h'] + bx) * 8
+                        y_plane[r0:r0 + 8, c0:c0 + 8] = px
+            n_mcu += 1
+    y_plane = np.clip(y_plane + 128.0, 0.0, 255.0)
+    # crop to the component's true resolution, then to image size
+    comp_h = -(-h * y_comp['v'] // v_max)
+    comp_w = -(-w * y_comp['h'] // h_max)
+    gray = y_plane[:comp_h, :comp_w] / 255.0
+    if (comp_h, comp_w) != (h, w):  # Y subsampled (rare): upsample
+        gray = resize_nearest(gray, h, w)
+    return w, h, gray
+
+
+def _huff_encode_tables():
+    """One flat canonical table for the test-grade encoder: 255
+    symbols, all 8-bit codes — every symbol's code is its own value.
+    Valid per T.81 (the all-ones 8-bit code stays unused)."""
+    counts = [0] * 16
+    counts[7] = 255
+    symbols = list(range(255))
+    return counts, symbols
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    subsampling: str = '444',
+    quant: int = 1,
+    restart_interval: int = 0,
+) -> bytes:
+    """Minimal baseline JFIF encoder (test-fixture grade).
+
+    ``img`` is ``(h, w)`` grayscale or ``(h, w, 3)`` RGB in [0, 1].
+    Writes its own DQT (flat ``quant``) and DHT (flat 8-bit canonical
+    table), so decoders exercise their real table-parsing path; with
+    ``quant=1`` the round-trip error is DCT float rounding only.
+    ``subsampling``: '444', '422', or '420' (3-component input only).
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs (exercises a decoder's restart path).
+    """
+    if img.ndim == 2:
+        planes = [np.asarray(img, np.float64) * 255.0]
+        samps = [(1, 1)]
+    else:
+        rgb = np.asarray(img, np.float64) * 255.0
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        fac = {'444': (1, 1), '422': (2, 1), '420': (2, 2)}[subsampling]
+        planes = [y,
+                  cb[::fac[1], ::fac[0]],
+                  cr[::fac[1], ::fac[0]]]
+        samps = [fac, (1, 1), (1, 1)]
+    h, w = (planes[0].shape[0], planes[0].shape[1])
+    h_max = max(s[0] for s in samps)
+    v_max = max(s[1] for s in samps)
+    mcus_x = -(-w // (8 * h_max))
+    mcus_y = -(-h // (8 * v_max))
+
+    qtab = np.full(64, quant, np.int32)
+    counts, symbols = _huff_encode_tables()
+
+    out = bytearray(b'\xff\xd8')  # SOI
+    out += b'\xff\xdb' + struct.pack('>H', 2 + 1 + 64) + b'\x00' \
+        + bytes(int(v) for v in qtab)
+    # SOF0
+    ncomp = len(planes)
+    sof = struct.pack('>BHHB', 8, h, w, ncomp)
+    for i, (hs, vs) in enumerate(samps):
+        sof += bytes([i + 1, (hs << 4) | vs, 0])
+    out += b'\xff\xc0' + struct.pack('>H', 2 + len(sof)) + sof
+    if restart_interval:
+        out += b'\xff\xdd' + struct.pack('>HH', 4, restart_interval)
+    # DHT: same flat table as DC class 0 and AC class 1
+    for tc in (0, 1):
+        dht = bytes([tc << 4]) + bytes(counts) + bytes(symbols)
+        out += b'\xff\xc4' + struct.pack('>H', 2 + len(dht)) + dht
+    # SOS
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        sos += bytes([i + 1, 0x00])  # DC table 0, AC table 0
+    sos += b'\x00\x3f\x00'
+    out += b'\xff\xda' + struct.pack('>H', 2 + len(sos)) + sos
+
+    bits: list = []
+
+    def flush_bits() -> None:
+        """Pad to a byte with 1s, byte-stuff, append to out."""
+        while len(bits) % 8:
+            bits.append(1)
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for b in bits[i:i + 8]:
+                byte = (byte << 1) | b
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+        bits.clear()
+
+    def put(val: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            bits.append((val >> i) & 1)
+
+    def put_sym(sym: int) -> None:
+        put(sym, 8)  # flat table: code == symbol, 8 bits
+
+    def put_val(v: int) -> None:
+        s = 0 if v == 0 else int(v).bit_length() if v > 0 \
+            else int(-v).bit_length()
+        put_sym(s)
+        if s:
+            put(v if v > 0 else v + (1 << s) - 1, s)
+
+    def pad_block(plane, r0, c0):
+        ph, pw = plane.shape
+        blk = np.zeros((8, 8))
+        rh, rw = min(8, ph - r0), min(8, pw - c0)
+        if rh <= 0 or rw <= 0:
+            return blk
+        blk[:rh, :rw] = plane[r0:r0 + rh, c0:c0 + rw]
+        if rw < 8:
+            blk[:, rw:] = blk[:, rw - 1:rw]
+        if rh < 8:
+            blk[rh:, :] = blk[rh - 1:rh, :]
+        return blk
+
+    preds = [0] * ncomp
+    n_mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_mcu \
+                    and n_mcu % restart_interval == 0:
+                flush_bits()
+                out += bytes([
+                    0xFF,
+                    0xD0 + ((n_mcu // restart_interval - 1) % 8)])
+                preds = [0] * ncomp
+            n_mcu += 1
+            for ci, plane in enumerate(planes):
+                hs, vs = samps[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        blk = pad_block(
+                            plane,
+                            (my * vs + by) * 8, (mx * hs + bx) * 8,
+                        ) - 128.0
+                        coeffs = _DCT_M @ blk @ _DCT_M.T
+                        zz = np.round(
+                            coeffs.reshape(64)[_ZIGZAG] / qtab
+                        ).astype(np.int64)
+                        put_val(int(zz[0]) - preds[ci])
+                        preds[ci] = int(zz[0])
+                        k, run = 1, 0
+                        for k in range(1, 64):
+                            if zz[k] == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                put_sym(0xF0)  # ZRL
+                                run -= 16
+                            v = int(zz[k])
+                            s = abs(v).bit_length()
+                            put_sym((run << 4) | s)
+                            put(v if v > 0 else v + (1 << s) - 1, s)
+                            run = 0
+                        if run:
+                            put_sym(0x00)  # EOB
+    flush_bits()
+    out += b'\xff\xd9'  # EOI
+    return bytes(out)
+
+
 def luminance_histogram(gray: np.ndarray, bins: int = 8) -> list:
     """Normalized luminance histogram — the real image feature."""
     hist, _ = np.histogram(gray, bins=bins, range=(0.0, 1.0))
@@ -268,25 +676,27 @@ def resize_nearest(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 def _decode_image(payload: bytes, deterministic_fake: bool):
     """Decode an image payload to (width, height, feature[8]).
 
-    PPM/PGM (ASCII+binary), uncompressed BMP, and non-interlaced PNG
-    decode for real — feature is the 8-bin luminance histogram of
-    actual pixels. Formats needing codec libraries absent here
-    (JPEG/WebP → Pillow) raise ``NotImplementedError`` unless
-    ``deterministic_fake`` is set.
+    PPM/PGM (ASCII+binary), uncompressed BMP, non-interlaced PNG,
+    and baseline JPEG decode for real — feature is the 8-bin
+    luminance histogram of actual pixels. Formats needing codec
+    libraries absent here (WebP/AVIF → Pillow) raise
+    ``NotImplementedError`` unless ``deterministic_fake`` is set.
     """
     decoded = decode_ppm(payload)
     if decoded is None:
         decoded = decode_bmp(payload)
     if decoded is None:
         decoded = decode_png(payload)
+    if decoded is None:
+        decoded = decode_jpeg(payload)
     if decoded is not None:
         w, h, gray = decoded
         return w, h, luminance_histogram(gray, bins=8)
     if not deterministic_fake:
         raise NotImplementedError(
-            'only PPM/PGM/BMP/PNG decode natively; other formats'
-            ' require Pillow/torchvision — pass deterministic_fake='
-            'True for plumbing tests'
+            'only PPM/PGM/BMP/PNG/baseline-JPEG decode natively;'
+            ' other formats require Pillow/torchvision — pass'
+            ' deterministic_fake=True for plumbing tests'
         )
     h = zlib.crc32(payload) & 0xFFFFFFFF
     return (

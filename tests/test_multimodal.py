@@ -152,6 +152,80 @@ class TestRealDecoders:
         assert feat[7] == pytest.approx(0.5)
 
 
+class TestJpegDecode:
+    """Baseline JPEG decode for real — generated-fixture round trips
+    (the in-module test-grade encoder writes its own quant + Huffman
+    tables, so the decoder's table parsing runs against real DHT/DQT
+    segments, not constants)."""
+
+    def _roundtrip(self, shape, seed=7, **enc_kwargs):
+        import numpy as np
+        rng = np.random.default_rng(seed)
+        img = rng.random(shape)
+        payload = mm.encode_jpeg(img, **enc_kwargs)
+        assert payload[:2] == b'\xff\xd8'
+        w, h, gray = mm.decode_jpeg(payload)
+        assert (w, h) == (shape[1], shape[0])
+        want = img @ np.array([0.299, 0.587, 0.114]) \
+            if img.ndim == 3 else img
+        return float(np.abs(gray - want).max())
+
+    def test_grayscale_roundtrip(self):
+        # quant=1: error is DCT integer-rounding only (~1/255)
+        assert self._roundtrip((16, 16)) < 0.01
+
+    def test_non_multiple_of_8_dims(self):
+        assert self._roundtrip((17, 24)) < 0.01
+
+    def test_ycbcr_444(self):
+        assert self._roundtrip((16, 16, 3), subsampling='444') < 0.01
+
+    def test_ycbcr_422(self):
+        # chroma subsampling never touches Y, so gray stays tight
+        assert self._roundtrip((20, 18, 3), subsampling='422') < 0.01
+
+    def test_ycbcr_420_odd_dims(self):
+        assert self._roundtrip((13, 9, 3), subsampling='420') < 0.01
+
+    def test_restart_markers(self):
+        err = self._roundtrip(
+            (40, 33, 3), subsampling='420', restart_interval=2)
+        assert err < 0.01
+
+    def test_coarse_quant_still_decodes(self):
+        # quality loss ≠ decode failure; error grows with quant step
+        err = self._roundtrip((16, 16), quant=16)
+        assert 0.01 < err < 0.3
+
+    def test_progressive_rejected(self):
+        bad = (b'\xff\xd8\xff\xc2\x00\x0b'
+               + bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+        with pytest.raises(ValueError, match='SOF2'):
+            mm.decode_jpeg(bad)
+
+    def test_not_jpeg_returns_none(self):
+        assert mm.decode_jpeg(b'RIFF....WEBP') is None
+
+    def test_image_features_jpeg_end_to_end(self, spark_session):
+        """JPEG payloads through the full mapInPandas Spark path,
+        mixed with other formats in one batch."""
+        import numpy as np
+        rng = np.random.default_rng(11)
+        jpg = mm.encode_jpeg(rng.random((24, 16, 3)), subsampling='420')
+        ppm = b'P6\n2 2\n255\n' + bytes(
+            [255, 255, 255, 0, 0, 0, 255, 255, 255, 0, 0, 0]
+        )
+        df = spark_session.createDataFrame(
+            [(1, bytearray(jpg)), (2, bytearray(ppm))],
+            'media_id bigint, payload binary',
+        )
+        out = {r['media_id']: r for r in
+               mm.image_features(df, deterministic_fake=False).collect()}
+        assert (out[1]['width'], out[1]['height']) == (16, 24)
+        assert len(out[1]['feature']) == 8
+        assert sum(out[1]['feature']) == pytest.approx(1.0, abs=1e-6)
+
+
 def test_frame_sample_plan(spark_session):
     vids = spark_session.createDataFrame(
         [(1, 2500), (2, 0)], 'media_id bigint, duration_ms int'
