@@ -189,22 +189,34 @@ def running_topk(
     key_col: str,
     value_col: str = 'value',
     k: int = 3,
+    state_api: str = 'auto',
 ) -> SparkDF:
     """Per-key running top-k values, maintained across micro-batches.
 
-    Streaming: the Spark 4 ``transformWithStateInPandas`` API — a
-    typed ValueState holds just the current top-k array per key
-    (bounded state, no timeout bookkeeping needed), and the processor
-    merges each batch's values in. Requires the RocksDB state store
-    (``spark.sql.streaming.stateStore.providerClass``) and the
-    ``protobuf`` package (the runner's state wire format; raises
-    ``NotImplementedError`` without it). Batch: the
-    rank-then-aggregate equivalent (row_number <= k, then an ordered
-    collect of at most k rows per key), so pipelines are testable
-    offline and the streaming answer must converge to it.
+    Streaming: two interchangeable state backends —
+
+    - ``'typed'``: the Spark 4 ``transformWithStateInPandas`` API; a
+      typed ValueState holds just the current top-k array per key.
+      Requires the RocksDB state store provider AND the ``protobuf``
+      package (the runner's state wire format; raises
+      ``NotImplementedError`` without it).
+    - ``'groupstate'``: ``applyInPandasWithState`` with the same
+      array-of-doubles state — no extra dependencies, works on the
+      default state store.
+    - ``'auto'`` (default): ``'typed'`` when protobuf is importable,
+      else ``'groupstate'`` — so the streaming path is always
+      runnable, never silently skipped.
+
+    Batch: the rank-then-aggregate equivalent (row_number <= k, then
+    an ordered collect of at most k rows per key), so pipelines are
+    testable offline and the streaming answer must converge to it.
 
     Returns ``key string, topk array<double>`` (descending).
     """
+    if state_api not in ('auto', 'typed', 'groupstate'):
+        raise ValueError(
+            f"state_api must be 'auto', 'typed', or 'groupstate',"
+            f" got {state_api!r}")
     keyed = df.select(
         F.col(key_col).cast('string').alias('key'),
         F.col(value_col).cast('double').alias('value'),
@@ -223,16 +235,40 @@ def running_topk(
 
     try:
         # the transformWithState Python runner serializes state over
-        # protobuf; without it the worker crashes at start, so fail
-        # fast with a clear message instead
+        # protobuf; without it the worker crashes at start
         from google.protobuf import descriptor  # noqa: F401
-    except ImportError as exc:
+        have_protobuf = True
+    except ImportError:
+        have_protobuf = False
+    if state_api == 'typed' and not have_protobuf:
         raise NotImplementedError(
-            'streaming running_topk uses transformWithStateInPandas, '
-            'whose Python runner requires the protobuf package — not '
-            'installed in this environment. The batch path works '
-            'without it.'
-        ) from exc
+            'streaming running_topk with state_api=\'typed\' uses '
+            'transformWithStateInPandas, whose Python runner requires '
+            'the protobuf package — not installed in this '
+            'environment. Use state_api=\'groupstate\' (or \'auto\') '
+            'for the applyInPandasWithState backend instead.'
+        )
+    if state_api == 'groupstate' or not have_protobuf:
+        def _topk_fn(
+            key: Tuple[str],
+            pdfs: Iterator[pd.DataFrame],
+            state: GroupState,
+        ) -> Iterator[pd.DataFrame]:
+            vals = list(state.get[0]) if state.exists else []
+            for pdf in pdfs:
+                vals.extend(float(v) for v in pdf['value'])
+            vals = sorted(vals, reverse=True)[:k]
+            state.update((vals,))
+            yield pd.DataFrame({'key': [key[0]], 'topk': [vals]})
+
+        return keyed.groupBy('key').applyInPandasWithState(
+            _topk_fn,
+            outputStructType='key string, topk array<double>',
+            stateStructType='vals array<double>',
+            outputMode='update',
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,

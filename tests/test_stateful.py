@@ -156,9 +156,10 @@ class TestRunningTopK:
                for r in running_topk(df, 'k', k=3).collect()}
         assert out == {'a': [9.0, 7.0, 5.0], 'b': [2.0]}
 
-    def test_streaming_requires_protobuf(self, spark_session, tmp_path):
-        """Without protobuf the streaming path must fail fast with a
-        clear error (the runner would otherwise crash mid-query)."""
+    def test_typed_api_requires_protobuf(self, spark_session, tmp_path):
+        """Explicitly requesting the typed-state backend without
+        protobuf must fail fast with a clear error (the runner would
+        otherwise crash mid-query); 'auto' falls back instead."""
         try:
             from google.protobuf import descriptor  # noqa: F401
             pytest.skip('protobuf installed — gate inactive')
@@ -172,16 +173,29 @@ class TestRunningTopK:
             .json(str(tmp_path))
         )
         with pytest.raises(NotImplementedError, match='protobuf'):
-            running_topk(stream, 'k', k=3)
+            running_topk(stream, 'k', k=3, state_api='typed')
+
+    def test_bad_state_api_rejected(self, spark_session):
+        from ons_utils_spark.streaming.stateful import running_topk
+
+        df = spark_session.createDataFrame(
+            [('a', 1.0)], 'k string, value double')
+        with pytest.raises(ValueError, match='state_api'):
+            running_topk(df, 'k', state_api='rocksdb')
 
     @pytest.mark.slow
-    def test_stream_converges_to_batch(self, spark_session, tmp_path):
-        """transformWithStateInPandas (Spark 4 typed-state API) over
-        a chunked replay must converge to the batch answer. Skipped
+    @pytest.mark.parametrize('state_api', ['groupstate', 'typed'])
+    def test_stream_converges_to_batch(
+            self, spark_session, tmp_path, state_api):
+        """Each streaming state backend over a chunked replay must
+        converge to the batch answer. The groupstate backend
+        (applyInPandasWithState) has no extra dependencies and always
+        runs; the typed backend (transformWithStateInPandas) skips
         where protobuf (the state runner's wire format) is absent."""
         import pandas as pd
 
-        pytest.importorskip('google.protobuf')
+        if state_api == 'typed':
+            pytest.importorskip('google.protobuf')
         from ons_utils_spark.streaming.stateful import running_topk
 
         rows = [(f'u{i % 4}', float((i * 37) % 100))
@@ -195,10 +209,11 @@ class TestRunningTopK:
 
         prev = spark_session.conf.get(
             'spark.sql.streaming.stateStore.providerClass', None)
-        spark_session.conf.set(
-            'spark.sql.streaming.stateStore.providerClass',
-            'org.apache.spark.sql.execution.streaming.state.'
-            'RocksDBStateStoreProvider')
+        if state_api == 'typed':  # typed state needs RocksDB store
+            spark_session.conf.set(
+                'spark.sql.streaming.stateStore.providerClass',
+                'org.apache.spark.sql.execution.streaming.state.'
+                'RocksDBStateStoreProvider')
         try:
             stream = (
                 spark_session.readStream
@@ -207,7 +222,7 @@ class TestRunningTopK:
                 .json(str(src))
             )
             q = (
-                running_topk(stream, 'k', k=3)
+                running_topk(stream, 'k', k=3, state_api=state_api)
                 .writeStream.format('memory').queryName('topk_test')
                 .outputMode('update')
                 .option('checkpointLocation', str(tmp_path / 'ckpt'))
@@ -215,7 +230,9 @@ class TestRunningTopK:
                 .start()
             )
             q.awaitTermination(240)
-            # last update per key wins (memory sink keeps history)
+            # last update per key wins (memory sink keeps history);
+            # running top-k is monotone per rank, so the final state
+            # is the lexicographically greatest array
             got = {
                 r['key']: list(r['topk'])
                 for r in spark_session.sql(
@@ -223,10 +240,12 @@ class TestRunningTopK:
                            SELECT key, topk, row_number() OVER (
                                PARTITION BY key
                                ORDER BY size(topk) DESC,
-                                        topk[0] DESC) rn
+                                        topk DESC) rn
                            FROM topk_test) WHERE rn = 1""").collect()
             }
         finally:
+            spark_session.sql(
+                'DROP VIEW IF EXISTS topk_test')
             if prev is None:
                 spark_session.conf.unset(
                     'spark.sql.streaming.stateStore.providerClass')
