@@ -5,6 +5,7 @@ Brand-new implementation of the capabilities of ONSdigital/ons-utils
 Spark >= 3.5/4.x, plus large-scale training-data-pipeline operators
 (dedup, similarity search, text analysis, multimodal plumbing).
 """
+from ._typing import PathLike
 from .decorators import to_list as to_list_args, to_spark_col
 from .factories import args_kwargs_transformer_factory
 from .generic import (
@@ -66,10 +67,18 @@ from .operators.joins import (
     semi_join,
     top_k_per_group,
 )
+from .operators.lm import bigram_counts, ngram_lm_score, unigram_counts
 from .operators.multimodal import (
     audio_features,
+    decode_jpeg,
+    encode_jpeg,
     frame_sample_plan,
     image_features,
+)
+from .operators.sampling import (
+    hash_fraction_filter,
+    hash_split,
+    split_thresholds,
 )
 from .operators.reshape import SparkStacker
 from .operators.reshape import stack as stack_spark
@@ -144,4 +153,8 @@ __all__ = [
     'filter_by_percentile_range',
     'connected_components', 'dedup_by_components',
     'image_features', 'audio_features', 'frame_sample_plan',
+    'decode_jpeg', 'encode_jpeg',
+    'ngram_lm_score', 'bigram_counts', 'unigram_counts',
+    'hash_split', 'hash_fraction_filter', 'split_thresholds',
+    'PathLike',
 ]

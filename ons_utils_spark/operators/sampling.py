@@ -1,0 +1,99 @@
+"""Deterministic sampling and dataset splitting.
+
+Extension (no reference counterpart). Training pipelines need splits
+that are (a) reproducible run-to-run with no RNG state, (b) stable
+under corpus growth — a document keeps its split when new data
+arrives — and (c) identical on any engine. The standard trick: hash
+the stable id, compare a fixed-width hex prefix against precomputed
+thresholds. md5 is the hash because every engine agrees on it
+bit-for-bit (Spark ``F.md5``, DuckDB ``md5``, Python ``hashlib``), so
+a DuckDB oracle can replay the exact assignment (``q_train_split``).
+
+Scale: one projection, no shuffle, no RNG, no driver state — the
+split column is computable inside whole-stage codegen at scan time,
+and partition pruning survives because nothing reorders rows.
+"""
+from __future__ import annotations
+
+from typing import Mapping, Tuple
+
+from pyspark.sql import Column as SparkCol
+from pyspark.sql import DataFrame as SparkDF
+from pyspark.sql import functions as F
+
+__all__ = ['hash_split', 'split_thresholds', 'hash_fraction_filter']
+
+_PREFIX_LEN = 6
+_SPACE = 16 ** _PREFIX_LEN  # 16,777,216 buckets
+
+
+def split_thresholds(
+    splits: Mapping[str, float],
+) -> Tuple[Tuple[str, str], ...]:
+    """Cumulative hex thresholds for ``splits`` (name -> weight).
+
+    Returns ``((name, upper_hex_exclusive), ...)`` in declaration
+    order; the last split absorbs the rounding remainder. Exposed so
+    tests/oracles can embed the exact same boundaries."""
+    total = float(sum(splits.values()))
+    if total <= 0:
+        raise ValueError('split weights must sum to a positive value')
+    out = []
+    cum = 0.0
+    for name, weight in splits.items():
+        if weight < 0:
+            raise ValueError(f'negative weight for split {name!r}')
+        cum += weight / total
+        bound = min(int(cum * _SPACE), _SPACE)
+        out.append((name, format(bound, f'0{_PREFIX_LEN}x')))
+    return tuple(out)
+
+
+def _hash_prefix(id_col: str, salt: str) -> SparkCol:
+    return F.substring(
+        F.md5(F.concat(F.lit(salt),
+                       F.col(id_col).cast('string'))),
+        1, _PREFIX_LEN,
+    )
+
+
+def hash_split(
+    df: SparkDF,
+    id_col: str,
+    splits: Mapping[str, float],
+    salt: str = '',
+    output_col: str = 'split',
+) -> SparkDF:
+    """Assign every row to a named split by stable hash of its id.
+
+    ``splits`` maps split name -> weight (normalized to fractions of
+    the 16^6 hash space). ``salt`` derives independent assignments
+    from the same ids (e.g. per-experiment re-splits). Adds
+    ``output_col``; never drops or reorders rows.
+    """
+    thresholds = split_thresholds(splits)
+    prefix = _hash_prefix(id_col, salt)
+    expr = None
+    for name, bound in thresholds[:-1]:
+        cond = prefix < F.lit(bound)
+        expr = F.when(cond, name) if expr is None \
+            else expr.when(cond, name)
+    last_name = thresholds[-1][0]
+    expr = F.lit(last_name) if expr is None else expr.otherwise(last_name)
+    return df.withColumn(output_col, expr)
+
+
+def hash_fraction_filter(
+    df: SparkDF,
+    id_col: str,
+    fraction: float,
+    salt: str = '',
+) -> SparkDF:
+    """Keep a deterministic ~``fraction`` of rows by id hash — the
+    holdout-sample primitive (generalizes the fixed ``q_hash_sample``
+    threshold to any fraction)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f'fraction must be in [0, 1], got {fraction}')
+    bound = format(min(int(fraction * _SPACE), _SPACE),
+                   f'0{_PREFIX_LEN}x')
+    return df.filter(_hash_prefix(id_col, salt) < F.lit(bound))

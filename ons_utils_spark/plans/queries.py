@@ -2310,6 +2310,41 @@ def q_mode_quantity(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Per-document mean bigram log-likelihood under an add-one-
+    smoothed bigram LM trained on the corpus itself
+    (``operators.lm.ngram_lm_score``, the CCNet-style quality
+    signal). min_count=2 exercises the Zipf-pruning knob that keeps
+    the LM table broadcast-small at corpus scale; the whole model is
+    DataFrames — train is two groupBy passes, scoring two left joins,
+    nothing driver-side."""
+    from ..operators.lm import ngram_lm_score
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    out = ngram_lm_score(documents, documents, min_count=2)
+    return out.select(
+        'doc_id', 'n_bigrams',
+        F.round('lm_logprob', 6).alias('lm_logprob'),
+    )
+
+
+def q_train_split(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Deterministic 80/10/10 train/val/test split by md5(doc_id) hex
+    prefix (``operators.sampling.hash_split``): reproducible with no
+    RNG state, stable under corpus growth, identical on any engine —
+    one codegen projection, zero shuffles before the summary agg."""
+    from ..operators.sampling import hash_split
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    return (
+        hash_split(documents, 'doc_id',
+                   {'train': 0.8, 'val': 0.1, 'test': 0.1})
+        .groupBy('split')
+        .agg(F.count(F.lit(1)).alias('n_docs'),
+             F.sum('n_chars').alias('chars'))
+    )
+
+
 # --------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------
@@ -2428,6 +2463,9 @@ QUERIES: Dict[str, QueryFn] = {
     'q_chunk_docs': q_chunk_docs,
     'q_price_trim': q_price_trim,
     'q_sessionize': q_sessionize,
+    # -- added round 4 (rotate into the window next round) ----------
+    'q_lm_score': q_lm_score,
+    'q_train_split': q_train_split,
 }
 
 
@@ -3915,5 +3953,60 @@ ORACLES: Dict[str, str] = {
         FROM counts
         QUALIFY row_number() OVER (PARTITION BY l_returnflag
                                    ORDER BY n DESC, l_quantity ASC) = 1
+    """,
+    'q_lm_score': """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(
+                       trim(regexp_replace(lower(text), '\\s+', ' ',
+                                           'g')),
+                       ' '), t -> t <> '') AS ts
+            FROM documents
+        ),
+        bgs AS (
+            SELECT doc_id,
+                   ts[i] || ' ' || ts[i + 1] AS bg,
+                   ts[i] AS w1
+            FROM toks, UNNEST(range(1, len(ts))) AS r(i)
+        ),
+        big AS (
+            SELECT bg, count(*) AS cb FROM bgs
+            GROUP BY bg HAVING count(*) >= 2
+        ),
+        uni AS (
+            SELECT t AS w1, count(*) AS c1
+            FROM toks, UNNEST(ts) AS u(t)
+            GROUP BY t
+        ),
+        v AS (SELECT count(*) AS v FROM uni),
+        per_doc AS (
+            SELECT s.doc_id,
+                   count(*) AS n_bigrams,
+                   avg(ln((coalesce(b.cb, 0) + 1)
+                          / CAST(coalesce(u.c1, 0) + v.v AS DOUBLE)))
+                       AS lm_logprob
+            FROM bgs s
+            LEFT JOIN big b USING (bg)
+            LEFT JOIN uni u USING (w1)
+            CROSS JOIN v
+            GROUP BY s.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               round(p.lm_logprob, 6) AS lm_logprob
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+    'q_train_split': """
+        SELECT CASE
+                 WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+                      < 'cccccc' THEN 'train'
+                 WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+                      < 'e66666' THEN 'val'
+                 ELSE 'test'
+               END AS split,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM documents
+        GROUP BY 1
     """,
 }

@@ -1,0 +1,149 @@
+"""Tests for n-gram LM scoring and deterministic splitting."""
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestNgramLmScore:
+    @pytest.fixture
+    def corpus(self, spark_session):
+        rows = [
+            (1, 'the cat sat on the mat'),
+            (2, 'the cat sat on the hat'),
+            (3, 'the dog sat on the mat'),
+            (4, 'xylophone quark zephyr blimp'),   # out-of-domain
+            (5, 'tiny'),                            # 1 token: no bigrams
+            (6, ''),                                # empty
+        ]
+        return spark_session.createDataFrame(
+            rows, 'doc_id bigint, text string')
+
+    def test_in_domain_scores_higher(self, corpus):
+        from ons_utils_spark.operators.lm import ngram_lm_score
+
+        out = {r['doc_id']: r['lm_logprob']
+               for r in ngram_lm_score(corpus, corpus).collect()}
+        assert out[1] > out[4]  # fluent-under-corpus beats outlier
+        assert out[2] > out[4]
+
+    def test_short_docs_get_null_score(self, corpus):
+        from ons_utils_spark.operators.lm import ngram_lm_score
+
+        rows = {r['doc_id']: r
+                for r in ngram_lm_score(corpus, corpus).collect()}
+        assert rows[5]['n_bigrams'] == 0
+        assert rows[5]['lm_logprob'] is None
+        assert rows[6]['n_bigrams'] == 0
+        assert rows[6]['lm_logprob'] is None
+        assert rows[1]['n_bigrams'] == 5  # 6 tokens -> 5 bigrams
+
+    def test_hand_computed_probability(self, spark_session):
+        """One-doc corpus 'a b a b': P(b|a) = (2+1)/(2+2), P(a|b) =
+        (1+1)/(2+2); mean log over bigrams ab, ba, ab."""
+        from ons_utils_spark.operators.lm import ngram_lm_score
+
+        df = spark_session.createDataFrame(
+            [(1, 'a b a b')], 'doc_id bigint, text string')
+        got = ngram_lm_score(df, df).collect()[0]
+        want = (math.log(3 / 4) + math.log(2 / 4) + math.log(3 / 4)) / 3
+        assert got['lm_logprob'] == pytest.approx(want, abs=1e-12)
+        assert got['n_bigrams'] == 3
+
+    def test_min_count_prunes_to_unseen(self, spark_session):
+        """A bigram seen once, pruned at min_count=2, must score as
+        unseen (cb=0), lowering the doc's probability."""
+        from ons_utils_spark.operators.lm import ngram_lm_score
+
+        df = spark_session.createDataFrame(
+            [(1, 'a b'), (2, 'c d c d c d')],
+            'doc_id bigint, text string')
+        full = {r['doc_id']: r['lm_logprob']
+                for r in ngram_lm_score(df, df, min_count=1).collect()}
+        pruned = {r['doc_id']: r['lm_logprob']
+                  for r in ngram_lm_score(df, df, min_count=2).collect()}
+        assert pruned[1] < full[1]       # 'a b' (count 1) now unseen
+        # doc 2's bigrams ('c d' x3, 'd c' x2) all survive the prune
+        assert pruned[2] == pytest.approx(full[2])
+
+
+class TestHashSplit:
+    def test_deterministic_and_exhaustive(self, spark_session):
+        from ons_utils_spark.operators.sampling import hash_split
+
+        df = spark_session.range(2000).withColumnRenamed('id', 'k')
+        s1 = hash_split(df, 'k', {'train': 0.8, 'val': 0.1,
+                                  'test': 0.1})
+        s2 = hash_split(df, 'k', {'train': 0.8, 'val': 0.1,
+                                  'test': 0.1})
+        rows1 = {r['k']: r['split'] for r in s1.collect()}
+        rows2 = {r['k']: r['split'] for r in s2.collect()}
+        assert rows1 == rows2                      # reproducible
+        assert len(rows1) == 2000                  # no rows dropped
+        counts = s1.groupBy('split').count().collect()
+        got = {r['split']: r['count'] for r in counts}
+        assert set(got) == {'train', 'val', 'test'}
+        assert got['train'] == pytest.approx(1600, abs=120)
+        assert got['val'] == pytest.approx(200, abs=80)
+
+    def test_stable_under_growth(self, spark_session):
+        """Adding rows must not move existing assignments."""
+        from ons_utils_spark.operators.sampling import hash_split
+
+        small = spark_session.range(500).withColumnRenamed('id', 'k')
+        big = spark_session.range(1000).withColumnRenamed('id', 'k')
+        w = {'train': 0.9, 'test': 0.1}
+        a = {r['k']: r['split']
+             for r in hash_split(small, 'k', w).collect()}
+        b = {r['k']: r['split']
+             for r in hash_split(big, 'k', w).collect()}
+        assert all(b[k] == v for k, v in a.items())
+
+    def test_salt_changes_assignment(self, spark_session):
+        from ons_utils_spark.operators.sampling import hash_split
+
+        df = spark_session.range(1000).withColumnRenamed('id', 'k')
+        w = {'a': 0.5, 'b': 0.5}
+        plain = {r['k']: r['split']
+                 for r in hash_split(df, 'k', w).collect()}
+        salted = {r['k']: r['split']
+                  for r in hash_split(df, 'k', w, salt='v2').collect()}
+        moved = sum(1 for k in plain if plain[k] != salted[k])
+        assert moved > 300  # ~half should move
+
+    def test_threshold_hex_constants(self):
+        """The oracle embeds these literals — pin them."""
+        from ons_utils_spark.operators.sampling import split_thresholds
+
+        t = split_thresholds({'train': 0.8, 'val': 0.1, 'test': 0.1})
+        assert t == (('train', 'cccccc'), ('val', 'e66666'),
+                     ('test', '1000000'))
+
+    def test_weight_validation(self):
+        from ons_utils_spark.operators.sampling import split_thresholds
+
+        with pytest.raises(ValueError):
+            split_thresholds({'a': -1.0, 'b': 2.0})
+        with pytest.raises(ValueError):
+            split_thresholds({})
+
+    def test_fraction_filter(self, spark_session):
+        from ons_utils_spark.operators.sampling import (
+            hash_fraction_filter)
+
+        df = spark_session.range(5000).withColumnRenamed('id', 'k')
+        kept = hash_fraction_filter(df, 'k', 0.25).count()
+        assert kept == pytest.approx(1250, abs=150)
+        with pytest.raises(ValueError):
+            hash_fraction_filter(df, 'k', 1.5)
+
+    def test_single_partition_plan_no_shuffle(self, spark_session):
+        """The split is a pure projection — the physical plan must
+        contain no Exchange before a narrow downstream filter."""
+        from ons_utils_spark.operators.sampling import hash_split
+
+        df = spark_session.range(100).withColumnRenamed('id', 'k')
+        out = hash_split(df, 'k', {'a': 0.5, 'b': 0.5}).filter(
+            F.col('split') == 'a')
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert 'Exchange' not in plan
