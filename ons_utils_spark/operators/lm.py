@@ -76,10 +76,12 @@ def unigram_counts(train: SparkDF, text_col: str = 'text') -> SparkDF:
 
 def ngram_lm_score(
     docs: SparkDF,
-    train: SparkDF,
+    train: SparkDF = None,
     id_col: str = 'doc_id',
     text_col: str = 'text',
     min_count: int = 1,
+    bigrams: SparkDF = None,
+    unigrams: SparkDF = None,
 ) -> SparkDF:
     """Mean bigram log-likelihood per document under an add-one-
     smoothed bigram LM trained on ``train``.
@@ -88,9 +90,26 @@ def ngram_lm_score(
     EVERY input document; documents with fewer than two tokens have
     ``n_bigrams = 0`` and NULL ``lm_logprob``. Higher (less
     negative) is more fluent under the training distribution.
+
+    Pass precomputed ``bigrams``/``unigrams`` tables (from
+    :func:`bigram_counts` / :func:`unigram_counts`, persisted or
+    written to parquet) instead of ``train`` to avoid re-deriving the
+    model per scoring run — at corpus scale, training inline means
+    re-scanning the training text for each of the two count tables,
+    whereas the persisted tables are heavy-hitter-sized.
     """
-    big = bigram_counts(train, text_col, min_count)
-    uni = unigram_counts(train, text_col)
+    if (bigrams is None) != (unigrams is None):
+        raise ValueError(
+            'pass both bigrams and unigrams, or neither')
+    if bigrams is None:
+        if train is None:
+            raise ValueError(
+                'either train or precomputed bigrams+unigrams '
+                'tables are required')
+        big = bigram_counts(train, text_col, min_count)
+        uni = unigram_counts(train, text_col)
+    else:
+        big, uni = bigrams, unigrams
     vocab = uni.agg(F.count(F.lit(1)).alias('__v'))
 
     doc_bg = docs.select(

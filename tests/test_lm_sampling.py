@@ -67,6 +67,37 @@ class TestNgramLmScore:
         assert pruned[2] == pytest.approx(full[2])
 
 
+    def test_precomputed_tables_match_inline(self, corpus):
+        from ons_utils_spark.operators.lm import (
+            bigram_counts, ngram_lm_score, unigram_counts)
+
+        inline = {r['doc_id']: r['lm_logprob']
+                  for r in ngram_lm_score(corpus, corpus).collect()}
+        big = bigram_counts(corpus).persist()
+        uni = unigram_counts(corpus).persist()
+        try:
+            pre = {r['doc_id']: r['lm_logprob']
+                   for r in ngram_lm_score(
+                       corpus, bigrams=big, unigrams=uni).collect()}
+        finally:
+            big.unpersist()
+            uni.unpersist()
+        for k, v in inline.items():
+            if v is None:
+                assert pre[k] is None
+            else:
+                assert pre[k] == pytest.approx(v, abs=1e-12)
+
+    def test_table_args_validated(self, corpus):
+        from ons_utils_spark.operators.lm import (
+            bigram_counts, ngram_lm_score)
+
+        with pytest.raises(ValueError, match='both'):
+            ngram_lm_score(corpus, bigrams=bigram_counts(corpus))
+        with pytest.raises(ValueError, match='train'):
+            ngram_lm_score(corpus)
+
+
 class TestHashSplit:
     def test_deterministic_and_exhaustive(self, spark_session):
         from ons_utils_spark.operators.sampling import hash_split
