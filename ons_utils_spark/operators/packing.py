@@ -1,0 +1,115 @@
+"""Greedy sequence packing: fill fixed token budgets with documents.
+
+North-star extension (no reference counterpart). LLM pretraining
+consumes fixed-length sequences; packing short documents into a
+shared ``budget``-token window (instead of padding each to the
+window) is the difference between ~50% and ~98% token utilization at
+scale. The standard streaming formulation is *greedy sequential
+first-fit*: walk the documents of a group in a deterministic order,
+keep appending to the current bin, and open a new bin when the next
+document would overflow the budget.
+
+Why ``applyInPandas`` and not pure SQL: the bin boundary depends on a
+running total that RESETS on overflow — a stateful recurrence with no
+closed form over ``sum() OVER``-style windows (unlike sessionization,
+the carry isn't expressible as a gap test). So the group walk runs in
+an Arrow-batched pandas UDF. The recurrence itself is O(n) per group
+and trivially cheap; Arrow moves the columns in bulk.
+
+Scale shape: one shuffle on ``group_col`` (the packing unit —
+typically source/shard/language), then each group packs
+independently in parallel. Within-group order is total and explicit
+(``order_col``), so results are bit-stable across cluster sizes and
+retries. A group must fit one executor's memory — the packing unit
+should be a shard key, not a whole-corpus constant; callers with one
+giant group should pre-shard (e.g. ``hash(doc_id) % n_shards``) since
+bins never span the packing key anyway.
+
+Semantics pinned by tests + the DuckDB recursive-CTE oracle
+(``q_pack_bins``):
+
+* new bin iff ``fill + tokens > budget`` (strictly greater — a doc
+  that lands exactly on the budget stays in the bin);
+* a document longer than the budget occupies a bin alone (it is
+  never split — chunk first with ``text.chunk_text`` if splitting is
+  wanted);
+* zero-token documents join the current bin;
+* ``bin_id`` is 0-based and dense within each group.
+"""
+from __future__ import annotations
+
+from typing import Iterable, List, Union
+
+import pandas as pd
+
+from pyspark.sql import Column as SparkCol
+from pyspark.sql import DataFrame as SparkDF
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ColumnOrName = Union[str, SparkCol]
+
+__all__ = ['pack_greedy', 'pack_stats']
+
+
+def _pack_bins(tokens: Iterable[int], budget: int) -> List[int]:
+    """The greedy first-fit recurrence (also the test reference)."""
+    bins: List[int] = []
+    bin_id, fill = 0, 0
+    for tc in tokens:
+        if bins and fill + tc > budget:
+            bin_id += 1
+            fill = 0
+        fill += tc
+        bins.append(bin_id)
+    return bins
+
+
+def pack_greedy(
+    df: SparkDF,
+    budget: int,
+    *,
+    group_col: str = 'source',
+    order_col: str = 'doc_id',
+    token_col: str = 'n_tokens',
+) -> SparkDF:
+    """Assign each row a ``bin_id`` by greedy sequential packing.
+
+    Input needs a precomputed integer ``token_col`` (use
+    ``text.token_count`` / ``text.bpe_ish_token_count`` upstream so
+    the counting stays JVM-side). Output: the input columns plus
+    ``bin_id`` (long). Plan: one shuffle on ``group_col``; packing is
+    an Arrow-batched per-group walk.
+    """
+    if budget <= 0:
+        raise ValueError(f'budget must be positive, got {budget}')
+    schema = T.StructType(
+        list(df.schema)
+        + [T.StructField('bin_id', T.LongType(), False)]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind='mergesort')
+        pdf = pdf.reset_index(drop=True)
+        pdf['bin_id'] = pd.Series(
+            _pack_bins(pdf[token_col].astype('int64'), budget),
+            dtype='int64',
+        )
+        return pdf
+
+    return df.groupBy(group_col).applyInPandas(pack, schema)
+
+
+def pack_stats(
+    packed: SparkDF,
+    *,
+    group_col: str = 'source',
+    token_col: str = 'n_tokens',
+) -> SparkDF:
+    """Per-bin utilization summary ``(group, bin_id, n_docs,
+    bin_tokens)`` — the observability face of packing (fill-rate
+    dashboards, tail-bin detection). One hash aggregate."""
+    return packed.groupBy(group_col, 'bin_id').agg(
+        F.count(F.lit(1)).alias('n_docs'),
+        F.sum(token_col).alias('bin_tokens'),
+    )

@@ -21,7 +21,10 @@ from pyspark.sql import Column as SparkCol
 from pyspark.sql import DataFrame as SparkDF
 from pyspark.sql import functions as F
 
-__all__ = ['hash_split', 'split_thresholds', 'hash_fraction_filter']
+__all__ = [
+    'hash_split', 'split_thresholds', 'hash_fraction_filter',
+    'stratified_sample_exact',
+]
 
 _PREFIX_LEN = 6
 _SPACE = 16 ** _PREFIX_LEN  # 16,777,216 buckets
@@ -97,3 +100,40 @@ def hash_fraction_filter(
     bound = format(min(int(fraction * _SPACE), _SPACE),
                    f'0{_PREFIX_LEN}x')
     return df.filter(_hash_prefix(id_col, salt) < F.lit(bound))
+
+
+def stratified_sample_exact(
+    df: SparkDF,
+    group_col: str,
+    id_col: str,
+    k: int,
+    salt: str = '',
+) -> SparkDF:
+    """Exactly ``min(k, group size)`` rows per group, deterministic.
+
+    Spark's ``sampleBy`` is fraction-based (binomial row counts,
+    RNG-seeded per partition — counts drift with partitioning); a
+    driver-side reservoir doesn't distribute. This instead ranks each
+    group by ``md5(salt || id)`` and keeps the ``k`` smallest — a
+    uniform-without-replacement sample that is (a) exact-size, (b)
+    stable under repartitioning/retries, (c) replayable on any engine
+    (the ``q_stratified_sample`` oracle), and (d) *consistent under
+    corpus growth*: a kept row is only ever displaced by a new row
+    hashing lower, never by a reshuffle.
+
+    Plan: one shuffle on ``group_col`` for the ranked window. For the
+    common k << group-size case the window's sort is the cost; at
+    extreme group sizes pre-filter with ``hash_fraction_filter`` at a
+    few × k/|group| to cut the sorted volume first.
+    """
+    if k <= 0:
+        raise ValueError(f'k must be positive, got {k}')
+    from pyspark.sql import Window
+    tag = F.md5(F.concat(F.lit(salt), F.col(id_col).cast('string')))
+    w = Window.partitionBy(group_col).orderBy(
+        tag.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn('_rk', F.row_number().over(w))
+        .filter(F.col('_rk') <= k)
+        .drop('_rk')
+    )

@@ -2345,6 +2345,57 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Top-3 TF-IDF terms per sampled document
+    (``operators.tfidf``): explode → two hash aggs (tf and df, both
+    map-side-combinable) → token-keyed join (vocabulary NOT broadcast
+    — it scales with the corpus) → ranked window on the ROUNDED
+    weight so ulp-level float differences can't flip ranks."""
+    from ..operators.tfidf import tfidf, top_terms
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    weighted = tfidf(documents, 'text', 'doc_id', min_df=2)
+    top = top_terms(weighted, k=3, id_col='doc_id', digits=6)
+    return (
+        top.filter(F.col('doc_id') % 25 == 0)
+        .select('doc_id', 'rank', 'token', 'weight')
+    )
+
+
+def q_pack_bins(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Greedy sequence packing (``operators.packing``): fill
+    512-token training windows per source in doc_id order — the
+    stateful reset-on-overflow recurrence runs as an Arrow-batched
+    per-group walk (one shuffle on source); the oracle replays it
+    with a recursive CTE."""
+    from ..operators.packing import pack_greedy, pack_stats
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    docs = documents.select(
+        'source', 'doc_id',
+        tx.token_count('text').cast('long').alias('n_tokens'))
+    packed = pack_greedy(docs, 512, group_col='source',
+                         order_col='doc_id', token_col='n_tokens')
+    return pack_stats(packed).select(
+        'source', 'bin_id', 'n_docs', 'bin_tokens')
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Exact-k per-stratum sampling
+    (``operators.sampling.stratified_sample_exact``): 7 orders per
+    order-status by smallest md5(orderkey) — exact group sizes,
+    partitioning-invariant, growth-consistent; one shuffle for the
+    ranked window."""
+    from ..operators.sampling import stratified_sample_exact
+
+    (orders,) = _t(spark, sf_dir, 'orders')
+    return (
+        stratified_sample_exact(
+            orders, 'o_orderstatus', 'o_orderkey', k=7)
+        .select('o_orderstatus', 'o_orderkey', 'o_totalprice')
+    )
+
+
 # --------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------
@@ -2466,6 +2517,9 @@ QUERIES: Dict[str, QueryFn] = {
     # -- added round 4 (rotate into the window next round) ----------
     'q_lm_score': q_lm_score,
     'q_train_split': q_train_split,
+    'q_tfidf_top_terms': q_tfidf_top_terms,
+    'q_pack_bins': q_pack_bins,
+    'q_stratified_sample': q_stratified_sample,
 }
 
 
@@ -4008,5 +4062,74 @@ ORACLES: Dict[str, str] = {
                CAST(sum(n_chars) AS BIGINT) AS chars
         FROM documents
         GROUP BY 1
+    """,
+    'q_tfidf_top_terms': """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(
+                       trim(regexp_replace(lower(text), '\\s+', ' ',
+                                           'g')),
+                       ' '), t -> t <> '')) AS token
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, token, count(*) AS tc
+            FROM toks GROUP BY doc_id, token
+        ), tf2 AS (
+            SELECT doc_id, token, tc,
+                   sum(tc) OVER (PARTITION BY doc_id) AS doc_len
+            FROM tf
+        ), vocab AS (
+            SELECT token, count(*) AS df
+            FROM tf GROUP BY token HAVING count(*) >= 2
+        ), nd AS (
+            SELECT count(DISTINCT doc_id) AS n_docs FROM tf
+        ), weighted AS (
+            SELECT tf2.doc_id, tf2.token,
+                   round((tc / doc_len)
+                         * ln(CAST(n_docs AS DOUBLE) / df),
+                         6) AS weight
+            FROM tf2 JOIN vocab USING (token) CROSS JOIN nd
+        )
+        SELECT doc_id,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                    ORDER BY weight DESC, token ASC) AS INTEGER)
+                   AS rank,
+               token, weight
+        FROM weighted
+        QUALIFY rank <= 3 AND doc_id % 25 = 0
+    """,
+    'q_pack_bins': """
+        WITH RECURSIVE docs AS (
+            SELECT source, doc_id,
+                   CAST(len(list_filter(string_split_regex(
+                       trim(text), '\\s+'), t -> t <> ''))
+                       AS BIGINT) AS n_tokens,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        ), rec AS (
+            SELECT source, doc_id, n_tokens, rn,
+                   CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill
+            FROM docs WHERE rn = 1
+            UNION ALL
+            SELECT d.source, d.doc_id, d.n_tokens, d.rn,
+                   CASE WHEN r.fill + d.n_tokens > 512
+                        THEN r.bin_id + 1 ELSE r.bin_id END,
+                   CASE WHEN r.fill + d.n_tokens > 512
+                        THEN d.n_tokens ELSE r.fill + d.n_tokens END
+            FROM docs d JOIN rec r
+              ON d.source = r.source AND d.rn = r.rn + 1
+        )
+        SELECT source, bin_id, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+        FROM rec GROUP BY source, bin_id
+    """,
+    'q_stratified_sample': """
+        SELECT o_orderstatus, o_orderkey, o_totalprice
+        FROM orders
+        QUALIFY row_number() OVER (
+            PARTITION BY o_orderstatus
+            ORDER BY md5(CAST(o_orderkey AS VARCHAR)) ASC,
+                     o_orderkey ASC) <= 7
     """,
 }
