@@ -40,9 +40,10 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent ANSI SQL per query. Omitted entries get the
     weaker rows-only check — q_minhash_dedup, q_simhash_dedup,
     q_lsh_topk, q_pq_topk, q_ivf_pq_topk, q_approx_quantile_ladder,
-    whose hash-seeded / codebook-trained / sketch-merged internals
-    are not expressible in SQL; their semantics are pinned by unit
-    tests against planted duplicates and brute-force baselines (and,
-    for the approx ladder, tools/approx_probe.py's measured error
-    bound against the exact path)."""
+    q_compression_quality, whose hash-seeded / codebook-trained /
+    sketch-merged / codec-dependent internals are not expressible in
+    SQL; their semantics are pinned by unit tests against planted
+    duplicates and brute-force baselines (and, for the approx
+    ladder, tools/approx_probe.py's measured error bound against the
+    exact path)."""
     return dict(ORACLES)

@@ -2380,6 +2380,28 @@ def q_pack_bins(spark: SparkSession, sf_dir: str) -> SparkDF:
         'source', 'bin_id', 'n_docs', 'bin_tokens')
 
 
+def q_compression_quality(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Compressibility quality screen (``text.compression_ratio``):
+    per-source mean zlib ratio + count of suspiciously-compressible
+    docs (< 0.35 — boilerplate/spam territory). Rows-only: DuckDB has
+    no DEFLATE, so the ratio itself is pinned by unit tests
+    (monotonicity on planted repetitive/random text) instead of a SQL
+    oracle. The pandas-UDF pass is shuffle-free; only the tiny
+    per-source aggregate moves."""
+    (documents,) = _t(spark, sf_dir, 'documents')
+    scored = documents.select(
+        'source', tx.compression_ratio('text').alias('ratio'))
+    return (
+        scored.groupBy('source')
+        .agg(
+            F.count(F.lit(1)).alias('n_docs'),
+            F.round(F.avg('ratio'), 4).alias('avg_ratio'),
+            F.sum(F.when(F.col('ratio') < 0.35, 1)
+                  .otherwise(0)).alias('n_suspicious'),
+        )
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Exact-k per-stratum sampling
     (``operators.sampling.stratified_sample_exact``): 7 orders per
@@ -2520,6 +2542,8 @@ QUERIES: Dict[str, QueryFn] = {
     'q_tfidf_top_terms': q_tfidf_top_terms,
     'q_pack_bins': q_pack_bins,
     'q_stratified_sample': q_stratified_sample,
+    # rows-only (DuckDB has no DEFLATE codec):
+    'q_compression_quality': q_compression_quality,
 }
 
 

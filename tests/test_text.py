@@ -271,3 +271,40 @@ class TestNullText:
             'doc_id bigint, text string')
         ids = sorted(r['doc_id'] for r in exact_dedup(df).collect())
         assert ids == [1, 3]
+
+
+class TestCompressionRatio:
+    def test_orders_texts_by_compressibility(self, spark_session):
+        rows = [
+            (1, 'spam spam spam spam spam spam spam spam spam spam'),
+            (2, 'The committee convened Thursday to review zoning '
+                'variance applications from eleven districts.'),
+            (3, None),
+            (4, ''),
+        ]
+        df = spark_session.createDataFrame(rows, 'doc_id bigint, text string')
+        from ons_utils_spark.operators.text import compression_ratio
+        got = {r['doc_id']: r['ratio'] for r in df.select(
+            'doc_id', compression_ratio('text').alias('ratio')).collect()}
+        # repetitive text compresses much better than natural prose
+        assert got[1] < got[2]
+        assert 0 < got[1] < 1
+        assert got[3] is None and got[4] is None
+
+    def test_matches_local_zlib(self, spark_session):
+        import zlib
+        text = 'a moderately ordinary sentence with some repetition repetition'
+        df = spark_session.createDataFrame(
+            [(1, text)], 'doc_id bigint, text string')
+        from ons_utils_spark.operators.text import compression_ratio
+        got = df.select(compression_ratio('text').alias('r')).collect()[0]['r']
+        raw = text.encode()
+        assert got == pytest.approx(len(zlib.compress(raw, 6)) / len(raw))
+
+    def test_query_shape(self, spark_session):
+        from ons_utils_spark.plans.queries import q_compression_quality
+        out = q_compression_quality(
+            spark_session, '/root/testdata/sf0.001').collect()
+        assert len(out) > 0
+        assert all(0 < r['avg_ratio'] < 1.5 for r in out)
+        assert all(r['n_suspicious'] <= r['n_docs'] for r in out)
