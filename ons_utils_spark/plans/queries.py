@@ -2380,6 +2380,30 @@ def q_pack_bins(spark: SparkSession, sf_dir: str) -> SparkDF:
         'source', 'bin_id', 'n_docs', 'bin_tokens')
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """SCD type-2 history build (``operators.scd.scd2_from_events``):
+    collapse each user's event stream into validity intervals
+    (null-safe lag change-detect + lead interval-close — two windows
+    over ONE shuffle on user_id, no joins), then summarize episode
+    counts/durations per state. Durations compare µs epochs so both
+    engines do identical integer math before the one float divide."""
+    from ..operators.scd import scd2_from_events
+
+    (events,) = _t(spark, sf_dir, 'events')
+    hist = scd2_from_events(
+        events, 'user_id', 'ts', 'event_type', tiebreak='event_id')
+    dur_s = (
+        (F.unix_micros('valid_to') - F.unix_micros('valid_from'))
+        / F.lit(1000000.0)
+    )
+    return hist.groupBy('event_type').agg(
+        F.count(F.lit(1)).alias('n_episodes'),
+        F.sum(F.col('is_current').cast('long')).alias('n_open'),
+        F.round(F.avg(F.when(F.col('valid_to').isNotNull(), dur_s)),
+                4).alias('avg_duration_s'),
+    )
+
+
 def q_compression_quality(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Compressibility quality screen (``text.compression_ratio``):
     per-source mean zlib ratio + count of suspiciously-compressible
@@ -2542,6 +2566,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_tfidf_top_terms': q_tfidf_top_terms,
     'q_pack_bins': q_pack_bins,
     'q_stratified_sample': q_stratified_sample,
+    'q_scd2_history': q_scd2_history,
     # rows-only (DuckDB has no DEFLATE codec):
     'q_compression_quality': q_compression_quality,
 }
@@ -4155,5 +4180,33 @@ ORACLES: Dict[str, str] = {
             PARTITION BY o_orderstatus
             ORDER BY md5(CAST(o_orderkey AS VARCHAR)) ASC,
                      o_orderkey ASC) <= 7
+    """,
+    'q_scd2_history': """
+        -- window orders by epoch_us(ts) so ns-level differences tie
+        -- (Spark reads parquet TIMESTAMP(NANOS) at us) and event_id
+        -- decides, as on the Spark side.
+        WITH ordered AS (
+            SELECT user_id, event_type, event_id,
+                   epoch_us(ts) AS us,
+                   lag(event_type) OVER w AS prev,
+                   row_number() OVER w AS rn
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY epoch_us(ts), event_id)
+        ), episodes AS (
+            SELECT user_id, event_type, event_id, us,
+                   lead(us) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS vt
+            FROM ordered
+            WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+        )
+        SELECT event_type,
+               count(*) AS n_episodes,
+               CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_open,
+               round(avg(CASE WHEN vt IS NOT NULL
+                              THEN (vt - us) / 1000000.0 END),
+                     4) AS avg_duration_s
+        FROM episodes GROUP BY event_type
     """,
 }

@@ -426,3 +426,101 @@ class TestStreamStreamJoin:
         # ad 1: click 5min after imp -> match; ad 2: 45min -> outside
         # window; ad 3: 5min -> match; ad 9: no impression.
         assert got == [1, 3]
+
+
+class TestStreamJoinHelpers:
+    def _write_sides(self, spark_session, tmp_path):
+        import datetime as dt
+
+        def at(minutes):
+            return dt.datetime(2024, 1, 1, 10, 0) \
+                + dt.timedelta(minutes=minutes)
+
+        imp_dir, clk_dir = str(tmp_path / 'imp'), str(tmp_path / 'clk')
+        imps = spark_session.createDataFrame(
+            [(1, at(0)), (2, at(10)), (3, at(60))],
+            'ad_id bigint, imp_t timestamp')
+        clicks = spark_session.createDataFrame(
+            [(1, at(5)), (2, at(55)), (3, at(65)), (9, at(6))],
+            'ad_id bigint, clk_t timestamp')
+        imps.write.parquet(imp_dir)
+        clicks.write.parquet(clk_dir)
+        return imp_dir, clk_dir, imps, clicks
+
+    def test_wrapper_interval_join_streaming(
+            self, spark_session, tmp_path):
+        from ons_utils_spark.streaming.joins import stream_interval_join
+        from ons_utils_spark.streaming.windows import read_event_stream
+
+        imp_dir, clk_dir, _, _ = self._write_sides(
+            spark_session, tmp_path)
+        imps = read_event_stream(
+            spark_session, imp_dir, 'ad_id bigint, imp_t timestamp')
+        clicks = read_event_stream(
+            spark_session, clk_dir, 'ad_id bigint, clk_t timestamp')
+        joined = stream_interval_join(
+            imps, clicks, 'ad_id', 'imp_t', 'clk_t',
+            upper='30 minutes')
+        q = (joined.writeStream.format('memory')
+             .queryName('sj_helper_sink').outputMode('append')
+             .option('checkpointLocation', str(tmp_path / 'ckpt'))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = spark_session.sql(
+            'SELECT * FROM sj_helper_sink').collect()
+        assert sorted(r['ad_id'] for r in rows) == [1, 3]
+        assert set(rows[0].asDict()) == {'ad_id', 'imp_t', 'clk_t'}
+
+    def test_wrapper_batch_parity(self, spark_session, tmp_path):
+        """Identical call on batch frames returns the same matches —
+        the batch/stream parity contract."""
+        from ons_utils_spark.streaming.joins import stream_interval_join
+
+        _, _, imps, clicks = self._write_sides(
+            spark_session, tmp_path)
+        got = stream_interval_join(
+            imps, clicks, 'ad_id', 'imp_t', 'clk_t',
+            upper='30 minutes').collect()
+        assert sorted(r['ad_id'] for r in got) == [1, 3]
+
+    def test_negative_lower_tolerates_skew(
+            self, spark_session, tmp_path):
+        from ons_utils_spark.streaming.joins import stream_interval_join
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1, 10, 0)
+        left = spark_session.createDataFrame(
+            [(1, base)], 'k bigint, lt timestamp')
+        right = spark_session.createDataFrame(
+            [(1, base - dt.timedelta(minutes=2))],
+            'k bigint, rt timestamp')
+        none = stream_interval_join(
+            left, right, 'k', 'lt', 'rt').collect()
+        assert none == []
+        skewed = stream_interval_join(
+            left, right, 'k', 'lt', 'rt', lower='-5 minutes').collect()
+        assert len(skewed) == 1
+
+    def test_enrich_with_static_broadcast(
+            self, spark_session, tmp_path):
+        from ons_utils_spark.streaming.joins import enrich_with_static
+        from ons_utils_spark.streaming.sinks import write_stream_parquet
+        from ons_utils_spark.streaming.windows import read_event_stream
+
+        in_dir, out_dir = str(tmp_path / 'in'), str(tmp_path / 'out')
+        schema = 'event_id bigint, t timestamp, code string'
+        spark_session.createDataFrame(
+            [(1, ts(0), 'a'), (2, ts(1), 'b'), (3, ts(2), 'zz')],
+            schema).write.parquet(in_dir)
+        dim = spark_session.createDataFrame(
+            [('a', 'Alpha'), ('b', 'Beta')],
+            'code string, label string')
+        out = enrich_with_static(
+            read_event_stream(spark_session, in_dir, schema),
+            dim, 'code')
+        q = write_stream_parquet(
+            out, out_dir, str(tmp_path / 'ckpt'), available_now=True)
+        q.awaitTermination(120)
+        got = {r['event_id']: r['label']
+               for r in spark_session.read.parquet(out_dir).collect()}
+        assert got == {1: 'Alpha', 2: 'Beta', 3: None}
