@@ -43,6 +43,13 @@ _STOPWORDS = ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it')
 
 def _t(spark: SparkSession, sf_dir: str, *names: str):
     tables = load_tables(spark, sf_dir, tables=names)
+    # documents is a small-file scan (ONE split at bench scale) feeding
+    # CPU-heavy per-row expressions (shingling, tokenizing, LM
+    # scoring): widen coarse scans to full parallelism. Structural
+    # no-op on well-split inputs — the 100 TB case adds no shuffle.
+    if 'documents' in tables:
+        from ..sources.readers import ensure_min_parallelism
+        tables['documents'] = ensure_min_parallelism(tables['documents'])
     return [tables[n] for n in names]
 
 

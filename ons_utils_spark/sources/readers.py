@@ -136,6 +136,32 @@ def load_tables(
     return out
 
 
+def ensure_min_parallelism(
+    df: SparkDF,
+    min_partitions: Optional[int] = None,
+) -> SparkDF:
+    """Repartition ONLY when the scan is coarser than the target
+    (default: the session's ``defaultParallelism``).
+
+    Small or few-file inputs read as a handful of partitions (a
+    single 3 MB parquet file = ONE task), which serializes every
+    CPU-heavy per-row expression downstream — shingling, tokenizing,
+    LM scoring — no matter how many cores the cluster has. This
+    helper is the scale-safe fix: on a coarse scan it pays one cheap
+    round-robin shuffle of the raw rows to unlock full parallelism;
+    on a well-split input (the 100 TB case — thousands of file
+    splits) it is a structural NO-OP, adding no shuffle at all.
+
+    Use it between a scan and an expensive projection, not
+    reflexively: for cheap map work the extra exchange buys nothing.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def write_parquet(
     df: SparkDF,
     path: str,

@@ -277,3 +277,27 @@ class TestBinaryFileSource:
         rows = files.collect()
         assert len(rows) == 1
         assert rows[0]['length'] == 10
+
+
+class TestEnsureMinParallelism:
+    def test_widens_coarse_input(self, spark_session):
+        from ons_utils_spark.sources.readers import ensure_min_parallelism
+        df = spark_session.range(1000).coalesce(1)
+        widened = ensure_min_parallelism(df, min_partitions=8)
+        assert widened.rdd.getNumPartitions() == 8
+        assert widened.count() == 1000
+
+    def test_noop_on_well_split_input(self, spark_session):
+        """A scan already at/above target must NOT gain an exchange —
+        the 100 TB case where inputs arrive well-split."""
+        from ons_utils_spark.sources.readers import ensure_min_parallelism
+        df = spark_session.range(1000).repartition(8)
+        out = ensure_min_parallelism(df, min_partitions=4)
+        assert out is df  # structurally unchanged, no added shuffle
+
+    def test_default_target_is_session_parallelism(self, spark_session):
+        from ons_utils_spark.sources.readers import ensure_min_parallelism
+        df = spark_session.range(100).coalesce(1)
+        out = ensure_min_parallelism(df)
+        assert (out.rdd.getNumPartitions()
+                == spark_session.sparkContext.defaultParallelism)
