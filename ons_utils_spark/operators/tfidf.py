@@ -79,14 +79,24 @@ def term_frequencies(
 def document_frequencies(
     term_freqs: SparkDF,
     id_col: str = 'doc_id',
+    corpus: Optional[SparkDF] = None,
 ) -> SparkDF:
     """Token → number of documents containing it, plus the corpus
     document count ``n_docs`` on every row (cross-joined scalar, a
-    broadcast of one row — not a shuffle)."""
+    broadcast of one row — not a shuffle).
+
+    Pass the raw ``corpus`` frame when available: its doc count is a
+    column-pruned scan of the id column alone, where counting from
+    ``term_freqs`` re-runs the whole explode+aggregate subtree (docs
+    with zero tokens also count — matching ln(N/df) over the actual
+    corpus). Note the tiny semantic difference: empty documents have
+    no term_freqs rows, so the two sources differ when the corpus
+    contains token-less docs."""
     df_counts = term_freqs.groupBy('token').agg(
         F.count(F.lit(1)).alias('df')
     )
-    n_docs = term_freqs.select(
+    source = corpus if corpus is not None else term_freqs
+    n_docs = source.select(
         F.countDistinct(id_col).alias('n_docs'))
     return df_counts.crossJoin(F.broadcast(n_docs))
 
@@ -108,6 +118,14 @@ def tfidf(
     ``broadcast_vocab`` opts in to a broadcast hash join when the
     caller knows the post-cut vocabulary fits in executor memory.
     """
+    # The tf subtree appears in three consumers (vocab agg, doc
+    # count, join probe). Static plans duplicate it, but the three
+    # copies are IDENTICAL up to each exchange, so AQE's runtime
+    # exchange reuse collapses them; an explicit repartition barrier
+    # was measured SLOWER here (it adds an exchange without enabling
+    # more reuse). At extreme scale, cache/checkpoint tf explicitly
+    # or pass the raw corpus to document_frequencies for the n_docs
+    # side.
     tf = term_frequencies(df, text_col, id_col)
     vocab = document_frequencies(tf, id_col)
     if min_df > 1:

@@ -169,3 +169,17 @@ class TestStratifiedSampleExact:
     def test_rejects_nonpositive_k(self, groups):
         with pytest.raises(ValueError, match='k must be positive'):
             stratified_sample_exact(groups, 'grp', 'id', 0)
+
+
+class TestDocumentFrequenciesCorpusCount:
+    def test_corpus_counts_tokenless_docs(self, spark_session):
+        from ons_utils_spark.operators import tfidf as ti
+        rows = [(1, 'a b'), (2, 'a'), (3, '')]
+        df = spark_session.createDataFrame(
+            rows, 'doc_id bigint, text string')
+        tf = ti.term_frequencies(df)
+        from_tf = ti.document_frequencies(tf).select('n_docs').first()
+        from_corpus = ti.document_frequencies(
+            tf, corpus=df).select('n_docs').first()
+        assert from_tf['n_docs'] == 2       # only docs with tokens
+        assert from_corpus['n_docs'] == 3   # the whole corpus
