@@ -877,3 +877,57 @@ def embedding_near_duplicates(
         return out
     finally:
         src.unpersist()
+
+
+def source_overlap(
+    df: SparkDF,
+    group_col: str = 'source',
+    text_col: str = 'text',
+    n: int = 3,
+) -> SparkDF:
+    """Pairwise shingle-set Jaccard between corpus groups — the
+    shard/source-level duplication diagnostic (two crawls of the same
+    site, a shard ingested twice, a mirrored dump) that doc-level
+    dedup can't see cheaply.
+
+    Shape: distinct ``(group, shingle)`` (one hash agg — the corpus
+    collapses to its per-group shingle vocabulary), then a self-join
+    on shingle with ``group_a < group_b`` and a pair-count agg.
+    Per-shingle join fan-out is bounded by the number of GROUPS (≤
+    C(g,2) pairs even for a shingle present everywhere), not by
+    document frequency — so unlike document-pair Jaccard no hot-key
+    cap is needed as long as the grouping is a bounded shard key
+    (source/snapshot/language), which is the intended use.
+
+    Output: ``(g_a, g_b, n_a, n_b, n_common, jaccard)`` for every
+    group pair sharing at least one shingle.
+    """
+    sh = (
+        df.select(
+            F.col(group_col).alias('g'),
+            F.explode(word_shingles(text_col, n)).alias('sh'))
+        .distinct()
+    )
+    sizes = sh.groupBy('g').agg(F.count(F.lit(1)).alias('n_sh'))
+    inter = (
+        sh.alias('a')
+        .join(sh.alias('b'),
+              (F.col('a.sh') == F.col('b.sh'))
+              & (F.col('a.g') < F.col('b.g')))
+        .groupBy(F.col('a.g').alias('g_a'), F.col('b.g').alias('g_b'))
+        .agg(F.count(F.lit(1)).alias('n_common'))
+    )
+    # group-count table is tiny (one row per shard) — broadcast both
+    # lookups so the pair table never shuffles again.
+    sz_a = F.broadcast(sizes.withColumnsRenamed(
+        {'g': 'g_a', 'n_sh': 'n_a'}))
+    sz_b = F.broadcast(sizes.withColumnsRenamed(
+        {'g': 'g_b', 'n_sh': 'n_b'}))
+    return (
+        inter.join(sz_a, 'g_a').join(sz_b, 'g_b')
+        .withColumn(
+            'jaccard',
+            F.col('n_common')
+            / (F.col('n_a') + F.col('n_b') - F.col('n_common')))
+        .select('g_a', 'g_b', 'n_a', 'n_b', 'n_common', 'jaccard')
+    )

@@ -2387,6 +2387,21 @@ def q_pack_bins(spark: SparkSession, sf_dir: str) -> SparkDF:
         'source', 'bin_id', 'n_docs', 'bin_tokens')
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Shard-level duplication diagnostic
+    (``operators.dedup.source_overlap``): pairwise 3-gram-shingle
+    Jaccard between sources. Per-shingle join fan-out is bounded by
+    the GROUP count (not document frequency), so the self-join is
+    hot-key-safe; size lookups broadcast."""
+    from ..operators.dedup import source_overlap
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    out = source_overlap(documents, 'source', 'text', n=3)
+    return out.select(
+        'g_a', 'g_b', 'n_a', 'n_b', 'n_common',
+        F.round('jaccard', 6).alias('jaccard'))
+
+
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> SparkDF:
     """SCD type-2 history build (``operators.scd.scd2_from_events``):
     collapse each user's event stream into validity intervals
@@ -2574,6 +2589,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_pack_bins': q_pack_bins,
     'q_stratified_sample': q_stratified_sample,
     'q_scd2_history': q_scd2_history,
+    'q_source_overlap': q_source_overlap,
     # rows-only (DuckDB has no DEFLATE codec):
     'q_compression_quality': q_compression_quality,
 }
@@ -4187,6 +4203,40 @@ ORACLES: Dict[str, str] = {
             PARTITION BY o_orderstatus
             ORDER BY md5(CAST(o_orderkey AS VARCHAR)) ASC,
                      o_orderkey ASC) <= 7
+    """,
+    'q_source_overlap': """
+        WITH toks AS (
+            SELECT source,
+                   list_filter(string_split_regex(
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                       ' '), t -> t <> '') AS t
+            FROM documents
+        ), sh AS (
+            SELECT source,
+                   CASE WHEN len(t) >= 3 THEN
+                       list_distinct(list_transform(
+                           generate_series(1, len(t) - 2),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                   ELSE [array_to_string(t, ' ')] END AS shingles
+            FROM toks
+        ), inv AS (
+            SELECT DISTINCT source AS g, unnest(shingles) AS shingle
+            FROM sh
+        ), sizes AS (
+            SELECT g, count(*) AS n_sh FROM inv GROUP BY g
+        ), pairs AS (
+            SELECT a.g AS g_a, b.g AS g_b, count(*) AS n_common
+            FROM inv a JOIN inv b
+              ON a.shingle = b.shingle AND a.g < b.g
+            GROUP BY 1, 2
+        )
+        SELECT g_a, g_b,
+               sa.n_sh AS n_a, sb.n_sh AS n_b, n_common,
+               round(CAST(n_common AS DOUBLE)
+                     / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.g = g_a
+        JOIN sizes sb ON sb.g = g_b
     """,
     'q_scd2_history': """
         -- window orders by epoch_us(ts) so ns-level differences tie

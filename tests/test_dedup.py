@@ -370,3 +370,44 @@ class TestWinnowProperty:
         got = {(r['id_a'], r['id_b']) for r in capped.collect()}
         assert (100, 101) in got
         assert not any(a < 100 and b < 100 for a, b in got)
+
+
+class TestSourceOverlap:
+    def test_hand_computed_jaccard(self, spark_session):
+        from ons_utils_spark.operators.dedup import source_overlap
+        rows = [
+            ('s1', 1, 'a b c d'),        # shingles: abc, bcd
+            ('s2', 2, 'a b c e'),        # shingles: abc, bce
+            ('s3', 3, 'x y z w'),        # disjoint: xyz, yzw
+        ]
+        df = spark_session.createDataFrame(
+            rows, 'source string, doc_id bigint, text string')
+        out = {(r['g_a'], r['g_b']): r
+               for r in source_overlap(df, 'source', 'text', 3).collect()}
+        r12 = out[('s1', 's2')]
+        assert (r12['n_a'], r12['n_b'], r12['n_common']) == (2, 2, 1)
+        assert r12['jaccard'] == pytest.approx(1 / 3)
+        # disjoint sources produce NO pair row at all
+        assert ('s1', 's3') not in out and ('s2', 's3') not in out
+
+    def test_duplicate_docs_dont_inflate(self, spark_session):
+        """Shingle sets are per-group DISTINCT: the same doc ingested
+        twice in one source must not change any overlap number."""
+        from ons_utils_spark.operators.dedup import source_overlap
+        base = [('s1', 1, 'a b c d'), ('s2', 2, 'a b c e')]
+        dup = base + [('s1', 9, 'a b c d')]
+        df1 = spark_session.createDataFrame(
+            base, 'source string, doc_id bigint, text string')
+        df2 = spark_session.createDataFrame(
+            dup, 'source string, doc_id bigint, text string')
+        a = sorted(map(tuple, source_overlap(df1).collect()))
+        b = sorted(map(tuple, source_overlap(df2).collect()))
+        assert a == b
+
+    def test_identical_sources_jaccard_one(self, spark_session):
+        from ons_utils_spark.operators.dedup import source_overlap
+        rows = [('s1', 1, 'p q r s t'), ('s2', 2, 'p q r s t')]
+        df = spark_session.createDataFrame(
+            rows, 'source string, doc_id bigint, text string')
+        r = source_overlap(df).collect()[0]
+        assert r['jaccard'] == pytest.approx(1.0)
