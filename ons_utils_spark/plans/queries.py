@@ -2387,6 +2387,23 @@ def q_pack_bins(spark: SparkSession, sf_dir: str) -> SparkDF:
         'source', 'bin_id', 'n_docs', 'bin_tokens')
 
 
+def q_js_divergence(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Corpus-slice drift check (``operators.drift``): Jensen-Shannon
+    divergence + chi-square between the en and zh token
+    distributions — two explode-free-after-first-agg hash aggregates,
+    no windows, vocabulary-bounded shuffles. JSD needs no smoothing
+    (finite on disjoint supports), the right default drift metric."""
+    from ..operators.drift import chi2_drift, js_divergence
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    jsd = js_divergence(documents, 'lang', 'en', 'zh')
+    chi = chi2_drift(documents, 'lang', 'en', 'zh')
+    return jsd.crossJoin(chi).select(
+        F.round('jsd', 5).alias('jsd'),
+        'n_tokens_a', 'n_tokens_b', 'vocab',
+        F.round('chi2', 2).alias('chi2'), 'dof')
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Shard-level duplication diagnostic
     (``operators.dedup.source_overlap``): pairwise 3-gram-shingle
@@ -2590,6 +2607,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_stratified_sample': q_stratified_sample,
     'q_scd2_history': q_scd2_history,
     'q_source_overlap': q_source_overlap,
+    'q_js_divergence': q_js_divergence,
     # rows-only (DuckDB has no DEFLATE codec):
     'q_compression_quality': q_compression_quality,
 }
@@ -4203,6 +4221,48 @@ ORACLES: Dict[str, str] = {
             PARTITION BY o_orderstatus
             ORDER BY md5(CAST(o_orderkey AS VARCHAR)) ASC,
                      o_orderkey ASC) <= 7
+    """,
+    'q_js_divergence': """
+        WITH toks AS (
+            SELECT lang AS g,
+                   unnest(list_filter(string_split_regex(
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                       ' '), t -> t <> '')) AS token
+            FROM documents
+            WHERE lang IN ('en', 'zh')
+        ), counts AS (
+            SELECT g, token, count(*) AS c FROM toks GROUP BY g, token
+        ), piv AS (
+            SELECT token,
+                   sum(CASE WHEN g = 'en' THEN c ELSE 0 END) AS ca,
+                   sum(CASE WHEN g = 'zh' THEN c ELSE 0 END) AS cb
+            FROM counts GROUP BY token
+        ), tot AS (
+            SELECT sum(ca) AS na, sum(cb) AS nb FROM piv
+        ), terms AS (
+            SELECT ca, cb, na, nb,
+                   (ca / na) AS p, (cb / nb) AS q
+            FROM piv CROSS JOIN tot
+        )
+        SELECT round(sum(
+                   (CASE WHEN ca > 0
+                         THEN p * ln(p / ((p + q) / 2)) ELSE 0 END
+                  + CASE WHEN cb > 0
+                         THEN q * ln(q / ((p + q) / 2)) ELSE 0 END)
+                   / 2), 5) AS jsd,
+               CAST(max(na) AS BIGINT) AS n_tokens_a,
+               CAST(max(nb) AS BIGINT) AS n_tokens_b,
+               count(*) AS vocab,
+               round(sum(
+                   (ca - ((ca + cb) * na) / (na + nb))
+                   * (ca - ((ca + cb) * na) / (na + nb))
+                   / (((ca + cb) * na) / (na + nb))
+                 + (cb - ((ca + cb) * nb) / (na + nb))
+                   * (cb - ((ca + cb) * nb) / (na + nb))
+                   / (((ca + cb) * nb) / (na + nb))
+               ), 2) AS chi2,
+               count(*) - 1 AS dof
+        FROM terms
     """,
     'q_source_overlap': """
         WITH toks AS (
