@@ -256,3 +256,29 @@ def write_orc(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.orc(path)
+
+
+def read_text(
+    spark: SparkSession,
+    path: str,
+    whole_file: bool = False,
+    line_sep: Optional[str] = None,
+    glob: Optional[str] = None,
+) -> SparkDF:
+    """Raw text ingestion — the front door of a document pipeline.
+
+    ``whole_file=False`` (default): one row per line (``value``
+    string), splittable and parallel within large files — the right
+    mode for line-delimited corpora. ``whole_file=True``: one row per
+    FILE (document-per-file corpora); files then become the
+    parallelism unit and a single file is never split, so keep
+    individual files bounded (the binaryFile guidance applies).
+    ``line_sep`` overrides the record delimiter (e.g. ``'\\0'`` for
+    NUL-delimited dumps); ``glob`` filters filenames at listing time.
+    """
+    reader = spark.read
+    if glob is not None:
+        reader = reader.option('pathGlobFilter', glob)
+    if line_sep is not None:
+        reader = reader.option('lineSep', line_sep)
+    return reader.text(path, wholetext=whole_file)

@@ -301,3 +301,34 @@ class TestEnsureMinParallelism:
         out = ensure_min_parallelism(df)
         assert (out.rdd.getNumPartitions()
                 == spark_session.sparkContext.defaultParallelism)
+
+
+class TestReadText:
+    def test_line_mode(self, spark_session, tmp_path):
+        from ons_utils_spark.sources.readers import read_text
+        p = tmp_path / 'docs'
+        p.mkdir()
+        (p / 'a.txt').write_text('line one\nline two\n')
+        (p / 'b.txt').write_text('line three\n')
+        df = read_text(spark_session, str(p))
+        assert sorted(r['value'] for r in df.collect()) \
+            == ['line one', 'line three', 'line two']
+
+    def test_whole_file_mode(self, spark_session, tmp_path):
+        from ons_utils_spark.sources.readers import read_text
+        p = tmp_path / 'docs'
+        p.mkdir()
+        (p / 'a.txt').write_text('doc A\nwith two lines')
+        (p / 'b.txt').write_text('doc B')
+        df = read_text(spark_session, str(p), whole_file=True)
+        got = sorted(r['value'] for r in df.collect())
+        assert got == ['doc A\nwith two lines', 'doc B']
+
+    def test_glob_filters_at_listing(self, spark_session, tmp_path):
+        from ons_utils_spark.sources.readers import read_text
+        p = tmp_path / 'docs'
+        p.mkdir()
+        (p / 'a.txt').write_text('keep')
+        (p / 'b.log').write_text('drop')
+        df = read_text(spark_session, str(p), glob='*.txt')
+        assert [r['value'] for r in df.collect()] == ['keep']
