@@ -2387,6 +2387,33 @@ def q_pack_bins(spark: SparkSession, sf_dir: str) -> SparkDF:
         'source', 'bin_id', 'n_docs', 'bin_tokens')
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """View→purchase attribution within a 30-minute follow window via
+    ``streaming.joins.stream_interval_join`` — the SAME helper that
+    runs watermarked on streams, here on its batch-parity path (one
+    co-partitioned shuffle per side on user_id, no state). Summarized
+    per user with exact µs delay math."""
+    from ..streaming.joins import stream_interval_join
+
+    (events,) = _t(spark, sf_dir, 'events')
+    views = events.filter(F.col('event_type') == 'view').select(
+        'user_id', F.col('event_id').alias('view_id'),
+        F.col('ts').alias('view_ts'))
+    buys = events.filter(F.col('event_type') == 'purchase').select(
+        'user_id', F.col('event_id').alias('buy_id'),
+        F.col('ts').alias('buy_ts'))
+    pairs = stream_interval_join(
+        views, buys, 'user_id', 'view_ts', 'buy_ts',
+        lower='0 seconds', upper='30 minutes')
+    delay_s = (
+        (F.unix_micros('buy_ts') - F.unix_micros('view_ts'))
+        / F.lit(1000000.0))
+    return pairs.groupBy('user_id').agg(
+        F.count(F.lit(1)).alias('n_pairs'),
+        F.round(F.avg(delay_s), 4).alias('avg_delay_s'),
+    )
+
+
 def q_js_divergence(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Corpus-slice drift check (``operators.drift``): Jensen-Shannon
     divergence + chi-square between the en and zh token
@@ -2608,6 +2635,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_scd2_history': q_scd2_history,
     'q_source_overlap': q_source_overlap,
     'q_js_divergence': q_js_divergence,
+    'q_interval_join': q_interval_join,
     # rows-only (DuckDB has no DEFLATE codec):
     'q_compression_quality': q_compression_quality,
 }
@@ -4221,6 +4249,23 @@ ORACLES: Dict[str, str] = {
             PARTITION BY o_orderstatus
             ORDER BY md5(CAST(o_orderkey AS VARCHAR)) ASC,
                      o_orderkey ASC) <= 7
+    """,
+    'q_interval_join': """
+        -- epoch_us on both sides: Spark reads TIMESTAMP(NANOS) at us
+        WITH v AS (
+            SELECT user_id, event_id AS view_id, epoch_us(ts) AS vus
+            FROM events WHERE event_type = 'view'
+        ), b AS (
+            SELECT user_id, event_id AS buy_id, epoch_us(ts) AS bus
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT v.user_id, count(*) AS n_pairs,
+               round(avg((bus - vus) / 1000000.0), 4) AS avg_delay_s
+        FROM v JOIN b
+          ON v.user_id = b.user_id
+         AND bus >= vus
+         AND bus <= vus + 30 * 60 * 1000000
+        GROUP BY v.user_id
     """,
     'q_js_divergence': """
         WITH toks AS (
