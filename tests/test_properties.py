@@ -172,3 +172,85 @@ class TestConcatProperties:
                 n for spec, n in frame_specs if col not in spec)
             assert sum(1 for r in rows if r[col] is None) \
                 == missing_rows, col
+
+
+class TestScd2Properties:
+    @staticmethod
+    def _ref(rows):
+        """Pure-Python SCD2: rows = (uid, minute, state, eid)."""
+        out = []
+        by_uid = {}
+        for uid, t, state, eid in rows:
+            by_uid.setdefault(uid, []).append((t, eid, state))
+        sentinel = object()
+        for uid, evs in by_uid.items():
+            evs.sort(key=lambda x: (x[0], x[1]))
+            eps, prev = [], sentinel
+            for t, eid, state in evs:
+                if prev is sentinel or state != prev:
+                    eps.append((t, state))
+                prev = state
+            for i, (t, state) in enumerate(eps):
+                vt = eps[i + 1][0] if i + 1 < len(eps) else None
+                out.append((uid, state, t, vt, vt is None))
+        return sorted(out, key=lambda r: (r[0], r[2]))
+
+    @given(st.lists(
+        st.tuples(st.integers(1, 3),          # uid
+                  st.integers(0, 30),         # minute
+                  st.sampled_from(['a', 'b', None])),
+        min_size=1, max_size=25))
+    @settings(max_examples=12, deadline=None)
+    def test_matches_pure_reference(self, spark_session, raw):
+        import datetime as dt
+        from ons_utils_spark.operators.scd import scd2_from_events
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [(uid, base + dt.timedelta(minutes=m), state, eid)
+                for eid, (uid, m, state) in enumerate(raw)]
+        df = spark_session.createDataFrame(
+            rows, 'uid bigint, t timestamp, state string, eid bigint')
+        got = sorted(
+            ((r['uid'], r['state'], r['valid_from'],
+              r['valid_to'], r['is_current'])
+             for r in scd2_from_events(
+                 df, 'uid', 't', 'state', 'eid').collect()),
+            key=lambda r: (r[0], r[2]))
+        ref_rows = [(uid, m, state, eid)
+                    for eid, (uid, m, state) in enumerate(raw)]
+        want = [(uid, state,
+                 base + dt.timedelta(minutes=vf),
+                 base + dt.timedelta(minutes=vt) if vt is not None
+                 else None,
+                 cur)
+                for uid, state, vf, vt, cur
+                in self._ref(ref_rows)]
+        assert got == want
+
+
+class TestPackingProperties:
+    @given(st.lists(st.integers(0, 20), max_size=40),
+           st.integers(1, 15))
+    def test_pure_recurrence_invariants(self, tokens, budget):
+        from ons_utils_spark.operators.packing import _pack_bins
+
+        bins = _pack_bins(tokens, budget)
+        assert len(bins) == len(tokens)
+        if not tokens:
+            return
+        # bin ids are dense, non-decreasing, starting at 0
+        assert bins[0] == 0
+        assert all(b2 - b1 in (0, 1) for b1, b2 in zip(bins, bins[1:]))
+        # every multi-doc bin respects the budget
+        fills = {}
+        for tc, b in zip(tokens, bins):
+            fills.setdefault(b, []).append(tc)
+        for b, members in fills.items():
+            if len(members) > 1:
+                assert sum(members) <= budget
+        # maximality: first doc of a bin would NOT have fit the
+        # previous bin (greedy never opens a bin early)
+        for b in range(1, max(bins) + 1):
+            first_idx = bins.index(b)
+            prev_fill = sum(fills[b - 1])
+            assert prev_fill + tokens[first_idx] > budget
