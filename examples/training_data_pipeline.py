@@ -5,12 +5,13 @@ entirely from ons_utils_spark operators:
 
     raw documents
       → text stats + quality scoring (JVM expressions)
-      → quality filter
+      → quality + compressibility filter (zlib spam screen)
       → exact dedup (hash groupBy)
       → MinHash-LSH near-dedup (banded candidates + Jaccard verify)
       → winnowing sweep (guaranteed-detection residual near-dups)
       → benchmark decontamination (4-gram broadcast semi-join)
-      → language distribution report
+      → deterministic train/holdout split + JSD drift check
+      → PII-redacted context chunks → greedy sequence packing
       → curated parquet + per-language stats
 
 Run:  PYTHONPATH=. python examples/training_data_pipeline.py \
@@ -39,8 +40,14 @@ def curate(documents: DataFrame, quality_threshold: float = 0.5,
         tx.language_id('text').alias('lang_pred'),
         tx.token_count('text').alias('n_tokens'),
         tx.fingerprint('text', 64).alias('fp64'),
+        tx.compression_ratio('text').alias('zratio'),
     )
-    quality_ok = scored.filter(F.col('quality') >= quality_threshold)
+    # compressibility screen: near-zero zlib ratio = degenerate
+    # repetition (spam/boilerplate) the heuristic score can miss;
+    # NULL ratio (empty text) fails the quality gate anyway.
+    quality_ok = scored.filter(
+        (F.col('quality') >= quality_threshold)
+        & (F.col('zratio').isNull() | (F.col('zratio') >= 0.05)))
     exact_unique = dd.exact_dedup(quality_ok, 'text', 'doc_id')
     return dd.minhash_dedup(
         exact_unique, 'doc_id', 'text',
@@ -120,6 +127,34 @@ def holdout_split(curated: DataFrame, id_col: str = 'doc_id',
     )
 
 
+def pack_chunks(chunks: DataFrame, budget: int = 512,
+                n_shards: int = 8) -> DataFrame:
+    """Pack context-window chunks into fixed token budgets (LLM
+    sequence packing): shard deterministically, then greedy first-fit
+    per shard in (doc_id, chunk_idx) order — bins never span shards,
+    so shards are the parallelism unit."""
+    from ons_utils_spark.operators.packing import pack_greedy
+
+    sized = chunks.select(
+        '*',
+        (F.col('doc_id') % n_shards).alias('shard'),
+        tx.token_count('chunk').cast('long').alias('chunk_tokens'),
+        # one total order within a shard
+        (F.col('doc_id') * 100000 + F.col('chunk_idx')).alias('seq'),
+    )
+    return pack_greedy(sized, budget, group_col='shard',
+                       order_col='seq', token_col='chunk_tokens')
+
+
+def split_drift(split: DataFrame) -> DataFrame:
+    """Sanity check that the holdout is distributionally like the
+    train set: Jensen-Shannon divergence between their token
+    distributions (near 0 = healthy random split)."""
+    from ons_utils_spark.operators.drift import js_divergence
+
+    return js_divergence(split, 'split', 'train', 'holdout')
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.001'
     out_dir = sys.argv[2] if len(sys.argv) > 2 else '/tmp/curated_docs'
@@ -145,13 +180,19 @@ def main() -> None:
     split = holdout_split(curated)
     split.groupBy('split').count().show()
 
+    drift = split_drift(split).collect()[0]
+    print(f"train/holdout JSD={drift['jsd']:.4f} "
+          f"(vocab={drift['vocab']})")
+
     chunks = to_training_chunks(split.filter(F.col('split') == 'train'))
-    print(f'train chunks={chunks.count()}')
+    packed = pack_chunks(chunks)
+    n_bins = packed.select('shard', 'bin_id').distinct().count()
+    print(f'train chunks={chunks.count()} packed into {n_bins} bins')
 
     write_parquet(split, os.path.join(out_dir, 'documents'),
                   partition_by=['split'])
     write_parquet(report(curated), os.path.join(out_dir, 'stats'))
-    write_parquet(chunks, os.path.join(out_dir, 'chunks'))
+    write_parquet(packed, os.path.join(out_dir, 'chunks'))
     print(f'wrote {out_dir}')
 
 

@@ -114,3 +114,28 @@ def test_multimodal_pipeline(spark_session, tmp_path):
     best = max(rows, key=lambda r: r['cosine'])
     assert best['query_id'] == best['media_id']
     assert abs(best['cosine'] - 1.0) < 1e-9
+
+
+def test_pipeline_packing_and_drift(spark_session):
+    from examples.training_data_pipeline import (
+        curate, holdout_split, pack_chunks, split_drift,
+        to_training_chunks,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_tables(
+        spark_session, '/root/testdata/sf0.001', tables=['documents']
+    )['documents']
+    split = holdout_split(curate(docs, quality_threshold=0.2))
+
+    drift = split_drift(split).collect()[0]
+    assert 0.0 <= drift['jsd'] <= 0.6932  # JSD ∈ [0, ln 2]
+
+    chunks = to_training_chunks(split.filter(F.col('split') == 'train'))
+    packed = pack_chunks(chunks, budget=256)
+    assert packed.count() == chunks.count()  # packing drops nothing
+    stats = (packed.groupBy('shard', 'bin_id')
+             .agg(F.sum('chunk_tokens').alias('fill'),
+                  F.count('*').alias('n'))
+             .collect())
+    assert all(r['fill'] <= 256 for r in stats if r['n'] > 1)
