@@ -49,7 +49,7 @@ from pyspark.sql import types as T
 
 ColumnOrName = Union[str, SparkCol]
 
-__all__ = ['pack_greedy', 'pack_stats']
+__all__ = ['pack_greedy', 'pack_stats', 'assemble_bins']
 
 
 def _pack_bins(tokens: Iterable[int], budget: int) -> List[int]:
@@ -112,4 +112,36 @@ def pack_stats(
     return packed.groupBy(group_col, 'bin_id').agg(
         F.count(F.lit(1)).alias('n_docs'),
         F.sum(token_col).alias('bin_tokens'),
+    )
+
+
+def assemble_bins(
+    packed: SparkDF,
+    *,
+    group_col: str = 'source',
+    order_col: str = 'doc_id',
+    text_col: str = 'text',
+    token_col: str = 'n_tokens',
+    sep: str = ' ',
+) -> SparkDF:
+    """Materialize each bin as one training sequence: documents
+    concatenated in ``order_col`` order with ``sep``.
+
+    Pure JVM — ``collect_list(struct(order, text))`` per bin (bins
+    are budget-bounded, so the list is too), ``array_sort`` for the
+    deterministic in-bin order, ``array_join`` to assemble. One hash
+    aggregate keyed on ``(group, bin_id)``; no Python, no windows.
+    Output: ``(group, bin_id, n_docs, bin_tokens, sequence)``.
+    """
+    pairs = F.collect_list(F.struct(F.col(order_col).alias('o'),
+                                    F.col(text_col).alias('t')))
+    return (
+        packed.groupBy(group_col, 'bin_id')
+        .agg(
+            F.count(F.lit(1)).alias('n_docs'),
+            F.sum(token_col).alias('bin_tokens'),
+            F.array_join(
+                F.transform(F.array_sort(pairs), lambda x: x['t']),
+                sep).alias('sequence'),
+        )
     )

@@ -2492,6 +2492,25 @@ def q_compression_quality(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_pack_assemble(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Materialized sequence packing
+    (``operators.packing.assemble_bins``): each 512-token bin becomes
+    one training sequence (collect_list + array_sort + array_join —
+    pure JVM). Output hashes the assembled text (md5) so the oracle
+    verifies the exact byte sequence without shipping it."""
+    from ..operators.packing import assemble_bins, pack_greedy
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    docs = documents.select(
+        'source', 'doc_id', 'text',
+        tx.token_count('text').cast('long').alias('n_tokens'))
+    packed = pack_greedy(docs, 512, group_col='source',
+                         order_col='doc_id', token_col='n_tokens')
+    return assemble_bins(packed).select(
+        'source', 'bin_id', 'n_docs', 'bin_tokens',
+        F.md5('sequence').alias('seq_md5'))
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Exact-k per-stratum sampling
     (``operators.sampling.stratified_sample_exact``): 7 orders per
@@ -2636,6 +2655,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_source_overlap': q_source_overlap,
     'q_js_divergence': q_js_divergence,
     'q_interval_join': q_interval_join,
+    'q_pack_assemble': q_pack_assemble,
     # rows-only (DuckDB has no DEFLATE codec):
     'q_compression_quality': q_compression_quality,
 }
@@ -4240,6 +4260,33 @@ ORACLES: Dict[str, str] = {
         )
         SELECT source, bin_id, count(*) AS n_docs,
                CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+        FROM rec GROUP BY source, bin_id
+    """,
+    'q_pack_assemble': """
+        WITH RECURSIVE docs AS (
+            SELECT source, doc_id, text,
+                   CAST(len(list_filter(string_split_regex(
+                       trim(text), '\\s+'), t -> t <> ''))
+                       AS BIGINT) AS n_tokens,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        ), rec AS (
+            SELECT source, doc_id, text, n_tokens, rn,
+                   CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill
+            FROM docs WHERE rn = 1
+            UNION ALL
+            SELECT d.source, d.doc_id, d.text, d.n_tokens, d.rn,
+                   CASE WHEN r.fill + d.n_tokens > 512
+                        THEN r.bin_id + 1 ELSE r.bin_id END,
+                   CASE WHEN r.fill + d.n_tokens > 512
+                        THEN d.n_tokens ELSE r.fill + d.n_tokens END
+            FROM docs d JOIN rec r
+              ON d.source = r.source AND d.rn = r.rn + 1
+        )
+        SELECT source, bin_id, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+               md5(string_agg(text, ' ' ORDER BY doc_id)) AS seq_md5
         FROM rec GROUP BY source, bin_id
     """,
     'q_stratified_sample': """

@@ -183,3 +183,33 @@ class TestDocumentFrequenciesCorpusCount:
             tf, corpus=df).select('n_docs').first()
         assert from_tf['n_docs'] == 2       # only docs with tokens
         assert from_corpus['n_docs'] == 3   # the whole corpus
+
+
+class TestAssembleBins:
+    def test_sequences_ordered_and_complete(self, spark_session):
+        from ons_utils_spark.operators.packing import (
+            assemble_bins, pack_greedy,
+        )
+        rows = [('a', 2, 'two', 1), ('a', 1, 'one', 1),
+                ('a', 3, 'three', 1), ('b', 9, 'solo', 5)]
+        df = spark_session.createDataFrame(
+            rows, 'source string, doc_id bigint, text string, '
+                  'n_tokens bigint')
+        out = {(r['source'], r['bin_id']): r
+               for r in assemble_bins(pack_greedy(df, 3)).collect()}
+        seq_a = out[('a', 0)]
+        # in doc_id order regardless of input order
+        assert seq_a['sequence'] == 'one two three'
+        assert seq_a['n_docs'] == 3 and seq_a['bin_tokens'] == 3
+        assert out[('b', 0)]['sequence'] == 'solo'
+
+    def test_custom_separator(self, spark_session):
+        from ons_utils_spark.operators.packing import (
+            assemble_bins, pack_greedy,
+        )
+        df = spark_session.createDataFrame(
+            [('a', 1, 'x', 1), ('a', 2, 'y', 1)],
+            'source string, doc_id bigint, text string, n_tokens bigint')
+        out = assemble_bins(pack_greedy(df, 10),
+                            sep='\n').collect()[0]
+        assert out['sequence'] == 'x\ny'
