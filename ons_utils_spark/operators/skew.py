@@ -83,3 +83,44 @@ def salted_broadcast_join(
         F.broadcast(right_replicated), on=keys + ['__salt'], how=how
     )
     return out.drop('__salt')
+
+
+def key_skew_report(
+    df: SparkDF,
+    keys: Union[str, Sequence[str]],
+    top_k: int = 10,
+) -> SparkDF:
+    """Quantify key skew BEFORE choosing a join/agg strategy: the
+    ``top_k`` heaviest keys with count, share of all rows, and the
+    ratio to a perfectly uniform key (``count × n_keys / n_rows`` —
+    >10 means salting/AQE-skew-split territory).
+
+    Two hash aggregates (per-key count, then a one-row total
+    broadcast). The top-k cut is ``orderBy().limit(k)`` — a
+    distributed TakeOrdered over the counts table, NOT a global
+    window (which would funnel every distinct key through one
+    partition); the rank window then runs over just ``top_k`` rows.
+    Deterministic tie-break on the key columns.
+    """
+    from pyspark.sql import Window
+
+    key_list = list_convert(keys)
+    counts = df.groupBy(*key_list).agg(
+        F.count(F.lit(1)).alias('n_rows'))
+    totals = counts.agg(
+        F.sum('n_rows').alias('total_rows'),
+        F.count(F.lit(1)).alias('n_keys'))
+    order = [F.col('n_rows').desc()] \
+        + [F.col(k).asc() for k in key_list]
+    top = counts.orderBy(*order).limit(top_k)
+    ranked = (
+        top.crossJoin(F.broadcast(totals))
+        .withColumn('rank', F.row_number().over(Window.orderBy(*order)))
+    )
+    return ranked.select(
+        'rank', *key_list, 'n_rows',
+        F.round(F.col('n_rows') / F.col('total_rows'), 6)
+        .alias('row_share'),
+        F.round(F.col('n_rows') * F.col('n_keys')
+                / F.col('total_rows'), 2).alias('vs_uniform'),
+    )

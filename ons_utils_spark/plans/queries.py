@@ -2387,6 +2387,17 @@ def q_pack_bins(spark: SparkSession, sf_dir: str) -> SparkDF:
         'source', 'bin_id', 'n_docs', 'bin_tokens')
 
 
+def q_key_skew(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Join-strategy pre-flight (``operators.skew.key_skew_report``):
+    the 10 heaviest lineitem part keys with row share and
+    uniform-ratio. Top-k is a distributed TakeOrdered over the
+    per-key counts, never a global window over all distinct keys."""
+    from ..operators.skew import key_skew_report
+
+    (lineitem,) = _t(spark, sf_dir, 'lineitem')
+    return key_skew_report(lineitem, 'l_partkey', top_k=10)
+
+
 def q_interval_join(spark: SparkSession, sf_dir: str) -> SparkDF:
     """View→purchase attribution within a 30-minute follow window via
     ``streaming.joins.stream_interval_join`` — the SAME helper that
@@ -2656,6 +2667,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_js_divergence': q_js_divergence,
     'q_interval_join': q_interval_join,
     'q_pack_assemble': q_pack_assemble,
+    'q_key_skew': q_key_skew,
     # rows-only (DuckDB has no DEFLATE codec):
     'q_compression_quality': q_compression_quality,
 }
@@ -4296,6 +4308,26 @@ ORACLES: Dict[str, str] = {
             PARTITION BY o_orderstatus
             ORDER BY md5(CAST(o_orderkey AS VARCHAR)) ASC,
                      o_orderkey ASC) <= 7
+    """,
+    'q_key_skew': """
+        WITH counts AS (
+            SELECT l_partkey, count(*) AS n_rows
+            FROM lineitem GROUP BY l_partkey
+        ), tot AS (
+            SELECT CAST(sum(n_rows) AS BIGINT) AS total_rows,
+                   count(*) AS n_keys
+            FROM counts
+        )
+        SELECT CAST(row_number() OVER (
+                   ORDER BY n_rows DESC, l_partkey ASC) AS INTEGER)
+                   AS rank,
+               l_partkey, n_rows,
+               round(CAST(n_rows AS DOUBLE) / total_rows, 6)
+                   AS row_share,
+               round(CAST(n_rows AS DOUBLE) * n_keys / total_rows, 2)
+                   AS vs_uniform
+        FROM counts CROSS JOIN tot
+        QUALIFY rank <= 10
     """,
     'q_interval_join': """
         -- epoch_us on both sides: Spark reads TIMESTAMP(NANOS) at us
