@@ -105,3 +105,54 @@ def filter_by_percentile_range(
         .filter(c.between(F.col('__lo'), F.col('__hi')))
         .drop('__lo', '__hi')
     )
+
+
+def robust_outlier_flags(
+    df: SparkDF,
+    col: ColumnOrName,
+    keys: Union[str, Sequence[str], None] = None,
+    z: float = 3.5,
+) -> SparkDF:
+    """Flag outliers by the modified z-score
+    ``0.6745·(x − median) / MAD`` (Iglewicz–Hoaglin): robust to the
+    outliers themselves, unlike mean/stddev screens that a single
+    extreme value drags.
+
+    Adds ``robust_z`` (NULL when the group's MAD is 0 — a constant
+    group has no meaningful score) and boolean ``is_outlier``.
+    Per-``keys`` when given, corpus-global otherwise.
+
+    Plan: two exact-percentile aggregates (median, then median
+    absolute deviation, which NEEDS the median first — inherently
+    two passes) + two broadcast joins of the tiny per-group stats
+    back onto the rows. At 100 TB swap ``F.percentile`` for
+    ``approx_percentile`` via :func:`filter_by_percentile_range`'s
+    pattern if the exact per-group sort is too hot; the z-score
+    math is unchanged.
+    """
+    from ..generic import list_convert
+
+    c = convert_to_spark_col(col)
+    key_list = list_convert(keys) if keys else []
+
+    def grouped(frame):
+        return frame.groupBy(*key_list) if key_list else frame.groupBy()
+
+    med = grouped(df).agg(F.percentile(c, F.lit(0.5)).alias('__med'))
+    with_med = (df.join(F.broadcast(med), key_list, 'left')
+                if key_list else df.crossJoin(F.broadcast(med)))
+    dev = F.abs(c - F.col('__med'))
+    mad = grouped(with_med).agg(
+        F.percentile(dev, F.lit(0.5)).alias('__mad'))
+    with_mad = (with_med.join(F.broadcast(mad), key_list, 'left')
+                if key_list else with_med.crossJoin(F.broadcast(mad)))
+    score = F.when(
+        F.col('__mad') > 0,
+        F.lit(0.6745) * (c - F.col('__med')) / F.col('__mad'))
+    return (
+        with_mad
+        .withColumn('robust_z', score)
+        .withColumn('is_outlier', F.coalesce(
+            F.abs(F.col('robust_z')) > z, F.lit(False)))
+        .drop('__med', '__mad')
+    )

@@ -2387,6 +2387,24 @@ def q_pack_bins(spark: SparkSession, sf_dir: str) -> SparkDF:
         'source', 'bin_id', 'n_docs', 'bin_tokens')
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Robust outlier screen (``functions.approx.robust_outlier_flags``,
+    Iglewicz-Hoaglin modified z-score): per return flag, how many
+    lineitem prices sit beyond |z| > 3.5 of the median/MAD — two
+    exact-percentile aggs + broadcast stat joins; summarized with the
+    max |z| so the oracle checks the full score math."""
+    from ..functions.approx import robust_outlier_flags
+
+    (lineitem,) = _t(spark, sf_dir, 'lineitem')
+    flagged = robust_outlier_flags(
+        lineitem, 'l_extendedprice', keys='l_returnflag', z=3.5)
+    return flagged.groupBy('l_returnflag').agg(
+        F.count(F.lit(1)).alias('n_lines'),
+        F.sum(F.col('is_outlier').cast('long')).alias('n_outliers'),
+        F.round(F.max(F.abs('robust_z')), 4).alias('max_abs_z'),
+    )
+
+
 def q_key_skew(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Join-strategy pre-flight (``operators.skew.key_skew_report``):
     the 10 heaviest lineitem part keys with row share and
@@ -2668,6 +2686,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_interval_join': q_interval_join,
     'q_pack_assemble': q_pack_assemble,
     'q_key_skew': q_key_skew,
+    'q_mad_outliers': q_mad_outliers,
     # rows-only (DuckDB has no DEFLATE codec):
     'q_compression_quality': q_compression_quality,
 }
@@ -4308,6 +4327,32 @@ ORACLES: Dict[str, str] = {
             PARTITION BY o_orderstatus
             ORDER BY md5(CAST(o_orderkey AS VARCHAR)) ASC,
                      o_orderkey ASC) <= 7
+    """,
+    'q_mad_outliers': """
+        WITH med AS (
+            SELECT l_returnflag,
+                   median(l_extendedprice) AS m
+            FROM lineitem GROUP BY l_returnflag
+        ), mad AS (
+            SELECT l.l_returnflag,
+                   median(abs(l.l_extendedprice - med.m)) AS d
+            FROM lineitem l JOIN med USING (l_returnflag)
+            GROUP BY l.l_returnflag
+        ), scored AS (
+            SELECT l.l_returnflag,
+                   CASE WHEN mad.d > 0
+                        THEN 0.6745 * (l.l_extendedprice - med.m)
+                             / mad.d END AS z
+            FROM lineitem l
+            JOIN med USING (l_returnflag)
+            JOIN mad USING (l_returnflag)
+        )
+        SELECT l_returnflag,
+               count(*) AS n_lines,
+               CAST(sum(CASE WHEN abs(z) > 3.5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers,
+               round(max(abs(z)), 4) AS max_abs_z
+        FROM scored GROUP BY l_returnflag
     """,
     'q_key_skew': """
         WITH counts AS (

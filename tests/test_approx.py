@@ -81,3 +81,35 @@ class TestPercentileRangeFilter:
         plan = filter_by_percentile_range(
             df, 'v')._jdf.queryExecution().toString()
         assert 'Broadcast' in plan
+
+
+class TestRobustOutlierFlags:
+    def test_flags_planted_outlier(self, spark_session):
+        from ons_utils_spark.functions.approx import robust_outlier_flags
+        vals = [float(v) for v in
+                [10, 11, 12, 10, 11, 12, 10, 11, 12, 1000]]
+        df = spark_session.createDataFrame(
+            [(v,) for v in vals], 'x double')
+        out = robust_outlier_flags(df, 'x').collect()
+        flagged = [r['x'] for r in out if r['is_outlier']]
+        assert flagged == [1000.0]
+        # inliers score small
+        assert all(abs(r['robust_z']) < 2 for r in out
+                   if not r['is_outlier'])
+
+    def test_grouped_stats_are_independent(self, spark_session):
+        """An outlier in group a must not poison group b's median."""
+        from ons_utils_spark.functions.approx import robust_outlier_flags
+        rows = [('a', 1.0), ('a', 1.1), ('a', 0.9), ('a', 99.0),
+                ('b', 50.0), ('b', 51.0), ('b', 49.0)]
+        df = spark_session.createDataFrame(rows, 'g string, x double')
+        out = robust_outlier_flags(df, 'x', keys='g').collect()
+        assert [r['x'] for r in out if r['is_outlier']] == [99.0]
+
+    def test_constant_group_null_score(self, spark_session):
+        from ons_utils_spark.functions.approx import robust_outlier_flags
+        df = spark_session.createDataFrame(
+            [(5.0,), (5.0,), (5.0,)], 'x double')
+        out = robust_outlier_flags(df, 'x').collect()
+        assert all(r['robust_z'] is None for r in out)
+        assert all(r['is_outlier'] is False for r in out)
