@@ -2387,6 +2387,26 @@ def q_pack_bins(spark: SparkSession, sf_dir: str) -> SparkDF:
         'source', 'bin_id', 'n_docs', 'bin_tokens')
 
 
+def q_ewma(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Keyed EWMA smoothing (``operators.timeseries.ewma``, α=0.25):
+    per-user exponential baseline of event values — a true recurrence
+    (no numerically-safe window closed form), walked per key in an
+    Arrow-batched UDF with bit-reproducible α·x + (1−α)·e steps; the
+    oracle replays it with a recursive CTE and hashes ALL 10k rows."""
+    from ..operators.timeseries import ewma
+
+    (events,) = _t(spark, sf_dir, 'events')
+    smoothed = ewma(events, 'value', 'ts', 'user_id', alpha=0.25,
+                    tiebreak='event_id')
+    # scaled-integer output: round(x,6) differs between engines at
+    # exact half boundaries (pitfall: Spark BigDecimal HALF_UP vs
+    # DuckDB x*1e6 double round); round(x*1e6) half-away-from-zero
+    # on the SAME double is engine-identical.
+    return smoothed.select(
+        'user_id', 'event_id',
+        F.round(F.col('ewma') * 1000000).cast('long').alias('ewma_u6'))
+
+
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Robust outlier screen (``functions.approx.robust_outlier_flags``,
     Iglewicz-Hoaglin modified z-score): per return flag, how many
@@ -2687,6 +2707,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_pack_assemble': q_pack_assemble,
     'q_key_skew': q_key_skew,
     'q_mad_outliers': q_mad_outliers,
+    'q_ewma': q_ewma,
     # rows-only (DuckDB has no DEFLATE codec):
     'q_compression_quality': q_compression_quality,
 }
@@ -4327,6 +4348,28 @@ ORACLES: Dict[str, str] = {
             PARTITION BY o_orderstatus
             ORDER BY md5(CAST(o_orderkey AS VARCHAR)) ASC,
                      o_orderkey ASC) <= 7
+    """,
+    'q_ewma': """
+        -- exact replay of the a*x + (1-a)*e recurrence; ordering by
+        -- epoch_us(ts) then event_id matches the Spark walk
+        WITH RECURSIVE ev AS (
+            SELECT user_id, event_id, value,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS rn
+            FROM events
+        ), rec AS (
+            SELECT user_id, event_id, value, rn, value AS e
+            FROM ev WHERE rn = 1
+            UNION ALL
+            SELECT ev.user_id, ev.event_id, ev.value, ev.rn,
+                   0.25 * ev.value + 0.75 * r.e
+            FROM ev JOIN rec r
+              ON ev.user_id = r.user_id AND ev.rn = r.rn + 1
+        )
+        SELECT user_id, event_id,
+               CAST(round(e * 1000000) AS BIGINT) AS ewma_u6
+        FROM rec
     """,
     'q_mad_outliers': """
         WITH med AS (

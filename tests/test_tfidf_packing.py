@@ -213,3 +213,55 @@ class TestAssembleBins:
         out = assemble_bins(pack_greedy(df, 10),
                             sep='\n').collect()[0]
         assert out['sequence'] == 'x\ny'
+
+
+class TestEwma:
+    def test_hand_computed_chain(self, spark_session):
+        from ons_utils_spark.operators.timeseries import ewma
+        rows = [(1, 1, 8.0), (1, 2, 4.0), (1, 3, 6.0)]
+        df = spark_session.createDataFrame(
+            rows, 'k bigint, t bigint, x double')
+        out = {r['t']: r['ewma'] for r in ewma(
+            df, 'x', 't', 'k', alpha=0.5).collect()}
+        assert out[1] == 8.0
+        assert out[2] == 6.0           # .5*4 + .5*8
+        assert out[3] == 6.0           # .5*6 + .5*6
+
+    def test_null_carries_previous(self, spark_session):
+        from ons_utils_spark.operators.timeseries import ewma
+        rows = [(1, 1, 10.0), (1, 2, None), (1, 3, 20.0)]
+        df = spark_session.createDataFrame(
+            rows, 'k bigint, t bigint, x double')
+        out = {r['t']: r['ewma'] for r in ewma(
+            df, 'x', 't', 'k', alpha=0.5).collect()}
+        assert out[2] == 10.0          # gap carries forward
+        assert out[3] == 15.0          # resumes from carried state
+
+    def test_leading_null_is_null(self, spark_session):
+        from ons_utils_spark.operators.timeseries import ewma
+        rows = [(1, 1, None), (1, 2, 4.0)]
+        df = spark_session.createDataFrame(
+            rows, 'k bigint, t bigint, x double')
+        out = {r['t']: r['ewma'] for r in ewma(
+            df, 'x', 't', 'k', alpha=0.5).collect()}
+        assert out[1] is None and out[2] == 4.0
+
+    def test_keys_independent_and_partition_invariant(
+            self, spark_session):
+        from ons_utils_spark.operators.timeseries import ewma
+        rows = [(k, t, float(k * 10 + t))
+                for k in (1, 2, 3) for t in range(12)]
+        df = spark_session.createDataFrame(
+            rows, 'k bigint, t bigint, x double')
+        a = sorted(map(tuple, ewma(df, 'x', 't', 'k', 0.3).collect()))
+        b = sorted(map(tuple, ewma(
+            df.repartition(7), 'x', 't', 'k', 0.3).collect()))
+        assert a == b
+
+    def test_alpha_validation(self, spark_session):
+        from ons_utils_spark.operators.timeseries import ewma
+        df = spark_session.createDataFrame(
+            [(1, 1, 1.0)], 'k bigint, t bigint, x double')
+        for bad in (0.0, -0.1, 1.5):
+            with pytest.raises(ValueError, match='alpha'):
+                ewma(df, 'x', 't', 'k', bad)
