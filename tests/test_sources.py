@@ -332,3 +332,49 @@ class TestReadText:
         (p / 'b.log').write_text('drop')
         df = read_text(spark_session, str(p), glob='*.txt')
         assert [r['value'] for r in df.collect()] == ['keep']
+
+
+class TestOptimizeWrite:
+    def test_disjoint_file_ranges(self, spark_session, tmp_path):
+        from ons_utils_spark.sources.layout import (
+            file_stats, optimize_write,
+        )
+        df = spark_session.range(10000).selectExpr(
+            '(id * 37) % 10000 AS k', 'id AS payload')
+        out = str(tmp_path / 'laid_out')
+        optimize_write(df, out, 'k', num_files=4)
+        stats = [s for s in file_stats(out, 'k') if s[1] > 0]
+        assert len(stats) >= 2
+        assert sum(rows for _, rows, _, _ in stats) == 10000
+        # range-partitioned: [min,max] intervals pairwise disjoint
+        spans = sorted((lo, hi) for _, _, lo, hi in stats)
+        for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+            assert hi1 < lo2, spans
+
+    def test_max_records_per_file(self, spark_session, tmp_path):
+        from ons_utils_spark.sources.layout import (
+            file_stats, optimize_write,
+        )
+        df = spark_session.range(1000).selectExpr('id AS k')
+        out = str(tmp_path / 'capped')
+        optimize_write(df, out, 'k', num_files=1,
+                       max_records_per_file=300)
+        stats = [s for s in file_stats(out, 'k') if s[1] > 0]
+        assert len(stats) >= 4
+        assert all(rows <= 300 for _, rows, _, _ in stats)
+
+    def test_skipping_actually_prunes(self, spark_session, tmp_path):
+        """A point filter on the sort column must touch fewer bytes
+        than the full scan (parquet min/max pruning)."""
+        from ons_utils_spark.sources.layout import optimize_write
+        df = spark_session.range(20000).selectExpr('id AS k',
+                                                   'id % 7 AS v')
+        out = str(tmp_path / 'pruned')
+        optimize_write(df, out, 'k', num_files=8)
+        back = spark_session.read.parquet(out)
+        assert back.filter('k = 12345').count() == 1
+        plan = back.filter('k = 12345')._jdf.queryExecution() \
+            .explainString(
+                spark_session._jvm.org.apache.spark.sql.execution
+                .ExplainMode.fromString('formatted'))
+        assert 'PushedFilters: [IsNotNull(k), EqualTo(k,12345)]' in plan
