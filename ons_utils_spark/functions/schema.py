@@ -97,3 +97,47 @@ def get_first_group(df: SparkDF, groups: Union[str, Sequence[str]]) -> SparkDF:
         [F.col(g).eqNullSafe(F.lit(row[g])) for g in groups],
     )
     return df.filter(predicate)
+
+
+def flatten_struct(
+    df: SparkDF,
+    sep: str = '_',
+    max_depth: int = 10,
+) -> SparkDF:
+    """Recursively lift nested struct fields to top-level columns
+    (``a.b.c`` → ``a_b_c``) — the standard post-``from_json`` /
+    post-ingest normalization step.
+
+    A pure projection (metadata-only: no shuffle, no UDF; Catalyst
+    collapses it into the scan, and column pruning still reaches the
+    nested fields it needs). Arrays and maps pass through unflattened
+    — explode them explicitly if row expansion is wanted; silently
+    multiplying rows is not this function's job. Name collisions
+    raise rather than shadow.
+    """
+    from pyspark.sql import types as T
+
+    def leaves(expr, name, dtype, depth):
+        if isinstance(dtype, T.StructType) and depth < max_depth:
+            out = []
+            for field in dtype.fields:
+                out += leaves(expr[field.name],
+                              f'{name}{sep}{field.name}',
+                              field.dataType, depth + 1)
+            return out
+        return [(name, expr)]
+
+    named = []
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.StructType):
+            named += leaves(F.col(field.name), field.name,
+                            field.dataType, 1)
+        else:
+            named.append((field.name, F.col(field.name)))
+    names = [n for n, _ in named]
+    dupes = {n for n in names if names.count(n) > 1}
+    if dupes:
+        raise ValueError(
+            f'flatten_struct name collision(s): {sorted(dupes)!r}; '
+            f'use a different sep')
+    return df.select(*[expr.alias(n) for n, expr in named])

@@ -226,3 +226,49 @@ class TestSessionize:
         got = {r['event_id']: r['session_id'] for r in out.collect()}
         # gap == 1800 is NOT greater → same session; 1801 → new
         assert got == {1: 0, 2: 0, 3: 1}
+
+
+class TestFlattenStruct:
+    def test_flattens_nested_structs(self, spark_session):
+        from ons_utils_spark.functions.schema import flatten_struct
+        from pyspark.sql import functions as F
+        df = spark_session.createDataFrame(
+            [(1, '{"a": {"b": 2, "c": "x"}, "d": 3}')],
+            'id bigint, js string'
+        ).select('id', F.from_json(
+            'js', 'struct<a: struct<b: bigint, c: string>, d: bigint>'
+        ).alias('payload'))
+        flat = flatten_struct(df)
+        assert flat.columns == [
+            'id', 'payload_a_b', 'payload_a_c', 'payload_d']
+        row = flat.collect()[0]
+        assert (row['payload_a_b'], row['payload_a_c'],
+                row['payload_d']) == (2, 'x', 3)
+
+    def test_arrays_pass_through(self, spark_session):
+        from ons_utils_spark.functions.schema import flatten_struct
+        df = spark_session.createDataFrame(
+            [(1, [1, 2, 3])], 'id bigint, xs array<bigint>')
+        flat = flatten_struct(df)
+        assert flat.columns == ['id', 'xs']
+        assert flat.collect()[0]['xs'] == [1, 2, 3]
+
+    def test_collision_raises(self, spark_session):
+        from ons_utils_spark.functions.schema import flatten_struct
+        from pyspark.sql import functions as F
+        df = spark_session.createDataFrame(
+            [(1, 2)], 'a_b bigint, x bigint'
+        ).select('a_b', F.struct(F.col('x').alias('b')).alias('a'))
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match='collision'):
+            flatten_struct(df)
+
+    def test_no_shuffle_pure_projection(self, spark_session):
+        from ons_utils_spark.functions.schema import flatten_struct
+        from pyspark.sql import functions as F
+        df = spark_session.range(10).select(
+            F.struct(F.col('id').alias('v')).alias('s'))
+        plan = flatten_struct(df)._jdf.queryExecution().explainString(
+            spark_session._jvm.org.apache.spark.sql.execution
+            .ExplainMode.fromString('formatted'))
+        assert 'Exchange' not in plan
