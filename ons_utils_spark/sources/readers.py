@@ -156,8 +156,22 @@ def ensure_min_parallelism(
     reflexively: for cheap map work the extra exchange buys nothing.
     """
     spark = df.sparkSession
-    target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if min_partitions is not None:
+        target = min_partitions
+    else:
+        try:
+            target = spark.sparkContext.defaultParallelism
+        except Exception:
+            # Spark Connect has no sparkContext; the shuffle-partition
+            # conf is the closest session-level parallelism signal.
+            target = int(spark.conf.get('spark.sql.shuffle.partitions'))
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:
+        # Connect: partition introspection unavailable — repartition
+        # unconditionally (the caller asked for a parallelism floor).
+        return df.repartition(target)
+    if current >= target:
         return df
     return df.repartition(target)
 
