@@ -2387,6 +2387,31 @@ def q_pack_bins(spark: SparkSession, sf_dir: str) -> SparkDF:
         'source', 'bin_id', 'n_docs', 'bin_tokens')
 
 
+def q_vector_math(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Row-local embedding math in pure JVM higher-order functions
+    (``functions.vectors``): per-vector L2 norm and cosine with the
+    NEXT vector via a co-partitioned self-join on vec_id+1 — no
+    global ordered window, no Python. The GEMM path
+    (operators/similarity) stays for corpus×corpus kernels; this is
+    the right plan when the work is per-row."""
+    from ..functions.vectors import cosine, norm
+
+    (embeddings,) = _t(spark, sf_dir, 'embeddings')
+    a = embeddings.select('vec_id', F.col('embedding').alias('va'))
+    b = embeddings.select(
+        (F.col('vec_id') - 1).alias('vec_id'),
+        F.col('embedding').alias('vb'))
+    return (
+        a.join(b, 'vec_id')
+        .filter(F.col('vec_id') % 10 == 0)
+        .select(
+            'vec_id',
+            F.round(norm('va'), 6).alias('vnorm'),
+            F.round(cosine('va', 'vb'), 6).alias('cos_next'),
+        )
+    )
+
+
 def q_ewma(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Keyed EWMA smoothing (``operators.timeseries.ewma``, α=0.25):
     per-user exponential baseline of event values — a true recurrence
@@ -2708,6 +2733,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_key_skew': q_key_skew,
     'q_mad_outliers': q_mad_outliers,
     'q_ewma': q_ewma,
+    'q_vector_math': q_vector_math,
     # rows-only (DuckDB has no DEFLATE codec):
     'q_compression_quality': q_compression_quality,
 }
@@ -4348,6 +4374,23 @@ ORACLES: Dict[str, str] = {
             PARTITION BY o_orderstatus
             ORDER BY md5(CAST(o_orderkey AS VARCHAR)) ASC,
                      o_orderkey ASC) <= 7
+    """,
+    'q_vector_math': """
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        )
+        SELECT a.vec_id,
+               round(sqrt(list_sum(list_transform(
+                   a.v, x -> x * x))), 6) AS vnorm,
+               round(list_sum(list_transform(
+                         list_zip(a.v, b.v), p -> p[1] * p[2]))
+                     / (sqrt(list_sum(list_transform(
+                            a.v, x -> x * x)))
+                        * sqrt(list_sum(list_transform(
+                            b.v, x -> x * x)))), 6) AS cos_next
+        FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+        WHERE a.vec_id % 10 = 0
     """,
     'q_ewma': """
         -- exact replay of the a*x + (1-a)*e recurrence; ordering by

@@ -272,3 +272,55 @@ class TestFlattenStruct:
             spark_session._jvm.org.apache.spark.sql.execution
             .ExplainMode.fromString('formatted'))
         assert 'Exchange' not in plan
+
+
+class TestVectorMath:
+    def test_dot_norm_cosine(self, spark_session):
+        from ons_utils_spark.functions.vectors import cosine, dot, norm
+        from pyspark.sql import functions as F
+        df = spark_session.createDataFrame(
+            [([3.0, 4.0], [4.0, 3.0])],
+            'a array<double>, b array<double>')
+        row = df.select(
+            dot('a', 'b').alias('d'),
+            norm('a').alias('n'),
+            cosine('a', 'b').alias('c')).collect()[0]
+        assert row['d'] == 24.0
+        assert row['n'] == 5.0
+        assert row['c'] == pytest.approx(24 / 25)
+
+    def test_cosine_zero_vector_null(self, spark_session):
+        from ons_utils_spark.functions.vectors import cosine
+        df = spark_session.createDataFrame(
+            [([0.0, 0.0], [1.0, 0.0])],
+            'a array<double>, b array<double>')
+        assert df.select(cosine('a', 'b').alias('c')) \
+            .collect()[0]['c'] is None
+
+    def test_float_input_promoted(self, spark_session):
+        """array<float> inputs compute in double (no drift)."""
+        from ons_utils_spark.functions.vectors import norm
+        df = spark_session.createDataFrame(
+            [([0.1, 0.2, 0.3],)], 'a array<float>')
+        got = df.select(norm('a').alias('n')).collect()[0]['n']
+        import math
+        want = math.sqrt(sum(x * x for x in
+                             [0.1, 0.2, 0.3]))
+        # float storage rounds the inputs, but the SUM runs in double
+        assert got == pytest.approx(want, rel=1e-6)
+
+    def test_l2_normalize(self, spark_session):
+        from ons_utils_spark.functions.vectors import (
+            norm, with_l2_normalized,
+        )
+        df = spark_session.createDataFrame(
+            [(1, [3.0, 4.0]), (2, [0.0, 0.0])],
+            'id bigint, v array<double>')
+        out = {r['id']: r for r in with_l2_normalized(
+            df, 'v', 'unit').collect()}
+        assert out[1]['unit'] == [0.6, 0.8]
+        assert out[2]['unit'] is None
+        n = spark_session.createDataFrame(
+            [(out[1]['unit'],)], 'u array<double>'
+        ).select(norm('u').alias('n')).collect()[0]['n']
+        assert n == pytest.approx(1.0)
