@@ -517,7 +517,10 @@ def encode_jpeg(
 ) -> bytes:
     """Minimal baseline JFIF encoder (test-fixture grade).
 
-    ``img`` is ``(h, w)`` grayscale or ``(h, w, 3)`` RGB in [0, 1].
+    ``img`` is ``(h, w)`` grayscale or ``(h, w, 3)`` RGB — floats in
+    [0, 1], or any integer dtype in [0, 255] (normalized here; an
+    un-normalized 0–255 float input would overflow the DC bit
+    categories and produce an undecodable stream).
     Writes its own DQT (flat ``quant``) and DHT (flat 8-bit canonical
     table), so decoders exercise their real table-parsing path; with
     ``quant=1`` the round-trip error is DCT float rounding only.
@@ -525,6 +528,14 @@ def encode_jpeg(
     ``restart_interval`` > 0 emits DRI + RSTn markers every that many
     MCUs (exercises a decoder's restart path).
     """
+    img = np.asarray(img)
+    if img.dtype.kind in 'iu':
+        img = img.astype(np.float64) / 255.0
+    elif float(np.nanmax(img, initial=0.0)) > 1.0 + 1e-9:
+        raise ValueError(
+            'float image values must be in [0, 1] '
+            '(got max {:.3f}); integer dtypes are normalized '
+            'automatically'.format(float(np.nanmax(img))))
     if img.ndim == 2:
         planes = [np.asarray(img, np.float64) * 255.0]
         samps = [(1, 1)]
@@ -869,4 +880,140 @@ def frame_sample_plan(
                 F.lit(every_ms),
             )
         ).alias('frame_ts_ms'),
+    )
+
+
+# ---------------------------------------------------------------------
+# Perceptual hashing (image near-duplicate detection)
+# ---------------------------------------------------------------------
+
+_DCT32 = None
+
+
+def _dct_basis(n: int = 32) -> np.ndarray:
+    """Orthonormal DCT-II basis (the cv2.dct convention), cached."""
+    global _DCT32
+    if _DCT32 is None or _DCT32.shape[0] != n:
+        k = np.arange(n).reshape(-1, 1)
+        x = np.arange(n).reshape(1, -1)
+        d = np.cos(np.pi * (2 * x + 1) * k / (2 * n)) \
+            * np.sqrt(2.0 / n)
+        d[0, :] /= np.sqrt(2.0)
+        _DCT32 = d
+    return _DCT32
+
+
+def _box_resample32(gray: np.ndarray) -> np.ndarray:
+    """Deterministic 32×32 area resample via an integral image;
+    images smaller than 32 px on a side are index-upsampled first."""
+    h, w = gray.shape
+    if h < 32 or w < 32:
+        gray = resize_nearest(gray, max(h, 32), max(w, 32))
+        h, w = gray.shape
+    integ = np.zeros((h + 1, w + 1), dtype=np.float64)
+    integ[1:, 1:] = np.cumsum(np.cumsum(gray, axis=0), axis=1)
+    r = (np.arange(33) * h) // 32
+    c = (np.arange(33) * w) // 32
+    sums = (integ[r[1:], :][:, c[1:]] - integ[r[:-1], :][:, c[1:]]
+            - integ[r[1:], :][:, c[:-1]] + integ[r[:-1], :][:, c[:-1]])
+    areas = np.outer(r[1:] - r[:-1], c[1:] - c[:-1]).astype(np.float64)
+    return sums / areas
+
+
+def phash64(gray: np.ndarray) -> int:
+    """64-bit perceptual hash (classic DCT pHash): 32×32 area
+    resample → 2-D orthonormal DCT → top-left 8×8 low-frequency
+    block → threshold each coefficient against the median of the 63
+    non-DC coefficients → MSB-first bit pack (signed int64).
+
+    Hamming-close hashes ↔ perceptually similar images: the
+    low-frequency block survives recompression, mild noise, and
+    resizing — exactly the transforms that defeat byte-level dedup.
+    """
+    d = _dct_basis(32)
+    g = _box_resample32(gray.astype(np.float64))
+    coeffs = (d @ g @ d.T)[:8, :8].flatten()
+    med = float(np.median(coeffs[1:]))
+    val = 0
+    for bit in (coeffs > med).astype(np.uint8):
+        val = (val << 1) | int(bit)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def perceptual_hashes(
+    df: SparkDF,
+    payload_col: str = 'payload',
+    id_col: str = 'media_id',
+    deterministic_fake: bool = False,
+) -> SparkDF:
+    """Per-image pHash via Arrow-batched ``mapInPandas``:
+    ``(id, width, height, phash)``. Same decode dispatch (and
+    format-gate behavior) as :func:`image_features`."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row[payload_col] or b'')
+                decoded = decode_ppm(payload) or decode_bmp(payload) \
+                    or decode_png(payload) or decode_jpeg(payload)
+                if decoded is not None:
+                    w, h, gray = decoded
+                    rows.append((row[id_col], w, h, phash64(gray)))
+                elif deterministic_fake:
+                    crc = zlib.crc32(payload) & 0xFFFFFFFF
+                    fake = (crc << 32) | crc
+                    fake = fake - (1 << 64) if fake >= (1 << 63) \
+                        else fake
+                    rows.append((row[id_col], 0, 0, fake))
+                else:
+                    raise NotImplementedError(
+                        'undecodable format for phash; pass '
+                        'deterministic_fake=True for plumbing tests')
+            yield pd.DataFrame(
+                rows, columns=['media_id', 'width', 'height', 'phash'])
+
+    schema = _feature_schema(
+        'media_id bigint, width int, height int, phash bigint',
+        df, id_col)
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def phash_duplicates(
+    hashes: SparkDF,
+    id_col: str = 'media_id',
+    hash_col: str = 'phash',
+    max_hamming: int = 6,
+) -> SparkDF:
+    """All image pairs within ``max_hamming`` bits — banded exactly
+    like SimHash: split the 64-bit hash into 4 × 16-bit blocks
+    (pigeonhole: ≤6 flipped bits leave ≥1 block intact... for ≤3
+    strictly; with 4 bands the guarantee holds for distance ≤ 3,
+    larger distances are best-effort), equi-join per block, verify
+    with one ``bit_count(xor)``. Shuffle O(rows × 4), never O(n²).
+    """
+    h = F.col(hash_col)
+    blocks = F.array(*[
+        F.shiftrightunsigned(h, shift).bitwiseAND(F.lit(0xFFFF))
+        for shift in (48, 32, 16, 0)
+    ])
+    sig = hashes.select(
+        F.col(id_col).alias('__id'), h.alias('__h'),
+        F.posexplode(blocks).alias('block', 'key'),
+    )
+    l, r = sig.alias('l'), sig.alias('r')
+    return (
+        l.join(r, on=[
+            F.col('l.block') == F.col('r.block'),
+            F.col('l.key') == F.col('r.key'),
+            F.col('l.__id') < F.col('r.__id'),
+        ])
+        .select(
+            F.col('l.__id').alias('id_a'),
+            F.col('r.__id').alias('id_b'),
+            F.bit_count(
+                F.col('l.__h').bitwiseXOR(F.col('r.__h'))
+            ).alias('hamming'),
+        )
+        .filter(F.col('hamming') <= max_hamming)
+        .distinct()
     )

@@ -511,3 +511,86 @@ class TestPngDecode:
         w, h, feat = mm._decode_image(png, deterministic_fake=False)
         assert (w, h) == (4, 4)
         assert feat[7] == pytest.approx(1.0)  # all-white histogram
+
+
+def _pgm(pixels):
+    import numpy as np
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w = arr.shape
+    return (f'P5 {w} {h} 255\n'.encode() + arr.tobytes())
+
+
+class TestPerceptualHash:
+    def _gradient(self, h=48, w=64, noise_at=None):
+        """Seeded low-pass-filtered noise: spectrally rich like a
+        real photo (a pure gradient/sawtooth has degenerate DCT
+        spectra where half the coefficients tie at the median and
+        the hash is legitimately unstable)."""
+        import numpy as np
+        rng = np.random.RandomState(7)
+        field = rng.rand(h, w)
+        k = np.ones(5) / 5.0
+        field = np.apply_along_axis(
+            lambda r: np.convolve(r, k, mode='same'), 1, field)
+        field = np.apply_along_axis(
+            lambda c: np.convolve(c, k, mode='same'), 0, field)
+        base = (field * 255 / field.max()).astype(np.uint8)
+        if noise_at:
+            for (r, c) in noise_at:
+                base[r, c] = min(int(base[r, c]) + 40, 255)
+        return base
+
+    def test_identical_images_same_hash(self):
+        from ons_utils_spark.operators.multimodal import (
+            decode_ppm, phash64,
+        )
+        img = _pgm(self._gradient())
+        _, _, g1 = decode_ppm(img)
+        _, _, g2 = decode_ppm(_pgm(self._gradient()))
+        assert phash64(g1) == phash64(g2)
+
+    def test_noise_small_hamming_invert_large(self):
+        from ons_utils_spark.operators.multimodal import (
+            decode_ppm, phash64,
+        )
+        import numpy as np
+        base = self._gradient()
+        noisy = self._gradient(noise_at=[(3, 5), (20, 30), (40, 50)])
+        inverted = (255 - base).astype(np.uint8)
+        _, _, g0 = decode_ppm(_pgm(base))
+        _, _, gn = decode_ppm(_pgm(noisy))
+        _, _, gi = decode_ppm(_pgm(inverted))
+        ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count('1')
+        h0, hn, hi = phash64(g0), phash64(gn), phash64(gi)
+        assert ham(h0, hn) <= 8          # noise barely moves it
+        assert ham(h0, hi) >= 20         # inversion is a different image
+
+    def test_survives_jpeg_recompression(self):
+        from ons_utils_spark.operators.multimodal import (
+            decode_jpeg, decode_ppm, encode_jpeg, phash64,
+        )
+        base = self._gradient()
+        _, _, g0 = decode_ppm(_pgm(base))
+        jpeg = encode_jpeg(base)
+        _, _, gj = decode_jpeg(jpeg)
+        ham = bin((phash64(g0) ^ phash64(gj)) & ((1 << 64) - 1)) \
+            .count('1')
+        assert ham <= 8
+
+    def test_spark_pipeline_finds_planted_neardup(
+            self, spark_session):
+        from ons_utils_spark.operators.multimodal import (
+            perceptual_hashes, phash_duplicates,
+        )
+        import numpy as np
+        base = self._gradient()
+        noisy = self._gradient(noise_at=[(3, 5), (20, 30)])
+        different = (255 - base).astype(np.uint8)
+        rows = [(1, bytearray(_pgm(base))),
+                (2, bytearray(_pgm(noisy))),
+                (3, bytearray(_pgm(different)))]
+        df = spark_session.createDataFrame(
+            rows, 'media_id bigint, payload binary')
+        hashes = perceptual_hashes(df)
+        pairs = phash_duplicates(hashes, max_hamming=8).collect()
+        assert [(r['id_a'], r['id_b']) for r in pairs] == [(1, 2)]
