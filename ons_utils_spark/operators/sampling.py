@@ -137,3 +137,50 @@ def stratified_sample_exact(
         .filter(F.col('_rk') <= k)
         .drop('_rk')
     )
+
+
+def weighted_sample_exact(
+    df: SparkDF,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = '',
+) -> SparkDF:
+    """Exactly ``min(k, group size)`` rows per group, drawn WITHOUT
+    replacement with probability proportional to ``weight_col`` —
+    deterministic (Efraimidis–Spirakis A-ES with an md5-derived
+    uniform instead of an RNG).
+
+    Each row gets the key ``ln(u) / w`` where ``u ∈ (0, 1]`` comes
+    from the row id's md5 prefix; the ``k`` LARGEST keys win. Rows
+    with weight <= 0 or NULL are never sampled. The same id keeps the
+    same ``u`` across runs/engines/corpus growth, so samples are
+    reproducible and stable exactly like :func:`hash_split` — and
+    the DuckDB oracle (``q_weighted_sample``) replays the draw.
+
+    Same plan shape as :func:`stratified_sample_exact`: one ranked
+    window per group.
+    """
+    if k <= 0:
+        raise ValueError(f'k must be positive, got {k}')
+    from pyspark.sql import Window
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt),
+                           F.col(id_col).cast('string'))),
+            1, _PREFIX_LEN),
+        16, 10,
+    ).cast('long')
+    u = (v + 1) / F.lit(float(_SPACE + 1))
+    w = F.col(weight_col).cast('double')
+    key = F.when(w > 0, F.log(u) / w)
+    win = Window.partitionBy(group_col).orderBy(
+        key.desc_nulls_last(), F.col(id_col).asc())
+    return (
+        df.withColumn('_wk', key)
+        .withColumn('_rk', F.row_number().over(win))
+        .filter(F.col('_rk') <= k)
+        .filter(F.col('_wk').isNotNull())
+        .drop('_rk', '_wk')
+    )

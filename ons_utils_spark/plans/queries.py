@@ -2387,6 +2387,20 @@ def q_pack_bins(spark: SparkSession, sf_dir: str) -> SparkDF:
         'source', 'bin_id', 'n_docs', 'bin_tokens')
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Deterministic weighted sampling
+    (``operators.sampling.weighted_sample_exact``, Efraimidis-
+    Spirakis with md5-derived uniforms): 5 orders per priority drawn
+    ∝ order value — reproducible across runs/engines (the oracle
+    replays the exact draw), one ranked window per stratum."""
+    from ..operators.sampling import weighted_sample_exact
+
+    (orders,) = _t(spark, sf_dir, 'orders')
+    return weighted_sample_exact(
+        orders, 'o_orderpriority', 'o_orderkey', 'o_totalprice', k=5,
+    ).select('o_orderpriority', 'o_orderkey', 'o_totalprice')
+
+
 def q_vector_math(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Row-local embedding math in pure JVM higher-order functions
     (``functions.vectors``): per-vector L2 norm and cosine with the
@@ -2734,6 +2748,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_mad_outliers': q_mad_outliers,
     'q_ewma': q_ewma,
     'q_vector_math': q_vector_math,
+    'q_weighted_sample': q_weighted_sample,
     # rows-only (DuckDB has no DEFLATE codec):
     'q_compression_quality': q_compression_quality,
 }
@@ -4374,6 +4389,21 @@ ORACLES: Dict[str, str] = {
             PARTITION BY o_orderstatus
             ORDER BY md5(CAST(o_orderkey AS VARCHAR)) ASC,
                      o_orderkey ASC) <= 7
+    """,
+    'q_weighted_sample': """
+        WITH keyed AS (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   ln((CAST(concat('0x', substring(
+                           md5(CAST(o_orderkey AS VARCHAR)), 1, 6))
+                        AS BIGINT) + 1) / 16777217.0)
+                   / o_totalprice AS wkey
+            FROM orders WHERE o_totalprice > 0
+        )
+        SELECT o_orderpriority, o_orderkey, o_totalprice
+        FROM keyed
+        QUALIFY row_number() OVER (
+            PARTITION BY o_orderpriority
+            ORDER BY wkey DESC, o_orderkey ASC) <= 5
     """,
     'q_vector_math': """
         WITH e AS (

@@ -178,3 +178,57 @@ class TestHashSplit:
             F.col('split') == 'a')
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert 'Exchange' not in plan
+
+
+class TestWeightedSampleExact:
+    @pytest.fixture
+    def weighted(self, spark_session):
+        rows = [('g', i, float(w)) for i, w in enumerate(
+            [1, 1, 1, 1, 1, 1000, 1000, 1000, 0, -5])]
+        return spark_session.createDataFrame(
+            rows, 'grp string, id bigint, w double')
+
+    def test_exact_k_and_validity(self, weighted):
+        from ons_utils_spark.operators.sampling import (
+            weighted_sample_exact,
+        )
+        out = weighted_sample_exact(weighted, 'grp', 'id', 'w', 4) \
+            .collect()
+        assert len(out) == 4
+        # zero/negative weights can never be drawn
+        assert all(r['w'] > 0 for r in out)
+
+    def test_heavy_weights_dominate(self, spark_session):
+        """Across many salts, weight-1000 rows must win far more
+        often than weight-1 rows (statistical, deterministic seeds)."""
+        from ons_utils_spark.operators.sampling import (
+            weighted_sample_exact,
+        )
+        rows = [('g', i, 1000.0 if i < 3 else 1.0)
+                for i in range(13)]
+        df = spark_session.createDataFrame(
+            rows, 'grp string, id bigint, w double')
+        heavy_hits = 0
+        for s in range(12):
+            got = {r['id'] for r in weighted_sample_exact(
+                df, 'grp', 'id', 'w', 3, salt=f's{s}').collect()}
+            heavy_hits += len(got & {0, 1, 2})
+        # 36 slots; heavy ids should take the clear majority
+        assert heavy_hits >= 24
+
+    def test_deterministic_and_growth_stable(self, weighted):
+        from ons_utils_spark.operators.sampling import (
+            weighted_sample_exact,
+        )
+        a = sorted(map(tuple, weighted_sample_exact(
+            weighted, 'grp', 'id', 'w', 4).collect()))
+        b = sorted(map(tuple, weighted_sample_exact(
+            weighted.repartition(5), 'grp', 'id', 'w', 4).collect()))
+        assert a == b
+
+    def test_rejects_bad_k(self, weighted):
+        from ons_utils_spark.operators.sampling import (
+            weighted_sample_exact,
+        )
+        with pytest.raises(ValueError, match='k must be positive'):
+            weighted_sample_exact(weighted, 'grp', 'id', 'w', 0)
