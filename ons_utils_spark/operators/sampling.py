@@ -184,3 +184,49 @@ def weighted_sample_exact(
         .filter(F.col('_wk').isNotNull())
         .drop('_rk', '_wk')
     )
+
+
+def mixture_sample(
+    df: SparkDF,
+    group_col: str,
+    id_col: str,
+    token_col: str,
+    budgets: Mapping[str, int],
+    salt: str = '',
+) -> SparkDF:
+    """Build a training mixture: per group, keep a deterministic
+    uniform-random subset whose token total stays within the group's
+    budget (groups absent from ``budgets`` are dropped).
+
+    The selection order is md5(salt || id) — i.e. a reproducible
+    shuffle — and a document is kept while the RUNNING token total
+    (including itself) fits the budget; the first overflowing doc and
+    everything after it are cut. This is the "mix sources at fixed
+    token ratios" step of corpus construction (e.g. 70% web / 20%
+    code / 10% books by tokens), with the same growth-stability
+    story as :func:`hash_split`.
+
+    Plan: one window cumsum per group (one shuffle); the budget
+    lookup is a literal ``create_map`` — no join.
+    """
+    from pyspark.sql import Window
+
+    if not budgets:
+        raise ValueError('budgets must name at least one group')
+    tag = F.md5(F.concat(F.lit(salt), F.col(id_col).cast('string')))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(tag.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget_map = F.create_map(*[
+        F.lit(x) for kv in budgets.items() for x in kv
+    ])
+    cum = F.sum(F.col(token_col)).over(w)
+    return (
+        df.withColumn('_budget', budget_map[F.col(group_col)])
+        .withColumn('_cum', cum)
+        .filter(F.col('_budget').isNotNull()
+                & (F.col('_cum') <= F.col('_budget')))
+        .drop('_budget', '_cum')
+    )

@@ -2387,6 +2387,29 @@ def q_pack_bins(spark: SparkSession, sf_dir: str) -> SparkDF:
         'source', 'bin_id', 'n_docs', 'bin_tokens')
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Corpus-mixture construction
+    (``operators.sampling.mixture_sample``): fill per-source token
+    budgets (src0: 3000, src1: 1500, src2: 500) from a deterministic
+    md5-ordered shuffle — one window cumsum per source, literal-map
+    budget lookup, no join; other sources drop. Summarized per
+    source so the oracle checks the exact kept set."""
+    from ..operators.sampling import mixture_sample
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    docs = documents.select(
+        'source', 'doc_id',
+        tx.token_count('text').cast('long').alias('n_tokens'))
+    kept = mixture_sample(
+        docs, 'source', 'doc_id', 'n_tokens',
+        {'src0': 3000, 'src1': 1500, 'src2': 500})
+    return kept.groupBy('source').agg(
+        F.count(F.lit(1)).alias('n_docs'),
+        F.sum('n_tokens').alias('tokens'),
+        F.sum(F.col('doc_id')).alias('id_sum'),
+    )
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Deterministic weighted sampling
     (``operators.sampling.weighted_sample_exact``, Efraimidis-
@@ -2749,6 +2772,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_ewma': q_ewma,
     'q_vector_math': q_vector_math,
     'q_weighted_sample': q_weighted_sample,
+    'q_mixture_sample': q_mixture_sample,
     # rows-only (DuckDB has no DEFLATE codec):
     'q_compression_quality': q_compression_quality,
 }
@@ -4389,6 +4413,34 @@ ORACLES: Dict[str, str] = {
             PARTITION BY o_orderstatus
             ORDER BY md5(CAST(o_orderkey AS VARCHAR)) ASC,
                      o_orderkey ASC) <= 7
+    """,
+    'q_mixture_sample': """
+        WITH docs AS (
+            SELECT source, doc_id,
+                   CAST(len(list_filter(string_split_regex(
+                       trim(text), '\s+'), t -> t <> ''))
+                       AS BIGINT) AS n_tokens,
+                   CASE source WHEN 'src0' THEN 3000
+                               WHEN 'src1' THEN 1500
+                               WHEN 'src2' THEN 500 END AS budget
+            FROM documents
+        ), cum AS (
+            SELECT source, doc_id, n_tokens, budget,
+                   sum(n_tokens) OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS running
+            FROM docs
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS tokens,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM cum
+        WHERE budget IS NOT NULL AND running <= budget
+        GROUP BY source
     """,
     'q_weighted_sample': """
         WITH keyed AS (

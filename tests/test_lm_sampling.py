@@ -232,3 +232,45 @@ class TestWeightedSampleExact:
         )
         with pytest.raises(ValueError, match='k must be positive'):
             weighted_sample_exact(weighted, 'grp', 'id', 'w', 0)
+
+
+class TestMixtureSample:
+    @pytest.fixture
+    def corpus(self, spark_session):
+        rows = [(f'src{i % 2}', i, 10) for i in range(20)]
+        return spark_session.createDataFrame(
+            rows, 'source string, doc_id bigint, n_tokens bigint')
+
+    def test_budget_respected_and_maximal(self, corpus):
+        from ons_utils_spark.operators.sampling import mixture_sample
+        kept = mixture_sample(
+            corpus, 'source', 'doc_id', 'n_tokens',
+            {'src0': 35, 'src1': 100}).collect()
+        by_src = {}
+        for r in kept:
+            by_src.setdefault(r['source'], []).append(r)
+        assert sum(r['n_tokens'] for r in by_src['src0']) <= 35
+        assert len(by_src['src0']) == 3      # 3×10 ≤ 35, 4×10 > 35
+        assert len(by_src['src1']) == 10     # whole group fits
+
+    def test_unbudgeted_groups_dropped(self, corpus):
+        from ons_utils_spark.operators.sampling import mixture_sample
+        kept = mixture_sample(
+            corpus, 'source', 'doc_id', 'n_tokens',
+            {'src0': 1000}).collect()
+        assert {r['source'] for r in kept} == {'src0'}
+
+    def test_deterministic_and_growth_stable(self, corpus):
+        from ons_utils_spark.operators.sampling import mixture_sample
+        a = sorted(r['doc_id'] for r in mixture_sample(
+            corpus, 'source', 'doc_id', 'n_tokens',
+            {'src0': 35}).collect())
+        b = sorted(r['doc_id'] for r in mixture_sample(
+            corpus.repartition(7), 'source', 'doc_id', 'n_tokens',
+            {'src0': 35}).collect())
+        assert a == b
+
+    def test_empty_budgets_raise(self, corpus):
+        from ons_utils_spark.operators.sampling import mixture_sample
+        with pytest.raises(ValueError, match='budgets'):
+            mixture_sample(corpus, 'source', 'doc_id', 'n_tokens', {})
