@@ -141,3 +141,42 @@ def flatten_struct(
             f'flatten_struct name collision(s): {sorted(dupes)!r}; '
             f'use a different sep')
     return df.select(*[expr.alias(n) for n, expr in named])
+
+
+def profile_columns(df: SparkDF, cols=None) -> SparkDF:
+    """Data-quality profile: one row per column with
+    ``(column, n_rows, n_nulls, n_distinct, min_str, max_str)``.
+
+    ONE aggregation pass: all per-column stats are expressions of a
+    single ``agg`` (multiple DISTINCT aggregates plan as one
+    Expand + aggregate — rows multiply by the column count, which is
+    the documented cost), then the wide row unpivots via an
+    array-of-structs explode. min/max render as strings so mixed
+    column types share one schema. At 100 TB swap ``countDistinct``
+    for ``approx_count_distinct`` — same shape, no Expand blowup.
+    """
+    cols = list(cols) if cols else list(df.columns)
+    aggs = [F.count(F.lit(1)).alias('__n')]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f'__nn_{c}'),
+            F.countDistinct(c).alias(f'__nd_{c}'),
+            F.min(c).cast('string').alias(f'__mn_{c}'),
+            F.max(c).cast('string').alias(f'__mx_{c}'),
+        ]
+    wide = df.agg(*aggs)
+    entries = F.array(*[
+        F.struct(
+            F.lit(c).alias('column'),
+            (F.col('__n') - F.col(f'__nn_{c}')).alias('n_nulls'),
+            F.col(f'__nd_{c}').alias('n_distinct'),
+            F.col(f'__mn_{c}').alias('min_str'),
+            F.col(f'__mx_{c}').alias('max_str'),
+        )
+        for c in cols
+    ])
+    return wide.select(
+        F.col('__n').alias('n_rows'),
+        F.explode(entries).alias('p'),
+    ).select('p.column', 'n_rows', 'p.n_nulls', 'p.n_distinct',
+             'p.min_str', 'p.max_str')

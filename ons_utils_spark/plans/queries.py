@@ -2387,6 +2387,18 @@ def q_pack_bins(spark: SparkSession, sf_dir: str) -> SparkDF:
         'source', 'bin_id', 'n_docs', 'bin_tokens')
 
 
+def q_profile_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Table profiling (``functions.schema.profile_columns``): null /
+    distinct / min / max per column in ONE aggregation pass (multi-
+    DISTINCT plans as a single Expand+aggregate), unpivoted via an
+    array-of-structs explode."""
+    from ..functions.schema import profile_columns
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    return profile_columns(
+        documents, ['doc_id', 'lang', 'source', 'n_chars'])
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Corpus-mixture construction
     (``operators.sampling.mixture_sample``): fill per-source token
@@ -2773,6 +2785,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_vector_math': q_vector_math,
     'q_weighted_sample': q_weighted_sample,
     'q_mixture_sample': q_mixture_sample,
+    'q_profile_docs': q_profile_docs,
     # rows-only (DuckDB has no DEFLATE codec):
     'q_compression_quality': q_compression_quality,
 }
@@ -4413,6 +4426,35 @@ ORACLES: Dict[str, str] = {
             PARTITION BY o_orderstatus
             ORDER BY md5(CAST(o_orderkey AS VARCHAR)) ASC,
                      o_orderkey ASC) <= 7
+    """,
+    'q_profile_docs': """
+        WITH stats AS (
+            SELECT 'doc_id' AS "column", count(*) AS n_rows,
+                   count(*) - count(doc_id) AS n_nulls,
+                   count(DISTINCT doc_id) AS n_distinct,
+                   CAST(min(doc_id) AS VARCHAR) AS min_str,
+                   CAST(max(doc_id) AS VARCHAR) AS max_str
+            FROM documents
+            UNION ALL
+            SELECT 'lang', count(*), count(*) - count(lang),
+                   count(DISTINCT lang),
+                   CAST(min(lang) AS VARCHAR),
+                   CAST(max(lang) AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT 'source', count(*), count(*) - count(source),
+                   count(DISTINCT source),
+                   CAST(min(source) AS VARCHAR),
+                   CAST(max(source) AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', count(*), count(*) - count(n_chars),
+                   count(DISTINCT n_chars),
+                   CAST(min(n_chars) AS VARCHAR),
+                   CAST(max(n_chars) AS VARCHAR)
+            FROM documents
+        )
+        SELECT * FROM stats
     """,
     'q_mixture_sample': """
         WITH docs AS (

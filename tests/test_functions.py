@@ -324,3 +324,26 @@ class TestVectorMath:
             [(out[1]['unit'],)], 'u array<double>'
         ).select(norm('u').alias('n')).collect()[0]['n']
         assert n == pytest.approx(1.0)
+
+
+class TestProfileColumns:
+    def test_profile_values(self, spark_session):
+        from ons_utils_spark.functions.schema import profile_columns
+        df = spark_session.createDataFrame(
+            [(1, 'a'), (2, 'a'), (3, None)], 'id bigint, s string')
+        out = {r['column']: r for r in profile_columns(df).collect()}
+        assert out['id']['n_rows'] == 3
+        assert out['id']['n_nulls'] == 0
+        assert out['id']['n_distinct'] == 3
+        assert (out['id']['min_str'], out['id']['max_str']) == ('1', '3')
+        assert out['s']['n_nulls'] == 1
+        assert out['s']['n_distinct'] == 1
+        assert out['s']['max_str'] == 'a'
+
+    def test_column_selection(self, spark_session):
+        from ons_utils_spark.functions.schema import profile_columns
+        df = spark_session.createDataFrame(
+            [(1, 'a')], 'id bigint, s string')
+        got = [r['column'] for r in profile_columns(
+            df, ['s']).collect()]
+        assert got == ['s']
