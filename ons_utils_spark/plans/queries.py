@@ -981,6 +981,10 @@ def q_price_trim(spark: SparkSession, sf_dir: str) -> SparkDF:
     from ..functions.approx import filter_by_percentile_range
 
     (lineitem,) = _t(spark, sf_dir, 'lineitem')
+    # exact-percentile partials are CPU-heavy per input split — widen
+    # a coarse scan (structural no-op on well-split inputs)
+    from ..sources.readers import ensure_min_parallelism
+    lineitem = ensure_min_parallelism(lineitem)
     trimmed = filter_by_percentile_range(
         lineitem, 'l_extendedprice', 0.01, 0.99, exact=True)
     return trimmed.groupBy('l_returnflag').agg(
@@ -2490,6 +2494,8 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> SparkDF:
     from ..functions.approx import robust_outlier_flags
 
     (lineitem,) = _t(spark, sf_dir, 'lineitem')
+    from ..sources.readers import ensure_min_parallelism
+    lineitem = ensure_min_parallelism(lineitem)
     flagged = robust_outlier_flags(
         lineitem, 'l_extendedprice', keys='l_returnflag', z=3.5)
     return flagged.groupBy('l_returnflag').agg(
