@@ -297,3 +297,79 @@ def running_topk(
         outputMode='Update',
         timeMode='None',
     )
+
+
+EWMA_OUTPUT_SCHEMA = 'key string, seq bigint, value double, ewma double'
+_EWMA_STATE_SCHEMA = 'e double'
+
+
+def _make_ewma_fn(alpha: float):
+    def _ewma_fn(
+        key: Tuple[str],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:        # pragma: no cover - no timeout set
+            state.remove()
+            return
+        e = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            pdf = pdf.sort_values('seq', kind='mergesort')
+            out = []
+            for v in pdf['value']:
+                if v is None or pd.isna(v):
+                    out.append(e)
+                    continue
+                e = float(v) if e is None \
+                    else alpha * float(v) + (1.0 - alpha) * e
+                out.append(e)
+            pdf = pdf.copy()
+            pdf['ewma'] = out
+            yield pdf[['key', 'seq', 'value', 'ewma']]
+        if e is not None:
+            state.update((e,))
+
+    return _ewma_fn
+
+
+def streaming_ewma(
+    df: SparkDF,
+    key_col: str,
+    value_col: str,
+    order_col: str,
+    alpha: float,
+) -> SparkDF:
+    """Per-key EWMA maintained ACROSS micro-batches: operator state
+    holds each key's last smoothed value, so the recurrence continues
+    seamlessly from one batch to the next — the streaming face of
+    ``operators.timeseries.ewma`` (which handles the batch case and
+    pins the recurrence itself).
+
+    Rows are smoothed in ``order_col`` order WITHIN each micro-batch;
+    cross-batch ordering is the source's responsibility (event-time
+    re-ordering needs a watermarked sort upstream — state here is
+    deliberately one double per key, not a reorder buffer). Emits one
+    row per input row (append semantics): ``(key, seq, value, ewma)``.
+
+    Batch frames delegate to the batch walk, so the same pipeline
+    code is testable offline.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f'alpha must be in (0, 1], got {alpha}')
+    keyed = df.select(
+        F.col(key_col).cast('string').alias('key'),
+        F.col(order_col).cast('bigint').alias('seq'),
+        F.col(value_col).cast('double').alias('value'),
+    )
+    if not df.isStreaming:
+        from ..operators.timeseries import ewma as batch_ewma
+
+        return batch_ewma(keyed, 'value', 'seq', 'key', alpha) \
+            .select('key', 'seq', 'value', 'ewma')
+    return keyed.groupBy('key').applyInPandasWithState(
+        _make_ewma_fn(alpha),
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode='append',
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -258,3 +258,61 @@ class TestRunningTopK:
         want = {r['key']: list(r['topk'])
                 for r in running_topk(batch_df, 'k', k=3).collect()}
         assert got == want, (got, want)
+
+
+class TestStreamingEwma:
+    def test_state_continues_across_microbatches(
+            self, spark_session, tmp_path):
+        from ons_utils_spark.operators.timeseries import _ewma_walk
+        from ons_utils_spark.streaming.stateful import streaming_ewma
+        import numpy as np
+
+        in_dir = str(tmp_path / 'in')
+        schema = 'k string, seq bigint, value double'
+        vals = [5.0, 9.0, 2.0, 7.0, 4.0, 8.0]
+
+        def chunk(rows):
+            spark_session.createDataFrame(rows, schema) \
+                .coalesce(1).write.mode('append').parquet(in_dir)
+
+        chunk([('a', i, v) for i, v in enumerate(vals[:3])])
+        stream = (spark_session.readStream.schema(schema)
+                  .option('maxFilesPerTrigger', 1).parquet(in_dir))
+        out = streaming_ewma(stream, 'k', 'value', 'seq', alpha=0.5)
+        q = (out.writeStream.format('memory')
+             .queryName('ewma_sink').outputMode('append')
+             .option('checkpointLocation', str(tmp_path / 'ckpt'))
+             .start())
+        try:
+            q.processAllAvailable()
+            chunk([('a', 3 + i, v) for i, v in enumerate(vals[3:])])
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        rows = {r['seq']: r['ewma'] for r in spark_session.sql(
+            'SELECT * FROM ewma_sink').collect()}
+        want = _ewma_walk(np.array(vals), 0.5)
+        # the recurrence must CONTINUE across the batch boundary,
+        # not restart at seq 3
+        for i in range(len(vals)):
+            assert rows[i] == pytest.approx(want[i], abs=1e-12), i
+
+    def test_batch_frame_delegates(self, spark_session):
+        from ons_utils_spark.streaming.stateful import streaming_ewma
+        df = spark_session.createDataFrame(
+            [('a', 1, 8.0), ('a', 2, 4.0), ('b', 1, 10.0)],
+            'k string, seq bigint, value double')
+        out = {(r['key'], r['seq']): r['ewma']
+               for r in streaming_ewma(
+                   df, 'k', 'value', 'seq', 0.5).collect()}
+        assert out[('a', 1)] == 8.0
+        assert out[('a', 2)] == 6.0
+        assert out[('b', 1)] == 10.0
+
+    def test_alpha_validated(self, spark_session):
+        from ons_utils_spark.streaming.stateful import streaming_ewma
+        df = spark_session.createDataFrame(
+            [('a', 1, 1.0)], 'k string, seq bigint, value double')
+        with pytest.raises(ValueError, match='alpha'):
+            streaming_ewma(df, 'k', 'value', 'seq', 2.0)
