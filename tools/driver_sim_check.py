@@ -29,6 +29,9 @@ SENSITIVE = (
     'q_sessionize', 'q_calendar_gaps', 'q_first_touch',
     'q12_late_shipments', 'q7_nation_volume', 'q_lag_orders',
     'q_sliding_events', 'q_session_windows', 'q_latest_events',
+    # round-4 timestamp-heavy additions (epoch_us duration math,
+    # event-time interval join, per-key time-ordered recurrence)
+    'q_scd2_history', 'q_interval_join', 'q_ewma',
 )
 
 
