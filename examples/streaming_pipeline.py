@@ -10,6 +10,9 @@ from ons_utils_spark streaming operators:
     and, on the same stream,
       → watermarked tumbling-window aggregation
       → foreachBatch sink (update mode, driver-side merge)
+    and, on a sequence-ordered replay,
+      → per-key stateful EWMA baselines (applyInPandasWithState,
+        recurrence state carried across micro-batches)
 
 Everything is verified at the end against DuckDB on the source
 parquet and against the same aggregation run in batch mode (the
@@ -135,7 +138,55 @@ def run_pipeline(spark, sf_dir: str, work: str) -> dict:
         len(windows), len(batch_agg),
         sorted(set(windows) ^ set(batch_agg))[:5])
     print(f'windowed agg: {len(windows)} windows match batch run')
-    return {'n_bronze': n_bronze, 'n_windows': len(windows)}
+
+    # ---- path 3: stateful EWMA baselines (custom operator state) ---
+    # Sequence-ordered staging (one file per event_id third,
+    # mtime-staggered so the file source replays them in order): the
+    # recurrence is order-sensitive, so this path models the
+    # production case of roughly in-order arrival; the watermarked
+    # paths above deliberately model the out-of-order case.
+    from ons_utils_spark.streaming.stateful import streaming_ewma
+
+    ordered_dir = os.path.join(work, 'ordered')
+    src = read_parquet(spark, events_path).dropDuplicates(['event_id'])
+    bounds = src.approxQuantile(
+        'event_id', [1 / 3, 2 / 3], 0.0)
+    chunks = [
+        src.filter(F.col('event_id') < bounds[0]),
+        src.filter((F.col('event_id') >= bounds[0])
+                   & (F.col('event_id') < bounds[1])),
+        src.filter(F.col('event_id') >= bounds[1]),
+    ]
+    for i, chunk in enumerate(chunks):
+        path = os.path.join(ordered_dir, f'chunk={i}')
+        chunk.coalesce(1).write.mode('overwrite').parquet(path)
+        for name in os.listdir(path):
+            full = os.path.join(path, name)
+            os.utime(full, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    smoothed = streaming_ewma(
+        spark.readStream.schema(SCHEMA)
+        .option('maxFilesPerTrigger', 1)
+        .option('recursiveFileLookup', 'true').parquet(ordered_dir),
+        'user_id', 'value', 'event_id', alpha=0.3)
+    q3 = (smoothed.writeStream.format('memory')
+          .queryName('ewma_sink').outputMode('append')
+          .option('checkpointLocation', os.path.join(work, 'ckpt_ewma'))
+          .trigger(availableNow=True).start())
+    q3.awaitTermination(300)
+
+    got = {(r['key'], r['seq']): r['ewma'] for r in
+           spark.sql('SELECT * FROM ewma_sink').collect()}
+    want = {(r['key'], r['seq']): r['ewma'] for r in
+            streaming_ewma(src, 'user_id', 'value', 'event_id',
+                           alpha=0.3).collect()}
+    assert len(got) == len(want)
+    mismatched = [k for k in want
+                  if abs((got[k] or 0) - (want[k] or 0)) > 1e-9]
+    assert not mismatched, mismatched[:5]
+    print(f'streaming EWMA: {len(got)} rows match the batch walk')
+    return {'n_bronze': n_bronze, 'n_windows': len(windows),
+            'n_ewma': len(got)}
 
 
 def main() -> None:

@@ -58,6 +58,7 @@ def test_streaming_pipeline_on_testdata(spark_session, tmp_path):
         spark_session, '/root/testdata/sf0.001', str(tmp_path / 'wk'))
     assert stats['n_bronze'] == 1000
     assert stats['n_windows'] > 0
+    assert stats['n_ewma'] == 1000  # stateful path covers every row
 
 
 def test_training_chunks(spark_session):
