@@ -10,7 +10,7 @@ produce different estimates); tests bound the relative error instead.
 """
 from __future__ import annotations
 
-from typing import Sequence, Union
+from typing import Optional, Sequence, Union
 
 from pyspark.sql import Column as SparkCol
 from pyspark.sql import DataFrame as SparkDF
@@ -155,4 +155,48 @@ def robust_outlier_flags(
         .withColumn('is_outlier', F.coalesce(
             F.abs(F.col('robust_z')) > z, F.lit(False)))
         .drop('__med', '__mad')
+    )
+
+
+def winsorize(
+    df: SparkDF,
+    col: ColumnOrName,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    exact: bool = True,
+    output_col: Optional[str] = None,
+) -> SparkDF:
+    """CLIP ``col`` to its [P_lower, P_upper] percentile bounds —
+    the keep-every-row sibling of :func:`filter_by_percentile_range`
+    (winsorization preserves row counts and joins downstream; use it
+    when dropping outlier rows would bias per-group denominators).
+
+    Writes ``output_col`` (default: overwrite ``col`` when it is a
+    plain column name). Same plan shape as the filter variant: one
+    percentile aggregate (array of both bounds, single buffer)
+    broadcast onto the rows; ``exact=False`` switches to the t-digest
+    sketch for the 100 TB path.
+    """
+    if not 0.0 <= lower <= upper <= 1.0:
+        raise ValueError(f'need 0 <= lower <= upper <= 1, '
+                         f'got {lower}/{upper}')
+    c = convert_to_spark_col(col)
+    if output_col is None:
+        if not isinstance(col, str):
+            raise ValueError(
+                'output_col is required when col is an expression')
+        output_col = col
+    fn = F.percentile if exact else F.approx_percentile
+    bounds = df.agg(
+        fn(c, F.array(F.lit(lower), F.lit(upper))).alias('__b')
+    ).select(
+        F.col('__b')[0].alias('__lo'),
+        F.col('__b')[1].alias('__hi'),
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            output_col,
+            F.least(F.greatest(c, F.col('__lo')), F.col('__hi')))
+        .drop('__lo', '__hi')
     )

@@ -2391,6 +2391,25 @@ def q_pack_bins(spark: SparkSession, sf_dir: str) -> SparkDF:
         'source', 'bin_id', 'n_docs', 'bin_tokens')
 
 
+def q_winsorized_revenue(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Winsorized revenue summary (``functions.approx.winsorize``):
+    clip extendedprice to [P05, P95] — every row kept (no denominator
+    bias), one percentile agg broadcast onto the rows — then compare
+    clipped vs raw sums per return flag."""
+    from ..functions.approx import winsorize
+    from ..sources.readers import ensure_min_parallelism
+
+    (lineitem,) = _t(spark, sf_dir, 'lineitem')
+    lineitem = ensure_min_parallelism(lineitem)
+    clipped = winsorize(lineitem, 'l_extendedprice', 0.05, 0.95,
+                        output_col='price_w')
+    return clipped.groupBy('l_returnflag').agg(
+        F.count(F.lit(1)).alias('n_lines'),
+        F.round(F.sum('l_extendedprice'), 2).alias('sum_raw'),
+        F.round(F.sum('price_w'), 2).alias('sum_winsorized'),
+    )
+
+
 def q_profile_docs(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Table profiling (``functions.schema.profile_columns``): null /
     distinct / min / max per column in ONE aggregation pass (multi-
@@ -2792,6 +2811,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_weighted_sample': q_weighted_sample,
     'q_mixture_sample': q_mixture_sample,
     'q_profile_docs': q_profile_docs,
+    'q_winsorized_revenue': q_winsorized_revenue,
     # rows-only (DuckDB has no DEFLATE codec):
     'q_compression_quality': q_compression_quality,
 }
@@ -4432,6 +4452,20 @@ ORACLES: Dict[str, str] = {
             PARTITION BY o_orderstatus
             ORDER BY md5(CAST(o_orderkey AS VARCHAR)) ASC,
                      o_orderkey ASC) <= 7
+    """,
+    'q_winsorized_revenue': """
+        WITH b AS (
+            SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
+                   quantile_cont(l_extendedprice, 0.95) AS hi
+            FROM lineitem
+        )
+        SELECT l_returnflag,
+               count(*) AS n_lines,
+               round(sum(l_extendedprice), 2) AS sum_raw,
+               round(sum(least(greatest(l_extendedprice, lo), hi)), 2)
+                   AS sum_winsorized
+        FROM lineitem CROSS JOIN b
+        GROUP BY l_returnflag
     """,
     'q_profile_docs': """
         WITH stats AS (

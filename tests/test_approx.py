@@ -113,3 +113,34 @@ class TestRobustOutlierFlags:
         out = robust_outlier_flags(df, 'x').collect()
         assert all(r['robust_z'] is None for r in out)
         assert all(r['is_outlier'] is False for r in out)
+
+
+class TestWinsorize:
+    def test_clips_both_tails(self, spark_session):
+        from ons_utils_spark.functions.approx import winsorize
+        vals = [float(v) for v in range(1, 101)]
+        df = spark_session.createDataFrame([(v,) for v in vals],
+                                           'x double')
+        out = winsorize(df, 'x', 0.10, 0.90).collect()
+        assert len(out) == 100                     # every row kept
+        xs = sorted(r['x'] for r in out)
+        # exact interpolated P10/P90 of 1..100 are 10.9 and 90.1
+        assert xs[0] == pytest.approx(10.9)
+        assert xs[-1] == pytest.approx(90.1)
+        # interior values untouched
+        assert 50.0 in xs
+
+    def test_output_col_preserves_original(self, spark_session):
+        from ons_utils_spark.functions.approx import winsorize
+        df = spark_session.createDataFrame(
+            [(1.0,), (100.0,)], 'x double')
+        out = winsorize(df, 'x', 0.0, 0.5, output_col='xw').collect()
+        assert {r['x'] for r in out} == {1.0, 100.0}
+        assert max(r['xw'] for r in out) < 100.0
+
+    def test_expression_requires_output_col(self, spark_session):
+        from ons_utils_spark.functions.approx import winsorize
+        from pyspark.sql import functions as F
+        df = spark_session.createDataFrame([(1.0,)], 'x double')
+        with pytest.raises(ValueError, match='output_col'):
+            winsorize(df, F.col('x') * 2)
