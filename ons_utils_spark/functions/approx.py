@@ -20,6 +20,32 @@ from .columns import convert_to_spark_col
 
 ColumnOrName = Union[str, SparkCol]
 
+#: Row-count ceiling for sort-based exact percentiles under
+#: ``exact='auto'``. Exact ``F.percentile`` buffers the whole column
+#: in ONE final aggregate buffer (single reducer) — correct and
+#: oracle-reproducible at test scale, an OOM at 100 TB. Above this
+#: many rows 'auto' switches to the t-digest ``approx_percentile``
+#: sketch (fixed-size, map-side mergeable).
+MAX_EXACT_PERCENTILE_ROWS = 10_000_000
+
+
+def _resolve_exact(df: SparkDF, exact, max_exact_rows: int) -> bool:
+    """Resolve ``exact`` ∈ {True, False, 'auto'} to a concrete bool.
+
+    'auto' runs a BOUNDED probe — ``limit(n+1)`` over a pruned
+    1-column projection, so the job touches at most ``n+1`` rows no
+    matter how large ``df`` is (no full count scan) — and picks the
+    exact sort-based percentile only when the frame provably fits a
+    single aggregate buffer.
+    """
+    if exact == 'auto':
+        probe = (
+            df.select(F.lit(1).alias('__probe'))
+            .limit(max_exact_rows + 1).count()
+        )
+        return probe <= max_exact_rows
+    return bool(exact)
+
 
 def approx_distinct(col: ColumnOrName, rsd: float = 0.05) -> SparkCol:
     """HyperLogLog++ distinct-count estimate (relative std dev ``rsd``).
@@ -74,7 +100,8 @@ def filter_by_percentile_range(
     col: ColumnOrName,
     lower: float = 0.01,
     upper: float = 0.99,
-    exact: bool = True,
+    exact='auto',
+    max_exact_rows: int = MAX_EXACT_PERCENTILE_ROWS,
 ) -> SparkDF:
     """Keep rows whose ``col`` lies within [P_lower, P_upper].
 
@@ -85,13 +112,17 @@ def filter_by_percentile_range(
     interpolated, oracle-reproducible); ``exact=False`` uses the
     t-digest ``approx_percentile`` sketch (map-side partials only —
     preferred at 100 TB where a 1% error on the trim bound is
-    irrelevant).
+    irrelevant). The default ``'auto'`` probes the row count with a
+    bounded ``limit(max_exact_rows+1)`` job and picks exact only when
+    the column provably fits one aggregate buffer — so the same call
+    is oracle-exact at test scale and sketch-based at 100 TB.
     """
     if not 0.0 <= lower <= upper <= 1.0:
         raise ValueError(f'need 0 <= lower <= upper <= 1, '
                          f'got {lower}/{upper}')
     c = convert_to_spark_col(col)
-    fn = F.percentile if exact else F.approx_percentile
+    fn = F.percentile if _resolve_exact(df, exact, max_exact_rows) \
+        else F.approx_percentile
     # Both bounds from ONE aggregate buffer (array of percentages) —
     # two separate percentile aggs would each buffer the full column.
     bounds = df.agg(
@@ -112,6 +143,8 @@ def robust_outlier_flags(
     col: ColumnOrName,
     keys: Union[str, Sequence[str], None] = None,
     z: float = 3.5,
+    exact='auto',
+    max_exact_rows: int = MAX_EXACT_PERCENTILE_ROWS,
 ) -> SparkDF:
     """Flag outliers by the modified z-score
     ``0.6745·(x − median) / MAD`` (Iglewicz–Hoaglin): robust to the
@@ -122,28 +155,32 @@ def robust_outlier_flags(
     group has no meaningful score) and boolean ``is_outlier``.
     Per-``keys`` when given, corpus-global otherwise.
 
-    Plan: two exact-percentile aggregates (median, then median
-    absolute deviation, which NEEDS the median first — inherently
-    two passes) + two broadcast joins of the tiny per-group stats
-    back onto the rows. At 100 TB swap ``F.percentile`` for
-    ``approx_percentile`` via :func:`filter_by_percentile_range`'s
-    pattern if the exact per-group sort is too hot; the z-score
-    math is unchanged.
+    Plan: two percentile aggregates (median, then median absolute
+    deviation, which NEEDS the median first — inherently two passes)
+    + two broadcast joins of the tiny per-group stats back onto the
+    rows. ``exact='auto'`` (default) uses the sort-based exact
+    ``percentile`` only when a bounded probe shows the frame fits a
+    single aggregate buffer (an upper bound on every group's buffer);
+    above ``max_exact_rows`` it switches to the t-digest
+    ``approx_percentile`` sketch — the z-score math is unchanged and
+    a ≤1% error on median/MAD does not move a 3.5-sigma screen.
     """
     from ..generic import list_convert
 
     c = convert_to_spark_col(col)
     key_list = list_convert(keys) if keys else []
+    fn = F.percentile if _resolve_exact(df, exact, max_exact_rows) \
+        else F.approx_percentile
 
     def grouped(frame):
         return frame.groupBy(*key_list) if key_list else frame.groupBy()
 
-    med = grouped(df).agg(F.percentile(c, F.lit(0.5)).alias('__med'))
+    med = grouped(df).agg(fn(c, F.lit(0.5)).alias('__med'))
     with_med = (df.join(F.broadcast(med), key_list, 'left')
                 if key_list else df.crossJoin(F.broadcast(med)))
     dev = F.abs(c - F.col('__med'))
     mad = grouped(with_med).agg(
-        F.percentile(dev, F.lit(0.5)).alias('__mad'))
+        fn(dev, F.lit(0.5)).alias('__mad'))
     with_mad = (with_med.join(F.broadcast(mad), key_list, 'left')
                 if key_list else with_med.crossJoin(F.broadcast(mad)))
     score = F.when(
@@ -163,8 +200,9 @@ def winsorize(
     col: ColumnOrName,
     lower: float = 0.01,
     upper: float = 0.99,
-    exact: bool = True,
+    exact='auto',
     output_col: Optional[str] = None,
+    max_exact_rows: int = MAX_EXACT_PERCENTILE_ROWS,
 ) -> SparkDF:
     """CLIP ``col`` to its [P_lower, P_upper] percentile bounds —
     the keep-every-row sibling of :func:`filter_by_percentile_range`
@@ -174,8 +212,10 @@ def winsorize(
     Writes ``output_col`` (default: overwrite ``col`` when it is a
     plain column name). Same plan shape as the filter variant: one
     percentile aggregate (array of both bounds, single buffer)
-    broadcast onto the rows; ``exact=False`` switches to the t-digest
-    sketch for the 100 TB path.
+    broadcast onto the rows; ``exact='auto'`` (default) resolves to
+    the exact sort-based percentile only below ``max_exact_rows``
+    (bounded probe — see :func:`filter_by_percentile_range`), else
+    the t-digest sketch for the 100 TB path.
     """
     if not 0.0 <= lower <= upper <= 1.0:
         raise ValueError(f'need 0 <= lower <= upper <= 1, '
@@ -186,7 +226,8 @@ def winsorize(
             raise ValueError(
                 'output_col is required when col is an expression')
         output_col = col
-    fn = F.percentile if exact else F.approx_percentile
+    fn = F.percentile if _resolve_exact(df, exact, max_exact_rows) \
+        else F.approx_percentile
     bounds = df.agg(
         fn(c, F.array(F.lit(lower), F.lit(upper))).alias('__b')
     ).select(

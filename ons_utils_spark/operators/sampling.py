@@ -23,7 +23,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     'hash_split', 'split_thresholds', 'hash_fraction_filter',
-    'stratified_sample_exact',
+    'stratified_sample_exact', 'weighted_sample_exact',
+    'mixture_sample',
 ]
 
 _PREFIX_LEN = 6
@@ -129,9 +130,12 @@ def stratified_sample_exact(
     if k <= 0:
         raise ValueError(f'k must be positive, got {k}')
     from pyspark.sql import Window
+    # NULL ids hash to a NULL tag: rank them LAST (Spark asc is
+    # NULLS FIRST; DuckDB's is NULLS LAST) so they never displace a
+    # real row and the oracle replay agrees across engines.
     tag = F.md5(F.concat(F.lit(salt), F.col(id_col).cast('string')))
     w = Window.partitionBy(group_col).orderBy(
-        tag.asc(), F.col(id_col).asc())
+        tag.asc_nulls_last(), F.col(id_col).asc_nulls_last())
     return (
         df.withColumn('_rk', F.row_number().over(w))
         .filter(F.col('_rk') <= k)
@@ -213,10 +217,12 @@ def mixture_sample(
 
     if not budgets:
         raise ValueError('budgets must name at least one group')
+    # NULL-id rows rank last (see stratified_sample_exact): they only
+    # consume budget after every real row, identically on any engine.
     tag = F.md5(F.concat(F.lit(salt), F.col(id_col).cast('string')))
     w = (
         Window.partitionBy(group_col)
-        .orderBy(tag.asc(), F.col(id_col).asc())
+        .orderBy(tag.asc_nulls_last(), F.col(id_col).asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     budget_map = F.create_map(*[

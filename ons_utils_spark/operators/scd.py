@@ -48,8 +48,13 @@ def scd2_from_events(
 
     Change detection is null-safe (``NULL → 'a'`` and ``'a' → NULL``
     both count as changes; ``NULL → NULL`` does not), so nullable
-    attributes are safe. Output: keys + state_cols + ``valid_from``,
-    ``valid_to``, ``is_current``.
+    attributes are safe. Output: keys + state_cols [+ ``tiebreak``]
+    + ``valid_from``, ``valid_to``, ``is_current``. The tiebreak
+    value of each episode's OPENING event is persisted in the output
+    so that re-deriving history (:func:`scd2_apply_updates`) has a
+    total order even when two episodes of one key share the same
+    ``valid_from`` — without it, episode order (and hence
+    valid_to/is_current) could flip between applies.
     """
     key_list = list_convert(keys)
     state_list = list_convert(state_cols)
@@ -70,9 +75,11 @@ def scd2_from_events(
         .drop('__chg')
     )
     w2 = Window.partitionBy(*key_list).orderBy(*order)
+    tb_cols = [F.col(tiebreak)] if tiebreak else []
     out = episodes.select(
         *key_list,
         *state_list,
+        *tb_cols,
         F.col(ts_col).alias('valid_from'),
         F.lead(ts_col).over(w2).alias('valid_to'),
     )
@@ -100,9 +107,14 @@ def scd2_apply_updates(
     range to keep the exchange balanced.
 
     ``updates`` must carry ``keys + state_cols + ts_col`` (and
-    ``tiebreak`` if given; history pseudo-events get a NULL tiebreak,
-    which sorts first — an existing episode wins a same-timestamp
-    tie, i.e. the update is treated as the later change).
+    ``tiebreak`` if given). Histories built by
+    :func:`scd2_from_events` persist each episode's opening tiebreak,
+    so pseudo-events re-derive under the ORIGINAL total order —
+    same-timestamp episodes keep their relative order across repeated
+    applies (idempotence holds). For legacy histories lacking the
+    tiebreak column, pseudo-events get a NULL tiebreak, which sorts
+    first: an existing episode wins a same-timestamp tie, i.e. the
+    update is treated as the later change.
     """
     key_list = list_convert(keys)
     state_list = list_convert(state_cols)

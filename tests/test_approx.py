@@ -144,3 +144,45 @@ class TestWinsorize:
         df = spark_session.createDataFrame([(1.0,)], 'x double')
         with pytest.raises(ValueError, match='output_col'):
             winsorize(df, F.col('x') * 2)
+
+
+class TestExactAutoGuard:
+    """exact='auto' must pick the exact sort percentile only below
+    max_exact_rows — the single-reducer buffer guard (VERDICT r4)."""
+
+    def test_small_frame_resolves_exact(self, spark_session):
+        from ons_utils_spark.functions.approx import _resolve_exact
+        df = spark_session.createDataFrame(
+            [(float(i),) for i in range(10)], 'v double')
+        assert _resolve_exact(df, 'auto', 100) is True
+
+    def test_large_frame_resolves_approx(self, spark_session):
+        from ons_utils_spark.functions.approx import _resolve_exact
+        df = spark_session.range(500).selectExpr('CAST(id AS DOUBLE) v')
+        assert _resolve_exact(df, 'auto', 100) is False
+
+    def test_explicit_bool_bypasses_probe(self, spark_session):
+        from ons_utils_spark.functions.approx import _resolve_exact
+        df = spark_session.range(500).selectExpr('CAST(id AS DOUBLE) v')
+        assert _resolve_exact(df, True, 1) is True
+        assert _resolve_exact(df, False, 10**9) is False
+
+    def test_auto_above_threshold_still_close(self, spark_session):
+        """Over the ceiling, 'auto' silently switches to t-digest —
+        results stay within sketch tolerance."""
+        from ons_utils_spark.functions.approx import winsorize
+        df = spark_session.createDataFrame(
+            [(float(i),) for i in range(1000)], 'x double')
+        out = winsorize(df, 'x', 0.05, 0.95,
+                        max_exact_rows=100).collect()
+        assert len(out) == 1000
+        xs = sorted(r['x'] for r in out)
+        assert 30 <= xs[0] <= 70 and 930 <= xs[-1] <= 970
+
+    def test_mad_outliers_auto_approx_same_flags(self, spark_session):
+        from ons_utils_spark.functions.approx import robust_outlier_flags
+        vals = [float(v) for v in range(100)] + [10000.0]
+        df = spark_session.createDataFrame([(v,) for v in vals],
+                                           'x double')
+        out = robust_outlier_flags(df, 'x', max_exact_rows=10).collect()
+        assert [r['x'] for r in out if r['is_outlier']] == [10000.0]

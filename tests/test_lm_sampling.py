@@ -274,3 +274,38 @@ class TestMixtureSample:
         from ons_utils_spark.operators.sampling import mixture_sample
         with pytest.raises(ValueError, match='budgets'):
             mixture_sample(corpus, 'source', 'doc_id', 'n_tokens', {})
+
+
+class TestNullIdOrdering:
+    """NULL ids hash to a NULL tag; they must rank LAST (never
+    displacing a real row) and identically to DuckDB's ASC NULLS
+    LAST default (ADVICE r4)."""
+
+    def test_stratified_null_ids_never_displace(self, spark_session):
+        from ons_utils_spark.operators.sampling import (
+            stratified_sample_exact,
+        )
+        rows = [('g', i) for i in range(1, 6)] + [('g', None)] * 3
+        df = spark_session.createDataFrame(rows, 'grp string, id int')
+        kept = stratified_sample_exact(df, 'grp', 'id', 5).collect()
+        assert sorted(r['id'] for r in kept) == [1, 2, 3, 4, 5]
+
+    def test_stratified_null_ids_fill_leftover_slots(
+            self, spark_session):
+        from ons_utils_spark.operators.sampling import (
+            stratified_sample_exact,
+        )
+        rows = [('g', 1), ('g', None), ('g', None)]
+        df = spark_session.createDataFrame(rows, 'grp string, id int')
+        kept = stratified_sample_exact(df, 'grp', 'id', 2).collect()
+        ids = sorted((r['id'] is None, r['id'] or 0) for r in kept)
+        assert len(kept) == 2 and ids[0] == (False, 1)
+
+    def test_mixture_null_ids_consume_budget_last(self, spark_session):
+        from ons_utils_spark.operators.sampling import mixture_sample
+        rows = [('s', 'a', 10), ('s', 'b', 10), ('s', None, 10)]
+        df = spark_session.createDataFrame(
+            rows, 'source string, doc_id string, n_tokens int')
+        kept = {r['doc_id'] for r in mixture_sample(
+            df, 'source', 'doc_id', 'n_tokens', {'s': 20}).collect()}
+        assert kept == {'a', 'b'}

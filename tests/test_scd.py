@@ -117,3 +117,39 @@ class TestScd2ApplyUpdates:
             hist, upd, 'uid', 't', 'state', 'eid')
         u2 = [r for r in merged.collect() if r['uid'] == 2]
         assert len(u2) == 1 and u2[0]['is_current']
+
+
+class TestTiebreakPersistence:
+    """Histories persist each episode's opening tiebreak so repeated
+    applies re-derive under the ORIGINAL total order (ADVICE r4):
+    same-valid_from episodes must not flip between applies."""
+
+    def test_history_carries_tiebreak_column(self, log):
+        hist = scd2_from_events(log, 'uid', 't', 'state', 'eid')
+        assert 'eid' in hist.columns
+        eids = {r['eid'] for r in hist.collect()}
+        assert eids == {10, 12, 13, 20}          # episode openers
+
+    def test_no_tiebreak_no_extra_column(self, log):
+        hist = scd2_from_events(log, 'uid', 't', 'state')
+        assert 'eid' not in hist.columns
+
+    def test_same_valid_from_episodes_stable_across_applies(
+            self, spark_session):
+        import datetime as dt
+        t0 = dt.datetime(2024, 1, 1, 9, 0)
+        base = spark_session.createDataFrame(
+            [(1, t0, 'a', 1), (1, t0, 'b', 2)],
+            'uid bigint, t timestamp, state string, eid bigint')
+        hist = scd2_from_events(base, 'uid', 't', 'state', 'eid')
+        upd = spark_session.createDataFrame(
+            [(2, t0, 'x', 9)],
+            'uid bigint, t timestamp, state string, eid bigint')
+        once = scd2_apply_updates(hist, upd, 'uid', 't', 'state', 'eid')
+        twice = scd2_apply_updates(once, upd, 'uid', 't', 'state', 'eid')
+        a = sorted(map(tuple, once.collect()))
+        b = sorted(map(tuple, twice.collect()))
+        assert a == b
+        cur = [r['state'] for r in once.collect()
+               if r['uid'] == 1 and r['is_current']]
+        assert cur == ['b']                      # eid 2 stays current
