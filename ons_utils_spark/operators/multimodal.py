@@ -9,16 +9,20 @@ tested.
 
 Decoders: PPM (P6/P5 binary, P3/P2 ASCII), uncompressed 24/32-bit
 BMP, non-interlaced PNG (zlib inflate + all five scanline filters,
-gray/RGB/palette/alpha at 8/16-bit depth), and RIFF/WAVE PCM audio
-are decoded FOR REAL in pure Python/numpy (:func:`decode_ppm`,
-:func:`decode_bmp`, :func:`decode_png`, :func:`decode_wav`) — image
-features are an 8-bin luminance histogram of the actual pixels; audio
-features are the 8-segment RMS energy envelope of the actual samples.
-Formats that need codec libraries not present in this container
-(JPEG/WebP → Pillow; MP3/AAC → ffmpeg/torchaudio) are STUBBED: they
-raise ``NotImplementedError`` unless ``deterministic_fake=True``,
-which produces seeded fake features so pipelines stay testable
-end-to-end.
+gray/RGB/palette/alpha at 8/16-bit depth), JPEG (ITU-T T.81 — BOTH
+sequential AND progressive/SOF2 Huffman, :func:`decode_jpeg`), and
+RIFF/WAVE PCM audio are decoded FOR REAL in pure Python/numpy —
+image features are an 8-bin luminance histogram of the actual
+pixels; audio features are the 8-segment RMS energy envelope of the
+actual samples. MP3 parses FOR REAL at the frame-header level
+(:func:`decode_mp3_meta`: exact duration/rate/bitrate + VBR bitrate
+envelope; filterbank synthesis deliberately out of scope). Formats
+that need codec libraries not present in this container (WebP/AVIF →
+Pillow; AAC/OGG → ffmpeg) raise ``NotImplementedError`` unless
+``deterministic_fake=True`` (seeded fake features for plumbing
+tests) — or pass ``on_undecodable='status'`` to the feature
+extractors for the never-silent counted-skip path
+(``decode_ok``/``decode_error`` columns).
 """
 from __future__ import annotations
 
@@ -323,12 +327,16 @@ class _BitReader:
         self.nbits -= 1
         return (self.buf >> self.nbits) & 1
 
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
     def receive_extend(self, s: int) -> int:
         if s == 0:
             return 0
-        v = 0
-        for _ in range(s):
-            v = (v << 1) | self.read_bit()
+        v = self.read_bits(s)
         return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
     def restart(self) -> None:
@@ -376,8 +384,13 @@ def decode_jpeg(payload: bytes) -> Optional[Tuple[int, int, np.ndarray]]:
     skip dequant + IDCT entirely — the decoder does ~1/2 the IDCT
     work of a full pixel decode at 4:2:0 and never upsamples.
     Supports grayscale and 3-component YCbCr at 4:4:4 / 4:2:2 /
-    4:2:0, restart intervals, 8-bit precision. Progressive (SOF2)
-    and arithmetic-coded (SOF9+) streams raise ``ValueError``.
+    4:2:0, restart intervals, 8-bit precision, and BOTH sequential
+    (SOF0/1) and progressive (SOF2) Huffman coding. Progressive
+    accumulates Y coefficients across DC/AC first + refinement scans
+    (spectral selection, successive approximation, EOBRUN) and
+    byte-skips chroma-only scans entirely (their entropy segments
+    need no decode to locate the next marker). Arithmetic-coded
+    (SOF9+) and hierarchical streams raise ``ValueError``.
     """
     if len(payload) < 4 or payload[:2] != b'\xff\xd8':
         return None
@@ -385,6 +398,7 @@ def decode_jpeg(payload: bytes) -> Optional[Tuple[int, int, np.ndarray]]:
     huff: dict = {}
     frame = None
     restart_interval = 0
+    prog_coef = None
     pos = 2
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -420,7 +434,7 @@ def decode_jpeg(payload: bytes) -> Optional[Tuple[int, int, np.ndarray]]:
                 symbols = list(seg[off + 17:off + 17 + n])
                 huff[(tc, th)] = _HuffTable(counts, symbols)
                 off += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline/ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 seq, SOF2 prog
             precision = seg[0]
             if precision != 8:
                 raise ValueError(
@@ -432,25 +446,48 @@ def decode_jpeg(payload: bytes) -> Optional[Tuple[int, int, np.ndarray]]:
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
                 comps.append({'id': cid, 'h': hv >> 4, 'v': hv & 0x0F,
                               'tq': tq})
-            frame = {'h': h, 'w': w, 'comps': comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = {'h': h, 'w': w, 'comps': comps,
+                     'progressive': marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f'unsupported JPEG coding (SOF{marker - 0xC0}):'
-                ' only baseline/extended sequential Huffman')
+                ' only sequential/progressive Huffman')
         elif marker == 0xDD:  # DRI
             restart_interval, = struct.unpack_from('>H', seg, 0)
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError('JPEG SOS before SOF')
             ns = seg[0]
-            scan_tabs = {}
+            if not frame['progressive']:
+                scan_tabs = {}
+                for i in range(ns):
+                    cs, td_ta = seg[1 + 2 * i:3 + 2 * i]
+                    scan_tabs[cs] = (td_ta >> 4, td_ta & 0x0F)
+                return _decode_scan(
+                    payload, pos, frame, scan_tabs, qt, huff,
+                    restart_interval)
+            scan_comps = []
             for i in range(ns):
                 cs, td_ta = seg[1 + 2 * i:3 + 2 * i]
-                scan_tabs[cs] = (td_ta >> 4, td_ta & 0x0F)
-            return _decode_scan(
-                payload, pos, frame, scan_tabs, qt, huff,
-                restart_interval)
+                scan_comps.append((cs, td_ta >> 4, td_ta & 0x0F))
+            ss, se, ah_al = seg[1 + 2 * ns:4 + 2 * ns]
+            if prog_coef is None:
+                c0 = frame['comps'][0]
+                h_max = max(c['h'] for c in frame['comps'])
+                v_max = max(c['v'] for c in frame['comps'])
+                mcus_x = -(-frame['w'] // (8 * h_max))
+                mcus_y = -(-frame['h'] // (8 * v_max))
+                prog_coef = np.zeros(
+                    (mcus_y * c0['v'], mcus_x * c0['h'], 64),
+                    np.int32)
+            pos = _progressive_scan(
+                payload, pos, frame, scan_comps, ss, se,
+                ah_al >> 4, ah_al & 0x0F, huff, restart_interval,
+                prog_coef)
+    if frame is not None and frame['progressive'] \
+            and prog_coef is not None:
+        return _finish_progressive(frame, qt, prog_coef)
     raise ValueError('JPEG has no scan data')
 
 
@@ -495,6 +532,215 @@ def _decode_scan(payload, pos, frame, scan_tabs, qt, huff,
     comp_w = -(-w * y_comp['h'] // h_max)
     gray = y_plane[:comp_h, :comp_w] / 255.0
     if (comp_h, comp_w) != (h, w):  # Y subsampled (rare): upsample
+        gray = resize_nearest(gray, h, w)
+    return w, h, gray
+
+
+def _skip_entropy(data: bytes, pos: int) -> int:
+    """Advance past an entropy-coded segment to the next real marker.
+
+    Entropy data can only contain 0xFF00 (stuffed), 0xFFD0-D7 (RSTn),
+    or 0xFF fill bytes — so the segment end is locatable WITHOUT
+    decoding, which is how chroma-only progressive scans are skipped
+    in O(bytes) with zero Huffman work.
+    """
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        b = data[pos + 1]
+        if b == 0x00 or 0xD0 <= b <= 0xD7:
+            pos += 2
+        elif b == 0xFF:
+            pos += 1  # fill byte
+        else:
+            return pos
+    return n
+
+
+def _ac_first(br, ac_tab, block, ss, se, al, eobrun):
+    """Progressive AC initial scan for one block (T.81 G.1.2.2)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = ac_tab.decode(br)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << run) - 1
+            if run:
+                eobrun += br.read_bits(run)
+            break
+        k += run
+        if k > se:
+            raise ValueError('progressive AC run past band end')
+        block[k] = br.receive_extend(size) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(br, ac_tab, block, ss, se, al, eobrun):
+    """Progressive AC refinement scan for one block (T.81 G.1.2.3):
+    one correction bit per already-nonzero coefficient (magnitude
+    +1<<al when set), plus newly-significant ±1<<al insertions
+    positioned by runs of zero-HISTORY coefficients."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = ac_tab.decode(br)
+            run, size = rs >> 4, rs & 0x0F
+            newval = 0
+            if size == 0:
+                if run != 15:
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += br.read_bits(run)
+                    break
+                # ZRL: pass 16 zero-history positions below
+            else:
+                if size != 1:
+                    raise ValueError(
+                        'progressive AC refinement size must be 1')
+                newval = p1 if br.read_bit() else m1
+            while k <= se:
+                if block[k] != 0:
+                    if br.read_bit() and (block[k] & p1) == 0:
+                        block[k] += p1 if block[k] >= 0 else m1
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if newval and k <= se:
+                block[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if block[k] != 0:
+                if br.read_bit() and (block[k] & p1) == 0:
+                    block[k] += p1 if block[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _progressive_scan(payload, pos, frame, scan_comps, ss, se, ah, al,
+                      huff, restart_interval, coef):
+    """Decode ONE progressive scan, accumulating Y coefficients into
+    ``coef`` (zigzag order, MCU-padded block grid). Scans that do not
+    touch Y are byte-skipped. Returns the offset of the next marker.
+    """
+    comps = frame['comps']
+    y_id = comps[0]['id']
+    ids = [c[0] for c in scan_comps]
+    if y_id not in ids:
+        return _skip_entropy(payload, pos)
+    h_max = max(c['h'] for c in comps)
+    v_max = max(c['v'] for c in comps)
+    mcus_x = -(-frame['w'] // (8 * h_max))
+    mcus_y = -(-frame['h'] // (8 * v_max))
+    br = _BitReader(payload, pos)
+
+    if ss == 0:  # DC scan (first or refinement)
+        if se != 0:
+            raise ValueError('progressive DC scan must have Se=0')
+        if len(scan_comps) > 1:
+            if len(scan_comps) != len(comps):
+                raise ValueError(
+                    'partial interleaved progressive scan unsupported')
+            cmap = {c['id']: c for c in comps}
+            preds = {cid: 0 for cid, _, _ in scan_comps}
+            n_mcu = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if restart_interval and n_mcu \
+                            and n_mcu % restart_interval == 0:
+                        br.restart()
+                        preds = {cid: 0 for cid, _, _ in scan_comps}
+                    for cid, td, _ta in scan_comps:
+                        c = cmap[cid]
+                        for by in range(c['v']):
+                            for bx in range(c['h']):
+                                if ah == 0:
+                                    s = huff[(0, td)].decode(br)
+                                    preds[cid] += br.receive_extend(s)
+                                    if cid == y_id:
+                                        coef[my * c['v'] + by,
+                                             mx * c['h'] + bx,
+                                             0] = preds[cid] << al
+                                elif br.read_bit() and cid == y_id:
+                                    coef[my * c['v'] + by,
+                                         mx * c['h'] + bx,
+                                         0] |= 1 << al
+                    n_mcu += 1
+        else:
+            cid, td, _ta = scan_comps[0]
+            c = comps[0]
+            bw = -(- (-(-frame['w'] * c['h'] // h_max)) // 8)
+            bh = -(- (-(-frame['h'] * c['v'] // v_max)) // 8)
+            pred = 0
+            nblk = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart_interval and nblk \
+                            and nblk % restart_interval == 0:
+                        br.restart()
+                        pred = 0
+                    if ah == 0:
+                        s = huff[(0, td)].decode(br)
+                        pred += br.receive_extend(s)
+                        coef[by, bx, 0] = pred << al
+                    elif br.read_bit():
+                        coef[by, bx, 0] |= 1 << al
+                    nblk += 1
+    else:  # AC scan: T.81 mandates single-component, here == Y
+        if len(scan_comps) != 1:
+            raise ValueError('interleaved progressive AC scan invalid')
+        _cid, _td, ta = scan_comps[0]
+        ac_tab = huff[(1, ta)]
+        c = comps[0]
+        bw = -(- (-(-frame['w'] * c['h'] // h_max)) // 8)
+        bh = -(- (-(-frame['h'] * c['v'] // v_max)) // 8)
+        step = _ac_first if ah == 0 else _ac_refine
+        eobrun = 0
+        nblk = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and nblk \
+                        and nblk % restart_interval == 0:
+                    br.restart()
+                    eobrun = 0
+                eobrun = step(
+                    br, ac_tab, coef[by, bx], ss, se, al, eobrun)
+                nblk += 1
+    return _skip_entropy(payload, br.pos)
+
+
+def _finish_progressive(frame, qt, coef):
+    """Dequantize + IDCT the accumulated Y coefficients (vectorized
+    over every block at once) and crop to image size."""
+    h, w, comps = frame['h'], frame['w'], frame['comps']
+    c = comps[0]
+    h_max = max(cc['h'] for cc in comps)
+    v_max = max(cc['v'] for cc in comps)
+    dq = coef.astype(np.float64) * qt[c['tq']]
+    natural = np.empty_like(dq)
+    natural[:, :, _ZIGZAG] = dq
+    blocks = natural.reshape(*natural.shape[:2], 8, 8)
+    pix = np.einsum('ij,xyjk,kl->xiyl', _DCT_M.T, blocks, _DCT_M)
+    bh, bw = coef.shape[:2]
+    y_plane = pix.reshape(bh * 8, bw * 8)
+    y_plane = np.clip(y_plane + 128.0, 0.0, 255.0)
+    comp_h = -(-h * c['v'] // v_max)
+    comp_w = -(-w * c['h'] // h_max)
+    gray = y_plane[:comp_h, :comp_w] / 255.0
+    if (comp_h, comp_w) != (h, w):
         gray = resize_nearest(gray, h, w)
     return w, h, gray
 
@@ -669,6 +915,311 @@ def encode_jpeg(
     return bytes(out)
 
 
+class _BitWriter:
+    """Entropy-segment bit emitter with 0xFF byte stuffing (encoder
+    twin of ``_BitReader``; test-fixture grade)."""
+
+    def __init__(self, out: bytearray):
+        self.out = out
+        self.bits: list = []
+
+    def put(self, val: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bits.append((val >> i) & 1)
+
+    def put_sym(self, sym: int) -> None:
+        self.put(sym, 8)  # flat table: code == symbol, 8 bits
+
+    def flush(self) -> None:
+        while len(self.bits) % 8:
+            self.bits.append(1)
+        for i in range(0, len(self.bits), 8):
+            byte = 0
+            for b in self.bits[i:i + 8]:
+                byte = (byte << 1) | b
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+        self.bits.clear()
+
+
+def _quantized_blocks(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """Forward DCT + quantize one plane to ``(bh, bw, 64)`` zigzag
+    integer coefficients (edge-replicated partial blocks)."""
+    h, w = plane.shape
+    bh, bw = -(-h // 8), -(-w // 8)
+    out = np.zeros((bh, bw, 64), np.int64)
+    for by in range(bh):
+        for bx in range(bw):
+            blk = np.zeros((8, 8))
+            rh, rw = min(8, h - by * 8), min(8, w - bx * 8)
+            blk[:rh, :rw] = plane[by * 8:by * 8 + rh,
+                                  bx * 8:bx * 8 + rw]
+            if rw < 8:
+                blk[:, rw:] = blk[:, rw - 1:rw]
+            if rh < 8:
+                blk[rh:, :] = blk[rh - 1:rh, :]
+            coeffs = _DCT_M @ (blk - 128.0) @ _DCT_M.T
+            out[by, bx] = np.round(coeffs.reshape(64)[_ZIGZAG] / qtab)
+    return out
+
+
+def _emit_dc_first(bw: _BitWriter, blocks_per_comp, samps,
+                   al: int) -> None:
+    """Interleaved progressive DC initial scan: diff-coded
+    ``dc >> al``, MCU raster, ``samps[ci]`` blocks per comp per MCU."""
+    preds = [0] * len(blocks_per_comp)
+    h0, v0 = samps[0]
+    mcus_y = blocks_per_comp[0].shape[0] // v0
+    mcus_x = blocks_per_comp[0].shape[1] // h0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, blocks in enumerate(blocks_per_comp):
+                hs, vs = samps[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        scaled = int(
+                            blocks[my * vs + by, mx * hs + bx, 0]
+                        ) >> al
+                        diff = scaled - preds[ci]
+                        preds[ci] = scaled
+                        s = abs(diff).bit_length()
+                        bw.put_sym(s)
+                        if s:
+                            bw.put(diff if diff > 0
+                                   else diff + (1 << s) - 1, s)
+
+
+def _emit_dc_refine(bw: _BitWriter, blocks_per_comp, samps,
+                    al: int) -> None:
+    h0, v0 = samps[0]
+    mcus_y = blocks_per_comp[0].shape[0] // v0
+    mcus_x = blocks_per_comp[0].shape[1] // h0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, blocks in enumerate(blocks_per_comp):
+                hs, vs = samps[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        bw.put((int(
+                            blocks[my * vs + by, mx * hs + bx, 0]
+                        ) >> al) & 1, 1)
+
+
+def _emit_ac_first(bw: _BitWriter, blocks, ss: int, se: int,
+                   al: int) -> None:
+    """Progressive AC initial scan with cross-block EOBRUN."""
+    eob_n = 0
+
+    def flush_eob():
+        nonlocal eob_n
+        while eob_n:
+            chunk = min(eob_n, 32767)
+            r = chunk.bit_length() - 1
+            bw.put_sym(r << 4)
+            if r:
+                bw.put(chunk - (1 << r), r)
+            eob_n -= chunk
+
+    bh, bwid = blocks.shape[:2]
+    for by in range(bh):
+        for bx in range(bwid):
+            v = blocks[by, bx]
+            t = [0] * 64
+            for k in range(ss, se + 1):
+                mag = abs(int(v[k])) >> al
+                t[k] = mag if v[k] >= 0 else -mag
+            if not any(t[ss:se + 1]):
+                eob_n += 1
+                continue
+            flush_eob()
+            run = 0
+            last_nz = max(k for k in range(ss, se + 1) if t[k])
+            for k in range(ss, se + 1):
+                if t[k] == 0:
+                    if k > last_nz:
+                        break
+                    run += 1
+                    continue
+                while run > 15:
+                    bw.put_sym(0xF0)  # ZRL
+                    run -= 16
+                s = abs(t[k]).bit_length()
+                bw.put_sym((run << 4) | s)
+                bw.put(t[k] if t[k] > 0
+                       else t[k] + (1 << s) - 1, s)
+                run = 0
+            if last_nz < se:
+                eob_n += 1  # trailing zeros end the block via EOBRUN
+    flush_eob()
+
+
+def _emit_ac_refine(bw: _BitWriter, blocks, ss: int, se: int,
+                    al: int) -> None:
+    """Progressive AC refinement scan — exact mirror of
+    :func:`_ac_refine`'s read order (correction bits interleave with
+    the zero-history walk), with cross-block EOBRUN buffering."""
+    eob_n = 0
+    eob_bits: list = []
+
+    def hist(v, k):
+        return (abs(int(v[k])) >> (al + 1)) != 0
+
+    def corrbit(v, k):
+        return (abs(int(v[k])) >> al) & 1
+
+    def flush_eob():
+        nonlocal eob_n
+        if not eob_n:
+            return
+        r = eob_n.bit_length() - 1
+        bw.put_sym(r << 4)
+        if r:
+            bw.put(eob_n - (1 << r), r)
+        for b in eob_bits:
+            bw.put(b, 1)
+        eob_bits.clear()
+        eob_n = 0
+
+    bh, bwid = blocks.shape[:2]
+    for by in range(bh):
+        for bx in range(bwid):
+            v = blocks[by, bx]
+            newsig = [k for k in range(ss, se + 1)
+                      if not hist(v, k) and corrbit(v, k)]
+            if not newsig:
+                eob_n += 1
+                eob_bits.extend(corrbit(v, k)
+                                for k in range(ss, se + 1)
+                                if hist(v, k))
+                if eob_n == 32767:
+                    flush_eob()
+                continue
+            flush_eob()
+            p = ss
+            for nxt in newsig:
+                run = sum(1 for k in range(p, nxt) if not hist(v, k))
+                while run > 15:
+                    bw.put_sym(0xF0)  # ZRL: 16 zero-history skips
+                    cnt = 0
+                    while cnt < 16:
+                        if hist(v, p):
+                            bw.put(corrbit(v, p), 1)
+                        else:
+                            cnt += 1
+                        p += 1
+                    run -= 16
+                bw.put_sym((run << 4) | 1)
+                bw.put(1 if v[nxt] > 0 else 0, 1)
+                while p < nxt:
+                    if hist(v, p):
+                        bw.put(corrbit(v, p), 1)
+                    p += 1
+                p = nxt + 1
+            if p <= se:
+                eob_n += 1
+                eob_bits.extend(corrbit(v, k) for k in range(p, se + 1)
+                                if hist(v, k))
+    flush_eob()
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    quant: int = 1,
+    spectral_split: int = 5,
+    subsampling: str = '444',
+) -> bytes:
+    """Minimal progressive (SOF2) JFIF encoder (test-fixture grade)
+    — exists so :func:`decode_jpeg`'s progressive path is verified
+    against an independently-constructed bitstream. Scan script:
+    interleaved DC first (Al=1), per-component AC first in two
+    spectral bands (1..``spectral_split``, rest; Al=1), DC refinement,
+    per-component AC refinements — exercising spectral selection,
+    successive approximation, EOBRUN, the decoder's chroma-scan
+    byte-skip (color), and subsampled interleaved DC MCUs
+    (``subsampling='420'``).
+    """
+    img = np.asarray(img)
+    if img.dtype.kind in 'iu':
+        img = img.astype(np.float64) / 255.0
+    if img.ndim == 2:
+        planes = [np.asarray(img, np.float64) * 255.0]
+        samps = [(1, 1)]
+    else:
+        rgb = np.asarray(img, np.float64) * 255.0
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        fac = {'444': (1, 1), '420': (2, 2)}[subsampling]
+        planes = [y, cb[::fac[1], ::fac[0]], cr[::fac[1], ::fac[0]]]
+        samps = [fac, (1, 1), (1, 1)]
+    h, w = planes[0].shape
+    ncomp = len(planes)
+    h_max = max(s[0] for s in samps)
+    v_max = max(s[1] for s in samps)
+    mcus_x = -(-w // (8 * h_max))
+    mcus_y = -(-h // (8 * v_max))
+    qtab = np.full(64, quant, np.int64)
+    blocks = []
+    true_dims = []
+    for ci, p in enumerate(planes):
+        b = _quantized_blocks(p, qtab)
+        true_dims.append(b.shape[:2])
+        hs, vs = samps[ci]
+        pad_h, pad_w = mcus_y * vs, mcus_x * hs
+        if b.shape[:2] != (pad_h, pad_w):  # pad to whole MCUs
+            padded = np.zeros((pad_h, pad_w, 64), np.int64)
+            padded[:b.shape[0], :b.shape[1]] = b
+            b = padded
+        blocks.append(b)
+
+    out = bytearray(b'\xff\xd8')
+    out += b'\xff\xdb' + struct.pack('>H', 2 + 1 + 64) + b'\x00' \
+        + bytes(int(x) for x in qtab)
+    sof = struct.pack('>BHHB', 8, h, w, ncomp)
+    for i, (hs, vs) in enumerate(samps):
+        sof += bytes([i + 1, (hs << 4) | vs, 0])
+    out += b'\xff\xc2' + struct.pack('>H', 2 + len(sof)) + sof
+    counts, symbols = _huff_encode_tables()
+    for tc in (0, 1):
+        dht = bytes([tc << 4]) + bytes(counts) + bytes(symbols)
+        out += b'\xff\xc4' + struct.pack('>H', 2 + len(dht)) + dht
+
+    def sos(comp_ids, ss, se, ah, al):
+        seg = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            seg += bytes([cid, 0x00])           # DC table 0, AC table 0
+        seg += bytes([ss, se, (ah << 4) | al])
+        out.extend(b'\xff\xda' + struct.pack('>H', 2 + len(seg)) + seg)
+
+    bw = _BitWriter(out)
+    all_ids = list(range(1, ncomp + 1))
+    bands = ((1, spectral_split), (spectral_split + 1, 63))
+    sos(all_ids, 0, 0, 0, 1)
+    _emit_dc_first(bw, blocks, samps, 1)
+    bw.flush()
+    for ci in range(ncomp):
+        # AC scans are non-interleaved: walk the comp's OWN raster
+        # (unpadded), exactly as the decoder computes it.
+        tb, tw = true_dims[ci]
+        for (ss, se) in bands:
+            sos([ci + 1], ss, se, 0, 1)
+            _emit_ac_first(bw, blocks[ci][:tb, :tw], ss, se, 1)
+            bw.flush()
+    sos(all_ids, 0, 0, 1, 0)
+    _emit_dc_refine(bw, blocks, samps, 0)
+    bw.flush()
+    for ci in range(ncomp):
+        tb, tw = true_dims[ci]
+        for (ss, se) in bands:
+            sos([ci + 1], ss, se, 1, 0)
+            _emit_ac_refine(bw, blocks[ci][:tb, :tw], ss, se, 0)
+            bw.flush()
+    out += b'\xff\xd9'
+    return bytes(out)
+
+
 def luminance_histogram(gray: np.ndarray, bins: int = 8) -> list:
     """Normalized luminance histogram — the real image feature."""
     hist, _ = np.histogram(gray, bins=bins, range=(0.0, 1.0))
@@ -688,9 +1239,9 @@ def _decode_image(payload: bytes, deterministic_fake: bool):
     """Decode an image payload to (width, height, feature[8]).
 
     PPM/PGM (ASCII+binary), uncompressed BMP, non-interlaced PNG,
-    and baseline JPEG decode for real — feature is the 8-bin
-    luminance histogram of actual pixels. Formats needing codec
-    libraries absent here (WebP/AVIF → Pillow) raise
+    and JPEG (sequential + progressive) decode for real — feature is
+    the 8-bin luminance histogram of actual pixels. Formats needing
+    codec libraries absent here (WebP/AVIF → Pillow) raise
     ``NotImplementedError`` unless ``deterministic_fake`` is set.
     """
     decoded = decode_ppm(payload)
@@ -705,9 +1256,10 @@ def _decode_image(payload: bytes, deterministic_fake: bool):
         return w, h, luminance_histogram(gray, bins=8)
     if not deterministic_fake:
         raise NotImplementedError(
-            'only PPM/PGM/BMP/PNG/baseline-JPEG decode natively;'
-            ' other formats require Pillow/torchvision — pass'
-            ' deterministic_fake=True for plumbing tests'
+            'only PPM/PGM/BMP/PNG/JPEG (sequential+progressive)'
+            ' decode natively; other formats require'
+            ' Pillow/torchvision — pass deterministic_fake=True for'
+            ' plumbing tests'
         )
     h = zlib.crc32(payload) & 0xFFFFFFFF
     return (
@@ -778,12 +1330,125 @@ def energy_envelope(mono: np.ndarray, segments: int = 8) -> list:
     ]
 
 
+# MPEG-1/2/2.5 Layer III (MP3) bitrate tables, kbps, by version.
+_MP3_BITRATE_V1 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+                   192, 224, 256, 320)
+_MP3_BITRATE_V2 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112,
+                   128, 144, 160)
+# version field (header bits 19-20) -> sample-rate table
+_MP3_RATES = {3: (44100, 48000, 32000),     # MPEG-1
+              2: (22050, 24000, 16000),     # MPEG-2
+              0: (11025, 12000, 8000)}      # MPEG-2.5
+
+
+def _mp3_frame(payload: bytes, pos: int):
+    """Parse one MP3 (Layer III) frame header at ``pos``. Returns
+    ``(frame_len, bitrate_kbps, sample_rate, samples_per_frame)`` or
+    None if the 4 bytes are not a valid L3 header."""
+    if pos + 4 > len(payload):
+        return None
+    b0, b1, b2, _b3 = payload[pos:pos + 4]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        return None
+    version = (b1 >> 3) & 0x03
+    layer = (b1 >> 1) & 0x03
+    if version == 1 or layer != 0x01:  # reserved version / not L-III
+        return None
+    br_idx = (b2 >> 4) & 0x0F
+    sr_idx = (b2 >> 2) & 0x03
+    padding = (b2 >> 1) & 0x01
+    if br_idx in (0, 15) or sr_idx == 3:  # free-format/bad
+        return None
+    bitrate = (_MP3_BITRATE_V1 if version == 3
+               else _MP3_BITRATE_V2)[br_idx]
+    rate = _MP3_RATES[version][sr_idx]
+    spf = 1152 if version == 3 else 576
+    frame_len = spf // 8 * bitrate * 1000 // rate + padding
+    if frame_len < 24:
+        return None
+    return frame_len, bitrate, rate, spf
+
+
+def decode_mp3_meta(payload: bytes) -> Optional[dict]:
+    """Stream-level MP3 metadata WITHOUT PCM synthesis: walk the
+    MPEG-1/2/2.5 Layer-III frame headers (ID3v2 tag skipped, sync
+    validated against the successor frame to reject random 0xFFEx
+    bytes) and derive ``duration_ms``, ``sample_rate``,
+    ``avg_bitrate_kbps``, ``n_frames``, ``vbr``, and an 8-segment
+    normalized bitrate envelope (the VBR encoder spends bits where
+    the signal is complex, so the envelope is a real, deterministic
+    activity proxy). Returns None if the payload is not MP3.
+
+    The full hybrid synthesis filterbank (actual audio samples) is
+    intentionally out of scope — corpus pipelines filter on
+    duration/bitrate/rate, which header parsing yields at ~1000× less
+    CPU than decode.
+    """
+    if len(payload) < 4:
+        return None
+    pos = 0
+    if payload[:3] == b'ID3' and len(payload) >= 10:
+        size = (((payload[6] & 0x7F) << 21) | ((payload[7] & 0x7F) << 14)
+                | ((payload[8] & 0x7F) << 7) | (payload[9] & 0x7F))
+        pos = 10 + size
+    # locate first frame: sync must be confirmed by a valid successor
+    start = None
+    i = pos
+    limit = min(len(payload), pos + 65536)
+    while i + 4 <= limit:
+        fr = _mp3_frame(payload, i)
+        if fr is not None:
+            nxt = i + fr[0]
+            # evidence bar: the first frame must be fully present,
+            # AND any following bytes must parse as another frame —
+            # a lone 0xFFEx in random binary is not an MP3.
+            if nxt <= len(payload) and (
+                    nxt + 4 > len(payload) or _mp3_frame(payload, nxt)):
+                start = i
+                break
+        i += 1
+    if start is None:
+        return None
+    frames = []
+    i = start
+    while i + 4 <= len(payload):
+        fr = _mp3_frame(payload, i)
+        if fr is None:
+            break
+        frames.append(fr)
+        i += fr[0]
+    if not frames:
+        return None
+    rate = frames[0][2]
+    total_samples = sum(f[3] for f in frames)
+    bitrates = [f[1] for f in frames]
+    nseg = 8
+    seg_means = []
+    for s in range(nseg):
+        lo = s * len(bitrates) // nseg
+        hi = max((s + 1) * len(bitrates) // nseg, lo + 1)
+        chunk = bitrates[lo:hi] if lo < len(bitrates) else [0]
+        seg_means.append(sum(chunk) / len(chunk) / 320.0)
+    return {
+        'duration_ms': int(total_samples * 1000 // rate),
+        'sample_rate': rate,
+        'avg_bitrate_kbps': round(sum(bitrates) / len(bitrates), 2),
+        'n_frames': len(frames),
+        'vbr': len(set(bitrates)) > 1,
+        'bitrate_envelope': seg_means,
+    }
+
+
 def _extract_audio_features(payload: bytes, deterministic_fake: bool):
     """Decode audio to (duration_ms, feature[8]).
 
     RIFF/WAVE PCM decodes for real — the feature is the 8-segment RMS
-    energy envelope of the actual samples. Compressed formats
-    (MP3/AAC/OGG) need codec libraries absent in this container: they
+    energy envelope of the actual samples. MP3 parses for real at the
+    frame-header level (:func:`decode_mp3_meta`) — duration/rate are
+    exact and the feature is the normalized 8-segment bitrate
+    envelope (a VBR activity proxy; full filterbank synthesis is
+    deliberately out of scope). Remaining compressed formats
+    (AAC/OGG) need codec libraries absent in this container: they
     raise ``NotImplementedError`` unless ``deterministic_fake`` is
     set.
     """
@@ -791,11 +1456,14 @@ def _extract_audio_features(payload: bytes, deterministic_fake: bool):
     if decoded is not None:
         rate, mono = decoded
         return int(mono.size * 1000 // rate), energy_envelope(mono, 8)
+    meta = decode_mp3_meta(payload)
+    if meta is not None:
+        return meta['duration_ms'], meta['bitrate_envelope']
     if not deterministic_fake:
         raise NotImplementedError(
-            'only RIFF/WAVE PCM decodes natively; compressed audio'
-            ' requires ffmpeg/torchaudio — pass deterministic_fake='
-            'True for plumbing tests'
+            'RIFF/WAVE PCM and MP3 (header-level) parse natively;'
+            ' other compressed audio requires ffmpeg/torchaudio —'
+            ' pass deterministic_fake=True for plumbing tests'
         )
     h = zlib.crc32(payload) & 0xFFFFFFFF
     return (
@@ -810,27 +1478,54 @@ def image_features(
     id_col: str = 'media_id',
     deterministic_fake: bool = False,
     batch_size_hint: int = 256,
+    on_undecodable: str = 'raise',
 ) -> SparkDF:
     """Extract per-image features via Arrow-batched ``mapInPandas``.
 
     Partition sizing: media rows are large — repartition upstream so
     each task holds ~(batch_size_hint × mean payload) bytes; set
     ``spark.sql.files.maxPartitionBytes`` accordingly when reading.
+
+    ``on_undecodable='raise'`` (default) fails the job on the first
+    format the decoders can't handle; ``'status'`` NEVER drops rows
+    silently — the schema gains ``decode_ok``/``decode_error`` and a
+    corpus run reports its skip count as a first-class aggregate
+    (``sum(NOT decode_ok)``), per the never-silent-truncation rule.
     """
+    if on_undecodable not in ('raise', 'status'):
+        raise ValueError(
+            "on_undecodable must be 'raise' or 'status',"
+            f' got {on_undecodable!r}')
+    status = on_undecodable == 'status'
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
                 payload = bytes(row[payload_col] or b'')
-                w, h, feat = _decode_image(payload, deterministic_fake)
-                rows.append((row[id_col], w, h, len(payload), feat))
-            yield pd.DataFrame(
-                rows,
-                columns=['media_id', 'width', 'height', 'n_bytes',
-                         'feature'],
-            )
+                if status:
+                    try:
+                        w, h, feat = _decode_image(
+                            payload, deterministic_fake)
+                        rows.append((row[id_col], w, h, len(payload),
+                                     feat, True, None))
+                    except (NotImplementedError, ValueError) as exc:
+                        rows.append((row[id_col], None, None,
+                                     len(payload), None, False,
+                                     f'{type(exc).__name__}: {exc}'))
+                else:
+                    w, h, feat = _decode_image(
+                        payload, deterministic_fake)
+                    rows.append((row[id_col], w, h, len(payload), feat))
+            cols = ['media_id', 'width', 'height', 'n_bytes', 'feature']
+            if status:
+                cols += ['decode_ok', 'decode_error']
+            yield pd.DataFrame(rows, columns=cols)
 
-    schema = _feature_schema(IMAGE_FEATURE_SCHEMA, df, id_col)
+    ddl = IMAGE_FEATURE_SCHEMA
+    if status:
+        ddl += ', decode_ok boolean, decode_error string'
+    schema = _feature_schema(ddl, df, id_col)
     return df.select(id_col, payload_col).mapInPandas(run, schema)
 
 
@@ -839,24 +1534,47 @@ def audio_features(
     payload_col: str = 'payload',
     id_col: str = 'media_id',
     deterministic_fake: bool = False,
+    on_undecodable: str = 'raise',
 ) -> SparkDF:
-    """Extract per-audio features via Arrow-batched ``mapInPandas``."""
+    """Extract per-audio features via Arrow-batched ``mapInPandas``.
+
+    ``on_undecodable='status'`` adds ``decode_ok``/``decode_error``
+    instead of raising — see :func:`image_features`."""
+    if on_undecodable not in ('raise', 'status'):
+        raise ValueError(
+            "on_undecodable must be 'raise' or 'status',"
+            f' got {on_undecodable!r}')
+    status = on_undecodable == 'status'
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
                 payload = bytes(row[payload_col] or b'')
-                dur, feat = _extract_audio_features(
-                    payload, deterministic_fake
-                )
-                rows.append((row[id_col], dur, len(payload), feat))
-            yield pd.DataFrame(
-                rows,
-                columns=['media_id', 'duration_ms', 'n_bytes', 'feature'],
-            )
+                if status:
+                    try:
+                        dur, feat = _extract_audio_features(
+                            payload, deterministic_fake)
+                        rows.append((row[id_col], dur, len(payload),
+                                     feat, True, None))
+                    except (NotImplementedError, ValueError) as exc:
+                        rows.append((row[id_col], None, len(payload),
+                                     None, False,
+                                     f'{type(exc).__name__}: {exc}'))
+                else:
+                    dur, feat = _extract_audio_features(
+                        payload, deterministic_fake)
+                    rows.append((row[id_col], dur, len(payload), feat))
+            cols = ['media_id', 'duration_ms', 'n_bytes', 'feature']
+            if status:
+                cols += ['decode_ok', 'decode_error']
+            yield pd.DataFrame(rows, columns=cols)
 
+    ddl = AUDIO_FEATURE_SCHEMA
+    if status:
+        ddl += ', decode_ok boolean, decode_error string'
     return df.select(id_col, payload_col).mapInPandas(
-        run, _feature_schema(AUDIO_FEATURE_SCHEMA, df, id_col))
+        run, _feature_schema(ddl, df, id_col))
 
 
 def frame_sample_plan(
@@ -984,17 +1702,29 @@ def phash_duplicates(
     hash_col: str = 'phash',
     max_hamming: int = 6,
 ) -> SparkDF:
-    """All image pairs within ``max_hamming`` bits — banded exactly
-    like SimHash: split the 64-bit hash into 4 × 16-bit blocks
-    (pigeonhole: ≤6 flipped bits leave ≥1 block intact... for ≤3
-    strictly; with 4 bands the guarantee holds for distance ≤ 3,
-    larger distances are best-effort), equi-join per block, verify
-    with one ``bit_count(xor)``. Shuffle O(rows × 4), never O(n²).
+    """All image pairs within ``max_hamming`` bits — GUARANTEED
+    recall: the 64-bit hash splits into ``max_hamming + 1`` bands
+    (pigeonhole: ≤ max_hamming flipped bits always leave ≥ 1 band
+    intact), equi-join per band, verify with one ``bit_count(xor)``.
+    Shuffle O(rows × bands), never O(n²). More bands → shorter band
+    keys → more candidate collisions, so very large ``max_hamming``
+    trades shuffle volume for recall; ≤ 15 keeps bands ≥ 4 bits.
     """
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(
+            f'max_hamming must be in [0, 63], got {max_hamming}')
+    n_bands = max_hamming + 1
+    base, extra = divmod(64, n_bands)
+    widths = [base + 1] * extra + [base] * (n_bands - extra)
     h = F.col(hash_col)
+    shifts, pos = [], 0
+    for w in widths:
+        shifts.append((64 - pos - w, (1 << w) - 1))
+        pos += w
     blocks = F.array(*[
-        F.shiftrightunsigned(h, shift).bitwiseAND(F.lit(0xFFFF))
-        for shift in (48, 32, 16, 0)
+        F.shiftrightunsigned(h, shift) if mask > (1 << 63) - 1
+        else F.shiftrightunsigned(h, shift).bitwiseAND(F.lit(mask))
+        for shift, mask in shifts
     ])
     sig = hashes.select(
         F.col(id_col).alias('__id'), h.alias('__h'),

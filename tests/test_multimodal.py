@@ -197,11 +197,17 @@ class TestJpegDecode:
         err = self._roundtrip((16, 16), quant=16)
         assert 0.01 < err < 0.3
 
-    def test_progressive_rejected(self):
-        bad = (b'\xff\xd8\xff\xc2\x00\x0b'
+    def test_arithmetic_coding_rejected(self):
+        bad = (b'\xff\xd8\xff\xc9\x00\x0b'
                + bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
-        with pytest.raises(ValueError, match='SOF2'):
+        with pytest.raises(ValueError, match='SOF9'):
             mm.decode_jpeg(bad)
+
+    def test_progressive_without_scan_rejected(self):
+        trunc = (b'\xff\xd8\xff\xc2\x00\x0b'
+                 + bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+        with pytest.raises(ValueError, match='no scan'):
+            mm.decode_jpeg(trunc)
 
     def test_not_jpeg_returns_none(self):
         assert mm.decode_jpeg(b'RIFF....WEBP') is None
@@ -594,3 +600,230 @@ class TestPerceptualHash:
         hashes = perceptual_hashes(df)
         pairs = phash_duplicates(hashes, max_hamming=8).collect()
         assert [(r['id_a'], r['id_b']) for r in pairs] == [(1, 2)]
+
+    def test_banding_guarantee_at_max_hamming(self, spark_session):
+        """Pigeonhole recall guarantee (ADVICE r4): a pair at EXACTLY
+        max_hamming bits, with the flipped bits spread one per old
+        16-bit block (which the former 4-band scheme missed for
+        distance > 3), must be found."""
+        from ons_utils_spark.operators.multimodal import (
+            phash_duplicates,
+        )
+        base = 0x0123456789ABCDEF
+        # flip 6 bits: at least one in each of the four 16-bit blocks
+        flipped = base
+        for bit in (60, 44, 28, 12, 5, 50):
+            flipped ^= 1 << bit
+        assert bin(base ^ flipped).count('1') == 6
+        to_signed = lambda v: v - (1 << 64) if v >= (1 << 63) else v
+        df = spark_session.createDataFrame(
+            [(1, to_signed(base)), (2, to_signed(flipped))],
+            'media_id bigint, phash bigint')
+        pairs = phash_duplicates(df, max_hamming=6).collect()
+        assert [(r['id_a'], r['id_b'], r['hamming'])
+                for r in pairs] == [(1, 2, 6)]
+
+    def test_banding_excludes_beyond_max_hamming(self, spark_session):
+        from ons_utils_spark.operators.multimodal import (
+            phash_duplicates,
+        )
+        base = 0x7EDCBA9876543210
+        far = base
+        for bit in range(0, 28, 4):                  # 7 bits > 6
+            far ^= 1 << bit
+        df = spark_session.createDataFrame(
+            [(1, base), (2, far)], 'media_id bigint, phash bigint')
+        assert phash_duplicates(df, max_hamming=6).count() == 0
+
+    def test_banding_rejects_bad_max_hamming(self, spark_session):
+        from ons_utils_spark.operators.multimodal import (
+            phash_duplicates,
+        )
+        df = spark_session.createDataFrame(
+            [(1, 0)], 'media_id bigint, phash bigint')
+        import pytest as pt
+        with pt.raises(ValueError, match='max_hamming'):
+            phash_duplicates(df, max_hamming=64)
+
+
+class TestProgressiveJpeg:
+    """Progressive (SOF2) decode verified against the test-grade
+    progressive encoder: DC/AC first + refinement scans, spectral
+    selection, EOBRUN, chroma byte-skip, 4:2:0 interleaved DC."""
+
+    def _roundtrip(self, img, **kw):
+        import numpy as np
+        prog = mm.encode_jpeg_progressive(img, **kw)
+        out = mm.decode_jpeg(prog)
+        assert out is not None
+        w, h, gray = out
+        if img.ndim == 2:
+            ref = img.astype(float)
+        else:
+            ref = (0.299 * img[:, :, 0] + 0.587 * img[:, :, 1]
+                   + 0.114 * img[:, :, 2]).astype(float)
+        assert (h, w) == ref.shape[:2][::-1][::-1]  # (h, w) matches
+        return float(np.abs(gray * 255 - ref).max())
+
+    def test_gray_gradient_exact_to_dct_rounding(self):
+        import numpy as np
+        g = np.tile(np.linspace(0, 255, 56, dtype=np.uint8), (40, 1))
+        assert self._roundtrip(g) <= 1.5
+
+    def test_flat_image_eobrun_heavy(self):
+        import numpy as np
+        assert self._roundtrip(
+            np.full((32, 32), 128, np.uint8)) == 0.0
+
+    def test_noise_refinement_heavy(self):
+        import numpy as np
+        rng = np.random.RandomState(7)
+        assert self._roundtrip(
+            rng.randint(0, 256, (24, 24)).astype(np.uint8)) <= 1.5
+
+    def test_color_444_chroma_scans_skipped(self):
+        import numpy as np
+        rng = np.random.RandomState(8)
+        c = rng.randint(0, 256, (16, 24, 3)).astype(np.uint8)
+        assert self._roundtrip(c) <= 1.5
+
+    def test_color_420_interleaved_dc_mcus(self):
+        import numpy as np
+        rng = np.random.RandomState(9)
+        c = rng.randint(0, 256, (17, 23, 3)).astype(np.uint8)
+        assert self._roundtrip(c, subsampling='420') <= 1.5
+
+    def test_coarse_quant_bounded(self):
+        import numpy as np
+        rng = np.random.RandomState(10)
+        g = rng.randint(0, 256, (32, 32)).astype(np.uint8)
+        assert self._roundtrip(g, quant=4) <= 4.5
+
+    def test_matches_sequential_decode(self):
+        """Progressive and sequential encodings of the same image
+        must decode to (near-)identical luminance."""
+        import numpy as np
+        g = np.tile(np.linspace(10, 240, 32, dtype=np.uint8), (32, 1))
+        _, _, seq = mm.decode_jpeg(mm.encode_jpeg(g))
+        _, _, prog = mm.decode_jpeg(mm.encode_jpeg_progressive(g))
+        assert float(np.abs(seq - prog).max()) * 255 <= 1.0
+
+    def test_progressive_phash_matches_sequential(self):
+        import numpy as np
+        g = np.tile(np.linspace(0, 255, 64, dtype=np.uint8), (64, 1))
+        _, _, a = mm.decode_jpeg(mm.encode_jpeg(g))
+        _, _, b = mm.decode_jpeg(mm.encode_jpeg_progressive(g))
+        ham = bin((mm.phash64(a) ^ mm.phash64(b))
+                  & ((1 << 64) - 1)).count('1')
+        assert ham <= 2
+
+
+def _make_mp3(n_frames=20, version=3, br_idx=9, sr_idx=0,
+              vbr_pattern=None, id3=False):
+    """Synthesize a syntactically-valid MP3 Layer-III stream (headers
+    + zero-filled frame bodies)."""
+    out = bytearray()
+    if id3:
+        body = b'\x00' * 100
+        out += b'ID3\x04\x00\x00' + bytes(
+            [(len(body) >> 21) & 0x7F, (len(body) >> 14) & 0x7F,
+             (len(body) >> 7) & 0x7F, len(body) & 0x7F]) + body
+    rates = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000)}
+    brs = ((0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+            256, 320) if version == 3 else
+           (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+            160))
+    for i in range(n_frames):
+        bi = vbr_pattern[i % len(vbr_pattern)] if vbr_pattern else br_idx
+        hdr = bytes([
+            0xFF,
+            0xE0 | (version << 3) | (0x01 << 1) | 1,
+            (bi << 4) | (sr_idx << 2) | 0,
+            0xC0,
+        ])
+        spf = 1152 if version == 3 else 576
+        flen = spf // 8 * brs[bi] * 1000 // rates[version][sr_idx]
+        out += hdr + b'\x00' * (flen - 4)
+    return bytes(out)
+
+
+class TestMp3Meta:
+    def test_cbr_duration_and_rate(self):
+        p = _make_mp3(n_frames=38)             # ~1 s at 44.1k/1152
+        meta = mm.decode_mp3_meta(p)
+        assert meta is not None
+        assert meta['sample_rate'] == 44100
+        assert meta['n_frames'] == 38
+        assert meta['duration_ms'] == 38 * 1152 * 1000 // 44100
+        assert meta['avg_bitrate_kbps'] == 128.0
+        assert meta['vbr'] is False
+
+    def test_id3v2_tag_skipped(self):
+        meta = mm.decode_mp3_meta(_make_mp3(n_frames=10, id3=True))
+        assert meta is not None and meta['n_frames'] == 10
+
+    def test_vbr_envelope_tracks_bitrate(self):
+        # low bitrate first half, high second half
+        p = _make_mp3(n_frames=32, vbr_pattern=[1] * 16 + [14] * 16)
+        meta = mm.decode_mp3_meta(p)
+        assert meta['vbr'] is True
+        env = meta['bitrate_envelope']
+        assert len(env) == 8
+        assert max(env[:4]) < min(env[4:])
+
+    def test_mpeg2_half_samples(self):
+        meta = mm.decode_mp3_meta(
+            _make_mp3(n_frames=10, version=2, sr_idx=0))
+        assert meta['sample_rate'] == 22050
+        assert meta['duration_ms'] == 10 * 576 * 1000 // 22050
+
+    def test_rejects_non_mp3(self):
+        assert mm.decode_mp3_meta(b'payload-one-random') is None
+        assert mm.decode_mp3_meta(b'') is None
+        # a lone false sync with garbage successor
+        assert mm.decode_mp3_meta(b'\xff\xfb\x90\x00' + b'xy') is None
+
+    def test_audio_features_parses_mp3(self, spark_session):
+        p = _make_mp3(n_frames=38)
+        df = spark_session.createDataFrame(
+            [(1, bytearray(p))], 'media_id bigint, payload binary')
+        out = mm.audio_features(df).collect()
+        assert out[0]['duration_ms'] == 38 * 1152 * 1000 // 44100
+        assert len(out[0]['feature']) == 8
+
+
+class TestCountedSkip:
+    """on_undecodable='status': undecodable rows are counted, never
+    silently dropped and never job-fatal."""
+
+    def test_image_status_mode(self, spark_session):
+        import numpy as np
+        good = mm.encode_jpeg(
+            np.tile(np.linspace(0, 255, 16, dtype=np.uint8), (16, 1)))
+        rows = [(1, bytearray(good)),
+                (2, bytearray(b'RIFFxxxxWEBPVP8 garbage')),
+                (3, bytearray(b''))]
+        df = spark_session.createDataFrame(
+            rows, 'media_id bigint, payload binary')
+        out = {r['media_id']: r for r in mm.image_features(
+            df, on_undecodable='status').collect()}
+        assert out[1]['decode_ok'] is True and out[1]['width'] == 16
+        assert out[2]['decode_ok'] is False
+        assert 'NotImplementedError' in out[2]['decode_error']
+        assert out[3]['decode_ok'] is False
+        n_skipped = sum(1 for r in out.values() if not r['decode_ok'])
+        assert n_skipped == 2
+
+    def test_audio_status_mode(self, spark_session):
+        rows = [(1, bytearray(_make_mp3(5))),
+                (2, bytearray(b'OggS not supported'))]
+        df = spark_session.createDataFrame(
+            rows, 'media_id bigint, payload binary')
+        out = {r['media_id']: r for r in mm.audio_features(
+            df, on_undecodable='status').collect()}
+        assert out[1]['decode_ok'] is True
+        assert out[2]['decode_ok'] is False
+
+    def test_bad_mode_rejected(self, media):
+        with pytest.raises(ValueError, match='on_undecodable'):
+            mm.image_features(media, on_undecodable='drop')
