@@ -931,3 +931,106 @@ def source_overlap(
             / (F.col('n_a') + F.col('n_b') - F.col('n_common')))
         .select('g_a', 'g_b', 'n_a', 'n_b', 'n_common', 'jaccard')
     )
+
+
+def exact_substring_pairs(
+    df: SparkDF,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    min_len: int = 40,
+    min_run: Optional[int] = None,
+    max_window_df: Optional[int] = None,
+) -> SparkDF:
+    """EXACT substring dedup (the ExactSubstr family of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"):
+    document pairs sharing a VERBATIM run of >= ``min_len`` normalized
+    characters, with the exact length of their longest shared run —
+    closing the one dedup family winnowing only samples.
+
+    Lee et al. build a single-machine suffix array; suffix arrays
+    don't distribute. The Spark-first equivalent: explode every
+    length-``min_len`` character window (stride 1) keyed by its md5,
+    equi-join across documents, then reduce aligned matches to
+    DIAGONAL RUNS — matches of a pair at window positions (pa, pb)
+    with equal ``pa - pb`` and consecutive ``pa`` are one shared run,
+    and gaps-and-islands (row_number difference) recovers each run's
+    window count m, hence its exact character length m + min_len - 1.
+    Every step is a hash shuffle or a keyed window — no suffix
+    structure, no driver state, no cross product.
+
+    Scale: the honest cost is the window explode — ~33 bytes
+    (md5 hex + position) shuffled PER CHARACTER of corpus, the price
+    of exactness without a global suffix array. At 100 TB run it on
+    a high-suspicion slice (e.g. winnowing or MinHash candidates) or
+    set ``max_window_df`` to drop boilerplate windows occurring in
+    more than that many documents (license headers, navigation
+    chrome) — the join then stays bounded on hot keys and detection
+    remains exact for pairs whose overlap includes rarer windows.
+    ``min_run`` (>= ``min_len``, default equal) filters the output to
+    pairs whose longest run reaches that many characters.
+
+    Returns ``(id_a, id_b, longest_run, n_windows)``; ``n_windows``
+    is the total count of matching aligned windows over all runs.
+    """
+    if min_run is None:
+        min_run = min_len
+    if min_run < min_len:
+        raise ValueError(
+            f'min_run ({min_run}) must be >= min_len ({min_len}):'
+            ' runs shorter than the window length are undetectable')
+    # Stage the normalized text once; `norm` is referenced several
+    # times below, which keeps CollapseProject from inlining the
+    # normalization regex into the per-window lambda (pitfall #1).
+    staged = (
+        df.select(
+            F.col(id_col).alias('id'),
+            normalize_text(text_col).alias('norm'))
+        .filter(F.length('norm') >= min_len)
+    )
+    wins = staged.select(
+        'id',
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1),
+                           F.length('norm') - (min_len - 1)),
+                lambda i: F.struct(
+                    i.alias('pos'),
+                    F.md5(F.substring('norm', i, min_len)
+                          .cast('string')).alias('w')),
+            )
+        ).alias('pw'),
+    ).select('id', F.col('pw.pos').alias('pos'), F.col('pw.w').alias('w'))
+    wins = wins.repartition(F.col('w'))
+    if max_window_df is not None:
+        hot = (
+            wins.select('id', 'w').distinct()
+            .groupBy('w').count()
+            .filter(F.col('count') > max_window_df)
+            .select('w')
+        )
+        wins = wins.join(hot, on='w', how='left_anti')
+    a, b = wins.alias('a'), wins.alias('b')
+    matches = a.join(b, on=[
+        F.col('a.w') == F.col('b.w'),
+        F.col('a.id') < F.col('b.id'),
+    ]).select(
+        F.col('a.id').alias('id_a'),
+        F.col('b.id').alias('id_b'),
+        F.col('a.pos').alias('pa'),
+        (F.col('a.pos') - F.col('b.pos')).alias('diag'),
+    )
+    run_w = Window.partitionBy('id_a', 'id_b', 'diag').orderBy('pa')
+    runs = (
+        matches
+        .withColumn('island', F.col('pa') - F.row_number().over(run_w))
+        .groupBy('id_a', 'id_b', 'diag', 'island')
+        .agg(F.count(F.lit(1)).alias('m'))
+    )
+    return (
+        runs.groupBy('id_a', 'id_b')
+        .agg(
+            (F.max('m') + F.lit(min_len - 1)).alias('longest_run'),
+            F.sum('m').alias('n_windows'),
+        )
+        .filter(F.col('longest_run') >= min_run)
+    )

@@ -1801,6 +1801,19 @@ def q_winnow_dups(spark: SparkSession, sf_dir: str) -> SparkDF:
         documents, 'doc_id', 'text', k=4, w=3, min_shared=20)
 
 
+def q_substring_dups(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """EXACT substring dedup (Lee et al. ExactSubstr family,
+    ``operators.dedup.exact_substring_pairs``): document pairs sharing
+    a verbatim >= 60-char normalized run, with the EXACT longest-run
+    length — every length-60 window md5-keyed, equi-joined, and
+    reduced to diagonal runs by gaps-and-islands. The exact path
+    winnowing only samples; at 100 TB run it on candidate slices or
+    with the hot-window df cap."""
+    (documents,) = _t(spark, sf_dir, 'documents')
+    return dd.exact_substring_pairs(
+        documents, 'doc_id', 'text', min_len=60)
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Benchmark contamination check: training docs (doc_id >= 20)
     sharing any distinct word 4-gram with the benchmark set
@@ -2749,12 +2762,14 @@ QUERIES: Dict[str, QueryFn] = {
     'q17_small_qty_revenue': q17_small_qty_revenue,
     'q20_promo_suppliers': q20_promo_suppliers,
     'q21_waiting_suppliers': q21_waiting_suppliers,
-    'q_winnow_dups': q_winnow_dups,
+    # new in round 5 (never driver-checked):
+    'q_substring_dups': q_substring_dups,
     # rows-only (no SQL oracle), never driver-recorded:
     'q_ivf_pq_topk': q_ivf_pq_topk,
     'q_approx_quantile_ladder': q_approx_quantile_ladder,
     'q_compression_quality': q_compression_quality,
     # -- below the 50-slot window: driver-green in rounds 1-4 -----
+    'q_winnow_dups': q_winnow_dups,
     'q_contamination': q_contamination,
     'q_rare_token_rate': q_rare_token_rate,
     'q_length_histogram': q_length_histogram,
@@ -3562,6 +3577,44 @@ ORACLES: Dict[str, str] = {
                               / greatest(n_norm_chars, 1)) * 1000000)
                     AS BIGINT) AS avg_shingle_ratio_u6
         FROM sh GROUP BY source
+    """,
+    'q_substring_dups': """
+        WITH norm AS (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                       AS t
+            FROM documents
+        ), win0 AS (
+            -- range(a, b) is end-exclusive (1-based positions
+            -- 1 .. length-59); lateral generate_series() doesn't
+            -- take column args in DuckDB, list-unnest does.
+            SELECT doc_id, t,
+                   unnest(range(1, length(t) - 58)) AS pos
+            FROM norm WHERE length(t) >= 60
+        ), win AS (
+            SELECT doc_id, pos, md5(substr(t, pos, 60)) AS w
+            FROM win0
+        ), m AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.pos AS pa, a.pos - b.pos AS diag
+            FROM win a JOIN win b
+              ON a.w = b.w AND a.doc_id < b.doc_id
+        ), runs AS (
+            SELECT id_a, id_b, diag,
+                   pa - row_number() OVER (
+                       PARTITION BY id_a, id_b, diag ORDER BY pa)
+                       AS island
+            FROM m
+        ), islands AS (
+            SELECT id_a, id_b, count(*) AS m
+            FROM runs GROUP BY id_a, id_b, diag, island
+        )
+        SELECT id_a, id_b,
+               CAST(max(m) + 59 AS BIGINT) AS longest_run,
+               CAST(sum(m) AS BIGINT) AS n_windows
+        FROM islands
+        GROUP BY id_a, id_b
+        HAVING max(m) + 59 >= 60
     """,
     'q_lookup_join': """
         WITH bands(band_key, band_name) AS (

@@ -411,3 +411,89 @@ class TestSourceOverlap:
             rows, 'source string, doc_id bigint, text string')
         r = source_overlap(df).collect()[0]
         assert r['jaccard'] == pytest.approx(1.0)
+
+
+class TestExactSubstringPairs:
+    """Lee-et-al-style exact substring dedup via window explode +
+    diagonal gaps-and-islands — longest_run is the EXACT length of
+    the longest shared normalized-character run."""
+
+    SHARED = ('the quick brown fox jumps over the lazy dog '
+              'again and again today')
+
+    @pytest.fixture
+    def docs(self, spark_session):
+        rows = [
+            (1, f'prefix one {self.SHARED} suffix alpha'),
+            (2, f'other document start {self.SHARED} and a tail'),
+            (3, 'completely unrelated text with no overlap at all '
+                'whatsoever in here'),
+            (4, f'prefix one {self.SHARED} suffix alpha'),  # dup of 1
+        ]
+        return spark_session.createDataFrame(
+            rows, 'doc_id bigint, text string')
+
+    def test_exact_longest_run(self, docs):
+        from ons_utils_spark.operators.dedup import exact_substring_pairs
+        out = {(r['id_a'], r['id_b']): r['longest_run']
+               for r in exact_substring_pairs(docs, min_len=20).collect()}
+        full = len(f'prefix one {self.SHARED} suffix alpha')
+        # (1,4): identical docs -> run == entire normalized text
+        assert out[(1, 4)] == full
+        # (1,2): doc1 continues 'suffix', doc2 'and' after the shared
+        # text -> the exact common run is space + SHARED + space
+        assert out[(1, 2)] == 1 + len(self.SHARED) + 1
+        assert out[(2, 4)] == out[(1, 2)]
+        assert not any(3 in k for k in out)
+
+    def test_run_below_min_len_undetected(self, docs):
+        from ons_utils_spark.operators.dedup import exact_substring_pairs
+        # min_len larger than every shared run -> only the full dup
+        n = len(self.SHARED) + 10
+        out = exact_substring_pairs(docs, min_len=n).collect()
+        assert {(r['id_a'], r['id_b']) for r in out} == {(1, 4)}
+
+    def test_min_run_filters_output(self, docs):
+        from ons_utils_spark.operators.dedup import exact_substring_pairs
+        full = len(f'prefix one {self.SHARED} suffix alpha')
+        out = exact_substring_pairs(
+            docs, min_len=20, min_run=full).collect()
+        assert {(r['id_a'], r['id_b']) for r in out} == {(1, 4)}
+
+    def test_min_run_validation(self, docs):
+        from ons_utils_spark.operators.dedup import exact_substring_pairs
+        with pytest.raises(ValueError, match='min_run'):
+            exact_substring_pairs(docs, min_len=30, min_run=20)
+
+    def test_normalization_bridges_whitespace(self, spark_session):
+        from ons_utils_spark.operators.dedup import exact_substring_pairs
+        a = 'Some   Long  Shared sentence APPEARS in both documents'
+        rows = [(1, a), (2, a.lower().replace('  ', ' '))]
+        df = spark_session.createDataFrame(
+            rows, 'doc_id bigint, text string')
+        out = exact_substring_pairs(df, min_len=20).collect()
+        norm_len = len(' '.join(a.lower().split()))
+        assert [(r['id_a'], r['id_b'], r['longest_run'])
+                for r in out] == [(1, 2, norm_len)]
+
+    def test_hot_window_cap_drops_boilerplate(self, spark_session):
+        from ons_utils_spark.operators.dedup import exact_substring_pairs
+        boiler = 'standard license header appears everywhere verbatim'
+        rows = [(i, f'{boiler} unique body {i} ' * 1) for i in range(5)]
+        df = spark_session.createDataFrame(
+            rows, 'doc_id bigint, text string')
+        with_cap = exact_substring_pairs(
+            df, min_len=20, max_window_df=3).collect()
+        without = exact_substring_pairs(df, min_len=20).collect()
+        assert len(without) == 10          # all C(5,2) boiler pairs
+        assert len(with_cap) == 0          # cap kills the hot windows
+
+    def test_periodic_text_multiple_diagonals(self, spark_session):
+        from ons_utils_spark.operators.dedup import exact_substring_pairs
+        p = 'ab' * 40                       # 80 chars, period 2
+        rows = [(1, p), (2, p + 'xyz tail here')]
+        df = spark_session.createDataFrame(
+            rows, 'doc_id bigint, text string')
+        out = exact_substring_pairs(df, min_len=10).collect()
+        assert len(out) == 1
+        assert out[0]['longest_run'] == len(p)
