@@ -1034,3 +1034,76 @@ def exact_substring_pairs(
         )
         .filter(F.col('longest_run') >= min_run)
     )
+
+
+def line_dedup(
+    df: SparkDF,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    delimiter: str = '\n',
+    min_line_chars: int = 0,
+) -> SparkDF:
+    """C4-style corpus-level LINE dedup (Raffel et al.: drop every
+    repeated occurrence of a line across the whole corpus, keeping
+    only the first): boilerplate killer for navigation chrome, cookie
+    banners, license blocks that repeat across millions of pages.
+
+    "First occurrence" is the lowest ``(id, position)`` — a total
+    order, so the result is deterministic and stable under
+    repartitioning. Lines shorter than ``min_line_chars`` bypass
+    dedup entirely (always kept): the C4 practicality rule that stops
+    corpus-wide dedup from deleting every "yes." line.
+
+    Plan: posexplode → ONE shuffle on the line hash (md5 — 16 bytes
+    moves per line, not the line text ... the rank window shuffles
+    (hash, id, pos)); kept lines reassemble per document with
+    collect_list + array_sort (position-prefixed struct sort, pure
+    JVM). Documents whose every line was dropped come back with empty
+    text (row count is preserved — downstream joins keep working).
+
+    Returns the input columns with ``text_col`` rewritten.
+    """
+    other_cols = [c for c in df.columns if c != text_col]
+    # F.split takes a Java regex — \Q...\E quotes the delimiter so
+    # '|', '.', etc. split literally (array_join below is literal).
+    lines = df.select(
+        *other_cols,
+        F.posexplode(
+            F.split(F.col(text_col), '\\Q' + delimiter + '\\E'))
+        .alias('__pos', '__line'),
+    )
+    short = F.length('__line') < min_line_chars
+    # exempt lines never enter the dedup shuffle at all — at corpus
+    # scale the short tail is huge and shuffling it buys nothing.
+    exempt = lines.filter(short) if min_line_chars > 0 else None
+    long_lines = lines.filter(~short) if min_line_chars > 0 else lines
+    w = Window.partitionBy(F.md5(F.col('__line'))).orderBy(
+        F.col(id_col).asc(), F.col('__pos').asc())
+    kept = (
+        long_lines.withColumn('__rk', F.row_number().over(w))
+        .filter(F.col('__rk') == 1)
+        .drop('__rk')
+    )
+    if exempt is not None:
+        kept = kept.unionByName(exempt)
+    rebuilt = (
+        kept.groupBy(*other_cols)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct(F.col('__pos').alias('p'),
+                                 F.col('__line').alias('l')))),
+                    lambda s: s['l'],
+                ),
+                delimiter,
+            ).alias(text_col)
+        )
+    )
+    # docs that lost every line reappear with empty text
+    base = df.select(*other_cols)
+    return (
+        base.join(rebuilt, on=other_cols, how='left')
+        .fillna({text_col: ''})
+        .select(*df.columns)
+    )

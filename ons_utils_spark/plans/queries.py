@@ -1814,6 +1814,41 @@ def q_substring_dups(spark: SparkSession, sf_dir: str) -> SparkDF:
         documents, 'doc_id', 'text', min_len=60)
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """C4-style corpus-level line dedup
+    (``operators.dedup.line_dedup``): drop every repeated occurrence
+    of a line corpus-wide, keep the first (lowest doc/position),
+    reassemble documents, summarize per source. The synthetic docs
+    are single-line, so 'lines' are derived deterministically as
+    12-token segments (engine-replayable split) before the dedup —
+    the operator itself is delimiter-generic."""
+    from ..operators.dedup import line_dedup
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    toks = documents.select(
+        'doc_id', 'source', F.split('text', ' ').alias('t'))
+    seg = toks.select(
+        'doc_id', 'source',
+        F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size('t') / F.lit(12.0)).cast('int') - 1),
+                lambda i: F.array_join(
+                    F.slice('t', i * 12 + 1, 12), ' '),
+            ),
+            '\n',
+        ).alias('text'),
+    )
+    deduped = line_dedup(seg, 'doc_id', 'text')
+    return deduped.groupBy('source').agg(
+        F.count(F.lit(1)).alias('n_docs'),
+        F.sum(F.length('text')).alias('total_chars_after'),
+        F.sum(F.when(F.col('text') == '', 1).otherwise(0))
+        .alias('n_emptied'),
+    )
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Benchmark contamination check: training docs (doc_id >= 20)
     sharing any distinct word 4-gram with the benchmark set
@@ -2761,15 +2796,16 @@ QUERIES: Dict[str, QueryFn] = {
     'q13_order_distribution': q13_order_distribution,
     'q17_small_qty_revenue': q17_small_qty_revenue,
     'q20_promo_suppliers': q20_promo_suppliers,
-    'q21_waiting_suppliers': q21_waiting_suppliers,
     # new in round 5 (never driver-checked):
     'q_substring_dups': q_substring_dups,
+    'q_line_dedup': q_line_dedup,
     # rows-only (no SQL oracle), never driver-recorded:
     'q_ivf_pq_topk': q_ivf_pq_topk,
     'q_approx_quantile_ladder': q_approx_quantile_ladder,
     'q_compression_quality': q_compression_quality,
     # -- below the 50-slot window: driver-green in rounds 1-4 -----
     'q_winnow_dups': q_winnow_dups,
+    'q21_waiting_suppliers': q21_waiting_suppliers,
     'q_contamination': q_contamination,
     'q_rare_token_rate': q_rare_token_rate,
     'q_length_histogram': q_length_histogram,
@@ -3577,6 +3613,44 @@ ORACLES: Dict[str, str] = {
                               / greatest(n_norm_chars, 1)) * 1000000)
                     AS BIGINT) AS avg_shingle_ratio_u6
         FROM sh GROUP BY source
+    """,
+    'q_line_dedup': """
+        WITH toks AS (
+            SELECT doc_id, source, string_split(text, ' ') AS t
+            FROM documents
+        ), seg AS (
+            SELECT doc_id, source,
+                   list_transform(
+                       range(0, CAST(ceil(len(t) / 12.0) AS INT)),
+                       i -> array_to_string(
+                           t[i * 12 + 1 : i * 12 + 12], ' '))
+                       AS lines
+            FROM toks
+        ), ln AS (
+            SELECT doc_id, source,
+                   unnest(lines) AS line,
+                   unnest(range(0, len(lines))) AS pos
+            FROM seg
+        ), ranked AS (
+            SELECT doc_id, source, line, pos,
+                   row_number() OVER (
+                       PARTITION BY md5(line)
+                       ORDER BY doc_id, pos) AS rk
+            FROM ln
+        ), rebuilt AS (
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY pos) AS text
+            FROM ranked WHERE rk = 1
+            GROUP BY doc_id
+        )
+        SELECT d.source,
+               count(*) AS n_docs,
+               CAST(sum(length(coalesce(r.text, ''))) AS BIGINT)
+                   AS total_chars_after,
+               CAST(sum(CASE WHEN coalesce(r.text, '') = ''
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_emptied
+        FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+        GROUP BY d.source
     """,
     'q_substring_dups': """
         WITH norm AS (

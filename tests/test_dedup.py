@@ -497,3 +497,67 @@ class TestExactSubstringPairs:
         out = exact_substring_pairs(df, min_len=10).collect()
         assert len(out) == 1
         assert out[0]['longest_run'] == len(p)
+
+
+class TestLineDedup:
+    """C4-style corpus-level line dedup: first (doc, pos) occurrence
+    of each distinct line wins; documents reassemble in order."""
+
+    @pytest.fixture
+    def docs(self, spark_session):
+        rows = [
+            (1, 'unique first line\ncookie banner\nbody one', 'a'),
+            (2, 'cookie banner\nbody two\nok', 'b'),
+            (3, 'cookie banner\nbody one\nok', 'a'),
+            (4, 'cookie banner', 'b'),
+        ]
+        return spark_session.createDataFrame(
+            rows, 'doc_id bigint, text string, src string')
+
+    def test_first_occurrence_wins(self, docs):
+        from ons_utils_spark.operators.dedup import line_dedup
+        out = {r['doc_id']: r['text']
+               for r in line_dedup(docs).collect()}
+        assert out[1] == 'unique first line\ncookie banner\nbody one'
+        assert out[2] == 'body two\nok'
+        assert out[3] == ''                      # every line repeated
+        assert out[4] == ''
+
+    def test_row_count_and_columns_preserved(self, docs):
+        from ons_utils_spark.operators.dedup import line_dedup
+        out = line_dedup(docs)
+        assert out.count() == 4
+        assert out.columns == docs.columns
+        assert {r['src'] for r in out.collect()} == {'a', 'b'}
+
+    def test_short_line_exemption(self, docs):
+        from ons_utils_spark.operators.dedup import line_dedup
+        out = {r['doc_id']: r['text']
+               for r in line_dedup(docs, min_line_chars=5).collect()}
+        assert out[3] == 'ok'                    # 2 chars: exempt
+        assert out[2].endswith('ok')
+
+    def test_within_doc_repeats_also_dropped(self, spark_session):
+        from ons_utils_spark.operators.dedup import line_dedup
+        df = spark_session.createDataFrame(
+            [(1, 'same line here\nmiddle content\nsame line here')],
+            'doc_id bigint, text string')
+        out = line_dedup(df).collect()[0]['text']
+        assert out == 'same line here\nmiddle content'
+
+    def test_partitioning_invariant(self, docs):
+        from ons_utils_spark.operators.dedup import line_dedup
+        a = sorted(map(tuple, line_dedup(docs).collect()))
+        b = sorted(map(tuple,
+                       line_dedup(docs.repartition(7)).collect()))
+        assert a == b
+
+    def test_custom_delimiter(self, spark_session):
+        from ons_utils_spark.operators.dedup import line_dedup
+        df = spark_session.createDataFrame(
+            [(1, 'alpha beta|gamma delta'),
+             (2, 'gamma delta|epsilon')],
+            'doc_id bigint, text string')
+        out = {r['doc_id']: r['text']
+               for r in line_dedup(df, delimiter='|').collect()}
+        assert out == {1: 'alpha beta|gamma delta', 2: 'epsilon'}
