@@ -42,6 +42,7 @@ from .functions.approx import (
     approx_distinct,
     approx_quantile_col,
     approx_quantiles,
+    exact_quantile_col,
     filter_by_percentile_range,
 )
 from .functions.json import json_get, json_struct, with_json_fields
@@ -92,6 +93,13 @@ from .operators.similarity import (
     random_hyperplane_lsh,
 )
 from .operators.skew import salted_agg, salted_broadcast_join, with_salt
+from .operators.classifier import score_texts, train_token_weights
+from .operators.vocab import (
+    build_vocab,
+    oov_stats,
+    token_counts,
+    vocab_coverage,
+)
 from .operators.text import (
     chunk_text,
     clean_text,
@@ -150,7 +158,9 @@ __all__ = [
     'with_salt', 'salted_agg', 'salted_broadcast_join',
     'running_totals',
     'approx_distinct', 'approx_quantiles', 'approx_quantile_col',
-    'filter_by_percentile_range',
+    'exact_quantile_col', 'filter_by_percentile_range',
+    'token_counts', 'build_vocab', 'vocab_coverage', 'oov_stats',
+    'train_token_weights', 'score_texts',
     'connected_components', 'dedup_by_components',
     'image_features', 'audio_features', 'frame_sample_plan',
     'decode_jpeg', 'encode_jpeg',

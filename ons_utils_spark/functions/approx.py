@@ -95,6 +95,26 @@ def approx_quantile_col(
     )
 
 
+def exact_quantile_col(
+    col: ColumnOrName,
+    probabilities: Sequence[float],
+) -> SparkCol:
+    """Sort-based exact ``percentile`` as an aggregate column.
+
+    The per-group exact twin of :func:`approx_quantile_col`: when the
+    grouping has MANY groups, each aggregate buffer holds only one
+    group's values, so exact interpolated quantiles are safe at scale
+    (the buffers are bounded by group size, not corpus size).  For
+    few huge groups, use :func:`approx_quantile_col` (t-digest).
+    Linear interpolation at ``p*(n-1)`` matches ANSI
+    ``quantile_cont`` — oracle-reproducible.
+    """
+    return F.percentile(
+        convert_to_spark_col(col),
+        F.array(*[F.lit(float(p)) for p in probabilities]),
+    )
+
+
 def filter_by_percentile_range(
     df: SparkDF,
     col: ColumnOrName,

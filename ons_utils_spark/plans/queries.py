@@ -2733,6 +2733,81 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Tokenizer-sizing vocabulary coverage
+    (``operators.vocab.build_vocab`` + ``oov_stats``): top-200
+    frequency vocabulary (TakeOrderedAndProject — per-partition
+    top-k, no global sort), then per-source OOV rate with the
+    bounded vocab broadcast so the corpus explode never shuffles
+    for the membership test. Ratio emitted as the engine-identical
+    scaled bigint (TODO pitfall #4)."""
+    from ..operators.vocab import build_vocab, oov_stats
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    vocab = build_vocab(documents, 'text', top_k=200)
+    stats = oov_stats(documents, vocab, by=('source',))
+    return stats.select(
+        'source', 'n_tokens', 'n_oov',
+        F.round(F.col('oov_ratio') * 1000000)
+        .cast('long').alias('oov_ratio_u6'),
+    )
+
+
+def q_seed_classifier(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """CCNet/DCLM-style seed-set quality classifier
+    (``operators.classifier``): train token weights separating the
+    'en' seed slice from the rest (one token-keyed hash aggregate),
+    score every document via broadcast join + per-doc sum, then
+    summarize per language. Uses ``mode='integer'`` — sign-aligned
+    cross-ratio weights in pure 64-bit integer math, so scores are
+    bit-exact across engines regardless of summation order (the
+    float log-odds production mode is order-sensitive in its low
+    bits and would never hash-match)."""
+    from ..operators.classifier import score_texts, train_token_weights
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    labeled = documents.withColumn(
+        'is_seed', (F.col('lang') == 'en').cast('int'))
+    wts = train_token_weights(labeled, 'text', 'is_seed',
+                              mode='integer')
+    scored = score_texts(documents, wts, 'text',
+                         keep=('doc_id', 'lang'))
+    return scored.groupBy('lang').agg(
+        F.count(F.lit(1)).alias('n_docs'),
+        F.sum(F.when(F.col('score') > 0, 1).otherwise(0))
+        .alias('n_seedlike'),
+        F.sum('score').alias('sum_score'),
+    )
+
+
+def q_group_quantile_ladder(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Per-group EXACT quantile ladder
+    (``functions.approx.exact_quantile_col``): interpolated
+    p25/p50/p75/p90 of order value per status. The exact twin of
+    ``q_approx_quantile_ladder`` — safe at scale because each
+    aggregate buffer holds ONE group's values (bounded by group
+    size, not corpus size); for few huge groups the t-digest twin
+    is the right tool. Values emitted as scaled bigints: the
+    ``p*(n-1)`` linear interpolation is identical double math in
+    Spark and DuckDB ``quantile_cont``."""
+    from ..functions.approx import exact_quantile_col
+
+    (orders,) = _t(spark, sf_dir, 'orders')
+    ladder = exact_quantile_col('o_totalprice', (0.25, 0.5, 0.75, 0.9))
+    agg = orders.groupBy('o_orderstatus').agg(
+        F.count(F.lit(1)).alias('n_orders'),
+        ladder.alias('__q'),
+    )
+    def u6(i: int, name: str):
+        return (F.round(F.col('__q')[i] * 1000000)
+                .cast('long').alias(name))
+    return agg.select(
+        'o_orderstatus', 'n_orders',
+        u6(0, 'p25_u6'), u6(1, 'p50_u6'),
+        u6(2, 'p75_u6'), u6(3, 'p90_u6'),
+    )
+
+
 # --------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------
@@ -2771,10 +2846,11 @@ QUERIES: Dict[str, QueryFn] = {
     'q_char_shingles': q_char_shingles,
     'q_top_parts_array': q_top_parts_array,
     'q_price_trim': q_price_trim,
+    # new in round 5 (mirror-green, first driver check this round):
+    'q_vocab_coverage': q_vocab_coverage,
+    'q_seed_classifier': q_seed_classifier,
+    'q_group_quantile_ladder': q_group_quantile_ladder,
     # re-verified green fill (driver-green r4, unchanged):
-    'q_grouping_sets': q_grouping_sets,
-    'q_asof_tolerance': q_asof_tolerance,
-    'q_lookup_join': q_lookup_join,
     'q_global_share': q_global_share,
     'q_salted_join': q_salted_join,
     'q_balanced_sample': q_balanced_sample,
@@ -2804,6 +2880,9 @@ QUERIES: Dict[str, QueryFn] = {
     'q_approx_quantile_ladder': q_approx_quantile_ladder,
     'q_compression_quality': q_compression_quality,
     # -- below the 50-slot window: driver-green in rounds 1-4 -----
+    'q_grouping_sets': q_grouping_sets,
+    'q_asof_tolerance': q_asof_tolerance,
+    'q_lookup_join': q_lookup_join,
     'q_winnow_dups': q_winnow_dups,
     'q21_waiting_suppliers': q21_waiting_suppliers,
     'q_contamination': q_contamination,
@@ -3613,6 +3692,88 @@ ORACLES: Dict[str, str] = {
                               / greatest(n_norm_chars, 1)) * 1000000)
                     AS BIGINT) AS avg_shingle_ratio_u6
         FROM sh GROUP BY source
+    """,
+    'q_vocab_coverage': """
+        WITH norm AS (
+            SELECT source,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                       AS t
+            FROM documents
+        ), toks AS (
+            SELECT source, unnest(string_split(t, ' ')) AS token
+            FROM norm
+        ), tok AS (
+            SELECT * FROM toks WHERE token <> ''
+        ), vocab AS (
+            SELECT token FROM (
+                SELECT token, count(*) AS c FROM tok GROUP BY token
+            ) ORDER BY c DESC, token ASC LIMIT 200
+        ), stats AS (
+            SELECT t.source,
+                   count(*) AS n_tokens,
+                   sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                       AS n_oov
+            FROM tok t LEFT JOIN vocab v USING (token)
+            GROUP BY t.source
+        )
+        SELECT source, n_tokens,
+               CAST(n_oov AS BIGINT) AS n_oov,
+               CAST(round(CAST(n_oov AS DOUBLE) / n_tokens * 1000000)
+                    AS BIGINT) AS oov_ratio_u6
+        FROM stats
+    """,
+    'q_seed_classifier': """
+        WITH norm AS (
+            SELECT doc_id, lang,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                       AS t
+            FROM documents
+        ), toks AS (
+            SELECT doc_id, lang, unnest(string_split(t, ' ')) AS token
+            FROM norm
+        ), tok AS (
+            SELECT * FROM toks WHERE token <> ''
+        ), counts AS (
+            SELECT token,
+                   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c_pos,
+                   CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+                        AS BIGINT) AS c_neg
+            FROM tok GROUP BY token
+        ), tot AS (
+            SELECT CAST(sum(c_pos) AS BIGINT) AS t_pos,
+                   CAST(sum(c_neg) AS BIGINT) AS t_neg,
+                   count(*) AS v
+            FROM counts
+        ), wts AS (
+            SELECT token,
+                   CAST((c_pos + 1) * (t_neg + v)
+                        - (c_neg + 1) * (t_pos + v) AS BIGINT) AS w
+            FROM counts, tot
+        ), scored AS (
+            SELECT t.doc_id, t.lang,
+                   CAST(sum(w.w) AS BIGINT) AS score
+            FROM tok t JOIN wts w USING (token)
+            GROUP BY t.doc_id, t.lang
+        )
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_seedlike,
+               CAST(sum(score) AS BIGINT) AS sum_score
+        FROM scored GROUP BY lang
+    """,
+    'q_group_quantile_ladder': """
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               CAST(round(quantile_cont(o_totalprice, 0.25) * 1000000)
+                    AS BIGINT) AS p25_u6,
+               CAST(round(quantile_cont(o_totalprice, 0.5) * 1000000)
+                    AS BIGINT) AS p50_u6,
+               CAST(round(quantile_cont(o_totalprice, 0.75) * 1000000)
+                    AS BIGINT) AS p75_u6,
+               CAST(round(quantile_cont(o_totalprice, 0.9) * 1000000)
+                    AS BIGINT) AS p90_u6
+        FROM orders GROUP BY o_orderstatus
     """,
     'q_line_dedup': """
         WITH toks AS (
