@@ -54,6 +54,7 @@ from .operators.dedup import (
     exact_dedup,
     minhash_dedup,
     minhash_lsh_candidates,
+    minhash_lsh_candidates_portable,
     ngram_jaccard_join,
     simhash_dedup,
 )
@@ -145,7 +146,7 @@ __all__ = [
     'get_spark',
     'json_get', 'json_struct', 'with_json_fields',
     'exact_dedup', 'minhash_dedup', 'minhash_lsh_candidates',
-    'char_shingles',
+    'minhash_lsh_candidates_portable', 'char_shingles',
     'simhash_dedup', 'ngram_jaccard_join', 'embedding_near_duplicates',
     'cosine_topk', 'lsh_topk', 'random_hyperplane_lsh',
     'ivf_topk', 'ivf_centroids', 'ivf_assign',

@@ -306,6 +306,113 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_signature_portable(
+    shingles_col,
+    num_hashes: int = 16,
+    prefix_len: int = 16,
+):
+    """Engine-portable MinHash signature: ``array<string>`` of the
+    minimum md5-hex prefix per seed.
+
+    The classic K-independent-permutation formulation: hash function
+    ``i`` re-hashes each shingle as ``md5(i || ':' || shingle)`` and
+    the signature element is the lexicographic minimum of the first
+    ``prefix_len`` hex chars (lexicographic min of fixed-length hex
+    == numeric min).  Any engine with ``md5()`` reproduces it
+    bit-exactly — this is the auditing/verification twin of
+    :func:`minhash_signature` (the xxhash64+affine production family,
+    which pays ONE string hash per shingle instead of ``num_hashes``
+    md5s and is what 100 TB runs should use).
+
+    ``shingles_col`` must be a materialized column behind a barrier
+    (see :func:`shingle_hashes`) or the shingle pipeline re-evaluates
+    per hash function.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                shingles_col,
+                lambda s: F.substring(
+                    F.md5(F.concat(i.cast('string'), F.lit(':'), s)),
+                    1, prefix_len),
+            )
+        ),
+    )
+
+
+def minhash_lsh_candidates_portable(
+    df: SparkDF,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    shingles: str = 'word',
+) -> SparkDF:
+    """Banded MinHash LSH candidate pairs with the engine-portable
+    md5 hash family (:func:`minhash_signature_portable`).
+
+    Identical pipeline shape to :func:`minhash_lsh_candidates`
+    (signature → band buckets → self-join on (band, bucket) —
+    shuffle O(rows × bands), never O(rows²)) but every hash is
+    md5-derived, so an independent SQL engine replays the EXACT
+    candidate set — this is what lets the external DuckDB oracle
+    hash-verify the LSH banding decision itself rather than just row
+    counts.  Use the xxhash64 production family for real corpora;
+    use this for audits and cross-engine verification.
+    """
+    rows_per_band = num_hashes // bands
+    # Explode shingles to rows so every md5 is a FLAT projection:
+    # higher-order transform() lambdas are interpreted per element
+    # (~10x slower at seeds x shingles evals), while the exploded
+    # form stays inside whole-stage codegen and aggregates the
+    # num_hashes minima map-side in one doc-keyed shuffle.  Values
+    # are identical to minhash_signature_portable.
+    ex = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias('__id'),
+                F.explode(
+                    _shingler(shingles)(text_col, shingle_n)
+                ).alias('__s'))
+    )
+    sig = ex.groupBy('__id').agg(*[
+        F.min(F.substring(
+            F.md5(F.concat(F.lit(f'{i}:'), F.col('__s'))), 1, 16)
+        ).alias(f'__h{i}')
+        for i in range(num_hashes)
+    ])
+    banded = sig.select(
+        '__id',
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias('band'),
+                F.md5(F.concat_ws(',', *[
+                    F.col(f'__h{j}')
+                    for j in range(b * rows_per_band,
+                                   (b + 1) * rows_per_band)
+                ])).alias('bucket'),
+            )
+            for b in range(bands)
+        ])).alias('bh'),
+    ).select('__id', 'bh.band', 'bh.bucket')
+    banded = banded.repartition('band', 'bucket')
+    left, right = banded.alias('l'), banded.alias('r')
+    return (
+        left.join(
+            right,
+            on=[
+                F.col('l.band') == F.col('r.band'),
+                F.col('l.bucket') == F.col('r.bucket'),
+                F.col('l.__id') < F.col('r.__id'),
+            ],
+        )
+        .select(F.col('l.__id').alias('id_a'),
+                F.col('r.__id').alias('id_b'))
+        .distinct()
+    )
+
+
 def minhash_dedup(
     df: SparkDF,
     id_col: str = 'doc_id',

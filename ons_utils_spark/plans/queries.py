@@ -2780,6 +2780,20 @@ def q_seed_classifier(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Banded MinHash LSH with the engine-portable md5 hash family
+    (``operators.dedup.minhash_lsh_candidates_portable``): the DuckDB
+    oracle replays the ENTIRE pipeline — word 3-shingles, 16
+    per-seed md5 min-hashes, 4-band bucketing, bucket self-join — so
+    the hash check verifies the LSH banding decision itself, not
+    just row counts (the xxhash64 production family in
+    ``minhash_dedup`` is Spark-only and can only be rows-checked)."""
+    (documents,) = _t(spark, sf_dir, 'documents')
+    return dd.minhash_lsh_candidates_portable(
+        documents, 'doc_id', 'text',
+        num_hashes=16, bands=4, shingle_n=3)
+
+
 def q_group_quantile_ladder(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Per-group EXACT quantile ladder
     (``functions.approx.exact_quantile_col``): interpolated
@@ -2850,11 +2864,8 @@ QUERIES: Dict[str, QueryFn] = {
     'q_vocab_coverage': q_vocab_coverage,
     'q_seed_classifier': q_seed_classifier,
     'q_group_quantile_ladder': q_group_quantile_ladder,
+    'q_minhash_pairs': q_minhash_pairs,
     # re-verified green fill (driver-green r4, unchanged):
-    'q_global_share': q_global_share,
-    'q_salted_join': q_salted_join,
-    'q_balanced_sample': q_balanced_sample,
-    'q_connected_components': q_connected_components,
     'q7_nation_volume': q7_nation_volume,
     'q14_promo_share': q14_promo_share,
     'q15_top_supplier': q15_top_supplier,
@@ -2883,6 +2894,10 @@ QUERIES: Dict[str, QueryFn] = {
     'q_grouping_sets': q_grouping_sets,
     'q_asof_tolerance': q_asof_tolerance,
     'q_lookup_join': q_lookup_join,
+    'q_global_share': q_global_share,
+    'q_salted_join': q_salted_join,
+    'q_balanced_sample': q_balanced_sample,
+    'q_connected_components': q_connected_components,
     'q_winnow_dups': q_winnow_dups,
     'q21_waiting_suppliers': q21_waiting_suppliers,
     'q_contamination': q_contamination,
@@ -3761,6 +3776,40 @@ ORACLES: Dict[str, str] = {
                     AS BIGINT) AS n_seedlike,
                CAST(sum(score) AS BIGINT) AS sum_score
         FROM scored GROUP BY lang
+    """,
+    'q_minhash_pairs': """
+        WITH d AS (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                       AS t
+            FROM documents WHERE text IS NOT NULL
+        ), tk AS (
+            SELECT doc_id, string_split(t, ' ') AS toks FROM d
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) - 2 >= 1 THEN
+                       list_distinct(list_transform(
+                           range(1, len(toks) - 1),
+                           i -> array_to_string(toks[i : i + 2], ' ')))
+                   ELSE [array_to_string(toks, ' ')] END AS shingles
+            FROM tk
+        ), sig AS (
+            SELECT doc_id,
+                   list_transform(range(0, 16), i ->
+                       list_aggregate(list_transform(shingles, s ->
+                           substr(md5(CAST(i AS VARCHAR) || ':' || s),
+                                  1, 16)), 'min')) AS sig
+            FROM sh
+        ), banded AS (
+            SELECT doc_id, b,
+                   md5(array_to_string(sig[b * 4 + 1 : b * 4 + 4],
+                                       ',')) AS bucket
+            FROM sig, (SELECT unnest(range(0, 4)) AS b)
+        )
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM banded l
+        JOIN banded r ON l.b = r.b AND l.bucket = r.bucket
+                      AND l.doc_id < r.doc_id
     """,
     'q_group_quantile_ladder': """
         SELECT o_orderstatus,

@@ -78,6 +78,55 @@ class TestMinHash:
         assert list(jvm) == list(udf)
 
 
+class TestMinHashPortable:
+    def test_candidates_find_planted_pair(self, docs_with_dups):
+        cands = dd.minhash_lsh_candidates_portable(
+            docs_with_dups, 'doc_id', 'text', num_hashes=16, bands=8
+        )
+        pairs = {(r['id_a'], r['id_b']) for r in cands.collect()}
+        # exact dups share every band bucket regardless of family
+        assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+        # disjoint-content docs must not pair with the dup cluster
+        assert not any(5 in p for p in pairs)
+
+    def test_pipeline_matches_signature_column(self, docs_with_dups):
+        """The exploded/codegen pipeline must equal the column-form
+        minhash_signature_portable bucket-for-bucket."""
+        sh = docs_with_dups.select(
+            'doc_id', dd.word_shingles('text', 3).alias('sh'))
+        # column form (higher-order; the reference semantics)
+        ref = {
+            r['doc_id']: list(r['sig'])
+            for r in sh.select(
+                'doc_id',
+                dd.minhash_signature_portable(
+                    F.col('sh'), 8).alias('sig')).collect()
+        }
+        # exploded form (what the candidates pipeline computes)
+        ex = sh.select('doc_id', F.explode('sh').alias('s'))
+        agg = ex.groupBy('doc_id').agg(*[
+            F.min(F.substring(
+                F.md5(F.concat(F.lit(f'{i}:'), F.col('s'))), 1, 16)
+            ).alias(f'h{i}')
+            for i in range(8)
+        ])
+        got = {
+            r['doc_id']: [r[f'h{i}'] for i in range(8)]
+            for r in agg.collect()
+        }
+        assert got == ref
+
+    def test_null_text_rows_ignored(self, spark_session):
+        df = spark_session.createDataFrame(
+            [(1, 'a b c d e f'), (2, 'a b c d e f'), (3, None)],
+            'doc_id bigint, text string',
+        )
+        pairs = {(r['id_a'], r['id_b']) for r in
+                 dd.minhash_lsh_candidates_portable(
+                     df, num_hashes=8, bands=4).collect()}
+        assert pairs == {(1, 2)}
+
+
 class TestSimHash:
     def test_dedup_drops_exact_dups(self, docs_with_dups):
         kept = dd.simhash_dedup(
