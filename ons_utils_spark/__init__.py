@@ -56,6 +56,7 @@ from .operators.dedup import (
     minhash_lsh_candidates,
     minhash_lsh_candidates_portable,
     ngram_jaccard_join,
+    simhash_candidates_portable,
     simhash_dedup,
 )
 from .operators.grouped import grouped_apply
@@ -147,7 +148,8 @@ __all__ = [
     'json_get', 'json_struct', 'with_json_fields',
     'exact_dedup', 'minhash_dedup', 'minhash_lsh_candidates',
     'minhash_lsh_candidates_portable', 'char_shingles',
-    'simhash_dedup', 'ngram_jaccard_join', 'embedding_near_duplicates',
+    'simhash_dedup', 'simhash_candidates_portable',
+    'ngram_jaccard_join', 'embedding_near_duplicates',
     'cosine_topk', 'lsh_topk', 'random_hyperplane_lsh',
     'ivf_topk', 'ivf_centroids', 'ivf_assign',
     'tokenize', 'token_count', 'quality_score', 'language_id',

@@ -585,6 +585,86 @@ def simhash(text_col: str):
     )
 
 
+def simhash_candidates_portable(
+    df: SparkDF,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    n_blocks: int = 4,
+) -> SparkDF:
+    """SimHash candidate pairs with an engine-portable md5 bit source.
+
+    Verification twin of the xxhash64 :func:`simhash` pipeline (same
+    shape: per-token 64-bit hash → per-bit majority vote → signature
+    split into ``n_blocks`` block keys → pairs sharing ≥1 block; the
+    pigeonhole guarantee covers Hamming distance < ``n_blocks``).
+    Bits come from the first 16 hex chars of ``md5(token)`` (MSB of
+    each nibble first), votes tie-break to 0 like :func:`simhash`,
+    and every step is integer arithmetic — so an independent SQL
+    engine replays the exact candidate set and the external oracle
+    hash-verifies the blocking decision itself.
+
+    Flat-projection formulation (explode tokens → 16 nibble columns
+    → 64 codegen'd vote sums in ONE doc-keyed shuffle): higher-order
+    lambdas would be interpreted per token × per bit.  Production
+    corpora should use :func:`simhash_dedup` (one xxhash64 per token
+    instead of an md5); this exists for audits.
+    """
+    from .text import normalize_text, tokenize
+
+    width = 64 // n_blocks
+    ex = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias('__id'),
+                F.explode(
+                    tokenize(normalize_text(text_col))).alias('__t'))
+    )
+    h = F.md5(F.col('__t'))
+    ex2 = ex.select('__id', *[
+        F.conv(F.substring(h, k + 1, 1), 16, 10).cast('int')
+        .alias(f'__n{k}')
+        for k in range(16)
+    ])
+    votes = ex2.groupBy('__id').agg(*[
+        F.sum(
+            F.shiftright(F.col(f'__n{j // 4}'), 3 - j % 4)
+            .bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f'__v{j}')
+        for j in range(64)
+    ])
+    block_cols = []
+    for m in range(n_blocks):
+        expr = F.lit(0)
+        for idx in range(width):
+            j = m * width + idx
+            bit = F.when(F.col(f'__v{j}') > 0, 1).otherwise(0)
+            expr = expr + bit * F.lit(1 << (width - 1 - idx))
+        block_cols.append(expr.cast('long').alias(f'__b{m}'))
+    sig = votes.select('__id', *block_cols)
+    banded = sig.select(
+        '__id',
+        F.explode(F.array(*[
+            F.struct(F.lit(m).alias('block'),
+                     F.col(f'__b{m}').alias('key'))
+            for m in range(n_blocks)
+        ])).alias('bk'),
+    ).select('__id', 'bk.block', 'bk.key')
+    banded = banded.repartition('block', 'key')
+    left, right = banded.alias('l'), banded.alias('r')
+    return (
+        left.join(
+            right,
+            on=[
+                F.col('l.block') == F.col('r.block'),
+                F.col('l.key') == F.col('r.key'),
+                F.col('l.__id') < F.col('r.__id'),
+            ],
+        )
+        .select(F.col('l.__id').alias('id_a'),
+                F.col('r.__id').alias('id_b'))
+        .distinct()
+    )
+
+
 def simhash_blocks_udf(n_blocks: int = 4):
     """Arrow-vectorized SimHash: token-hash array → block-key array.
 

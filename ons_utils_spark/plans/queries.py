@@ -2794,6 +2794,19 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> SparkDF:
         num_hashes=16, bands=4, shingle_n=3)
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """SimHash blocking with the engine-portable md5 bit source
+    (``operators.dedup.simhash_candidates_portable``): per-token
+    64-bit hash → per-bit majority vote → 4×16-bit block keys →
+    pairs sharing ≥1 block. The DuckDB oracle replays every bit of
+    the pipeline in integer arithmetic, so the hash check verifies
+    the blocking decision itself (the xxhash64 production simhash
+    is Spark-only and can only be rows-checked)."""
+    (documents,) = _t(spark, sf_dir, 'documents')
+    return dd.simhash_candidates_portable(
+        documents, 'doc_id', 'text', n_blocks=4)
+
+
 def q_group_quantile_ladder(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Per-group EXACT quantile ladder
     (``functions.approx.exact_quantile_col``): interpolated
@@ -2865,6 +2878,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_seed_classifier': q_seed_classifier,
     'q_group_quantile_ladder': q_group_quantile_ladder,
     'q_minhash_pairs': q_minhash_pairs,
+    'q_simhash_pairs': q_simhash_pairs,
     # re-verified green fill (driver-green r4, unchanged):
     'q7_nation_volume': q7_nation_volume,
     'q14_promo_share': q14_promo_share,
@@ -2974,7 +2988,62 @@ QUERIES: Dict[str, QueryFn] = {
 }
 
 
+def _simhash_portable_sql(n_blocks: int = 4) -> str:
+    """Generate the DuckDB replay of ``simhash_candidates_portable``.
+
+    64 vote sums and the block-key bit packing are too repetitive to
+    hand-write; generating them guarantees the SQL uses the exact
+    same bit indexing (hex char ``j//4``, shift ``3-j%4``, MSB-first
+    block packing) as the Spark operator.
+    """
+    width = 64 // n_blocks
+    nibs = ', '.join(
+        f"strpos('0123456789abcdef', substr(h, {k + 1}, 1)) - 1"
+        f' AS n{k}'
+        for k in range(16))
+    votes = ', '.join(
+        f'sum(2 * ((n{j // 4} >> {3 - j % 4}) & 1) - 1) AS v{j}'
+        for j in range(64))
+    blocks = ', '.join(
+        ' + '.join(
+            f'(CASE WHEN v{m * width + i} > 0 THEN 1 ELSE 0 END'
+            f' * {1 << (width - 1 - i)})'
+            for i in range(width)
+        ) + f' AS b{m}'
+        for m in range(n_blocks))
+    key_case = ' '.join(
+        f'WHEN {m} THEN b{m}' for m in range(n_blocks))
+    return f"""
+        WITH d AS (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                       AS t
+            FROM documents WHERE text IS NOT NULL
+        ), tok AS (
+            SELECT doc_id, unnest(string_split(t, ' ')) AS tokv
+            FROM d
+        ), tk AS (
+            SELECT doc_id, md5(tokv) AS h FROM tok WHERE tokv <> ''
+        ), nib AS (
+            SELECT doc_id, {nibs} FROM tk
+        ), votes AS (
+            SELECT doc_id, {votes} FROM nib GROUP BY doc_id
+        ), sig AS (
+            SELECT doc_id, {blocks} FROM votes
+        ), banded AS (
+            SELECT doc_id, b,
+                   CASE b {key_case} END AS key
+            FROM sig, (SELECT unnest(range(0, {n_blocks})) AS b)
+        )
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM banded l
+        JOIN banded r ON l.b = r.b AND l.key = r.key
+                      AND l.doc_id < r.doc_id
+    """
+
+
 ORACLES: Dict[str, str] = {
+    'q_simhash_pairs': _simhash_portable_sql(4),
     'q1_pricing_summary': """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2)                          AS sum_qty,

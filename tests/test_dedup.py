@@ -127,6 +127,27 @@ class TestMinHashPortable:
         assert pairs == {(1, 2)}
 
 
+class TestSimHashPortable:
+    def test_exact_dups_share_all_blocks(self, docs_with_dups):
+        pairs = {(r['id_a'], r['id_b']) for r in
+                 dd.simhash_candidates_portable(
+                     docs_with_dups, 'doc_id', 'text').collect()}
+        # normalization-equal docs have identical token multisets →
+        # identical votes → identical block keys in every block
+        assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+        # one-word change flips few bits → still shares ≥1 block
+        assert any(4 in p for p in pairs)
+
+    def test_null_text_ignored(self, spark_session):
+        df = spark_session.createDataFrame(
+            [(1, 'x y z w v u t s'), (2, 'x y z w v u t s'), (3, None)],
+            'doc_id bigint, text string')
+        pairs = {(r['id_a'], r['id_b']) for r in
+                 dd.simhash_candidates_portable(df).collect()}
+        assert (1, 2) in pairs
+        assert not any(3 in p for p in pairs)
+
+
 class TestSimHash:
     def test_dedup_drops_exact_dups(self, docs_with_dups):
         kept = dd.simhash_dedup(
