@@ -42,6 +42,7 @@ from .functions.approx import (
     approx_distinct,
     approx_quantile_col,
     approx_quantiles,
+    bitmap_distinct_count,
     exact_quantile_col,
     filter_by_percentile_range,
 )
@@ -161,7 +162,8 @@ __all__ = [
     'with_salt', 'salted_agg', 'salted_broadcast_join',
     'running_totals',
     'approx_distinct', 'approx_quantiles', 'approx_quantile_col',
-    'exact_quantile_col', 'filter_by_percentile_range',
+    'exact_quantile_col', 'bitmap_distinct_count',
+    'filter_by_percentile_range',
     'token_counts', 'build_vocab', 'vocab_coverage', 'oov_stats',
     'train_token_weights', 'score_texts',
     'connected_components', 'dedup_by_components',

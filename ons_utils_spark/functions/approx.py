@@ -95,6 +95,41 @@ def approx_quantile_col(
     )
 
 
+def bitmap_distinct_count(
+    df: SparkDF,
+    col: ColumnOrName,
+    by: Sequence[str] = (),
+    result_col: str = 'n_distinct',
+) -> SparkDF:
+    """EXACT distinct count of an integral column via bitmap
+    aggregates — the scale-safe replacement for ``count(distinct)``.
+
+    ``count(distinct)`` plans an Expand + full shuffle of every
+    distinct value; this instead buckets values
+    (``bitmap_bucket_number``: 32K-bit buckets), ORs fixed-4KB
+    bitmaps map-side (``bitmap_construct_agg``), and sums
+    ``bitmap_count`` per group — shuffle volume is
+    O(groups × occupied buckets × 4KB) regardless of row count,
+    with full partial aggregation.  Ideal for dense integral keys;
+    for arbitrary-typed or extremely sparse keys use
+    :func:`approx_distinct` (HLL) or plain ``countDistinct``.
+    Values must be non-negative integers.
+    """
+    from ..generic import list_convert
+
+    c = convert_to_spark_col(col)
+    keys = list(list_convert(by)) if by else []
+    bucketed = (
+        df.groupBy(*keys, F.bitmap_bucket_number(c).alias('__bucket'))
+        .agg(F.bitmap_construct_agg(
+            F.bitmap_bit_position(c)).alias('__bm'))
+    )
+    return (
+        bucketed.groupBy(*keys)
+        .agg(F.sum(F.bitmap_count('__bm')).alias(result_col))
+    )
+
+
 def exact_quantile_col(
     col: ColumnOrName,
     probabilities: Sequence[float],

@@ -2807,6 +2807,22 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> SparkDF:
         documents, 'doc_id', 'text', n_blocks=4)
 
 
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Exact distinct buyers per order status via bitmap aggregates
+    (``functions.approx.bitmap_distinct_count``): bucket → OR 4KB
+    bitmaps map-side → sum popcounts. Unlike ``count(distinct)``
+    (Expand + shuffle of every distinct value), shuffle volume is
+    bounded by groups × occupied buckets regardless of row count —
+    the 100 TB pattern for repeated exact cardinalities over dense
+    integral keys."""
+    from ..functions.approx import bitmap_distinct_count
+
+    (orders,) = _t(spark, sf_dir, 'orders')
+    return bitmap_distinct_count(
+        orders, 'o_custkey', by=('o_orderstatus',),
+        result_col='n_buyers')
+
+
 def q_group_quantile_ladder(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Per-group EXACT quantile ladder
     (``functions.approx.exact_quantile_col``): interpolated
@@ -2879,6 +2895,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_group_quantile_ladder': q_group_quantile_ladder,
     'q_minhash_pairs': q_minhash_pairs,
     'q_simhash_pairs': q_simhash_pairs,
+    'q_bitmap_distinct': q_bitmap_distinct,
     # re-verified green fill (driver-green r4, unchanged):
     'q7_nation_volume': q7_nation_volume,
     'q14_promo_share': q14_promo_share,
@@ -3879,6 +3896,11 @@ ORACLES: Dict[str, str] = {
         FROM banded l
         JOIN banded r ON l.b = r.b AND l.bucket = r.bucket
                       AND l.doc_id < r.doc_id
+    """,
+    'q_bitmap_distinct': """
+        SELECT o_orderstatus,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_buyers
+        FROM orders GROUP BY o_orderstatus
     """,
     'q_group_quantile_ladder': """
         SELECT o_orderstatus,

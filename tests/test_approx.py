@@ -17,6 +17,28 @@ def lineitem(spark_session):
     )['lineitem']
 
 
+def test_bitmap_distinct_matches_count_distinct(lineitem):
+    from ons_utils_spark.functions.approx import bitmap_distinct_count
+
+    got = {r['l_returnflag']: r['n_distinct'] for r in
+           bitmap_distinct_count(
+               lineitem, 'l_orderkey',
+               by=('l_returnflag',)).collect()}
+    want = {r['l_returnflag']: r['nd'] for r in
+            lineitem.groupBy('l_returnflag')
+            .agg(F.countDistinct('l_orderkey').alias('nd')).collect()}
+    assert got == want
+
+
+def test_bitmap_distinct_global(lineitem):
+    from ons_utils_spark.functions.approx import bitmap_distinct_count
+
+    got = bitmap_distinct_count(
+        lineitem, 'l_partkey').collect()[0]['n_distinct']
+    want = lineitem.select('l_partkey').distinct().count()
+    assert got == want
+
+
 def test_approx_distinct_within_rsd(lineitem):
     exact = lineitem.select(
         F.countDistinct('l_partkey').alias('n')
