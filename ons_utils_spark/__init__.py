@@ -118,6 +118,7 @@ from .operators.text import (
     tokenize,
 )
 from .session import get_spark
+from .sources.layout import z_value, zorder_repartition
 from .streaming.sinks import foreach_batch_sink, write_stream_parquet
 from .streaming.stateful import running_totals
 from .streaming.windows import (
@@ -171,5 +172,6 @@ __all__ = [
     'decode_jpeg', 'encode_jpeg',
     'ngram_lm_score', 'bigram_counts', 'unigram_counts',
     'hash_split', 'hash_fraction_filter', 'split_thresholds',
+    'z_value', 'zorder_repartition',
     'PathLike',
 ]

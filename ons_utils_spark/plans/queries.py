@@ -2823,6 +2823,30 @@ def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> SparkDF:
         result_col='n_buyers')
 
 
+def q_zorder_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Z-order (Morton) interleave verification
+    (``sources.layout.z_value``): the write-layout primitive behind
+    multi-dimensional scan pruning. Interleaves the low 16 bits of
+    (l_partkey, l_suppkey) and summarizes each high-order z-range
+    (bucket = z >> 18) with count + min/max — exact integer math
+    end-to-end, so the oracle replays the curve bit-for-bit, and
+    tight (z_min, z_max) per bucket is precisely the statistic
+    parquet row-group pruning exploits after
+    ``zorder_repartition``."""
+    from ..sources.layout import z_value
+
+    (lineitem,) = _t(spark, sf_dir, 'lineitem')
+    z = z_value([F.col('l_partkey') % 65536,
+                 F.col('l_suppkey') % 65536], bits=16)
+    return (
+        lineitem.select(z.alias('z'))
+        .groupBy(F.shiftright(F.col('z'), 18).alias('z_bucket'))
+        .agg(F.count(F.lit(1)).alias('n_lines'),
+             F.min('z').alias('z_min'),
+             F.max('z').alias('z_max'))
+    )
+
+
 def q_group_quantile_ladder(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Per-group EXACT quantile ladder
     (``functions.approx.exact_quantile_col``): interpolated
@@ -2896,6 +2920,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_minhash_pairs': q_minhash_pairs,
     'q_simhash_pairs': q_simhash_pairs,
     'q_bitmap_distinct': q_bitmap_distinct,
+    'q_zorder_stats': q_zorder_stats,
     # re-verified green fill (driver-green r4, unchanged):
     'q7_nation_volume': q7_nation_volume,
     'q14_promo_share': q14_promo_share,
@@ -3005,6 +3030,15 @@ QUERIES: Dict[str, QueryFn] = {
 }
 
 
+def _zvalue_sql(a: str, b: str, bits: int = 16) -> str:
+    """Generate the DuckDB bit-interleave matching ``layout.z_value``
+    for two columns (bit i of a → position 2i, of b → 2i+1)."""
+    return ' + '.join(
+        f'(({a} >> {i}) & 1) * {1 << (2 * i)}'
+        f' + (({b} >> {i}) & 1) * {1 << (2 * i + 1)}'
+        for i in range(bits))
+
+
 def _simhash_portable_sql(n_blocks: int = 4) -> str:
     """Generate the DuckDB replay of ``simhash_candidates_portable``.
 
@@ -3061,6 +3095,18 @@ def _simhash_portable_sql(n_blocks: int = 4) -> str:
 
 ORACLES: Dict[str, str] = {
     'q_simhash_pairs': _simhash_portable_sql(4),
+    'q_zorder_stats': f"""
+        WITH z AS (
+            SELECT {_zvalue_sql('(l_partkey % 65536)',
+                                '(l_suppkey % 65536)')} AS z
+            FROM lineitem
+        )
+        SELECT z >> 18 AS z_bucket,
+               count(*) AS n_lines,
+               min(z) AS z_min,
+               max(z) AS z_max
+        FROM z GROUP BY z_bucket
+    """,
     'q1_pricing_summary': """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2)                          AS sum_qty,

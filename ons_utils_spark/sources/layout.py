@@ -1,97 +1,92 @@
-"""Data-layout-aware parquet writing: sorted, sized, skippable files.
+"""Z-order (Morton-curve) data layout for multi-dimensional pruning.
 
-Extension for the 100 TB design point. Parquet readers skip row
-groups using min/max column statistics, but statistics only help
-when values are CLUSTERED: a randomly-ordered write gives every row
-group min≈global-min / max≈global-max and nothing skips. The fix is
-layout at write time:
+Parquet scan pruning works off per-file/row-group min-max statistics;
+sorting by ONE column gives tight stats on that column only.
+Interleaving the bits of several columns (the Morton / Z-order curve
+— Morton 1966; the clustering technique behind Delta Lake's
+``OPTIMIZE ZORDER BY`` and ClickHouse/DuckDB space-filling-curve
+layouts) keeps files tight on EVERY interleaved dimension at once,
+so selective filters on any of them skip most files.
 
-* ``repartitionByRange(sort_cols)`` → each output file owns a
-  disjoint value range (range-partitioned, sampled boundaries);
-* ``sortWithinPartitions`` → row groups inside a file are clustered
-  too, so even intra-file skipping works;
-* ``maxRecordsPerFile`` → bounds file size without a second job.
+At 100 TB this is a WRITE-side investment: one range-repartition +
+within-partition sort on the z-value, paid once per table rewrite,
+repaid on every subsequent selective scan.  All bit math is plain
+JVM integer arithmetic inside whole-stage codegen — no UDFs.
 
-A point/range query on the sort columns then prunes to the files
-whose [min, max] intersect the predicate — on a 100 TB table sorted
-by (day, tenant) that's the difference between touching 1 file and
-touching all of them. ``file_stats`` reads back the per-file
-footer statistics so tests (and operators) can PROVE the layout:
-disjoint ranges, bounded row counts.
+The reference engine (``/root/reference/ons_utils``) has no layout
+tooling; this extends the sources/sinks surface alongside
+``sources/bucketing.py``.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import Optional, Sequence, Union
 
+from pyspark.sql import Column as SparkCol
 from pyspark.sql import DataFrame as SparkDF
 from pyspark.sql import functions as F
 
-from ..generic import list_convert
+from ..functions.columns import convert_to_spark_col
 
-__all__ = ['optimize_write', 'file_stats']
+ColumnOrName = Union[str, SparkCol]
+
+__all__ = ['z_value', 'zorder_repartition']
 
 
-def optimize_write(
+def z_value(
+    cols: Sequence[ColumnOrName],
+    bits: int = 16,
+) -> SparkCol:
+    """Morton z-value: interleave the low ``bits`` bits of each column.
+
+    Bit ``i`` of column ``k`` lands at position ``i*len(cols)+k`` —
+    the standard Morton interleave, so nearby (col0, col1, ...)
+    tuples get nearby z-values.  Inputs must be non-negative
+    integers; values above ``2^bits - 1`` wrap by masking (callers
+    should pre-bucket wide-range keys, e.g. ``F.hash(c) & 0xFFFF``
+    or a rank bucket, before interleaving).  ``bits * len(cols)``
+    must stay below 63 to fit a signed long.
+    """
+    n = len(cols)
+    if n < 2:
+        raise ValueError('z_value needs at least 2 columns')
+    if bits * n > 62:
+        raise ValueError(
+            f'bits({bits}) * cols({n}) = {bits * n} exceeds 62 — '
+            'the z-value must fit a signed 64-bit long')
+    cs = [convert_to_spark_col(c).cast('long') for c in cols]
+    expr = F.lit(0).cast('long')
+    for i in range(bits):
+        for k, c in enumerate(cs):
+            bit = F.shiftright(c, i).bitwiseAND(F.lit(1))
+            expr = expr + bit * F.lit(1 << (i * n + k))
+    return expr
+
+
+def zorder_repartition(
     df: SparkDF,
-    path: str,
-    sort_cols: Union[str, Sequence[str]],
-    *,
-    num_files: Optional[int] = None,
-    max_records_per_file: Optional[int] = None,
-    mode: str = 'overwrite',
-) -> None:
-    """Write ``df`` as range-partitioned, internally-sorted parquet.
+    cols: Sequence[ColumnOrName],
+    bits: int = 16,
+    num_partitions: Optional[int] = None,
+    keep_zvalue: bool = False,
+) -> SparkDF:
+    """Cluster ``df`` along the Z-order curve of ``cols`` for writing.
 
-    ``num_files`` sets the range-partition count (default: the
-    session's ``spark.sql.shuffle.partitions``); one shuffle total.
-    ``max_records_per_file`` caps file size for downstream split
-    granularity without another repartition pass.
+    Range-repartitions on the z-value (one sampled-boundary shuffle)
+    and sorts within partitions, so every output file covers a small
+    hypercube of the key space — min-max stats stay tight on every
+    interleaved column and selective scans on ANY of them prune.
+    Write the result straight out::
+
+        zorder_repartition(df, ['k1', 'k2']).write.parquet(path)
+
+    ``num_partitions`` defaults to Spark's shuffle partition count;
+    size it so files land near the target file size at your scale.
     """
-    cols = [F.col(c) for c in list_convert(sort_cols)]
-    spark = df.sparkSession
-    n = num_files or int(spark.conf.get('spark.sql.shuffle.partitions'))
-    laid_out = (
-        df.repartitionByRange(n, *cols)
-        .sortWithinPartitions(*cols)
-    )
-    writer = laid_out.write.mode(mode)
-    if max_records_per_file is not None:
-        writer = writer.option(
-            'maxRecordsPerFile', max_records_per_file)
-    writer.parquet(path)
-
-
-def file_stats(
-    path: str,
-    column: str,
-) -> List[Tuple[str, int, object, object]]:
-    """Per-file ``(name, rows, min, max)`` of ``column`` from parquet
-    footers — driver-side metadata only (no data read). The proof
-    surface for :func:`optimize_write`: after a range-partitioned
-    write the [min, max] intervals are pairwise disjoint, which is
-    exactly the property row-group/file skipping needs.
-    """
-    import os
-
-    import pyarrow.parquet as pq
-
-    out: List[Tuple[str, int, object, object]] = []
-    for name in sorted(os.listdir(path)):
-        if not name.endswith('.parquet'):
-            continue
-        meta = pq.read_metadata(os.path.join(path, name))
-        lo, hi, rows = None, None, 0
-        for rg in range(meta.num_row_groups):
-            group = meta.row_group(rg)
-            rows += group.num_rows
-            for ci in range(group.num_columns):
-                col = group.column(ci)
-                if col.path_in_schema != column or col.statistics is None:
-                    continue
-                st = col.statistics
-                if st.min is not None:
-                    lo = st.min if lo is None else min(lo, st.min)
-                if st.max is not None:
-                    hi = st.max if hi is None else max(hi, st.max)
-        out.append((name, rows, lo, hi))
-    return out
+    zv = z_value(cols, bits)
+    out = df.withColumn('__zvalue', zv)
+    if num_partitions is not None:
+        out = out.repartitionByRange(num_partitions, '__zvalue')
+    else:
+        out = out.repartitionByRange('__zvalue')
+    out = out.sortWithinPartitions('__zvalue')
+    return out if keep_zvalue else out.drop('__zvalue')
