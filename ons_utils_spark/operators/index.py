@@ -1,0 +1,110 @@
+"""Inverted index construction and conjunctive term search.
+
+The retrieval-side companion to ``operators.tfidf``: build
+token → posting-list tables from a document corpus (the data
+structure behind keyword search, contamination screens, and
+"which shards contain term X" routing at corpus scale), and answer
+conjunctive (all-terms) queries against them.  The reference engine
+(``/root/reference/ons_utils``) has no indexing tooling; this is
+part of the LLM-pipeline extension surface.
+
+Scale design (100 TB corpus):
+
+* The (doc, token) explode is deduplicated then ranked in ONE
+  token-keyed shuffle (both window functions share the partition
+  key).  Posting lists for hot tokens (stopwords) are unbounded in
+  a naive ``collect_list`` — ``max_postings`` caps each list at the
+  lowest-id documents BEFORE collection, so no aggregation buffer
+  exceeds ``max_postings`` longs while ``doc_freq`` still reports
+  the true frequency.
+* Searches broadcast the (tiny) term set; only matching posting
+  rows are exploded, so a query touches O(Σ posting lengths) rows,
+  never the corpus.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame as SparkDF
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .text import normalize_text, tokenize
+
+__all__ = ['build_inverted_index', 'search_all_terms']
+
+
+def build_inverted_index(
+    df: SparkDF,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    min_df: int = 1,
+    max_postings: Optional[int] = None,
+) -> SparkDF:
+    """Token → sorted posting list: ``(token, doc_freq, postings)``.
+
+    ``doc_freq`` is the TRUE number of documents containing the
+    token; ``postings`` holds the (ascending) ids of at most
+    ``max_postings`` of them (lowest ids — deterministic).  Capping
+    keeps hot-token aggregation buffers bounded at scale; pass
+    ``None`` for exact/complete lists when the corpus is known to be
+    small or stopwords are pre-filtered with ``min_df``/stoplists.
+    """
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias('__doc'),
+                F.explode(
+                    tokenize(normalize_text(text_col))).alias('token'))
+        .distinct()
+    )
+    wt = Window.partitionBy('token')
+    ranked = toks.select(
+        'token', '__doc',
+        F.row_number().over(wt.orderBy('__doc')).alias('__rn'),
+        F.count(F.lit(1)).over(wt).alias('doc_freq'),
+    )
+    if max_postings is not None:
+        ranked = ranked.filter(F.col('__rn') <= max_postings)
+    out = (
+        ranked.groupBy('token')
+        .agg(F.first('doc_freq').alias('doc_freq'),
+             F.array_sort(F.collect_list('__doc')).alias('postings'))
+    )
+    if min_df > 1:
+        out = out.filter(F.col('doc_freq') >= min_df)
+    return out
+
+
+def search_all_terms(
+    index: SparkDF,
+    terms: Sequence[str],
+) -> SparkDF:
+    """Documents containing ALL of ``terms`` (conjunctive query).
+
+    Filters the index to the term set (broadcast-size literal
+    predicate — partition-prunable if the index is written
+    partitioned/bucketed by token), explodes only those posting
+    lists, and keeps ids hit by every term.  Returns ``(doc_id)``.
+    Run against an UNCAPPED index (or one whose cap exceeds every
+    queried term's doc_freq) for exact results — a capped hot-token
+    list would silently drop matches, so this raises if any queried
+    term's postings were truncated.
+    """
+    terms = [t.lower() for t in terms]
+    hits = index.filter(F.col('token').isin(terms))
+    truncated = hits.filter(
+        F.size('postings') < F.col('doc_freq')).select('token')
+    bad = [r['token'] for r in truncated.limit(5).collect()]
+    if bad:
+        raise ValueError(
+            f'posting lists truncated for queried terms {bad}: '
+            'rebuild the index with a larger/absent max_postings '
+            'for exact conjunctive search')
+    n = len(set(terms))
+    return (
+        hits.select(F.explode('postings').alias('doc_id'))
+        .groupBy('doc_id')
+        .agg(F.count(F.lit(1)).alias('__n'))
+        .filter(F.col('__n') == n)
+        .select('doc_id')
+    )

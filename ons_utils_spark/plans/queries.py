@@ -2847,6 +2847,27 @@ def q_zorder_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Inverted-index build (``operators.index.build_inverted_index``):
+    token → capped sorted posting list in one token-keyed shuffle
+    (rank + count share the window partition), hot lists bounded at
+    16 ids BEFORE collection while doc_freq stays exact. Postings
+    emitted as md5 of the joined id list so the oracle verifies the
+    exact byte sequence without array-typed output (driver canon
+    can't sort lists)."""
+    from ..operators.index import build_inverted_index
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    idx = build_inverted_index(documents, min_df=5, max_postings=16)
+    return idx.select(
+        'token', 'doc_freq',
+        F.size('postings').alias('n_kept'),
+        F.md5(F.concat_ws(',', F.transform(
+            'postings', lambda d: d.cast('string')))
+        ).alias('postings_md5'),
+    )
+
+
 def q_group_quantile_ladder(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Per-group EXACT quantile ladder
     (``functions.approx.exact_quantile_col``): interpolated
@@ -2921,6 +2942,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_simhash_pairs': q_simhash_pairs,
     'q_bitmap_distinct': q_bitmap_distinct,
     'q_zorder_stats': q_zorder_stats,
+    'q_inverted_index': q_inverted_index,
     # re-verified green fill (driver-green r4, unchanged):
     'q7_nation_volume': q7_nation_volume,
     'q14_promo_share': q14_promo_share,
@@ -3942,6 +3964,33 @@ ORACLES: Dict[str, str] = {
         FROM banded l
         JOIN banded r ON l.b = r.b AND l.bucket = r.bucket
                       AND l.doc_id < r.doc_id
+    """,
+    'q_inverted_index': """
+        WITH norm AS (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                       AS t
+            FROM documents WHERE text IS NOT NULL
+        ), toks AS (
+            SELECT DISTINCT doc_id, token FROM (
+                SELECT doc_id, unnest(string_split(t, ' ')) AS token
+                FROM norm
+            ) WHERE token <> ''
+        ), ranked AS (
+            SELECT token, doc_id,
+                   row_number() OVER (PARTITION BY token
+                                      ORDER BY doc_id) AS rn,
+                   count(*) OVER (PARTITION BY token) AS doc_freq
+            FROM toks
+        )
+        SELECT token,
+               CAST(any_value(doc_freq) AS BIGINT) AS doc_freq,
+               count(*) AS n_kept,
+               md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id)) AS postings_md5
+        FROM ranked WHERE rn <= 16
+        GROUP BY token
+        HAVING any_value(doc_freq) >= 5
     """,
     'q_bitmap_distinct': """
         SELECT o_orderstatus,
