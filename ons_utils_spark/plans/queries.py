@@ -2944,7 +2944,6 @@ QUERIES: Dict[str, QueryFn] = {
     'q_zorder_stats': q_zorder_stats,
     'q_inverted_index': q_inverted_index,
     # re-verified green fill (driver-green r4, unchanged):
-    'q7_nation_volume': q7_nation_volume,
     'q14_promo_share': q14_promo_share,
     'q15_top_supplier': q15_top_supplier,
     'q16_supplier_variety': q16_supplier_variety,
@@ -2972,6 +2971,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_grouping_sets': q_grouping_sets,
     'q_asof_tolerance': q_asof_tolerance,
     'q_lookup_join': q_lookup_join,
+    'q7_nation_volume': q7_nation_volume,
     'q_global_share': q_global_share,
     'q_salted_join': q_salted_join,
     'q_balanced_sample': q_balanced_sample,
