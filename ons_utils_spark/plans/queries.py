@@ -2868,6 +2868,20 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_term_search(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Conjunctive term search over the inverted index
+    (``operators.index.search_all_terms``): documents containing
+    BOTH query terms, answered from posting lists (explode only the
+    two matching lists, never the corpus). Uncapped index — the
+    search contract requires complete postings and raises on
+    truncation. Oracle is the set-intersection ground truth."""
+    from ..operators.index import build_inverted_index, search_all_terms
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    idx = build_inverted_index(documents)
+    return search_all_terms(idx, ['spark', 'table'])
+
+
 def q_group_quantile_ladder(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Per-group EXACT quantile ladder
     (``functions.approx.exact_quantile_col``): interpolated
@@ -2943,8 +2957,8 @@ QUERIES: Dict[str, QueryFn] = {
     'q_bitmap_distinct': q_bitmap_distinct,
     'q_zorder_stats': q_zorder_stats,
     'q_inverted_index': q_inverted_index,
+    'q_term_search': q_term_search,
     # re-verified green fill (driver-green r4, unchanged):
-    'q14_promo_share': q14_promo_share,
     'q15_top_supplier': q15_top_supplier,
     'q16_supplier_variety': q16_supplier_variety,
     'q18_big_orders': q18_big_orders,
@@ -2972,6 +2986,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_asof_tolerance': q_asof_tolerance,
     'q_lookup_join': q_lookup_join,
     'q7_nation_volume': q7_nation_volume,
+    'q14_promo_share': q14_promo_share,
     'q_global_share': q_global_share,
     'q_salted_join': q_salted_join,
     'q_balanced_sample': q_balanced_sample,
@@ -3991,6 +4006,22 @@ ORACLES: Dict[str, str] = {
         FROM ranked WHERE rn <= 16
         GROUP BY token
         HAVING any_value(doc_freq) >= 5
+    """,
+    'q_term_search': """
+        WITH norm AS (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                       AS t
+            FROM documents WHERE text IS NOT NULL
+        ), toks AS (
+            SELECT DISTINCT doc_id, token FROM (
+                SELECT doc_id, unnest(string_split(t, ' ')) AS token
+                FROM norm
+            ) WHERE token <> ''
+        )
+        SELECT doc_id FROM toks WHERE token = 'spark'
+        INTERSECT
+        SELECT doc_id FROM toks WHERE token = 'table'
     """,
     'q_bitmap_distinct': """
         SELECT o_orderstatus,
