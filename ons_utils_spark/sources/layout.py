@@ -19,17 +19,92 @@ tooling; this extends the sources/sinks surface alongside
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Union
+from typing import List, Optional, Sequence, Tuple, Union
 
 from pyspark.sql import Column as SparkCol
 from pyspark.sql import DataFrame as SparkDF
 from pyspark.sql import functions as F
 
 from ..functions.columns import convert_to_spark_col
+from ..generic import list_convert
 
 ColumnOrName = Union[str, SparkCol]
 
-__all__ = ['z_value', 'zorder_repartition']
+__all__ = ['optimize_write', 'file_stats', 'z_value',
+           'zorder_repartition']
+
+
+def optimize_write(
+    df: SparkDF,
+    path: str,
+    sort_cols: Union[str, Sequence[str]],
+    *,
+    num_files: Optional[int] = None,
+    max_records_per_file: Optional[int] = None,
+    mode: str = 'overwrite',
+) -> None:
+    """Write ``df`` as range-partitioned, internally-sorted parquet.
+
+    Parquet readers skip row groups using min/max statistics, but
+    statistics only help when values are CLUSTERED — a random write
+    gives every row group min≈global-min / max≈global-max and
+    nothing skips.  ``repartitionByRange(sort_cols)`` gives each
+    output file a disjoint value range (one shuffle total),
+    ``sortWithinPartitions`` clusters row groups inside files, and
+    ``max_records_per_file`` caps file size without a second job.
+    For clustering on SEVERAL filter dimensions at once, feed
+    :func:`zorder_repartition` output to a plain write instead.
+
+    ``num_files`` defaults to the session's shuffle partition count.
+    """
+    cols = [F.col(c) for c in list_convert(sort_cols)]
+    spark = df.sparkSession
+    n = num_files or int(spark.conf.get('spark.sql.shuffle.partitions'))
+    laid_out = (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+    )
+    writer = laid_out.write.mode(mode)
+    if max_records_per_file is not None:
+        writer = writer.option(
+            'maxRecordsPerFile', max_records_per_file)
+    writer.parquet(path)
+
+
+def file_stats(
+    path: str,
+    column: str,
+) -> List[Tuple[str, int, object, object]]:
+    """Per-file ``(name, rows, min, max)`` of ``column`` from parquet
+    footers — driver-side metadata only (no data read). The proof
+    surface for :func:`optimize_write`: after a range-partitioned
+    write the [min, max] intervals are pairwise disjoint, which is
+    exactly the property row-group/file skipping needs.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    out: List[Tuple[str, int, object, object]] = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith('.parquet'):
+            continue
+        meta = pq.read_metadata(os.path.join(path, name))
+        lo, hi, rows = None, None, 0
+        for rg in range(meta.num_row_groups):
+            group = meta.row_group(rg)
+            rows += group.num_rows
+            for ci in range(group.num_columns):
+                col = group.column(ci)
+                if col.path_in_schema != column or col.statistics is None:
+                    continue
+                st = col.statistics
+                if st.min is not None:
+                    lo = st.min if lo is None else min(lo, st.min)
+                if st.max is not None:
+                    hi = st.max if hi is None else max(hi, st.max)
+        out.append((name, rows, lo, hi))
+    return out
 
 
 def z_value(
