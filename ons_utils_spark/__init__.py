@@ -61,7 +61,11 @@ from .operators.dedup import (
     simhash_dedup,
 )
 from .operators.grouped import grouped_apply
-from .operators.index import build_inverted_index, search_all_terms
+from .operators.index import (
+    bm25_rank,
+    build_inverted_index,
+    search_all_terms,
+)
 from .operators.joins import (
     anti_join,
     as_of_join,
@@ -174,6 +178,6 @@ __all__ = [
     'ngram_lm_score', 'bigram_counts', 'unigram_counts',
     'hash_split', 'hash_fraction_filter', 'split_thresholds',
     'z_value', 'zorder_repartition',
-    'build_inverted_index', 'search_all_terms',
+    'build_inverted_index', 'search_all_terms', 'bm25_rank',
     'PathLike',
 ]

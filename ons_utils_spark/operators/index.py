@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from .text import normalize_text, tokenize
 
-__all__ = ['build_inverted_index', 'search_all_terms']
+__all__ = ['build_inverted_index', 'search_all_terms', 'bm25_rank']
 
 
 def build_inverted_index(
@@ -73,6 +73,71 @@ def build_inverted_index(
     if min_df > 1:
         out = out.filter(F.col('doc_freq') >= min_df)
     return out
+
+
+def bm25_rank(
+    df: SparkDF,
+    terms: Sequence[str],
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: Optional[int] = 10,
+) -> SparkDF:
+    """Okapi BM25 ranking of documents against a bag of query terms.
+
+    Returns ``(doc_id, score)``, highest first (ties broken by id),
+    limited to ``top_k`` when given.  All statistics come from the
+    corpus itself in one pass each: document lengths (+ the avgdl
+    one-row broadcast), per-term document frequencies, and term
+    frequencies filtered to the query terms BEFORE any shuffle — so
+    the heavy explode aggregates only matching tokens and the
+    per-doc score join touches O(matching docs), never the corpus.
+    ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))`` (the
+    always-positive Robertson–Sparck Jones variant).
+
+    No SQL oracle is declared for this operator: the score is a sum
+    of ``ln``-weighted floats whose low bits depend on summation
+    order, so cross-engine hash replay is unreliable by construction
+    — the formula is pinned by hand-computed unit tests instead
+    (``tests/test_index.py``).
+    """
+    terms = sorted({t.lower() for t in terms})
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias('__doc'),
+                F.explode(
+                    tokenize(normalize_text(text_col))).alias('token'))
+    )
+    dl = toks.groupBy('__doc').agg(F.count(F.lit(1)).alias('__dl'))
+    stats = dl.agg(F.avg('__dl').alias('__avgdl'),
+                   F.count(F.lit(1)).alias('__n'))
+    matched = toks.filter(F.col('token').isin(terms))
+    tf = matched.groupBy('__doc', 'token').agg(
+        F.count(F.lit(1)).alias('__tf'))
+    dfreq = tf.groupBy('token').agg(
+        F.count(F.lit(1)).alias('__df'))
+    scored = (
+        tf.join(F.broadcast(dfreq), 'token')
+        .join(dl, '__doc')
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        1.0 + (F.col('__n') - F.col('__df') + 0.5)
+        / (F.col('__df') + 0.5))
+    tf_norm = (
+        F.col('__tf') * (k1 + 1)
+        / (F.col('__tf')
+           + k1 * (1 - b + b * F.col('__dl') / F.col('__avgdl')))
+    )
+    out = (
+        scored.select('__doc', (idf * tf_norm).alias('__s'))
+        .groupBy('__doc')
+        .agg(F.sum('__s').alias('score'))
+        .select(F.col('__doc').alias(id_col), 'score')
+        .sort(F.col('score').desc(), F.col(id_col).asc())
+    )
+    return out.limit(top_k) if top_k is not None else out
 
 
 def search_all_terms(

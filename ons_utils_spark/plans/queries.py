@@ -2882,6 +2882,27 @@ def q_term_search(spark: SparkSession, sf_dir: str) -> SparkDF:
     return search_all_terms(idx, ['spark', 'table'])
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Okapi BM25 top-15 (``operators.index.bm25_rank``): rank
+    documents against a two-term query from corpus statistics
+    computed in-pass (term-filter BEFORE the shuffle, avgdl as a
+    one-row broadcast). Output is (rank, doc_id) ONLY — the float
+    score stays internal because ln-weighted float sums aren't
+    bit-portable, while the RANKING (with id tie-break) is stable:
+    exact ties come from identical (tf, dl, df) integer triples,
+    which both engines score identically."""
+    from ..operators.index import bm25_rank
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    ranked = bm25_rank(documents, ['spark', 'table'], top_k=None)
+    w = Window.orderBy(F.col('score').desc(), F.col('doc_id').asc())
+    return (
+        ranked.withColumn('rank', F.row_number().over(w))
+        .filter(F.col('rank') <= 15)
+        .select('rank', 'doc_id')
+    )
+
+
 def q_group_quantile_ladder(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Per-group EXACT quantile ladder
     (``functions.approx.exact_quantile_col``): interpolated
@@ -2958,8 +2979,8 @@ QUERIES: Dict[str, QueryFn] = {
     'q_zorder_stats': q_zorder_stats,
     'q_inverted_index': q_inverted_index,
     'q_term_search': q_term_search,
+    'q_bm25_topk': q_bm25_topk,
     # re-verified green fill (driver-green r4, unchanged):
-    'q15_top_supplier': q15_top_supplier,
     'q16_supplier_variety': q16_supplier_variety,
     'q18_big_orders': q18_big_orders,
     'q19_bracket_revenue': q19_bracket_revenue,
@@ -2987,6 +3008,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_lookup_join': q_lookup_join,
     'q7_nation_volume': q7_nation_volume,
     'q14_promo_share': q14_promo_share,
+    'q15_top_supplier': q15_top_supplier,
     'q_global_share': q_global_share,
     'q_salted_join': q_salted_join,
     'q_balanced_sample': q_balanced_sample,
@@ -4006,6 +4028,44 @@ ORACLES: Dict[str, str] = {
         FROM ranked WHERE rn <= 16
         GROUP BY token
         HAVING any_value(doc_freq) >= 5
+    """,
+    'q_bm25_topk': """
+        WITH norm AS (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                       AS t
+            FROM documents WHERE text IS NOT NULL
+        ), tok AS (
+            SELECT doc_id, token FROM (
+                SELECT doc_id, unnest(string_split(t, ' ')) AS token
+                FROM norm
+            ) WHERE token <> ''
+        ), dl AS (
+            SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+        ), stats AS (
+            SELECT avg(dl) AS avgdl, count(*) AS n FROM dl
+        ), tf AS (
+            SELECT doc_id, token, count(*) AS tf
+            FROM tok WHERE token IN ('spark', 'table')
+            GROUP BY doc_id, token
+        ), dfreq AS (
+            SELECT token, count(*) AS df FROM tf GROUP BY token
+        ), scored AS (
+            SELECT tf.doc_id,
+                   sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                       * tf.tf * (1.2 + 1)
+                       / (tf.tf + 1.2 * (1 - 0.75
+                          + 0.75 * dl.dl / s.avgdl))) AS score
+            FROM tf JOIN dfreq d USING (token)
+                    JOIN dl USING (doc_id), stats s
+            GROUP BY tf.doc_id
+        )
+        SELECT rank, doc_id FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC,
+                                      doc_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= 15
     """,
     'q_term_search': """
         WITH norm AS (

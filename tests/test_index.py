@@ -53,6 +53,42 @@ def test_conjunctive_search(corpus):
     assert search_all_terms(idx, ['spark', 'frames']).count() == 0
 
 
+def test_bm25_hand_computed(spark_session):
+    import math
+
+    from ons_utils_spark.operators.index import bm25_rank
+
+    # doc 1 mentions 'spark' twice in 4 tokens; doc 2 once in 2;
+    # doc 3 not at all
+    df = spark_session.createDataFrame(
+        [(1, 'spark spark data fast'), (2, 'spark joins'),
+         (3, 'pandas frames')],
+        'doc_id long, text string')
+    got = {r['doc_id']: r['score'] for r in
+           bm25_rank(df, ['spark'], top_k=None).collect()}
+    n, dfreq, avgdl = 3, 2, (4 + 2 + 2) / 3
+    idf = math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+    k1, b = 1.2, 0.75
+
+    def s(tf, dl):
+        return idf * tf * (k1 + 1) / (
+            tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert got[1] == pytest.approx(s(2, 4), rel=1e-12)
+    assert got[2] == pytest.approx(s(1, 2), rel=1e-12)
+    assert 3 not in got
+
+
+def test_bm25_ranking_and_topk(corpus):
+    from ons_utils_spark.operators.index import bm25_rank
+
+    rows = bm25_rank(corpus, ['spark', 'data'], top_k=2).collect()
+    assert len(rows) == 2
+    assert rows[0]['score'] >= rows[1]['score']
+    # docs matching both terms outrank single-term matches
+    assert rows[0]['doc_id'] in (1, 2)
+
+
 def test_search_raises_on_truncated_terms(corpus):
     idx = build_inverted_index(corpus, max_postings=2)
     with pytest.raises(ValueError, match='truncated'):
