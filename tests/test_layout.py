@@ -68,6 +68,24 @@ def test_zorder_repartition_sorted_within_partitions(spark_session):
         assert hi1 <= lo2
 
 
+def test_z_value_round_trips(spark_session):
+    """Interleave is a bijection below 2^bits per column: decoding
+    the z-value recovers the exact inputs."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [(rnd.randrange(65536), rnd.randrange(65536))
+            for _ in range(200)]
+    df = spark_session.createDataFrame(rows, 'a long, b long')
+    got = df.select('a', 'b', z_value(['a', 'b']).alias('z')).collect()
+    for r in got:
+        a = b = 0
+        for i in range(16):
+            a |= ((r['z'] >> (2 * i)) & 1) << i
+            b |= ((r['z'] >> (2 * i + 1)) & 1) << i
+        assert (a, b) == (r['a'], r['b'])
+
+
 def test_zorder_repartition_drops_zvalue_by_default(spark_session):
     df = spark_session.range(0, 10).select(
         F.col('id').alias('x'), F.col('id').alias('y'))
