@@ -10,6 +10,8 @@ entirely from ons_utils_spark operators:
       → MinHash-LSH near-dedup (banded candidates + Jaccard verify)
       → winnowing sweep (guaranteed-detection residual near-dups)
       → benchmark decontamination (4-gram broadcast semi-join)
+      → seed-set classifier scoring (CCNet/DCLM token log-odds)
+      → vocabulary/OOV report (tokenizer sizing)
       → deterministic train/holdout split + JSD drift check
       → PII-redacted context chunks → greedy sequence packing
       → curated parquet + per-language stats
@@ -90,11 +92,45 @@ def decontaminate(curated: DataFrame, benchmark: DataFrame,
 
 def report(curated: DataFrame) -> DataFrame:
     """Per-language curation stats."""
-    return curated.groupBy('lang_pred').agg(
+    agg = [
         F.count('*').alias('n_docs'),
         F.round(F.avg('quality'), 4).alias('avg_quality'),
         F.round(F.avg('n_tokens'), 2).alias('avg_tokens'),
-    )
+    ]
+    if 'seed_score' in curated.columns:
+        agg.append(
+            F.round(F.avg('seed_score'), 4).alias('avg_seed_score'))
+    return curated.groupBy('lang_pred').agg(*agg)
+
+
+def seed_score(curated: DataFrame, seed_lang: str = 'en') -> DataFrame:
+    """CCNet/DCLM-style quality scoring: train token log-odds
+    separating documents language-ID'd as the seed slice from the
+    rest (one token-keyed hash agg), then score every doc with a
+    broadcast weight join, length-normalized. The score feeds
+    curation dashboards and top-p selection; here it lands in the
+    per-language report."""
+    from ons_utils_spark.operators.classifier import (
+        score_texts, train_token_weights)
+
+    labeled = curated.withColumn(
+        '__is_seed', (F.col('lang_pred') == seed_lang).cast('int'))
+    wts = train_token_weights(labeled, 'text', '__is_seed', min_df=2)
+    scores = score_texts(curated, wts, 'text', keep=('doc_id',),
+                         length_normalize=True)
+    return curated.join(
+        scores.select('doc_id', F.col('score').alias('seed_score')),
+        on='doc_id', how='left')
+
+
+def vocab_report(curated: DataFrame, top_k: int = 500) -> DataFrame:
+    """Tokenizer-sizing artifact: per-language OOV rate against the
+    corpus top-``top_k`` vocabulary (broadcast membership — the
+    corpus explode never shuffles for the test)."""
+    from ons_utils_spark.operators.vocab import build_vocab, oov_stats
+
+    vocab = build_vocab(curated, 'text', top_k=top_k)
+    return oov_stats(curated, vocab, by=('lang_pred',))
 
 
 def to_training_chunks(curated: DataFrame, chunk_tokens: int = 256,
@@ -175,7 +211,9 @@ def main() -> None:
     print(f'raw={n_raw} after_minhash={n_minhash} '
           f'after_winnow={n_winnow} after_decontam={n_curated} '
           f'removed={n_raw - n_curated}')
+    curated = seed_score(curated)
     report(curated).show()
+    vocab_report(curated, top_k=200).show()
 
     split = holdout_split(curated)
     split.groupBy('split').count().show()

@@ -13,6 +13,15 @@ def test_pipeline_on_testdata(spark_session, tmp_path):
     assert {'doc_id', 'text', 'quality', 'lang_pred', 'fp64'} \
         <= set(curated.columns)
 
+    from pyspark.sql import functions as F
+
+    from examples.training_data_pipeline import seed_score, vocab_report
+    curated = seed_score(curated)
+    assert 'seed_score' in curated.columns
+    assert curated.filter(F.col('seed_score').isNull()).count() == 0
+    oov = {r['lang_pred']: r for r in vocab_report(curated).collect()}
+    assert all(0 <= r['oov_ratio'] <= 1 for r in oov.values())
+
     stats = report(curated)
     rows = stats.collect()
     assert sum(r['n_docs'] for r in rows) == n
