@@ -60,6 +60,7 @@ from .operators.dedup import (
     simhash_candidates_portable,
     simhash_dedup,
 )
+from .operators.graph import pagerank
 from .operators.grouped import grouped_apply
 from .operators.index import (
     bm25_rank,
@@ -172,7 +173,7 @@ __all__ = [
     'filter_by_percentile_range',
     'token_counts', 'build_vocab', 'vocab_coverage', 'oov_stats',
     'train_token_weights', 'score_texts',
-    'connected_components', 'dedup_by_components',
+    'connected_components', 'dedup_by_components', 'pagerank',
     'image_features', 'audio_features', 'frame_sample_plan',
     'decode_jpeg', 'encode_jpeg',
     'ngram_lm_score', 'bigram_counts', 'unigram_counts',

@@ -1,0 +1,146 @@
+"""Graph analytics: PageRank over DataFrame edge lists.
+
+Companion to ``operators/clustering.py`` (connected components).
+PageRank (Brin & Page 1998) ranks nodes by stationary visit
+probability — in data-curation pipelines it scores domains/hosts by
+link authority (the Common Crawl host-ranking step) and surfaces
+hub records in entity graphs.  The reference engine
+(``/root/reference/ons_utils``) has no graph tooling; this is part
+of the extension surface.
+
+Spark-first design: the rank vector and edge list stay DataFrames;
+each iteration is one join + one aggregate (both shuffles keyed on
+node ids), with ``localCheckpoint`` per iteration to stop the plan
+from embedding every previous round (driver analysis blow-up — same
+pattern as ``connected_components``).  At 100 TB scale the edge
+list dominates: pre-partition it on ``src`` once and the per-round
+join co-locates; rank state is O(nodes), orders smaller.
+
+Two arithmetic modes (same pattern as ``operators/classifier.py``):
+
+* ``mode='float'`` (production): standard double math.  Sums are
+  partition-order dependent in their low bits — fine for ranking,
+  not for bit-exact cross-engine replay.
+* ``mode='integer'`` (verification/replay): ranks are scaled 64-bit
+  integers; the damping factor becomes an exact fraction and every
+  step is integer multiply/floor-divide, so ANY engine reproduces
+  the ranks bit-exactly (the DuckDB oracle replays 10 iterations in
+  a recursive CTE).  Floor losses mean ranks no longer sum exactly
+  to ``scale`` — documented, irrelevant for ordering/auditing.
+"""
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import DataFrame as SparkDF
+from pyspark.sql import functions as F
+
+__all__ = ['pagerank']
+
+
+def pagerank(
+    edges: SparkDF,
+    src: str = 'src',
+    dst: str = 'dst',
+    iterations: int = 10,
+    damping: float = 0.85,
+    mode: str = 'float',
+    scale: int = 10 ** 12,
+    self_loops: str = 'dangling',
+) -> SparkDF:
+    """PageRank of a directed edge list → ``(node, rank)``.
+
+    ``self_loops`` handles nodes without out-edges (their rank mass
+    would otherwise leak): ``'dangling'`` adds a self-edge to each
+    sink node (the usual patch), ``'all'`` adds one to EVERY node —
+    a slightly smoothed variant whose one-pass update covers every
+    node through the edge join alone, which is what lets a
+    single-reference recursive CTE replay it (the oracle mode).
+    Duplicate edges are collapsed; rank follows the distinct graph.
+
+    ``mode='integer'`` (see module docstring) emits ``rank`` as a
+    scaled long; ``damping`` is snapped to an exact fraction
+    (0.85 → 17/20).  ``mode='float'`` emits a double summing ≈ 1.
+    """
+    if mode not in ('float', 'integer'):
+        raise ValueError(f"mode must be 'float' or 'integer', got {mode!r}")
+    if self_loops not in ('dangling', 'all', 'none'):
+        raise ValueError(
+            f"self_loops must be 'dangling', 'all' or 'none', "
+            f'got {self_loops!r}')
+
+    e = edges.select(F.col(src).cast('long').alias('src'),
+                     F.col(dst).cast('long').alias('dst')).distinct()
+    nodes = (
+        e.select(F.col('src').alias('node'))
+        .unionByName(e.select(F.col('dst').alias('node')))
+        .distinct()
+        .localCheckpoint()
+    )
+    if self_loops == 'all':
+        e = e.unionByName(
+            nodes.select(F.col('node').alias('src'),
+                         F.col('node').alias('dst'))).distinct()
+    elif self_loops == 'dangling':
+        sinks = nodes.join(
+            e.select(F.col('src').alias('node')).distinct(),
+            on='node', how='left_anti')
+        e = e.unionByName(
+            sinks.select(F.col('node').alias('src'),
+                         F.col('node').alias('dst')))
+    deg = e.groupBy('src').agg(F.count(F.lit(1)).alias('od'))
+    # one edge frame carrying out-degree, partitioned on src once —
+    # every iteration's join reuses this partitioning
+    ed = (
+        e.join(deg, 'src')
+        .repartition('src')
+        .localCheckpoint()
+    )
+    n = nodes.count()
+
+    frac = Fraction(damping).limit_denominator(1000)
+    num, den = frac.numerator, frac.denominator
+
+    if mode == 'integer':
+        ranks = nodes.select(
+            'node', F.lit(scale // n).cast('long').alias('r'))
+        base = (den - num) * scale // (den * n)
+        for _ in range(iterations):
+            inc = (
+                ranks.join(ed, ranks['node'] == ed['src'])
+                .select(F.col('dst').alias('node'),
+                        F.expr('r DIV od').alias('__c'))
+            )
+            agg = inc.groupBy('node').agg(F.sum('__c').alias('__inc'))
+            ranks = (
+                nodes.join(agg, 'node', 'left')
+                .select(
+                    'node',
+                    F.expr(
+                        f'CAST({base} + ({num} * coalesce(__inc, 0))'
+                        f' DIV {den} AS BIGINT)').alias('r'),
+                )
+                .localCheckpoint()
+            )
+        return ranks.select('node', F.col('r').alias('rank'))
+
+    ranks = nodes.select('node', F.lit(1.0 / n).alias('r'))
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        inc = (
+            ranks.join(ed, ranks['node'] == ed['src'])
+            .select(F.col('dst').alias('node'),
+                    (F.col('r') / F.col('od')).alias('__c'))
+        )
+        agg = inc.groupBy('node').agg(F.sum('__c').alias('__inc'))
+        ranks = (
+            nodes.join(agg, 'node', 'left')
+            .select(
+                'node',
+                (F.lit(base)
+                 + damping * F.coalesce('__inc', F.lit(0.0)))
+                .alias('r'),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select('node', F.col('r').alias('rank'))

@@ -2903,6 +2903,35 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Integer-exact PageRank (``operators.graph.pagerank``,
+    ``mode='integer'``) over the customer→supplier purchase graph:
+    top-20 nodes after 6 iterations. Every step is 64-bit integer
+    multiply/floor-divide (damping 0.85 → 17/20), so the DuckDB
+    recursive CTE replays all iterations bit-exactly — the
+    ``self_loops='all'`` variant is what makes a single-reference
+    recursive replay cover every node each round. Float mode is the
+    production scorer (order-dependent low bits, never
+    hash-matched)."""
+    from ..operators.graph import pagerank
+
+    lineitem, orders = _t(spark, sf_dir, 'lineitem', 'orders')
+    edges = (
+        lineitem.join(orders,
+                      lineitem['l_orderkey'] == orders['o_orderkey'])
+        .select(F.col('o_custkey').alias('src'),
+                (F.col('l_suppkey') + 1000000).alias('dst'))
+    )
+    ranks = pagerank(edges, iterations=6, mode='integer',
+                     self_loops='all')
+    w = Window.orderBy(F.col('rank').desc(), F.col('node').asc())
+    return (
+        ranks.withColumn('pos', F.row_number().over(w))
+        .filter(F.col('pos') <= 20)
+        .select('pos', 'node', F.col('rank').alias('rank_scaled'))
+    )
+
+
 def q_group_quantile_ladder(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Per-group EXACT quantile ladder
     (``functions.approx.exact_quantile_col``): interpolated
@@ -2980,8 +3009,8 @@ QUERIES: Dict[str, QueryFn] = {
     'q_inverted_index': q_inverted_index,
     'q_term_search': q_term_search,
     'q_bm25_topk': q_bm25_topk,
+    'q_pagerank': q_pagerank,
     # re-verified green fill (driver-green r4, unchanged):
-    'q16_supplier_variety': q16_supplier_variety,
     'q18_big_orders': q18_big_orders,
     'q19_bracket_revenue': q19_bracket_revenue,
     'q22_idle_customers': q22_idle_customers,
@@ -3009,6 +3038,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q7_nation_volume': q7_nation_volume,
     'q14_promo_share': q14_promo_share,
     'q15_top_supplier': q15_top_supplier,
+    'q16_supplier_variety': q16_supplier_variety,
     'q_global_share': q_global_share,
     'q_salted_join': q_salted_join,
     'q_balanced_sample': q_balanced_sample,
@@ -4028,6 +4058,47 @@ ORACLES: Dict[str, str] = {
         FROM ranked WHERE rn <= 16
         GROUP BY token
         HAVING any_value(doc_freq) >= 5
+    """,
+    'q_pagerank': """
+        WITH RECURSIVE
+        be AS (
+            SELECT DISTINCT o_custkey AS src,
+                            l_suppkey + 1000000 AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ), nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM be
+                UNION ALL SELECT dst FROM be)
+        ), edges AS (
+            SELECT src, dst FROM (
+                SELECT src, dst FROM be
+                UNION SELECT node, node FROM nodes)
+        ), deg AS (
+            SELECT src, count(*) AS od FROM edges GROUP BY src
+        ), nn AS (
+            SELECT count(*) AS n FROM nodes
+        ), ranks AS (
+            SELECT 0 AS it, node,
+                   CAST(1000000000000 // n AS BIGINT) AS r
+            FROM nodes, nn
+            UNION ALL
+            SELECT r.it + 1, e.dst AS node,
+                   CAST((SELECT (3 * 1000000000000) // (20 * n)
+                         FROM nn)
+                        + (17 * sum(r.r // d.od)) // 20
+                        AS BIGINT) AS r
+            FROM ranks r
+            JOIN edges e ON r.node = e.src
+            JOIN deg d ON d.src = r.node
+            WHERE r.it < 6
+            GROUP BY r.it, e.dst
+        )
+        SELECT pos, node, r AS rank_scaled FROM (
+            SELECT node, r,
+                   row_number() OVER (ORDER BY r DESC, node ASC)
+                       AS pos
+            FROM ranks WHERE it = 6
+        ) WHERE pos <= 20
     """,
     'q_bm25_topk': """
         WITH norm AS (

@@ -1,0 +1,74 @@
+"""Tests for operators.graph (PageRank)."""
+from __future__ import annotations
+
+import pytest
+
+from ons_utils_spark.operators.graph import pagerank
+
+
+@pytest.fixture
+def star(spark_session):
+    # 1..4 all point at 5 (5 is a sink)
+    return spark_session.createDataFrame(
+        [(1, 5), (2, 5), (3, 5), (4, 5)], 'src long, dst long')
+
+
+def test_star_center_dominates_float(star):
+    ranks = {r['node']: r['rank'] for r in
+             pagerank(star, iterations=10).collect()}
+    assert max(ranks, key=ranks.get) == 5
+    # leaves are symmetric — identical ranks
+    assert len({ranks[i] for i in (1, 2, 3, 4)}) == 1
+    # float mode distributes ≈ all mass (self-loop keeps sinks')
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_star_center_dominates_integer(star):
+    ranks = {r['node']: r['rank'] for r in
+             pagerank(star, iterations=10,
+                      mode='integer').collect()}
+    assert max(ranks, key=ranks.get) == 5
+    assert len({ranks[i] for i in (1, 2, 3, 4)}) == 1
+    assert all(isinstance(v, int) for v in ranks.values())
+
+
+def test_cycle_is_uniform(spark_session):
+    cyc = spark_session.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], 'src long, dst long')
+    ranks = [r['rank'] for r in
+             pagerank(cyc, iterations=8).collect()]
+    assert max(ranks) == pytest.approx(min(ranks), rel=1e-9)
+    assert sum(ranks) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_integer_hand_computed_two_cycle(spark_session):
+    """Pin the exact integer recurrence on a 2-cycle with scale 100:
+    r0 = 50 each; base = 15*100/(20*2)... -> (3*100)//(2*20)=7;
+    each it: r' = 7 + (17*50)//20 = 7+42 = 49, then fixed at
+    7 + (17*49)//20 = 7+41 = 48, then 7 + (17*48)//20 = 47, ..."""
+    cyc = spark_session.createDataFrame(
+        [(1, 2), (2, 1)], 'src long, dst long')
+    r1 = {r['node']: r['rank'] for r in
+          pagerank(cyc, iterations=1, mode='integer',
+                   scale=100).collect()}
+    assert r1 == {1: 49, 2: 49}
+    r2 = {r['node']: r['rank'] for r in
+          pagerank(cyc, iterations=2, mode='integer',
+                   scale=100).collect()}
+    assert r2 == {1: 48, 2: 48}
+
+
+def test_self_loops_all_covers_isolated_sources(spark_session):
+    df = spark_session.createDataFrame([(1, 2)], 'src long, dst long')
+    ranks = {r['node']: r['rank'] for r in
+             pagerank(df, iterations=4, self_loops='all').collect()}
+    assert set(ranks) == {1, 2}
+    assert ranks[2] > ranks[1]
+
+
+def test_validation(spark_session):
+    df = spark_session.createDataFrame([(1, 2)], 'src long, dst long')
+    with pytest.raises(ValueError, match='mode'):
+        pagerank(df, mode='bogus')
+    with pytest.raises(ValueError, match='self_loops'):
+        pagerank(df, self_loops='maybe')
