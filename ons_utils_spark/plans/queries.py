@@ -2932,6 +2932,33 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_triangles(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Degree-oriented triangle counting
+    (``operators.graph.triangle_count``) over the part co-purchase
+    graph (parts sharing an order). The orientation bounds wedge
+    fan-out by arboricity instead of raw degree — the thing that
+    keeps the wedge join alive on skewed graphs at scale. Pure
+    integer joins, so the oracle replays edges, wedges, and
+    triangles exactly."""
+    from ..operators.graph import triangle_count
+
+    (lineitem,) = _t(spark, sf_dir, 'lineitem')
+    # bulk-quantity lines only: the unfiltered co-purchase graph is
+    # near-clique-per-order dense (wedge count grows ~degree² even
+    # oriented); a selective pushed-down predicate keeps the graph
+    # analytically interesting (orders with several bulk lines form
+    # real triangles) at every SF
+    li = lineitem.filter(F.col('l_quantity') >= 45)
+    a = li.select('l_orderkey', F.col('l_partkey').alias('p1'))
+    b = li.select('l_orderkey', F.col('l_partkey').alias('p2'))
+    edges = (
+        a.join(b, 'l_orderkey')
+        .filter(F.col('p1') < F.col('p2'))
+        .select(F.col('p1').alias('src'), F.col('p2').alias('dst'))
+    )
+    return triangle_count(edges)
+
+
 def q_group_quantile_ladder(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Per-group EXACT quantile ladder
     (``functions.approx.exact_quantile_col``): interpolated
@@ -3010,8 +3037,8 @@ QUERIES: Dict[str, QueryFn] = {
     'q_term_search': q_term_search,
     'q_bm25_topk': q_bm25_topk,
     'q_pagerank': q_pagerank,
+    'q_triangles': q_triangles,
     # re-verified green fill (driver-green r4, unchanged):
-    'q18_big_orders': q18_big_orders,
     'q19_bracket_revenue': q19_bracket_revenue,
     'q22_idle_customers': q22_idle_customers,
     'q2_cheapest_supplier': q2_cheapest_supplier,
@@ -3039,6 +3066,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q14_promo_share': q14_promo_share,
     'q15_top_supplier': q15_top_supplier,
     'q16_supplier_variety': q16_supplier_variety,
+    'q18_big_orders': q18_big_orders,
     'q_global_share': q_global_share,
     'q_salted_join': q_salted_join,
     'q_balanced_sample': q_balanced_sample,
@@ -4058,6 +4086,44 @@ ORACLES: Dict[str, str] = {
         FROM ranked WHERE rn <= 16
         GROUP BY token
         HAVING any_value(doc_freq) >= 5
+    """,
+    'q_triangles': """
+        WITH li AS (
+            SELECT l_orderkey, l_partkey FROM lineitem
+            WHERE l_quantity >= 45
+        ), pairs AS (
+            SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+            FROM li l1
+            JOIN li l2 ON l1.l_orderkey = l2.l_orderkey
+                      AND l1.l_partkey < l2.l_partkey
+        ), deg AS (
+            SELECT node, count(*) AS d FROM (
+                SELECT a AS node FROM pairs
+                UNION ALL SELECT b FROM pairs
+            ) GROUP BY node
+        ), ori AS (
+            SELECT CASE WHEN (da.d, p.a) < (db.d, p.b)
+                        THEN p.a ELSE p.b END AS s,
+                   CASE WHEN (da.d, p.a) < (db.d, p.b)
+                        THEN p.b ELSE p.a END AS t,
+                   CASE WHEN (da.d, p.a) < (db.d, p.b)
+                        THEN db.d ELSE da.d END AS dt
+            FROM pairs p
+            JOIN deg da ON da.node = p.a
+            JOIN deg db ON db.node = p.b
+        ), wedges AS (
+            SELECT e1.t AS w1, e2.t AS w2
+            FROM ori e1
+            JOIN ori e2 ON e1.s = e2.s
+                       AND (e1.dt, e1.t) < (e2.dt, e2.t)
+        )
+        SELECT CAST((SELECT count(*) FROM ori) AS BIGINT)
+                   AS n_edges,
+               CAST((SELECT count(*) FROM wedges) AS BIGINT)
+                   AS n_wedges,
+               CAST((SELECT count(*) FROM wedges w
+                     JOIN ori o ON w.w1 = o.s AND w.w2 = o.t)
+                    AS BIGINT) AS n_triangles
     """,
     'q_pagerank': """
         WITH RECURSIVE

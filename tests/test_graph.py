@@ -66,6 +66,35 @@ def test_self_loops_all_covers_isolated_sources(spark_session):
     assert ranks[2] > ranks[1]
 
 
+class TestTriangles:
+    def _count(self, spark, rows):
+        from ons_utils_spark.operators.graph import triangle_count
+
+        df = spark.createDataFrame(rows, 'src long, dst long')
+        return triangle_count(df).collect()[0]
+
+    def test_k4_has_four_triangles(self, spark_session):
+        k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+        r = self._count(spark_session, k4)
+        assert r['n_triangles'] == 4
+        assert r['n_edges'] == 6
+
+    def test_path_has_none(self, spark_session):
+        r = self._count(spark_session, [(1, 2), (2, 3), (3, 4)])
+        assert r['n_triangles'] == 0
+
+    def test_duplicates_and_reversals_collapse(self, spark_session):
+        rows = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (3, 3)]
+        r = self._count(spark_session, rows)
+        assert r['n_edges'] == 3      # self-loop + reversals dropped
+        assert r['n_triangles'] == 1
+
+    def test_two_shared_edge_triangles(self, spark_session):
+        rows = [(1, 2), (2, 3), (1, 3), (2, 4), (3, 4)]
+        r = self._count(spark_session, rows)
+        assert r['n_triangles'] == 2
+
+
 def test_validation(spark_session):
     df = spark_session.createDataFrame([(1, 2)], 'src long, dst long')
     with pytest.raises(ValueError, match='mode'):
