@@ -114,6 +114,44 @@ def read_json(
     return reader.json(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: Optional[str] = None,
+    **options,
+) -> SparkDF:
+    """XML scan via the Spark 4 built-in ``xml`` source.
+
+    ``row_tag`` names the repeated element that becomes one row;
+    nested elements become struct/array columns. Supply ``schema``
+    at scale — schema inference reads the data twice, and ANSI-mode
+    inference can widen numerics unexpectedly. XML is a
+    line-unsplittable format: one large document is ONE task, so
+    prefer many files (or convert to parquet immediately — the
+    standard ingest-once pattern this module's writers support).
+    """
+    reader = spark.read.format('xml').option('rowTag', row_tag) \
+        .options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(
+    df: SparkDF,
+    path: str,
+    row_tag: str = 'row',
+    root_tag: str = 'rows',
+    mode: str = 'overwrite',
+    **options,
+) -> None:
+    """Write ``df`` as XML part-files (Spark 4 built-in sink)."""
+    (df.write.format('xml')
+     .option('rowTag', row_tag).option('rootTag', root_tag)
+     .options(**options).mode(mode).save(path))
+
+
 def load_tables(
     spark: SparkSession,
     sf_dir: str,

@@ -136,6 +136,39 @@ class TestBucketing:
             spark_session.sql('DROP TABLE IF EXISTS r8')
 
 
+class TestXml:
+    def test_xml_roundtrip(self, spark_session, tmp_path):
+        from ons_utils_spark.sources.readers import read_xml, write_xml
+
+        df = spark_session.createDataFrame(
+            [(1, 'a&b', 3.5), (2, '<tag>', None)],
+            'id bigint, name string, score double')
+        path = str(tmp_path / 'xml')
+        write_xml(df, path, row_tag='rec', root_tag='records')
+        back = read_xml(spark_session, path, row_tag='rec',
+                        schema='id bigint, name string, score double')
+        rows = {r['id']: r for r in back.collect()}
+        assert rows[1]['name'] == 'a&b'      # entities round-trip
+        assert rows[2]['name'] == '<tag>'
+        assert rows[1]['score'] == 3.5
+        assert rows[2]['score'] is None
+
+    def test_xml_nested_structs(self, spark_session, tmp_path):
+        from ons_utils_spark.sources.readers import read_xml
+
+        p = tmp_path / 'doc.xml'
+        p.write_text(
+            '<orders><order><id>7</id>'
+            '<customer><name>acme</name><tier>2</tier></customer>'
+            '<item><sku>x</sku></item><item><sku>y</sku></item>'
+            '</order></orders>')
+        df = read_xml(spark_session, str(p), row_tag='order')
+        r = df.collect()[0]
+        assert r['id'] == 7
+        assert r['customer']['name'] == 'acme'
+        assert [i['sku'] for i in r['item']] == ['x', 'y']
+
+
 class TestOrc:
     def test_orc_roundtrip_with_pushdown(self, spark_session, tmp_path):
         from pyspark.sql import functions as F
