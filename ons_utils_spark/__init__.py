@@ -60,7 +60,7 @@ from .operators.dedup import (
     simhash_candidates_portable,
     simhash_dedup,
 )
-from .operators.graph import pagerank, triangle_count
+from .operators.graph import bfs_levels, pagerank, triangle_count
 from .operators.grouped import grouped_apply
 from .operators.index import (
     bm25_rank,
@@ -174,7 +174,7 @@ __all__ = [
     'token_counts', 'build_vocab', 'vocab_coverage', 'oov_stats',
     'train_token_weights', 'score_texts',
     'connected_components', 'dedup_by_components', 'pagerank',
-    'triangle_count',
+    'triangle_count', 'bfs_levels',
     'image_features', 'audio_features', 'frame_sample_plan',
     'decode_jpeg', 'encode_jpeg',
     'ngram_lm_score', 'bigram_counts', 'unigram_counts',

@@ -35,7 +35,55 @@ from fractions import Fraction
 from pyspark.sql import DataFrame as SparkDF
 from pyspark.sql import functions as F
 
-__all__ = ['pagerank', 'triangle_count']
+__all__ = ['pagerank', 'triangle_count', 'bfs_levels']
+
+
+def bfs_levels(
+    edges: SparkDF,
+    sources: SparkDF,
+    src: str = 'src',
+    dst: str = 'dst',
+    node: str = 'node',
+    max_hops: int = 6,
+    directed: bool = True,
+) -> SparkDF:
+    """Minimum hop distance from a source set → ``(node, hop)``.
+
+    Frontier BFS: each round joins ONLY the newest frontier against
+    the edge list and anti-joins already-visited nodes, so per-round
+    work is O(frontier × avg-degree) — never |V|×|E|.  Visited
+    state is cut with ``localCheckpoint`` per round, and the loop
+    exits early when the frontier empties.  Unreached nodes are
+    absent from the result (callers can left-join ``hop IS NULL``).
+    All integer — the DuckDB oracle replays it with a UNION
+    (deduplicating) recursive CTE whose state is bounded by
+    nodes × hops.
+    """
+    e = edges.select(F.col(src).cast('long').alias('s'),
+                     F.col(dst).cast('long').alias('d')).distinct()
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col('d').alias('s'), F.col('s').alias('d'))
+        ).distinct()
+    e = e.repartition('s').localCheckpoint()
+    frontier = sources.select(
+        F.col(node).cast('long').alias('n')).distinct()
+    levels = frontier.select(
+        'n', F.lit(0).cast('int').alias('hop')).localCheckpoint()
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier['n'] == e['s'])
+            .select(F.col('d').alias('n')).distinct()
+            .join(levels.select('n'), 'n', 'left_anti')
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        levels = levels.unionByName(
+            nxt.select('n', F.lit(hop).cast('int').alias('hop'))
+        ).localCheckpoint()
+        frontier = nxt
+    return levels.select(F.col('n').alias('node'), 'hop')
 
 
 def triangle_count(

@@ -2959,6 +2959,30 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> SparkDF:
     return triangle_count(edges)
 
 
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Frontier BFS (``operators.graph.bfs_levels``) over the
+    UNDIRECTED customer–supplier purchase graph, sourced at the
+    customers of one nation: hop histogram up to 4 hops (odd hops =
+    suppliers, even = customers). Per-round work is frontier-sized
+    (never |V|×|E|); the oracle replays it with a deduplicating
+    UNION recursive CTE whose state is bounded by nodes × hops."""
+    from ..operators.graph import bfs_levels
+
+    lineitem, orders, customer = _t(
+        spark, sf_dir, 'lineitem', 'orders', 'customer')
+    edges = (
+        lineitem.join(orders,
+                      lineitem['l_orderkey'] == orders['o_orderkey'])
+        .select(F.col('o_custkey').alias('src'),
+                (F.col('l_suppkey') + 1000000).alias('dst'))
+    )
+    sources = customer.filter(F.col('c_nationkey') == 0) \
+        .select(F.col('c_custkey').alias('node'))
+    levels = bfs_levels(edges, sources, max_hops=4, directed=False)
+    return levels.groupBy('hop').agg(
+        F.count(F.lit(1)).alias('n_nodes'))
+
+
 def q_group_quantile_ladder(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Per-group EXACT quantile ladder
     (``functions.approx.exact_quantile_col``): interpolated
@@ -3038,8 +3062,8 @@ QUERIES: Dict[str, QueryFn] = {
     'q_bm25_topk': q_bm25_topk,
     'q_pagerank': q_pagerank,
     'q_triangles': q_triangles,
+    'q_bfs_hops': q_bfs_hops,
     # re-verified green fill (driver-green r4, unchanged):
-    'q19_bracket_revenue': q19_bracket_revenue,
     'q22_idle_customers': q22_idle_customers,
     'q2_cheapest_supplier': q2_cheapest_supplier,
     'q5_local_supplier': q5_local_supplier,
@@ -3067,6 +3091,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q15_top_supplier': q15_top_supplier,
     'q16_supplier_variety': q16_supplier_variety,
     'q18_big_orders': q18_big_orders,
+    'q19_bracket_revenue': q19_bracket_revenue,
     'q_global_share': q_global_share,
     'q_salted_join': q_salted_join,
     'q_balanced_sample': q_balanced_sample,
@@ -4124,6 +4149,27 @@ ORACLES: Dict[str, str] = {
                CAST((SELECT count(*) FROM wedges w
                      JOIN ori o ON w.w1 = o.s AND w.w2 = o.t)
                     AS BIGINT) AS n_triangles
+    """,
+    'q_bfs_hops': """
+        WITH RECURSIVE
+        be AS (
+            SELECT DISTINCT o_custkey AS src,
+                            l_suppkey + 1000000 AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ), ed AS (
+            SELECT src, dst FROM be
+            UNION SELECT dst, src FROM be
+        ), lev AS (
+            SELECT c_custkey AS node, 0 AS hop
+            FROM customer WHERE c_nationkey = 0
+            UNION
+            SELECT e.dst AS node, l.hop + 1
+            FROM lev l JOIN ed e ON l.node = e.src
+            WHERE l.hop < 4
+        )
+        SELECT hop, count(*) AS n_nodes FROM (
+            SELECT node, min(hop) AS hop FROM lev GROUP BY node
+        ) GROUP BY hop
     """,
     'q_pagerank': """
         WITH RECURSIVE

@@ -95,6 +95,44 @@ class TestTriangles:
         assert r['n_triangles'] == 2
 
 
+class TestBfs:
+    def _levels(self, spark, edges, srcs, **kw):
+        from ons_utils_spark.operators.graph import bfs_levels
+
+        e = spark.createDataFrame(edges, 'src long, dst long')
+        s = spark.createDataFrame([(x,) for x in srcs], 'node long')
+        return {r['node']: r['hop'] for r in
+                bfs_levels(e, s, **kw).collect()}
+
+    def test_directed_path(self, spark_session):
+        got = self._levels(
+            spark_session, [(1, 2), (2, 3), (3, 4)], [1])
+        assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+    def test_direction_respected(self, spark_session):
+        got = self._levels(spark_session, [(2, 1), (2, 3)], [1])
+        assert got == {1: 0}  # no out-edges from 1
+        undirected = self._levels(
+            spark_session, [(2, 1), (2, 3)], [1], directed=False)
+        assert undirected == {1: 0, 2: 1, 3: 2}
+
+    def test_min_hop_wins_on_diamond(self, spark_session):
+        got = self._levels(
+            spark_session,
+            [(1, 2), (2, 4), (1, 4), (4, 5)], [1])
+        assert got[4] == 1 and got[5] == 2
+
+    def test_max_hops_bounds_reach(self, spark_session):
+        got = self._levels(
+            spark_session, [(1, 2), (2, 3), (3, 4)], [1], max_hops=2)
+        assert 4 not in got and got[3] == 2
+
+    def test_multi_source_and_isolated(self, spark_session):
+        got = self._levels(
+            spark_session, [(1, 2)], [1, 9])  # 9 has no edges
+        assert got == {1: 0, 9: 0, 2: 1}
+
+
 def test_validation(spark_session):
     df = spark_session.createDataFrame([(1, 2)], 'src long, dst long')
     with pytest.raises(ValueError, match='mode'):
