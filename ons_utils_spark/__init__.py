@@ -60,6 +60,7 @@ from .operators.dedup import (
     simhash_candidates_portable,
     simhash_dedup,
 )
+from .operators.bpe import bpe_segmenter_udf, train_bpe, word_histogram
 from .operators.graph import bfs_levels, pagerank, triangle_count
 from .operators.grouped import grouped_apply
 from .operators.index import (
@@ -173,6 +174,7 @@ __all__ = [
     'filter_by_percentile_range',
     'token_counts', 'build_vocab', 'vocab_coverage', 'oov_stats',
     'train_token_weights', 'score_texts',
+    'train_bpe', 'bpe_segmenter_udf', 'word_histogram',
     'connected_components', 'dedup_by_components', 'pagerank',
     'triangle_count', 'bfs_levels',
     'image_features', 'audio_features', 'frame_sample_plan',
