@@ -62,6 +62,7 @@ from .operators.dedup import (
 )
 from .operators.bpe import bpe_segmenter_udf, train_bpe, word_histogram
 from .operators.graph import bfs_levels, pagerank, triangle_count
+from .operators.timeseries import ewma, rolling_anomaly_flags
 from .operators.grouped import grouped_apply
 from .operators.index import (
     bm25_rank,
@@ -175,6 +176,7 @@ __all__ = [
     'token_counts', 'build_vocab', 'vocab_coverage', 'oov_stats',
     'train_token_weights', 'score_texts',
     'train_bpe', 'bpe_segmenter_udf', 'word_histogram',
+    'ewma', 'rolling_anomaly_flags',
     'connected_components', 'dedup_by_components', 'pagerank',
     'triangle_count', 'bfs_levels',
     'image_features', 'audio_features', 'frame_sample_plan',

@@ -32,7 +32,72 @@ from pyspark.sql import types as T
 
 from ..generic import list_convert
 
-__all__ = ['ewma']
+__all__ = ['ewma', 'rolling_anomaly_flags']
+
+
+def rolling_anomaly_flags(
+    df: SparkDF,
+    value_col: str,
+    order_col: Union[str, Sequence[str]],
+    by: Union[str, Sequence[str], None] = None,
+    window: int = 25,
+    z: float = 2.0,
+    arithmetic: str = 'float',
+    scale: int = 10 ** 6,
+) -> SparkDF:
+    """Flag values beyond ``z`` sample standard deviations of their
+    trailing ``window``-row mean (per ``by`` group, ordered by
+    ``order_col``) — the classic rolling z-score anomaly screen.
+
+    Adds ``is_anomaly`` (boolean; NULL until the trailing frame is
+    full — a partial frame's variance is not comparable).  ONE
+    shuffle on the grouping keys; the frame aggregates are
+    incremental window sums, never a per-row rescan.
+
+    ``arithmetic='float'`` is the production path.
+    ``arithmetic='integer'`` evaluates the algebraically identical
+    comparison ``(n·x − s)²·(n−1) > z²·n·(n·q − s²)`` entirely in
+    scaled integers (values → ``round(x·scale)`` longs, sums staged
+    as DECIMAL(38,0)) — bit-exact across engines, which is what
+    lets the DuckDB oracle replay every flag; requires ``z²``
+    integral (z=2, 3, ...).
+    """
+    if arithmetic not in ('float', 'integer'):
+        raise ValueError(
+            f"arithmetic must be 'float' or 'integer', "
+            f'got {arithmetic!r}')
+    from pyspark.sql import Window
+
+    keys = list_convert(by) if by is not None else []
+    order = [F.col(c) for c in list_convert(order_col)]
+    w = (
+        Window.partitionBy(*keys).orderBy(*order)
+        .rowsBetween(-(window - 1), 0)
+    )
+    n = F.count(F.lit(1)).over(w)
+    if arithmetic == 'integer':
+        z2 = int(round(z * z))
+        if abs(z * z - z2) > 1e-12:
+            raise ValueError(
+                f'integer arithmetic needs an integral z², got z={z}')
+        v = F.round(F.col(value_col) * scale).cast('long')
+        dec = 'decimal(38,0)'
+        vd = v.cast(dec)
+        s = F.sum(vd).over(w)
+        q = F.sum((vd * vd).cast(dec)).over(w)
+        nd = n.cast(dec)
+        lhs = (nd * vd - s)
+        flag = (lhs * lhs * (nd - 1)) > (
+            F.lit(z2).cast(dec) * nd * (nd * q - s * s))
+        return df.withColumn(
+            'is_anomaly',
+            F.when(n == window, flag).otherwise(F.lit(None)))
+    mean = F.avg(value_col).over(w)
+    std = F.stddev_samp(value_col).over(w)
+    flag = F.abs(F.col(value_col) - mean) > (z * std)
+    return df.withColumn(
+        'is_anomaly',
+        F.when(n == window, flag).otherwise(F.lit(None)))
 
 
 def _ewma_walk(values: np.ndarray, alpha: float) -> np.ndarray:

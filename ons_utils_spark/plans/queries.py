@@ -2983,6 +2983,30 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> SparkDF:
         F.count(F.lit(1)).alias('n_nodes'))
 
 
+def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Rolling z-score anomaly screen
+    (``operators.timeseries.rolling_anomaly_flags``,
+    ``arithmetic='integer'``): trailing 25-event window per user,
+    flag |x − mean| > 2·std via the algebraically identical
+    all-integer comparison (n·x−s)²·(n−1) > 4·n·(n·q−s²) on scaled
+    values — sums staged DECIMAL(38,0) (Spark) / HUGEINT (DuckDB),
+    so every flag replays bit-exactly. Summarized per user. The
+    float mode is the production scorer."""
+    from ..operators.timeseries import rolling_anomaly_flags
+
+    (events,) = _t(spark, sf_dir, 'events')
+    flagged = rolling_anomaly_flags(
+        events, 'value', ['ts', 'event_id'], by='user_id',
+        window=25, z=2.0, arithmetic='integer')
+    return flagged.groupBy('user_id').agg(
+        F.count(F.lit(1)).alias('n_events'),
+        F.sum(F.col('is_anomaly').isNotNull().cast('int'))
+        .alias('n_scored'),
+        F.sum(F.when(F.col('is_anomaly'), 1).otherwise(0))
+        .alias('n_anomalies'),
+    )
+
+
 def q_group_quantile_ladder(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Per-group EXACT quantile ladder
     (``functions.approx.exact_quantile_col``): interpolated
@@ -3063,8 +3087,8 @@ QUERIES: Dict[str, QueryFn] = {
     'q_pagerank': q_pagerank,
     'q_triangles': q_triangles,
     'q_bfs_hops': q_bfs_hops,
+    'q_rolling_anomaly': q_rolling_anomaly,
     # re-verified green fill (driver-green r4, unchanged):
-    'q22_idle_customers': q22_idle_customers,
     'q2_cheapest_supplier': q2_cheapest_supplier,
     'q5_local_supplier': q5_local_supplier,
     'q8_market_share': q8_market_share,
@@ -3092,6 +3116,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q16_supplier_variety': q16_supplier_variety,
     'q18_big_orders': q18_big_orders,
     'q19_bracket_revenue': q19_bracket_revenue,
+    'q22_idle_customers': q22_idle_customers,
     'q_global_share': q_global_share,
     'q_salted_join': q_salted_join,
     'q_balanced_sample': q_balanced_sample,
@@ -4149,6 +4174,35 @@ ORACLES: Dict[str, str] = {
                CAST((SELECT count(*) FROM wedges w
                      JOIN ori o ON w.w1 = o.s AND w.w2 = o.t)
                     AS BIGINT) AS n_triangles
+    """,
+    'q_rolling_anomaly': """
+        WITH v AS (
+            SELECT user_id, event_id, ts,
+                   CAST(round(value * 1000000) AS BIGINT) AS v
+            FROM events
+        ), roll AS (
+            SELECT user_id, v,
+                   count(*) OVER w AS n,
+                   sum(CAST(v AS HUGEINT)) OVER w AS s,
+                   sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT))
+                       OVER w AS q
+            FROM v
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
+        )
+        SELECT user_id,
+               count(*) AS n_events,
+               CAST(sum(CASE WHEN n = 25 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_scored,
+               CAST(sum(CASE WHEN n = 25 AND
+                        (CAST(n AS HUGEINT) * v - s)
+                        * (CAST(n AS HUGEINT) * v - s) * (n - 1)
+                        > 4 * CAST(n AS HUGEINT)
+                          * (CAST(n AS HUGEINT) * q - s * s)
+                        THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_anomalies
+        FROM roll GROUP BY user_id
     """,
     'q_bfs_hops': """
         WITH RECURSIVE

@@ -79,3 +79,68 @@ class TestEmptyInputs:
         assert docs.select(
             F.posexplode(chunk_text('text', 8))).count() == 0
         assert text_stats(docs, 'text').count() == 0
+
+
+class TestRollingAnomaly:
+    @staticmethod
+    def _frame(spark):
+        # steady series with one planted spike per user
+        rows = []
+        for u in (1, 2):
+            for i in range(40):
+                v = 10.0 + (i % 3) * 0.5
+                if u == 1 and i == 30:
+                    v = 500.0  # spike
+                rows.append((u, i, v))
+        return spark.createDataFrame(
+            rows, 'user_id long, seq long, value double')
+
+    def test_planted_spike_flagged(self, spark_session):
+        from pyspark.sql import functions as F
+
+        from ons_utils_spark.operators.timeseries import (
+            rolling_anomaly_flags,
+        )
+
+        df = self._frame(spark_session)
+        out = rolling_anomaly_flags(
+            df, 'value', 'seq', by='user_id', window=25, z=2.0)
+        flagged = {(r['user_id'], r['seq']) for r in
+                   out.filter(F.col('is_anomaly')).collect()}
+        assert (1, 30) in flagged
+        assert not any(u == 2 for u, _ in flagged)
+        # warm-up rows are unscored, not false
+        nulls = out.filter(F.col('is_anomaly').isNull()).count()
+        assert nulls == 2 * 24
+
+    def test_integer_mode_matches_float(self, spark_session):
+        from pyspark.sql import functions as F
+
+        from ons_utils_spark.operators.timeseries import (
+            rolling_anomaly_flags,
+        )
+
+        df = self._frame(spark_session)
+        f = rolling_anomaly_flags(
+            df, 'value', 'seq', by='user_id', window=25, z=2.0)
+        i = rolling_anomaly_flags(
+            df, 'value', 'seq', by='user_id', window=25, z=2.0,
+            arithmetic='integer')
+        ff = {(r['user_id'], r['seq']): r['is_anomaly']
+              for r in f.collect()}
+        ii = {(r['user_id'], r['seq']): r['is_anomaly']
+              for r in i.collect()}
+        assert ff == ii
+
+    def test_integer_mode_needs_integral_z2(self, spark_session):
+        import pytest as _pytest
+
+        from ons_utils_spark.operators.timeseries import (
+            rolling_anomaly_flags,
+        )
+
+        df = self._frame(spark_session)
+        with _pytest.raises(ValueError, match='integral'):
+            rolling_anomaly_flags(
+                df, 'value', 'seq', by='user_id',
+                arithmetic='integer', z=2.5)
