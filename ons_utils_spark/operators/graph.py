@@ -160,6 +160,7 @@ def pagerank(
     mode: str = 'float',
     scale: int = 10 ** 12,
     self_loops: str = 'dangling',
+    checkpoint_every: int = 1,
 ) -> SparkDF:
     """PageRank of a directed edge list → ``(node, rank)``.
 
@@ -174,6 +175,13 @@ def pagerank(
     ``mode='integer'`` (see module docstring) emits ``rank`` as a
     scaled long; ``damping`` is snapped to an exact fraction
     (0.85 → 17/20).  ``mode='float'`` emits a double summing ≈ 1.
+
+    ``checkpoint_every`` trades plan depth for checkpoint jobs:
+    lineage is cut every N iterations (plus always on the last).
+    Measured at sf0.1, N=1 (the default) beats N=2 — the deeper
+    two-round plans re-optimize and re-shuffle worse than the extra
+    materialization costs — so raise N only after measuring on your
+    own graph/cluster.
     """
     if mode not in ('float', 'integer'):
         raise ValueError(f"mode must be 'float' or 'integer', got {mode!r}")
@@ -218,42 +226,39 @@ def pagerank(
         ranks = nodes.select(
             'node', F.lit(scale // n).cast('long').alias('r'))
         base = (den - num) * scale // (den * n)
-        for _ in range(iterations):
+        for it in range(iterations):
             inc = (
                 ranks.join(ed, ranks['node'] == ed['src'])
                 .select(F.col('dst').alias('node'),
                         F.expr('r DIV od').alias('__c'))
             )
             agg = inc.groupBy('node').agg(F.sum('__c').alias('__inc'))
-            ranks = (
-                nodes.join(agg, 'node', 'left')
-                .select(
-                    'node',
-                    F.expr(
-                        f'CAST({base} + ({num} * coalesce(__inc, 0))'
-                        f' DIV {den} AS BIGINT)').alias('r'),
-                )
-                .localCheckpoint()
+            ranks = nodes.join(agg, 'node', 'left').select(
+                'node',
+                F.expr(
+                    f'CAST({base} + ({num} * coalesce(__inc, 0))'
+                    f' DIV {den} AS BIGINT)').alias('r'),
             )
+            if (it + 1) % checkpoint_every == 0 \
+                    or it == iterations - 1:
+                ranks = ranks.localCheckpoint()
         return ranks.select('node', F.col('r').alias('rank'))
 
     ranks = nodes.select('node', F.lit(1.0 / n).alias('r'))
     base = (1.0 - damping) / n
-    for _ in range(iterations):
+    for it in range(iterations):
         inc = (
             ranks.join(ed, ranks['node'] == ed['src'])
             .select(F.col('dst').alias('node'),
                     (F.col('r') / F.col('od')).alias('__c'))
         )
         agg = inc.groupBy('node').agg(F.sum('__c').alias('__inc'))
-        ranks = (
-            nodes.join(agg, 'node', 'left')
-            .select(
-                'node',
-                (F.lit(base)
-                 + damping * F.coalesce('__inc', F.lit(0.0)))
-                .alias('r'),
-            )
-            .localCheckpoint()
+        ranks = nodes.join(agg, 'node', 'left').select(
+            'node',
+            (F.lit(base)
+             + damping * F.coalesce('__inc', F.lit(0.0)))
+            .alias('r'),
         )
+        if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
+            ranks = ranks.localCheckpoint()
     return ranks.select('node', F.col('r').alias('rank'))
