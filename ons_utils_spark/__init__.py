@@ -62,6 +62,17 @@ from .operators.dedup import (
 )
 from .operators.bpe import bpe_segmenter_udf, train_bpe, word_histogram
 from .operators.graph import bfs_levels, pagerank, triangle_count
+from .operators.quality_checks import (
+    Check,
+    has_max,
+    has_min,
+    is_complete,
+    is_in_set,
+    is_non_negative,
+    is_unique,
+    run_checks,
+    satisfies,
+)
 from .operators.timeseries import ewma, rolling_anomaly_flags
 from .operators.grouped import grouped_apply
 from .operators.index import (
@@ -177,6 +188,8 @@ __all__ = [
     'train_token_weights', 'score_texts',
     'train_bpe', 'bpe_segmenter_udf', 'word_histogram',
     'ewma', 'rolling_anomaly_flags',
+    'Check', 'run_checks', 'is_complete', 'is_unique', 'has_min',
+    'has_max', 'is_in_set', 'is_non_negative', 'satisfies',
     'connected_components', 'dedup_by_components', 'pagerank',
     'triangle_count', 'bfs_levels',
     'image_features', 'audio_features', 'frame_sample_plan',

@@ -3007,6 +3007,38 @@ def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_quality_checks(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Deequ-style declarative data-quality suite
+    (``operators.quality_checks.run_checks``): 7 checks
+    (completeness, uniqueness, ranges, set membership, a custom
+    date-window predicate) over orders, ALL evaluated in one
+    aggregate pass over one scan. The oracle recomputes each
+    violation count independently. `observed` metrics are dropped
+    from the emission (stringified float reprs differ between
+    engines); counts and pass flags are exact integers."""
+    from ..operators.quality_checks import (
+        has_max, has_min, is_complete, is_in_set, is_unique,
+        run_checks, satisfies)
+
+    (orders,) = _t(spark, sf_dir, 'orders')
+    checks = [
+        is_complete('o_orderkey'),
+        is_unique('o_orderkey'),
+        is_complete('o_custkey'),
+        has_min('o_totalprice', 0),
+        has_max('o_totalprice', 1000000),
+        is_in_set('o_orderstatus', ['O', 'F', 'P']),
+        satisfies(
+            'date_in_range',
+            (F.col('o_orderdate') >= F.lit('1990-01-01'))
+            & (F.col('o_orderdate') < F.lit('2030-01-01')),
+            'o_orderdate'),
+    ]
+    return run_checks(orders, checks).select(
+        'check', 'column', 'n_rows', 'violations',
+        F.col('passed').cast('int').alias('passed_i'))
+
+
 def q_group_quantile_ladder(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Per-group EXACT quantile ladder
     (``functions.approx.exact_quantile_col``): interpolated
@@ -3088,8 +3120,8 @@ QUERIES: Dict[str, QueryFn] = {
     'q_triangles': q_triangles,
     'q_bfs_hops': q_bfs_hops,
     'q_rolling_anomaly': q_rolling_anomaly,
+    'q_quality_checks': q_quality_checks,
     # re-verified green fill (driver-green r4, unchanged):
-    'q2_cheapest_supplier': q2_cheapest_supplier,
     'q5_local_supplier': q5_local_supplier,
     'q8_market_share': q8_market_share,
     'q9_product_profit': q9_product_profit,
@@ -3117,6 +3149,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q18_big_orders': q18_big_orders,
     'q19_bracket_revenue': q19_bracket_revenue,
     'q22_idle_customers': q22_idle_customers,
+    'q2_cheapest_supplier': q2_cheapest_supplier,
     'q_global_share': q_global_share,
     'q_salted_join': q_salted_join,
     'q_balanced_sample': q_balanced_sample,
@@ -4174,6 +4207,68 @@ ORACLES: Dict[str, str] = {
                CAST((SELECT count(*) FROM wedges w
                      JOIN ori o ON w.w1 = o.s AND w.w2 = o.t)
                     AS BIGINT) AS n_triangles
+    """,
+    'q_quality_checks': """
+        WITH base AS (SELECT * FROM orders)
+        SELECT 'is_complete' AS check, 'o_orderkey' AS "column",
+               count(*) AS n_rows,
+               CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0
+                        END) AS BIGINT) AS violations,
+               CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0
+                        END) = 0 AS INT) AS passed_i
+        FROM base
+        UNION ALL
+        SELECT 'is_unique', 'o_orderkey', count(*),
+               CAST(count(o_orderkey)
+                    - count(DISTINCT o_orderkey) AS BIGINT),
+               CAST(count(o_orderkey)
+                    = count(DISTINCT o_orderkey) AS INT)
+        FROM base
+        UNION ALL
+        SELECT 'is_complete', 'o_custkey', count(*),
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0
+                        END) AS BIGINT),
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0
+                        END) = 0 AS INT)
+        FROM base
+        UNION ALL
+        SELECT 'has_min(0)', 'o_totalprice', count(*),
+               CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0
+                        END) AS BIGINT),
+               CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0
+                        END) = 0 AS INT)
+        FROM base
+        UNION ALL
+        SELECT 'has_max(1000000)', 'o_totalprice', count(*),
+               CAST(sum(CASE WHEN o_totalprice > 1000000 THEN 1
+                        ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN o_totalprice > 1000000 THEN 1
+                        ELSE 0 END) = 0 AS INT)
+        FROM base
+        UNION ALL
+        SELECT 'is_in_set', 'o_orderstatus', count(*),
+               CAST(sum(CASE WHEN o_orderstatus NOT IN
+                             ('O', 'F', 'P')
+                             AND o_orderstatus IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN o_orderstatus NOT IN
+                             ('O', 'F', 'P')
+                             AND o_orderstatus IS NOT NULL
+                        THEN 1 ELSE 0 END) = 0 AS INT)
+        FROM base
+        UNION ALL
+        SELECT 'date_in_range', 'o_orderdate', count(*),
+               CAST(sum(CASE WHEN NOT COALESCE(
+                             o_orderdate >= DATE '1990-01-01'
+                             AND o_orderdate < DATE '2030-01-01',
+                             FALSE)
+                        THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN NOT COALESCE(
+                             o_orderdate >= DATE '1990-01-01'
+                             AND o_orderdate < DATE '2030-01-01',
+                             FALSE)
+                        THEN 1 ELSE 0 END) = 0 AS INT)
+        FROM base
     """,
     'q_rolling_anomaly': """
         WITH v AS (
