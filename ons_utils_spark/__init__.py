@@ -138,6 +138,7 @@ from .operators.text import (
 )
 from .session import get_spark
 from .sources.layout import z_value, zorder_repartition
+from .streaming.quality import monitor_quality
 from .streaming.sinks import foreach_batch_sink, write_stream_parquet
 from .streaming.stateful import running_totals
 from .streaming.windows import (
@@ -190,6 +191,7 @@ __all__ = [
     'ewma', 'rolling_anomaly_flags',
     'Check', 'run_checks', 'is_complete', 'is_unique', 'has_min',
     'has_max', 'is_in_set', 'is_non_negative', 'satisfies',
+    'monitor_quality',
     'connected_components', 'dedup_by_components', 'pagerank',
     'triangle_count', 'bfs_levels',
     'image_features', 'audio_features', 'frame_sample_plan',

@@ -524,3 +524,39 @@ class TestStreamJoinHelpers:
         got = {r['event_id']: r['label']
                for r in spark_session.read.parquet(out_dir).collect()}
         assert got == {1: 'Alpha', 2: 'Beta', 3: None}
+
+
+class TestQualityMonitor:
+    def test_per_batch_reports(self, spark_session, tmp_path):
+        from ons_utils_spark.operators.quality_checks import (
+            has_min, is_complete)
+        from ons_utils_spark.streaming.quality import monitor_quality
+        from ons_utils_spark.streaming.windows import read_event_stream
+
+        in_dir = str(tmp_path / 'in')
+        schema = 'id bigint, v double'
+        spark_session.createDataFrame(
+            [(1, 1.0), (2, -5.0), (None, 3.0), (4, 2.0)], schema
+        ).repartition(2).write.parquet(in_dir)
+
+        q = monitor_quality(
+            read_event_stream(spark_session, in_dir, schema,
+                              max_files_per_trigger=1),
+            [is_complete('id'), has_min('v', 0)],
+            str(tmp_path / 'report'), str(tmp_path / 'ckpt'),
+            available_now=True)
+        q.awaitTermination(120)
+
+        rep = spark_session.read.parquet(str(tmp_path / 'report'))
+        rows = rep.collect()
+        # one row per check per micro-batch
+        batches = {r['batch_id'] for r in rows}
+        assert len(rows) == 2 * len(batches)
+        # totals across batches match the full data
+        null_viol = sum(r['violations'] for r in rows
+                        if r['check'] == 'is_complete')
+        neg_viol = sum(r['violations'] for r in rows
+                       if r['check'] == 'has_min(0)')
+        assert null_viol == 1 and neg_viol == 1
+        assert sum(r['n_rows'] for r in rows
+                   if r['check'] == 'is_complete') == 4
