@@ -65,15 +65,38 @@ def main() -> None:
 
     # repeat passes per query, report the per-query median — robust
     # to the host's load spikes (observed ±40% on single shots)
-    # without the min's systematic optimism.
+    # without the min's systematic optimism.  A wall-clock budget
+    # (SPARK_GRAFT_BENCH_BUDGET seconds, default 480) bounds the
+    # TOTAL run: as the suite grows, later repeat passes are dropped
+    # rather than blowing the harness timeout — one complete pass is
+    # always finished, and `repeat` in the output records how many
+    # actually ran.
+    budget_s = float(os.environ.get('SPARK_GRAFT_BENCH_BUDGET',
+                                    '480'))
+    bench_t0 = time.time()
+    # One UNTIMED warmup pass first: each query's first execution
+    # pays whole-stage-codegen compilation + JIT (measured ~2x the
+    # steady state), so timed passes read warm numbers — the figure
+    # a long-running cluster actually sees.
+    for name, fn in QUERIES.items():
+        fn(spark, sf_dir).write.mode('overwrite').format(
+            'noop').save()
     samples: dict = {name: [] for name in QUERIES}
-    for _ in range(repeat):
+    passes_done = 0
+    last_pass = 0.0
+    for p in range(repeat):
+        if p > 0 and (time.time() - bench_t0) + last_pass > budget_s:
+            break
+        p_t0 = time.time()
         for name, fn in QUERIES.items():
             t0 = time.time()
             fn(spark, sf_dir).write.mode('overwrite').format(
                 'noop'
             ).save()
             samples[name].append(time.time() - t0)
+        last_pass = time.time() - p_t0
+        passes_done += 1
+    repeat = passes_done
     timings = {name: round(statistics.median(ts), 3)
                for name, ts in samples.items()}
     # Host-variance error bars (VERDICT r4: ±12% same-code spread):
