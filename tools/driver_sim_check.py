@@ -32,6 +32,8 @@ SENSITIVE = (
     # round-4 timestamp-heavy additions (epoch_us duration math,
     # event-time interval join, per-key time-ordered recurrence)
     'q_scd2_history', 'q_interval_join', 'q_ewma',
+    # round-5 session-2: event-time window framing (rolling z-score)
+    'q_rolling_anomaly',
 )
 
 
