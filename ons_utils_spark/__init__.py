@@ -61,7 +61,12 @@ from .operators.dedup import (
     simhash_dedup,
 )
 from .operators.bpe import bpe_segmenter_udf, train_bpe, word_histogram
-from .operators.graph import bfs_levels, pagerank, triangle_count
+from .operators.graph import (
+    bfs_levels,
+    label_propagation,
+    pagerank,
+    triangle_count,
+)
 from .operators.quality_checks import (
     Check,
     has_max,
@@ -193,7 +198,7 @@ __all__ = [
     'has_max', 'is_in_set', 'is_non_negative', 'satisfies',
     'monitor_quality',
     'connected_components', 'dedup_by_components', 'pagerank',
-    'triangle_count', 'bfs_levels',
+    'triangle_count', 'bfs_levels', 'label_propagation',
     'image_features', 'audio_features', 'frame_sample_plan',
     'decode_jpeg', 'encode_jpeg',
     'ngram_lm_score', 'bigram_counts', 'unigram_counts',

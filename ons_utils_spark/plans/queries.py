@@ -3039,6 +3039,34 @@ def q_quality_checks(spark: SparkSession, sf_dir: str) -> SparkDF:
         F.col('passed').cast('int').alias('passed_i'))
 
 
+def q_label_prop(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Deterministic label-propagation communities
+    (``operators.graph.label_propagation``) on the bulk-quantity
+    part co-purchase graph: 4 synchronous rounds (most-frequent
+    neighbor label, ties to the smallest — the auditable variant),
+    then the community-size histogram. The self-vote stabilizer
+    keeps the update single-reference-replayable (the node's own
+    label arrives through a self-edge, not a second join against
+    the label state). All integer label/count arithmetic, so the
+    recursive-CTE oracle replays every round."""
+    from ..operators.graph import label_propagation
+
+    (lineitem,) = _t(spark, sf_dir, 'lineitem')
+    li = lineitem.filter(F.col('l_quantity') >= 45)
+    a = li.select('l_orderkey', F.col('l_partkey').alias('p1'))
+    b = li.select('l_orderkey', F.col('l_partkey').alias('p2'))
+    edges = (
+        a.join(b, 'l_orderkey')
+        .filter(F.col('p1') < F.col('p2'))
+        .select(F.col('p1').alias('src'), F.col('p2').alias('dst'))
+    )
+    labels = label_propagation(edges, iterations=4)
+    sizes = labels.groupBy('label').agg(
+        F.count(F.lit(1)).alias('size'))
+    return sizes.groupBy('size').agg(
+        F.count(F.lit(1)).alias('n_communities'))
+
+
 def q_group_quantile_ladder(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Per-group EXACT quantile ladder
     (``functions.approx.exact_quantile_col``): interpolated
@@ -3121,8 +3149,8 @@ QUERIES: Dict[str, QueryFn] = {
     'q_bfs_hops': q_bfs_hops,
     'q_rolling_anomaly': q_rolling_anomaly,
     'q_quality_checks': q_quality_checks,
+    'q_label_prop': q_label_prop,
     # re-verified green fill (driver-green r4, unchanged):
-    'q5_local_supplier': q5_local_supplier,
     'q8_market_share': q8_market_share,
     'q9_product_profit': q9_product_profit,
     'q10_returned_customers': q10_returned_customers,
@@ -3150,6 +3178,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q19_bracket_revenue': q19_bracket_revenue,
     'q22_idle_customers': q22_idle_customers,
     'q2_cheapest_supplier': q2_cheapest_supplier,
+    'q5_local_supplier': q5_local_supplier,
     'q_global_share': q_global_share,
     'q_salted_join': q_salted_join,
     'q_balanced_sample': q_balanced_sample,
@@ -4207,6 +4236,44 @@ ORACLES: Dict[str, str] = {
                CAST((SELECT count(*) FROM wedges w
                      JOIN ori o ON w.w1 = o.s AND w.w2 = o.t)
                     AS BIGINT) AS n_triangles
+    """,
+    'q_label_prop': """
+        WITH RECURSIVE
+        li AS (
+            SELECT l_orderkey, l_partkey FROM lineitem
+            WHERE l_quantity >= 45
+        ), pairs AS (
+            SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+            FROM li l1
+            JOIN li l2 ON l1.l_orderkey = l2.l_orderkey
+                      AND l1.l_partkey < l2.l_partkey
+        ), und AS (
+            SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+        ), nodes AS (
+            SELECT DISTINCT a AS node FROM und
+        ), sym AS (
+            SELECT a, b FROM und
+            UNION SELECT node, node FROM nodes
+        ), lab AS (
+            SELECT 0 AS it, node, node AS label FROM nodes
+            UNION ALL
+            SELECT it, n AS node, min(label) AS label FROM (
+                SELECT cc.it, cc.n, cc.label, cc.cnt,
+                       max(cc.cnt) OVER (PARTITION BY cc.it, cc.n)
+                           AS m
+                FROM (
+                    SELECT l.it + 1 AS it, s.a AS n, l.label,
+                           count(*) AS cnt
+                    FROM lab l JOIN sym s ON l.node = s.b
+                    WHERE l.it < 4
+                    GROUP BY 1, 2, 3
+                ) cc
+            ) WHERE cnt = m GROUP BY it, n
+        )
+        SELECT size, count(*) AS n_communities FROM (
+            SELECT label, count(*) AS size
+            FROM lab WHERE it = 4 GROUP BY label
+        ) GROUP BY size
     """,
     'q_quality_checks': """
         WITH base AS (SELECT * FROM orders)

@@ -133,6 +133,37 @@ class TestBfs:
         assert got == {1: 0, 9: 0, 2: 1}
 
 
+class TestLabelPropagation:
+    def _labels(self, spark, edges, iterations=5):
+        from ons_utils_spark.operators.graph import label_propagation
+
+        df = spark.createDataFrame(edges, 'src long, dst long')
+        return {r['node']: r['label'] for r in
+                label_propagation(df, iterations=iterations).collect()}
+
+    def test_two_cliques_with_bridge(self, spark_session):
+        k = [(a, b) for a in (1, 2, 3) for b in (1, 2, 3) if a < b]
+        k += [(a, b) for a in (7, 8, 9) for b in (7, 8, 9) if a < b]
+        k += [(3, 7)]  # weak bridge
+        got = self._labels(spark_session, k)
+        # each clique converges to its min id; the bridge does not
+        # merge the cliques (each side's internal majority wins)
+        assert got[1] == got[2] == got[3] == 1
+        assert got[7] == got[8] == got[9] == 7
+
+    def test_deterministic_ties(self, spark_session):
+        # star: leaves adopt the hub label; hub sees all-distinct
+        # neighbor labels -> min label wins deterministically
+        star = [(5, 1), (5, 2), (5, 3)]
+        a = self._labels(spark_session, star, iterations=3)
+        b = self._labels(spark_session, star, iterations=3)
+        assert a == b
+
+    def test_self_loops_ignored(self, spark_session):
+        got = self._labels(spark_session, [(1, 1), (1, 2)])
+        assert set(got) == {1, 2}
+
+
 def test_validation(spark_session):
     df = spark_session.createDataFrame([(1, 2)], 'src long, dst long')
     with pytest.raises(ValueError, match='mode'):
