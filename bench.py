@@ -74,18 +74,24 @@ def main() -> None:
     budget_s = float(os.environ.get('SPARK_GRAFT_BENCH_BUDGET',
                                     '480'))
     bench_t0 = time.time()
-    # One UNTIMED warmup pass first: each query's first execution
-    # pays whole-stage-codegen compilation + JIT (measured ~2x the
-    # steady state), so timed passes read warm numbers — the figure
-    # a long-running cluster actually sees.
+    # Warmup pass: each query's first execution pays whole-stage-
+    # codegen compilation + JIT (measured ~2x the steady state), so
+    # timed passes read warm numbers.  The warmup's own times are
+    # kept as a COLD fallback sample: if the host is so loaded that
+    # the warmup alone exhausts the budget, the bench still reports
+    # (cold) numbers instead of being killed mid-run with no output.
+    cold: dict = {}
     for name, fn in QUERIES.items():
+        t0 = time.time()
         fn(spark, sf_dir).write.mode('overwrite').format(
             'noop').save()
+        cold[name] = time.time() - t0
+    warmup_time = time.time() - bench_t0
     samples: dict = {name: [] for name in QUERIES}
     passes_done = 0
-    last_pass = 0.0
+    last_pass = warmup_time * 0.7  # first-pass estimate
     for p in range(repeat):
-        if p > 0 and (time.time() - bench_t0) + last_pass > budget_s:
+        if (time.time() - bench_t0) + last_pass > budget_s:
             break
         p_t0 = time.time()
         for name, fn in QUERIES.items():
@@ -97,6 +103,8 @@ def main() -> None:
         last_pass = time.time() - p_t0
         passes_done += 1
     repeat = passes_done
+    if repeat == 0:  # budget blown during warmup — report cold
+        samples = {name: [t] for name, t in cold.items()}
     timings = {name: round(statistics.median(ts), 3)
                for name, ts in samples.items()}
     # Host-variance error bars (VERDICT r4: ±12% same-code spread):
@@ -118,6 +126,7 @@ def main() -> None:
         'queries': timings,
         'sf': sf_val,
         'repeat': repeat,
+        'cold_fallback': repeat == 0,
         'spread': spread,
         'extras': extras,
     }
