@@ -60,6 +60,33 @@ class TestMinHash:
         assert 1 in ids and 5 in ids and 6 in ids
         assert 2 not in ids and 3 not in ids
 
+    def test_signature_agreement_tracks_jaccard(self, spark_session):
+        """Regression for the round-5 minhash family bug: WITHOUT
+        the modulus, h*A+B is monotone in h, every hash function
+        picks the same argmin shingle, and two near-dup docs agree
+        on 64/64 or 0/64 signature slots (observed 0/64 at Jaccard
+        0.95 — LSH recall collapsed to exact-dups-only). With the
+        proper (A·h+B) mod P family, per-slot agreement is a
+        Bernoulli(jaccard) draw: for J≈0.8 over 64 slots the rate
+        must be strictly interior and near J."""
+        words = [f'w{i}' for i in range(40)]
+        t1 = ' '.join(words)
+        t2 = ' '.join(words[:20] + ['CHANGED'] + words[21:])
+        df = spark_session.createDataFrame(
+            [(1, t1), (2, t2)], 'doc_id bigint, text string')
+        hashed = df.select(
+            'doc_id',
+            dd.shingle_hashes(dd.word_shingles('text', 3)).alias('hs'))
+        sigs = {r['doc_id']: list(r['sig']) for r in hashed.select(
+            'doc_id',
+            dd.minhash_signature(F.col('hs'), 64).alias('sig'))
+            .collect()}
+        agree = sum(a == b for a, b in zip(sigs[1], sigs[2]))
+        hs = {r['doc_id']: set(r['hs']) for r in hashed.collect()}
+        j = len(hs[1] & hs[2]) / len(hs[1] | hs[2])
+        assert 0 < agree < 64
+        assert abs(agree / 64 - j) < 0.2
+
     def test_signature_udf_matches_jvm(self, spark_session):
         df = spark_session.createDataFrame(
             [(1, 'alpha beta gamma delta epsilon zeta eta theta')],
