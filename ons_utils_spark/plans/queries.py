@@ -4063,7 +4063,7 @@ ORACLES: Dict[str, str] = {
         )
         SELECT source,
                count(*) AS n_docs,
-               sum(n_shingles) AS total_shingles,
+               CAST(sum(n_shingles) AS BIGINT) AS total_shingles,
                CAST(round(avg(CAST(n_shingles AS DOUBLE)
                               / greatest(n_norm_chars, 1)) * 1000000)
                     AS BIGINT) AS avg_shingle_ratio_u6

@@ -41,6 +41,74 @@ def normalize(rows, columns):
     return sorted(out), [columns[i] for i in idx]
 
 
+def _spark_kind(dtype: str) -> str:
+    """Collapse a Spark dtype string to a cross-engine kind."""
+    d = dtype.lower()
+    if d in ('tinyint', 'smallint', 'int', 'bigint', 'long', 'integer'):
+        return 'int'
+    if d in ('float', 'double'):
+        return 'float'
+    if d.startswith('decimal'):
+        return 'decimal'
+    if d in ('string', 'varchar'):
+        return 'str'
+    if d == 'date':
+        return 'date'
+    if d.startswith('timestamp'):
+        return 'ts'
+    if d == 'boolean':
+        return 'bool'
+    return d
+
+
+def _duck_kind(dtype: str) -> str:
+    """Collapse a DuckDB type string to a cross-engine kind.
+
+    128-bit integer types get their own kind on purpose: the driver's
+    canonical hash distinguishes them from BIGINT (TODO.md pitfall #3 —
+    an uncast ``sum()`` over integers returns HUGEINT), so the mirror
+    must fail any oracle that emits one even though the Python values
+    compare equal.
+    """
+    d = dtype.upper()
+    if d in ('TINYINT', 'SMALLINT', 'INTEGER', 'BIGINT',
+             'UTINYINT', 'USMALLINT', 'UINTEGER'):
+        return 'int'
+    if d in ('HUGEINT', 'UHUGEINT', 'UBIGINT'):
+        return 'int128'  # never matches — cast to BIGINT in the oracle
+    if d in ('FLOAT', 'DOUBLE', 'REAL'):
+        return 'float'
+    if d.startswith('DECIMAL'):
+        return 'decimal'
+    if d in ('VARCHAR', 'STRING', 'TEXT'):
+        return 'str'
+    if d == 'DATE':
+        return 'date'
+    if d.startswith('TIMESTAMP'):
+        return 'ts'
+    if d == 'BOOLEAN':
+        return 'bool'
+    return d.lower()
+
+
+def type_mismatches(sdf, rel):
+    """Return [(col, spark_kind, duck_kind)] for kind-incompatible cols.
+
+    Mirrors the driver canon's type sensitivity: matching values with
+    mismatched storage kinds (e.g. BIGINT vs HUGEINT) still hash-fail
+    on the driver, so they must fail here too.
+    """
+    skinds = {c: _spark_kind(t) for c, t in sdf.dtypes}
+    out = []
+    for d, t in zip(rel.description, rel.types):
+        col = d[0]
+        dk = _duck_kind(str(t))
+        sk = skinds.get(col)
+        if sk is not None and sk != dk:
+            out.append((col, sk, dk))
+    return out
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
     only = set(sys.argv[2:])
@@ -88,9 +156,14 @@ def main() -> int:
             print(f'FAIL  {name}: duckdb error: {e}')
             failures.append(name)
             continue
+        bad_types = type_mismatches(sdf, rel)
         s_norm, s_cols = normalize(srows, scols)
         o_norm, o_cols = normalize(orows, ocols)
-        if s_cols != o_cols:
+        if bad_types:
+            print(f'FAIL  {name}: type-kind mismatch {bad_types}'
+                  ' (driver canon is type-sensitive; cast the oracle)')
+            failures.append(name)
+        elif s_cols != o_cols:
             print(f'FAIL  {name}: columns {s_cols} != {o_cols}')
             failures.append(name)
         elif len(s_norm) != len(o_norm):
