@@ -113,7 +113,13 @@ def bitmap_distinct_count(
     with full partial aggregation.  Ideal for dense integral keys;
     for arbitrary-typed or extremely sparse keys use
     :func:`approx_distinct` (HLL) or plain ``countDistinct``.
-    Values must be non-negative integers.
+
+    Values must be non-negative integers —
+    ``bitmap_bit_position``/``bitmap_bucket_number`` are undefined
+    for negatives, so rather than silently returning a wrong count
+    the job FAILS (``raise_error``) if any negative value is seen;
+    the guard rides the same aggregation pass (a codegen'd
+    conditional sum), no extra scan.
     """
     from ..generic import list_convert
 
@@ -121,13 +127,29 @@ def bitmap_distinct_count(
     keys = list(list_convert(by)) if by else []
     bucketed = (
         df.groupBy(*keys, F.bitmap_bucket_number(c).alias('__bucket'))
-        .agg(F.bitmap_construct_agg(
-            F.bitmap_bit_position(c)).alias('__bm'))
+        .agg(
+            F.bitmap_construct_agg(
+                F.bitmap_bit_position(c)).alias('__bm'),
+            F.sum(F.when(c < 0, F.lit(1)).otherwise(F.lit(0)))
+            .alias('__neg'),
+        )
     )
-    return (
+    agged = (
         bucketed.groupBy(*keys)
-        .agg(F.sum(F.bitmap_count('__bm')).alias(result_col))
+        .agg(F.sum(F.bitmap_count('__bm')).alias(result_col),
+             F.sum('__neg').alias('__neg'))
     )
+    guarded = F.when(
+        F.col('__neg') > 0,
+        F.raise_error(F.concat(
+            F.lit('bitmap_distinct_count: '),
+            F.col('__neg').cast('string'),
+            F.lit(' negative value(s) in the counted column —'
+                  ' bitmap bit positions are undefined for'
+                  ' negatives; shift or filter them first'))),
+    ).otherwise(F.col(result_col))
+    return agged.select(
+        *keys, guarded.cast('long').alias(result_col))
 
 
 def exact_quantile_col(

@@ -171,6 +171,36 @@ def shingle_hashes(shingles_col):
 MINHASH_PRIME = 4294967311
 
 
+def _check_bands(num_hashes: int, bands: int) -> None:
+    """Fail loudly on a lossy banding request.
+
+    ``rows_per_band = num_hashes // bands`` silently DROPS the
+    trailing ``num_hashes % bands`` hash functions, changing the LSH
+    S-curve from what the caller asked for — e.g. ``num_hashes=16,
+    bands=5`` uses only 15 hashes at 3 rows/band.
+    """
+    if bands <= 0 or num_hashes <= 0:
+        raise ValueError(
+            f'num_hashes ({num_hashes}) and bands ({bands}) must be'
+            ' positive')
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f'num_hashes ({num_hashes}) must be divisible by bands'
+            f' ({bands}): the trailing {num_hashes % bands} hash'
+            ' functions would be silently dropped, changing the LSH'
+            ' collision probability')
+
+
+def _check_blocks(n_blocks: int) -> None:
+    """SimHash block keys must tile the 64-bit signature exactly."""
+    if n_blocks <= 0 or 64 % n_blocks != 0:
+        raise ValueError(
+            f'n_blocks ({n_blocks}) must be a positive divisor of 64:'
+            ' otherwise the trailing signature bits fall outside every'
+            ' block and the pigeonhole recall guarantee silently'
+            ' weakens')
+
+
 def _minhash_consts(num_hashes: int):
     a = [(_splitmix64(i) & 0x3FFFFFFF) | 1 for i in range(num_hashes)]
     b = [_splitmix64(i + 1_000_003) & 0x3FFFFFFF
@@ -260,6 +290,7 @@ def minhash_lsh_candidates(
     caller supply a precomputed — typically persisted — shingle-hash
     frame so the (expensive) shingling is not re-derived here.
     """
+    _check_bands(num_hashes, bands)
     rows_per_band = num_hashes // bands
     # Shingle + hash in the JVM (one pass); signature fan-out in a
     # vectorized pandas UDF (Arrow transfer of small long arrays).
@@ -376,6 +407,7 @@ def minhash_lsh_candidates_portable(
     counts.  Use the xxhash64 production family for real corpora;
     use this for audits and cross-engine verification.
     """
+    _check_bands(num_hashes, bands)
     rows_per_band = num_hashes // bands
     # Explode shingles to rows so every md5 is a FLAT projection:
     # higher-order transform() lambdas are interpreted per element
@@ -625,6 +657,7 @@ def simhash_candidates_portable(
     """
     from .text import normalize_text, tokenize
 
+    _check_blocks(n_blocks)
     width = 64 // n_blocks
     ex = (
         df.filter(F.col(text_col).isNotNull())
@@ -689,6 +722,7 @@ def simhash_blocks_udf(n_blocks: int = 4):
     """
     from pyspark.sql.functions import pandas_udf
 
+    _check_blocks(n_blocks)
     width = 64 // n_blocks
 
     @pandas_udf('array<bigint>')
@@ -723,6 +757,7 @@ def simhash_blocks_udf(n_blocks: int = 4):
 
 def simhash_blocks(sig_col, n_blocks: int = 4):
     """Split a 64-bit simhash bitstring into ``n_blocks`` integer keys."""
+    _check_blocks(n_blocks)
     width = 64 // n_blocks
     return F.array(*[
         F.conv(F.substring(sig_col, i * width + 1, width), 2, 10)

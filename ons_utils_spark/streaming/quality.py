@@ -22,6 +22,23 @@ from ..operators.quality_checks import Check, run_checks
 __all__ = ['monitor_quality']
 
 
+def _write_batch_report(report: SparkDF, report_path: str) -> None:
+    """Idempotently land one micro-batch's report rows.
+
+    The history table is partitioned by ``batch_id`` and written with
+    dynamic partition overwrite, so a replayed batch (Structured
+    Streaming re-invokes ``foreachBatch`` with the SAME ``batch_id``
+    after a failure/restart) rewrites exactly its own partition
+    instead of appending a duplicate copy of it.  Other batches'
+    partitions are untouched.
+    """
+    (report.coalesce(1).write
+     .mode('overwrite')
+     .option('partitionOverwriteMode', 'dynamic')
+     .partitionBy('batch_id')
+     .parquet(report_path))
+
+
 def monitor_quality(
     stream_df: SparkDF,
     checks: Sequence[Check],
@@ -41,8 +58,7 @@ def monitor_quality(
     def _process(batch_df: SparkDF, batch_id: int) -> None:
         report = run_checks(batch_df, checks).withColumn(
             'batch_id', F.lit(batch_id).cast('long'))
-        (report.coalesce(1).write.mode('append')
-         .parquet(os.path.join(report_path)))
+        _write_batch_report(report, os.path.join(report_path))
 
     writer = (
         stream_df.writeStream

@@ -208,3 +208,18 @@ class TestExactAutoGuard:
                                            'x double')
         out = robust_outlier_flags(df, 'x', max_exact_rows=10).collect()
         assert [r['x'] for r in out if r['is_outlier']] == [10000.0]
+
+
+def test_bitmap_distinct_fails_loudly_on_negatives(spark_session):
+    """Negative values make bit positions undefined: the job must
+    FAIL (same-pass raise_error guard), never return a wrong count."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from ons_utils_spark.functions.approx import bitmap_distinct_count
+
+    bad = spark_session.createDataFrame(
+        [(1,), (-2,), (3,)], 'x bigint')
+    with pytest.raises(
+            (SparkRuntimeException, Exception),
+            match='negative value'):
+        bitmap_distinct_count(bad, 'x').collect()

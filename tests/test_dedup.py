@@ -658,3 +658,46 @@ class TestLineDedup:
         out = {r['doc_id']: r['text']
                for r in line_dedup(df, delimiter='|').collect()}
         assert out == {1: 'alpha beta|gamma delta', 2: 'epsilon'}
+
+
+class TestBandBlockValidation:
+    """Lossy banding/blocking requests must fail loudly (r5 advice).
+
+    num_hashes % bands != 0 silently dropped trailing hash functions
+    (changing the LSH S-curve); 64 % n_blocks != 0 left signature
+    bits outside every block (weakening the pigeonhole guarantee).
+    """
+
+    def test_minhash_rejects_indivisible_bands(self, docs_with_dups):
+        with pytest.raises(ValueError, match='divisible by bands'):
+            dd.minhash_lsh_candidates(
+                docs_with_dups, num_hashes=16, bands=5)
+
+    def test_minhash_portable_rejects_indivisible_bands(
+            self, docs_with_dups):
+        with pytest.raises(ValueError, match='divisible by bands'):
+            dd.minhash_lsh_candidates_portable(
+                docs_with_dups, num_hashes=16, bands=5)
+
+    def test_minhash_rejects_nonpositive(self, docs_with_dups):
+        with pytest.raises(ValueError, match='positive'):
+            dd.minhash_lsh_candidates(
+                docs_with_dups, num_hashes=16, bands=0)
+
+    def test_simhash_rejects_non_divisor_blocks(self, docs_with_dups):
+        with pytest.raises(ValueError, match='divisor of 64'):
+            dd.simhash_candidates_portable(docs_with_dups, n_blocks=5)
+
+    def test_simhash_blocks_udf_rejects_non_divisor(self):
+        with pytest.raises(ValueError, match='divisor of 64'):
+            dd.simhash_blocks_udf(n_blocks=7)
+
+    def test_simhash_blocks_rejects_non_divisor(self):
+        with pytest.raises(ValueError, match='divisor of 64'):
+            dd.simhash_blocks(F.col('sig'), n_blocks=3)
+
+    def test_divisible_requests_still_work(self, docs_with_dups):
+        out = dd.minhash_lsh_candidates(
+            docs_with_dups, num_hashes=16, bands=4)
+        assert {tuple(sorted((r['id_a'], r['id_b'])))
+                for r in out.collect()}  # non-empty candidate set

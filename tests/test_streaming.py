@@ -560,3 +560,32 @@ class TestQualityMonitor:
         assert null_viol == 1 and neg_viol == 1
         assert sum(r['n_rows'] for r in rows
                    if r['check'] == 'is_complete') == 4
+
+    def test_batch_replay_is_idempotent(self, spark_session, tmp_path):
+        """Re-landing the same batch_id rewrites, never duplicates.
+
+        After a failure/restart Structured Streaming re-invokes
+        foreachBatch with the same batch_id; the history table must
+        end up with ONE copy of that batch's report rows.
+        """
+        from pyspark.sql import functions as F
+
+        from ons_utils_spark.streaming.quality import _write_batch_report
+
+        path = str(tmp_path / 'report')
+        rep = spark_session.createDataFrame(
+            [('is_complete', 'id', 4, 1)],
+            'check string, column string, n_rows long, violations long')
+
+        b0 = rep.withColumn('batch_id', F.lit(0).cast('long'))
+        _write_batch_report(b0, path)
+        _write_batch_report(b0, path)  # replay of batch 0
+        b1 = rep.withColumn('batch_id', F.lit(1).cast('long'))
+        _write_batch_report(b1, path)
+        _write_batch_report(b1, path)  # replay of batch 1
+
+        got = spark_session.read.parquet(path)
+        counts = {r['batch_id']: r['n'] for r in
+                  got.groupBy('batch_id').agg(
+                      F.count('*').alias('n')).collect()}
+        assert counts == {0: 1, 1: 1}
