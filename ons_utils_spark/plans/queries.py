@@ -585,62 +585,125 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
-def q_lsh_topk(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """LSH-bucketed approximate top-k (rows-only — recall checked in
-    unit tests against the brute-force baseline)."""
-    (embeddings,) = _t(spark, sf_dir, 'embeddings')
+def _planted_ann(embeddings: SparkDF):
+    """(queries, corpus) with 3 planted exact duplicates per query.
+
+    The probe queries are vec_id < 3; each gets three corpus clones
+    (ids 9000000 + query_id*10 + j) holding the query's embedding
+    verbatim.  Identical vectors make the clones the TRUE cosine
+    top-3 with bit-exact score ties in ANY IEEE engine (same input →
+    same float), so the ranking collapses to the vec_id tie-break
+    and the true top-3 becomes SQL-expressible — the oracle replays
+    it as an exact cosine rank in DuckDB.  An approximate index that
+    can't surface an exact duplicate is broken, so hash-matching
+    the planted top-3 turns the former rows-only ANN checks into
+    real oracle rows (near-dup recall stays covered by unit tests +
+    tools/ann_scale_probe.py).
+    """
     queries = embeddings.filter(F.col('vec_id') < 3).select(
         F.col('vec_id').alias('query_id'),
         F.col('embedding').alias('query_vec'),
     )
+    planted = queries.select(
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias('__j'),
+        F.col('query_id'), F.col('query_vec'),
+    ).select(
+        (F.lit(9000000) + F.col('query_id') * 10 + F.col('__j'))
+        .cast('long').alias('vec_id'),
+        F.col('query_vec').alias('embedding'),
+    )
+    corpus = (
+        embeddings.filter(F.col('vec_id') >= 3)
+        .select('vec_id', 'embedding')
+        .unionByName(planted)
+    )
+    return queries, corpus
+
+
+def _planted_rank_emission(out: SparkDF, score_col: str) -> SparkDF:
+    """(query_id, rank, vec_id) for the top-3 per query — rank-only,
+    the float score stays internal (engine-specific low bits)."""
+    w = Window.partitionBy('query_id').orderBy(
+        F.col(score_col).desc(), F.col('vec_id').asc())
+    return (
+        out.withColumn('rank', F.row_number().over(w))
+        .filter(F.col('rank') <= 3)
+        .select('query_id', 'rank', 'vec_id')
+    )
+
+
+_PLANTED_ANN_ORACLE = """
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 3
+    ), corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+        FROM embeddings WHERE vec_id >= 3
+        UNION ALL
+        SELECT 9000000 + q.query_id * 10 + r.j AS vec_id, q.qv
+        FROM q, range(0, 3) r(j)
+    ), ranked AS (
+        SELECT q.query_id, c.vec_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_cosine_similarity(c.embedding, q.qv)
+                       DESC, c.vec_id ASC) AS rank
+        FROM corpus c, q
+    )
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id
+    FROM ranked WHERE rank <= 3
+"""
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """LSH-bucketed approximate top-k over a planted-duplicate
+    fixture: an exact clone shares every hyperplane sign with its
+    query, so it is GUARANTEED to land in the probed bucket — the
+    oracle hash-verifies the index surfaces all three clones as the
+    true cosine top-3 (near-dup recall stays in unit tests)."""
+    (embeddings,) = _t(spark, sf_dir, 'embeddings')
+    queries, corpus = _planted_ann(embeddings)
     out = sim.lsh_topk(
-        embeddings.filter(F.col('vec_id') >= 3), queries,
-        k=10, dim=64, num_planes=4, probes=2,
+        corpus, queries, k=10, dim=64, num_planes=4, probes=2,
     )
-    return out.select(
-        'query_id', 'vec_id', F.round('cosine', 4).alias('cosine')
-    )
+    return _planted_rank_emission(out, 'cosine')
 
 
 def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """IVF-PQ composed ANN (rows-only): coarse clusters prune to
-    nprobe/n_clusters of the lists, PQ codes make scanning them table
-    lookups. Full-probe equality with plain PQ is pinned by unit
+    """IVF-PQ composed ANN over the planted-duplicate fixture: a
+    clone is assigned to exactly the cluster its query probes first
+    (identical vector → identical nearest centroid), and identical
+    vectors encode to identical PQ codes → bit-equal ADC scores, so
+    the clones rank as the top-3 by the vec_id tie-break and the
+    oracle hash-verifies cluster pruning + compressed-domain scoring
+    end-to-end.  Full-probe equality with plain PQ is pinned by unit
     test; this entry runs the pruned configuration."""
     (embeddings,) = _t(spark, sf_dir, 'embeddings')
-    queries = embeddings.filter(F.col('vec_id') < 3).select(
-        F.col('vec_id').alias('query_id'),
-        F.col('embedding').alias('query_vec'),
-    )
-    corpus = embeddings.filter(F.col('vec_id') >= 3)
+    queries, corpus = _planted_ann(embeddings)
     books = sim.pq_train(corpus, m=8, k=256, sample_size=4096)
     # iters=1: one Lloyd pass is plenty for a coarse 8-cluster
     # quantizer; each extra pass is a full assign+mean job chain.
     out = sim.ivf_pq_topk(
         corpus, queries, books, k=10, n_clusters=8, nprobe=4, iters=1)
-    return out.select(
-        'query_id', 'vec_id', F.round('pq_score', 4).alias('pq_score')
-    )
+    return _planted_rank_emission(out, 'pq_score')
 
 
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """Product-quantization ANN (rows-only — the compressed-domain
-    scores are approximate by design; recall is pinned in unit tests
-    against the brute-force baseline). Corpus vectors compress to
-    8-byte codes (32× smaller than float32); queries score them via
-    ADC table lookups, no per-vector FLOPs."""
+    """Product-quantization ANN over the planted-duplicate fixture:
+    corpus vectors compress to 8-byte codes (32× smaller than
+    float32); queries score them via ADC table lookups, no
+    per-vector FLOPs.  The three clones of each query encode to
+    identical codes → bit-equal ADC scores → ranked by the vec_id
+    tie-break, so the exact-cosine DuckDB oracle hash-verifies that
+    compressed-domain scoring still surfaces the true top-3 (scores
+    of non-duplicates remain approximate by design; recall is pinned
+    in unit tests against the brute-force baseline)."""
     (embeddings,) = _t(spark, sf_dir, 'embeddings')
-    queries = embeddings.filter(F.col('vec_id') < 3).select(
-        F.col('vec_id').alias('query_id'),
-        F.col('embedding').alias('query_vec'),
-    )
-    corpus = embeddings.filter(F.col('vec_id') >= 3)
+    queries, corpus = _planted_ann(embeddings)
     books = sim.pq_train(corpus, m=8, k=256, sample_size=4096)
     codes = sim.pq_encode(corpus, books)
     out = sim.pq_topk(codes, queries, books, k=10)
-    return out.select(
-        'query_id', 'vec_id', F.round('pq_score', 4).alias('pq_score')
-    )
+    return _planted_rank_emission(out, 'pq_score')
 
 
 # --------------------------------------------------------------------
@@ -3108,65 +3171,68 @@ def q_group_quantile_ladder(spark: SparkSession, sf_dir: str) -> SparkDF:
 # never-driver-checked queries plus the 3 whose emission changed this
 # round — after this rotation every declared query has a driver row.
 QUERIES: Dict[str, QueryFn] = {
-    # -- round-5 verification window ------------------------------
-    # 18 queries never driver-checked in rounds 1-4 (mirror-green
-    # only) + 3 changed this round (char_shingles scaled-bigint,
-    # top_parts_array array_join, price_trim exact=auto guard):
-    'q_lm_score': q_lm_score,
-    'q_train_split': q_train_split,
-    'q_tfidf_top_terms': q_tfidf_top_terms,
-    'q_pack_bins': q_pack_bins,
-    'q_pack_assemble': q_pack_assemble,
-    'q_stratified_sample': q_stratified_sample,
-    'q_scd2_history': q_scd2_history,
-    'q_source_overlap': q_source_overlap,
-    'q_js_divergence': q_js_divergence,
-    'q_interval_join': q_interval_join,
-    'q_key_skew': q_key_skew,
-    'q_mad_outliers': q_mad_outliers,
-    'q_ewma': q_ewma,
-    'q_vector_math': q_vector_math,
-    'q_weighted_sample': q_weighted_sample,
-    'q_mixture_sample': q_mixture_sample,
-    'q_profile_docs': q_profile_docs,
-    'q_winsorized_revenue': q_winsorized_revenue,
+    # -- round-6 verification window (first 50) -------------------
+    # Staleness-driven rotation: the 47 hash-checkable queries whose
+    # latest driver row is round 3, plus q_char_shingles (oracle cast
+    # fixed this round) and q_pq_topk / q_lsh_topk (planted-fixture
+    # oracles added this round).  Rows-only entries sit at the window
+    # tail per policy.  q_sessionize was displaced to lead round 7's
+    # window, followed by the 39 round-4-verified queries.
     'q_char_shingles': q_char_shingles,
-    'q_top_parts_array': q_top_parts_array,
-    'q_price_trim': q_price_trim,
-    # new in round 5 (mirror-green, first driver check this round):
-    'q_vocab_coverage': q_vocab_coverage,
-    'q_seed_classifier': q_seed_classifier,
-    'q_group_quantile_ladder': q_group_quantile_ladder,
-    'q_minhash_pairs': q_minhash_pairs,
-    'q_simhash_pairs': q_simhash_pairs,
-    'q_bitmap_distinct': q_bitmap_distinct,
-    'q_zorder_stats': q_zorder_stats,
-    'q_inverted_index': q_inverted_index,
-    'q_term_search': q_term_search,
-    'q_bm25_topk': q_bm25_topk,
-    'q_pagerank': q_pagerank,
-    'q_triangles': q_triangles,
-    'q_bfs_hops': q_bfs_hops,
-    'q_rolling_anomaly': q_rolling_anomaly,
-    'q_quality_checks': q_quality_checks,
-    'q_label_prop': q_label_prop,
-    # re-verified green fill (driver-green r4, unchanged):
-    'q8_market_share': q8_market_share,
-    'q9_product_profit': q9_product_profit,
-    'q10_returned_customers': q10_returned_customers,
-    'q11_important_parts': q11_important_parts,
-    'q12_late_shipments': q12_late_shipments,
-    'q13_order_distribution': q13_order_distribution,
-    'q17_small_qty_revenue': q17_small_qty_revenue,
-    'q20_promo_suppliers': q20_promo_suppliers,
-    # new in round 5 (never driver-checked):
-    'q_substring_dups': q_substring_dups,
-    'q_line_dedup': q_line_dedup,
-    # rows-only (no SQL oracle), never driver-recorded:
+    'q_pq_topk': q_pq_topk,
     'q_ivf_pq_topk': q_ivf_pq_topk,
-    'q_approx_quantile_ladder': q_approx_quantile_ladder,
-    'q_compression_quality': q_compression_quality,
-    # -- below the 50-slot window: driver-green in rounds 1-4 -----
+    'q1_pricing_summary': q1_pricing_summary,
+    'q2_revenue_by_nation': q2_revenue_by_nation,
+    'q3_top_orders': q3_top_orders,
+    'q4_priority_order_counts': q4_priority_order_counts,
+    'q5_segment_stats': q5_segment_stats,
+    'q6_forecast_revenue': q6_forecast_revenue,
+    'q_pivot_status_priority': q_pivot_status_priority,
+    'q_concat_extracts': q_concat_extracts,
+    'q_concat_lattice': q_concat_lattice,
+    'q_range_join_bands': q_range_join_bands,
+    'q_map_col_status': q_map_col_status,
+    'q_window_revenue_share': q_window_revenue_share,
+    'q_topk_orders_per_status': q_topk_orders_per_status,
+    'q_grouped_demean': q_grouped_demean,
+    'q_asof_user_purchase': q_asof_user_purchase,
+    'q_json_tumbling': q_json_tumbling,
+    'q_session_windows': q_session_windows,
+    'q_text_stats': q_text_stats,
+    'q_dedup_exact': q_dedup_exact,
+    'q_fingerprint_docs': q_fingerprint_docs,
+    'q_jaccard_pairs': q_jaccard_pairs,
+    'q_langid': q_langid,
+    'q_diff_embeddings': q_diff_embeddings,
+    'q_ann_cosine_topk': q_ann_cosine_topk,
+    'q_ivf_topk': q_ivf_topk,
+    'q_salted_agg': q_salted_agg,
+    'q_melt_part': q_melt_part,
+    'q_rollup_revenue': q_rollup_revenue,
+    'q_intersect_custkeys': q_intersect_custkeys,
+    'q_ffill_lineitem': q_ffill_lineitem,
+    'q_sliding_events': q_sliding_events,
+    'q_embedding_neardup': q_embedding_neardup,
+    'q_bpe_tokens': q_bpe_tokens,
+    'q_null_safe_join': q_null_safe_join,
+    'q_cube_orders': q_cube_orders,
+    'q_distinct_counts': q_distinct_counts,
+    'q_quality_scores': q_quality_scores,
+    'q_clean_text': q_clean_text,
+    'q_frame_sample': q_frame_sample,
+    'q_median_price': q_median_price,
+    'q_lag_orders': q_lag_orders,
+    'q_token_vocab': q_token_vocab,
+    'q_redact_pii': q_redact_pii,
+    'q_repetition': q_repetition,
+    'q_lsh_topk': q_lsh_topk,
+    'q_minhash_dedup': q_minhash_dedup,
+    'q_simhash_dedup': q_simhash_dedup,
+    # -- below the 50-slot window ---------------------------------
+    # round-7 rotation order: displaced r3 fill, then r4-verified,
+    # then the round-5 window (freshest).
+    'q_sessionize': q_sessionize,
+    'q_chunk_docs': q_chunk_docs,
     'q_grouping_sets': q_grouping_sets,
     'q_asof_tolerance': q_asof_tolerance,
     'q_lookup_join': q_lookup_join,
@@ -3206,56 +3272,54 @@ QUERIES: Dict[str, QueryFn] = {
     'q_ntile_deciles': q_ntile_deciles,
     'q_mode_quantity': q_mode_quantity,
     'q_latest_events': q_latest_events,
-    'q_pq_topk': q_pq_topk,
-    'q1_pricing_summary': q1_pricing_summary,
-    'q2_revenue_by_nation': q2_revenue_by_nation,
-    'q3_top_orders': q3_top_orders,
-    'q4_priority_order_counts': q4_priority_order_counts,
-    'q5_segment_stats': q5_segment_stats,
-    'q6_forecast_revenue': q6_forecast_revenue,
-    'q_pivot_status_priority': q_pivot_status_priority,
-    'q_concat_extracts': q_concat_extracts,
-    'q_concat_lattice': q_concat_lattice,
-    'q_range_join_bands': q_range_join_bands,
-    'q_map_col_status': q_map_col_status,
-    'q_window_revenue_share': q_window_revenue_share,
-    'q_topk_orders_per_status': q_topk_orders_per_status,
-    'q_grouped_demean': q_grouped_demean,
-    'q_asof_user_purchase': q_asof_user_purchase,
-    'q_json_tumbling': q_json_tumbling,
-    'q_session_windows': q_session_windows,
-    'q_text_stats': q_text_stats,
-    'q_dedup_exact': q_dedup_exact,
-    'q_fingerprint_docs': q_fingerprint_docs,
-    'q_jaccard_pairs': q_jaccard_pairs,
-    'q_minhash_dedup': q_minhash_dedup,
-    'q_simhash_dedup': q_simhash_dedup,
-    'q_langid': q_langid,
-    'q_diff_embeddings': q_diff_embeddings,
-    'q_ann_cosine_topk': q_ann_cosine_topk,
-    'q_lsh_topk': q_lsh_topk,
-    'q_ivf_topk': q_ivf_topk,
-    'q_salted_agg': q_salted_agg,
-    'q_melt_part': q_melt_part,
-    'q_rollup_revenue': q_rollup_revenue,
-    'q_intersect_custkeys': q_intersect_custkeys,
-    'q_ffill_lineitem': q_ffill_lineitem,
-    'q_sliding_events': q_sliding_events,
-    'q_embedding_neardup': q_embedding_neardup,
-    'q_bpe_tokens': q_bpe_tokens,
-    'q_null_safe_join': q_null_safe_join,
-    'q_cube_orders': q_cube_orders,
-    'q_distinct_counts': q_distinct_counts,
-    'q_quality_scores': q_quality_scores,
-    'q_clean_text': q_clean_text,
-    'q_frame_sample': q_frame_sample,
-    'q_median_price': q_median_price,
-    'q_lag_orders': q_lag_orders,
-    'q_token_vocab': q_token_vocab,
-    'q_redact_pii': q_redact_pii,
-    'q_repetition': q_repetition,
-    'q_chunk_docs': q_chunk_docs,
-    'q_sessionize': q_sessionize,
+    'q_lm_score': q_lm_score,
+    'q_train_split': q_train_split,
+    'q_tfidf_top_terms': q_tfidf_top_terms,
+    'q_pack_bins': q_pack_bins,
+    'q_pack_assemble': q_pack_assemble,
+    'q_stratified_sample': q_stratified_sample,
+    'q_scd2_history': q_scd2_history,
+    'q_source_overlap': q_source_overlap,
+    'q_js_divergence': q_js_divergence,
+    'q_interval_join': q_interval_join,
+    'q_key_skew': q_key_skew,
+    'q_mad_outliers': q_mad_outliers,
+    'q_ewma': q_ewma,
+    'q_vector_math': q_vector_math,
+    'q_weighted_sample': q_weighted_sample,
+    'q_mixture_sample': q_mixture_sample,
+    'q_profile_docs': q_profile_docs,
+    'q_winsorized_revenue': q_winsorized_revenue,
+    'q_top_parts_array': q_top_parts_array,
+    'q_price_trim': q_price_trim,
+    'q_vocab_coverage': q_vocab_coverage,
+    'q_seed_classifier': q_seed_classifier,
+    'q_group_quantile_ladder': q_group_quantile_ladder,
+    'q_minhash_pairs': q_minhash_pairs,
+    'q_simhash_pairs': q_simhash_pairs,
+    'q_bitmap_distinct': q_bitmap_distinct,
+    'q_zorder_stats': q_zorder_stats,
+    'q_inverted_index': q_inverted_index,
+    'q_term_search': q_term_search,
+    'q_bm25_topk': q_bm25_topk,
+    'q_pagerank': q_pagerank,
+    'q_triangles': q_triangles,
+    'q_bfs_hops': q_bfs_hops,
+    'q_rolling_anomaly': q_rolling_anomaly,
+    'q_quality_checks': q_quality_checks,
+    'q_label_prop': q_label_prop,
+    'q8_market_share': q8_market_share,
+    'q9_product_profit': q9_product_profit,
+    'q10_returned_customers': q10_returned_customers,
+    'q11_important_parts': q11_important_parts,
+    'q12_late_shipments': q12_late_shipments,
+    'q13_order_distribution': q13_order_distribution,
+    'q17_small_qty_revenue': q17_small_qty_revenue,
+    'q20_promo_suppliers': q20_promo_suppliers,
+    'q_substring_dups': q_substring_dups,
+    'q_line_dedup': q_line_dedup,
+    'q_approx_quantile_ladder': q_approx_quantile_ladder,
+    'q_compression_quality': q_compression_quality,
 }
 
 
@@ -3625,6 +3689,12 @@ ORACLES: Dict[str, str] = {
         )
         SELECT query_id, vec_id, cosine FROM scored WHERE rk <= 10
     """,
+    # The three approximate-index probes share one exact-cosine
+    # oracle: the planted clones are the true top-3 regardless of
+    # which index found them (see _planted_ann).
+    'q_lsh_topk': _PLANTED_ANN_ORACLE,
+    'q_pq_topk': _PLANTED_ANN_ORACLE,
+    'q_ivf_pq_topk': _PLANTED_ANN_ORACLE,
     'q_langid': """
         WITH scored AS (
             SELECT
