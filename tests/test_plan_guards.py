@@ -162,3 +162,53 @@ class TestPlanGuards:
         cands.collect()
         plan = cands._jdf.queryExecution().executedPlan().toString()
         assert 'ReusedExchange' in plan
+
+
+class TestSortMergePath:
+    """The 100 TB fact-fact join path: un-bucketed lineitem×orders
+    with broadcasts disabled must plan a clean SortMergeJoin with
+    AQE-optimized shuffle reads — every prior guard pins broadcast
+    plans (right for sf-scale dimensions); this pins the plan the
+    engine falls back to when BOTH sides are big."""
+
+    def test_fact_fact_join_sort_merges_cleanly(self, spark_session):
+        import re
+
+        from pyspark.sql import functions as F
+
+        from ons_utils_spark.sources.readers import load_tables
+
+        t = load_tables(spark_session, SF, tables=['lineitem', 'orders'])
+        threshold = spark_session.conf.get(
+            'spark.sql.autoBroadcastJoinThreshold')
+        spark_session.conf.set(
+            'spark.sql.autoBroadcastJoinThreshold', '-1')
+        try:
+            df = (
+                t['lineitem']
+                .join(t['orders'],
+                      F.col('l_orderkey') == F.col('o_orderkey'))
+                .groupBy('o_orderpriority')
+                .agg(F.sum('l_quantity').alias('qty'))
+            )
+            df.collect()
+            final = df._jdf.queryExecution().executedPlan().toString()
+            formatted = df._jdf.queryExecution().explainString(
+                spark_session._jvm.org.apache.spark.sql.execution
+                .ExplainMode.fromString('formatted'))
+        finally:
+            spark_session.conf.set(
+                'spark.sql.autoBroadcastJoinThreshold', threshold)
+
+        # the join really is a shuffle sort-merge, not a broadcast
+        assert 'SortMergeJoin' in final, final
+        assert 'BroadcastHashJoin' not in final, final
+        assert 'BroadcastNestedLoopJoin' not in final, final
+        # AQE re-planned the shuffle reads (coalesced tiny partitions
+        # here; splits skewed ones at scale)
+        assert 'AQEShuffleRead' in final, final
+        # both sides exchange on their join key — co-partitioned
+        assert re.search(r'hashpartitioning\(l_orderkey', formatted)
+        assert re.search(r'hashpartitioning\(o_orderkey', formatted)
+        # partial aggregation still combines map-side above the join
+        assert 'partial_sum' in formatted
