@@ -2910,6 +2910,35 @@ def q_zorder_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_hilbert_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Hilbert-curve index verification
+    (``sources.layout.with_hilbert_value``): the tighter-locality
+    sibling of :func:`q_zorder_stats` — consecutive Hilbert positions
+    are always ADJACENT cells, where the Morton curve jumps across
+    the key space at power-of-two boundaries, so range-partitioned
+    files cover more compact key rectangles and min-max pruning
+    skips more.  The per-level reflect+swap state machine is unrolled
+    into 16 chained codegen projections (no UDFs); the oracle replays
+    every level bit-for-bit through a generated CTE chain.  Output:
+    per high-order curve range (bucket = h >> 18) count + min/max —
+    the exact statistic parquet row-group pruning exploits."""
+    from ..sources.layout import with_hilbert_value
+
+    (lineitem,) = _t(spark, sf_dir, 'lineitem')
+    pts = lineitem.select(
+        (F.col('l_partkey') % 65536).alias('__px'),
+        (F.col('l_suppkey') % 65536).alias('__py'),
+    )
+    return (
+        with_hilbert_value(pts, ['__px', '__py'], bits=16,
+                           out_col='h')
+        .groupBy(F.shiftright(F.col('h'), 18).alias('h_bucket'))
+        .agg(F.count(F.lit(1)).alias('n_lines'),
+             F.min('h').alias('h_min'),
+             F.max('h').alias('h_max'))
+    )
+
+
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Inverted-index build (``operators.index.build_inverted_index``):
     token → capped sorted posting list in one token-keyed shuffle
@@ -3181,6 +3210,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_char_shingles': q_char_shingles,
     'q_pq_topk': q_pq_topk,
     'q_ivf_pq_topk': q_ivf_pq_topk,
+    'q_hilbert_stats': q_hilbert_stats,
     'q1_pricing_summary': q1_pricing_summary,
     'q2_revenue_by_nation': q2_revenue_by_nation,
     'q3_top_orders': q3_top_orders,
@@ -3224,7 +3254,6 @@ QUERIES: Dict[str, QueryFn] = {
     'q_lag_orders': q_lag_orders,
     'q_token_vocab': q_token_vocab,
     'q_redact_pii': q_redact_pii,
-    'q_repetition': q_repetition,
     'q_lsh_topk': q_lsh_topk,
     'q_minhash_dedup': q_minhash_dedup,
     'q_simhash_dedup': q_simhash_dedup,
@@ -3233,6 +3262,7 @@ QUERIES: Dict[str, QueryFn] = {
     # then the round-5 window (freshest).
     'q_sessionize': q_sessionize,
     'q_chunk_docs': q_chunk_docs,
+    'q_repetition': q_repetition,
     'q_grouping_sets': q_grouping_sets,
     'q_asof_tolerance': q_asof_tolerance,
     'q_lookup_join': q_lookup_join,
@@ -3332,6 +3362,32 @@ def _zvalue_sql(a: str, b: str, bits: int = 16) -> str:
         for i in range(bits))
 
 
+def _hilbert_sql(a: str, b: str, bits: int = 16,
+                 src: str = 'lineitem') -> str:
+    """Generate the DuckDB replay of ``layout.with_hilbert_value``.
+
+    The Hilbert walk is a per-level state machine, so the SQL is a
+    chain of ``bits`` nested selects, each rewriting (hx, hy, hd)
+    exactly like the corresponding Spark projection — generated from
+    the same constants so the two engines cannot drift.
+    """
+    n = 1 << bits
+    sql = (f'SELECT CAST({a} AS BIGINT) & {n - 1} AS hx,'
+           f' CAST({b} AS BIGINT) & {n - 1} AS hy,'
+           f' CAST(0 AS BIGINT) AS hd FROM {src}')
+    for i in reversed(range(bits)):
+        rx = f'((hx >> {i}) & 1)'
+        ry = f'((hy >> {i}) & 1)'
+        step = f'xor({rx} * 3, {ry}) * {1 << (2 * i)}'
+        nx = (f'CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1'
+              f' THEN {n - 1} - hy ELSE hy END) ELSE hx END')
+        ny = (f'CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1'
+              f' THEN {n - 1} - hx ELSE hx END) ELSE hy END')
+        sql = (f'SELECT hd + {step} AS hd, {nx} AS hx, {ny} AS hy'
+               f' FROM ({sql})')
+    return sql
+
+
 def _simhash_portable_sql(n_blocks: int = 4) -> str:
     """Generate the DuckDB replay of ``simhash_candidates_portable``.
 
@@ -3399,6 +3455,17 @@ ORACLES: Dict[str, str] = {
                min(z) AS z_min,
                max(z) AS z_max
         FROM z GROUP BY z_bucket
+    """,
+    'q_hilbert_stats': f"""
+        WITH h AS (
+            SELECT hd FROM ({_hilbert_sql('(l_partkey % 65536)',
+                                          '(l_suppkey % 65536)')})
+        )
+        SELECT hd >> 18 AS h_bucket,
+               count(*) AS n_lines,
+               min(hd) AS h_min,
+               max(hd) AS h_max
+        FROM h GROUP BY h_bucket
     """,
     'q1_pricing_summary': """
         SELECT l_returnflag, l_linestatus,

@@ -31,7 +31,8 @@ from ..generic import list_convert
 ColumnOrName = Union[str, SparkCol]
 
 __all__ = ['optimize_write', 'file_stats', 'z_value',
-           'zorder_repartition']
+           'zorder_repartition', 'with_hilbert_value',
+           'hilbert_repartition']
 
 
 def optimize_write(
@@ -135,6 +136,86 @@ def z_value(
             bit = F.shiftright(c, i).bitwiseAND(F.lit(1))
             expr = expr + bit * F.lit(1 << (i * n + k))
     return expr
+
+
+def with_hilbert_value(
+    df: SparkDF,
+    cols: Sequence[ColumnOrName],
+    bits: int = 16,
+    out_col: str = '__hvalue',
+) -> SparkDF:
+    """Add the 2-D Hilbert-curve index of ``(cols[0], cols[1])``.
+
+    The Hilbert curve has strictly better locality than the Morton
+    curve (:func:`z_value`): consecutive curve positions are ALWAYS
+    adjacent cells (Morton jumps across the key space at power-of-two
+    boundaries), so range-partitioned files cover tighter key-space
+    rectangles and min-max pruning skips more.  The price is that the
+    index is a per-level state machine (reflect + swap the quadrant
+    coordinate frame at every scale), not a linear bit interleave.
+
+    Implementation: the classic top-down quadrant walk (Wikipedia's
+    ``xy2d``), unrolled into ``bits`` chained projections.  Each
+    level's (x, y, d) are materialized as real columns referenced by
+    the next level, so Catalyst keeps one Project per level (its
+    collapse rule refuses to duplicate non-cheap expressions) and the
+    expression tree stays LINEAR in ``bits`` — all integer bit math
+    inside whole-stage codegen, no UDFs.  Inputs are masked to
+    ``bits`` bits like :func:`z_value`; pre-bucket wider keys first.
+    """
+    if len(cols) != 2:
+        raise ValueError(
+            'with_hilbert_value is 2-D (the standard xy2d walk);'
+            f' got {len(cols)} columns — for >2 dims use z_value')
+    if not 1 <= bits <= 31:
+        raise ValueError(f'bits must be in [1, 31], got {bits}')
+    n = 1 << bits
+    mask = F.lit(n - 1).cast('long')
+    x0 = convert_to_spark_col(cols[0]).cast('long').bitwiseAND(mask)
+    y0 = convert_to_spark_col(cols[1]).cast('long').bitwiseAND(mask)
+    out = df.withColumns({
+        '__hx': x0, '__hy': y0,
+        out_col: F.lit(0).cast('long'),
+    })
+    for i in reversed(range(bits)):
+        x, y = F.col('__hx'), F.col('__hy')
+        rx = F.shiftright(x, i).bitwiseAND(F.lit(1))
+        ry = F.shiftright(y, i).bitwiseAND(F.lit(1))
+        # quadrant digit: (3*rx) XOR ry, weighted by the cell area
+        d_step = (rx * 3).bitwiseXOR(ry) * F.lit(1 << (2 * i))
+        # rotate the frame: when ry=0 reflect (if rx=1) then swap
+        refl_x = F.when(rx == 1, F.lit(n - 1) - y).otherwise(y)
+        refl_y = F.when(rx == 1, F.lit(n - 1) - x).otherwise(x)
+        out = out.withColumns({
+            out_col: F.col(out_col) + d_step,
+            '__hx': F.when(ry == 0, refl_x).otherwise(x),
+            '__hy': F.when(ry == 0, refl_y).otherwise(y),
+        })
+    return out.drop('__hx', '__hy')
+
+
+def hilbert_repartition(
+    df: SparkDF,
+    cols: Sequence[ColumnOrName],
+    bits: int = 16,
+    num_partitions: Optional[int] = None,
+    keep_hvalue: bool = False,
+) -> SparkDF:
+    """Cluster ``df`` along the Hilbert curve of two columns.
+
+    Same write-side contract as :func:`zorder_repartition` (one
+    range shuffle + within-partition sort, feed straight to
+    ``.write.parquet``), with the Hilbert curve's tighter locality:
+    each output file covers a more compact key-space region, so
+    min-max pruning on either column skips more files.
+    """
+    out = with_hilbert_value(df, cols, bits)
+    if num_partitions is not None:
+        out = out.repartitionByRange(num_partitions, '__hvalue')
+    else:
+        out = out.repartitionByRange('__hvalue')
+    out = out.sortWithinPartitions('__hvalue')
+    return out if keep_hvalue else out.drop('__hvalue')
 
 
 def zorder_repartition(
