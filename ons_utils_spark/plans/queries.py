@@ -2910,6 +2910,30 @@ def q_zorder_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Count-min sketch verification (``operators.sketches``): build
+    a depth-4 × width-256 sketch over every corpus token (ONE
+    fixed-key-space shuffle — at 100 TB the sketch shuffle is bounded
+    by depth×width×partitions while exact counting shuffles billions
+    of skewed token keys), then point-estimate the true top-10 tokens
+    against it.  Emits (tok, exact_n, cms_n): the md5-bucket hashing
+    is engine-portable, so the oracle replays every counter and the
+    hash check verifies the sketch itself; cms_n >= exact_n by
+    construction (collisions only add)."""
+    from ..operators.sketches import cms_build, cms_estimate
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    toks = documents.select(
+        F.explode(tx.tokenize(tx.normalize_text('text'))).alias('tok'))
+    exact = toks.groupBy('tok').agg(F.count(F.lit(1)).alias('exact_n'))
+    cand = exact.orderBy(
+        F.col('exact_n').desc(), F.col('tok').asc()).limit(10)
+    sketch = cms_build(toks, 'tok', depth=4, width=256)
+    est = cms_estimate(sketch, cand, 'tok', depth=4, width=256)
+    return est.select('tok', 'exact_n',
+                      F.col('cms_count').alias('cms_n'))
+
+
 def q_hilbert_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Hilbert-curve index verification
     (``sources.layout.with_hilbert_value``): the tighter-locality
@@ -3211,6 +3235,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_pq_topk': q_pq_topk,
     'q_ivf_pq_topk': q_ivf_pq_topk,
     'q_hilbert_stats': q_hilbert_stats,
+    'q_cms_heavy_hitters': q_cms_heavy_hitters,
     'q1_pricing_summary': q1_pricing_summary,
     'q2_revenue_by_nation': q2_revenue_by_nation,
     'q3_top_orders': q3_top_orders,
@@ -3253,7 +3278,6 @@ QUERIES: Dict[str, QueryFn] = {
     'q_median_price': q_median_price,
     'q_lag_orders': q_lag_orders,
     'q_token_vocab': q_token_vocab,
-    'q_redact_pii': q_redact_pii,
     'q_lsh_topk': q_lsh_topk,
     'q_minhash_dedup': q_minhash_dedup,
     'q_simhash_dedup': q_simhash_dedup,
@@ -3263,6 +3287,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_sessionize': q_sessionize,
     'q_chunk_docs': q_chunk_docs,
     'q_repetition': q_repetition,
+    'q_redact_pii': q_redact_pii,
     'q_grouping_sets': q_grouping_sets,
     'q_asof_tolerance': q_asof_tolerance,
     'q_lookup_join': q_lookup_join,
@@ -3455,6 +3480,36 @@ ORACLES: Dict[str, str] = {
                min(z) AS z_min,
                max(z) AS z_max
         FROM z GROUP BY z_bucket
+    """,
+    'q_cms_heavy_hitters': """
+        WITH toks AS (
+            SELECT unnest(list_filter(string_split_regex(
+                       trim(regexp_replace(lower(text), '\\s+', ' ',
+                                           'g')),
+                       ' '), t -> t <> '')) AS tok
+            FROM documents
+        ), exact AS (
+            SELECT tok, count(*) AS exact_n FROM toks GROUP BY tok
+        ), cand AS (
+            SELECT tok, exact_n FROM exact
+            ORDER BY exact_n DESC, tok ASC LIMIT 10
+        ), sketch AS (
+            SELECT r.j,
+                   CAST(('0x' || substr(md5(r.j || ':' || tok), 1, 12))
+                        AS BIGINT) % 256 AS bucket,
+                   count(*) AS cnt
+            FROM toks, range(0, 4) r(j)
+            GROUP BY 1, 2
+        ), probes AS (
+            SELECT c.tok, c.exact_n, r.j,
+                   CAST(('0x' || substr(md5(r.j || ':' || c.tok), 1, 12))
+                        AS BIGINT) % 256 AS bucket
+            FROM cand c, range(0, 4) r(j)
+        )
+        SELECT p.tok, p.exact_n,
+               min(coalesce(s.cnt, 0)) AS cms_n
+        FROM probes p LEFT JOIN sketch s USING (j, bucket)
+        GROUP BY p.tok, p.exact_n
     """,
     'q_hilbert_stats': f"""
         WITH h AS (
