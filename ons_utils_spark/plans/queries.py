@@ -2910,6 +2910,34 @@ def q_zorder_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Hybrid-retrieval rank fusion (``operators.fusion.rrf_fuse``):
+    BM25 lexical top-20 for ('spark', 'table') fused with a
+    length-prior ranking (n_chars desc — a score on an incomparable
+    scale, which is exactly what RRF is for) via integer reciprocal
+    ranks ``1e9 div (60 + rank)``.  Integer math end-to-end after the
+    rank windows, so the oracle replays BOTH source rankings and the
+    fusion bit-exactly.  Emits the fused top-10."""
+    from ..operators.fusion import rrf_fuse
+    from ..operators.index import bm25_rank
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    ranked = bm25_rank(documents, ['spark', 'table'], top_k=None)
+    w_bm = Window.orderBy(F.col('score').desc(), F.col('doc_id').asc())
+    bm25_top = (
+        ranked.withColumn('rank', F.row_number().over(w_bm))
+        .filter(F.col('rank') <= 20).select('doc_id', 'rank')
+    )
+    w_len = Window.orderBy(
+        F.col('n_chars').desc(), F.col('doc_id').asc())
+    length_top = (
+        documents.withColumn('rank', F.row_number().over(w_len))
+        .filter(F.col('rank') <= 20).select('doc_id', 'rank')
+    )
+    return rrf_fuse([bm25_top, length_top], top_k=10).select(
+        'rrf_rank', 'doc_id', 'rrf_score', 'n_sources')
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Count-min sketch verification (``operators.sketches``): build
     a depth-4 × width-256 sketch over every corpus token (ONE
@@ -3236,6 +3264,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_ivf_pq_topk': q_ivf_pq_topk,
     'q_hilbert_stats': q_hilbert_stats,
     'q_cms_heavy_hitters': q_cms_heavy_hitters,
+    'q_rrf_fusion': q_rrf_fusion,
     'q1_pricing_summary': q1_pricing_summary,
     'q2_revenue_by_nation': q2_revenue_by_nation,
     'q3_top_orders': q3_top_orders,
@@ -3277,7 +3306,6 @@ QUERIES: Dict[str, QueryFn] = {
     'q_frame_sample': q_frame_sample,
     'q_median_price': q_median_price,
     'q_lag_orders': q_lag_orders,
-    'q_token_vocab': q_token_vocab,
     'q_lsh_topk': q_lsh_topk,
     'q_minhash_dedup': q_minhash_dedup,
     'q_simhash_dedup': q_simhash_dedup,
@@ -3288,6 +3316,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_chunk_docs': q_chunk_docs,
     'q_repetition': q_repetition,
     'q_redact_pii': q_redact_pii,
+    'q_token_vocab': q_token_vocab,
     'q_grouping_sets': q_grouping_sets,
     'q_asof_tolerance': q_asof_tolerance,
     'q_lookup_join': q_lookup_join,
@@ -3480,6 +3509,68 @@ ORACLES: Dict[str, str] = {
                min(z) AS z_min,
                max(z) AS z_max
         FROM z GROUP BY z_bucket
+    """,
+    'q_rrf_fusion': """
+        WITH norm AS (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                       AS t
+            FROM documents WHERE text IS NOT NULL
+        ), tok AS (
+            SELECT doc_id, token FROM (
+                SELECT doc_id, unnest(string_split(t, ' ')) AS token
+                FROM norm
+            ) WHERE token <> ''
+        ), dl AS (
+            SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+        ), stats AS (
+            SELECT avg(dl) AS avgdl, count(*) AS n FROM dl
+        ), tf AS (
+            SELECT doc_id, token, count(*) AS tf
+            FROM tok WHERE token IN ('spark', 'table')
+            GROUP BY doc_id, token
+        ), dfreq AS (
+            SELECT token, count(*) AS df FROM tf GROUP BY token
+        ), scored AS (
+            SELECT tf.doc_id,
+                   sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                       * tf.tf * (1.2 + 1)
+                       / (tf.tf + 1.2 * (1 - 0.75
+                          + 0.75 * dl.dl / s.avgdl))) AS score
+            FROM tf JOIN dfreq d USING (token)
+                    JOIN dl USING (doc_id), stats s
+            GROUP BY tf.doc_id
+        ), bm25_top AS (
+            SELECT doc_id, rank FROM (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY score DESC,
+                                          doc_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 20
+        ), length_top AS (
+            SELECT doc_id, rank FROM (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY n_chars DESC,
+                                          doc_id ASC) AS rank
+                FROM documents
+            ) WHERE rank <= 20
+        ), unioned AS (
+            SELECT * FROM bm25_top UNION ALL SELECT * FROM length_top
+        ), fused AS (
+            SELECT doc_id,
+                   CAST(sum(1000000000 // (60 + rank)) AS BIGINT)
+                       AS rrf_score,
+                   count(*) AS n_sources
+            FROM unioned GROUP BY doc_id
+        )
+        SELECT CAST(rrf_rank AS INTEGER) AS rrf_rank, doc_id,
+               rrf_score, n_sources
+        FROM (
+            SELECT doc_id, rrf_score, n_sources,
+                   row_number() OVER (ORDER BY rrf_score DESC,
+                                      doc_id ASC) AS rrf_rank
+            FROM fused
+        ) WHERE rrf_rank <= 10
     """,
     'q_cms_heavy_hitters': """
         WITH toks AS (
