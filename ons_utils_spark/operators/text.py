@@ -274,6 +274,82 @@ def quality_score(
     ).otherwise(score)
 
 
+# Gopher's "required words": a doc passing the stopword rule must
+# contain at least `min_stopwords` distinct members of this list
+# (Rae et al. 2021, "Scaling Language Models: ... Gopher", table A1).
+GOPHER_STOPWORDS = ('the', 'be', 'to', 'of', 'and',
+                    'that', 'have', 'with')
+
+
+def gopher_quality_flags(
+    df,
+    col: ColumnOrName = 'text',
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    min_stopwords: int = 2,
+):
+    """Add Gopher-rule boolean flag columns + ``gopher_pass``.
+
+    The per-RULE tidy twin of :func:`quality_score` (which collapses
+    to one number): each published Gopher filter becomes its own
+    boolean column so a corpus run can report WHICH rule rejects
+    documents — the debugging surface every filtering pipeline needs.
+
+    Every ratio threshold is evaluated as an INTEGER cross-multiplied
+    comparison (e.g. mean word length ∈ [3, 10] becomes
+    ``3·n_words ≤ n_word_chars ≤ 10·n_words``), so the flags are
+    bit-exact across engines — no float division anywhere, and the
+    whole thing is one codegen'd projection (no UDFs, no shuffle).
+
+    Rules (flag TRUE = rule passed):
+
+    * ``g_words``      — word count in [min_words, max_words]
+    * ``g_word_len``   — mean word length in [min, max]
+    * ``g_symbols``    — (# + … occurrences) / words ≤ 1/10
+    * ``g_bullets``    — lines starting with a bullet ≤ 9/10... i.e.
+      at most 90% of lines may be bullets per Gopher; we pin the
+      common ≤10% variant used by open reimplementations
+    * ``g_ellipsis``   — lines ending in an ellipsis ≤ 3/10
+    * ``g_alpha``      — words containing a letter ≥ 8/10
+    * ``g_stopwords``  — ≥ ``min_stopwords`` distinct required words
+    * ``gopher_pass``  — all of the above
+    """
+    c = convert_to_spark_col(col)
+    toks = tokenize(normalize_text(c))
+    n_words = F.size(toks)
+    # total in-word chars: join is one pass, no per-token lambda
+    n_word_chars = F.length(F.array_join(toks, ''))
+    n_symbols = F.regexp_count(c, F.lit(r'#|\.\.\.|…'))
+    lines = F.split(c, '\n')
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(
+        lines, lambda x: F.ltrim(x).rlike(r'^[-*•]')))
+    n_ellipsis = F.size(F.filter(
+        lines, lambda x: F.rtrim(x).rlike(r'(\.\.\.|…)$')))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike('[a-z]')))
+    n_stop = F.size(F.array_intersect(
+        F.array_distinct(toks),
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])))
+    flags = {
+        'g_words': (n_words >= min_words) & (n_words <= max_words),
+        'g_word_len': (n_word_chars >= min_mean_word_len * n_words)
+        & (n_word_chars <= max_mean_word_len * n_words),
+        'g_symbols': n_symbols * 10 <= n_words,
+        'g_bullets': n_bullet * 10 <= n_lines,
+        'g_ellipsis': n_ellipsis * 10 <= n_lines * 3,
+        'g_alpha': n_alpha * 10 >= n_words * 8,
+        'g_stopwords': n_stop >= min_stopwords,
+    }
+    out = df.withColumns(flags)
+    passed = None
+    for name in flags:
+        passed = F.col(name) if passed is None \
+            else passed & F.col(name)
+    return out.withColumn('gopher_pass', passed)
+
+
 def language_id(col: ColumnOrName) -> SparkCol:
     """Heuristic language ID over marker-pattern hit counts.
 

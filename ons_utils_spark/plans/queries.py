@@ -2910,6 +2910,37 @@ def q_zorder_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Gopher filtering rules (``text.gopher_quality_flags``): the
+    published per-rule document filters, each threshold evaluated as
+    an integer cross-multiplied comparison (no float division), so
+    the oracle replays every flag bit-exactly.  Emits per source:
+    doc count, per-rule FAIL counts (the 'which rule rejects my
+    corpus' debugging table), and the all-rules pass count."""
+    from ..operators.text import gopher_quality_flags
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    flagged = gopher_quality_flags(
+        documents.filter(F.col('text').isNotNull()),
+        'text', min_words=30, min_stopwords=1)
+
+    def fails(flag: str):
+        return F.sum(F.when(F.col(flag), 0).otherwise(1))
+
+    return flagged.groupBy('source').agg(
+        F.count(F.lit(1)).alias('n_docs'),
+        fails('g_words').alias('f_words'),
+        fails('g_word_len').alias('f_word_len'),
+        fails('g_symbols').alias('f_symbols'),
+        fails('g_bullets').alias('f_bullets'),
+        fails('g_ellipsis').alias('f_ellipsis'),
+        fails('g_alpha').alias('f_alpha'),
+        fails('g_stopwords').alias('f_stopwords'),
+        F.sum(F.when(F.col('gopher_pass'), 1).otherwise(0))
+        .alias('n_pass'),
+    )
+
+
 def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Hybrid-retrieval rank fusion (``operators.fusion.rrf_fuse``):
     BM25 lexical top-20 for ('spark', 'table') fused with a
@@ -3265,6 +3296,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_hilbert_stats': q_hilbert_stats,
     'q_cms_heavy_hitters': q_cms_heavy_hitters,
     'q_rrf_fusion': q_rrf_fusion,
+    'q_gopher_rules': q_gopher_rules,
     'q1_pricing_summary': q1_pricing_summary,
     'q2_revenue_by_nation': q2_revenue_by_nation,
     'q3_top_orders': q3_top_orders,
@@ -3305,7 +3337,6 @@ QUERIES: Dict[str, QueryFn] = {
     'q_clean_text': q_clean_text,
     'q_frame_sample': q_frame_sample,
     'q_median_price': q_median_price,
-    'q_lag_orders': q_lag_orders,
     'q_lsh_topk': q_lsh_topk,
     'q_minhash_dedup': q_minhash_dedup,
     'q_simhash_dedup': q_simhash_dedup,
@@ -3317,6 +3348,8 @@ QUERIES: Dict[str, QueryFn] = {
     'q_repetition': q_repetition,
     'q_redact_pii': q_redact_pii,
     'q_token_vocab': q_token_vocab,
+    'q_langid': q_langid,
+    'q_lag_orders': q_lag_orders,
     'q_grouping_sets': q_grouping_sets,
     'q_asof_tolerance': q_asof_tolerance,
     'q_lookup_join': q_lookup_join,
@@ -3509,6 +3542,69 @@ ORACLES: Dict[str, str] = {
                min(z) AS z_min,
                max(z) AS z_max
         FROM z GROUP BY z_bucket
+    """,
+    'q_gopher_rules': """
+        WITH feat AS (
+            SELECT source,
+                   list_filter(string_split(
+                       trim(regexp_replace(lower(text), '\\s+', ' ',
+                                           'g')), ' '),
+                       t -> t <> '') AS toks,
+                   len(regexp_extract_all(text,
+                       '#|\\.\\.\\.|…')) AS n_symbols,
+                   string_split(text, chr(10)) AS lines
+            FROM documents WHERE text IS NOT NULL
+        ), counts AS (
+            SELECT source,
+                   len(toks) AS n_words,
+                   length(array_to_string(toks, '')) AS n_word_chars,
+                   n_symbols,
+                   len(lines) AS n_lines,
+                   len(list_filter(lines, x ->
+                       regexp_matches(ltrim(x), '^[-*•]')))
+                       AS n_bullet,
+                   len(list_filter(lines, x ->
+                       regexp_matches(rtrim(x), '(\\.\\.\\.|…)$')))
+                       AS n_ellipsis,
+                   len(list_filter(toks, t ->
+                       regexp_matches(t, '[a-z]'))) AS n_alpha,
+                   len(list_intersect(list_distinct(toks),
+                       ['the', 'be', 'to', 'of', 'and', 'that',
+                        'have', 'with'])) AS n_stop
+            FROM feat
+        ), flags AS (
+            SELECT source,
+                   (n_words >= 30 AND n_words <= 100000) AS g_words,
+                   (n_word_chars >= 3 * n_words
+                    AND n_word_chars <= 10 * n_words) AS g_word_len,
+                   (n_symbols * 10 <= n_words) AS g_symbols,
+                   (n_bullet * 10 <= n_lines) AS g_bullets,
+                   (n_ellipsis * 10 <= n_lines * 3) AS g_ellipsis,
+                   (n_alpha * 10 >= n_words * 8) AS g_alpha,
+                   (n_stop >= 1) AS g_stopwords
+            FROM counts
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN g_words THEN 0 ELSE 1 END)
+                    AS BIGINT) AS f_words,
+               CAST(sum(CASE WHEN g_word_len THEN 0 ELSE 1 END)
+                    AS BIGINT) AS f_word_len,
+               CAST(sum(CASE WHEN g_symbols THEN 0 ELSE 1 END)
+                    AS BIGINT) AS f_symbols,
+               CAST(sum(CASE WHEN g_bullets THEN 0 ELSE 1 END)
+                    AS BIGINT) AS f_bullets,
+               CAST(sum(CASE WHEN g_ellipsis THEN 0 ELSE 1 END)
+                    AS BIGINT) AS f_ellipsis,
+               CAST(sum(CASE WHEN g_alpha THEN 0 ELSE 1 END)
+                    AS BIGINT) AS f_alpha,
+               CAST(sum(CASE WHEN g_stopwords THEN 0 ELSE 1 END)
+                    AS BIGINT) AS f_stopwords,
+               CAST(sum(CASE WHEN g_words AND g_word_len AND g_symbols
+                             AND g_bullets AND g_ellipsis AND g_alpha
+                             AND g_stopwords THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pass
+        FROM flags GROUP BY source
     """,
     'q_rrf_fusion': """
         WITH norm AS (

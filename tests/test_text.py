@@ -308,3 +308,65 @@ class TestCompressionRatio:
         assert len(out) > 0
         assert all(0 < r['avg_ratio'] < 1.5 for r in out)
         assert all(r['n_suspicious'] <= r['n_docs'] for r in out)
+
+
+class TestGopherRules:
+    """Each published rule must fire on a crafted violator and pass
+    on a clean doc; thresholds are integer cross-multiplications."""
+
+    def _flags(self, spark_session, text, **kw):
+        from ons_utils_spark.operators.text import gopher_quality_flags
+        df = spark_session.createDataFrame([(text,)], 'text string')
+        return gopher_quality_flags(df, 'text', **kw).collect()[0]
+
+    def test_clean_doc_passes_all(self, spark_session):
+        clean = ('the quick brown fox jumps over lazy dogs and runs '
+                 'with great speed to reach the distant river bank '
+                 'where many animals gather every single morning ' * 2)
+        r = self._flags(spark_session, clean, min_words=30)
+        assert r['gopher_pass'], dict(r.asDict())
+
+    def test_word_count_bounds(self, spark_session):
+        r = self._flags(spark_session, 'too short', min_words=30)
+        assert not r['g_words'] and not r['gopher_pass']
+
+    def test_mean_word_length(self, spark_session):
+        gibberish = ' '.join(['pneumonoultramicroscopics'] * 40)
+        r = self._flags(spark_session, gibberish, min_words=30)
+        assert not r['g_word_len']
+        shorties = ' '.join(['a'] * 40)
+        r2 = self._flags(spark_session, shorties, min_words=30)
+        assert not r2['g_word_len']
+
+    def test_symbol_ratio(self, spark_session):
+        spam = ' '.join(['the word ### and more #'] * 10)
+        r = self._flags(spark_session, spam, min_words=10)
+        assert not r['g_symbols']
+
+    def test_bullet_lines(self, spark_session):
+        doc = '\n'.join(['- item %d of the list' % i
+                         for i in range(10)])
+        r = self._flags(spark_session, doc, min_words=10)
+        assert not r['g_bullets']
+
+    def test_ellipsis_lines(self, spark_session):
+        doc = '\n'.join(['the story continues...'] * 5)
+        r = self._flags(spark_session, doc, min_words=5)
+        assert not r['g_ellipsis']
+
+    def test_alpha_word_ratio(self, spark_session):
+        numeric = ' '.join(['12345 678 90'] * 20)
+        r = self._flags(spark_session, numeric, min_words=10)
+        assert not r['g_alpha']
+
+    def test_stopword_requirement(self, spark_session):
+        nostop = ' '.join(['lorem ipsum dolor sit amet'] * 10)
+        r = self._flags(spark_session, nostop, min_words=10,
+                        min_stopwords=2)
+        assert not r['g_stopwords']
+
+    def test_integer_threshold_boundary(self, spark_session):
+        """Exactly-at-threshold must pass: 10% symbols of 10 words."""
+        doc = 'one # two three four five six seven eight nine ten'
+        r = self._flags(spark_session, doc, min_words=5)
+        assert r['g_symbols']  # 1 symbol * 10 <= 10 words
