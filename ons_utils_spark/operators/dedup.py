@@ -1115,6 +1115,85 @@ def embedding_near_duplicates(
         src.unpersist()
 
 
+def semantic_dedup_pairs(
+    df: SparkDF,
+    id_col: str = 'vec_id',
+    vec_col: str = 'embedding',
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    iters: int = 1,
+    seed: int = 42,
+) -> SparkDF:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al.
+    2023): k-means-cluster the embeddings, then compare pairs ONLY
+    within a cluster — the pruning that makes embedding dedup
+    feasible at corpus scale (expected pair work Σ|cluster|² instead
+    of n²; SemDeDup runs ~50k clusters on LAION-scale data).
+
+    Shape: seeded k-means coarse quantizer
+    (:func:`similarity.ivf_centroids` — deterministic, no RNG state),
+    Arrow-batched GEMM cluster assignment, then ONE equi-join on the
+    cluster id with ``id_a < id_b`` and a codegen'd cosine filter.
+    Near-duplicates that straddle a cluster boundary are missed by
+    design (raise ``n_clusters`` quality via more/fewer clusters);
+    :func:`embedding_near_duplicates` is the exact full-GEMM verifier.
+    Skew note: the join fans out per cluster — size ``n_clusters`` so
+    the biggest cluster stays bounded (SemDeDup's own knob).
+
+    Returns ``(id_a, id_b, cosine)``.
+    """
+    from .similarity import cosine_similarity, ivf_assign, ivf_centroids
+
+    cents = ivf_centroids(df, vec_col=vec_col, id_col=id_col,
+                          n_clusters=n_clusters, iters=iters, seed=seed)
+    tagged = ivf_assign(df, cents, vec_col=vec_col).select(
+        F.col(id_col), F.col(vec_col), '__ivf_c')
+    a = tagged.select(
+        F.col('__ivf_c'),
+        F.col(id_col).alias('id_a'),
+        F.col(vec_col).alias('__va'))
+    b = tagged.select(
+        F.col('__ivf_c'),
+        F.col(id_col).alias('id_b'),
+        F.col(vec_col).alias('__vb'))
+    pairs = (
+        a.join(b, on='__ivf_c')
+        .filter(F.col('id_a') < F.col('id_b'))
+        .select('id_a', 'id_b',
+                cosine_similarity(
+                    F.col('__va').cast('array<double>'),
+                    F.col('__vb').cast('array<double>'),
+                ).alias('cosine'))
+        .filter(F.col('cosine') >= threshold)
+    )
+    return pairs
+
+
+def semantic_dedup(
+    df: SparkDF,
+    id_col: str = 'vec_id',
+    vec_col: str = 'embedding',
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    iters: int = 1,
+    seed: int = 42,
+) -> SparkDF:
+    """Keep one representative per semantic-duplicate neighborhood.
+
+    Drops every row that appears as the HIGHER id of a
+    :func:`semantic_dedup_pairs` pair — the lowest id in each
+    duplicate neighborhood survives (deterministic, and transitive
+    within a cluster: if a~b and b~c, b and c both pair with their
+    cluster's minimum or with each other, so at most the minimum
+    survives per connected group whose members share a cluster).
+    One anti-join against the (small) dropped-id set.
+    """
+    pairs = semantic_dedup_pairs(
+        df, id_col, vec_col, n_clusters, threshold, iters, seed)
+    dropped = pairs.select(F.col('id_b').alias(id_col)).distinct()
+    return df.join(dropped, on=id_col, how='left_anti')
+
+
 def source_overlap(
     df: SparkDF,
     group_col: str = 'source',

@@ -2910,6 +2910,23 @@ def q_zorder_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """SemDeDup verification (``dedup.semantic_dedup_pairs``) over
+    the planted-duplicate fixture: each probe query's 3 exact clones
+    are assigned to one k-means cluster (identical vectors → same
+    nearest centroid), so the within-cluster pass must surface
+    exactly the 3 clone pairs per trio.  The oracle computes ALL
+    pairs with cosine >= 0.95 (exact, unclustered) — the corpus'
+    max non-duplicate cosine is ~0.5, so cluster pruning provably
+    loses nothing and the two pair sets match bit-exactly."""
+    (embeddings,) = _t(spark, sf_dir, 'embeddings')
+    _, corpus = _planted_ann(embeddings)
+    pairs = dd.semantic_dedup_pairs(
+        corpus, 'vec_id', 'embedding',
+        n_clusters=8, threshold=0.95, iters=1)
+    return pairs.select('id_a', 'id_b')
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Gopher filtering rules (``text.gopher_quality_flags``): the
     published per-rule document filters, each threshold evaluated as
@@ -3297,6 +3314,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_cms_heavy_hitters': q_cms_heavy_hitters,
     'q_rrf_fusion': q_rrf_fusion,
     'q_gopher_rules': q_gopher_rules,
+    'q_semantic_dedup': q_semantic_dedup,
     'q1_pricing_summary': q1_pricing_summary,
     'q2_revenue_by_nation': q2_revenue_by_nation,
     'q3_top_orders': q3_top_orders,
@@ -3336,7 +3354,6 @@ QUERIES: Dict[str, QueryFn] = {
     'q_quality_scores': q_quality_scores,
     'q_clean_text': q_clean_text,
     'q_frame_sample': q_frame_sample,
-    'q_median_price': q_median_price,
     'q_lsh_topk': q_lsh_topk,
     'q_minhash_dedup': q_minhash_dedup,
     'q_simhash_dedup': q_simhash_dedup,
@@ -3350,6 +3367,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_token_vocab': q_token_vocab,
     'q_langid': q_langid,
     'q_lag_orders': q_lag_orders,
+    'q_median_price': q_median_price,
     'q_grouping_sets': q_grouping_sets,
     'q_asof_tolerance': q_asof_tolerance,
     'q_lookup_join': q_lookup_join,
@@ -3542,6 +3560,22 @@ ORACLES: Dict[str, str] = {
                min(z) AS z_min,
                max(z) AS z_max
         FROM z GROUP BY z_bucket
+    """,
+    'q_semantic_dedup': """
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 3
+        ), corpus AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id >= 3
+            UNION ALL
+            SELECT 9000000 + q.query_id * 10 + r.j AS vec_id, q.qv
+            FROM q, range(0, 3) r(j)
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM corpus a, corpus b
+        WHERE a.vec_id < b.vec_id
+          AND list_cosine_similarity(a.v, b.v) >= 0.95
     """,
     'q_gopher_rules': """
         WITH feat AS (

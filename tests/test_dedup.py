@@ -701,3 +701,55 @@ class TestBandBlockValidation:
             docs_with_dups, num_hashes=16, bands=4)
         assert {tuple(sorted((r['id_a'], r['id_b'])))
                 for r in out.collect()}  # non-empty candidate set
+
+
+class TestSemanticDedup:
+    """SemDeDup: cluster-pruned embedding dedup finds planted clones
+    and keeps exactly one representative."""
+
+    @pytest.fixture
+    def planted_vectors(self, spark_session):
+        import random
+        rng = random.Random(5)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(16)])
+                for i in range(60)]
+        # clone row 7 twice, row 21 once (exact duplicates)
+        rows.append((100, rows[7][1]))
+        rows.append((101, rows[7][1]))
+        rows.append((200, rows[21][1]))
+        return spark_session.createDataFrame(
+            rows, 'vec_id bigint, embedding array<double>')
+
+    def test_pairs_find_all_clone_pairs(self, planted_vectors):
+        pairs = {(r['id_a'], r['id_b'])
+                 for r in dd.semantic_dedup_pairs(
+                     planted_vectors, n_clusters=4,
+                     threshold=0.95).collect()}
+        assert pairs == {(7, 100), (7, 101), (100, 101), (21, 200)}
+
+    def test_dedup_keeps_lowest_id(self, planted_vectors):
+        kept = {r['vec_id'] for r in dd.semantic_dedup(
+            planted_vectors, n_clusters=4,
+            threshold=0.95).collect()}
+        assert 7 in kept and 21 in kept
+        assert {100, 101, 200}.isdisjoint(kept)
+        assert len(kept) == 63 - 3  # 60 base + 3 clones - 3 dropped
+
+    def test_no_false_positives_on_random_vectors(self, planted_vectors):
+        base = planted_vectors.filter(F.col('vec_id') < 100)
+        pairs = dd.semantic_dedup_pairs(
+            base, n_clusters=4, threshold=0.95).collect()
+        assert pairs == []
+
+    def test_single_cluster_equals_exact(self, planted_vectors):
+        """n_clusters=1 disables pruning: the pair set must equal
+        the exact full-GEMM verifier's."""
+        exact = {(r['id_a'], r['id_b'])
+                 for r in dd.embedding_near_duplicates(
+                     planted_vectors, 'vec_id', 'embedding',
+                     threshold=0.95).collect()}
+        pruned = {(r['id_a'], r['id_b'])
+                  for r in dd.semantic_dedup_pairs(
+                      planted_vectors, n_clusters=1,
+                      threshold=0.95).collect()}
+        assert pruned == exact
