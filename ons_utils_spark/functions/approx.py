@@ -152,6 +152,59 @@ def bitmap_distinct_count(
         *keys, guarded.cast('long').alias(result_col))
 
 
+def distinct_sketch_table(
+    df: SparkDF,
+    keys: Sequence[str],
+    col: ColumnOrName,
+    sketch_col: str = 'hll_sketch',
+    lgk: int = 12,
+) -> SparkDF:
+    """Per-key mergeable distinct-count state: ``keys + hll_sketch``.
+
+    The MERGEABLE-sketch pattern ``approx_count_distinct`` can't do:
+    that function returns only a final number, so rolling a daily
+    distinct-users table up to weeks/months needs a full re-scan of
+    the raw data.  A Datasketches HLL sketch column (binary,
+    ~``2^lgk`` bytes) is persistable state — build it once per
+    fine-grained key here, roll it up to ANY coarser grouping later
+    with :func:`rollup_distinct` (sketch union is lossless: the union
+    of sketches == the sketch of the union), never touching the raw
+    corpus again.  At 100 TB this turns "distinct users per month"
+    from a 12th re-scan into a kilobytes-per-group merge.
+    """
+    from ..generic import list_convert
+
+    c = convert_to_spark_col(col)
+    return (
+        df.groupBy(*list_convert(keys))
+        .agg(F.hll_sketch_agg(c, F.lit(lgk)).alias(sketch_col))
+    )
+
+
+def rollup_distinct(
+    sketch_df: SparkDF,
+    keys: Sequence[str],
+    sketch_col: str = 'hll_sketch',
+    result_col: str = 'n_distinct_approx',
+) -> SparkDF:
+    """Merge per-key sketches up to coarser ``keys`` → estimates.
+
+    One tiny shuffle over sketch state (groups × ~KB), zero raw-data
+    reads.  ``keys=()`` gives the global estimate.
+    """
+    from ..generic import list_convert
+
+    ks = list(list_convert(keys)) if keys else []
+    merged = (
+        sketch_df.groupBy(*ks)
+        .agg(F.hll_union_agg(F.col(sketch_col)).alias('__merged'))
+    )
+    return merged.select(
+        *ks,
+        F.hll_sketch_estimate('__merged').alias(result_col),
+    )
+
+
 def exact_quantile_col(
     col: ColumnOrName,
     probabilities: Sequence[float],

@@ -68,6 +68,58 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    corpus: SparkDF,
+    queries: SparkDF,
+    positives: SparkDF,
+    k: int = 5,
+    k_scan: Optional[int] = None,
+    corpus_id: str = 'vec_id',
+    corpus_vec: str = 'embedding',
+    query_id: str = 'query_id',
+    query_vec: str = 'query_vec',
+) -> SparkDF:
+    """Mine hard negatives for retrieval/embedding training: the
+    top-``k`` most query-similar corpus items that are NOT labeled
+    positives — the examples a contrastive loss learns most from
+    (in-batch random negatives are too easy; see DPR / ANCE).
+
+    ``positives`` is ``(query_id, vec_id)``.  Shape: one
+    :func:`cosine_topk` scan over-fetched to ``k_scan`` (default
+    ``k + 16`` — must exceed ``k`` + the max positives per query, or
+    a query with many labeled positives comes back short), an
+    anti-join against the (small, broadcast) positive set, and a
+    re-rank.  The corpus is scanned once; no extra shuffle beyond
+    the per-query top-k window.  Swap the first stage for
+    :func:`ivf_topk`/:func:`pq_topk` when brute force is too dear —
+    the exclusion + re-rank contract is unchanged.
+
+    Returns ``(query_id, rank, vec_id, cosine)``, rank 1..k.
+    """
+    if k_scan is None:
+        k_scan = k + 16
+    if k_scan <= k:
+        raise ValueError(
+            f'k_scan ({k_scan}) must exceed k ({k}) to absorb'
+            ' excluded positives')
+    scored = cosine_topk(
+        corpus, queries, k=k_scan,
+        corpus_id=corpus_id, corpus_vec=corpus_vec,
+        query_id=query_id, query_vec=query_vec,
+    )
+    neg = scored.join(
+        F.broadcast(positives.select(query_id, corpus_id)),
+        on=[query_id, corpus_id], how='left_anti',
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col('cosine').desc(), F.col(corpus_id).asc())
+    return (
+        neg.withColumn('rank', F.row_number().over(w))
+        .filter(F.col('rank') <= k)
+        .select(query_id, 'rank', corpus_id, 'cosine')
+    )
+
+
 def _hyperplane(dim: int, plane: int, seed: int) -> list:
     """Deterministic pseudo-random unit-free hyperplane weights.
 

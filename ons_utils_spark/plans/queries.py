@@ -2910,6 +2910,30 @@ def q_zorder_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Hard-negative mining (``similarity.hard_negatives``) over the
+    planted fixture: each probe query's labeled positives are its 3
+    exact clones (the true top-3), so the mined negatives are exactly
+    the exact-cosine ranks 4..8 — fully SQL-expressible, and the
+    anti-join + re-rank contract is what contrastive training
+    pipelines (DPR/ANCE-style) consume.  Emits (query_id, rank,
+    vec_id, cosine rounded to 4dp — same emission precision as the
+    driver-green q_ann_cosine_topk)."""
+    (embeddings,) = _t(spark, sf_dir, 'embeddings')
+    queries, corpus = _planted_ann(embeddings)
+    positives = queries.select(
+        'query_id',
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias('__j'),
+    ).select(
+        'query_id',
+        (F.lit(9000000) + F.col('query_id') * 10 + F.col('__j'))
+        .cast('long').alias('vec_id'),
+    )
+    out = sim.hard_negatives(corpus, queries, positives, k=5)
+    return out.select('query_id', 'rank', 'vec_id',
+                      F.round('cosine', 4).alias('cosine'))
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> SparkDF:
     """SemDeDup verification (``dedup.semantic_dedup_pairs``) over
     the planted-duplicate fixture: each probe query's 3 exact clones
@@ -3315,6 +3339,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_rrf_fusion': q_rrf_fusion,
     'q_gopher_rules': q_gopher_rules,
     'q_semantic_dedup': q_semantic_dedup,
+    'q_hard_negatives': q_hard_negatives,
     'q1_pricing_summary': q1_pricing_summary,
     'q2_revenue_by_nation': q2_revenue_by_nation,
     'q3_top_orders': q3_top_orders,
@@ -3353,7 +3378,6 @@ QUERIES: Dict[str, QueryFn] = {
     'q_distinct_counts': q_distinct_counts,
     'q_quality_scores': q_quality_scores,
     'q_clean_text': q_clean_text,
-    'q_frame_sample': q_frame_sample,
     'q_lsh_topk': q_lsh_topk,
     'q_minhash_dedup': q_minhash_dedup,
     'q_simhash_dedup': q_simhash_dedup,
@@ -3368,6 +3392,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_langid': q_langid,
     'q_lag_orders': q_lag_orders,
     'q_median_price': q_median_price,
+    'q_frame_sample': q_frame_sample,
     'q_grouping_sets': q_grouping_sets,
     'q_asof_tolerance': q_asof_tolerance,
     'q_lookup_join': q_lookup_join,
@@ -3560,6 +3585,38 @@ ORACLES: Dict[str, str] = {
                min(z) AS z_min,
                max(z) AS z_max
         FROM z GROUP BY z_bucket
+    """,
+    'q_hard_negatives': """
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 3
+        ), corpus AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id >= 3
+            UNION ALL
+            SELECT 9000000 + q.query_id * 10 + r.j AS vec_id, q.qv
+            FROM q, range(0, 3) r(j)
+        ), pos AS (
+            SELECT query_id, 9000000 + query_id * 10 + r.j AS vec_id
+            FROM q, range(0, 3) r(j)
+        ), scored AS (
+            SELECT q.query_id, c.vec_id,
+                   list_cosine_similarity(c.v, q.qv) AS cos
+            FROM corpus c, q
+            WHERE NOT EXISTS (
+                SELECT 1 FROM pos p
+                WHERE p.query_id = q.query_id
+                  AND p.vec_id = c.vec_id)
+        ), ranked AS (
+            SELECT query_id, vec_id, cos,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cos DESC, vec_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
+               round(cos, 4) AS cosine
+        FROM ranked WHERE rank <= 5
     """,
     'q_semantic_dedup': """
         WITH q AS (

@@ -223,3 +223,36 @@ def test_bitmap_distinct_fails_loudly_on_negatives(spark_session):
             (SparkRuntimeException, Exception),
             match='negative value'):
         bitmap_distinct_count(bad, 'x').collect()
+
+
+class TestDistinctSketchTable:
+    """Mergeable HLL sketch state: union of sketches == sketch of
+    union, so rollups never re-scan raw data."""
+
+    def test_rollup_matches_direct_estimate(self, spark_session):
+        from ons_utils_spark.functions.approx import (
+            distinct_sketch_table, rollup_distinct)
+        rows = [(d, u) for d in ('mon', 'tue', 'wed')
+                for u in range(d != 'mon' and 50 or 0, 200)]
+        df = spark_session.createDataFrame(rows, 'day string, uid long')
+        per_day = distinct_sketch_table(df, ['day'], 'uid')
+        assert per_day.count() == 3
+        # weekly rollup from daily sketches == direct global sketch
+        weekly = rollup_distinct(per_day, ()).collect()[0]
+        direct = rollup_distinct(
+            distinct_sketch_table(
+                df.withColumn('k', F.lit(1)), ['k'], 'uid'),
+            ()).collect()[0]
+        assert weekly['n_distinct_approx'] == direct['n_distinct_approx']
+
+    def test_estimates_near_exact(self, spark_session):
+        from ons_utils_spark.functions.approx import (
+            distinct_sketch_table, rollup_distinct)
+        df = spark_session.range(10000).selectExpr(
+            "id % 2 AS grp", "id AS uid")
+        est = {r['grp']: r['n_distinct_approx'] for r in
+               rollup_distinct(
+                   distinct_sketch_table(df, ['grp'], 'uid'),
+                   ['grp']).collect()}
+        for grp in (0, 1):
+            assert abs(est[grp] - 5000) / 5000 < 0.05

@@ -339,3 +339,51 @@ class TestQueryBatchGuards:
         out = sim.pq_topk(codes, queries, books, k=3,
                           max_query_rows=5)
         assert out.groupBy('query_id').count().count() == 5
+
+
+class TestHardNegatives:
+    """Mined negatives = exact top-k AFTER excluding positives."""
+
+    @pytest.fixture
+    def tiny_setup(self, spark_session):
+        import random
+        rng = random.Random(9)
+        corpus = [(i, [rng.uniform(-1, 1) for _ in range(8)])
+                  for i in range(30)]
+        queries = [(0, corpus[4][1]), (1, corpus[9][1])]
+        c = spark_session.createDataFrame(
+            corpus, 'vec_id bigint, embedding array<double>')
+        q = spark_session.createDataFrame(
+            queries, 'query_id bigint, query_vec array<double>')
+        return c, q
+
+    def test_positives_are_excluded(self, tiny_setup, spark_session):
+        from ons_utils_spark.operators.similarity import (
+            cosine_topk, hard_negatives)
+        c, q = tiny_setup
+        # each query's positive is its own source vector (cosine 1)
+        pos = spark_session.createDataFrame(
+            [(0, 4), (1, 9)], 'query_id bigint, vec_id bigint')
+        out = hard_negatives(c, q, pos, k=5).collect()
+        got = {(r['query_id'], r['vec_id']) for r in out}
+        assert (0, 4) not in got and (1, 9) not in got
+        # ranks are 1..5 per query and match the exact ranking with
+        # the positive removed
+        exact = cosine_topk(c, q, k=6).collect()
+        for qid, pid in ((0, 4), (1, 9)):
+            want = [r['vec_id'] for r in sorted(
+                (r for r in exact if r['query_id'] == qid),
+                key=lambda r: (-r['cosine'], r['vec_id']))
+                if r['vec_id'] != pid][:5]
+            mined = [r['vec_id'] for r in sorted(
+                (r for r in out if r['query_id'] == qid),
+                key=lambda r: r['rank'])]
+            assert mined == want
+
+    def test_k_scan_validation(self, tiny_setup, spark_session):
+        from ons_utils_spark.operators.similarity import hard_negatives
+        c, q = tiny_setup
+        pos = spark_session.createDataFrame(
+            [(0, 4)], 'query_id bigint, vec_id bigint')
+        with pytest.raises(ValueError, match='k_scan'):
+            hard_negatives(c, q, pos, k=5, k_scan=5)
