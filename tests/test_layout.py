@@ -222,3 +222,24 @@ class TestHilbert:
             with_hilbert_value(df, ['x', 'y', 'z'])
         with _pytest.raises(ValueError, match='bits'):
             with_hilbert_value(df, ['x', 'y'], bits=40)
+
+
+def test_hilbert_expr_matches_arrow(spark_session):
+    """The codegen-expression path and the Arrow/numpy path must be
+    bit-identical — the oracle replays the expr form, production
+    uses arrow."""
+    import random
+
+    from ons_utils_spark.sources.layout import with_hilbert_value
+
+    rng = random.Random(23)
+    pts = [(rng.randrange(65536), rng.randrange(65536))
+           for _ in range(500)]
+    df = spark_session.createDataFrame(pts, 'x long, y long')
+    arrow = {(r['x'], r['y']): r['__hvalue'] for r in
+             with_hilbert_value(df, ['x', 'y'], bits=16,
+                                method='arrow').collect()}
+    expr = {(r['x'], r['y']): r['__hvalue'] for r in
+            with_hilbert_value(df, ['x', 'y'], bits=16,
+                               method='expr').collect()}
+    assert arrow == expr
