@@ -589,3 +589,91 @@ class TestQualityMonitor:
                   got.groupBy('batch_id').agg(
                       F.count('*').alias('n')).collect()}
         assert counts == {0: 1, 1: 1}
+
+
+class TestCmsMonitor:
+    """Streaming count-min monitor: per-batch sketches merge by
+    counter addition into exact-or-over estimates; replay is
+    idempotent."""
+
+    def test_merged_estimates_cover_whole_stream(
+            self, spark_session, tmp_path):
+        from ons_utils_spark.streaming.sketches import (
+            estimate_from_history, monitor_heavy_hitters)
+        from ons_utils_spark.streaming.windows import read_event_stream
+
+        in_dir = str(tmp_path / 'in')
+        schema = 'tok string'
+        rows = [('a',)] * 40 + [('b',)] * 25 + [('c',)] * 5
+        spark_session.createDataFrame(rows, schema).repartition(
+            4).write.parquet(in_dir)
+
+        q = monitor_heavy_hitters(
+            read_event_stream(spark_session, in_dir, schema,
+                              max_files_per_trigger=1),
+            'tok', str(tmp_path / 'sketch'), str(tmp_path / 'ckpt'),
+            depth=4, width=4096, available_now=True)
+        q.awaitTermination(120)
+
+        hist = spark_session.read.parquet(str(tmp_path / 'sketch'))
+        assert hist.select('batch_id').distinct().count() >= 2
+
+        cand = spark_session.createDataFrame(
+            [('a',), ('b',), ('c',), ('zzz',)], 'tok string')
+        est = {r['tok']: r['cms_count'] for r in
+               estimate_from_history(
+                   spark_session, str(tmp_path / 'sketch'), cand,
+                   'tok', depth=4, width=4096).collect()}
+        # width >> distinct values: merged estimates are exact
+        assert est == {'a': 40, 'b': 25, 'c': 5, 'zzz': 0}
+
+    def test_batch_window_restricts_counts(
+            self, spark_session, tmp_path):
+        from ons_utils_spark.streaming.sketches import (
+            estimate_from_history, monitor_heavy_hitters)
+        from ons_utils_spark.streaming.windows import read_event_stream
+
+        in_dir = str(tmp_path / 'in')
+        spark_session.createDataFrame(
+            [('x',)] * 8, 'tok string').repartition(
+            2).write.parquet(in_dir)
+        q = monitor_heavy_hitters(
+            read_event_stream(spark_session, in_dir, 'tok string',
+                              max_files_per_trigger=1),
+            'tok', str(tmp_path / 'sketch'), str(tmp_path / 'ckpt'),
+            depth=2, width=64, available_now=True)
+        q.awaitTermination(120)
+        hist = spark_session.read.parquet(str(tmp_path / 'sketch'))
+        bids = sorted(r['batch_id'] for r in
+                      hist.select('batch_id').distinct().collect())
+        assert len(bids) >= 2
+        cand = spark_session.createDataFrame([('x',)], 'tok string')
+        windowed = estimate_from_history(
+            spark_session, str(tmp_path / 'sketch'), cand, 'tok',
+            depth=2, width=64, batch_ids=[bids[0]]).collect()[0]
+        full = estimate_from_history(
+            spark_session, str(tmp_path / 'sketch'), cand, 'tok',
+            depth=2, width=64).collect()[0]
+        assert 0 < windowed['cms_count'] < full['cms_count'] == 8
+
+    def test_batch_replay_is_idempotent(self, spark_session, tmp_path):
+        from pyspark.sql import functions as F  # noqa: F811
+
+        from ons_utils_spark.operators.sketches import cms_build
+
+        path = str(tmp_path / 'sketch')
+        batch = spark_session.createDataFrame(
+            [('a',)] * 6, 'tok string')
+
+        def land(bid):
+            (cms_build(batch, 'tok', 2, 64)
+             .withColumn('batch_id', F.lit(bid).cast('long'))
+             .coalesce(1).write.mode('overwrite')
+             .option('partitionOverwriteMode', 'dynamic')
+             .partitionBy('batch_id').parquet(path))
+
+        land(0)
+        land(0)  # replay must rewrite, not double
+        got = spark_session.read.parquet(path)
+        assert got.filter('j = 0').groupBy().sum('cnt').collect()[
+            0][0] == 6
