@@ -35,8 +35,15 @@ def read_parquet(
     spark: SparkSession,
     path: str,
     normalize_session: bool = True,
+    merge_schema: bool = False,
 ) -> SparkDF:
     """Parquet scan — Catalyst gets predicate pushdown + column pruning.
+
+    ``merge_schema=True`` reconciles files written under EVOLVED
+    schemas (added columns read as NULL in older files) by merging
+    every footer — a per-file metadata pass at planning time, so
+    reserve it for tables that actually evolved; homogeneous tables
+    should keep the default (first-footer schema, cheapest plan).
 
     Handles parquet TIMESTAMP(NANOS) columns (illegal in Spark) by
     reading them as nano longs (``spark.sql.legacy.parquet.nanosAsLong``)
@@ -72,11 +79,14 @@ def read_parquet(
         # of the host session's zone — keeps results identical to the
         # (zone-naive) DuckDB oracles.
         spark.conf.set('spark.sql.session.timeZone', 'UTC')
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option('mergeSchema', 'true')
     nanos_cols = _nanos_timestamp_columns(path)
     if not nanos_cols:
-        return spark.read.parquet(path)
+        return reader.parquet(path)
     spark.conf.set('spark.sql.legacy.parquet.nanosAsLong', 'true')
-    df = spark.read.parquet(path)
+    df = reader.parquet(path)
     for c in nanos_cols:
         df = df.withColumn(
             c, F.timestamp_micros((F.col(c) / 1000).cast('long'))

@@ -411,3 +411,25 @@ class TestOptimizeWrite:
                 spark_session._jvm.org.apache.spark.sql.execution
                 .ExplainMode.fromString('formatted'))
         assert 'PushedFilters: [IsNotNull(k), EqualTo(k,12345)]' in plan
+
+
+class TestSchemaEvolution:
+    def test_merge_schema_reads_evolved_files(
+            self, spark_session, tmp_path):
+        """Files written before a column was added must read back as
+        NULL in that column when merge_schema=True; the default
+        (first-footer) read stays cheap for homogeneous tables."""
+        from ons_utils_spark.sources.readers import read_parquet
+
+        path = str(tmp_path / 'evolved')
+        spark_session.createDataFrame(
+            [(1, 'a')], 'id bigint, v string'
+        ).write.mode('append').parquet(path)
+        spark_session.createDataFrame(
+            [(2, 'b', 9.5)], 'id bigint, v string, score double'
+        ).write.mode('append').parquet(path)
+
+        merged = read_parquet(spark_session, path, merge_schema=True)
+        assert set(merged.columns) == {'id', 'v', 'score'}
+        rows = {r['id']: r['score'] for r in merged.collect()}
+        assert rows == {1: None, 2: 9.5}
