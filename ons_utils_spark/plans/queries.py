@@ -2857,6 +2857,43 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> SparkDF:
         num_hashes=16, bands=4, shingle_n=3)
 
 
+def q_minhash_dedup_verified(spark: SparkSession,
+                             sf_dir: str) -> SparkDF:
+    """The full dedup DECISION, hash-verified end-to-end: portable
+    MinHash LSH candidates (the q_minhash_pairs pipeline) → EXACT
+    Jaccard verification on the same word-3-shingle sets (integer
+    cross-multiplied threshold: ``2·|∩| >= |∪|`` ⟺ J >= 0.5, no
+    float) → the reference greedy keep-lowest-id rule (a doc drops
+    iff it verified-matches ANY lower id — no recursion, so the
+    oracle replays the whole decision including which survivor each
+    dropped doc deduplicates into).  The xxhash64 production path
+    (``q_minhash_dedup``) stays rows-only; THIS query closes the
+    decision-level verification gap."""
+    (documents,) = _t(spark, sf_dir, 'documents')
+    cand = dd.minhash_lsh_candidates_portable(
+        documents, 'doc_id', 'text', num_hashes=16, bands=4,
+        shingle_n=3)
+    sh = documents.filter(F.col('text').isNotNull()).select(
+        F.col('doc_id'),
+        dd.word_shingles('text', 3).alias('__sh'))
+    verified = (
+        cand.join(sh.select(F.col('doc_id').alias('id_a'),
+                            F.col('__sh').alias('__sa')), on='id_a')
+        .join(sh.select(F.col('doc_id').alias('id_b'),
+                        F.col('__sh').alias('__sb')), on='id_b')
+        .withColumn('__inter',
+                    F.size(F.array_intersect('__sa', '__sb')))
+        .withColumn('__union',
+                    F.size('__sa') + F.size('__sb') - F.col('__inter'))
+        .filter(F.col('__inter') * 2 >= F.col('__union'))
+    )
+    return (
+        verified.groupBy(F.col('id_b').alias('doc_id'))
+        .agg(F.min('id_a').alias('kept_into'),
+             F.count(F.lit(1)).alias('n_lower_matches'))
+    )
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> SparkDF:
     """SimHash blocking with the engine-portable md5 bit source
     (``operators.dedup.simhash_candidates_portable``): per-token
