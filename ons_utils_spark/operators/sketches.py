@@ -91,18 +91,22 @@ def cms_estimate(
     """Point-estimate the count of every value in ``queries[col]``.
 
     Re-derives each query value's ``depth`` counter coordinates,
-    left-joins the (tiny, broadcast) query side against the sketch,
-    and takes the per-value MIN (absent counter = 0).  Returns
-    ``queries`` columns + ``cms_count``.  The estimate is exact for
-    any value whose counters saw no collision, and otherwise
-    overestimates by at most the collision mass — never under.
+    left-joins probes against the broadcast sketch (the sketch is at
+    most ``depth × width`` rows — fixed-size by construction, so it
+    is always the broadcastable side; broadcasting the preserved
+    side of an outer join is impossible and Spark would silently
+    ignore the hint), and takes the per-value MIN (absent counter =
+    0).  Returns ``queries`` columns + ``cms_count``.  The estimate
+    is exact for any value whose counters saw no collision, and
+    otherwise overestimates by at most the collision mass — never
+    under.
     """
     c = F.col(col)
     buckets = F.array(*[cms_bucket(c, j, width) for j in range(depth)])
     probes = queries.select(
         '*', F.posexplode(buckets).alias('j', 'bucket'))
-    joined = sketch.join(F.broadcast(probes), on=['j', 'bucket'],
-                         how='right')
+    joined = probes.join(F.broadcast(sketch), on=['j', 'bucket'],
+                         how='left')
     others = [f for f in queries.columns]
     return (
         joined.groupBy(*others)

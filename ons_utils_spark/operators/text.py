@@ -308,9 +308,9 @@ def gopher_quality_flags(
     * ``g_words``      — word count in [min_words, max_words]
     * ``g_word_len``   — mean word length in [min, max]
     * ``g_symbols``    — (# + … occurrences) / words ≤ 1/10
-    * ``g_bullets``    — lines starting with a bullet ≤ 9/10... i.e.
-      at most 90% of lines may be bullets per Gopher; we pin the
-      common ≤10% variant used by open reimplementations
+    * ``g_bullets``    — lines starting with a bullet ≤ 9/10, the
+      published Gopher threshold (Rae et al. 2021, also the value
+      used by DataTrove / NeMo Curator / Dolma)
     * ``g_ellipsis``   — lines ending in an ellipsis ≤ 3/10
     * ``g_alpha``      — words containing a letter ≥ 8/10
     * ``g_stopwords``  — ≥ ``min_stopwords`` distinct required words
@@ -337,7 +337,7 @@ def gopher_quality_flags(
         'g_word_len': (n_word_chars >= min_mean_word_len * n_words)
         & (n_word_chars <= max_mean_word_len * n_words),
         'g_symbols': n_symbols * 10 <= n_words,
-        'g_bullets': n_bullet * 10 <= n_lines,
+        'g_bullets': n_bullet * 10 <= n_lines * 9,
         'g_ellipsis': n_ellipsis * 10 <= n_lines * 3,
         'g_alpha': n_alpha * 10 >= n_words * 8,
         'g_stopwords': n_stop >= min_stopwords,

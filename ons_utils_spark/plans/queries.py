@@ -3426,7 +3426,6 @@ QUERIES: Dict[str, QueryFn] = {
     'q_repetition': q_repetition,
     'q_redact_pii': q_redact_pii,
     'q_token_vocab': q_token_vocab,
-    'q_langid': q_langid,
     'q_lag_orders': q_lag_orders,
     'q_median_price': q_median_price,
     'q_frame_sample': q_frame_sample,
@@ -3706,7 +3705,7 @@ ORACLES: Dict[str, str] = {
                    (n_word_chars >= 3 * n_words
                     AND n_word_chars <= 10 * n_words) AS g_word_len,
                    (n_symbols * 10 <= n_words) AS g_symbols,
-                   (n_bullet * 10 <= n_lines) AS g_bullets,
+                   (n_bullet * 10 <= n_lines * 9) AS g_bullets,
                    (n_ellipsis * 10 <= n_lines * 3) AS g_ellipsis,
                    (n_alpha * 10 >= n_words * 8) AS g_alpha,
                    (n_stop >= 1) AS g_stopwords

@@ -191,8 +191,13 @@ def with_hilbert_value(
 
         @pandas_udf('long')
         def _hil(xs: pd.Series, ys: pd.Series) -> pd.Series:
-            xv = xs.to_numpy(np.int64) & (n - 1)
-            yv = ys.to_numpy(np.int64) & (n - 1)
+            # NULL in either key -> NULL out, matching the expr
+            # path's propagation (a raw to_numpy(int64) on a
+            # nullable column would raise or turn NaN into
+            # INT64_MIN garbage).
+            na = (xs.isna() | ys.isna()).to_numpy()
+            xv = xs.fillna(0).to_numpy(np.int64) & (n - 1)
+            yv = ys.fillna(0).to_numpy(np.int64) & (n - 1)
             d = np.zeros(len(xv), np.int64)
             for i in reversed(range(bits)):
                 rx = (xv >> i) & 1
@@ -205,6 +210,10 @@ def with_hilbert_value(
                 xv2 = np.where(swap, yr, xv)
                 yv2 = np.where(swap, xr, yv)
                 xv, yv = xv2, yv2
+            if na.any():
+                out = pd.Series(d, dtype='Int64')
+                out[na] = pd.NA
+                return out
             return pd.Series(d)
 
         return df.withColumn(

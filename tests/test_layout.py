@@ -243,3 +243,29 @@ def test_hilbert_expr_matches_arrow(spark_session):
             with_hilbert_value(df, ['x', 'y'], bits=16,
                                method='expr').collect()}
     assert arrow == expr
+
+
+def test_hilbert_null_keys_propagate_on_both_paths(spark_session):
+    """NULL in either key must yield NULL __hvalue on BOTH paths —
+    a raw to_numpy(int64) cast on a nullable pandas column raises
+    (or mangles NaN into INT64_MIN), so the arrow path masks nulls
+    explicitly."""
+    from ons_utils_spark.sources.layout import with_hilbert_value
+
+    rows = [(1, 2), (None, 5), (7, None), (None, None), (3, 4)]
+    df = spark_session.createDataFrame(rows, 'x long, y long')
+    for method in ('arrow', 'expr'):
+        got = {(r['x'], r['y']): r['__hvalue'] for r in
+               with_hilbert_value(df, ['x', 'y'], bits=8,
+                                  method=method).collect()}
+        assert got[(None, 5)] is None, method
+        assert got[(7, None)] is None, method
+        assert got[(None, None)] is None, method
+        assert got[(1, 2)] is not None and got[(3, 4)] is not None
+    # and the two paths agree on the non-null rows
+    a = with_hilbert_value(df, ['x', 'y'], bits=8,
+                           method='arrow').collect()
+    e = with_hilbert_value(df, ['x', 'y'], bits=8,
+                           method='expr').collect()
+    assert ({(r['x'], r['y'], r['__hvalue']) for r in a}
+            == {(r['x'], r['y'], r['__hvalue']) for r in e})

@@ -370,3 +370,31 @@ class TestGopherRules:
         doc = 'one # two three four five six seven eight nine ten'
         r = self._flags(spark_session, doc, min_words=5)
         assert r['g_symbols']  # 1 symbol * 10 <= 10 words
+
+
+class TestGopherBulletThreshold:
+    """Pin the PUBLISHED Gopher bullet rule (Rae et al. 2021): at
+    most 90% of lines may start with a bullet — not the stricter
+    10% misreading."""
+
+    def _flags(self, spark_session, text, **kw):
+        from ons_utils_spark.operators.text import gopher_quality_flags
+        df = spark_session.createDataFrame([(text,)], 'text string')
+        return gopher_quality_flags(df, 'text', **kw).collect()[0]
+
+    def test_half_bullets_passes(self, spark_session):
+        lines = ['- bullet item number %d' % i for i in range(5)]
+        lines += ['a plain prose line of text %d' % i for i in range(5)]
+        r = self._flags(spark_session, '\n'.join(lines), min_words=10)
+        assert r['g_bullets']
+
+    def test_exactly_ninety_percent_passes(self, spark_session):
+        lines = ['- bullet item number %d' % i for i in range(9)]
+        lines += ['one plain prose line here']
+        r = self._flags(spark_session, '\n'.join(lines), min_words=10)
+        assert r['g_bullets']
+
+    def test_all_bullets_fails(self, spark_session):
+        lines = ['- bullet item number %d' % i for i in range(10)]
+        r = self._flags(spark_session, '\n'.join(lines), min_words=10)
+        assert not r['g_bullets']
