@@ -93,7 +93,14 @@ def word_shingles(text_col: str, n: int = 3):
     O(tokens) with n array allocations. (The naive
     ``transform(sequence, i -> concat_ws(slice(toks, i, n)))`` costs
     O(tokens²) element copies plus an interpreted slice per index —
-    ~10× slower on real documents.)
+    ~10× slower on real documents.)  On hot paths prefer
+    :func:`with_char_shingles`-style DataFrame-level shingling over a
+    materialized normalized column; a ``transform(array(expr), t ->
+    ...)[0]`` let-binding wrapper is NOT safe here — when the result
+    feeds a pandas UDF, Spark's ExtractPythonUDFs intermittently
+    fails to extract a UDF whose argument contains that shape and
+    execution dies with INTERNAL_ERROR (observed on Spark 4.1, both
+    in deduplicated self-join branches and mid-session).
     """
     toks = tokenize(normalize_text(text_col))
     k = F.size(toks) - (n - 1)
@@ -117,8 +124,11 @@ def char_shingles(text_col: str, n: int = 5):
     ``n`` shifted slices combined with ``zip_with`` concat. The naive
     ``transform(sequence(1, k), i -> substring(c, i, n))`` hits
     pitfall #1 — ``c`` (the normalization regex) is inlined into the
-    per-element lambda and re-evaluated once PER CHARACTER, ~8×
-    slower on real documents.
+    per-element lambda and re-evaluated once PER CHARACTER.  On hot
+    paths prefer :func:`with_char_shingles`, which materializes the
+    normalized string in its own projection first and is ~5× faster
+    cold (single substr per position, no nested zip_with chain, no
+    intermediate char arrays).
     """
     chars = F.split(normalize_text(text_col), '')
     k = F.size(chars) - (n - 1)
@@ -130,6 +140,43 @@ def char_shingles(text_col: str, n: int = 5):
         )
     return F.when(k >= 1, F.array_distinct(shingled)) \
         .otherwise(F.array(F.array_join(chars, '')))
+
+
+def with_char_shingles(
+    df: SparkDF,
+    text_col: str = 'text',
+    n: int = 5,
+    out_col: str = '__shingles',
+    norm_col: Optional[str] = None,
+) -> SparkDF:
+    """DataFrame-level char n-gram shingling — the hot-path form.
+
+    Materializes the normalized string as its own aliased projection
+    FIRST (CollapseProject refuses to duplicate a non-cheap aliased
+    expression, so the regex tree is evaluated once per row and the
+    per-element lambda only touches the cheap attribute — pitfall
+    #1), then emits distinct shingles via a single ``substr(t, i,
+    n)`` per position.  ``substr`` past the end clips, so short
+    texts collapse to one whole-string shingle with no extra branch
+    — identical output to :func:`char_shingles`, ~5× faster cold at
+    sf0.1 (no nested ``zip_with`` chain, no intermediate per-char
+    arrays, nothing re-evaluated per element).
+
+    ``norm_col`` additionally keeps the normalized string under that
+    name (for downstream length stats); otherwise it is dropped.
+    """
+    norm_name = norm_col or '__cs_norm'
+    out = df.withColumn(norm_name, normalize_text(text_col))
+    t = F.col(norm_name)
+    out = out.withColumn(
+        out_col,
+        F.array_distinct(F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.length(t) - (n - 1), F.lit(1))),
+            lambda i: F.substr(t, i, F.lit(n)))),
+    )
+    return out if norm_col else out.drop(norm_name)
 
 
 def _shingler(kind: str):
@@ -294,10 +341,17 @@ def minhash_lsh_candidates(
     rows_per_band = num_hashes // bands
     # Shingle + hash in the JVM (one pass); signature fan-out in a
     # vectorized pandas UDF (Arrow transfer of small long arrays).
+    # The explode(array(...)) wraps the shingle pipeline in a Generate
+    # node: a plan barrier CollapseProject cannot cross, so the pandas
+    # UDF's input stays a plain attribute.  Without it the self-join's
+    # attribute dedup duplicates the shingle lambda tree into the UDF
+    # argument of the rebuilt branch, where ExtractPythonUDFs fails to
+    # extract it and execution dies with INTERNAL_ERROR "Cannot
+    # evaluate expression: _sig(...)".
     hashed = hashed_shingles if hashed_shingles is not None else df.select(
         F.col(id_col).alias('__id'),
-        shingle_hashes(
-            _shingler(shingles)(text_col, shingle_n)).alias('__hs'),
+        F.explode(F.array(shingle_hashes(
+            _shingler(shingles)(text_col, shingle_n)))).alias('__hs'),
     )
     sig = hashed.select(
         '__id',

@@ -753,3 +753,37 @@ class TestSemanticDedup:
                       planted_vectors, n_clusters=1,
                       threshold=0.95).collect()}
         assert pruned == exact
+
+
+class TestWithCharShingles:
+    """The DataFrame-level fast shingler must produce identical
+    shingle SETS to the Column-level char_shingles on every edge
+    case (normal, short, empty, NULL, CJK-ish no-space text)."""
+
+    def test_matches_column_form(self, spark_session):
+        rows = [
+            (1, 'the quick brown fox jumps over the lazy dog'),
+            (2, 'ab'),                      # shorter than n
+            (3, ''),                        # empty
+            (4, None),                      # null
+            (5, 'abcde'),                   # exactly n
+            (6, '東京都渋谷区の天気は晴れです'),  # no-space script
+            (7, '  spaced   out\ttabs\nnewlines  '),
+        ]
+        df = spark_session.createDataFrame(
+            rows, 'doc_id long, text string')
+        fast = {r['doc_id']: r['__sh'] for r in dd.with_char_shingles(
+            df, 'text', 5, out_col='__sh').collect()}
+        slow = {r['doc_id']: r['sh'] for r in df.select(
+            'doc_id', dd.char_shingles('text', 5).alias('sh')
+        ).collect()}
+        for k in fast:
+            assert sorted(fast[k]) == sorted(slow[k]), k
+
+    def test_keeps_norm_col_when_asked(self, spark_session):
+        df = spark_session.createDataFrame(
+            [(1, '  A  B  ')], 'doc_id long, text string')
+        out = dd.with_char_shingles(
+            df, 'text', 3, out_col='s', norm_col='t').collect()[0]
+        assert out['t'] == 'a b'
+        assert 'a b' in out['s']
