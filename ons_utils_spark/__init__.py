@@ -113,6 +113,7 @@ from .operators.reshape import stack as stack_spark
 from .operators.reshape import unstack as unstack_spark
 from .operators.similarity import (
     cosine_topk,
+    hyperplane_signature_udf,
     ivf_assign,
     ivf_centroids,
     ivf_topk,
@@ -178,6 +179,7 @@ __all__ = [
     'simhash_dedup', 'simhash_candidates_portable',
     'ngram_jaccard_join', 'embedding_near_duplicates',
     'cosine_topk', 'lsh_topk', 'random_hyperplane_lsh',
+    'hyperplane_signature_udf',
     'ivf_topk', 'ivf_centroids', 'ivf_assign',
     'tokenize', 'token_count', 'quality_score', 'language_id',
     'fingerprint', 'text_stats', 'clean_text', 'strip_html',

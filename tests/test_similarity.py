@@ -387,3 +387,44 @@ class TestHardNegatives:
             [(0, 4)], 'query_id bigint, vec_id bigint')
         with pytest.raises(ValueError, match='k_scan'):
             hard_negatives(c, q, pos, k=5, k_scan=5)
+
+
+class TestHyperplaneSignatureUdf:
+    """The Arrow GEMM signature must agree with the JVM expression
+    form on real embeddings (sign flips require a plane dot within
+    ~1 ulp of zero — not present in the test corpus), and identical
+    vectors must always share a bucket within one implementation."""
+
+    def test_matches_jvm_on_real_embeddings(self, spark_session):
+        from ons_utils_spark.operators.similarity import (
+            hyperplane_signature_udf, random_hyperplane_signature)
+        from ons_utils_spark.sources.readers import read_parquet
+        emb = read_parquet(
+            spark_session, '/root/testdata/sf0.001/embeddings.parquet')
+        both = emb.select(
+            'vec_id',
+            hyperplane_signature_udf(64, 16)(
+                F.col('embedding')).alias('arrow'),
+            random_hyperplane_signature(
+                F.col('embedding'), 64, 16).alias('jvm'),
+        ).collect()
+        assert len(both) > 0
+        mismatches = [r for r in both if r['arrow'] != r['jvm']]
+        assert not mismatches, mismatches[:5]
+
+    def test_dots_struct_consistent_with_plain(self, spark_session):
+        from ons_utils_spark.operators.similarity import (
+            hyperplane_signature_dots_udf, hyperplane_signature_udf)
+        from ons_utils_spark.sources.readers import read_parquet
+        emb = read_parquet(
+            spark_session, '/root/testdata/sf0.001/embeddings.parquet'
+        ).limit(50)
+        rows = emb.select(
+            hyperplane_signature_udf(64, 8)(
+                F.col('embedding')).alias('plain'),
+            hyperplane_signature_dots_udf(64, 8)(
+                F.col('embedding')).alias('sd'),
+        ).collect()
+        for r in rows:
+            assert r['plain'] == r['sd']['bucket']
+            assert len(r['sd']['dots']) == 8
