@@ -71,8 +71,12 @@ def main() -> None:
     # rather than blowing the harness timeout — one complete pass is
     # always finished, and `repeat` in the output records how many
     # actually ran.
+    # 540s default: must stay under the driver's harness timeout with
+    # ~30s of startup margin, while leaving room for warmup + 2 timed
+    # passes (~125s/pass warm at 145 queries) so the recorded artifact
+    # is a repeat>=2 median, not a single loaded-host shot.
     budget_s = float(os.environ.get('SPARK_GRAFT_BENCH_BUDGET',
-                                    '500'))
+                                    '540'))
     bench_t0 = time.time()
     # Warmup pass, CONCURRENT: each query's first execution pays
     # whole-stage-codegen compilation + JIT (measured ~2x steady
@@ -155,19 +159,21 @@ def main() -> None:
     # Full detail for the repo (judge-readable); the stdout line below
     # must stay under the driver's 2000-char tail capture or it gets
     # truncated mid-line and fails to parse (happened in round 2).
-    # Artifact discipline (r5 postmortem): a repeat=0 cold fallback
-    # must NEVER silently replace a committed warm (repeat>=1)
-    # artifact — cold runs land in BENCH_full_cold.json instead.
+    # Artifact discipline (r5/r6 postmortems): never replace a
+    # HIGHER-repeat BENCH_full.json with a lower-repeat run — r5's
+    # hole only blocked repeat=0, so the driver's end-of-round
+    # repeat=1 pass overwrote the committed repeat=3 artifact.  A
+    # lower-repeat run lands in BENCH_full_cold.json instead; the
+    # stdout line (what the driver records) is unaffected.
     here = os.path.dirname(os.path.abspath(__file__))
     out_path = os.path.join(here, 'BENCH_full.json')
-    if repeat == 0:
-        try:
-            with open(out_path) as fh:
-                prev_repeat = json.load(fh).get('repeat', 0)
-        except Exception:  # noqa: BLE001 — missing/corrupt prior file
-            prev_repeat = 0
-        if prev_repeat >= 1:
-            out_path = os.path.join(here, 'BENCH_full_cold.json')
+    try:
+        with open(out_path) as fh:
+            prev_repeat = json.load(fh).get('repeat', 0)
+    except Exception:  # noqa: BLE001 — missing/corrupt prior file
+        prev_repeat = 0
+    if repeat < prev_repeat:
+        out_path = os.path.join(here, 'BENCH_full_cold.json')
     with open(out_path, 'w') as fh:
         json.dump(full, fh, indent=1)
     print('extras:', json.dumps(extras))
