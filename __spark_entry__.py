@@ -38,12 +38,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent ANSI SQL per query. Omitted entries get the
-    weaker rows-only check — q_minhash_dedup, q_simhash_dedup,
-    q_lsh_topk, q_pq_topk, q_ivf_pq_topk, q_approx_quantile_ladder,
-    q_compression_quality, whose hash-seeded / codebook-trained /
-    sketch-merged / codec-dependent internals are not expressible in
-    SQL; their semantics are pinned by unit tests against planted
-    duplicates and brute-force baselines (and, for the approx
-    ladder, tools/approx_probe.py's measured error bound against the
-    exact path)."""
+    weaker rows-only check — only q_approx_quantile_ladder and
+    q_compression_quality remain oracle-less (sketch-merged /
+    codec-dependent internals not expressible in SQL; pinned by unit
+    tests plus tools/approx_probe.py's measured error bound).  The
+    formerly rows-only LSH/PQ/IVF-PQ queries replay planted
+    exact-duplicate top-k, and the minhash/simhash dedup queries
+    replay planted-family dedup decisions (exact-Jaccard greedy
+    keep-lowest-id in SQL)."""
     return dict(ORACLES)

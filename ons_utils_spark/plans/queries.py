@@ -519,22 +519,77 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def _planted_dedup_families(spark: SparkSession) -> SparkDF:
+    """8 planted doc families for decision-level dedup oracles.
+
+    Family ``f`` has 5 members (doc_id = 8_000_000 + f*10 + j):
+    j∈{0,1,2} share synthetic text A(f), j∈{3,4} share text B(f).
+    Every token is ``zq``-prefixed and family-tagged, so (a) within a
+    subgroup documents are EXACT duplicates — identical normalized
+    text ⇒ identical shingle sets / signatures under ANY hash family
+    ⇒ guaranteed LSH candidates with exact Jaccard 1; (b) across
+    subgroups/families and against the real corpus the token sets
+    are disjoint ⇒ Jaccard 0 ⇒ an exact-verify dedup NEVER drops
+    across (false-positive buckets are killed by the verify step).
+    The survivor set is therefore fully determined — the subgroup
+    minima — and a DuckDB oracle can replay the decision with exact
+    Jaccard, no hash replays needed (the `_planted_ann` pattern,
+    transferred to dedup)."""
+    rows = [
+        (8_000_000 + f * 10 + j,
+         ' '.join((f'zqa{f}w{i}' if j < 3 else f'zqb{f}w{i}')
+                  for i in range(8)))
+        for f in range(8) for j in range(5)
+    ]
+    return spark.createDataFrame(rows, 'doc_id long, text string')
+
+
+def _planted_survivors(kept: SparkDF) -> SparkDF:
+    return (
+        kept.filter(F.col('doc_id') >= 8_000_000)
+        .select(
+            F.floor((F.col('doc_id') - 8_000_000) / 10)
+            .cast('long').alias('family'),
+            F.col('doc_id').alias('kept_doc_id'),
+        )
+    )
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """MinHash-LSH near-dedup (no SQL oracle — hash-seeded LSH;
-    verified by unit tests with planted duplicates)."""
+    """MinHash-LSH near-dedup DECISION over planted duplicate
+    families: the production xxhash64 pipeline (Spark-only hash
+    family) runs over the real corpus ∪ planted families; exact
+    in-subgroup duplicates are guaranteed candidates under any hash
+    family and the exact-Jaccard verify blocks every cross-subgroup
+    drop, so the planted survivor set (the subgroup minima) is
+    deterministic and the DuckDB oracle replays it as exact-Jaccard
+    greedy keep-lowest-id (see :func:`_planted_dedup_families`).
+    Near-dup recall on organic pairs stays covered by unit tests and
+    tools/lsh_recall_probe.py."""
     (documents,) = _t(spark, sf_dir, 'documents')
+    corpus = documents.select('doc_id', 'text').unionByName(
+        _planted_dedup_families(spark))
     kept = dd.minhash_dedup(
-        documents, 'doc_id', 'text',
+        corpus, 'doc_id', 'text',
         num_hashes=64, bands=16, jaccard_threshold=0.5,
     )
-    return kept.groupBy('source').agg(F.count('*').alias('n_docs'))
+    return _planted_survivors(kept)
 
 
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """SimHash near-dedup (no SQL oracle — bit-vote signature)."""
+    """SimHash near-dedup decision over the planted families: exact
+    duplicates have identical bit-vote signatures (Hamming 0) in any
+    implementation, so subgroup minima survive and the rest drop.
+    The oracle replays the decision as exact-duplicate-text greedy
+    keep-lowest-id; this assumes no cross-subgroup or planted-vs-real
+    signature pair within Hamming 3, which is not SQL-replayable but
+    has probability ~1e-10 per dataset (and is deterministic given
+    the data — verified at both gate SFs)."""
     (documents,) = _t(spark, sf_dir, 'documents')
-    kept = dd.simhash_dedup(documents, 'doc_id', 'text', max_hamming=3)
-    return kept.groupBy('lang').agg(F.count('*').alias('n_docs'))
+    corpus = documents.select('doc_id', 'text').unionByName(
+        _planted_dedup_families(spark))
+    kept = dd.simhash_dedup(corpus, 'doc_id', 'text', max_hamming=3)
+    return _planted_survivors(kept)
 
 
 def q_langid(spark: SparkSession, sf_dir: str) -> SparkDF:
@@ -3423,22 +3478,117 @@ def q_group_quantile_ladder(spark: SparkSession, sf_dir: str) -> SparkDF:
 # never-driver-checked queries plus the 3 whose emission changed this
 # round — after this rotation every declared query has a driver row.
 QUERIES: Dict[str, QueryFn] = {
-    # -- round-6 verification window (first 50) -------------------
-    # Staleness-driven rotation: the 47 hash-checkable queries whose
-    # latest driver row is round 3, plus q_char_shingles (oracle cast
-    # fixed this round) and q_pq_topk / q_lsh_topk (planted-fixture
-    # oracles added this round).  Rows-only entries sit at the window
-    # tail per policy.  q_sessionize was displaced to lead round 7's
-    # window, followed by the 39 round-4-verified queries.
-    'q_char_shingles': q_char_shingles,
-    'q_pq_topk': q_pq_topk,
-    'q_ivf_pq_topk': q_ivf_pq_topk,
-    'q_hilbert_stats': q_hilbert_stats,
-    'q_cms_heavy_hitters': q_cms_heavy_hitters,
-    'q_rrf_fusion': q_rrf_fusion,
-    'q_gopher_rules': q_gopher_rules,
-    'q_semantic_dedup': q_semantic_dedup,
-    'q_hard_negatives': q_hard_negatives,
+    # -- round-7 verification window (first 50) -------------------
+    # Staleness rotation: the 8 queries last driver-verified in r03
+    # and the 39 last verified in r04 (code shared with them churned
+    # through the r5-r7 Arrow/vectorization refactors), plus the
+    # three NEW-oracle dedup-decision queries (q_minhash_dedup /
+    # q_simhash_dedup gained planted-family oracles this round;
+    # q_minhash_dedup_verified is newly registered).  The two
+    # remaining rows-only-by-design entries sit directly below the
+    # window and lead the round-8 rotation, followed by the
+    # r5-verified then r6-verified sets (freshest last).
+    'q_sessionize': q_sessionize,
+    'q_chunk_docs': q_chunk_docs,
+    'q_repetition': q_repetition,
+    'q_redact_pii': q_redact_pii,
+    'q_token_vocab': q_token_vocab,
+    'q_frame_sample': q_frame_sample,
+    'q_median_price': q_median_price,
+    'q_lag_orders': q_lag_orders,
+    'q_grouping_sets': q_grouping_sets,
+    'q_asof_tolerance': q_asof_tolerance,
+    'q_lookup_join': q_lookup_join,
+    'q_global_share': q_global_share,
+    'q_salted_join': q_salted_join,
+    'q_balanced_sample': q_balanced_sample,
+    'q_connected_components': q_connected_components,
+    'q7_nation_volume': q7_nation_volume,
+    'q14_promo_share': q14_promo_share,
+    'q15_top_supplier': q15_top_supplier,
+    'q16_supplier_variety': q16_supplier_variety,
+    'q18_big_orders': q18_big_orders,
+    'q19_bracket_revenue': q19_bracket_revenue,
+    'q22_idle_customers': q22_idle_customers,
+    'q2_cheapest_supplier': q2_cheapest_supplier,
+    'q5_local_supplier': q5_local_supplier,
+    'q21_waiting_suppliers': q21_waiting_suppliers,
+    'q_winnow_dups': q_winnow_dups,
+    'q_contamination': q_contamination,
+    'q_rare_token_rate': q_rare_token_rate,
+    'q_length_histogram': q_length_histogram,
+    'q_except_customers': q_except_customers,
+    'q_funnel_stages': q_funnel_stages,
+    'q_sql_flag_year': q_sql_flag_year,
+    'q_quantile_ladder': q_quantile_ladder,
+    'q_first_touch': q_first_touch,
+    'q_calendar_gaps': q_calendar_gaps,
+    'q_price_rank_bands': q_price_rank_bands,
+    'q_regr_price_size': q_regr_price_size,
+    'q_rolling_revenue': q_rolling_revenue,
+    'q_hash_sample': q_hash_sample,
+    'q_fuzzy_parts': q_fuzzy_parts,
+    'q_bigrams_top': q_bigrams_top,
+    'q_entropy_tokens': q_entropy_tokens,
+    'q_skyline_suppliers': q_skyline_suppliers,
+    'q_funnel_events': q_funnel_events,
+    'q_ntile_deciles': q_ntile_deciles,
+    'q_mode_quantity': q_mode_quantity,
+    'q_latest_events': q_latest_events,
+    'q_minhash_dedup': q_minhash_dedup,
+    'q_simhash_dedup': q_simhash_dedup,
+    'q_minhash_dedup_verified': q_minhash_dedup_verified,
+    # -- below the 50-slot window ---------------------------------
+    # round-8 rotation order: rows-only first, then r5-verified,
+    # then the round-6 window (freshest).
+    'q_approx_quantile_ladder': q_approx_quantile_ladder,
+    'q_compression_quality': q_compression_quality,
+    'q_price_trim': q_price_trim,
+    'q8_market_share': q8_market_share,
+    'q9_product_profit': q9_product_profit,
+    'q10_returned_customers': q10_returned_customers,
+    'q11_important_parts': q11_important_parts,
+    'q12_late_shipments': q12_late_shipments,
+    'q13_order_distribution': q13_order_distribution,
+    'q17_small_qty_revenue': q17_small_qty_revenue,
+    'q20_promo_suppliers': q20_promo_suppliers,
+    'q_top_parts_array': q_top_parts_array,
+    'q_lm_score': q_lm_score,
+    'q_train_split': q_train_split,
+    'q_tfidf_top_terms': q_tfidf_top_terms,
+    'q_pack_bins': q_pack_bins,
+    'q_pack_assemble': q_pack_assemble,
+    'q_stratified_sample': q_stratified_sample,
+    'q_scd2_history': q_scd2_history,
+    'q_source_overlap': q_source_overlap,
+    'q_js_divergence': q_js_divergence,
+    'q_interval_join': q_interval_join,
+    'q_key_skew': q_key_skew,
+    'q_mad_outliers': q_mad_outliers,
+    'q_ewma': q_ewma,
+    'q_vector_math': q_vector_math,
+    'q_weighted_sample': q_weighted_sample,
+    'q_mixture_sample': q_mixture_sample,
+    'q_profile_docs': q_profile_docs,
+    'q_winsorized_revenue': q_winsorized_revenue,
+    'q_vocab_coverage': q_vocab_coverage,
+    'q_seed_classifier': q_seed_classifier,
+    'q_group_quantile_ladder': q_group_quantile_ladder,
+    'q_minhash_pairs': q_minhash_pairs,
+    'q_simhash_pairs': q_simhash_pairs,
+    'q_bitmap_distinct': q_bitmap_distinct,
+    'q_zorder_stats': q_zorder_stats,
+    'q_inverted_index': q_inverted_index,
+    'q_term_search': q_term_search,
+    'q_bm25_topk': q_bm25_topk,
+    'q_pagerank': q_pagerank,
+    'q_triangles': q_triangles,
+    'q_bfs_hops': q_bfs_hops,
+    'q_rolling_anomaly': q_rolling_anomaly,
+    'q_quality_checks': q_quality_checks,
+    'q_label_prop': q_label_prop,
+    'q_substring_dups': q_substring_dups,
+    'q_line_dedup': q_line_dedup,
     'q1_pricing_summary': q1_pricing_summary,
     'q2_revenue_by_nation': q2_revenue_by_nation,
     'q3_top_orders': q3_top_orders,
@@ -3478,106 +3628,15 @@ QUERIES: Dict[str, QueryFn] = {
     'q_quality_scores': q_quality_scores,
     'q_clean_text': q_clean_text,
     'q_lsh_topk': q_lsh_topk,
-    'q_minhash_dedup': q_minhash_dedup,
-    'q_simhash_dedup': q_simhash_dedup,
-    # -- below the 50-slot window ---------------------------------
-    # round-7 rotation order: displaced r3 fill, then r4-verified,
-    # then the round-5 window (freshest).
-    'q_sessionize': q_sessionize,
-    'q_chunk_docs': q_chunk_docs,
-    'q_repetition': q_repetition,
-    'q_redact_pii': q_redact_pii,
-    'q_token_vocab': q_token_vocab,
-    'q_lag_orders': q_lag_orders,
-    'q_median_price': q_median_price,
-    'q_frame_sample': q_frame_sample,
-    'q_grouping_sets': q_grouping_sets,
-    'q_asof_tolerance': q_asof_tolerance,
-    'q_lookup_join': q_lookup_join,
-    'q7_nation_volume': q7_nation_volume,
-    'q14_promo_share': q14_promo_share,
-    'q15_top_supplier': q15_top_supplier,
-    'q16_supplier_variety': q16_supplier_variety,
-    'q18_big_orders': q18_big_orders,
-    'q19_bracket_revenue': q19_bracket_revenue,
-    'q22_idle_customers': q22_idle_customers,
-    'q2_cheapest_supplier': q2_cheapest_supplier,
-    'q5_local_supplier': q5_local_supplier,
-    'q_global_share': q_global_share,
-    'q_salted_join': q_salted_join,
-    'q_balanced_sample': q_balanced_sample,
-    'q_connected_components': q_connected_components,
-    'q_winnow_dups': q_winnow_dups,
-    'q21_waiting_suppliers': q21_waiting_suppliers,
-    'q_contamination': q_contamination,
-    'q_rare_token_rate': q_rare_token_rate,
-    'q_length_histogram': q_length_histogram,
-    'q_except_customers': q_except_customers,
-    'q_funnel_stages': q_funnel_stages,
-    'q_sql_flag_year': q_sql_flag_year,
-    'q_quantile_ladder': q_quantile_ladder,
-    'q_first_touch': q_first_touch,
-    'q_calendar_gaps': q_calendar_gaps,
-    'q_price_rank_bands': q_price_rank_bands,
-    'q_regr_price_size': q_regr_price_size,
-    'q_rolling_revenue': q_rolling_revenue,
-    'q_hash_sample': q_hash_sample,
-    'q_fuzzy_parts': q_fuzzy_parts,
-    'q_bigrams_top': q_bigrams_top,
-    'q_entropy_tokens': q_entropy_tokens,
-    'q_skyline_suppliers': q_skyline_suppliers,
-    'q_funnel_events': q_funnel_events,
-    'q_ntile_deciles': q_ntile_deciles,
-    'q_mode_quantity': q_mode_quantity,
-    'q_latest_events': q_latest_events,
-    'q_lm_score': q_lm_score,
-    'q_train_split': q_train_split,
-    'q_tfidf_top_terms': q_tfidf_top_terms,
-    'q_pack_bins': q_pack_bins,
-    'q_pack_assemble': q_pack_assemble,
-    'q_stratified_sample': q_stratified_sample,
-    'q_scd2_history': q_scd2_history,
-    'q_source_overlap': q_source_overlap,
-    'q_js_divergence': q_js_divergence,
-    'q_interval_join': q_interval_join,
-    'q_key_skew': q_key_skew,
-    'q_mad_outliers': q_mad_outliers,
-    'q_ewma': q_ewma,
-    'q_vector_math': q_vector_math,
-    'q_weighted_sample': q_weighted_sample,
-    'q_mixture_sample': q_mixture_sample,
-    'q_profile_docs': q_profile_docs,
-    'q_winsorized_revenue': q_winsorized_revenue,
-    'q_top_parts_array': q_top_parts_array,
-    'q_price_trim': q_price_trim,
-    'q_vocab_coverage': q_vocab_coverage,
-    'q_seed_classifier': q_seed_classifier,
-    'q_group_quantile_ladder': q_group_quantile_ladder,
-    'q_minhash_pairs': q_minhash_pairs,
-    'q_simhash_pairs': q_simhash_pairs,
-    'q_bitmap_distinct': q_bitmap_distinct,
-    'q_zorder_stats': q_zorder_stats,
-    'q_inverted_index': q_inverted_index,
-    'q_term_search': q_term_search,
-    'q_bm25_topk': q_bm25_topk,
-    'q_pagerank': q_pagerank,
-    'q_triangles': q_triangles,
-    'q_bfs_hops': q_bfs_hops,
-    'q_rolling_anomaly': q_rolling_anomaly,
-    'q_quality_checks': q_quality_checks,
-    'q_label_prop': q_label_prop,
-    'q8_market_share': q8_market_share,
-    'q9_product_profit': q9_product_profit,
-    'q10_returned_customers': q10_returned_customers,
-    'q11_important_parts': q11_important_parts,
-    'q12_late_shipments': q12_late_shipments,
-    'q13_order_distribution': q13_order_distribution,
-    'q17_small_qty_revenue': q17_small_qty_revenue,
-    'q20_promo_suppliers': q20_promo_suppliers,
-    'q_substring_dups': q_substring_dups,
-    'q_line_dedup': q_line_dedup,
-    'q_approx_quantile_ladder': q_approx_quantile_ladder,
-    'q_compression_quality': q_compression_quality,
+    'q_char_shingles': q_char_shingles,
+    'q_pq_topk': q_pq_topk,
+    'q_ivf_pq_topk': q_ivf_pq_topk,
+    'q_hilbert_stats': q_hilbert_stats,
+    'q_cms_heavy_hitters': q_cms_heavy_hitters,
+    'q_rrf_fusion': q_rrf_fusion,
+    'q_gopher_rules': q_gopher_rules,
+    'q_semantic_dedup': q_semantic_dedup,
+    'q_hard_negatives': q_hard_negatives,
 }
 
 
@@ -4739,6 +4798,112 @@ ORACLES: Dict[str, str] = {
         FROM banded l
         JOIN banded r ON l.b = r.b AND l.bucket = r.bucket
                       AND l.doc_id < r.doc_id
+    """,
+    # Replays the ENTIRE dedup decision of the portable MinHash
+    # pipeline: md5 LSH candidates (the q_minhash_pairs CTEs) ->
+    # exact word-3-shingle Jaccard verify (integer cross-multiplied
+    # 2|inter| >= |union|) -> greedy keep-lowest-id aggregation.
+    'q_minhash_dedup_verified': """
+        WITH d AS (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                       AS t
+            FROM documents WHERE text IS NOT NULL
+        ), tk AS (
+            SELECT doc_id, string_split(t, ' ') AS toks FROM d
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) - 2 >= 1 THEN
+                       list_distinct(list_transform(
+                           range(1, len(toks) - 1),
+                           i -> array_to_string(toks[i : i + 2], ' ')))
+                   ELSE [array_to_string(toks, ' ')] END AS shingles
+            FROM tk
+        ), sig AS (
+            SELECT doc_id,
+                   list_transform(range(0, 16), i ->
+                       list_aggregate(list_transform(shingles, s ->
+                           substr(md5(CAST(i AS VARCHAR) || ':' || s),
+                                  1, 16)), 'min')) AS sig
+            FROM sh
+        ), banded AS (
+            SELECT doc_id, b,
+                   md5(array_to_string(sig[b * 4 + 1 : b * 4 + 4],
+                                       ',')) AS bucket
+            FROM sig, (SELECT unnest(range(0, 4)) AS b)
+        ), cand AS (
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+            FROM banded l
+            JOIN banded r ON l.b = r.b AND l.bucket = r.bucket
+                          AND l.doc_id < r.doc_id
+        ), ver AS (
+            SELECT c.id_a, c.id_b
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.id_a
+            JOIN sh b ON b.doc_id = c.id_b
+            WHERE 2 * len(list_intersect(a.shingles, b.shingles))
+                  >= len(list_distinct(a.shingles || b.shingles))
+        )
+        SELECT id_b AS doc_id,
+               CAST(min(id_a) AS BIGINT) AS kept_into,
+               CAST(count(*) AS BIGINT) AS n_lower_matches
+        FROM ver GROUP BY id_b
+    """,
+    # Planted-family dedup decisions (see _planted_dedup_families):
+    # subgroup texts are exact duplicates, cross-subgroup token sets
+    # are disjoint, so exact-Jaccard greedy keep-lowest-id over the
+    # planted rows IS the deterministic survivor set of the engine's
+    # banded-LSH + exact-verify pipeline.
+    'q_minhash_dedup': """
+        WITH fam AS (
+            SELECT f, j, CAST(8000000 + f * 10 + j AS BIGINT)
+                       AS doc_id,
+                   array_to_string(list_transform(range(0, 8), i ->
+                       (CASE WHEN j < 3 THEN 'zqa' ELSE 'zqb' END)
+                       || CAST(f AS VARCHAR) || 'w'
+                       || CAST(i AS VARCHAR)), ' ') AS text
+            FROM range(0, 8) tf(f), range(0, 5) tj(j)
+        ), sh AS (
+            SELECT f, doc_id,
+                   list_distinct(list_transform(
+                       range(1, len(toks) - 1),
+                       i -> array_to_string(toks[i : i + 2], ' ')))
+                       AS shingles
+            FROM (SELECT f, doc_id, string_split(text, ' ') AS toks
+                  FROM fam)
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE 2 * len(list_intersect(a.shingles, b.shingles))
+                  >= len(list_distinct(a.shingles || b.shingles))
+        )
+        SELECT CAST(s.f AS BIGINT) AS family,
+               s.doc_id AS kept_doc_id
+        FROM sh s
+        WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                          WHERE p.id_b = s.doc_id)
+    """,
+    # SimHash planted decision: exact duplicates have identical
+    # bit-vote signatures (Hamming 0), so the survivor set is the
+    # exact-duplicate-text greedy minima (cross-subgroup collisions
+    # within Hamming 3 have probability ~1e-10 and are deterministic
+    # per dataset — see q_simhash_dedup's docstring).
+    'q_simhash_dedup': """
+        WITH fam AS (
+            SELECT f, j, CAST(8000000 + f * 10 + j AS BIGINT)
+                       AS doc_id,
+                   array_to_string(list_transform(range(0, 8), i ->
+                       (CASE WHEN j < 3 THEN 'zqa' ELSE 'zqb' END)
+                       || CAST(f AS VARCHAR) || 'w'
+                       || CAST(i AS VARCHAR)), ' ') AS text
+            FROM range(0, 8) tf(f), range(0, 5) tj(j)
+        )
+        SELECT CAST(s.f AS BIGINT) AS family,
+               s.doc_id AS kept_doc_id
+        FROM fam s
+        WHERE NOT EXISTS (SELECT 1 FROM fam p
+                          WHERE p.text = s.text
+                            AND p.doc_id < s.doc_id)
     """,
     'q_inverted_index': """
         WITH norm AS (
