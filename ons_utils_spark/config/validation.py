@@ -156,6 +156,11 @@ def validate_config_sections(
     return errors
 
 
+# Reference entry-point name (reference ons_utils/config/
+# validation.py:106) — alias so ports diff clean.
+validate_webscraped_scenario_config = validate_config_sections
+
+
 def get_all_errors(
     config: Mapping[str, Any],
     section_schemas: Mapping[str, Mapping[str, Any]],
@@ -205,6 +210,74 @@ def local_path_exists(path: str) -> bool:
     ``lambda p: spark._jvm.org.apache.hadoop.fs...`` or ``pyarrow.fs``.
     """
     return os.path.exists(path)
+
+
+# Injected per-scheme checkers (highest precedence).  Lets tests and
+# deployments plug in a checker for any URL scheme without monkey-
+# patching — e.g. ``register_scheme_checker('s3', my_fsspec_check)``.
+_SCHEME_CHECKERS: dict = {}
+
+
+def register_scheme_checker(
+    scheme: str, checker: Callable[[str], bool],
+) -> None:
+    """Register (or override, or remove with ``None``) the existence
+    checker used by :func:`remote_path_exists` for ``scheme``."""
+    if checker is None:
+        _SCHEME_CHECKERS.pop(scheme, None)
+    else:
+        _SCHEME_CHECKERS[scheme] = checker
+
+
+def remote_path_exists(path: str, spark=None) -> bool:
+    """Scheme-dispatching path existence check — the full remote-FS
+    counterpart of the reference's HDFS-only checker
+    (reference ons_utils/config/validation.py:296-315, whose own
+    ``hdfs`` import is a latent NameError).
+
+    Resolution order:
+
+    1. a checker injected via :func:`register_scheme_checker`;
+    2. no scheme / ``file://`` → :func:`local_path_exists`;
+    3. a live ``spark`` session → the Hadoop FileSystem API (covers
+       ``hdfs://``, ``s3a://``, ``gs://``, ... — whatever the
+       cluster's Hadoop conf can mount);
+    4. ``fsspec`` if importable (covers ``s3://``, ``gcs://``, ...).
+
+    Raises ``ValueError`` for a scheme nothing can handle — a config
+    pointing at ``hdfs://`` must never be silently "checked" against
+    the local filesystem (the round-6 parity gap)."""
+    from urllib.parse import urlparse
+
+    scheme = urlparse(path).scheme
+    if scheme in _SCHEME_CHECKERS:
+        return bool(_SCHEME_CHECKERS[scheme](path))
+    if scheme == '':
+        return local_path_exists(path)
+    if spark is not None:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(conf)
+        return bool(fs.exists(p))
+    if scheme == 'file':
+        return local_path_exists(urlparse(path).path)
+    try:
+        import fsspec
+    except ImportError:
+        raise ValueError(
+            f'no checker for scheme {scheme!r} ({path}): register one'
+            f' via register_scheme_checker, pass a SparkSession for'
+            f' the Hadoop FileSystem API, or install fsspec')
+    fs, fs_path = fsspec.core.url_to_fs(path)
+    return bool(fs.exists(fs_path))
+
+
+def make_path_checker(spark=None) -> Callable[[str], bool]:
+    """A ``path_exists`` callable for :func:`get_filepath_errors`
+    bound to an optional SparkSession — the deployment-ready default
+    for configs mixing local and remote paths."""
+    return lambda p: remote_path_exists(p, spark)
 
 
 def get_filepath_errors(

@@ -145,3 +145,58 @@ class TestValidationReport:
         assert get_underlined_header('hi') == 'hi\n--'
         assert remove_list_wrappers([['x']]) == 'x'
         assert remove_list_wrappers({'k': [['v']]}) == {'k': 'v'}
+
+
+class TestRemotePathChecker:
+    """Scheme-dispatching existence checks: injected checkers win,
+    local paths fall back to os.path, unknown remote schemes fail
+    LOUDLY instead of being silently checked against the local FS."""
+
+    def test_injected_fake_remote_scheme(self, tmp_path):
+        from ons_utils_spark.config import validation as v
+        seen = []
+
+        def fake(path):
+            seen.append(path)
+            return path.endswith('/exists')
+
+        v.register_scheme_checker('fakefs', fake)
+        try:
+            assert v.remote_path_exists('fakefs://bucket/exists')
+            assert not v.remote_path_exists('fakefs://bucket/missing')
+            errs = v.get_filepath_errors(
+                {'filepaths': {'a': 'fakefs://b/exists',
+                               'b': 'fakefs://b/nope'}},
+                path_exists=v.make_path_checker())
+            assert errs == ['path does not exist: fakefs://b/nope']
+        finally:
+            v.register_scheme_checker('fakefs', None)
+        assert len(seen) == 4
+
+    def test_local_and_file_scheme(self, tmp_path):
+        from ons_utils_spark.config import validation as v
+        p = tmp_path / 'x.txt'
+        p.write_text('hi')
+        assert v.remote_path_exists(str(p))
+        assert v.remote_path_exists(f'file://{p}')
+        assert not v.remote_path_exists(str(tmp_path / 'missing'))
+
+    def test_unknown_scheme_raises_without_spark_or_fsspec(self):
+        from ons_utils_spark.config import validation as v
+        with pytest.raises(ValueError, match='no checker for scheme'):
+            v.remote_path_exists('hdfs://nn/data/part-0000')
+
+    def test_hadoop_fs_branch_with_spark(self, spark_session, tmp_path):
+        from ons_utils_spark.config import validation as v
+        p = tmp_path / 'y.txt'
+        p.write_text('hi')
+        # force the Hadoop FileSystem branch with an explicit scheme
+        # the local Hadoop conf can mount
+        assert v.remote_path_exists(f'file:{p}', spark=spark_session)
+        assert not v.remote_path_exists(
+            f'file:{tmp_path}/missing', spark=spark_session)
+
+    def test_reference_entrypoint_alias(self):
+        from ons_utils_spark.config import validation as v
+        assert (v.validate_webscraped_scenario_config
+                is v.validate_config_sections)
