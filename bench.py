@@ -154,6 +154,7 @@ def main() -> None:
         'repeat': repeat,
         'cold_fallback': repeat == 0,
         'spread': spread,
+        'warmup_sec': round(warmup_time, 1),
         'extras': extras,
     }
     # Full detail for the repo (judge-readable); the stdout line below

@@ -851,36 +851,49 @@ def simhash_dedup(
     Hamming distance 3 (pigeonhole: one 16-bit block must match
     exactly), verified by true Hamming distance, then greedy
     keep-lowest-id. Shuffle volume O(rows × 4), never O(rows²)."""
-    # Token hashing in the JVM; bit votes vectorized in numpy. The
-    # repartition barrier lets the self-join reuse one exchange
-    # instead of running the UDF once per branch.
+    # Token hashing in the JVM; bit votes vectorized in numpy.  The
+    # signature frame (id + 4 bigints, ~40 B/row at ANY corpus
+    # size) is PERSISTED rather than trusting AQE exchange reuse to
+    # cover the self-join: reuse silently breaks when the input plan
+    # branches don't canonicalize identically (observed with a
+    # union-sourced corpus — the whole tokenize+UDF pipeline re-ran
+    # per branch, 1.3s -> 3.6s at sf0.1), and persisting the tiny
+    # frame is the cost-stable contract.  The drop-list is evaluated
+    # eagerly so the cache never outlives the call (same structure
+    # as :func:`minhash_dedup`).
+    from pyspark import StorageLevel
+
     token_hashes = F.transform(
         tokenize(normalize_text(text_col)), lambda t: F.xxhash64(t)
     )
     sigs = df.select(
         F.col(id_col).alias('__id'),
         simhash_blocks_udf(4)(token_hashes).alias('__blocks'),
-    ).repartition(F.col('__id'))
-    banded = sigs.select(
-        '__id', '__blocks',
-        F.posexplode('__blocks').alias('block', 'key'),
-    )
-    l, r = banded.alias('l'), banded.alias('r')
-    pairs = (
-        l.join(r, on=[
-            F.col('l.block') == F.col('r.block'),
-            F.col('l.key') == F.col('r.key'),
-            F.col('l.__id') < F.col('r.__id'),
-        ])
-        .filter(
-            hamming_distance_blocks(F.col('l.__blocks'),
-                                    F.col('r.__blocks'))
-            <= max_hamming
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        banded = sigs.select(
+            '__id', '__blocks',
+            F.posexplode('__blocks').alias('block', 'key'),
         )
-        .select(F.col('r.__id').alias(id_col))
-        .distinct()
-    )
-    return df.join(pairs, on=id_col, how='left_anti')
+        l, r = banded.alias('l'), banded.alias('r')
+        to_drop = (
+            l.join(r, on=[
+                F.col('l.block') == F.col('r.block'),
+                F.col('l.key') == F.col('r.key'),
+                F.col('l.__id') < F.col('r.__id'),
+            ])
+            .filter(
+                hamming_distance_blocks(F.col('l.__blocks'),
+                                        F.col('r.__blocks'))
+                <= max_hamming
+            )
+            .select(F.col('r.__id').alias(id_col))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        sigs.unpersist()
+    return df.join(to_drop, on=id_col, how='left_anti')
 
 
 def ngram_jaccard_join(
@@ -1177,6 +1190,7 @@ def semantic_dedup_pairs(
     threshold: float = 0.95,
     iters: int = 1,
     seed: int = 42,
+    overlap: int = 1,
 ) -> SparkDF:
     """SemDeDup-style semantic near-duplicate pairs (Abbas et al.
     2023): k-means-cluster the embeddings, then compare pairs ONLY
@@ -1196,14 +1210,30 @@ def semantic_dedup_pairs(
     own knob); chunking bounds score-matrix memory at
     4096 × |cluster|.
 
+    ``overlap > 1`` assigns each vector to its ``overlap`` nearest
+    centroids (row count × overlap; pair scan grows ~overlap²): a
+    pair is found if the two share ANY probed cluster.  Measured by
+    tools/semdedup_probe.py on the sf0.1 corpus (hard case: weak
+    0.5-cosine pairs in a near-uniform cloud): recall 0.143 → 0.357
+    at 16 clusters (scan fraction 0.06 → 0.25), 0.143 → 0.571 at 32
+    clusters, 1.0 at 4 clusters.  Duplicate detections from shared
+    clusters collapse via max(cosine).
+
     Returns ``(id_a, id_b, cosine)``.
     """
-    from .similarity import ivf_assign, ivf_centroids
+    from .similarity import ivf_assign, ivf_assign_multi, ivf_centroids
 
+    if overlap < 1:
+        raise ValueError(f'overlap must be >= 1, got {overlap}')
     cents = ivf_centroids(df, vec_col=vec_col, id_col=id_col,
                           n_clusters=n_clusters, iters=iters, seed=seed)
-    tagged = ivf_assign(df, cents, vec_col=vec_col).select(
-        F.col(id_col), F.col(vec_col), '__ivf_c')
+    if overlap > 1:
+        tagged = ivf_assign_multi(
+            df, cents, vec_col=vec_col, n=overlap).select(
+            F.col(id_col), F.col(vec_col), '__ivf_c')
+    else:
+        tagged = ivf_assign(df, cents, vec_col=vec_col).select(
+            F.col(id_col), F.col(vec_col), '__ivf_c')
 
     # Per-cluster pairwise scoring as ONE BLAS GEMM per group
     # (applyInPandas): an equi-join + per-pair interpreted cosine
@@ -1240,8 +1270,16 @@ def semantic_dedup_pairs(
             'cosine': np.concatenate(out_c),
         })
 
-    return tagged.groupBy('__ivf_c').applyInPandas(
+    pairs = tagged.groupBy('__ivf_c').applyInPandas(
         _pairs, 'id_a long, id_b long, cosine double')
+    if overlap > 1:
+        # the same pair surfaces once per shared probed cluster;
+        # max() collapses them (BLAS blocking may differ across
+        # cluster matrices, so the duplicate scores can differ in
+        # the last ulp — max is deterministic either way)
+        pairs = pairs.groupBy('id_a', 'id_b').agg(
+            F.max('cosine').alias('cosine'))
+    return pairs
 
 
 def semantic_dedup(
@@ -1252,6 +1290,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     iters: int = 1,
     seed: int = 42,
+    overlap: int = 1,
 ) -> SparkDF:
     """Keep one representative per semantic-duplicate neighborhood.
 
@@ -1264,7 +1303,8 @@ def semantic_dedup(
     One anti-join against the (small) dropped-id set.
     """
     pairs = semantic_dedup_pairs(
-        df, id_col, vec_col, n_clusters, threshold, iters, seed)
+        df, id_col, vec_col, n_clusters, threshold, iters, seed,
+        overlap=overlap)
     dropped = pairs.select(F.col('id_b').alias(id_col)).distinct()
     return df.join(dropped, on=id_col, how='left_anti')
 

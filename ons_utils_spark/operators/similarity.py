@@ -481,6 +481,32 @@ def ivf_assign(
     return df.withColumn(output_col, nearest(F.col(vec_col)))
 
 
+def ivf_assign_multi(
+    df: SparkDF,
+    centroids: np.ndarray,
+    vec_col: str = 'embedding',
+    n: int = 2,
+    output_col: str = '__ivf_c',
+) -> SparkDF:
+    """Tag each row with its ``n`` nearest centroids — one output row
+    per (input row, probe cluster), i.e. the overlap-assignment used
+    to recover cluster-boundary misses in SemDeDup-style pruning
+    (row count multiplies by ``n``; downstream per-cluster work grows
+    accordingly). Same GEMM + stable argsort as :func:`ivf_topk`'s
+    query probing."""
+    cn = _normalize_rows(np.asarray(centroids, dtype=np.float64))
+    n = min(n, cn.shape[0])
+
+    @F.pandas_udf('array<int>')
+    def topn(batch: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vecs in batch:
+            m = np.stack(vecs.to_numpy()).astype(np.float64)
+            order = np.argsort(-(m @ cn.T), axis=1, kind='stable')
+            yield pd.Series(list(order[:, :n].astype(np.int32)))
+
+    return df.withColumn(output_col, F.explode(topn(F.col(vec_col))))
+
+
 def ivf_topk(
     corpus: SparkDF,
     queries: SparkDF,

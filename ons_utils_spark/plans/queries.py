@@ -544,6 +544,21 @@ def _planted_dedup_families(spark: SparkSession) -> SparkDF:
     return spark.createDataFrame(rows, 'doc_id long, text string')
 
 
+def _planted_dedup_corpus(spark: SparkSession, sf_dir: str,
+                          documents: SparkDF) -> SparkDF:
+    """documents ∪ planted families, localCheckpoint-ed ONCE per
+    session: the union feeds four plan branches inside the dedup
+    operators and a union-sourced plan defeats AQE exchange reuse
+    (the scan re-runs per branch) — fixture plumbing, cached like
+    the ANN artifacts (keyed on sf_dir + applicationId since a
+    checkpointed frame dies with its session)."""
+    key = (f'dedup-corpus:{sf_dir}'
+           f'@{spark.sparkContext.applicationId}')
+    return _artifact(key, lambda: documents.select(
+        'doc_id', 'text'
+    ).unionByName(_planted_dedup_families(spark)).localCheckpoint())
+
+
 def _planted_survivors(kept: SparkDF) -> SparkDF:
     return (
         kept.filter(F.col('doc_id') >= 8_000_000)
@@ -567,8 +582,7 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> SparkDF:
     Near-dup recall on organic pairs stays covered by unit tests and
     tools/lsh_recall_probe.py."""
     (documents,) = _t(spark, sf_dir, 'documents')
-    corpus = documents.select('doc_id', 'text').unionByName(
-        _planted_dedup_families(spark))
+    corpus = _planted_dedup_corpus(spark, sf_dir, documents)
     kept = dd.minhash_dedup(
         corpus, 'doc_id', 'text',
         num_hashes=64, bands=16, jaccard_threshold=0.5,
@@ -586,8 +600,7 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> SparkDF:
     has probability ~1e-10 per dataset (and is deterministic given
     the data — verified at both gate SFs)."""
     (documents,) = _t(spark, sf_dir, 'documents')
-    corpus = documents.select('doc_id', 'text').unionByName(
-        _planted_dedup_families(spark))
+    corpus = _planted_dedup_corpus(spark, sf_dir, documents)
     kept = dd.simhash_dedup(corpus, 'doc_id', 'text', max_hamming=3)
     return _planted_survivors(kept)
 
@@ -699,18 +712,31 @@ def _planted_rank_emission(out: SparkDF, score_col: str) -> SparkDF:
 # memory).  Keyed on (kind, sf_dir, corpus tag, params) so different
 # scale factors / corpus variants never share artifacts.
 _ANN_ARTIFACTS: Dict[str, object] = {}
+# bench warms queries through a thread pool — per-key locks keep a
+# concurrent first call from training twice / double-persisting
+# (training is deterministic, so a race would be wasteful, not wrong)
+_ANN_LOCK = __import__('threading').Lock()
+_ANN_KEY_LOCKS: Dict[str, object] = {}
+
+
+def _artifact(key: str, build: 'Callable[[], object]'):
+    with _ANN_LOCK:
+        if key in _ANN_ARTIFACTS:
+            return _ANN_ARTIFACTS[key]
+        lock = _ANN_KEY_LOCKS.setdefault(
+            key, __import__('threading').Lock())
+    with lock:
+        if key not in _ANN_ARTIFACTS:
+            _ANN_ARTIFACTS[key] = build()
+    return _ANN_ARTIFACTS[key]
 
 
 def _cached_pq_books(corpus: SparkDF, key: str, **train_kw):
-    if key not in _ANN_ARTIFACTS:
-        _ANN_ARTIFACTS[key] = sim.pq_train(corpus, **train_kw)
-    return _ANN_ARTIFACTS[key]
+    return _artifact(key, lambda: sim.pq_train(corpus, **train_kw))
 
 
 def _cached_ivf_centroids(corpus: SparkDF, key: str, **fit_kw):
-    if key not in _ANN_ARTIFACTS:
-        _ANN_ARTIFACTS[key] = sim.ivf_centroids(corpus, **fit_kw)
-    return _ANN_ARTIFACTS[key]
+    return _artifact(key, lambda: sim.ivf_centroids(corpus, **fit_kw))
 
 
 def _cached_pq_codes(corpus: SparkDF, books, key: str) -> SparkDF:
@@ -723,12 +749,14 @@ def _cached_pq_codes(corpus: SparkDF, books, key: str) -> SparkDF:
     # touching a dangling plan (numpy artifacts above have no such
     # binding and may outlive sessions).
     key = f'{key}@{corpus.sparkSession.sparkContext.applicationId}'
-    if key not in _ANN_ARTIFACTS:
+
+    def _build():
         codes = sim.pq_encode(corpus, books).select('vec_id', 'pq_code')
         codes = codes.persist()
         codes.count()
-        _ANN_ARTIFACTS[key] = codes
-    return _ANN_ARTIFACTS[key]
+        return codes
+
+    return _artifact(key, _build)
 
 
 _PLANTED_ANN_ORACLE = """

@@ -787,3 +787,56 @@ class TestWithCharShingles:
             df, 'text', 3, out_col='s', norm_col='t').collect()[0]
         assert out['t'] == 'a b'
         assert 'a b' in out['s']
+
+
+class TestSemanticDedupOverlap:
+    """overlap>1 (top-n centroid assignment) must be a superset of
+    the overlap=1 pair set, collapse duplicate detections, and at
+    overlap == n_clusters degenerate to the exact full pair scan."""
+
+    def _emb(self, spark_session, n=120, seed=3):
+        import random
+        rng = random.Random(seed)
+        rows = []
+        for i in range(n):
+            v = [rng.gauss(0, 1) for _ in range(8)]
+            rows.append((i, v))
+            if i % 17 == 0:  # plant exact duplicates
+                rows.append((1000 + i, list(v)))
+        return spark_session.createDataFrame(
+            rows, 'vec_id long, embedding array<double>')
+
+    def test_overlap_superset_and_dedup(self, spark_session):
+        emb = self._emb(spark_session)
+        p1 = {(r['id_a'], r['id_b']) for r in dd.semantic_dedup_pairs(
+            emb, n_clusters=6, threshold=0.9, overlap=1).collect()}
+        rows2 = dd.semantic_dedup_pairs(
+            emb, n_clusters=6, threshold=0.9, overlap=2).collect()
+        p2 = {(r['id_a'], r['id_b']) for r in rows2}
+        assert p1 <= p2
+        assert len(rows2) == len(p2)  # no duplicate pair rows
+
+    def test_full_overlap_equals_exact(self, spark_session):
+        emb = self._emb(spark_session, n=80)
+        exact = {(r['id_a'], r['id_b'])
+                 for r in dd.embedding_near_duplicates(
+                     emb, 'vec_id', 'embedding',
+                     threshold=0.9).collect()}
+        full = {(r['id_a'], r['id_b'])
+                for r in dd.semantic_dedup_pairs(
+                    emb, n_clusters=5, threshold=0.9,
+                    overlap=5).collect()}
+        assert full == exact
+
+    def test_overlap_validation(self, spark_session):
+        emb = self._emb(spark_session, n=20)
+        with pytest.raises(ValueError, match='overlap'):
+            dd.semantic_dedup_pairs(emb, overlap=0).collect()
+
+    def test_semantic_dedup_passes_overlap(self, spark_session):
+        emb = self._emb(spark_session, n=60)
+        kept1 = dd.semantic_dedup(
+            emb, n_clusters=4, threshold=0.99, overlap=1).count()
+        kept2 = dd.semantic_dedup(
+            emb, n_clusters=4, threshold=0.99, overlap=2).count()
+        assert kept2 <= kept1  # more pairs found -> no fewer drops

@@ -47,29 +47,36 @@ def main() -> None:
     print(f'{n} vectors; ground truth: {len(truth)} pairs with '
           f'cosine >= {thr} (exact blocked GEMM)')
 
-    print(f'{"clusters":>9} {"pairs":>7} {"recall":>7} '
+    print(f'{"clusters":>9} {"overlap":>8} {"pairs":>7} {"recall":>7} '
           f'{"precision":>9} {"scan_frac":>9}')
+    from ons_utils_spark.operators.similarity import (
+        ivf_assign, ivf_assign_multi, ivf_centroids)
     for n_clusters in (4, 8, 16, 32, 64):
-        got = {
-            (r['id_a'], r['id_b'])
-            for r in dd.semantic_dedup_pairs(
-                emb, 'vec_id', 'embedding',
-                n_clusters=n_clusters, threshold=thr).collect()
-        }
-        hit = len(truth & got)
-        recall = hit / len(truth) if truth else 1.0
-        precision = hit / len(got) if got else 1.0
-        # scanned-pair fraction: sum |cluster| choose 2 over n choose 2
-        from ons_utils_spark.operators.similarity import (
-            ivf_assign, ivf_centroids)
         cents = ivf_centroids(emb, 'embedding', 'vec_id',
                               n_clusters=n_clusters, iters=1)
-        sizes = (ivf_assign(emb, cents, vec_col='embedding')
-                 .groupBy('__ivf_c').count().collect())
-        scanned = sum(r['count'] * (r['count'] - 1) // 2 for r in sizes)
-        frac = scanned / (n * (n - 1) // 2)
-        print(f'{n_clusters:>9} {len(got):>7} {recall:>7.3f} '
-              f'{precision:>9.3f} {frac:>9.4f}')
+        for overlap in (1, 2):
+            got = {
+                (r['id_a'], r['id_b'])
+                for r in dd.semantic_dedup_pairs(
+                    emb, 'vec_id', 'embedding',
+                    n_clusters=n_clusters, threshold=thr,
+                    overlap=overlap).collect()
+            }
+            hit = len(truth & got)
+            recall = hit / len(truth) if truth else 1.0
+            precision = hit / len(got) if got else 1.0
+            # scanned-pair fraction: sum |cluster| choose 2 (over the
+            # overlap-exploded assignment) / n choose 2
+            assigner = (ivf_assign(emb, cents, vec_col='embedding')
+                        if overlap == 1 else
+                        ivf_assign_multi(emb, cents,
+                                         vec_col='embedding', n=overlap))
+            sizes = assigner.groupBy('__ivf_c').count().collect()
+            scanned = sum(r['count'] * (r['count'] - 1) // 2
+                          for r in sizes)
+            frac = scanned / (n * (n - 1) // 2)
+            print(f'{n_clusters:>9} {overlap:>8} {len(got):>7} '
+                  f'{recall:>7.3f} {precision:>9.3f} {frac:>9.4f}')
     spark.stop()
 
 
