@@ -80,3 +80,21 @@ class TestCms:
         import re
         assert len(re.findall(r'\(\d+\) Exchange', plan)) == 1, plan
         assert 'partial_count' in plan
+
+
+class TestCmsEstimatePlan:
+    def test_probe_join_broadcasts_the_sketch(self, zipfy,
+                                              spark_session):
+        """The sketch (<= depth x width rows by construction) must be
+        the broadcast build side of the probe join — broadcasting the
+        preserved side of an outer join is impossible, so the old
+        right-join-with-hint silently shuffled the sketch."""
+        from ons_utils_spark.operators.sketches import (
+            cms_build, cms_estimate)
+        df = zipfy(spark_session)
+        sketch = cms_build(df, 'v', depth=4, width=64)
+        queries = df.select('v').distinct().limit(5)
+        est = cms_estimate(sketch, queries, 'v', depth=4, width=64)
+        plan = est._jdf.queryExecution().executedPlan().toString()
+        assert 'BroadcastHashJoin' in plan, plan
+        assert 'SortMergeJoin' not in plan, plan
