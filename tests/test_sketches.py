@@ -91,10 +91,9 @@ class TestCmsEstimatePlan:
         right-join-with-hint silently shuffled the sketch."""
         from ons_utils_spark.operators.sketches import (
             cms_build, cms_estimate)
-        df = zipfy(spark_session)
-        sketch = cms_build(df, 'v', depth=4, width=64)
-        queries = df.select('v').distinct().limit(5)
-        est = cms_estimate(sketch, queries, 'v', depth=4, width=64)
+        sketch = cms_build(zipfy, 'tok', depth=4, width=64)
+        queries = zipfy.select('tok').distinct().limit(5)
+        est = cms_estimate(sketch, queries, 'tok', depth=4, width=64)
         plan = est._jdf.queryExecution().executedPlan().toString()
         assert 'BroadcastHashJoin' in plan, plan
         assert 'SortMergeJoin' not in plan, plan
