@@ -317,37 +317,56 @@ def gopher_quality_flags(
     * ``gopher_pass``  — all of the above
     """
     c = convert_to_spark_col(col)
-    toks = tokenize(normalize_text(c))
-    n_words = F.size(toks)
-    # total in-word chars: join is one pass, no per-token lambda
-    n_word_chars = F.length(F.array_join(toks, ''))
-    n_symbols = F.regexp_count(c, F.lit(r'#|\.\.\.|…'))
-    lines = F.split(c, '\n')
-    n_lines = F.size(lines)
-    n_bullet = F.size(F.filter(
-        lines, lambda x: F.ltrim(x).rlike(r'^[-*•]')))
-    n_ellipsis = F.size(F.filter(
-        lines, lambda x: F.rtrim(x).rlike(r'(\.\.\.|…)$')))
-    n_alpha = F.size(F.filter(toks, lambda t: t.rlike('[a-z]')))
-    n_stop = F.size(F.array_intersect(
-        F.array_distinct(toks),
-        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])))
+    # Stage the token/line arrays as their OWN aliased projections:
+    # the flag expressions reference them 10+ times, the Project
+    # containing them is interpreted (higher-order filter lambdas
+    # disable whole-stage codegen), and CollapseProject refuses to
+    # duplicate a non-cheap aliased expression — so the tokenize
+    # regex pipeline runs once per row instead of once per flag
+    # (the plan previously repeated it ~10x per row).
+    staged = df.withColumns({
+        '__g_toks': tokenize(normalize_text(c)),
+        '__g_lines': F.split(c, '\n'),
+    })
+    toks, lines = F.col('__g_toks'), F.col('__g_lines')
+    counted = staged.withColumns({
+        '__g_n_words': F.size(toks),
+        # total in-word chars: join is one pass, no per-token lambda
+        '__g_n_word_chars': F.length(F.array_join(toks, '')),
+        '__g_n_symbols': F.regexp_count(c, F.lit(r'#|\.\.\.|…')),
+        '__g_n_lines': F.size(lines),
+        '__g_n_bullet': F.size(F.filter(
+            lines, lambda x: F.ltrim(x).rlike(r'^[-*•]'))),
+        '__g_n_ellipsis': F.size(F.filter(
+            lines, lambda x: F.rtrim(x).rlike(r'(\.\.\.|…)$'))),
+        '__g_n_alpha': F.size(F.filter(
+            toks, lambda t: t.rlike('[a-z]'))),
+        '__g_n_stop': F.size(F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))),
+    })
+    n_words = F.col('__g_n_words')
+    n_word_chars = F.col('__g_n_word_chars')
+    n_lines = F.col('__g_n_lines')
     flags = {
         'g_words': (n_words >= min_words) & (n_words <= max_words),
         'g_word_len': (n_word_chars >= min_mean_word_len * n_words)
         & (n_word_chars <= max_mean_word_len * n_words),
-        'g_symbols': n_symbols * 10 <= n_words,
-        'g_bullets': n_bullet * 10 <= n_lines * 9,
-        'g_ellipsis': n_ellipsis * 10 <= n_lines * 3,
-        'g_alpha': n_alpha * 10 >= n_words * 8,
-        'g_stopwords': n_stop >= min_stopwords,
+        'g_symbols': F.col('__g_n_symbols') * 10 <= n_words,
+        'g_bullets': F.col('__g_n_bullet') * 10 <= n_lines * 9,
+        'g_ellipsis': F.col('__g_n_ellipsis') * 10 <= n_lines * 3,
+        'g_alpha': F.col('__g_n_alpha') * 10 >= n_words * 8,
+        'g_stopwords': F.col('__g_n_stop') >= min_stopwords,
     }
-    out = df.withColumns(flags)
+    out = counted.withColumns(flags)
     passed = None
     for name in flags:
         passed = F.col(name) if passed is None \
             else passed & F.col(name)
-    return out.withColumn('gopher_pass', passed)
+    return out.withColumn('gopher_pass', passed).drop(
+        '__g_toks', '__g_lines', '__g_n_words', '__g_n_word_chars',
+        '__g_n_symbols', '__g_n_lines', '__g_n_bullet',
+        '__g_n_ellipsis', '__g_n_alpha', '__g_n_stop')
 
 
 def language_id(col: ColumnOrName) -> SparkCol:
