@@ -38,7 +38,14 @@ class MiniValidator:
     ``required``, ``allowed``, ``min``/``max``, ``schema`` (nested
     mapping). Unknown fields are allowed (cerberus
     ``allow_unknown=True``).
+
+    A schema using any OTHER cerberus rule (``regex``, ``coerce``,
+    custom rules, ...) raises ``ValueError`` instead of silently
+    under-validating — install cerberus or inject a full validator
+    via :func:`set_validator_factory` for those.
     """
+
+    _RULES = {'type', 'required', 'allowed', 'min', 'max', 'schema'}
 
     _TYPES = {
         'string': str,
@@ -63,6 +70,13 @@ class MiniValidator:
     ) -> dict:
         errors: dict = {}
         for field, rules in schema.items():
+            unsupported = set(rules) - self._RULES
+            if unsupported:
+                raise ValueError(
+                    f'schema rule(s) {sorted(unsupported)} for field'
+                    f' {field!r} are outside MiniValidator\'s subset'
+                    f' {sorted(self._RULES)} — install cerberus or'
+                    f' inject a validator via set_validator_factory')
             if field not in doc or doc[field] is None:
                 if rules.get('required'):
                     errors[field] = ['required field']
@@ -102,8 +116,28 @@ class MiniValidator:
         return errors
 
 
+# Injected validator factory (highest precedence): any callable
+# schema -> validator exposing .validate(doc) and .errors — lets a
+# deployment plug in full cerberus (custom rules, coercions) or any
+# other engine without monkeypatching.
+_VALIDATOR_FACTORY: Optional[Callable[[Mapping[str, Any]], Any]] = None
+
+
+def set_validator_factory(
+    factory: Optional[Callable[[Mapping[str, Any]], Any]],
+) -> None:
+    """Install (or clear with ``None``) the validator factory used by
+    :func:`get_validator`."""
+    global _VALIDATOR_FACTORY
+    _VALIDATOR_FACTORY = factory
+
+
 def get_validator(schema: Mapping[str, Any]):
-    """cerberus validator when installed, else :class:`MiniValidator`."""
+    """Injected factory if set, else cerberus when installed, else
+    :class:`MiniValidator` (which raises on rules outside its
+    documented subset rather than silently under-validating)."""
+    if _VALIDATOR_FACTORY is not None:
+        return _VALIDATOR_FACTORY(schema)
     if HAS_CERBERUS:  # pragma: no cover
         return cerberus.Validator(schema, allow_unknown=True)
     return MiniValidator(schema)

@@ -200,3 +200,40 @@ class TestRemotePathChecker:
         from ons_utils_spark.config import validation as v
         assert (v.validate_webscraped_scenario_config
                 is v.validate_config_sections)
+
+
+class TestValidatorInjection:
+    def test_unsupported_rule_raises_loudly(self):
+        from ons_utils_spark.config.validation import MiniValidator
+        v = MiniValidator({'name': {'type': 'string',
+                                    'regex': '^[a-z]+$'}})
+        with pytest.raises(ValueError, match='regex'):
+            v.validate({'name': 'abc'})
+
+    def test_factory_injection(self):
+        from ons_utils_spark.config import validation as v
+
+        class FakeValidator:
+            def __init__(self, schema):
+                self.schema = schema
+                self.errors = {}
+
+            def validate(self, doc):
+                if 'bad' in doc:
+                    self.errors = {'bad': ['nope']}
+                    return False
+                return True
+
+        v.set_validator_factory(FakeValidator)
+        try:
+            assert v.get_cerberus_errors({'ok': 1}, {'any': {}}) == []
+            errs = v.get_cerberus_errors({'bad': 1}, {'any': {}})
+            assert errs == ['bad: nope']
+        finally:
+            v.set_validator_factory(None)
+
+    def test_supported_subset_still_validates(self):
+        from ons_utils_spark.config.validation import MiniValidator
+        v = MiniValidator({'n': {'type': 'integer', 'min': 1}})
+        assert not v.validate({'n': 0})
+        assert v.validate({'n': 2})
