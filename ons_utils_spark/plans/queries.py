@@ -1645,7 +1645,13 @@ def q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> SparkDF:
               F.col('l_partkey') == F.col('p_partkey'))
         .groupBy('p_partkey', 'p_brand')
         .agg(
-            F.round(F.min(unit_price), 4).alias('min_unit_price'),
+            # scaled-int emission (TODO pitfall #4): round(x, 4)
+            # diverges between engines at exact half boundaries
+            # (Spark BigDecimal HALF_UP vs DuckDB double rounding —
+            # hit at sf0.1: 2155.70875); round(x*1e4) on the SAME
+            # double is engine-identical
+            F.round(F.min(unit_price) * 10000).cast('long')
+            .alias('min_unit_price_u4'),
             # argmin with (price, suppkey) struct: deterministic on
             # per-unit-price ties
             F.min_by('l_suppkey',
@@ -1657,7 +1663,7 @@ def q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> SparkDF:
     return (
         best.join(F.broadcast(asia_supps),
                   F.col('best_suppkey') == F.col('s_suppkey'))
-        .select('p_partkey', 'p_brand', 'min_unit_price',
+        .select('p_partkey', 'p_brand', 'min_unit_price_u4',
                 'best_suppkey', 's_name')
     )
 
@@ -5541,7 +5547,7 @@ ORACLES: Dict[str, str] = {
             FROM lines
         )
         SELECT p_partkey, p_brand,
-               round(up, 4) AS min_unit_price,
+               CAST(round(up * 10000) AS BIGINT) AS min_unit_price_u4,
                l_suppkey AS best_suppkey, s_name
         FROM ranked JOIN asia_supps ON l_suppkey = s_suppkey
         WHERE rn = 1
