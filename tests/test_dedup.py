@@ -768,6 +768,8 @@ class TestWithCharShingles:
             (4, None),                      # null
             (5, 'abcde'),                   # exactly n
             (6, '東京都渋谷区の天気は晴れです'),  # no-space script
+            (8, '🎉🎊🎈 party 🎉🎊🎈 emoji'),   # astral-plane codepoints
+            (9, 'a\u0301e\u0301 combining marks repeated a\u0301'),
             (7, '  spaced   out\ttabs\nnewlines  '),
         ]
         df = spark_session.createDataFrame(
