@@ -2675,10 +2675,16 @@ def q_winsorized_revenue(spark: SparkSession, sf_dir: str) -> SparkDF:
     lineitem = ensure_min_parallelism(lineitem)
     clipped = winsorize(lineitem, 'l_extendedprice', 0.05, 0.95,
                         output_col='price_w')
+    # DECIMAL-staged sums (TODO pitfall #4): double summation order
+    # differs between engines, and round(sum_double, 2) straddled a
+    # half-cent at sf0.001; decimal addition is exact so both
+    # engines agree bit-for-bit.
     return clipped.groupBy('l_returnflag').agg(
         F.count(F.lit(1)).alias('n_lines'),
-        F.round(F.sum('l_extendedprice'), 2).alias('sum_raw'),
-        F.round(F.sum('price_w'), 2).alias('sum_winsorized'),
+        F.round(F.sum(F.col('l_extendedprice').cast('decimal(18,4)')),
+                2).cast('double').alias('sum_raw'),
+        F.round(F.sum(F.col('price_w').cast('decimal(18,4)')),
+                2).cast('double').alias('sum_winsorized'),
     )
 
 
@@ -6254,8 +6260,12 @@ ORACLES: Dict[str, str] = {
         )
         SELECT l_returnflag,
                count(*) AS n_lines,
-               round(sum(l_extendedprice), 2) AS sum_raw,
-               round(sum(least(greatest(l_extendedprice, lo), hi)), 2)
+               CAST(round(sum(CAST(l_extendedprice
+                                   AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS sum_raw,
+               CAST(round(sum(CAST(least(greatest(l_extendedprice,
+                                                  lo), hi)
+                                   AS DECIMAL(18,4))), 2) AS DOUBLE)
                    AS sum_winsorized
         FROM lineitem CROSS JOIN b
         GROUP BY l_returnflag
