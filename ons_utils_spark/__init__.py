@@ -54,6 +54,8 @@ from .operators.dedup import (
     embedding_near_duplicates,
     exact_dedup,
     minhash_dedup,
+    minhash_band_index,
+    minhash_index_probe,
     minhash_lsh_candidates,
     minhash_lsh_candidates_portable,
     ngram_jaccard_join,
@@ -175,6 +177,7 @@ __all__ = [
     'get_spark',
     'json_get', 'json_struct', 'with_json_fields',
     'exact_dedup', 'minhash_dedup', 'minhash_lsh_candidates',
+    'minhash_band_index', 'minhash_index_probe',
     'minhash_lsh_candidates_portable', 'char_shingles',
     'simhash_dedup', 'simhash_candidates_portable',
     'ngram_jaccard_join', 'embedding_near_duplicates',

@@ -317,7 +317,7 @@ def minhash_signature_udf(num_hashes: int = 64):
     return _sig
 
 
-def minhash_lsh_candidates(
+def minhash_band_index(
     df: SparkDF,
     id_col: str = 'doc_id',
     text_col: str = 'text',
@@ -327,15 +327,21 @@ def minhash_lsh_candidates(
     hashed_shingles: Optional[SparkDF] = None,
     shingles: str = 'word',
 ) -> SparkDF:
-    """Candidate near-duplicate pairs via banded MinHash LSH.
+    """``(<id_col>, band, bucket)`` banded MinHash index frame.
 
-    rows → (id, signature) → explode into ``bands`` band-hash keys →
-    self-join on (band, band_hash) → distinct (id_a < id_b) pairs.
-    Shuffle volume is O(rows × bands), never O(rows²).
+    This IS the incremental-dedup artifact: write it as a table
+    (partitioned/bucketed by ``(band, bucket)``) once per corpus,
+    then dedup each incoming batch by banding ONLY the batch with
+    identical parameters and equi-joining the stored index
+    (:func:`minhash_index_probe`) — no corpus re-shingle, no corpus
+    re-shuffle, index growth is an append.  The same frame backs
+    :func:`minhash_lsh_candidates` (probe == the index self-join),
+    so batch and incremental paths can never diverge.
 
-    ``hashed_shingles`` (``__id``, ``__hs array<bigint>``) lets the
-    caller supply a precomputed — typically persisted — shingle-hash
-    frame so the (expensive) shingling is not re-derived here.
+    The signature pipeline is xxhash64-seeded and deterministic:
+    banding a document yields identical (band, bucket) keys on any
+    cluster at any time, which is what makes a STORED index joinable
+    against future batches.
     """
     _check_bands(num_hashes, bands)
     rows_per_band = num_hashes // bands
@@ -343,7 +349,7 @@ def minhash_lsh_candidates(
     # vectorized pandas UDF (Arrow transfer of small long arrays).
     # The explode(array(...)) wraps the shingle pipeline in a Generate
     # node: a plan barrier CollapseProject cannot cross, so the pandas
-    # UDF's input stays a plain attribute.  Without it the self-join's
+    # UDF's input stays a plain attribute.  Without it a self-join's
     # attribute dedup duplicates the shingle lambda tree into the UDF
     # argument of the rebuilt branch, where ExtractPythonUDFs fails to
     # extract it and execution dies with INTERNAL_ERROR "Cannot
@@ -378,7 +384,34 @@ def minhash_lsh_candidates(
                 ),
             )
         ).alias('bh'),
-    ).select('__id', 'bh.band', 'bh.bucket')
+    ).select(F.col('__id').alias(id_col), 'bh.band', 'bh.bucket')
+    return banded
+
+
+def minhash_lsh_candidates(
+    df: SparkDF,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    hashed_shingles: Optional[SparkDF] = None,
+    shingles: str = 'word',
+) -> SparkDF:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    rows → (id, signature) → explode into ``bands`` band-hash keys →
+    self-join on (band, band_hash) → distinct (id_a < id_b) pairs.
+    Shuffle volume is O(rows × bands), never O(rows²).
+
+    ``hashed_shingles`` (``__id``, ``__hs array<bigint>``) lets the
+    caller supply a precomputed — typically persisted — shingle-hash
+    frame so the (expensive) shingling is not re-derived here.
+    """
+    banded = minhash_band_index(
+        df, id_col, text_col, num_hashes, bands, shingle_n,
+        hashed_shingles, shingles,
+    ).withColumnRenamed(id_col, '__id')
 
     # Shuffle barrier: stops the optimizer from inlining the (large)
     # signature expression tree into both self-join branches — the two
@@ -401,6 +434,59 @@ def minhash_lsh_candidates(
             F.col('l.__id').alias('id_a'),
             F.col('r.__id').alias('id_b'),
         )
+        .distinct()
+    )
+
+
+def minhash_index_probe(
+    index: SparkDF,
+    df_new: SparkDF,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    shingles: str = 'word',
+    new_id: str = 'new_id',
+    index_id: str = 'index_id',
+) -> SparkDF:
+    """Candidate pairs between a NEW batch and a STORED band index.
+
+    The incremental half of MinHash dedup: ``index`` is a
+    :func:`minhash_band_index` frame (typically read back from a
+    table written with the corpus); only the new batch is shingled
+    and banded — with parameters that MUST match the index build:
+    band keys are parameter-dependent, and a mismatch yields silent
+    near-empty joins (store num_hashes/bands alongside the index
+    table and pass them through).  Equi-join on (band, bucket),
+    distinct (new, index) pairs; exact-verify against the corpus
+    text and append the new batch's band rows to the index table to
+    complete the cycle.
+
+    Pair-completeness contract (test-pinned): probe(index(old), new)
+    ∪ candidates(new) equals every candidate pair of old ∪ new that
+    touches a new document — banding is deterministic per document,
+    so splitting the corpus into (indexed, new) loses nothing.
+    """
+    idx_cols = set(index.columns)
+    if not {'band', 'bucket'} <= idx_cols:
+        raise ValueError(
+            f"index must be a minhash_band_index frame with 'band'"
+            f" and 'bucket' columns, got {sorted(idx_cols)}")
+    iid = ([c for c in index.columns if c not in ('band', 'bucket')]
+           or [None])[0]
+    if iid is None:
+        raise ValueError('index frame has no id column')
+    new_banded = minhash_band_index(
+        df_new, id_col, text_col, num_hashes, bands, shingle_n,
+        shingles=shingles,
+    )
+    return (
+        new_banded.withColumnRenamed(id_col, new_id)
+        .join(index.withColumnRenamed(iid, index_id),
+              on=['band', 'bucket'])
+        .filter(F.col(new_id) != F.col(index_id))
+        .select(new_id, index_id)
         .distinct()
     )
 

@@ -842,3 +842,71 @@ class TestSemanticDedupOverlap:
         kept2 = dd.semantic_dedup(
             emb, n_clusters=4, threshold=0.99, overlap=2).count()
         assert kept2 <= kept1  # more pairs found -> no fewer drops
+
+
+class TestMinHashIndex:
+    """Incremental LSH index: build once, probe new batches.  The
+    load-bearing invariant is pair-completeness — splitting a corpus
+    into (indexed, new) loses no candidate pair that touches a new
+    document, because banding is deterministic per document."""
+
+    def _batches(self, spark_session):
+        base = ('the quick brown fox jumps over the lazy dog while '
+                'the cat watches from the warm windowsill every day')
+        other = ('completely different text about spark catalyst '
+                 'optimizer rules and adaptive query execution plans')
+        old = spark_session.createDataFrame(
+            [(1, base), (2, other),
+             (3, 'some unrelated third document about gardening '
+                 'tips for growing tomatoes in cold climates')],
+            'doc_id long, text string')
+        new = spark_session.createDataFrame(
+            [(10, base.upper()),          # exact dup of 1
+             (11, 'fresh content that matches nothing else at all '
+                  'in the existing index or this batch today'),
+             (12, base + '  '),           # another dup of 1 (and 10)
+             ],
+            'doc_id long, text string')
+        return old, new
+
+    def test_probe_finds_cross_batch_duplicates(self, spark_session):
+        old, new = self._batches(spark_session)
+        index = dd.minhash_band_index(old, num_hashes=16, bands=8)
+        pairs = {(r['new_id'], r['index_id'])
+                 for r in dd.minhash_index_probe(
+                     index, new, num_hashes=16, bands=8).collect()}
+        assert (10, 1) in pairs and (12, 1) in pairs
+        assert not any(n == 11 for n, _ in pairs)
+
+    def test_pair_completeness_vs_full_rebuild(self, spark_session):
+        old, new = self._batches(spark_session)
+        full = {(r['id_a'], r['id_b'])
+                for r in dd.minhash_lsh_candidates(
+                    old.unionByName(new),
+                    num_hashes=16, bands=8).collect()}
+        new_ids = {10, 11, 12}
+        touching_new = {p for p in full
+                        if p[0] in new_ids or p[1] in new_ids}
+        index = dd.minhash_band_index(old, num_hashes=16, bands=8)
+        probe = {tuple(sorted((r['new_id'], r['index_id'])))
+                 for r in dd.minhash_index_probe(
+                     index, new, num_hashes=16, bands=8).collect()}
+        within_new = {(r['id_a'], r['id_b'])
+                      for r in dd.minhash_lsh_candidates(
+                          new, num_hashes=16, bands=8).collect()}
+        assert probe | within_new == touching_new
+
+    def test_candidates_unchanged_by_refactor(self, spark_session):
+        # the shared band-index path must reproduce the historical
+        # candidate set exactly
+        old, new = self._batches(spark_session)
+        allc = dd.minhash_lsh_candidates(
+            old.unionByName(new), num_hashes=16, bands=8)
+        pairs = {(r['id_a'], r['id_b']) for r in allc.collect()}
+        assert (1, 10) in pairs and (1, 12) in pairs \
+            and (10, 12) in pairs
+
+    def test_probe_validates_index_shape(self, spark_session):
+        old, new = self._batches(spark_session)
+        with pytest.raises(ValueError, match='band'):
+            dd.minhash_index_probe(old, new)
