@@ -3014,6 +3014,44 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> SparkDF:
         num_hashes=16, bands=4, shingle_n=3)
 
 
+def q_minhash_index_probe(spark: SparkSession,
+                          sf_dir: str) -> SparkDF:
+    """Incremental LSH dedup-at-ingest
+    (``dedup.minhash_band_index`` + ``minhash_index_probe``): the
+    corpus's banded index is built once; a NEW batch — clones of
+    five existing documents, ids 8.1M+ — is banded alone and probed
+    against it.  Emission keeps only probe hits whose word-3-shingle
+    SETS are identical to the new doc's (exact duplicates):
+    identical sets ⇒ identical signatures ⇒ guaranteed candidates
+    under any hash family, and any band-collision false positive is
+    killed by the set-equality verify — so the DuckDB oracle replays
+    the decision as exact shingle-set equality between the cloned
+    docs and the corpus (which also surfaces any ORGANIC exact
+    duplicates of the cloned docs, equally guaranteed)."""
+    (documents,) = _t(spark, sf_dir, 'documents')
+    old = documents.filter(F.col('text').isNotNull()) \
+        .select('doc_id', 'text')
+    probe_ids = [5, 17, 23, 40, 77]
+    new = old.filter(F.col('doc_id').isin(probe_ids)).select(
+        (F.col('doc_id') + F.lit(8_100_000)).alias('doc_id'), 'text')
+    index = dd.minhash_band_index(old, num_hashes=16, bands=8)
+    cand = dd.minhash_index_probe(
+        index, new, num_hashes=16, bands=8)
+    new_sh = old.filter(F.col('doc_id').isin(probe_ids)).select(
+        (F.col('doc_id') + F.lit(8_100_000)).alias('new_id'),
+        dd.word_shingles('text', 3).alias('__sa'))
+    old_sh = old.select(F.col('doc_id').alias('index_id'),
+                        dd.word_shingles('text', 3).alias('__sb'))
+    return (
+        cand.join(new_sh, on='new_id')
+        .join(old_sh, on='index_id')
+        .filter((F.size('__sa') == F.size('__sb'))
+                & (F.size(F.array_intersect('__sa', '__sb'))
+                   == F.size('__sa')))
+        .select('new_id', 'index_id')
+    )
+
+
 def q_minhash_dedup_verified(spark: SparkSession,
                              sf_dir: str) -> SparkDF:
     """The full dedup DECISION, hash-verified end-to-end: portable
@@ -3579,8 +3617,10 @@ QUERIES: Dict[str, QueryFn] = {
     'q_simhash_dedup': q_simhash_dedup,
     'q_minhash_dedup_verified': q_minhash_dedup_verified,
     # -- below the 50-slot window ---------------------------------
-    # round-8 rotation order: rows-only first, then r5-verified,
-    # then the round-6 window (freshest).
+    # round-8 rotation order: rows-only + the new r7 index-probe
+    # query first, then r5-verified, then the round-6 window
+    # (freshest).
+    'q_minhash_index_probe': q_minhash_index_probe,
     'q_approx_quantile_ladder': q_approx_quantile_ladder,
     'q_compression_quality': q_compression_quality,
     'q_price_trim': q_price_trim,
@@ -4838,6 +4878,38 @@ ORACLES: Dict[str, str] = {
         FROM banded l
         JOIN banded r ON l.b = r.b AND l.bucket = r.bucket
                       AND l.doc_id < r.doc_id
+    """,
+    # Incremental index probe: exact shingle-SET equality between
+    # the cloned new docs (ids 8.1M+) and the corpus is the
+    # guaranteed-candidate criterion any correct banded index must
+    # surface; band-collision false positives are killed by the
+    # same equality check on the engine side.
+    'q_minhash_index_probe': """
+        WITH d AS (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                       AS t
+            FROM documents WHERE text IS NOT NULL
+        ), tk AS (
+            SELECT doc_id, string_split(t, ' ') AS toks FROM d
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) - 2 >= 1 THEN
+                       list_distinct(list_transform(
+                           range(1, len(toks) - 1),
+                           i -> array_to_string(toks[i : i + 2], ' ')))
+                   ELSE [array_to_string(toks, ' ')] END AS shingles
+            FROM tk
+        ), probe AS (
+            SELECT doc_id + 8100000 AS new_id, shingles
+            FROM sh WHERE doc_id IN (5, 17, 23, 40, 77)
+        )
+        SELECT p.new_id, o.doc_id AS index_id
+        FROM probe p
+        JOIN sh o
+          ON len(p.shingles) = len(o.shingles)
+         AND len(list_intersect(p.shingles, o.shingles))
+             = len(p.shingles)
     """,
     # Replays the ENTIRE dedup decision of the portable MinHash
     # pipeline: md5 LSH candidates (the q_minhash_pairs CTEs) ->
