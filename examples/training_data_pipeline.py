@@ -191,6 +191,53 @@ def split_drift(split: DataFrame) -> DataFrame:
     return js_divergence(split, 'split', 'train', 'holdout')
 
 
+def incremental_ingest(
+    corpus: DataFrame,
+    new_batch: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Dedup a NEW batch against the curated corpus WITHOUT
+    re-processing the corpus — the steady-state ingest path once the
+    initial curation has run.
+
+    In production the band index is a stored table written at
+    curation time (``dd.minhash_band_index(corpus).write...``) and
+    read back here; this example builds it inline.  Only the new
+    batch is shingled and banded; candidates come from one equi-join
+    against the index, are exact-Jaccard-verified against the
+    corpus text, and surviving new docs are returned (append them
+    and their band rows to corpus + index to complete the cycle).
+    Within-batch duplicates are removed first with the ordinary
+    batch dedup over just the batch.
+    """
+    new_unique = dd.minhash_dedup(
+        new_batch, 'doc_id', 'text',
+        num_hashes=num_hashes, bands=bands,
+        jaccard_threshold=jaccard_threshold)
+    index = dd.minhash_band_index(
+        corpus, 'doc_id', 'text', num_hashes, bands)
+    cand = dd.minhash_index_probe(
+        index, new_unique, 'doc_id', 'text', num_hashes, bands)
+    new_sh = new_unique.select(
+        F.col('doc_id').alias('new_id'),
+        dd.word_shingles('text', 3).alias('__sa'))
+    old_sh = corpus.select(
+        F.col('doc_id').alias('index_id'),
+        dd.word_shingles('text', 3).alias('__sb'))
+    dup_new_ids = (
+        cand.join(new_sh, on='new_id').join(old_sh, on='index_id')
+        .withColumn('__i', F.size(F.array_intersect('__sa', '__sb')))
+        .withColumn('__u', F.size('__sa') + F.size('__sb')
+                    - F.col('__i'))
+        .filter(F.col('__i') >= F.lit(jaccard_threshold) * F.col('__u'))
+        .select(F.col('new_id').alias('doc_id'))
+        .distinct()
+    )
+    return new_unique.join(dup_new_ids, on='doc_id', how='left_anti')
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.001'
     out_dir = sys.argv[2] if len(sys.argv) > 2 else '/tmp/curated_docs'

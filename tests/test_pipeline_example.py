@@ -149,3 +149,26 @@ def test_pipeline_packing_and_drift(spark_session):
                   F.count('*').alias('n'))
              .collect())
     assert all(r['fill'] <= 256 for r in stats if r['n'] > 1)
+
+
+def test_incremental_ingest_drops_cross_batch_dups(spark_session):
+    from examples.training_data_pipeline import incremental_ingest
+    base = ('the quick brown fox jumps over the lazy dog while the '
+            'cat watches from the warm windowsill in afternoon sun')
+    corpus = spark_session.createDataFrame(
+        [(1, base),
+         (2, 'existing corpus document about distributed query '
+             'engines and their adaptive execution strategies')],
+        'doc_id long, text string')
+    new = spark_session.createDataFrame(
+        [(10, base.upper()),        # dup of corpus doc 1
+         (11, 'genuinely new content about growing tomatoes in '
+              'cold northern climates with frost protection'),
+         (12, base + '  '),         # dup of 1 AND of 10
+         ],
+        'doc_id long, text string')
+    kept = incremental_ingest(corpus, new, num_hashes=16, bands=8)
+    ids = {r['doc_id'] for r in kept.collect()}
+    assert 11 in ids           # new content survives
+    assert 12 not in ids       # within-batch dup removed first
+    assert 10 not in ids       # cross-batch dup dropped via index
