@@ -220,6 +220,11 @@ def incremental_ingest(
         corpus, 'doc_id', 'text', num_hashes, bands)
     cand = dd.minhash_index_probe(
         index, new_unique, 'doc_id', 'text', num_hashes, bands)
+    # the verify is spelled out on string shingles for readability;
+    # production code should reuse dedup.verify_jaccard_hashed over
+    # a union'd shingle-HASH frame (bigint set arithmetic, one
+    # shingle pass, and threshold semantics guaranteed identical to
+    # minhash_dedup's)
     new_sh = new_unique.select(
         F.col('doc_id').alias('new_id'),
         dd.word_shingles('text', 3).alias('__sa'))

@@ -289,11 +289,18 @@ def remote_path_exists(path: str, spark=None) -> bool:
     if scheme == '':
         return local_path_exists(path)
     if spark is not None:
-        jvm = spark._jvm
-        conf = spark._jsc.hadoopConfiguration()
-        p = jvm.org.apache.hadoop.fs.Path(path)
-        fs = p.getFileSystem(conf)
-        return bool(fs.exists(p))
+        # A scheme the cluster's Hadoop conf cannot mount throws an
+        # opaque Py4J error ('No FileSystem for scheme ...') — fall
+        # through to fsspec / the ValueError contract instead of
+        # aborting the whole validation run.
+        try:
+            jvm = spark._jvm
+            conf = spark._jsc.hadoopConfiguration()
+            p = jvm.org.apache.hadoop.fs.Path(path)
+            fs = p.getFileSystem(conf)
+            return bool(fs.exists(p))
+        except Exception:  # noqa: BLE001 — unmountable scheme
+            pass
     if scheme == 'file':
         return local_path_exists(urlparse(path).path)
     try:
@@ -301,8 +308,8 @@ def remote_path_exists(path: str, spark=None) -> bool:
     except ImportError:
         raise ValueError(
             f'no checker for scheme {scheme!r} ({path}): register one'
-            f' via register_scheme_checker, pass a SparkSession for'
-            f' the Hadoop FileSystem API, or install fsspec')
+            f' via register_scheme_checker, pass a SparkSession whose'
+            f' Hadoop conf mounts it, or install fsspec')
     fs, fs_path = fsspec.core.url_to_fs(path)
     return bool(fs.exists(fs_path))
 

@@ -473,10 +473,17 @@ def minhash_index_probe(
         raise ValueError(
             f"index must be a minhash_band_index frame with 'band'"
             f" and 'bucket' columns, got {sorted(idx_cols)}")
-    iid = ([c for c in index.columns if c not in ('band', 'bucket')]
-           or [None])[0]
-    if iid is None:
-        raise ValueError('index frame has no id column')
+    id_candidates = [c for c in index.columns
+                     if c not in ('band', 'bucket')]
+    if len(id_candidates) != 1:
+        # a stored index read back with extra partition/metadata
+        # columns must be projected down first — silently joining on
+        # the wrong column would produce garbage dedup decisions
+        raise ValueError(
+            f'index frame must have exactly one id column besides'
+            f' (band, bucket); got {id_candidates} — select the id'
+            f' column explicitly before probing')
+    iid = id_candidates[0]
     new_banded = minhash_band_index(
         df_new, id_col, text_col, num_hashes, bands, shingle_n,
         shingles=shingles,

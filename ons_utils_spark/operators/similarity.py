@@ -239,9 +239,22 @@ def hyperplane_signature_udf(
     @F.pandas_udf('long')
     def _sig(batch: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for vecs in batch:
-            m = np.stack(vecs.to_numpy()).astype(np.float64)
-            dots = m @ planes.T
-            yield pd.Series((dots > 0) @ bit_weights)
+            # NULL embedding -> NULL bucket (excluded by the bucket
+            # equi-join), matching the JVM expression form's NULL
+            # propagation — np.stack on a None-holding batch raises.
+            na = vecs.isna().to_numpy()
+            if na.any():
+                zero = np.zeros(dim)
+                m = np.stack([zero if none else np.asarray(v)
+                              for v, none in zip(vecs.to_numpy(), na)
+                              ]).astype(np.float64)
+                out = pd.Series((m @ planes.T > 0) @ bit_weights,
+                                dtype='Int64')
+                out[na] = pd.NA
+                yield out
+            else:
+                m = np.stack(vecs.to_numpy()).astype(np.float64)
+                yield pd.Series((m @ planes.T > 0) @ bit_weights)
 
     return _sig
 
@@ -263,12 +276,24 @@ def hyperplane_signature_dots_udf(
     @F.pandas_udf('struct<bucket: long, dots: array<double>>')
     def _sig(batch: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         for vecs in batch:
-            m = np.stack(vecs.to_numpy()).astype(np.float64)
+            na = vecs.isna().to_numpy()
+            if na.any():
+                zero = np.zeros(dim)
+                m = np.stack([zero if none else np.asarray(v)
+                              for v, none in zip(vecs.to_numpy(), na)
+                              ]).astype(np.float64)
+            else:
+                m = np.stack(vecs.to_numpy()).astype(np.float64)
             dots = m @ planes.T
-            yield pd.DataFrame({
-                'bucket': (dots > 0) @ bit_weights,
+            out = pd.DataFrame({
+                'bucket': pd.array((dots > 0) @ bit_weights,
+                                   dtype='Int64'),
                 'dots': list(dots),
             })
+            if na.any():
+                out.loc[na, 'bucket'] = pd.NA
+                out.loc[na, 'dots'] = None
+            yield out
 
     return _sig
 

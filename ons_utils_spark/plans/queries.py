@@ -554,9 +554,21 @@ def _planted_dedup_corpus(spark: SparkSession, sf_dir: str,
     checkpointed frame dies with its session)."""
     key = (f'dedup-corpus:{sf_dir}'
            f'@{spark.sparkContext.applicationId}')
-    return _artifact(key, lambda: documents.select(
-        'doc_id', 'text'
-    ).unionByName(_planted_dedup_families(spark)).localCheckpoint())
+
+    def _build():
+        # the planted-id namespace (8M+) must not collide with
+        # organic ids, or _planted_survivors would emit bogus rows;
+        # checked once per session (the frame is cached)
+        top = documents.agg(F.max('doc_id')).collect()[0][0]
+        if top is not None and top >= 8_000_000:
+            raise ValueError(
+                f'organic doc_id space reaches {top} — the planted'
+                f' dedup fixtures assume ids < 8,000,000; move the'
+                f' planted namespace in _planted_dedup_families')
+        return documents.select('doc_id', 'text').unionByName(
+            _planted_dedup_families(spark)).localCheckpoint()
+
+    return _artifact(key, _build)
 
 
 def _planted_survivors(kept: SparkDF) -> SparkDF:
@@ -3065,9 +3077,10 @@ def q_minhash_dedup_verified(spark: SparkSession,
     float) → the reference greedy keep-lowest-id rule (a doc drops
     iff it verified-matches ANY lower id — no recursion, so the
     oracle replays the whole decision including which survivor each
-    dropped doc deduplicates into).  The xxhash64 production path
-    (``q_minhash_dedup``) stays rows-only; THIS query closes the
-    decision-level verification gap."""
+    dropped doc deduplicates into).  Complements ``q_minhash_dedup``:
+    that query checks the xxhash64 production path's decisions on
+    planted families only, while THIS one verifies the portable
+    pipeline's decisions over the ENTIRE corpus."""
     (documents,) = _t(spark, sf_dir, 'documents')
     cand = dd.minhash_lsh_candidates_portable(
         documents, 'doc_id', 'text', num_hashes=16, bands=4,

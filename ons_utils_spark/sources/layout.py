@@ -194,7 +194,10 @@ def with_hilbert_value(
             # NULL in either key -> NULL out, matching the expr
             # path's propagation (a raw to_numpy(int64) on a
             # nullable column would raise or turn NaN into
-            # INT64_MIN garbage).
+            # INT64_MIN garbage).  Inputs are pre-masked to `bits`
+            # (< 2^31) JVM-side before Arrow, so the float64 a
+            # null-holding batch arrives as is always exact — no
+            # >2^53 precision loss is possible here.
             na = (xs.isna() | ys.isna()).to_numpy()
             xv = xs.fillna(0).to_numpy(np.int64) & (n - 1)
             yv = ys.fillna(0).to_numpy(np.int64) & (n - 1)
@@ -216,10 +219,13 @@ def with_hilbert_value(
                 return out
             return pd.Series(d)
 
+        jvm_mask = F.lit(n - 1).cast('long')
         return df.withColumn(
             out_col,
-            _hil(convert_to_spark_col(cols[0]).cast('long'),
-                 convert_to_spark_col(cols[1]).cast('long')))
+            _hil(convert_to_spark_col(cols[0]).cast('long')
+                 .bitwiseAND(jvm_mask),
+                 convert_to_spark_col(cols[1]).cast('long')
+                 .bitwiseAND(jvm_mask)))
     mask = F.lit(n - 1).cast('long')
     x0 = convert_to_spark_col(cols[0]).cast('long').bitwiseAND(mask)
     y0 = convert_to_spark_col(cols[1]).cast('long').bitwiseAND(mask)

@@ -910,3 +910,14 @@ class TestMinHashIndex:
         old, new = self._batches(spark_session)
         with pytest.raises(ValueError, match='band'):
             dd.minhash_index_probe(old, new)
+
+
+def test_index_probe_rejects_ambiguous_id_columns(spark_session):
+    from pyspark.sql import functions as F
+    docs = spark_session.createDataFrame(
+        [(1, 'alpha beta gamma delta epsilon')],
+        'doc_id long, text string')
+    index = dd.minhash_band_index(docs, num_hashes=16, bands=8) \
+        .withColumn('ingest_date', F.lit('2026-08-14'))
+    with pytest.raises(ValueError, match='exactly one id column'):
+        dd.minhash_index_probe(index, docs, num_hashes=16, bands=8)

@@ -428,3 +428,30 @@ class TestHyperplaneSignatureUdf:
         for r in rows:
             assert r['plain'] == r['sd']['bucket']
             assert len(r['sd']['dots']) == 8
+
+
+class TestLshNullEmbeddings:
+    def test_null_embedding_rows_are_excluded_not_crashing(
+            self, spark_session):
+        """A NULL embedding must yield a NULL bucket (dropped by the
+        bucket equi-join) exactly like the JVM expression form — not
+        a np.stack crash inside the pandas UDF."""
+        from ons_utils_spark.operators.similarity import (
+            hyperplane_signature_udf, lsh_topk)
+        rows = [(1, [float(i) for i in range(8)]),
+                (2, None),
+                (3, [float(8 - i) for i in range(8)])]
+        df = spark_session.createDataFrame(
+            rows, 'vec_id long, embedding array<double>')
+        got = {r['vec_id']: r['b'] for r in df.select(
+            'vec_id',
+            hyperplane_signature_udf(8, 4)(
+                F.col('embedding')).alias('b')).collect()}
+        assert got[2] is None
+        assert got[1] is not None and got[3] is not None
+        queries = spark_session.createDataFrame(
+            [(100, [float(i) for i in range(8)])],
+            'query_id long, query_vec array<double>')
+        out = lsh_topk(df, queries, k=5, dim=8, num_planes=4)
+        ids = {r['vec_id'] for r in out.collect()}
+        assert 2 not in ids and 1 in ids
