@@ -921,3 +921,14 @@ def test_index_probe_rejects_ambiguous_id_columns(spark_session):
         .withColumn('ingest_date', F.lit('2026-08-14'))
     with pytest.raises(ValueError, match='exactly one id column'):
         dd.minhash_index_probe(index, docs, num_hashes=16, bands=8)
+
+
+def test_index_probe_empty_batch_returns_empty(spark_session):
+    docs = spark_session.createDataFrame(
+        [(1, 'alpha beta gamma delta epsilon zeta')],
+        'doc_id long, text string')
+    empty = spark_session.createDataFrame([], 'doc_id long, text string')
+    index = dd.minhash_band_index(docs, num_hashes=16, bands=8)
+    out = dd.minhash_index_probe(index, empty, num_hashes=16, bands=8)
+    assert out.count() == 0
+    assert out.columns == ['new_id', 'index_id']
