@@ -59,8 +59,10 @@ from .operators.dedup import (
     minhash_lsh_candidates,
     minhash_lsh_candidates_portable,
     ngram_jaccard_join,
+    simhash_block_index,
     simhash_candidates_portable,
     simhash_dedup,
+    simhash_index_probe,
 )
 from .operators.bpe import bpe_segmenter_udf, train_bpe, word_histogram
 from .operators.graph import (
@@ -180,6 +182,7 @@ __all__ = [
     'minhash_band_index', 'minhash_index_probe',
     'minhash_lsh_candidates_portable', 'char_shingles',
     'simhash_dedup', 'simhash_candidates_portable',
+    'simhash_block_index', 'simhash_index_probe',
     'ngram_jaccard_join', 'embedding_near_duplicates',
     'cosine_topk', 'lsh_topk', 'random_hyperplane_lsh',
     'hyperplane_signature_udf',

@@ -989,6 +989,83 @@ def simhash_dedup(
     return df.join(to_drop, on=id_col, how='left_anti')
 
 
+def simhash_block_index(
+    df: SparkDF,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    n_blocks: int = 4,
+) -> SparkDF:
+    """``(<id_col>, block, key, blocks)`` SimHash index frame — the
+    incremental counterpart of :func:`minhash_band_index` for the
+    Hamming-distance dedup family.
+
+    One row per (document, block); ``blocks`` carries the full
+    signature so a probe can verify true Hamming distance without
+    touching the corpus text.  Write it as a table partitioned by
+    (block, key) once per corpus, then dedup each incoming batch via
+    :func:`simhash_index_probe` — signatures are xxhash64-
+    deterministic, so stored keys stay joinable against any future
+    batch."""
+    _check_blocks(n_blocks)
+    token_hashes = F.transform(
+        tokenize(normalize_text(text_col)), lambda t: F.xxhash64(t)
+    )
+    sigs = df.select(
+        F.col(id_col),
+        simhash_blocks_udf(n_blocks)(token_hashes).alias('blocks'),
+    )
+    return sigs.select(
+        id_col, F.posexplode('blocks').alias('block', 'key'), 'blocks')
+
+
+def simhash_index_probe(
+    index: SparkDF,
+    df_new: SparkDF,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    n_blocks: int = 4,
+    max_hamming: int = 3,
+    new_id: str = 'new_id',
+    index_id: str = 'index_id',
+) -> SparkDF:
+    """Near-duplicate pairs between a NEW batch and a stored SimHash
+    block index, verified by true Hamming distance — only the batch
+    is tokenized and signed (parameters MUST match the index build;
+    mismatched n_blocks silently yields garbage keys, so store them
+    with the index table).  Pigeonhole guarantee as in
+    :func:`simhash_dedup`: every pair within Hamming <
+    ``n_blocks`` shares at least one exact block."""
+    idx_cols = set(index.columns)
+    if not {'block', 'key', 'blocks'} <= idx_cols:
+        raise ValueError(
+            f"index must be a simhash_block_index frame with 'block',"
+            f" 'key' and 'blocks' columns, got {sorted(idx_cols)}")
+    id_candidates = [c for c in index.columns
+                     if c not in ('block', 'key', 'blocks')]
+    if len(id_candidates) != 1:
+        raise ValueError(
+            f'index frame must have exactly one id column besides'
+            f' (block, key, blocks); got {id_candidates} — select'
+            f' the id column explicitly before probing')
+    iid = id_candidates[0]
+    new_banded = simhash_block_index(
+        df_new, id_col, text_col, n_blocks,
+    ).withColumnRenamed(id_col, new_id) \
+     .withColumnRenamed('blocks', '__new_blocks')
+    return (
+        new_banded
+        .join(index.withColumnRenamed(iid, index_id),
+              on=['block', 'key'])
+        .filter(F.col(new_id) != F.col(index_id))
+        .filter(
+            hamming_distance_blocks(
+                F.col('__new_blocks'), F.col('blocks'), n_blocks)
+            <= max_hamming)
+        .select(new_id, index_id)
+        .distinct()
+    )
+
+
 def ngram_jaccard_join(
     df: SparkDF,
     id_col: str = 'doc_id',

@@ -932,3 +932,54 @@ def test_index_probe_empty_batch_returns_empty(spark_session):
     out = dd.minhash_index_probe(index, empty, num_hashes=16, bands=8)
     assert out.count() == 0
     assert out.columns == ['new_id', 'index_id']
+
+
+class TestSimhashIndex:
+    """Incremental SimHash index: stored (id, block, key, blocks)
+    frame probed by new batches, with the same completeness
+    guarantee as the batch path (pigeonhole over exact blocks,
+    verified by true Hamming distance)."""
+
+    def _batches(self, spark_session):
+        base = ('the quick brown fox jumps over the lazy dog while '
+                'the cat watches from the warm windowsill every day')
+        old = spark_session.createDataFrame(
+            [(1, base),
+             (2, 'existing corpus document about catalyst optimizer '
+                 'rules and adaptive execution strategies in spark')],
+            'doc_id long, text string')
+        new = spark_session.createDataFrame(
+            [(10, base.upper()),       # exact dup of 1 (Hamming 0)
+             (11, 'entirely different new content about gardening '
+                  'and growing tomatoes in cold northern climates')],
+            'doc_id long, text string')
+        return old, new
+
+    def test_probe_finds_cross_batch_duplicates(self, spark_session):
+        old, new = self._batches(spark_session)
+        index = dd.simhash_block_index(old)
+        pairs = {(r['new_id'], r['index_id'])
+                 for r in dd.simhash_index_probe(index, new).collect()}
+        assert (10, 1) in pairs
+        assert not any(n == 11 for n, _ in pairs)
+
+    def test_probe_matches_batch_dedup_decision(self, spark_session):
+        # a doc the incremental probe pairs with the corpus is
+        # exactly a doc the batch dedup over old+new would drop
+        old, new = self._batches(spark_session)
+        index = dd.simhash_block_index(old)
+        probed_dups = {r['new_id'] for r in dd.simhash_index_probe(
+            index, new).collect()}
+        kept = {r['doc_id'] for r in dd.simhash_dedup(
+            old.unionByName(new)).collect()}
+        dropped_new = {10, 11} - kept
+        assert probed_dups == dropped_new
+
+    def test_probe_validates_index_shape(self, spark_session):
+        old, new = self._batches(spark_session)
+        with pytest.raises(ValueError, match='block'):
+            dd.simhash_index_probe(old, new)
+        index = dd.simhash_block_index(old).withColumn(
+            'extra', F.lit(1))
+        with pytest.raises(ValueError, match='exactly one id'):
+            dd.simhash_index_probe(index, new)
