@@ -3068,6 +3068,40 @@ def q_minhash_index_probe(spark: SparkSession,
     )
 
 
+def q_simhash_index_probe(spark: SparkSession,
+                          sf_dir: str) -> SparkDF:
+    """Incremental SimHash dedup-at-ingest
+    (``dedup.simhash_block_index`` + ``simhash_index_probe``):
+    clones of five corpus documents (ids 8.2M+) are signed and
+    probed alone against the corpus's stored block index; emission
+    keeps probe hits whose NORMALIZED text equals the new doc's —
+    identical normalized text ⇒ identical token multiset ⇒ identical
+    bit-vote signature (Hamming 0) ⇒ guaranteed same block keys
+    under any hash family, and non-exact Hamming≤3 hits are
+    filtered out — so the DuckDB oracle replays the decision as
+    normalized-text equality between the clones and the corpus
+    (including any organic exact duplicates)."""
+    (documents,) = _t(spark, sf_dir, 'documents')
+    old = documents.filter(F.col('text').isNotNull()) \
+        .select('doc_id', 'text')
+    probe_ids = [5, 17, 23, 40, 77]
+    new = old.filter(F.col('doc_id').isin(probe_ids)).select(
+        (F.col('doc_id') + F.lit(8_200_000)).alias('doc_id'), 'text')
+    index = dd.simhash_block_index(old)
+    cand = dd.simhash_index_probe(index, new, max_hamming=3)
+    new_t = old.filter(F.col('doc_id').isin(probe_ids)).select(
+        (F.col('doc_id') + F.lit(8_200_000)).alias('new_id'),
+        tx.normalize_text('text').alias('__ta'))
+    old_t = old.select(F.col('doc_id').alias('index_id'),
+                       tx.normalize_text('text').alias('__tb'))
+    return (
+        cand.join(new_t, on='new_id')
+        .join(old_t, on='index_id')
+        .filter(F.col('__ta') == F.col('__tb'))
+        .select('new_id', 'index_id')
+    )
+
+
 def q_minhash_dedup_verified(spark: SparkSession,
                              sf_dir: str) -> SparkDF:
     """The full dedup DECISION, hash-verified end-to-end: portable
@@ -3638,6 +3672,7 @@ QUERIES: Dict[str, QueryFn] = {
     # query first, then r5-verified, then the round-6 window
     # (freshest).
     'q_minhash_index_probe': q_minhash_index_probe,
+    'q_simhash_index_probe': q_simhash_index_probe,
     'q_approx_quantile_ladder': q_approx_quantile_ladder,
     'q_compression_quality': q_compression_quality,
     'q_price_trim': q_price_trim,
@@ -4927,6 +4962,24 @@ ORACLES: Dict[str, str] = {
           ON len(p.shingles) = len(o.shingles)
          AND len(list_intersect(p.shingles, o.shingles))
              = len(p.shingles)
+    """,
+    # SimHash incremental probe: identical normalized text =>
+    # identical signature (Hamming 0) => guaranteed block-key hit;
+    # the equality verify drops all non-exact Hamming<=3 hits, so
+    # normalized-text equality IS the replayable decision.
+    'q_simhash_index_probe': """
+        WITH d AS (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                       AS t
+            FROM documents WHERE text IS NOT NULL
+        ), probe AS (
+            SELECT doc_id + 8200000 AS new_id, t
+            FROM d WHERE doc_id IN (5, 17, 23, 40, 77)
+        )
+        SELECT p.new_id, o.doc_id AS index_id
+        FROM probe p
+        JOIN d o ON p.t = o.t
     """,
     # Replays the ENTIRE dedup decision of the portable MinHash
     # pipeline: md5 LSH candidates (the q_minhash_pairs CTEs) ->
