@@ -15,6 +15,7 @@ simhash), similarity search, text analysis, array diff.
 """
 from __future__ import annotations
 
+import os
 from typing import Callable, Dict
 
 from pyspark.sql import DataFrame as SparkDF
@@ -26,6 +27,7 @@ from ..functions.columns import map_col
 from ..functions.json import with_json_fields
 from ..functions.schema import map_column_names
 from ..functions.windows import get_ordered_window_spec, get_window_spec
+from ..operators import ann_index as ann
 from ..operators import dedup as dd
 from ..operators import similarity as sim
 from ..operators import text as tx
@@ -805,6 +807,43 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> SparkDF:
     out = sim.lsh_topk(
         corpus, queries, k=10, dim=64, num_planes=4, probes=2,
     )
+    return _planted_rank_emission(out, 'cosine')
+
+
+def q_ivf_index_probe(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Persisted-IVF ingest-then-search
+    (``ann_index.build_ivf_index`` → ``ivf_index_append`` →
+    ``ivf_index_search``): the organic corpus is written once as a
+    parquet index partitioned by coarse-cluster id, the planted
+    clone batch (ids 9M+) is APPENDED with the stored centroids (the
+    ingest path — no retraining, no corpus re-read), and the query
+    batch searches only its probed partitions (file-listing
+    partition pruning, ~nprobe/n_clusters of the stored bytes).  A
+    clone holds its query's embedding verbatim, so its top-1 cluster
+    equals a probed cluster by identical GEMM — guaranteed recall —
+    and the exact-cosine refinement ranks the three clones as the
+    bit-exact top-3, which the oracle replays as an exact cosine
+    rank (the `_planted_ann` pattern)."""
+    (embeddings,) = _t(spark, sf_dir, 'embeddings')
+    queries, corpus = _planted_ann(embeddings)
+    organic = embeddings.filter(F.col('vec_id') >= 3) \
+        .select('vec_id', 'embedding')
+    planted = corpus.filter(F.col('vec_id') >= 9000000)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        'spark-warehouse', 'ivf_index', tag)
+    # Build+append once per session (overwrite ⇒ idempotent across
+    # sessions; deterministic training ⇒ identical files every time).
+    app = spark.sparkContext.applicationId
+    def _build():
+        ann.build_ivf_index(organic, path, n_clusters=8, iters=1)
+        ann.ivf_index_append(planted, path)
+        return path
+    _artifact(f'ivf_index:{sf_dir}:planted:8x1@{app}', _build)
+    out = ann.ivf_index_search(
+        spark, path, queries, k=10, nprobe=2)
     return _planted_rank_emission(out, 'cosine')
 
 
@@ -3673,6 +3712,7 @@ QUERIES: Dict[str, QueryFn] = {
     # (freshest).
     'q_minhash_index_probe': q_minhash_index_probe,
     'q_simhash_index_probe': q_simhash_index_probe,
+    'q_ivf_index_probe': q_ivf_index_probe,
     'q_approx_quantile_ladder': q_approx_quantile_ladder,
     'q_compression_quality': q_compression_quality,
     'q_price_trim': q_price_trim,
@@ -4384,6 +4424,10 @@ ORACLES: Dict[str, str] = {
     'q_lsh_topk': _PLANTED_ANN_ORACLE,
     'q_pq_topk': _PLANTED_ANN_ORACLE,
     'q_ivf_pq_topk': _PLANTED_ANN_ORACLE,
+    # Persisted index build→append→search surfaces the same planted
+    # exact top-3 (clone recall guaranteed: identical vector ⇒ its
+    # stored cluster is within the query's probed set).
+    'q_ivf_index_probe': _PLANTED_ANN_ORACLE,
     'q_langid': """
         WITH scored AS (
             SELECT
