@@ -388,6 +388,85 @@ def minhash_band_index(
     return banded
 
 
+def _bucket_pair_join(
+    banded: SparkDF,
+    keys: Sequence[str],
+    carry: Sequence[str] = (),
+    max_bucket_size: Optional[int] = None,
+) -> SparkDF:
+    """Self-join a banded frame on its bucket ``keys`` with
+    ``id_a < id_b`` — the candidate-pair stage shared by the LSH
+    dedup families — with a hot-bucket guard.
+
+    An unguarded self-join on (band, bucket) emits k(k−1)/2 pairs
+    from a k-row bucket: on a web corpus a boilerplate family easily
+    reaches k=10⁶, i.e. 5·10¹¹ pairs from ONE bucket — a join
+    explosion AQE cannot split (it is output volume, not shuffle
+    imbalance).  With ``max_bucket_size`` set, buckets above the cap
+    are STAR-paired instead: every row pairs with the bucket's
+    minimum id only (k−1 pairs).  Under greedy keep-lowest-id dedup
+    this preserves "everything that verifies against the bucket min
+    drops"; pairs between two non-min members of an oversized bucket
+    are the documented recall loss (collapse exact-duplicate
+    signatures FIRST — see the callers — so only genuinely-distinct
+    near-dup mega-families ever hit the cap).
+
+    ``carry`` columns are emitted per side as ``<col>_a``/``<col>_b``
+    (e.g. SimHash signatures for the Hamming verify).
+    """
+    banded = banded.repartition(*keys)
+
+    def _pairs(ldf: SparkDF, rdf: SparkDF) -> SparkDF:
+        l, r = ldf.alias('l'), rdf.alias('r')
+        cond = [F.col(f'l.{k}') == F.col(f'r.{k}') for k in keys]
+        cond.append(F.col('l.__id') < F.col('r.__id'))
+        sel = [F.col('l.__id').alias('id_a'),
+               F.col('r.__id').alias('id_b')]
+        for c in carry:
+            sel.append(F.col(f'l.{c}').alias(f'{c}_a'))
+            sel.append(F.col(f'r.{c}').alias(f'{c}_b'))
+        return l.join(r, on=cond).select(*sel)
+
+    if max_bucket_size is None:
+        return _pairs(banded, banded)
+    # Bucket sizes ride the same (keys) shuffle as the join itself;
+    # the split is a filter, not an extra wide dependency.
+    sizes = banded.groupBy(*keys).agg(
+        F.count('*').alias('__bsz'), F.min('__id').alias('__bmin'))
+    tagged = banded.join(sizes, on=list(keys))
+    small = tagged.filter(F.col('__bsz') <= max_bucket_size) \
+        .drop('__bsz', '__bmin')
+    big = tagged.filter(F.col('__bsz') > max_bucket_size)
+    hub = big.filter(F.col('__id') == F.col('__bmin')) \
+        .drop('__bsz', '__bmin')
+    spokes = big.filter(F.col('__id') != F.col('__bmin')) \
+        .drop('__bsz', '__bmin')
+    return _pairs(small, small).unionByName(_pairs(hub, spokes))
+
+
+def _set_fingerprint(hs_col):
+    """64-bit fingerprint of a shingle-hash SET (order/multiplicity
+    erased) — two documents with equal fingerprints have, up to a
+    2⁻⁶⁴-per-pair xxhash64 collision, identical shingle sets and
+    therefore exact Jaccard 1 with each other and identical Jaccard
+    against every other document."""
+    return F.xxhash64(F.array_sort(F.array_distinct(hs_col)))
+
+
+def _reliable_checkpoint(df: SparkDF, checkpoint_dir: Optional[str]):
+    """Eagerly materialize ``df``, durably when a directory is given.
+
+    ``localCheckpoint`` blocks live in executor storage and die with
+    any executor loss — fine on local[], a recompute-on-failure
+    hazard on a real cluster.  With ``checkpoint_dir`` set the
+    lineage cut is a reliable checkpoint on shared storage instead.
+    """
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=True)
+    df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=True)
+
+
 def minhash_lsh_candidates(
     df: SparkDF,
     id_col: str = 'doc_id',
@@ -397,6 +476,8 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     hashed_shingles: Optional[SparkDF] = None,
     shingles: str = 'word',
+    collapse_identical: bool = True,
+    max_bucket_size: Optional[int] = 100_000,
 ) -> SparkDF:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -404,38 +485,74 @@ def minhash_lsh_candidates(
     self-join on (band, band_hash) → distinct (id_a < id_b) pairs.
     Shuffle volume is O(rows × bands), never O(rows²).
 
+    **Hot-family guard (default ON).** On web corpora exact-duplicate
+    families (boilerplate, empty docs) dominate LSH buckets: k
+    identical documents co-land in every band and an unguarded
+    self-join emits k(k−1)/2 pairs.  With ``collapse_identical`` each
+    identical-shingle-SET family is collapsed to its minimum-id
+    representative before banding and every non-representative is
+    emitted as a ``(rep, member)`` pair directly (k−1 pairs, and the
+    pair is exact — Jaccard 1 by construction, so any verifier at
+    threshold ≤ 1 confirms it).  The returned pair set is then
+    *dedup-sufficient* rather than bucket-complete: for every pair
+    (a, b) sharing a bucket, either (a, b) is returned or
+    (rep(a), rep(b)) plus the (rep, member) chains are — and because
+    members have Jaccard 1 with their representative (hence identical
+    Jaccard against every third document), greedy keep-lowest-id
+    decisions after any Jaccard verification are IDENTICAL to the
+    uncollapsed join's.  Set ``collapse_identical=False`` for the
+    historical bucket-complete pair set.
+
+    ``max_bucket_size`` star-pairs buckets that are still oversized
+    after the collapse (genuinely-distinct near-dup mega-families)
+    on the bucket's min id — see :func:`_bucket_pair_join` for the
+    documented recall bound.  ``None`` disables the cap.
+
     ``hashed_shingles`` (``__id``, ``__hs array<bigint>``) lets the
     caller supply a precomputed — typically persisted — shingle-hash
     frame so the (expensive) shingling is not re-derived here.
     """
+    _check_bands(num_hashes, bands)
+    hashed = hashed_shingles if hashed_shingles is not None else df.select(
+        F.col(id_col).alias('__id'),
+        F.explode(F.array(shingle_hashes(
+            _shingler(shingles)(text_col, shingle_n)))).alias('__hs'),
+    )
+
+    fam_pairs = None
+    if collapse_identical:
+        keyed = hashed.select(
+            '__id', _set_fingerprint(F.col('__hs')).alias('__setfp'))
+        fams = keyed.groupBy('__setfp').agg(
+            F.min('__id').alias('__rep'),
+            F.count('*').alias('__fn'))
+        members = keyed.join(fams.filter(F.col('__fn') > 1), '__setfp')
+        fam_pairs = (
+            members.filter(F.col('__id') != F.col('__rep'))
+            .select(F.col('__rep').alias('id_a'),
+                    F.col('__id').alias('id_b'))
+        )
+        # band only the representatives (anti-join away the members)
+        hashed = hashed.join(
+            members.filter(F.col('__id') != F.col('__rep'))
+            .select('__id'),
+            '__id', 'left_anti')
+
     banded = minhash_band_index(
         df, id_col, text_col, num_hashes, bands, shingle_n,
-        hashed_shingles, shingles,
+        hashed, shingles,
     ).withColumnRenamed(id_col, '__id')
 
-    # Shuffle barrier: stops the optimizer from inlining the (large)
+    # _bucket_pair_join repartitions on (band, bucket): a shuffle
+    # barrier that also stops the optimizer from inlining the (large)
     # signature expression tree into both self-join branches — the two
     # sides then share one ReusedExchange instead of recomputing and
     # recompiling the minhash pipeline twice.
-    banded = banded.repartition('band', 'bucket')
-
-    left = banded.alias('l')
-    right = banded.alias('r')
-    return (
-        left.join(
-            right,
-            on=[
-                F.col('l.band') == F.col('r.band'),
-                F.col('l.bucket') == F.col('r.bucket'),
-                F.col('l.__id') < F.col('r.__id'),
-            ],
-        )
-        .select(
-            F.col('l.__id').alias('id_a'),
-            F.col('r.__id').alias('id_b'),
-        )
-        .distinct()
-    )
+    pairs = _bucket_pair_join(
+        banded, ('band', 'bucket'), max_bucket_size=max_bucket_size)
+    if fam_pairs is not None:
+        pairs = pairs.unionByName(fam_pairs)
+    return pairs.distinct()
 
 
 def minhash_index_probe(
@@ -615,6 +732,9 @@ def minhash_dedup(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.8,
     shingles: str = 'word',
+    collapse_identical: bool = True,
+    max_bucket_size: Optional[int] = 100_000,
+    checkpoint_dir: Optional[str] = None,
 ) -> SparkDF:
     """Remove near-duplicates: LSH candidates → exact Jaccard verify →
     greedy keep-lowest-id.
@@ -624,13 +744,25 @@ def minhash_dedup(
     iteration (sufficient for dedup; for full clustering run
     connected components on the pair graph).
 
+    Scale guards (both default-on, see
+    :func:`minhash_lsh_candidates`): identical-shingle-set families
+    collapse to their min-id representative before banding — this
+    preserves greedy decisions EXACTLY (members are Jaccard 1 with
+    their representative, so they verify and drop at any threshold
+    ≤ 1, and the representative's cross-pairs are the members')
+    while cutting k-clone families from k²/2 candidate pairs to
+    k−1 — and buckets still larger than ``max_bucket_size`` after
+    the collapse are star-paired on the bucket min.
+
     The LSH/verify pipeline runs EAGERLY (the drop-list is
-    ``localCheckpoint``-ed): the expensive shingle cache is released
-    before this returns, so repeated calls in a long-lived session
-    don't accumulate cached partitions, and re-running actions on the
-    result re-executes only the cheap anti-join. (Local checkpoints
-    are not resilient to executor loss; on a real cluster pair this
-    with a checkpoint dir or accept the recompute on failure.)
+    checkpointed): the expensive shingle cache is released before
+    this returns, so repeated calls in a long-lived session don't
+    accumulate cached partitions, and re-running actions on the
+    result re-executes only the cheap anti-join.  By default the
+    lineage cut is a ``localCheckpoint`` (executor storage — not
+    resilient to executor loss); pass ``checkpoint_dir`` (shared
+    storage, e.g. an HDFS/S3 path) for a reliable checkpoint on a
+    real cluster.
     """
     from pyspark import StorageLevel
 
@@ -647,6 +779,8 @@ def minhash_dedup(
         cands = minhash_lsh_candidates(
             df, id_col, text_col, num_hashes, bands, shingle_n,
             hashed_shingles=hashed,
+            collapse_identical=collapse_identical,
+            max_bucket_size=max_bucket_size,
         )
         verified = verify_jaccard_hashed(cands, hashed, jaccard_threshold)
         # Materialize the (id-only, tiny relative to df) drop-list and
@@ -654,9 +788,9 @@ def minhash_dedup(
         # instead of leaking for the SparkSession lifetime; the blocks
         # live in executor storage (never the driver) and are cleaned
         # by the ContextCleaner once the caller drops the result.
-        to_drop = (
-            verified.select(F.col('id_b').alias(id_col)).distinct()
-            .localCheckpoint(eager=True)
+        to_drop = _reliable_checkpoint(
+            verified.select(F.col('id_b').alias(id_col)).distinct(),
+            checkpoint_dir,
         )
     finally:
         hashed.unpersist()
@@ -939,11 +1073,28 @@ def simhash_dedup(
     id_col: str = 'doc_id',
     text_col: str = 'text',
     max_hamming: int = 3,
+    collapse_identical: bool = True,
+    max_bucket_size: Optional[int] = 100_000,
+    checkpoint_dir: Optional[str] = None,
 ) -> SparkDF:
     """Near-dedup by SimHash: 4-block banding finds all pairs within
     Hamming distance 3 (pigeonhole: one 16-bit block must match
     exactly), verified by true Hamming distance, then greedy
-    keep-lowest-id. Shuffle volume O(rows × 4), never O(rows²)."""
+    keep-lowest-id. Shuffle volume O(rows × 4), never O(rows²).
+
+    Scale guards: with ``collapse_identical`` (default) each
+    identical-signature family is collapsed to its min-id
+    representative before banding and the non-representatives are
+    dropped directly.  This preserves greedy decisions EXACTLY — the
+    signature IS the verification object here, so a member is at
+    Hamming 0 from its (lower-id) representative and at the
+    representative's exact distance from every other document — while
+    cutting a k-clone family's candidate pairs from k²/2 to 0.
+    Buckets still larger than ``max_bucket_size`` after the collapse
+    are star-paired on the bucket min (:func:`_bucket_pair_join`).
+    ``checkpoint_dir`` upgrades the eager drop-list materialization
+    from ``localCheckpoint`` to a reliable checkpoint.
+    """
     # Token hashing in the JVM; bit votes vectorized in numpy.  The
     # signature frame (id + 4 bigints, ~40 B/row at ANY corpus
     # size) is PERSISTED rather than trusting AQE exchange reuse to
@@ -964,25 +1115,41 @@ def simhash_dedup(
         simhash_blocks_udf(4)(token_hashes).alias('__blocks'),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        banded = sigs.select(
+        fam_drops = None
+        if collapse_identical:
+            fams = sigs.groupBy('__blocks').agg(
+                F.min('__id').alias('__rep'),
+                F.count('*').alias('__fn'))
+            members = (
+                sigs.join(fams.filter(F.col('__fn') > 1), '__blocks')
+                .filter(F.col('__id') != F.col('__rep'))
+                .select('__id')
+            )
+            # members are Hamming 0 from a lower id: they always drop
+            fam_drops = members
+            reps = sigs.join(members, '__id', 'left_anti')
+        else:
+            reps = sigs
+        banded = reps.select(
             '__id', '__blocks',
             F.posexplode('__blocks').alias('block', 'key'),
         )
-        l, r = banded.alias('l'), banded.alias('r')
-        to_drop = (
-            l.join(r, on=[
-                F.col('l.block') == F.col('r.block'),
-                F.col('l.key') == F.col('r.key'),
-                F.col('l.__id') < F.col('r.__id'),
-            ])
+        dropped = (
+            _bucket_pair_join(
+                banded, ('block', 'key'), carry=('__blocks',),
+                max_bucket_size=max_bucket_size)
             .filter(
-                hamming_distance_blocks(F.col('l.__blocks'),
-                                        F.col('r.__blocks'))
+                hamming_distance_blocks(F.col('__blocks_a'),
+                                        F.col('__blocks_b'))
                 <= max_hamming
             )
-            .select(F.col('r.__id').alias(id_col))
-            .distinct()
-            .localCheckpoint(eager=True)
+            .select(F.col('id_b').alias('__id'))
+        )
+        if fam_drops is not None:
+            dropped = dropped.unionByName(fam_drops)
+        to_drop = _reliable_checkpoint(
+            dropped.select(F.col('__id').alias(id_col)).distinct(),
+            checkpoint_dir,
         )
     finally:
         sigs.unpersist()

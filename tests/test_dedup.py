@@ -879,11 +879,13 @@ class TestMinHashIndex:
         assert not any(n == 11 for n, _ in pairs)
 
     def test_pair_completeness_vs_full_rebuild(self, spark_session):
+        # bucket-complete (collapse off) form: the invariant is about
+        # banding determinism, orthogonal to the hot-family guard
         old, new = self._batches(spark_session)
         full = {(r['id_a'], r['id_b'])
                 for r in dd.minhash_lsh_candidates(
-                    old.unionByName(new),
-                    num_hashes=16, bands=8).collect()}
+                    old.unionByName(new), num_hashes=16, bands=8,
+                    collapse_identical=False).collect()}
         new_ids = {10, 11, 12}
         touching_new = {p for p in full
                         if p[0] in new_ids or p[1] in new_ids}
@@ -893,18 +895,31 @@ class TestMinHashIndex:
                      index, new, num_hashes=16, bands=8).collect()}
         within_new = {(r['id_a'], r['id_b'])
                       for r in dd.minhash_lsh_candidates(
-                          new, num_hashes=16, bands=8).collect()}
+                          new, num_hashes=16, bands=8,
+                          collapse_identical=False).collect()}
         assert probe | within_new == touching_new
 
     def test_candidates_unchanged_by_refactor(self, spark_session):
         # the shared band-index path must reproduce the historical
-        # candidate set exactly
+        # bucket-complete candidate set exactly with the guard off
+        old, new = self._batches(spark_session)
+        allc = dd.minhash_lsh_candidates(
+            old.unionByName(new), num_hashes=16, bands=8,
+            collapse_identical=False)
+        pairs = {(r['id_a'], r['id_b']) for r in allc.collect()}
+        assert (1, 10) in pairs and (1, 12) in pairs \
+            and (10, 12) in pairs
+
+    def test_collapse_emits_family_star_pairs(self, spark_session):
+        # default (collapse on): identical-shingle-set family {1,10,12}
+        # is star-paired on its min id — (10,12) is replaced by the
+        # chain through 1, and dedup decisions are unchanged
         old, new = self._batches(spark_session)
         allc = dd.minhash_lsh_candidates(
             old.unionByName(new), num_hashes=16, bands=8)
         pairs = {(r['id_a'], r['id_b']) for r in allc.collect()}
-        assert (1, 10) in pairs and (1, 12) in pairs \
-            and (10, 12) in pairs
+        assert (1, 10) in pairs and (1, 12) in pairs
+        assert (10, 12) not in pairs
 
     def test_probe_validates_index_shape(self, spark_session):
         old, new = self._batches(spark_session)
@@ -983,3 +998,116 @@ class TestSimhashIndex:
             'extra', F.lit(1))
         with pytest.raises(ValueError, match='exactly one id'):
             dd.simhash_index_probe(index, new)
+
+
+class TestHotBucketGuard:
+    """The 100 TB scale-killer guard: duplicate mega-families must not
+    explode the LSH candidate self-join quadratically.
+
+    (a) identical-signature collapse: a k-clone family emits k-1
+        star pairs (minhash) / 0 pairs + k-1 direct drops (simhash),
+        never k(k-1)/2;
+    (b) max_bucket_size: buckets still oversized after the collapse
+        are star-paired on the bucket min.
+    Greedy keep-lowest-id decisions are preserved exactly by (a) —
+    members are at Jaccard 1 / Hamming 0 from their representative.
+    """
+
+    def _mega_family(self, spark_session, k=2000):
+        text = ('boilerplate cookie banner accept all reject all '
+                'privacy policy terms of service contact about us')
+        uniq = [(100_000 + i,
+                 f'unique document number {i} about topic {i * 7} '
+                 f'with distinct content tokens alpha{i} beta{i}')
+                for i in range(5)]
+        rows = [(i, text) for i in range(k)] + uniq
+        return spark_session.createDataFrame(
+            rows, 'doc_id bigint, text string')
+
+    def test_minhash_family_pairs_linear_not_quadratic(
+            self, spark_session):
+        k = 2000
+        df = self._mega_family(spark_session, k)
+        n_pairs = dd.minhash_lsh_candidates(
+            df, num_hashes=16, bands=4).count()
+        # star pairs only: k-1 family pairs (+0 cross pairs — the
+        # unique docs share no shingles with the boilerplate)
+        assert n_pairs == k - 1
+        # and the unguarded form really is quadratic (sanity of the
+        # test itself, on a smaller k to stay fast)
+        small = self._mega_family(spark_session, 60)
+        raw = dd.minhash_lsh_candidates(
+            small, num_hashes=16, bands=4,
+            collapse_identical=False, max_bucket_size=None).count()
+        assert raw >= 60 * 59 // 2
+
+    def test_minhash_dedup_decisions_unchanged_by_guard(
+            self, spark_session, docs_with_dups):
+        guarded = {r['doc_id'] for r in dd.minhash_dedup(
+            docs_with_dups, num_hashes=64, bands=32,
+            jaccard_threshold=0.5).collect()}
+        unguarded = {r['doc_id'] for r in dd.minhash_dedup(
+            docs_with_dups, num_hashes=64, bands=32,
+            jaccard_threshold=0.5, collapse_identical=False,
+            max_bucket_size=None).collect()}
+        assert guarded == unguarded
+
+    def test_minhash_dedup_mega_family_keeps_one(self, spark_session):
+        df = self._mega_family(spark_session, 500)
+        kept = {r['doc_id'] for r in dd.minhash_dedup(
+            df, num_hashes=16, bands=4,
+            jaccard_threshold=0.8).collect()}
+        assert 0 in kept  # family min survives
+        assert not (kept & set(range(1, 500)))  # clones all drop
+        assert {100_000 + i for i in range(5)} <= kept
+
+    def test_simhash_dedup_decisions_unchanged_by_guard(
+            self, spark_session, docs_with_dups):
+        guarded = {r['doc_id'] for r in dd.simhash_dedup(
+            docs_with_dups).collect()}
+        unguarded = {r['doc_id'] for r in dd.simhash_dedup(
+            docs_with_dups, collapse_identical=False,
+            max_bucket_size=None).collect()}
+        assert guarded == unguarded
+
+    def test_simhash_dedup_mega_family_keeps_one(self, spark_session):
+        df = self._mega_family(spark_session, 500)
+        kept = {r['doc_id'] for r in dd.simhash_dedup(df).collect()}
+        assert 0 in kept
+        assert not (kept & set(range(1, 500)))
+
+    def test_max_bucket_size_star_pairs_oversized_buckets(
+            self, spark_session):
+        # distinct documents forced into one bucket family: near-dup
+        # variants of one base text (distinct shingle sets, so the
+        # collapse does NOT merge them) with a tiny bucket cap
+        base = ('shared boilerplate prefix that dominates every '
+                'shingle window across all variant documents here')
+        rows = [(i, base + f' tail{i}') for i in range(30)]
+        df = spark_session.createDataFrame(
+            rows, 'doc_id bigint, text string')
+        capped = dd.minhash_lsh_candidates(
+            df, num_hashes=16, bands=4, max_bucket_size=5)
+        pairs = {(r['id_a'], r['id_b']) for r in capped.collect()}
+        # every pair in an oversized bucket goes through the bucket
+        # min: no pair between two non-min ids from a capped bucket
+        # unless some smaller bucket also held them
+        full = dd.minhash_lsh_candidates(
+            df, num_hashes=16, bands=4, max_bucket_size=None)
+        assert len(pairs) <= full.count()
+        # star shape: id 0 (global min, in every oversized bucket)
+        # still pairs with the variants it shares buckets with
+        assert any(a == 0 for a, _ in pairs)
+
+    def test_minhash_checkpoint_dir_roundtrip(
+            self, spark_session, docs_with_dups, tmp_path):
+        kept = {r['doc_id'] for r in dd.minhash_dedup(
+            docs_with_dups, num_hashes=64, bands=32,
+            jaccard_threshold=0.5,
+            checkpoint_dir=str(tmp_path / 'ckpt')).collect()}
+        default = {r['doc_id'] for r in dd.minhash_dedup(
+            docs_with_dups, num_hashes=64, bands=32,
+            jaccard_threshold=0.5).collect()}
+        assert kept == default
+        import os
+        assert os.listdir(tmp_path / 'ckpt')  # really wrote there

@@ -56,12 +56,38 @@ def main() -> None:
     n_base_dedup = minhash_dedup(
         docs, 'doc_id', 'text', num_hashes=64, bands=16,
         jaccard_threshold=0.8).count()
+
+    # Hot-family guard check: candidate-pair volume must grow
+    # LINEARLY in the replica count (k-clone family -> k-1 star
+    # pairs), not quadratically (k(k-1)/2 from the unguarded bucket
+    # self-join). Measure at R/2 and R: the guarded ratio is ~2x,
+    # the unguarded one ~4x.
+    from ons_utils_spark.operators.dedup import minhash_lsh_candidates
+
+    def _amplify(r):
+        return docs.crossJoin(
+            spark.range(r).withColumnRenamed('id', '__rep')
+        ).select(
+            (F.col('doc_id') * r + F.col('__rep')).alias('doc_id'),
+            'text')
+
+    half = max(1, replicas // 2)
+    pairs_half = minhash_lsh_candidates(
+        _amplify(half), num_hashes=64, bands=16).count()
+    pairs_full = minhash_lsh_candidates(
+        _amplify(replicas), num_hashes=64, bands=16).count()
+    growth = round(pairs_full / max(1, pairs_half), 2)
+
     print(json.dumps({
         'n_base': n_base, 'replicas': replicas, 'n_input': n_amp,
         'n_kept': n_kept, 'n_base_dedup': n_base_dedup,
         'dedup_sec': dt,
         'docs_per_sec': round(n_amp / dt, 1),
         'collapsed_exactly': n_kept == n_base_dedup,
+        'pairs_at_half_replicas': pairs_half,
+        'pairs_at_full_replicas': pairs_full,
+        'pair_growth_ratio': growth,
+        'pair_growth_linear': growth < 3.0,
     }))
     spark.stop()
 
