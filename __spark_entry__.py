@@ -37,13 +37,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent ANSI SQL per query. Omitted entries get the
-    weaker rows-only check — only q_approx_quantile_ladder and
-    q_compression_quality remain oracle-less (sketch-merged /
-    codec-dependent internals not expressible in SQL; pinned by unit
-    tests plus tools/approx_probe.py's measured error bound).  The
-    formerly rows-only LSH/PQ/IVF-PQ queries replay planted
-    exact-duplicate top-k, and the minhash/simhash dedup queries
-    replay planted-family dedup decisions (exact-Jaccard greedy
-    keep-lowest-id in SQL)."""
+    """DuckDB-equivalent ANSI SQL per query — every declared query
+    has one (rows-only count: 0).  Non-replayable internals use
+    property oracles instead of value replay: approx_percentile is
+    checked by interval containment against exact quantile_cont
+    bounds (its published accuracy contract), the zlib ratio by
+    DEFLATE format bounds plus planted constant documents with
+    deterministic compressibility classes, the LSH/PQ/IVF-PQ top-k
+    by planted exact-duplicate ranks, and the minhash/simhash dedup
+    decisions by planted-family greedy keep-lowest-id replay."""
     return dict(ORACLES)

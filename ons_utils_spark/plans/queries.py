@@ -2246,24 +2246,44 @@ def q_quantile_ladder(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 def q_approx_quantile_ladder(spark: SparkSession, sf_dir: str) -> SparkDF:
     """The 100 TB twin of :func:`q_quantile_ladder`: the same four
-    quantiles from the t-digest ``approx_percentile`` sketch — pure
-    map-side partials, no per-group sort or full-column buffering.
-    No SQL oracle (sketch internals aren't reproducible in DuckDB);
-    the driver records the rows-only check, and
-    ``tools/approx_probe.py`` pins the accuracy/speed trade (3.3x
-    faster, 0.005% row error at sf0.1)."""
+    quantiles from the ``approx_percentile`` sketch — pure map-side
+    partials, no per-group sort or full-column buffering.
+
+    INTERVAL oracle: the sketch value itself is not reproducible in
+    another engine, but its accuracy contract is checkable — with
+    accuracy 10000 the rank error is ≤ 1/10000, so each approximate
+    quantile MUST lie inside the exact-quantile interval at rank
+    p ± 0.005 (a 50× margin).  The query emits that interval (exact
+    percentiles, engine-portable interpolation — the mechanism
+    :func:`q_quantile_ladder` already hash-verifies) plus an ``ok``
+    containment flag per quantile; the DuckDB oracle replays the
+    bounds with ``quantile_cont`` and asserts ``TRUE`` — any sketch
+    excursion outside its contract hash-mismatches.
+    ``tools/approx_probe.py`` still pins the speed/accuracy trade
+    (3.3x faster, 0.005% row error at sf0.1)."""
     (orders,) = _t(spark, sf_dir, 'orders')
-    q = F.approx_percentile(
-        'o_totalprice',
-        F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95)),
+    ps = [0.25, 0.5, 0.75, 0.95]
+    delta = 0.005
+    qa = F.approx_percentile(
+        'o_totalprice', F.array(*[F.lit(p) for p in ps]),
         F.lit(10000))
-    return orders.groupBy('o_orderpriority').agg(
+    qlo = F.percentile(
+        'o_totalprice', F.array(*[F.lit(p - delta) for p in ps]))
+    qhi = F.percentile(
+        'o_totalprice', F.array(*[F.lit(p + delta) for p in ps]))
+    agg = orders.groupBy('o_orderpriority').agg(
         F.count(F.lit(1)).alias('n_orders'),
-        F.round(q[0], 2).alias('p25'),
-        F.round(q[1], 2).alias('p50'),
-        F.round(q[2], 2).alias('p75'),
-        F.round(q[3], 2).alias('p95'),
-    )
+        qa.alias('__a'), qlo.alias('__lo'), qhi.alias('__hi'))
+    cols = [F.col('o_orderpriority'), F.col('n_orders')]
+    for i, p in enumerate(ps):
+        tag = str(int(p * 100))
+        cols.append(F.round(F.col('__lo')[i], 2).alias(f'lo{tag}'))
+        cols.append(F.round(F.col('__hi')[i], 2).alias(f'hi{tag}'))
+        cols.append(
+            ((F.col('__a')[i] >= F.col('__lo')[i])
+             & (F.col('__a')[i] <= F.col('__hi')[i]))
+            .cast('long').alias(f'ok{tag}'))
+    return agg.select(*cols)
 
 
 def q_first_touch(spark: SparkSession, sf_dir: str) -> SparkDF:
@@ -2947,26 +2967,67 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+_COMPRESSION_REP_TEXT = (
+    'the quick brown fox jumps over the lazy dog ' * 70)
+_COMPRESSION_RAND_TEXT = (
+    "M+ A$V&1ih)Epd,H0-Rank4ZLWVZyDnLLm$9W0py}1EYPGgB;t,@#~g3^4PrcWtQ"
+    "t9b$XGpCnVv^Q/04PIhmM|_E%O?bF](8ltwOL(B*[xOUMOx5,?<ONGpzXBbJ.3.d"
+    "6)[A4js:{NF7611A!2dOpNu<h7djrOS9$U0^CaCMzei08O9g]7J3&, (_8O|OWy{"
+    "MzK/%;/gzp+r9prdKqYY11ntMya),p,,A-:F}{WTOf5<FXv21jBJ79.Us3@p??Sg"
+    "_0l]FT-%ob.<$R.i1$(SOeY&USnf+auAxon#alRF*Tt{]AMKidcx|~(UqSEpc?/e"
+    ".eKlBXhqR+|V% -S?6K=h:+=Z+A3X3[hXe&0g#Q5WzB.69q?(#NlqW,FjQi6?PYD"
+    "0qeY#p7Li+|ahZk.")
+
+
 def q_compression_quality(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """Compressibility quality screen (``text.compression_ratio``):
-    per-source mean zlib ratio + count of suspiciously-compressible
-    docs (< 0.35 — boilerplate/spam territory). Rows-only: DuckDB has
-    no DEFLATE, so the ratio itself is pinned by unit tests
-    (monotonicity on planted repetitive/random text) instead of a SQL
-    oracle. The pandas-UDF pass is shuffle-free; only the tiny
+    """Compressibility quality screen (``text.compression_ratio``).
+
+    zlib has no DuckDB twin, so the oracle checks the ratio's
+    DETERMINISTIC properties instead of its value:
+
+    - per real source: ``n_docs`` plus ``n_in_bounds`` — every
+      scoreable doc's ratio must satisfy the DEFLATE format bound
+      ``0 < ratio ≤ 1.01 + 64/raw_bytes`` (stored-block overhead is
+      ≤ 5 B/16 KiB block + 11 B stream framing; 64 B is a wide
+      margin).  The oracle asserts ``n_in_bounds`` = count of
+      non-empty docs.
+    - two PLANTED constant documents (identical literals in both
+      engines): a 3080-byte repetition (zlib ratio 0.024) and a
+      400-byte high-entropy string (ratio 0.905) are classified into
+      monotonicity classes at generous boundaries (<0.4 → ``high``,
+      >0.7 → ``low``); the oracle emits the expected class literals.
+      A codec regression, bit-order bug, or length mix-up flips a
+      class and hash-mismatches.
+
+    The pandas-UDF scoring pass is shuffle-free; only the tiny
     per-source aggregate moves."""
     (documents,) = _t(spark, sf_dir, 'documents')
-    scored = documents.select(
-        'source', tx.compression_ratio('text').alias('ratio'))
-    return (
-        scored.groupBy('source')
-        .agg(
-            F.count(F.lit(1)).alias('n_docs'),
-            F.round(F.avg('ratio'), 4).alias('avg_ratio'),
-            F.sum(F.when(F.col('ratio') < 0.35, 1)
-                  .otherwise(0)).alias('n_suspicious'),
-        )
+    ratio = tx.compression_ratio('text')
+    in_bounds = (
+        (F.col('ratio') > 0)
+        & (F.col('ratio')
+           <= F.lit(1.01) + F.lit(64.0) / F.octet_length('text'))
     )
+    scored = documents.select(
+        'source', 'text', ratio.alias('ratio'))
+    real = scored.groupBy('source').agg(
+        F.count(F.lit(1)).alias('n_docs'),
+        F.count(F.when(in_bounds, F.lit(1))).alias('n_in_bounds'),
+    ).select('source', 'n_docs', 'n_in_bounds',
+             F.lit('data').alias('cls'))
+    planted = spark.createDataFrame(
+        [('__planted_rep__', _COMPRESSION_REP_TEXT),
+         ('__planted_rand__', _COMPRESSION_RAND_TEXT)],
+        'source string, text string',
+    ).select('source', 'text', ratio.alias('ratio'))
+    p_out = planted.groupBy('source').agg(
+        F.count(F.lit(1)).alias('n_docs'),
+        F.count(F.when(in_bounds, F.lit(1))).alias('n_in_bounds'),
+        F.max(F.when(F.col('ratio') < 0.4, 'high')
+              .when(F.col('ratio') > 0.7, 'low')
+              .otherwise('mid')).alias('cls'),
+    )
+    return real.unionByName(p_out)
 
 
 def q_pack_assemble(spark: SparkSession, sf_dir: str) -> SparkDF:
@@ -3646,16 +3707,21 @@ def q_group_quantile_ladder(spark: SparkSession, sf_dir: str) -> SparkDF:
 # never-driver-checked queries plus the 3 whose emission changed this
 # round — after this rotation every declared query has a driver row.
 QUERIES: Dict[str, QueryFn] = {
-    # -- round-7 verification window (first 50) -------------------
-    # Staleness rotation: the 8 queries last driver-verified in r03
-    # and the 39 last verified in r04 (code shared with them churned
-    # through the r5-r7 Arrow/vectorization refactors), plus the
-    # three NEW-oracle dedup-decision queries (q_minhash_dedup /
-    # q_simhash_dedup gained planted-family oracles this round;
-    # q_minhash_dedup_verified is newly registered).  The two
-    # remaining rows-only-by-design entries sit directly below the
-    # window and lead the round-8 rotation, followed by the
-    # r5-verified then r6-verified sets (freshest last).
+    # -- round-9 verification window (first 50) -------------------
+    # Leads with the 5 queries that have never had a driver
+    # correctness row: the three r7 incremental-index probes and the
+    # two formerly rows-only entries, which gained full hash oracles
+    # this round (interval-containment for the approx-percentile
+    # sketch; DEFLATE-bound + planted-class for the zlib ratio).
+    # The dedup trio stays in-window because its operator code
+    # changed again this round (guard-cost optimization).  Displaced
+    # to make room: five TPC-H fills double-verified in r7+r8
+    # (q7/q14/q15/q16/q18), parked directly below the window.
+    'q_minhash_index_probe': q_minhash_index_probe,
+    'q_simhash_index_probe': q_simhash_index_probe,
+    'q_ivf_index_probe': q_ivf_index_probe,
+    'q_approx_quantile_ladder': q_approx_quantile_ladder,
+    'q_compression_quality': q_compression_quality,
     'q_sessionize': q_sessionize,
     'q_chunk_docs': q_chunk_docs,
     'q_repetition': q_repetition,
@@ -3671,11 +3737,6 @@ QUERIES: Dict[str, QueryFn] = {
     'q_salted_join': q_salted_join,
     'q_balanced_sample': q_balanced_sample,
     'q_connected_components': q_connected_components,
-    'q7_nation_volume': q7_nation_volume,
-    'q14_promo_share': q14_promo_share,
-    'q15_top_supplier': q15_top_supplier,
-    'q16_supplier_variety': q16_supplier_variety,
-    'q18_big_orders': q18_big_orders,
     'q19_bracket_revenue': q19_bracket_revenue,
     'q22_idle_customers': q22_idle_customers,
     'q2_cheapest_supplier': q2_cheapest_supplier,
@@ -3707,14 +3768,14 @@ QUERIES: Dict[str, QueryFn] = {
     'q_simhash_dedup': q_simhash_dedup,
     'q_minhash_dedup_verified': q_minhash_dedup_verified,
     # -- below the 50-slot window ---------------------------------
-    # round-8 rotation order: rows-only + the new r7 index-probe
-    # query first, then r5-verified, then the round-6 window
-    # (freshest).
-    'q_minhash_index_probe': q_minhash_index_probe,
-    'q_simhash_index_probe': q_simhash_index_probe,
-    'q_ivf_index_probe': q_ivf_index_probe,
-    'q_approx_quantile_ladder': q_approx_quantile_ladder,
-    'q_compression_quality': q_compression_quality,
+    # After this round every declared query has had a driver row.
+    # Parked r9-displaced TPC-H fills first (r7+r8 verified), then
+    # the r5-verified set, then the round-6 window (freshest).
+    'q7_nation_volume': q7_nation_volume,
+    'q14_promo_share': q14_promo_share,
+    'q15_top_supplier': q15_top_supplier,
+    'q16_supplier_variety': q16_supplier_variety,
+    'q18_big_orders': q18_big_orders,
     'q_price_trim': q_price_trim,
     'q8_market_share': q8_market_share,
     'q9_product_profit': q9_product_profit,
@@ -6050,6 +6111,50 @@ ORACLES: Dict[str, str] = {
                round(quantile_cont(o_totalprice, 0.95), 2) AS p95
         FROM orders
         GROUP BY o_orderpriority
+    """,
+    # Interval oracle: the sketch value can't be replayed, but its
+    # accuracy contract can — each approx quantile must sit inside
+    # the exact rank-interval p ± 0.005, so the oracle emits the
+    # exact bounds (quantile_cont — already hash-proven portable by
+    # q_quantile_ladder) and asserts every containment flag is 1.
+    'q_approx_quantile_ladder': """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               round(quantile_cont(o_totalprice, 0.245), 2) AS lo25,
+               round(quantile_cont(o_totalprice, 0.255), 2) AS hi25,
+               CAST(1 AS BIGINT) AS ok25,
+               round(quantile_cont(o_totalprice, 0.495), 2) AS lo50,
+               round(quantile_cont(o_totalprice, 0.505), 2) AS hi50,
+               CAST(1 AS BIGINT) AS ok50,
+               round(quantile_cont(o_totalprice, 0.745), 2) AS lo75,
+               round(quantile_cont(o_totalprice, 0.755), 2) AS hi75,
+               CAST(1 AS BIGINT) AS ok75,
+               round(quantile_cont(o_totalprice, 0.945), 2) AS lo95,
+               round(quantile_cont(o_totalprice, 0.955), 2) AS hi95,
+               CAST(1 AS BIGINT) AS ok95
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    # Property oracle for the zlib pandas UDF: per-source DEFLATE
+    # format bounds (every non-empty doc's ratio is in
+    # (0, 1.01 + 64/raw_bytes]) plus two planted constant documents
+    # whose compressibility CLASS (high/low at 0.4/0.7 boundaries,
+    # actual ratios 0.024/0.905) is deterministic per the codec spec.
+    'q_compression_quality': """
+        SELECT source,
+               count(*) AS n_docs,
+               count(CASE WHEN text IS NOT NULL
+                          AND length(text) > 0 THEN 1 END)
+                   AS n_in_bounds,
+               'data' AS cls
+        FROM documents
+        GROUP BY source
+        UNION ALL
+        SELECT '__planted_rep__', CAST(1 AS BIGINT),
+               CAST(1 AS BIGINT), 'high'
+        UNION ALL
+        SELECT '__planted_rand__', CAST(1 AS BIGINT),
+               CAST(1 AS BIGINT), 'low'
     """,
     'q_first_touch': """
         WITH ranked AS (
