@@ -393,6 +393,7 @@ def _bucket_pair_join(
     keys: Sequence[str],
     carry: Sequence[str] = (),
     max_bucket_size: Optional[int] = None,
+    eager_census: bool = False,
 ) -> SparkDF:
     """Self-join a banded frame on its bucket ``keys`` with
     ``id_a < id_b`` — the candidate-pair stage shared by the LSH
@@ -429,18 +430,54 @@ def _bucket_pair_join(
 
     if max_bucket_size is None:
         return _pairs(banded, banded)
-    # Bucket sizes ride the same (keys) shuffle as the join itself;
-    # the split is a filter, not an extra wide dependency.
-    sizes = banded.groupBy(*keys).agg(
-        F.count('*').alias('__bsz'), F.min('__id').alias('__bmin'))
-    tagged = banded.join(sizes, on=list(keys))
-    small = tagged.filter(F.col('__bsz') <= max_bucket_size) \
-        .drop('__bsz', '__bmin')
-    big = tagged.filter(F.col('__bsz') > max_bucket_size)
-    hub = big.filter(F.col('__id') == F.col('__bmin')) \
-        .drop('__bsz', '__bmin')
-    spokes = big.filter(F.col('__id') != F.col('__bmin')) \
-        .drop('__bsz', '__bmin')
+    # Join against the OVERSIZED buckets only: one bucket row per
+    # ≥ cap members means at most rows/cap oversized keys — normally
+    # zero — so the tag join is a broadcast of a near-empty frame,
+    # not the rows×bands-sized full bucket-census join an earlier
+    # shape paid (which re-shuffled the whole banded frame and was
+    # 2.3× the unguarded join's cost at sf0.1 even with NO oversized
+    # bucket in the data).  The census itself rides the same (keys)
+    # shuffle as the pair join via ReusedExchange.
+    oversized = (
+        banded.groupBy(*keys)
+        .agg(F.count('*').alias('__bsz'), F.min('__id').alias('__bmin'))
+        .filter(F.col('__bsz') > max_bucket_size)
+        .drop('__bsz')
+    )
+    if eager_census:
+        # Resolve the census NOW (callers set this only from already-
+        # eager contexts like the dedup drivers): in the overwhelming
+        # common case there is NO oversized bucket and the plan
+        # degenerates to the plain self-join — the split scaffolding
+        # (tag join + three filter branches) measured 2.5× the plain
+        # join's cost at sf0.1 even with zero oversized buckets.  The
+        # collect is driver-bounded: ≤ rows/cap oversized keys can
+        # exist, and anything beyond 100k rows falls back to the
+        # fully-distributed lazy split below.
+        over_rows = oversized.limit(100_001).collect()
+        if not over_rows:
+            return _pairs(banded, banded)
+        if len(over_rows) <= 100_000:
+            over_df = F.broadcast(
+                banded.sparkSession.createDataFrame(
+                    over_rows, oversized.schema))
+            tagged = banded.join(over_df, on=list(keys), how='left')
+            small = tagged.filter(F.col('__bmin').isNull()) \
+                .drop('__bmin')
+            hub = tagged.filter(F.col('__id') == F.col('__bmin')) \
+                .drop('__bmin')
+            spokes = tagged.filter(
+                F.col('__bmin').isNotNull()
+                & (F.col('__id') != F.col('__bmin'))).drop('__bmin')
+            return _pairs(small, small).unionByName(
+                _pairs(hub, spokes))
+    tagged = banded.join(oversized, on=list(keys), how='left')
+    small = tagged.filter(F.col('__bmin').isNull()).drop('__bmin')
+    hub = tagged.filter(F.col('__id') == F.col('__bmin')) \
+        .drop('__bmin')
+    spokes = tagged.filter(F.col('__bmin').isNotNull()
+                           & (F.col('__id') != F.col('__bmin'))) \
+        .drop('__bmin')
     return _pairs(small, small).unionByName(_pairs(hub, spokes))
 
 
@@ -460,11 +497,24 @@ def _reliable_checkpoint(df: SparkDF, checkpoint_dir: Optional[str]):
     any executor loss — fine on local[], a recompute-on-failure
     hazard on a real cluster.  With ``checkpoint_dir`` set the
     lineage cut is a reliable checkpoint on shared storage instead.
+
+    The session-global checkpoint directory is restored afterwards if
+    one was already configured (``setCheckpointDir`` is global state;
+    leaving it redirected would silently move every OTHER component's
+    checkpoints).  When none was configured it stays set — Spark has
+    no public unset — which is documented rather than hidden.
     """
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=True)
-    df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-    return df.checkpoint(eager=True)
+    sc = df.sparkSession.sparkContext
+    prev = sc._jsc.sc().getCheckpointDir()
+    prev = prev.get() if prev.isDefined() else None
+    sc.setCheckpointDir(checkpoint_dir)
+    try:
+        return df.checkpoint(eager=True)
+    finally:
+        if prev is not None and prev != checkpoint_dir:
+            sc.setCheckpointDir(prev)
 
 
 def minhash_lsh_candidates(
@@ -477,7 +527,10 @@ def minhash_lsh_candidates(
     hashed_shingles: Optional[SparkDF] = None,
     shingles: str = 'word',
     collapse_identical: bool = True,
-    max_bucket_size: Optional[int] = 100_000,
+    max_bucket_size: Optional[int] = 2000,
+    banded_index: Optional[SparkDF] = None,
+    materialize_families: bool = False,
+    checkpoint_dir: Optional[str] = None,
 ) -> SparkDF:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -510,7 +563,23 @@ def minhash_lsh_candidates(
 
     ``hashed_shingles`` (``__id``, ``__hs array<bigint>``) lets the
     caller supply a precomputed — typically persisted — shingle-hash
-    frame so the (expensive) shingling is not re-derived here.
+    frame so the (expensive) shingling is not re-derived here, and
+    ``banded_index`` a precomputed :func:`minhash_band_index` frame
+    (same parameters!) for the banding itself.  The guards reference
+    these frames from several plan branches (fingerprint census,
+    banding, bucket census, both self-join sides), so a DIRECT call
+    with the guards on and neither frame persisted evaluates the
+    shingle pipeline more than once — :func:`minhash_dedup` persists
+    and eagerly materializes both, which is the shape to copy at
+    scale.
+
+    ``max_bucket_size`` sizing rule: an at-cap bucket emits cap²/2
+    pairs from ONE join task (a single bucket key cannot be split by
+    AQE), so pick cap ≈ √(2 × tolerable-pairs-per-task) — the
+    default 2000 bounds any bucket to ~2M pairs; raising it to 10⁵
+    would allow 5×10⁹-pair tasks.  Star-pairing makes a low cap
+    cheap: recall loss is only spoke↔spoke pairs of
+    genuinely-distinct near-dup mega-families.
     """
     _check_bands(num_hashes, bands)
     hashed = hashed_shingles if hashed_shingles is not None else df.select(
@@ -520,28 +589,54 @@ def minhash_lsh_candidates(
     )
 
     fam_pairs = None
+    member_ids = None
     if collapse_identical:
+        # SCALAR side computation only: the fingerprint branch
+        # projects (id, 64-bit setfp) off the (ideally persisted)
+        # shingle-hash frame, aggregates map-side, and the family
+        # frame AQE-broadcasts back — the wide array-bearing frame is
+        # never re-shuffled.  (An earlier shape anti-joined the array
+        # frame itself by id before banding: that re-shuffled the
+        # arrays AND broke the pair-join's ReusedExchange — 3.2x
+        # slower at sf0.1.)
         keyed = hashed.select(
             '__id', _set_fingerprint(F.col('__hs')).alias('__setfp'))
         fams = keyed.groupBy('__setfp').agg(
             F.min('__id').alias('__rep'),
             F.count('*').alias('__fn'))
-        members = keyed.join(fams.filter(F.col('__fn') > 1), '__setfp')
-        fam_pairs = (
-            members.filter(F.col('__id') != F.col('__rep'))
-            .select(F.col('__rep').alias('id_a'),
-                    F.col('__id').alias('id_b'))
+        members = (
+            keyed.join(fams.filter(F.col('__fn') > 1), '__setfp')
+            .filter(F.col('__id') != F.col('__rep'))
+            .select('__rep', '__id')
         )
-        # band only the representatives (anti-join away the members)
-        hashed = hashed.join(
-            members.filter(F.col('__id') != F.col('__rep'))
-            .select('__id'),
-            '__id', 'left_anti')
+        if materialize_families:
+            # The member frame is referenced by EVERY downstream
+            # branch (banding anti-join feeds both self-join sides,
+            # the hub/spoke split, and the bucket census): left lazy,
+            # each branch re-runs the census join — measured ~0.6s ×
+            # 5 branches at sf0.1.  It is rows-with-a-duplicate sized
+            # (small by construction), so one eager lineage cut makes
+            # every branch a cheap scan.
+            members = _reliable_checkpoint(members, checkpoint_dir)
+        fam_pairs = members.select(F.col('__rep').alias('id_a'),
+                                   F.col('__id').alias('id_b'))
+        member_ids = members.select('__id')
 
-    banded = minhash_band_index(
-        df, id_col, text_col, num_hashes, bands, shingle_n,
-        hashed, shingles,
-    ).withColumnRenamed(id_col, '__id')
+    if banded_index is not None:
+        banded = banded_index.withColumnRenamed(id_col, '__id')
+    else:
+        banded = minhash_band_index(
+            df, id_col, text_col, num_hashes, bands, shingle_n,
+            hashed, shingles,
+        ).withColumnRenamed(id_col, '__id')
+    if member_ids is not None:
+        # Drop member rows from the NARROW (id, band, bucket) frame —
+        # post-signature, so the banding pipeline keeps its pre-guard
+        # plan shape; the member-id side is tiny after aggregation and
+        # AQE turns this into a broadcast anti-join (no banded-side
+        # shuffle).  Banding members' signatures is wasted-but-bounded
+        # work (the unguarded pipeline always paid it).
+        banded = banded.join(member_ids, '__id', 'left_anti')
 
     # _bucket_pair_join repartitions on (band, bucket): a shuffle
     # barrier that also stops the optimizer from inlining the (large)
@@ -549,7 +644,8 @@ def minhash_lsh_candidates(
     # sides then share one ReusedExchange instead of recomputing and
     # recompiling the minhash pipeline twice.
     pairs = _bucket_pair_join(
-        banded, ('band', 'bucket'), max_bucket_size=max_bucket_size)
+        banded, ('band', 'bucket'), max_bucket_size=max_bucket_size,
+        eager_census=materialize_families)
     if fam_pairs is not None:
         pairs = pairs.unionByName(fam_pairs)
     return pairs.distinct()
@@ -733,7 +829,7 @@ def minhash_dedup(
     jaccard_threshold: float = 0.8,
     shingles: str = 'word',
     collapse_identical: bool = True,
-    max_bucket_size: Optional[int] = 100_000,
+    max_bucket_size: Optional[int] = 2000,
     checkpoint_dir: Optional[str] = None,
 ) -> SparkDF:
     """Remove near-duplicates: LSH candidates → exact Jaccard verify →
@@ -775,12 +871,26 @@ def minhash_dedup(
         shingle_hashes(
             _shingler(shingles)(text_col, shingle_n)).alias('__hs'),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    banded = minhash_band_index(
+        df, id_col, text_col, num_hashes, bands, shingle_n,
+        hashed, shingles,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
+        # Materialize BOTH caches in one sequential job before the
+        # guards' branchy plan runs: the census/collapse/join branches
+        # otherwise launch as parallel stages that each find the
+        # InMemoryRelation cold and race to recompute the shingle+
+        # signature pipeline (measured 3-4x wall at sf0.1).  The scan
+        # populates `hashed` (its parent cache) on the way through.
+        banded.count()
         cands = minhash_lsh_candidates(
             df, id_col, text_col, num_hashes, bands, shingle_n,
             hashed_shingles=hashed,
             collapse_identical=collapse_identical,
             max_bucket_size=max_bucket_size,
+            banded_index=banded,
+            materialize_families=True,
+            checkpoint_dir=checkpoint_dir,
         )
         verified = verify_jaccard_hashed(cands, hashed, jaccard_threshold)
         # Materialize the (id-only, tiny relative to df) drop-list and
@@ -794,6 +904,7 @@ def minhash_dedup(
         )
     finally:
         hashed.unpersist()
+        banded.unpersist()
     return df.join(to_drop, on=id_col, how='left_anti')
 
 
@@ -1074,7 +1185,7 @@ def simhash_dedup(
     text_col: str = 'text',
     max_hamming: int = 3,
     collapse_identical: bool = True,
-    max_bucket_size: Optional[int] = 100_000,
+    max_bucket_size: Optional[int] = 2000,
     checkpoint_dir: Optional[str] = None,
 ) -> SparkDF:
     """Near-dedup by SimHash: 4-block banding finds all pairs within
@@ -1115,6 +1226,12 @@ def simhash_dedup(
         simhash_blocks_udf(4)(token_hashes).alias('__blocks'),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
+        # Populate the cache in one sequential job first: the guard
+        # branches (family census, anti-join, bucket census, two
+        # self-join sides) otherwise start as parallel stages racing
+        # to compute the cold tokenize+UDF pipeline (measured 3.4x
+        # wall at sf0.1).
+        sigs.count()
         fam_drops = None
         if collapse_identical:
             fams = sigs.groupBy('__blocks').agg(
@@ -1125,6 +1242,12 @@ def simhash_dedup(
                 .filter(F.col('__id') != F.col('__rep'))
                 .select('__id')
             )
+            # Eager lineage cut: the anti-joined `reps` frame feeds
+            # every downstream branch (bucket census + both self-join
+            # sides + hub/spoke split), and a lazy member census
+            # would re-run its two shuffles per branch.  Small by
+            # construction (rows with an identical-signature twin).
+            members = _reliable_checkpoint(members, checkpoint_dir)
             # members are Hamming 0 from a lower id: they always drop
             fam_drops = members
             reps = sigs.join(members, '__id', 'left_anti')
@@ -1137,7 +1260,7 @@ def simhash_dedup(
         dropped = (
             _bucket_pair_join(
                 banded, ('block', 'key'), carry=('__blocks',),
-                max_bucket_size=max_bucket_size)
+                max_bucket_size=max_bucket_size, eager_census=True)
             .filter(
                 hamming_distance_blocks(F.col('__blocks_a'),
                                         F.col('__blocks_b'))
