@@ -98,6 +98,12 @@ def build_ivf_index(
         ivf_assign(corpus, cents, vec_col=vec_col, output_col='cluster')
         .select(id_col, vec_col, 'cluster')
         .write.mode('overwrite').partitionBy('cluster')
+        # STATIC overwrite regardless of session conf: under
+        # partitionOverwriteMode=dynamic a rebuild would only replace
+        # clusters the new assignment emits, silently keeping stale
+        # vector partitions from a previous index (different
+        # centroids/corpus) alive in the search path.
+        .option('partitionOverwriteMode', 'static')
         .parquet(_vectors_path(path))
     )
     (

@@ -481,6 +481,37 @@ def _bucket_pair_join(
     return _pairs(small, small).unionByName(_pairs(hub, spokes))
 
 
+def _cap_index_buckets(
+    idx: SparkDF,
+    keys: Sequence[str],
+    id_col: str,
+    probe_banded: SparkDF,
+    max_bucket_size: Optional[int],
+) -> SparkDF:
+    """Cap oversized stored-index buckets to their min-id row for an
+    incremental probe join (see :func:`minhash_index_probe`).
+
+    Restricts the census to buckets the batch actually probes (a
+    semi-join against the batch's band keys — the stored index may
+    be the whole corpus, the batch touches a sliver of it), then one
+    window pass keeps every row of within-cap buckets and only the
+    minimum-id row of oversized ones.
+    """
+    if max_bucket_size is None:
+        return idx
+    idx = idx.join(
+        probe_banded.select(*keys).distinct(),
+        on=list(keys), how='left_semi')
+    w = Window.partitionBy(*keys)
+    return (
+        idx.withColumn('__bsz', F.count('*').over(w))
+        .withColumn('__bmin', F.min(id_col).over(w))
+        .filter((F.col('__bsz') <= max_bucket_size)
+                | (F.col(id_col) == F.col('__bmin')))
+        .drop('__bsz', '__bmin')
+    )
+
+
 def _set_fingerprint(hs_col):
     """64-bit fingerprint of a shingle-hash SET (order/multiplicity
     erased) — two documents with equal fingerprints have, up to a
@@ -662,6 +693,7 @@ def minhash_index_probe(
     shingles: str = 'word',
     new_id: str = 'new_id',
     index_id: str = 'index_id',
+    max_bucket_size: Optional[int] = 2000,
 ) -> SparkDF:
     """Candidate pairs between a NEW batch and a STORED band index.
 
@@ -676,10 +708,28 @@ def minhash_index_probe(
     text and append the new batch's band rows to the index table to
     complete the cycle.
 
-    Pair-completeness contract (test-pinned): probe(index(old), new)
-    ∪ candidates(new) equals every candidate pair of old ∪ new that
-    touches a new document — banding is deterministic per document,
-    so splitting the corpus into (indexed, new) loses nothing.
+    Hot-bucket guard: an index bucket larger than
+    ``max_bucket_size`` (a boilerplate mega-family present in both
+    the stored corpus AND the batch would otherwise join
+    k_idx × k_new pairs from one unsplittable bucket key) is capped
+    to its MIN-ID index row — each new doc pairs with the bucket
+    representative only, which preserves "drop the new doc if it
+    verifies against anything indexed" greedy decisions for
+    exact-duplicate families; pairs against the bucket's other
+    members are the documented recall bound (same trade as
+    :func:`_bucket_pair_join`).  ``None`` disables the cap.  The
+    census touches only buckets the batch actually probes (semi-join
+    first), not the whole stored index.
+
+    Pair-completeness contract (test-pinned): with no bucket over
+    the cap, probe(index(old), new) ∪ candidates(new,
+    ``collapse_identical=False``) equals every bucket-complete
+    candidate pair of old ∪ new that touches a new document —
+    banding is deterministic per document, so splitting the corpus
+    into (indexed, new) loses nothing.  (The DEFAULT
+    :func:`minhash_lsh_candidates` output is the collapsed
+    dedup-sufficient pair set, a subset of bucket-complete — compare
+    against the guard-off form when auditing completeness.)
     """
     idx_cols = set(index.columns)
     if not {'band', 'bucket'} <= idx_cols:
@@ -700,11 +750,14 @@ def minhash_index_probe(
     new_banded = minhash_band_index(
         df_new, id_col, text_col, num_hashes, bands, shingle_n,
         shingles=shingles,
-    )
+    ).withColumnRenamed(id_col, new_id)
+    idx = index.withColumnRenamed(iid, index_id)
+    idx = _cap_index_buckets(
+        idx, ('band', 'bucket'), index_id, new_banded,
+        max_bucket_size)
     return (
-        new_banded.withColumnRenamed(id_col, new_id)
-        .join(index.withColumnRenamed(iid, index_id),
-              on=['band', 'bucket'])
+        new_banded
+        .join(idx, on=['band', 'bucket'])
         .filter(F.col(new_id) != F.col(index_id))
         .select(new_id, index_id)
         .distinct()
@@ -1317,6 +1370,7 @@ def simhash_index_probe(
     max_hamming: int = 3,
     new_id: str = 'new_id',
     index_id: str = 'index_id',
+    max_bucket_size: Optional[int] = 2000,
 ) -> SparkDF:
     """Near-duplicate pairs between a NEW batch and a stored SimHash
     block index, verified by true Hamming distance — only the batch
@@ -1324,7 +1378,14 @@ def simhash_index_probe(
     mismatched n_blocks silently yields garbage keys, so store them
     with the index table).  Pigeonhole guarantee as in
     :func:`simhash_dedup`: every pair within Hamming <
-    ``n_blocks`` shares at least one exact block."""
+    ``n_blocks`` shares at least one exact block.
+
+    Hot-bucket guard (:func:`_cap_index_buckets`): an index (block,
+    key) bucket over ``max_bucket_size`` is capped to its min-id row
+    before the join — for SimHash this is LOSSLESS for the capped
+    bucket's exact families (identical signatures verify at Hamming
+    0 against the representative) and the recall bound applies only
+    to distinct-signature co-bucketed rows.  ``None`` disables."""
     idx_cols = set(index.columns)
     if not {'block', 'key', 'blocks'} <= idx_cols:
         raise ValueError(
@@ -1342,10 +1403,12 @@ def simhash_index_probe(
         df_new, id_col, text_col, n_blocks,
     ).withColumnRenamed(id_col, new_id) \
      .withColumnRenamed('blocks', '__new_blocks')
+    idx = _cap_index_buckets(
+        index.withColumnRenamed(iid, index_id), ('block', 'key'),
+        index_id, new_banded, max_bucket_size)
     return (
         new_banded
-        .join(index.withColumnRenamed(iid, index_id),
-              on=['block', 'key'])
+        .join(idx, on=['block', 'key'])
         .filter(F.col(new_id) != F.col(index_id))
         .filter(
             hamming_distance_blocks(

@@ -499,9 +499,16 @@ def ivf_assign(
     @F.pandas_udf('int')
     def nearest(batch: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for vecs in batch:
-            m = np.stack(vecs.to_numpy()).astype(np.float64)
-            # argmax_c (v · c_norm) == argmax_c cosine(v, c)
-            yield pd.Series(np.argmax(m @ cn.T, axis=1).astype(np.int32))
+            vals = vecs.to_numpy()
+            mask = np.array([v is not None and len(v) > 0
+                             for v in vals], dtype=bool)
+            out = np.full(len(vals), None, dtype=object)
+            if mask.any():
+                m = np.stack(vals[mask]).astype(np.float64)
+                # argmax_c (v · c_norm) == argmax_c cosine(v, c)
+                out[mask] = list(
+                    np.argmax(m @ cn.T, axis=1).astype(np.int32))
+            yield pd.Series(out)
 
     return df.withColumn(output_col, nearest(F.col(vec_col)))
 
@@ -518,16 +525,31 @@ def ivf_assign_multi(
     to recover cluster-boundary misses in SemDeDup-style pruning
     (row count multiplies by ``n``; downstream per-cluster work grows
     accordingly). Same GEMM + stable argsort as :func:`ivf_topk`'s
-    query probing."""
+    query probing.
+
+    NULL/empty embeddings cannot be assigned a cluster and are
+    DROPPED from the output (the explode of a null probe list emits
+    no row) instead of crashing the Arrow batch — filter them
+    upstream if they must be accounted for."""
     cn = _normalize_rows(np.asarray(centroids, dtype=np.float64))
     n = min(n, cn.shape[0])
 
     @F.pandas_udf('array<int>')
     def topn(batch: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for vecs in batch:
-            m = np.stack(vecs.to_numpy()).astype(np.float64)
-            order = np.argsort(-(m @ cn.T), axis=1, kind='stable')
-            yield pd.Series(list(order[:, :n].astype(np.int32)))
+            vals = vecs.to_numpy()
+            mask = np.array([v is not None and len(v) > 0
+                             for v in vals], dtype=bool)
+            out = np.full(len(vals), None, dtype=object)
+            if mask.any():
+                m = np.stack(vals[mask]).astype(np.float64)
+                order = np.argsort(-(m @ cn.T), axis=1, kind='stable')
+                rows = order[:, :n].astype(np.int32)
+                # per-slot assignment: fancy-assigning a 2-D block
+                # into an object array is rejected by numpy
+                for j, i in enumerate(np.nonzero(mask)[0]):
+                    out[i] = rows[j]
+            yield pd.Series(out)
 
     return df.withColumn(output_col, F.explode(topn(F.col(vec_col))))
 

@@ -612,11 +612,29 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> SparkDF:
     keep-lowest-id; this assumes no cross-subgroup or planted-vs-real
     signature pair within Hamming 3, which is not SQL-replayable but
     has probability ~1e-10 per dataset (and is deterministic given
-    the data — verified at both gate SFs)."""
+    the data — verified at both gate SFs).  A LOUD guard checks that
+    assumption per run: if the planted survivor set is not exactly
+    the 16 subgroup minima, the query raises with the divergence
+    instead of surfacing as an opaque oracle hash mismatch — after a
+    testdata regeneration that would distinguish "the 1e-10 Hamming
+    collision landed" from a dedup regression."""
     (documents,) = _t(spark, sf_dir, 'documents')
     corpus = _planted_dedup_corpus(spark, sf_dir, documents)
     kept = dd.simhash_dedup(corpus, 'doc_id', 'text', max_hamming=3)
-    return _planted_survivors(kept)
+    out = _planted_survivors(kept)
+    expected = {8_000_000 + f * 10 + j for f in range(8)
+                for j in (0, 3)}
+    got = {r['kept_doc_id'] for r in out.collect()}
+    if got != expected:
+        raise ValueError(
+            'q_simhash_dedup planted-survivor guard tripped: '
+            f'unexpectedly dropped {sorted(expected - got)}, '
+            f'unexpectedly kept {sorted(got - expected)}. Either a '
+            'cross-subgroup/planted-vs-real SimHash pair within '
+            'Hamming 3 exists in this dataset (the ~1e-10 collision '
+            'the oracle assumes away — move the planted token '
+            'namespace) or the dedup decision regressed.')
+    return out
 
 
 def q_langid(spark: SparkSession, sf_dir: str) -> SparkDF:

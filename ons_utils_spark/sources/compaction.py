@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import math
 import os
+import re
 from typing import Dict, List, Optional, Sequence
 
 from pyspark.sql import DataFrame as SparkDF
@@ -123,13 +124,34 @@ def compaction_plan(
     )
 
 
-def _partition_values(rel_dir: str) -> Dict[str, str]:
-    """Decode ``k1=v1/k2=v2`` into a dict (Hive path encoding)."""
+_HIVE_NULL_DIR = '__HIVE_DEFAULT_PARTITION__'
+
+
+def _unescape_hive(value: str) -> Optional[str]:
+    """Invert Hive/Spark partition-path escaping.
+
+    Spark writes NULL partition values as ``__HIVE_DEFAULT_PARTITION__``
+    and percent-escapes special ASCII chars (``%xx``, one byte each —
+    non-ASCII is written raw); see Spark's
+    ``ExternalCatalogUtils.unescapePathName``.  Comparing the RAW dir
+    string against data values silently misses every escaped/null
+    partition, which collapses its file budget to 1 — i.e. one giant
+    output file.
+    """
+    if value == _HIVE_NULL_DIR:
+        return None
+    return re.sub(r'%([0-9A-Fa-f]{2})',
+                  lambda m: chr(int(m.group(1), 16)), value)
+
+
+def _partition_values(rel_dir: str) -> Dict[str, Optional[str]]:
+    """Decode ``k1=v1/k2=v2`` into a dict (Hive path encoding),
+    unescaping values (``None`` for the null-partition dir)."""
     out = {}
     for seg in rel_dir.split('/'):
         if '=' in seg:
             k, v = seg.split('=', 1)
-            out[k] = v
+            out[k] = _unescape_hive(v)
     return out
 
 
@@ -192,7 +214,11 @@ def compact_table(
     schema = ', '.join(f'__p_{c} string' for c in part_cols) \
         + ', __n_out int'
     bdf = spark.createDataFrame(budgets, schema=schema)
-    cond = [df[c].cast('string') == bdf[f'__p_{c}'] for c in part_cols]
+    # eqNullSafe: the null partition's budget row carries value None
+    # and must still match (plain == would drop every null-partition
+    # row to the coalesce(1) fallback — one giant file)
+    cond = [df[c].cast('string').eqNullSafe(bdf[f'__p_{c}'])
+            for c in part_cols]
     slot_cols = list(slot_by) if slot_by else [
         c for c in df.columns if c not in part_cols]
     joined = df.join(F.broadcast(bdf), cond, 'left').withColumn(

@@ -149,3 +149,37 @@ class TestCompactPartitioned:
                 spark_session, fragmented, str(tmp_path / 'x'),
                 partition_by=['status'],
             )
+
+    def test_escaped_and_null_partitions_keep_budgets(
+            self, spark_session, tmp_path):
+        # ':' forces Hive %-escaping in the dir name; None becomes
+        # __HIVE_DEFAULT_PARTITION__ — both previously fell out of
+        # the budget join (plain ==) and collapsed to ONE output file
+        rows = [(i, 'a:b' if i % 3 == 0 else
+                 (None if i % 3 == 1 else 'plain'))
+                for i in range(300)]
+        df = spark_session.createDataFrame(rows, 'id long, k string')
+        src = str(tmp_path / 'esc_src')
+        df.repartition(8).write.partitionBy('k').parquet(src)
+        plan = {r['dir']: r for r in cp.compaction_plan(
+            spark_session, src, target_bytes=2000).collect()}
+        assert any('%3A' in d for d in plan), sorted(plan)
+        assert any('__HIVE_DEFAULT_PARTITION__' in d for d in plan)
+        dst = str(tmp_path / 'esc_dst')
+        cp.compact_table(
+            spark_session, src, dst, target_bytes=2000,
+            partition_by=['k'], slot_by=['id'])
+        out = {r['dir']: r for r in cp.file_stats(
+            spark_session, dst).collect()}
+        # every partition (escaped + null included) got MORE than the
+        # single file the broken join produced, up to its own budget
+        for d, r in out.items():
+            assert r['n_files'] <= plan[d]['n_out']
+            if plan[d]['n_out'] > 1:
+                assert r['n_files'] > 1, d
+        src_df = spark_session.read.parquet(src)
+        dst_df = spark_session.read.parquet(dst)
+        assert dst_df.count() == src_df.count() == 300
+        # null-partition rows survive as NULLs, escaped values intact
+        assert dst_df.filter(F.col('k').isNull()).count() == 100
+        assert dst_df.filter(F.col('k') == 'a:b').count() == 100

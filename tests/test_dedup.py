@@ -926,6 +926,36 @@ class TestMinHashIndex:
         with pytest.raises(ValueError, match='band'):
             dd.minhash_index_probe(old, new)
 
+    def test_probe_caps_oversized_index_buckets(self, spark_session):
+        # a clone mega-family stored in the index joins a new clone
+        # k_idx x k_new without the guard; with max_bucket_size below
+        # the family size the new doc pairs with the bucket MIN only
+        fam = ('boilerplate footer text repeated on every single '
+               'page of the crawled website corpus forever')
+        old = spark_session.createDataFrame(
+            [(i, fam) for i in range(1, 7)]
+            + [(7, 'completely unrelated gardening advice about '
+                   'growing tomatoes in cold northern climates')],
+            'doc_id long, text string')
+        new = spark_session.createDataFrame(
+            [(100, fam)], 'doc_id long, text string')
+        index = dd.minhash_band_index(old, num_hashes=16, bands=8)
+        capped = {(r['new_id'], r['index_id'])
+                  for r in dd.minhash_index_probe(
+                      index, new, num_hashes=16, bands=8,
+                      max_bucket_size=3).collect()}
+        assert capped == {(100, 1)}  # representative only
+        full = {(r['new_id'], r['index_id'])
+                for r in dd.minhash_index_probe(
+                    index, new, num_hashes=16, bands=8,
+                    max_bucket_size=None).collect()}
+        assert full == {(100, i) for i in range(1, 7)}
+        # within-cap buckets are untouched by the guard
+        assert {(r['new_id'], r['index_id'])
+                for r in dd.minhash_index_probe(
+                    index, new, num_hashes=16, bands=8,
+                    max_bucket_size=100).collect()} == full
+
 
 def test_index_probe_rejects_ambiguous_id_columns(spark_session):
     from pyspark.sql import functions as F
@@ -998,6 +1028,26 @@ class TestSimhashIndex:
             'extra', F.lit(1))
         with pytest.raises(ValueError, match='exactly one id'):
             dd.simhash_index_probe(index, new)
+
+    def test_probe_caps_oversized_index_buckets(self, spark_session):
+        fam = ('boilerplate footer text repeated on every single '
+               'page of the crawled website corpus forever')
+        old = spark_session.createDataFrame(
+            [(i, fam) for i in range(1, 7)],
+            'doc_id long, text string')
+        new = spark_session.createDataFrame(
+            [(100, fam)], 'doc_id long, text string')
+        index = dd.simhash_block_index(old)
+        capped = {(r['new_id'], r['index_id'])
+                  for r in dd.simhash_index_probe(
+                      index, new, max_bucket_size=3).collect()}
+        # identical signatures: the min-id representative stands in
+        # losslessly for the whole family
+        assert capped == {(100, 1)}
+        full = {(r['new_id'], r['index_id'])
+                for r in dd.simhash_index_probe(
+                    index, new, max_bucket_size=None).collect()}
+        assert full == {(100, i) for i in range(1, 7)}
 
 
 class TestHotBucketGuard:

@@ -177,6 +177,32 @@ class TestIvfTopK:
         with pytest.raises(ValueError, match='nprobe'):
             sim.ivf_topk(corpus, qset, n_clusters=4, nprobe=5)
 
+    def test_assign_null_embedding_yields_null_not_crash(
+            self, spark_session):
+        import numpy as np
+        cents = np.array([[1.0, 0.0], [0.0, 1.0]])
+        df = spark_session.createDataFrame(
+            [(1, [0.9, 0.1]), (2, None), (3, []), (4, [0.1, 0.9])],
+            'vec_id bigint, embedding array<float>')
+        got = {r['vec_id']: r['__ivf_c']
+               for r in sim.ivf_assign(df, cents).collect()}
+        assert got[1] == 0 and got[4] == 1
+        assert got[2] is None and got[3] is None
+
+    def test_assign_multi_drops_null_embeddings(self, spark_session):
+        import numpy as np
+        cents = np.array([[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0]])
+        df = spark_session.createDataFrame(
+            [(1, [0.9, 0.1]), (2, None), (3, [0.1, 0.9])],
+            'vec_id bigint, embedding array<float>')
+        out = sim.ivf_assign_multi(df, cents, n=2).collect()
+        by_id = {}
+        for r in out:
+            by_id.setdefault(r['vec_id'], []).append(r['__ivf_c'])
+        assert sorted(by_id) == [1, 3]     # null row dropped, no crash
+        assert by_id[1][0] == 0 and by_id[3][0] == 1
+        assert all(len(v) == 2 for v in by_id.values())
+
 
 class TestDegenerateVectors:
     def test_zero_norm_and_null_dont_crash_ansi(self, spark_session):
