@@ -1636,6 +1636,98 @@ def _gemm_pairs(
     )
 
 
+def _pair_cosine_udf():
+    """Arrow-vectorized exact cosine for candidate-pair verification:
+    row-wise normalized dot product, one BLAS pass per batch.  Zero-
+    norm vectors normalize with norm→1 (cosine 0), matching
+    :func:`_gemm_pairs` exactly so the LSH and GEMM paths agree."""
+    @F.pandas_udf('double')
+    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if not len(va):
+            return pd.Series([], dtype='float64')
+        a = np.stack(va.to_numpy()).astype(np.float64)
+        b = np.stack(vb.to_numpy()).astype(np.float64)
+        na = np.linalg.norm(a, axis=1)
+        nb = np.linalg.norm(b, axis=1)
+        na[na == 0] = 1.0
+        nb[nb == 0] = 1.0
+        return pd.Series(
+            np.einsum('ij,ij->i', a, b) / (na * nb))
+    return _cos
+
+
+def _lsh_near_duplicates(
+    src: SparkDF,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    dim: Optional[int],
+    bands: int,
+    planes_per_band: int,
+    seed: int,
+    max_bucket_size: Optional[int],
+) -> SparkDF:
+    """Sub-quadratic candidate path for
+    :func:`embedding_near_duplicates`: banded hyperplane-LSH bucket
+    keys (:func:`similarity.hyperplane_band_udf`, one GEMM per Arrow
+    batch) → per-(band, bucket) self-join through
+    :func:`_bucket_pair_join` (star-capped at ``max_bucket_size``,
+    so an embedding-clone mega-family emits k−1 pairs, not k²/2) →
+    exact-cosine verify of the deduplicated candidates.
+
+    Shuffle volume is O(rows × bands) for candidates plus two
+    candidate-sized joins for the verify — never O(n²).  Precision
+    is exact (every emitted pair is cosine-verified); recall is the
+    banding bound ``1 − (1 − p^r)^B`` with ``p = 1 − θ/π`` (≈0.99
+    at cosine 0.95 with the 24×16 defaults, exactly 1 for identical
+    vectors, which collide in every band).
+
+    Sizing rule: on near-orthogonal corpora the false-candidate
+    fraction is ≈ ``B · 2^−r`` of all n²/2 pairs (r = 16 → ~4·10⁻⁴
+    with B = 24), so raise ``planes_per_band`` by ~log₂ of any
+    corpus growth factor (and ``bands`` to hold recall) to keep the
+    verify load linear — the standard LSH n^ρ trade.
+    """
+    spark = src.sparkSession
+    if dim is None:
+        row = (
+            src.filter(F.col(vec_col).isNotNull()
+                       & (F.size(F.col(vec_col)) > 0))
+            .select(F.size(F.col(vec_col)).alias('__d')).first())
+        if row is None:  # no usable vectors → no pairs
+            return spark.createDataFrame(
+                [], 'id_a bigint, id_b bigint, cosine double')
+        dim = row['__d']
+    from .similarity import hyperplane_band_udf
+    sig = hyperplane_band_udf(dim, bands, planes_per_band, seed)
+    # UDF behind its own aliased projection, generator in the next
+    # select (Spark can't nest a generator inside an expression, and
+    # pandas-UDF extraction is fragile around wrapped argument trees).
+    keyed = src.select(F.col(id_col).alias('__id'),
+                       sig(F.col(vec_col)).alias('__keys'))
+    banded = keyed.select(
+        '__id', F.posexplode('__keys').alias('band', 'bucket'))
+    # Eager lineage cut: the bucket census and both self-join sides
+    # each reference this frame — left lazy the signature-GEMM
+    # pipeline recomputes per branch (the r8 dedup-guard regression).
+    banded = _reliable_checkpoint(banded, None)
+    cand = _bucket_pair_join(
+        banded, ('band', 'bucket'), max_bucket_size=max_bucket_size,
+        eager_census=True,
+    ).dropDuplicates(['id_a', 'id_b'])
+    va = src.select(F.col(id_col).alias('id_a'),
+                    F.col(vec_col).alias('__va'))
+    vb = src.select(F.col(id_col).alias('id_b'),
+                    F.col(vec_col).alias('__vb'))
+    cos = _pair_cosine_udf()
+    return (
+        cand.join(va, 'id_a').join(vb, 'id_b')
+        .withColumn('cosine', cos(F.col('__va'), F.col('__vb')))
+        .filter(F.col('cosine') >= F.lit(float(threshold)))
+        .select('id_a', 'id_b', 'cosine')
+    )
+
+
 def embedding_near_duplicates(
     df: SparkDF,
     id_col: str = 'vec_id',
@@ -1643,33 +1735,57 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     max_broadcast_rows: int = 500_000,
     block_rows: Optional[int] = None,
+    method: str = 'auto',
+    dim: Optional[int] = None,
+    lsh_bands: int = 24,
+    lsh_planes_per_band: int = 16,
+    lsh_seed: int = 42,
+    max_bucket_size: Optional[int] = 2000,
 ) -> SparkDF:
-    """Near-dup pairs by embedding cosine similarity (exact).
+    """Near-dup pairs by embedding cosine similarity.
 
-    Broadcast-GEMM design: the (normalized) corpus matrix is broadcast
+    ``method='auto'`` (default): up to ``max_broadcast_rows`` the
+    EXACT broadcast-GEMM path runs; past it the SUB-QUADRATIC
+    banded-hyperplane-LSH path takes over — candidate pairs from
+    bucket equi-joins (shuffle O(rows × bands), never O(n²)),
+    exact-cosine verified, so precision is exact and recall follows
+    the banding bound (≈0.99 at cosine 0.95 with the defaults;
+    exactly 1 for identical vectors — see
+    :func:`similarity.hyperplane_band_udf`).  ``'exact'`` forces the
+    GEMM path at any size (n² total compute, hash-disjoint broadcast
+    blocks of ``block_rows`` ≤ ``max_broadcast_rows`` keep driver
+    memory bounded); ``'lsh'`` forces the candidate path.
+
+    Exact path design: the (normalized) corpus matrix is broadcast
     to every executor (numpy, ~0.5 MB per 2k×64-dim), and each
     partition streams its rows through one BLAS matrix multiply per
     Arrow batch — ~100× faster than per-pair expression evaluation,
-    with no O(n²) join shuffle.
+    with no O(n²) join shuffle. When blocked, each unordered pair
+    lands in exactly one block — the one holding its larger id — so
+    the union needs no dedup; per-block results are eagerly
+    ``localCheckpoint``-ed and the broadcast released.
 
-    Scale path: when the corpus exceeds ``max_broadcast_rows`` (or
-    ``block_rows`` is set explicitly), the corpus side is processed as
-    an outer loop of hash-disjoint broadcast blocks of at most
-    ``block_rows`` rows each. Per block: collect THAT block only
-    (driver memory stays bounded at one block), broadcast it, GEMM
-    the full corpus against it, eagerly ``localCheckpoint`` the
-    (sparse) pair results, then release the broadcast before the next
-    block. Each unordered pair lands in exactly one block — the one
-    holding its larger id — so the union needs no dedup. Total
-    compute is the same n² GEMM either way; the corpus is re-scanned
-    once per block, so it is cached (memory-then-disk) for the loop.
-    For sub-quadratic candidate generation at extreme scale, LSH-
-    bucket first (``similarity.random_hyperplane_lsh``) and verify
-    within buckets; this operator is the exact verifier.
+    LSH path: one GEMM pass computes ``lsh_bands`` bucket keys per
+    vector; the banded frame self-joins per (band, key) through
+    :func:`_bucket_pair_join` — with the same ``max_bucket_size``
+    star-cap guarding against embedding-clone mega-families — and
+    candidates verify with exact cosine. NULL/empty embeddings drop
+    out at the banding stage (no bucket), matching the exact path
+    (a zero row can never reach ``threshold``).
     """
+    if method not in ('auto', 'exact', 'lsh'):
+        raise ValueError(
+            f"method must be 'auto', 'exact' or 'lsh', got {method!r}")
     spark = df.sparkSession
     src = df.select(id_col, vec_col)
     n = src.count()
+    use_lsh = method == 'lsh' or (
+        method == 'auto' and block_rows is None
+        and n > max_broadcast_rows)
+    if use_lsh:
+        return _lsh_near_duplicates(
+            src, id_col, vec_col, threshold, dim, lsh_bands,
+            lsh_planes_per_band, lsh_seed, max_bucket_size)
     if block_rows is None:
         if n <= max_broadcast_rows:
             ids, mat = _collect_normalized(src, id_col, vec_col)

@@ -327,6 +327,63 @@ def _probe_buckets(dots_col, bucket_col, probes: int):
     return F.concat(F.array(bucket_col), flips)
 
 
+def hyperplane_band_udf(
+    dim: int,
+    bands: int = 24,
+    planes_per_band: int = 16,
+    seed: int = 42,
+):
+    """Arrow-vectorized BANDED sign-random-projection signatures:
+    ``array<long>`` of ``bands`` bucket keys per vector, one GEMM.
+
+    The banding trick from MinHash LSH transferred to hyperplane
+    LSH: a single signature of b planes has per-bit collision
+    probability ``p = 1 - θ/π``, so its full-key collision rate
+    ``p^b`` decays fast even for near-duplicates — but with
+    ``bands`` independent keys of ``planes_per_band`` bits each, a
+    pair is a candidate if ANY band matches:
+    ``1 - (1 - p^r)^B``.  At cosine 0.95 (θ≈18.2°, p≈0.899) the
+    24×16 defaults give ≈0.99 recall while passing only
+    ``B · 2^−r ≈ 4·10⁻⁴`` of orthogonal-pair noise (r = 8 would
+    recall ≈0.999 but admit ~5% of ALL pairs as candidates — a
+    Θ(n²) verify load); identical vectors collide in EVERY band
+    deterministically (recall exactly 1 for exact duplicates).
+    All ``bands × planes_per_band`` planes are applied in one
+    matrix multiply per Arrow batch.
+
+    NULL/empty embeddings yield a NULL key array (dropped by the
+    downstream ``posexplode`` + bucket equi-join).
+    """
+    total = bands * planes_per_band
+    planes = np.array(
+        [_hyperplane(dim, p, seed) for p in range(total)],
+        dtype=np.float64,
+    )
+    bit_weights = (np.int64(1)
+                   << np.arange(planes_per_band, dtype=np.int64))
+
+    @F.pandas_udf('array<long>')
+    def _sigs(batch: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vecs in batch:
+            vals = vecs.to_numpy()
+            mask = np.array([v is not None and len(v) > 0
+                             for v in vals], dtype=bool)
+            out = np.full(len(vals), None, dtype=object)
+            if mask.any():
+                m = np.stack(vals[mask]).astype(np.float64)
+                bits = (m @ planes.T > 0)
+                keys = np.stack([
+                    bits[:, b * planes_per_band:
+                         (b + 1) * planes_per_band] @ bit_weights
+                    for b in range(bands)
+                ], axis=1).astype(np.int64)
+                for j, i in enumerate(np.nonzero(mask)[0]):
+                    out[i] = keys[j]
+            yield pd.Series(out)
+
+    return _sigs
+
+
 def random_hyperplane_lsh(
     df: SparkDF,
     vec_col: str = 'embedding',

@@ -262,18 +262,132 @@ class TestEmbeddingNearDup:
         assert got == want, (len(got), len(want))
 
     def test_oversize_corpus_switches_to_blocked(self, spark_session):
-        """Above max_broadcast_rows the operator must not collect the
-        full corpus in one piece — same answer, bounded blocks."""
+        """``method='exact'`` above max_broadcast_rows must not
+        collect the full corpus in one piece — same answer, bounded
+        blocks."""
         rows = [(i, [1.0, 0.0, float(i % 7)]) for i in range(60)]
         df = spark_session.createDataFrame(
             rows, 'vec_id bigint, embedding array<float>'
         )
         single = dd.embedding_near_duplicates(df, threshold=0.999)
-        auto_blocked = dd.embedding_near_duplicates(
-            df, threshold=0.999, max_broadcast_rows=25)
+        blocked = dd.embedding_near_duplicates(
+            df, threshold=0.999, max_broadcast_rows=25,
+            method='exact')
         want = {(r['id_a'], r['id_b']) for r in single.collect()}
-        got = {(r['id_a'], r['id_b']) for r in auto_blocked.collect()}
+        got = {(r['id_a'], r['id_b']) for r in blocked.collect()}
         assert got == want and want
+
+    def test_auto_routes_to_lsh_above_bound(self, spark_session,
+                                            monkeypatch):
+        """``method='auto'`` past ``max_broadcast_rows`` (with no
+        explicit ``block_rows``) takes the sub-quadratic LSH path —
+        and the answer still matches the exact join on a dataset
+        whose positives are identical vectors (LSH recall exactly
+        1)."""
+        rows = [(i, [1.0, 0.0, float(i % 7)]) for i in range(60)]
+        df = spark_session.createDataFrame(
+            rows, 'vec_id bigint, embedding array<float>'
+        )
+        called = {}
+        real = dd._lsh_near_duplicates
+
+        def spy(*a, **kw):
+            called['lsh'] = True
+            return real(*a, **kw)
+
+        monkeypatch.setattr(dd, '_lsh_near_duplicates', spy)
+        got_df = dd.embedding_near_duplicates(
+            df, threshold=0.999, max_broadcast_rows=25)
+        assert called.get('lsh'), 'auto did not route to LSH'
+        want = {(r['id_a'], r['id_b']) for r in
+                dd.embedding_near_duplicates(
+                    df, threshold=0.999, method='exact').collect()}
+        got = {(r['id_a'], r['id_b']) for r in got_df.collect()}
+        assert got == want and want
+
+    def test_lsh_matches_exact_on_planted_neardups(
+            self, spark_session):
+        """Planted clones (cosine exactly 1) and seeded 0.98-cosine
+        perturbations: LSH recall 1.0 and exact precision vs the
+        GEMM path at threshold 0.95, cosines bit-close."""
+        import numpy as np
+        from ons_utils_spark.sources.readers import load_tables
+
+        emb = load_tables(
+            spark_session, '/root/testdata/sf0.001',
+            tables=['embeddings'])['embeddings']
+        base = emb.limit(20).collect()
+        rng = np.random.default_rng(7)
+        rows = []
+        nid = 10_000_000
+        for i, r in enumerate(base):
+            v = np.array(r.embedding, dtype=np.float64)
+            rows.append((nid + 2 * i,
+                         [float(x) for x in (v * 2.0)]))
+            n = np.linalg.norm(v)
+            u = rng.standard_normal(len(v))
+            u -= (u @ v) / (n * n) * v
+            u = u / np.linalg.norm(u)
+            w = v / n * 0.98 + u * np.sqrt(1 - 0.98 ** 2)
+            rows.append((nid + 2 * i + 1,
+                         [float(x) for x in (w * n)]))
+        extra = spark_session.createDataFrame(
+            rows, 'vec_id bigint, embedding array<double>')
+        df = emb.select('vec_id', 'embedding').unionByName(extra)
+        exact = {(r['id_a'], r['id_b']): r['cosine'] for r in
+                 dd.embedding_near_duplicates(
+                     df, threshold=0.95, method='exact').collect()}
+        lsh = {(r['id_a'], r['id_b']): r['cosine'] for r in
+               dd.embedding_near_duplicates(
+                   df, threshold=0.95, method='lsh').collect()}
+        assert set(lsh) == set(exact) and exact
+        for k, c in lsh.items():
+            assert abs(c - exact[k]) < 1e-9
+
+    def test_lsh_null_and_empty_embeddings_skipped(
+            self, spark_session):
+        rows = [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [2.0, 0.0, 0.0]),
+            (3, None),
+            (4, []),
+            (5, [0.0, 0.0, 0.0]),  # zero-norm: cosine 0, never passes
+        ]
+        df = spark_session.createDataFrame(
+            rows, 'vec_id bigint, embedding array<double>')
+        got = {(r['id_a'], r['id_b']) for r in
+               dd.embedding_near_duplicates(
+                   df, threshold=0.9, method='lsh').collect()}
+        assert got == {(1, 2)}
+
+    def test_lsh_all_null_returns_empty_with_schema(
+            self, spark_session):
+        df = spark_session.createDataFrame(
+            [(1, None), (2, None)],
+            'vec_id bigint, embedding array<double>')
+        out = dd.embedding_near_duplicates(
+            df, threshold=0.9, method='lsh')
+        assert out.columns == ['id_a', 'id_b', 'cosine']
+        assert out.count() == 0
+
+    def test_lsh_mega_family_star_capped(self, spark_session):
+        """k identical vectors with max_bucket_size < k emit the
+        k−1 hub-spoke pairs (greedy keep-lowest-id unchanged), not
+        k(k−1)/2."""
+        rows = [(i, [1.0, 2.0, 3.0]) for i in range(30)]
+        df = spark_session.createDataFrame(
+            rows, 'vec_id bigint, embedding array<double>')
+        got = {(r['id_a'], r['id_b']) for r in
+               dd.embedding_near_duplicates(
+                   df, threshold=0.99, method='lsh',
+                   max_bucket_size=10).collect()}
+        assert got == {(0, i) for i in range(1, 30)}
+
+    def test_invalid_method_raises(self, spark_session):
+        df = spark_session.createDataFrame(
+            [(1, [1.0])], 'vec_id bigint, embedding array<double>')
+        with pytest.raises(ValueError, match='method'):
+            dd.embedding_near_duplicates(df, method='fuzzy')
 
 
 class TestCharShingles:

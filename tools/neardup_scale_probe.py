@@ -67,11 +67,50 @@ def main() -> None:
     n_pairs = embedding_near_duplicates(
         corpus, threshold=0.9999, block_rows=block_rows).count()
     wall = round(time.time() - t0, 2)
+
+    # LSH sub-n² evidence: candidate work (pre-verify bucket pairs)
+    # as a fraction of all n²/2 pairs, on the ORGANIC corpus (near-
+    # orthogonal — the hard case for false candidates) and on the
+    # replicated corpus (clone mega-families — the star-cap case).
+    from ons_utils_spark.operators.dedup import (  # noqa: E402
+        _bucket_pair_join, _reliable_checkpoint)
+    from ons_utils_spark.operators.similarity import (  # noqa: E402
+        hyperplane_band_udf)
+
+    def _lsh_candidates(df, cap):
+        dim = len(df.select('embedding').first()['embedding'])
+        sig = hyperplane_band_udf(dim)
+        banded = _reliable_checkpoint(
+            df.select(F.col('vec_id').alias('__id'),
+                      sig(F.col('embedding')).alias('__keys'))
+            .select('__id',
+                    F.posexplode('__keys').alias('band', 'bucket')),
+            None)
+        return _bucket_pair_join(
+            banded, ('band', 'bucket'), max_bucket_size=cap,
+            eager_census=True).dropDuplicates(['id_a', 'id_b'])
+
+    base_n = emb.count()
+    t1 = time.time()
+    cand_organic = _lsh_candidates(
+        emb.select('vec_id', 'embedding'), 2000).count()
+    organic_sec = round(time.time() - t1, 2)
+    t2 = time.time()
+    lsh_pairs = embedding_near_duplicates(
+        corpus, threshold=0.9999, method='lsh').count()
+    lsh_sec = round(time.time() - t2, 2)
+
     print(json.dumps({
         'n_corpus': n, 'block_rows': block_rows,
         'num_blocks': -(-n // block_rows),
         'base_parity': parity,
         'n_pairs': n_pairs, 'blocked_sec': wall,
+        'lsh_pairs': lsh_pairs, 'lsh_sec': lsh_sec,
+        'lsh_pairs_match_blocked': lsh_pairs == n_pairs,
+        'organic_candidates': cand_organic,
+        'organic_candidate_fraction': round(
+            cand_organic / (base_n * (base_n - 1) / 2), 8),
+        'organic_candidates_sec': organic_sec,
         'driver_peak_rss_mb': _rss_mb(),
         'driver_rss_before_mb': rss_before,
     }))
