@@ -21,6 +21,7 @@ trainable path when the real subword inventory matters.
 """
 from __future__ import annotations
 
+import warnings
 from typing import Dict, List, Sequence, Tuple
 
 import pandas as pd
@@ -45,7 +46,10 @@ def word_histogram(
 
     ``max_words`` keeps the driver-bound training input explicit:
     the top words by count (ties to the lexicographically smaller
-    word) via TakeOrderedAndProject — never a global sort.
+    word) via TakeOrderedAndProject — never a global sort.  The cap
+    is SILENT at this DataFrame level (no job runs until an
+    action); :func:`train_bpe` detects an actually-hit cap with an
+    N+1 fetch and warns loudly.
     """
     counts = (
         df.select(F.explode(
@@ -106,8 +110,23 @@ def train_bpe(
     round, ties broken lexicographically (reproducible across runs
     and partitionings, unlike hash-order ties).  Training stops
     early when no pair repeats.
+
+    When the corpus has more than ``max_words`` distinct word types
+    a ``RuntimeWarning`` reports the truncation (detected by
+    fetching ``max_words + 1`` rows — no extra job): the dropped
+    rare tail is excluded from merge counts, which is the standard
+    subword-trainer design but should never happen silently.
     """
-    hist = word_histogram(df, text_col, min_count, max_words).collect()
+    hist = word_histogram(
+        df, text_col, min_count, max_words + 1).collect()
+    if len(hist) > max_words:
+        warnings.warn(
+            f'BPE word histogram truncated to the top {max_words} '
+            f'word types (corpus has more); the rare tail is '
+            f'excluded from merge counts — raise max_words to '
+            f'widen coverage',
+            RuntimeWarning, stacklevel=2)
+        hist = hist[:max_words]
     vocab: Dict[Tuple[str, ...], int] = {}
     for row in hist:
         key = tuple(row['word']) + (END_OF_WORD,)

@@ -16,8 +16,12 @@ produced one, cap candidate-pair degree upstream.
 """
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame as SparkDF
 from pyspark.sql import functions as F
+
+from .dedup import _reliable_checkpoint
 
 
 def connected_components(
@@ -25,13 +29,22 @@ def connected_components(
     id_a: str = 'id_a',
     id_b: str = 'id_b',
     max_iterations: int = 20,
+    checkpoint_dir: Optional[str] = None,
 ) -> SparkDF:
     """Resolve pair edges to components: ``(node, component)`` where
     component = min node id reachable from ``node``.
 
     Only nodes that appear in ``pairs`` are returned (isolated nodes
     are their own components trivially).
+
+    ``checkpoint_dir`` upgrades the per-round lineage cuts from
+    ``localCheckpoint`` (executor-storage blocks — die with any
+    executor, forcing a full recompute of every round so far) to
+    RELIABLE checkpoints on shared storage
+    (:func:`dedup._reliable_checkpoint`) — set it for long cluster
+    runs.
     """
+    _ckpt = lambda d: _reliable_checkpoint(d, checkpoint_dir)  # noqa: E731
     edges = pairs.select(
         F.col(id_a).cast('long').alias('a'),
         F.col(id_b).cast('long').alias('b'),
@@ -43,7 +56,7 @@ def connected_components(
     # localCheckpoint (not persist): each round's plan would otherwise
     # embed every previous round — plan size grows exponentially and
     # the DRIVER OOMs during analysis after ~10 iterations.
-    sym = sym.repartition('a').localCheckpoint()
+    sym = sym.repartition('a').transform(_ckpt)
 
     labels = (
         sym.groupBy('a')
@@ -52,7 +65,7 @@ def connected_components(
             F.col('a').alias('node'),
             F.least(F.col('a'), F.col('min_neighbor')).alias('comp'),
         )
-        .localCheckpoint()
+        .transform(_ckpt)
     )
 
     for it in range(max_iterations):
@@ -91,7 +104,7 @@ def connected_components(
                     F.col('comp'),
                 ).alias('comp'),
             )
-            .localCheckpoint()
+            .transform(_ckpt)
         )
         # Convergence check every OTHER round: the check is a whole
         # extra join+count job, and an already-converged round is a
@@ -118,6 +131,7 @@ def dedup_by_components(
     df: SparkDF,
     pairs: SparkDF,
     id_col: str = 'doc_id',
+    checkpoint_dir: Optional[str] = None,
 ) -> SparkDF:
     """Keep one row (lowest id) per duplicate component.
 
@@ -126,7 +140,7 @@ def dedup_by_components(
     duplicate group except its minimum id is dropped, even when some
     members only connect through intermediates.
     """
-    comps = connected_components(pairs)
+    comps = connected_components(pairs, checkpoint_dir=checkpoint_dir)
     to_drop = comps.filter(F.col('node') != F.col('comp')).select(
         F.col('node').alias(id_col)
     )

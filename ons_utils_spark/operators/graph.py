@@ -31,9 +31,12 @@ Two arithmetic modes (same pattern as ``operators/classifier.py``):
 from __future__ import annotations
 
 from fractions import Fraction
+from typing import Optional
 
 from pyspark.sql import DataFrame as SparkDF
 from pyspark.sql import functions as F
+
+from .dedup import _reliable_checkpoint
 
 __all__ = ['pagerank', 'triangle_count', 'bfs_levels',
            'label_propagation']
@@ -44,6 +47,7 @@ def label_propagation(
     src: str = 'src',
     dst: str = 'dst',
     iterations: int = 5,
+    checkpoint_dir: Optional[str] = None,
 ) -> SparkDF:
     """Community detection by synchronous label propagation
     (Raghavan et al. 2007) → ``(node, label)``.
@@ -60,10 +64,18 @@ def label_propagation(
     auditing.  Fixed ``iterations`` synchronous rounds: per round
     one edge join + one (node, label) count + one
     max-count/min-label argmax — three shuffles, state O(nodes),
-    ``localCheckpoint`` lineage cuts.  All integer arithmetic, so a
+    per-round lineage cuts.  All integer arithmetic, so a
     recursive-CTE oracle replays every round exactly.  Isolated
     nodes (no edges) keep their own label.
+
+    ``checkpoint_dir`` makes the per-round lineage cuts RELIABLE
+    checkpoints on shared storage (see
+    :func:`dedup._reliable_checkpoint`): ``localCheckpoint`` blocks
+    die with an executor, which on a real cluster forces a full
+    recompute of every round so far — set it for any long-running
+    cluster job.
     """
+    _ckpt = lambda d: _reliable_checkpoint(d, checkpoint_dir)  # noqa: E731
     e = edges.select(F.col(src).cast('long').alias('a'),
                      F.col(dst).cast('long').alias('b')) \
         .filter(F.col('a') != F.col('b'))
@@ -71,12 +83,12 @@ def label_propagation(
         e.select(F.col('b').alias('a'), F.col('a').alias('b'))
     ).distinct()
     nodes = sym.select(F.col('a').alias('node')).distinct() \
-        .localCheckpoint()
+        .transform(_ckpt)
     # self-vote edges: each node hears its own label once per round
     sym = sym.unionByName(
         nodes.select(F.col('node').alias('a'),
                      F.col('node').alias('b'))
-    ).repartition('a').localCheckpoint()
+    ).repartition('a').transform(_ckpt)
     labels = nodes.select('node', F.col('node').alias('label'))
     for _ in range(iterations):
         counts = (
@@ -97,7 +109,7 @@ def label_propagation(
             .select(nodes['node'],
                     F.coalesce(best['label'], nodes['node'])
                     .alias('label'))
-            .localCheckpoint()
+            .transform(_ckpt)
         )
     return labels
 
@@ -110,42 +122,45 @@ def bfs_levels(
     node: str = 'node',
     max_hops: int = 6,
     directed: bool = True,
+    checkpoint_dir: Optional[str] = None,
 ) -> SparkDF:
     """Minimum hop distance from a source set → ``(node, hop)``.
 
     Frontier BFS: each round joins ONLY the newest frontier against
     the edge list and anti-joins already-visited nodes, so per-round
     work is O(frontier × avg-degree) — never |V|×|E|.  Visited
-    state is cut with ``localCheckpoint`` per round, and the loop
-    exits early when the frontier empties.  Unreached nodes are
+    state is lineage-cut per round (``checkpoint_dir`` upgrades the
+    cuts to reliable checkpoints — see :func:`label_propagation`),
+    and the loop exits early when the frontier empties.  Unreached nodes are
     absent from the result (callers can left-join ``hop IS NULL``).
     All integer — the DuckDB oracle replays it with a UNION
     (deduplicating) recursive CTE whose state is bounded by
     nodes × hops.
     """
+    _ckpt = lambda d: _reliable_checkpoint(d, checkpoint_dir)  # noqa: E731
     e = edges.select(F.col(src).cast('long').alias('s'),
                      F.col(dst).cast('long').alias('d')).distinct()
     if not directed:
         e = e.unionByName(
             e.select(F.col('d').alias('s'), F.col('s').alias('d'))
         ).distinct()
-    e = e.repartition('s').localCheckpoint()
+    e = e.repartition('s').transform(_ckpt)
     frontier = sources.select(
         F.col(node).cast('long').alias('n')).distinct()
     levels = frontier.select(
-        'n', F.lit(0).cast('int').alias('hop')).localCheckpoint()
+        'n', F.lit(0).cast('int').alias('hop')).transform(_ckpt)
     for hop in range(1, max_hops + 1):
         nxt = (
             frontier.join(e, frontier['n'] == e['s'])
             .select(F.col('d').alias('n')).distinct()
             .join(levels.select('n'), 'n', 'left_anti')
-            .localCheckpoint()
+            .transform(_ckpt)
         )
         if nxt.limit(1).count() == 0:
             break
         levels = levels.unionByName(
             nxt.select('n', F.lit(hop).cast('int').alias('hop'))
-        ).localCheckpoint()
+        ).transform(_ckpt)
         frontier = nxt
     return levels.select(F.col('n').alias('node'), 'hop')
 
@@ -154,6 +169,7 @@ def triangle_count(
     edges: SparkDF,
     src: str = 'src',
     dst: str = 'dst',
+    checkpoint_dir: Optional[str] = None,
 ) -> SparkDF:
     """Count triangles in the undirected simple graph of ``edges``.
 
@@ -166,8 +182,11 @@ def triangle_count(
     orientation (out-degrees are bounded by graph arboricity, not by
     raw degree), keeping the wedge self-join from exploding on
     skewed graphs.  Pure joins/aggregates; all integer arithmetic,
-    so the oracle replays it exactly.
+    so the oracle replays it exactly.  ``checkpoint_dir`` upgrades
+    the oriented-edge lineage cut to a reliable checkpoint (see
+    :func:`label_propagation`).
     """
+    _ckpt = lambda d: _reliable_checkpoint(d, checkpoint_dir)  # noqa: E731
     e = (
         edges.select(F.col(src).cast('long').alias('u'),
                      F.col(dst).cast('long').alias('v'))
@@ -197,7 +216,7 @@ def triangle_count(
         .alias('ds'),
         F.when(lower_first, F.col('db')).otherwise(F.col('da'))
         .alias('dt'),
-    ).localCheckpoint()
+    ).transform(_ckpt)
     e1, e2 = oriented.alias('e1'), oriented.alias('e2')
     # wedge (s → t1, s → t2) with t1 before t2 in orientation order
     wedges = e1.join(e2, on=[
@@ -225,6 +244,7 @@ def pagerank(
     scale: int = 10 ** 12,
     self_loops: str = 'dangling',
     checkpoint_every: int = 1,
+    checkpoint_dir: Optional[str] = None,
 ) -> SparkDF:
     """PageRank of a directed edge list → ``(node, rank)``.
 
@@ -245,8 +265,12 @@ def pagerank(
     Measured at sf0.1, N=1 (the default) beats N=2 — the deeper
     two-round plans re-optimize and re-shuffle worse than the extra
     materialization costs — so raise N only after measuring on your
-    own graph/cluster.
+    own graph/cluster.  ``checkpoint_dir`` upgrades every lineage
+    cut to a reliable checkpoint on shared storage (see
+    :func:`label_propagation`) — executor loss then costs one round,
+    not the whole run.
     """
+    _ckpt = lambda d: _reliable_checkpoint(d, checkpoint_dir)  # noqa: E731
     if mode not in ('float', 'integer'):
         raise ValueError(f"mode must be 'float' or 'integer', got {mode!r}")
     if self_loops not in ('dangling', 'all', 'none'):
@@ -260,7 +284,7 @@ def pagerank(
         e.select(F.col('src').alias('node'))
         .unionByName(e.select(F.col('dst').alias('node')))
         .distinct()
-        .localCheckpoint()
+        .transform(_ckpt)
     )
     if self_loops == 'all':
         e = e.unionByName(
@@ -279,7 +303,7 @@ def pagerank(
     ed = (
         e.join(deg, 'src')
         .repartition('src')
-        .localCheckpoint()
+        .transform(_ckpt)
     )
     n = nodes.count()
 
@@ -305,7 +329,7 @@ def pagerank(
             )
             if (it + 1) % checkpoint_every == 0 \
                     or it == iterations - 1:
-                ranks = ranks.localCheckpoint()
+                ranks = _ckpt(ranks)
         return ranks.select('node', F.col('r').alias('rank'))
 
     ranks = nodes.select('node', F.lit(1.0 / n).alias('r'))
@@ -324,5 +348,5 @@ def pagerank(
             .alias('r'),
         )
         if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
-            ranks = ranks.localCheckpoint()
+            ranks = _ckpt(ranks)
     return ranks.select('node', F.col('r').alias('rank'))

@@ -86,3 +86,69 @@ def parametrize_cases(*cases: Case):
         for i, case in enumerate(cases)
     ]
     return pytest.mark.parametrize(','.join(all_keys), argvalues)
+
+
+# Reference conftest conveniences (tests/conftest.py:61-201 there):
+# small fixtures its tests lean on, re-expressed for this harness.
+
+@pytest.fixture
+def spark_column():
+    """Wrap a flat value list as one-column row tuples — the shape
+    ``createDataFrame`` accepts when a bare list of scalars (with
+    None/NaN mixed into a numeric column) would be ambiguous."""
+    def _(vals):
+        return [(v,) for v in vals]
+    return _
+
+
+@pytest.fixture
+def all_in_output():
+    """``all_in_output(output, values)`` — every element of
+    ``output`` appears in ``values``."""
+    def _(output, values):
+        return all(x in values for x in output)
+    return _
+
+
+@pytest.fixture(params=['str', 'pathlib.Path'])
+def make_path_like(request):
+    """Yield the same filepath as both accepted path types: each
+    consuming test runs once with ``str`` and once with ``Path``."""
+    from pathlib import Path
+
+    def _(filepath: str):
+        return filepath if request.param == 'str' else Path(filepath)
+    return _
+
+
+@pytest.fixture(scope='class')
+def filename_to_pandas():
+    """Read a CSV test file under ``dir`` into pandas."""
+    from pathlib import Path
+
+    def _(filename: str, dir: str, *args, **kwargs):
+        return pd.read_csv(Path(dir) / filename, *args, **kwargs)
+    return _
+
+
+@pytest.fixture(scope='class')
+def filename_to_spark(spark_session):
+    """Read a CSV test file under ``dir`` into a Spark DataFrame."""
+    from pathlib import Path
+
+    def _(filename: str, dir: str, *args, **kwargs):
+        return spark_session.createDataFrame(
+            pd.read_csv(Path(dir) / filename, *args, **kwargs))
+    return _
+
+
+@pytest.fixture
+def suppress_warnings():
+    """Silence warnings for one test WITHOUT leaking the filter into
+    the rest of the session (the reference version mutates the
+    global filter list; this one restores it on teardown)."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore')
+        yield

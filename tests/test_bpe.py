@@ -77,3 +77,16 @@ def test_segmenter_handles_unseen_and_null(corpus, spark_session):
     assert toks[0] == 'z' and toks[1] == 'q'
     rebuilt = ''.join(toks).replace(END_OF_WORD, ' ').strip()
     assert rebuilt == 'zq lowest'
+
+
+def test_train_bpe_warns_when_max_words_truncates(spark_session):
+    df = spark_session.createDataFrame(
+        [('aa bb cc dd ee ff gg aa bb aa',)], 'text string')
+    with pytest.warns(RuntimeWarning, match='truncated'):
+        capped = train_bpe(df, num_merges=3, max_words=3)
+    # decisions follow the top-3 histogram exactly (aa, bb + 1 more)
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter('error')  # no warning when the cap fits
+        full = train_bpe(df, num_merges=3, max_words=100)
+    assert capped is not None and full is not None

@@ -60,3 +60,19 @@ def test_long_chain_converges_within_iteration_cap(spark_session):
     rows = comps.collect()
     assert len(rows) == 121
     assert all(r['comp'] == 100 for r in rows)
+
+
+def test_components_checkpoint_dir_roundtrip(spark_session, tmp_path):
+    """checkpoint_dir routes the per-round lineage cuts through a
+    real on-disk reliable checkpoint, same answer."""
+    import os
+    from ons_utils_spark import connected_components
+    edges = spark_session.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], 'id_a bigint, id_b bigint')
+    ck = str(tmp_path / 'cc_ckpt')
+    with_dir = {(r['node'], r['comp']) for r in connected_components(
+        edges, checkpoint_dir=ck).collect()}
+    default = {(r['node'], r['comp']) for r in connected_components(
+        edges).collect()}
+    assert with_dir == default
+    assert os.listdir(ck)
