@@ -51,6 +51,8 @@ from .operators.clustering import connected_components, dedup_by_components
 from .operators.concat import UnequalSchemaWarning, concat, promote_dtypes
 from .operators.dedup import (
     char_shingles,
+    embedding_band_index,
+    embedding_index_probe,
     embedding_near_duplicates,
     exact_dedup,
     minhash_dedup,
@@ -59,6 +61,7 @@ from .operators.dedup import (
     minhash_lsh_candidates,
     minhash_lsh_candidates_portable,
     ngram_jaccard_join,
+    score_pairs_cosine,
     simhash_block_index,
     simhash_candidates_portable,
     simhash_dedup,
@@ -117,6 +120,7 @@ from .operators.reshape import stack as stack_spark
 from .operators.reshape import unstack as unstack_spark
 from .operators.similarity import (
     cosine_topk,
+    hyperplane_band_udf,
     hyperplane_signature_udf,
     ivf_assign,
     ivf_centroids,
@@ -183,9 +187,10 @@ __all__ = [
     'minhash_lsh_candidates_portable', 'char_shingles',
     'simhash_dedup', 'simhash_candidates_portable',
     'simhash_block_index', 'simhash_index_probe',
-    'ngram_jaccard_join', 'embedding_near_duplicates',
+    'ngram_jaccard_join', 'embedding_band_index', 'embedding_index_probe',
+    'embedding_near_duplicates', 'score_pairs_cosine',
     'cosine_topk', 'lsh_topk', 'random_hyperplane_lsh',
-    'hyperplane_signature_udf',
+    'hyperplane_band_udf', 'hyperplane_signature_udf',
     'ivf_topk', 'ivf_centroids', 'ivf_assign',
     'tokenize', 'token_count', 'quality_score', 'language_id',
     'fingerprint', 'text_stats', 'clean_text', 'strip_html',

@@ -1656,6 +1656,158 @@ def _pair_cosine_udf():
     return _cos
 
 
+def embedding_band_index(
+    df: SparkDF,
+    id_col: str = 'vec_id',
+    vec_col: str = 'embedding',
+    dim: Optional[int] = None,
+    bands: int = 24,
+    planes_per_band: int = 16,
+    seed: int = 42,
+) -> SparkDF:
+    """Banded hyperplane-LSH index rows ``(id, band, bucket)`` — the
+    stored half of INCREMENTAL embedding near-dup dedup, the exact
+    analogue of :func:`minhash_band_index` for vectors.
+
+    Write this frame as the index table when the corpus is first
+    deduplicated; for each new batch, :func:`embedding_index_probe`
+    bands ONLY the batch and equi-joins it against the stored rows —
+    then append the batch's rows to complete the cycle.  Parameters
+    (``bands``/``planes_per_band``/``seed``/``dim``) MUST match
+    between build and probe: bucket keys are parameter-dependent and
+    a mismatch yields silent near-empty joins — store them alongside
+    the index table.
+
+    One GEMM per Arrow batch (:func:`similarity.hyperplane_band_udf`);
+    NULL/empty embeddings produce no rows.  ``dim`` is inferred from
+    the first usable vector when not given.
+    """
+    spark = df.sparkSession
+    src = df.select(id_col, vec_col)
+    if dim is None:
+        row = (
+            src.filter(F.col(vec_col).isNotNull()
+                       & (F.size(F.col(vec_col)) > 0))
+            .select(F.size(F.col(vec_col)).alias('__d')).first())
+        if row is None:  # no usable vectors → empty index
+            from pyspark.sql import types as T
+            return spark.createDataFrame([], T.StructType([
+                src.schema[id_col],
+                T.StructField('band', T.IntegerType()),
+                T.StructField('bucket', T.LongType()),
+            ]))
+        dim = row['__d']
+    from .similarity import hyperplane_band_udf
+    sig = hyperplane_band_udf(dim, bands, planes_per_band, seed)
+    # UDF behind its own aliased projection, generator in the next
+    # select (Spark can't nest a generator inside an expression, and
+    # pandas-UDF extraction is fragile around wrapped argument trees).
+    keyed = src.select(F.col(id_col),
+                       sig(F.col(vec_col)).alias('__keys'))
+    return keyed.select(
+        id_col, F.posexplode('__keys').alias('band', 'bucket'))
+
+
+def embedding_index_probe(
+    index: SparkDF,
+    df_new: SparkDF,
+    id_col: str = 'vec_id',
+    vec_col: str = 'embedding',
+    dim: Optional[int] = None,
+    bands: int = 24,
+    planes_per_band: int = 16,
+    seed: int = 42,
+    new_id: str = 'new_id',
+    index_id: str = 'index_id',
+    max_bucket_size: Optional[int] = 2000,
+) -> SparkDF:
+    """Candidate near-dup pairs between a NEW vector batch and a
+    STORED :func:`embedding_band_index` — the incremental half of
+    embedding dedup (same contract shape as
+    :func:`minhash_index_probe`).
+
+    Only the new batch is banded (one GEMM over batch rows); the
+    equi-join on (band, bucket) shuffles the batch's band rows and
+    the semi-join-pruned sliver of the index it actually probes.
+    Returns distinct ``(new_id, index_id)`` CANDIDATES — verify with
+    :func:`score_pairs_cosine` against the corpus vectors, then
+    append the batch's band rows to the index table.
+
+    Hot-bucket guard: an index bucket larger than
+    ``max_bucket_size`` (an embedding-clone mega-family present in
+    both the stored corpus and the batch would otherwise join
+    k_idx × k_new pairs from one unsplittable bucket key) is capped
+    to its MIN-ID row via :func:`_cap_index_buckets` — greedy
+    "drop the new row if it verifies against anything indexed"
+    decisions are preserved for exact-clone families; the capped
+    bucket's other members are the documented recall bound.
+
+    Pair-completeness contract (test-pinned): with no bucket over
+    the cap, probe(index(old), new) ∪ the within-batch LSH
+    candidates equals every bucket-complete candidate pair of
+    old ∪ new that touches a new vector — banding is deterministic
+    per vector, so splitting the corpus into (indexed, new) loses
+    nothing.
+    """
+    idx_cols = set(index.columns)
+    if not {'band', 'bucket'} <= idx_cols:
+        raise ValueError(
+            f"index must be an embedding_band_index frame with"
+            f" 'band' and 'bucket' columns, got {sorted(idx_cols)}")
+    id_candidates = [c for c in index.columns
+                     if c not in ('band', 'bucket')]
+    if len(id_candidates) != 1:
+        raise ValueError(
+            f'index frame must have exactly one id column besides'
+            f' (band, bucket); got {id_candidates} — select the id'
+            f' column explicitly before probing')
+    iid = id_candidates[0]
+    new_banded = embedding_band_index(
+        df_new, id_col, vec_col, dim, bands, planes_per_band, seed,
+    ).withColumnRenamed(id_col, new_id)
+    idx = index.withColumnRenamed(iid, index_id)
+    idx = _cap_index_buckets(
+        idx, ('band', 'bucket'), index_id, new_banded,
+        max_bucket_size)
+    return (
+        new_banded
+        .join(idx, on=['band', 'bucket'])
+        .filter(F.col(new_id) != F.col(index_id))
+        .select(new_id, index_id)
+        .distinct()
+    )
+
+
+def score_pairs_cosine(
+    pairs: SparkDF,
+    vectors: SparkDF,
+    id_col: str = 'vec_id',
+    vec_col: str = 'embedding',
+    id_a: str = 'id_a',
+    id_b: str = 'id_b',
+) -> SparkDF:
+    """Exact cosine for each candidate pair: join the vector table
+    onto both pair sides, then one Arrow-vectorized row-wise
+    normalized dot per batch (BLAS, no per-element lambda).
+
+    The verify stage shared by the LSH near-dup path and the
+    incremental :func:`embedding_index_probe` cycle.  Zero-norm
+    vectors score cosine 0 (norm→1), matching :func:`_gemm_pairs`;
+    pairs whose id is absent from ``vectors`` drop out (inner
+    joins).  Extra ``pairs`` columns pass through.
+    """
+    va = vectors.select(F.col(id_col).alias(id_a),
+                        F.col(vec_col).alias('__va'))
+    vb = vectors.select(F.col(id_col).alias(id_b),
+                        F.col(vec_col).alias('__vb'))
+    cos = _pair_cosine_udf()
+    return (
+        pairs.join(va, id_a).join(vb, id_b)
+        .withColumn('cosine', cos(F.col('__va'), F.col('__vb')))
+        .drop('__va', '__vb')
+    )
+
+
 def _lsh_near_duplicates(
     src: SparkDF,
     id_col: str,
@@ -1688,25 +1840,9 @@ def _lsh_near_duplicates(
     corpus growth factor (and ``bands`` to hold recall) to keep the
     verify load linear — the standard LSH n^ρ trade.
     """
-    spark = src.sparkSession
-    if dim is None:
-        row = (
-            src.filter(F.col(vec_col).isNotNull()
-                       & (F.size(F.col(vec_col)) > 0))
-            .select(F.size(F.col(vec_col)).alias('__d')).first())
-        if row is None:  # no usable vectors → no pairs
-            return spark.createDataFrame(
-                [], 'id_a bigint, id_b bigint, cosine double')
-        dim = row['__d']
-    from .similarity import hyperplane_band_udf
-    sig = hyperplane_band_udf(dim, bands, planes_per_band, seed)
-    # UDF behind its own aliased projection, generator in the next
-    # select (Spark can't nest a generator inside an expression, and
-    # pandas-UDF extraction is fragile around wrapped argument trees).
-    keyed = src.select(F.col(id_col).alias('__id'),
-                       sig(F.col(vec_col)).alias('__keys'))
-    banded = keyed.select(
-        '__id', F.posexplode('__keys').alias('band', 'bucket'))
+    banded = embedding_band_index(
+        src, id_col, vec_col, dim, bands, planes_per_band, seed,
+    ).withColumnRenamed(id_col, '__id')
     # Eager lineage cut: the bucket census and both self-join sides
     # each reference this frame — left lazy the signature-GEMM
     # pipeline recomputes per branch (the r8 dedup-guard regression).
@@ -1715,14 +1851,8 @@ def _lsh_near_duplicates(
         banded, ('band', 'bucket'), max_bucket_size=max_bucket_size,
         eager_census=True,
     ).dropDuplicates(['id_a', 'id_b'])
-    va = src.select(F.col(id_col).alias('id_a'),
-                    F.col(vec_col).alias('__va'))
-    vb = src.select(F.col(id_col).alias('id_b'),
-                    F.col(vec_col).alias('__vb'))
-    cos = _pair_cosine_udf()
     return (
-        cand.join(va, 'id_a').join(vb, 'id_b')
-        .withColumn('cosine', cos(F.col('__va'), F.col('__vb')))
+        score_pairs_cosine(cand, src, id_col, vec_col)
         .filter(F.col('cosine') >= F.lit(float(threshold)))
         .select('id_a', 'id_b', 'cosine')
     )

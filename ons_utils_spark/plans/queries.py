@@ -3220,6 +3220,39 @@ def q_simhash_index_probe(spark: SparkSession,
     )
 
 
+def q_embedding_index_probe(spark: SparkSession,
+                            sf_dir: str) -> SparkDF:
+    """Incremental embedding dedup-at-ingest
+    (``dedup.embedding_band_index`` + ``embedding_index_probe`` +
+    ``score_pairs_cosine``, new r9): the corpus's banded hyperplane
+    index is built once; a NEW batch — five existing vectors scaled
+    by 2.0 under ids 8.3M+ — is banded alone and probed against it,
+    then exact-cosine verified at 0.999999.  A scaled clone ties its
+    source at cosine EXACTLY 1 in any IEEE engine (power-of-two
+    scaling is exact and commutes with summation), and identical
+    vectors collide in every LSH band deterministically — so the
+    DuckDB oracle replays the decision as an exact-cosine threshold
+    join between the scaled clones and the corpus (surfacing any
+    organic exact duplicates equally; organic NON-identical pairs
+    at ≥ 0.999999 do not exist in a continuous embedding cloud)."""
+    (embeddings,) = _t(spark, sf_dir, 'embeddings')
+    src = embeddings.select('vec_id', 'embedding')
+    probe_ids = [3, 19, 31, 47, 82]
+    new = src.filter(F.col('vec_id').isin(probe_ids)).select(
+        (F.col('vec_id') + F.lit(8_300_000)).alias('vec_id'),
+        F.transform('embedding', lambda x: x * F.lit(2.0)
+                    ).alias('embedding'))
+    index = dd.embedding_band_index(src)
+    cand = dd.embedding_index_probe(
+        index, new, new_id='id_a', index_id='id_b')
+    verified = dd.score_pairs_cosine(cand, src.unionByName(new))
+    return (
+        verified.filter(F.col('cosine') >= F.lit(0.999999))
+        .select(F.col('id_a').alias('new_id'),
+                F.col('id_b').alias('index_id'))
+    )
+
+
 def q_minhash_dedup_verified(spark: SparkSession,
                              sf_dir: str) -> SparkDF:
     """The full dedup DECISION, hash-verified end-to-end: portable
@@ -3786,9 +3819,13 @@ QUERIES: Dict[str, QueryFn] = {
     'q_simhash_dedup': q_simhash_dedup,
     'q_minhash_dedup_verified': q_minhash_dedup_verified,
     # -- below the 50-slot window ---------------------------------
-    # After this round every declared query has had a driver row.
-    # Parked r9-displaced TPC-H fills first (r7+r8 verified), then
-    # the r5-verified set, then the round-6 window (freshest).
+    # After this round every PREVIOUSLY declared query has had a
+    # driver row.  q_embedding_index_probe is NEW in r9 (registered
+    # after the window froze) — lead the r10 rotation with it, then
+    # rotate by staleness (r5-verified set next).
+    'q_embedding_index_probe': q_embedding_index_probe,
+    # Parked r9-displaced TPC-H fills (r7+r8 verified), then the
+    # r5-verified set, then the round-6 window (freshest).
     'q7_nation_volume': q7_nation_volume,
     'q14_promo_share': q14_promo_share,
     'q15_top_supplier': q15_top_supplier,
@@ -4507,6 +4544,27 @@ ORACLES: Dict[str, str] = {
     # exact top-3 (clone recall guaranteed: identical vector ⇒ its
     # stored cluster is within the query's probed set).
     'q_ivf_index_probe': _PLANTED_ANN_ORACLE,
+    # Incremental embedding index probe: scaled clones tie their
+    # source at cosine exactly 1 (power-of-two scaling is exact), so
+    # the decision replays as an exact-cosine threshold join — no
+    # LSH knowledge needed on the oracle side.
+    'q_embedding_index_probe': """
+        WITH new AS (
+            SELECT vec_id + 8300000 AS new_id,
+                   list_transform(embedding,
+                                  x -> x * CAST(2.0 AS FLOAT))
+                       AS emb
+            FROM embeddings
+            WHERE vec_id IN (3, 19, 31, 47, 82)
+        )
+        SELECT n.new_id, e.vec_id AS index_id
+        FROM new n
+        JOIN embeddings e
+          ON list_dot_product(n.emb, e.embedding)
+             / (sqrt(list_dot_product(n.emb, n.emb))
+                * sqrt(list_dot_product(e.embedding, e.embedding)))
+             >= 0.999999
+    """,
     'q_langid': """
         WITH scored AS (
             SELECT

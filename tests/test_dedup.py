@@ -1275,3 +1275,114 @@ class TestHotBucketGuard:
         assert kept == default
         import os
         assert os.listdir(tmp_path / 'ckpt')  # really wrote there
+
+
+class TestEmbeddingIndex:
+    """Incremental embedding near-dup index (embedding_band_index +
+    embedding_index_probe + score_pairs_cosine)."""
+
+    def _corpus(self, spark_session, n=40, clone_every=8):
+        import numpy as np
+        rng = np.random.default_rng(11)
+        rows = []
+        for i in range(n):
+            v = rng.standard_normal(16)
+            rows.append((i, [float(x) for x in v]))
+            if i % clone_every == 0:  # planted clone, cosine exactly 1
+                rows.append((i + 100_000,
+                             [float(x) for x in (v * 3.0)]))
+        return spark_session.createDataFrame(
+            rows, 'vec_id bigint, embedding array<double>')
+
+    def test_probe_pair_completeness_vs_full_rebuild(
+            self, spark_session):
+        """probe(index(old), new) ∪ within-new candidates must equal
+        every bucket-complete candidate pair touching a new vector
+        from the full old∪new banding — split loses nothing."""
+        df = self._corpus(spark_session)
+        old = df.filter('vec_id % 3 != 0')
+        new = df.filter('vec_id % 3 = 0')
+        idx = dd.embedding_band_index(old, dim=16)
+        probed = {(min(r['new_id'], r['index_id']),
+                   max(r['new_id'], r['index_id']))
+                  for r in dd.embedding_index_probe(
+                      idx, new, dim=16).collect()}
+        within = dd._bucket_pair_join(
+            dd.embedding_band_index(new, dim=16)
+            .withColumnRenamed('vec_id', '__id'),
+            ('band', 'bucket')).dropDuplicates(['id_a', 'id_b'])
+        within_pairs = {(r['id_a'], r['id_b'])
+                        for r in within.collect()}
+        full = dd._bucket_pair_join(
+            dd.embedding_band_index(df, dim=16)
+            .withColumnRenamed('vec_id', '__id'),
+            ('band', 'bucket')).dropDuplicates(['id_a', 'id_b'])
+        new_ids = {r['vec_id'] for r in new.collect()}
+        want = {(r['id_a'], r['id_b']) for r in full.collect()
+                if r['id_a'] in new_ids or r['id_b'] in new_ids}
+        assert probed | within_pairs == want
+        assert probed  # clones straddle the split -> non-vacuous
+
+    def test_probe_verify_cycle_finds_planted_clones(
+            self, spark_session):
+        df = self._corpus(spark_session)
+        old = df.filter('vec_id < 100000')
+        new = df.filter('vec_id >= 100000')  # the clones arrive late
+        idx = dd.embedding_band_index(old, dim=16)
+        cands = dd.embedding_index_probe(
+            idx, new, dim=16, new_id='id_a', index_id='id_b')
+        verified = dd.score_pairs_cosine(cands, df) \
+            .filter('cosine >= 0.999')
+        got = {(r['id_a'], r['id_b']) for r in verified.collect()}
+        want = {(i + 100_000, i) for i in range(0, 40, 8)}
+        assert got == want
+
+    def test_param_mismatch_is_silent_near_empty_not_wrong(
+            self, spark_session):
+        """Different seed -> different planes -> organic probe pairs
+        vanish (documented hazard, must not crash)."""
+        df = self._corpus(spark_session)
+        idx = dd.embedding_band_index(df, dim=16, seed=1)
+        out = dd.embedding_index_probe(idx, df.limit(5), dim=16,
+                                       seed=2)
+        assert out.columns == ['new_id', 'index_id']
+        out.count()  # runs clean
+
+    def test_probe_rejects_bad_index_frames(self, spark_session):
+        df = self._corpus(spark_session, n=5)
+        with pytest.raises(ValueError, match='band'):
+            dd.embedding_index_probe(
+                df.selectExpr('vec_id', 'vec_id AS x'), df)
+        idx = dd.embedding_band_index(df, dim=16) \
+            .withColumn('extra', F.lit(1))
+        with pytest.raises(ValueError, match='exactly one id'):
+            dd.embedding_index_probe(idx, df)
+
+    def test_empty_index_and_empty_batch(self, spark_session):
+        df = self._corpus(spark_session, n=5)
+        empty = df.filter('vec_id < 0')
+        idx_empty = dd.embedding_band_index(empty, dim=16)
+        assert idx_empty.columns == ['vec_id', 'band', 'bucket']
+        assert dd.embedding_index_probe(
+            idx_empty, df, dim=16).count() == 0
+        idx = dd.embedding_band_index(df, dim=16)
+        assert dd.embedding_index_probe(
+            idx, empty, dim=16).count() == 0
+
+    def test_probe_hot_bucket_guard_star_caps(self, spark_session):
+        """A clone mega-family in the stored index joins each new
+        clone against the bucket MIN only, not every member."""
+        fam = [(i, [1.0, 2.0, 3.0]) for i in range(50)]
+        old = spark_session.createDataFrame(
+            fam, 'vec_id bigint, embedding array<double>')
+        new = spark_session.createDataFrame(
+            [(999, [2.0, 4.0, 6.0])],
+            'vec_id bigint, embedding array<double>')
+        idx = dd.embedding_band_index(old, dim=3)
+        got = {(r['new_id'], r['index_id'])
+               for r in dd.embedding_index_probe(
+                   idx, new, dim=3, max_bucket_size=10).collect()}
+        assert got == {(999, 0)}  # min-id representative only
+        uncapped = dd.embedding_index_probe(
+            idx, new, dim=3, max_bucket_size=None).count()
+        assert uncapped == 50
