@@ -6666,7 +6666,7 @@ ORACLES: Dict[str, str] = {
         )
         SELECT * FROM stats
     """,
-    'q_mixture_sample': """
+    'q_mixture_sample': r"""
         WITH docs AS (
             SELECT source, doc_id,
                    CAST(len(list_filter(string_split_regex(

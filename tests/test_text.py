@@ -302,12 +302,19 @@ class TestCompressionRatio:
         assert got == pytest.approx(len(zlib.compress(raw, 6)) / len(raw))
 
     def test_query_shape(self, spark_session):
+        """r9 oracle-backed emission: per-source DEFLATE-bound
+        containment counts plus the two planted monotonicity-class
+        rows."""
         from ons_utils_spark.plans.queries import q_compression_quality
         out = q_compression_quality(
             spark_session, '/root/testdata/sf0.001').collect()
-        assert len(out) > 0
-        assert all(0 < r['avg_ratio'] < 1.5 for r in out)
-        assert all(r['n_suspicious'] <= r['n_docs'] for r in out)
+        assert len(out) > 2
+        assert all(r['n_in_bounds'] <= r['n_docs'] for r in out)
+        cls = {r['source']: r['cls'] for r in out}
+        assert cls['__planted_rep__'] == 'high'
+        assert cls['__planted_rand__'] == 'low'
+        assert all(c == 'data' for s, c in cls.items()
+                   if not s.startswith('__planted_'))
 
 
 class TestGopherRules:
