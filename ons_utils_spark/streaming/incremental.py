@@ -3,11 +3,12 @@
 Extension territory (SURVEY.md §2.2 lists streaming as absent from
 the reference): a corpus that ARRIVES over time needs dedup against
 everything already accepted, not just within one batch. This module
-keeps a winnowing-fingerprint store on disk and filters each
-micro-batch against it via ``foreachBatch`` — the standard Spark
-pattern for streaming state too large for operator state (the store
-is corpus-sized; ``applyInPandasWithState`` state must fit per-key in
-memory).
+keeps a per-operator fingerprint store on disk — winnowing k-gram
+fingerprints for text, hyperplane-LSH band keys for embeddings — and
+filters each micro-batch against it via ``foreachBatch`` — the
+standard Spark pattern for streaming state too large for operator
+state (the store is corpus-sized; ``applyInPandasWithState`` state
+must fit per-key in memory).
 
 Scale notes:
 - The store holds ``(fp, doc_id, _batch_id)`` rows — ~2/(w+1) of the
@@ -33,7 +34,14 @@ from pyspark.sql import DataFrame as SparkDF
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
-from ..operators.dedup import winnow_dup_pairs, winnow_fingerprints
+from ..operators.dedup import (
+    embedding_band_index,
+    embedding_index_probe,
+    embedding_near_duplicates,
+    score_pairs_cosine,
+    winnow_dup_pairs,
+    winnow_fingerprints,
+)
 from .sinks import foreach_batch_sink
 
 
@@ -123,4 +131,129 @@ def incremental_winnow_dedup(
 
     return foreach_batch_sink(
         docs_stream, process, checkpoint,
+        output_mode='append', available_now=available_now)
+
+
+def incremental_embedding_dedup(
+    vecs_stream: SparkDF,
+    out_dir: str,
+    store_dir: str,
+    checkpoint: str,
+    id_col: str = 'vec_id',
+    vec_col: str = 'embedding',
+    threshold: float = 0.95,
+    dim: int = None,
+    bands: int = 24,
+    planes_per_band: int = 16,
+    seed: int = 42,
+    max_bucket_size: int = 2000,
+    available_now: bool = True,
+):
+    """Filter an embedding stream against all previously-accepted
+    vectors — the vector analogue of :func:`incremental_winnow_dedup`,
+    built on the :func:`~ons_utils_spark.operators.dedup.
+    embedding_band_index` / ``embedding_index_probe`` /
+    ``score_pairs_cosine`` cycle.
+
+    Per micro-batch:
+      1. in-batch near-dup dedup (exact-cosine-verified; keep the
+         lower id of each pair >= ``threshold``),
+      2. probe survivors' hyperplane-LSH bands against the stored
+         band index (only the BATCH is banded — one GEMM over batch
+         rows; the equi-join touches the matching index sliver, not
+         the corpus), exact-cosine verify each candidate against the
+         accepted vectors in ``out_dir``, and drop batch vectors with
+         cosine >= ``threshold`` to anything indexed (earlier batches
+         win — arrival order, the natural streaming tie-break),
+      3. append survivors to ``out_dir`` and their band rows (with
+         ``_batch_id``) to ``store_dir``.
+
+    LSH parameters (``bands``/``planes_per_band``/``seed``/``dim``)
+    are baked into the stored bucket keys: every run against the same
+    ``store_dir`` MUST use the same values or probes silently miss.
+
+    Idempotence mirrors :func:`incremental_winnow_dedup`: each
+    committed batch appends one unconditional null-band marker row
+    (a batch of all-NULL embeddings bands to zero rows, so commit
+    detection cannot rely on band rows), and a replayed batch id is
+    skipped.  A crash between the docs append and the store append
+    degrades that batch to at-least-once — a re-run drops strictly
+    more, documented rather than hidden.
+
+    Scale notes: the store holds ``bands`` rows per accepted vector;
+    at 100 TB write it partitioned/bucketed by ``(band, bucket)`` so
+    the probe join prunes to matching buckets.  Verification joins
+    are candidate-sized; the hot-bucket star cap bounds an
+    embedding-clone mega-family to k−1 candidate pairs.
+
+    Returns the started streaming query.
+    """
+    spark = vecs_stream.sparkSession
+
+    def process(batch_df: SparkDF, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        have_store = _store_exists(store_dir)
+        if have_store:
+            store = spark.read.parquet(store_dir)
+            if store.filter(
+                    F.col('_batch_id') == batch_id).limit(1).count():
+                return  # replayed batch — already fully committed
+        # 1. in-batch dedup (exact precision at any size: 'auto'
+        # switches to LSH-then-verify past max_broadcast_rows)
+        losers = (
+            embedding_near_duplicates(
+                batch_df, id_col, vec_col, threshold=threshold,
+                dim=dim, lsh_bands=bands,
+                lsh_planes_per_band=planes_per_band, lsh_seed=seed,
+                max_bucket_size=max_bucket_size)
+            .select(F.col('id_b').alias(id_col)).distinct()
+        )
+        clean = batch_df.join(losers, on=id_col, how='left_anti')
+        # 2. drop vectors near-duplicating anything already accepted
+        if have_store:
+            index = (
+                store.select(id_col, 'band', 'bucket')
+                .filter(F.col('band').isNotNull())  # skip markers
+            )
+            cands = embedding_index_probe(
+                index, clean, id_col, vec_col, dim=dim, bands=bands,
+                planes_per_band=planes_per_band, seed=seed,
+                max_bucket_size=max_bucket_size)
+            vectors = (
+                clean.select(id_col, vec_col)
+                .unionByName(
+                    spark.read.parquet(out_dir)
+                    .select(id_col, vec_col))
+            )
+            dup_ids = (
+                score_pairs_cosine(
+                    cands, vectors, id_col, vec_col,
+                    id_a='new_id', id_b='index_id')
+                .filter(F.col('cosine') >= threshold)
+                .select(F.col('new_id').alias(id_col)).distinct()
+            )
+            clean = clean.join(dup_ids, on=id_col, how='left_anti')
+        # 3. commit docs, then band rows; the null-band marker is
+        # appended unconditionally so an all-NULL-embedding batch is
+        # still detected as committed on replay.  Null band rows are
+        # filtered out of every probe, so markers are invisible to
+        # overlap detection.
+        clean.write.mode('append').parquet(out_dir)
+        band_rows = embedding_band_index(
+            clean, id_col, vec_col, dim=dim, bands=bands,
+            planes_per_band=planes_per_band, seed=seed)
+        marker = spark.createDataFrame(
+            [(None, None, None)],
+            schema=StructType([
+                StructField(f.name, f.dataType, True)
+                for f in band_rows.schema.fields
+            ]),
+        )
+        (band_rows.unionByName(marker)
+            .withColumn('_batch_id', F.lit(batch_id))
+            .write.mode('append').parquet(store_dir))
+
+    return foreach_batch_sink(
+        vecs_stream, process, checkpoint,
         output_mode='append', available_now=available_now)

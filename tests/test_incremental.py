@@ -1,4 +1,4 @@
-"""Tests for streaming incremental winnow dedup."""
+"""Tests for streaming incremental dedup (winnow + embedding)."""
 import pytest
 from pyspark.sql import functions as F
 
@@ -149,4 +149,136 @@ class TestIncrementalWinnowDedup:
                     continue
                 store[doc_id] = mine
                 kept.append(doc_id)
+        assert got == sorted(kept), (len(got), len(kept))
+
+
+def _stage_vecs(tmp_path, rows, n_chunks=2):
+    """Write (vec_id, embedding) rows as n json chunks ordered by id
+    with staggered mtimes (same arrival-order contract as _stage)."""
+    import os
+    import time
+
+    import pandas as pd
+
+    src = tmp_path / 'vecs_src'
+    src.mkdir()
+    rows = sorted(rows, key=lambda r: r[0])
+    per = (len(rows) + n_chunks - 1) // n_chunks
+    base = time.time() - 1000
+    for i in range(n_chunks):
+        chunk = rows[i * per:(i + 1) * per]
+        if chunk:
+            path = src / f'{i}.json'
+            pd.DataFrame(
+                chunk, columns=['vec_id', 'embedding']).to_json(
+                path, orient='records', lines=True)
+            os.utime(path, (base + 10 * i, base + 10 * i))
+    return src
+
+
+@pytest.mark.slow
+class TestIncrementalEmbeddingDedup:
+    def _run(self, spark, tmp_path, rows, n_chunks=2, threshold=0.9,
+             checkpoint='ckpt'):
+        from ons_utils_spark.streaming.incremental import (
+            incremental_embedding_dedup)
+
+        src = tmp_path / 'vecs_src'
+        if not src.exists():
+            _stage_vecs(tmp_path, rows, n_chunks)
+        stream = (
+            spark.readStream
+            .schema('vec_id long, embedding array<double>')
+            .option('maxFilesPerTrigger', 1)
+            .json(str(src))
+        )
+        q = incremental_embedding_dedup(
+            stream,
+            out_dir=str(tmp_path / 'accepted'),
+            store_dir=str(tmp_path / 'store'),
+            checkpoint=str(tmp_path / checkpoint),
+            threshold=threshold,
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(str(tmp_path / 'accepted'))
+
+    def test_cross_batch_and_in_batch_clones_dropped(
+            self, spark_session, tmp_path):
+        e1 = [1.0, 0.0, 0.0, 0.0]
+        e2 = [0.0, 1.0, 0.0, 0.0]
+        e3 = [0.0, 0.0, 1.0, 0.0]
+        rows = [
+            (1, e1),   # chunk 1: original
+            (2, e2),   # chunk 1: distinct
+            (3, e1),   # chunk 1: in-batch clone of 1 -> dropped
+            (10, e1),  # chunk 2: cross-batch clone of 1 -> dropped
+            (11, e3),  # chunk 2: distinct -> kept
+        ]
+        accepted = self._run(spark_session, tmp_path, rows, n_chunks=2)
+        ids = sorted(r['vec_id'] for r in accepted.collect())
+        assert ids == [1, 2, 11], ids
+
+    def test_zero_band_batch_replay_idempotent(
+            self, spark_session, tmp_path):
+        """A batch of empty embeddings bands to ZERO rows; commit
+        detection must come from the null-band marker or a replay
+        re-appends the batch's docs."""
+        rows = [(1, []), (2, []), (3, [])]
+        accepted = self._run(spark_session, tmp_path, rows, n_chunks=2)
+        ids = sorted(r['vec_id'] for r in accepted.collect())
+        assert ids == [1, 2, 3], ids
+        # replay with a FRESH checkpoint: file source re-delivers the
+        # same chunks as the same batch ids (= crash-before-commit)
+        replayed = self._run(
+            spark_session, tmp_path, rows, n_chunks=2,
+            checkpoint='ckpt2')
+        ids2 = sorted(r['vec_id'] for r in replayed.collect())
+        assert ids2 == [1, 2, 3], ids2
+
+    def test_matches_eager_chunk_fold(self, spark_session, tmp_path):
+        """Streaming result equals an independent numpy fold: per
+        chunk, drop in-chunk near-dups (lower id wins), then drop
+        anything with cosine >= threshold to the accepted-so-far set.
+        Planted clones + seeded random 32-dim vectors, threshold 0.9
+        — clones tie at cosine 1.0, organic pairs sit far below, so
+        no float-boundary flakiness."""
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        rows = [(i, rng.normal(size=32).tolist()) for i in range(30)]
+        # plant clones: in-chunk (4 ~ 104 impossible; ids sorted ->
+        # same-chunk ids adjacent), cross-chunk, triple
+        vecs = dict(rows)
+        rows += [
+            (104, list(vecs[4])),    # cross-chunk clone of 4
+            (105, list(vecs[5])),    # cross-chunk clone of 5
+            (106, list(vecs[5])),    # second clone of 5 (same chunk
+                                     # as 105 -> in-batch dropped)
+        ]
+        accepted = self._run(
+            spark_session, tmp_path, rows, n_chunks=3, threshold=0.9)
+        got = sorted(r['vec_id'] for r in accepted.collect())
+
+        # eager numpy fold over the same id-ordered chunks
+        ordered = sorted(rows, key=lambda r: r[0])
+        per = (len(ordered) + 2) // 3
+        def unit(v):
+            a = np.asarray(v, dtype=np.float64)
+            n = np.linalg.norm(a)
+            return a / (n if n else 1.0)
+        store = []  # list of (id, unit_vec) accepted so far
+        kept = []
+        for i in range(3):
+            chunk = ordered[i * per:(i + 1) * per]
+            survivors = []
+            for vid, v in chunk:  # lower id first within the chunk
+                u = unit(v)
+                if any(float(u @ su) >= 0.9 for _, su in survivors):
+                    continue  # in-batch near-dup of a lower id
+                survivors.append((vid, u))
+            for vid, u in survivors:
+                if any(float(u @ su) >= 0.9 for _, su in store):
+                    continue  # near-dup of an earlier batch
+                store.append((vid, u))
+                kept.append(vid)
         assert got == sorted(kept), (len(got), len(kept))
