@@ -3253,6 +3253,84 @@ def q_embedding_index_probe(spark: SparkSession,
     )
 
 
+def q_incremental_embedding_dedup(spark: SparkSession,
+                                  sf_dir: str) -> SparkDF:
+    """The REAL streaming path of
+    ``streaming.incremental.incremental_embedding_dedup`` (new r9)
+    under a full hash oracle: the planted-clone corpus is staged as
+    three id-ordered file-source chunks, the availableNow stream
+    folds them through the band-index/probe/verify cycle, and the
+    ACCEPTED id set is returned.  Near-dup pairs at >= 0.95 exist
+    only inside exact-clone families (organic cosines top out ~0.5
+    in this corpus — the same margin ``q_semantic_dedup`` rests on),
+    and clone families are transitive with their minimum id arriving
+    in the earliest batch, so the streaming greedy fold provably
+    keeps exactly the ids with no lower-id partner at >= 0.95 — a
+    single NOT EXISTS in DuckDB.  Batch boundaries cannot move the
+    result (a clone is dropped in-batch against a same-chunk lower
+    sibling or cross-batch against its accepted minimum), so the
+    oracle is chunking-independent.  Streaming state (source chunks,
+    store, checkpoint, accepted) lives under the system temp dir
+    keyed by applicationId; a re-run in the same session resumes the
+    committed checkpoint and returns the identical accepted set."""
+    import tempfile
+    import time
+
+    from ..streaming.incremental import incremental_embedding_dedup
+
+    (embeddings,) = _t(spark, sf_dir, 'embeddings')
+    _, corpus = _planted_ann(embeddings)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    app = spark.sparkContext.applicationId
+    root = os.path.join(
+        tempfile.gettempdir(), 'ons_inc_emb', tag, app)
+
+    def _run():
+        src = os.path.join(root, 'src')
+        # Stage as DOUBLE so the json text round-trips to exactly
+        # the values the oracle gets from CAST(embedding AS
+        # DOUBLE[]) (float-shortest text parsed as double would
+        # differ in the low bits; decisions would survive, but keep
+        # the engines bit-aligned anyway).
+        (corpus.select(
+            'vec_id',
+            F.col('embedding').cast('array<double>')
+            .alias('embedding'))
+         .repartitionByRange(3, 'vec_id')
+         .write.mode('overwrite').json(src))
+        # file source delivers in mtime order; range partition i is
+        # written as part-0000i, so stagger mtimes by file name to
+        # pin batch order = id order
+        parts = sorted(p for p in os.listdir(src)
+                       if p.startswith('part-'))
+        base = time.time() - 1000
+        for i, p in enumerate(parts):
+            os.utime(os.path.join(src, p),
+                     (base + 10 * i, base + 10 * i))
+        stream = (
+            spark.readStream
+            .schema('vec_id long, embedding array<double>')
+            .option('maxFilesPerTrigger', 1)
+            .json(src)
+        )
+        q = incremental_embedding_dedup(
+            stream,
+            out_dir=os.path.join(root, 'accepted'),
+            store_dir=os.path.join(root, 'store'),
+            checkpoint=os.path.join(root, 'ckpt'),
+            threshold=0.95,
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(
+                'incremental embedding dedup stream did not '
+                'terminate within 600s')
+        return os.path.join(root, 'accepted')
+
+    out_dir = _artifact(f'inc_emb_dedup:{sf_dir}@{app}', _run)
+    return spark.read.parquet(out_dir).select('vec_id')
+
+
 def q_minhash_dedup_verified(spark: SparkSession,
                              sf_dir: str) -> SparkDF:
     """The full dedup DECISION, hash-verified end-to-end: portable
@@ -3820,10 +3898,12 @@ QUERIES: Dict[str, QueryFn] = {
     'q_minhash_dedup_verified': q_minhash_dedup_verified,
     # -- below the 50-slot window ---------------------------------
     # After this round every PREVIOUSLY declared query has had a
-    # driver row.  q_embedding_index_probe is NEW in r9 (registered
-    # after the window froze) — lead the r10 rotation with it, then
+    # driver row.  q_embedding_index_probe and
+    # q_incremental_embedding_dedup are NEW in r9 (registered after
+    # the window froze) — lead the r10 rotation with them, then
     # rotate by staleness (r5-verified set next).
     'q_embedding_index_probe': q_embedding_index_probe,
+    'q_incremental_embedding_dedup': q_incremental_embedding_dedup,
     # Parked r9-displaced TPC-H fills (r7+r8 verified), then the
     # r5-verified set, then the round-6 window (freshest).
     'q7_nation_volume': q7_nation_volume,
@@ -4564,6 +4644,31 @@ ORACLES: Dict[str, str] = {
              / (sqrt(list_dot_product(n.emb, n.emb))
                 * sqrt(list_dot_product(e.embedding, e.embedding)))
              >= 0.999999
+    """,
+    # Streaming incremental embedding dedup: >= 0.95 pairs exist
+    # only inside exact-clone families (transitive, min id arrives
+    # first), so the greedy streaming fold's accepted set is exactly
+    # the ids with no lower-id partner at >= 0.95 — chunking cannot
+    # move it.
+    'q_incremental_embedding_dedup': """
+        WITH q AS (
+            SELECT vec_id AS query_id,
+                   CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 3
+        ), corpus AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id >= 3
+            UNION ALL
+            SELECT 9000000 + q.query_id * 10 + r.j AS vec_id, q.qv
+            FROM q, range(0, 3) r(j)
+        )
+        SELECT a.vec_id
+        FROM corpus a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM corpus b
+            WHERE b.vec_id < a.vec_id
+              AND list_cosine_similarity(b.v, a.v) >= 0.95
+        )
     """,
     'q_langid': """
         WITH scored AS (
