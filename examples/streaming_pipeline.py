@@ -185,8 +185,65 @@ def run_pipeline(spark, sf_dir: str, work: str) -> dict:
                   if abs((got[k] or 0) - (want[k] or 0)) > 1e-9]
     assert not mismatched, mismatched[:5]
     print(f'streaming EWMA: {len(got)} rows match the batch walk')
+
+    # ---- path 4: embedding dedup-at-ingest -------------------------
+    # Vectors arriving in batches are filtered against everything
+    # already accepted (durable hyperplane-LSH band store + exact
+    # cosine verify). Clones of early vectors are planted under high
+    # ids so the cross-batch path has real work; the accepted set is
+    # verified against a DuckDB exact-cosine NOT EXISTS replay.
+    from ons_utils_spark.streaming.incremental import (
+        incremental_embedding_dedup)
+
+    emb_path = os.path.join(sf_dir, 'embeddings.parquet')
+    emb = read_parquet(spark, emb_path).select('vec_id', 'embedding')
+    clones = (
+        emb.filter(F.col('vec_id') < 4)
+        .select((F.col('vec_id') + F.lit(9_000_000)).alias('vec_id'),
+                'embedding'))
+    vec_src = os.path.join(work, 'vec_incoming')
+    (emb.unionByName(clones).repartitionByRange(3, 'vec_id')
+     .write.mode('overwrite').parquet(vec_src))
+    parts = sorted(p for p in os.listdir(vec_src)
+                   if p.startswith('part-'))
+    for i, p in enumerate(parts):  # batch order = id order
+        os.utime(os.path.join(vec_src, p),
+                 (1_700_000_000 + i, 1_700_000_000 + i))
+    q4 = incremental_embedding_dedup(
+        spark.readStream
+        .schema(emb.schema)
+        .option('maxFilesPerTrigger', 1).parquet(vec_src),
+        out_dir=os.path.join(work, 'vec_accepted'),
+        store_dir=os.path.join(work, 'vec_store'),
+        checkpoint=os.path.join(work, 'ckpt_vec'),
+        threshold=0.95)
+    q4.awaitTermination(300)
+    accepted = sorted(
+        r['vec_id'] for r in
+        spark.read.parquet(os.path.join(work, 'vec_accepted'))
+        .select('vec_id').collect())
+    want_accept = sorted(r[0] for r in duckdb.sql(f"""
+        WITH corpus AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM '{emb_path}'
+            UNION ALL
+            SELECT vec_id + 9000000, CAST(embedding AS DOUBLE[])
+            FROM '{emb_path}' WHERE vec_id < 4
+        )
+        SELECT a.vec_id FROM corpus a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM corpus b
+            WHERE b.vec_id < a.vec_id
+              AND list_cosine_similarity(b.v, a.v) >= 0.95)
+        """).fetchall())
+    assert accepted == want_accept, (
+        len(accepted), len(want_accept),
+        sorted(set(accepted) ^ set(want_accept))[:5])
+    n_staged = emb.count() + 4
+    print(f'embedding dedup-at-ingest: {len(accepted)} of {n_staged} '
+          f'accepted — matches DuckDB exact-cosine replay')
     return {'n_bronze': n_bronze, 'n_windows': len(windows),
-            'n_ewma': len(got)}
+            'n_ewma': len(got), 'n_vec_accepted': len(accepted)}
 
 
 def main() -> None:
