@@ -16,7 +16,14 @@ image features are an 8-bin luminance histogram of the actual
 pixels; audio features are the 8-segment RMS energy envelope of the
 actual samples. MP3 parses FOR REAL at the frame-header level
 (:func:`decode_mp3_meta`: exact duration/rate/bitrate + VBR bitrate
-envelope; filterbank synthesis deliberately out of scope). Formats
+envelope; filterbank synthesis deliberately out of scope). MP4/MOV
+video parses FOR REAL at the ISO-BMFF container level
+(:func:`decode_mp4_meta` + :func:`mp4_sample_table`: brand, codec
+fourcc, dimensions, duration, and the full per-sample table — pts,
+keyframe flags, absolute byte ranges from stts/ctts/stss/stsz/
+stsc/stco — which is exactly what keyframe-aligned frame sampling
+and a downstream codec stage consume; pixel decode needs codec
+libraries and stays out of scope). Formats
 that need codec libraries not present in this container (WebP/AVIF →
 Pillow; AAC/OGG → ffmpeg) raise ``NotImplementedError`` unless
 ``deterministic_fake=True`` (seeded fake features for plumbing
@@ -1694,6 +1701,509 @@ def perceptual_hashes(
         'media_id bigint, width int, height int, phash bigint',
         df, id_col)
     return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------
+# MP4 / ISO BMFF container parse (video metadata + sample tables)
+# ---------------------------------------------------------------------
+# The same design point as decode_mp3_meta: corpus pipelines filter
+# and frame-sample on CONTAINER metadata (duration, dimensions,
+# codec, keyframe positions, sample byte ranges) — all of which the
+# ISO/IEC 14496-12 box structure yields in O(moov bytes) without
+# touching a codec.  Actual frame pixel decode (H.264/H.265 etc.)
+# needs external codec libraries and stays out of scope; the byte
+# ranges emitted here are exactly what a downstream GPU decode stage
+# consumes.
+
+_MP4_CONTAINERS = frozenset(
+    (b'moov', b'trak', b'mdia', b'minf', b'stbl', b'edts', b'udta'))
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield ``(fourcc, payload_start, payload_end)`` for each box in
+    ``data[start:end]`` — one nesting level; recurse via the payload
+    range.  Handles 64-bit ``largesize`` (size == 1) and
+    to-end-of-file (size == 0) boxes; stops at the first malformed
+    header rather than guessing."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(data[pos:pos + 4], 'big')
+        fourcc = data[pos + 4:pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            size = int.from_bytes(data[pos + 8:pos + 16], 'big')
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            return
+        yield fourcc, pos + hdr, pos + size
+        pos += size
+
+
+def _mp4_child(data: bytes, start: int, end: int, fourcc: bytes):
+    """First child box named ``fourcc`` → (payload_start, payload_end)
+    or None."""
+    for name, s, e in _mp4_boxes(data, start, end):
+        if name == fourcc:
+            return s, e
+    return None
+
+
+def _u32s(data: bytes, start: int, n: int) -> list:
+    return list(struct.unpack_from(f'>{n}I', data, start))
+
+
+def _mp4_video_trak(data: bytes, moov):
+    """The first ``trak`` whose handler is ``vide`` (payload range),
+    or None."""
+    for name, s, e in _mp4_boxes(data, *moov):
+        if name != b'trak':
+            continue
+        mdia = _mp4_child(data, s, e, b'mdia')
+        if mdia is None:
+            continue
+        hdlr = _mp4_child(data, *mdia, b'hdlr')
+        if hdlr and data[hdlr[0] + 8:hdlr[0] + 12] == b'vide':
+            return s, e
+    return None
+
+
+def decode_mp4_meta(payload: bytes) -> Optional[dict]:
+    """Container-level MP4/ISO-BMFF metadata WITHOUT codec work:
+    walk ``ftyp``/``moov`` and derive ``brand``, ``duration_ms``
+    (movie header), the video track's ``codec`` fourcc,
+    ``width``/``height`` (track header 16.16 fixed-point),
+    ``n_frames`` (sample count) and ``n_keyframes`` (sync-sample
+    table; == n_frames when ``stss`` is absent, per spec: no stss
+    means every sample is sync). Returns None if the payload is not
+    ISO BMFF (no ftyp+moov at the top level)."""
+    end = len(payload)
+    ftyp = _mp4_child(payload, 0, end, b'ftyp')
+    moov = _mp4_child(payload, 0, end, b'moov')
+    if ftyp is None or moov is None:
+        return None
+    brand = payload[ftyp[0]:ftyp[0] + 4].decode('latin-1').strip()
+    mvhd = _mp4_child(payload, *moov, b'mvhd')
+    duration_ms = None
+    if mvhd:
+        s = mvhd[0]
+        if payload[s] == 1:  # version 1: 64-bit times
+            ts = int.from_bytes(payload[s + 20:s + 24], 'big')
+            dur = int.from_bytes(payload[s + 24:s + 32], 'big')
+        else:
+            ts = int.from_bytes(payload[s + 12:s + 16], 'big')
+            dur = int.from_bytes(payload[s + 16:s + 20], 'big')
+        if ts:
+            duration_ms = dur * 1000 // ts
+    width = height = codec = None
+    n_frames = n_keyframes = None
+    trak = _mp4_video_trak(payload, moov)
+    if trak:
+        tkhd = _mp4_child(payload, *trak, b'tkhd')
+        if tkhd:
+            s = tkhd[0]
+            off = 88 if payload[s] == 1 else 76
+            width = int.from_bytes(
+                payload[s + off:s + off + 4], 'big') >> 16
+            height = int.from_bytes(
+                payload[s + off + 4:s + off + 8], 'big') >> 16
+        mdia = _mp4_child(payload, *trak, b'mdia')
+        minf = mdia and _mp4_child(payload, *mdia, b'minf')
+        stbl = minf and _mp4_child(payload, *minf, b'stbl')
+        if stbl:
+            stsd = _mp4_child(payload, *stbl, b'stsd')
+            if stsd and stsd[1] - stsd[0] >= 16:
+                codec = payload[stsd[0] + 12:stsd[0] + 16] \
+                    .decode('latin-1').strip()
+            stsz = _mp4_child(payload, *stbl, b'stsz')
+            if stsz:
+                n_frames = int.from_bytes(
+                    payload[stsz[0] + 8:stsz[0] + 12], 'big')
+            stss = _mp4_child(payload, *stbl, b'stss')
+            if stss:
+                n_keyframes = int.from_bytes(
+                    payload[stss[0] + 4:stss[0] + 8], 'big')
+            elif n_frames is not None:
+                n_keyframes = n_frames
+    return {
+        'brand': brand, 'duration_ms': duration_ms, 'codec': codec,
+        'width': width, 'height': height, 'n_frames': n_frames,
+        'n_keyframes': n_keyframes,
+    }
+
+
+def mp4_sample_table(payload: bytes) -> Optional[list]:
+    """Per-sample table of the video track: a list of
+    ``(sample_idx 1-based, pts_ms, is_keyframe, byte_offset,
+    byte_size)`` derived purely from the ``stbl`` boxes —
+    decode timestamps from ``stts`` run-lengths (plus ``ctts``
+    composition offsets when present), sync flags from ``stss``,
+    sizes from ``stsz``, and absolute file offsets from the
+    ``stsc`` sample→chunk runs against ``stco``/``co64`` chunk
+    offsets.  Returns None when the payload is not ISO BMFF or has
+    no video track."""
+    end = len(payload)
+    moov = _mp4_child(payload, 0, end, b'moov')
+    if moov is None or _mp4_child(payload, 0, end, b'ftyp') is None:
+        return None
+    trak = _mp4_video_trak(payload, moov)
+    if trak is None:
+        return None
+    mdia = _mp4_child(payload, *trak, b'mdia')
+    mdhd = mdia and _mp4_child(payload, *mdia, b'mdhd')
+    if not mdhd:
+        return None
+    s = mdhd[0]
+    timescale = int.from_bytes(
+        payload[s + 20:s + 24] if payload[s] == 1
+        else payload[s + 12:s + 16], 'big')
+    minf = _mp4_child(payload, *mdia, b'minf')
+    stbl = minf and _mp4_child(payload, *minf, b'stbl')
+    if not stbl or not timescale:
+        return None
+    stts = _mp4_child(payload, *stbl, b'stts')
+    stsz = _mp4_child(payload, *stbl, b'stsz')
+    stsc = _mp4_child(payload, *stbl, b'stsc')
+    stco = _mp4_child(payload, *stbl, b'stco')
+    co64 = _mp4_child(payload, *stbl, b'co64')
+    if not (stts and stsz and stsc and (stco or co64)):
+        return None
+    # sizes
+    fixed = int.from_bytes(payload[stsz[0] + 4:stsz[0] + 8], 'big')
+    n = int.from_bytes(payload[stsz[0] + 8:stsz[0] + 12], 'big')
+    sizes = [fixed] * n if fixed else _u32s(payload, stsz[0] + 12, n)
+    # decode timestamps from stts runs
+    n_runs = int.from_bytes(payload[stts[0] + 4:stts[0] + 8], 'big')
+    dts, t = [], 0
+    for cnt, delta in zip(*[iter(_u32s(
+            payload, stts[0] + 8, 2 * n_runs))] * 2):
+        for _ in range(cnt):
+            if len(dts) == n:
+                break
+            dts.append(t)
+            t += delta
+    pts = list(dts)
+    ctts = _mp4_child(payload, *stbl, b'ctts')
+    if ctts:
+        n_c = int.from_bytes(payload[ctts[0] + 4:ctts[0] + 8], 'big')
+        i = 0
+        for cnt, off in zip(*[iter(_u32s(
+                payload, ctts[0] + 8, 2 * n_c))] * 2):
+            off = off - (1 << 32) if off >= (1 << 31) else off
+            for _ in range(cnt):
+                if i >= n:
+                    break
+                pts[i] = dts[i] + off
+                i += 1
+    # sync samples
+    stss = _mp4_child(payload, *stbl, b'stss')
+    if stss:
+        n_k = int.from_bytes(payload[stss[0] + 4:stss[0] + 8], 'big')
+        keys = set(_u32s(payload, stss[0] + 8, n_k))
+    else:
+        keys = set(range(1, n + 1))
+    # chunk offsets
+    if stco:
+        n_ch = int.from_bytes(payload[stco[0] + 4:stco[0] + 8], 'big')
+        offsets = _u32s(payload, stco[0] + 8, n_ch)
+    else:
+        n_ch = int.from_bytes(payload[co64[0] + 4:co64[0] + 8], 'big')
+        offsets = [
+            int.from_bytes(payload[co64[0] + 8 + 8 * i:
+                                   co64[0] + 16 + 8 * i], 'big')
+            for i in range(n_ch)]
+    # stsc runs → samples per chunk
+    n_sc = int.from_bytes(payload[stsc[0] + 4:stsc[0] + 8], 'big')
+    runs = list(zip(*[iter(_u32s(payload, stsc[0] + 8, 3 * n_sc))] * 3))
+    out, si = [], 0
+    for ri, (first, spc, _sdi) in enumerate(runs):
+        last = runs[ri + 1][0] - 1 if ri + 1 < len(runs) else n_ch
+        for ch in range(first, last + 1):
+            if si >= n or ch > n_ch:
+                break
+            base = offsets[ch - 1]
+            within = 0
+            for _ in range(spc):
+                if si >= n:
+                    break
+                out.append((si + 1, pts[si] * 1000 // timescale,
+                            (si + 1) in keys, base + within, sizes[si]))
+                within += sizes[si]
+                si += 1
+    return out
+
+
+MP4_META_SCHEMA = (
+    'media_id bigint, brand string, codec string, width int,'
+    ' height int, duration_ms bigint, n_frames int, n_keyframes int,'
+    ' n_bytes int'
+)
+
+MP4_SAMPLE_SCHEMA = (
+    'media_id bigint, sample_idx int, pts_ms bigint,'
+    ' is_keyframe boolean, byte_offset bigint, byte_size bigint'
+)
+
+
+def video_meta(
+    df: SparkDF,
+    payload_col: str = 'payload',
+    id_col: str = 'media_id',
+    on_undecodable: str = 'raise',
+) -> SparkDF:
+    """Per-video container metadata via Arrow-batched
+    ``mapInPandas`` (:func:`decode_mp4_meta` per payload).
+    ``on_undecodable='status'`` adds ``decode_ok``/``decode_error``
+    instead of raising — the same counted-skip contract as
+    :func:`image_features`."""
+    if on_undecodable not in ('raise', 'status'):
+        raise ValueError(
+            "on_undecodable must be 'raise' or 'status',"
+            f' got {on_undecodable!r}')
+    status = on_undecodable == 'status'
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row[payload_col] or b'')
+                meta = decode_mp4_meta(payload)
+                if meta is not None:
+                    rec = (row[id_col], meta['brand'], meta['codec'],
+                           meta['width'], meta['height'],
+                           meta['duration_ms'], meta['n_frames'],
+                           meta['n_keyframes'], len(payload))
+                    rows.append(rec + (True, None) if status else rec)
+                    continue
+                elif status:
+                    rows.append((row[id_col],) + (None,) * 7
+                                + (len(payload), False, 'not ISO BMFF'))
+                else:
+                    raise NotImplementedError(
+                        'payload is not ISO BMFF (MP4/MOV); other'
+                        ' containers (MKV/AVI/WebM) need external'
+                        " parsers — use on_undecodable='status' for"
+                        ' the counted-skip path')
+            cols = ['media_id', 'brand', 'codec', 'width', 'height',
+                    'duration_ms', 'n_frames', 'n_keyframes', 'n_bytes']
+            if status:
+                cols += ['decode_ok', 'decode_error']
+            yield pd.DataFrame(rows, columns=cols)
+
+    ddl = MP4_META_SCHEMA
+    if status:
+        ddl += ', decode_ok boolean, decode_error string'
+    return df.select(id_col, payload_col).mapInPandas(
+        run, _feature_schema(ddl, df, id_col))
+
+
+def mp4_samples(
+    df: SparkDF,
+    payload_col: str = 'payload',
+    id_col: str = 'media_id',
+    keyframes_only: bool = False,
+) -> SparkDF:
+    """The video track's sample table, one row per sample (or per
+    keyframe): ``(media_id, sample_idx, pts_ms, is_keyframe,
+    byte_offset, byte_size)``.  Byte ranges are what a downstream
+    codec stage reads — frame-accurate seeking without demuxing the
+    whole file.  Rows without a parseable video track are dropped
+    (filter first with :func:`video_meta` status mode to count
+    them)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ['media_id', 'sample_idx', 'pts_ms', 'is_keyframe',
+                'byte_offset', 'byte_size']
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                table = mp4_sample_table(
+                    bytes(row[payload_col] or b''))
+                for idx, pts, key, off, size in table or ():
+                    if key or not keyframes_only:
+                        rows.append(
+                            (row[id_col], idx, pts, key, off, size))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, _feature_schema(MP4_SAMPLE_SCHEMA, df, id_col))
+
+
+def keyframe_sample_plan(
+    samples: SparkDF,
+    durations: SparkDF,
+    every_ms: int = 1000,
+    id_col: str = 'media_id',
+    duration_col: str = 'duration_ms',
+) -> SparkDF:
+    """Keyframe-ALIGNED frame sampling: for each planned tick
+    (:func:`frame_sample_plan` grid) pick the latest keyframe at or
+    before it — the decode-cheap plan (decoding from a keyframe
+    needs no reference frames).
+
+    Spark-first shape: ticks and keyframes are unioned, sorted once
+    per media by ``(time, keyframe-first)``, and a running
+    ``last(..., ignorenulls)`` window carries each keyframe forward
+    to the ticks it covers — ONE shuffle on ``media_id``, linear
+    work, no pts×ticks range join (which is quadratic per media).
+    Ticks before the first keyframe keep a NULL keyframe (counted,
+    not dropped).  Output: ``(media_id, frame_ts_ms, keyframe_idx,
+    keyframe_pts_ms, byte_offset, byte_size)``.
+    """
+    from pyspark.sql import Window
+
+    ticks = frame_sample_plan(
+        durations, every_ms=every_ms, id_col=id_col,
+        duration_col=duration_col,
+    ).select(
+        id_col, F.col('frame_ts_ms').alias('__t'),
+        F.lit(1).alias('__is_tick'),
+        F.lit(None).cast('int').alias('sample_idx'),
+        F.lit(None).cast('bigint').alias('pts_ms'),
+        F.lit(None).cast('bigint').alias('byte_offset'),
+        F.lit(None).cast('bigint').alias('byte_size'),
+    )
+    keys = samples.filter(F.col('is_keyframe')).select(
+        id_col, F.col('pts_ms').alias('__t'),
+        F.lit(0).alias('__is_tick'),
+        'sample_idx', 'pts_ms', 'byte_offset', 'byte_size',
+    )
+    w = (Window.partitionBy(id_col)
+         .orderBy('__t', '__is_tick')
+         .rowsBetween(Window.unboundedPreceding, 0))
+    carried = ticks.unionByName(keys).select(
+        id_col, '__t', '__is_tick',
+        *[F.last(c, ignorenulls=True).over(w).alias(c)
+          for c in ('sample_idx', 'pts_ms', 'byte_offset',
+                    'byte_size')],
+    )
+    return carried.filter(F.col('__is_tick') == 1).select(
+        id_col, F.col('__t').alias('frame_ts_ms'),
+        F.col('sample_idx').alias('keyframe_idx'),
+        F.col('pts_ms').alias('keyframe_pts_ms'),
+        'byte_offset', 'byte_size',
+    )
+
+
+def _mp4_box(fourcc: bytes, payload: bytes) -> bytes:
+    return struct.pack('>I', len(payload) + 8) + fourcc + payload
+
+
+def encode_test_mp4(
+    n_frames: int,
+    frame_delta: int,
+    key_every: int,
+    sizes,
+    width: int = 64,
+    height: int = 48,
+    timescale: int = 600,
+    movie_timescale: int = 1000,
+    samples_per_chunk: Optional[int] = None,
+    ctts_offsets=None,
+) -> bytes:
+    """TEST-GRADE single-video-track MP4 writer (the ``encode_jpeg``
+    pattern: an in-module generator exercising the real parser).
+    Sample ``i`` (1-based) is ``sizes[i-1]`` filler bytes; keyframes
+    are samples ``1, 1+key_every, …``; every sample lasts
+    ``frame_delta`` media ticks.
+
+    Default (one chunk, no ctts) is a CLOSED FORM the oracle
+    replays: mdat payload (= chunk offset = first sample's
+    byte_offset) starts at ``599 + 4*n_keyframes + 4*n_frames`` —
+    20 ftyp + the constant moov skeleton + the two per-sample
+    tables + 8 mdat header (pinned by a unit test against this very
+    function).  ``samples_per_chunk`` splits the mdat into multiple
+    chunks (exercising the stsc run expansion); ``ctts_offsets``
+    (one signed composition offset per sample) adds a v0 ``ctts``
+    box (exercising pts ≠ dts reordering).  Both modes keep offsets
+    real — the header grows and the encoder recomputes them.
+    """
+    sizes = list(sizes)
+    assert len(sizes) == n_frames
+    n_keys = (n_frames + key_every - 1) // key_every
+    key_ids = [1 + k * key_every for k in range(n_keys)]
+    movie_dur = n_frames * frame_delta * movie_timescale // timescale
+    spc = samples_per_chunk or n_frames
+    n_chunks = (n_frames + spc - 1) // spc
+    remainder = n_frames - (n_chunks - 1) * spc
+
+    ftyp = _mp4_box(b'ftyp', b'isom' + struct.pack('>I', 0x200)
+                    + b'isom')
+    mvhd = _mp4_box(b'mvhd', (
+        struct.pack('>I', 0)                       # version 0 + flags
+        + struct.pack('>II', 0, 0)                 # ctime, mtime
+        + struct.pack('>II', movie_timescale, movie_dur)
+        + struct.pack('>IH', 0x00010000, 0x0100)   # rate, volume
+        + b'\0' * 10 + b'\0' * 36 + b'\0' * 24     # rsvd/matrix/pre
+        + struct.pack('>I', 0xFFFFFFFF)))          # next track id
+    tkhd = _mp4_box(b'tkhd', (
+        struct.pack('>I', 0x0000_0007)             # v0 + enabled
+        + struct.pack('>IIII', 0, 0, 1, 0)         # times, id, rsvd
+        + struct.pack('>I', movie_dur)
+        + b'\0' * 8                                # reserved
+        + struct.pack('>HHHH', 0, 0, 0, 0)         # layer/alt/vol
+        + b'\0' * 36                               # matrix
+        + struct.pack('>II', width << 16, height << 16)))
+    mdhd = _mp4_box(b'mdhd', struct.pack(
+        '>B3xIIIIHH', 0, 0, 0, timescale,
+        n_frames * frame_delta, 0x55C4, 0))
+    hdlr = _mp4_box(b'hdlr', struct.pack('>B3x4x', 0) + b'vide'
+                    + b'\0' * 12 + b'\0')
+    vmhd = _mp4_box(b'vmhd', struct.pack('>B3xHHHH', 0, 0, 0, 0, 0))
+    url_ = _mp4_box(b'url ', struct.pack('>B3B', 0, 0, 0, 1))
+    dref = _mp4_box(b'dref', struct.pack('>B3xI', 0, 1) + url_)
+    dinf = _mp4_box(b'dinf', dref)
+    # minimal VisualSampleEntry ('avc1', no avcC — test-grade)
+    entry = struct.pack(
+        '>I4s6xH16xHHIIIH32sHh', 86, b'avc1', 1, width, height,
+        0x00480000, 0x00480000, 0, 1, b'\0' * 32, 24, -1)
+    stsd = _mp4_box(b'stsd', struct.pack('>B3xI', 0, 1) + entry)
+    stts = _mp4_box(b'stts', struct.pack(
+        '>B3xIII', 0, 1, n_frames, frame_delta))
+    stss = _mp4_box(b'stss', struct.pack('>B3xI', 0, n_keys)
+                    + struct.pack(f'>{n_keys}I', *key_ids))
+    ctts = b''
+    if ctts_offsets is not None:
+        assert len(ctts_offsets) == n_frames
+        ctts = _mp4_box(b'ctts', struct.pack(
+            '>B3xI', 0, n_frames) + b''.join(
+            struct.pack('>Ii', 1, off) for off in ctts_offsets))
+    if n_chunks == 1 or remainder == spc:
+        sc_runs = [(1, spc)]
+    else:
+        sc_runs = [(1, spc), (n_chunks, remainder)]
+    stsc = _mp4_box(b'stsc', struct.pack(
+        '>B3xI', 0, len(sc_runs)) + b''.join(
+        struct.pack('>III', first, cnt, 1) for first, cnt in sc_runs))
+    stsz = _mp4_box(b'stsz', struct.pack('>B3xII', 0, 0, n_frames)
+                    + struct.pack(f'>{n_frames}I', *sizes))
+    stco_len = 8 + 4 + 4 + 4 * n_chunks
+    header_len = (
+        len(ftyp) + 8 + len(mvhd) + 8 + len(tkhd) + 8 + len(mdhd)
+        + len(hdlr) + 8 + len(vmhd) + len(dinf)
+        + 8 + len(stsd) + len(stts) + len(stss) + len(ctts)
+        + len(stsc) + len(stsz) + stco_len
+        + 8)  # mdat header
+    chunk_offs, pos, si = [], header_len, 0
+    for ch in range(n_chunks):
+        chunk_offs.append(pos)
+        take = spc if ch < n_chunks - 1 else remainder
+        pos += sum(sizes[si:si + take])
+        si += take
+    stco = _mp4_box(b'stco', struct.pack(
+        '>B3xI', 0, n_chunks) + struct.pack(
+        f'>{n_chunks}I', *chunk_offs))
+    stbl = _mp4_box(b'stbl',
+                    stsd + stts + stss + ctts + stsc + stsz + stco)
+    minf = _mp4_box(b'minf', vmhd + dinf + stbl)
+    mdia = _mp4_box(b'mdia', mdhd + hdlr + minf)
+    trak = _mp4_box(b'trak', tkhd + mdia)
+    moov = _mp4_box(b'moov', mvhd + trak)
+    mdat = _mp4_box(b'mdat', b''.join(
+        bytes([(i + 1) % 251]) * sz for i, sz in enumerate(sizes)))
+    return ftyp + moov + mdat
 
 
 def phash_duplicates(

@@ -1187,6 +1187,77 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> SparkDF:
     return frame_sample_plan(media, every_ms=2500)
 
 
+def _mp4_media(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Real ISO-BMFF payloads for the MP4-parse queries: every 17th
+    document becomes an actual MP4 file (``multimodal.
+    encode_test_mp4`` — test-grade writer, REAL box structure) whose
+    parameters derive deterministically from doc columns.  The
+    oracle replays the encoder's documented parameter arithmetic;
+    the Spark side genuinely builds and container-parses the bytes,
+    so any box-walk bug breaks the match."""
+    import pandas as pd
+
+    from ..operators.multimodal import encode_test_mp4
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    media = documents.filter(F.col('doc_id') % 17 == 0).select(
+        F.col('doc_id').alias('media_id'),
+        (F.lit(5) + F.col('n_chars') % 20).alias('__nf'),
+        (F.lit(40) + (F.col('doc_id') % 3) * 10).alias('__delta'),
+        (F.lit(2) + F.col('doc_id') % 4).alias('__ke'),
+        (F.lit(16) * (4 + F.col('doc_id') % 5)).alias('__w'),
+        (F.lit(16) * (3 + F.col('doc_id') % 4)).alias('__h'),
+    )
+
+    @F.pandas_udf('binary')
+    def build(mid, nf, delta, ke, w, h):
+        out = []
+        for m, n_, d_, k_, w_, h_ in zip(mid, nf, delta, ke, w, h):
+            sizes = [64 + (int(m) * 31 + i * 17) % 64
+                     for i in range(1, int(n_) + 1)]
+            out.append(encode_test_mp4(
+                int(n_), int(d_), int(k_), sizes,
+                width=int(w_), height=int(h_)))
+        return pd.Series(out)
+
+    return media.select(
+        'media_id',
+        build('media_id', '__nf', '__delta',
+              '__ke', '__w', '__h').alias('payload'))
+
+
+def q_video_meta(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """MP4 container metadata parse (``multimodal.video_meta`` →
+    ``decode_mp4_meta``): brand/codec/dimensions/duration/frame and
+    keyframe counts recovered by walking the real ftyp/moov/trak/
+    stbl boxes of per-doc generated MP4 files (:func:`_mp4_media`).
+    Pixel decode is out of declared scope — container metadata is
+    what corpus filtering needs."""
+    from ..operators.multimodal import video_meta
+
+    return video_meta(_mp4_media(spark, sf_dir)).select(
+        'media_id', 'brand', 'codec', 'width', 'height',
+        'duration_ms', 'n_frames', 'n_keyframes')
+
+
+def q_mp4_keyframes(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """MP4 keyframe byte-range extraction (``multimodal.
+    mp4_samples``): the video track's sync samples with exact pts
+    and absolute byte ranges, recovered from the stts/stss/stsz/
+    stsc/stco sample tables of per-doc generated MP4s — the
+    frame-accurate-seek plan a downstream codec stage consumes.  The
+    oracle replays the encoder's closed-form single-chunk layout
+    (mdat payload at 599 + 4·n_keyframes + 4·n_frames, test-pinned)
+    plus a running sum of sample sizes."""
+    from ..operators.multimodal import mp4_samples
+
+    return mp4_samples(
+        _mp4_media(spark, sf_dir), keyframes_only=True,
+    ).select(
+        'media_id', 'sample_idx', 'pts_ms', 'byte_offset',
+        'byte_size')
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> SparkDF:
     """PII redaction (``operators.text.redact_pii``): deterministic
     synthetic PII is appended per doc (the corpus itself carries
@@ -3898,12 +3969,15 @@ QUERIES: Dict[str, QueryFn] = {
     'q_minhash_dedup_verified': q_minhash_dedup_verified,
     # -- below the 50-slot window ---------------------------------
     # After this round every PREVIOUSLY declared query has had a
-    # driver row.  q_embedding_index_probe and
-    # q_incremental_embedding_dedup are NEW in r9 (registered after
-    # the window froze) — lead the r10 rotation with them, then
-    # rotate by staleness (r5-verified set next).
+    # driver row.  q_embedding_index_probe,
+    # q_incremental_embedding_dedup, q_video_meta and
+    # q_mp4_keyframes are NEW in r9 (registered after the window
+    # froze) — lead the r10 rotation with these four, then rotate by
+    # staleness (r5-verified set next).
     'q_embedding_index_probe': q_embedding_index_probe,
     'q_incremental_embedding_dedup': q_incremental_embedding_dedup,
+    'q_video_meta': q_video_meta,
+    'q_mp4_keyframes': q_mp4_keyframes,
     # Parked r9-displaced TPC-H fills (r7+r8 verified), then the
     # r5-verified set, then the round-6 window (freshest).
     'q7_nation_volume': q7_nation_volume,
@@ -4669,6 +4743,52 @@ ORACLES: Dict[str, str] = {
             WHERE b.vec_id < a.vec_id
               AND list_cosine_similarity(b.v, a.v) >= 0.95
         )
+    """,
+    # MP4 parse oracles replay encode_test_mp4's DOCUMENTED
+    # parameter arithmetic (test-pinned closed-form layout) — the
+    # Spark side genuinely builds and box-walks the binary.
+    'q_video_meta': """
+        SELECT doc_id AS media_id,
+               'isom' AS brand,
+               'avc1' AS codec,
+               CAST(16 * (4 + doc_id % 5) AS INT) AS width,
+               CAST(16 * (3 + doc_id % 4) AS INT) AS height,
+               CAST((5 + n_chars % 20) * (40 + (doc_id % 3) * 10)
+                    * 1000 // 600 AS BIGINT) AS duration_ms,
+               CAST(5 + n_chars % 20 AS INT) AS n_frames,
+               CAST((5 + n_chars % 20 + (2 + doc_id % 4) - 1)
+                    // (2 + doc_id % 4) AS INT) AS n_keyframes
+        FROM documents WHERE doc_id % 17 = 0
+    """,
+    'q_mp4_keyframes': """
+        WITH params AS (
+            SELECT doc_id AS media_id,
+                   CAST(5 + n_chars % 20 AS BIGINT) AS nf,
+                   CAST(40 + (doc_id % 3) * 10 AS BIGINT) AS delta,
+                   CAST(2 + doc_id % 4 AS BIGINT) AS ke
+            FROM documents WHERE doc_id % 17 = 0
+        ), sized AS (
+            SELECT media_id, nf, delta, ke,
+                   unnest(generate_series(1, nf)) AS i
+            FROM params
+        ), cum AS (
+            SELECT media_id, i, delta, ke,
+                   64 + (media_id * 31 + i * 17) % 64 AS sz,
+                   599 + 4 * ((nf + ke - 1) // ke) + 4 * nf
+                     + COALESCE(SUM(64 + (media_id * 31 + i * 17)
+                                    % 64) OVER (
+                           PARTITION BY media_id ORDER BY i
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS off
+            FROM sized
+        )
+        SELECT media_id,
+               CAST(i AS INT) AS sample_idx,
+               CAST((i - 1) * delta * 1000 // 600 AS BIGINT)
+                   AS pts_ms,
+               CAST(off AS BIGINT) AS byte_offset,
+               CAST(sz AS BIGINT) AS byte_size
+        FROM cum WHERE (i - 1) % ke = 0
     """,
     'q_langid': """
         WITH scored AS (

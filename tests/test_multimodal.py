@@ -827,3 +827,122 @@ class TestCountedSkip:
     def test_bad_mode_rejected(self, media):
         with pytest.raises(ValueError, match='on_undecodable'):
             mm.image_features(media, on_undecodable='drop')
+
+
+# ---------------------------------------------------------------------
+# MP4 / ISO BMFF container parse
+# ---------------------------------------------------------------------
+
+class TestMp4Parse:
+    N, DELTA, KE = 7, 50, 3
+    SIZES = [100 + i * 7 for i in range(7)]
+
+    def _mp4(self, **kw):
+        return mm.encode_test_mp4(
+            self.N, self.DELTA, self.KE, self.SIZES, **kw)
+
+    def test_meta_round_trip(self):
+        meta = mm.decode_mp4_meta(self._mp4(width=320, height=240))
+        assert meta == {
+            'brand': 'isom', 'codec': 'avc1',
+            'width': 320, 'height': 240,
+            'duration_ms': self.N * self.DELTA * 1000 // 600,
+            'n_frames': self.N, 'n_keyframes': 3,
+        }
+
+    def test_closed_form_layout(self):
+        """The oracle's byte-offset formula is the encoder's
+        single-chunk layout: mdat payload starts at
+        599 + 4*n_keyframes + 4*n_frames."""
+        for n, ke in [(1, 1), (5, 2), (24, 5), (7, 3)]:
+            sizes = [64 + i for i in range(n)]
+            payload = mm.encode_test_mp4(n, 40, ke, sizes)
+            nk = (n + ke - 1) // ke
+            hdr = 599 + 4 * nk + 4 * n
+            table = mm.mp4_sample_table(payload)
+            assert table[0][3] == hdr
+            assert len(payload) == hdr + sum(sizes)
+
+    def test_sample_table_offsets_and_keys(self):
+        table = mm.mp4_sample_table(self._mp4())
+        off = table[0][3]
+        for i, (idx, pts, key, o, sz) in enumerate(table):
+            assert idx == i + 1
+            assert pts == i * self.DELTA * 1000 // 600
+            assert key == (i % self.KE == 0)
+            assert o == off and sz == self.SIZES[i]
+            off += sz
+
+    def test_multi_chunk_stsc_expansion(self):
+        """spc=3 over 7 samples -> chunks [3,3,1] (two stsc runs);
+        offsets stay contiguous within each chunk."""
+        table = mm.mp4_sample_table(
+            self._mp4(samples_per_chunk=3))
+        sizes, pos, want = self.SIZES, table[0][3], []
+        for chunk in ([0, 1, 2], [3, 4, 5], [6]):
+            p = pos
+            for i in chunk:
+                want.append(p)
+                p += sizes[i]
+            pos = p
+        assert [r[3] for r in table] == want
+        assert [r[4] for r in table] == sizes
+
+    def test_ctts_composition_offsets(self):
+        ct = [0, 100, 0, 50, 0, -6, 0]
+        table = mm.mp4_sample_table(self._mp4(ctts_offsets=ct))
+        for i, row in enumerate(table):
+            assert row[1] == (i * self.DELTA + ct[i]) * 1000 // 600
+
+    def test_non_mp4_returns_none(self):
+        for junk in (b'', b'not an mp4', b'\x00\x00\x00\x08free',
+                     _make_wav([0] * 100)):
+            assert mm.decode_mp4_meta(junk) is None
+            assert mm.mp4_sample_table(junk) is None
+
+    def test_truncated_payload_safe(self):
+        whole = self._mp4()
+        for cut in (4, 12, 30, 100, len(whole) - 5):
+            mm.decode_mp4_meta(whole[:cut])  # must not raise
+            mm.mp4_sample_table(whole[:cut])
+
+    def test_video_meta_spark(self, spark_session):
+        rows = [(1, bytearray(self._mp4(width=128, height=96))),
+                (2, bytearray(b'MKV not supported'))]
+        df = spark_session.createDataFrame(
+            rows, 'media_id bigint, payload binary')
+        out = {r['media_id']: r for r in mm.video_meta(
+            df, on_undecodable='status').collect()}
+        assert out[1]['decode_ok'] is True
+        assert (out[1]['width'], out[1]['height']) == (128, 96)
+        assert out[1]['n_frames'] == self.N
+        assert out[2]['decode_ok'] is False
+        with pytest.raises(Exception):
+            mm.video_meta(df).collect()
+
+    def test_mp4_samples_spark(self, spark_session):
+        df = spark_session.createDataFrame(
+            [(9, bytearray(self._mp4()))],
+            'media_id bigint, payload binary')
+        rows = sorted(
+            mm.mp4_samples(df, keyframes_only=True).collect(),
+            key=lambda r: r['sample_idx'])
+        assert [r['sample_idx'] for r in rows] == [1, 4, 7]
+        assert all(r['is_keyframe'] for r in rows)
+
+    def test_keyframe_sample_plan(self, spark_session):
+        """Every planned tick maps to the latest keyframe at or
+        before it (keyframes at pts 0/250/500 ms; ticks every
+        200 ms over 583 ms -> 0,200,400 -> keyframes 0,0,250)."""
+        df = spark_session.createDataFrame(
+            [(9, bytearray(self._mp4()))],
+            'media_id bigint, payload binary')
+        samples = mm.mp4_samples(df)
+        durations = spark_session.createDataFrame(
+            [(9, 583)], 'media_id bigint, duration_ms bigint')
+        out = sorted(
+            mm.keyframe_sample_plan(samples, durations, every_ms=200)
+            .collect(), key=lambda r: r['frame_ts_ms'])
+        assert [r['frame_ts_ms'] for r in out] == [0, 200, 400]
+        assert [r['keyframe_pts_ms'] for r in out] == [0, 0, 250]
+        assert [r['keyframe_idx'] for r in out] == [1, 1, 4]
