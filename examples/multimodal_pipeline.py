@@ -10,7 +10,10 @@ The decoders are the real ones from ``operators.multimodal``
 (PNG/BMP/PPM zlib+numpy, WAV PCM); the feature is a luminance
 histogram for images and an energy envelope for audio — stand-ins
 for a learned embedding, with the Spark-side plumbing (schema,
-batching, id typing, search) identical to the real thing.
+batching, id typing, search) identical to the real thing.  Video
+adds the container-parse path: MP4 files are box-walked for
+metadata and keyframe byte ranges, and the sampling grid aligns to
+keyframes — the decode-cheap plan a codec stage would consume.
 
 Run:  PYTHONPATH=. python examples/multimodal_pipeline.py [work_dir]
 """
@@ -26,7 +29,11 @@ from pyspark.sql import functions as F
 from ons_utils_spark import get_spark
 from ons_utils_spark.operators.multimodal import (
     audio_features,
+    encode_test_mp4,
     image_features,
+    keyframe_sample_plan,
+    mp4_samples,
+    video_meta,
 )
 from ons_utils_spark.operators.similarity import cosine_topk
 from ons_utils_spark.sources.readers import read_binary_files
@@ -53,6 +60,14 @@ def synthesize_media(media_dir: str, n_images: int = 24,
                 * 12000).astype(np.int16)
         with open(os.path.join(media_dir, f'clip_{i:02d}.wav'), 'wb') as f:
             f.write(_make_wav(tone, rate=8000))
+    for i in range(6):
+        n_frames, key_every = 10 + i * 3, 2 + (i % 3)
+        sizes = [80 + (i * 31 + j * 17) % 60 for j in range(n_frames)]
+        with open(os.path.join(media_dir, f'vid_{i:02d}.mp4'),
+                  'wb') as f:
+            f.write(encode_test_mp4(
+                n_frames, 40 + 10 * (i % 2), key_every, sizes,
+                width=64 + 16 * i, height=48 + 16 * i))
     with open(os.path.join(media_dir, 'huge.png'), 'wb') as f:
         f.write(b'\x89PNG' + b'\0' * 3_000_000)  # dropped by size cap
     with open(os.path.join(media_dir, 'README.txt'), 'w') as f:
@@ -71,8 +86,20 @@ def run(spark, media_dir: str):
         audio.withColumnRenamed('content', 'payload'),
         payload_col='payload', id_col='path')
 
+    videos = read_binary_files(
+        spark, media_dir, glob='*.mp4'
+    ).withColumnRenamed('content', 'payload')
+    vid_meta = video_meta(videos, id_col='path')
+    samples = mp4_samples(videos, id_col='path')
+    frames = keyframe_sample_plan(
+        samples,
+        vid_meta.select('media_id', 'duration_ms'),
+        every_ms=250)
+
     n_img, n_wav = img_feats.count(), wav_feats.count()
-    print(f'decoded images={n_img} audio clips={n_wav}')
+    n_vid, n_frames = vid_meta.count(), frames.count()
+    print(f'decoded images={n_img} audio clips={n_wav} '
+          f'videos={n_vid} sampled keyframe ranges={n_frames}')
 
     # probe: most similar images to the first one (by path order)
     probe = (

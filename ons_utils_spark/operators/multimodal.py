@@ -1958,7 +1958,13 @@ def video_meta(
     ``mapInPandas`` (:func:`decode_mp4_meta` per payload).
     ``on_undecodable='status'`` adds ``decode_ok``/``decode_error``
     instead of raising — the same counted-skip contract as
-    :func:`image_features`."""
+    :func:`image_features`.
+
+    Scale note: the parse touches only ``moov`` (typically <1% of
+    file bytes) but a ``binaryFile`` scan ships whole files — at
+    video-corpus scale feed this a bytes column produced by a
+    range-request fetch of the moov box (faststart assets put it
+    first); the operator is agnostic to how the bytes arrived."""
     if on_undecodable not in ('raise', 'status'):
         raise ValueError(
             "on_undecodable must be 'raise' or 'status',"
