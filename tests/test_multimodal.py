@@ -946,3 +946,21 @@ class TestMp4Parse:
         assert [r['frame_ts_ms'] for r in out] == [0, 200, 400]
         assert [r['keyframe_pts_ms'] for r in out] == [0, 0, 250]
         assert [r['keyframe_idx'] for r in out] == [1, 1, 4]
+
+    def test_keyframe_sample_ticks_before_first_keyframe(
+            self, spark_session):
+        """Ticks earlier than the first keyframe carry NULLs —
+        counted, never silently dropped (samples built directly, no
+        encoder: first keyframe at 500 ms)."""
+        samples = spark_session.createDataFrame(
+            [(9, 1, 500, True, 1000, 64), (9, 2, 900, False, 1064, 64)],
+            'media_id bigint, sample_idx int, pts_ms bigint,'
+            ' is_keyframe boolean, byte_offset bigint, byte_size bigint')
+        durations = spark_session.createDataFrame(
+            [(9, 1200)], 'media_id bigint, duration_ms bigint')
+        out = sorted(
+            mm.keyframe_sample_plan(samples, durations, every_ms=400)
+            .collect(), key=lambda r: r['frame_ts_ms'])
+        assert [r['frame_ts_ms'] for r in out] == [0, 400, 800]
+        assert [r['keyframe_pts_ms'] for r in out] == [None, None, 500]
+        assert out[2]['keyframe_idx'] == 1

@@ -254,3 +254,77 @@ class TestPackingProperties:
             first_idx = bins.index(b)
             prev_fill = sum(fills[b - 1])
             assert prev_fill + tokens[first_idx] > budget
+
+
+class TestMp4ParseProperties:
+    """The test-grade encoder and the real parser are independent
+    walks of the same ISO-BMFF spec — any random parameter draw must
+    round-trip exactly, and any truncation must degrade to None (or
+    a partial table), never an exception."""
+
+    @given(
+        st.integers(1, 40),                 # n_frames
+        st.integers(1, 200),                # frame_delta
+        st.integers(1, 8),                  # key_every
+        st.integers(0, 2**31 - 1),          # size seed
+        st.one_of(st.none(), st.integers(1, 7)),   # samples_per_chunk
+        st.booleans(),                      # with ctts
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_encode_parse_round_trip(self, n, delta, ke, seed,
+                                     spc, with_ctts):
+        from ons_utils_spark.operators import multimodal as mm
+
+        sizes = [1 + (seed + 37 * i) % 300 for i in range(n)]
+        ct = ([((seed >> 3) + 13 * i) % 500 - 100 for i in range(n)]
+              if with_ctts else None)
+        payload = mm.encode_test_mp4(
+            n, delta, ke, sizes, samples_per_chunk=spc,
+            ctts_offsets=ct)
+        meta = mm.decode_mp4_meta(payload)
+        nk = (n + ke - 1) // ke
+        assert (meta['n_frames'], meta['n_keyframes']) == (n, nk)
+        assert meta['duration_ms'] == n * delta * 1000 // 600
+
+        table = mm.mp4_sample_table(payload)
+        assert len(table) == n
+        # sizes and keyframe flags round-trip exactly
+        assert [r[4] for r in table] == sizes
+        assert [r[2] for r in table] == [i % ke == 0 for i in range(n)]
+        # pts: dts plus the signed composition offset
+        for i, r in enumerate(table):
+            want = (i * delta + (ct[i] if ct else 0)) * 1000 // 600
+            assert r[1] == want
+        # offsets: chunk-contiguous, every byte of mdat accounted for
+        spc_eff = spc or n
+        offs = [r[3] for r in table]
+        pos, si = offs[0], 0
+        while si < n:
+            take = min(spc_eff, n - si)
+            for j in range(take):
+                assert offs[si + j] == pos
+                pos += sizes[si + j]
+            si += take
+        assert pos == len(payload)
+
+    @given(st.integers(0, 2**31 - 1), st.integers(0, 2000))
+    @settings(max_examples=60, deadline=None)
+    def test_truncation_never_raises(self, seed, cut):
+        from ons_utils_spark.operators import multimodal as mm
+
+        n = 1 + seed % 12
+        payload = mm.encode_test_mp4(
+            n, 40, 2, [10 + (seed + i) % 50 for i in range(n)])
+        prefix = payload[:min(cut, len(payload))]
+        mm.decode_mp4_meta(prefix)       # None or partial — no raise
+        mm.mp4_sample_table(prefix)
+
+    @given(st.binary(max_size=400))
+    @settings(max_examples=80, deadline=None)
+    def test_arbitrary_bytes_never_raise(self, junk):
+        from ons_utils_spark.operators import multimodal as mm
+
+        mm.decode_mp4_meta(junk)   # the property IS "never raises"
+        mm.mp4_sample_table(junk)  # (valid boxes from 400 random
+        #                            bytes are astronomically rare,
+        #                            so don't assert None-ness)
