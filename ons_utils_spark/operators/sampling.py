@@ -197,6 +197,7 @@ def mixture_sample(
     token_col: str,
     budgets: Mapping[str, int],
     salt: str = '',
+    prefix_sum_buckets: int = 256,
 ) -> SparkDF:
     """Build a training mixture: per group, keep a deterministic
     uniform-random subset whose token total stays within the group's
@@ -205,13 +206,27 @@ def mixture_sample(
     The selection order is md5(salt || id) — i.e. a reproducible
     shuffle — and a document is kept while the RUNNING token total
     (including itself) fits the budget; the first overflowing doc and
-    everything after it are cut. This is the "mix sources at fixed
+    everything after it are cut.  Token counts are assumed
+    non-negative; NULL counts consume nothing (never block a row). This is the "mix sources at fixed
     token ratios" step of corpus construction (e.g. 70% web / 20%
     code / 10% books by tokens), with the same growth-stability
     story as :func:`hash_split`.
 
-    Plan: one window cumsum per group (one shuffle); the budget
-    lookup is a literal ``create_map`` — no join.
+    Plan — a DISTRIBUTED PREFIX SUM, because the naive
+    ``Window.partitionBy(group)`` cumsum puts an entire group in ONE
+    task (a web-scale source is most of the corpus — the worst
+    possible skew).  Rows bucket by the first hex chars of their
+    order tag (bucket order ≡ tag-prefix order, so the walk is
+    unchanged); per-(group, bucket) token subtotals form a tiny
+    summary whose per-group running totals classify each bucket as
+    fully-inside the budget, fully-outside, or THE boundary bucket.
+    Fully-inside rows pass with no row-level window at all;
+    only the single boundary bucket per group (~1/buckets of that
+    group) runs a row-ordered cumsum offset by the buckets before
+    it.  Work: one hash agg + one broadcast join + a window over
+    1/``prefix_sum_buckets`` of each group.  The selected set is
+    IDENTICAL to the flat window's (property-tested);
+    ``prefix_sum_buckets=None`` keeps the flat plan for tiny inputs.
     """
     from pyspark.sql import Window
 
@@ -220,19 +235,69 @@ def mixture_sample(
     # NULL-id rows rank last (see stratified_sample_exact): they only
     # consume budget after every real row, identically on any engine.
     tag = F.md5(F.concat(F.lit(salt), F.col(id_col).cast('string')))
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy(tag.asc_nulls_last(), F.col(id_col).asc_nulls_last())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    order = [tag.asc_nulls_last(), F.col(id_col).asc_nulls_last()]
     budget_map = F.create_map(*[
         F.lit(x) for kv in budgets.items() for x in kv
     ])
-    cum = F.sum(F.col(token_col)).over(w)
-    return (
-        df.withColumn('_budget', budget_map[F.col(group_col)])
-        .withColumn('_cum', cum)
-        .filter(F.col('_budget').isNotNull()
-                & (F.col('_cum') <= F.col('_budget')))
-        .drop('_budget', '_cum')
+    if prefix_sum_buckets is None:
+        w = (
+            Window.partitionBy(group_col).orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            df.withColumn('_budget', budget_map[F.col(group_col)])
+            .withColumn('_cum', F.coalesce(
+                F.sum(F.col(token_col)).over(w), F.lit(0)))
+            .filter(F.col('_budget').isNotNull()
+                    & (F.col('_cum') <= F.col('_budget')))
+            .drop('_budget', '_cum')
+        )
+    if prefix_sum_buckets not in (16, 256, 4096):
+        raise ValueError(
+            'prefix_sum_buckets must be 16, 256, 4096 or None,'
+            f' got {prefix_sum_buckets!r}')
+    plen = {16: 1, 256: 2, 4096: 3}[prefix_sum_buckets]
+    # NULL tag (NULL id) -> NULL bucket, which sorts after every hex
+    # bucket below — the same "NULL ids rank last" contract.
+    src = df.withColumn('_tag', tag) \
+        .withColumn('_bkt', F.substring('_tag', 1, plen))
+    wb = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col('_bkt').asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
+    summary = (
+        src.groupBy(group_col, '_bkt')
+        .agg(F.sum(token_col).alias('_bt'))
+        .withColumn('_prev', F.coalesce(F.sum('_bt').over(wb),
+                                        F.lit(0)))
+        .withColumn('_budget', budget_map[F.col(group_col)])
+        .filter(F.col('_budget').isNotNull())
+        # fully-outside buckets (and the rows in them) drop here.
+        # <= not <: a bucket whose _prev EQUALS the budget can still
+        # contain zero-token rows the inclusive cum <= budget rule
+        # admits — it classifies as an edge bucket and the row window
+        # settles it, keeping parity with the flat plan.
+        .filter(F.col('_prev') <= F.col('_budget'))
+        .withColumn(
+            '_whole',
+            F.coalesce(F.col('_prev') + F.col('_bt'), F.col('_prev'))
+            <= F.col('_budget'))
+        .select(group_col, '_bkt', '_prev', '_budget', '_whole')
+    )
+    tagged = src.join(
+        F.broadcast(summary),
+        on=[group_col, '_bkt'], how='inner')
+    whole = tagged.filter(F.col('_whole')).select(*df.columns)
+    we = (
+        Window.partitionBy(group_col, '_bkt').orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    edge = (
+        tagged.filter(~F.col('_whole'))
+        .withColumn('_cum', F.col('_prev') + F.coalesce(
+            F.sum(F.col(token_col)).over(we), F.lit(0)))
+        .filter(F.col('_cum') <= F.col('_budget'))
+        .select(*df.columns)
+    )
+    return whole.unionByName(edge)

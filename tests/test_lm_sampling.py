@@ -309,3 +309,60 @@ class TestNullIdOrdering:
         kept = {r['doc_id'] for r in mixture_sample(
             df, 'source', 'doc_id', 'n_tokens', {'s': 20}).collect()}
         assert kept == {'a', 'b'}
+
+
+class TestMixturePrefixSumParity:
+    """The bucketed distributed-prefix-sum plan (r9 default) must
+    select EXACTLY the rows the flat single-window plan selects —
+    including boundary exactness, zero-token rows at the cut, NULL
+    tokens, NULL ids, and tiny/empty groups."""
+
+    def _parity(self, spark, rows, budgets, salt=''):
+        from ons_utils_spark.operators.sampling import mixture_sample
+
+        df = spark.createDataFrame(
+            rows, 'source string, doc_id bigint, n_tokens bigint')
+        key = lambda r: (r['source'], r['doc_id'])  # noqa: E731
+        for buckets in (16, 256):
+            a = sorted(map(key, mixture_sample(
+                df, 'source', 'doc_id', 'n_tokens', budgets,
+                salt=salt, prefix_sum_buckets=buckets).collect()))
+            b = sorted(map(key, mixture_sample(
+                df, 'source', 'doc_id', 'n_tokens', budgets,
+                salt=salt, prefix_sum_buckets=None).collect()))
+            assert a == b, (buckets, len(a), len(b))
+        return a
+
+    def test_parity_random_corpus(self, spark_session):
+        import random
+        rng = random.Random(11)
+        rows = [(f's{i % 3}', i, rng.randrange(0, 40))
+                for i in range(400)]
+        kept = self._parity(
+            spark_session, rows,
+            {'s0': 900, 's1': 37, 's2': 0}, salt='mix')
+        assert kept  # s0/s1 contribute; s2's zero budget drops >0s
+
+    def test_parity_zero_token_rows_at_the_cut(self, spark_session):
+        # tokens of 0 ride along even once the budget is exhausted
+        rows = [('s', i, 0 if i % 2 else 7) for i in range(60)]
+        self._parity(spark_session, rows, {'s': 21})
+
+    def test_parity_null_tokens_and_null_ids(self, spark_session):
+        rows = ([('s', i, None) for i in range(10)]
+                + [('s', None, 5), ('s', 100, 5), ('s', 101, 5)])
+        self._parity(spark_session, rows, {'s': 10})
+
+    def test_parity_exact_boundary_budget(self, spark_session):
+        # budget hits a prefix sum exactly
+        rows = [('s', i, 10) for i in range(50)]
+        self._parity(spark_session, rows, {'s': 200})
+
+    def test_bad_bucket_count_rejected(self, spark_session):
+        from ons_utils_spark.operators.sampling import mixture_sample
+
+        df = spark_session.createDataFrame(
+            [('s', 1, 1)], 'source string, doc_id bigint, n_tokens int')
+        with pytest.raises(ValueError, match='prefix_sum_buckets'):
+            mixture_sample(df, 'source', 'doc_id', 'n_tokens',
+                           {'s': 1}, prefix_sum_buckets=10)
