@@ -109,6 +109,7 @@ def stratified_sample_exact(
     id_col: str,
     k: int,
     salt: str = '',
+    prefix_sum_buckets: int = 256,
 ) -> SparkDF:
     """Exactly ``min(k, group size)`` rows per group, deterministic.
 
@@ -122,10 +123,17 @@ def stratified_sample_exact(
     corpus growth*: a kept row is only ever displaced by a new row
     hashing lower, never by a reshuffle.
 
-    Plan: one shuffle on ``group_col`` for the ranked window. For the
-    common k << group-size case the window's sort is the cost; at
-    extreme group sizes pre-filter with ``hash_fraction_filter`` at a
-    few × k/|group| to cut the sorted volume first.
+    Plan — the same DISTRIBUTED PREFIX SUM as
+    :func:`mixture_sample` (row COUNTS instead of token sums),
+    because ``row_number() over (partition by group)`` sorts an
+    entire group in ONE task.  Rows bucket by the leading hex of
+    their order tag; per-(group, bucket) counts classify buckets as
+    wholly inside the first ``k`` positions (pass untouched — no
+    row sort at all), wholly outside (drop), or THE boundary bucket,
+    which alone gets a ``row_number`` window over ~1/buckets of the
+    group.  Selection is identical to the flat ranked window
+    (parity-tested); ``prefix_sum_buckets=None`` keeps the flat
+    plan.
     """
     if k <= 0:
         raise ValueError(f'k must be positive, got {k}')
@@ -134,13 +142,48 @@ def stratified_sample_exact(
     # NULLS FIRST; DuckDB's is NULLS LAST) so they never displace a
     # real row and the oracle replay agrees across engines.
     tag = F.md5(F.concat(F.lit(salt), F.col(id_col).cast('string')))
-    w = Window.partitionBy(group_col).orderBy(
-        tag.asc_nulls_last(), F.col(id_col).asc_nulls_last())
-    return (
-        df.withColumn('_rk', F.row_number().over(w))
-        .filter(F.col('_rk') <= k)
-        .drop('_rk')
+    order = [tag.asc_nulls_last(), F.col(id_col).asc_nulls_last()]
+    if prefix_sum_buckets is None:
+        w = Window.partitionBy(group_col).orderBy(*order)
+        return (
+            df.withColumn('_rk', F.row_number().over(w))
+            .filter(F.col('_rk') <= k)
+            .drop('_rk')
+        )
+    if prefix_sum_buckets not in (16, 256, 4096):
+        raise ValueError(
+            'prefix_sum_buckets must be 16, 256, 4096 or None,'
+            f' got {prefix_sum_buckets!r}')
+    plen = {16: 1, 256: 2, 4096: 3}[prefix_sum_buckets]
+    # NULL ids -> NULL tag.  The bucket key must stay JOINABLE
+    # (inner equi-join drops NULL keys) and sort AFTER every hex
+    # bucket, preserving the NULLs-last rank: '~' (0x7E) > 'f'.
+    src = df.withColumn('_tag', tag).withColumn(
+        '_bkt', F.coalesce(F.substring('_tag', 1, plen), F.lit('~')))
+    wb = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col('_bkt').asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
+    summary = (
+        src.groupBy(group_col, '_bkt').agg(F.count('*').alias('_bc'))
+        .withColumn('_prev', F.coalesce(F.sum('_bc').over(wb),
+                                        F.lit(0)))
+        .filter(F.col('_prev') < k)  # buckets past position k drop
+        .withColumn('_whole', F.col('_prev') + F.col('_bc') <= k)
+        .select(group_col, '_bkt', '_prev', '_whole')
+    )
+    tagged = src.join(
+        F.broadcast(summary), on=[group_col, '_bkt'], how='inner')
+    whole = tagged.filter(F.col('_whole')).select(*df.columns)
+    we = Window.partitionBy(group_col, '_bkt').orderBy(*order)
+    edge = (
+        tagged.filter(~F.col('_whole'))
+        .withColumn('_rk', F.col('_prev') + F.row_number().over(we))
+        .filter(F.col('_rk') <= k)
+        .select(*df.columns)
+    )
+    return whole.unionByName(edge)
 
 
 def weighted_sample_exact(
@@ -163,8 +206,14 @@ def weighted_sample_exact(
     reproducible and stable exactly like :func:`hash_split` — and
     the DuckDB oracle (``q_weighted_sample``) replays the draw.
 
-    Same plan shape as :func:`stratified_sample_exact`: one ranked
-    window per group.
+    Plan: one ranked window per group — the whole group sorts in
+    one task.  The tag-prefix bucket trick used by
+    :func:`stratified_sample_exact` does NOT apply here (the rank
+    key ``ln(u)/w`` depends on the weight, so tag order is not key
+    order); at web scale pre-filter first — rows with
+    ``key < ln(u_min)/w_max`` for a per-group k-th-key bound from a
+    coarse pass, or simply :func:`hash_fraction_filter` when weights
+    are bounded — to shrink the sorted volume.
     """
     if k <= 0:
         raise ValueError(f'k must be positive, got {k}')
@@ -257,10 +306,11 @@ def mixture_sample(
             'prefix_sum_buckets must be 16, 256, 4096 or None,'
             f' got {prefix_sum_buckets!r}')
     plen = {16: 1, 256: 2, 4096: 3}[prefix_sum_buckets]
-    # NULL tag (NULL id) -> NULL bucket, which sorts after every hex
-    # bucket below — the same "NULL ids rank last" contract.
-    src = df.withColumn('_tag', tag) \
-        .withColumn('_bkt', F.substring('_tag', 1, plen))
+    # NULL ids -> NULL tag.  The bucket key must stay JOINABLE
+    # (inner equi-join drops NULL keys) and sort AFTER every hex
+    # bucket, preserving the NULLs-last rank: '~' (0x7E) > 'f'.
+    src = df.withColumn('_tag', tag).withColumn(
+        '_bkt', F.coalesce(F.substring('_tag', 1, plen), F.lit('~')))
     wb = (
         Window.partitionBy(group_col)
         .orderBy(F.col('_bkt').asc_nulls_last())

@@ -322,7 +322,8 @@ class TestMixturePrefixSumParity:
 
         df = spark.createDataFrame(
             rows, 'source string, doc_id bigint, n_tokens bigint')
-        key = lambda r: (r['source'], r['doc_id'])  # noqa: E731
+        key = lambda r: (r['source'], r['doc_id'] is None,
+                         r['doc_id'] or 0)  # noqa: E731
         for buckets in (16, 256):
             a = sorted(map(key, mixture_sample(
                 df, 'source', 'doc_id', 'n_tokens', budgets,
@@ -352,6 +353,14 @@ class TestMixturePrefixSumParity:
         rows = ([('s', i, None) for i in range(10)]
                 + [('s', None, 5), ('s', 100, 5), ('s', 101, 5)])
         self._parity(spark_session, rows, {'s': 10})
+        # a NULL-id row that FITS must be kept (it ranks last but
+        # the budget still has room) — pins the joinable-sentinel
+        # bucket for NULL tags (an inner join on a NULL bucket key
+        # silently dropped these before the fix)
+        kept = self._parity(
+            spark_session,
+            [('t', 7, 5), ('t', None, 5)], {'t': 10})
+        assert ('t', True, 0) in kept, kept
 
     def test_parity_exact_boundary_budget(self, spark_session):
         # budget hits a prefix sum exactly
@@ -366,3 +375,48 @@ class TestMixturePrefixSumParity:
         with pytest.raises(ValueError, match='prefix_sum_buckets'):
             mixture_sample(df, 'source', 'doc_id', 'n_tokens',
                            {'s': 1}, prefix_sum_buckets=10)
+
+
+class TestStratifiedPrefixSumParity:
+    """stratified_sample_exact's bucketed plan (r9 default) must
+    select exactly the flat ranked window's rows."""
+
+    def _parity(self, spark, rows, k, schema='grp string, id bigint'):
+        from ons_utils_spark.operators.sampling import (
+            stratified_sample_exact,
+        )
+        df = spark.createDataFrame(rows, schema)
+        key = lambda r: (r['grp'], r['id'] is None,
+                         r['id'] or 0)  # noqa: E731
+        for buckets in (16, 256):
+            a = sorted(map(key, stratified_sample_exact(
+                df, 'grp', 'id', k,
+                prefix_sum_buckets=buckets).collect()))
+            b = sorted(map(key, stratified_sample_exact(
+                df, 'grp', 'id', k,
+                prefix_sum_buckets=None).collect()))
+            assert a == b, (buckets, len(a), len(b))
+        return a
+
+    def test_parity_random_groups(self, spark_session):
+        rows = [(f'g{i % 5}', i) for i in range(500)]
+        kept = self._parity(spark_session, rows, 13)
+        assert len(kept) == 5 * 13
+
+    def test_parity_small_groups_and_k_exceeding(self, spark_session):
+        rows = [('a', 1), ('a', 2), ('b', 3)]
+        kept = self._parity(spark_session, rows, 10)
+        assert len(kept) == 3  # k > group size keeps whole groups
+
+    def test_parity_exact_bucket_boundary(self, spark_session):
+        # k chosen to land exactly on a bucket-count boundary for
+        # SOME bucket split is data-dependent; sweep several k
+        rows = [('g', i) for i in range(200)]
+        for k in (1, 16, 31, 199, 200):
+            self._parity(spark_session, rows, k)
+
+    def test_parity_null_ids_rank_last(self, spark_session):
+        rows = [('g', i) for i in range(1, 6)] + [('g', None)] * 3
+        kept = self._parity(spark_session, rows, 6)
+        n_null = sum(1 for r in kept if r[1])  # key = (grp, is_null, id)
+        assert n_null == 1  # exactly one NULL fills slot 6
