@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 __all__ = [
     'hash_split', 'split_thresholds', 'hash_fraction_filter',
     'stratified_sample_exact', 'weighted_sample_exact',
-    'mixture_sample',
+    'mixture_sample', 'global_order_index',
 ]
 
 _PREFIX_LEN = 6
@@ -351,3 +351,64 @@ def mixture_sample(
         .select(*df.columns)
     )
     return whole.unionByName(edge)
+
+
+def global_order_index(
+    df: SparkDF,
+    id_col: str,
+    salt: str = '',
+    output_col: str = 'position',
+    prefix_sum_buckets: int = 4096,
+) -> SparkDF:
+    """Assign every row a stable GLOBAL position 0..n-1 in
+    md5(salt || id) order — the reproducible global shuffle a
+    training run consumes (epoch order, shard boundaries, resumable
+    cursors), with the same engine-replayability and growth story as
+    :func:`hash_split` (``salt`` = epoch number gives independent
+    orders from the same ids).
+
+    The naive ``row_number() OVER (ORDER BY tag)`` has NO partition
+    key — Spark sorts the entire corpus in ONE task.  This is the
+    same distributed prefix sum as :func:`stratified_sample_exact`
+    without the group: per-bucket counts (``prefix_sum_buckets``
+    rows) compute each bucket's starting offset; each bucket then
+    ranks its own ~1/buckets slice in parallel.  Two shuffles of the
+    data (count agg keys + the per-bucket sort), one broadcast of
+    the tiny offset table.
+
+    NULL ids rank last (NULL tag → sentinel bucket), ordered among
+    themselves arbitrarily but counted exactly.
+    """
+    from pyspark.sql import Window
+
+    if prefix_sum_buckets not in (16, 256, 4096):
+        raise ValueError(
+            'prefix_sum_buckets must be 16, 256 or 4096,'
+            f' got {prefix_sum_buckets!r}')
+    plen = {16: 1, 256: 2, 4096: 3}[prefix_sum_buckets]
+    tag = F.md5(F.concat(F.lit(salt), F.col(id_col).cast('string')))
+    src = df.withColumn('_tag', tag).withColumn(
+        '_bkt', F.coalesce(F.substring('_tag', 1, plen), F.lit('~')))
+    # the offsets frame is <= buckets+1 rows: a single-task window
+    # over it is deliberate and bounded
+    wb = (
+        Window.partitionBy(F.lit(0)).orderBy('_bkt')
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        src.groupBy('_bkt').agg(F.count('*').alias('_bc'))
+        .withColumn('_off', F.coalesce(F.sum('_bc').over(wb),
+                                       F.lit(0)))
+        .select('_bkt', '_off')
+    )
+    we = Window.partitionBy('_bkt').orderBy(
+        F.col('_tag').asc_nulls_last(),
+        F.col(id_col).asc_nulls_last())
+    return (
+        src.join(F.broadcast(offsets), on='_bkt')
+        .withColumn(
+            output_col,
+            (F.col('_off') + F.row_number().over(we) - 1)
+            .cast('bigint'))
+        .drop('_tag', '_bkt', '_off')
+    )

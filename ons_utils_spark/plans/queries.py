@@ -1258,6 +1258,23 @@ def q_mp4_keyframes(spark: SparkSession, sf_dir: str) -> SparkDF:
         'byte_size')
 
 
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Reproducible global training order
+    (``operators.sampling.global_order_index``): every document gets
+    a stable global position in md5(epoch-salt || id) order via a
+    distributed prefix sum — per-bucket counts set bucket offsets and
+    each bucket ranks its own slice in parallel, so NO single task
+    ever sorts the corpus (``row_number() OVER (ORDER BY …)`` with no
+    partition key would).  The oracle replays the order with a plain
+    global ``row_number`` — identical output, scale-hostile plan."""
+    from ..operators.sampling import global_order_index
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    return global_order_index(
+        documents.select('doc_id'), 'doc_id', salt='epoch1',
+    ).select('doc_id', 'position')
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> SparkDF:
     """PII redaction (``operators.text.redact_pii``): deterministic
     synthetic PII is appended per doc (the corpus itself carries
@@ -3970,14 +3987,15 @@ QUERIES: Dict[str, QueryFn] = {
     # -- below the 50-slot window ---------------------------------
     # After this round every PREVIOUSLY declared query has had a
     # driver row.  q_embedding_index_probe,
-    # q_incremental_embedding_dedup, q_video_meta and
-    # q_mp4_keyframes are NEW in r9 (registered after the window
-    # froze) — lead the r10 rotation with these four, then rotate by
-    # staleness (r5-verified set next).
+    # q_incremental_embedding_dedup, q_video_meta, q_mp4_keyframes
+    # and q_global_shuffle are NEW in r9 (registered after the
+    # window froze) — lead the r10 rotation with these five, then
+    # rotate by staleness (r5-verified set next).
     'q_embedding_index_probe': q_embedding_index_probe,
     'q_incremental_embedding_dedup': q_incremental_embedding_dedup,
     'q_video_meta': q_video_meta,
     'q_mp4_keyframes': q_mp4_keyframes,
+    'q_global_shuffle': q_global_shuffle,
     # Parked r9-displaced TPC-H fills (r7+r8 verified), then the
     # r5-verified set, then the round-6 window (freshest).
     'q7_nation_volume': q7_nation_volume,
@@ -4747,6 +4765,14 @@ ORACLES: Dict[str, str] = {
     # MP4 parse oracles replay encode_test_mp4's DOCUMENTED
     # parameter arithmetic (test-pinned closed-form layout) — the
     # Spark side genuinely builds and box-walks the binary.
+    'q_global_shuffle': """
+        SELECT doc_id,
+               CAST(row_number() OVER (
+                   ORDER BY md5('epoch1' || CAST(doc_id AS VARCHAR)),
+                            doc_id
+               ) - 1 AS BIGINT) AS position
+        FROM documents
+    """,
     'q_video_meta': """
         SELECT doc_id AS media_id,
                'isom' AS brand,

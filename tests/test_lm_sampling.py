@@ -420,3 +420,47 @@ class TestStratifiedPrefixSumParity:
         kept = self._parity(spark_session, rows, 6)
         n_null = sum(1 for r in kept if r[1])  # key = (grp, is_null, id)
         assert n_null == 1  # exactly one NULL fills slot 6
+
+
+class TestGlobalOrderIndex:
+    def test_matches_single_task_row_number(self, spark_session):
+        from pyspark.sql import Window as W
+
+        from ons_utils_spark.operators.sampling import (
+            global_order_index,
+        )
+        df = spark_session.createDataFrame(
+            [(i,) for i in range(300)], 'id bigint')
+        got = {r['id']: r['position'] for r in global_order_index(
+            df, 'id', salt='e1', prefix_sum_buckets=16).collect()}
+        tag = F.md5(F.concat(F.lit('e1'), F.col('id').cast('string')))
+        want = {r['id']: r['rn'] - 1 for r in df.withColumn(
+            'rn', F.row_number().over(
+                W.orderBy(tag.asc_nulls_last(), 'id'))).collect()}
+        assert got == want
+
+    def test_dense_permutation_and_salt_independence(
+            self, spark_session):
+        from ons_utils_spark.operators.sampling import (
+            global_order_index,
+        )
+        df = spark_session.createDataFrame(
+            [(i,) for i in range(200)], 'id bigint')
+        a = global_order_index(df, 'id', salt='a').collect()
+        positions = sorted(r['position'] for r in a)
+        assert positions == list(range(200))  # dense 0..n-1
+        b = {r['id']: r['position'] for r in global_order_index(
+            df, 'id', salt='b').collect()}
+        a = {r['id']: r['position'] for r in a}
+        assert a != b  # different epochs, different orders
+
+    def test_null_ids_rank_last_and_counted(self, spark_session):
+        from ons_utils_spark.operators.sampling import (
+            global_order_index,
+        )
+        df = spark_session.createDataFrame(
+            [(1,), (2,), (None,), (None,)], 'id bigint')
+        rows = global_order_index(df, 'id').collect()
+        assert sorted(r['position'] for r in rows) == [0, 1, 2, 3]
+        null_pos = {r['position'] for r in rows if r['id'] is None}
+        assert null_pos == {2, 3}  # NULLs take the last slots

@@ -112,6 +112,13 @@ def type_mismatches(sdf, rel):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
     only = set(sys.argv[2:])
+    unknown = only - set(entry_mod.queries())
+    if unknown:
+        # a typo'd name must FAIL loudly — an empty selection prints
+        # "all queries match" vacuously (bit us in r9)
+        raise SystemExit(
+            f'unknown queries: {sorted(unknown)} — not in the'
+            ' registry')
 
     spark = get_spark('correctness', master='local[8]',
                       shuffle_partitions=8)
