@@ -1871,12 +1871,25 @@ def mp4_sample_table(payload: bytes) -> Optional[list]:
     co64 = _mp4_child(payload, *stbl, b'co64')
     if not (stts and stsz and stsc and (stco or co64)):
         return None
+    # Every count below is CLAMPED to what its box's payload (or the
+    # file) can actually hold: a corrupt/hostile count field must
+    # degrade to a partial table, never a struct.error or a
+    # billions-entry allocation (fuzz-pinned).
+    def _entries(box, hdr, width, claimed):
+        return max(0, min(claimed, (box[1] - box[0] - hdr) // width))
+
     # sizes
     fixed = int.from_bytes(payload[stsz[0] + 4:stsz[0] + 8], 'big')
     n = int.from_bytes(payload[stsz[0] + 8:stsz[0] + 12], 'big')
-    sizes = [fixed] * n if fixed else _u32s(payload, stsz[0] + 12, n)
+    if fixed:
+        n = min(n, len(payload) // fixed + 1)
+        sizes = [fixed] * n
+    else:
+        n = _entries(stsz, 12, 4, n)
+        sizes = _u32s(payload, stsz[0] + 12, n)
     # decode timestamps from stts runs
-    n_runs = int.from_bytes(payload[stts[0] + 4:stts[0] + 8], 'big')
+    n_runs = _entries(stts, 8, 8, int.from_bytes(
+        payload[stts[0] + 4:stts[0] + 8], 'big'))
     dts, t = [], 0
     for cnt, delta in zip(*[iter(_u32s(
             payload, stts[0] + 8, 2 * n_runs))] * 2):
@@ -1885,10 +1898,15 @@ def mp4_sample_table(payload: bytes) -> Optional[list]:
                 break
             dts.append(t)
             t += delta
+    # truncated stts runs cover fewer samples than stsz claims —
+    # the table ends where the timestamps end
+    n = min(n, len(dts))
+    sizes = sizes[:n]
     pts = list(dts)
     ctts = _mp4_child(payload, *stbl, b'ctts')
     if ctts:
-        n_c = int.from_bytes(payload[ctts[0] + 4:ctts[0] + 8], 'big')
+        n_c = _entries(ctts, 8, 8, int.from_bytes(
+            payload[ctts[0] + 4:ctts[0] + 8], 'big'))
         i = 0
         for cnt, off in zip(*[iter(_u32s(
                 payload, ctts[0] + 8, 2 * n_c))] * 2):
@@ -1901,22 +1919,26 @@ def mp4_sample_table(payload: bytes) -> Optional[list]:
     # sync samples
     stss = _mp4_child(payload, *stbl, b'stss')
     if stss:
-        n_k = int.from_bytes(payload[stss[0] + 4:stss[0] + 8], 'big')
+        n_k = _entries(stss, 8, 4, int.from_bytes(
+            payload[stss[0] + 4:stss[0] + 8], 'big'))
         keys = set(_u32s(payload, stss[0] + 8, n_k))
     else:
         keys = set(range(1, n + 1))
     # chunk offsets
     if stco:
-        n_ch = int.from_bytes(payload[stco[0] + 4:stco[0] + 8], 'big')
+        n_ch = _entries(stco, 8, 4, int.from_bytes(
+            payload[stco[0] + 4:stco[0] + 8], 'big'))
         offsets = _u32s(payload, stco[0] + 8, n_ch)
     else:
-        n_ch = int.from_bytes(payload[co64[0] + 4:co64[0] + 8], 'big')
+        n_ch = _entries(co64, 8, 8, int.from_bytes(
+            payload[co64[0] + 4:co64[0] + 8], 'big'))
         offsets = [
             int.from_bytes(payload[co64[0] + 8 + 8 * i:
                                    co64[0] + 16 + 8 * i], 'big')
             for i in range(n_ch)]
     # stsc runs → samples per chunk
-    n_sc = int.from_bytes(payload[stsc[0] + 4:stsc[0] + 8], 'big')
+    n_sc = _entries(stsc, 8, 12, int.from_bytes(
+        payload[stsc[0] + 4:stsc[0] + 8], 'big'))
     runs = list(zip(*[iter(_u32s(payload, stsc[0] + 8, 3 * n_sc))] * 3))
     out, si = [], 0
     for ri, (first, spc, _sdi) in enumerate(runs):

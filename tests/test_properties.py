@@ -328,3 +328,40 @@ class TestMp4ParseProperties:
         mm.mp4_sample_table(junk)  # (valid boxes from 400 random
         #                            bytes are astronomically rare,
         #                            so don't assert None-ness)
+
+    @given(
+        st.integers(0, 2**31 - 1),
+        st.lists(st.tuples(st.integers(0, 900), st.integers(0, 255)),
+                 min_size=1, max_size=8),
+    )
+    @settings(max_examples=120, deadline=None)
+    def test_byte_corruption_never_raises(self, seed, flips):
+        """Arbitrary byte corruptions of a VALID file — including
+        count fields claiming billions of entries — must degrade to
+        None / a partial table, never raise or allocate unboundedly."""
+        from ons_utils_spark.operators import multimodal as mm
+
+        n = 1 + seed % 10
+        payload = bytearray(mm.encode_test_mp4(
+            n, 40, 2, [10 + (seed + i) % 50 for i in range(n)]))
+        for pos, val in flips:
+            payload[pos % len(payload)] = val
+        out = mm.mp4_sample_table(bytes(payload))
+        assert out is None or len(out) <= len(payload)
+        mm.decode_mp4_meta(bytes(payload))
+
+    def test_hostile_count_fields_clamped(self):
+        """Surgical corruption: overwrite stsz's count with 2^32-1 —
+        the parse must clamp, not crash or allocate 4G entries."""
+        import struct
+
+        from ons_utils_spark.operators import multimodal as mm
+
+        payload = bytearray(mm.encode_test_mp4(5, 40, 2, [32] * 5))
+        i = bytes(payload).index(b'stsz')
+        payload[i + 12:i + 16] = struct.pack('>I', 0xFFFFFFFF)
+        out = mm.mp4_sample_table(bytes(payload))
+        assert out is not None and len(out) <= 5
+        i = bytes(payload).index(b'stts')
+        payload[i + 8:i + 12] = struct.pack('>I', 0xFFFFFFFF)
+        mm.mp4_sample_table(bytes(payload))
