@@ -13,6 +13,7 @@ entirely from ons_utils_spark operators:
       → seed-set classifier scoring (CCNet/DCLM token log-odds)
       → vocabulary/OOV report (tokenizer sizing)
       → deterministic train/holdout split + JSD drift check
+      → per-source token-budget mixture + reproducible epoch order
       → PII-redacted context chunks → greedy sequence packing
       → curated parquet + per-language stats
 
@@ -273,6 +274,21 @@ def main() -> None:
     drift = split_drift(split).collect()[0]
     print(f"train/holdout JSD={drift['jsd']:.4f} "
           f"(vocab={drift['vocab']})")
+
+    # per-source token budgets + a stable global epoch order — both
+    # distributed prefix sums (no whole-source single-task window)
+    from ons_utils_spark.operators.sampling import (
+        global_order_index, mixture_sample)
+    train = split.filter(F.col('split') == 'train')
+    mixed = mixture_sample(
+        train, 'source', 'doc_id', 'n_chars',
+        {f'src{i}': 2500 for i in range(20)}, salt='mix-v1')
+    epoch = global_order_index(mixed, 'doc_id', salt='epoch0')
+    n_mix = epoch.count()
+    lo, hi = epoch.agg(F.min('position'), F.max('position')).first()
+    assert (lo, hi) == (0, n_mix - 1), (lo, hi, n_mix)
+    print(f'mixture: {n_mix}/{train.count()} train docs within '
+          f'per-source char budgets; epoch order dense 0..{hi}')
 
     chunks = to_training_chunks(split.filter(F.col('split') == 'train'))
     packed = pack_chunks(chunks)
