@@ -306,11 +306,30 @@ def top_k_per_group(
     k: int,
     ascending: bool = False,
     method: str = 'row_number',
+    partition_prune: bool = True,
 ) -> SparkDF:
     """Top-k rows per group via a ranked window (scalable LIMIT-per-group).
 
     ``method`` is one of ``row_number`` (exactly k), ``rank`` /
     ``dense_rank`` (ties kept).
+
+    ``partition_prune`` (default): a single ranked window per group
+    sorts the WHOLE group in one task — fatal when one group is most
+    of a 100 TB corpus.  Spark's global ``TakeOrderedAndProject``
+    has no per-group form, so this emulates it: stage 1 ranks within
+    ``(group, input partition)`` slices — fully parallel — and keeps
+    each slice's top k BY ``rank()`` (ties kept, so the survivor set
+    is a guaranteed superset of any global top-k under any
+    tie-break: a row with global rank ≤ k has ≤ k−1 strictly-better
+    rows globally, hence ≤ k−1 in its own slice; for ``dense_rank``
+    the prune itself uses ``dense_rank`` — there the bound is k−1
+    strictly-better VALUES, which ``rank()`` would violate whenever
+    one value's tie-group outnumbers k); stage 2 applies
+    the requested ``method`` exactly over ≤ k·partitions survivors
+    per group.  Two shuffles, but the second moves ~k·partitions
+    rows per group instead of the group.  Identical output (ties at
+    the k boundary under ``row_number`` are arbitrary either way,
+    as with any non-total order).
     """
     order_cols = [
         F.col(c).asc() if ascending else F.col(c).desc()
@@ -321,7 +340,17 @@ def top_k_per_group(
         'rank': F.rank,
         'dense_rank': F.dense_rank,
     }[method]
-    spec = Window.partitionBy(*list_convert(groups)).orderBy(*order_cols)
+    grp = list_convert(groups)
+    if partition_prune:
+        pre = Window.partitionBy(*grp, '__pid').orderBy(*order_cols)
+        prune_fn = F.dense_rank if method == 'dense_rank' else F.rank
+        df = (
+            df.withColumn('__pid', F.spark_partition_id())
+            .withColumn('__prk', prune_fn().over(pre))
+            .filter(F.col('__prk') <= k)
+            .drop('__pid', '__prk')
+        )
+    spec = Window.partitionBy(*grp).orderBy(*order_cols)
     return (
         df.withColumn('__rk', rank_fn().over(spec))
         .filter(F.col('__rk') <= k)

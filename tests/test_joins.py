@@ -271,3 +271,49 @@ class TestFuzzyBlockedPairs:
                 .withColumn('d', F.levenshtein('na', 'nb')).collect()}
         got = {(r['id_a'], r['id_b']): r['dist'] for r in out.collect()}
         assert got == full
+
+
+class TestTopKPartitionPrune:
+    """The two-stage (partition-pruned) plan must match the flat
+    ranked window for every method, including ties straddling
+    partition boundaries."""
+
+    def _df(self, spark):
+        # many duplicate order values to force boundary ties, spread
+        # over several input partitions
+        rows = [(f'g{i % 3}', i % 7, i) for i in range(300)]
+        return spark.createDataFrame(
+            rows, 'g string, v int, id int').repartition(11)
+
+    def test_parity_all_methods(self, spark_session):
+        from ons_utils_spark.operators.joins import top_k_per_group
+
+        df = self._df(spark_session)
+        for method in ('row_number', 'rank', 'dense_rank'):
+            for asc in (False, True):
+                a = top_k_per_group(
+                    df, 'g', ['v', 'id'], 4, ascending=asc,
+                    method=method, partition_prune=True).collect()
+                b = top_k_per_group(
+                    df, 'g', ['v', 'id'], 4, ascending=asc,
+                    method=method, partition_prune=False).collect()
+                sa = sorted((r['g'], r['v'], r['id']) for r in a)
+                sb = sorted((r['g'], r['v'], r['id']) for r in b)
+                assert sa == sb, (method, asc)
+
+    def test_tie_only_order_keeps_tied_rows(self, spark_session):
+        """order_by 'v' alone (massive ties): rank/dense_rank keep
+        every tied row; row_number keeps exactly k — same counts as
+        the flat plan."""
+        from ons_utils_spark.operators.joins import top_k_per_group
+
+        df = self._df(spark_session)
+        for method, want in (('row_number', 3 * 2),
+                             ('rank', None), ('dense_rank', None)):
+            a = top_k_per_group(df, 'g', 'v', 2, method=method,
+                                partition_prune=True)
+            b = top_k_per_group(df, 'g', 'v', 2, method=method,
+                                partition_prune=False)
+            assert a.count() == b.count(), method
+            if want is not None:
+                assert a.count() == want
