@@ -193,6 +193,7 @@ def weighted_sample_exact(
     weight_col: str,
     k: int,
     salt: str = '',
+    partition_prune: bool = True,
 ) -> SparkDF:
     """Exactly ``min(k, group size)`` rows per group, drawn WITHOUT
     replacement with probability proportional to ``weight_col`` —
@@ -206,14 +207,15 @@ def weighted_sample_exact(
     reproducible and stable exactly like :func:`hash_split` — and
     the DuckDB oracle (``q_weighted_sample``) replays the draw.
 
-    Plan: one ranked window per group — the whole group sorts in
-    one task.  The tag-prefix bucket trick used by
-    :func:`stratified_sample_exact` does NOT apply here (the rank
-    key ``ln(u)/w`` depends on the weight, so tag order is not key
-    order); at web scale pre-filter first — rows with
-    ``key < ln(u_min)/w_max`` for a per-group k-th-key bound from a
-    coarse pass, or simply :func:`hash_fraction_filter` when weights
-    are bounded — to shrink the sorted volume.
+    Plan: the tag-prefix bucket trick of
+    :func:`stratified_sample_exact` does NOT apply (the rank key
+    ``ln(u)/w`` depends on the weight, so tag order is not key
+    order), but the generic two-stage prune does
+    (``partition_prune``, default on): rank within
+    ``(group, input partition)`` slices in parallel, keep each
+    slice's top k (ties kept — a guaranteed superset of any global
+    top k), then rank the ~k·partitions survivors per group exactly.
+    No whole-group single-task sort.
     """
     if k <= 0:
         raise ValueError(f'k must be positive, got {k}')
@@ -228,13 +230,22 @@ def weighted_sample_exact(
     u = (v + 1) / F.lit(float(_SPACE + 1))
     w = F.col(weight_col).cast('double')
     key = F.when(w > 0, F.log(u) / w)
+    staged = df.withColumn('_wk', key).filter(
+        F.col('_wk').isNotNull())
+    if partition_prune:
+        pre = Window.partitionBy(group_col, '_pid').orderBy(
+            F.col('_wk').desc(), F.col(id_col).asc())
+        staged = (
+            staged.withColumn('_pid', F.spark_partition_id())
+            .withColumn('_prk', F.rank().over(pre))
+            .filter(F.col('_prk') <= k)
+            .drop('_pid', '_prk')
+        )
     win = Window.partitionBy(group_col).orderBy(
-        key.desc_nulls_last(), F.col(id_col).asc())
+        F.col('_wk').desc(), F.col(id_col).asc())
     return (
-        df.withColumn('_wk', key)
-        .withColumn('_rk', F.row_number().over(win))
+        staged.withColumn('_rk', F.row_number().over(win))
         .filter(F.col('_rk') <= k)
-        .filter(F.col('_wk').isNotNull())
         .drop('_rk', '_wk')
     )
 

@@ -464,3 +464,25 @@ class TestGlobalOrderIndex:
         assert sorted(r['position'] for r in rows) == [0, 1, 2, 3]
         null_pos = {r['position'] for r in rows if r['id'] is None}
         assert null_pos == {2, 3}  # NULLs take the last slots
+
+
+class TestWeightedPartitionPrune:
+    def test_parity_with_flat_plan(self, spark_session):
+        import random
+
+        from ons_utils_spark.operators.sampling import (
+            weighted_sample_exact,
+        )
+        rng = random.Random(5)
+        rows = [(f'g{i % 3}', i,
+                 rng.choice([None, 0.0, 0.5, 1.0, 4.0]))
+                for i in range(300)]
+        df = spark_session.createDataFrame(
+            rows, 'grp string, id bigint, w double').repartition(9)
+        a = sorted((r['grp'], r['id']) for r in weighted_sample_exact(
+            df, 'grp', 'id', 'w', 7,
+            partition_prune=True).collect())
+        b = sorted((r['grp'], r['id']) for r in weighted_sample_exact(
+            df, 'grp', 'id', 'w', 7,
+            partition_prune=False).collect())
+        assert a == b and len(a) == 21
