@@ -25,6 +25,7 @@ __all__ = [
     'hash_split', 'split_thresholds', 'hash_fraction_filter',
     'stratified_sample_exact', 'weighted_sample_exact',
     'mixture_sample', 'global_order_index',
+    'interleaved_mixture_order',
 ]
 
 _PREFIX_LEN = 6
@@ -422,4 +423,80 @@ def global_order_index(
             (F.col('_off') + F.row_number().over(we) - 1)
             .cast('bigint'))
         .drop('_tag', '_bkt', '_off')
+    )
+
+
+def interleaved_mixture_order(
+    df: SparkDF,
+    group_col: str,
+    id_col: str,
+    weights: Mapping[str, float],
+    salt: str = '',
+    pos_col: str = 'src_pos',
+    key_col: str = 'mix_key',
+    prefix_sum_buckets: int = 256,
+) -> SparkDF:
+    """Proportional source interleaving: the training-stream order
+    where each source appears at ~its mixture weight's rate (the
+    "mix 2 parts web to 1 part code" READING order, vs
+    :func:`mixture_sample` which decides inclusion).
+
+    Each row gets its source-local position ``pos_col`` (0-based, in
+    md5(salt || id) order — the same reproducible shuffle as
+    everything else here) and the deficit-round-robin key
+    ``key_col = (pos + 1) / weight``.  Sorting by ``(key, group,
+    id)`` interleaves sources so that any prefix of the stream holds
+    ``min(floor(t·w_s), n_s)`` rows of source ``s`` at key cutoff
+    ``t`` — proportional at every scale, not just in aggregate.
+    Groups absent from ``weights`` (or with weight <= 0) are
+    dropped.
+
+    The per-source positions use the same distributed prefix sum as
+    :func:`global_order_index` (bucket counts → offsets → parallel
+    per-bucket ranks), so no source serializes in one task; the
+    interleave itself is just a sort key — at scale feed it to
+    ``repartitionByRange(key)`` + ``sortWithinPartitions`` for a
+    sharded, readable layout.
+    """
+    from pyspark.sql import Window
+
+    if not weights:
+        raise ValueError('weights must name at least one group')
+    if prefix_sum_buckets not in (16, 256, 4096):
+        raise ValueError(
+            'prefix_sum_buckets must be 16, 256 or 4096,'
+            f' got {prefix_sum_buckets!r}')
+    plen = {16: 1, 256: 2, 4096: 3}[prefix_sum_buckets]
+    w_map = F.create_map(*[
+        F.lit(x) for kv in weights.items() for x in kv
+    ])
+    tag = F.md5(F.concat(F.lit(salt), F.col(id_col).cast('string')))
+    src = (
+        df.withColumn('_w', w_map[F.col(group_col)].cast('double'))
+        .filter(F.col('_w') > 0)
+        .withColumn('_tag', tag)
+        .withColumn('_bkt', F.coalesce(
+            F.substring('_tag', 1, plen), F.lit('~')))
+    )
+    wb = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col('_bkt').asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        src.groupBy(group_col, '_bkt').agg(F.count('*').alias('_bc'))
+        .withColumn('_off', F.coalesce(F.sum('_bc').over(wb),
+                                       F.lit(0)))
+        .select(group_col, '_bkt', '_off')
+    )
+    we = Window.partitionBy(group_col, '_bkt').orderBy(
+        F.col('_tag').asc_nulls_last(),
+        F.col(id_col).asc_nulls_last())
+    return (
+        src.join(F.broadcast(offsets), on=[group_col, '_bkt'])
+        .withColumn(pos_col, (F.col('_off')
+                              + F.row_number().over(we) - 1)
+                    .cast('bigint'))
+        .withColumn(key_col, (F.col(pos_col) + 1) / F.col('_w'))
+        .drop('_tag', '_bkt', '_off', '_w')
     )

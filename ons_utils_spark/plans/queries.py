@@ -1275,6 +1275,28 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> SparkDF:
     ).select('doc_id', 'position')
 
 
+def q_mixture_interleave(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Proportional source interleaving
+    (``operators.sampling.interleaved_mixture_order``): each doc gets
+    its source-local md5-order position and the deficit-round-robin
+    key (pos+1)/weight — sorting by the key reads sources at their
+    mixture ratios at EVERY prefix.  Weights are powers of two
+    (1/2/4 by source number mod 3) so the scaled key is exact
+    integer arithmetic on both engines."""
+    from ..operators.sampling import interleaved_mixture_order
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    weights = {f'src{i}': float(2 ** (i % 3)) for i in range(20)}
+    out = interleaved_mixture_order(
+        documents.select('source', 'doc_id'), 'source', 'doc_id',
+        weights, salt='mix')
+    return out.select(
+        'doc_id', 'source', 'src_pos',
+        F.round(F.col('mix_key') * 1_000_000)
+        .cast('bigint').alias('mix_key_scaled'))
+
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> SparkDF:
     """PII redaction (``operators.text.redact_pii``): deterministic
     synthetic PII is appended per doc (the corpus itself carries
@@ -3987,15 +4009,16 @@ QUERIES: Dict[str, QueryFn] = {
     # -- below the 50-slot window ---------------------------------
     # After this round every PREVIOUSLY declared query has had a
     # driver row.  q_embedding_index_probe,
-    # q_incremental_embedding_dedup, q_video_meta, q_mp4_keyframes
-    # and q_global_shuffle are NEW in r9 (registered after the
-    # window froze) — lead the r10 rotation with these five, then
-    # rotate by staleness (r5-verified set next).
+    # q_incremental_embedding_dedup, q_video_meta, q_mp4_keyframes,
+    # q_global_shuffle and q_mixture_interleave are NEW in r9
+    # (registered after the window froze) — lead the r10 rotation
+    # with these six, then rotate by staleness (r5 set next).
     'q_embedding_index_probe': q_embedding_index_probe,
     'q_incremental_embedding_dedup': q_incremental_embedding_dedup,
     'q_video_meta': q_video_meta,
     'q_mp4_keyframes': q_mp4_keyframes,
     'q_global_shuffle': q_global_shuffle,
+    'q_mixture_interleave': q_mixture_interleave,
     # Parked r9-displaced TPC-H fills (r7+r8 verified), then the
     # r5-verified set, then the round-6 window (freshest).
     'q7_nation_volume': q7_nation_volume,
@@ -4765,6 +4788,24 @@ ORACLES: Dict[str, str] = {
     # MP4 parse oracles replay encode_test_mp4's DOCUMENTED
     # parameter arithmetic (test-pinned closed-form layout) — the
     # Spark side genuinely builds and box-walks the binary.
+    'q_mixture_interleave': """
+        WITH pos AS (
+            SELECT doc_id, source,
+                   CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('mix' || CAST(doc_id AS VARCHAR)),
+                                doc_id
+                   ) - 1 AS BIGINT) AS src_pos,
+                   CAST(CASE CAST(substr(source, 4) AS INTEGER) % 3
+                        WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4
+                        END AS BIGINT) AS w
+            FROM documents
+        )
+        SELECT doc_id, source, src_pos,
+               CAST((src_pos + 1) * 1000000 // w AS BIGINT)
+                   AS mix_key_scaled
+        FROM pos
+    """,
     'q_global_shuffle': """
         SELECT doc_id,
                CAST(row_number() OVER (

@@ -486,3 +486,58 @@ class TestWeightedPartitionPrune:
             df, 'grp', 'id', 'w', 7,
             partition_prune=False).collect())
         assert a == b and len(a) == 21
+
+
+class TestInterleavedMixtureOrder:
+    def _run(self, spark, rows, weights, salt='s'):
+        from ons_utils_spark.operators.sampling import (
+            interleaved_mixture_order,
+        )
+        df = spark.createDataFrame(rows, 'grp string, id bigint')
+        return interleaved_mixture_order(
+            df, 'grp', 'id', weights, salt=salt).collect()
+
+    def test_matches_python_replay(self, spark_session):
+        import hashlib
+
+        rows = [(f'g{i % 3}', i) for i in range(120)]
+        weights = {'g0': 1.0, 'g1': 2.0, 'g2': 4.0}
+        got = sorted(
+            ((r['grp'], r['id'], r['src_pos'], r['mix_key'])
+             for r in self._run(spark_session, rows, weights)))
+
+        def tag(i):
+            return hashlib.md5(f's{i}'.encode()).hexdigest()
+        want = []
+        for g in ('g0', 'g1', 'g2'):
+            ids = sorted((i for gg, i in rows if gg == g),
+                         key=lambda i: (tag(i), i))
+            for pos, i in enumerate(ids):
+                want.append((g, i, pos, (pos + 1) / weights[g]))
+        assert got == sorted(want)
+
+    def test_prefix_proportionality(self, spark_session):
+        """In the sorted stream, source s has min(floor(t*w_s), n_s)
+        rows with key <= t — proportional at EVERY cutoff."""
+        rows = [(f'g{i % 2}', i) for i in range(200)]  # 100 each
+        weights = {'g0': 1.0, 'g1': 3.0}
+        out = self._run(spark_session, rows, weights)
+        stream = sorted((r['mix_key'], r['grp'], r['id'])
+                        for r in out)
+        import math
+        for t in (0.5, 1.0, 2.5, 7.0, 33.4, 101.0):
+            seen = {'g0': 0, 'g1': 0}
+            for key, g, _ in stream:
+                if key <= t:
+                    seen[g] += 1
+            for g, w in weights.items():
+                assert seen[g] == min(math.floor(t * w), 100), (t, g)
+
+    def test_unweighted_groups_dropped(self, spark_session):
+        rows = [('a', 1), ('b', 2), ('c', 3)]
+        out = self._run(spark_session, rows, {'a': 1.0, 'b': 0.0})
+        assert {r['grp'] for r in out} == {'a'}
+
+    def test_empty_weights_raise(self, spark_session):
+        with pytest.raises(ValueError, match='weights'):
+            self._run(spark_session, [('a', 1)], {})
