@@ -174,8 +174,20 @@ def stratified_sample_exact(
         .withColumn('_whole', F.col('_prev') + F.col('_bc') <= k)
         .select(group_col, '_bkt', '_prev', '_whole')
     )
-    tagged = src.join(
-        F.broadcast(summary), on=[group_col, '_bkt'], how='inner')
+    # eqNullSafe on group_col: a NULL group is a real window
+    # partition in the flat plan, so the prefix-sum plan must keep
+    # it too (a plain inner equi-join would silently drop it).  No
+    # broadcast hint: the summary has ~|groups| x buckets-kept rows,
+    # so with a high-cardinality group_col a forced broadcast builds
+    # an unbounded build side — AQE picks broadcast at runtime when
+    # the summary is actually small and shuffles when it is not.
+    s, m = src.alias('_s'), summary.alias('_m')
+    tagged = s.join(
+        m,
+        s[group_col].eqNullSafe(m[group_col])
+        & (s['_bkt'] == m['_bkt']),
+        how='inner',
+    ).select(*[s[c] for c in src.columns], m['_prev'], m['_whole'])
     whole = tagged.filter(F.col('_whole')).select(*df.columns)
     we = Window.partitionBy(group_col, '_bkt').orderBy(*order)
     edge = (
@@ -492,8 +504,11 @@ def interleaved_mixture_order(
     we = Window.partitionBy(group_col, '_bkt').orderBy(
         F.col('_tag').asc_nulls_last(),
         F.col(id_col).asc_nulls_last())
+    # No broadcast hint (mirrors stratified_sample_exact): offsets
+    # is bounded by len(weights) x buckets here, but letting AQE
+    # pick keeps the join strategy consistent across the family.
     return (
-        src.join(F.broadcast(offsets), on=[group_col, '_bkt'])
+        src.join(offsets, on=[group_col, '_bkt'])
         .withColumn(pos_col, (F.col('_off')
                               + F.row_number().over(we) - 1)
                     .cast('bigint'))

@@ -3946,86 +3946,22 @@ def q_group_quantile_ladder(spark: SparkSession, sf_dir: str) -> SparkDF:
 # never-driver-checked queries plus the 3 whose emission changed this
 # round — after this rotation every declared query has a driver row.
 QUERIES: Dict[str, QueryFn] = {
-    # -- round-9 verification window (first 50) -------------------
-    # Leads with the 5 queries that have never had a driver
-    # correctness row: the three r7 incremental-index probes and the
-    # two formerly rows-only entries, which gained full hash oracles
-    # this round (interval-containment for the approx-percentile
-    # sketch; DEFLATE-bound + planted-class for the zlib ratio).
-    # The dedup trio stays in-window because its operator code
-    # changed again this round (guard-cost optimization).  Displaced
-    # to make room: five TPC-H fills double-verified in r7+r8
-    # (q7/q14/q15/q16/q18), parked directly below the window.
-    'q_minhash_index_probe': q_minhash_index_probe,
-    'q_simhash_index_probe': q_simhash_index_probe,
-    'q_ivf_index_probe': q_ivf_index_probe,
-    'q_approx_quantile_ladder': q_approx_quantile_ladder,
-    'q_compression_quality': q_compression_quality,
-    'q_sessionize': q_sessionize,
-    'q_chunk_docs': q_chunk_docs,
-    'q_repetition': q_repetition,
-    'q_redact_pii': q_redact_pii,
-    'q_token_vocab': q_token_vocab,
-    'q_frame_sample': q_frame_sample,
-    'q_median_price': q_median_price,
-    'q_lag_orders': q_lag_orders,
-    'q_grouping_sets': q_grouping_sets,
-    'q_asof_tolerance': q_asof_tolerance,
-    'q_lookup_join': q_lookup_join,
-    'q_global_share': q_global_share,
-    'q_salted_join': q_salted_join,
-    'q_balanced_sample': q_balanced_sample,
-    'q_connected_components': q_connected_components,
-    'q19_bracket_revenue': q19_bracket_revenue,
-    'q22_idle_customers': q22_idle_customers,
-    'q2_cheapest_supplier': q2_cheapest_supplier,
-    'q5_local_supplier': q5_local_supplier,
-    'q21_waiting_suppliers': q21_waiting_suppliers,
-    'q_winnow_dups': q_winnow_dups,
-    'q_contamination': q_contamination,
-    'q_rare_token_rate': q_rare_token_rate,
-    'q_length_histogram': q_length_histogram,
-    'q_except_customers': q_except_customers,
-    'q_funnel_stages': q_funnel_stages,
-    'q_sql_flag_year': q_sql_flag_year,
-    'q_quantile_ladder': q_quantile_ladder,
-    'q_first_touch': q_first_touch,
-    'q_calendar_gaps': q_calendar_gaps,
-    'q_price_rank_bands': q_price_rank_bands,
-    'q_regr_price_size': q_regr_price_size,
-    'q_rolling_revenue': q_rolling_revenue,
-    'q_hash_sample': q_hash_sample,
-    'q_fuzzy_parts': q_fuzzy_parts,
-    'q_bigrams_top': q_bigrams_top,
-    'q_entropy_tokens': q_entropy_tokens,
-    'q_skyline_suppliers': q_skyline_suppliers,
-    'q_funnel_events': q_funnel_events,
-    'q_ntile_deciles': q_ntile_deciles,
-    'q_mode_quantity': q_mode_quantity,
-    'q_latest_events': q_latest_events,
-    'q_minhash_dedup': q_minhash_dedup,
-    'q_simhash_dedup': q_simhash_dedup,
-    'q_minhash_dedup_verified': q_minhash_dedup_verified,
-    # -- below the 50-slot window ---------------------------------
-    # After this round every PREVIOUSLY declared query has had a
-    # driver row.  q_embedding_index_probe,
-    # q_incremental_embedding_dedup, q_video_meta, q_mp4_keyframes,
-    # q_global_shuffle and q_mixture_interleave are NEW in r9
-    # (registered after the window froze) — lead the r10 rotation
-    # with these six, then rotate by staleness (r5 set next).
+    # -- round-10 verification window (first 50) ------------------
+    # Leads with the six queries that have never had a driver
+    # correctness row (all NEW in r9, registered after that round's
+    # window froze; all mirror-green at sf0.001/0.01/0.1), then
+    # fills oldest-verified-first: 44 of the 46 r5-verified queries
+    # in registry order (the staleness rule
+    # tools/gen_query_inventory.py now proposes mechanically).
+    # Displaced: the 50 r9-verified window queries, parked at the
+    # bottom as the freshest set.  q_substring_dups and q_line_dedup
+    # are the r5 overflow — first fills for the r11 rotation.
     'q_embedding_index_probe': q_embedding_index_probe,
     'q_incremental_embedding_dedup': q_incremental_embedding_dedup,
     'q_video_meta': q_video_meta,
     'q_mp4_keyframes': q_mp4_keyframes,
     'q_global_shuffle': q_global_shuffle,
     'q_mixture_interleave': q_mixture_interleave,
-    # Parked r9-displaced TPC-H fills (r7+r8 verified), then the
-    # r5-verified set, then the round-6 window (freshest).
-    'q7_nation_volume': q7_nation_volume,
-    'q14_promo_share': q14_promo_share,
-    'q15_top_supplier': q15_top_supplier,
-    'q16_supplier_variety': q16_supplier_variety,
-    'q18_big_orders': q18_big_orders,
     'q_price_trim': q_price_trim,
     'q8_market_share': q8_market_share,
     'q9_product_profit': q9_product_profit,
@@ -4070,6 +4006,10 @@ QUERIES: Dict[str, QueryFn] = {
     'q_rolling_anomaly': q_rolling_anomaly,
     'q_quality_checks': q_quality_checks,
     'q_label_prop': q_label_prop,
+    # -- below the 50-slot window ---------------------------------
+    # r5 overflow (stalest remaining — lead the r11 rotation), then
+    # the r6 set, the r7/r8-verified TPC-H fills, and finally the
+    # 50 queries the r9 driver window just re-verified (freshest).
     'q_substring_dups': q_substring_dups,
     'q_line_dedup': q_line_dedup,
     'q1_pricing_summary': q1_pricing_summary,
@@ -4120,6 +4060,63 @@ QUERIES: Dict[str, QueryFn] = {
     'q_gopher_rules': q_gopher_rules,
     'q_semantic_dedup': q_semantic_dedup,
     'q_hard_negatives': q_hard_negatives,
+    # r7/r8-verified TPC-H fills.
+    'q7_nation_volume': q7_nation_volume,
+    'q14_promo_share': q14_promo_share,
+    'q15_top_supplier': q15_top_supplier,
+    'q16_supplier_variety': q16_supplier_variety,
+    'q18_big_orders': q18_big_orders,
+    # The 50 queries the r9 driver window verified (freshest set).
+    'q_minhash_index_probe': q_minhash_index_probe,
+    'q_simhash_index_probe': q_simhash_index_probe,
+    'q_ivf_index_probe': q_ivf_index_probe,
+    'q_approx_quantile_ladder': q_approx_quantile_ladder,
+    'q_compression_quality': q_compression_quality,
+    'q_sessionize': q_sessionize,
+    'q_chunk_docs': q_chunk_docs,
+    'q_repetition': q_repetition,
+    'q_redact_pii': q_redact_pii,
+    'q_token_vocab': q_token_vocab,
+    'q_frame_sample': q_frame_sample,
+    'q_median_price': q_median_price,
+    'q_lag_orders': q_lag_orders,
+    'q_grouping_sets': q_grouping_sets,
+    'q_asof_tolerance': q_asof_tolerance,
+    'q_lookup_join': q_lookup_join,
+    'q_global_share': q_global_share,
+    'q_salted_join': q_salted_join,
+    'q_balanced_sample': q_balanced_sample,
+    'q_connected_components': q_connected_components,
+    'q19_bracket_revenue': q19_bracket_revenue,
+    'q22_idle_customers': q22_idle_customers,
+    'q2_cheapest_supplier': q2_cheapest_supplier,
+    'q5_local_supplier': q5_local_supplier,
+    'q21_waiting_suppliers': q21_waiting_suppliers,
+    'q_winnow_dups': q_winnow_dups,
+    'q_contamination': q_contamination,
+    'q_rare_token_rate': q_rare_token_rate,
+    'q_length_histogram': q_length_histogram,
+    'q_except_customers': q_except_customers,
+    'q_funnel_stages': q_funnel_stages,
+    'q_sql_flag_year': q_sql_flag_year,
+    'q_quantile_ladder': q_quantile_ladder,
+    'q_first_touch': q_first_touch,
+    'q_calendar_gaps': q_calendar_gaps,
+    'q_price_rank_bands': q_price_rank_bands,
+    'q_regr_price_size': q_regr_price_size,
+    'q_rolling_revenue': q_rolling_revenue,
+    'q_hash_sample': q_hash_sample,
+    'q_fuzzy_parts': q_fuzzy_parts,
+    'q_bigrams_top': q_bigrams_top,
+    'q_entropy_tokens': q_entropy_tokens,
+    'q_skyline_suppliers': q_skyline_suppliers,
+    'q_funnel_events': q_funnel_events,
+    'q_ntile_deciles': q_ntile_deciles,
+    'q_mode_quantity': q_mode_quantity,
+    'q_latest_events': q_latest_events,
+    'q_minhash_dedup': q_minhash_dedup,
+    'q_simhash_dedup': q_simhash_dedup,
+    'q_minhash_dedup_verified': q_minhash_dedup_verified,
 }
 
 

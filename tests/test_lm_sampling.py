@@ -421,6 +421,49 @@ class TestStratifiedPrefixSumParity:
         n_null = sum(1 for r in kept if r[1])  # key = (grp, is_null, id)
         assert n_null == 1  # exactly one NULL fills slot 6
 
+    def test_parity_null_group_kept(self, spark_session):
+        # A NULL group is a real window partition in the flat plan;
+        # the prefix-sum plan's group join must not drop it (it is
+        # eqNullSafe, not a plain inner equi-join).
+        from ons_utils_spark.operators.sampling import (
+            stratified_sample_exact,
+        )
+        rows = ([('g', i) for i in range(20)]
+                + [(None, 100 + i) for i in range(7)])
+        df = spark_session.createDataFrame(rows, 'grp string, id bigint')
+        key = lambda r: (r['grp'] or '', r['id'])  # noqa: E731
+        flat = sorted(map(key, stratified_sample_exact(
+            df, 'grp', 'id', 4, prefix_sum_buckets=None).collect()))
+        for buckets in (16, 256):
+            got = sorted(map(key, stratified_sample_exact(
+                df, 'grp', 'id', 4,
+                prefix_sum_buckets=buckets).collect()))
+            assert got == flat, buckets
+        n_null_grp = sum(1 for g, _ in flat if g == '')
+        assert n_null_grp == 4  # min(k, NULL-group size) kept
+
+    def test_many_groups_fall_back_to_shuffle_join(
+            self, spark_session):
+        # The summary frame scales with |groups|, so the join must
+        # not FORCE a broadcast: with the broadcast estimate
+        # disabled, the plan has to show a shuffle join (a forced
+        # F.broadcast hint would override the threshold).
+        from ons_utils_spark.operators.sampling import (
+            stratified_sample_exact,
+        )
+        df = spark_session.createDataFrame(
+            [(f'g{i}', i) for i in range(2000)], 'grp string, id bigint')
+        conf = spark_session.conf
+        old = conf.get('spark.sql.autoBroadcastJoinThreshold')
+        try:
+            conf.set('spark.sql.autoBroadcastJoinThreshold', '-1')
+            plan = stratified_sample_exact(
+                df, 'grp', 'id', 2)._jdf.queryExecution() \
+                .executedPlan().toString()
+            assert 'BroadcastHashJoin' not in plan, plan[:2000]
+        finally:
+            conf.set('spark.sql.autoBroadcastJoinThreshold', old)
+
 
 class TestGlobalOrderIndex:
     def test_matches_single_task_row_number(self, spark_session):
