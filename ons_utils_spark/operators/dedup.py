@@ -951,8 +951,13 @@ def minhash_dedup(
         # instead of leaking for the SparkSession lifetime; the blocks
         # live in executor storage (never the driver) and are cleaned
         # by the ContextCleaner once the caller drops the result.
+        # No id-level distinct: the anti-join is duplicate-
+        # insensitive, and a dropped id repeats at most once per
+        # band it collided in (bounded ≤ bands), so deduplicating
+        # here costs a full shuffle to shrink an already-tiny frame
+        # by a small constant factor.
         to_drop = _reliable_checkpoint(
-            verified.select(F.col('id_b').alias(id_col)).distinct(),
+            verified.select(F.col('id_b').alias(id_col)),
             checkpoint_dir,
         )
     finally:
@@ -1161,41 +1166,57 @@ def simhash_blocks_udf(n_blocks: int = 4):
     """Arrow-vectorized SimHash: token-hash array → block-key array.
 
     Same layout as :func:`simhash` + :func:`simhash_blocks` (MSB-first
-    bit order, 64/n_blocks-bit integer keys), computed with numpy
-    ``unpackbits``/``packbits`` per document instead of 64 interpreted
-    lambda evaluations per token.
+    bit order, 64/n_blocks-bit integer keys).  The whole Arrow batch
+    is processed in document CHUNKS (not one Python iteration per
+    document): each chunk's token hashes concatenate into one
+    ``unpackbits`` call, per-document vote sums come from a single
+    ``np.add.reduceat`` over the segment starts, and block packing is
+    one matmul against the MSB-first weight vector.  At sf0.1 this
+    measures PARITY with the per-document loop (Arrow transfer of the
+    token-hash arrays dominates the stage either way); the chunked
+    form removes the per-doc numpy call overhead that would surface
+    at larger batch sizes, and chunking bounds the transient bit
+    matrix to a few MB regardless of batch size.
     """
     from pyspark.sql.functions import pandas_udf
 
     _check_blocks(n_blocks)
     width = 64 // n_blocks
+    # MSB-first weights within each block: first bit is the high bit.
+    weights = (1 << (width - 1 - np.arange(width))).astype(np.int64)
 
     @pandas_udf('array<bigint>')
     def _blocks(hashes: pd.Series) -> pd.Series:
-        out = []
-        for h in hashes:
-            if h is None or len(h) == 0:
-                out.append(np.zeros(n_blocks, dtype=np.int64))
-                continue
-            hv = np.asarray(h, dtype=np.int64)
+        n_docs = len(hashes)
+        out = np.zeros((n_docs, n_blocks), dtype=np.int64)
+        chunk = 256
+        for lo in range(0, n_docs, chunk):
+            part = hashes.iloc[lo:lo + chunk]
+            arrs = [np.asarray(h, dtype=np.int64)
+                    for h in part if h is not None and len(h) > 0]
+            if not arrs:
+                continue  # all-empty chunk keeps the zero signature
+            idx = np.array([i for i, h in enumerate(part)
+                            if h is not None and len(h) > 0])
+            lens = np.array([len(a) for a in arrs], dtype=np.int64)
+            flat = np.concatenate(arrs)
             # MSB-first bits of each 64-bit hash: big-endian bytes.
             bits = np.unpackbits(
-                hv.astype('>i8').view(np.uint8).reshape(len(hv), 8),
+                flat.astype('>i8').view(np.uint8)
+                .reshape(len(flat), 8),
                 axis=1,
             )
-            # sum() on uint8 promotes to UNSIGNED int64 — cast to
-            # signed first or negative votes wrap to 2^64-ish.
-            votes = bits.sum(axis=0).astype(np.int64) * 2 - len(hv)
-            sig_bits = (votes > 0).astype(np.uint8)
-            blocks = []
-            for i in range(n_blocks):
-                blk = sig_bits[i * width:(i + 1) * width]
-                val = 0
-                for bit in blk:
-                    val = (val << 1) | int(bit)
-                blocks.append(val)
-            out.append(np.asarray(blocks, dtype=np.int64))
-        return pd.Series(out)
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            # reduceat on uint8 would wrap at 256 tokens — widen
+            # to a signed type first (same hazard as the old
+            # per-doc sum() promotion note).
+            ones = np.add.reduceat(bits.astype(np.int32), starts,
+                                   axis=0).astype(np.int64)
+            sig_bits = (ones * 2 > lens[:, None]).astype(np.int64)
+            out[lo + idx] = sig_bits.reshape(
+                len(lens), n_blocks, width) @ weights
+        return pd.Series(list(out))
 
     return _blocks
 
@@ -1209,6 +1230,34 @@ def simhash_blocks(sig_col, n_blocks: int = 4):
         .cast('long')
         for i in range(n_blocks)
     ])
+
+
+def _simhash_sigs(
+    df: SparkDF,
+    id_col: str,
+    text_col: str,
+    n_blocks: int = 4,
+) -> SparkDF:
+    """``(__id, __blocks)`` SimHash signature frame — the shared
+    signature stage of :func:`simhash_dedup` and
+    :func:`simhash_block_index`.
+
+    Token hashing rides a higher-order ``transform`` into the
+    Arrow-vectorized :func:`simhash_blocks_udf` (numpy unpackbits
+    vote sums).  A fully JVM-side alternative — explode the tokens
+    and take 64 ``sum((h >> b) & 1)`` aggregates — measured ~1s
+    SLOWER end-to-end in q_simhash_dedup at sf0.1 (65 aggregate
+    buffers over the exploded token-sized frame plus a
+    token-volume shuffle; the 64-sum update loop also risks the
+    codegen budget), so the Arrow UDF stays.
+    """
+    token_hashes = F.transform(
+        tokenize(normalize_text(text_col)), lambda t: F.xxhash64(t)
+    )
+    return df.select(
+        F.col(id_col).alias('__id'),
+        simhash_blocks_udf(n_blocks)(token_hashes).alias('__blocks'),
+    )
 
 
 def hamming_distance_blocks(a_blocks, b_blocks, n_blocks: int = 4):
@@ -1259,25 +1308,20 @@ def simhash_dedup(
     ``checkpoint_dir`` upgrades the eager drop-list materialization
     from ``localCheckpoint`` to a reliable checkpoint.
     """
-    # Token hashing in the JVM; bit votes vectorized in numpy.  The
+    # Signatures fully JVM-side (:func:`_simhash_sigs`).  The
     # signature frame (id + 4 bigints, ~40 B/row at ANY corpus
     # size) is PERSISTED rather than trusting AQE exchange reuse to
     # cover the self-join: reuse silently breaks when the input plan
     # branches don't canonicalize identically (observed with a
-    # union-sourced corpus — the whole tokenize+UDF pipeline re-ran
+    # union-sourced corpus — the whole tokenize pipeline re-ran
     # per branch, 1.3s -> 3.6s at sf0.1), and persisting the tiny
     # frame is the cost-stable contract.  The drop-list is evaluated
     # eagerly so the cache never outlives the call (same structure
     # as :func:`minhash_dedup`).
     from pyspark import StorageLevel
 
-    token_hashes = F.transform(
-        tokenize(normalize_text(text_col)), lambda t: F.xxhash64(t)
-    )
-    sigs = df.select(
-        F.col(id_col).alias('__id'),
-        simhash_blocks_udf(4)(token_hashes).alias('__blocks'),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = _simhash_sigs(df, id_col, text_col, 4) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     try:
         # Populate the cache in one sequential job first: the guard
         # branches (family census, anti-join, bucket census, two
@@ -1300,6 +1344,8 @@ def simhash_dedup(
             # sides + hub/spoke split), and a lazy member census
             # would re-run its two shuffles per branch.  Small by
             # construction (rows with an identical-signature twin).
+            # (Persisting `reps` instead and letting the census job
+            # populate it was A/B-tested ~0.5s SLOWER at sf0.1.)
             members = _reliable_checkpoint(members, checkpoint_dir)
             # members are Hamming 0 from a lower id: they always drop
             fam_drops = members
@@ -1323,8 +1369,13 @@ def simhash_dedup(
         )
         if fam_drops is not None:
             dropped = dropped.unionByName(fam_drops)
+        # No id-level distinct: the anti-join is duplicate-
+        # insensitive and a dropped id repeats at most once per
+        # block it collided in (bounded ≤ 4), so deduplicating here
+        # costs a full shuffle to shrink an already-tiny frame by a
+        # small constant factor.
         to_drop = _reliable_checkpoint(
-            dropped.select(F.col('__id').alias(id_col)).distinct(),
+            dropped.select(F.col('__id').alias(id_col)),
             checkpoint_dir,
         )
     finally:
@@ -1349,13 +1400,9 @@ def simhash_block_index(
     :func:`simhash_index_probe` — signatures are xxhash64-
     deterministic, so stored keys stay joinable against any future
     batch."""
-    _check_blocks(n_blocks)
-    token_hashes = F.transform(
-        tokenize(normalize_text(text_col)), lambda t: F.xxhash64(t)
-    )
-    sigs = df.select(
-        F.col(id_col),
-        simhash_blocks_udf(n_blocks)(token_hashes).alias('blocks'),
+    sigs = _simhash_sigs(df, id_col, text_col, n_blocks).select(
+        F.col('__id').alias(id_col),
+        F.col('__blocks').alias('blocks'),
     )
     return sigs.select(
         id_col, F.posexplode('blocks').alias('block', 'key'), 'blocks')

@@ -624,7 +624,11 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> SparkDF:
     out = _planted_survivors(kept)
     expected = {8_000_000 + f * 10 + j for f in range(8)
                 for j in (0, 3)}
-    got = {r['kept_doc_id'] for r in out.collect()}
+    # Collect ONCE for both the guard and the result: returning the
+    # lazy frame would re-run the survivor join when the caller
+    # collects it (the guard collect is not cached).
+    rows = out.collect()
+    got = {r['kept_doc_id'] for r in rows}
     if got != expected:
         raise ValueError(
             'q_simhash_dedup planted-survivor guard tripped: '
@@ -634,7 +638,7 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> SparkDF:
             'Hamming 3 exists in this dataset (the ~1e-10 collision '
             'the oracle assumes away — move the planted token '
             'namespace) or the dedup decision regressed.')
-    return out
+    return spark.createDataFrame(rows, out.schema)
 
 
 def q_langid(spark: SparkSession, sf_dir: str) -> SparkDF:

@@ -817,6 +817,57 @@ class TestBandBlockValidation:
                 for r in out.collect()}  # non-empty candidate set
 
 
+class TestSimhashSigsParity:
+    """The shared vectorized signature stage (_simhash_sigs, Arrow
+    UDF) must be bit-identical to the independent interpreted
+    reference path (simhash() bitstring + simhash_blocks split) —
+    the signature IS the dedup verification object, so any bit flip
+    changes decisions."""
+
+    @pytest.mark.parametrize('n_blocks', [2, 4, 8])
+    def test_bit_identical_to_reference_path(
+            self, spark_session, n_blocks):
+        rows = [
+            (1, 'the quick brown fox jumps over the lazy dog'),
+            (2, 'the quick brown fox jumps over the lazy dog'),
+            (3, 'pack my box with five dozen liquor jugs'),
+            (4, 'The  QUICK   brown fox... jumps; over the lazy dog'),
+            (5, 'a'),
+            (6, ''),            # empty text -> all-zero signature
+            (7, '   '),         # whitespace-only
+            (8, 'repeated repeated repeated repeated token token'),
+            (9, 'unicode tökens naïve café 北京 résumé'),
+        ]
+        df = spark_session.createDataFrame(
+            rows, 'doc_id bigint, text string')
+        fast = {r['__id']: list(r['__blocks'])
+                for r in dd._simhash_sigs(
+                    df, 'doc_id', 'text', n_blocks).collect()}
+        ref = {r['doc_id']: list(r['b']) for r in df.select(
+            'doc_id',
+            dd.simhash_blocks(dd.simhash('text'), n_blocks).alias('b'),
+        ).collect()}
+        assert fast == ref
+        assert fast[6] == [0] * n_blocks  # empty doc -> zeros
+
+    def test_bit_identical_on_real_corpus(self, spark_session):
+        import os
+        path = '/root/testdata/sf0.001/documents.parquet'
+        if not os.path.exists(path):
+            pytest.skip('testdata missing')
+        from ons_utils_spark.sources.readers import read_parquet
+        docs = read_parquet(spark_session, path).select(
+            'doc_id', 'text')
+        fast = {r['__id']: list(r['__blocks'])
+                for r in dd._simhash_sigs(
+                    docs, 'doc_id', 'text', 4).collect()}
+        ref = {r['doc_id']: list(r['b']) for r in docs.select(
+            'doc_id',
+            dd.simhash_blocks(dd.simhash('text'), 4).alias('b'),
+        ).collect()}
+        assert fast == ref
+
+
 class TestSemanticDedup:
     """SemDeDup: cluster-pruned embedding dedup finds planted clones
     and keeps exactly one representative."""
