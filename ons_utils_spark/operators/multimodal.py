@@ -1942,6 +1942,12 @@ def mp4_sample_table(payload: bytes) -> Optional[list]:
     runs = list(zip(*[iter(_u32s(payload, stsc[0] + 8, 3 * n_sc))] * 3))
     out, si = [], 0
     for ri, (first, spc, _sdi) in enumerate(runs):
+        if first < 1:
+            # corrupt run: first_chunk is 1-based, so 0 would index
+            # offsets[-1] via Python wraparound and emit bogus byte
+            # offsets from the last chunk — stop the walk and
+            # degrade to a partial table (clamp-don't-guess).
+            break
         last = runs[ri + 1][0] - 1 if ri + 1 < len(runs) else n_ch
         for ch in range(first, last + 1):
             if si >= n or ch > n_ch:
@@ -2057,6 +2063,60 @@ def mp4_samples(
 
     return df.select(id_col, payload_col).mapInPandas(
         run, _feature_schema(MP4_SAMPLE_SCHEMA, df, id_col))
+
+
+MP4_PAYLOAD_SCHEMA = (
+    'media_id bigint, sample_idx int, pts_ms bigint,'
+    ' is_keyframe boolean, byte_size bigint, frame_bytes binary'
+)
+
+
+def keyframe_payloads(
+    df: SparkDF,
+    payload_col: str = 'payload',
+    id_col: str = 'media_id',
+    keyframes_only: bool = True,
+) -> SparkDF:
+    """Per-keyframe byte blobs sliced out of the container payload —
+    the step between the :func:`mp4_samples` byte-range plan and an
+    actual frame decoder: each output row carries the exact mdat
+    bytes of one sync sample (or of every sample with
+    ``keyframes_only=False``), ready for a codec stage without
+    demuxing the file again.
+
+    One ``moov`` parse + one slice pass per file (O(moov bytes +
+    emitted bytes)); the file is already resident in the row, so no
+    second read of the payload column happens.  Slices follow the
+    clamp-don't-guess policy of :func:`mp4_sample_table`: a sample
+    whose offset lies beyond the payload is dropped, and one whose
+    range overruns the end yields the available prefix (its
+    ``byte_size`` still reports the table's claim so the truncation
+    is observable as ``byte_size != len(frame_bytes)``).
+
+    Scale: output volume is the sampled frames' bytes only —
+    keyframes are typically a few percent of the stream — and
+    ``mapInPandas`` streams Arrow batches, so peak memory per task
+    is one batch of files plus its sliced frames.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ['media_id', 'sample_idx', 'pts_ms', 'is_keyframe',
+                'byte_size', 'frame_bytes']
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row[payload_col] or b'')
+                table = mp4_sample_table(payload)
+                for idx, pts, key, off, size in table or ():
+                    if keyframes_only and not key:
+                        continue
+                    if off < 0 or size < 0 or off >= len(payload):
+                        continue
+                    rows.append((row[id_col], idx, pts, key, size,
+                                 payload[off:off + size]))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, _feature_schema(MP4_PAYLOAD_SCHEMA, df, id_col))
 
 
 def keyframe_sample_plan(

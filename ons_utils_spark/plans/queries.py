@@ -1262,6 +1262,24 @@ def q_mp4_keyframes(spark: SparkSession, sf_dir: str) -> SparkDF:
         'byte_size')
 
 
+def q_keyframe_payloads(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Keyframe PAYLOAD extraction (``multimodal.
+    keyframe_payloads``): the exact mdat byte blob of every sync
+    sample, sliced from the per-doc generated MP4s by the
+    (offset, size) ranges the sample table yields — the step between
+    the ``q_mp4_keyframes`` byte-range plan and a frame decoder.
+    The oracle replays the encoder's documented frame content
+    (sample ``s`` is byte ``s % 251`` repeated ``size_s`` times, all
+    values < 128 here so DuckDB ``chr``/``repeat`` build the same
+    bytes) and compares md5 digests of the sliced blobs."""
+    from ..operators.multimodal import keyframe_payloads
+
+    return keyframe_payloads(_mp4_media(spark, sf_dir)).select(
+        'media_id', 'sample_idx', 'pts_ms',
+        F.md5('frame_bytes').alias('frame_md5'),
+        F.col('byte_size').cast('long').alias('n_bytes'))
+
+
 def q_global_shuffle(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Reproducible global training order
     (``operators.sampling.global_order_index``): every document gets
@@ -3445,6 +3463,93 @@ def q_incremental_embedding_dedup(spark: SparkSession,
     return spark.read.parquet(out_dir).select('vec_id')
 
 
+def q_incremental_winnow_dedup(spark: SparkSession,
+                               sf_dir: str) -> SparkDF:
+    """The REAL streaming path of
+    ``streaming.incremental.incremental_winnow_dedup`` under a full
+    hash oracle (the text sibling of
+    ``q_incremental_embedding_dedup``): documents staged as three
+    id-ordered file-source chunks, the availableNow stream folds
+    them through in-batch winnow dedup + fingerprint-store overlap,
+    and the ACCEPTED id set is returned.  On this corpus the
+    >= 20-shared-fingerprint pair graph is a union of cliques
+    (verified at every gate SF), and id-ordered chunks deliver each
+    clique's minimum first, so the streaming greedy fold provably
+    keeps exactly the ids with NO lower-id partner — replayed in
+    DuckDB as the ``q_winnow_dups`` fingerprint pipeline plus a
+    NOT IN.  Chunk boundaries cannot move the result.  A LOUD guard
+    recomputes the closed form batch-side and raises on divergence,
+    distinguishing "testdata regeneration broke the union-of-cliques
+    structure" from a streaming regression.  Streaming state lives
+    under the system temp dir keyed by applicationId."""
+    import tempfile
+    import time
+
+    from ..streaming.incremental import incremental_winnow_dedup
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    app = spark.sparkContext.applicationId
+    root = os.path.join(
+        tempfile.gettempdir(), 'ons_inc_win', tag, app)
+
+    def _run():
+        src = os.path.join(root, 'src')
+        (documents.select('doc_id', 'text')
+         .repartitionByRange(3, 'doc_id')
+         .write.mode('overwrite').json(src))
+        # file source delivers in mtime order; range partition i is
+        # written as part-0000i, so stagger mtimes by file name to
+        # pin batch order = id order
+        parts = sorted(p for p in os.listdir(src)
+                       if p.startswith('part-'))
+        base = time.time() - 1000
+        for i, p in enumerate(parts):
+            os.utime(os.path.join(src, p),
+                     (base + 10 * i, base + 10 * i))
+        stream = (
+            spark.readStream
+            .schema('doc_id long, text string')
+            .option('maxFilesPerTrigger', 1)
+            .json(src)
+        )
+        q = incremental_winnow_dedup(
+            stream,
+            out_dir=os.path.join(root, 'accepted'),
+            store_dir=os.path.join(root, 'store'),
+            checkpoint=os.path.join(root, 'ckpt'),
+            k=4, w=3, min_shared=20,
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(
+                'incremental winnow dedup stream did not terminate'
+                ' within 600s')
+        # LOUD guard: the closed form the oracle replays
+        dropped = {r['id_b'] for r in dd.winnow_dup_pairs(
+            documents, 'doc_id', 'text', k=4, w=3,
+            min_shared=20).select('id_b').distinct().collect()}
+        all_ids = {r['doc_id']
+                   for r in documents.select('doc_id').collect()}
+        got = {r['doc_id'] for r in spark.read.parquet(
+            os.path.join(root, 'accepted'))
+            .select('doc_id').collect()}
+        want = all_ids - dropped
+        if got != want:
+            raise ValueError(
+                'q_incremental_winnow_dedup guard tripped: streaming'
+                f' accepted {len(got)} ids, closed form expects'
+                f' {len(want)} (missing {sorted(want - got)[:5]},'
+                f' extra {sorted(got - want)[:5]}).  Either the'
+                ' regenerated corpus has a non-clique winnow pair'
+                ' graph (chunk-boundary-sensitive fold — re-check'
+                ' tools-side) or the streaming fold regressed.')
+        return os.path.join(root, 'accepted')
+
+    out_dir = _artifact(f'inc_win_dedup:{sf_dir}@{app}', _run)
+    return spark.read.parquet(out_dir).select('doc_id')
+
+
 def q_minhash_dedup_verified(spark: SparkSession,
                              sf_dir: str) -> SparkDF:
     """The full dedup DECISION, hash-verified end-to-end: portable
@@ -3966,6 +4071,8 @@ QUERIES: Dict[str, QueryFn] = {
     'q_mp4_keyframes': q_mp4_keyframes,
     'q_global_shuffle': q_global_shuffle,
     'q_mixture_interleave': q_mixture_interleave,
+    'q_keyframe_payloads': q_keyframe_payloads,            # NEW r10
+    'q_incremental_winnow_dedup': q_incremental_winnow_dedup,  # NEW
     'q_price_trim': q_price_trim,
     'q8_market_share': q8_market_share,
     'q9_product_profit': q9_product_profit,
@@ -4008,12 +4115,12 @@ QUERIES: Dict[str, QueryFn] = {
     'q_triangles': q_triangles,
     'q_bfs_hops': q_bfs_hops,
     'q_rolling_anomaly': q_rolling_anomaly,
-    'q_quality_checks': q_quality_checks,
-    'q_label_prop': q_label_prop,
     # -- below the 50-slot window ---------------------------------
     # r5 overflow (stalest remaining — lead the r11 rotation), then
     # the r6 set, the r7/r8-verified TPC-H fills, and finally the
     # 50 queries the r9 driver window just re-verified (freshest).
+    'q_quality_checks': q_quality_checks,
+    'q_label_prop': q_label_prop,
     'q_substring_dups': q_substring_dups,
     'q_line_dedup': q_line_dedup,
     'q1_pricing_summary': q1_pricing_summary,
@@ -4786,6 +4893,33 @@ ORACLES: Dict[str, str] = {
               AND list_cosine_similarity(b.v, a.v) >= 0.95
         )
     """,
+    # Streaming winnow fold closed form (union-of-cliques pair graph
+    # + id-ordered arrival => accepted = no lower-id partner): the
+    # q_winnow_dups fingerprint pipeline plus a NOT IN.
+    'q_incremental_winnow_dedup': """
+        WITH toks AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS t
+            FROM documents
+        ), grams AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(t) - 2),
+                       i -> md5(array_to_string(t[i:i+3], ' '))) AS h
+            FROM toks WHERE len(t) >= 6
+        ), fps AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, len(h) - 1),
+                       i -> list_min(h[i:i+2]))) AS fp
+            FROM grams
+        ), dropped AS (
+            SELECT b.doc_id
+            FROM fps a JOIN fps b
+              ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING count(*) >= 20
+        )
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    """,
     # MP4 parse oracles replay encode_test_mp4's DOCUMENTED
     # parameter arithmetic (test-pinned closed-form layout) — the
     # Spark side genuinely builds and box-walks the binary.
@@ -4857,6 +4991,33 @@ ORACLES: Dict[str, str] = {
                CAST(off AS BIGINT) AS byte_offset,
                CAST(sz AS BIGINT) AS byte_size
         FROM cum WHERE (i - 1) % ke = 0
+    """,
+    # Replays the encoder's documented mdat content: sample s is
+    # byte (s % 251) repeated size_s times; s <= 24 here, so chr()
+    # emits the same single byte the encoder wrote and the md5s of
+    # the genuinely-sliced Spark blobs must match bit-for-bit.
+    'q_keyframe_payloads': """
+        WITH params AS (
+            SELECT doc_id AS media_id,
+                   CAST(5 + n_chars % 20 AS BIGINT) AS nf,
+                   CAST(40 + (doc_id % 3) * 10 AS BIGINT) AS delta,
+                   CAST(2 + doc_id % 4 AS BIGINT) AS ke
+            FROM documents WHERE doc_id % 17 = 0
+        ), sized AS (
+            SELECT media_id, delta, ke,
+                   unnest(generate_series(1, nf)) AS i
+            FROM params
+        )
+        SELECT media_id,
+               CAST(i AS INT) AS sample_idx,
+               CAST((i - 1) * delta * 1000 // 600 AS BIGINT)
+                   AS pts_ms,
+               md5(repeat(chr(CAST(i % 251 AS INT)),
+                   CAST(64 + (media_id * 31 + i * 17) % 64 AS INT)))
+                   AS frame_md5,
+               CAST(64 + (media_id * 31 + i * 17) % 64 AS BIGINT)
+                   AS n_bytes
+        FROM sized WHERE (i - 1) % ke = 0
     """,
     'q_langid': """
         WITH scored AS (

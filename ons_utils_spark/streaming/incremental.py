@@ -17,14 +17,20 @@ Scale notes:
   to matching buckets instead of scanning the full store.
 - Per batch: one self-dedup over the (small) batch, one equi-join of
   batch fingerprints against the store, zero driver-side loops.
-- Idempotence: each batch's fingerprints carry ``_batch_id``, plus
-  one unconditional null-fp marker row per committed batch (so even
-  a zero-fingerprint batch is detected); a replayed batch (failure
-  between micro-batches) is detected and
-  skipped, so the accepted-docs output is not duplicated. A crash
-  BETWEEN the two appends inside one batch (docs committed, store
-  not) degrades that batch to at-least-once — acceptable for dedup
-  (a re-run drops strictly more), documented rather than hidden.
+- Idempotence (effective exactly-once): each batch commits in three
+  separate atomic appends — fingerprint/band rows (tagged
+  ``_batch_id``), accepted docs, then ONE null-fp marker row LAST.
+  A batch whose marker exists is fully committed and skipped on
+  replay (the unconditional marker also covers zero-fingerprint
+  batches).  A batch with store rows but NO marker crashed
+  mid-commit: the replay recomputes the identical survivor set
+  (the pipeline is deterministic), skips the already-written store
+  rows, reconciles the docs append against the ids already in
+  ``out_dir`` (an out_dir scan on this rare path only), and writes
+  the marker — no duplicate accepted rows, no lost survivors.  The
+  store read for overlap detection always excludes the current
+  batch's own rows, so a crashed attempt's rows can never make a
+  batch drop against itself.
 """
 from __future__ import annotations
 
@@ -50,6 +56,36 @@ def _store_exists(store_dir: str) -> bool:
         name.endswith('.parquet') for name in os.listdir(store_dir))
 
 
+def _batch_state(store, key_col: str, batch_id: int):
+    """(committed, partial) for ``batch_id`` against a store frame.
+
+    ``committed`` = the batch's null-``key_col`` marker row exists
+    (written last — the whole batch landed).  ``partial`` = the
+    batch left store rows but no marker (crash mid-commit): the
+    replay must skip the store append and reconcile the docs
+    append.  One filtered scan, evaluated once.
+    """
+    rows = store.filter(F.col('_batch_id') == batch_id)
+    agg = rows.agg(
+        F.count(F.lit(1)).alias('n'),
+        F.sum(F.when(F.col(key_col).isNull(), 1).otherwise(0))
+        .alias('markers'),
+    ).collect()[0]
+    committed = (agg['markers'] or 0) > 0
+    return committed, (not committed and agg['n'] > 0)
+
+
+def _marker_row(spark, schema_fields, batch_id: int):
+    marker = spark.createDataFrame(
+        [tuple(None for _ in schema_fields)],
+        schema=StructType([
+            StructField(f.name, f.dataType, True)
+            for f in schema_fields
+        ]),
+    )
+    return marker.withColumn('_batch_id', F.lit(batch_id))
+
+
 def incremental_winnow_dedup(
     docs_stream: SparkDF,
     out_dir: str,
@@ -69,8 +105,14 @@ def incremental_winnow_dedup(
       2. drop batch docs sharing >= ``min_shared`` fingerprints with
          the store (earlier batches win — arrival order, the natural
          streaming tie-break),
-      3. append survivors to ``out_dir`` and their fingerprints (with
-         ``_batch_id``) to ``store_dir``.
+      3. commit in three atomic appends: fingerprints (tagged
+         ``_batch_id``) to ``store_dir``, survivors to ``out_dir``,
+         then one null-fp marker row — written LAST, so a marker
+         means the batch fully landed.  Replays of a committed batch
+         skip; replays of a mid-commit crash recompute the identical
+         survivor set, skip the store append, reconcile the docs
+         append against ``out_dir`` ids, and write the marker
+         (effective exactly-once — see the module docstring).
 
     Returns the started streaming query.
     """
@@ -80,11 +122,16 @@ def incremental_winnow_dedup(
         if batch_df.isEmpty():
             return
         have_store = _store_exists(store_dir)
+        partial = False
         if have_store:
             store = spark.read.parquet(store_dir)
-            if store.filter(
-                    F.col('_batch_id') == batch_id).limit(1).count():
+            committed, partial = _batch_state(store, 'fp', batch_id)
+            if committed:
                 return  # replayed batch — already fully committed
+            # overlap detection must never see THIS batch's own rows
+            # (a crashed attempt's fps would make the batch drop
+            # against itself)
+            store = store.filter(F.col('_batch_id') != batch_id)
         # 1. in-batch dedup
         losers = (
             winnow_dup_pairs(batch_df, id_col, text_col,
@@ -109,25 +156,27 @@ def incremental_winnow_dedup(
                 dup_ids.withColumnRenamed('id', id_col),
                 on=id_col, how='left_anti')
             fps = fps.join(dup_ids, on='id', how='left_anti')
-        # 3. commit docs, then fingerprints (the _batch_id marker is
-        # written LAST so a replay after a mid-batch crash re-runs).
-        # A null-fp marker row is appended UNCONDITIONALLY: a batch
-        # whose accepted docs are all shorter than k+w-1 tokens yields
-        # zero fingerprints, and without the marker a replay would not
-        # see the batch as committed and would append its docs again.
-        # Null fp never matches the store equi-join above, so markers
-        # are invisible to overlap detection.
-        clean.write.mode('append').parquet(out_dir)
-        marker = spark.createDataFrame(
-            [(None, None)],
-            schema=StructType([
-                StructField(f.name, f.dataType, True)
-                for f in fps.schema.fields
-            ]),
-        )
-        (fps.unionByName(marker)
-            .withColumn('_batch_id', F.lit(batch_id))
-            .write.mode('append').parquet(store_dir))
+        # 3. three-step commit (each append is atomic under Spark's
+        # output-commit protocol; the splits bound every crash
+        # window — see the module docstring).  The null-fp marker is
+        # unconditional: a batch whose accepted docs are all shorter
+        # than k+w-1 tokens yields zero fingerprints, and without
+        # the marker a replay would not see it as committed.  Null
+        # fp never matches the store equi-join above, so markers are
+        # invisible to overlap detection.
+        if not partial:
+            (fps.withColumn('_batch_id', F.lit(batch_id))
+                .write.mode('append').parquet(store_dir))
+        docs_out = clean
+        if partial and _store_exists(out_dir):
+            # rare replay path: drop ids the crashed attempt already
+            # appended (the survivor set recomputes identically)
+            docs_out = docs_out.join(
+                spark.read.parquet(out_dir).select(id_col),
+                on=id_col, how='left_anti')
+        docs_out.write.mode('append').parquet(out_dir)
+        _marker_row(spark, fps.schema.fields, batch_id) \
+            .write.mode('append').parquet(store_dir)
 
     return foreach_batch_sink(
         docs_stream, process, checkpoint,
@@ -172,13 +221,16 @@ def incremental_embedding_dedup(
     are baked into the stored bucket keys: every run against the same
     ``store_dir`` MUST use the same values or probes silently miss.
 
-    Idempotence mirrors :func:`incremental_winnow_dedup`: each
-    committed batch appends one unconditional null-band marker row
-    (a batch of all-NULL embeddings bands to zero rows, so commit
-    detection cannot rely on band rows), and a replayed batch id is
-    skipped.  A crash between the docs append and the store append
-    degrades that batch to at-least-once — a re-run drops strictly
-    more, documented rather than hidden.
+    Idempotence mirrors :func:`incremental_winnow_dedup` (three
+    atomic appends — band rows, docs, then one unconditional
+    null-band marker row LAST; a batch of all-NULL embeddings bands
+    to zero rows, so commit detection cannot rely on band rows).
+    Replays of a committed batch skip; a mid-commit crash replays by
+    recomputing the identical survivor set, skipping the
+    already-written band rows, reconciling the docs append against
+    ``out_dir`` ids, and writing the marker — effective
+    exactly-once, no duplicate accepted rows (see the module
+    docstring).
 
     Scale notes: the store holds ``bands`` rows per accepted vector;
     at 100 TB write it partitioned/bucketed by ``(band, bucket)`` so
@@ -194,11 +246,16 @@ def incremental_embedding_dedup(
         if batch_df.isEmpty():
             return
         have_store = _store_exists(store_dir)
+        partial = False
         if have_store:
             store = spark.read.parquet(store_dir)
-            if store.filter(
-                    F.col('_batch_id') == batch_id).limit(1).count():
+            committed, partial = _batch_state(store, 'band', batch_id)
+            if committed:
                 return  # replayed batch — already fully committed
+            # the probe must never see THIS batch's own band rows (a
+            # crashed attempt's rows would candidate the batch
+            # against itself)
+            store = store.filter(F.col('_batch_id') != batch_id)
         # 1. in-batch dedup (exact precision at any size: 'auto'
         # switches to LSH-then-verify past max_broadcast_rows)
         losers = (
@@ -220,12 +277,11 @@ def incremental_embedding_dedup(
                 index, clean, id_col, vec_col, dim=dim, bands=bands,
                 planes_per_band=planes_per_band, seed=seed,
                 max_bucket_size=max_bucket_size)
-            vectors = (
-                clean.select(id_col, vec_col)
-                .unionByName(
+            vectors = clean.select(id_col, vec_col)
+            if _store_exists(out_dir):
+                vectors = vectors.unionByName(
                     spark.read.parquet(out_dir)
                     .select(id_col, vec_col))
-            )
             dup_ids = (
                 score_pairs_cosine(
                     cands, vectors, id_col, vec_col,
@@ -234,25 +290,28 @@ def incremental_embedding_dedup(
                 .select(F.col('new_id').alias(id_col)).distinct()
             )
             clean = clean.join(dup_ids, on=id_col, how='left_anti')
-        # 3. commit docs, then band rows; the null-band marker is
-        # appended unconditionally so an all-NULL-embedding batch is
-        # still detected as committed on replay.  Null band rows are
+        # 3. three-step commit (band rows, docs, marker LAST — each
+        # append atomic; see the module docstring).  The null-band
+        # marker is unconditional so an all-NULL-embedding batch is
+        # still detected as committed on replay; null band rows are
         # filtered out of every probe, so markers are invisible to
         # overlap detection.
-        clean.write.mode('append').parquet(out_dir)
         band_rows = embedding_band_index(
             clean, id_col, vec_col, dim=dim, bands=bands,
             planes_per_band=planes_per_band, seed=seed)
-        marker = spark.createDataFrame(
-            [(None, None, None)],
-            schema=StructType([
-                StructField(f.name, f.dataType, True)
-                for f in band_rows.schema.fields
-            ]),
-        )
-        (band_rows.unionByName(marker)
-            .withColumn('_batch_id', F.lit(batch_id))
-            .write.mode('append').parquet(store_dir))
+        if not partial:
+            (band_rows.withColumn('_batch_id', F.lit(batch_id))
+                .write.mode('append').parquet(store_dir))
+        docs_out = clean
+        if partial and _store_exists(out_dir):
+            # rare replay path: drop ids the crashed attempt already
+            # appended (the survivor set recomputes identically)
+            docs_out = docs_out.join(
+                spark.read.parquet(out_dir).select(id_col),
+                on=id_col, how='left_anti')
+        docs_out.write.mode('append').parquet(out_dir)
+        _marker_row(spark, band_rows.schema.fields, batch_id) \
+            .write.mode('append').parquet(store_dir)
 
     return foreach_batch_sink(
         vecs_stream, process, checkpoint,

@@ -105,6 +105,60 @@ class TestIncrementalWinnowDedup:
         ids2 = sorted(r['doc_id'] for r in replayed.collect())
         assert ids2 == [1, 2, 3], ids2  # no duplicates appended
 
+    def test_mid_commit_crash_replay_exactly_once(
+            self, spark_session, tmp_path):
+        """Crash AFTER the batch-0 fingerprint append and docs
+        append but BEFORE the marker: the replay must skip the store
+        append, reconcile the docs append (no duplicate rows), and
+        commit the marker — effective exactly-once."""
+        from ons_utils_spark.operators.dedup import (
+            winnow_fingerprints)
+
+        base = ('alpha beta gamma delta epsilon zeta eta theta iota '
+                'kappa lam mu nu xi omicron pi rho sigma tau upsilon')
+        docs = [
+            (1, base),
+            (2, 'totally different words nothing shared here at all '
+                'with the other documents in any chunk today ok fine'),
+            (10, base + ' extra tail'),       # near-dup of 1
+            (11, 'another unique document about completely other '
+                 'topics that shares no running grams with anyone'),
+        ]
+        _stage(tmp_path, docs, n_chunks=2)
+        # manufacture the crashed batch-0 state: chunk 0 = {1, 2},
+        # both survive; fps + docs written, NO marker
+        surv = spark_session.createDataFrame(
+            docs[:2], 'doc_id long, text string')
+        (winnow_fingerprints(surv, 'doc_id', 'text')
+            .withColumn('_batch_id', F.lit(0))
+            .write.mode('append')
+            .parquet(str(tmp_path / 'store')))
+        surv.write.mode('append').parquet(str(tmp_path / 'accepted'))
+
+        from ons_utils_spark.streaming.incremental import (
+            incremental_winnow_dedup)
+        stream = (
+            spark_session.readStream
+            .schema('doc_id long, text string')
+            .option('maxFilesPerTrigger', 1)
+            .json(str(tmp_path / 'docs_src'))
+        )
+        q = incremental_winnow_dedup(
+            stream,
+            out_dir=str(tmp_path / 'accepted'),
+            store_dir=str(tmp_path / 'store'),
+            checkpoint=str(tmp_path / 'ckpt'),
+            min_shared=5,
+        )
+        q.awaitTermination(300)
+        ids = sorted(r['doc_id'] for r in spark_session.read.parquet(
+            str(tmp_path / 'accepted')).collect())
+        assert ids == [1, 2, 11], ids  # no duplicate 1/2; 10 dropped
+        # batch 0 is now marker-committed in the store
+        store = spark_session.read.parquet(str(tmp_path / 'store'))
+        assert store.filter(
+            (F.col('_batch_id') == 0) & F.col('fp').isNull()).count() == 1
+
     def test_matches_eager_chunk_fold(self, spark_session, tmp_path):
         """The streaming run must equal the same per-chunk fold
         computed eagerly: in-chunk pair dedup, then pairwise overlap
@@ -234,6 +288,39 @@ class TestIncrementalEmbeddingDedup:
             checkpoint='ckpt2')
         ids2 = sorted(r['vec_id'] for r in replayed.collect())
         assert ids2 == [1, 2, 3], ids2
+
+    def test_mid_commit_crash_replay_exactly_once(
+            self, spark_session, tmp_path):
+        """Crash after the batch-0 band append but BEFORE the docs
+        append (the other crash window): the replay must still write
+        the docs (nothing to reconcile), skip the band re-append,
+        and not candidate the batch against its own crashed rows."""
+        from ons_utils_spark.operators.dedup import (
+            embedding_band_index)
+
+        e1 = [1.0, 0.0, 0.0, 0.0]
+        e2 = [0.0, 1.0, 0.0, 0.0]
+        e3 = [0.0, 0.0, 1.0, 0.0]
+        rows = [(1, e1), (2, e2), (3, e1), (10, e1), (11, e3)]
+        _stage_vecs(tmp_path, rows, 2)
+        # crashed batch-0 state: survivors {1, 2} banded into the
+        # store (defaults match incremental_embedding_dedup), no
+        # marker, no docs
+        surv = spark_session.createDataFrame(
+            [(1, e1), (2, e2)], 'vec_id long, embedding array<double>')
+        (embedding_band_index(surv, 'vec_id', 'embedding')
+            .withColumn('_batch_id', F.lit(0))
+            .write.mode('append')
+            .parquet(str(tmp_path / 'store')))
+        accepted = self._run(spark_session, tmp_path, rows, n_chunks=2)
+        ids = sorted(r['vec_id'] for r in accepted.collect())
+        assert ids == [1, 2, 11], ids
+        store = spark_session.read.parquet(str(tmp_path / 'store'))
+        # band rows were NOT duplicated by the replay
+        per_id = (store.filter(F.col('band').isNotNull())
+                  .groupBy('vec_id', 'band').count()
+                  .filter(F.col('count') > 1).count())
+        assert per_id == 0
 
     def test_matches_eager_chunk_fold(self, spark_session, tmp_path):
         """Streaming result equals an independent numpy fold: per

@@ -964,3 +964,72 @@ class TestMp4Parse:
         assert [r['frame_ts_ms'] for r in out] == [0, 400, 800]
         assert [r['keyframe_pts_ms'] for r in out] == [None, None, 500]
         assert out[2]['keyframe_idx'] == 1
+
+    def test_keyframe_payloads_bytes_exact(self, spark_session):
+        """The sliced blobs equal the encoder's known frame
+        payloads: sample s (1-based) is byte (s % 251) repeated
+        sizes[s-1] times."""
+        df = spark_session.createDataFrame(
+            [(9, bytearray(self._mp4()))],
+            'media_id bigint, payload binary')
+        rows = sorted(
+            mm.keyframe_payloads(df).collect(),
+            key=lambda r: r['sample_idx'])
+        assert [r['sample_idx'] for r in rows] == [1, 4, 7]
+        for r in rows:
+            s = r['sample_idx']
+            want = bytes([s % 251]) * self.SIZES[s - 1]
+            assert bytes(r['frame_bytes']) == want
+            assert r['byte_size'] == self.SIZES[s - 1]
+            assert r['is_keyframe'] is True
+
+    def test_keyframe_payloads_all_samples_multichunk(
+            self, spark_session):
+        """keyframes_only=False over a multi-chunk layout slices
+        every sample correctly (exercises the stsc run expansion
+        through the payload slicer)."""
+        df = spark_session.createDataFrame(
+            [(3, bytearray(self._mp4(samples_per_chunk=3)))],
+            'media_id bigint, payload binary')
+        rows = sorted(
+            mm.keyframe_payloads(df, keyframes_only=False).collect(),
+            key=lambda r: r['sample_idx'])
+        assert len(rows) == self.N
+        for r in rows:
+            s = r['sample_idx']
+            assert bytes(r['frame_bytes']) \
+                == bytes([s % 251]) * self.SIZES[s - 1]
+
+    def test_keyframe_payloads_truncated_payload(self,
+                                                 spark_session):
+        """A file cut mid-mdat yields the available prefix for the
+        boundary frame and drops frames wholly past the end; the
+        truncation is observable as byte_size != len(frame_bytes)."""
+        whole = self._mp4()
+        table = mm.mp4_sample_table(whole)
+        # cut 10 bytes into keyframe 4's range
+        k4 = next(r for r in table if r[0] == 4)
+        cut = k4[3] + 10
+        df = spark_session.createDataFrame(
+            [(1, bytearray(whole[:cut]))],
+            'media_id bigint, payload binary')
+        rows = {r['sample_idx']: r
+                for r in mm.keyframe_payloads(df).collect()}
+        assert set(rows) == {1, 4}  # keyframe 7 starts past the cut
+        assert len(bytes(rows[1]['frame_bytes'])) \
+            == rows[1]['byte_size']
+        assert len(bytes(rows[4]['frame_bytes'])) == 10
+        assert rows[4]['byte_size'] == self.SIZES[3]
+
+    def test_stsc_first_chunk_zero_degrades(self):
+        """A corrupt stsc run with first_chunk=0 must stop the chunk
+        walk (partial table), not wrap around to offsets[-1]."""
+        whole = bytearray(self._mp4(samples_per_chunk=3))
+        i = whole.find(b'stsc')
+        # stsc payload: ver/flags(4) count(4) then (first, spc, sdi)
+        first_off = i + 4 + 8
+        assert int.from_bytes(whole[first_off:first_off + 4],
+                              'big') == 1
+        whole[first_off:first_off + 4] = (0).to_bytes(4, 'big')
+        table = mm.mp4_sample_table(bytes(whole))
+        assert table == []  # first run corrupt -> empty, no wrap
