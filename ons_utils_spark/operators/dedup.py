@@ -22,6 +22,7 @@ and bucket size — the standard trick from web-scale dedup (Lee et al.,
 """
 from __future__ import annotations
 
+import warnings
 from typing import Optional, Sequence
 
 import numpy as np
@@ -457,6 +458,20 @@ def _bucket_pair_join(
         over_rows = oversized.limit(100_001).collect()
         if not over_rows:
             return _pairs(banded, banded)
+        # Recall loss is OBSERVABLE, never silent: star-capping an
+        # oversized bucket drops its spoke-spoke pairs (only hub
+        # pairs survive), so callers with legitimate 2k+-member
+        # near-dup families see a loud one-time warning instead of
+        # quietly reduced recall.  Raise max_bucket_size (default
+        # 2000 since r9; it was 100000 before) to keep those pairs.
+        warnings.warn(
+            f'{min(len(over_rows), 100_000)} LSH bucket(s) exceed '
+            f'max_bucket_size={max_bucket_size} and were star-capped'
+            ' to their min-id row: pairs between two non-min members'
+            ' of those buckets are not emitted. Raise'
+            ' max_bucket_size (or pass None) if full in-family'
+            ' recall matters more than join-explosion safety.',
+            RuntimeWarning, stacklevel=3)
         if len(over_rows) <= 100_000:
             over_df = F.broadcast(
                 banded.sparkSession.createDataFrame(
@@ -1865,6 +1880,7 @@ def _lsh_near_duplicates(
     planes_per_band: int,
     seed: int,
     max_bucket_size: Optional[int],
+    checkpoint_dir: Optional[str] = None,
 ) -> SparkDF:
     """Sub-quadratic candidate path for
     :func:`embedding_near_duplicates`: banded hyperplane-LSH bucket
@@ -1893,7 +1909,10 @@ def _lsh_near_duplicates(
     # Eager lineage cut: the bucket census and both self-join sides
     # each reference this frame — left lazy the signature-GEMM
     # pipeline recomputes per branch (the r8 dedup-guard regression).
-    banded = _reliable_checkpoint(banded, None)
+    # ``checkpoint_dir`` upgrades the cut from executor-local blocks
+    # to a reliable checkpoint on shared storage (executor loss at
+    # scale otherwise recomputes the GEMM pipeline mid-job).
+    banded = _reliable_checkpoint(banded, checkpoint_dir)
     cand = _bucket_pair_join(
         banded, ('band', 'bucket'), max_bucket_size=max_bucket_size,
         eager_census=True,
@@ -1918,6 +1937,7 @@ def embedding_near_duplicates(
     lsh_planes_per_band: int = 16,
     lsh_seed: int = 42,
     max_bucket_size: Optional[int] = 2000,
+    checkpoint_dir: Optional[str] = None,
 ) -> SparkDF:
     """Near-dup pairs by embedding cosine similarity.
 
@@ -1948,7 +1968,10 @@ def embedding_near_duplicates(
     star-cap guarding against embedding-clone mega-families — and
     candidates verify with exact cosine. NULL/empty embeddings drop
     out at the banding stage (no bucket), matching the exact path
-    (a zero row can never reach ``threshold``).
+    (a zero row can never reach ``threshold``).  ``checkpoint_dir``
+    upgrades the LSH path's banded-frame lineage cut from
+    ``localCheckpoint`` to a reliable checkpoint on shared storage
+    (same contract as :func:`minhash_dedup`).
     """
     if method not in ('auto', 'exact', 'lsh'):
         raise ValueError(
@@ -1962,7 +1985,8 @@ def embedding_near_duplicates(
     if use_lsh:
         return _lsh_near_duplicates(
             src, id_col, vec_col, threshold, dim, lsh_bands,
-            lsh_planes_per_band, lsh_seed, max_bucket_size)
+            lsh_planes_per_band, lsh_seed, max_bucket_size,
+            checkpoint_dir)
     if block_rows is None:
         if n <= max_broadcast_rows:
             ids, mat = _collect_normalized(src, id_col, vec_col)

@@ -1314,6 +1314,51 @@ class TestHotBucketGuard:
         # still pairs with the variants it shares buckets with
         assert any(a == 0 for a, _ in pairs)
 
+    def test_capped_bucket_warns_loudly(self, spark_session):
+        """Star-capping an oversized bucket loses spoke-spoke pairs;
+        that recall trade must be observable, never silent.  The
+        warning fires on the dedup drivers' eager-census path (the
+        lazy candidates path cannot know driver-side whether any
+        bucket actually capped)."""
+        base = ('shared boilerplate prefix that dominates every '
+                'shingle window across all variant documents here')
+        rows = [(i, base + f' tail{i}') for i in range(30)]
+        df = spark_session.createDataFrame(
+            rows, 'doc_id bigint, text string')
+        with pytest.warns(RuntimeWarning, match='star-capped'):
+            dd.minhash_dedup(
+                df, num_hashes=16, bands=4, max_bucket_size=5,
+                jaccard_threshold=0.5).collect()
+
+    def test_uncapped_run_does_not_warn(self, spark_session,
+                                        docs_with_dups):
+        import warnings as _w
+        with _w.catch_warnings():
+            _w.simplefilter('error', RuntimeWarning)
+            dd.minhash_dedup(
+                docs_with_dups, num_hashes=16, bands=4,
+                jaccard_threshold=0.5).collect()
+
+    def test_embedding_lsh_checkpoint_dir(self, spark_session,
+                                          tmp_path):
+        """checkpoint_dir threads through to the LSH path's lineage
+        cut (r9 ADVICE: the auto/lsh path at scale otherwise keeps
+        the executor-loss recompute hazard)."""
+        import random
+        rng = random.Random(3)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(8)])
+                for i in range(40)]
+        rows += [(100, list(rows[7][1]))]  # planted clone of 7
+        df = spark_session.createDataFrame(
+            rows, 'vec_id bigint, embedding array<double>')
+        got = {(r['id_a'], r['id_b'])
+               for r in dd.embedding_near_duplicates(
+                   df, method='lsh', threshold=0.95,
+                   checkpoint_dir=str(tmp_path / 'ck')).collect()}
+        assert (7, 100) in got
+        import os
+        assert os.listdir(tmp_path / 'ck')  # really wrote there
+
     def test_minhash_checkpoint_dir_roundtrip(
             self, spark_session, docs_with_dups, tmp_path):
         kept = {r['doc_id'] for r in dd.minhash_dedup(
