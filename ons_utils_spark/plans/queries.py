@@ -1297,6 +1297,42 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> SparkDF:
     ).select('doc_id', 'position')
 
 
+def q_training_shards(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Ordered training-shard WRITE, verified through the filesystem
+    (``sources.shards.write_training_shards``): documents get the
+    ``q_global_shuffle`` epoch order, land as
+    ``shard=<s>/part-*.parquet`` directories via ONE range
+    repartition + partition-local sort (no single-task global sort),
+    and the read-back manifest (per-shard row count and position
+    range) must equal the closed form ``shard = position // 64`` the
+    DuckDB oracle recomputes from the md5 order.  Any mis-sharded,
+    dropped, or duplicated row breaks the match.  Shards live under
+    the system temp dir keyed by applicationId (written once per
+    session, like the ANN artifacts)."""
+    import tempfile
+
+    from ..operators.sampling import global_order_index
+    from ..sources.shards import shard_manifest, write_training_shards
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    app = spark.sparkContext.applicationId
+    path = os.path.join(
+        tempfile.gettempdir(), 'ons_shards', tag, app)
+
+    def _write():
+        ordered = global_order_index(
+            documents.select('doc_id'), 'doc_id', salt='epoch1')
+        write_training_shards(ordered, path, shard_size=64)
+        return path
+
+    out = _artifact(f'training_shards:{sf_dir}@{app}', _write)
+    return shard_manifest(spark, out).select(
+        F.col('shard').cast('long').alias('shard'),
+        F.col('n_rows').cast('long').alias('n_rows'),
+        'min_pos', 'max_pos')
+
+
 def q_mixture_interleave(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Proportional source interleaving
     (``operators.sampling.interleaved_mixture_order``): each doc gets
@@ -4073,6 +4109,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_mixture_interleave': q_mixture_interleave,
     'q_keyframe_payloads': q_keyframe_payloads,            # NEW r10
     'q_incremental_winnow_dedup': q_incremental_winnow_dedup,  # NEW
+    'q_training_shards': q_training_shards,                # NEW r10
     'q_price_trim': q_price_trim,
     'q8_market_share': q8_market_share,
     'q9_product_profit': q9_product_profit,
@@ -4114,11 +4151,11 @@ QUERIES: Dict[str, QueryFn] = {
     'q_pagerank': q_pagerank,
     'q_triangles': q_triangles,
     'q_bfs_hops': q_bfs_hops,
-    'q_rolling_anomaly': q_rolling_anomaly,
     # -- below the 50-slot window ---------------------------------
     # r5 overflow (stalest remaining — lead the r11 rotation), then
     # the r6 set, the r7/r8-verified TPC-H fills, and finally the
     # 50 queries the r9 driver window just re-verified (freshest).
+    'q_rolling_anomaly': q_rolling_anomaly,
     'q_quality_checks': q_quality_checks,
     'q_label_prop': q_label_prop,
     'q_substring_dups': q_substring_dups,
@@ -4948,6 +4985,23 @@ ORACLES: Dict[str, str] = {
                             doc_id
                ) - 1 AS BIGINT) AS position
         FROM documents
+    """,
+    # Shard manifest closed form: the filesystem-read-back stats of
+    # the written shard layout must equal shard = position // 64
+    # over the replayed md5 epoch order.
+    'q_training_shards': """
+        WITH pos AS (
+            SELECT CAST(row_number() OVER (
+                ORDER BY md5('epoch1' || CAST(doc_id AS VARCHAR)),
+                         doc_id
+            ) - 1 AS BIGINT) AS position
+            FROM documents
+        )
+        SELECT CAST(position // 64 AS BIGINT) AS shard,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(min(position) AS BIGINT) AS min_pos,
+               CAST(max(position) AS BIGINT) AS max_pos
+        FROM pos GROUP BY 1
     """,
     'q_video_meta': """
         SELECT doc_id AS media_id,

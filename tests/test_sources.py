@@ -433,3 +433,64 @@ class TestSchemaEvolution:
         assert set(merged.columns) == {'id', 'v', 'score'}
         rows = {r['id']: r['score'] for r in merged.collect()}
         assert rows == {1: None, 2: 9.5}
+
+
+class TestTrainingShards:
+    def _ordered(self, spark, n=100):
+        from ons_utils_spark.operators.sampling import (
+            global_order_index)
+        df = spark.createDataFrame(
+            [(i, f'doc {i}') for i in range(n)],
+            'doc_id bigint, text string')
+        return global_order_index(df, 'doc_id', salt='e0')
+
+    def test_layout_order_and_roundtrip(self, spark_session, tmp_path):
+        import os
+        from ons_utils_spark.sources.shards import (
+            shard_manifest, write_training_shards)
+
+        ordered = self._ordered(spark_session)
+        path = str(tmp_path / 'shards')
+        write_training_shards(ordered, path, shard_size=16)
+        # directory per shard id
+        dirs = sorted(d for d in os.listdir(path)
+                      if d.startswith('shard='))
+        assert dirs == [f'shard={s}' for s in range(7)]
+        back = spark_session.read.parquet(path)
+        assert back.count() == 100
+        assert {r['doc_id'] for r in back.collect()} == set(range(100))
+        # shard s holds exactly positions [16s, 16(s+1))
+        man = {r['shard']: r for r in shard_manifest(
+            spark_session, path).collect()}
+        for s in range(7):
+            lo, hi = 16 * s, min(16 * (s + 1), 100) - 1
+            assert man[s]['min_pos'] == lo
+            assert man[s]['max_pos'] == hi
+            assert man[s]['n_rows'] == hi - lo + 1
+
+    def test_rows_sorted_within_part_files(self, spark_session,
+                                           tmp_path):
+        """The loader streams part files sequentially — rows must be
+        physically position-sorted inside each file, not just
+        logically assigned to the right shard."""
+        import glob
+
+        import pyarrow.parquet as pq
+        from ons_utils_spark.sources.shards import (
+            write_training_shards)
+
+        ordered = self._ordered(spark_session)
+        path = str(tmp_path / 'shards')
+        write_training_shards(ordered, path, shard_size=25,
+                              partitions=4)
+        for part in glob.glob(f'{path}/shard=*/part-*.parquet'):
+            pos = pq.read_table(part, columns=['position']) \
+                .column('position').to_pylist()
+            assert pos == sorted(pos), part
+
+    def test_rejects_bad_shard_size(self, spark_session):
+        from ons_utils_spark.sources.shards import with_shard_id
+        df = spark_session.range(3).withColumnRenamed('id', 'position')
+        import pytest as _pt
+        with _pt.raises(ValueError, match='positive'):
+            with_shard_id(df, 0)
