@@ -31,6 +31,7 @@ from ons_utils_spark.operators.multimodal import (
     audio_features,
     encode_test_mp4,
     image_features,
+    keyframe_payloads,
     keyframe_sample_plan,
     mp4_samples,
     video_meta,
@@ -95,11 +96,16 @@ def run(spark, media_dir: str):
         samples,
         vid_meta.select('media_id', 'duration_ms'),
         every_ms=250)
+    # …and the actual bytes: per-keyframe mdat blobs, ready for a
+    # codec stage (one moov parse + slice pass per file)
+    blobs = keyframe_payloads(videos, id_col='path')
 
     n_img, n_wav = img_feats.count(), wav_feats.count()
     n_vid, n_frames = vid_meta.count(), frames.count()
+    n_blob = blobs.count()
     print(f'decoded images={n_img} audio clips={n_wav} '
-          f'videos={n_vid} sampled keyframe ranges={n_frames}')
+          f'videos={n_vid} sampled keyframe ranges={n_frames} '
+          f'sliced keyframe blobs={n_blob}')
 
     # probe: most similar images to the first one (by path order)
     probe = (

@@ -290,6 +290,15 @@ def main() -> None:
     print(f'mixture: {n_mix}/{train.count()} train docs within '
           f'per-source char budgets; epoch order dense 0..{hi}')
 
+    # lay the epoch out as seekable size-bounded shards (one range
+    # repartition + partition-local sort; no single-task sort)
+    from ons_utils_spark.sources.shards import (
+        shard_manifest, write_training_shards)
+    shards_dir = os.path.join(out_dir, 'epoch0_shards')
+    write_training_shards(epoch, shards_dir, shard_size=256)
+    n_shards = shard_manifest(spark, shards_dir).count()
+    print(f'epoch laid out as {n_shards} ordered shards of <=256')
+
     chunks = to_training_chunks(split.filter(F.col('split') == 'train'))
     packed = pack_chunks(chunks)
     n_bins = packed.select('shard', 'bin_id').distinct().count()
