@@ -25,7 +25,7 @@ __all__ = [
     'hash_split', 'split_thresholds', 'hash_fraction_filter',
     'stratified_sample_exact', 'weighted_sample_exact',
     'mixture_sample', 'global_order_index',
-    'interleaved_mixture_order',
+    'interleaved_mixture_order', 'fractional_epochs',
 ]
 
 _PREFIX_LEN = 6
@@ -375,6 +375,69 @@ def mixture_sample(
         .select(*df.columns)
     )
     return whole.unionByName(edge)
+
+
+def fractional_epochs(
+    df: SparkDF,
+    group_col: str,
+    id_col: str,
+    epochs: Mapping[str, float],
+    salt: str = '',
+    epoch_col: str = 'epoch',
+) -> SparkDF:
+    """Deterministic per-source UPSAMPLING: replicate each group's
+    rows ~``epochs[group]`` times — the "2.5 epochs of wiki, 1 epoch
+    of web, 0.25 epochs of forums" step of training-mixture
+    construction (the complement of :func:`mixture_sample`, which
+    only DOWN-selects).
+
+    A row appears once per whole epoch (``epoch_col`` = 0 ..
+    floor(e)−1) plus once more in the final PARTIAL epoch iff its
+    md5 fraction clears ``frac(e)`` — the :func:`hash_split`
+    threshold trick, so the partial-epoch subset is exact in
+    expectation, reproducible run-to-run, engine-replayable, and
+    stable under corpus growth.  Groups absent from ``epochs`` (or
+    with e <= 0) are dropped.  Distinct epochs of the same document
+    get distinct ``(id, epoch)`` keys; feed the result to
+    :func:`global_order_index` with an epoch-aware salt for the
+    reading order.
+
+    Plan: ONE projection + generator — ``array_repeat`` sized by a
+    per-group literal map, exploded, then a union with the
+    hash-thresholded partial epoch.  No shuffle, no RNG, no driver
+    state at any scale; partition pruning survives because nothing
+    reorders rows.
+    """
+    if not epochs:
+        raise ValueError('epochs must name at least one group')
+    for g, e in epochs.items():
+        if e < 0:
+            raise ValueError(f'negative epochs for group {g!r}: {e}')
+    whole = {g: int(e) for g, e in epochs.items()}
+    frac_hex = {
+        g: format(min(int((e - whole[g]) * _SPACE), _SPACE),
+                  f'0{_PREFIX_LEN}x')
+        for g, e in epochs.items()
+    }
+    whole_map = F.create_map(*[
+        F.lit(x) for kv in whole.items() for x in kv
+    ])
+    frac_map = F.create_map(*[
+        F.lit(x) for kv in frac_hex.items() for x in kv
+    ])
+    n_whole = F.coalesce(
+        whole_map[F.col(group_col)], F.lit(0)).cast('int')
+    full = df.select(
+        '*',
+        F.posexplode(
+            F.array_repeat(F.lit(1), n_whole)
+        ).alias(epoch_col, '__one'),
+    ).drop('__one')
+    partial = df.filter(
+        _hash_prefix(id_col, salt)
+        < F.coalesce(frac_map[F.col(group_col)], F.lit('000000'))
+    ).withColumn(epoch_col, n_whole)
+    return full.unionByName(partial)
 
 
 def global_order_index(

@@ -1297,6 +1297,24 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> SparkDF:
     ).select('doc_id', 'position')
 
 
+def q_fractional_epochs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Per-source training upsampling
+    (``operators.sampling.fractional_epochs``): src0 is repeated 2.5
+    epochs, src1 exactly 1, src2 0.25 — whole copies exploded from a
+    per-group literal map (no shuffle at any size) and the partial
+    epoch selected by the md5-fraction threshold the oracle replays
+    (``md5('up1' || id) < hex(frac · 16^6)``).  Output is every
+    (doc, epoch) pair; other sources drop."""
+    from ..operators.sampling import fractional_epochs
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    return fractional_epochs(
+        documents.select('doc_id', 'source'), 'source', 'doc_id',
+        {'src0': 2.5, 'src1': 1.0, 'src2': 0.25}, salt='up1',
+    ).select('doc_id', 'source',
+             F.col('epoch').cast('int').alias('epoch'))
+
+
 def q_training_shards(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Ordered training-shard WRITE, verified through the filesystem
     (``sources.shards.write_training_shards``): documents get the
@@ -4110,6 +4128,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_keyframe_payloads': q_keyframe_payloads,            # NEW r10
     'q_incremental_winnow_dedup': q_incremental_winnow_dedup,  # NEW
     'q_training_shards': q_training_shards,                # NEW r10
+    'q_fractional_epochs': q_fractional_epochs,            # NEW r10
     'q_price_trim': q_price_trim,
     'q8_market_share': q8_market_share,
     'q9_product_profit': q9_product_profit,
@@ -4150,11 +4169,11 @@ QUERIES: Dict[str, QueryFn] = {
     'q_bm25_topk': q_bm25_topk,
     'q_pagerank': q_pagerank,
     'q_triangles': q_triangles,
-    'q_bfs_hops': q_bfs_hops,
     # -- below the 50-slot window ---------------------------------
     # r5 overflow (stalest remaining — lead the r11 rotation), then
     # the r6 set, the r7/r8-verified TPC-H fills, and finally the
     # 50 queries the r9 driver window just re-verified (freshest).
+    'q_bfs_hops': q_bfs_hops,
     'q_rolling_anomaly': q_rolling_anomaly,
     'q_quality_checks': q_quality_checks,
     'q_label_prop': q_label_prop,
@@ -4985,6 +5004,35 @@ ORACLES: Dict[str, str] = {
                             doc_id
                ) - 1 AS BIGINT) AS position
         FROM documents
+    """,
+    # Fractional-epoch replay: whole copies per source + the
+    # md5-fraction partial epoch (thresholds 0.5 -> '800000',
+    # 0.25 -> '400000' of the 16^6 prefix space — the hash_split
+    # constants).
+    'q_fractional_epochs': """
+        WITH p AS (
+            SELECT doc_id, source FROM documents
+            WHERE source IN ('src0', 'src1', 'src2')
+        ), whole AS (
+            SELECT doc_id, source, CAST(r.j AS INT) AS epoch
+            FROM p, range(0, 3) r(j)
+            WHERE r.j < CASE source WHEN 'src0' THEN 2
+                                    WHEN 'src1' THEN 1
+                                    ELSE 0 END
+        ), partial AS (
+            SELECT doc_id, source,
+                   CAST(CASE source WHEN 'src0' THEN 2
+                                    WHEN 'src1' THEN 1
+                                    ELSE 0 END AS INT) AS epoch
+            FROM p
+            WHERE substr(md5('up1' || CAST(doc_id AS VARCHAR)), 1, 6)
+                  < CASE source WHEN 'src0' THEN '800000'
+                                WHEN 'src2' THEN '400000'
+                                ELSE '000000' END
+        )
+        SELECT doc_id, source, epoch FROM whole
+        UNION ALL
+        SELECT doc_id, source, epoch FROM partial
     """,
     # Shard manifest closed form: the filesystem-read-back stats of
     # the written shard layout must equal shard = position // 64

@@ -584,3 +584,63 @@ class TestInterleavedMixtureOrder:
     def test_empty_weights_raise(self, spark_session):
         with pytest.raises(ValueError, match='weights'):
             self._run(spark_session, [('a', 1)], {})
+
+
+class TestFractionalEpochs:
+    def _df(self, spark):
+        rows = [(f'g{i % 3}', i) for i in range(90)]
+        return spark.createDataFrame(rows, 'src string, id bigint')
+
+    def test_matches_hash_replay(self, spark_session):
+        """Whole copies exact; the partial epoch is exactly the md5
+        threshold subset (independent hashlib replay)."""
+        import hashlib
+
+        from ons_utils_spark.operators.sampling import (
+            fractional_epochs)
+        df = self._df(spark_session)
+        out = fractional_epochs(
+            df, 'src', 'id', {'g0': 2.5, 'g1': 1.0, 'g2': 0.25},
+            salt='e')
+        got = sorted((r['id'], r['epoch']) for r in out.collect())
+        bound = {'g0': format(int(0.5 * 16**6), '06x'),
+                 'g1': '000000',
+                 'g2': format(int(0.25 * 16**6), '06x')}
+        whole = {'g0': 2, 'g1': 1, 'g2': 0}
+        want = []
+        for i in range(90):
+            g = f'g{i % 3}'
+            for ep in range(whole[g]):
+                want.append((i, ep))
+            h = hashlib.md5(f'e{i}'.encode()).hexdigest()[:6]
+            if h < bound[g]:
+                want.append((i, whole[g]))
+        assert got == sorted(want)
+        # sanity: g1 is exactly one epoch, no partials
+        g1 = [e for (i, e) in got if i % 3 == 1]
+        assert g1 == [0] * 30
+
+    def test_absent_groups_dropped_and_validation(
+            self, spark_session):
+        import pytest as _pt
+
+        from ons_utils_spark.operators.sampling import (
+            fractional_epochs)
+        df = self._df(spark_session)
+        out = fractional_epochs(df, 'src', 'id', {'g0': 1.0})
+        assert {r['src'] for r in out.collect()} == {'g0'}
+        with _pt.raises(ValueError, match='negative'):
+            fractional_epochs(df, 'src', 'id', {'g0': -1.0})
+        with _pt.raises(ValueError, match='at least one'):
+            fractional_epochs(df, 'src', 'id', {})
+
+    def test_no_shuffle_plan(self, spark_session):
+        """Upsampling is a projection + generator + union — any
+        exchange in the plan is a regression."""
+        from ons_utils_spark.operators.sampling import (
+            fractional_epochs)
+        df = self._df(spark_session)
+        plan = fractional_epochs(
+            df, 'src', 'id', {'g0': 2.5})._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert 'Exchange' not in plan, plan[:1500]
