@@ -2306,6 +2306,58 @@ def exact_substring_pairs(
     )
 
 
+def keep_best_duplicate(
+    df: SparkDF,
+    pairs: SparkDF,
+    id_col: str = 'doc_id',
+    score_col: str = 'score',
+    id_a: str = 'id_a',
+    id_b: str = 'id_b',
+    max_iterations: int = 20,
+    checkpoint_dir: Optional[str] = None,
+) -> SparkDF:
+    """Resolve near-duplicate PAIRS to clusters and keep each
+    cluster's BEST-scoring row (ties → lowest id) — the
+    quality-preferring alternative to greedy keep-lowest-id: when a
+    boilerplate family contains one clean copy and many mangled
+    ones, this keeps the clean copy regardless of id order.
+
+    ``pairs`` is any near-dup pair frame (winnowing, MinHash,
+    SimHash, embedding cosine …) over numeric ids; rows of ``df``
+    that appear in no pair pass through untouched.  NULL scores rank
+    below every real score.
+
+    Plan: pointer-doubling connected components over the pair graph
+    (:func:`clustering.connected_components`, O(log diameter)
+    rounds), then ONE ``max_by`` aggregation per component — partial
+    aggregation makes a mega-cluster skew-safe (no per-component
+    window sort), and the final keep is two id joins against
+    corpus-row-sized frames.
+    """
+    from .clustering import connected_components
+
+    comp = connected_components(
+        pairs, id_a, id_b, max_iterations, checkpoint_dir,
+    ).withColumnRenamed('node', '__node')
+    in_pairs = comp.select(F.col('__node').alias(id_col))
+    # (score, -id) struct comparison: max score wins, ties take the
+    # lowest id; NULL scores coalesce below any real value
+    rank_key = F.struct(
+        F.coalesce(F.col(score_col).cast('double'),
+                   F.lit(float('-inf'))).alias('s'),
+        (-F.col(id_col).cast('long')).alias('neg_id'),
+    )
+    winners = (
+        df.join(comp, df[id_col] == comp['__node'])
+        .groupBy('comp')
+        .agg(F.max_by(id_col, rank_key).alias(id_col))
+        .select(id_col)
+    )
+    loners = df.join(in_pairs, on=id_col, how='left_anti')
+    return loners.unionByName(
+        df.join(winners, on=id_col, how='left_semi'))
+
+
 def line_dedup(
     df: SparkDF,
     id_col: str = 'doc_id',

@@ -3517,6 +3517,27 @@ def q_incremental_embedding_dedup(spark: SparkSession,
     return spark.read.parquet(out_dir).select('vec_id')
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Quality-preferring dedup (``dedup.keep_best_duplicate``): the
+    winnowing near-dup pair graph resolves to clusters by REAL
+    pointer-doubling connected components, and each cluster keeps
+    its longest document (``n_chars`` max, ties → lowest id) instead
+    of greedy lowest-id.  The oracle exploits the same
+    union-of-cliques pair-graph structure the
+    ``q_incremental_winnow_dedup`` guard checks loudly every run
+    (every member pairs with the clique min, so one aggregation
+    recovers the component) and replays the winner rule with a
+    ranked window."""
+    (documents,) = _t(spark, sf_dir, 'documents')
+    pairs = dd.winnow_dup_pairs(
+        documents, 'doc_id', 'text', k=4, w=3, min_shared=20)
+    kept = dd.keep_best_duplicate(
+        documents.select('doc_id', 'n_chars'), pairs,
+        'doc_id', 'n_chars')
+    return kept.select('doc_id', F.col('n_chars').cast('long')
+                       .alias('n_chars'))
+
+
 def q_incremental_winnow_dedup(spark: SparkSession,
                                sf_dir: str) -> SparkDF:
     """The REAL streaming path of
@@ -4129,6 +4150,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_incremental_winnow_dedup': q_incremental_winnow_dedup,  # NEW
     'q_training_shards': q_training_shards,                # NEW r10
     'q_fractional_epochs': q_fractional_epochs,            # NEW r10
+    'q_dedup_keep_best': q_dedup_keep_best,                # NEW r10
     'q_price_trim': q_price_trim,
     'q8_market_share': q8_market_share,
     'q9_product_profit': q9_product_profit,
@@ -4168,11 +4190,11 @@ QUERIES: Dict[str, QueryFn] = {
     'q_term_search': q_term_search,
     'q_bm25_topk': q_bm25_topk,
     'q_pagerank': q_pagerank,
-    'q_triangles': q_triangles,
     # -- below the 50-slot window ---------------------------------
     # r5 overflow (stalest remaining — lead the r11 rotation), then
     # the r6 set, the r7/r8-verified TPC-H fills, and finally the
     # 50 queries the r9 driver window just re-verified (freshest).
+    'q_triangles': q_triangles,
     'q_bfs_hops': q_bfs_hops,
     'q_rolling_anomaly': q_rolling_anomaly,
     'q_quality_checks': q_quality_checks,
@@ -4948,6 +4970,51 @@ ORACLES: Dict[str, str] = {
             WHERE b.vec_id < a.vec_id
               AND list_cosine_similarity(b.v, a.v) >= 0.95
         )
+    """,
+    # Keep-best dedup closed form: in a union-of-cliques pair graph
+    # (the structure q_incremental_winnow_dedup guards loudly) every
+    # member pairs with the clique min, so component = least(x,
+    # min(partner)) in ONE aggregation; winner = max n_chars, ties
+    # lowest id.
+    'q_dedup_keep_best': """
+        WITH toks AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS t
+            FROM documents
+        ), grams AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(t) - 2),
+                       i -> md5(array_to_string(t[i:i+3], ' '))) AS h
+            FROM toks WHERE len(t) >= 6
+        ), fps AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, len(h) - 1),
+                       i -> list_min(h[i:i+2]))) AS fp
+            FROM grams
+        ), p2 AS (
+            SELECT a.doc_id AS x, b.doc_id AS y
+            FROM fps a JOIN fps b
+              ON a.fp = b.fp AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 20
+        ), comp AS (
+            SELECT x AS doc_id, least(x, min(y)) AS root
+            FROM p2 GROUP BY x
+        ), winners AS (
+            SELECT doc_id FROM (
+                SELECT c.doc_id,
+                       row_number() OVER (
+                           PARTITION BY c.root
+                           ORDER BY d.n_chars DESC, c.doc_id ASC
+                       ) AS rn
+                FROM comp c JOIN documents d USING (doc_id)
+            ) WHERE rn = 1
+        )
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM comp)
+        UNION ALL
+        SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
+        FROM winners w JOIN documents d USING (doc_id)
     """,
     # Streaming winnow fold closed form (union-of-cliques pair graph
     # + id-ordered arrival => accepted = no lower-id partner): the

@@ -1482,3 +1482,46 @@ class TestEmbeddingIndex:
         uncapped = dd.embedding_index_probe(
             idx, new, dim=3, max_bucket_size=None).count()
         assert uncapped == 50
+
+
+class TestKeepBestDuplicate:
+    def _kept(self, spark, rows, pairs):
+        df = spark.createDataFrame(
+            rows, 'doc_id bigint, score double')
+        pdf = spark.createDataFrame(pairs, 'id_a bigint, id_b bigint')
+        return {r['doc_id'] for r in dd.keep_best_duplicate(
+            df, pdf, 'doc_id', 'score').collect()}
+
+    def test_best_score_wins_per_cluster(self, spark_session):
+        rows = [(1, 0.2), (2, 0.9), (3, 0.5),   # cluster {1,2,3}
+                (4, 0.1), (5, 0.1),             # cluster {4,5} tie
+                (6, 0.7)]                       # loner
+        pairs = [(1, 2), (2, 3), (4, 5)]
+        kept = self._kept(spark_session, rows, pairs)
+        assert kept == {2, 4, 6}  # best, tie->lowest id, loner
+
+    def test_null_scores_rank_last(self, spark_session):
+        rows = [(1, None), (2, 0.1), (3, None)]
+        kept = self._kept(spark_session, rows, [(1, 2), (2, 3)])
+        assert kept == {2}
+
+    def test_all_null_tie_keeps_lowest_id(self, spark_session):
+        rows = [(7, None), (9, None)]
+        kept = self._kept(spark_session, rows, [(7, 9)])
+        assert kept == {7}
+
+    def test_chain_resolves_one_component(self, spark_session):
+        # a path (not a clique): 1-2-3-4-5; CC must merge it all
+        rows = [(i, float(i)) for i in range(1, 6)]
+        kept = self._kept(
+            spark_session, rows, [(1, 2), (2, 3), (3, 4), (4, 5)])
+        assert kept == {5}  # highest score in the single component
+
+    def test_matches_lowest_id_when_score_is_neg_id(
+            self, spark_session):
+        """score = -id makes keep-best equal greedy keep-lowest-id —
+        cross-checked against the established dedup rule."""
+        rows = [(i, float(-i)) for i in range(20)]
+        pairs = [(i, i + 10) for i in range(10)]
+        kept = self._kept(spark_session, rows, pairs)
+        assert kept == set(range(10))
