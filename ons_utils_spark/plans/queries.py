@@ -3529,8 +3529,33 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> SparkDF:
     recovers the component) and replays the winner rule with a
     ranked window."""
     (documents,) = _t(spark, sf_dir, 'documents')
+    # one execution of the winnow pipeline: the guard collect and
+    # the CC iteration both read the checkpointed pair frame
     pairs = dd.winnow_dup_pairs(
-        documents, 'doc_id', 'text', k=4, w=3, min_shared=20)
+        documents, 'doc_id', 'text', k=4, w=3,
+        min_shared=20).localCheckpoint()
+    # LOUD guard (same pattern as q_incremental_winnow_dedup): the
+    # oracle recovers components as least(x, min(partner)), which is
+    # only the true component when the pair graph is a union of
+    # cliques.  Verify that one-hop closure here so a testdata
+    # regeneration that breaks the structure raises with a diagnosis
+    # instead of an opaque hash mismatch.  The pair frame is tiny
+    # (~hundreds of rows at the gate SFs), so this is one cheap
+    # driver-side check per run.
+    edges = {}
+    for r in pairs.select('id_a', 'id_b').collect():
+        edges.setdefault(r['id_a'], set()).add(r['id_b'])
+        edges.setdefault(r['id_b'], set()).add(r['id_a'])
+    for x, nbrs in edges.items():
+        root = min(x, min(nbrs))
+        want = (edges[root] | {root}) - {x}
+        if nbrs != want:
+            raise ValueError(
+                'q_dedup_keep_best guard tripped: the winnow pair '
+                f'graph is not a union of cliques around node {x} '
+                f'(root {root}) — the regenerated corpus broke the '
+                'closed-form oracle assumption; rework the oracle '
+                'with a recursive-CTE component replay.')
     kept = dd.keep_best_duplicate(
         documents.select('doc_id', 'n_chars'), pairs,
         'doc_id', 'n_chars')
