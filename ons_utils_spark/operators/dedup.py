@@ -967,10 +967,16 @@ def minhash_dedup(
         # live in executor storage (never the driver) and are cleaned
         # by the ContextCleaner once the caller drops the result.
         # No id-level distinct: the anti-join is duplicate-
-        # insensitive, and a dropped id repeats at most once per
-        # band it collided in (bounded ≤ bands), so deduplicating
-        # here costs a full shuffle to shrink an already-tiny frame
-        # by a small constant factor.
+        # insensitive.  A dropped id repeats once per distinct
+        # verified lower-id partner × band collided in — partners
+        # are bounded by the near-dup family size as capped by
+        # ``max_bucket_size``, NOT a small constant, so the
+        # checkpointed drop-list can inflate ~quadratically in
+        # family size.  The trade accepted here: typical corpora
+        # have small families and the saved full shuffle wins
+        # (A/B-measured r10); a pathological clone-heavy corpus
+        # should pass ``collapse_identical=True`` (exact clones
+        # collapse before banding) or restore a distinct upstream.
         to_drop = _reliable_checkpoint(
             verified.select(F.col('id_b').alias(id_col)),
             checkpoint_dir,
@@ -1385,10 +1391,16 @@ def simhash_dedup(
         if fam_drops is not None:
             dropped = dropped.unionByName(fam_drops)
         # No id-level distinct: the anti-join is duplicate-
-        # insensitive and a dropped id repeats at most once per
-        # block it collided in (bounded ≤ 4), so deduplicating here
-        # costs a full shuffle to shrink an already-tiny frame by a
-        # small constant factor.
+        # insensitive.  A dropped id repeats once per distinct
+        # within-Hamming lower-id partner × block collided in (and
+        # these pairs are not pair-distinct either) — partners are
+        # bounded by the near-dup family size as capped by
+        # ``max_bucket_size``, NOT a small constant, so the
+        # checkpointed drop-list can inflate ~quadratically in
+        # family size.  Trade accepted as in minhash_dedup above:
+        # small families dominate real corpora and the saved full
+        # shuffle wins (A/B-measured r10); clone-heavy corpora
+        # should collapse identical docs upstream.
         to_drop = _reliable_checkpoint(
             dropped.select(F.col('__id').alias(id_col)),
             checkpoint_dir,
@@ -2341,9 +2353,12 @@ def keep_best_duplicate(
     ).withColumnRenamed('node', '__node')
     in_pairs = comp.select(F.col('__node').alias(id_col))
     # (score, -id) struct comparison: max score wins, ties take the
-    # lowest id; NULL scores coalesce below any real value
+    # lowest id; NULL *and NaN* scores coalesce below any real value
+    # (Spark orders NaN above +Infinity, so a raw max_by would keep
+    # a NaN-scored row over genuinely scored ones)
+    score = F.col(score_col).cast('double')
     rank_key = F.struct(
-        F.coalesce(F.col(score_col).cast('double'),
+        F.coalesce(F.when(~F.isnan(score), score),
                    F.lit(float('-inf'))).alias('s'),
         (-F.col(id_col).cast('long')).alias('neg_id'),
     )

@@ -2103,15 +2103,15 @@ def keyframe_payloads(
                 'byte_size', 'frame_bytes']
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row[payload_col] or b'')
+            for media_id, raw in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(raw or b'')
                 table = mp4_sample_table(payload)
                 for idx, pts, key, off, size in table or ():
                     if keyframes_only and not key:
                         continue
                     if off < 0 or size < 0 or off >= len(payload):
                         continue
-                    rows.append((row[id_col], idx, pts, key, size,
+                    rows.append((media_id, idx, pts, key, size,
                                  payload[off:off + size]))
             yield pd.DataFrame(rows, columns=cols)
 

@@ -39,9 +39,12 @@ def with_shard_id(
     positions)."""
     if shard_size <= 0:
         raise ValueError(f'shard_size must be positive, got {shard_size}')
+    # integer division in the JVM (`div`), NOT `/` + cast: the float
+    # path truncates exactly only while position fits double ulp
+    # headroom (~2^53); `div` is exact for every bigint position
     return df.withColumn(
         shard_col,
-        (F.col(position_col) / shard_size).cast('bigint'))
+        F.expr(f'`{position_col}` div {int(shard_size)}'))
 
 
 def write_training_shards(

@@ -17,20 +17,27 @@ Scale notes:
   to matching buckets instead of scanning the full store.
 - Per batch: one self-dedup over the (small) batch, one equi-join of
   batch fingerprints against the store, zero driver-side loops.
-- Idempotence (effective exactly-once): each batch commits in three
-  separate atomic appends — fingerprint/band rows (tagged
-  ``_batch_id``), accepted docs, then ONE null-fp marker row LAST.
-  A batch whose marker exists is fully committed and skipped on
-  replay (the unconditional marker also covers zero-fingerprint
-  batches).  A batch with store rows but NO marker crashed
-  mid-commit: the replay recomputes the identical survivor set
-  (the pipeline is deterministic), skips the already-written store
-  rows, reconciles the docs append against the ids already in
-  ``out_dir`` (an out_dir scan on this rare path only), and writes
-  the marker — no duplicate accepted rows, no lost survivors.  The
-  store read for overlap detection always excludes the current
-  batch's own rows, so a crashed attempt's rows can never make a
-  batch drop against itself.
+- Idempotence (effective exactly-once): each batch commits in FOUR
+  separate atomic appends — a ``begin`` sentinel row FIRST, then
+  fingerprint/band rows (tagged ``_batch_id``), accepted docs, and
+  ONE ``commit`` marker row LAST.  Sentinels carry
+  ``_marker IN ('begin', 'commit')``; data rows have a NULL
+  ``_marker``.  A batch whose commit marker exists is fully
+  committed and skipped on replay.  A batch with a begin sentinel
+  (or data rows) but NO commit marker crashed mid-commit: the
+  replay recomputes the identical survivor set (the pipeline is
+  deterministic), skips the store-data append iff data rows already
+  landed (re-appending a zero-row frame is harmless either way),
+  reconciles the docs append against the ids already in ``out_dir``
+  (an out_dir scan on this rare path only), and writes the commit
+  marker — no duplicate accepted rows, no lost survivors.  The
+  begin-first ordering is what covers ZERO-fingerprint batches: a
+  crash between the docs append and the commit marker would
+  otherwise leave no store evidence at all, and the replay would
+  append the docs a second time.  The store read for overlap
+  detection always excludes the current batch's own rows, so a
+  crashed attempt's rows can never make a batch drop against
+  itself.
 """
 from __future__ import annotations
 
@@ -56,34 +63,49 @@ def _store_exists(store_dir: str) -> bool:
         name.endswith('.parquet') for name in os.listdir(store_dir))
 
 
-def _batch_state(store, key_col: str, batch_id: int):
-    """(committed, partial) for ``batch_id`` against a store frame.
+def _batch_state(store, batch_id: int):
+    """(committed, partial, data_done) for ``batch_id``.
 
-    ``committed`` = the batch's null-``key_col`` marker row exists
-    (written last — the whole batch landed).  ``partial`` = the
-    batch left store rows but no marker (crash mid-commit): the
-    replay must skip the store append and reconcile the docs
-    append.  One filtered scan, evaluated once.
+    ``committed`` = the batch's ``commit`` marker exists (written
+    last — the whole batch landed).  ``partial`` = uncommitted but a
+    ``begin`` sentinel or data rows exist (crash mid-commit): the
+    replay must reconcile the docs append against ``out_dir``.
+    ``data_done`` = data rows landed (appends are atomic, so this
+    means ALL of them did) — the replay skips the store-data append;
+    when false it re-appends, which for the only undetectable case
+    (a zero-fingerprint batch) appends zero rows and is harmless.
+    One filtered scan, evaluated once.
     """
     rows = store.filter(F.col('_batch_id') == batch_id)
     agg = rows.agg(
-        F.count(F.lit(1)).alias('n'),
-        F.sum(F.when(F.col(key_col).isNull(), 1).otherwise(0))
-        .alias('markers'),
+        F.sum(F.when(F.col('_marker') == 'commit', 1).otherwise(0))
+        .alias('commits'),
+        F.sum(F.when(F.col('_marker') == 'begin', 1).otherwise(0))
+        .alias('begins'),
+        F.sum(F.when(F.col('_marker').isNull(), 1).otherwise(0))
+        .alias('data'),
     ).collect()[0]
-    committed = (agg['markers'] or 0) > 0
-    return committed, (not committed and agg['n'] > 0)
+    committed = (agg['commits'] or 0) > 0
+    data_done = (agg['data'] or 0) > 0
+    partial = not committed and (data_done or (agg['begins'] or 0) > 0)
+    return committed, partial, data_done
 
 
-def _marker_row(spark, schema_fields, batch_id: int):
+def _marker_row(spark, schema_fields, batch_id: int, kind: str):
+    """One all-NULL-key sentinel row: ``kind`` is 'begin' (written
+    FIRST, before any other append) or 'commit' (written LAST).
+    NULL keys keep sentinels invisible to every overlap equi-join.
+    """
+    fields = [f for f in schema_fields
+              if f.name not in ('_batch_id', '_marker')]
     marker = spark.createDataFrame(
-        [tuple(None for _ in schema_fields)],
+        [tuple(None for _ in fields)],
         schema=StructType([
-            StructField(f.name, f.dataType, True)
-            for f in schema_fields
+            StructField(f.name, f.dataType, True) for f in fields
         ]),
     )
-    return marker.withColumn('_batch_id', F.lit(batch_id))
+    return (marker.withColumn('_batch_id', F.lit(batch_id))
+            .withColumn('_marker', F.lit(kind)))
 
 
 def incremental_winnow_dedup(
@@ -122,10 +144,11 @@ def incremental_winnow_dedup(
         if batch_df.isEmpty():
             return
         have_store = _store_exists(store_dir)
-        partial = False
+        partial, data_done = False, False
         if have_store:
             store = spark.read.parquet(store_dir)
-            committed, partial = _batch_state(store, 'fp', batch_id)
+            committed, partial, data_done = _batch_state(
+                store, batch_id)
             if committed:
                 return  # replayed batch — already fully committed
             # overlap detection must never see THIS batch's own rows
@@ -156,16 +179,21 @@ def incremental_winnow_dedup(
                 dup_ids.withColumnRenamed('id', id_col),
                 on=id_col, how='left_anti')
             fps = fps.join(dup_ids, on='id', how='left_anti')
-        # 3. three-step commit (each append is atomic under Spark's
+        # 3. four-step commit (each append is atomic under Spark's
         # output-commit protocol; the splits bound every crash
-        # window — see the module docstring).  The null-fp marker is
-        # unconditional: a batch whose accepted docs are all shorter
-        # than k+w-1 tokens yields zero fingerprints, and without
-        # the marker a replay would not see it as committed.  Null
-        # fp never matches the store equi-join above, so markers are
-        # invisible to overlap detection.
+        # window — see the module docstring).  The begin sentinel is
+        # written FIRST and unconditionally covers zero-fingerprint
+        # batches: without it, a crash between the docs append and
+        # the commit marker would leave no store evidence at all
+        # (n=0 data rows) and the replay would re-append the docs.
+        # Null fp never matches the store equi-join above, so
+        # sentinels are invisible to overlap detection.
         if not partial:
+            _marker_row(spark, fps.schema.fields, batch_id,
+                        'begin').write.mode('append').parquet(store_dir)
+        if not data_done:
             (fps.withColumn('_batch_id', F.lit(batch_id))
+                .withColumn('_marker', F.lit(None).cast('string'))
                 .write.mode('append').parquet(store_dir))
         docs_out = clean
         if partial and _store_exists(out_dir):
@@ -175,7 +203,7 @@ def incremental_winnow_dedup(
                 spark.read.parquet(out_dir).select(id_col),
                 on=id_col, how='left_anti')
         docs_out.write.mode('append').parquet(out_dir)
-        _marker_row(spark, fps.schema.fields, batch_id) \
+        _marker_row(spark, fps.schema.fields, batch_id, 'commit') \
             .write.mode('append').parquet(store_dir)
 
     return foreach_batch_sink(
@@ -221,14 +249,15 @@ def incremental_embedding_dedup(
     are baked into the stored bucket keys: every run against the same
     ``store_dir`` MUST use the same values or probes silently miss.
 
-    Idempotence mirrors :func:`incremental_winnow_dedup` (three
-    atomic appends — band rows, docs, then one unconditional
-    null-band marker row LAST; a batch of all-NULL embeddings bands
-    to zero rows, so commit detection cannot rely on band rows).
-    Replays of a committed batch skip; a mid-commit crash replays by
+    Idempotence mirrors :func:`incremental_winnow_dedup` (four
+    atomic appends — a ``begin`` sentinel FIRST, band rows, docs,
+    then one ``commit`` marker row LAST; a batch of all-NULL
+    embeddings bands to zero rows, so crash detection cannot rely
+    on band rows — the begin sentinel covers that case).  Replays of
+    a committed batch skip; a mid-commit crash replays by
     recomputing the identical survivor set, skipping the
     already-written band rows, reconciling the docs append against
-    ``out_dir`` ids, and writing the marker — effective
+    ``out_dir`` ids, and writing the commit marker — effective
     exactly-once, no duplicate accepted rows (see the module
     docstring).
 
@@ -246,10 +275,11 @@ def incremental_embedding_dedup(
         if batch_df.isEmpty():
             return
         have_store = _store_exists(store_dir)
-        partial = False
+        partial, data_done = False, False
         if have_store:
             store = spark.read.parquet(store_dir)
-            committed, partial = _batch_state(store, 'band', batch_id)
+            committed, partial, data_done = _batch_state(
+                store, batch_id)
             if committed:
                 return  # replayed batch — already fully committed
             # the probe must never see THIS batch's own band rows (a
@@ -290,17 +320,23 @@ def incremental_embedding_dedup(
                 .select(F.col('new_id').alias(id_col)).distinct()
             )
             clean = clean.join(dup_ids, on=id_col, how='left_anti')
-        # 3. three-step commit (band rows, docs, marker LAST — each
-        # append atomic; see the module docstring).  The null-band
-        # marker is unconditional so an all-NULL-embedding batch is
-        # still detected as committed on replay; null band rows are
-        # filtered out of every probe, so markers are invisible to
-        # overlap detection.
+        # 3. four-step commit (begin sentinel FIRST, band rows,
+        # docs, commit marker LAST — each append atomic; see the
+        # module docstring).  The begin sentinel covers an
+        # all-NULL-embedding batch (zero band rows): without it a
+        # crash between the docs append and the commit marker would
+        # leave no store evidence and the replay would re-append the
+        # docs.  Null band rows are filtered out of every probe, so
+        # sentinels are invisible to overlap detection.
         band_rows = embedding_band_index(
             clean, id_col, vec_col, dim=dim, bands=bands,
             planes_per_band=planes_per_band, seed=seed)
         if not partial:
+            _marker_row(spark, band_rows.schema.fields, batch_id,
+                        'begin').write.mode('append').parquet(store_dir)
+        if not data_done:
             (band_rows.withColumn('_batch_id', F.lit(batch_id))
+                .withColumn('_marker', F.lit(None).cast('string'))
                 .write.mode('append').parquet(store_dir))
         docs_out = clean
         if partial and _store_exists(out_dir):
@@ -310,8 +346,8 @@ def incremental_embedding_dedup(
                 spark.read.parquet(out_dir).select(id_col),
                 on=id_col, how='left_anti')
         docs_out.write.mode('append').parquet(out_dir)
-        _marker_row(spark, band_rows.schema.fields, batch_id) \
-            .write.mode('append').parquet(store_dir)
+        _marker_row(spark, band_rows.schema.fields, batch_id,
+                    'commit').write.mode('append').parquet(store_dir)
 
     return foreach_batch_sink(
         vecs_stream, process, checkpoint,

@@ -1510,6 +1510,20 @@ class TestKeepBestDuplicate:
         kept = self._kept(spark_session, rows, [(7, 9)])
         assert kept == {7}
 
+    def test_nan_scores_rank_last(self, spark_session):
+        """Spark orders NaN ABOVE +Infinity, so a raw max_by would
+        keep the NaN row; keep_best must fold NaN into the same
+        below-everything bucket as NULL."""
+        rows = [(1, float('nan')), (2, 0.1), (3, float('nan'))]
+        kept = self._kept(spark_session, rows, [(1, 2), (2, 3)])
+        assert kept == {2}
+
+    def test_all_nan_and_null_tie_keeps_lowest_id(self, spark_session):
+        rows = [(7, float('nan')), (9, None), (11, float('nan'))]
+        kept = self._kept(
+            spark_session, rows, [(7, 9), (9, 11)])
+        assert kept == {7}
+
     def test_chain_resolves_one_component(self, spark_session):
         # a path (not a clique): 1-2-3-4-5; CC must merge it all
         rows = [(i, float(i)) for i in range(1, 6)]

@@ -125,12 +125,17 @@ class TestIncrementalWinnowDedup:
                  'topics that shares no running grams with anyone'),
         ]
         _stage(tmp_path, docs, n_chunks=2)
-        # manufacture the crashed batch-0 state: chunk 0 = {1, 2},
-        # both survive; fps + docs written, NO marker
+        # manufacture the crashed batch-0 state exactly as the
+        # writer produces it: begin sentinel + fps + docs written,
+        # NO commit marker
+        from ons_utils_spark.streaming.incremental import _marker_row
         surv = spark_session.createDataFrame(
             docs[:2], 'doc_id long, text string')
-        (winnow_fingerprints(surv, 'doc_id', 'text')
-            .withColumn('_batch_id', F.lit(0))
+        fps = winnow_fingerprints(surv, 'doc_id', 'text')
+        (_marker_row(spark_session, fps.schema.fields, 0, 'begin')
+            .write.mode('append').parquet(str(tmp_path / 'store')))
+        (fps.withColumn('_batch_id', F.lit(0))
+            .withColumn('_marker', F.lit(None).cast('string'))
             .write.mode('append')
             .parquet(str(tmp_path / 'store')))
         surv.write.mode('append').parquet(str(tmp_path / 'accepted'))
@@ -154,10 +159,59 @@ class TestIncrementalWinnowDedup:
         ids = sorted(r['doc_id'] for r in spark_session.read.parquet(
             str(tmp_path / 'accepted')).collect())
         assert ids == [1, 2, 11], ids  # no duplicate 1/2; 10 dropped
-        # batch 0 is now marker-committed in the store
+        # batch 0 is now commit-marked in the store, exactly once
         store = spark_session.read.parquet(str(tmp_path / 'store'))
         assert store.filter(
-            (F.col('_batch_id') == 0) & F.col('fp').isNull()).count() == 1
+            (F.col('_batch_id') == 0)
+            & (F.col('_marker') == 'commit')).count() == 1
+
+    def test_zero_fp_crash_after_docs_before_marker(
+            self, spark_session, tmp_path):
+        """THE zero-row hole: batch 0's docs are all shorter than
+        k+w-1 tokens (zero fingerprints), and the crash lands after
+        the docs append but before the commit marker.  Without the
+        begin sentinel the store holds no evidence of batch 0 at
+        all, so a replay re-appends the docs — duplicating rows.
+        The begin-first protocol must detect the partial batch and
+        reconcile."""
+        from ons_utils_spark.operators.dedup import (
+            winnow_fingerprints)
+        from ons_utils_spark.streaming.incremental import (
+            _marker_row, incremental_winnow_dedup)
+
+        docs = [
+            (1, 'tiny doc'),          # chunk 0 (zero fps)
+            (2, 'three short words'),
+            (3, 'also very small'),   # chunk 1
+        ]
+        _stage(tmp_path, docs, n_chunks=2)
+        # crashed batch-0 state: begin sentinel + docs, no data
+        # rows (there are none to write), NO commit marker
+        surv = spark_session.createDataFrame(
+            docs[:2], 'doc_id long, text string')
+        fps_schema = winnow_fingerprints(
+            surv, 'doc_id', 'text').schema.fields
+        (_marker_row(spark_session, fps_schema, 0, 'begin')
+            .write.mode('append').parquet(str(tmp_path / 'store')))
+        surv.write.mode('append').parquet(str(tmp_path / 'accepted'))
+
+        stream = (
+            spark_session.readStream
+            .schema('doc_id long, text string')
+            .option('maxFilesPerTrigger', 1)
+            .json(str(tmp_path / 'docs_src'))
+        )
+        q = incremental_winnow_dedup(
+            stream,
+            out_dir=str(tmp_path / 'accepted'),
+            store_dir=str(tmp_path / 'store'),
+            checkpoint=str(tmp_path / 'ckpt'),
+            min_shared=5,
+        )
+        q.awaitTermination(300)
+        got = [r['doc_id'] for r in spark_session.read.parquet(
+            str(tmp_path / 'accepted')).collect()]
+        assert sorted(got) == [1, 2, 3], got  # no duplicated docs
 
     def test_matches_eager_chunk_fold(self, spark_session, tmp_path):
         """The streaming run must equal the same per-chunk fold
@@ -303,13 +357,18 @@ class TestIncrementalEmbeddingDedup:
         e3 = [0.0, 0.0, 1.0, 0.0]
         rows = [(1, e1), (2, e2), (3, e1), (10, e1), (11, e3)]
         _stage_vecs(tmp_path, rows, 2)
-        # crashed batch-0 state: survivors {1, 2} banded into the
-        # store (defaults match incremental_embedding_dedup), no
-        # marker, no docs
+        # crashed batch-0 state: begin sentinel + survivors {1, 2}
+        # banded into the store (defaults match
+        # incremental_embedding_dedup), no commit marker, no docs
+        from ons_utils_spark.streaming.incremental import _marker_row
         surv = spark_session.createDataFrame(
             [(1, e1), (2, e2)], 'vec_id long, embedding array<double>')
-        (embedding_band_index(surv, 'vec_id', 'embedding')
+        bands = embedding_band_index(surv, 'vec_id', 'embedding')
+        (_marker_row(spark_session, bands.schema.fields, 0, 'begin')
+            .write.mode('append').parquet(str(tmp_path / 'store')))
+        (bands
             .withColumn('_batch_id', F.lit(0))
+            .withColumn('_marker', F.lit(None).cast('string'))
             .write.mode('append')
             .parquet(str(tmp_path / 'store')))
         accepted = self._run(spark_session, tmp_path, rows, n_chunks=2)
@@ -321,6 +380,30 @@ class TestIncrementalEmbeddingDedup:
                   .groupBy('vec_id', 'band').count()
                   .filter(F.col('count') > 1).count())
         assert per_id == 0
+
+    def test_zero_band_crash_after_docs_before_marker(
+            self, spark_session, tmp_path):
+        """Embedding twin of the zero-row hole: batch 0 is all-empty
+        embeddings (zero band rows), crash after the docs append but
+        before the commit marker — the begin sentinel is the only
+        store evidence, and the replay must reconcile instead of
+        re-appending the docs."""
+        from ons_utils_spark.operators.dedup import (
+            embedding_band_index)
+        from ons_utils_spark.streaming.incremental import _marker_row
+
+        rows = [(1, []), (2, []), (3, [])]
+        _stage_vecs(tmp_path, rows, 2)
+        surv = spark_session.createDataFrame(
+            [(1, []), (2, [])], 'vec_id long, embedding array<double>')
+        band_schema = embedding_band_index(
+            surv, 'vec_id', 'embedding').schema.fields
+        (_marker_row(spark_session, band_schema, 0, 'begin')
+            .write.mode('append').parquet(str(tmp_path / 'store')))
+        surv.write.mode('append').parquet(str(tmp_path / 'accepted'))
+        accepted = self._run(spark_session, tmp_path, rows, n_chunks=2)
+        got = [r['vec_id'] for r in accepted.collect()]
+        assert sorted(got) == [1, 2, 3], got  # no duplicated docs
 
     def test_matches_eager_chunk_fold(self, spark_session, tmp_path):
         """Streaming result equals an independent numpy fold: per

@@ -494,3 +494,19 @@ class TestTrainingShards:
         import pytest as _pt
         with _pt.raises(ValueError, match='positive'):
             with_shard_id(df, 0)
+
+    def test_shard_id_exact_beyond_double_precision(
+            self, spark_session):
+        """Shard assignment must be integer division in the JVM —
+        the old float path ((pos / size).cast('bigint')) silently
+        mis-assigns once position exceeds double's 2^53 exact-int
+        range."""
+        from ons_utils_spark.sources.shards import with_shard_id
+        # 2^53 + 1 is NOT representable as a double; float division
+        # by 3 then truncation lands on the wrong shard
+        big = (1 << 53) + 1
+        df = spark_session.createDataFrame(
+            [(big,), (3 * big + 2,)], 'position bigint')
+        got = {r['position']: r['shard'] for r in with_shard_id(
+            df, 3).collect()}
+        assert got == {big: big // 3, 3 * big + 2: big}
