@@ -1327,10 +1327,25 @@ def q_training_shards(spark: SparkSession, sf_dir: str) -> SparkDF:
     dropped, or duplicated row breaks the match.  Shards live under
     the system temp dir keyed by applicationId (written once per
     session, like the ANN artifacts)."""
+    from ..sources.shards import shard_manifest
+
+    out = _ensure_training_shards(spark, sf_dir)
+    return shard_manifest(spark, out).select(
+        F.col('shard').cast('long').alias('shard'),
+        F.col('n_rows').cast('long').alias('n_rows'),
+        'min_pos', 'max_pos')
+
+
+def _ensure_training_shards(spark: SparkSession, sf_dir: str) -> str:
+    """Write the 64-row training-shard layout of the md5 'epoch1'
+    order once per session (artifact-cached, keyed by applicationId
+    like the ANN artifacts) and return its path — shared by
+    ``q_training_shards`` (manifest) and ``q_shard_resume``
+    (resumable reader)."""
     import tempfile
 
     from ..operators.sampling import global_order_index
-    from ..sources.shards import shard_manifest, write_training_shards
+    from ..sources.shards import write_training_shards
 
     (documents,) = _t(spark, sf_dir, 'documents')
     tag = os.path.basename(os.path.normpath(sf_dir))
@@ -1344,11 +1359,30 @@ def q_training_shards(spark: SparkSession, sf_dir: str) -> SparkDF:
         write_training_shards(ordered, path, shard_size=64)
         return path
 
-    out = _artifact(f'training_shards:{sf_dir}@{app}', _write)
-    return shard_manifest(spark, out).select(
-        F.col('shard').cast('long').alias('shard'),
-        F.col('n_rows').cast('long').alias('n_rows'),
-        'min_pos', 'max_pos')
+    return _artifact(f'training_shards:{sf_dir}@{app}', _write)
+
+
+def q_shard_resume(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Resumable training-shard READ
+    (``sources.shards.read_training_shards``, new r11): resume the
+    ``q_training_shards`` layout from a cursor 3/5 through the
+    corpus.  The ``shard >= cursor//64`` predicate is a PARTITION
+    filter (directories before the resume shard are never listed or
+    scanned — plan pinned in ``tests/test_sources.py``) and the
+    ``position >= cursor`` row predicate trims only the boundary
+    shard.  The oracle replays the md5 epoch order closed form and
+    the same cursor arithmetic, so a dropped, duplicated, or
+    mis-sharded resumed row breaks the hash match."""
+    from ..sources.shards import read_training_shards
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    path = _ensure_training_shards(spark, sf_dir)
+    cursor = (documents.count() * 3) // 5
+    out = read_training_shards(
+        spark, path, start_position=cursor, shard_size=64)
+    return out.select(
+        'doc_id', 'position',
+        F.col('shard').cast('long').alias('shard'))
 
 
 def q_mixture_interleave(spark: SparkSession, sf_dir: str) -> SparkDF:
@@ -4174,6 +4208,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_keyframe_payloads': q_keyframe_payloads,            # NEW r10
     'q_incremental_winnow_dedup': q_incremental_winnow_dedup,  # NEW
     'q_training_shards': q_training_shards,                # NEW r10
+    'q_shard_resume': q_shard_resume,                      # NEW r11
     'q_fractional_epochs': q_fractional_epochs,            # NEW r10
     'q_dedup_keep_best': q_dedup_keep_best,                # NEW r10
     'q_price_trim': q_price_trim,
@@ -5142,6 +5177,23 @@ ORACLES: Dict[str, str] = {
                CAST(min(position) AS BIGINT) AS min_pos,
                CAST(max(position) AS BIGINT) AS max_pos
         FROM pos GROUP BY 1
+    """,
+    # Resumable shard read: the partition-pruned resume slice must
+    # equal "positions >= (3/5)n of the md5 epoch order" replayed as
+    # a closed form (same cursor arithmetic as the Spark side).
+    'q_shard_resume': """
+        WITH pos AS (
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                       ORDER BY md5('epoch1' || CAST(doc_id AS VARCHAR)),
+                                doc_id
+                   ) - 1 AS BIGINT) AS position
+            FROM documents
+        )
+        SELECT doc_id, position,
+               CAST(position // 64 AS BIGINT) AS shard
+        FROM pos
+        WHERE position >= (SELECT count(*) * 3 // 5 FROM documents)
     """,
     'q_video_meta': """
         SELECT doc_id AS media_id,

@@ -25,7 +25,8 @@ from typing import Optional
 from pyspark.sql import DataFrame as SparkDF
 from pyspark.sql import functions as F
 
-__all__ = ['with_shard_id', 'write_training_shards', 'shard_manifest']
+__all__ = ['with_shard_id', 'write_training_shards', 'shard_manifest',
+           'read_training_shards']
 
 
 def with_shard_id(
@@ -78,6 +79,48 @@ def write_training_shards(
         int(n_parts), shard_col, position_col)
     (sharded.sortWithinPartitions(shard_col, position_col)
         .write.mode(mode).partitionBy(shard_col).parquet(path))
+
+
+def read_training_shards(
+    spark,
+    path: str,
+    start_position: int = 0,
+    shard_size: int = None,
+    position_col: str = 'position',
+    shard_col: str = 'shard',
+) -> SparkDF:
+    """Resume a training read from a global ``start_position`` cursor
+    — the consumer the ordered shard sink exists for.
+
+    ``shard_size`` is the value the layout was WRITTEN with (the
+    producer's contract: shard ``s`` holds positions
+    ``[s*shard_size, (s+1)*shard_size)``), so the resume point lives
+    in shard ``start_position // shard_size`` and everything before
+    it never leaves the catalog: the ``shard >=`` predicate is a
+    PARTITION filter (directory pruning — skipped shards are not
+    listed, opened, or scanned), and the ``position >=`` predicate
+    prunes rows only inside the one boundary shard (pushed to the
+    parquet row-group stats, which the partition-local sort made
+    tight).  At 100 TB a mid-corpus resume therefore scans ~half the
+    directories and reads ~one extra row group, not the corpus.
+
+    Rows come back unordered across tasks (Spark contract); a train
+    loop consumes shard directories in ``shard`` order and each
+    part-file is already position-sorted by the writer.
+    """
+    if shard_size is None or shard_size <= 0:
+        raise ValueError(
+            'shard_size must be the positive value the layout was '
+            f'written with, got {shard_size!r}')
+    if start_position < 0:
+        raise ValueError(
+            f'start_position must be >= 0, got {start_position}')
+    first_shard = start_position // shard_size
+    return (
+        spark.read.parquet(path)
+        .filter(F.col(shard_col) >= F.lit(first_shard))
+        .filter(F.col(position_col) >= F.lit(start_position))
+    )
 
 
 def shard_manifest(spark, path: str,

@@ -495,6 +495,58 @@ class TestTrainingShards:
         with _pt.raises(ValueError, match='positive'):
             with_shard_id(df, 0)
 
+    def test_read_resumes_at_cursor(self, spark_session, tmp_path):
+        from ons_utils_spark.sources.shards import (
+            read_training_shards, write_training_shards)
+
+        ordered = self._ordered(spark_session)
+        path = str(tmp_path / 'shards')
+        write_training_shards(ordered, path, shard_size=16)
+        out = read_training_shards(
+            spark_session, path, start_position=37, shard_size=16)
+        got = sorted(r['position'] for r in out.collect())
+        assert got == list(range(37, 100))
+        # cursor exactly on a shard boundary
+        at_boundary = read_training_shards(
+            spark_session, path, start_position=32, shard_size=16)
+        assert at_boundary.count() == 68
+        # cursor past the end -> empty, not an error
+        past = read_training_shards(
+            spark_session, path, start_position=1000, shard_size=16)
+        assert past.count() == 0
+
+    def test_read_prunes_shard_directories(self, spark_session,
+                                           tmp_path):
+        """The resume scan must touch only shard >= cursor//size
+        directories — a partition filter, not a post-scan row
+        filter."""
+        from pyspark.sql import functions as F
+        from ons_utils_spark.sources.shards import (
+            read_training_shards, write_training_shards)
+
+        ordered = self._ordered(spark_session)
+        path = str(tmp_path / 'shards')
+        write_training_shards(ordered, path, shard_size=16)
+        out = read_training_shards(
+            spark_session, path, start_position=70, shard_size=16)
+        # files actually opened at execution are the pruned set
+        files = [r[0] for r in out.select(
+            F.input_file_name()).distinct().collect()]
+        assert files, 'expected surviving files'
+        assert all(any(f'shard={s}' in f for s in (4, 5, 6))
+                   for f in files), files
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert 'PartitionFilters' in plan
+
+    def test_read_rejects_missing_shard_size(self, spark_session):
+        import pytest as _pt
+        from ons_utils_spark.sources.shards import read_training_shards
+        with _pt.raises(ValueError, match='shard_size'):
+            read_training_shards(spark_session, '/tmp/x', 0)
+        with _pt.raises(ValueError, match='start_position'):
+            read_training_shards(
+                spark_session, '/tmp/x', -1, shard_size=16)
+
     def test_shard_id_exact_beyond_double_precision(
             self, spark_session):
         """Shard assignment must be integer division in the JVM —
