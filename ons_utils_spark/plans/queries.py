@@ -4181,79 +4181,22 @@ def q_group_quantile_ladder(spark: SparkSession, sf_dir: str) -> SparkDF:
 # --------------------------------------------------------------------
 
 # Ordering policy: the external correctness gate verifies the FIRST
-# 50 registry entries per round.  Entries are therefore rotated each
-# round so never-yet-verified queries occupy the front window, with
-# rows-only (no-oracle) entries placed after hash-checkable ones.
-# Rounds 1-4 drove 100 of the 121 declared queries to a driver
-# correctness row (94 fully green).  Round 5 front-loads the final 21
-# never-driver-checked queries plus the 3 whose emission changed this
-# round — after this rotation every declared query has a driver row.
+# 50 registry entries per round.  The whole registry is kept in
+# oldest-driver-green-first order (never-verified first, prior
+# registry order as tie-break — the mechanical rule
+# tools/gen_query_inventory.py prints), so the front window is always
+# the 50 stalest queries and re-verification staleness stays bounded
+# as the suite grows.  New queries enter with no driver row and so
+# sort to the front automatically.
 QUERIES: Dict[str, QueryFn] = {
-    # -- round-10 verification window (first 50) ------------------
-    # Leads with the six queries that have never had a driver
-    # correctness row (all NEW in r9, registered after that round's
-    # window froze; all mirror-green at sf0.001/0.01/0.1), then
-    # fills oldest-verified-first: 44 of the 46 r5-verified queries
-    # in registry order (the staleness rule
-    # tools/gen_query_inventory.py now proposes mechanically).
-    # Displaced: the 50 r9-verified window queries, parked at the
-    # bottom as the freshest set.  q_substring_dups and q_line_dedup
-    # are the r5 overflow — first fills for the r11 rotation.
-    'q_embedding_index_probe': q_embedding_index_probe,
-    'q_incremental_embedding_dedup': q_incremental_embedding_dedup,
-    'q_video_meta': q_video_meta,
-    'q_mp4_keyframes': q_mp4_keyframes,
-    'q_global_shuffle': q_global_shuffle,
-    'q_mixture_interleave': q_mixture_interleave,
-    'q_keyframe_payloads': q_keyframe_payloads,            # NEW r10
-    'q_incremental_winnow_dedup': q_incremental_winnow_dedup,  # NEW
-    'q_training_shards': q_training_shards,                # NEW r10
-    'q_shard_resume': q_shard_resume,                      # NEW r11
-    'q_fractional_epochs': q_fractional_epochs,            # NEW r10
-    'q_dedup_keep_best': q_dedup_keep_best,                # NEW r10
-    'q_price_trim': q_price_trim,
-    'q8_market_share': q8_market_share,
-    'q9_product_profit': q9_product_profit,
-    'q10_returned_customers': q10_returned_customers,
-    'q11_important_parts': q11_important_parts,
-    'q12_late_shipments': q12_late_shipments,
-    'q13_order_distribution': q13_order_distribution,
-    'q17_small_qty_revenue': q17_small_qty_revenue,
-    'q20_promo_suppliers': q20_promo_suppliers,
-    'q_top_parts_array': q_top_parts_array,
-    'q_lm_score': q_lm_score,
-    'q_train_split': q_train_split,
-    'q_tfidf_top_terms': q_tfidf_top_terms,
-    'q_pack_bins': q_pack_bins,
-    'q_pack_assemble': q_pack_assemble,
-    'q_stratified_sample': q_stratified_sample,
-    'q_scd2_history': q_scd2_history,
-    'q_source_overlap': q_source_overlap,
-    'q_js_divergence': q_js_divergence,
-    'q_interval_join': q_interval_join,
-    'q_key_skew': q_key_skew,
-    'q_mad_outliers': q_mad_outliers,
-    'q_ewma': q_ewma,
-    'q_vector_math': q_vector_math,
-    'q_weighted_sample': q_weighted_sample,
-    'q_mixture_sample': q_mixture_sample,
-    'q_profile_docs': q_profile_docs,
-    'q_winsorized_revenue': q_winsorized_revenue,
-    'q_vocab_coverage': q_vocab_coverage,
-    'q_seed_classifier': q_seed_classifier,
-    'q_group_quantile_ladder': q_group_quantile_ladder,
-    'q_minhash_pairs': q_minhash_pairs,
-    'q_simhash_pairs': q_simhash_pairs,
-    'q_bitmap_distinct': q_bitmap_distinct,
-    'q_zorder_stats': q_zorder_stats,
-    'q_inverted_index': q_inverted_index,
-    'q_term_search': q_term_search,
-    'q_bm25_topk': q_bm25_topk,
-    'q_pagerank': q_pagerank,
-    # -- below the 50-slot window ---------------------------------
-    # r5 overflow (stalest remaining — lead the r11 rotation), then
-    # the r6 set, the r7/r8-verified TPC-H fills, and finally the
-    # 50 queries the r9 driver window just re-verified (freshest).
+    # -- round-12 verification window (first 50) ------------------
+    # Mechanical oldest-verified-first rotation (the rule
+    # tools/gen_query_inventory.py proposes each round): leads with
+    # the seven r5-stale queries (q_triangles ... q_line_dedup, six
+    # rounds without driver evidence), then the r6 set.  Below the
+    # window the remaining queries continue in the same staleness
+    # order, freshest (r11-verified) last.
+    # last driver-green: r5
     'q_triangles': q_triangles,
     'q_bfs_hops': q_bfs_hops,
     'q_rolling_anomaly': q_rolling_anomaly,
@@ -4261,6 +4204,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_label_prop': q_label_prop,
     'q_substring_dups': q_substring_dups,
     'q_line_dedup': q_line_dedup,
+    # last driver-green: r6
     'q1_pricing_summary': q1_pricing_summary,
     'q2_revenue_by_nation': q2_revenue_by_nation,
     'q3_top_orders': q3_top_orders,
@@ -4304,18 +4248,19 @@ QUERIES: Dict[str, QueryFn] = {
     'q_pq_topk': q_pq_topk,
     'q_ivf_pq_topk': q_ivf_pq_topk,
     'q_hilbert_stats': q_hilbert_stats,
+    # -- below the 50-slot window ---------------------------------
     'q_cms_heavy_hitters': q_cms_heavy_hitters,
     'q_rrf_fusion': q_rrf_fusion,
     'q_gopher_rules': q_gopher_rules,
     'q_semantic_dedup': q_semantic_dedup,
     'q_hard_negatives': q_hard_negatives,
-    # r7/r8-verified TPC-H fills.
+    # last driver-green: r8
     'q7_nation_volume': q7_nation_volume,
     'q14_promo_share': q14_promo_share,
     'q15_top_supplier': q15_top_supplier,
     'q16_supplier_variety': q16_supplier_variety,
     'q18_big_orders': q18_big_orders,
-    # The 50 queries the r9 driver window verified (freshest set).
+    # last driver-green: r9
     'q_minhash_index_probe': q_minhash_index_probe,
     'q_simhash_index_probe': q_simhash_index_probe,
     'q_ivf_index_probe': q_ivf_index_probe,
@@ -4366,6 +4311,59 @@ QUERIES: Dict[str, QueryFn] = {
     'q_minhash_dedup': q_minhash_dedup,
     'q_simhash_dedup': q_simhash_dedup,
     'q_minhash_dedup_verified': q_minhash_dedup_verified,
+    # last driver-green: r10
+    'q_pagerank': q_pagerank,
+    # last driver-green: r11
+    'q_embedding_index_probe': q_embedding_index_probe,
+    'q_incremental_embedding_dedup': q_incremental_embedding_dedup,
+    'q_video_meta': q_video_meta,
+    'q_mp4_keyframes': q_mp4_keyframes,
+    'q_global_shuffle': q_global_shuffle,
+    'q_mixture_interleave': q_mixture_interleave,
+    'q_keyframe_payloads': q_keyframe_payloads,
+    'q_incremental_winnow_dedup': q_incremental_winnow_dedup,
+    'q_training_shards': q_training_shards,
+    'q_shard_resume': q_shard_resume,
+    'q_fractional_epochs': q_fractional_epochs,
+    'q_dedup_keep_best': q_dedup_keep_best,
+    'q_price_trim': q_price_trim,
+    'q8_market_share': q8_market_share,
+    'q9_product_profit': q9_product_profit,
+    'q10_returned_customers': q10_returned_customers,
+    'q11_important_parts': q11_important_parts,
+    'q12_late_shipments': q12_late_shipments,
+    'q13_order_distribution': q13_order_distribution,
+    'q17_small_qty_revenue': q17_small_qty_revenue,
+    'q20_promo_suppliers': q20_promo_suppliers,
+    'q_top_parts_array': q_top_parts_array,
+    'q_lm_score': q_lm_score,
+    'q_train_split': q_train_split,
+    'q_tfidf_top_terms': q_tfidf_top_terms,
+    'q_pack_bins': q_pack_bins,
+    'q_pack_assemble': q_pack_assemble,
+    'q_stratified_sample': q_stratified_sample,
+    'q_scd2_history': q_scd2_history,
+    'q_source_overlap': q_source_overlap,
+    'q_js_divergence': q_js_divergence,
+    'q_interval_join': q_interval_join,
+    'q_key_skew': q_key_skew,
+    'q_mad_outliers': q_mad_outliers,
+    'q_ewma': q_ewma,
+    'q_vector_math': q_vector_math,
+    'q_weighted_sample': q_weighted_sample,
+    'q_mixture_sample': q_mixture_sample,
+    'q_profile_docs': q_profile_docs,
+    'q_winsorized_revenue': q_winsorized_revenue,
+    'q_vocab_coverage': q_vocab_coverage,
+    'q_seed_classifier': q_seed_classifier,
+    'q_group_quantile_ladder': q_group_quantile_ladder,
+    'q_minhash_pairs': q_minhash_pairs,
+    'q_simhash_pairs': q_simhash_pairs,
+    'q_bitmap_distinct': q_bitmap_distinct,
+    'q_zorder_stats': q_zorder_stats,
+    'q_inverted_index': q_inverted_index,
+    'q_term_search': q_term_search,
+    'q_bm25_topk': q_bm25_topk,
 }
 
 
