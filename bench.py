@@ -66,17 +66,22 @@ def main() -> None:
     # repeat passes per query, report the per-query median — robust
     # to the host's load spikes (observed ±40% on single shots)
     # without the min's systematic optimism.  A wall-clock budget
-    # (SPARK_GRAFT_BENCH_BUDGET seconds, default 500) bounds the
-    # TOTAL run: as the suite grows, later repeat passes are dropped
-    # rather than blowing the harness timeout — one complete pass is
-    # always finished, and `repeat` in the output records how many
-    # actually ran.
-    # 540s default: must stay under the driver's harness timeout with
-    # ~30s of startup margin, while leaving room for warmup + 2 timed
-    # passes (~125s/pass warm at 145 queries) so the recorded artifact
-    # is a repeat>=2 median, not a single loaded-host shot.
-    budget_s = float(os.environ.get('SPARK_GRAFT_BENCH_BUDGET',
-                                    '540'))
+    # (SPARK_GRAFT_BENCH_BUDGET seconds) bounds the TOTAL run: as the
+    # suite grows, later repeat passes are dropped rather than blowing
+    # the harness timeout — one complete pass is always finished, and
+    # `repeat` in the output records how many actually ran.
+    # The default budget SCALES with the suite (r11 postmortem: a
+    # fixed 540s was outgrown by the 161-query warmup under host load
+    # and the driver recorded a repeat=0 cold fallback): warmup
+    # ~0.4s/query idle to ~2s/query contended, plus ~1.1s/query per
+    # warm pass — 150 + 3.5s/query leaves room for warmup + >=2 timed
+    # passes at 161 queries even with a loaded host.  The progressive
+    # result emission below (a flushed line after every completed
+    # pass) makes a harness kill near the timeout lose at most the
+    # in-flight pass, never the whole artifact.
+    budget_s = float(
+        os.environ.get('SPARK_GRAFT_BENCH_BUDGET')
+        or max(560, 150 + 3.5 * len(QUERIES)))
     bench_t0 = time.time()
     # Warmup pass, CONCURRENT: each query's first execution pays
     # whole-stage-codegen compilation + JIT (measured ~2x steady
@@ -113,9 +118,18 @@ def main() -> None:
     warmup_time = time.time() - bench_t0
     samples: dict = {name: [] for name in QUERIES}
     passes_done = 0
-    # a warm sequential pass has run ~0.33x the sequential cold
-    # warmup; the concurrent warmup wall is a safe upper bound
-    last_pass = warmup_time
+    # First-pass estimate must be EVIDENCE-based (r11 postmortem:
+    # `last_pass = warmup_time` let a loaded-host 329s concurrent
+    # warmup veto every timed pass, recording the contended cold
+    # warmup as the measurement).  Best evidence for a warm
+    # sequential pass is the prior committed warm artifact's suite
+    # total (x1.3 load margin); lacking one, the concurrent warmup
+    # wall (idle-host ratio warm-pass/warmup ~2.2x, so this
+    # UNDER-estimates — acceptable: the budget check only gates
+    # STARTING a pass, and a started pass always completes and is
+    # emitted).  After pass 1 the actual pass wall takes over.
+    prior_warm = _prior_warm_suite_total()
+    last_pass = (prior_warm * 1.3) if prior_warm else warmup_time
     for p in range(repeat):
         if (time.time() - bench_t0) + last_pass > budget_s:
             break
@@ -128,7 +142,71 @@ def main() -> None:
             samples[name].append(time.time() - t0)
         last_pass = time.time() - p_t0
         passes_done += 1
+        # Progressive emission: flush a complete result line + the
+        # artifact file after EVERY pass, so a harness kill during a
+        # later pass still leaves a parseable warm line in the
+        # driver's 2000-char stdout tail (only the LAST ~2000 chars
+        # survive, i.e. the freshest completed pass).
+        _emit(samples, passes_done, warmup_time, cold, sf, {},
+              final=False)
     repeat = passes_done
+
+    extras = _bucketed_join_comparison(spark, sf_dir)
+    extras.update(_partition_pruning_comparison(spark, sf_dir))
+    # Cold-cost accounting for ARTIFACT-CACHED queries: their
+    # steady-state time hides a session-cached build (ANN codebooks /
+    # centroids, incremental-dedup stores, the training-shard
+    # layout) that only the warmup pass pays.  Record those first-
+    # execution walls so the 2x-gate audit can see the real cold
+    # cost.  Upper bound: measured under the 6-thread concurrent
+    # warmup (contention + whole-stage-codegen compilation included).
+    extras['cold_artifact_sec'] = {
+        name: round(cold[name], 3)
+        for name in _ARTIFACT_CACHED_QUERIES if name in cold
+    }
+
+    _emit(samples, repeat, warmup_time, cold, sf, extras, final=True)
+    spark.stop()
+
+
+# Queries whose runtime caches a build artifact in the session
+# (plans/queries.py `_artifact` / `_cached_*`): steady-state medians
+# exclude the build; the warmup's first execution is the honest cold
+# cost.  Keep in sync with queries.py (tests/test_bench_helpers.py
+# re-derives this list by AST walk and pins it).
+_ARTIFACT_CACHED_QUERIES = (
+    'q_ivf_topk', 'q_pq_topk', 'q_ivf_pq_topk', 'q_ivf_index_probe',
+    'q_minhash_dedup', 'q_simhash_dedup',
+    'q_incremental_embedding_dedup', 'q_incremental_winnow_dedup',
+    'q_training_shards', 'q_shard_resume',
+)
+
+
+def _prior_warm_suite_total() -> float | None:
+    """Last committed warm BENCH_full suite total, if any — the best
+    available evidence for what one warm sequential pass costs."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, 'BENCH_full.json')) as fh:
+            prev = json.load(fh)
+        if prev.get('repeat', 0) >= 1 and prev.get('value'):
+            return float(prev['value'])
+    except Exception:  # noqa: BLE001 — missing/corrupt prior file
+        pass
+    return None
+
+
+def _emit(samples: dict, repeat: int, warmup_time: float, cold: dict,
+          sf: str, extras: dict, final: bool) -> None:
+    """Emit a complete, flushed result line (and, on the final call,
+    the BENCH_full.json artifact).
+
+    Called after EVERY completed timed pass so a harness kill near
+    the timeout loses at most the in-flight pass: the driver's
+    2000-char stdout tail keeps the freshest completed line (each
+    line is capped below 2000 chars, so the last full line always
+    survives the tail cut).
+    """
     if repeat == 0:  # budget blown during warmup — report cold
         samples = {name: [t] for name, t in cold.items()}
     timings = {name: round(statistics.median(ts), 3)
@@ -140,10 +218,6 @@ def main() -> None:
         'suite_median': round(sum(timings.values()), 3),
         'suite_max': round(sum(max(ts) for ts in samples.values()), 3),
     }
-
-    extras = _bucketed_join_comparison(spark, sf_dir)
-    extras.update(_partition_pruning_comparison(spark, sf_dir))
-
     sf_val = float(sf) if sf.replace('.', '').isdigit() else sf
     full = {
         'metric': 'suite_total',
@@ -157,30 +231,33 @@ def main() -> None:
         'warmup_sec': round(warmup_time, 1),
         'extras': extras,
     }
-    # Full detail for the repo (judge-readable); the stdout line below
-    # must stay under the driver's 2000-char tail capture or it gets
-    # truncated mid-line and fails to parse (happened in round 2).
-    # Artifact discipline (r5/r6 postmortems): never replace a
-    # HIGHER-repeat BENCH_full.json with a lower-repeat run — r5's
-    # hole only blocked repeat=0, so the driver's end-of-round
-    # repeat=1 pass overwrote the committed repeat=3 artifact.  A
-    # lower-repeat run lands in BENCH_full_cold.json instead; the
-    # stdout line (what the driver records) is unaffected.
-    here = os.path.dirname(os.path.abspath(__file__))
-    out_path = os.path.join(here, 'BENCH_full.json')
-    try:
-        with open(out_path) as fh:
-            prev_repeat = json.load(fh).get('repeat', 0)
-    except Exception:  # noqa: BLE001 — missing/corrupt prior file
-        prev_repeat = 0
-    if repeat < prev_repeat:
-        out_path = os.path.join(here, 'BENCH_full_cold.json')
-    with open(out_path, 'w') as fh:
-        json.dump(full, fh, indent=1)
-    print('extras:', json.dumps(extras))
-
-    print(_compact_line(full))
-    spark.stop()
+    if final:
+        # Full detail for the repo (judge-readable); the stdout line
+        # below must stay under the driver's 2000-char tail capture or
+        # it gets truncated mid-line and fails to parse (round 2).
+        # Artifact discipline (r5/r6 postmortems): never replace a
+        # HIGHER-repeat BENCH_full.json with a lower-repeat run — a
+        # lower-repeat run lands in BENCH_full_cold.json instead; the
+        # stdout line (what the driver records) is unaffected.
+        here = os.path.dirname(os.path.abspath(__file__))
+        out_path = os.path.join(here, 'BENCH_full.json')
+        try:
+            with open(out_path) as fh:
+                prev = json.load(fh)
+            prev_repeat = prev.get('repeat', 0)
+            prev_sf = prev.get('sf')
+        except Exception:  # noqa: BLE001 — missing/corrupt prior
+            prev_repeat, prev_sf = 0, None
+        if prev_repeat >= 1 and prev_sf is not None and prev_sf != sf_val:
+            # A different-SF run (e.g. a quick sf0.01 smoke) must
+            # never displace the canonical artifact — side file.
+            out_path = os.path.join(here, f'BENCH_full_sf{sf}.json')
+        elif repeat < prev_repeat:
+            out_path = os.path.join(here, 'BENCH_full_cold.json')
+        with open(out_path, 'w') as fh:
+            json.dump(full, fh, indent=1)
+        print('extras:', json.dumps(extras), flush=True)
+    print(_compact_line(full), flush=True)
 
 
 def _compact_line(full: dict, budget: int = 1800) -> str:

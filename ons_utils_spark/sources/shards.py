@@ -20,13 +20,20 @@ bounded by the shard count, which scales with the corpus.
 """
 from __future__ import annotations
 
+import json
 from typing import Optional
 
 from pyspark.sql import DataFrame as SparkDF
 from pyspark.sql import functions as F
 
 __all__ = ['with_shard_id', 'write_training_shards', 'shard_manifest',
-           'read_training_shards']
+           'read_training_shards', 'read_layout_sidecar']
+
+# Underscore-prefixed so Spark/Hadoop file listings treat it as a
+# hidden file (like _SUCCESS) — invisible to spark.read.parquet(path).
+_LAYOUT_SIDECAR = '_shard_layout.json'
+
+_INTEGRAL_TYPES = ('byte', 'short', 'integer', 'long')
 
 
 def with_shard_id(
@@ -40,12 +47,56 @@ def with_shard_id(
     positions)."""
     if shard_size <= 0:
         raise ValueError(f'shard_size must be positive, got {shard_size}')
+    dtype = df.schema[position_col].dataType.typeName()
+    if dtype not in _INTEGRAL_TYPES:
+        raise TypeError(
+            f'position column {position_col!r} must be integral '
+            f'(shard ids are exact integer division), got {dtype}')
     # integer division in the JVM (`div`), NOT `/` + cast: the float
     # path truncates exactly only while position fits double ulp
     # headroom (~2^53); `div` is exact for every bigint position
+    escaped = position_col.replace('`', '``')
     return df.withColumn(
         shard_col,
-        F.expr(f'`{position_col}` div {int(shard_size)}'))
+        F.expr(f'`{escaped}` div {int(shard_size)}'))
+
+
+def _hadoop_path(spark, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, p
+
+
+def _write_layout_sidecar(spark, path: str, meta: dict) -> None:
+    """Persist the writer's layout contract next to the shards as ONE
+    hidden file, through the Hadoop FS API so it works on any
+    filesystem scheme (local/HDFS/object store) the write itself
+    targeted."""
+    fs, p = _hadoop_path(spark, path.rstrip('/') + '/' + _LAYOUT_SIDECAR)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(json.dumps(meta).encode('utf-8')))
+    finally:
+        out.close()
+
+
+def read_layout_sidecar(spark, path: str) -> Optional[dict]:
+    """The layout contract :func:`write_training_shards` persisted, or
+    ``None`` for a pre-sidecar layout."""
+    fs, p = _hadoop_path(spark, path.rstrip('/') + '/' + _LAYOUT_SIDECAR)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        # the JVM helper RETURNS byte[] (py4j converts to Python
+        # bytes); mutating a passed-in bytearray via readFully does
+        # NOT copy back across the gateway
+        data = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(
+            stream)
+        return json.loads(bytes(data).decode('utf-8'))
+    finally:
+        stream.close()
 
 
 def write_training_shards(
@@ -79,6 +130,14 @@ def write_training_shards(
         int(n_parts), shard_col, position_col)
     (sharded.sortWithinPartitions(shard_col, position_col)
         .write.mode(mode).partitionBy(shard_col).parquet(path))
+    # Persist the layout contract so a resuming reader can't silently
+    # prune live shards by passing a different shard_size.
+    _write_layout_sidecar(df.sparkSession, path, {
+        'shard_size': int(shard_size),
+        'position_col': position_col,
+        'shard_col': shard_col,
+        'format_version': 1,
+    })
 
 
 def read_training_shards(
@@ -104,10 +163,35 @@ def read_training_shards(
     tight).  At 100 TB a mid-corpus resume therefore scans ~half the
     directories and reads ~one extra row group, not the corpus.
 
+    The writer persists its layout contract in a hidden sidecar
+    (``_shard_layout.json``); when present it is AUTHORITATIVE —
+    ``shard_size`` may then be omitted, and a mismatching value
+    raises instead of silently pruning live shards (a larger
+    ``start_position // shard_size`` would skip directories that
+    still hold positions past the cursor).  Pre-sidecar layouts fall
+    back to the documented caller contract.
+
     Rows come back unordered across tasks (Spark contract); a train
     loop consumes shard directories in ``shard`` order and each
     part-file is already position-sorted by the writer.
     """
+    layout = read_layout_sidecar(spark, path)
+    if layout is not None:
+        written = int(layout['shard_size'])
+        if shard_size is not None and int(shard_size) != written:
+            raise ValueError(
+                f'shard_size={shard_size} does not match the value '
+                f'the layout at {path!r} was written with '
+                f'({written}, from its _shard_layout.json): a '
+                'mismatched divisor would prune shard directories '
+                'that still contain positions past the cursor')
+        shard_size = written
+        for arg, key in ((position_col, 'position_col'),
+                         (shard_col, 'shard_col')):
+            if layout.get(key, arg) != arg:
+                raise ValueError(
+                    f'{key}={arg!r} does not match the layout at '
+                    f'{path!r} (written with {layout[key]!r})')
     if shard_size is None or shard_size <= 0:
         raise ValueError(
             'shard_size must be the positive value the layout was '

@@ -75,7 +75,23 @@ def _batch_state(store, batch_id: int):
     when false it re-appends, which for the only undetectable case
     (a zero-fingerprint batch) appends zero rows and is harmless.
     One filtered scan, evaluated once.
+
+    Fails fast on a store written by the pre-``_marker``
+    (three-append) protocol: its null-key commit rows are
+    indistinguishable from data once old and new files mix (parquet
+    schema union reads the old markers' ``_marker`` as NULL = data),
+    so resuming it would misclassify committed batches as partial.
     """
+    if '_marker' not in store.columns:
+        raise ValueError(
+            'incremental store was written by the pre-_marker '
+            '(three-append) commit protocol and cannot be resumed '
+            'by this version: its null-key marker rows would read '
+            'as data rows once formats mix.  Start a fresh '
+            'store_dir (re-banding the accepted out_dir docs '
+            'rebuilds it), or migrate offline by adding a string '
+            "_marker column = 'commit' on the null-key rows and "
+            'NULL elsewhere.')
     rows = store.filter(F.col('_batch_id') == batch_id)
     agg = rows.agg(
         F.sum(F.when(F.col('_marker') == 'commit', 1).otherwise(0))
@@ -127,14 +143,17 @@ def incremental_winnow_dedup(
       2. drop batch docs sharing >= ``min_shared`` fingerprints with
          the store (earlier batches win — arrival order, the natural
          streaming tie-break),
-      3. commit in three atomic appends: fingerprints (tagged
-         ``_batch_id``) to ``store_dir``, survivors to ``out_dir``,
-         then one null-fp marker row — written LAST, so a marker
-         means the batch fully landed.  Replays of a committed batch
+      3. commit in FOUR atomic appends: a ``begin`` sentinel row
+         FIRST, then fingerprints (tagged ``_batch_id``) to
+         ``store_dir``, survivors to ``out_dir``, and one ``commit``
+         marker row LAST — a commit marker means the batch fully
+         landed, and the begin sentinel leaves crash evidence even
+         for zero-fingerprint batches.  Replays of a committed batch
          skip; replays of a mid-commit crash recompute the identical
-         survivor set, skip the store append, reconcile the docs
-         append against ``out_dir`` ids, and write the marker
-         (effective exactly-once — see the module docstring).
+         survivor set, skip the already-landed store append,
+         reconcile the docs append against ``out_dir`` ids, and
+         write the commit marker (effective exactly-once — see the
+         module docstring).
 
     Returns the started streaming query.
     """

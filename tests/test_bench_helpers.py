@@ -1,0 +1,106 @@
+"""Pin bench.py's harness invariants (r11 postmortem: the driver's
+bench artifact collapsed to a repeat=0 cold fallback because the
+first-pass estimate used the warmup wall).
+
+These tests are pure-Python — no SparkSession."""
+from __future__ import annotations
+
+import ast
+import json
+import os
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+import bench  # noqa: E402
+
+
+def _queries_cached_by_ast() -> set:
+    """Re-derive the artifact-cached query set from queries.py source:
+    every registered query whose call graph (within the module)
+    reaches `_artifact` / `_cached_*`."""
+    src = open(os.path.join(
+        ROOT, 'ons_utils_spark', 'plans', 'queries.py')).read()
+    tree = ast.parse(src)
+    funcs = {n.name: n for n in ast.walk(tree)
+             if isinstance(n, ast.FunctionDef)}
+    calls: dict = {}
+    for name, node in funcs.items():
+        cs = set()
+        for c in ast.walk(node):
+            if isinstance(c, ast.Call):
+                f = c.func
+                if isinstance(f, ast.Name):
+                    cs.add(f.id)
+                elif isinstance(f, ast.Attribute):
+                    cs.add(f.attr)
+        calls[name] = cs
+    cache_fns = {'_artifact', '_cached_pq_books',
+                 '_cached_ivf_centroids', '_cached_pq_codes'}
+
+    def cached(fn: str, seen: set) -> bool:
+        if fn in seen or fn not in calls:
+            return False
+        seen.add(fn)
+        if calls[fn] & cache_fns:
+            return True
+        return any(cached(c, seen) for c in calls[fn] if c in funcs)
+
+    from ons_utils_spark.plans.queries import QUERIES
+    return {q for q in QUERIES if cached(q, set())}
+
+
+def test_artifact_cached_list_matches_queries_source():
+    assert set(bench._ARTIFACT_CACHED_QUERIES) == _queries_cached_by_ast()
+
+
+def test_prior_warm_suite_total_reads_committed_artifact():
+    got = bench._prior_warm_suite_total()
+    path = os.path.join(ROOT, 'BENCH_full.json')
+    if not os.path.exists(path):
+        assert got is None
+        return
+    prev = json.load(open(path))
+    if prev.get('repeat', 0) >= 1:
+        assert got == pytest.approx(float(prev['value']))
+    else:
+        assert got is None
+
+
+def test_first_pass_estimate_is_not_warmup_wall_when_prior_exists():
+    """The r11 failure shape: warmup 329s under load, estimate =
+    warmup wall -> 329 + 329 > 540 -> zero timed passes.  With a
+    prior warm artifact the estimate must come from it instead, and
+    at the r11 numbers it must admit a first timed pass."""
+    prior = bench._prior_warm_suite_total()
+    if prior is None:
+        pytest.skip('no committed warm BENCH_full.json')
+    warmup_r11, budget = 328.8, max(560, 150 + 3.5 * 161)
+    est = prior * 1.3
+    assert warmup_r11 + est <= budget, (
+        'estimate would veto the first timed pass at r11 load')
+
+
+def test_default_budget_scales_with_suite_size():
+    from ons_utils_spark.plans.queries import QUERIES
+    budget = max(560, 150 + 3.5 * len(QUERIES))
+    # 161 queries: warmup (<=330s loaded) + one warm pass (~175s)
+    # must fit, so at least one timed pass always lands.
+    assert budget >= 150 + 3.5 * len(QUERIES)
+    assert budget >= 700 or len(QUERIES) < 158
+
+
+def test_compact_line_stays_under_tail_capture():
+    queries = {f'q_{i:03d}': 1.234 for i in range(200)}
+    full = {
+        'metric': 'suite_total', 'value': 246.8, 'unit': 'sec',
+        'queries': queries, 'sf': 0.1, 'repeat': 3,
+        'spread': {'suite_min': 1, 'suite_median': 2, 'suite_max': 3},
+    }
+    line = bench._compact_line(full)
+    assert len(line) <= 1800
+    doc = json.loads(line)
+    assert doc['metric'] == 'suite_total'

@@ -165,6 +165,23 @@ class TestIncrementalWinnowDedup:
             (F.col('_batch_id') == 0)
             & (F.col('_marker') == 'commit')).count() == 1
 
+    def test_legacy_store_without_marker_fails_fast(
+            self, spark_session, tmp_path):
+        """A store written by the pre-_marker (three-append) protocol
+        must be rejected loudly: once old and new files mix, the old
+        null-key commit rows read as data (_marker = NULL via parquet
+        schema union) and committed batches would be misclassified
+        as partial."""
+        from ons_utils_spark.streaming.incremental import _batch_state
+
+        legacy = spark_session.createDataFrame(
+            [('fp1', 1, 0), (None, None, 0)],   # data row + old marker
+            'fp string, id long, _batch_id long')
+        legacy.write.parquet(str(tmp_path / 'store'))
+        store = spark_session.read.parquet(str(tmp_path / 'store'))
+        with pytest.raises(ValueError, match='pre-_marker'):
+            _batch_state(store, 0)
+
     def test_zero_fp_crash_after_docs_before_marker(
             self, spark_session, tmp_path):
         """THE zero-row hole: batch 0's docs are all shorter than

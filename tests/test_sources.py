@@ -536,7 +536,91 @@ class TestTrainingShards:
         assert all(any(f'shard={s}' in f for s in (4, 5, 6))
                    for f in files), files
         plan = out._jdf.queryExecution().executedPlan().toString()
-        assert 'PartitionFilters' in plan
+        # the shard predicate must be INSIDE the PartitionFilters
+        # list (an empty 'PartitionFilters: []' always prints, so
+        # bare substring presence asserts nothing)
+        import re
+        m = re.search(r'PartitionFilters: \[([^\]]*)\]', plan)
+        assert m, plan
+        assert re.search(r'shard.*>=.*4', m.group(1)), m.group(1)
+
+    def test_sidecar_makes_shard_size_authoritative(
+            self, spark_session, tmp_path):
+        """The writer persists shard_size in _shard_layout.json; a
+        reader passing a DIFFERENT value must raise instead of
+        silently pruning live shards (written 64 / read 16 at cursor
+        70 would skip shards 1-3, which still hold positions >= 70),
+        and may omit shard_size entirely."""
+        import pytest as _pt
+        from ons_utils_spark.sources.shards import (
+            read_layout_sidecar, read_training_shards,
+            write_training_shards)
+
+        ordered = self._ordered(spark_session)
+        path = str(tmp_path / 'shards')
+        write_training_shards(ordered, path, shard_size=64)
+        layout = read_layout_sidecar(spark_session, path)
+        assert layout['shard_size'] == 64
+        assert layout['position_col'] == 'position'
+        # omitted shard_size: taken from the sidecar
+        got = sorted(r['position'] for r in read_training_shards(
+            spark_session, path, start_position=70).collect())
+        assert got == list(range(70, 100))
+        # matching explicit value still fine
+        assert read_training_shards(
+            spark_session, path, start_position=70,
+            shard_size=64).count() == 30
+        with _pt.raises(ValueError, match='does not match'):
+            read_training_shards(
+                spark_session, path, start_position=70, shard_size=16)
+        with _pt.raises(ValueError, match='position_col'):
+            read_training_shards(
+                spark_session, path, start_position=0,
+                position_col='pos')
+        # the hidden sidecar must not leak into the data read
+        assert '_shard_layout' not in ','.join(
+            spark_session.read.parquet(path).columns)
+
+    def test_pre_sidecar_layout_falls_back_to_caller_contract(
+            self, spark_session, tmp_path):
+        import os
+
+        from ons_utils_spark.sources.shards import (
+            read_training_shards, write_training_shards)
+
+        ordered = self._ordered(spark_session)
+        path = str(tmp_path / 'shards')
+        write_training_shards(ordered, path, shard_size=16)
+        os.remove(os.path.join(path, '_shard_layout.json'))
+        out = read_training_shards(
+            spark_session, path, start_position=37, shard_size=16)
+        assert sorted(r['position'] for r in out.collect()) == list(
+            range(37, 100))
+
+    def test_with_shard_id_rejects_non_integral_position(
+            self, spark_session):
+        import pytest as _pt
+        from pyspark.sql import functions as F
+        from ons_utils_spark.sources.shards import with_shard_id
+
+        df = spark_session.range(3).select(
+            F.col('id').cast('double').alias('position'))
+        with _pt.raises(TypeError, match='integral'):
+            with_shard_id(df, 16)
+
+    def test_with_shard_id_escapes_backticks(self, spark_session):
+        from pyspark.sql import functions as F
+        from ons_utils_spark.sources.shards import with_shard_id
+
+        # column REFERENCES parse backticks everywhere (F.col, df[..],
+        # orderBy) — only alias/withColumnRenamed take the name
+        # literally, which is exactly why with_shard_id must escape
+        df = spark_session.range(5).select(
+            F.col('id').alias('po`s'))
+        out = with_shard_id(df, 2, position_col='po`s') \
+            .withColumnRenamed('po`s', 'pos')
+        assert [r['shard'] for r in out.orderBy('pos').collect()] \
+            == [0, 0, 1, 1, 2]
 
     def test_read_rejects_missing_shard_size(self, spark_session):
         import pytest as _pt
