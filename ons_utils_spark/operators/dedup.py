@@ -395,6 +395,7 @@ def _bucket_pair_join(
     carry: Sequence[str] = (),
     max_bucket_size: Optional[int] = None,
     eager_census: bool = False,
+    persist_registry: Optional[list] = None,
 ) -> SparkDF:
     """Self-join a banded frame on its bucket ``keys`` with
     ``id_a < id_b`` — the candidate-pair stage shared by the LSH
@@ -415,8 +416,21 @@ def _bucket_pair_join(
 
     ``carry`` columns are emitted per side as ``<col>_a``/``<col>_b``
     (e.g. SimHash signatures for the Hamming verify).
+
+    ``persist_registry``: with ``eager_census`` the bucket census is
+    a SEPARATE action from the pair join it guards, and exchange
+    reuse does not span actions — the census job and the caller's
+    pair-join job would each shuffle the banded frame.  Passing a
+    list persists the repartitioned frame (the census collect
+    populates the cache, the pair join reads it — ONE shuffle total)
+    and appends the persisted DataFrame so the caller can unpersist
+    after consuming the pairs.
     """
     banded = banded.repartition(*keys)
+    if persist_registry is not None and eager_census:
+        from pyspark import StorageLevel
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        persist_registry.append(banded)
 
     def _pairs(ldf: SparkDF, rdf: SparkDF) -> SparkDF:
         l, r = ldf.alias('l'), rdf.alias('r')
@@ -577,6 +591,7 @@ def minhash_lsh_candidates(
     banded_index: Optional[SparkDF] = None,
     materialize_families: bool = False,
     checkpoint_dir: Optional[str] = None,
+    persist_registry: Optional[list] = None,
 ) -> SparkDF:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -691,7 +706,8 @@ def minhash_lsh_candidates(
     # recompiling the minhash pipeline twice.
     pairs = _bucket_pair_join(
         banded, ('band', 'bucket'), max_bucket_size=max_bucket_size,
-        eager_census=materialize_families)
+        eager_census=materialize_families,
+        persist_registry=persist_registry)
     if fam_pairs is not None:
         pairs = pairs.unionByName(fam_pairs)
     return pairs.distinct()
@@ -939,18 +955,24 @@ def minhash_dedup(
         shingle_hashes(
             _shingler(shingles)(text_col, shingle_n)).alias('__hs'),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # The banded frame is consumed exactly ONCE downstream (the
+    # candidate stage's bucket repartition, which _bucket_pair_join
+    # persists via persist_registry), so it carries no persist of its
+    # own; `hashed` stays persisted — the fingerprint census, the
+    # banding, and both verify sides read it.  Cache population is
+    # sequential without an explicit count() pass: the first action
+    # (the family-members checkpoint) computes `hashed` through a
+    # linear census plan, the second (the bucket-census collect)
+    # computes the banded repartition from the then-warm `hashed`,
+    # and the drop-list job reads only cached/checkpointed parents —
+    # no branchy action ever races to compute a cold pipeline (the
+    # 3-4x failure mode an earlier eager-count shape guarded).
     banded = minhash_band_index(
         df, id_col, text_col, num_hashes, bands, shingle_n,
         hashed, shingles,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    registry: list = []
     try:
-        # Materialize BOTH caches in one sequential job before the
-        # guards' branchy plan runs: the census/collapse/join branches
-        # otherwise launch as parallel stages that each find the
-        # InMemoryRelation cold and race to recompute the shingle+
-        # signature pipeline (measured 3-4x wall at sf0.1).  The scan
-        # populates `hashed` (its parent cache) on the way through.
-        banded.count()
         cands = minhash_lsh_candidates(
             df, id_col, text_col, num_hashes, bands, shingle_n,
             hashed_shingles=hashed,
@@ -959,6 +981,7 @@ def minhash_dedup(
             banded_index=banded,
             materialize_families=True,
             checkpoint_dir=checkpoint_dir,
+            persist_registry=registry,
         )
         verified = verify_jaccard_hashed(cands, hashed, jaccard_threshold)
         # Materialize the (id-only, tiny relative to df) drop-list and
@@ -983,7 +1006,8 @@ def minhash_dedup(
         )
     finally:
         hashed.unpersist()
-        banded.unpersist()
+        for cached in registry:
+            cached.unpersist()
     return df.join(to_drop, on=id_col, how='left_anti')
 
 
@@ -1343,15 +1367,19 @@ def simhash_dedup(
 
     sigs = _simhash_sigs(df, id_col, text_col, 4) \
         .persist(StorageLevel.MEMORY_AND_DISK)
+    registry: list = []
     try:
-        # Populate the cache in one sequential job first: the guard
-        # branches (family census, anti-join, bucket census, two
-        # self-join sides) otherwise start as parallel stages racing
-        # to compute the cold tokenize+UDF pipeline (measured 3.4x
-        # wall at sf0.1).
-        sigs.count()
         fam_drops = None
         if collapse_identical:
+            # The members checkpoint doubles as the cache-populate
+            # action (an explicit sigs.count() first was one full
+            # extra pass): its plan is SEQUENTIAL — the census
+            # aggregation's scan stage computes and caches the cold
+            # tokenize+UDF pipeline, and the join stage (gated on
+            # the census broadcast) re-reads the now-warm cache —
+            # so no parallel stages race to compute sigs (the 3.4x
+            # cold-race failure mode needs sibling branches in one
+            # branchy action, which this linear plan has none of).
             fams = sigs.groupBy('__blocks').agg(
                 F.min('__id').alias('__rep'),
                 F.count('*').alias('__fn'))
@@ -1372,6 +1400,11 @@ def simhash_dedup(
             fam_drops = members
             reps = sigs.join(members, '__id', 'left_anti')
         else:
+            # Populate the cache in one sequential job first: the
+            # bucket census and the two self-join sides otherwise
+            # start as parallel stages racing to compute the cold
+            # tokenize+UDF pipeline (measured 3.4x wall at sf0.1).
+            sigs.count()
             reps = sigs
         banded = reps.select(
             '__id', '__blocks',
@@ -1380,7 +1413,8 @@ def simhash_dedup(
         dropped = (
             _bucket_pair_join(
                 banded, ('block', 'key'), carry=('__blocks',),
-                max_bucket_size=max_bucket_size, eager_census=True)
+                max_bucket_size=max_bucket_size, eager_census=True,
+                persist_registry=registry)
             .filter(
                 hamming_distance_blocks(F.col('__blocks_a'),
                                         F.col('__blocks_b'))
@@ -1407,6 +1441,8 @@ def simhash_dedup(
         )
     finally:
         sigs.unpersist()
+        for cached in registry:
+            cached.unpersist()
     return df.join(to_drop, on=id_col, how='left_anti')
 
 
