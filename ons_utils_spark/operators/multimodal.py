@@ -2119,6 +2119,65 @@ def keyframe_payloads(
         run, _feature_schema(MP4_PAYLOAD_SCHEMA, df, id_col))
 
 
+JPEG_FRAME_STAT_SCHEMA = (
+    'media_id bigint, sample_idx int, pts_ms bigint, decoded boolean,'
+    ' width int, height int, n_pixels bigint,'
+    ' luma_mean_255 int, luma_min_255 int, luma_max_255 int'
+)
+
+
+def decode_jpeg_frames(
+    frames: SparkDF,
+    bytes_col: str = 'frame_bytes',
+    id_col: str = 'media_id',
+) -> SparkDF:
+    """Decode sliced MJPEG frame payloads (the
+    :func:`keyframe_payloads` output) to per-frame luminance stats —
+    closing the demux → decode loop with the module's own pure-Python
+    JPEG decoder, no external codec dependency.
+
+    Each row's blob runs through :func:`decode_jpeg` (baseline +
+    progressive luminance-only decode); frames the decoder rejects
+    come back with ``decoded = false`` and NULL stats instead of
+    vanishing, so corrupt samples are observable downstream.  Stats
+    are integer-exact (mean/min/max of the 8-bit luminance plane),
+    which is what makes a constant-tile fixture oracle-replayable.
+
+    Scale: mapInPandas streams Arrow batches of (already keyframe-
+    sized) blobs; decode is per-row CPU with no shuffle — at 100 TB
+    parallelism is the upstream slicer's partitioning.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ['media_id', 'sample_idx', 'pts_ms', 'decoded',
+                'width', 'height', 'n_pixels', 'luma_mean_255',
+                'luma_min_255', 'luma_max_255']
+        for pdf in batches:
+            rows = []
+            for media_id, idx, pts, raw in zip(
+                    pdf[id_col], pdf['sample_idx'], pdf['pts_ms'],
+                    pdf[bytes_col]):
+                stats = (None,) * 6
+                try:
+                    got = decode_jpeg(bytes(raw or b''))
+                except ValueError:
+                    got = None
+                if got is not None:
+                    w, h, gray = got
+                    luma = np.rint(
+                        np.asarray(gray, np.float64) * 255.0)
+                    stats = (w, h, int(luma.size),
+                             int(round(float(luma.mean()))),
+                             int(luma.min()), int(luma.max()))
+                rows.append((media_id, idx, pts, got is not None)
+                            + stats)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return frames.select(
+        id_col, 'sample_idx', 'pts_ms', bytes_col
+    ).mapInPandas(
+        run, _feature_schema(JPEG_FRAME_STAT_SCHEMA, frames, id_col))
+
+
 def keyframe_sample_plan(
     samples: SparkDF,
     durations: SparkDF,
@@ -2190,6 +2249,7 @@ def encode_test_mp4(
     movie_timescale: int = 1000,
     samples_per_chunk: Optional[int] = None,
     ctts_offsets=None,
+    payloads=None,
 ) -> bytes:
     """TEST-GRADE single-video-track MP4 writer (the ``encode_jpeg``
     pattern: an in-module generator exercising the real parser).
@@ -2207,9 +2267,19 @@ def encode_test_mp4(
     (one signed composition offset per sample) adds a v0 ``ctts``
     box (exercising pts ≠ dts reordering).  Both modes keep offsets
     real — the header grows and the encoder recomputes them.
+
+    ``payloads`` (one ``bytes`` per sample) replaces the filler mdat
+    content with REAL sample payloads — e.g. :func:`encode_jpeg`
+    frames, making the container an MJPEG-in-MP4 whose keyframe
+    slices feed the module's own JPEG decoder; ``sizes`` must then
+    equal the payload lengths (the sample table stays honest).
     """
     sizes = list(sizes)
     assert len(sizes) == n_frames
+    if payloads is not None:
+        payloads = list(payloads)
+        assert [len(p) for p in payloads] == sizes, \
+            'sizes must match payload lengths'
     n_keys = (n_frames + key_every - 1) // key_every
     key_ids = [1 + k * key_every for k in range(n_keys)]
     movie_dur = n_frames * frame_delta * movie_timescale // timescale
@@ -2289,8 +2359,9 @@ def encode_test_mp4(
     mdia = _mp4_box(b'mdia', mdhd + hdlr + minf)
     trak = _mp4_box(b'trak', tkhd + mdia)
     moov = _mp4_box(b'moov', mvhd + trak)
-    mdat = _mp4_box(b'mdat', b''.join(
-        bytes([(i + 1) % 251]) * sz for i, sz in enumerate(sizes)))
+    mdat = _mp4_box(b'mdat', b''.join(payloads) if payloads is not None
+                    else b''.join(bytes([(i + 1) % 251]) * sz
+                                  for i, sz in enumerate(sizes)))
     return ftyp + moov + mdat
 
 

@@ -1280,6 +1280,75 @@ def q_keyframe_payloads(spark: SparkSession, sf_dir: str) -> SparkDF:
         F.col('byte_size').cast('long').alias('n_bytes'))
 
 
+def _mjpeg_media(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """MJPEG-in-MP4 payloads: every 23rd document becomes an MP4
+    whose mdat samples are REAL baseline JPEGs (``multimodal.
+    encode_jpeg``, quant=1) of constant-gray tiles — the container
+    and the codec are both the module's own test-grade writers, so
+    the demux → decode loop runs end-to-end with no external codec.
+    Constant tiles make the decode CLOSED-FORM: with a flat quant=1
+    table the DC coefficient 8·(v−128) quantizes losslessly and
+    every AC term is 0, so the decoded plane is exactly ``v``
+    everywhere (pinned for all 256 values in
+    ``tests/test_multimodal.py``) — no oracle circularity."""
+    import pandas as pd
+
+    from ..operators.multimodal import encode_jpeg, encode_test_mp4
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    media = documents.filter(F.col('doc_id') % 23 == 0).select(
+        F.col('doc_id').alias('media_id'),
+        (F.lit(4) + F.col('doc_id') % 5).alias('__nf'),
+        (F.lit(30) + (F.col('doc_id') % 2) * 30).alias('__delta'),
+        (F.lit(2) + F.col('doc_id') % 3).alias('__ke'),
+        (F.lit(8) * (2 + F.col('doc_id') % 3)).alias('__w'),
+        (F.lit(8) * (2 + F.col('doc_id') % 2)).alias('__h'),
+    )
+
+    @F.pandas_udf('binary')
+    def build(mid, nf, delta, ke, w, h):
+        import numpy as np
+        out = []
+        for m, n_, d_, k_, w_, h_ in zip(mid, nf, delta, ke, w, h):
+            payloads = [
+                encode_jpeg(np.full((int(h_), int(w_)),
+                                    (int(m) * 37 + i * 101) % 256,
+                                    np.uint8), quant=1)
+                for i in range(1, int(n_) + 1)]
+            out.append(encode_test_mp4(
+                int(n_), int(d_), int(k_),
+                [len(p) for p in payloads],
+                width=int(w_), height=int(h_), payloads=payloads))
+        return pd.Series(out)
+
+    return media.select(
+        'media_id',
+        build('media_id', '__nf', '__delta',
+              '__ke', '__w', '__h').alias('payload'))
+
+
+def q_mjpeg_keyframe_decode(spark: SparkSession,
+                            sf_dir: str) -> SparkDF:
+    """Demux → DECODE loop (``multimodal.keyframe_payloads`` →
+    ``decode_jpeg_frames``): keyframe JPEG blobs sliced from
+    generated MJPEG-in-MP4 containers (:func:`_mjpeg_media`) are
+    pixel-decoded by the module's own pure-Python JPEG decoder, and
+    per-frame luminance stats come back integer-exact.  The fixture
+    plants constant-gray tiles, so the oracle replays the closed
+    form (decoded plane == planted value — see ``_mjpeg_media``);
+    any slicing, entropy-decode, or IDCT bug breaks the mean/min/max
+    equalities."""
+    from ..operators.multimodal import (
+        decode_jpeg_frames, keyframe_payloads)
+
+    frames = keyframe_payloads(_mjpeg_media(spark, sf_dir))
+    return decode_jpeg_frames(frames).select(
+        'media_id', 'sample_idx', 'pts_ms',
+        F.col('decoded').cast('int').alias('decoded'),
+        'width', 'height', 'n_pixels',
+        'luma_mean_255', 'luma_min_255', 'luma_max_255')
+
+
 def q_global_shuffle(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Reproducible global training order
     (``operators.sampling.global_order_index``): every document gets
@@ -4196,6 +4265,8 @@ QUERIES: Dict[str, QueryFn] = {
     # rounds without driver evidence), then the r6 set.  Below the
     # window the remaining queries continue in the same staleness
     # order, freshest (r11-verified) last.
+    # never driver-verified (NEW r12) — front of the window
+    'q_mjpeg_keyframe_decode': q_mjpeg_keyframe_decode,
     # last driver-green: r5
     'q_triangles': q_triangles,
     'q_bfs_hops': q_bfs_hops,
@@ -5262,6 +5333,36 @@ ORACLES: Dict[str, str] = {
                CAST(64 + (media_id * 31 + i * 17) % 64 AS BIGINT)
                    AS n_bytes
         FROM sized WHERE (i - 1) % ke = 0
+    """,
+    'q_mjpeg_keyframe_decode': """
+        WITH params AS (
+            SELECT doc_id AS media_id,
+                   CAST(4 + doc_id % 5 AS BIGINT) AS nf,
+                   CAST(30 + (doc_id % 2) * 30 AS BIGINT) AS delta,
+                   CAST(2 + doc_id % 3 AS BIGINT) AS ke,
+                   CAST(8 * (2 + doc_id % 3) AS BIGINT) AS w,
+                   CAST(8 * (2 + doc_id % 2) AS BIGINT) AS h
+            FROM documents WHERE doc_id % 23 = 0
+        ), frames AS (
+            SELECT media_id, delta, ke, w, h,
+                   unnest(generate_series(1, nf)) AS i
+            FROM params
+        )
+        SELECT media_id,
+               CAST(i AS INT) AS sample_idx,
+               CAST((i - 1) * delta * 1000 // 600 AS BIGINT)
+                   AS pts_ms,
+               CAST(1 AS INT) AS decoded,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               CAST(w * h AS BIGINT) AS n_pixels,
+               CAST((media_id * 37 + i * 101) % 256 AS INT)
+                   AS luma_mean_255,
+               CAST((media_id * 37 + i * 101) % 256 AS INT)
+                   AS luma_min_255,
+               CAST((media_id * 37 + i * 101) % 256 AS INT)
+                   AS luma_max_255
+        FROM frames WHERE (i - 1) % ke = 0
     """,
     'q_langid': """
         WITH scored AS (

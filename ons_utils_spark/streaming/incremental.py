@@ -12,9 +12,15 @@ must fit per-key in memory).
 
 Scale notes:
 - The store holds ``(fp, doc_id, _batch_id)`` rows — ~2/(w+1) of the
-  corpus k-gram count (SCALE.md, winnowing). At 100 TB, write it
-  partitioned/bucketed by ``fp`` so the per-batch overlap join prunes
-  to matching buckets instead of scanning the full store.
+  corpus k-gram count (SCALE.md, winnowing). At 100 TB, additionally
+  bucket it by ``fp`` so the per-batch overlap join prunes to
+  matching buckets instead of scanning the full store.
+- Store appends are hive-partitioned by ``_batch_id``, so the
+  per-microbatch commit-state probe (``_batch_state``) and the
+  own-batch exclusion filter prune DIRECTORIES instead of re-reading
+  every store file's footer — on a long-lived stream the probe cost
+  stays O(one batch), not O(batches).  Stores written flat by
+  earlier versions are detected and kept flat (no mixed layouts).
 - Per batch: one self-dedup over the (small) batch, one equi-join of
   batch fingerprints against the store, zero driver-side loops.
 - Idempotence (effective exactly-once): each batch commits in FOUR
@@ -60,7 +66,27 @@ from .sinks import foreach_batch_sink
 
 def _store_exists(store_dir: str) -> bool:
     return os.path.isdir(store_dir) and any(
+        name.endswith('.parquet') or name.startswith('_batch_id=')
+        for name in os.listdir(store_dir))
+
+
+def _store_is_flat(store_dir: str) -> bool:
+    """True for a store whose data files sit at the directory root
+    (written before the ``partitionBy('_batch_id')`` layout).  New
+    stores are hive-partitioned by ``_batch_id`` so ``_batch_state``'s
+    per-batch filter and the own-batch exclusion prune DIRECTORIES;
+    a flat store keeps appending flat (mixing layouts in one
+    directory would corrupt partition discovery), it just keeps
+    paying the footer-stats scan."""
+    return os.path.isdir(store_dir) and any(
         name.endswith('.parquet') for name in os.listdir(store_dir))
+
+
+def _append_store(df: SparkDF, store_dir: str, flat: bool) -> None:
+    writer = df.write.mode('append')
+    if not flat:
+        writer = writer.partitionBy('_batch_id')
+    writer.parquet(store_dir)
 
 
 def _batch_state(store, batch_id: int):
@@ -207,13 +233,16 @@ def incremental_winnow_dedup(
         # (n=0 data rows) and the replay would re-append the docs.
         # Null fp never matches the store equi-join above, so
         # sentinels are invisible to overlap detection.
+        flat = have_store and _store_is_flat(store_dir)
         if not partial:
-            _marker_row(spark, fps.schema.fields, batch_id,
-                        'begin').write.mode('append').parquet(store_dir)
+            _append_store(
+                _marker_row(spark, fps.schema.fields, batch_id,
+                            'begin'), store_dir, flat)
         if not data_done:
-            (fps.withColumn('_batch_id', F.lit(batch_id))
-                .withColumn('_marker', F.lit(None).cast('string'))
-                .write.mode('append').parquet(store_dir))
+            _append_store(
+                fps.withColumn('_batch_id', F.lit(batch_id))
+                .withColumn('_marker', F.lit(None).cast('string')),
+                store_dir, flat)
         docs_out = clean
         if partial and _store_exists(out_dir):
             # rare replay path: drop ids the crashed attempt already
@@ -222,8 +251,9 @@ def incremental_winnow_dedup(
                 spark.read.parquet(out_dir).select(id_col),
                 on=id_col, how='left_anti')
         docs_out.write.mode('append').parquet(out_dir)
-        _marker_row(spark, fps.schema.fields, batch_id, 'commit') \
-            .write.mode('append').parquet(store_dir)
+        _append_store(
+            _marker_row(spark, fps.schema.fields, batch_id,
+                        'commit'), store_dir, flat)
 
     return foreach_batch_sink(
         docs_stream, process, checkpoint,
@@ -350,13 +380,16 @@ def incremental_embedding_dedup(
         band_rows = embedding_band_index(
             clean, id_col, vec_col, dim=dim, bands=bands,
             planes_per_band=planes_per_band, seed=seed)
+        flat = have_store and _store_is_flat(store_dir)
         if not partial:
-            _marker_row(spark, band_rows.schema.fields, batch_id,
-                        'begin').write.mode('append').parquet(store_dir)
+            _append_store(
+                _marker_row(spark, band_rows.schema.fields, batch_id,
+                            'begin'), store_dir, flat)
         if not data_done:
-            (band_rows.withColumn('_batch_id', F.lit(batch_id))
-                .withColumn('_marker', F.lit(None).cast('string'))
-                .write.mode('append').parquet(store_dir))
+            _append_store(
+                band_rows.withColumn('_batch_id', F.lit(batch_id))
+                .withColumn('_marker', F.lit(None).cast('string')),
+                store_dir, flat)
         docs_out = clean
         if partial and _store_exists(out_dir):
             # rare replay path: drop ids the crashed attempt already
@@ -365,8 +398,9 @@ def incremental_embedding_dedup(
                 spark.read.parquet(out_dir).select(id_col),
                 on=id_col, how='left_anti')
         docs_out.write.mode('append').parquet(out_dir)
-        _marker_row(spark, band_rows.schema.fields, batch_id,
-                    'commit').write.mode('append').parquet(store_dir)
+        _append_store(
+            _marker_row(spark, band_rows.schema.fields, batch_id,
+                        'commit'), store_dir, flat)
 
     return foreach_batch_sink(
         vecs_stream, process, checkpoint,

@@ -68,6 +68,69 @@ class TestIncrementalWinnowDedup:
         ids = sorted(r['doc_id'] for r in accepted.collect())
         assert ids == [1, 2, 11], ids  # 10 dropped against the store
 
+    def test_store_partitioned_by_batch_id(
+            self, spark_session, tmp_path):
+        """New stores are hive-partitioned by _batch_id, so the
+        per-batch commit probe prunes directories instead of
+        scanning every store file's footer; flat stores written by
+        earlier versions keep appending flat (no mixed layouts)."""
+        import os
+        import re
+
+        base = ('alpha beta gamma delta epsilon zeta eta theta iota '
+                'kappa lam mu nu xi omicron pi rho sigma tau upsilon')
+        docs = [(1, base), (2, base + ' more tail here')]
+        self._run(spark_session, tmp_path, docs, n_chunks=2)
+        store_dir = str(tmp_path / 'store')
+        subdirs = sorted(d for d in os.listdir(store_dir)
+                         if d.startswith('_batch_id='))
+        assert subdirs == ['_batch_id=0', '_batch_id=1'], subdirs
+        assert not any(f.endswith('.parquet')
+                       for f in os.listdir(store_dir))
+        # the per-batch probe's filter is a partition filter
+        probed = spark_session.read.parquet(store_dir).filter(
+            F.col('_batch_id') == 1)
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r'PartitionFilters: \[([^\]]*)\]', plan)
+        assert m and '_batch_id' in m.group(1), plan
+
+    def test_flat_store_keeps_appending_flat(
+            self, spark_session, tmp_path):
+        """A store whose batch-0 state was written flat (old layout,
+        manufactured directly) must accept batch-1 appends without
+        partition directories appearing — mixing layouts corrupts
+        partition discovery."""
+        import os
+
+        from ons_utils_spark.operators.dedup import (
+            winnow_fingerprints)
+        from ons_utils_spark.streaming.incremental import _marker_row
+
+        base = ('alpha beta gamma delta epsilon zeta eta theta iota '
+                'kappa lam mu nu xi omicron pi rho sigma tau upsilon')
+        docs = [(1, base), (2, base + ' extra tail words')]
+        store_dir = str(tmp_path / 'store')
+        # committed batch 0, flat layout
+        d0 = spark_session.createDataFrame(
+            [docs[0]], 'doc_id long, text string')
+        fps0 = winnow_fingerprints(d0, 'doc_id', 'text')
+        schema = fps0.schema.fields
+        (_marker_row(spark_session, schema, 0, 'begin')
+            .write.mode('append').parquet(store_dir))
+        (fps0.withColumn('_batch_id', F.lit(0))
+            .withColumn('_marker', F.lit(None).cast('string'))
+            .write.mode('append').parquet(store_dir))
+        d0.write.mode('append').parquet(str(tmp_path / 'accepted'))
+        (_marker_row(spark_session, schema, 0, 'commit')
+            .write.mode('append').parquet(store_dir))
+
+        accepted = self._run(spark_session, tmp_path, docs,
+                             n_chunks=2)
+        ids = sorted(r['doc_id'] for r in accepted.collect())
+        assert ids == [1], ids  # 2 dropped against the flat store
+        assert not any(d.startswith('_batch_id=')
+                       for d in os.listdir(store_dir))
+
     def test_zero_fingerprint_batch_replay_idempotent(
             self, spark_session, tmp_path):
         """A committed batch whose docs are all shorter than k+w-1

@@ -1033,3 +1033,81 @@ class TestMp4Parse:
         whole[first_off:first_off + 4] = (0).to_bytes(4, 'big')
         table = mm.mp4_sample_table(bytes(whole))
         assert table == []  # first run corrupt -> empty, no wrap
+
+
+class TestMjpegDecodeLoop:
+    """Demux -> decode: MJPEG-in-MP4 keyframe slices through the
+    module's own JPEG decoder (no external codec)."""
+
+    def test_constant_tile_roundtrip_exact_all_values(self):
+        """The q_mjpeg_keyframe_decode oracle's closed form: with a
+        flat quant=1 table a constant-gray tile decodes back to
+        exactly v for EVERY v in 0..255 (DC quantizes losslessly,
+        all AC terms are zero) — pinned here so the oracle is not
+        circular with the decoder."""
+        import numpy as np
+        for v in range(256):
+            jpg = mm.encode_jpeg(np.full((16, 24), v, np.uint8),
+                                 quant=1)
+            w, h, gray = mm.decode_jpeg(jpg)
+            assert (w, h) == (24, 16)
+            luma = np.rint(gray * 255.0)
+            assert luma.min() == luma.max() == v, v
+
+    def test_payloads_replace_filler_mdat(self):
+        """encode_test_mp4(payloads=...) keeps the sample table
+        honest: each keyframe slice IS the planted JPEG bytes."""
+        import numpy as np
+        jpgs = [mm.encode_jpeg(np.full((16, 16), v, np.uint8),
+                               quant=1) for v in (10, 20, 30, 40)]
+        mp4 = mm.encode_test_mp4(
+            4, 60, 2, [len(p) for p in jpgs],
+            width=16, height=16, payloads=jpgs)
+        table = mm.mp4_sample_table(mp4)
+        assert [r[0] for r in table] == [1, 2, 3, 4]
+        for idx, pts, key, off, size in table:
+            assert mp4[off:off + size] == jpgs[idx - 1]
+            assert key == (idx in (1, 3))
+
+    def test_payload_size_mismatch_rejected(self):
+        import pytest as _pt
+        with _pt.raises(AssertionError, match='sizes'):
+            mm.encode_test_mp4(2, 60, 1, [5, 5], payloads=[b'abc',
+                                                           b'de'])
+
+    def test_decode_jpeg_frames_spark(self, spark_session):
+        """Slicer -> decoder over Spark: stats are integer-exact and
+        a corrupt frame comes back decoded=false with NULL stats
+        instead of vanishing."""
+        import numpy as np
+        vals = (7, 131, 250)
+        jpgs = [mm.encode_jpeg(np.full((16, 32), v, np.uint8),
+                               quant=1) for v in vals]
+        mp4 = mm.encode_test_mp4(
+            3, 60, 1, [len(p) for p in jpgs],
+            width=32, height=16, payloads=jpgs)
+        df = spark_session.createDataFrame(
+            [(5, bytearray(mp4))], 'media_id bigint, payload binary')
+        frames = mm.keyframe_payloads(df)
+        out = {r['sample_idx']: r
+               for r in mm.decode_jpeg_frames(frames).collect()}
+        assert set(out) == {1, 2, 3}
+        for i, v in zip((1, 2, 3), vals):
+            r = out[i]
+            assert r['decoded'] is True
+            assert (r['width'], r['height']) == (32, 16)
+            assert r['n_pixels'] == 512
+            assert r['luma_mean_255'] == r['luma_min_255'] \
+                == r['luma_max_255'] == v
+        # corrupt one frame's entropy bytes -> decoded=false row
+        table = mm.mp4_sample_table(mp4)
+        off = table[1][3]
+        broken = bytearray(mp4)
+        broken[off:off + 2] = b'\x00\x00'  # no SOI -> not a JPEG
+        df2 = spark_session.createDataFrame(
+            [(6, broken)], 'media_id bigint, payload binary')
+        out2 = {r['sample_idx']: r for r in mm.decode_jpeg_frames(
+            mm.keyframe_payloads(df2)).collect()}
+        assert out2[2]['decoded'] is False
+        assert out2[2]['luma_mean_255'] is None
+        assert out2[1]['decoded'] is True
