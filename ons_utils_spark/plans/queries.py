@@ -3666,6 +3666,66 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> SparkDF:
                        .alias('n_chars'))
 
 
+def q_dedup_keep_best_embedding(spark: SparkSession,
+                                sf_dir: str) -> SparkDF:
+    """Quality-preferring dedup over EMBEDDING near-dup pairs
+    (``dedup.embedding_near_duplicates`` → ``keep_best_duplicate``):
+    the pair source the keep-best resolver was still unpinned for.
+    Planted-clone fixture (the r6/r7 planted-ANN pattern): every
+    41st vector gains two clones scaled by exact powers of two
+    (×2, ×0.5 — float32-exact, so cosine is EXACTLY 1 in any IEEE
+    engine), ids offset by 10M/20M.  The natural corpus has no
+    cosine ≥ 0.95 pair at any gate SF (probed), so the pair graph
+    is exactly the planted 3-cliques — a LOUD guard verifies that
+    every run and raises with a diagnosis if regeneration breaks
+    it.  Each clique keeps its best synthetic quality score
+    ``(vec_id·17) % 29`` (ties → lowest id); the oracle replays the
+    winner rule with a ranked window over the closed-form families.
+    """
+    (embeddings,) = _t(spark, sf_dir, 'embeddings')
+    base = embeddings.select('vec_id', 'embedding')
+
+    def _clone(offset: int, factor: float) -> SparkDF:
+        return base.filter(F.col('vec_id') % 41 == 0).select(
+            (F.col('vec_id') + offset).alias('vec_id'),
+            F.transform(
+                'embedding',
+                lambda x: x * F.lit(factor).cast('float')
+            ).alias('embedding'))
+
+    corpus = base.unionByName(_clone(10_000_000, 2.0)) \
+                 .unionByName(_clone(20_000_000, 0.5))
+    pairs = dd.embedding_near_duplicates(
+        corpus, 'vec_id', 'embedding', threshold=0.95
+    ).localCheckpoint()
+    # LOUD guard: the oracle assumes the pair set is exactly the
+    # planted within-family pairs (3 per family).  Pair count is
+    # families-sized, so the collect is driver-bounded.
+    fam_of = lambda i: i % 10_000_000  # noqa: E731
+    got = {(min(r['id_a'], r['id_b']), max(r['id_a'], r['id_b']))
+           for r in pairs.select('id_a', 'id_b').collect()}
+    bases = [r['vec_id'] for r in
+             base.filter(F.col('vec_id') % 41 == 0)
+             .select('vec_id').collect()]
+    want = set()
+    for b in bases:
+        fam = [b, b + 10_000_000, b + 20_000_000]
+        want |= {(x, y) for x in fam for y in fam if x < y}
+    if got != want:
+        raise ValueError(
+            'q_dedup_keep_best_embedding guard tripped: the cosine '
+            '>= 0.95 pair graph is not exactly the planted clone '
+            f'cliques ({len(got - want)} unexpected, '
+            f'{len(want - got)} missing pairs) — the regenerated '
+            'embeddings corpus broke the fixture assumption; '
+            're-probe natural pair thresholds and rework the '
+            'oracle.')
+    scored = corpus.select(
+        'vec_id', ((F.col('vec_id') * 17) % 29).alias('q'))
+    kept = dd.keep_best_duplicate(scored, pairs, 'vec_id', 'q')
+    return kept.select('vec_id', F.col('q').cast('long').alias('q'))
+
+
 def q_incremental_winnow_dedup(spark: SparkSession,
                                sf_dir: str) -> SparkDF:
     """The REAL streaming path of
@@ -4267,6 +4327,7 @@ QUERIES: Dict[str, QueryFn] = {
     # order, freshest (r11-verified) last.
     # never driver-verified (NEW r12) — front of the window
     'q_mjpeg_keyframe_decode': q_mjpeg_keyframe_decode,
+    'q_dedup_keep_best_embedding': q_dedup_keep_best_embedding,
     # last driver-green: r5
     'q_triangles': q_triangles,
     'q_bfs_hops': q_bfs_hops,
@@ -5363,6 +5424,31 @@ ORACLES: Dict[str, str] = {
                CAST((media_id * 37 + i * 101) % 256 AS INT)
                    AS luma_max_255
         FROM frames WHERE (i - 1) % ke = 0
+    """,
+    'q_dedup_keep_best_embedding': """
+        WITH fam AS (
+            SELECT vec_id AS b FROM embeddings WHERE vec_id % 41 = 0
+        ), members AS (
+            SELECT b, unnest([b, b + 10000000, b + 20000000])
+                       AS vec_id
+            FROM fam
+        ), all_ids AS (
+            SELECT vec_id FROM embeddings
+            UNION ALL SELECT b + 10000000 FROM fam
+            UNION ALL SELECT b + 20000000 FROM fam
+        ), ranked AS (
+            SELECT b, vec_id,
+                   row_number() OVER (
+                       PARTITION BY b
+                       ORDER BY (vec_id * 17) % 29 DESC,
+                                vec_id ASC) AS rn
+            FROM members
+        )
+        SELECT a.vec_id,
+               CAST((a.vec_id * 17) % 29 AS BIGINT) AS q
+        FROM all_ids a
+        WHERE a.vec_id NOT IN (SELECT vec_id FROM members)
+           OR a.vec_id IN (SELECT vec_id FROM ranked WHERE rn = 1)
     """,
     'q_langid': """
         WITH scored AS (
