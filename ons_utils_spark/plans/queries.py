@@ -1349,6 +1349,90 @@ def q_mjpeg_keyframe_decode(spark: SparkSession,
         'luma_mean_255', 'luma_min_255', 'luma_max_255')
 
 
+def _messy_urls(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Deterministic messy-URL fixture for the web-ingest queries:
+    every document gets a crawl-style URL whose NOISE derives from
+    doc columns — mixed-case scheme/host, default and non-default
+    ports, tracking parameters in leading/trailing/interior
+    positions, fragments — so the canonicalization rules are all
+    exercised.  The oracle never re-runs the regex pipeline: the
+    CLEAN form is a closed form of the same doc columns, which is
+    what makes the check non-circular."""
+    (documents,) = _t(spark, sf_dir, 'documents')
+    d = F.col('doc_id')
+    scheme = F.when(d % 4 == 0, F.lit('HTTP')).otherwise('HtTpS')
+    port = (F.when(d % 4 == 0, F.lit(':80'))
+            .when(d % 4 == 1, F.lit(':443'))
+            .when(d % 4 == 2, F.lit(':8080'))
+            .otherwise(''))
+    tld = (F.when(d % 3 == 0, F.lit('com'))
+           .when(d % 3 == 1, F.lit('co.uk'))
+           .otherwise('org'))
+    host = F.concat(F.lit('WWW'), (d % 7).cast('string'),
+                    F.lit('.'), F.col('source'),
+                    F.lit('.ExAmPLe.'), tld)
+    path = F.concat(F.lit('/'), F.col('lang'), F.lit('/page'),
+                    (d % 50).cast('string'))
+    qid = (d % 10).cast('string')
+    query = (F.when(d % 5 == 0,
+                    F.concat(F.lit('?utm_source=feed&id='), qid))
+             .when(d % 5 == 1,
+                   F.concat(F.lit('?id='), qid,
+                            F.lit('&utm_campaign=x')))
+             .when(d % 5 == 2, F.lit('?utm_medium=rss'))
+             .when(d % 5 == 3,
+                   F.concat(F.lit('?id='), qid,
+                            F.lit('&gclid=abc&ref=r')))
+             .otherwise(''))
+    frag = F.when(d % 2 == 0,
+                  F.concat(F.lit('#sec'), (d % 5).cast('string'))
+                  ).otherwise('')
+    return documents.select(
+        'doc_id',
+        F.concat(scheme, F.lit('://'), host, port, path, query,
+                 frag).alias('url'))
+
+
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """URL canonicalization + host/domain extraction
+    (``operators.web``): crawl-style messy URLs (mixed-case
+    scheme/host, default ports, tracking params, fragments) reduce
+    to their canonical form through the documented regex pipeline —
+    a pure codegen projection, no UDF.  The oracle computes the
+    clean form as a CLOSED FORM of the doc columns (never re-running
+    the regexes), so any canonicalization rule bug breaks the
+    match."""
+    from ..operators import web
+
+    urls = _messy_urls(spark, sf_dir)
+    return urls.select(
+        'doc_id',
+        web.canonicalize_url('url').alias('canonical_url'),
+        web.url_host('url').alias('host'),
+        web.registrable_domain('url').alias('domain'))
+
+
+def q_url_dedup_domains(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Crawl-order URL dedup + per-domain stats (``web.url_dedup``):
+    exact dedup on canonical URL keeping the earliest doc_id (ONE
+    groupBy shuffle with map-side partials), then registrable-domain
+    rollup — the ingest pass that drives source weighting.  The
+    oracle replays the closed-form canonical per document and the
+    same two aggregations."""
+    from ..operators import web
+
+    urls = _messy_urls(spark, sf_dir)
+    kept = web.url_dedup(urls, 'url', 'doc_id')
+    return (
+        kept.withColumn('domain',
+                        web.registrable_domain('canonical_url'))
+        .groupBy('domain')
+        .agg(F.count(F.lit(1)).alias('n_unique_urls'),
+             F.sum('n_dups').alias('n_docs'),
+             F.min('doc_id').alias('first_doc'))
+    )
+
+
 def q_global_shuffle(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Reproducible global training order
     (``operators.sampling.global_order_index``): every document gets
@@ -4328,6 +4412,8 @@ QUERIES: Dict[str, QueryFn] = {
     # never driver-verified (NEW r12) — front of the window
     'q_mjpeg_keyframe_decode': q_mjpeg_keyframe_decode,
     'q_dedup_keep_best_embedding': q_dedup_keep_best_embedding,
+    'q_url_canonical': q_url_canonical,
+    'q_url_dedup_domains': q_url_dedup_domains,
     # last driver-green: r5
     'q_triangles': q_triangles,
     'q_bfs_hops': q_bfs_hops,
@@ -5449,6 +5535,73 @@ ORACLES: Dict[str, str] = {
         FROM all_ids a
         WHERE a.vec_id NOT IN (SELECT vec_id FROM members)
            OR a.vec_id IN (SELECT vec_id FROM ranked WHERE rn = 1)
+    """,
+    'q_url_canonical': """
+        WITH canon AS (
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 4 = 0 THEN 'http'
+                         ELSE 'https' END) AS scheme,
+                   'www' || CAST(doc_id % 7 AS VARCHAR) || '.'
+                       || lower(source) || '.example.'
+                       || (CASE WHEN doc_id % 3 = 0 THEN 'com'
+                                WHEN doc_id % 3 = 1 THEN 'co.uk'
+                                ELSE 'org' END) AS host,
+                   (CASE WHEN doc_id % 4 = 2 THEN ':8080'
+                         ELSE '' END) AS port,
+                   '/' || lang || '/page'
+                       || CAST(doc_id % 50 AS VARCHAR) AS path,
+                   (CASE WHEN doc_id % 5 IN (0, 1)
+                             THEN '?id=' || CAST(doc_id % 10 AS VARCHAR)
+                         WHEN doc_id % 5 = 3
+                             THEN '?id=' || CAST(doc_id % 10 AS VARCHAR)
+                                  || '&ref=r'
+                         ELSE '' END) AS query,
+                   (CASE WHEN doc_id % 3 = 0 THEN 'example.com'
+                         WHEN doc_id % 3 = 1 THEN 'example.co.uk'
+                         ELSE 'example.org' END) AS domain
+            FROM documents
+        )
+        SELECT doc_id,
+               scheme || '://' || host || port || path || query
+                   AS canonical_url,
+               host, domain
+        FROM canon
+    """,
+    'q_url_dedup_domains': """
+        WITH canon AS (
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 4 = 0 THEN 'http'
+                         ELSE 'https' END)
+                   || '://www' || CAST(doc_id % 7 AS VARCHAR) || '.'
+                   || lower(source) || '.example.'
+                   || (CASE WHEN doc_id % 3 = 0 THEN 'com'
+                            WHEN doc_id % 3 = 1 THEN 'co.uk'
+                            ELSE 'org' END)
+                   || (CASE WHEN doc_id % 4 = 2 THEN ':8080'
+                            ELSE '' END)
+                   || '/' || lang || '/page'
+                   || CAST(doc_id % 50 AS VARCHAR)
+                   || (CASE WHEN doc_id % 5 IN (0, 1)
+                            THEN '?id=' || CAST(doc_id % 10 AS VARCHAR)
+                            WHEN doc_id % 5 = 3
+                            THEN '?id=' || CAST(doc_id % 10 AS VARCHAR)
+                                 || '&ref=r'
+                            ELSE '' END) AS canonical_url,
+                   (CASE WHEN doc_id % 3 = 0 THEN 'example.com'
+                         WHEN doc_id % 3 = 1 THEN 'example.co.uk'
+                         ELSE 'example.org' END) AS domain
+            FROM documents
+        ), kept AS (
+            SELECT canonical_url, domain,
+                   min(doc_id) AS doc_id,
+                   count(*) AS n_dups
+            FROM canon GROUP BY canonical_url, domain
+        )
+        SELECT domain,
+               count(*) AS n_unique_urls,
+               CAST(sum(n_dups) AS BIGINT) AS n_docs,
+               min(doc_id) AS first_doc
+        FROM kept GROUP BY domain
     """,
     'q_langid': """
         WITH scored AS (

@@ -1,0 +1,91 @@
+"""Tests for web-ingest URL operators (operators/web.py)."""
+import pytest
+from pyspark.sql import functions as F
+
+from ons_utils_spark.operators import web
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], 'url string')
+    rows = df.select(
+        web.canonicalize_url('url').alias('c'),
+        web.url_host('url').alias('h'),
+        web.registrable_domain('url').alias('d'),
+    ).collect()
+    return [(r['c'], r['h'], r['d']) for r in rows]
+
+
+CASES = [
+    # (input, canonical, host, domain)
+    ('HTTPS://WWW.Example.COM:443/A/b?x=1#frag',
+     'https://www.example.com/A/b?x=1', 'www.example.com',
+     'example.com'),
+    ('http://Site.org:80/p', 'http://site.org/p', 'site.org',
+     'site.org'),
+    # non-default port survives
+    ('https://a.example.com:8080/p', 'https://a.example.com:8080/p',
+     'a.example.com', 'example.com'),
+    # :80 on https / :443 on http are NOT default — kept
+    ('https://a.b.com:80/', 'https://a.b.com:80/', 'a.b.com',
+     'b.com'),
+    ('http://a.b.com:443/', 'http://a.b.com:443/', 'a.b.com',
+     'b.com'),
+    # tracking params: leading, interior, trailing, lone
+    ('https://x.com/p?utm_source=f&id=3', 'https://x.com/p?id=3',
+     'x.com', 'x.com'),
+    ('https://x.com/p?id=3&utm_campaign=c&y=2',
+     'https://x.com/p?id=3&y=2', 'x.com', 'x.com'),
+    ('https://x.com/p?id=3&gclid=zz', 'https://x.com/p?id=3',
+     'x.com', 'x.com'),
+    ('https://x.com/p?utm_medium=rss', 'https://x.com/p', 'x.com',
+     'x.com'),
+    ('https://x.com/p?utm_a=1&utm_b=2&fbclid=q', 'https://x.com/p',
+     'x.com', 'x.com'),
+    # path/query case preserved; only scheme+host lowercase
+    ('HtTp://MiXeD.Org/KeEp/CaSe?Q=Vv', 'http://mixed.org/KeEp/CaSe?Q=Vv',
+     'mixed.org', 'mixed.org'),
+    # fragment alone
+    ('https://x.com/p#only', 'https://x.com/p', 'x.com', 'x.com'),
+    # two-label public suffix -> three-label registrable domain
+    ('https://news.bbc.co.uk/story', 'https://news.bbc.co.uk/story',
+     'news.bbc.co.uk', 'bbc.co.uk'),
+    ('https://shop.foo.com.au/', 'https://shop.foo.com.au/',
+     'shop.foo.com.au', 'foo.com.au'),
+    # bare single-label host: no registrable domain
+    ('http://localhost:8080/x', 'http://localhost:8080/x',
+     'localhost', ''),
+]
+
+
+@pytest.mark.parametrize('url,canon,host,domain', CASES)
+def test_url_rules(spark_session, url, canon, host, domain):
+    got = _canon(spark_session, [url])[0]
+    assert got == (canon, host, domain)
+
+
+def test_url_dedup_keeps_earliest(spark_session):
+    df = spark_session.createDataFrame(
+        [(1, 'https://X.com/p?utm_source=a'),
+         (2, 'HTTPS://x.COM:443/p'),
+         (3, 'https://x.com/p#f'),
+         (4, 'https://x.com/q')],
+        'doc_id long, url string')
+    out = {r['canonical_url']: (r['doc_id'], r['n_dups'])
+           for r in web.url_dedup(df, 'url', 'doc_id').collect()}
+    assert out == {'https://x.com/p': (1, 3),
+                   'https://x.com/q': (4, 1)}
+
+
+def test_canonicalization_is_pure_codegen(spark_session):
+    """No UDF, no shuffle: the whole canonical projection must stay
+    inside one WholeStageCodegen over the scan."""
+    df = spark_session.range(100).select(
+        F.concat(F.lit('https://h'), F.col('id'),
+                 F.lit('.com/p?utm_x=1&id='), F.col('id'))
+        .alias('url'))
+    out = df.select(web.canonicalize_url('url').alias('c'),
+                    web.registrable_domain('url').alias('d'))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert 'Exchange' not in plan
+    assert 'BatchEvalPython' not in plan
+    assert 'ArrowEvalPython' not in plan
