@@ -34,6 +34,28 @@ from ons_utils_spark.operators import text as tx
 from ons_utils_spark.sources.readers import load_tables, write_parquet
 
 
+def ingest_url_dedup(documents: DataFrame) -> DataFrame:
+    """Crawl-front-door stage: canonical-URL dedup BEFORE any text
+    processing (the same page arrives under tracking params, case
+    variants, and fragments).  The URL column here is synthesized
+    from doc columns (the corpus has none); with a real crawl it is
+    the WARC target URI.  One groupBy shuffle; the canonicalization
+    itself is a pure codegen projection."""
+    from ons_utils_spark.operators import web
+
+    urls = documents.select(
+        'doc_id',
+        F.concat(
+            F.lit('HtTpS://WWW.'), F.col('source'),
+            F.lit('.ExAmPle.com:443/'), F.col('lang'),
+            F.lit('/page'), (F.col('doc_id') % 50).cast('string'),
+            F.lit('?utm_source=crawl&id='),
+            (F.col('doc_id') % 10).cast('string'),
+        ).alias('url'))
+    keep = web.url_dedup(urls, 'url', 'doc_id').select('doc_id')
+    return documents.join(keep, on='doc_id', how='left_semi')
+
+
 def curate(documents: DataFrame, quality_threshold: float = 0.5,
            jaccard_threshold: float = 0.8) -> DataFrame:
     """Quality-filter then dedup a documents frame (returns curated)."""
@@ -253,6 +275,9 @@ def main() -> None:
     docs = load_tables(spark, sf_dir, tables=['documents'])['documents']
 
     n_raw = docs.count()
+    docs = ingest_url_dedup(docs)
+    n_url = docs.count()
+    print(f'url-dedup kept {n_url}/{n_raw} docs')
     curated = curate(docs)
     n_minhash = curated.count()
     curated = winnow_sweep(curated)
@@ -298,6 +323,16 @@ def main() -> None:
     write_training_shards(epoch, shards_dir, shard_size=256)
     n_shards = shard_manifest(spark, shards_dir).count()
     print(f'epoch laid out as {n_shards} ordered shards of <=256')
+    # resume mid-epoch: shard_size comes from the layout's own
+    # sidecar (authoritative — a mismatched divisor would raise),
+    # and the shard >= cursor//size predicate prunes directories
+    from ons_utils_spark.sources.shards import read_training_shards
+    cursor = n_mix // 2
+    resumed = read_training_shards(spark, shards_dir,
+                                   start_position=cursor)
+    n_resumed = resumed.count()
+    assert n_resumed == n_mix - cursor, (n_resumed, n_mix, cursor)
+    print(f'resume at position {cursor}: {n_resumed} docs left')
 
     chunks = to_training_chunks(split.filter(F.col('split') == 'train'))
     packed = pack_chunks(chunks)
