@@ -1412,6 +1412,108 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> SparkDF:
         web.registrable_domain('url').alias('domain'))
 
 
+def q_incremental_url_dedup(spark: SparkSession,
+                            sf_dir: str) -> SparkDF:
+    """Streaming crawl-front-door dedup
+    (``streaming.incremental.incremental_exact_dedup``): documents
+    staged as three id-ordered file-source chunks; each micro-batch
+    synthesizes its crawl URL, canonicalizes it (``operators.web``
+    inside foreachBatch), keeps the lowest doc_id per canonical key
+    in-batch, and drops keys already accepted by earlier batches via
+    the exactly-once begin/commit store.  Exact-key equality makes
+    the accepted set GLOBALLY "min doc_id per canonical URL" under
+    id-ordered arrival — the oracle replays it with one window over
+    the closed-form canonical, no clique caveat.  A loud guard
+    recomputes the closed form batch-side and raises on divergence.
+    Streaming state lives under the system temp dir keyed by
+    applicationId."""
+    import tempfile
+    import time
+
+    from ..operators import web
+    from ..streaming.incremental import incremental_exact_dedup
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    app = spark.sparkContext.applicationId
+    root = os.path.join(
+        tempfile.gettempdir(), 'ons_inc_url', tag, app)
+
+    def _messy(df):
+        d = F.col('doc_id')
+        return F.concat(
+            F.when(d % 4 == 0, F.lit('HTTP')).otherwise('HtTpS'),
+            F.lit('://WWW.'), F.col('source'),
+            F.lit('.ExAmPle.com'),
+            F.when(d % 4 == 0, F.lit(':80'))
+            .when(d % 4 == 1, F.lit(':443')).otherwise(''),
+            F.lit('/'), F.col('lang'), F.lit('/page'),
+            (d % 25).cast('string'),
+            F.when(d % 3 == 0, F.concat(F.lit('?utm_source=c&id='),
+                                        (d % 5).cast('string')))
+            .when(d % 3 == 1, F.concat(F.lit('?id='),
+                                       (d % 5).cast('string')))
+            .otherwise(''),
+            F.when(d % 2 == 0, F.lit('#top')).otherwise(''))
+
+    def _run():
+        src = os.path.join(root, 'src')
+        (documents.select('doc_id', 'source', 'lang')
+         .repartitionByRange(3, 'doc_id')
+         .write.mode('overwrite').json(src))
+        parts = sorted(p for p in os.listdir(src)
+                       if p.startswith('part-'))
+        base = time.time() - 1000
+        for i, p in enumerate(parts):
+            os.utime(os.path.join(src, p),
+                     (base + 10 * i, base + 10 * i))
+        stream = (
+            spark.readStream
+            .schema('doc_id long, source string, lang string')
+            .option('maxFilesPerTrigger', 1)
+            .json(src)
+        )
+        keyed = stream.withColumn(
+            'key', web.canonicalize_url(_messy(stream)))
+        q = incremental_exact_dedup(
+            keyed,
+            out_dir=os.path.join(root, 'accepted'),
+            store_dir=os.path.join(root, 'store'),
+            checkpoint=os.path.join(root, 'ckpt'),
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(
+                'incremental url dedup stream did not terminate'
+                ' within 600s')
+        # LOUD guard: the closed form the oracle replays
+        canon = documents.select(
+            'doc_id', web.canonicalize_url(_messy(documents))
+            .alias('key'))
+        want = {r['doc_id'] for r in canon.withColumn(
+            '__m', F.min('doc_id').over(
+                Window.partitionBy('key')))
+            .filter(F.col('doc_id') == F.col('__m'))
+            .select('doc_id').collect()}
+        got = {r['doc_id'] for r in spark.read.parquet(
+            os.path.join(root, 'accepted'))
+            .select('doc_id').collect()}
+        if got != want:
+            raise ValueError(
+                'q_incremental_url_dedup guard tripped: streaming '
+                f'accepted {len(got)} ids, closed form expects '
+                f'{len(want)} (diff {sorted(got ^ want)[:5]}…) — '
+                'check arrival-order assumptions before blaming '
+                'the sink.')
+        return os.path.join(root, 'accepted')
+
+    out_dir = _artifact(f'inc_url_dedup:{sf_dir}@{app}', _run)
+    return (
+        spark.read.parquet(out_dir)
+        .select('doc_id', F.col('key').alias('canonical_url'))
+    )
+
+
 def q_url_dedup_domains(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Crawl-order URL dedup + per-domain stats (``web.url_dedup``):
     exact dedup on canonical URL keeping the earliest doc_id (ONE
@@ -4414,6 +4516,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_dedup_keep_best_embedding': q_dedup_keep_best_embedding,
     'q_url_canonical': q_url_canonical,
     'q_url_dedup_domains': q_url_dedup_domains,
+    'q_incremental_url_dedup': q_incremental_url_dedup,
     # last driver-green: r5
     'q_triangles': q_triangles,
     'q_bfs_hops': q_bfs_hops,
@@ -5535,6 +5638,27 @@ ORACLES: Dict[str, str] = {
         FROM all_ids a
         WHERE a.vec_id NOT IN (SELECT vec_id FROM members)
            OR a.vec_id IN (SELECT vec_id FROM ranked WHERE rn = 1)
+    """,
+    'q_incremental_url_dedup': """
+        WITH canon AS (
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 4 = 0 THEN 'http'
+                         ELSE 'https' END)
+                   || '://www.' || lower(source) || '.example.com'
+                   || '/' || lang || '/page'
+                   || CAST(doc_id % 25 AS VARCHAR)
+                   || (CASE WHEN doc_id % 3 IN (0, 1)
+                            THEN '?id=' || CAST(doc_id % 5 AS VARCHAR)
+                            ELSE '' END) AS canonical_url
+            FROM documents
+        ), ranked AS (
+            SELECT doc_id, canonical_url,
+                   min(doc_id) OVER (PARTITION BY canonical_url)
+                       AS __m
+            FROM canon
+        )
+        SELECT doc_id, canonical_url
+        FROM ranked WHERE doc_id = __m
     """,
     'q_url_canonical': """
         WITH canon AS (

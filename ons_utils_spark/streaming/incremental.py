@@ -50,6 +50,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame as SparkDF
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
@@ -148,6 +149,96 @@ def _marker_row(spark, schema_fields, batch_id: int, kind: str):
     )
     return (marker.withColumn('_batch_id', F.lit(batch_id))
             .withColumn('_marker', F.lit(kind)))
+
+
+def incremental_exact_dedup(
+    docs_stream: SparkDF,
+    out_dir: str,
+    store_dir: str,
+    checkpoint: str,
+    id_col: str = 'doc_id',
+    key_col: str = 'key',
+    available_now: bool = True,
+):
+    """Filter a stream against all previously-accepted EXACT keys —
+    the crawl front door (canonical-URL / content-fingerprint dedup
+    at ingest), and the exact-key sibling of
+    :func:`incremental_winnow_dedup`.
+
+    Per micro-batch:
+      1. in-batch dedup: keep the lowest ``id_col`` per ``key_col``
+         (one map-side-combinable groupBy over the batch),
+      2. drop batch rows whose key already exists in the store
+         (earlier batches win — arrival order; the join touches the
+         batch's keys only, and the store read prunes by
+         ``_batch_id`` directories),
+      3. commit in FOUR atomic appends — begin sentinel, ``(key,
+         id)`` store rows tagged ``_batch_id``, accepted docs, then
+         the commit marker LAST — the exactly-once protocol of the
+         module docstring (a replayed committed batch skips; a
+         mid-commit crash reconciles the docs append against
+         ``out_dir`` ids).
+
+    Because the drop rule is exact-key-equality, the accepted set is
+    globally "the minimum id per key" whenever batches arrive in id
+    order — trivially oracle-replayable with one window, no
+    union-of-cliques caveat.
+
+    Returns the started streaming query.
+    """
+    spark = docs_stream.sparkSession
+
+    def process(batch_df: SparkDF, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        have_store = _store_exists(store_dir)
+        partial, data_done = False, False
+        if have_store:
+            store = spark.read.parquet(store_dir)
+            committed, partial, data_done = _batch_state(
+                store, batch_id)
+            if committed:
+                return  # replayed batch — already fully committed
+            store = store.filter(F.col('_batch_id') != batch_id)
+        # 1. in-batch: lowest id per key
+        clean = (
+            batch_df.withColumn(
+                '__rk', F.row_number().over(
+                    Window.partitionBy(key_col)
+                    .orderBy(F.col(id_col).asc())))
+            .filter(F.col('__rk') == 1).drop('__rk')
+        )
+        # 2. drop keys already accepted (sentinel rows have NULL
+        # keys and never match the equi-join)
+        if have_store:
+            clean = clean.join(
+                store.select(key_col).filter(
+                    F.col(key_col).isNotNull()).distinct(),
+                on=key_col, how='left_anti')
+        keys = clean.select(key_col, F.col(id_col).alias('id'))
+        flat = have_store and _store_is_flat(store_dir)
+        if not partial:
+            _append_store(
+                _marker_row(spark, keys.schema.fields, batch_id,
+                            'begin'), store_dir, flat)
+        if not data_done:
+            _append_store(
+                keys.withColumn('_batch_id', F.lit(batch_id))
+                .withColumn('_marker', F.lit(None).cast('string')),
+                store_dir, flat)
+        docs_out = clean
+        if partial and _store_exists(out_dir):
+            docs_out = docs_out.join(
+                spark.read.parquet(out_dir).select(id_col),
+                on=id_col, how='left_anti')
+        docs_out.write.mode('append').parquet(out_dir)
+        _append_store(
+            _marker_row(spark, keys.schema.fields, batch_id,
+                        'commit'), store_dir, flat)
+
+    return foreach_batch_sink(
+        docs_stream, process, checkpoint,
+        output_mode='append', available_now=available_now)
 
 
 def incremental_winnow_dedup(

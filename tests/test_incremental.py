@@ -532,3 +532,96 @@ class TestIncrementalEmbeddingDedup:
                 store.append((vid, u))
                 kept.append(vid)
         assert got == sorted(kept), (len(got), len(kept))
+
+
+@pytest.mark.slow
+class TestIncrementalExactDedup:
+    """Exact-key (canonical-URL / fingerprint) dedup-at-ingest."""
+
+    def _stage_keys(self, tmp_path, rows, n_chunks=2):
+        """rows = (doc_id, key); staged as id-ordered json chunks."""
+        import os
+        import time
+
+        import pandas as pd
+
+        src = tmp_path / 'docs_src'
+        src.mkdir()
+        ordered = sorted(rows, key=lambda r: r[0])
+        per = (len(ordered) + n_chunks - 1) // n_chunks
+        base = time.time() - 1000
+        for i in range(n_chunks):
+            chunk = ordered[i * per:(i + 1) * per]
+            if chunk:
+                path = src / f'{i}.json'
+                pd.DataFrame(chunk, columns=['doc_id', 'key']) \
+                    .to_json(path, orient='records', lines=True)
+                os.utime(path, (base + 10 * i, base + 10 * i))
+        return src
+
+    def _run(self, spark, tmp_path):
+        from ons_utils_spark.streaming.incremental import (
+            incremental_exact_dedup)
+
+        stream = (
+            spark.readStream
+            .schema('doc_id long, key string')
+            .option('maxFilesPerTrigger', 1)
+            .json(str(tmp_path / 'docs_src'))
+        )
+        q = incremental_exact_dedup(
+            stream,
+            out_dir=str(tmp_path / 'accepted'),
+            store_dir=str(tmp_path / 'store'),
+            checkpoint=str(tmp_path / 'ckpt'),
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(str(tmp_path / 'accepted'))
+
+    def test_in_batch_and_cross_batch_exact_dedup(
+            self, spark_session, tmp_path):
+        rows = [
+            (1, 'https://a.com/p'),
+            (2, 'https://a.com/p'),    # in-batch dup of 1
+            (3, 'https://b.com/q'),
+            (10, 'https://a.com/p'),   # cross-batch dup of 1
+            (11, 'https://c.com/r'),
+        ]
+        self._stage_keys(tmp_path, rows, n_chunks=2)
+        got = sorted(r['doc_id'] for r in self._run(
+            spark_session, tmp_path).collect())
+        assert got == [1, 3, 11], got
+
+    def test_mid_commit_crash_replay_exactly_once(
+            self, spark_session, tmp_path):
+        """Crash after batch-0's key append + docs append but before
+        the commit marker: the replay must not duplicate accepted
+        rows and must commit the marker."""
+        from ons_utils_spark.streaming.incremental import _marker_row
+
+        rows = [
+            (1, 'https://a.com/p'),
+            (2, 'https://b.com/q'),
+            (10, 'https://a.com/p'),   # later dup of 1
+            (11, 'https://c.com/r'),
+        ]
+        self._stage_keys(tmp_path, rows, n_chunks=2)
+        surv = spark_session.createDataFrame(
+            [(1, 'https://a.com/p'), (2, 'https://b.com/q')],
+            'doc_id long, key string')
+        keys = surv.select('key', F.col('doc_id').alias('id'))
+        (_marker_row(spark_session, keys.schema.fields, 0, 'begin')
+            .write.mode('append').parquet(str(tmp_path / 'store')))
+        (keys.withColumn('_batch_id', F.lit(0))
+            .withColumn('_marker', F.lit(None).cast('string'))
+            .write.mode('append').parquet(str(tmp_path / 'store')))
+        surv.write.mode('append').parquet(str(tmp_path / 'accepted'))
+
+        got = sorted(r['doc_id'] for r in self._run(
+            spark_session, tmp_path).collect())
+        assert got == [1, 2, 11], got  # no dup 1/2; 10 dropped
+        store = spark_session.read.parquet(str(tmp_path / 'store'))
+        marks = store.filter(F.col('_marker') == 'commit') \
+            .groupBy('_batch_id').count().collect()
+        assert {r['_batch_id']: r['count'] for r in marks} \
+            == {0: 1, 1: 1}
