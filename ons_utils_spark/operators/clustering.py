@@ -112,8 +112,13 @@ def connected_components(
         # the checks costs at most one redundant round while saving
         # ~1/4 of the loop's jobs. Odd rounds and the final round
         # always check so the loop can never exit unconverged.
+        # Round 0 ALSO checks: near-dup pair graphs are typically
+        # unions of cliques, which the min-neighbor INITIALIZATION
+        # already labels exactly — the first-round check costs one
+        # small count job but saves a whole redundant round (2 joins
+        # + 2 lineage cuts) on every clique-shaped input.
         labels, prev = new_labels, labels
-        if it % 2 == 1 or it == max_iterations - 1:
+        if it % 2 == 1 or it == 0 or it == max_iterations - 1:
             changed = (
                 labels.alias('n')
                 .join(prev.alias('o'), 'node')
