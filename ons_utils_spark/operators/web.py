@@ -54,10 +54,13 @@ def canonicalize_url(url) -> Column:
     u = F.col(url) if isinstance(url, str) else url
     # 1. fragment off first (ports/params never hide behind it)
     u = F.regexp_replace(u, '#.*$', '')
-    # 2. lowercase scheme://host[:port] only: split on the first '/'
-    # after the authority and recombine
-    prefix = F.lower(F.regexp_extract(u, '^([^/]*//[^/]+)', 1))
-    rest = F.regexp_replace(u, '^[^/]*//[^/]+', '')
+    # 2. lowercase scheme://host[:port] only: the authority ends at
+    # the first '/', '?' or '#' (a URL with a query but no path —
+    # 'HTTPS://X.com?id=3' — must NOT fold the query into the
+    # lowercased prefix; rule 2 says never path or query), then
+    # recombine
+    prefix = F.lower(F.regexp_extract(u, '^([^/]*//[^/?#]+)', 1))
+    rest = F.regexp_replace(u, '^[^/]*//[^/?#]+', '')
     # 3. default ports (scheme-specific)
     prefix = F.regexp_replace(prefix, '^(https://[^:/]+):443$', '$1')
     prefix = F.regexp_replace(prefix, '^(http://[^:/]+):80$', '$1')

@@ -4504,72 +4504,18 @@ def q_group_quantile_ladder(spark: SparkSession, sf_dir: str) -> SparkDF:
 # as the suite grows.  New queries enter with no driver row and so
 # sort to the front automatically.
 QUERIES: Dict[str, QueryFn] = {
-    # -- round-12 verification window (first 50) ------------------
+    # -- round-13 verification window (first 50) ------------------
     # Mechanical oldest-verified-first rotation (the rule
     # tools/gen_query_inventory.py proposes each round): leads with
-    # the seven r5-stale queries (q_triangles ... q_line_dedup, six
-    # rounds without driver evidence), then the r6 set.  Below the
-    # window the remaining queries continue in the same staleness
-    # order, freshest (r11-verified) last.
-    # never driver-verified (NEW r12) — front of the window
-    'q_mjpeg_keyframe_decode': q_mjpeg_keyframe_decode,
-    'q_dedup_keep_best_embedding': q_dedup_keep_best_embedding,
-    'q_url_canonical': q_url_canonical,
-    'q_url_dedup_domains': q_url_dedup_domains,
-    'q_incremental_url_dedup': q_incremental_url_dedup,
-    # last driver-green: r5
-    'q_triangles': q_triangles,
-    'q_bfs_hops': q_bfs_hops,
-    'q_rolling_anomaly': q_rolling_anomaly,
-    'q_quality_checks': q_quality_checks,
-    'q_label_prop': q_label_prop,
-    'q_substring_dups': q_substring_dups,
-    'q_line_dedup': q_line_dedup,
+    # the ten r6-stale queries, then the five r8 TPC-H queries, then
+    # r9 fills.  Below the window the remaining queries continue in
+    # the same staleness order, freshest (r12-verified) last.
     # last driver-green: r6
-    'q1_pricing_summary': q1_pricing_summary,
-    'q2_revenue_by_nation': q2_revenue_by_nation,
-    'q3_top_orders': q3_top_orders,
-    'q4_priority_order_counts': q4_priority_order_counts,
-    'q5_segment_stats': q5_segment_stats,
-    'q6_forecast_revenue': q6_forecast_revenue,
-    'q_pivot_status_priority': q_pivot_status_priority,
-    'q_concat_extracts': q_concat_extracts,
-    'q_concat_lattice': q_concat_lattice,
-    'q_range_join_bands': q_range_join_bands,
-    'q_map_col_status': q_map_col_status,
-    'q_window_revenue_share': q_window_revenue_share,
-    'q_topk_orders_per_status': q_topk_orders_per_status,
-    'q_grouped_demean': q_grouped_demean,
-    'q_asof_user_purchase': q_asof_user_purchase,
-    'q_json_tumbling': q_json_tumbling,
-    'q_session_windows': q_session_windows,
-    'q_text_stats': q_text_stats,
-    'q_dedup_exact': q_dedup_exact,
-    'q_fingerprint_docs': q_fingerprint_docs,
-    'q_jaccard_pairs': q_jaccard_pairs,
-    'q_langid': q_langid,
-    'q_diff_embeddings': q_diff_embeddings,
-    'q_ann_cosine_topk': q_ann_cosine_topk,
-    'q_ivf_topk': q_ivf_topk,
-    'q_salted_agg': q_salted_agg,
-    'q_melt_part': q_melt_part,
-    'q_rollup_revenue': q_rollup_revenue,
-    'q_intersect_custkeys': q_intersect_custkeys,
-    'q_ffill_lineitem': q_ffill_lineitem,
-    'q_sliding_events': q_sliding_events,
-    'q_embedding_neardup': q_embedding_neardup,
-    'q_bpe_tokens': q_bpe_tokens,
-    'q_null_safe_join': q_null_safe_join,
-    'q_cube_orders': q_cube_orders,
-    'q_distinct_counts': q_distinct_counts,
-    'q_quality_scores': q_quality_scores,
-    'q_clean_text': q_clean_text,
     'q_lsh_topk': q_lsh_topk,
     'q_char_shingles': q_char_shingles,
     'q_pq_topk': q_pq_topk,
     'q_ivf_pq_topk': q_ivf_pq_topk,
     'q_hilbert_stats': q_hilbert_stats,
-    # -- below the 50-slot window ---------------------------------
     'q_cms_heavy_hitters': q_cms_heavy_hitters,
     'q_rrf_fusion': q_rrf_fusion,
     'q_gopher_rules': q_gopher_rules,
@@ -4617,6 +4563,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_quantile_ladder': q_quantile_ladder,
     'q_first_touch': q_first_touch,
     'q_calendar_gaps': q_calendar_gaps,
+    # -- below the 50-slot window ---------------------------------
     'q_price_rank_bands': q_price_rank_bands,
     'q_regr_price_size': q_regr_price_size,
     'q_rolling_revenue': q_rolling_revenue,
@@ -4685,6 +4632,57 @@ QUERIES: Dict[str, QueryFn] = {
     'q_inverted_index': q_inverted_index,
     'q_term_search': q_term_search,
     'q_bm25_topk': q_bm25_topk,
+    # last driver-green: r12
+    'q_mjpeg_keyframe_decode': q_mjpeg_keyframe_decode,
+    'q_dedup_keep_best_embedding': q_dedup_keep_best_embedding,
+    'q_url_canonical': q_url_canonical,
+    'q_url_dedup_domains': q_url_dedup_domains,
+    'q_incremental_url_dedup': q_incremental_url_dedup,
+    'q_triangles': q_triangles,
+    'q_bfs_hops': q_bfs_hops,
+    'q_rolling_anomaly': q_rolling_anomaly,
+    'q_quality_checks': q_quality_checks,
+    'q_label_prop': q_label_prop,
+    'q_substring_dups': q_substring_dups,
+    'q_line_dedup': q_line_dedup,
+    'q1_pricing_summary': q1_pricing_summary,
+    'q2_revenue_by_nation': q2_revenue_by_nation,
+    'q3_top_orders': q3_top_orders,
+    'q4_priority_order_counts': q4_priority_order_counts,
+    'q5_segment_stats': q5_segment_stats,
+    'q6_forecast_revenue': q6_forecast_revenue,
+    'q_pivot_status_priority': q_pivot_status_priority,
+    'q_concat_extracts': q_concat_extracts,
+    'q_concat_lattice': q_concat_lattice,
+    'q_range_join_bands': q_range_join_bands,
+    'q_map_col_status': q_map_col_status,
+    'q_window_revenue_share': q_window_revenue_share,
+    'q_topk_orders_per_status': q_topk_orders_per_status,
+    'q_grouped_demean': q_grouped_demean,
+    'q_asof_user_purchase': q_asof_user_purchase,
+    'q_json_tumbling': q_json_tumbling,
+    'q_session_windows': q_session_windows,
+    'q_text_stats': q_text_stats,
+    'q_dedup_exact': q_dedup_exact,
+    'q_fingerprint_docs': q_fingerprint_docs,
+    'q_jaccard_pairs': q_jaccard_pairs,
+    'q_langid': q_langid,
+    'q_diff_embeddings': q_diff_embeddings,
+    'q_ann_cosine_topk': q_ann_cosine_topk,
+    'q_ivf_topk': q_ivf_topk,
+    'q_salted_agg': q_salted_agg,
+    'q_melt_part': q_melt_part,
+    'q_rollup_revenue': q_rollup_revenue,
+    'q_intersect_custkeys': q_intersect_custkeys,
+    'q_ffill_lineitem': q_ffill_lineitem,
+    'q_sliding_events': q_sliding_events,
+    'q_embedding_neardup': q_embedding_neardup,
+    'q_bpe_tokens': q_bpe_tokens,
+    'q_null_safe_join': q_null_safe_join,
+    'q_cube_orders': q_cube_orders,
+    'q_distinct_counts': q_distinct_counts,
+    'q_quality_scores': q_quality_scores,
+    'q_clean_text': q_clean_text,
 }
 
 

@@ -58,16 +58,29 @@ def test_artifact_cached_list_matches_queries_source():
 
 
 def test_prior_warm_suite_total_reads_committed_artifact():
-    got = bench._prior_warm_suite_total()
     path = os.path.join(ROOT, 'BENCH_full.json')
     if not os.path.exists(path):
-        assert got is None
+        assert bench._prior_warm_suite_total(0.1) is None
         return
     prev = json.load(open(path))
+    got = bench._prior_warm_suite_total(prev.get('sf'))
     if prev.get('repeat', 0) >= 1:
         assert got == pytest.approx(float(prev['value']))
     else:
         assert got is None
+
+
+def test_prior_warm_suite_total_ignores_other_sf():
+    """r12 ADVICE: a run at a DIFFERENT sf than the committed
+    artifact must fall back to the warmup-wall estimate, not inherit
+    the larger corpus's suite total (which would veto every timed
+    pass and record the repeat=0 cold fallback)."""
+    path = os.path.join(ROOT, 'BENCH_full.json')
+    if not os.path.exists(path):
+        pytest.skip('no committed BENCH_full.json')
+    prev = json.load(open(path))
+    other_sf = 0.01 if prev.get('sf') != 0.01 else 0.1
+    assert bench._prior_warm_suite_total(other_sf) is None
 
 
 def test_first_pass_estimate_is_not_warmup_wall_when_prior_exists():
@@ -75,7 +88,11 @@ def test_first_pass_estimate_is_not_warmup_wall_when_prior_exists():
     warmup wall -> 329 + 329 > 540 -> zero timed passes.  With a
     prior warm artifact the estimate must come from it instead, and
     at the r11 numbers it must admit a first timed pass."""
-    prior = bench._prior_warm_suite_total()
+    path = os.path.join(ROOT, 'BENCH_full.json')
+    if not os.path.exists(path):
+        pytest.skip('no committed warm BENCH_full.json')
+    prev_sf = json.load(open(path)).get('sf')
+    prior = bench._prior_warm_suite_total(prev_sf)
     if prior is None:
         pytest.skip('no committed warm BENCH_full.json')
     warmup_r11, budget = 328.8, max(560, 150 + 3.5 * 161)
@@ -91,6 +108,40 @@ def test_default_budget_scales_with_suite_size():
     # must fit, so at least one timed pass always lands.
     assert budget >= 150 + 3.5 * len(QUERIES)
     assert budget >= 700 or len(QUERIES) < 158
+
+
+def _full(value, controls, heavies=()):
+    q = {f'q{i + 1}_ctrl': t for i, t in enumerate(controls)}
+    q.update({f'q_heavy_{i}': t for i, t in enumerate(heavies)})
+    return {'value': value, 'queries': q}
+
+
+def test_load_inflated_guard_refuses_uniform_control_inflation():
+    """r12 judge finding: equal-repeat run with worse total AND
+    uniformly slower TPC-H controls is host load — must divert."""
+    prev = _full(100.0, [1.0, 1.0, 1.0], [4.0])
+    new = _full(140.0, [1.4, 1.5, 1.4], [5.6])
+    assert bench._looks_load_inflated(new, prev)
+
+
+def test_load_inflated_guard_lets_faster_run_land():
+    prev = _full(100.0, [1.0, 1.0, 1.0], [4.0])
+    new = _full(95.0, [1.1, 1.2, 1.1], [2.0])
+    assert not bench._looks_load_inflated(new, prev)
+
+
+def test_load_inflated_guard_lets_quiet_regression_land():
+    """A genuine regression reads slower totals under QUIET controls
+    (ratio ~1) — it must still displace the artifact so the record
+    reflects the real steady state."""
+    prev = _full(100.0, [1.0, 1.0, 1.0], [4.0])
+    new = _full(110.0, [1.0, 1.02, 0.99], [14.0])
+    assert not bench._looks_load_inflated(new, prev)
+
+
+def test_load_inflated_guard_handles_missing_prior():
+    assert not bench._looks_load_inflated(
+        _full(100.0, [1.0]), {})
 
 
 def test_compact_line_stays_under_tail_capture():

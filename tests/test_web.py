@@ -54,6 +54,19 @@ CASES = [
     # bare single-label host: no registrable domain
     ('http://localhost:8080/x', 'http://localhost:8080/x',
      'localhost', ''),
+    # query with NO path: the authority ends at '?' — the query must
+    # keep its case (rule 2: never path or query) and default-port
+    # stripping must still fire (r12 ADVICE)
+    ('HTTPS://X.com?ID=3', 'https://x.com?ID=3', 'x.com', 'x.com'),
+    ('https://x.com:443?id=3', 'https://x.com?id=3', 'x.com',
+     'x.com'),
+    ('HTTP://Y.org:80?Q=Vv#f', 'http://y.org?Q=Vv', 'y.org',
+     'y.org'),
+    # fragment with no path
+    ('HTTPS://Z.net#sec', 'https://z.net', 'z.net', 'z.net'),
+    # tracking param with no path
+    ('https://x.com?utm_source=f&id=3', 'https://x.com?id=3',
+     'x.com', 'x.com'),
 ]
 
 
