@@ -1830,11 +1830,18 @@ def embedding_index_probe(
     new_id: str = 'new_id',
     index_id: str = 'index_id',
     max_bucket_size: Optional[int] = 2000,
+    prebanded: Optional[SparkDF] = None,
 ) -> SparkDF:
     """Candidate near-dup pairs between a NEW vector batch and a
     STORED :func:`embedding_band_index` — the incremental half of
     embedding dedup (same contract shape as
     :func:`minhash_index_probe`).
+
+    ``prebanded``: optionally the caller's own
+    ``embedding_band_index(df_new, ...)`` output (SAME id/band
+    parameters), when it already banded the batch for another
+    purpose (e.g. the incremental sink's store append + bucket-prune
+    list) — skips the second GEMM over the batch.
 
     Only the new batch is banded (one GEMM over batch rows); the
     equi-join on (band, bucket) shuffles the batch's band rows and
@@ -1872,8 +1879,10 @@ def embedding_index_probe(
             f' (band, bucket); got {id_candidates} — select the id'
             f' column explicitly before probing')
     iid = id_candidates[0]
-    new_banded = embedding_band_index(
-        df_new, id_col, vec_col, dim, bands, planes_per_band, seed,
+    new_banded = (
+        prebanded if prebanded is not None else embedding_band_index(
+            df_new, id_col, vec_col, dim, bands, planes_per_band,
+            seed)
     ).withColumnRenamed(id_col, new_id)
     idx = index.withColumnRenamed(iid, index_id)
     idx = _cap_index_buckets(

@@ -289,6 +289,12 @@ class _HuffTable:
     """Canonical JPEG Huffman table from DHT counts + symbols."""
 
     def __init__(self, counts, symbols):
+        if sum(counts) > len(symbols):
+            # a truncated DHT segment claims more codes than it
+            # carries symbols — raise the decoder's normal failure
+            # type (a bare next() StopIteration here would escape a
+            # caller's generator frame as PEP-479 RuntimeError)
+            raise ValueError('DHT counts exceed symbol bytes')
         self.lookup = {}
         code = 0
         it = iter(symbols)
@@ -2159,7 +2165,17 @@ def decode_jpeg_frames(
                 stats = (None,) * 6
                 try:
                     got = decode_jpeg(bytes(raw or b''))
-                except ValueError:
+                except (ValueError, IndexError, KeyError,
+                        StopIteration, struct.error):
+                    # the pure-Python decoder raises ValueError on
+                    # structural checks, but a valid-SOI payload
+                    # truncated or corrupted mid-stream can escape
+                    # the bit-reader/Huffman tables as IndexError/
+                    # KeyError/StopIteration/struct.error — those
+                    # must yield the promised decoded=false row,
+                    # not fail the task (StopIteration is caught
+                    # HERE, before it would cross this generator's
+                    # frame as a PEP-479 RuntimeError)
                     got = None
                 if got is not None:
                     w, h, gray = got

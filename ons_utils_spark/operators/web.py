@@ -37,7 +37,8 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = ['canonicalize_url', 'url_host', 'registrable_domain',
-           'url_dedup', 'TRACKING_PARAM_RE', 'TWO_LABEL_SUFFIXES']
+           'with_registrable_domain', 'url_dedup',
+           'TRACKING_PARAM_RE', 'TWO_LABEL_SUFFIXES']
 
 # key pattern of query parameters dropped by canonicalization
 TRACKING_PARAM_RE = r'(?:utm_[^=&#]*|fbclid|gclid|msclkid)'
@@ -89,6 +90,78 @@ def registrable_domain(url) -> Column:
     return F.regexp_extract(
         url_host(url),
         rf'([^.]+\.(?:{two_label})|[^.]+\.[^.]+)$', 1)
+
+
+def with_registrable_domain(df, url_col: str, out_col: str = 'domain',
+                            suffixes=None, max_suffix_labels: int = 5):
+    """``df`` + an ``out_col`` column holding each URL's eTLD+1.
+
+    With ``suffixes=None`` this is the module's codegen heuristic
+    (:func:`registrable_domain`).  Passing ``suffixes`` — an iterable
+    of public suffixes, e.g. a Public Suffix List snapshot
+    (``'com'``, ``'co.uk'``, ``'com.cn'``, private suffixes like
+    ``'github.io'``) — switches to exact longest-match semantics:
+    the registrable domain is one label plus the LONGEST matching
+    suffix; a host that IS a public suffix has no registrable domain
+    (``''``), and an unmatched host falls back to its last two
+    labels (the PSL ``*`` default rule).
+
+    Scale shape: one BROADCAST hash join per suffix label-count
+    (``max_suffix_labels``, so <= 5 by default — real PSL rules stop
+    at 5 labels), each probing the tiny suffix table with the host's
+    last-k-labels key.  Zero shuffles, no UDF, and the whole chain
+    stays inside whole-stage codegen — at 100 TB this is a
+    map-side-only projection, unlike an exploded-candidates
+    group-back (two shuffles of the corpus).  Wildcard (``*.ck``)
+    and exception (``!www.ck``) PSL rules are out of scope — expand
+    them into the plain set before passing.
+    """
+    if suffixes is None:
+        return df.withColumn(out_col, registrable_domain(url_col))
+    spark = df.sparkSession
+    cleaned = {s.strip().strip('.').lower() for s in suffixes}
+    cleaned.discard('')
+    by_k: dict = {}
+    for s in cleaned:
+        by_k.setdefault(s.count('.') + 1, set()).add(s)
+    too_long = {k for k in by_k if k > max_suffix_labels}
+    if too_long:
+        raise ValueError(
+            f'suffixes with more than max_suffix_labels='
+            f'{max_suffix_labels} labels: '
+            f'{sorted(by_k[k].pop() for k in too_long)} — raise '
+            'max_suffix_labels to cover them')
+    host = url_host(url_col)
+    labels = F.split(host, r'\.')
+    n = F.size(labels)
+    out = (df.withColumn('__rd_host', host)
+           .withColumn('__rd_labels', labels))
+    ks = sorted(by_k)
+    for k in ks:
+        tbl = spark.createDataFrame(
+            [(s,) for s in sorted(by_k[k])], f'__rd_sfx{k} string')
+        cand = F.when(
+            n >= k,
+            F.array_join(F.slice('__rd_labels', n - k + 1, k), '.'))
+        out = out.withColumn(f'__rd_cand{k}', cand).join(
+            F.broadcast(tbl),
+            F.col(f'__rd_cand{k}') == F.col(f'__rd_sfx{k}'), 'left')
+    # longest matching suffix wins: wrap ascending so the outermost
+    # CASE branch is the largest k; fallback = last two labels
+    # (PSL '*' default; '' for single-label hosts, matching the
+    # heuristic)
+    expr = F.regexp_extract(F.col('__rd_host'), r'([^.]+\.[^.]+)$', 1)
+    for k in ks:
+        m = F.col(f'__rd_sfx{k}')
+        dom_k = F.when(
+            m == F.col('__rd_host'), F.lit('')  # host IS a suffix
+        ).otherwise(F.concat(F.element_at('__rd_labels', n - k),
+                             F.lit('.'), m))
+        expr = F.when(m.isNotNull(), dom_k).otherwise(expr)
+    drop = (['__rd_host', '__rd_labels']
+            + [c for k in ks for c in (f'__rd_cand{k}',
+                                       f'__rd_sfx{k}')])
+    return out.withColumn(out_col, expr).drop(*drop)
 
 
 def url_dedup(df, url_col: str, order_col: str):

@@ -121,6 +121,26 @@ def write_training_shards(
     it to the cluster's healthy task count; multiple small shards
     then share a task while staying separate directories).
     """
+    if mode == 'append':
+        # An append must honor the layout contract already on disk:
+        # silently rewriting the sidecar with a different shard_size
+        # would leave previously-written shard directories violating
+        # the recorded size with no way for read_training_shards'
+        # mismatch guard to notice (r12 ADVICE).
+        existing = read_layout_sidecar(df.sparkSession, path)
+        if existing is not None:
+            wanted = {'shard_size': int(shard_size),
+                      'position_col': position_col,
+                      'shard_col': shard_col}
+            for key, val in wanted.items():
+                if existing.get(key) != val:
+                    raise ValueError(
+                        f'append with {key}={val!r} does not match '
+                        f'the layout at {path!r} (written with '
+                        f'{existing.get(key)!r}, from its '
+                        f'{_LAYOUT_SIDECAR}): appending under a '
+                        'different layout contract would corrupt '
+                        'the existing shards')
     sharded = with_shard_id(df, shard_size, position_col, shard_col)
     n_parts = partitions
     if n_parts is None:

@@ -12,15 +12,21 @@ must fit per-key in memory).
 
 Scale notes:
 - The store holds ``(fp, doc_id, _batch_id)`` rows — ~2/(w+1) of the
-  corpus k-gram count (SCALE.md, winnowing). At 100 TB, additionally
-  bucket it by ``fp`` so the per-batch overlap join prunes to
-  matching buckets instead of scanning the full store.
-- Store appends are hive-partitioned by ``_batch_id``, so the
-  per-microbatch commit-state probe (``_batch_state``) and the
-  own-batch exclusion filter prune DIRECTORIES instead of re-reading
-  every store file's footer — on a long-lived stream the probe cost
-  stays O(one batch), not O(batches).  Stores written flat by
-  earlier versions are detected and kept flat (no mixed layouts).
+  corpus k-gram count (SCALE.md, winnowing).
+- Store appends are hive-partitioned by ``_batch_id`` AND a
+  ``_bucket`` hash of the probe key (``fp`` / exact key / embedding
+  ``(band, bucket)`` — ``_STORE_BUCKETS`` buckets), so:
+  (a) the per-microbatch commit-state probe (``_batch_state``) and
+  the own-batch exclusion filter prune ``_batch_id`` DIRECTORIES
+  instead of re-reading every store file's footer — on a long-lived
+  stream the probe cost stays O(one batch), not O(batches); and
+  (b) the per-batch overlap/probe join reads only the ``_bucket``
+  directories whose hash appears in the batch
+  (:func:`_prune_store_buckets` — a static ``isin`` partition
+  filter, never the full store).  Stores written by earlier
+  versions (flat, or ``_batch_id``-only) are detected and kept in
+  their own layout (no mixed layouts); they simply keep paying the
+  unpruned overlap scan.
 - Per batch: one self-dedup over the (small) batch, one equi-join of
   batch fingerprints against the store, zero driver-side loops.
 - Idempotence (effective exactly-once): each batch commits in FOUR
@@ -83,11 +89,73 @@ def _store_is_flat(store_dir: str) -> bool:
         name.endswith('.parquet') for name in os.listdir(store_dir))
 
 
-def _append_store(df: SparkDF, store_dir: str, flat: bool) -> None:
-    writer = df.write.mode('append')
-    if not flat:
-        writer = writer.partitionBy('_batch_id')
-    writer.parquet(store_dir)
+# Number of hash buckets in the second partition level of NEW stores
+# (``_batch_id=N/_bucket=K/``).  The per-batch overlap/probe join
+# reads only the <= _STORE_BUCKETS directories whose bucket appears
+# in the batch — on a long-lived 100 TB stream the scan is
+# O(store/_STORE_BUCKETS x batch-bucket-coverage), not O(store).
+# Small batches touch few buckets; the cap also bounds the
+# directory fan-out (batches x buckets) and the driver-side bucket
+# list (never more than _STORE_BUCKETS values).
+_STORE_BUCKETS = 16
+
+
+def _bucket_of(*cols) -> 'F.Column':
+    """Deterministic store bucket of the probe key columns.
+    ``xxhash64`` skips NULL fields, so an all-NULL marker row lands
+    in one constant bucket — harmless: probes filter NULL keys."""
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in cols]),
+        F.lit(_STORE_BUCKETS)).cast('int')
+
+
+def _store_layout(store_dir: str, store_columns) -> str:
+    """Layout tier of an EXISTING store: ``'flat'`` (pre-partition),
+    ``'batch'`` (``_batch_id`` only — the r12 layout), or
+    ``'bucketed'`` (``_batch_id``/``_bucket``).  Appends must match
+    the layout already on disk — mixing partition schemes in one
+    directory corrupts partition discovery."""
+    if _store_is_flat(store_dir):
+        return 'flat'
+    if '_bucket' not in store_columns:
+        return 'batch'
+    return 'bucketed'
+
+
+def _append_store(df: SparkDF, store_dir: str, layout: str,
+                  bucket_cols) -> None:
+    if layout == 'bucketed':
+        (df.withColumn('_bucket', _bucket_of(*bucket_cols))
+         .write.mode('append')
+         .partitionBy('_batch_id', '_bucket').parquet(store_dir))
+    elif layout == 'batch':
+        df.write.mode('append').partitionBy('_batch_id').parquet(
+            store_dir)
+    else:
+        df.write.mode('append').parquet(store_dir)
+
+
+def _prune_store_buckets(store: SparkDF, batch_keys: SparkDF,
+                         bucket_cols) -> SparkDF:
+    """Restrict a bucketed store read to the ``_bucket`` partition
+    directories the batch can possibly match (equal keys hash to
+    equal buckets, so dropping every other directory loses no
+    matches).  The bucket list is a driver-side collect BOUNDED by
+    ``_STORE_BUCKETS`` values (a map-side-partial distinct over the
+    small batch), and the resulting ``isin`` literal is a STATIC
+    partition filter — directory pruning the plan shows in
+    ``PartitionFilters``, with no dependence on dynamic-partition-
+    pruning heuristics (which don't fire for anti-joins).  Pre-bucket
+    stores pass through unpruned."""
+    if '_bucket' not in store.columns:
+        return store
+    buckets = sorted({
+        r['__b'] for r in batch_keys.select(
+            _bucket_of(*bucket_cols).alias('__b'))
+        .distinct().collect()})
+    if not buckets:  # zero batch keys -> nothing can match
+        return store.filter(F.lit(False))
+    return store.filter(F.col('_bucket').isin(buckets))
 
 
 def _batch_state(store, batch_id: int):
@@ -209,23 +277,31 @@ def incremental_exact_dedup(
             .filter(F.col('__rk') == 1).drop('__rk')
         )
         # 2. drop keys already accepted (sentinel rows have NULL
-        # keys and never match the equi-join)
+        # keys and never match the equi-join).  The store read is
+        # partition-pruned to the batch's key buckets (bucketed
+        # layout), and there is no distinct() on the store keys:
+        # anti-joins are duplicate-insensitive and store keys are
+        # unique by construction (a key is stored only the first
+        # time it is accepted) — a distinct here is a wasted full
+        # shuffle of the store every micro-batch (r10 rule).
         if have_store:
             clean = clean.join(
-                store.select(key_col).filter(
-                    F.col(key_col).isNotNull()).distinct(),
+                _prune_store_buckets(store, clean.select(key_col),
+                                     (key_col,))
+                .select(key_col).filter(F.col(key_col).isNotNull()),
                 on=key_col, how='left_anti')
         keys = clean.select(key_col, F.col(id_col).alias('id'))
-        flat = have_store and _store_is_flat(store_dir)
+        layout = (_store_layout(store_dir, store.columns)
+                  if have_store else 'bucketed')
         if not partial:
             _append_store(
                 _marker_row(spark, keys.schema.fields, batch_id,
-                            'begin'), store_dir, flat)
+                            'begin'), store_dir, layout, (key_col,))
         if not data_done:
             _append_store(
                 keys.withColumn('_batch_id', F.lit(batch_id))
                 .withColumn('_marker', F.lit(None).cast('string')),
-                store_dir, flat)
+                store_dir, layout, (key_col,))
         docs_out = clean
         if partial and _store_exists(out_dir):
             docs_out = docs_out.join(
@@ -234,7 +310,7 @@ def incremental_exact_dedup(
         docs_out.write.mode('append').parquet(out_dir)
         _append_store(
             _marker_row(spark, keys.schema.fields, batch_id,
-                        'commit'), store_dir, flat)
+                        'commit'), store_dir, layout, (key_col,))
 
     return foreach_batch_sink(
         docs_stream, process, checkpoint,
@@ -299,13 +375,18 @@ def incremental_winnow_dedup(
         )
         clean = batch_df.join(losers, on=id_col, how='left_anti')
         fps = winnow_fingerprints(clean, id_col, text_col, k=k, w=w)
-        # 2. drop docs overlapping the store
+        # 2. drop docs overlapping the store (the store read is
+        # partition-pruned to the batch's fp buckets — equal fps
+        # hash to equal buckets, so the dropped directories cannot
+        # hold a matching fingerprint)
         if have_store:
             # pairwise overlap: >= min_shared fps with ONE stored doc
             # (pooling fps across the whole store would over-drop)
             dup_ids = (
-                fps.join(store.select(
-                    'fp', F.col('id').alias('__store_doc')), on='fp')
+                fps.join(
+                    _prune_store_buckets(store, fps, ('fp',))
+                    .select('fp', F.col('id').alias('__store_doc')),
+                    on='fp')
                 .groupBy('id', '__store_doc')
                 .agg(F.count(F.lit(1)).alias('n_shared'))
                 .filter(F.col('n_shared') >= min_shared)
@@ -324,16 +405,17 @@ def incremental_winnow_dedup(
         # (n=0 data rows) and the replay would re-append the docs.
         # Null fp never matches the store equi-join above, so
         # sentinels are invisible to overlap detection.
-        flat = have_store and _store_is_flat(store_dir)
+        layout = (_store_layout(store_dir, store.columns)
+                  if have_store else 'bucketed')
         if not partial:
             _append_store(
                 _marker_row(spark, fps.schema.fields, batch_id,
-                            'begin'), store_dir, flat)
+                            'begin'), store_dir, layout, ('fp',))
         if not data_done:
             _append_store(
                 fps.withColumn('_batch_id', F.lit(batch_id))
                 .withColumn('_marker', F.lit(None).cast('string')),
-                store_dir, flat)
+                store_dir, layout, ('fp',))
         docs_out = clean
         if partial and _store_exists(out_dir):
             # rare replay path: drop ids the crashed attempt already
@@ -344,7 +426,7 @@ def incremental_winnow_dedup(
         docs_out.write.mode('append').parquet(out_dir)
         _append_store(
             _marker_row(spark, fps.schema.fields, batch_id,
-                        'commit'), store_dir, flat)
+                        'commit'), store_dir, layout, ('fp',))
 
     return foreach_batch_sink(
         docs_stream, process, checkpoint,
@@ -401,10 +483,13 @@ def incremental_embedding_dedup(
     exactly-once, no duplicate accepted rows (see the module
     docstring).
 
-    Scale notes: the store holds ``bands`` rows per accepted vector;
-    at 100 TB write it partitioned/bucketed by ``(band, bucket)`` so
-    the probe join prunes to matching buckets.  Verification joins
-    are candidate-sized; the hot-bucket star cap bounds an
+    Scale notes: the store holds ``bands`` rows per accepted vector,
+    hive-partitioned by ``(_batch_id, _bucket)`` where ``_bucket``
+    hashes ``(band, bucket)`` — the probe join partition-prunes to
+    the batch's bucket directories instead of scanning the store.
+    The batch is banded ONCE per micro-batch (bucket list, probe,
+    and store append all reuse the persisted frame).  Verification
+    joins are candidate-sized; the hot-bucket star cap bounds an
     embedding-clone mega-family to k−1 candidate pairs.
 
     Returns the started streaming query.
@@ -437,61 +522,89 @@ def incremental_embedding_dedup(
             .select(F.col('id_b').alias(id_col)).distinct()
         )
         clean = batch_df.join(losers, on=id_col, how='left_anti')
-        # 2. drop vectors near-duplicating anything already accepted
-        if have_store:
-            index = (
-                store.select(id_col, 'band', 'bucket')
-                .filter(F.col('band').isNotNull())  # skip markers
-            )
-            cands = embedding_index_probe(
-                index, clean, id_col, vec_col, dim=dim, bands=bands,
-                planes_per_band=planes_per_band, seed=seed,
-                max_bucket_size=max_bucket_size)
-            vectors = clean.select(id_col, vec_col)
-            if _store_exists(out_dir):
-                vectors = vectors.unionByName(
-                    spark.read.parquet(out_dir)
-                    .select(id_col, vec_col))
-            dup_ids = (
-                score_pairs_cosine(
-                    cands, vectors, id_col, vec_col,
-                    id_a='new_id', id_b='index_id')
-                .filter(F.col('cosine') >= threshold)
-                .select(F.col('new_id').alias(id_col)).distinct()
-            )
-            clean = clean.join(dup_ids, on=id_col, how='left_anti')
-        # 3. four-step commit (begin sentinel FIRST, band rows,
-        # docs, commit marker LAST — each append atomic; see the
-        # module docstring).  The begin sentinel covers an
-        # all-NULL-embedding batch (zero band rows): without it a
-        # crash between the docs append and the commit marker would
-        # leave no store evidence and the replay would re-append the
-        # docs.  Null band rows are filtered out of every probe, so
-        # sentinels are invisible to overlap detection.
-        band_rows = embedding_band_index(
+        # Band the surviving batch ONCE — the same rows serve the
+        # store-prune bucket list, the index probe (via prebanded),
+        # and the final store append (a drop-anti-join instead of a
+        # second GEMM).  Persisted: three consumers, and the first
+        # (the <=_STORE_BUCKETS bucket-list collect) is a LINEAR
+        # action that populates the cache race-free.
+        new_banded = embedding_band_index(
             clean, id_col, vec_col, dim=dim, bands=bands,
-            planes_per_band=planes_per_band, seed=seed)
-        flat = have_store and _store_is_flat(store_dir)
-        if not partial:
+            planes_per_band=planes_per_band, seed=seed).persist()
+        try:
+            dup_ids = None
+            # 2. drop vectors near-duplicating anything accepted (the
+            # store read is partition-pruned to the batch's (band,
+            # bucket) buckets — equal band keys hash equal)
+            if have_store:
+                index = (
+                    _prune_store_buckets(store, new_banded,
+                                         ('band', 'bucket'))
+                    .select(id_col, 'band', 'bucket')
+                    .filter(F.col('band').isNotNull())  # skip markers
+                )
+                cands = embedding_index_probe(
+                    index, clean, id_col, vec_col, dim=dim,
+                    bands=bands, planes_per_band=planes_per_band,
+                    seed=seed, max_bucket_size=max_bucket_size,
+                    prebanded=new_banded)
+                vectors = clean.select(id_col, vec_col)
+                if _store_exists(out_dir):
+                    vectors = vectors.unionByName(
+                        spark.read.parquet(out_dir)
+                        .select(id_col, vec_col))
+                dup_ids = (
+                    score_pairs_cosine(
+                        cands, vectors, id_col, vec_col,
+                        id_a='new_id', id_b='index_id')
+                    .filter(F.col('cosine') >= threshold)
+                    .select(F.col('new_id').alias(id_col)).distinct()
+                )
+                clean = clean.join(dup_ids, on=id_col,
+                                   how='left_anti')
+            # 3. four-step commit (begin sentinel FIRST, band rows,
+            # docs, commit marker LAST — each append atomic; see the
+            # module docstring).  The begin sentinel covers an
+            # all-NULL-embedding batch (zero band rows): without it a
+            # crash between the docs append and the commit marker
+            # would leave no store evidence and the replay would
+            # re-append the docs.  Null band rows are filtered out of
+            # every probe, so sentinels are invisible to overlap
+            # detection.  Banding is per-row deterministic, so the
+            # survivors' band rows are the pre-drop banding minus the
+            # dropped ids — no second GEMM.
+            band_rows = new_banded
+            if dup_ids is not None:
+                band_rows = new_banded.join(
+                    dup_ids, on=id_col, how='left_anti')
+            layout = (_store_layout(store_dir, store.columns)
+                      if have_store else 'bucketed')
+            if not partial:
+                _append_store(
+                    _marker_row(spark, band_rows.schema.fields,
+                                batch_id, 'begin'),
+                    store_dir, layout, ('band', 'bucket'))
+            if not data_done:
+                _append_store(
+                    band_rows.withColumn('_batch_id', F.lit(batch_id))
+                    .withColumn('_marker',
+                                F.lit(None).cast('string')),
+                    store_dir, layout, ('band', 'bucket'))
+            docs_out = clean
+            if partial and _store_exists(out_dir):
+                # rare replay path: drop ids the crashed attempt
+                # already appended (the survivor set recomputes
+                # identically)
+                docs_out = docs_out.join(
+                    spark.read.parquet(out_dir).select(id_col),
+                    on=id_col, how='left_anti')
+            docs_out.write.mode('append').parquet(out_dir)
             _append_store(
                 _marker_row(spark, band_rows.schema.fields, batch_id,
-                            'begin'), store_dir, flat)
-        if not data_done:
-            _append_store(
-                band_rows.withColumn('_batch_id', F.lit(batch_id))
-                .withColumn('_marker', F.lit(None).cast('string')),
-                store_dir, flat)
-        docs_out = clean
-        if partial and _store_exists(out_dir):
-            # rare replay path: drop ids the crashed attempt already
-            # appended (the survivor set recomputes identically)
-            docs_out = docs_out.join(
-                spark.read.parquet(out_dir).select(id_col),
-                on=id_col, how='left_anti')
-        docs_out.write.mode('append').parquet(out_dir)
-        _append_store(
-            _marker_row(spark, band_rows.schema.fields, batch_id,
-                        'commit'), store_dir, flat)
+                            'commit'), store_dir, layout,
+                ('band', 'bucket'))
+        finally:
+            new_banded.unpersist()
 
     return foreach_batch_sink(
         vecs_stream, process, checkpoint,

@@ -131,6 +131,87 @@ class TestIncrementalWinnowDedup:
         assert not any(d.startswith('_batch_id=')
                        for d in os.listdir(store_dir))
 
+    def test_store_bucketed_layout_and_pruned_overlap(
+            self, spark_session, tmp_path):
+        """NEW stores carry a second partition level ``_bucket``
+        (hash of the probe key), and the overlap read the operator
+        builds is a STATIC partition filter over it — at 100 TB the
+        per-batch overlap join reads matching bucket directories,
+        never the full store (r12 verdict item)."""
+        import os
+        import re
+
+        from ons_utils_spark.streaming.incremental import (
+            _prune_store_buckets)
+
+        base = ('alpha beta gamma delta epsilon zeta eta theta iota '
+                'kappa lam mu nu xi omicron pi rho sigma tau upsilon')
+        docs = [(1, base), (2, 'unrelated words in every position '
+                               'of this second document text body')]
+        self._run(spark_session, tmp_path, docs, n_chunks=2)
+        store_dir = str(tmp_path / 'store')
+        batch_dirs = sorted(d for d in os.listdir(store_dir)
+                            if d.startswith('_batch_id='))
+        assert batch_dirs == ['_batch_id=0', '_batch_id=1']
+        # second level: _bucket=K directories
+        inner = sorted(d for d in os.listdir(
+            os.path.join(store_dir, '_batch_id=0'))
+            if d.startswith('_bucket='))
+        assert inner, 'expected _bucket= partition directories'
+        # the overlap read is partition-pruned by the batch's buckets
+        store = spark_session.read.parquet(store_dir)
+        batch = spark_session.createDataFrame(
+            [('00af',), ('1b2c',)], 'fp string')
+        pruned = _prune_store_buckets(store, batch, ('fp',))
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r'PartitionFilters: \[([^\]]*)\]', plan)
+        assert m and '_bucket' in m.group(1), plan
+        assert re.search(r'_bucket.* IN ', m.group(1)), m.group(1)
+
+    def test_batch_only_store_keeps_appending_batch_only(
+            self, spark_session, tmp_path):
+        """A store written by the r12 layout (``_batch_id`` only, no
+        ``_bucket`` column) must keep appending in that layout —
+        mixing partition schemes corrupts discovery — and the
+        unpruned overlap join still drops cross-batch dups."""
+        import os
+
+        from ons_utils_spark.operators.dedup import (
+            winnow_fingerprints)
+        from ons_utils_spark.streaming.incremental import _marker_row
+
+        base = ('alpha beta gamma delta epsilon zeta eta theta iota '
+                'kappa lam mu nu xi omicron pi rho sigma tau upsilon')
+        docs = [(1, base), (2, base + ' extra tail words')]
+        store_dir = str(tmp_path / 'store')
+        # committed batch 0 in the r12 layout (partitioned by
+        # _batch_id, no _bucket)
+        d0 = spark_session.createDataFrame(
+            [docs[0]], 'doc_id long, text string')
+        fps0 = winnow_fingerprints(d0, 'doc_id', 'text')
+        schema = fps0.schema.fields
+        (_marker_row(spark_session, schema, 0, 'begin')
+            .write.mode('append').partitionBy('_batch_id')
+            .parquet(store_dir))
+        (fps0.withColumn('_batch_id', F.lit(0))
+            .withColumn('_marker', F.lit(None).cast('string'))
+            .write.mode('append').partitionBy('_batch_id')
+            .parquet(store_dir))
+        d0.write.mode('append').parquet(str(tmp_path / 'accepted'))
+        (_marker_row(spark_session, schema, 0, 'commit')
+            .write.mode('append').partitionBy('_batch_id')
+            .parquet(store_dir))
+
+        accepted = self._run(spark_session, tmp_path, docs,
+                             n_chunks=2)
+        ids = sorted(r['doc_id'] for r in accepted.collect())
+        assert ids == [1], ids  # 2 dropped against the legacy store
+        for d in os.listdir(store_dir):
+            if d.startswith('_batch_id='):
+                assert not any(
+                    e.startswith('_bucket=') for e in os.listdir(
+                        os.path.join(store_dir, d))), d
+
     def test_zero_fingerprint_batch_replay_idempotent(
             self, spark_session, tmp_path):
         """A committed batch whose docs are all shorter than k+w-1

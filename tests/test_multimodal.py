@@ -1111,3 +1111,30 @@ class TestMjpegDecodeLoop:
         assert out2[2]['decoded'] is False
         assert out2[2]['luma_mean_255'] is None
         assert out2[1]['decoded'] is True
+
+    def test_decode_jpeg_frames_truncated_midstream(
+            self, spark_session):
+        """A payload with a VALID SOI that is truncated or corrupted
+        mid-stream can escape the bit-reader/Huffman tables as
+        IndexError/KeyError/struct.error, not just ValueError — every
+        such frame must come back decoded=false instead of failing
+        the Spark task (r12 ADVICE)."""
+        import numpy as np
+        good = mm.encode_jpeg(
+            np.arange(512, dtype=np.uint8).reshape(16, 32) % 251,
+            quant=1)
+        # valid SOI, body cut at many different points (header walk,
+        # table parse, entropy scan) — exercises whatever exception
+        # type each stage raises
+        variants = [good[:n] for n in (4, 12, 40, len(good) // 2,
+                                       len(good) - 10)]
+        variants.append(good[:60] + b'\xff' * 40)  # garbage markers
+        rows = [(i, 0, 0, bytearray(v))
+                for i, v in enumerate(variants)]
+        frames = spark_session.createDataFrame(
+            rows, 'media_id bigint, sample_idx int, pts_ms bigint,'
+                  ' frame_bytes binary')
+        out = mm.decode_jpeg_frames(frames).collect()
+        assert len(out) == len(variants)
+        assert all(r['decoded'] is False and r['luma_mean_255'] is None
+                   for r in out)

@@ -581,6 +581,40 @@ class TestTrainingShards:
         assert '_shard_layout' not in ','.join(
             spark_session.read.parquet(path).columns)
 
+    def test_append_rejects_mismatched_layout_contract(
+            self, spark_session, tmp_path):
+        """mode='append' must honor the sidecar already on disk: a
+        different shard_size (or column names) would silently rewrite
+        the contract the sidecar exists to enforce, leaving earlier
+        shard directories violating the recorded size (r12 ADVICE)."""
+        import pytest as _pt
+        from ons_utils_spark.sources.shards import (
+            read_layout_sidecar, write_training_shards)
+
+        ordered = self._ordered(spark_session)
+        path = str(tmp_path / 'shards')
+        write_training_shards(ordered, path, shard_size=16)
+        with _pt.raises(ValueError, match='shard_size'):
+            write_training_shards(
+                ordered, path, shard_size=32, mode='append')
+        with _pt.raises(ValueError, match='shard_col'):
+            write_training_shards(
+                ordered, path, shard_size=16, shard_col='s',
+                mode='append')
+        # contract on disk is untouched by the refused appends
+        assert read_layout_sidecar(
+            spark_session, path)['shard_size'] == 16
+        # a MATCHING append still works and keeps the sidecar
+        more = self._ordered(spark_session, n=20)
+        write_training_shards(more, path, shard_size=16, mode='append')
+        assert read_layout_sidecar(
+            spark_session, path)['shard_size'] == 16
+        # overwrite with a new size is the legitimate re-layout path
+        write_training_shards(ordered, path, shard_size=32,
+                              mode='overwrite')
+        assert read_layout_sidecar(
+            spark_session, path)['shard_size'] == 32
+
     def test_pre_sidecar_layout_falls_back_to_caller_contract(
             self, spark_session, tmp_path):
         import os

@@ -89,6 +89,82 @@ def test_url_dedup_keeps_earliest(spark_session):
                    'https://x.com/q': (4, 1)}
 
 
+def _domains(spark, urls, suffixes):
+    df = spark.createDataFrame([(u,) for u in urls], 'url string')
+    out = web.with_registrable_domain(df, 'url', suffixes=suffixes)
+    return [r['domain'] for r in out.collect()]
+
+
+PSL = ['com', 'org', 'uk', 'co.uk', 'com.cn', 'co.kr',
+       'github.io', 'pref.aichi.jp', 'jp']
+
+
+def test_psl_registrable_domain_longest_match(spark_session):
+    got = _domains(spark_session, [
+        'https://www.example.com/p',          # 1-label suffix
+        'https://news.bbc.co.uk/story',       # 2-label suffix
+        'https://shop.foo.com.cn/',           # 2-label (heuristic
+                                              # doesn't know com.cn)
+        'https://a.b.pref.aichi.jp/x',        # 3-label suffix
+        'https://user.github.io/repo',        # private suffix
+        'https://deep.sub.user.github.io/',   # label just above it
+    ], PSL)
+    assert got == ['example.com', 'bbc.co.uk', 'foo.com.cn',
+                   'b.pref.aichi.jp', 'user.github.io',
+                   'user.github.io']
+
+
+def test_psl_host_that_is_a_suffix_has_no_domain(spark_session):
+    got = _domains(spark_session, [
+        'https://co.uk/',        # host IS a public suffix
+        'https://github.io/x',   # private suffix as bare host
+    ], PSL)
+    assert got == ['', '']
+
+
+def test_psl_unmatched_host_falls_back_to_last_two_labels(
+        spark_session):
+    got = _domains(spark_session, [
+        'https://foo.bar.internal/x',   # no rule -> '*' default
+        'http://localhost:8080/x',      # single label -> no eTLD+1
+    ], PSL)
+    assert got == ['bar.internal', '']
+
+
+def test_psl_default_path_matches_heuristic(spark_session):
+    urls = [c[0] for c in CASES]
+    df = spark_session.createDataFrame([(u,) for u in urls],
+                                       'url string')
+    a = web.with_registrable_domain(df, 'url').collect()
+    b = df.select('url', web.registrable_domain('url')
+                  .alias('domain')).collect()
+    assert [r['domain'] for r in a] == [r['domain'] for r in b]
+
+
+def test_psl_rejects_overlong_suffix(spark_session):
+    df = spark_session.createDataFrame([('https://x.com/',)],
+                                       'url string')
+    with pytest.raises(ValueError, match='max_suffix_labels'):
+        web.with_registrable_domain(
+            df, 'url', suffixes=['a.b.c.d.e.f'])
+
+
+def test_psl_path_is_shuffle_free(spark_session):
+    """The PSL lookup must stay a chain of BROADCAST joins — no
+    Exchange, no Python UDF — so at corpus scale it is map-side
+    only."""
+    df = spark_session.range(100).select(
+        F.concat(F.lit('https://h'), F.col('id'),
+                 F.lit('.co.uk/p')).alias('url'))
+    out = web.with_registrable_domain(df, 'url', suffixes=PSL)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert 'Exchange' not in plan.replace('BroadcastExchange', ''), \
+        plan
+    assert 'BatchEvalPython' not in plan
+    assert 'ArrowEvalPython' not in plan
+    assert 'BroadcastHashJoin' in plan
+
+
 def test_canonicalization_is_pure_codegen(spark_session):
     """No UDF, no shuffle: the whole canonical projection must stay
     inside one WholeStageCodegen over the scan."""
