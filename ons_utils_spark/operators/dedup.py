@@ -662,12 +662,22 @@ def minhash_lsh_candidates(
         # slower at sf0.1.)
         keyed = hashed.select(
             '__id', _set_fingerprint(F.col('__hs')).alias('__setfp'))
-        fams = keyed.groupBy('__setfp').agg(
-            F.min('__id').alias('__rep'),
-            F.count('*').alias('__fn'))
+        # ONE window over __setfp, not groupBy-census + join-back:
+        # the census/join shape scans `keyed` twice from sibling leaf
+        # stages of one action (AQE may submit them concurrently,
+        # re-racing the cold shingle pipeline — r12 ADVICE), and at
+        # scale the join-back is a second full shuffle once the
+        # family frame outgrows broadcast.  The window is a single
+        # scan + a single exchange on __setfp — a LINEAR plan by
+        # construction.
+        fam_w = Window.partitionBy('__setfp')
         members = (
-            keyed.join(fams.filter(F.col('__fn') > 1), '__setfp')
-            .filter(F.col('__id') != F.col('__rep'))
+            keyed.select(
+                '__id',
+                F.min('__id').over(fam_w).alias('__rep'),
+                F.count(F.lit(1)).over(fam_w).alias('__fn'))
+            .filter((F.col('__fn') > 1)
+                    & (F.col('__id') != F.col('__rep')))
             .select('__rep', '__id')
         )
         if materialize_families:
@@ -1373,19 +1383,23 @@ def simhash_dedup(
         if collapse_identical:
             # The members checkpoint doubles as the cache-populate
             # action (an explicit sigs.count() first was one full
-            # extra pass): its plan is SEQUENTIAL — the census
-            # aggregation's scan stage computes and caches the cold
-            # tokenize+UDF pipeline, and the join stage (gated on
-            # the census broadcast) re-reads the now-warm cache —
-            # so no parallel stages race to compute sigs (the 3.4x
-            # cold-race failure mode needs sibling branches in one
-            # branchy action, which this linear plan has none of).
-            fams = sigs.groupBy('__blocks').agg(
-                F.min('__id').alias('__rep'),
-                F.count('*').alias('__fn'))
+            # extra pass).  ONE window over __blocks, not
+            # groupBy-census + join-back: the census/join shape
+            # scans `sigs` twice from sibling leaf stages of one
+            # action — AQE may submit them concurrently and re-race
+            # the cold tokenize+UDF pipeline (r12 ADVICE; the 3.4x
+            # cold-race failure mode) — while the window is a single
+            # scan + a single exchange, LINEAR by construction, and
+            # drops the join-back shuffle the census shape pays once
+            # the family frame outgrows broadcast.
+            fam_w = Window.partitionBy('__blocks')
             members = (
-                sigs.join(fams.filter(F.col('__fn') > 1), '__blocks')
-                .filter(F.col('__id') != F.col('__rep'))
+                sigs.select(
+                    '__id',
+                    F.min('__id').over(fam_w).alias('__rep'),
+                    F.count(F.lit(1)).over(fam_w).alias('__fn'))
+                .filter((F.col('__fn') > 1)
+                        & (F.col('__id') != F.col('__rep')))
                 .select('__id')
             )
             # Eager lineage cut: the anti-joined `reps` frame feeds
