@@ -735,8 +735,15 @@ def minhash_index_probe(
     new_id: str = 'new_id',
     index_id: str = 'index_id',
     max_bucket_size: Optional[int] = 2000,
+    prebanded: Optional[SparkDF] = None,
 ) -> SparkDF:
     """Candidate pairs between a NEW batch and a STORED band index.
+
+    ``prebanded``: optionally the caller's own
+    :func:`minhash_band_index` output for ``df_new`` (SAME
+    parameters), when it already banded the batch for another
+    purpose (e.g. the incremental sink's store append + bucket-prune
+    list) — skips re-shingling and re-signing the batch here.
 
     The incremental half of MinHash dedup: ``index`` is a
     :func:`minhash_band_index` frame (typically read back from a
@@ -788,9 +795,10 @@ def minhash_index_probe(
             f' (band, bucket); got {id_candidates} — select the id'
             f' column explicitly before probing')
     iid = id_candidates[0]
-    new_banded = minhash_band_index(
-        df_new, id_col, text_col, num_hashes, bands, shingle_n,
-        shingles=shingles,
+    new_banded = (
+        prebanded if prebanded is not None else minhash_band_index(
+            df_new, id_col, text_col, num_hashes, bands, shingle_n,
+            shingles=shingles)
     ).withColumnRenamed(id_col, new_id)
     idx = index.withColumnRenamed(iid, index_id)
     idx = _cap_index_buckets(

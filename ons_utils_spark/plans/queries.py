@@ -1349,6 +1349,69 @@ def q_mjpeg_keyframe_decode(spark: SparkSession,
         'luma_mean_255', 'luma_min_255', 'luma_max_255')
 
 
+def q_mjpeg_stream_stats(spark: SparkSession,
+                         sf_dir: str) -> SparkDF:
+    """The STREAMING demux → decode loop: the MJPEG-in-MP4 corpus
+    (:func:`_mjpeg_media`) staged as three file-source parquet
+    chunks, piped through ``keyframe_payloads`` →
+    ``decode_jpeg_frames`` as a live streaming transformation
+    (both are stateless ``mapInPandas`` — no watermark needed), and
+    committed by the exactly-once parquet file sink
+    (``streaming.sinks.write_stream_parquet``, ``_spark_metadata``
+    batch ledger — a replayed batch overwrites, never duplicates).
+    Same closed-form constant-gray-tile oracle as
+    ``q_mjpeg_keyframe_decode``: batch boundaries cannot move a
+    per-row decode.  Streaming state lives under the system temp
+    dir keyed by applicationId."""
+    import tempfile
+    import time
+
+    from ..operators.multimodal import (
+        decode_jpeg_frames, keyframe_payloads)
+    from ..streaming.sinks import write_stream_parquet
+
+    media = _mjpeg_media(spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    app = spark.sparkContext.applicationId
+    root = os.path.join(
+        tempfile.gettempdir(), 'ons_mjpeg_stream', tag, app)
+
+    def _run():
+        src = os.path.join(root, 'src')
+        (media.repartitionByRange(3, 'media_id')
+         .write.mode('overwrite').parquet(src))
+        parts = sorted(p for p in os.listdir(src)
+                       if p.startswith('part-'))
+        base = time.time() - 1000
+        for i, p in enumerate(parts):
+            os.utime(os.path.join(src, p),
+                     (base + 10 * i, base + 10 * i))
+        stream = (
+            spark.readStream
+            .schema('media_id bigint, payload binary')
+            .option('maxFilesPerTrigger', 1)
+            .parquet(src)
+        )
+        stats = decode_jpeg_frames(keyframe_payloads(stream))
+        q = write_stream_parquet(
+            stats, os.path.join(root, 'stats'),
+            checkpoint=os.path.join(root, 'ckpt'),
+            available_now=True)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(
+                'mjpeg frame-stat stream did not terminate'
+                ' within 600s')
+        return os.path.join(root, 'stats')
+
+    out_dir = _artifact(f'mjpeg_stream:{sf_dir}@{app}', _run)
+    return spark.read.parquet(out_dir).select(
+        'media_id', 'sample_idx', 'pts_ms',
+        F.col('decoded').cast('int').alias('decoded'),
+        'width', 'height', 'n_pixels',
+        'luma_mean_255', 'luma_min_255', 'luma_max_255')
+
+
 def _messy_urls(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Deterministic messy-URL fixture for the web-ingest queries:
     every document gets a crawl-style URL whose NOISE derives from
@@ -1533,6 +1596,27 @@ def q_url_dedup_domains(spark: SparkSession, sf_dir: str) -> SparkDF:
              F.sum('n_dups').alias('n_docs'),
              F.min('doc_id').alias('first_doc'))
     )
+
+
+def q_psl_domains(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """PSL-exact registrable domains
+    (``web.with_registrable_domain`` with an explicit public-suffix
+    set): the messy-URL fixture's hosts
+    (``www{k}.{source}.example.{com|co.uk|org}``) resolve under a
+    suffix table containing the PRIVATE suffix ``example.org`` —
+    longest-match must pick it over ``org``, yielding a
+    source-dependent domain the default heuristic cannot produce.
+    The plan is a chain of per-label-count BROADCAST joins (zero
+    shuffles before the final rollup); the oracle computes the
+    domain as a CLOSED FORM of the doc columns, never re-running
+    the matcher."""
+    from ..operators import web
+
+    urls = _messy_urls(spark, sf_dir)
+    out = web.with_registrable_domain(
+        urls, 'url',
+        suffixes=['com', 'org', 'uk', 'co.uk', 'example.org'])
+    return out.select('doc_id', 'domain')
 
 
 def q_global_shuffle(spark: SparkSession, sf_dir: str) -> SparkDF:
@@ -3999,6 +4083,73 @@ def q_incremental_winnow_dedup(spark: SparkSession,
     return spark.read.parquet(out_dir).select('doc_id')
 
 
+def q_incremental_minhash_dedup(spark: SparkSession,
+                                sf_dir: str) -> SparkDF:
+    """The STREAMING MinHash crawl dedup
+    (``streaming.incremental.incremental_minhash_dedup``, NEW r13 —
+    completes the exact/winnow/minhash/embedding streaming family)
+    under the planted-family decision oracle: the real corpus ∪
+    planted duplicate families staged as three id-ordered chunks,
+    each micro-batch in-batch-deduped then probed against the
+    bucketed band-row store of everything accepted.  Planted token
+    sets are disjoint from the corpus and across subgroups, so the
+    exact-Jaccard verify makes the planted survivor set provably
+    the subgroup minima — exact in-subgroup duplicates are
+    guaranteed LSH candidates under any hash family, the subgroup
+    minimum arrives first under id order, and no cross drop can
+    verify — INDEPENDENT of chunk boundaries, which is what makes
+    the streaming fold oracle-replayable (same closed form as
+    ``q_minhash_dedup``).  Organic-pair recall stays covered by the
+    batch queries and tools/lsh_recall_probe.py.  Streaming state
+    lives under the system temp dir keyed by applicationId."""
+    import tempfile
+    import time
+
+    from ..streaming.incremental import incremental_minhash_dedup
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    corpus = _planted_dedup_corpus(spark, sf_dir, documents)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    app = spark.sparkContext.applicationId
+    root = os.path.join(
+        tempfile.gettempdir(), 'ons_inc_mh', tag, app)
+
+    def _run():
+        src = os.path.join(root, 'src')
+        (corpus.select('doc_id', 'text')
+         .repartitionByRange(3, 'doc_id')
+         .write.mode('overwrite').json(src))
+        parts = sorted(p for p in os.listdir(src)
+                       if p.startswith('part-'))
+        base = time.time() - 1000
+        for i, p in enumerate(parts):
+            os.utime(os.path.join(src, p),
+                     (base + 10 * i, base + 10 * i))
+        stream = (
+            spark.readStream
+            .schema('doc_id long, text string')
+            .option('maxFilesPerTrigger', 1)
+            .json(src)
+        )
+        q = incremental_minhash_dedup(
+            stream,
+            out_dir=os.path.join(root, 'accepted'),
+            store_dir=os.path.join(root, 'store'),
+            checkpoint=os.path.join(root, 'ckpt'),
+            num_hashes=64, bands=16, jaccard_threshold=0.5,
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(
+                'incremental minhash dedup stream did not terminate'
+                ' within 600s')
+        return os.path.join(root, 'accepted')
+
+    out_dir = _artifact(f'inc_mh_dedup:{sf_dir}@{app}', _run)
+    kept = spark.read.parquet(out_dir)
+    return _planted_survivors(kept)
+
+
 def q_minhash_dedup_verified(spark: SparkSession,
                              sf_dir: str) -> SparkDF:
     """The full dedup DECISION, hash-verified end-to-end: portable
@@ -4506,10 +4657,14 @@ def q_group_quantile_ladder(spark: SparkSession, sf_dir: str) -> SparkDF:
 QUERIES: Dict[str, QueryFn] = {
     # -- round-13 verification window (first 50) ------------------
     # Mechanical oldest-verified-first rotation (the rule
-    # tools/gen_query_inventory.py proposes each round): leads with
-    # the ten r6-stale queries, then the five r8 TPC-H queries, then
-    # r9 fills.  Below the window the remaining queries continue in
-    # the same staleness order, freshest (r12-verified) last.
+    # tools/gen_query_inventory.py proposes each round): the three
+    # NEW r13 queries (never driver-verified) lead, then the ten
+    # r6-stale queries, the five r8 TPC-H queries, and r9 fills
+    # (the three displaced r9 fills sit first below the window).
+    # never driver-verified (NEW r13) — front of the window
+    'q_incremental_minhash_dedup': q_incremental_minhash_dedup,
+    'q_mjpeg_stream_stats': q_mjpeg_stream_stats,
+    'q_psl_domains': q_psl_domains,
     # last driver-green: r6
     'q_lsh_topk': q_lsh_topk,
     'q_char_shingles': q_char_shingles,
@@ -4560,10 +4715,12 @@ QUERIES: Dict[str, QueryFn] = {
     'q_except_customers': q_except_customers,
     'q_funnel_stages': q_funnel_stages,
     'q_sql_flag_year': q_sql_flag_year,
+    # -- below the 50-slot window ---------------------------------
+    # (displaced by the three new r13 queries — still r9-stale,
+    # first in line for the r14 window)
     'q_quantile_ladder': q_quantile_ladder,
     'q_first_touch': q_first_touch,
     'q_calendar_gaps': q_calendar_gaps,
-    # -- below the 50-slot window ---------------------------------
     'q_price_rank_bands': q_price_rank_bands,
     'q_regr_price_size': q_regr_price_size,
     'q_rolling_revenue': q_rolling_revenue,
@@ -4774,6 +4931,71 @@ def _simhash_portable_sql(n_blocks: int = 4) -> str:
                       AND l.doc_id < r.doc_id
     """
 
+
+# Shared oracle bodies: a streaming variant that provably commits to
+# the same closed form as its batch sibling references the SAME
+# constant instead of risking a drifting copy (the registry test pins
+# every ORACLES key to a dict literal, so sharing happens by value).
+_MJPEG_DECODE_SQL = """
+        WITH params AS (
+            SELECT doc_id AS media_id,
+                   CAST(4 + doc_id % 5 AS BIGINT) AS nf,
+                   CAST(30 + (doc_id % 2) * 30 AS BIGINT) AS delta,
+                   CAST(2 + doc_id % 3 AS BIGINT) AS ke,
+                   CAST(8 * (2 + doc_id % 3) AS BIGINT) AS w,
+                   CAST(8 * (2 + doc_id % 2) AS BIGINT) AS h
+            FROM documents WHERE doc_id % 23 = 0
+        ), frames AS (
+            SELECT media_id, delta, ke, w, h,
+                   unnest(generate_series(1, nf)) AS i
+            FROM params
+        )
+        SELECT media_id,
+               CAST(i AS INT) AS sample_idx,
+               CAST((i - 1) * delta * 1000 // 600 AS BIGINT)
+                   AS pts_ms,
+               CAST(1 AS INT) AS decoded,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               CAST(w * h AS BIGINT) AS n_pixels,
+               CAST((media_id * 37 + i * 101) % 256 AS INT)
+                   AS luma_mean_255,
+               CAST((media_id * 37 + i * 101) % 256 AS INT)
+                   AS luma_min_255,
+               CAST((media_id * 37 + i * 101) % 256 AS INT)
+                   AS luma_max_255
+        FROM frames WHERE (i - 1) % ke = 0
+    """
+
+_MINHASH_PLANTED_DECISION_SQL = """
+        WITH fam AS (
+            SELECT f, j, CAST(8000000 + f * 10 + j AS BIGINT)
+                       AS doc_id,
+                   array_to_string(list_transform(range(0, 8), i ->
+                       (CASE WHEN j < 3 THEN 'zqa' ELSE 'zqb' END)
+                       || CAST(f AS VARCHAR) || 'w'
+                       || CAST(i AS VARCHAR)), ' ') AS text
+            FROM range(0, 8) tf(f), range(0, 5) tj(j)
+        ), sh AS (
+            SELECT f, doc_id,
+                   list_distinct(list_transform(
+                       range(1, len(toks) - 1),
+                       i -> array_to_string(toks[i : i + 2], ' ')))
+                       AS shingles
+            FROM (SELECT f, doc_id, string_split(text, ' ') AS toks
+                  FROM fam)
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE 2 * len(list_intersect(a.shingles, b.shingles))
+                  >= len(list_distinct(a.shingles || b.shingles))
+        )
+        SELECT CAST(s.f AS BIGINT) AS family,
+               s.doc_id AS kept_doc_id
+        FROM sh s
+        WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                          WHERE p.id_b = s.doc_id)
+    """
 
 ORACLES: Dict[str, str] = {
     'q_simhash_pairs': _simhash_portable_sql(4),
@@ -5582,36 +5804,10 @@ ORACLES: Dict[str, str] = {
                    AS n_bytes
         FROM sized WHERE (i - 1) % ke = 0
     """,
-    'q_mjpeg_keyframe_decode': """
-        WITH params AS (
-            SELECT doc_id AS media_id,
-                   CAST(4 + doc_id % 5 AS BIGINT) AS nf,
-                   CAST(30 + (doc_id % 2) * 30 AS BIGINT) AS delta,
-                   CAST(2 + doc_id % 3 AS BIGINT) AS ke,
-                   CAST(8 * (2 + doc_id % 3) AS BIGINT) AS w,
-                   CAST(8 * (2 + doc_id % 2) AS BIGINT) AS h
-            FROM documents WHERE doc_id % 23 = 0
-        ), frames AS (
-            SELECT media_id, delta, ke, w, h,
-                   unnest(generate_series(1, nf)) AS i
-            FROM params
-        )
-        SELECT media_id,
-               CAST(i AS INT) AS sample_idx,
-               CAST((i - 1) * delta * 1000 // 600 AS BIGINT)
-                   AS pts_ms,
-               CAST(1 AS INT) AS decoded,
-               CAST(w AS INT) AS width,
-               CAST(h AS INT) AS height,
-               CAST(w * h AS BIGINT) AS n_pixels,
-               CAST((media_id * 37 + i * 101) % 256 AS INT)
-                   AS luma_mean_255,
-               CAST((media_id * 37 + i * 101) % 256 AS INT)
-                   AS luma_min_255,
-               CAST((media_id * 37 + i * 101) % 256 AS INT)
-                   AS luma_max_255
-        FROM frames WHERE (i - 1) % ke = 0
-    """,
+    'q_mjpeg_keyframe_decode': _MJPEG_DECODE_SQL,
+    # the streaming variant commits to the same per-row decode
+    # closed form — batch boundaries provably cannot move it
+    'q_mjpeg_stream_stats': _MJPEG_DECODE_SQL,
     'q_dedup_keep_best_embedding': """
         WITH fam AS (
             SELECT vec_id AS b FROM embeddings WHERE vec_id % 41 = 0
@@ -6377,35 +6573,11 @@ ORACLES: Dict[str, str] = {
     # are disjoint, so exact-Jaccard greedy keep-lowest-id over the
     # planted rows IS the deterministic survivor set of the engine's
     # banded-LSH + exact-verify pipeline.
-    'q_minhash_dedup': """
-        WITH fam AS (
-            SELECT f, j, CAST(8000000 + f * 10 + j AS BIGINT)
-                       AS doc_id,
-                   array_to_string(list_transform(range(0, 8), i ->
-                       (CASE WHEN j < 3 THEN 'zqa' ELSE 'zqb' END)
-                       || CAST(f AS VARCHAR) || 'w'
-                       || CAST(i AS VARCHAR)), ' ') AS text
-            FROM range(0, 8) tf(f), range(0, 5) tj(j)
-        ), sh AS (
-            SELECT f, doc_id,
-                   list_distinct(list_transform(
-                       range(1, len(toks) - 1),
-                       i -> array_to_string(toks[i : i + 2], ' ')))
-                       AS shingles
-            FROM (SELECT f, doc_id, string_split(text, ' ') AS toks
-                  FROM fam)
-        ), pairs AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-            WHERE 2 * len(list_intersect(a.shingles, b.shingles))
-                  >= len(list_distinct(a.shingles || b.shingles))
-        )
-        SELECT CAST(s.f AS BIGINT) AS family,
-               s.doc_id AS kept_doc_id
-        FROM sh s
-        WHERE NOT EXISTS (SELECT 1 FROM pairs p
-                          WHERE p.id_b = s.doc_id)
-    """,
+    'q_minhash_dedup': _MINHASH_PLANTED_DECISION_SQL,
+    # the streaming fold provably lands on the same planted survivor
+    # set (chunk-independent — see q_incremental_minhash_dedup's
+    # docstring), so it shares the decision oracle verbatim
+    'q_incremental_minhash_dedup': _MINHASH_PLANTED_DECISION_SQL,
     # SimHash planted decision: exact duplicates have identical
     # bit-vote signatures (Hamming 0), so the survivor set is the
     # exact-duplicate-text greedy minima (cross-subgroup collisions
@@ -8074,5 +8246,18 @@ ORACLES: Dict[str, str] = {
                               THEN (vt - us) / 1000000.0 END),
                      4) AS avg_duration_s
         FROM episodes GROUP BY event_type
+    """,
+    # PSL-exact registrable domains: the matcher's expected output
+    # is a CLOSED FORM of the doc columns (fixture tld by doc_id%3;
+    # the private suffix 'example.org' pulls the source label in) —
+    # the oracle never re-runs the longest-match logic.
+    'q_psl_domains': """
+        SELECT doc_id,
+               CASE CAST(doc_id % 3 AS INT)
+                   WHEN 0 THEN 'example.com'
+                   WHEN 1 THEN 'example.co.uk'
+                   ELSE source || '.example.org'
+               END AS domain
+        FROM documents
     """,
 }

@@ -433,6 +433,170 @@ def incremental_winnow_dedup(
         output_mode='append', available_now=available_now)
 
 
+def incremental_minhash_dedup(
+    docs_stream: SparkDF,
+    out_dir: str,
+    store_dir: str,
+    checkpoint: str,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    shingles: str = 'word',
+    jaccard_threshold: float = 0.8,
+    max_bucket_size: int = 2000,
+    available_now: bool = True,
+):
+    """Filter a document stream against all previously-ACCEPTED docs
+    by MinHash LSH + exact Jaccard — the probabilistic text sibling
+    of :func:`incremental_winnow_dedup`, completing the streaming
+    dedup family (exact / winnow / minhash / embedding) over the
+    same bucketed store + exactly-once commit machinery.
+
+    Per micro-batch:
+      1. in-batch near-dedup (:func:`~ons_utils_spark.operators.
+         dedup.minhash_dedup` — LSH candidates, exact Jaccard
+         verify, greedy keep-lowest-id),
+      2. band the survivors ONCE (:func:`minhash_band_index`; the
+         persisted frame serves the store-prune bucket list, the
+         index probe, and the store append), probe the stored band
+         index (:func:`minhash_index_probe` with ``prebanded`` —
+         the store read partition-prunes to the batch's ``_bucket``
+         directories), exact-Jaccard-verify every candidate against
+         the ACCEPTED texts in ``out_dir`` (candidate-bounded: only
+         accepted docs that actually collided are re-shingled), and
+         drop batch docs verifying >= ``jaccard_threshold``
+         (earlier batches win — arrival order),
+      3. the four-append exactly-once commit of the module
+         docstring (begin sentinel, band rows tagged ``_batch_id``,
+         accepted docs, commit marker LAST).
+
+    LSH parameters (``num_hashes``/``bands``/``shingle_n``/
+    ``shingles``) are baked into the stored bucket keys: every run
+    against the same ``store_dir`` MUST reuse them or probes
+    silently miss.  The store holds band rows of ACCEPTED docs only,
+    so the drop rule is "near-duplicate of anything accepted".
+
+    Returns the started streaming query.
+    """
+    from ..operators.dedup import (
+        _shingler,
+        minhash_band_index,
+        minhash_dedup,
+        minhash_index_probe,
+        shingle_hashes,
+        verify_jaccard_hashed,
+    )
+
+    spark = docs_stream.sparkSession
+
+    def _hashed(df: SparkDF) -> SparkDF:
+        return df.select(
+            F.col(id_col).alias('__id'),
+            shingle_hashes(
+                _shingler(shingles)(text_col, shingle_n))
+            .alias('__hs'))
+
+    def process(batch_df: SparkDF, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        have_store = _store_exists(store_dir)
+        partial, data_done = False, False
+        if have_store:
+            store = spark.read.parquet(store_dir)
+            committed, partial, data_done = _batch_state(
+                store, batch_id)
+            if committed:
+                return  # replayed batch — already fully committed
+            # the probe must never see THIS batch's own band rows
+            store = store.filter(F.col('_batch_id') != batch_id)
+        # 1. in-batch near-dedup (full LSH + verify + greedy)
+        clean = minhash_dedup(
+            batch_df, id_col, text_col, num_hashes, bands,
+            shingle_n, jaccard_threshold, shingles,
+            max_bucket_size=max_bucket_size)
+        # band ONCE; three consumers (bucket list, probe, append)
+        new_banded = minhash_band_index(
+            clean, id_col, text_col, num_hashes, bands, shingle_n,
+            shingles=shingles).persist()
+        try:
+            dup_ids = None
+            # 2. drop batch docs near-duplicating anything accepted
+            if have_store:
+                index = (
+                    _prune_store_buckets(store, new_banded,
+                                         ('band', 'bucket'))
+                    .select(id_col, 'band', 'bucket')
+                    .filter(F.col('band').isNotNull())  # skip markers
+                )
+                cands = minhash_index_probe(
+                    index, clean, id_col, text_col, num_hashes,
+                    bands, shingle_n, shingles,
+                    max_bucket_size=max_bucket_size,
+                    prebanded=new_banded)
+                if _store_exists(out_dir):
+                    # candidate-bounded verify: re-shingle only the
+                    # accepted docs that actually collided (left-semi
+                    # — duplicate-insensitive, no distinct)
+                    acc_hit = spark.read.parquet(out_dir).join(
+                        cands.select(
+                            F.col('index_id').alias(id_col)),
+                        on=id_col, how='left_semi')
+                    hashed = _hashed(clean).unionByName(
+                        _hashed(acc_hit))
+                    verified = verify_jaccard_hashed(
+                        cands.select(
+                            F.col('new_id').alias('id_a'),
+                            F.col('index_id').alias('id_b')),
+                        hashed, jaccard_threshold)
+                    # anti-joins are duplicate-insensitive: no
+                    # distinct on the drop list (r10 rule)
+                    dup_ids = verified.select(
+                        F.col('id_a').alias(id_col))
+                    clean = clean.join(dup_ids, on=id_col,
+                                       how='left_anti')
+            # 3. four-step commit (module docstring).  Banding is
+            # per-row deterministic: survivors' band rows are the
+            # pre-drop banding minus the dropped ids.
+            band_rows = new_banded
+            if dup_ids is not None:
+                band_rows = new_banded.join(
+                    dup_ids, on=id_col, how='left_anti')
+            layout = (_store_layout(store_dir, store.columns)
+                      if have_store else 'bucketed')
+            if not partial:
+                _append_store(
+                    _marker_row(spark, band_rows.schema.fields,
+                                batch_id, 'begin'),
+                    store_dir, layout, ('band', 'bucket'))
+            if not data_done:
+                _append_store(
+                    band_rows.withColumn('_batch_id',
+                                         F.lit(batch_id))
+                    .withColumn('_marker',
+                                F.lit(None).cast('string')),
+                    store_dir, layout, ('band', 'bucket'))
+            docs_out = clean
+            if partial and _store_exists(out_dir):
+                # rare replay path: drop ids the crashed attempt
+                # already appended
+                docs_out = docs_out.join(
+                    spark.read.parquet(out_dir).select(id_col),
+                    on=id_col, how='left_anti')
+            docs_out.write.mode('append').parquet(out_dir)
+            _append_store(
+                _marker_row(spark, band_rows.schema.fields, batch_id,
+                            'commit'), store_dir, layout,
+                ('band', 'bucket'))
+        finally:
+            new_banded.unpersist()
+
+    return foreach_batch_sink(
+        docs_stream, process, checkpoint,
+        output_mode='append', available_now=available_now)
+
+
 def incremental_embedding_dedup(
     vecs_stream: SparkDF,
     out_dir: str,

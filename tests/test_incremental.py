@@ -30,6 +30,102 @@ def _stage(tmp_path, docs, n_chunks=3):
 
 
 @pytest.mark.slow
+class TestIncrementalMinhashDedup:
+    def _run(self, spark, tmp_path, docs, n_chunks=3, threshold=0.9):
+        from ons_utils_spark.streaming.incremental import (
+            incremental_minhash_dedup)
+
+        src = _stage(tmp_path, docs, n_chunks)
+        stream = (
+            spark.readStream
+            .schema('doc_id long, text string')
+            .option('maxFilesPerTrigger', 1)
+            .json(str(src))
+        )
+        q = incremental_minhash_dedup(
+            stream,
+            out_dir=str(tmp_path / 'accepted'),
+            store_dir=str(tmp_path / 'store'),
+            checkpoint=str(tmp_path / 'ckpt'),
+            jaccard_threshold=threshold,
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(str(tmp_path / 'accepted'))
+
+    BASE = ('alpha beta gamma delta epsilon zeta eta theta iota '
+            'kappa lam mu nu xi omicron pi rho sigma tau upsilon')
+    OTHER = ('totally different words nothing shared here at all '
+             'with the other documents in any chunk today ok fine')
+
+    def test_cross_batch_and_in_batch_dups_dropped(
+            self, spark_session, tmp_path):
+        docs = [
+            (1, self.BASE),        # chunk 1: original
+            (2, self.BASE),        # chunk 1: exact in-batch dup of 1
+            (3, self.OTHER),
+            (10, self.BASE),       # later chunk: exact cross-batch dup
+            (11, 'another unique document about completely other '
+                 'topics that shares no running grams with anyone'),
+        ]
+        accepted = self._run(spark_session, tmp_path, docs,
+                             n_chunks=2)
+        ids = sorted(r['doc_id'] for r in accepted.collect())
+        assert ids == [1, 3, 11], ids
+
+    def test_store_holds_band_rows_of_accepted_only(
+            self, spark_session, tmp_path):
+        docs = [(1, self.BASE), (2, self.OTHER), (10, self.BASE)]
+        self._run(spark_session, tmp_path, docs, n_chunks=2)
+        store = spark_session.read.parquet(str(tmp_path / 'store'))
+        ids = {r['doc_id'] for r in store.filter(
+            F.col('band').isNotNull()).select('doc_id')
+            .distinct().collect()}
+        assert ids == {1, 2}, ids  # 10 dropped, never banded in
+        # bucketed layout on disk
+        import os
+        inner = os.listdir(str(tmp_path / 'store' / '_batch_id=0'))
+        assert any(d.startswith('_bucket=') for d in inner), inner
+
+    def test_replay_is_idempotent(self, spark_session, tmp_path):
+        """Re-delivering all batches with a FRESH checkpoint (the
+        crash-before-checkpoint-commit shape) must not duplicate
+        accepted rows or store rows."""
+        from ons_utils_spark.streaming.incremental import (
+            incremental_minhash_dedup)
+
+        docs = [(1, self.BASE), (2, self.OTHER), (10, self.BASE)]
+        accepted = self._run(spark_session, tmp_path, docs,
+                             n_chunks=2)
+        assert sorted(r['doc_id'] for r in accepted.collect()) \
+            == [1, 2]
+        stream = (
+            spark_session.readStream
+            .schema('doc_id long, text string')
+            .option('maxFilesPerTrigger', 1)
+            .json(str(tmp_path / 'docs_src'))
+        )
+        q = incremental_minhash_dedup(
+            stream,
+            out_dir=str(tmp_path / 'accepted'),
+            store_dir=str(tmp_path / 'store'),
+            checkpoint=str(tmp_path / 'ckpt2'),
+            jaccard_threshold=0.9,
+        )
+        q.awaitTermination(300)
+        replayed = spark_session.read.parquet(
+            str(tmp_path / 'accepted'))
+        assert sorted(r['doc_id'] for r in replayed.collect()) \
+            == [1, 2]
+        store = spark_session.read.parquet(str(tmp_path / 'store'))
+        # exactly one commit marker per batch, band rows not doubled
+        assert store.filter(F.col('_marker') == 'commit').count() \
+            == 2
+        per_doc = store.filter(F.col('band').isNotNull()).groupBy(
+            'doc_id', 'band').count().filter(F.col('count') > 1)
+        assert per_doc.count() == 0
+
+
+@pytest.mark.slow
 class TestIncrementalWinnowDedup:
     def _run(self, spark, tmp_path, docs, n_chunks=3):
         from ons_utils_spark.streaming.incremental import (
