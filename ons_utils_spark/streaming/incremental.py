@@ -374,59 +374,73 @@ def incremental_winnow_dedup(
             .select(F.col('id_b').alias(id_col)).distinct()
         )
         clean = batch_df.join(losers, on=id_col, how='left_anti')
-        fps = winnow_fingerprints(clean, id_col, text_col, k=k, w=w)
-        # 2. drop docs overlapping the store (the store read is
-        # partition-pruned to the batch's fp buckets — equal fps
-        # hash to equal buckets, so the dropped directories cannot
-        # hold a matching fingerprint)
-        if have_store:
-            # pairwise overlap: >= min_shared fps with ONE stored doc
-            # (pooling fps across the whole store would over-drop)
-            dup_ids = (
-                fps.join(
-                    _prune_store_buckets(store, fps, ('fp',))
-                    .select('fp', F.col('id').alias('__store_doc')),
-                    on='fp')
-                .groupBy('id', '__store_doc')
-                .agg(F.count(F.lit(1)).alias('n_shared'))
-                .filter(F.col('n_shared') >= min_shared)
-                .select('id').distinct()
-            )
-            clean = clean.join(
-                dup_ids.withColumnRenamed('id', id_col),
-                on=id_col, how='left_anti')
-            fps = fps.join(dup_ids, on='id', how='left_anti')
-        # 3. four-step commit (each append is atomic under Spark's
-        # output-commit protocol; the splits bound every crash
-        # window — see the module docstring).  The begin sentinel is
-        # written FIRST and unconditionally covers zero-fingerprint
-        # batches: without it, a crash between the docs append and
-        # the commit marker would leave no store evidence at all
-        # (n=0 data rows) and the replay would re-append the docs.
-        # Null fp never matches the store equi-join above, so
-        # sentinels are invisible to overlap detection.
-        layout = (_store_layout(store_dir, store.columns)
-                  if have_store else 'bucketed')
-        if not partial:
+        # Fingerprint ONCE, persisted: the store-prune bucket list
+        # (a <=_STORE_BUCKETS collect — the LINEAR cache-populate
+        # action), the overlap join, and the store append all read
+        # the same batch-sized frame.
+        fps_raw = winnow_fingerprints(
+            clean, id_col, text_col, k=k, w=w).persist()
+        fps = fps_raw  # rebound below after the drop anti-join
+        try:
+            # 2. drop docs overlapping the store (the store read is
+            # partition-pruned to the batch's fp buckets — equal fps
+            # hash to equal buckets, so the dropped directories
+            # cannot hold a matching fingerprint)
+            if have_store:
+                # pairwise overlap: >= min_shared fps with ONE
+                # stored doc (pooling fps across the whole store
+                # would over-drop)
+                dup_ids = (
+                    fps.join(
+                        _prune_store_buckets(store, fps, ('fp',))
+                        .select('fp',
+                                F.col('id').alias('__store_doc')),
+                        on='fp')
+                    .groupBy('id', '__store_doc')
+                    .agg(F.count(F.lit(1)).alias('n_shared'))
+                    .filter(F.col('n_shared') >= min_shared)
+                    .select('id').distinct()
+                )
+                clean = clean.join(
+                    dup_ids.withColumnRenamed('id', id_col),
+                    on=id_col, how='left_anti')
+                fps = fps.join(dup_ids, on='id', how='left_anti')
+            # 3. four-step commit (each append is atomic under
+            # Spark's output-commit protocol; the splits bound every
+            # crash window — see the module docstring).  The begin
+            # sentinel is written FIRST and unconditionally covers
+            # zero-fingerprint batches: without it, a crash between
+            # the docs append and the commit marker would leave no
+            # store evidence at all (n=0 data rows) and the replay
+            # would re-append the docs.  Null fp never matches the
+            # store equi-join above, so sentinels are invisible to
+            # overlap detection.
+            layout = (_store_layout(store_dir, store.columns)
+                      if have_store else 'bucketed')
+            if not partial:
+                _append_store(
+                    _marker_row(spark, fps.schema.fields, batch_id,
+                                'begin'), store_dir, layout, ('fp',))
+            if not data_done:
+                _append_store(
+                    fps.withColumn('_batch_id', F.lit(batch_id))
+                    .withColumn('_marker',
+                                F.lit(None).cast('string')),
+                    store_dir, layout, ('fp',))
+            docs_out = clean
+            if partial and _store_exists(out_dir):
+                # rare replay path: drop ids the crashed attempt
+                # already appended (the survivor set recomputes
+                # identically)
+                docs_out = docs_out.join(
+                    spark.read.parquet(out_dir).select(id_col),
+                    on=id_col, how='left_anti')
+            docs_out.write.mode('append').parquet(out_dir)
             _append_store(
                 _marker_row(spark, fps.schema.fields, batch_id,
-                            'begin'), store_dir, layout, ('fp',))
-        if not data_done:
-            _append_store(
-                fps.withColumn('_batch_id', F.lit(batch_id))
-                .withColumn('_marker', F.lit(None).cast('string')),
-                store_dir, layout, ('fp',))
-        docs_out = clean
-        if partial and _store_exists(out_dir):
-            # rare replay path: drop ids the crashed attempt already
-            # appended (the survivor set recomputes identically)
-            docs_out = docs_out.join(
-                spark.read.parquet(out_dir).select(id_col),
-                on=id_col, how='left_anti')
-        docs_out.write.mode('append').parquet(out_dir)
-        _append_store(
-            _marker_row(spark, fps.schema.fields, batch_id,
-                        'commit'), store_dir, layout, ('fp',))
+                            'commit'), store_dir, layout, ('fp',))
+        finally:
+            fps_raw.unpersist()
 
     return foreach_batch_sink(
         docs_stream, process, checkpoint,
