@@ -1566,25 +1566,32 @@ def q_incremental_url_dedup(spark: SparkSession,
             raise RuntimeError(
                 'incremental url dedup stream did not terminate'
                 ' within 600s')
-        # LOUD guard: the closed form the oracle replays
+        # LOUD guard: the closed form the oracle replays.  The
+        # compare stays DISTRIBUTED (exceptAll both ways, bounded
+        # limit-collects for the message) — collecting the full
+        # accepted id set would bound the guard by driver memory at
+        # corpus scale (r12 verdict note).
         canon = documents.select(
             'doc_id', web.canonicalize_url(_messy(documents))
             .alias('key'))
-        want = {r['doc_id'] for r in canon.withColumn(
+        want = (canon.withColumn(
             '__m', F.min('doc_id').over(
                 Window.partitionBy('key')))
             .filter(F.col('doc_id') == F.col('__m'))
-            .select('doc_id').collect()}
-        got = {r['doc_id'] for r in spark.read.parquet(
-            os.path.join(root, 'accepted'))
-            .select('doc_id').collect()}
-        if got != want:
+            .select('doc_id'))
+        got = spark.read.parquet(
+            os.path.join(root, 'accepted')).select('doc_id')
+        missing = [r['doc_id']
+                   for r in want.exceptAll(got).limit(5).collect()]
+        extra = [r['doc_id']
+                 for r in got.exceptAll(want).limit(5).collect()]
+        if missing or extra:
             raise ValueError(
                 'q_incremental_url_dedup guard tripped: streaming '
-                f'accepted {len(got)} ids, closed form expects '
-                f'{len(want)} (diff {sorted(got ^ want)[:5]}…) — '
-                'check arrival-order assumptions before blaming '
-                'the sink.')
+                f'accepted set diverges from the closed form '
+                f'(missing {missing}…, extra {extra}…) — check '
+                'arrival-order assumptions before blaming the '
+                'sink.')
         return os.path.join(root, 'accepted')
 
     out_dir = _artifact(f'inc_url_dedup:{sf_dir}@{app}', _run)
