@@ -194,7 +194,7 @@ _ARTIFACT_CACHED_QUERIES = (
     'q_minhash_dedup', 'q_simhash_dedup',
     'q_incremental_embedding_dedup', 'q_incremental_winnow_dedup',
     'q_incremental_url_dedup', 'q_incremental_minhash_dedup',
-    'q_mjpeg_stream_stats',
+    'q_incremental_simhash_dedup', 'q_mjpeg_stream_stats',
     'q_training_shards', 'q_shard_resume',
 )
 

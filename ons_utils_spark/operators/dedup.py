@@ -1517,6 +1517,7 @@ def simhash_index_probe(
     new_id: str = 'new_id',
     index_id: str = 'index_id',
     max_bucket_size: Optional[int] = 2000,
+    prebanded: Optional[SparkDF] = None,
 ) -> SparkDF:
     """Near-duplicate pairs between a NEW batch and a stored SimHash
     block index, verified by true Hamming distance — only the batch
@@ -1531,7 +1532,13 @@ def simhash_index_probe(
     before the join — for SimHash this is LOSSLESS for the capped
     bucket's exact families (identical signatures verify at Hamming
     0 against the representative) and the recall bound applies only
-    to distinct-signature co-bucketed rows.  ``None`` disables."""
+    to distinct-signature co-bucketed rows.  ``None`` disables.
+
+    ``prebanded``: optionally the caller's own
+    :func:`simhash_block_index` output for ``df_new`` (SAME
+    ``n_blocks``), when it already signed the batch for another
+    purpose (e.g. the incremental sink's store append +
+    bucket-prune list) — skips re-signing the batch here."""
     idx_cols = set(index.columns)
     if not {'block', 'key', 'blocks'} <= idx_cols:
         raise ValueError(
@@ -1545,8 +1552,9 @@ def simhash_index_probe(
             f' (block, key, blocks); got {id_candidates} — select'
             f' the id column explicitly before probing')
     iid = id_candidates[0]
-    new_banded = simhash_block_index(
-        df_new, id_col, text_col, n_blocks,
+    new_banded = (
+        prebanded if prebanded is not None else simhash_block_index(
+            df_new, id_col, text_col, n_blocks)
     ).withColumnRenamed(id_col, new_id) \
      .withColumnRenamed('blocks', '__new_blocks')
     idx = _cap_index_buckets(

@@ -4181,6 +4181,89 @@ def q_incremental_minhash_dedup(spark: SparkSession,
     return _planted_survivors(kept)
 
 
+def q_incremental_simhash_dedup(spark: SparkSession,
+                                sf_dir: str) -> SparkDF:
+    """The STREAMING SimHash crawl dedup
+    (``streaming.incremental.incremental_simhash_dedup``, NEW r13 —
+    the Hamming sibling of ``q_incremental_minhash_dedup``; the
+    streaming family is now exact/winnow/minhash/simhash/embedding)
+    under the planted-family decision oracle: a 1-in-3 organic
+    sample ∪ planted families staged as three id-ordered chunks,
+    each micro-batch in-batch-deduped then probed against the
+    bucketed SELF-VERIFYING block-row store (full signatures ride
+    the store — no text join at verify).  Exact duplicates have
+    identical signatures (Hamming 0) under any implementation and
+    the subgroup minimum arrives first under id order, so the
+    planted survivor set is the subgroup minima — independent of
+    chunk boundaries — ASSUMING no cross-subgroup/planted-vs-sample
+    pair within Hamming 3 (probability ~1e-10, deterministic per
+    dataset).  A LOUD guard checks that assumption per run, exactly
+    like ``q_simhash_dedup``, whose oracle SQL this query shares
+    verbatim."""
+    import tempfile
+    import time
+
+    from ..streaming.incremental import incremental_simhash_dedup
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    app = spark.sparkContext.applicationId
+    root = os.path.join(
+        tempfile.gettempdir(), 'ons_inc_sh', tag, app)
+
+    def _run():
+        src = os.path.join(root, 'src')
+        (documents.select('doc_id', 'text')
+         .filter(F.col('doc_id') % 3 == 0)
+         .unionByName(_planted_dedup_families(spark))
+         .repartitionByRange(3, 'doc_id')
+         .write.mode('overwrite').json(src))
+        parts = sorted(p for p in os.listdir(src)
+                       if p.startswith('part-'))
+        base = time.time() - 1000
+        for i, p in enumerate(parts):
+            os.utime(os.path.join(src, p),
+                     (base + 10 * i, base + 10 * i))
+        stream = (
+            spark.readStream
+            .schema('doc_id long, text string')
+            .option('maxFilesPerTrigger', 1)
+            .json(src)
+        )
+        q = incremental_simhash_dedup(
+            stream,
+            out_dir=os.path.join(root, 'accepted'),
+            store_dir=os.path.join(root, 'store'),
+            checkpoint=os.path.join(root, 'ckpt'),
+            max_hamming=3,
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(
+                'incremental simhash dedup stream did not terminate'
+                ' within 600s')
+        return os.path.join(root, 'accepted')
+
+    out_dir = _artifact(f'inc_sh_dedup:{sf_dir}@{app}', _run)
+    out = _planted_survivors(spark.read.parquet(out_dir))
+    expected = {8_000_000 + f * 10 + j for f in range(8)
+                for j in (0, 3)}
+    # Collect ONCE for both the guard and the result (bounded by
+    # the planted-family size — 16 survivors expected).
+    rows = out.collect()
+    got = {r['kept_doc_id'] for r in rows}
+    if got != expected:
+        raise ValueError(
+            'q_incremental_simhash_dedup planted-survivor guard '
+            f'tripped: unexpectedly dropped {sorted(expected - got)},'
+            f' unexpectedly kept {sorted(got - expected)}.  Either a'
+            ' cross-subgroup/planted-vs-sample SimHash pair within'
+            ' Hamming 3 exists in this dataset (the ~1e-10 collision'
+            ' the oracle assumes away — move the planted token'
+            ' namespace) or the streaming fold regressed.')
+    return spark.createDataFrame(rows, out.schema)
+
+
 def q_minhash_dedup_verified(spark: SparkSession,
                              sf_dir: str) -> SparkDF:
     """The full dedup DECISION, hash-verified end-to-end: portable
@@ -4694,6 +4777,7 @@ QUERIES: Dict[str, QueryFn] = {
     # (the three displaced r9 fills sit first below the window).
     # never driver-verified (NEW r13) — front of the window
     'q_incremental_minhash_dedup': q_incremental_minhash_dedup,
+    'q_incremental_simhash_dedup': q_incremental_simhash_dedup,
     'q_mjpeg_stream_stats': q_mjpeg_stream_stats,
     'q_psl_domains': q_psl_domains,
     # last driver-green: r6
@@ -4745,10 +4829,10 @@ QUERIES: Dict[str, QueryFn] = {
     'q_length_histogram': q_length_histogram,
     'q_except_customers': q_except_customers,
     'q_funnel_stages': q_funnel_stages,
-    'q_sql_flag_year': q_sql_flag_year,
     # -- below the 50-slot window ---------------------------------
-    # (displaced by the three new r13 queries — still r9-stale,
+    # (displaced by the four new r13 queries — still r9-stale,
     # first in line for the r14 window)
+    'q_sql_flag_year': q_sql_flag_year,
     'q_quantile_ladder': q_quantile_ladder,
     'q_first_touch': q_first_touch,
     'q_calendar_gaps': q_calendar_gaps,
@@ -5026,6 +5110,24 @@ _MINHASH_PLANTED_DECISION_SQL = """
         FROM sh s
         WHERE NOT EXISTS (SELECT 1 FROM pairs p
                           WHERE p.id_b = s.doc_id)
+    """
+
+_SIMHASH_PLANTED_DECISION_SQL = """
+        WITH fam AS (
+            SELECT f, j, CAST(8000000 + f * 10 + j AS BIGINT)
+                       AS doc_id,
+                   array_to_string(list_transform(range(0, 8), i ->
+                       (CASE WHEN j < 3 THEN 'zqa' ELSE 'zqb' END)
+                       || CAST(f AS VARCHAR) || 'w'
+                       || CAST(i AS VARCHAR)), ' ') AS text
+            FROM range(0, 8) tf(f), range(0, 5) tj(j)
+        )
+        SELECT CAST(s.f AS BIGINT) AS family,
+               s.doc_id AS kept_doc_id
+        FROM fam s
+        WHERE NOT EXISTS (SELECT 1 FROM fam p
+                          WHERE p.text = s.text
+                            AND p.doc_id < s.doc_id)
     """
 
 ORACLES: Dict[str, str] = {
@@ -6614,23 +6716,10 @@ ORACLES: Dict[str, str] = {
     # exact-duplicate-text greedy minima (cross-subgroup collisions
     # within Hamming 3 have probability ~1e-10 and are deterministic
     # per dataset — see q_simhash_dedup's docstring).
-    'q_simhash_dedup': """
-        WITH fam AS (
-            SELECT f, j, CAST(8000000 + f * 10 + j AS BIGINT)
-                       AS doc_id,
-                   array_to_string(list_transform(range(0, 8), i ->
-                       (CASE WHEN j < 3 THEN 'zqa' ELSE 'zqb' END)
-                       || CAST(f AS VARCHAR) || 'w'
-                       || CAST(i AS VARCHAR)), ' ') AS text
-            FROM range(0, 8) tf(f), range(0, 5) tj(j)
-        )
-        SELECT CAST(s.f AS BIGINT) AS family,
-               s.doc_id AS kept_doc_id
-        FROM fam s
-        WHERE NOT EXISTS (SELECT 1 FROM fam p
-                          WHERE p.text = s.text
-                            AND p.doc_id < s.doc_id)
-    """,
+    'q_simhash_dedup': _SIMHASH_PLANTED_DECISION_SQL,
+    # the streaming fold provably lands on the same planted survivor
+    # set (chunk-independent, same loud guard) — shared verbatim
+    'q_incremental_simhash_dedup': _SIMHASH_PLANTED_DECISION_SQL,
     'q_inverted_index': """
         WITH norm AS (
             SELECT doc_id,

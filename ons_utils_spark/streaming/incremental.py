@@ -611,6 +611,139 @@ def incremental_minhash_dedup(
         output_mode='append', available_now=available_now)
 
 
+def incremental_simhash_dedup(
+    docs_stream: SparkDF,
+    out_dir: str,
+    store_dir: str,
+    checkpoint: str,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    n_blocks: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int = 2000,
+    available_now: bool = True,
+):
+    """Filter a document stream against all previously-ACCEPTED docs
+    by SimHash block-banding + true Hamming verification — the
+    Hamming-distance sibling of :func:`incremental_minhash_dedup`
+    (the streaming dedup family is now exact / winnow / minhash /
+    simhash / embedding, all over the same bucketed store +
+    exactly-once commit machinery).
+
+    Per micro-batch:
+      1. in-batch near-dedup (:func:`~ons_utils_spark.operators.
+         dedup.simhash_dedup` — 4-block banding, exact Hamming
+         verify, greedy keep-lowest-id),
+      2. block-index the survivors ONCE (:func:`simhash_block_index`;
+         the persisted frame serves the store-prune bucket list, the
+         index probe, and the store append), probe the stored block
+         index (:func:`simhash_index_probe` with ``prebanded`` — the
+         store read partition-prunes to the batch's ``_bucket``
+         directories), and drop batch docs within ``max_hamming`` of
+         anything accepted.  The store carries each accepted doc's
+         full signature, so verification needs NO text join — the
+         probe is self-verifying, unlike the minhash sibling,
+      3. the four-append exactly-once commit of the module docstring
+         (begin sentinel, block rows tagged ``_batch_id``, accepted
+         docs, commit marker LAST).
+
+    ``n_blocks`` is baked into the stored keys: every run against
+    the same ``store_dir`` MUST reuse it.  The store holds block
+    rows of ACCEPTED docs only, so the drop rule is "within
+    ``max_hamming`` of anything accepted" (earlier batches win —
+    arrival order).
+
+    Returns the started streaming query.
+    """
+    from ..operators.dedup import (
+        simhash_block_index,
+        simhash_dedup,
+        simhash_index_probe,
+    )
+
+    spark = docs_stream.sparkSession
+
+    def process(batch_df: SparkDF, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        have_store = _store_exists(store_dir)
+        partial, data_done = False, False
+        if have_store:
+            store = spark.read.parquet(store_dir)
+            committed, partial, data_done = _batch_state(
+                store, batch_id)
+            if committed:
+                return  # replayed batch — already fully committed
+            # the probe must never see THIS batch's own block rows
+            store = store.filter(F.col('_batch_id') != batch_id)
+        # 1. in-batch near-dedup (banding + Hamming verify + greedy)
+        clean = simhash_dedup(
+            batch_df, id_col, text_col, max_hamming=max_hamming,
+            max_bucket_size=max_bucket_size)
+        # sign ONCE; three consumers (bucket list, probe, append)
+        new_banded = simhash_block_index(
+            clean, id_col, text_col, n_blocks).persist()
+        try:
+            dup_ids = None
+            # 2. drop batch docs within max_hamming of anything
+            # accepted (self-verifying: the store carries full
+            # signatures)
+            if have_store:
+                index = (
+                    _prune_store_buckets(store, new_banded,
+                                         ('block', 'key'))
+                    .select(id_col, 'block', 'key', 'blocks')
+                    .filter(F.col('block').isNotNull())  # markers
+                )
+                cands = simhash_index_probe(
+                    index, clean, id_col, text_col, n_blocks,
+                    max_hamming, max_bucket_size=max_bucket_size,
+                    prebanded=new_banded)
+                # anti-joins are duplicate-insensitive: no distinct
+                dup_ids = cands.select(F.col('new_id').alias(id_col))
+                clean = clean.join(dup_ids, on=id_col,
+                                   how='left_anti')
+            # 3. four-step commit (module docstring).  Signing is
+            # per-row deterministic: survivors' block rows are the
+            # pre-drop signing minus the dropped ids.
+            band_rows = new_banded
+            if dup_ids is not None:
+                band_rows = new_banded.join(
+                    dup_ids, on=id_col, how='left_anti')
+            layout = (_store_layout(store_dir, store.columns)
+                      if have_store else 'bucketed')
+            if not partial:
+                _append_store(
+                    _marker_row(spark, band_rows.schema.fields,
+                                batch_id, 'begin'),
+                    store_dir, layout, ('block', 'key'))
+            if not data_done:
+                _append_store(
+                    band_rows.withColumn('_batch_id',
+                                         F.lit(batch_id))
+                    .withColumn('_marker',
+                                F.lit(None).cast('string')),
+                    store_dir, layout, ('block', 'key'))
+            docs_out = clean
+            if partial and _store_exists(out_dir):
+                # rare replay path: drop ids the crashed attempt
+                # already appended
+                docs_out = docs_out.join(
+                    spark.read.parquet(out_dir).select(id_col),
+                    on=id_col, how='left_anti')
+            docs_out.write.mode('append').parquet(out_dir)
+            _append_store(
+                _marker_row(spark, band_rows.schema.fields, batch_id,
+                            'commit'), store_dir, layout,
+                ('block', 'key'))
+        finally:
+            new_banded.unpersist()
+
+    return foreach_batch_sink(
+        docs_stream, process, checkpoint,
+        output_mode='append', available_now=available_now)
+
+
 def incremental_embedding_dedup(
     vecs_stream: SparkDF,
     out_dir: str,

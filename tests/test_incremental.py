@@ -126,6 +126,98 @@ class TestIncrementalMinhashDedup:
 
 
 @pytest.mark.slow
+class TestIncrementalSimhashDedup:
+    def _run(self, spark, tmp_path, docs, n_chunks=2):
+        from ons_utils_spark.streaming.incremental import (
+            incremental_simhash_dedup)
+
+        src = _stage(tmp_path, docs, n_chunks)
+        stream = (
+            spark.readStream
+            .schema('doc_id long, text string')
+            .option('maxFilesPerTrigger', 1)
+            .json(str(src))
+        )
+        q = incremental_simhash_dedup(
+            stream,
+            out_dir=str(tmp_path / 'accepted'),
+            store_dir=str(tmp_path / 'store'),
+            checkpoint=str(tmp_path / 'ckpt'),
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(str(tmp_path / 'accepted'))
+
+    BASE = ('alpha beta gamma delta epsilon zeta eta theta iota '
+            'kappa lam mu nu xi omicron pi rho sigma tau upsilon')
+    OTHER = ('totally different words nothing shared here at all '
+             'with the other documents in any chunk today ok fine')
+
+    def test_cross_batch_and_in_batch_dups_dropped(
+            self, spark_session, tmp_path):
+        docs = [
+            (1, self.BASE),        # chunk 1: original
+            (2, self.BASE),        # chunk 1: exact in-batch dup
+            (3, self.OTHER),
+            (10, self.BASE),       # later chunk: exact cross-batch
+            (11, 'another unique document about completely other '
+                 'topics that shares no running grams with anyone'),
+        ]
+        accepted = self._run(spark_session, tmp_path, docs)
+        ids = sorted(r['doc_id'] for r in accepted.collect())
+        assert ids == [1, 3, 11], ids
+
+    def test_store_is_self_verifying_and_bucketed(
+            self, spark_session, tmp_path):
+        """The store carries full signatures (`blocks`), so the probe
+        verifies Hamming without any text join, and new stores use
+        the bucketed layout."""
+        import os
+
+        docs = [(1, self.BASE), (2, self.OTHER), (10, self.BASE)]
+        self._run(spark_session, tmp_path, docs)
+        store = spark_session.read.parquet(str(tmp_path / 'store'))
+        assert 'blocks' in store.columns
+        ids = {r['doc_id'] for r in store.filter(
+            F.col('block').isNotNull()).select('doc_id')
+            .distinct().collect()}
+        assert ids == {1, 2}, ids  # 10 dropped, never indexed
+        inner = os.listdir(str(tmp_path / 'store' / '_batch_id=0'))
+        assert any(d.startswith('_bucket=') for d in inner), inner
+
+    def test_replay_is_idempotent(self, spark_session, tmp_path):
+        from ons_utils_spark.streaming.incremental import (
+            incremental_simhash_dedup)
+
+        docs = [(1, self.BASE), (2, self.OTHER), (10, self.BASE)]
+        accepted = self._run(spark_session, tmp_path, docs)
+        assert sorted(r['doc_id'] for r in accepted.collect()) \
+            == [1, 2]
+        stream = (
+            spark_session.readStream
+            .schema('doc_id long, text string')
+            .option('maxFilesPerTrigger', 1)
+            .json(str(tmp_path / 'docs_src'))
+        )
+        q = incremental_simhash_dedup(
+            stream,
+            out_dir=str(tmp_path / 'accepted'),
+            store_dir=str(tmp_path / 'store'),
+            checkpoint=str(tmp_path / 'ckpt2'),
+        )
+        q.awaitTermination(300)
+        replayed = spark_session.read.parquet(
+            str(tmp_path / 'accepted'))
+        assert sorted(r['doc_id'] for r in replayed.collect()) \
+            == [1, 2]
+        store = spark_session.read.parquet(str(tmp_path / 'store'))
+        assert store.filter(F.col('_marker') == 'commit').count() \
+            == 2
+        per_doc = store.filter(F.col('block').isNotNull()).groupBy(
+            'doc_id', 'block').count().filter(F.col('count') > 1)
+        assert per_doc.count() == 0
+
+
+@pytest.mark.slow
 class TestIncrementalWinnowDedup:
     def _run(self, spark, tmp_path, docs, n_chunks=3):
         from ons_utils_spark.streaming.incremental import (
