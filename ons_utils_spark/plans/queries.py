@@ -4756,6 +4756,41 @@ def q_group_quantile_ladder(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Bloom-filter decontamination (``operators.bloom``): build a
+    1024-bit / 3-hash Bloom filter over the "benchmark" corpus
+    (every 7th document's text), collect it into a bitmap (bounded
+    by num_bits/32 rows — the caller's sizing decision, never
+    data-dependent), and stream ALL documents through the
+    Arrow-vectorized membership probe — the 100 TB scan path: zero
+    join, zero shuffle of the big side.  Output per doc: the bloom
+    verdict AND the exact membership (broadcast semi of the small
+    member set), so false positives are VISIBLE rows
+    (might_contain ∧ ¬exact_member).  The filter is deliberately
+    undersized so FPs occur at gate SFs; the md5-prefix hash family
+    is engine-portable, so the oracle replays the filter — including
+    every false positive — bit-exactly via the declarative
+    explode + bit_or + min-conjunction shape
+    (:func:`~ons_utils_spark.operators.bloom.bloom_probe_join`)."""
+    from ..operators import bloom as bm
+
+    num_bits, num_hashes = 1024, 3
+    (documents,) = _t(spark, sf_dir, 'documents')
+    members = documents.where(F.col('doc_id') % 7 == 0).select('text')
+    bitmap = bm.bloom_to_bitmap(
+        bm.bloom_build(members, 'text', num_bits, num_hashes), num_bits)
+    member_texts = members.distinct().withColumn('__m', F.lit(True))
+    return (
+        documents
+        .select('doc_id', 'text',
+                bm.bloom_might_contain(
+                    'text', bitmap, num_bits, num_hashes)
+                .alias('might_contain'))
+        .join(F.broadcast(member_texts), 'text', 'left')
+        .select('doc_id', 'might_contain',
+                F.coalesce('__m', F.lit(False)).alias('exact_member')))
+
+
 # --------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------
@@ -4776,6 +4811,7 @@ QUERIES: Dict[str, QueryFn] = {
     # r6-stale queries, the five r8 TPC-H queries, and r9 fills
     # (the three displaced r9 fills sit first below the window).
     # never driver-verified (NEW r13) — front of the window
+    'q_bloom_decontaminate': q_bloom_decontaminate,
     'q_incremental_minhash_dedup': q_incremental_minhash_dedup,
     'q_incremental_simhash_dedup': q_incremental_simhash_dedup,
     'q_mjpeg_stream_stats': q_mjpeg_stream_stats,
@@ -5131,6 +5167,38 @@ _SIMHASH_PLANTED_DECISION_SQL = """
     """
 
 ORACLES: Dict[str, str] = {
+    'q_bloom_decontaminate': """
+        -- Replays the 1024-bit / 3-hash Bloom filter bit-exactly:
+        -- same md5 60-bit-prefix positions, same 32-bit lanes
+        -- (1 << 31 max — BIGINT-safe), so every false positive the
+        -- Spark bitmap produces reappears here.
+        WITH members AS (
+            SELECT DISTINCT text FROM documents WHERE doc_id % 7 = 0
+        ), words AS (
+            SELECT p // 32 AS word_idx,
+                   bit_or(1::BIGINT << (p % 32)::INT) AS word
+            FROM (
+                SELECT (('0x' || substr(md5(i::VARCHAR || ':' || text),
+                                        1, 15))::BIGINT) % 1024 AS p
+                FROM members, range(3) t(i)
+            ) GROUP BY word_idx
+        ), probe AS (
+            SELECT d.doc_id, d.text,
+                   (('0x' || substr(md5(t.i::VARCHAR || ':' || d.text),
+                                    1, 15))::BIGINT) % 1024 AS p
+            FROM documents d, range(3) t(i)
+        ), flags AS (
+            SELECT pr.doc_id, pr.text,
+                   min((coalesce(w.word, 0)
+                        >> (pr.p % 32)::INT) & 1 = 1) AS might_contain
+            FROM probe pr
+            LEFT JOIN words w ON pr.p // 32 = w.word_idx
+            GROUP BY pr.doc_id, pr.text
+        )
+        SELECT f.doc_id, f.might_contain,
+               (m.text IS NOT NULL) AS exact_member
+        FROM flags f LEFT JOIN members m ON f.text = m.text
+    """,
     'q_simhash_pairs': _simhash_portable_sql(4),
     'q_zorder_stats': f"""
         WITH z AS (
