@@ -1,5 +1,5 @@
 """Web-ingest URL operators: canonicalization, host/domain
-extraction, exact URL dedup.
+extraction, exact URL dedup, outlink extraction / domain link graph.
 
 Extension (no reference counterpart) — the front door of a
 web-corpus training pipeline (CommonCrawl-style): before any text
@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 __all__ = ['canonicalize_url', 'url_host', 'registrable_domain',
            'with_registrable_domain', 'url_dedup',
+           'extract_links', 'outlink_domain_edges',
            'TRACKING_PARAM_RE', 'TWO_LABEL_SUFFIXES']
 
 # key pattern of query parameters dropped by canonicalization
@@ -162,6 +163,47 @@ def with_registrable_domain(df, url_col: str, out_col: str = 'domain',
             + [c for k in ks for c in (f'__rd_cand{k}',
                                        f'__rd_sfx{k}')])
     return out.withColumn(out_col, expr).drop(*drop)
+
+
+def extract_links(html) -> Column:
+    """All ``href="..."`` targets of an HTML page, in document order
+    (``array<string>``) — one ``regexp_extract_all`` inside
+    whole-stage codegen, no UDF.
+
+    Documented contract: double-quoted ``href`` attributes only
+    (the form every serializer emits); single-quoted or unquoted
+    attributes and ``srcset``-style multi-URL attributes are out of
+    scope — a real-HTML crawl normalizes quoting upstream.  The
+    pattern is engine-portable (no lookbehind) so an oracle replays
+    it verbatim.
+    """
+    h = F.col(html) if isinstance(html, str) else html
+    return F.regexp_extract_all(h, F.lit('href="([^"]*)"'), 1)
+
+
+def outlink_domain_edges(df, src_url_col: str, html_col: str):
+    """The domain-level link graph of a crawled page set:
+    ``(src_domain, dst_domain, n_links)`` — the input PageRank /
+    source-weighting wants.
+
+    Plan shape: extract links (codegen array), explode, canonicalize
+    both endpoints, reduce to registrable domains, and aggregate with
+    one ``groupBy(src_domain, dst_domain)`` — the ONLY shuffle, with
+    map-side partials, keyed by the (small) domain-pair space rather
+    than pages.  Self-links are kept (callers drop them if their
+    graph is loop-free); pages with no links contribute nothing
+    (explode drops empty arrays).
+    """
+    dst = F.explode(extract_links(html_col)).alias('__dst_url')
+    return (
+        df.select(
+            registrable_domain(src_url_col).alias('src_domain'), dst)
+        .select('src_domain',
+                registrable_domain(
+                    canonicalize_url('__dst_url')).alias('dst_domain'))
+        .groupBy('src_domain', 'dst_domain')
+        .agg(F.count(F.lit(1)).alias('n_links'))
+    )
 
 
 def url_dedup(df, url_col: str, order_col: str):

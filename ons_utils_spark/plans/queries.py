@@ -4791,6 +4791,54 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> SparkDF:
                 F.coalesce('__m', F.lit(False)).alias('exact_member')))
 
 
+def q_outlink_graph(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Domain-level link graph from raw HTML
+    (``operators.web.extract_links`` / ``outlink_domain_edges``):
+    each document becomes a page whose HTML embeds two planted
+    ``<a href>`` links to other documents' pages, written as MESSY
+    crawl URLs (mixed-case scheme/host, ``:443``, tracking params,
+    fragments).  The operator chain — regexp link extraction →
+    explode → canonicalize → registrable domain → one
+    ``groupBy(src_domain, dst_domain)`` — is pure codegen plus the
+    single edge-keyed shuffle (the aggregate key space is domain
+    PAIRS, tiny next to pages, so map-side partials collapse the
+    100 TB case).  The oracle is a CLOSED FORM of the planted link
+    arithmetic (never re-running regexes), so an extraction or
+    canonicalization bug breaks the match.  The page-synthesis
+    ``count()`` is fixture scaffolding, not operator code."""
+    from ..operators import web
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    n = documents.count()
+    d = documents.select('doc_id', 'source', 'lang')
+    tgt_ids = F.explode(F.array(
+        (F.col('doc_id') + 13) % n,
+        (F.col('doc_id') * 7 + 3) % n)).alias('tgt_id')
+    links = d.select(
+        F.col('doc_id').alias('src_id'),
+        F.col('source').alias('src_source'), tgt_ids)
+    t = d.select(F.col('doc_id').alias('tgt_id'),
+                 F.col('source').alias('tgt_source'),
+                 F.col('lang').alias('tgt_lang'))
+    href = F.concat(
+        F.lit('<p>see <a href="HtTpS://WWW.'),
+        F.col('tgt_source'), F.lit('.CoM:443/'),
+        F.col('tgt_lang'), F.lit('/page'),
+        (F.col('tgt_id') % 25).cast('string'),
+        F.when(F.col('tgt_id') % 3 == 0, F.lit('?utm_source=x'))
+        .otherwise(F.lit('')),
+        F.lit('#s">link</a></p>'))
+    pages = (
+        links.join(t, 'tgt_id')
+        .groupBy('src_id', 'src_source')
+        .agg(F.concat_ws('', F.collect_list(href)).alias('html'))
+        .select(
+            F.concat(F.lit('https://www.'), F.col('src_source'),
+                     F.lit('.com/')).alias('url'),
+            'html'))
+    return web.outlink_domain_edges(pages, 'url', 'html')
+
+
 # --------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------
@@ -4812,6 +4860,7 @@ QUERIES: Dict[str, QueryFn] = {
     # (the three displaced r9 fills sit first below the window).
     # never driver-verified (NEW r13) — front of the window
     'q_bloom_decontaminate': q_bloom_decontaminate,
+    'q_outlink_graph': q_outlink_graph,
     'q_incremental_minhash_dedup': q_incremental_minhash_dedup,
     'q_incremental_simhash_dedup': q_incremental_simhash_dedup,
     'q_mjpeg_stream_stats': q_mjpeg_stream_stats,
@@ -5198,6 +5247,23 @@ ORACLES: Dict[str, str] = {
         SELECT f.doc_id, f.might_contain,
                (m.text IS NOT NULL) AS exact_member
         FROM flags f LEFT JOIN members m ON f.text = m.text
+    """,
+    'q_outlink_graph': """
+        -- Closed form of the planted link arithmetic: edge counts
+        -- come straight from the doc_id recurrences and source
+        -- labels, never from re-running the extraction regexes.
+        WITH n AS (SELECT count(*) AS c FROM documents),
+        links AS (
+            SELECT d.source AS src_source,
+                   unnest([(d.doc_id + 13) % n.c,
+                           (d.doc_id * 7 + 3) % n.c]) AS tgt_id
+            FROM documents d, n
+        )
+        SELECT l.src_source || '.com' AS src_domain,
+               t.source || '.com' AS dst_domain,
+               count(*) AS n_links
+        FROM links l JOIN documents t ON t.doc_id = l.tgt_id
+        GROUP BY src_domain, dst_domain
     """,
     'q_simhash_pairs': _simhash_portable_sql(4),
     'q_zorder_stats': f"""

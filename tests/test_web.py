@@ -178,3 +178,41 @@ def test_canonicalization_is_pure_codegen(spark_session):
     assert 'Exchange' not in plan
     assert 'BatchEvalPython' not in plan
     assert 'ArrowEvalPython' not in plan
+
+
+def test_extract_links_order_and_contract(spark_session):
+    html = ('<html><a href="https://a.com/1">x</a> text '
+            '<img src="i.png"/><A HREF="nope">case-sensitive</A>'
+            '<a class="c" href="http://b.org/p?q=1#f">y</a>'
+            "<a href='single-quoted-skipped'></a></html>")
+    df = spark_session.createDataFrame([(html,), (None,), ('',)],
+                                       'html string')
+    rows = df.select(web.extract_links('html').alias('l')).collect()
+    assert rows[0]['l'] == ['https://a.com/1', 'http://b.org/p?q=1#f']
+    assert rows[1]['l'] is None
+    assert rows[2]['l'] == []
+
+
+def test_outlink_domain_edges_counts_and_canonicalizes(spark_session):
+    pages = spark_session.createDataFrame([
+        ('https://www.x.com/',
+         '<a href="HTTP://A.com:80/p?utm_source=z#t">1</a>'
+         '<a href="https://sub.a.com/q">2</a>'
+         '<a href="https://b.co.uk/r">3</a>'),
+        ('https://x.com/2', '<a href="https://a.com/other">4</a>'),
+        ('https://y.org/', 'no links here'),
+    ], 'url string, html string')
+    edges = {(r['src_domain'], r['dst_domain']): r['n_links']
+             for r in web.outlink_domain_edges(
+                 pages, 'url', 'html').collect()}
+    # both x.com pages' a.com links merge: (www.)x.com -> (sub.)a.com
+    assert edges == {('x.com', 'a.com'): 3, ('x.com', 'b.co.uk'): 1}
+
+
+def test_outlink_edges_single_shuffle(spark_session):
+    pages = spark_session.createDataFrame(
+        [('https://x.com/', '<a href="https://a.com/">l</a>')],
+        'url string, html string')
+    plan = web.outlink_domain_edges(
+        pages, 'url', 'html')._jdf.queryExecution().executedPlan().toString()
+    assert plan.count('Exchange') == 1
