@@ -4839,6 +4839,55 @@ def q_outlink_graph(spark: SparkSession, sf_dir: str) -> SparkDF:
     return web.outlink_domain_edges(pages, 'url', 'html')
 
 
+def _ensure_warc_archives(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the documents corpus as WARC archives once per session
+    (artifact-cached, keyed by applicationId like the ANN/shard
+    artifacts) and return the directory: four ``part-*.warc`` files
+    cut by a range repartition on the planted crawl URI."""
+    import tempfile
+
+    from ..sources.warc import write_warc
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    app = spark.sparkContext.applicationId
+    path = os.path.join(tempfile.gettempdir(), 'ons_warc', tag, app)
+
+    def _write():
+        pages = documents.select(
+            F.concat(F.lit('https://'), F.col('source'),
+                     F.lit('.com/'), F.col('lang'), F.lit('/doc'),
+                     F.col('doc_id').cast('string'))
+            .alias('target_uri'),
+            F.col('text').alias('payload'))
+        manifest = write_warc(
+            pages.repartitionByRange(4, 'target_uri'), path)
+        assert manifest.count() == 4  # runs the distributed write
+        return path
+
+    return _artifact(f'warc:{sf_dir}@{app}', _write)
+
+
+def q_warc_records(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """WARC archive round trip (``sources.warc``): the documents
+    corpus staged as four ``.warc`` files (CommonCrawl-style record
+    framing: header block, CRLFCRLF, Content-Length payload bytes),
+    then read back through the binaryFile + mapInPandas parser —
+    one task per archive, the standard crawl access pattern, no
+    driver I/O in either direction.  Output per record:
+    the crawl URI, the parsed Content-Length, and the payload's
+    md5.  The oracle recomputes all three CLOSED FORM from the
+    documents table (URI arithmetic, utf-8 octet length, md5 of the
+    text), so a framing, truncation, or encoding bug anywhere in
+    writer or reader breaks the match."""
+    from ..sources.warc import read_warc
+
+    path = _ensure_warc_archives(spark, sf_dir)
+    return read_warc(spark, path).select(
+        'target_uri', 'content_length',
+        F.md5('payload').alias('payload_md5'))
+
+
 # --------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------
@@ -4861,6 +4910,7 @@ QUERIES: Dict[str, QueryFn] = {
     # never driver-verified (NEW r13) — front of the window
     'q_bloom_decontaminate': q_bloom_decontaminate,
     'q_outlink_graph': q_outlink_graph,
+    'q_warc_records': q_warc_records,
     'q_incremental_minhash_dedup': q_incremental_minhash_dedup,
     'q_incremental_simhash_dedup': q_incremental_simhash_dedup,
     'q_mjpeg_stream_stats': q_mjpeg_stream_stats,
@@ -5247,6 +5297,16 @@ ORACLES: Dict[str, str] = {
         SELECT f.doc_id, f.might_contain,
                (m.text IS NOT NULL) AS exact_member
         FROM flags f LEFT JOIN members m ON f.text = m.text
+    """,
+    'q_warc_records': """
+        -- Closed form of the staged archives: URI arithmetic,
+        -- utf-8 octet length, and payload md5 straight from the
+        -- documents table — never re-walking the WARC framing.
+        SELECT 'https://' || source || '.com/' || lang || '/doc'
+                   || doc_id::VARCHAR AS target_uri,
+               octet_length(encode(text)) AS content_length,
+               md5(text) AS payload_md5
+        FROM documents
     """,
     'q_outlink_graph': """
         -- Closed form of the planted link arithmetic: edge counts
