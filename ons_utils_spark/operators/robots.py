@@ -1,0 +1,148 @@
+"""robots.txt crawl filtering: parse per-host rule files, decide
+fetchability per URL (RFC 9309 longest-match semantics).
+
+Extension (no reference counterpart) — between URL canonicalization
+(``operators.web``) and the crawl front door
+(``streaming.incremental``) sits the politeness gate: a crawl keeps
+one robots.txt per host and every candidate URL is checked against
+the host's Allow/Disallow rules before fetch.
+
+Spark-first shape, no UDFs anywhere:
+
+- :func:`parse_robots` turns ``(host, robots_txt)`` rows into a flat
+  rule table ``(host, rule, prefix)`` with ``split`` + ``posexplode``
+  + two windows over ``(host, line_pos)`` — group blocks are
+  recovered by a cumulative sum over ``User-agent`` line starts, and
+  agent selection (specific agent beats ``*`` beats nothing) is one
+  per-host ``max``.  robots files are KiB-sized and one-per-host, so
+  these windows partition on host and never see corpus-scale rows.
+- :func:`crawl_allowed` joins candidate URLs to the rule table on
+  host and keeps the LONGEST matching prefix per URL (``max`` of a
+  ``(length, is_allow)`` struct — allow wins length ties, RFC 9309
+  §2.2.2), defaulting to allowed when no rule matches.  The rule
+  table is broadcast (hosts × rules is tiny next to the URL corpus),
+  so at 100 TB this is a map-side join + one aggregate keyed by the
+  URL — the same shuffle any per-URL verdict needs.
+
+Documented contract: plain path prefixes only — ``*`` / ``$``
+wildcard rules (an RFC extension) are out of scope; expand them
+upstream or drop them.  Matching uses the URL's path only (query
+strings excluded), with the empty path treated as ``/``.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import DataFrame as SparkDF
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .web import url_host
+
+__all__ = ['parse_robots', 'crawl_allowed', 'url_path']
+
+
+def url_path(url) -> Column:
+    """The path component of ``url`` ('' query/fragment excluded;
+    empty path → ``/``)."""
+    u = F.col(url) if isinstance(url, str) else url
+    p = F.regexp_extract(u, '^[^/]*//[^/?#]+([^?#]*)', 1)
+    return F.when(p == '', F.lit('/')).otherwise(p)
+
+
+def parse_robots(
+    df: SparkDF,
+    host_col: str = 'host',
+    txt_col: str = 'robots_txt',
+    user_agent: str = '*',
+) -> SparkDF:
+    """Flatten robots.txt files into ``(host, rule, prefix)`` rows —
+    ``rule`` in ``('allow', 'disallow')`` — keeping only the group
+    that applies to ``user_agent``.
+
+    Group recovery per RFC 9309 §2.2.1: a group starts at a
+    ``User-agent`` line not directly preceded by another (stacked
+    agent lines share one group); rules before any group are
+    ignored.  Agent selection: groups naming ``user_agent`` exactly
+    (case-insensitive) win over ``*`` groups; with neither, the host
+    has no rules (everything allowed).  Empty-value rules are
+    dropped (``Disallow:`` with no path allows everything — RFC
+    §2.2.2), as are comment and unknown-directive lines.
+    """
+    host = F.col(host_col)
+    lines = df.select(
+        host.alias('host'),
+        F.posexplode(F.split(F.col(txt_col), '\n'))
+        .alias('line_pos', 'raw'))
+    # comments off, then 'Directive: value'
+    clean = F.trim(F.regexp_replace(F.col('raw'), '#.*$', ''))
+    directive = F.lower(F.regexp_extract(clean, r'^([A-Za-z-]+)\s*:', 1))
+    value = F.trim(F.regexp_extract(clean, r'^[A-Za-z-]+\s*:(.*)$', 1))
+    lines = lines.select(
+        'host', 'line_pos',
+        directive.alias('directive'), value.alias('value'))
+    is_ua = F.col('directive') == 'user-agent'
+    w = (Window.partitionBy('host').orderBy('line_pos')
+         .rowsBetween(Window.unboundedPreceding, 0))
+    prev_ua = F.lag(is_ua).over(
+        Window.partitionBy('host').orderBy('line_pos'))
+    group_start = is_ua & ~F.coalesce(prev_ua, F.lit(False))
+    lines = lines.withColumn(
+        'group_id', F.sum(group_start.cast('int')).over(w))
+    # per group: does it name our agent (2), '*' (1), or neither (0)?
+    agent_rank = F.max(
+        F.when(is_ua & (F.lower(F.col('value'))
+                        == user_agent.lower()), 2)
+        .when(is_ua & (F.col('value') == '*'), 1)
+        .otherwise(0)
+    ).over(Window.partitionBy('host', 'group_id'))
+    best_rank = F.max(agent_rank).over(Window.partitionBy('host'))
+    return (
+        lines
+        .withColumn('agent_rank', agent_rank)
+        .withColumn('best_rank', best_rank)
+        .where((F.col('group_id') > 0)
+               & (F.col('agent_rank') == F.col('best_rank'))
+               & (F.col('agent_rank') > 0)
+               & F.col('directive').isin('allow', 'disallow')
+               & (F.col('value') != ''))
+        .select('host', F.col('directive').alias('rule'),
+                F.col('value').alias('prefix'))
+    )
+
+
+def crawl_allowed(
+    urls: SparkDF,
+    url_col: str,
+    rules: SparkDF,
+    out_col: str = 'allowed',
+) -> SparkDF:
+    """Per DISTINCT URL in ``urls``, a boolean ``out_col``: may this
+    URL be fetched under ``rules`` (the :func:`parse_robots`
+    output)?  Join the verdict table back to keep full rows.
+
+    Longest-prefix-match per RFC 9309 §2.2.2 — the most specific
+    matching rule decides, allow winning exact-length ties; a URL
+    whose host has no matching rule is allowed.  One broadcast join
+    on host (rule tables are tiny) + one aggregate keyed by the URL.
+    """
+    with_key = urls.select(
+        F.col(url_col).alias('__url'),
+        url_host(url_col).alias('__host'),
+        url_path(url_col).alias('__path'))
+    joined = with_key.join(
+        F.broadcast(rules.withColumnRenamed('host', '__host')),
+        ['__host'], 'left')
+    match = F.col('prefix').isNotNull() & \
+        F.col('__path').startswith(F.col('prefix'))
+    verdict = F.when(
+        match,
+        F.struct(F.length('prefix').alias('l'),
+                 (F.col('rule') == 'allow').cast('int').alias('a')))
+    return (
+        joined.groupBy('__url')
+        .agg(F.max(verdict).alias('__win'))
+        .select(
+            F.col('__url').alias(url_col),
+            F.coalesce(F.col('__win.a') == 1, F.lit(True))
+            .alias(out_col))
+    )

@@ -4888,6 +4888,43 @@ def q_warc_records(spark: SparkSession, sf_dir: str) -> SparkDF:
         F.md5('payload').alias('payload_md5'))
 
 
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """robots.txt crawl gate (``operators.robots``): each source
+    host gets a planted policy file — a ``googlebot``-only
+    block-everything group (which must be IGNORED for agent ``*``),
+    a ``*`` group disallowing ``/de`` but allowing ``/de/page1``
+    (longest-match: ``/de/page1`` beats ``/de``, so pages 1 and
+    10–19 stay fetchable), and on even-numbered hosts an extra
+    ``Disallow: /fr/page2``.  The stateful file parse (group
+    recovery by cumulative sum over User-agent line starts) and the
+    RFC 9309 longest-prefix verdict are both pure DataFrame plans;
+    rules broadcast, the only corpus-keyed shuffle is the per-URL
+    verdict aggregate.  The oracle recomputes every verdict CLOSED
+    FORM from the planted rule arithmetic (never re-parsing), so a
+    group-selection, precedence, or prefix-match bug breaks the
+    hash."""
+    from ..operators import robots as rb
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    hosts = documents.select('source').distinct().select(
+        F.concat(F.col('source'), F.lit('.com')).alias('host'),
+        F.concat(
+            F.lit('# crawl policy\n'
+                  'User-agent: googlebot\nDisallow: /\n\n'
+                  'User-agent: *\n'
+                  'Disallow: /de\n'
+                  'Allow: /de/page1\n'),
+            F.when(F.substring('source', 4, 10).cast('int') % 2 == 0,
+                   F.lit('Disallow: /fr/page2\n'))
+            .otherwise(F.lit(''))).alias('robots_txt'))
+    rules = rb.parse_robots(hosts)
+    urls = documents.select(
+        F.concat(F.lit('https://'), F.col('source'), F.lit('.com/'),
+                 F.col('lang'), F.lit('/page'),
+                 (F.col('doc_id') % 25).cast('string')).alias('url'))
+    return rb.crawl_allowed(urls, 'url', rules)
+
+
 # --------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------
@@ -4911,6 +4948,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_bloom_decontaminate': q_bloom_decontaminate,
     'q_outlink_graph': q_outlink_graph,
     'q_warc_records': q_warc_records,
+    'q_robots_filter': q_robots_filter,
     'q_incremental_minhash_dedup': q_incremental_minhash_dedup,
     'q_incremental_simhash_dedup': q_incremental_simhash_dedup,
     'q_mjpeg_stream_stats': q_mjpeg_stream_stats,
@@ -5297,6 +5335,28 @@ ORACLES: Dict[str, str] = {
         SELECT f.doc_id, f.might_contain,
                (m.text IS NOT NULL) AS exact_member
         FROM flags f LEFT JOIN members m ON f.text = m.text
+    """,
+    'q_robots_filter': """
+        -- Closed form of the planted robots policies: verdicts come
+        -- from the rule arithmetic (lang + page-number prefix +
+        -- host parity), never from re-parsing robots.txt.
+        WITH urls AS (
+            SELECT DISTINCT
+                   'https://' || source || '.com/' || lang || '/page'
+                       || (doc_id % 25)::VARCHAR AS url,
+                   lang, (doc_id % 25) AS pg,
+                   CAST(substr(source, 4) AS INT) AS src_no
+            FROM documents
+        )
+        SELECT url,
+               CASE
+                   WHEN lang = 'de'
+                       THEN (pg::VARCHAR LIKE '1%')
+                   WHEN lang = 'fr' AND src_no % 2 = 0
+                       THEN NOT (pg::VARCHAR LIKE '2%')
+                   ELSE TRUE
+               END AS allowed
+        FROM urls
     """,
     'q_warc_records': """
         -- Closed form of the staged archives: URI arithmetic,
