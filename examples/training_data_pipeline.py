@@ -4,12 +4,15 @@ The canonical 100 TB use-case this engine is built for, composed
 entirely from ons_utils_spark operators:
 
     raw documents
+      → robots.txt politeness gate (broadcast rule join)
+      → canonical-URL crawl dedup (one groupBy shuffle)
       → text stats + quality scoring (JVM expressions)
       → quality + compressibility filter (zlib spam screen)
       → exact dedup (hash groupBy)
       → MinHash-LSH near-dedup (banded candidates + Jaccard verify)
       → winnowing sweep (guaranteed-detection residual near-dups)
-      → benchmark decontamination (4-gram broadcast semi-join)
+      → benchmark decontamination (Bloom bitmap prefilter +
+        exact 4-gram confirm — zero corpus shuffle)
       → seed-set classifier scoring (CCNet/DCLM token log-odds)
       → vocabulary/OOV report (tokenizer sizing)
       → deterministic train/holdout split + JSD drift check
@@ -32,6 +35,31 @@ from ons_utils_spark import get_spark
 from ons_utils_spark.operators import dedup as dd
 from ons_utils_spark.operators import text as tx
 from ons_utils_spark.sources.readers import load_tables, write_parquet
+
+
+def robots_gate(documents: DataFrame) -> DataFrame:
+    """Politeness gate AHEAD of URL dedup: keep only pages the
+    hosts' robots.txt allows for agent ``*``.  The policy files are
+    synthesized here (block ``/zh`` everywhere — a real crawl
+    fetches one robots.txt per host); verdicts are one broadcast
+    rule join + one URL-keyed aggregate, no UDFs."""
+    from ons_utils_spark.operators import robots as rb
+
+    hosts = documents.select('source').distinct().select(
+        F.concat(F.col('source'), F.lit('.example.com')).alias('host'),
+        F.lit('User-agent: googlebot\nDisallow: /\n\n'
+              'User-agent: *\nDisallow: /zh\n').alias('robots_txt'))
+    urls = documents.select(
+        'doc_id',
+        F.concat(F.lit('https://'), F.col('source'),
+                 F.lit('.example.com/'), F.col('lang'),
+                 F.lit('/page'),
+                 (F.col('doc_id') % 50).cast('string')).alias('url'))
+    fetchable = rb.crawl_allowed(urls, 'url', rb.parse_robots(hosts))
+    keep = (urls.join(fetchable.where(F.col('allowed')), on='url',
+                      how='left_semi')
+            .select('doc_id'))
+    return documents.join(keep, on='doc_id', how='left_semi')
 
 
 def ingest_url_dedup(documents: DataFrame) -> DataFrame:
@@ -92,10 +120,16 @@ def winnow_sweep(curated: DataFrame, min_shared: int = 20) -> DataFrame:
 
 
 def decontaminate(curated: DataFrame, benchmark: DataFrame,
-                  gram_n: int = 4) -> DataFrame:
+                  gram_n: int = 4,
+                  bloom_bits: int = 1 << 17) -> DataFrame:
     """Drop curated docs sharing any word n-gram with the benchmark
-    set (eval-set leakage guard). The benchmark gram set is small by
-    definition — broadcast semi-join, zero corpus shuffle."""
+    set (eval-set leakage guard).  A Bloom bitmap over the benchmark
+    grams prefilters the corpus grams in the SCAN (zero shuffle, no
+    join for the overwhelming definitely-absent majority — Bloom
+    filters have no false negatives, so nothing tainted slips
+    through); only the surviving maybes hit the exact broadcast
+    semi-join confirm.  ``bloom_bits=0`` disables the prefilter —
+    results are identical by construction."""
     from ons_utils_spark.plans.queries import _word_grams
 
     def grams(df):
@@ -105,8 +139,17 @@ def decontaminate(curated: DataFrame, benchmark: DataFrame,
                       ).alias('g'))
 
     bench_grams = grams(benchmark).select('g').distinct()
+    corpus_grams = grams(curated)
+    if bloom_bits:
+        from ons_utils_spark.operators import bloom as bm
+
+        bitmap = bm.bloom_to_bitmap(
+            bm.bloom_build(bench_grams, 'g', bloom_bits, 5),
+            bloom_bits)
+        corpus_grams = corpus_grams.where(
+            bm.bloom_might_contain('g', bitmap, bloom_bits, 5))
     tainted = (
-        grams(curated)
+        corpus_grams
         .join(F.broadcast(bench_grams), on='g', how='left_semi')
         .select('doc_id').distinct()
     )
@@ -270,14 +313,21 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.001'
     out_dir = sys.argv[2] if len(sys.argv) > 2 else '/tmp/curated_docs'
 
-    spark = get_spark('training-data-pipeline')
+    # local[32] with the 1 GiB default heap OOMs in the packing
+    # stage (32 concurrent Arrow tasks); size the single local JVM
+    # like one real executor.  No effect under spark-submit.
+    spark = get_spark('training-data-pipeline',
+                      extra_confs={'spark.driver.memory': '4g'})
     spark.sparkContext.setLogLevel('ERROR')
     docs = load_tables(spark, sf_dir, tables=['documents'])['documents']
 
     n_raw = docs.count()
+    docs = robots_gate(docs)
+    n_robots = docs.count()
     docs = ingest_url_dedup(docs)
     n_url = docs.count()
-    print(f'url-dedup kept {n_url}/{n_raw} docs')
+    print(f'robots gate kept {n_robots}/{n_raw}, '
+          f'url-dedup kept {n_url}/{n_robots} docs')
     curated = curate(docs)
     n_minhash = curated.count()
     curated = winnow_sweep(curated)

@@ -172,3 +172,35 @@ def test_incremental_ingest_drops_cross_batch_dups(spark_session):
     assert 11 in ids           # new content survives
     assert 12 not in ids       # within-batch dup removed first
     assert 10 not in ids       # cross-batch dup dropped via index
+
+
+def test_robots_gate_blocks_disallowed_lang(spark_session):
+    from examples.training_data_pipeline import robots_gate
+    docs = load_tables(
+        spark_session, '/root/testdata/sf0.001',
+        tables=['documents'])['documents']
+    kept = robots_gate(docs)
+    langs = {r['lang'] for r in kept.select('lang').distinct().collect()}
+    assert 'zh' not in langs  # planted Disallow: /zh
+    # nothing else dropped
+    from pyspark.sql import functions as F
+    assert kept.count() == docs.where(F.col('lang') != 'zh').count()
+
+
+def test_bloom_prefilter_changes_nothing(spark_session):
+    """Bloom has no false negatives: prefiltered decontamination
+    keeps exactly the docs the exact path keeps."""
+    from pyspark.sql import functions as F
+
+    from examples.training_data_pipeline import decontaminate
+    docs = load_tables(
+        spark_session, '/root/testdata/sf0.001',
+        tables=['documents'])['documents']
+    bench = docs.filter(F.col('doc_id') < 20)
+    with_bloom = {r['doc_id'] for r in
+                  decontaminate(docs, bench).select('doc_id').collect()}
+    exact = {r['doc_id'] for r in
+             decontaminate(docs, bench, bloom_bits=0)
+             .select('doc_id').collect()}
+    assert with_bloom == exact
+    assert len(exact) < docs.count()  # the guard actually bites
