@@ -38,7 +38,8 @@ from pyspark.sql import functions as F
 
 __all__ = ['canonicalize_url', 'url_host', 'registrable_domain',
            'with_registrable_domain', 'url_dedup',
-           'extract_links', 'outlink_domain_edges',
+           'extract_links', 'extract_anchors',
+           'outlink_domain_edges', 'anchor_texts', 'sniff_mime',
            'TRACKING_PARAM_RE', 'TWO_LABEL_SUFFIXES']
 
 # key pattern of query parameters dropped by canonicalization
@@ -181,6 +182,50 @@ def extract_links(html) -> Column:
     return F.regexp_extract_all(h, F.lit('href="([^"]*)"'), 1)
 
 
+def extract_anchors(html) -> Column:
+    """``(url, text)`` pairs of every simple anchor element —
+    ``array<struct<url:string, text:string>>`` in document order.
+
+    Two chained codegen regex passes, no UDF: extract whole
+    ``<a ...href="...">text</a>`` snippets, then split each into its
+    href and inner text.  Same documented contract as
+    :func:`extract_links` (double-quoted href) plus: the inner text
+    must be markup-free (``[^<]*`` — nested elements end the
+    capture), the standard shape of link text in the wild.
+    """
+    h = F.col(html) if isinstance(html, str) else html
+    snippet = r'<a\s[^>]*href="[^"]*"[^>]*>[^<]*</a>'
+    tags = F.regexp_extract_all(h, F.lit(f'({snippet})'), 1)
+    return F.transform(
+        tags,
+        lambda t: F.struct(
+            F.regexp_extract(t, 'href="([^"]*)"', 1).alias('url'),
+            F.regexp_extract(t, '>([^<]*)</a>$', 1).alias('text')))
+
+
+def anchor_texts(df, html_col: str):
+    """Aggregate anchor text per canonical target URL:
+    ``(target_url, n_anchors, texts)`` with ``texts`` the sorted
+    distinct anchor strings — the classic weak-supervision signal
+    for retrieval/query-document training pairs.
+
+    One explode + one ``groupBy(target_url)`` (map-side partials;
+    ``collect_set`` is bounded by distinct anchor wording per
+    target, which plateaus in real link graphs — cap upstream if an
+    adversarial target worries you).
+    """
+    pair = F.explode(extract_anchors(html_col)).alias('__a')
+    return (
+        df.select(pair)
+        .select(
+            canonicalize_url(F.col('__a.url')).alias('target_url'),
+            F.col('__a.text').alias('__t'))
+        .groupBy('target_url')
+        .agg(F.count(F.lit(1)).alias('n_anchors'),
+             F.array_sort(F.collect_set('__t')).alias('texts'))
+    )
+
+
 def outlink_domain_edges(df, src_url_col: str, html_col: str):
     """The domain-level link graph of a crawled page set:
     ``(src_domain, dst_domain, n_links)`` — the input PageRank /
@@ -203,6 +248,57 @@ def outlink_domain_edges(df, src_url_col: str, html_col: str):
                     canonicalize_url('__dst_url')).alias('dst_domain'))
         .groupBy('src_domain', 'dst_domain')
         .agg(F.count(F.lit(1)).alias('n_links'))
+    )
+
+
+def sniff_mime(payload) -> Column:
+    """Content-type triage of a raw crawl payload (``binary``) by
+    magic bytes — the first routing decision after WARC ingest
+    (HTML → text extraction, images/audio/video → the multimodal
+    decoders, archives → decompression, rest → quarantine).
+
+    Pure whole-stage codegen: one hex prefix + a few byte-range
+    compares, no UDF — at 100 TB this rides the scan.  Recognized:
+    pdf, jpeg, png, gif, webp, wav, avi, mp4 (``ftyp`` at offset 4),
+    ogg, flac, mp3 (ID3), gzip, zip, html/xml (case-insensitive
+    ``<!doctype`` / ``<html`` / ``<?xml``), else ``text/plain`` when
+    the UTF-8 decode of the first 32 bytes holds no control or
+    replacement characters, else ``application/octet-stream``.
+    NULL payloads stay NULL.
+    """
+    p = F.col(payload) if isinstance(payload, str) else payload
+    hx = F.hex(F.substring(p, 1, 8))
+    sub = F.substring(p, 5, 4).cast('string')
+    head = F.lower(F.substring(p, 1, 9).cast('string'))
+    text_head = F.substring(p, 1, 32).cast('string')
+    printable = F.regexp_count(
+        text_head, F.lit('[\x00-\x08\x0b\x0c\x0e-\x1f�]')) == 0
+    return (
+        F.when(p.isNull(), F.lit(None).cast('string'))
+        .when(hx.startswith('25504446'), 'application/pdf')
+        .when(hx.startswith('FFD8FF'), 'image/jpeg')
+        .when(hx.startswith('89504E47'), 'image/png')
+        .when(hx.startswith('47494638'), 'image/gif')
+        .when(hx.startswith('52494646')
+              & (F.substring(p, 9, 4).cast('string') == 'WEBP'),
+              'image/webp')
+        .when(hx.startswith('52494646')
+              & (F.substring(p, 9, 4).cast('string') == 'WAVE'),
+              'audio/wav')
+        .when(hx.startswith('52494646')
+              & (F.substring(p, 9, 4).cast('string') == 'AVI '),
+              'video/x-msvideo')
+        .when(sub == 'ftyp', 'video/mp4')
+        .when(hx.startswith('4F676753'), 'application/ogg')
+        .when(hx.startswith('664C6143'), 'audio/flac')
+        .when(hx.startswith('494433'), 'audio/mpeg')
+        .when(hx.startswith('1F8B'), 'application/gzip')
+        .when(hx.startswith('504B0304'), 'application/zip')
+        .when(head.startswith('<!doctype')
+              | head.startswith('<html'), 'text/html')
+        .when(head.startswith('<?xml'), 'application/xml')
+        .when(printable, 'text/plain')
+        .otherwise('application/octet-stream')
     )
 
 

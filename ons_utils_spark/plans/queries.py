@@ -4925,6 +4925,117 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> SparkDF:
     return rb.crawl_allowed(urls, 'url', rules)
 
 
+def _ensure_mime_warc(spark: SparkSession, sf_dir: str) -> str:
+    """Stage gzip WARC archives whose payloads carry planted magic
+    bytes (one content kind per ``doc_id % 8``) — once per session,
+    keyed by applicationId."""
+    import tempfile
+
+    from ..sources.warc import write_warc
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    app = spark.sparkContext.applicationId
+    path = os.path.join(
+        tempfile.gettempdir(), 'ons_warc_mime', tag, app)
+
+    def _write():
+        k = F.col('doc_id') % 8
+        body = F.encode(F.col('text'), 'utf-8')
+        payload = (
+            F.when(k == 0, F.concat(F.lit(b'%PDF-1.7\n'), body))
+            .when(k == 1, F.concat(F.lit(b'\xff\xd8\xff\xe0'), body))
+            .when(k == 2, F.concat(
+                F.lit(b'\x89PNG\r\n\x1a\n'), body))
+            .when(k == 3, F.concat(
+                F.lit(b'\x00\x00\x00\x18ftypisom'), body))
+            .when(k == 4, F.concat(F.lit(b'\x1f\x8b\x08'), body))
+            .when(k == 5, F.concat(
+                F.lit(b'<!DOCTYPE html><p>'), body))
+            .when(k == 6, body)
+            .otherwise(F.concat(
+                F.lit(b'\x00\x01\x02\x03'), body)))
+        pages = documents.select(
+            F.concat(F.lit('https://'), F.col('source'),
+                     F.lit('.com/blob/'),
+                     F.col('doc_id').cast('string'))
+            .alias('target_uri'),
+            payload.alias('payload'))
+        manifest = write_warc(
+            pages.repartitionByRange(4, 'target_uri'), path,
+            compress=True)
+        assert manifest.count() == 4
+        return path
+
+    return _artifact(f'warc_mime:{sf_dir}@{app}', _write)
+
+
+def q_warc_mime_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Crawl content triage (``operators.web.sniff_mime`` over
+    ``sources.warc``): gzip WARC archives staged with one planted
+    magic-byte kind per ``doc_id % 8`` (pdf/jpeg/png/mp4-ftyp/gzip/
+    html/plain-text/NUL-binary), read back through the
+    one-task-per-archive parser — the ``.warc.gz`` path under
+    driver verification — and classified by the pure-codegen
+    magic-byte sniffer in the scan, then ONE count aggregate over
+    the 8-value mime key space (map-side partials collapse the
+    100 TB case).  The oracle recomputes the expected class CLOSED
+    FORM from the planting arithmetic, so a sniffing,
+    decompression, or framing bug breaks the match."""
+    from ..operators.web import sniff_mime
+    from ..sources.warc import read_warc
+
+    path = _ensure_mime_warc(spark, sf_dir)
+    return (
+        read_warc(spark, path)
+        .select(sniff_mime('payload').alias('mime'))
+        .groupBy('mime')
+        .agg(F.count(F.lit(1)).alias('n_payloads')))
+
+
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Anchor-text aggregation (``operators.web.extract_anchors`` /
+    ``anchor_texts``): pages synthesized with the
+    :func:`q_outlink_graph` planted-link arithmetic, each anchor
+    carrying a source-dependent text ("from srcK") and a MESSY
+    target URL; the operator extracts ``(url, text)`` pairs with two
+    chained codegen regex passes, canonicalizes the targets, and
+    aggregates per target — count + sorted distinct texts, the
+    weak-supervision signal for retrieval training pairs.  One
+    explode + one target-keyed shuffle with map-side partials.  The
+    oracle recomputes the pairs CLOSED FORM from the link
+    arithmetic, so extraction, canonicalization, or dedup bugs in
+    the anchor path break the hash."""
+    from ..operators import web
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    n = documents.count()
+    d = documents.select('doc_id', 'source', 'lang')
+    tgt_ids = F.explode(F.array(
+        (F.col('doc_id') + 13) % n,
+        (F.col('doc_id') * 7 + 3) % n)).alias('tgt_id')
+    links = d.select(
+        F.col('doc_id').alias('src_id'),
+        F.col('source').alias('src_source'), tgt_ids)
+    t = d.select(F.col('doc_id').alias('tgt_id'),
+                 F.col('source').alias('tgt_source'),
+                 F.col('lang').alias('tgt_lang'))
+    anchor = F.concat(
+        F.lit('<a class="r" href="HtTpS://WWW.'),
+        F.col('tgt_source'), F.lit('.CoM:443/'),
+        F.col('tgt_lang'), F.lit('/page'),
+        (F.col('tgt_id') % 25).cast('string'),
+        F.lit('#x">from '), F.col('src_source'), F.lit('</a>'))
+    pages = (
+        links.join(t, 'tgt_id')
+        .groupBy('src_id')
+        .agg(F.concat_ws(' ', F.collect_list(anchor)).alias('html')))
+    return web.anchor_texts(pages, 'html').select(
+        'target_url', 'n_anchors',
+        # driver canon is type-sensitive: arrays compare flattened
+        F.array_join('texts', '|').alias('texts'))
+
+
 # --------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------
@@ -4949,6 +5060,8 @@ QUERIES: Dict[str, QueryFn] = {
     'q_outlink_graph': q_outlink_graph,
     'q_warc_records': q_warc_records,
     'q_robots_filter': q_robots_filter,
+    'q_warc_mime_stats': q_warc_mime_stats,
+    'q_anchor_texts': q_anchor_texts,
     'q_incremental_minhash_dedup': q_incremental_minhash_dedup,
     'q_incremental_simhash_dedup': q_incremental_simhash_dedup,
     'q_mjpeg_stream_stats': q_mjpeg_stream_stats,
@@ -5335,6 +5448,46 @@ ORACLES: Dict[str, str] = {
         SELECT f.doc_id, f.might_contain,
                (m.text IS NOT NULL) AS exact_member
         FROM flags f LEFT JOIN members m ON f.text = m.text
+    """,
+    'q_anchor_texts': """
+        -- Closed form of the planted anchors: target URLs and
+        -- texts come from the link arithmetic, never from
+        -- re-running the extraction regexes.
+        WITH n AS (SELECT count(*) AS c FROM documents),
+        links AS (
+            SELECT d.source AS src_source,
+                   unnest([(d.doc_id + 13) % n.c,
+                           (d.doc_id * 7 + 3) % n.c]) AS tgt_id
+            FROM documents d, n
+        ), pairs AS (
+            SELECT 'https://www.' || t.source || '.com/' || t.lang
+                       || '/page' || (t.doc_id % 25)::VARCHAR
+                       AS target_url,
+                   'from ' || l.src_source AS txt
+            FROM links l JOIN documents t ON t.doc_id = l.tgt_id
+        )
+        SELECT target_url,
+               count(*) AS n_anchors,
+               array_to_string(
+                   list_sort(list(DISTINCT txt)), '|') AS texts
+        FROM pairs GROUP BY target_url
+    """,
+    'q_warc_mime_stats': """
+        -- Closed form of the planted magic-byte kinds: the class
+        -- comes from doc_id arithmetic, never from re-sniffing.
+        SELECT CASE doc_id % 8
+                   WHEN 0 THEN 'application/pdf'
+                   WHEN 1 THEN 'image/jpeg'
+                   WHEN 2 THEN 'image/png'
+                   WHEN 3 THEN 'video/mp4'
+                   WHEN 4 THEN 'application/gzip'
+                   WHEN 5 THEN 'text/html'
+                   WHEN 6 THEN 'text/plain'
+                   ELSE 'application/octet-stream'
+               END AS mime,
+               count(*) AS n_payloads
+        FROM documents
+        GROUP BY mime
     """,
     'q_robots_filter': """
         -- Closed form of the planted robots policies: verdicts come

@@ -216,3 +216,74 @@ def test_outlink_edges_single_shuffle(spark_session):
     plan = web.outlink_domain_edges(
         pages, 'url', 'html')._jdf.queryExecution().executedPlan().toString()
     assert plan.count('Exchange') == 1
+
+
+MAGIC_CASES = [
+    (b'%PDF-1.7\nrest', 'application/pdf'),
+    (b'\xff\xd8\xff\xe0JFIF', 'image/jpeg'),
+    (b'\x89PNG\r\n\x1a\nchunk', 'image/png'),
+    (b'GIF89a;;;', 'image/gif'),
+    (b'RIFF\x00\x00\x00\x00WEBPVP8 ', 'image/webp'),
+    (b'RIFF\x00\x00\x00\x00WAVEfmt ', 'audio/wav'),
+    (b'RIFF\x00\x00\x00\x00AVI LIST', 'video/x-msvideo'),
+    (b'\x00\x00\x00\x18ftypisom', 'video/mp4'),
+    (b'OggS\x00\x02', 'application/ogg'),
+    (b'fLaC\x00\x00\x00"', 'audio/flac'),
+    (b'ID3\x04\x00', 'audio/mpeg'),
+    (b'\x1f\x8b\x08\x00', 'application/gzip'),
+    (b'PK\x03\x04\x14\x00', 'application/zip'),
+    (b'<!DOCTYPE html><html>', 'text/html'),
+    (b'<HTML><body>', 'text/html'),
+    (b'<?xml version="1.0"?>', 'application/xml'),
+    (b'plain words only here', 'text/plain'),
+    (b'tab\tand\r\nnewlines ok', 'text/plain'),
+    (b'\x00\x01\x02\x03 binary', 'application/octet-stream'),
+    (None, None),
+]
+
+
+def test_sniff_mime_magic_bytes(spark_session):
+    df = spark_session.createDataFrame(
+        [(i, bytearray(b) if b is not None else None)
+         for i, (b, _) in enumerate(MAGIC_CASES)],
+        'i int, payload binary')
+    got = {r['i']: r['mime'] for r in df.select(
+        'i', web.sniff_mime('payload').alias('mime')).collect()}
+    for i, (b, want) in enumerate(MAGIC_CASES):
+        assert got[i] == want, (b, got[i], want)
+
+
+def test_sniff_mime_is_pure_codegen(spark_session):
+    df = spark_session.createDataFrame(
+        [(bytearray(b'x'),)], 'payload binary')
+    plan = df.select(
+        web.sniff_mime('payload').alias('m'))._jdf \
+        .queryExecution().executedPlan().toString()
+    assert 'Python' not in plan
+
+
+def test_extract_anchors_pairs(spark_session):
+    html = ('<a href="https://a.com/1">first</a>'
+            '<a id="k" href="https://b.com/2" rel="x">second</a>'
+            '<a href="https://c.com/3"><b>nested ends capture</b></a>'
+            '<a href="https://d.com/4"></a>')
+    df = spark_session.createDataFrame([(html,)], 'html string')
+    pairs = df.select(
+        web.extract_anchors('html').alias('a')).first()['a']
+    assert [(p['url'], p['text']) for p in pairs] == [
+        ('https://a.com/1', 'first'),
+        ('https://b.com/2', 'second'),
+        ('https://d.com/4', ''),
+    ]
+
+
+def test_anchor_texts_aggregates_per_canonical_target(spark_session):
+    pages = spark_session.createDataFrame([
+        ('<a href="HTTPS://T.com:443/p?utm_source=z">buy</a>',),
+        ('<a href="https://t.com/p">buy</a> '
+         '<a href="https://t.com/p">cheap</a>',),
+    ], 'html string')
+    rows = {r['target_url']: r for r in
+            web.anchor_texts(pages, 'html').collect()}
+    assert rows['https://t.com/p']['n_anchors'] == 3
+    assert rows['https://t.com/p']['texts'] == ['buy', 'cheap']
