@@ -196,6 +196,7 @@ _ARTIFACT_CACHED_QUERIES = (
     'q_incremental_url_dedup', 'q_incremental_minhash_dedup',
     'q_incremental_simhash_dedup', 'q_mjpeg_stream_stats',
     'q_training_shards', 'q_shard_resume',
+    'q_warc_records', 'q_warc_mime_stats',
 )
 
 

@@ -5036,6 +5036,35 @@ def q_anchor_texts(spark: SparkSession, sf_dir: str) -> SparkDF:
         F.array_join('texts', '|').alias('texts'))
 
 
+def q_main_text(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Boilerplate removal (``operators.text.extract_main_text``):
+    pages synthesized as 1–3 navigation bars (pure link chrome),
+    the document text in a ``<p>`` block, and a link-only footer;
+    the jusText-style gates (link density ≤ 0.33 AND ≥ 5 visible
+    words per block) must keep EXACTLY the prose block and drop all
+    chrome.  The whole operator is one chain of array expressions
+    in the scan projection — no UDF, no explode, no shuffle.  The
+    oracle recomputes the kept text's md5 and the candidate-block
+    count CLOSED FORM from the planting arithmetic, so a
+    block-split, density, or word-count bug breaks the match."""
+    from ..operators.text import extract_main_text, html_blocks
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    nav = ('<div><a href="/">home</a> '
+           '<a href="/about">about us</a></div>')
+    k = F.col('doc_id') % 3
+    html = F.concat(
+        F.lit(nav),
+        F.when(k >= 1, F.lit(nav)).otherwise(F.lit('')),
+        F.when(k >= 2, F.lit(nav)).otherwise(F.lit('')),
+        F.lit('<p>'), F.col('text'), F.lit('</p>'),
+        F.lit('<footer><a href="/c">contact</a></footer>'))
+    return documents.select(
+        'doc_id',
+        F.md5(extract_main_text(html)).alias('main_md5'),
+        F.size(html_blocks(html)).cast('long').alias('n_blocks'))
+
+
 # --------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------
@@ -5062,6 +5091,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_robots_filter': q_robots_filter,
     'q_warc_mime_stats': q_warc_mime_stats,
     'q_anchor_texts': q_anchor_texts,
+    'q_main_text': q_main_text,
     'q_incremental_minhash_dedup': q_incremental_minhash_dedup,
     'q_incremental_simhash_dedup': q_incremental_simhash_dedup,
     'q_mjpeg_stream_stats': q_mjpeg_stream_stats,
@@ -5448,6 +5478,16 @@ ORACLES: Dict[str, str] = {
         SELECT f.doc_id, f.might_contain,
                (m.text IS NOT NULL) AS exact_member
         FROM flags f LEFT JOIN members m ON f.text = m.text
+    """,
+    'q_main_text': """
+        -- Closed form of the planted page structure: the kept text
+        -- is exactly the document body, and the candidate-block
+        -- count is the nav-repeat arithmetic — never re-running the
+        -- block split or density gates.
+        SELECT doc_id,
+               md5(text) AS main_md5,
+               (doc_id % 3 + 3) AS n_blocks
+        FROM documents
     """,
     'q_anchor_texts': """
         -- Closed form of the planted anchors: target URLs and

@@ -405,3 +405,55 @@ class TestGopherBulletThreshold:
         lines = ['- bullet item number %d' % i for i in range(10)]
         r = self._flags(spark_session, '\n'.join(lines), min_words=10)
         assert not r['g_bullets']
+
+
+class TestBoilerplateRemoval:
+    HTML = ('<div><a href="/">home</a> <a href="/a">about</a></div>'
+            '<p>the quick brown fox jumps over the lazy dog</p>'
+            '<div>short <a href="/x">mostly link text here</a></div>'
+            '<p>a second real paragraph with plenty of prose '
+            'words in it</p>'
+            '<script>var x = "function noise should vanish";</script>'
+            '<footer><a href="/c">contact</a></footer>')
+
+    def test_blocks_split_and_trim(self, spark_session):
+        from ons_utils_spark.operators.text import html_blocks
+        df = spark_session.createDataFrame(
+            [(self.HTML,)], 'html string')
+        blocks = df.select(html_blocks('html').alias('b')).first()['b']
+        assert len(blocks) == 6  # script is not a block tag
+        assert blocks[1] == (
+            'the quick brown fox jumps over the lazy dog')
+
+    def test_link_density(self, spark_session):
+        from ons_utils_spark.operators.text import link_density
+        df = spark_session.createDataFrame(
+            [('<a href="/">all links</a>',),
+             ('no links at all',),
+             ('<b></b>',)], 'frag string')
+        d = [r['d'] for r in
+             df.select(link_density('frag').alias('d')).collect()]
+        assert d[0] == 1.0
+        assert d[1] == 0.0
+        assert d[2] == 1.0  # no visible text -> boilerplate
+
+    def test_extract_main_text_keeps_prose_only(self, spark_session):
+        from ons_utils_spark.operators.text import extract_main_text
+        df = spark_session.createDataFrame(
+            [(self.HTML,)], 'html string')
+        main = df.select(
+            extract_main_text('html').alias('m')).first()['m']
+        assert main == (
+            'the quick brown fox jumps over the lazy dog\n'
+            'a second real paragraph with plenty of prose '
+            'words in it')
+
+    def test_extract_main_text_is_pure_codegen(self, spark_session):
+        from ons_utils_spark.operators.text import extract_main_text
+        df = spark_session.createDataFrame([('<p>x</p>',)],
+                                           'html string')
+        plan = df.select(
+            extract_main_text('html').alias('m'))._jdf \
+            .queryExecution().executedPlan().toString()
+        assert 'Python' not in plan
+        assert 'Exchange' not in plan
