@@ -1639,6 +1639,74 @@ def ngram_jaccard_join(
     )
 
 
+def containment_pairs(
+    df: SparkDF,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: Optional[int] = None,
+) -> SparkDF:
+    """DIRECTED near-containment pairs: ``(id_a, id_b, containment)``
+    where ``containment = |S(a) ∩ S(b)| / |S(a)| >= threshold``
+    (S = distinct word n-gram shingles) — a is (nearly) QUOTED
+    INSIDE b.
+
+    Jaccard misses subset duplication by construction: a paragraph
+    fully copied into a 100× longer page has Jaccard ≈ 0.01 but
+    containment 1.0 — the asymmetric measure (Broder's original
+    "containment", SEQUENCES'97) is the right tool for quote/
+    excerpt/boilerplate-reuse detection and benchmark-answer
+    leakage.  Same single-shuffle inverted-index shape as
+    :func:`ngram_jaccard_join` (explode → self-equi-join on the
+    64-bit shingle hash → one pair-keyed count); the pair direction
+    ``a != b`` (not ``<``) is inherent to asymmetry — both
+    directions are evaluated, only the contained-side threshold
+    emits.  ``max_shingle_df`` caps hot shingles exactly as in the
+    Jaccard join.
+    """
+    sh = df.select(
+        F.col(id_col).alias('__id'),
+        F.transform(
+            word_shingles(text_col, shingle_n),
+            lambda s: F.xxhash64(s),
+        ).alias('__sh'),
+    ).repartition(F.col('__id'))
+    inv = (
+        sh.select('__id', F.size('__sh').alias('__n'),
+                  F.explode('__sh').alias('shingle'))
+        .repartition(F.col('shingle'))
+    )
+    if max_shingle_df is not None:
+        hot = (
+            inv.groupBy('shingle').count()
+            .filter(F.col('count') > max_shingle_df)
+            .select('shingle')
+        )
+        inv = inv.join(hot, 'shingle', 'left_anti')
+    a, b = inv.alias('a'), inv.alias('b')
+    common = (
+        a.join(b, on=[
+            F.col('a.shingle') == F.col('b.shingle'),
+            F.col('a.__id') != F.col('b.__id'),
+        ])
+        .groupBy(
+            F.col('a.__id').alias('id_a'),
+            F.col('b.__id').alias('id_b'),
+            F.col('a.__n').alias('n_a'),
+        )
+        .agg(F.count('*').alias('n_common'))
+    )
+    return (
+        common
+        .withColumn(
+            'containment',
+            F.col('n_common').cast('double') / F.col('n_a'))
+        .filter(F.col('containment') >= threshold)
+        .select('id_a', 'id_b', 'containment')
+    )
+
+
 def winnow_fingerprints(
     df: SparkDF,
     id_col: str = 'doc_id',

@@ -40,6 +40,7 @@ __all__ = ['canonicalize_url', 'url_host', 'registrable_domain',
            'with_registrable_domain', 'url_dedup',
            'extract_links', 'extract_anchors',
            'outlink_domain_edges', 'anchor_texts', 'sniff_mime',
+           'crawl_diff',
            'TRACKING_PARAM_RE', 'TWO_LABEL_SUFFIXES']
 
 # key pattern of query parameters dropped by canonicalization
@@ -300,6 +301,39 @@ def sniff_mime(payload) -> Column:
         .when(printable, 'text/plain')
         .otherwise('application/octet-stream')
     )
+
+
+def crawl_diff(old, new, key_col: str = 'url',
+               fingerprint_col: str = 'fingerprint'):
+    """Diff two crawl snapshots by page key: ``(key, status,
+    old_fingerprint, new_fingerprint)`` with status in
+    ``added`` / ``removed`` / ``changed`` / ``unchanged`` — the
+    incremental-recrawl planner's input (fetch budget goes to
+    changed+added; removed keys retire from the frontier).
+
+    One full outer join on the key — the single shuffle any
+    snapshot comparison needs; both sides arrive pre-deduplicated
+    (run :func:`url_dedup` first), and at 100 TB the join co-locates
+    if both snapshots are bucketed by key on disk
+    (``sources.bucketing``).  Keys must be non-NULL; fingerprints
+    may be NULL (a fetch error) and compare null-safely.
+    """
+    o = old.select(F.col(key_col).alias('__k'),
+                   F.col(fingerprint_col).alias('old_fingerprint'))
+    n = new.select(F.col(key_col).alias('__k'),
+                   F.col(fingerprint_col).alias('new_fingerprint'),
+                   F.lit(True).alias('__in_new'))
+    joined = o.withColumn('__in_old', F.lit(True)).join(
+        n, '__k', 'full_outer')
+    status = (
+        F.when(F.col('__in_old').isNull(), 'added')
+        .when(F.col('__in_new').isNull(), 'removed')
+        .when(F.col('old_fingerprint').eqNullSafe(
+            F.col('new_fingerprint')), 'unchanged')
+        .otherwise('changed'))
+    return joined.select(
+        F.col('__k').alias(key_col), status.alias('status'),
+        'old_fingerprint', 'new_fingerprint')
 
 
 def url_dedup(df, url_col: str, order_col: str):

@@ -5065,6 +5065,57 @@ def q_main_text(spark: SparkSession, sf_dir: str) -> SparkDF:
         F.size(html_blocks(html)).cast('long').alias('n_blocks'))
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Asymmetric near-containment dedup
+    (``dedup.containment_pairs``): every 11th document gets an
+    8-word EXCERPT twin (id + 1,000,000) — a quote, the shape
+    Jaccard misses by construction (tiny |A∪B| overlap, total
+    |A∩B|/|A|).  The operator must flag every excerpt as contained
+    in its parent (containment 1.0) in the DIRECTED a-in-b sense,
+    plus any natural ≥0.9 containments in the corpus.  Same
+    single-shuffle inverted-index shape as the Jaccard join.  The
+    oracle replays shingling, the excerpt synthesis, and the
+    containment formula in full — not closed form — so both the
+    operator and the planted fixture are pinned."""
+    from ..operators.dedup import containment_pairs
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    toks8 = F.slice(tx.tokenize(tx.normalize_text('text')), 1, 8)
+    excerpts = (
+        documents.where(F.col('doc_id') % 11 == 0)
+        .select((F.col('doc_id') + 1000000).alias('doc_id'),
+                F.array_join(toks8, ' ').alias('text')))
+    corpus = documents.select('doc_id', 'text').unionByName(excerpts)
+    return containment_pairs(corpus, threshold=0.9).select(
+        'id_a', 'id_b', F.round('containment', 6).alias('containment'))
+
+
+def q_crawl_diff(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Snapshot diff (``operators.web.crawl_diff``): two planted
+    crawl snapshots of the documents corpus — the OLD snapshot is
+    missing every ``doc_id % 9 == 3`` page (they appear ``added``),
+    the NEW snapshot is missing every ``doc_id % 10 == 0`` page
+    (``removed``), and pages with ``doc_id % 7 == 0`` re-fetched
+    with changed content (``changed``); everything else is
+    ``unchanged``.  One full outer join on the page key — the only
+    shuffle a snapshot diff needs.  The oracle recomputes every
+    status CLOSED FORM from the planting arithmetic."""
+    from ..operators.web import crawl_diff
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    url = F.concat(F.lit('https://'), F.col('source'),
+                   F.lit('.com/doc'),
+                   F.col('doc_id').cast('string')).alias('url')
+    old = (documents.where(F.col('doc_id') % 9 != 3)
+           .select(url, F.md5('text').alias('fingerprint')))
+    new = (documents.where(F.col('doc_id') % 10 != 0)
+           .select(url, F.md5(
+               F.when(F.col('doc_id') % 7 == 0,
+                      F.concat(F.col('text'), F.lit(' v2')))
+               .otherwise(F.col('text'))).alias('fingerprint')))
+    return crawl_diff(old, new).select('url', 'status')
+
+
 # --------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------
@@ -5092,6 +5143,8 @@ QUERIES: Dict[str, QueryFn] = {
     'q_warc_mime_stats': q_warc_mime_stats,
     'q_anchor_texts': q_anchor_texts,
     'q_main_text': q_main_text,
+    'q_containment_pairs': q_containment_pairs,
+    'q_crawl_diff': q_crawl_diff,
     'q_incremental_minhash_dedup': q_incremental_minhash_dedup,
     'q_incremental_simhash_dedup': q_incremental_simhash_dedup,
     'q_mjpeg_stream_stats': q_mjpeg_stream_stats,
@@ -5478,6 +5531,56 @@ ORACLES: Dict[str, str] = {
         SELECT f.doc_id, f.might_contain,
                (m.text IS NOT NULL) AS exact_member
         FROM flags f LEFT JOIN members m ON f.text = m.text
+    """,
+    'q_crawl_diff': """
+        -- Closed form of the planted snapshot arithmetic; rows
+        -- absent from BOTH snapshots (doc_id%9=3 AND doc_id%10=0)
+        -- exist in neither and are excluded.
+        SELECT 'https://' || source || '.com/doc'
+                   || doc_id::VARCHAR AS url,
+               CASE
+                   WHEN doc_id % 9 = 3 THEN 'added'
+                   WHEN doc_id % 10 = 0 THEN 'removed'
+                   WHEN doc_id % 7 = 0 THEN 'changed'
+                   ELSE 'unchanged'
+               END AS status
+        FROM documents
+        WHERE NOT (doc_id % 9 = 3 AND doc_id % 10 = 0)
+    """,
+    'q_containment_pairs': """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                       ' '), t -> t <> '') AS t
+            FROM documents
+        ), corpus AS (
+            SELECT doc_id, t FROM toks
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, t[1:8] AS t
+            FROM toks WHERE doc_id % 11 = 0
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 3 THEN
+                       list_distinct(list_transform(
+                           generate_series(1, len(t) - 2),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                   ELSE [array_to_string(t, ' ')] END AS shingles
+            FROM corpus
+        ), inv AS (
+            SELECT doc_id, len(shingles) AS n, unnest(shingles) AS shingle
+            FROM sh
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.n AS n_a, count(*) AS n_common
+            FROM inv a JOIN inv b
+              ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2, 3
+        )
+        SELECT id_a, id_b,
+               round(CAST(n_common AS DOUBLE) / n_a, 6) AS containment
+        FROM pairs
+        WHERE CAST(n_common AS DOUBLE) / n_a >= 0.9
     """,
     'q_main_text': """
         -- Closed form of the planted page structure: the kept text

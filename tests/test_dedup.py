@@ -1539,3 +1539,36 @@ class TestKeepBestDuplicate:
         pairs = [(i, i + 10) for i in range(10)]
         kept = self._kept(spark_session, rows, pairs)
         assert kept == set(range(10))
+
+
+class TestContainmentPairs:
+    def test_excerpt_is_contained_not_jaccard_similar(
+            self, spark_session):
+        from ons_utils_spark.operators.dedup import (
+            containment_pairs, ngram_jaccard_join)
+        body = ' '.join(f'w{i}' for i in range(60))
+        quote = ' '.join(f'w{i}' for i in range(10))
+        df = spark_session.createDataFrame(
+            [(1, body), (2, quote),
+             (3, 'totally different words entirely here now')],
+            'doc_id long, text string')
+        pairs = {(r['id_a'], r['id_b']): r['containment'] for r in
+                 containment_pairs(df, threshold=0.9).collect()}
+        assert pairs == {(2, 1): 1.0}  # directed: quote inside body
+        # Jaccard at the same bar sees nothing: |A∩B|/|A∪B| = 8/58
+        jac = ngram_jaccard_join(df, threshold=0.9).collect()
+        assert jac == []
+
+    def test_threshold_and_direction(self, spark_session):
+        from ons_utils_spark.operators.dedup import containment_pairs
+        # doc 2 shares 4 of its 8 trigrams with doc 1
+        df = spark_session.createDataFrame(
+            [(1, ' '.join(f'w{i}' for i in range(20))),
+             (2, ' '.join(f'w{i}' for i in range(4, 10))
+                 + ' x y z a b c')],
+            'doc_id long, text string')
+        out = containment_pairs(df, threshold=0.3).collect()
+        by_pair = {(r['id_a'], r['id_b']): r['containment']
+                   for r in out}
+        assert (2, 1) in by_pair
+        assert all(0.3 <= v <= 1.0 for v in by_pair.values())

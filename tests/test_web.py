@@ -287,3 +287,21 @@ def test_anchor_texts_aggregates_per_canonical_target(spark_session):
             web.anchor_texts(pages, 'html').collect()}
     assert rows['https://t.com/p']['n_anchors'] == 3
     assert rows['https://t.com/p']['texts'] == ['buy', 'cheap']
+
+
+def test_crawl_diff_statuses(spark_session):
+    old = spark_session.createDataFrame([
+        ('u1', 'h1'), ('u2', 'h2'), ('u3', 'h3'), ('u4', None),
+    ], 'url string, fingerprint string')
+    new = spark_session.createDataFrame([
+        ('u1', 'h1'), ('u2', 'h2b'), ('u4', None), ('u5', 'h5'),
+    ], 'url string, fingerprint string')
+    got = {r['url']: r['status'] for r in
+           web.crawl_diff(old, new).collect()}
+    assert got == {
+        'u1': 'unchanged',
+        'u2': 'changed',
+        'u3': 'removed',
+        'u4': 'unchanged',  # NULL fingerprints compare null-safely
+        'u5': 'added',
+    }
