@@ -350,3 +350,85 @@ def pagerank(
         if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
             ranks = _ckpt(ranks)
     return ranks.select('node', F.col('r').alias('rank'))
+
+
+def hits(
+    edges: SparkDF,
+    src: str = 'src',
+    dst: str = 'dst',
+    iterations: int = 3,
+    mode: str = 'float',
+    checkpoint_dir: Optional[str] = None,
+) -> SparkDF:
+    """HITS hubs and authorities (Kleinberg 1999) of a directed edge
+    list → ``(node, hub, authority)`` — hubs point AT good content,
+    authorities ARE it.  On a crawl's host graph the two sides
+    separate directories/aggregators (hubs) from canonical sources
+    (authorities), a complementary curation signal to
+    :func:`pagerank`'s single score.
+
+    Power iteration, one join + one aggregate per half-step
+    (``a_t = Eᵀ·h_{t-1}`` then ``h_t = E·a_t``), lineage cut per
+    round — identical scale shape to :func:`pagerank`; the edge
+    frame is partitioned once per orientation and reused every
+    round.  Duplicate edges collapse first.
+
+    ``mode='float'`` (production): L2-normalize both vectors each
+    round — the standard convergent form.  ``mode='integer'``
+    (verification/replay): NO normalization; scores stay exact
+    64-bit integers (``h_0 = 1``), so any engine replays them
+    bit-exactly — a recursive CTE over the hub co-citation matrix
+    ``E·Eᵀ`` reproduces ``h_k``, and ``a_k = Eᵀ·h_{k-1}`` is one
+    final join.  Un-normalized scores grow like (mean co-degree)^k:
+    keep ``iterations`` small (the default 3 is safe under int64
+    for graphs up to ~1e4 mean degree product per round) — the
+    ordering, which is what HITS is for, matches the normalized
+    ordering exactly because normalization is a positive scalar.
+    """
+    _ckpt = lambda d: _reliable_checkpoint(d, checkpoint_dir)  # noqa: E731
+    if mode not in ('float', 'integer'):
+        raise ValueError(f"mode must be 'float' or 'integer', got {mode!r}")
+    if iterations < 1:
+        raise ValueError('iterations must be >= 1')
+
+    e = edges.select(F.col(src).cast('long').alias('src'),
+                     F.col(dst).cast('long').alias('dst')).distinct()
+    # one partitioning per join orientation, reused every round
+    e_by_src = e.repartition('src').transform(_ckpt)
+    e_by_dst = e.repartition('dst').transform(_ckpt)
+    srcs = e.select(F.col('src').alias('node')).distinct()
+    dsts = e.select(F.col('dst').alias('node')).distinct()
+
+    one = F.lit(1).cast('long') if mode == 'integer' else F.lit(1.0)
+    h = srcs.select('node', one.alias('h'))
+    a = None
+    for _ in range(iterations):
+        a = (
+            e_by_src.join(h, e_by_src['src'] == h['node'])
+            .groupBy(F.col('dst').alias('node'))
+            .agg(F.sum('h').alias('a'))
+        )
+        if mode == 'float':
+            norm = a.agg(
+                F.sqrt(F.sum(F.col('a') * F.col('a')))).first()[0]
+            a = a.select('node', (F.col('a') / norm).alias('a'))
+        a = _ckpt(a)
+        h = (
+            e_by_dst.join(a, e_by_dst['dst'] == a['node'])
+            .groupBy(F.col('src').alias('node'))
+            .agg(F.sum('a').alias('h'))
+        )
+        if mode == 'float':
+            norm = h.agg(
+                F.sqrt(F.sum(F.col('h') * F.col('h')))).first()[0]
+            h = h.select('node', (F.col('h') / norm).alias('h'))
+        h = _ckpt(h)
+    zero = F.lit(0).cast('long') if mode == 'integer' else F.lit(0.0)
+    return (
+        srcs.unionByName(dsts).distinct()
+        .join(h, 'node', 'left')
+        .join(a, 'node', 'left')
+        .select('node',
+                F.coalesce('h', zero).alias('hub'),
+                F.coalesce('a', zero).alias('authority'))
+    )

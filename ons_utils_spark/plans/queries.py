@@ -5116,6 +5116,37 @@ def q_crawl_diff(spark: SparkSession, sf_dir: str) -> SparkDF:
     return crawl_diff(old, new).select('url', 'status')
 
 
+def q_hits(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """HITS hubs/authorities (``operators.graph.hits``) on the same
+    bipartite customer→supplier graph as :func:`q_pagerank`: three
+    exact-integer power iterations (no normalization — ordering is
+    scale-invariant), one join + one aggregate per half-step with
+    lineage cuts, edge frame partitioned once per orientation.
+    Output: top-10 hubs (customers — they point) and top-10
+    authorities (suppliers — they are pointed at).  The oracle
+    replays ``h_k = (E·Eᵀ)^k·h_0`` through a recursive CTE over the
+    hub co-citation matrix and ``a_k = Eᵀ·h_{k-1}`` as one final
+    join — bit-exact integer sums on both engines."""
+    from ..operators.graph import hits
+
+    lineitem, orders = _t(spark, sf_dir, 'lineitem', 'orders')
+    edges = (
+        lineitem.join(orders,
+                      lineitem['l_orderkey'] == orders['o_orderkey'])
+        .select(F.col('o_custkey').alias('src'),
+                (F.col('l_suppkey') + 1000000).alias('dst')))
+    ha = hits(edges, iterations=3, mode='integer')
+
+    def top(score_col: str, kind: str):
+        w = Window.orderBy(F.col(score_col).desc(), F.col('node').asc())
+        return (ha.select(F.lit(kind).alias('kind'),
+                          F.row_number().over(w).alias('pos'),
+                          'node', F.col(score_col).alias('score'))
+                .where(F.col('pos') <= 10))
+
+    return top('hub', 'hub').unionByName(top('authority', 'authority'))
+
+
 # --------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------
@@ -5145,6 +5176,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_main_text': q_main_text,
     'q_containment_pairs': q_containment_pairs,
     'q_crawl_diff': q_crawl_diff,
+    'q_hits': q_hits,
     'q_incremental_minhash_dedup': q_incremental_minhash_dedup,
     'q_incremental_simhash_dedup': q_incremental_simhash_dedup,
     'q_mjpeg_stream_stats': q_mjpeg_stream_stats,
@@ -5531,6 +5563,53 @@ ORACLES: Dict[str, str] = {
         SELECT f.doc_id, f.might_contain,
                (m.text IS NOT NULL) AS exact_member
         FROM flags f LEFT JOIN members m ON f.text = m.text
+    """,
+    'q_hits': """
+        -- h_k = (E·Eᵀ)^k · 1 via the hub co-citation matrix
+        -- (single-reference recursion); a_k = Eᵀ · h_{k-1}.
+        -- Integer sums — bit-exact on any engine.
+        WITH RECURSIVE
+        be AS (
+            SELECT DISTINCT o_custkey AS src,
+                            l_suppkey + 1000000 AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ), cc AS (
+            SELECT a.src AS u, b.src AS w, count(*) AS m
+            FROM be a JOIN be b ON a.dst = b.dst
+            GROUP BY u, w
+        ), hub_iter AS (
+            SELECT 0 AS it, src AS node, 1::BIGINT AS h
+            FROM (SELECT DISTINCT src FROM be)
+            UNION ALL
+            SELECT it + 1, cc.u AS node,
+                   CAST(sum(cc.m * h) AS BIGINT) AS h
+            FROM hub_iter JOIN cc ON hub_iter.node = cc.w
+            WHERE it < 3
+            GROUP BY it + 1, cc.u
+        ), h3 AS (
+            SELECT node, h FROM hub_iter WHERE it = 3
+        ), h2 AS (
+            SELECT node, h FROM hub_iter WHERE it = 2
+        ), a3 AS (
+            SELECT be.dst AS node, CAST(sum(h2.h) AS BIGINT) AS a
+            FROM be JOIN h2 ON be.src = h2.node
+            GROUP BY be.dst
+        )
+        SELECT kind, pos, node, score FROM (
+            SELECT 'hub' AS kind,
+                   row_number() OVER (ORDER BY h DESC, node ASC)
+                       AS pos,
+                   node, h AS score
+            FROM h3
+        ) WHERE pos <= 10
+        UNION ALL
+        SELECT kind, pos, node, score FROM (
+            SELECT 'authority' AS kind,
+                   row_number() OVER (ORDER BY a DESC, node ASC)
+                       AS pos,
+                   node, a AS score
+            FROM a3
+        ) WHERE pos <= 10
     """,
     'q_crawl_diff': """
         -- Closed form of the planted snapshot arithmetic; rows

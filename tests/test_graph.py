@@ -211,3 +211,56 @@ def test_bfs_and_lpa_checkpoint_dir_roundtrip(
         checkpoint_dir=ck).collect()[0]
     assert tri['n_triangles'] == 1
     assert os.listdir(ck)
+
+
+class TestHits:
+    EDGES = [
+        (1, 101), (1, 102), (1, 103),
+        (2, 101), (2, 102),
+        (3, 101),
+    ]
+
+    def _edges(self, spark):
+        return spark.createDataFrame(self.EDGES, 'src long, dst long')
+
+    def test_integer_ordering(self, spark_session):
+        from ons_utils_spark.operators.graph import hits
+        out = {r['node']: (r['hub'], r['authority']) for r in
+               hits(self._edges(spark_session), iterations=3,
+                    mode='integer').collect()}
+        hubs = sorted((h, n) for n, (h, _) in out.items() if h > 0)
+        auths = sorted((a, n) for n, (_, a) in out.items() if a > 0)
+        # 1 links most/best -> strongest hub; 101 is cited by all
+        assert [n for _, n in hubs[::-1]] == [1, 2, 3]
+        assert [n for _, n in auths[::-1]] == [101, 102, 103]
+        # bipartite: customers aren't authorities and vice versa
+        assert all(out[n][1] == 0 for n in (1, 2, 3))
+        assert all(out[n][0] == 0 for n in (101, 102, 103))
+
+    def test_float_mode_normalized_and_same_order(self, spark_session):
+        from ons_utils_spark.operators.graph import hits
+        out = hits(self._edges(spark_session), iterations=3,
+                   mode='float').collect()
+        h2 = sum(r['hub'] ** 2 for r in out)
+        a2 = sum(r['authority'] ** 2 for r in out)
+        assert abs(h2 - 1.0) < 1e-9 and abs(a2 - 1.0) < 1e-9
+        by_hub = sorted((r['hub'], r['node']) for r in out
+                        if r['hub'] > 0)
+        assert [n for _, n in by_hub[::-1]] == [1, 2, 3]
+
+    def test_duplicate_edges_collapse(self, spark_session):
+        from ons_utils_spark.operators.graph import hits
+        once = hits(self._edges(spark_session), iterations=2,
+                    mode='integer').collect()
+        doubled = spark_session.createDataFrame(
+            self.EDGES * 2, 'src long, dst long')
+        twice = hits(doubled, iterations=2, mode='integer').collect()
+        assert sorted(map(tuple, once)) == sorted(map(tuple, twice))
+
+    def test_bad_args(self, spark_session):
+        from ons_utils_spark.operators.graph import hits
+        import pytest as _pt
+        with _pt.raises(ValueError, match='mode'):
+            hits(self._edges(spark_session), mode='exact')
+        with _pt.raises(ValueError, match='iterations'):
+            hits(self._edges(spark_session), iterations=0)
