@@ -947,3 +947,47 @@ def ivf_pq_topk(
         .filter(F.col('__rk') <= k)
         .select(query_id, corpus_id, 'pq_score')
     )
+
+
+def quantize_embeddings(
+    df: SparkDF,
+    col: str = 'embedding',
+    out_col: str = 'q',
+    scale_col: str = 'max_abs',
+) -> SparkDF:
+    """Symmetric per-vector int8 quantization: ``q_i =
+    floor(x_i * 127 / max|x| + 0.5)`` in [-127, 127], plus the
+    per-vector ``max_abs`` needed to dequantize — the standard 4×
+    storage/bandwidth cut for embedding corpora (at 100 TB the
+    embedding table is usually the biggest thing after raw text,
+    and int8 ADC search loses ~nothing at recall@k).
+
+    Pure array expressions in the scan projection — no UDF, no
+    shuffle.  The arithmetic is plain IEEE multiply/divide/floor, so
+    any engine replays the codes bit-exactly (``round()`` is NOT
+    used — engines disagree at exact half boundaries; ``floor(x +
+    0.5)`` is deterministic everywhere).  All-zero vectors quantize
+    to all zeros with ``max_abs`` 0.
+    """
+    v = F.transform(F.col(col), lambda x: x.cast('double'))
+    mx = F.array_max(F.transform(v, F.abs))
+    q = F.when(
+        mx > 0,
+        F.transform(v, lambda x: F.floor(x * 127 / mx + 0.5)
+                    .cast('int'))
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.withColumn(out_col, q).withColumn(scale_col, mx)
+
+
+def dequantize_embeddings(
+    df: SparkDF,
+    q_col: str = 'q',
+    scale_col: str = 'max_abs',
+    out_col: str = 'embedding',
+) -> SparkDF:
+    """Inverse of :func:`quantize_embeddings`:
+    ``x_i ≈ q_i * max_abs / 127`` (``array<double>``)."""
+    x = F.transform(
+        F.col(q_col),
+        lambda qi: qi.cast('double') * F.col(scale_col) / 127)
+    return df.withColumn(out_col, x)

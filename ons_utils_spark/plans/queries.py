@@ -5147,6 +5147,28 @@ def q_hits(spark: SparkSession, sf_dir: str) -> SparkDF:
     return top('hub', 'hub').unionByName(top('authority', 'authority'))
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Int8 embedding quantization
+    (``similarity.quantize_embeddings``): symmetric per-vector codes
+    ``floor(x·127/max|x| + 0.5)`` — the 4× storage cut for embedding
+    corpora — as pure array expressions in the scan, no UDF, no
+    shuffle.  ``floor(x+0.5)`` instead of ``round`` keeps the codes
+    bit-exact across engines (round() half-boundary semantics
+    differ); the oracle replays every code and the µ-scaled
+    dequantization factor."""
+    from ..operators.similarity import quantize_embeddings
+
+    (embeddings,) = _t(spark, sf_dir, 'embeddings')
+    out = quantize_embeddings(embeddings)
+    return out.select(
+        'vec_id',
+        F.array_join(
+            F.transform('q', lambda x: x.cast('string')), '|')
+        .alias('qvec'),
+        F.floor(F.col('max_abs') * 1000000 + 0.5).cast('long')
+        .alias('max_abs_u6'))
+
+
 # --------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------
@@ -5177,6 +5199,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_containment_pairs': q_containment_pairs,
     'q_crawl_diff': q_crawl_diff,
     'q_hits': q_hits,
+    'q_embedding_quantize': q_embedding_quantize,
     'q_incremental_minhash_dedup': q_incremental_minhash_dedup,
     'q_incremental_simhash_dedup': q_incremental_simhash_dedup,
     'q_mjpeg_stream_stats': q_mjpeg_stream_stats,
@@ -5563,6 +5586,29 @@ ORACLES: Dict[str, str] = {
         SELECT f.doc_id, f.might_contain,
                (m.text IS NOT NULL) AS exact_member
         FROM flags f LEFT JOIN members m ON f.text = m.text
+    """,
+    'q_embedding_quantize': """
+        -- Bit-exact replay: float32 -> double casts are exact, the
+        -- code arithmetic is plain IEEE *,/,floor — no round().
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+            FROM embeddings
+        ), m AS (
+            SELECT vec_id, x,
+                   list_max(list_transform(x, e -> abs(e))) AS mx
+            FROM v
+        )
+        SELECT vec_id,
+               CASE WHEN mx > 0 THEN array_to_string(
+                        list_transform(
+                            x, e -> CAST(floor(e * 127 / mx + 0.5)
+                                         AS INT)), '|')
+                    ELSE array_to_string(
+                        list_transform(x, e -> 0), '|')
+               END AS qvec,
+               CAST(floor(mx * 1000000 + 0.5) AS BIGINT)
+                   AS max_abs_u6
+        FROM m
     """,
     'q_hits': """
         -- h_k = (E·Eᵀ)^k · 1 via the hub co-citation matrix

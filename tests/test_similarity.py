@@ -481,3 +481,44 @@ class TestLshNullEmbeddings:
         out = lsh_topk(df, queries, k=5, dim=8, num_planes=4)
         ids = {r['vec_id'] for r in out.collect()}
         assert 2 not in ids and 1 in ids
+
+
+class TestQuantizeEmbeddings:
+    def test_roundtrip_error_bound(self, spark_session):
+        from ons_utils_spark.operators.similarity import (
+            dequantize_embeddings, quantize_embeddings)
+        rows = [(1, [0.5, -1.0, 0.25, 0.0]),
+                (2, [100.0, -3.0, 7.5, 0.1]),
+                (3, [0.0, 0.0, 0.0, 0.0])]
+        df = spark_session.createDataFrame(
+            rows, 'vec_id long, embedding array<double>')
+        back = dequantize_embeddings(
+            quantize_embeddings(df), out_col='x').collect()
+        by_id = {r['vec_id']: r for r in back}
+        for vid, vec in rows:
+            mx = max(abs(v) for v in vec)
+            for orig, rec in zip(vec, by_id[vid]['x']):
+                assert abs(orig - rec) <= mx / 254 + 1e-12
+        # codes stay in [-127, 127]; zero vector -> zero codes
+        assert all(-127 <= c <= 127
+                   for r in back for c in by_id[r['vec_id']]['q'])
+        assert by_id[3]['q'] == [0, 0, 0, 0]
+        assert by_id[3]['max_abs'] == 0.0
+
+    def test_extremes_hit_full_range(self, spark_session):
+        from ons_utils_spark.operators.similarity import (
+            quantize_embeddings)
+        df = spark_session.createDataFrame(
+            [(1, [1.0, -1.0, 0.5])],
+            'vec_id long, embedding array<double>')
+        q = quantize_embeddings(df).first()['q']
+        assert q == [127, -127, 64]  # floor(63.5+0.5)
+
+    def test_no_udf_no_shuffle(self, spark_session):
+        from ons_utils_spark.operators.similarity import (
+            quantize_embeddings)
+        df = spark_session.createDataFrame(
+            [(1, [1.0])], 'vec_id long, embedding array<double>')
+        plan = quantize_embeddings(df)._jdf \
+            .queryExecution().executedPlan().toString()
+        assert 'Python' not in plan and 'Exchange' not in plan
