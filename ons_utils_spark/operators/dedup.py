@@ -56,6 +56,36 @@ def exact_dedup(
     )
 
 
+def dedup_report(
+    df: SparkDF,
+    text_col: str = 'text',
+    normalize: bool = True,
+) -> SparkDF:
+    """Corpus duplication profile BEFORE deduplicating:
+    ``(family_size, n_families, n_docs)`` — how many exact-duplicate
+    families exist at each multiplicity.  The first diagnostic a
+    curation run prints: it sizes the dedup win (``1 -
+    n_families/n_docs`` overall) and shows whether duplication is a
+    long tail of pairs or a few megafamilies (which need skew
+    handling downstream).
+
+    Two aggregates: one shuffle keyed by the 16-byte text
+    fingerprint (map-side partials; only hashes move, same plan
+    prefix as :func:`exact_dedup`), then a second over the tiny
+    ``family_size`` key space.
+    """
+    key = F.md5(normalize_text(text_col)) if normalize \
+        else F.md5(F.col(text_col))
+    fam = (
+        df.select(key.alias('__fp'))
+        .groupBy('__fp')
+        .agg(F.count(F.lit(1)).alias('family_size')))
+    return (
+        fam.groupBy('family_size')
+        .agg(F.count(F.lit(1)).alias('n_families'),
+             F.sum('family_size').alias('n_docs')))
+
+
 def latest_by_key(
     df: SparkDF,
     keys,

@@ -5169,6 +5169,27 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> SparkDF:
         .alias('max_abs_u6'))
 
 
+def q_dedup_report(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Duplication profile (``dedup.dedup_report``): documents plus
+    planted clone generations (every 4th doc copied once, every 12th
+    twice) — the histogram must read exact family sizes 1/2/3 (and
+    fold in any natural duplicate texts in the corpus).  One
+    fingerprint-keyed shuffle + one histogram aggregate.  The oracle
+    replays the clone fixture and both aggregates by grouping the
+    raw text — md5 equivalence classes equal text equality."""
+    from ..operators.dedup import dedup_report
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    d = documents.select('doc_id', 'text')
+    corpus = d.unionByName(
+        d.where(F.col('doc_id') % 4 == 0).select(
+            (F.col('doc_id') + 1000000).alias('doc_id'), 'text')
+    ).unionByName(
+        d.where(F.col('doc_id') % 12 == 0).select(
+            (F.col('doc_id') + 2000000).alias('doc_id'), 'text'))
+    return dedup_report(corpus, normalize=False)
+
+
 # --------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------
@@ -5200,6 +5221,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_crawl_diff': q_crawl_diff,
     'q_hits': q_hits,
     'q_embedding_quantize': q_embedding_quantize,
+    'q_dedup_report': q_dedup_report,
     'q_incremental_minhash_dedup': q_incremental_minhash_dedup,
     'q_incremental_simhash_dedup': q_incremental_simhash_dedup,
     'q_mjpeg_stream_stats': q_mjpeg_stream_stats,
@@ -5586,6 +5608,22 @@ ORACLES: Dict[str, str] = {
         SELECT f.doc_id, f.might_contain,
                (m.text IS NOT NULL) AS exact_member
         FROM flags f LEFT JOIN members m ON f.text = m.text
+    """,
+    'q_dedup_report': """
+        WITH corpus AS (
+            SELECT text FROM documents
+            UNION ALL
+            SELECT text FROM documents WHERE doc_id % 4 = 0
+            UNION ALL
+            SELECT text FROM documents WHERE doc_id % 12 = 0
+        ), fam AS (
+            SELECT text, count(*) AS family_size
+            FROM corpus GROUP BY text
+        )
+        SELECT family_size,
+               count(*) AS n_families,
+               CAST(sum(family_size) AS BIGINT) AS n_docs
+        FROM fam GROUP BY family_size
     """,
     'q_embedding_quantize': """
         -- Bit-exact replay: float32 -> double casts are exact, the

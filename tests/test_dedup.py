@@ -1572,3 +1572,18 @@ class TestContainmentPairs:
                    for r in out}
         assert (2, 1) in by_pair
         assert all(0.3 <= v <= 1.0 for v in by_pair.values())
+
+
+def test_dedup_report_histogram(spark_session):
+    from ons_utils_spark.operators.dedup import dedup_report
+    rows = ([(i, 'unique %d' % i) for i in range(5)]
+            + [(10, 'twin'), (11, 'twin')]
+            + [(20, 'TRIPLET'), (21, 'triplet  '), (22, ' Triplet')])
+    df = spark_session.createDataFrame(rows, 'doc_id long, text string')
+    norm = {r['family_size']: (r['n_families'], r['n_docs'])
+            for r in dedup_report(df).collect()}
+    assert norm == {1: (5, 5), 2: (1, 2), 3: (1, 3)}
+    raw = {r['family_size']: r['n_families']
+           for r in dedup_report(df, normalize=False).collect()}
+    # without normalization the case/whitespace triplet splits
+    assert raw == {1: (8), 2: 1}
