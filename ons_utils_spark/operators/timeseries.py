@@ -32,7 +32,7 @@ from pyspark.sql import types as T
 
 from ..generic import list_convert
 
-__all__ = ['ewma', 'rolling_anomaly_flags']
+__all__ = ['ewma', 'rolling_anomaly_flags', 'retention_cohorts']
 
 
 def rolling_anomaly_flags(
@@ -176,3 +176,43 @@ def ewma(
         )
         return out.drop('__shard')
     return df.groupBy(*key_list).applyInPandas(smooth_frame, schema)
+
+
+def retention_cohorts(
+    df,
+    user_col: str = 'user_id',
+    ts_col: str = 'ts',
+    epoch: str = '2024-01-01',
+    bucket_days: int = 7,
+):
+    """Cohort retention matrix: ``(cohort, week_offset, n_users)`` —
+    users grouped by their FIRST active time bucket, counted in
+    every later bucket they return (``week_offset`` = buckets since
+    the cohort bucket; offset 0 is the cohort size; the name avoids
+    the reserved word OFFSET in replaying engines).  The standard
+    activation/retention diagnostic for any event stream.
+
+    Pure DataFrame plan, three user-keyed/bucket-keyed shuffles
+    total: one distinct over (user, bucket), one ``min`` per user,
+    one count per (cohort, offset) — each with map-side partials.
+    Buckets are integer day arithmetic from ``epoch``
+    (``datediff // bucket_days``), not calendar truncation, so any
+    engine replays them without week-start/timezone semantics.
+    """
+    from pyspark.sql import functions as F
+
+    bucket = (F.datediff(F.col(ts_col).cast('date'),
+                         F.to_date(F.lit(epoch))) / bucket_days) \
+        .cast('long')
+    uw = (df.select(F.col(user_col).alias('__u'),
+                    bucket.alias('__b'))
+          .where(F.col('__b') >= 0)
+          .distinct())
+    first = uw.groupBy('__u').agg(F.min('__b').alias('__cohort'))
+    return (
+        uw.join(first, '__u')
+        .groupBy(F.col('__cohort').alias('cohort'),
+                 (F.col('__b') - F.col('__cohort'))
+                 .alias('week_offset'))
+        .agg(F.count(F.lit(1)).alias('n_users'))
+    )

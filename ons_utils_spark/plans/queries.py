@@ -5190,6 +5190,19 @@ def q_dedup_report(spark: SparkSession, sf_dir: str) -> SparkDF:
     return dedup_report(corpus, normalize=False)
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Cohort retention (``timeseries.retention_cohorts``): events
+    users bucketed into weekly cohorts by first activity, counted at
+    each return offset — three shuffles with map-side partials,
+    integer day-bucket arithmetic (no calendar-truncation
+    semantics to diverge between engines).  The oracle replays the
+    exact bucket arithmetic and both aggregations."""
+    from ..operators.timeseries import retention_cohorts
+
+    (events,) = _t(spark, sf_dir, 'events')
+    return retention_cohorts(events)
+
+
 # --------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------
@@ -5222,6 +5235,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_hits': q_hits,
     'q_embedding_quantize': q_embedding_quantize,
     'q_dedup_report': q_dedup_report,
+    'q_retention_cohorts': q_retention_cohorts,
     'q_incremental_minhash_dedup': q_incremental_minhash_dedup,
     'q_incremental_simhash_dedup': q_incremental_simhash_dedup,
     'q_mjpeg_stream_stats': q_mjpeg_stream_stats,
@@ -5608,6 +5622,22 @@ ORACLES: Dict[str, str] = {
         SELECT f.doc_id, f.might_contain,
                (m.text IS NOT NULL) AS exact_member
         FROM flags f LEFT JOIN members m ON f.text = m.text
+    """,
+    'q_retention_cohorts': """
+        WITH uw AS (
+            SELECT DISTINCT user_id,
+                   date_diff('day', DATE '2024-01-01',
+                             CAST(ts AS DATE)) // 7 AS b
+            FROM events
+            WHERE date_diff('day', DATE '2024-01-01',
+                            CAST(ts AS DATE)) >= 0
+        ), first AS (
+            SELECT user_id, min(b) AS cohort FROM uw GROUP BY user_id
+        )
+        SELECT f.cohort, uw.b - f.cohort AS week_offset,
+               count(*) AS n_users
+        FROM uw JOIN first f USING (user_id)
+        GROUP BY f.cohort, week_offset
     """,
     'q_dedup_report': """
         WITH corpus AS (

@@ -144,3 +144,25 @@ class TestRollingAnomaly:
             rolling_anomaly_flags(
                 df, 'value', 'seq', by='user_id',
                 arithmetic='integer', z=2.5)
+
+
+def test_retention_cohorts_matrix(spark_session):
+    from ons_utils_spark.operators.timeseries import retention_cohorts
+    rows = [
+        (1, '2024-01-01'), (1, '2024-01-02'),   # week 0, stays week 0
+        (1, '2024-01-10'),                      # returns week 1
+        (2, '2024-01-09'),                      # cohort week 1 only
+        (3, '2024-01-01'), (3, '2024-01-22'),   # week 0 -> week 3
+        (4, '2023-12-30'), (4, '2024-01-03'),   # pre-epoch dropped
+    ]
+    df = spark_session.createDataFrame(
+        rows, 'user_id long, d string').selectExpr(
+        'user_id', 'CAST(d AS TIMESTAMP) AS ts')
+    got = {(r['cohort'], r['week_offset']): r['n_users']
+           for r in retention_cohorts(df).collect()}
+    assert got == {
+        (0, 0): 3,   # users 1, 3, 4 (4's pre-epoch event dropped)
+        (0, 1): 1,   # user 1 returns
+        (0, 3): 1,   # user 3 returns
+        (1, 0): 1,   # user 2
+    }
