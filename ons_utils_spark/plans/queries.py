@@ -5218,10 +5218,11 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> SparkDF:
 QUERIES: Dict[str, QueryFn] = {
     # -- round-13 verification window (first 50) ------------------
     # Mechanical oldest-verified-first rotation (the rule
-    # tools/gen_query_inventory.py proposes each round): the three
-    # NEW r13 queries (never driver-verified) lead, then the ten
+    # tools/gen_query_inventory.py proposes each round): the 17 NEW
+    # r13 queries (never driver-verified) lead, then the ten
     # r6-stale queries, the five r8 TPC-H queries, and r9 fills
-    # (the three displaced r9 fills sit first below the window).
+    # (queries displaced by the new arrivals sit first below the
+    # window for the r14 rotation).
     # never driver-verified (NEW r13) — front of the window
     'q_bloom_decontaminate': q_bloom_decontaminate,
     'q_outlink_graph': q_outlink_graph,
