@@ -5203,6 +5203,40 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> SparkDF:
     return retention_cohorts(events)
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """N-gram novelty against a reference corpus (``operators.bloom``
+    composed with ``dedup.word_shingles``): build a 2^17-bit Bloom
+    filter over every 3-gram of the SEEN corpus (every 3rd doc),
+    then score each remaining doc by how many of its distinct
+    3-grams the filter recognizes — ``1 - n_seen/n_grams`` is the
+    novelty a freshness-weighted sampler feeds on.  The probe is the
+    zero-shuffle bitmap scan path; the only corpus-keyed shuffle is
+    the per-doc count aggregate.  The oracle replays shingling, the
+    filter build, and every probe bit-exactly (the portable md5
+    position family), so FPs are part of the pinned answer."""
+    from ..operators import bloom as bm
+    from ..operators.dedup import word_shingles
+
+    num_bits, num_hashes = 1 << 17, 5
+    (documents,) = _t(spark, sf_dir, 'documents')
+    sh = documents.select('doc_id',
+                          word_shingles('text', 3).alias('__g'))
+    ref = (sh.where(F.col('doc_id') % 3 == 0)
+           .select(F.explode('__g').alias('g')))
+    bitmap = bm.bloom_to_bitmap(
+        bm.bloom_build(ref, 'g', num_bits, num_hashes), num_bits)
+    probe = (sh.where(F.col('doc_id') % 3 != 0)
+             .select('doc_id', F.explode('__g').alias('g')))
+    return (
+        probe.select(
+            'doc_id',
+            bm.bloom_might_contain('g', bitmap, num_bits, num_hashes)
+            .alias('__hit'))
+        .groupBy('doc_id')
+        .agg(F.count(F.lit(1)).alias('n_grams'),
+             F.sum(F.col('__hit').cast('long')).alias('n_seen')))
+
+
 # --------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------
@@ -5237,6 +5271,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_embedding_quantize': q_embedding_quantize,
     'q_dedup_report': q_dedup_report,
     'q_retention_cohorts': q_retention_cohorts,
+    'q_ngram_novelty': q_ngram_novelty,
     'q_incremental_minhash_dedup': q_incremental_minhash_dedup,
     'q_incremental_simhash_dedup': q_incremental_simhash_dedup,
     'q_mjpeg_stream_stats': q_mjpeg_stream_stats,
@@ -5623,6 +5658,56 @@ ORACLES: Dict[str, str] = {
         SELECT f.doc_id, f.might_contain,
                (m.text IS NOT NULL) AS exact_member
         FROM flags f LEFT JOIN members m ON f.text = m.text
+    """,
+    'q_ngram_novelty': """
+        -- Full bloom replay over the shingle space: same md5
+        -- 60-bit-prefix positions, same 32-bit lanes, so every
+        -- false positive reappears.
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                       ' '), t -> t <> '') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 3 THEN
+                       list_distinct(list_transform(
+                           generate_series(1, len(t) - 2),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                   ELSE [array_to_string(t, ' ')] END AS shingles
+            FROM toks
+        ), ref AS (
+            SELECT DISTINCT unnest(shingles) AS g
+            FROM sh WHERE doc_id % 3 = 0
+        ), words AS (
+            SELECT p // 32 AS word_idx,
+                   bit_or(1::BIGINT << (p % 32)::INT) AS word
+            FROM (
+                SELECT (('0x' || substr(md5(i::VARCHAR || ':' || g),
+                                        1, 15))::BIGINT) % 131072 AS p
+                FROM ref, range(5) t(i)
+            ) GROUP BY word_idx
+        ), probe AS (
+            SELECT doc_id, unnest(shingles) AS g
+            FROM sh WHERE doc_id % 3 <> 0
+        ), flags AS (
+            SELECT pp.doc_id, pp.g,
+                   min((coalesce(w.word, 0)
+                        >> (pp.p % 32)::INT) & 1 = 1) AS hit
+            FROM (
+                SELECT doc_id, g,
+                       (('0x' || substr(md5(i::VARCHAR || ':' || g),
+                                        1, 15))::BIGINT) % 131072 AS p
+                FROM probe, range(5) t(i)
+            ) pp
+            LEFT JOIN words w ON pp.p // 32 = w.word_idx
+            GROUP BY pp.doc_id, pp.g
+        )
+        SELECT doc_id, count(*) AS n_grams,
+               CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_seen
+        FROM flags GROUP BY doc_id
     """,
     'q_retention_cohorts': """
         WITH uw AS (
