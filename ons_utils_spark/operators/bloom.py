@@ -220,7 +220,7 @@ def bloom_probe_join(
 
     Declarative end-to-end (Catalyst prunes/pushes everything) and
     exactly replayable in SQL — the oracle shape.  Costs one
-    broadcast (≤ ``num_bits/64`` rows) and one ``groupBy`` on the
+    broadcast (≤ ``num_bits/32`` rows — 32-bit lanes) and one ``groupBy`` on the
     probe key; prefer :func:`bloom_might_contain` when the probe
     side is the 100 TB corpus and the bitmap fits the closure.
 

@@ -1603,20 +1603,34 @@ def simhash_index_probe(
     )
 
 
+#: Default hot-shingle document-frequency cap for the inverted-index
+#: joins.  A shingle appearing in D documents contributes O(D^2)
+#: candidate pairs to the self-join; boilerplate shingles (headers,
+#: licence lines, navigation) reach corpus-scale D, turning the join
+#: quadratic.  Capping at 10k bounds any one shingle's contribution
+#: to ~10^8 pre-aggregation rows — heavy but finite — while real
+#: similarity evidence (rare shingles) is untouched.  Pass ``None``
+#: explicitly for exact small-corpus runs (the bench oracles do).
+DEFAULT_MAX_SHINGLE_DF = 10_000
+
+
 def ngram_jaccard_join(
     df: SparkDF,
     id_col: str = 'doc_id',
     text_col: str = 'text',
     shingle_n: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: Optional[int] = None,
+    max_shingle_df: Optional[int] = DEFAULT_MAX_SHINGLE_DF,
 ) -> SparkDF:
     """Exact all-pairs Jaccard >= threshold via shingle inverted index.
 
     explode(shingles) → self-equi-join on shingle → count common per
     pair → Jaccard from set sizes. ``max_shingle_df`` drops shingles
-    appearing in more than that many docs (hot-key/skew cap); exact
-    for pairs whose similarity rests on rarer shingles.
+    appearing in more than that many docs (hot-key/skew cap,
+    ON BY DEFAULT at :data:`DEFAULT_MAX_SHINGLE_DF` — without it a
+    boilerplate-heavy corpus makes the self-join quadratic); exact
+    for pairs whose similarity rests on rarer shingles.  Pass
+    ``None`` to disable for exact runs on corpora known to be small.
     """
     # Barrier right after shingle construction: '__sh' is consumed
     # twice (size + explode) and would otherwise be re-evaluated per
@@ -1675,7 +1689,7 @@ def containment_pairs(
     text_col: str = 'text',
     shingle_n: int = 3,
     threshold: float = 0.8,
-    max_shingle_df: Optional[int] = None,
+    max_shingle_df: Optional[int] = DEFAULT_MAX_SHINGLE_DF,
 ) -> SparkDF:
     """DIRECTED near-containment pairs: ``(id_a, id_b, containment)``
     where ``containment = |S(a) ∩ S(b)| / |S(a)| >= threshold``
@@ -1693,7 +1707,8 @@ def containment_pairs(
     ``a != b`` (not ``<``) is inherent to asymmetry — both
     directions are evaluated, only the contained-side threshold
     emits.  ``max_shingle_df`` caps hot shingles exactly as in the
-    Jaccard join.
+    Jaccard join (on by default at :data:`DEFAULT_MAX_SHINGLE_DF`;
+    pass ``None`` for exact small-corpus runs).
     """
     sh = df.select(
         F.col(id_col).alias('__id'),

@@ -17,17 +17,22 @@ Spark-first shape, no UDFs anywhere:
   per-host ``max``.  robots files are KiB-sized and one-per-host, so
   these windows partition on host and never see corpus-scale rows.
 - :func:`crawl_allowed` joins candidate URLs to the rule table on
-  host and keeps the LONGEST matching prefix per URL (``max`` of a
+  host and keeps the LONGEST matching rule per URL (``max`` of a
   ``(length, is_allow)`` struct — allow wins length ties, RFC 9309
   §2.2.2), defaulting to allowed when no rule matches.  The rule
   table is broadcast (hosts × rules is tiny next to the URL corpus),
   so at 100 TB this is a map-side join + one aggregate keyed by the
   URL — the same shuffle any per-URL verdict needs.
 
-Documented contract: plain path prefixes only — ``*`` / ``$``
-wildcard rules (an RFC extension) are out of scope; expand them
-upstream or drop them.  Matching uses the URL's path only (query
-strings excluded), with the empty path treated as ``/``.
+Wildcard rules (RFC 9309 §2.2.3 MUSTs): ``*`` matches any character
+run and a trailing ``$`` anchors the end of the path.  Each
+wildcard-bearing rule is rendered ONCE, on the tiny rule table
+before the broadcast, into an anchored regex (metacharacters
+escaped, ``*`` → ``.*``) evaluated with ``regexp_like``; plain
+rules keep the cheaper ``startswith`` path.  Specificity stays the
+raw rule's octet length for both kinds — the same most-octets order
+the googlebot matcher uses.  Matching uses the URL's path only
+(query strings excluded), with the empty path treated as ``/``.
 """
 from __future__ import annotations
 
@@ -120,20 +125,42 @@ def crawl_allowed(
     URL be fetched under ``rules`` (the :func:`parse_robots`
     output)?  Join the verdict table back to keep full rows.
 
-    Longest-prefix-match per RFC 9309 §2.2.2 — the most specific
-    matching rule decides, allow winning exact-length ties; a URL
-    whose host has no matching rule is allowed.  One broadcast join
-    on host (rule tables are tiny) + one aggregate keyed by the URL.
+    Longest-match per RFC 9309 §2.2.2 — the most specific matching
+    rule decides (most octets of the raw rule, wildcards counted as
+    written), allow winning exact-length ties; a URL whose host has
+    no matching rule is allowed.  ``*`` / ``$`` wildcard rules
+    (§2.2.3) are rendered into anchored regexes on the rule table
+    BEFORE the broadcast — per-rule regex cost is bounded by the
+    tiny rule count, and plain rules keep the ``startswith`` fast
+    path.  One broadcast join on host + one aggregate keyed by the
+    URL.
     """
+    raw = F.col('prefix')
+    ends_anchor = raw.endswith('$')
+    body = F.when(
+        ends_anchor, raw.substr(F.lit(1), F.length(raw) - 1)
+    ).otherwise(raw)
+    # escape every regex metachar except '*' (the robots wildcard);
+    # a mid-rule '$' is a literal octet per the RFC, so it is
+    # escaped too (only the trailing '$', already stripped, anchors)
+    escaped = F.regexp_replace(
+        body, r'([\\.\[\]\{\}\(\)\^\$\|\+\?])', r'\\$1')
+    regex = F.concat(
+        F.lit('^'), F.regexp_replace(escaped, r'\*', '.*'),
+        F.when(ends_anchor, F.lit('$')).otherwise(F.lit('')))
+    prepped = rules.withColumnRenamed('host', '__host').withColumns({
+        '__wild': raw.contains('*') | ends_anchor,
+        '__re': regex,
+    })
     with_key = urls.select(
         F.col(url_col).alias('__url'),
         url_host(url_col).alias('__host'),
         url_path(url_col).alias('__path'))
-    joined = with_key.join(
-        F.broadcast(rules.withColumnRenamed('host', '__host')),
-        ['__host'], 'left')
-    match = F.col('prefix').isNotNull() & \
-        F.col('__path').startswith(F.col('prefix'))
+    joined = with_key.join(F.broadcast(prepped), ['__host'], 'left')
+    match = F.col('prefix').isNotNull() & F.when(
+        F.col('__wild'),
+        F.regexp_like(F.col('__path'), F.col('__re'))
+    ).otherwise(F.col('__path').startswith(F.col('prefix')))
     verdict = F.when(
         match,
         F.struct(F.length('prefix').alias('l'),

@@ -201,9 +201,14 @@ def retention_cohorts(
     """
     from pyspark.sql import functions as F
 
-    bucket = (F.datediff(F.col(ts_col).cast('date'),
-                         F.to_date(F.lit(epoch))) / bucket_days) \
-        .cast('long')
+    # floor, not cast-truncation: pre-epoch day diffs (-1..-6 at
+    # bucket_days=7) must land in bucket -1, not 0, so the >= 0
+    # filter drops them — matching integer floor division (``//``)
+    # in replaying engines.
+    bucket = F.floor(
+        F.datediff(F.col(ts_col).cast('date'),
+                   F.to_date(F.lit(epoch))) / bucket_days
+    ).cast('long')
     uw = (df.select(F.col(user_col).alias('__u'),
                     bucket.alias('__b'))
           .where(F.col('__b') >= 0)

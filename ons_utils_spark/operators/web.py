@@ -266,12 +266,32 @@ def sniff_mime(payload) -> Column:
     the UTF-8 decode of the first 32 bytes holds no control or
     replacement characters, else ``application/octet-stream``.
     NULL payloads stay NULL.
+
+    The 32-byte text window is trimmed back to the last COMPLETE
+    UTF-8 sequence before decoding: a multi-byte character
+    straddling the boundary would otherwise decode to U+FFFD and
+    misroute non-ASCII plain text (the dominant case in a
+    multilingual crawl) to octet-stream.  UTF-8 lead bytes (hex
+    ``C``–``F``) and continuation bytes (hex ``8``–``B``) are
+    disjoint in their first hex digit, so one anchored
+    ``regexp_replace`` on the window's hex drops exactly the
+    trailing incomplete sequence and nothing else.
     """
     p = F.col(payload) if isinstance(payload, str) else payload
     hx = F.hex(F.substring(p, 1, 8))
     sub = F.substring(p, 5, 4).cast('string')
     head = F.lower(F.substring(p, 1, 9).cast('string'))
-    text_head = F.substring(p, 1, 32).cast('string')
+    # Drop a trailing incomplete multi-byte sequence: a 2/3/4-byte
+    # lead with fewer continuation bytes than it requires.  Complete
+    # sequences never match (their trailing bytes start 8-B, the
+    # alternatives all require a C-F lead at the match start).
+    hex_head = F.regexp_replace(
+        F.hex(F.substring(p, 1, 32)),
+        '(?:[CD][0-9A-F]'
+        '|E[0-9A-F](?:[89AB][0-9A-F])?'
+        '|F[0-9A-F](?:[89AB][0-9A-F]){0,2})$',
+        '')
+    text_head = F.unhex(hex_head).cast('string')
     printable = F.regexp_count(
         text_head, F.lit('[\x00-\x08\x0b\x0c\x0e-\x1f�]')) == 0
     return (

@@ -514,7 +514,8 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Exact n-gram Jaccard similarity join (inverted shingle index)."""
     (documents,) = _t(spark, sf_dir, 'documents')
     pairs = dd.ngram_jaccard_join(
-        documents, 'doc_id', 'text', shingle_n=3, threshold=0.0333
+        documents, 'doc_id', 'text', shingle_n=3, threshold=0.0333,
+        max_shingle_df=None,  # exact: oracle replays uncapped
     )
     return pairs.select(
         'id_a', 'id_b', F.round('jaccard', 6).alias('jaccard')
@@ -4862,7 +4863,9 @@ def _ensure_warc_archives(spark: SparkSession, sf_dir: str) -> str:
             F.col('text').alias('payload'))
         manifest = write_warc(
             pages.repartitionByRange(4, 'target_uri'), path)
-        assert manifest.count() == 4  # runs the distributed write
+        n = manifest.count()  # runs the distributed write
+        if n != 4:  # action must run even under ``python -O``
+            raise RuntimeError(f'expected 4 WARC archives, wrote {n}')
         return path
 
     return _artifact(f'warc:{sf_dir}@{app}', _write)
@@ -4899,10 +4902,14 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> SparkDF:
     recovery by cumulative sum over User-agent line starts) and the
     RFC 9309 longest-prefix verdict are both pure DataFrame plans;
     rules broadcast, the only corpus-keyed shuffle is the per-URL
-    verdict aggregate.  The oracle recomputes every verdict CLOSED
-    FORM from the planted rule arithmetic (never re-parsing), so a
-    group-selection, precedence, or prefix-match bug breaks the
-    hash."""
+    verdict aggregate.  RFC 9309 wildcard rules are exercised too:
+    ``Disallow: /*/page7$`` (anchored — ``page17`` must NOT match)
+    blocks page 7 in every language except ``es``, where the longer
+    ``Allow: /es/page7$`` wins the most-octets contest (10 > 9).
+    The oracle recomputes every verdict CLOSED FORM from the
+    planted rule arithmetic (never re-parsing), so a
+    group-selection, precedence, prefix-match, or wildcard-regex
+    bug breaks the hash."""
     from ..operators import robots as rb
 
     (documents,) = _t(spark, sf_dir, 'documents')
@@ -4913,7 +4920,9 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> SparkDF:
                   'User-agent: googlebot\nDisallow: /\n\n'
                   'User-agent: *\n'
                   'Disallow: /de\n'
-                  'Allow: /de/page1\n'),
+                  'Allow: /de/page1\n'
+                  'Disallow: /*/page7$\n'
+                  'Allow: /es/page7$\n'),
             F.when(F.substring('source', 4, 10).cast('int') % 2 == 0,
                    F.lit('Disallow: /fr/page2\n'))
             .otherwise(F.lit(''))).alias('robots_txt'))
@@ -4964,7 +4973,9 @@ def _ensure_mime_warc(spark: SparkSession, sf_dir: str) -> str:
         manifest = write_warc(
             pages.repartitionByRange(4, 'target_uri'), path,
             compress=True)
-        assert manifest.count() == 4
+        n = manifest.count()  # action must run even under ``python -O``
+        if n != 4:
+            raise RuntimeError(f'expected 4 WARC archives, wrote {n}')
         return path
 
     return _artifact(f'warc_mime:{sf_dir}@{app}', _write)
@@ -5086,7 +5097,10 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> SparkDF:
         .select((F.col('doc_id') + 1000000).alias('doc_id'),
                 F.array_join(toks8, ' ').alias('text')))
     corpus = documents.select('doc_id', 'text').unionByName(excerpts)
-    return containment_pairs(corpus, threshold=0.9).select(
+    return containment_pairs(
+        corpus, threshold=0.9,
+        max_shingle_df=None,  # exact: oracle replays uncapped
+    ).select(
         'id_a', 'id_b', F.round('containment', 6).alias('containment'))
 
 
@@ -5925,8 +5939,14 @@ ORACLES: Dict[str, str] = {
         )
         SELECT url,
                CASE
+                   -- /de rules are the longest matches for de paths
                    WHEN lang = 'de'
                        THEN (pg::VARCHAR LIKE '1%')
+                   -- wildcard: Disallow /*/page7$ (anchored, so
+                   -- ONLY pg = 7) unless the longer Allow
+                   -- /es/page7$ outranks it (10 octets > 9)
+                   WHEN pg = 7
+                       THEN (lang = 'es')
                    WHEN lang = 'fr' AND src_no % 2 = 0
                        THEN NOT (pg::VARCHAR LIKE '2%')
                    ELSE TRUE

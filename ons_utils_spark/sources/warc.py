@@ -94,18 +94,46 @@ def _parse_warc_stream(buf: bytes, fname: str):
         i = j + 4 + clen
 
 
-def read_warc(spark: SparkSession, path: str) -> SparkDF:
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    max_file_bytes: Optional[int] = 8 * 1024 ** 3,
+) -> SparkDF:
     """All WARC records under ``path`` as a DataFrame
     (:data:`WARC_READ_SCHEMA`).
 
     One task per archive file (binaryFile never splits — the
     CommonCrawl work unit); ``.gz`` files decompress in-task.
+
+    ``binaryFile`` materializes each archive as ONE row, so a file
+    far beyond the ~1 GiB CommonCrawl convention OOMs the task
+    rather than running slow.  ``max_file_bytes`` (default 8 GiB,
+    ``None`` to disable) fails LOUD up front instead: a
+    metadata-only pre-scan — ``content`` pruned, so only the
+    listing's ``length`` column is read, no payload bytes move —
+    names the offending files.  Split oversized deliveries (e.g.
+    ``split --bytes`` on record boundaries, or re-cut with
+    :func:`write_warc`) before ingest.
     """
-    files = (
+    reader = (
         spark.read.format('binaryFile')
-        .option('pathGlobFilter', '*.warc*')
-        .load(path)
-        .select('path', 'content'))
+        .option('pathGlobFilter', '*.warc*'))
+    if max_file_bytes is not None:
+        bad = (
+            reader.load(path)
+            .select('path', 'length')
+            .where(F.col('length') > max_file_bytes)
+            .limit(5)
+            .collect())
+        if bad:
+            names = ', '.join(
+                f'{r["path"]} ({r["length"]} B)' for r in bad)
+            raise ValueError(
+                f'WARC archive(s) exceed max_file_bytes='
+                f'{max_file_bytes}: {names} — binaryFile loads each '
+                'archive whole into one task; re-cut the archives '
+                'or raise/disable max_file_bytes explicitly')
+    files = reader.load(path).select('path', 'content')
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import gzip
@@ -140,16 +168,30 @@ def write_warc(
     the files land when the caller runs the manifest).
 
     Record identity is deterministic (``urn:md5:`` of the URI and
-    payload), so re-writes are byte-stable; each task writes to a
-    tmp name and renames, so retries are idempotent.  Payloads may
-    be string (UTF-8 encoded) or binary.  Partition the input the
-    way you want the archives cut (e.g. ``repartitionByRange`` on a
-    sort key) — file == partition is the contract, mirroring how
-    the reader schedules file == task.
+    payload), so re-writes are byte-stable; each task writes to an
+    attempt-unique tmp name and renames, so retries (and concurrent
+    speculative attempts) are idempotent.  Payloads may be string
+    (UTF-8 encoded) or binary.  Partition the input the way you
+    want the archives cut (e.g. ``repartitionByRange`` on a sort
+    key) — file == partition is the contract, mirroring how the
+    reader schedules file == task.
+
+    Header hygiene: CR/LF in a URI would inject header lines (or
+    corrupt the record framing so the reader rejects the whole
+    archive), so URIs are sanitized per record — ``\\r`` and
+    ``\\n`` stripped — BEFORE the record id is computed (the id
+    commits to what is actually written).  The driver-supplied
+    ``warc_type`` / ``date`` are rejected outright if they contain
+    CR/LF.
     """
     import hashlib
 
     when = date or _FIXED_DATE
+    for name, val in (('warc_type', warc_type), ('date', when)):
+        if '\r' in val or '\n' in val:
+            raise ValueError(
+                f'{name} must not contain CR/LF (header injection): '
+                f'{val!r}')
     cols = df.select(
         F.col(uri_col).cast('string').alias('__uri'),
         F.col(payload_col).cast('binary').alias('__payload'))
@@ -159,10 +201,13 @@ def write_warc(
 
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         ext = '.warc.gz' if compress else '.warc'
         final = os.path.join(path, f'part-{pid:05d}{ext}')
-        tmp = final + '.tmp'
+        # attempt-unique tmp: two concurrent attempts (speculation,
+        # retry racing a zombie) must never interleave into one file
+        tmp = f'{final}.{ctx.taskAttemptId()}.tmp'
         os.makedirs(path, exist_ok=True)
         n_records = n_bytes = 0
         opener = gzip.open if compress else open
@@ -172,7 +217,8 @@ def write_warc(
                                         pdf['__payload']):
                     body = bytes(payload) if payload is not None \
                         else b''
-                    uri = uri or ''
+                    uri = (uri or '').replace('\r', '').replace(
+                        '\n', '')
                     rid = hashlib.md5(
                         uri.encode() + b'\x00' + body).hexdigest()
                     head = (

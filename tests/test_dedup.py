@@ -1574,6 +1574,50 @@ class TestContainmentPairs:
         assert all(0.3 <= v <= 1.0 for v in by_pair.values())
 
 
+class TestHotShingleCapDefault:
+    """The hot-shingle DF cap is ON by default (anti-quadratic
+    guard); ``None`` restores the exact uncapped join."""
+
+    def test_default_is_documented_constant(self):
+        import inspect
+
+        from ons_utils_spark.operators import dedup as dd
+        for fn in (dd.ngram_jaccard_join, dd.containment_pairs):
+            sig = inspect.signature(fn)
+            assert (sig.parameters['max_shingle_df'].default
+                    == dd.DEFAULT_MAX_SHINGLE_DF)
+        assert dd.DEFAULT_MAX_SHINGLE_DF == 10_000
+
+    def test_cap_drops_boilerplate_evidence(self, spark_session):
+        from ons_utils_spark.operators.dedup import (
+            containment_pairs, ngram_jaccard_join)
+        # Every doc shares one boilerplate trigram; docs 1/2 also
+        # share real content.  With the cap at 2 the boilerplate
+        # shingle (df=4 > 2) is dropped, so only the real pair
+        # (whose shared shingles sit at df=2) survives; uncapped
+        # (None) the boilerplate joins every pair of docs.
+        boiler = 'site nav footer'
+        df = spark_session.createDataFrame(
+            [(1, boiler + ' alpha beta gamma delta'),
+             (2, boiler + ' alpha beta gamma delta'),
+             (3, boiler + ' unrelated words entirely here'),
+             (4, boiler + ' other unmatched content block')],
+            'doc_id long, text string')
+        capped = ngram_jaccard_join(
+            df, threshold=0.01, max_shingle_df=2)
+        got = {(r['id_a'], r['id_b']) for r in capped.collect()}
+        assert got == {(1, 2)}
+        uncapped = ngram_jaccard_join(
+            df, threshold=0.01, max_shingle_df=None)
+        assert {(r['id_a'], r['id_b']) for r in uncapped.collect()} \
+            == {(a, b) for a in range(1, 5) for b in range(1, 5)
+                if a < b}
+        cont = containment_pairs(
+            df, threshold=0.1, max_shingle_df=2)
+        assert {(r['id_a'], r['id_b']) for r in cont.collect()} \
+            == {(1, 2), (2, 1)}
+
+
 def test_dedup_report_histogram(spark_session):
     from ons_utils_spark.operators.dedup import dedup_report
     rows = ([(i, 'unique %d' % i) for i in range(5)]

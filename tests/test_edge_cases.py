@@ -154,12 +154,15 @@ def test_retention_cohorts_matrix(spark_session):
         (2, '2024-01-09'),                      # cohort week 1 only
         (3, '2024-01-01'), (3, '2024-01-22'),   # week 0 -> week 3
         (4, '2023-12-30'), (4, '2024-01-03'),   # pre-epoch dropped
+        (5, '2023-12-31'),                      # ONLY pre-epoch: absent
     ]
     df = spark_session.createDataFrame(
         rows, 'user_id long, d string').selectExpr(
         'user_id', 'CAST(d AS TIMESTAMP) AS ts')
     got = {(r['cohort'], r['week_offset']): r['n_users']
            for r in retention_cohorts(df).collect()}
+    # User 5 must not appear at all: their only event is pre-epoch,
+    # and floor-bucketing maps it to bucket -1 (dropped), not 0.
     assert got == {
         (0, 0): 3,   # users 1, 3, 4 (4's pre-epoch event dropped)
         (0, 1): 1,   # user 1 returns

@@ -105,3 +105,80 @@ class TestCrawlAllowed:
         plan = crawl_allowed(
             df, 'url', rules)._jdf.queryExecution().executedPlan().toString()
         assert 'Python' not in plan  # pure codegen + join + agg
+
+
+class TestWildcardRules:
+    """RFC 9309 §2.2.3: ``*`` matches any run, trailing ``$``
+    anchors the path end; specificity is raw-rule octet length."""
+
+    def _rules(self, spark, txt):
+        df = spark.createDataFrame(
+            [('w.com', 'User-agent: *\n' + txt)],
+            'host string, robots_txt string')
+        return parse_robots(df)
+
+    def test_star_matches_any_run(self, spark_session):
+        rules = self._rules(spark_session, 'Disallow: /*/print\n')
+        v = _verdicts(spark_session, rules, [
+            'https://w.com/a/print',
+            'https://w.com/a/b/print/x',   # '*' spans '/'; suffix ok
+            'https://w.com/print',          # nothing between the /s
+            'https://w.com/a/page',
+        ])
+        assert v == {
+            'https://w.com/a/print': False,
+            'https://w.com/a/b/print/x': False,
+            'https://w.com/print': True,
+            'https://w.com/a/page': True,
+        }
+
+    def test_dollar_anchors_end(self, spark_session):
+        rules = self._rules(spark_session, 'Disallow: /*.pdf$\n')
+        v = _verdicts(spark_session, rules, [
+            'https://w.com/docs/a.pdf',
+            'https://w.com/docs/a.pdf.html',   # not at path end
+            'https://w.com/docs/apdf',         # '.' is literal
+        ])
+        assert v == {
+            'https://w.com/docs/a.pdf': False,
+            'https://w.com/docs/a.pdf.html': True,
+            'https://w.com/docs/apdf': True,
+        }
+
+    def test_wildcard_allow_beats_shorter_disallow(
+            self, spark_session):
+        rules = self._rules(
+            spark_session,
+            'Disallow: /shop\nAllow: /shop/*/sale$\n')
+        v = _verdicts(spark_session, rules, [
+            'https://w.com/shop/x/sale',
+            'https://w.com/shop/x/cart',
+        ])
+        assert v == {
+            'https://w.com/shop/x/sale': True,   # len 13 > len 5
+            'https://w.com/shop/x/cart': False,
+        }
+
+    def test_mid_rule_dollar_is_literal(self, spark_session):
+        rules = self._rules(spark_session, 'Disallow: /a$b\n')
+        v = _verdicts(spark_session, rules, [
+            'https://w.com/a$b/x', 'https://w.com/ab/x'])
+        assert v == {'https://w.com/a$b/x': False,
+                     'https://w.com/ab/x': True}
+
+    def test_plain_rules_still_startswith(self, spark_session):
+        # regex metachars in a PLAIN rule must stay literal via the
+        # startswith fast path
+        rules = self._rules(spark_session, 'Disallow: /a.b\n')
+        v = _verdicts(spark_session, rules, [
+            'https://w.com/a.b/x', 'https://w.com/axb/x'])
+        assert v == {'https://w.com/a.b/x': False,
+                     'https://w.com/axb/x': True}
+
+    def test_no_udf_with_wildcards(self, spark_session):
+        rules = self._rules(spark_session, 'Disallow: /*.gif$\n')
+        df = spark_session.createDataFrame(
+            [('https://w.com/x.gif',)], 'url string')
+        plan = crawl_allowed(df, 'url', rules)._jdf \
+            .queryExecution().executedPlan().toString()
+        assert 'Python' not in plan

@@ -239,7 +239,19 @@ MAGIC_CASES = [
     (b'tab\tand\r\nnewlines ok', 'text/plain'),
     (b'\x00\x01\x02\x03 binary', 'application/octet-stream'),
     (None, None),
+    # Multi-byte UTF-8 straddling the 32-byte sniff window: the
+    # truncated tail must be trimmed, not decoded to U+FFFD.
+    b'x' + ('é' * 20).encode('utf-8'),          # C3 lead at byte 32
+    ('日本語テキスト日本語テキ').encode('utf-8'),  # E3 xx cut at 32
+    b'a' + ('𝄞' * 8).encode('utf-8') + b'!',     # F0 9D 84 cut at 32
+    ('中文' * 30).encode('utf-8'),                # E4 xx cut, >32B
+    # Genuinely invalid UTF-8 inside the window still quarantines.
+    (b'ok text \xc3\x28 broken continuation',
+     'application/octet-stream'),
 ]
+# the straddle rows above are (bytes,) shorthand for text/plain
+MAGIC_CASES = [c if isinstance(c, tuple) else (c, 'text/plain')
+               for c in MAGIC_CASES]
 
 
 def test_sniff_mime_magic_bytes(spark_session):
