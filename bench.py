@@ -44,6 +44,15 @@ def main() -> None:
         extra_confs={
             'spark.driver.memory': '8g',
             'spark.sql.warehouse.dir': '/tmp/ons-utils-spark-bench-wh',
+            # FAIR pools for the CONCURRENT warmup below: the five
+            # incremental streams are latency-bound (many small
+            # driver-coordinated jobs per micro-batch) and under
+            # FIFO their jobs queue behind whole-cluster jobs from
+            # sibling warmup threads, serializing the pool.  Each
+            # warmup thread runs in its own FAIR pool (equal share,
+            # no allocation file needed); the timed passes are
+            # sequential single-job so FAIR is a no-op there.
+            'spark.scheduler.mode': 'FAIR',
         },
     )
     spark.sparkContext.setLogLevel('ERROR')
@@ -100,6 +109,12 @@ def main() -> None:
     cold: dict = {}
 
     def _warm(name: str) -> None:
+        import threading
+
+        # one FAIR pool per worker thread (streams started on this
+        # thread inherit the pool via cloned local properties)
+        spark.sparkContext.setLocalProperty(
+            'spark.scheduler.pool', f'warm-{threading.get_ident()}')
         t0 = time.time()
         QUERIES[name](spark, sf_dir).write.mode('overwrite').format(
             'noop').save()

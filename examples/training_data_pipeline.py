@@ -81,6 +81,17 @@ def ingest_url_dedup(documents: DataFrame) -> DataFrame:
             (F.col('doc_id') % 10).cast('string'),
         ).alias('url'))
     keep = web.url_dedup(urls, 'url', 'doc_id').select('doc_id')
+    # Domain grouping for source weighting: PSL-EXACT eTLD+1 via the
+    # bundled Public Suffix List snapshot (pass a full snapshot path
+    # in production) — not the 10-suffix codegen heuristic.  One
+    # chain of broadcast joins, then the same groupBy any per-domain
+    # stat needs.
+    suffixes = web.load_public_suffixes()
+    (web.with_registrable_domain(urls, 'url', suffixes=suffixes)
+     .groupBy('domain')
+     .agg(F.count(F.lit(1)).alias('n_pages'))
+     .orderBy(F.desc('n_pages'))
+     .show(5, truncate=False))
     return documents.join(keep, on='doc_id', how='left_semi')
 
 

@@ -43,7 +43,8 @@ from pyspark.sql import functions as F
 
 from .web import url_host
 
-__all__ = ['parse_robots', 'crawl_allowed', 'url_path']
+__all__ = ['parse_robots', 'crawl_allowed', 'url_path',
+           'robots_sitemaps']
 
 
 def url_path(url) -> Column:
@@ -172,4 +173,33 @@ def crawl_allowed(
             F.col('__url').alias(url_col),
             F.coalesce(F.col('__win.a') == 1, F.lit(True))
             .alias(out_col))
+    )
+
+
+def robots_sitemaps(
+    df: SparkDF,
+    host_col: str = 'host',
+    txt_col: str = 'robots_txt',
+) -> SparkDF:
+    """``(host, sitemap_url)`` rows from ``Sitemap:`` lines —
+    sitemap DISCOVERY, the usual crawl entry point (RFC 9309 §2.3 /
+    the sitemaps.org protocol: the directive is group-INDEPENDENT,
+    so unlike Allow/Disallow it is read from anywhere in the file,
+    before any ``User-agent`` line included).
+
+    One ``posexplode`` + codegen extracts, same KiB-per-host scale
+    argument as :func:`parse_robots`; feed the result to
+    ``web.parse_sitemap`` after fetching.
+    """
+    host = F.col(host_col)
+    lines = df.select(
+        host.alias('host'),
+        F.posexplode(F.split(F.col(txt_col), '\n'))
+        .alias('line_pos', 'raw'))
+    clean = F.trim(F.regexp_replace(F.col('raw'), '#.*$', ''))
+    url = F.trim(F.regexp_extract(
+        clean, r'^[Ss][Ii][Tt][Ee][Mm][Aa][Pp]\s*:(.*)$', 1))
+    return (
+        lines.select('host', 'line_pos', url.alias('sitemap_url'))
+        .where(F.col('sitemap_url') != '')
     )

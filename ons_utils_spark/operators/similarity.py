@@ -991,3 +991,79 @@ def dequantize_embeddings(
         F.col(q_col),
         lambda qi: qi.cast('double') * F.col(scale_col) / 127)
     return df.withColumn(out_col, x)
+
+
+def bitext_mine(
+    src: SparkDF,
+    tgt: SparkDF,
+    k: int = 4,
+    threshold: float = 1.05,
+    src_id: str = 'src_id',
+    tgt_id: str = 'tgt_id',
+    src_vec: str = 'embedding',
+    tgt_vec: str = 'embedding',
+    mutual: bool = True,
+) -> SparkDF:
+    """Margin-based parallel-corpus mining between two embedding
+    sets: ``(src_id, tgt_id, cosine, margin)`` pairs whose RATIO
+    margin clears ``threshold`` — the standard bitext miner
+    (Artetxe & Schwenk, "Margin-based Parallel Corpus Mining with
+    Multilingual Sentence Embeddings", ACL 2019; the LASER/CCMatrix
+    recipe) for harvesting translation pairs for multilingual
+    training data.
+
+    margin(x, y) = cos(x, y) / ((mean_k(x→tgt) + mean_k(y→src))/2)
+    — raw cosine over-selects hub sentences whose neighborhood is
+    uniformly close; dividing by the mean of each side's k nearest
+    cosines cancels the hubness.  Candidates are each side's top-k
+    neighbors; with ``mutual=True`` (default) a pair must be BOTH
+    sides' best margin (ties broken by partner id, so decisions are
+    deterministic and engine-replayable).
+
+    Scale shape: one broadcast cross score per direction (the
+    smaller side broadcast — same shape as :func:`cosine_topk`),
+    two per-side top-k windows, then joins on the pair candidates
+    (bounded by ``(|src| + |tgt|) × k`` rows, never |src|×|tgt|).
+    For corpus-scale sides, swap the exact scoring for
+    :func:`ivf_topk`/:func:`lsh_topk` candidates — margin and
+    mutual-best are top-k-source agnostic.
+    """
+    s = src.select(F.col(src_id).alias('__sid'),
+                   F.col(src_vec).cast('array<double>').alias('__sv'))
+    t = tgt.select(F.col(tgt_id).alias('__tid'),
+                   F.col(tgt_vec).cast('array<double>').alias('__tv'))
+    scored = s.crossJoin(F.broadcast(t)).select(
+        '__sid', '__tid',
+        cosine_similarity(F.col('__sv'), F.col('__tv'))
+        .alias('cosine'))
+    w_s = Window.partitionBy('__sid').orderBy(
+        F.col('cosine').desc(), F.col('__tid').asc())
+    w_t = Window.partitionBy('__tid').orderBy(
+        F.col('cosine').desc(), F.col('__sid').asc())
+    ranked = scored.select(
+        '__sid', '__tid', 'cosine',
+        F.row_number().over(w_s).alias('__rs'),
+        F.row_number().over(w_t).alias('__rt'))
+    # per-side hubness denominators: mean of the k nearest cosines
+    mean_s = (ranked.where(F.col('__rs') <= k).groupBy('__sid')
+              .agg(F.avg('cosine').alias('__ms')))
+    mean_t = (ranked.where(F.col('__rt') <= k).groupBy('__tid')
+              .agg(F.avg('cosine').alias('__mt')))
+    cands = (ranked.where((F.col('__rs') <= k) | (F.col('__rt') <= k))
+             .join(F.broadcast(mean_s), '__sid')
+             .join(F.broadcast(mean_t), '__tid')
+             .withColumn('margin',
+                         F.col('cosine')
+                         / ((F.col('__ms') + F.col('__mt')) / 2)))
+    out = cands.where(F.col('margin') >= threshold)
+    if mutual:
+        b_s = Window.partitionBy('__sid').orderBy(
+            F.col('margin').desc(), F.col('__tid').asc())
+        b_t = Window.partitionBy('__tid').orderBy(
+            F.col('margin').desc(), F.col('__sid').asc())
+        out = (out.withColumn('__bs', F.row_number().over(b_s))
+               .withColumn('__bt', F.row_number().over(b_t))
+               .where((F.col('__bs') == 1) & (F.col('__bt') == 1)))
+    return out.select(
+        F.col('__sid').alias(src_id), F.col('__tid').alias(tgt_id),
+        'cosine', 'margin')

@@ -27,20 +27,27 @@ Canonicalization rules (documented contract, applied in order):
 
 ``registrable_domain`` is a HEURISTIC eTLD+1 (last two host labels,
 or three when the public suffix is a known two-label one like
-``co.uk``) — the full Public Suffix List is an external artifact by
-declared scope; the known-suffix set covers the common cases and is
-easy to extend.
+``co.uk``).  For exact semantics, feed
+:func:`with_registrable_domain` a Public Suffix List snapshot:
+:func:`load_public_suffixes` parses the standard PSL file format,
+and a fixture-scale snapshot ships with the package
+(``ons_utils_spark/data/public_suffix_snapshot.dat``) so the exact
+path works out of the box — production deployments should point it
+at a full, current snapshot.
 """
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = ['canonicalize_url', 'url_host', 'registrable_domain',
-           'with_registrable_domain', 'url_dedup',
+           'with_registrable_domain', 'load_public_suffixes',
+           'PSL_SNAPSHOT_PATH', 'url_dedup',
            'extract_links', 'extract_anchors',
            'outlink_domain_edges', 'anchor_texts', 'sniff_mime',
-           'crawl_diff',
+           'crawl_diff', 'parse_sitemap', 'extract_html_meta',
            'TRACKING_PARAM_RE', 'TWO_LABEL_SUFFIXES']
 
 # key pattern of query parameters dropped by canonicalization
@@ -93,6 +100,41 @@ def registrable_domain(url) -> Column:
     return F.regexp_extract(
         url_host(url),
         rf'([^.]+\.(?:{two_label})|[^.]+\.[^.]+)$', 1)
+
+
+#: Bundled fixture-scale Public Suffix List snapshot (PSL file
+#: format, curated subset of https://publicsuffix.org/list/).
+PSL_SNAPSHOT_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    'data', 'public_suffix_snapshot.dat')
+
+
+def load_public_suffixes(path: str = None) -> frozenset:
+    """Parse a Public Suffix List file into the plain-suffix set
+    :func:`with_registrable_domain` consumes.
+
+    ``path`` defaults to the bundled fixture-scale snapshot
+    (:data:`PSL_SNAPSHOT_PATH`); pass a full, current snapshot in
+    production.  Standard PSL format: one rule per line, ``//``
+    comments, blanks ignored, rules end at the first whitespace.
+    Wildcard (``*.ck``) and exception (``!www.ck``) rules are
+    SKIPPED — the broadcast matcher evaluates plain rules only
+    (its documented contract); hosts under a skipped wildcard fall
+    back to the PSL ``*`` default (last two labels), which for the
+    handful of wildcard TLDs is the pre-PSL behavior, not silent
+    misparsing.  The result is a driver-side frozenset, KiB-scale
+    even for the full list — it parameterizes broadcast joins, it
+    never ships rows.
+    """
+    out = set()
+    with open(path or PSL_SNAPSHOT_PATH, encoding='utf-8') as fh:
+        for line in fh:
+            rule = line.strip().split()[0] if line.strip() else ''
+            if (not rule or rule.startswith('//')
+                    or rule.startswith('*') or rule.startswith('!')):
+                continue
+            out.add(rule.lower().strip('.'))
+    return frozenset(out)
 
 
 def with_registrable_domain(df, url_col: str, out_col: str = 'domain',
@@ -371,4 +413,81 @@ def url_dedup(df, url_col: str, order_col: str):
         .groupBy('canonical_url')
         .agg(F.min(order_col).alias(order_col),
              F.count(F.lit(1)).alias('n_dups'))
+    )
+
+
+def parse_sitemap(df, xml_col: str = 'xml',
+                  url_col: str = 'sitemap_url'):
+    """Flatten sitemap XML files into one row per referenced URL:
+    ``(<url_col>, kind, loc, lastmod, changefreq, priority)`` with
+    ``kind`` in ``('urlset', 'sitemapindex')`` — the discovery
+    companion to :mod:`~ons_utils_spark.operators.robots` (robots
+    ``Sitemap:`` lines point here; sitemap indexes point at more
+    sitemaps; urlsets point at pages).
+
+    Pure codegen, same design as :func:`extract_links`: one
+    ``regexp_extract_all`` per block kind (``<url>``/``<sitemap>``
+    elements, ``(?s)`` so blocks span lines), ``posexplode`` to
+    preserve document order, then per-field ``regexp_extract``.  A
+    sitemap file is MiB-bounded by spec (50k URLs), so the explode
+    multiplies rows but never payload-scale bytes.  Engine-portable
+    patterns (no backreferences — RE2-safe): a DuckDB oracle
+    replays them verbatim.  Fields absent from an entry are NULL
+    (``priority`` cast to double); ``lastmod``/``changefreq`` never
+    appear under ``sitemapindex`` entries' spec but parse fine if
+    present.
+    """
+    x = F.col(xml_col)
+    rows = []
+    for kind, tag in (('urlset', 'url'), ('sitemapindex', 'sitemap')):
+        blocks = F.regexp_extract_all(
+            x, F.lit(f'(?s)<{tag}>(.*?)</{tag}>'), 1)
+        rows.append(
+            df.select(F.col(url_col),
+                      F.lit(kind).alias('kind'),
+                      F.posexplode(blocks).alias('pos', '__b')))
+    out = rows[0].unionByName(rows[1])
+
+    def field(name):
+        return F.nullif(
+            F.regexp_extract(
+                F.col('__b'), rf'(?s)<{name}>\s*(.*?)\s*</{name}>',
+                1),
+            F.lit(''))
+
+    return out.select(
+        url_col, 'kind', 'pos',
+        field('loc').alias('loc'),
+        field('lastmod').alias('lastmod'),
+        field('changefreq').alias('changefreq'),
+        field('priority').cast('double').alias('priority'))
+
+
+def extract_html_meta(html) -> Column:
+    """Head metadata of an HTML page as a struct ``(title,
+    description, canonical_url, lang)`` — the fields a crawl
+    pipeline indexes before any body-text processing (titles feed
+    search/dedup signals, canonical links feed URL dedup, ``lang``
+    attributes feed language routing ahead of content language-ID).
+
+    One codegen projection, no UDF.  Documented contract (the same
+    double-quoted-attribute discipline as :func:`extract_links`):
+    attributes double-quoted, ``name``/``rel`` before ``content``/
+    ``href`` (the order every serializer emits); title text
+    markup-free.  Case-insensitive tags, absent fields NULL.
+    """
+    h = F.col(html) if isinstance(html, str) else html
+
+    def ex(pattern):
+        return F.nullif(
+            F.regexp_extract(h, pattern, 1), F.lit(''))
+
+    return F.struct(
+        ex(r'(?is)<title[^>]*>\s*([^<]*?)\s*</title>')
+        .alias('title'),
+        ex(r'(?is)<meta\s+name="description"\s+content="([^"]*)"')
+        .alias('description'),
+        ex(r'(?is)<link\s+rel="canonical"\s+href="([^"]*)"')
+        .alias('canonical_url'),
+        ex(r'(?is)<html\s[^>]*lang="([^"]*)"').alias('lang'),
     )

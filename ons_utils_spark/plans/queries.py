@@ -4108,6 +4108,44 @@ def q_incremental_winnow_dedup(spark: SparkSession,
     return spark.read.parquet(out_dir).select('doc_id')
 
 
+def _ensure_doc_stream_chunks(spark: SparkSession,
+                              sf_dir: str) -> str:
+    """Stage the shared document-stream fixture ONCE per session:
+    the 1-in-3 organic sample ∪ planted duplicate families as three
+    id-ordered JSON chunks with staggered mtimes (file-source
+    delivery order = id order).  The MinHash and SimHash streaming
+    queries consume the SAME frame — before r14 each staged its own
+    copy, paying the corpus write twice inside the bench warmup
+    (~5s per copy at sf0.1).  Store/checkpoint/accepted dirs stay
+    per-query; only the read-only source chunks are shared (a file
+    source tracks progress in its own checkpoint, so N streams can
+    read one directory)."""
+    import tempfile
+    import time
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    app = spark.sparkContext.applicationId
+    src = os.path.join(
+        tempfile.gettempdir(), 'ons_inc_docsrc', tag, app)
+
+    def _stage():
+        (documents,) = _t(spark, sf_dir, 'documents')
+        (documents.select('doc_id', 'text')
+         .filter(F.col('doc_id') % 3 == 0)
+         .unionByName(_planted_dedup_families(spark))
+         .repartitionByRange(3, 'doc_id')
+         .write.mode('overwrite').json(src))
+        parts = sorted(p for p in os.listdir(src)
+                       if p.startswith('part-'))
+        base = time.time() - 1000
+        for i, p in enumerate(parts):
+            os.utime(os.path.join(src, p),
+                     (base + 10 * i, base + 10 * i))
+        return src
+
+    return _artifact(f'inc_docsrc:{sf_dir}@{app}', _stage)
+
+
 def q_incremental_minhash_dedup(spark: SparkSession,
                                 sf_dir: str) -> SparkDF:
     """The STREAMING MinHash crawl dedup
@@ -4134,29 +4172,16 @@ def q_incremental_minhash_dedup(spark: SparkSession,
     Streaming state lives under the system temp dir keyed by
     applicationId."""
     import tempfile
-    import time
 
     from ..streaming.incremental import incremental_minhash_dedup
 
-    (documents,) = _t(spark, sf_dir, 'documents')
     tag = os.path.basename(os.path.normpath(sf_dir))
     app = spark.sparkContext.applicationId
     root = os.path.join(
         tempfile.gettempdir(), 'ons_inc_mh', tag, app)
 
     def _run():
-        src = os.path.join(root, 'src')
-        (documents.select('doc_id', 'text')
-         .filter(F.col('doc_id') % 3 == 0)
-         .unionByName(_planted_dedup_families(spark))
-         .repartitionByRange(3, 'doc_id')
-         .write.mode('overwrite').json(src))
-        parts = sorted(p for p in os.listdir(src)
-                       if p.startswith('part-'))
-        base = time.time() - 1000
-        for i, p in enumerate(parts):
-            os.utime(os.path.join(src, p),
-                     (base + 10 * i, base + 10 * i))
+        src = _ensure_doc_stream_chunks(spark, sf_dir)
         stream = (
             spark.readStream
             .schema('doc_id long, text string')
@@ -4202,29 +4227,16 @@ def q_incremental_simhash_dedup(spark: SparkSession,
     like ``q_simhash_dedup``, whose oracle SQL this query shares
     verbatim."""
     import tempfile
-    import time
 
     from ..streaming.incremental import incremental_simhash_dedup
 
-    (documents,) = _t(spark, sf_dir, 'documents')
     tag = os.path.basename(os.path.normpath(sf_dir))
     app = spark.sparkContext.applicationId
     root = os.path.join(
         tempfile.gettempdir(), 'ons_inc_sh', tag, app)
 
     def _run():
-        src = os.path.join(root, 'src')
-        (documents.select('doc_id', 'text')
-         .filter(F.col('doc_id') % 3 == 0)
-         .unionByName(_planted_dedup_families(spark))
-         .repartitionByRange(3, 'doc_id')
-         .write.mode('overwrite').json(src))
-        parts = sorted(p for p in os.listdir(src)
-                       if p.startswith('part-'))
-        base = time.time() - 1000
-        for i, p in enumerate(parts):
-            os.utime(os.path.join(src, p),
-                     (base + 10 * i, base + 10 * i))
+        src = _ensure_doc_stream_chunks(spark, sf_dir)
         stream = (
             spark.readStream
             .schema('doc_id long, text string')
@@ -5251,6 +5263,159 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> SparkDF:
              F.sum(F.col('__hit').cast('long')).alias('n_seen')))
 
 
+def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Sitemap discovery + parse (``robots.robots_sitemaps`` →
+    ``web.parse_sitemap``, both NEW r14): each source host gets a
+    robots.txt whose group-independent ``Sitemap:`` lines point at a
+    planted page sitemap AND a sitemap index; the discovered URLs
+    join to the XML table and flatten into one row per referenced
+    URL — kind (urlset vs sitemapindex), document-order position,
+    loc, and the optional lastmod/changefreq/priority fields (each
+    planted ABSENT on an arithmetic subset, so NULL handling is in
+    the hash).  The XML itself is synthesized closed-form from the
+    documents table (one groupBy(host) with an array_sort'ed
+    collect_list — deterministic block order), and the oracle
+    recomputes every output row from the SAME arithmetic without
+    ever touching XML, so a discovery, block-split, field-extract,
+    or ordering bug breaks the hash."""
+    from ..operators import robots as rb
+    from ..operators import web
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    host = F.concat(F.col('source'), F.lit('.com'))
+    pg = (F.col('doc_id') % 25).cast('string')
+    loc = F.concat(F.lit('https://'), host, F.lit('/'),
+                   F.col('lang'), F.lit('/page'), pg)
+    lastmod = F.when(
+        F.col('doc_id') % 3 != 0,
+        F.concat(F.lit('2026-01-'),
+                 F.lpad(((F.col('doc_id') % 28) + 1).cast('string'),
+                        2, '0')))
+    changefreq = F.when(F.col('doc_id') % 2 == 1, F.lit('weekly'))
+    priority = F.when(
+        F.col('doc_id') % 5 != 0,
+        F.concat(F.lit('0.'), (F.col('doc_id') % 10).cast('string')))
+    block = F.concat(
+        F.lit('<url>\n  <loc>'), loc, F.lit('</loc>'),
+        F.coalesce(F.concat(F.lit('\n  <lastmod>'), lastmod,
+                            F.lit('</lastmod>')), F.lit('')),
+        F.coalesce(F.concat(F.lit('\n  <changefreq>'), changefreq,
+                            F.lit('</changefreq>')), F.lit('')),
+        F.coalesce(F.concat(F.lit('\n  <priority>'), priority,
+                            F.lit('</priority>')), F.lit('')),
+        F.lit('\n</url>'))
+    pages_xml = (
+        documents
+        .select(host.alias('host'),
+                F.struct('doc_id', block.alias('b')).alias('s'))
+        .groupBy('host')
+        .agg(F.array_join(
+            F.transform(F.array_sort(F.collect_list('s')),
+                        lambda x: x['b']), '\n').alias('body'))
+        .select(
+            F.concat(F.lit('https://'), F.col('host'),
+                     F.lit('/sitemap.xml')).alias('sitemap_url'),
+            F.concat(F.lit('<?xml version="1.0"?>\n<urlset>\n'),
+                     F.col('body'),
+                     F.lit('\n</urlset>')).alias('xml'),
+            'host'))
+    index_xml = pages_xml.select(
+        F.concat(F.lit('https://'), F.col('host'),
+                 F.lit('/sitemap_index.xml')).alias('sitemap_url'),
+        F.concat(
+            F.lit('<?xml version="1.0"?>\n<sitemapindex>\n'
+                  '<sitemap>\n  <loc>https://'),
+            F.col('host'),
+            F.lit('/sitemap.xml</loc>\n  <lastmod>2026-02-01'
+                  '</lastmod>\n</sitemap>\n</sitemapindex>'))
+        .alias('xml'),
+        'host')
+    xml_table = pages_xml.unionByName(index_xml).drop('host')
+    robots_txt = pages_xml.select(
+        'host',
+        F.concat(
+            F.lit('User-agent: *\nDisallow:\n'
+                  '# discovery lines are group-independent\n'
+                  'Sitemap: https://'), F.col('host'),
+            F.lit('/sitemap.xml\nsitemap: https://'), F.col('host'),
+            F.lit('/sitemap_index.xml\n')).alias('robots_txt'))
+    discovered = rb.robots_sitemaps(robots_txt)
+    return web.parse_sitemap(
+        discovered.select('sitemap_url').join(xml_table,
+                                              'sitemap_url'),
+        xml_col='xml', url_col='sitemap_url')
+
+
+def q_html_meta(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Head-metadata extraction (``web.extract_html_meta``, NEW
+    r14): per-document HTML synthesized closed-form — lang
+    attribute, whitespace-padded title, and meta-description /
+    canonical-link tags each ABSENT on an arithmetic subset — then
+    the struct extractor flattens back to columns.  The oracle
+    rebuilds every field from the documents arithmetic without
+    parsing HTML, so a regex, trim, case-folding, or NULL-for-absent
+    bug breaks the hash.  The extractor is a single codegen
+    projection (no UDF, no shuffle)."""
+    from ..operators import web
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    pg = (F.col('doc_id') % 25).cast('string')
+    html = F.concat(
+        F.lit('<!DOCTYPE html><HTML lang="'), F.col('lang'),
+        F.lit('"><head><TITLE>  Doc '),
+        F.col('doc_id').cast('string'),
+        F.lit(' of '), F.col('source'), F.lit('  </TITLE>'),
+        F.coalesce(
+            F.when(F.col('doc_id') % 4 != 0,
+                   F.concat(F.lit('<meta name="description" '
+                                  'content="'), F.col('lang'),
+                            F.lit(' page '), pg, F.lit('">'))),
+            F.lit('')),
+        F.coalesce(
+            F.when(F.col('doc_id') % 3 != 0,
+                   F.concat(F.lit('<link rel="canonical" '
+                                  'href="https://'),
+                            F.col('source'), F.lit('.com/'),
+                            F.col('lang'), F.lit('/page'), pg,
+                            F.lit('">'))),
+            F.lit('')),
+        F.lit('</head><body><p>'),
+        F.substring('text', 1, 40), F.lit('</p></body></html>'))
+    meta = documents.select(
+        'doc_id', web.extract_html_meta(html).alias('m'))
+    return meta.select(
+        'doc_id', F.col('m.title').alias('title'),
+        F.col('m.description').alias('description'),
+        F.col('m.canonical_url').alias('canonical_url'),
+        F.col('m.lang').alias('lang'))
+
+
+def q_bitext_mine(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Margin-based bitext mining (``similarity.bitext_mine``, NEW
+    r14 — the Artetxe & Schwenk ACL'19 ratio-margin miner used to
+    harvest parallel corpora for multilingual training): every 7th
+    embedding plays the source side, the whole table (ids offset
+    +100000) the target side; pairs are scored by cosine divided by
+    the mean of each side's k=4 nearest cosines (hubness
+    correction) and kept when mutual-best above margin 1.0.  The
+    oracle replays the ENTIRE pipeline in SQL — cross cosine, both
+    top-k windows, the two hubness means, the margin, the mutual
+    row_numbers — so candidate bounding, denominator, tie-break,
+    and mutuality bugs all break the hash."""
+    from ..operators.similarity import bitext_mine
+
+    (embeddings,) = _t(spark, sf_dir, 'embeddings')
+    src = embeddings.where(F.col('vec_id') % 7 == 0).select(
+        F.col('vec_id').alias('src_id'), 'embedding')
+    tgt = embeddings.select(
+        (F.col('vec_id') + 100000).alias('tgt_id'), 'embedding')
+    out = bitext_mine(src, tgt, k=4, threshold=1.0)
+    return out.select(
+        'src_id', 'tgt_id',
+        F.round('cosine', 6).alias('cosine'),
+        F.round('margin', 6).alias('margin'))
+
+
 # --------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------
@@ -5271,7 +5436,11 @@ QUERIES: Dict[str, QueryFn] = {
     # 16 r11 fills; the whole registry stays in
     # oldest-driver-green-first order (prior registry order as
     # tie-break), so next round's window is always the tail of the
-    # staleness queue.
+    # staleness queue.  The 3 NEW r14 queries (never driver-verified)
+    # sort to the very front by the same rule.
+    'q_sitemap_urls': q_sitemap_urls,
+    'q_html_meta': q_html_meta,
+    'q_bitext_mine': q_bitext_mine,
     # last driver-green: r9
     'q_salted_join': q_salted_join,
     'q_balanced_sample': q_balanced_sample,
@@ -5639,6 +5808,109 @@ _SIMHASH_PLANTED_DECISION_SQL = """
     """
 
 ORACLES: Dict[str, str] = {
+    # NEW r14 — closed-form replays of the planted fixtures.
+    'q_sitemap_urls': """
+        -- Closed form of the planted sitemap fixture: positions,
+        -- locs, and the optional fields come from the documents
+        -- arithmetic (never from XML).  Page rows: one per doc,
+        -- ordered by doc_id within the host; index rows: one per
+        -- host pointing at the page sitemap.
+        WITH pages AS (
+            SELECT 'https://' || source || '.com/sitemap.xml'
+                       AS sitemap_url,
+                   'urlset' AS kind,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY doc_id
+                   ) - 1 AS pos,
+                   'https://' || source || '.com/' || lang ||
+                       '/page' || (doc_id % 25)::VARCHAR AS loc,
+                   CASE WHEN doc_id % 3 <> 0
+                        THEN '2026-01-' ||
+                             lpad(((doc_id % 28) + 1)::VARCHAR,
+                                  2, '0')
+                   END AS lastmod,
+                   CASE WHEN doc_id % 2 = 1 THEN 'weekly'
+                   END AS changefreq,
+                   CASE WHEN doc_id % 5 <> 0
+                        THEN ('0.' || (doc_id % 10)::VARCHAR)::DOUBLE
+                   END AS priority
+            FROM documents
+        ), idx AS (
+            SELECT DISTINCT
+                   'https://' || source || '.com/sitemap_index.xml'
+                       AS sitemap_url,
+                   'sitemapindex' AS kind,
+                   0 AS pos,
+                   'https://' || source || '.com/sitemap.xml' AS loc,
+                   '2026-02-01' AS lastmod,
+                   CAST(NULL AS VARCHAR) AS changefreq,
+                   CAST(NULL AS DOUBLE) AS priority
+            FROM documents
+        )
+        SELECT * FROM pages UNION ALL SELECT * FROM idx
+    """,
+    'q_html_meta': """
+        SELECT doc_id,
+               'Doc ' || doc_id::VARCHAR || ' of ' || source
+                   AS title,
+               CASE WHEN doc_id % 4 <> 0
+                    THEN lang || ' page ' || (doc_id % 25)::VARCHAR
+               END AS description,
+               CASE WHEN doc_id % 3 <> 0
+                    THEN 'https://' || source || '.com/' || lang ||
+                         '/page' || (doc_id % 25)::VARCHAR
+               END AS canonical_url,
+               lang
+        FROM documents
+    """,
+    'q_bitext_mine': """
+        -- Full arithmetic replay of the ratio-margin miner
+        -- (cosines, top-4 windows, hubness means, margin, mutual
+        -- best) — k and threshold pinned to the query's values.
+        WITH s AS (
+            SELECT vec_id AS sid, CAST(embedding AS DOUBLE[]) AS sv
+            FROM embeddings WHERE vec_id % 7 = 0
+        ), t AS (
+            SELECT vec_id + 100000 AS tid,
+                   CAST(embedding AS DOUBLE[]) AS tv
+            FROM embeddings
+        ), scored AS (
+            SELECT sid, tid,
+                   list_cosine_similarity(sv, tv) AS c
+            FROM s, t
+        ), ranked AS (
+            SELECT sid, tid, c,
+                   row_number() OVER (PARTITION BY sid
+                       ORDER BY c DESC, tid ASC) AS rs,
+                   row_number() OVER (PARTITION BY tid
+                       ORDER BY c DESC, sid ASC) AS rt
+            FROM scored
+        ), ms AS (
+            SELECT sid, avg(c) AS m FROM ranked
+            WHERE rs <= 4 GROUP BY sid
+        ), mt AS (
+            SELECT tid, avg(c) AS m FROM ranked
+            WHERE rt <= 4 GROUP BY tid
+        ), cand AS (
+            SELECT r.sid, r.tid, r.c,
+                   r.c / ((ms.m + mt.m) / 2) AS margin
+            FROM ranked r
+            JOIN ms USING (sid) JOIN mt USING (tid)
+            WHERE r.rs <= 4 OR r.rt <= 4
+        ), filt AS (
+            SELECT * FROM cand WHERE margin >= 1.0
+        ), best AS (
+            SELECT sid, tid, c, margin,
+                   row_number() OVER (PARTITION BY sid
+                       ORDER BY margin DESC, tid ASC) AS bs,
+                   row_number() OVER (PARTITION BY tid
+                       ORDER BY margin DESC, sid ASC) AS bt
+            FROM filt
+        )
+        SELECT sid AS src_id, tid AS tgt_id,
+               round(c, 6) AS cosine, round(margin, 6) AS margin
+        FROM best WHERE bs = 1 AND bt = 1
+    """,
     'q_bloom_decontaminate': """
         -- Replays the 1024-bit / 3-hash Bloom filter bit-exactly:
         -- same md5 60-bit-prefix positions, same 32-bit lanes

@@ -182,3 +182,22 @@ class TestWildcardRules:
         plan = crawl_allowed(df, 'url', rules)._jdf \
             .queryExecution().executedPlan().toString()
         assert 'Python' not in plan
+
+
+class TestRobotsSitemaps:
+    def test_group_independent_discovery(self, spark_session):
+        from ons_utils_spark.operators.robots import robots_sitemaps
+        txt = ('Sitemap: https://h.com/before-any-group.xml\n'
+               'User-agent: googlebot\nDisallow: /\n'
+               'sitemap: https://h.com/mid.xml  # comment\n'
+               'User-agent: *\nDisallow: /x\n'
+               'SITEMAP: https://h.com/last.xml\n'
+               'NotASitemap: https://h.com/no.xml\n')
+        df = spark_session.createDataFrame(
+            [('h.com', txt)], 'host string, robots_txt string')
+        got = {r['sitemap_url'] for r in robots_sitemaps(df).collect()}
+        # found anywhere in the file, any directive case, comments
+        # stripped; non-sitemap directives ignored
+        assert got == {'https://h.com/before-any-group.xml',
+                       'https://h.com/mid.xml',
+                       'https://h.com/last.xml'}

@@ -522,3 +522,56 @@ class TestQuantizeEmbeddings:
         plan = quantize_embeddings(df)._jdf \
             .queryExecution().executedPlan().toString()
         assert 'Python' not in plan and 'Exchange' not in plan
+
+
+class TestBitextMine:
+    """Margin-based bitext mining (Artetxe & Schwenk ratio margin)."""
+
+    def _frames(self, spark):
+        # 3 source vectors with near-copies on the target side, plus
+        # a hub direction many targets share (uniformly close to
+        # everything) that raw cosine would over-select.
+        import math
+        src = [(0, [1.0, 0.0, 0.0, 0.0]),
+               (1, [0.0, 1.0, 0.0, 0.0]),
+               (2, [0.0, 0.0, 1.0, 0.0])]
+        c = 1 / math.sqrt(2)
+        tgt = [(100, [0.995, 0.0998, 0.0, 0.0]),   # ~src 0
+               (101, [0.0998, 0.995, 0.0, 0.0]),   # ~src 1
+               (102, [0.0, 0.0998, 0.995, 0.0]),   # ~src 2
+               (103, [c, c, 0.0, 0.0]),            # hub: close to 0+1
+               (104, [0.5, 0.5, 0.5, 0.5])]        # mild decoy
+        s = spark.createDataFrame(src, 'src_id long, embedding array<double>')
+        t = spark.createDataFrame(tgt, 'tgt_id long, embedding array<double>')
+        return s, t
+
+    def test_recovers_planted_pairs_mutually(self, spark_session):
+        from ons_utils_spark.operators.similarity import bitext_mine
+        s, t = self._frames(spark_session)
+        out = bitext_mine(s, t, k=2, threshold=1.0)
+        pairs = {(r['src_id'], r['tgt_id']) for r in out.collect()}
+        # each source pairs with its planted near-copy; the hub and
+        # decoy never win a MUTUAL margin contest
+        assert pairs == {(0, 100), (1, 101), (2, 102)}
+
+    def test_margin_demotes_hub(self, spark_session):
+        from ons_utils_spark.operators.similarity import bitext_mine
+        s, t = self._frames(spark_session)
+        out = {(r['src_id'], r['tgt_id']): r for r in
+               bitext_mine(s, t, k=2, threshold=0.0,
+                           mutual=False).collect()}
+        # hub 103's cosine with src 0 is high (~0.707) but its
+        # margin is deflated by its own crowded neighborhood
+        planted = out[(0, 100)]
+        hub = out.get((0, 103))
+        assert planted['margin'] > 1.0
+        assert hub is None or hub['margin'] < planted['margin']
+
+    def test_margin_definition(self, spark_session):
+        from ons_utils_spark.operators.similarity import bitext_mine
+        s, t = self._frames(spark_session)
+        rows = bitext_mine(s, t, k=2, threshold=0.0,
+                           mutual=False).collect()
+        for r in rows:
+            assert 0.0 < r['cosine'] <= 1.0001
+            assert r['margin'] > 0.0

@@ -141,6 +141,41 @@ def test_psl_default_path_matches_heuristic(spark_session):
     assert [r['domain'] for r in a] == [r['domain'] for r in b]
 
 
+class TestBundledPslSnapshot:
+    """The bundled fixture-scale PSL snapshot + loader."""
+
+    def test_loader_parses_snapshot(self):
+        sfx = web.load_public_suffixes()
+        # plain rules land, comments/blank lines don't
+        assert {'com', 'co.uk', 'com.cn', 'co.jp',
+                'github.io', 's3.amazonaws.com'} <= sfx
+        # wildcard and exception rules are skipped by contract
+        assert not any(s.startswith(('*', '!')) for s in sfx)
+        assert 'ck' not in sfx          # only *.ck / !www.ck listed
+        assert '' not in sfx
+        # fixture-scale, never corpus-scale
+        assert 100 < len(sfx) < 1000
+
+    def test_loader_reads_explicit_path(self, tmp_path):
+        p = tmp_path / 'psl.dat'
+        p.write_text('// c\n\nfoo\nbar.baz  // trailing\n*.w\n!e.w\n')
+        assert web.load_public_suffixes(str(p)) \
+            == frozenset({'foo', 'bar.baz'})
+
+    def test_snapshot_drives_exact_matching(self, spark_session):
+        got = _domains(spark_session, [
+            'https://news.bbc.co.uk/story',     # ICANN 2-label
+            'https://user.github.io/repo',      # private suffix
+            'https://shop.example.com.cn/',     # 2-label ccTLD
+            'https://x.y.example.de/',          # 1-label ccTLD
+            'https://foo.something.ck/',        # wildcard skipped ->
+                                                # '*' default rule
+        ], web.load_public_suffixes())
+        assert got == ['bbc.co.uk', 'user.github.io',
+                       'example.com.cn', 'example.de',
+                       'something.ck']
+
+
 def test_psl_rejects_overlong_suffix(spark_session):
     df = spark_session.createDataFrame([('https://x.com/',)],
                                        'url string')
@@ -317,3 +352,80 @@ def test_crawl_diff_statuses(spark_session):
         'u4': 'unchanged',  # NULL fingerprints compare null-safely
         'u5': 'added',
     }
+
+
+class TestParseSitemap:
+    XML = (
+        '<?xml version="1.0"?>\n<urlset>\n'
+        '<url>\n  <loc> https://a.com/1 </loc>\n'
+        '  <lastmod>2026-01-02</lastmod>\n'
+        '  <changefreq>daily</changefreq>\n'
+        '  <priority>0.8</priority>\n</url>\n'
+        '<url><loc>https://a.com/2</loc></url>\n'
+        '</urlset>')
+    IDX = ('<sitemapindex><sitemap>'
+           '<loc>https://a.com/s1.xml</loc>'
+           '<lastmod>2026-02-01</lastmod>'
+           '</sitemap></sitemapindex>')
+
+    def _parse(self, spark, xml):
+        df = spark.createDataFrame(
+            [('https://a.com/sitemap.xml', xml)],
+            'sitemap_url string, xml string')
+        return web.parse_sitemap(df).collect()
+
+    def test_urlset_fields_and_order(self, spark_session):
+        rows = sorted(self._parse(spark_session, self.XML),
+                      key=lambda r: r['pos'])
+        assert [(r['kind'], r['pos'], r['loc'], r['lastmod'],
+                 r['changefreq'], r['priority']) for r in rows] == [
+            ('urlset', 0, 'https://a.com/1', '2026-01-02',
+             'daily', 0.8),
+            ('urlset', 1, 'https://a.com/2', None, None, None),
+        ]
+
+    def test_sitemapindex_blocks(self, spark_session):
+        rows = self._parse(spark_session, self.IDX)
+        assert [(r['kind'], r['loc'], r['lastmod'])
+                for r in rows] == [
+            ('sitemapindex', 'https://a.com/s1.xml', '2026-02-01')]
+
+    def test_pure_codegen(self, spark_session):
+        df = spark_session.createDataFrame(
+            [('u', self.XML)], 'sitemap_url string, xml string')
+        plan = web.parse_sitemap(df)._jdf \
+            .queryExecution().executedPlan().toString()
+        assert 'Python' not in plan
+
+
+class TestExtractHtmlMeta:
+    def _meta(self, spark, html):
+        df = spark.createDataFrame([(html,)], 'html string')
+        return df.select(
+            web.extract_html_meta('html').alias('m')).first()['m']
+
+    def test_all_fields(self, spark_session):
+        m = self._meta(
+            spark_session,
+            '<!DOCTYPE html><HTML lang="fr"><head>'
+            '<TITLE>  Le Titre  </TITLE>'
+            '<meta name="description" content="une page">'
+            '<link rel="canonical" href="https://a.com/x">'
+            '</head><body>hi</body></html>')
+        assert (m['title'], m['description'],
+                m['canonical_url'], m['lang']) == (
+            'Le Titre', 'une page', 'https://a.com/x', 'fr')
+
+    def test_absent_fields_are_null(self, spark_session):
+        m = self._meta(spark_session,
+                       '<html><head><title>t</title></head></html>')
+        assert (m['title'], m['description'],
+                m['canonical_url'], m['lang']) == (
+            't', None, None, None)
+
+    def test_pure_codegen(self, spark_session):
+        df = spark_session.createDataFrame([('<html/>',)],
+                                           'html string')
+        plan = df.select(web.extract_html_meta('html'))._jdf \
+            .queryExecution().executedPlan().toString()
+        assert 'Python' not in plan
