@@ -529,3 +529,41 @@ def compression_ratio(col: ColumnOrName, level: int = 6) -> SparkCol:
         return texts.map(one)
 
     return _ratio(c)
+
+
+def zipf_slope(df, text_col: str = 'text', top_k: int = 1000):
+    """Zipf's-law fit over the corpus token frequency distribution:
+    ONE row ``(n_types, slope, intercept, freq_rank_corr)`` from a
+    log-log regression of frequency on rank over the ``top_k`` most
+    frequent tokens (rank ties broken by token, so the fit is
+    deterministic).  A healthy natural-language corpus sits near
+    slope -1 (Zipf 1949); boilerplate-heavy or template-generated
+    corpora flatten the head, deduplication failures fatten it —
+    this is the one-number corpus-health diagnostic a data pipeline
+    tracks per snapshot/source.
+
+    Scale shape: tokenize + explode + ONE token-keyed count with
+    map-side partials (the only corpus-sized shuffle).  The top-k
+    head is ``orderBy().limit(k)`` — Spark plans that as
+    TakeOrderedAndProject (per-partition heaps merged at the
+    driver), NEVER a single-task global sort of the vocabulary —
+    and only then does a window rank the k surviving rows (bounded
+    single partition by construction) before one regression
+    aggregate.
+    """
+    from pyspark.sql import Window
+
+    toks = (df.select(F.explode(tokenize(text_col)).alias('tok'))
+            .groupBy('tok').agg(F.count(F.lit(1)).alias('freq')))
+    w = Window.orderBy(F.col('freq').desc(), F.col('tok').asc())
+    head = (toks.orderBy(F.col('freq').desc(), F.col('tok').asc())
+            .limit(top_k)
+            .withColumn('rank', F.row_number().over(w)))
+    return head.agg(
+        F.count(F.lit(1)).alias('n_types'),
+        F.round(F.regr_slope(F.ln('freq'), F.ln('rank')), 6)
+        .alias('slope'),
+        F.round(F.regr_intercept(F.ln('freq'), F.ln('rank')), 6)
+        .alias('intercept'),
+        F.round(F.corr(F.ln('freq'), F.ln('rank')), 6)
+        .alias('freq_rank_corr'))

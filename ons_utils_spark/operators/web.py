@@ -491,3 +491,43 @@ def extract_html_meta(html) -> Column:
         .alias('canonical_url'),
         ex(r'(?is)<html\s[^>]*lang="([^"]*)"').alias('lang'),
     )
+
+
+def crawl_frontier(
+    df,
+    url_col: str = 'url',
+    host_col: str = 'host',
+    priority_col=None,
+    per_host_per_wave: int = 4,
+    max_per_host: 'int | None' = 10_000,
+):
+    """Politeness-scheduled fetch order for a crawl frontier:
+    ``(<url_col>, <host_col>, slot, wave)`` — ``slot`` is the URL's
+    1-based rank within its host (highest ``priority_col`` first,
+    URL as the deterministic tie-break), ``wave`` the 0-based fetch
+    round under at most ``per_host_per_wave`` same-host fetches per
+    round.  This is the standard frontier shape (Mercator-style
+    host queues): politeness is PER HOST, so scheduling is a
+    per-host ranking, never a global sort.
+
+    One shuffle (the host-keyed window).  Per-host row counts bound
+    the window state; ``max_per_host`` (default 10k) caps runaway
+    hosts — a crawl that wants more of one host re-enqueues next
+    cycle — keeping the worst window partition bounded by design
+    rather than by corpus luck.  Pass ``None`` to disable.
+    """
+    from pyspark.sql import Window
+
+    prio = (F.col(priority_col) if isinstance(priority_col, str)
+            else priority_col)
+    order = ([prio.desc()] if priority_col is not None else []) \
+        + [F.col(url_col).asc()]
+    w = Window.partitionBy(host_col).orderBy(*order)
+    out = (df.withColumn('slot', F.row_number().over(w))
+           .withColumn(
+               'wave',
+               ((F.col('slot') - 1) / per_host_per_wave)
+               .cast('long')))
+    if max_per_host is not None:
+        out = out.where(F.col('slot') <= max_per_host)
+    return out.select(url_col, host_col, 'slot', 'wave')

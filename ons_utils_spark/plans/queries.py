@@ -5416,6 +5416,44 @@ def q_bitext_mine(spark: SparkSession, sf_dir: str) -> SparkDF:
         F.round('margin', 6).alias('margin'))
 
 
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Politeness-scheduled crawl frontier (``web.crawl_frontier``,
+    NEW r14): the documents corpus as candidate URLs with an
+    arithmetic priority, ranked per host (priority desc, URL as the
+    deterministic tie-break) and cut into fetch waves of 4
+    same-host URLs each — the Mercator-style host-queue shape where
+    politeness is per-host ranking, never a global sort.  The
+    oracle replays the window arithmetic directly, so a
+    partitioning, ordering, tie-break, or wave-division bug breaks
+    the hash."""
+    from ..operators.web import crawl_frontier
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    urls = documents.select(
+        F.concat(F.lit('https://'), F.col('source'), F.lit('.com/'),
+                 F.col('lang'), F.lit('/doc'),
+                 F.col('doc_id').cast('string')).alias('url'),
+        F.concat(F.col('source'), F.lit('.com')).alias('host'),
+        (F.col('doc_id') % 13).alias('priority'))
+    return crawl_frontier(urls, 'url', 'host', 'priority',
+                          per_host_per_wave=4)
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Corpus-health diagnostic (``text.zipf_slope``, NEW r14): the
+    log-log regression of token frequency on rank over the 500 most
+    frequent tokens — the Zipf fit every corpus snapshot gets
+    tracked by (natural corpora sit near slope -1; template spam
+    flattens the head, dedup failures fatten it).  The only
+    corpus-sized shuffle is the token count; the top-k head is a
+    distributed TakeOrdered, and the oracle replays tokenization,
+    ranking (ties by token), and the regression in SQL."""
+    from ..operators.text import zipf_slope
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    return zipf_slope(documents, 'text', top_k=500)
+
+
 # --------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------
@@ -5436,11 +5474,13 @@ QUERIES: Dict[str, QueryFn] = {
     # 16 r11 fills; the whole registry stays in
     # oldest-driver-green-first order (prior registry order as
     # tie-break), so next round's window is always the tail of the
-    # staleness queue.  The 3 NEW r14 queries (never driver-verified)
+    # staleness queue.  The 5 NEW r14 queries (never driver-verified)
     # sort to the very front by the same rule.
     'q_sitemap_urls': q_sitemap_urls,
     'q_html_meta': q_html_meta,
     'q_bitext_mine': q_bitext_mine,
+    'q_crawl_frontier': q_crawl_frontier,
+    'q_zipf_slope': q_zipf_slope,
     # last driver-green: r9
     'q_salted_join': q_salted_join,
     'q_balanced_sample': q_balanced_sample,
@@ -5809,6 +5849,44 @@ _SIMHASH_PLANTED_DECISION_SQL = """
 
 ORACLES: Dict[str, str] = {
     # NEW r14 — closed-form replays of the planted fixtures.
+    'q_crawl_frontier': """
+        WITH urls AS (
+            SELECT 'https://' || source || '.com/' || lang || '/doc'
+                       || doc_id::VARCHAR AS url,
+                   source || '.com' AS host,
+                   doc_id % 13 AS priority
+            FROM documents
+        ), ranked AS (
+            SELECT url, host,
+                   row_number() OVER (PARTITION BY host
+                       ORDER BY priority DESC, url ASC) AS slot
+            FROM urls
+        )
+        SELECT url, host, slot,
+               CAST((slot - 1) // 4 AS BIGINT) AS wave
+        FROM ranked WHERE slot <= 10000
+    """,
+    'q_zipf_slope': """
+        WITH toks AS (
+            SELECT unnest(list_filter(string_split_regex(
+                       trim(text), '\\s+'), t -> t <> '')) AS tok
+            FROM documents
+        ), freqs AS (
+            SELECT tok, count(*) AS freq FROM toks GROUP BY tok
+        ), head AS (
+            SELECT freq,
+                   row_number() OVER (
+                       ORDER BY freq DESC, tok ASC) AS rank
+            FROM freqs
+            ORDER BY freq DESC, tok ASC LIMIT 500
+        )
+        SELECT count(*) AS n_types,
+               round(regr_slope(ln(freq), ln(rank)), 6) AS slope,
+               round(regr_intercept(ln(freq), ln(rank)), 6)
+                   AS intercept,
+               round(corr(ln(freq), ln(rank)), 6) AS freq_rank_corr
+        FROM head
+    """,
     'q_sitemap_urls': """
         -- Closed form of the planted sitemap fixture: positions,
         -- locs, and the optional fields come from the documents

