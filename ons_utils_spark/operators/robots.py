@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 from .web import url_host
 
 __all__ = ['parse_robots', 'crawl_allowed', 'url_path',
-           'robots_sitemaps']
+           'robots_sitemaps', 'crawl_delays']
 
 
 def url_path(url) -> Column:
@@ -203,3 +203,69 @@ def robots_sitemaps(
         lines.select('host', 'line_pos', url.alias('sitemap_url'))
         .where(F.col('sitemap_url') != '')
     )
+
+
+def crawl_delays(
+    df: SparkDF,
+    host_col: str = 'host',
+    txt_col: str = 'robots_txt',
+    user_agent: str = '*',
+    default_delay: float = 1.0,
+) -> SparkDF:
+    """``(host, crawl_delay)`` — the ``Crawl-delay`` (seconds, may
+    be fractional) of the group :func:`parse_robots` would select
+    for ``user_agent``, defaulting to ``default_delay`` for hosts
+    whose selected group has none.  Feed it to the frontier
+    scheduler: ``web.crawl_frontier``'s waves spaced
+    ``crawl_delay × per_host_per_wave`` apart give the fetch
+    timeline each host's policy asks for.
+
+    Same group-recovery windows as :func:`parse_robots` (KiB-scale
+    per host), one extra per-host ``min`` (the most conservative
+    delay wins when a group repeats the directive).
+    """
+    host = F.col(host_col)
+    lines = df.select(
+        host.alias('host'),
+        F.posexplode(F.split(F.col(txt_col), '\n'))
+        .alias('line_pos', 'raw'))
+    clean = F.trim(F.regexp_replace(F.col('raw'), '#.*$', ''))
+    directive = F.lower(
+        F.regexp_extract(clean, r'^([A-Za-z-]+)\s*:', 1))
+    value = F.trim(
+        F.regexp_extract(clean, r'^[A-Za-z-]+\s*:(.*)$', 1))
+    lines = lines.select(
+        'host', 'line_pos',
+        directive.alias('directive'), value.alias('value'))
+    is_ua = F.col('directive') == 'user-agent'
+    w = (Window.partitionBy('host').orderBy('line_pos')
+         .rowsBetween(Window.unboundedPreceding, 0))
+    prev_ua = F.lag(is_ua).over(
+        Window.partitionBy('host').orderBy('line_pos'))
+    group_start = is_ua & ~F.coalesce(prev_ua, F.lit(False))
+    lines = lines.withColumn(
+        'group_id', F.sum(group_start.cast('int')).over(w))
+    agent_rank = F.max(
+        F.when(is_ua & (F.lower(F.col('value'))
+                        == user_agent.lower()), 2)
+        .when(is_ua & (F.col('value') == '*'), 1)
+        .otherwise(0)
+    ).over(Window.partitionBy('host', 'group_id'))
+    best_rank = F.max(agent_rank).over(Window.partitionBy('host'))
+    delays = (
+        lines
+        .withColumn('agent_rank', agent_rank)
+        .withColumn('best_rank', best_rank)
+        .where((F.col('group_id') > 0)
+               & (F.col('agent_rank') == F.col('best_rank'))
+               & (F.col('agent_rank') > 0)
+               & (F.col('directive') == 'crawl-delay')
+               & F.col('value').rlike(r'^\d+(\.\d+)?$'))
+        .groupBy('host')
+        .agg(F.min(F.col('value').cast('double'))
+             .alias('crawl_delay')))
+    hosts = df.select(host.alias('host')).distinct()
+    return (hosts.join(delays, 'host', 'left')
+            .select('host',
+                    F.coalesce('crawl_delay', F.lit(default_delay))
+                    .alias('crawl_delay')))

@@ -48,6 +48,7 @@ __all__ = ['canonicalize_url', 'url_host', 'registrable_domain',
            'extract_links', 'extract_anchors',
            'outlink_domain_edges', 'anchor_texts', 'sniff_mime',
            'crawl_diff', 'parse_sitemap', 'extract_html_meta',
+           'extract_hreflang', 'crawl_frontier',
            'TRACKING_PARAM_RE', 'TWO_LABEL_SUFFIXES']
 
 # key pattern of query parameters dropped by canonicalization
@@ -531,3 +532,30 @@ def crawl_frontier(
     if max_per_host is not None:
         out = out.where(F.col('slot') <= max_per_host)
     return out.select(url_col, host_col, 'slot', 'wave')
+
+
+def extract_hreflang(html) -> Column:
+    """All ``<link rel="alternate" hreflang="..." href="...">``
+    pairs of a page — ``array<struct<lang:string, href:string>>``
+    in document order.  This is the URL-alignment signal for
+    mining multilingual page pairs (the STRAND recipe, Resnik &
+    Smith 2003): pages declaring each other as language alternates
+    are candidate bitext BEFORE any content scoring, so the
+    embedding miner (``similarity.bitext_mine``) starts from
+    page-aligned candidates instead of the full cross product.
+
+    Two chained codegen regex passes like :func:`extract_anchors`
+    (snippet extract, then per-snippet field extracts) — no UDF, no
+    shuffle; the same double-quoted, ``rel`` → ``hreflang`` →
+    ``href`` attribute-order contract as the rest of the module.
+    """
+    h = F.col(html) if isinstance(html, str) else html
+    snippet = (r'<link\s+rel="alternate"\s+hreflang="[^"]*"'
+               r'\s+href="[^"]*"')
+    tags = F.regexp_extract_all(h, F.lit(f'({snippet})'), 1)
+    return F.transform(
+        tags,
+        lambda t: F.struct(
+            F.regexp_extract(t, 'hreflang="([^"]*)"', 1)
+            .alias('lang'),
+            F.regexp_extract(t, 'href="([^"]*)"', 1).alias('href')))

@@ -5405,9 +5405,13 @@ def q_bitext_mine(spark: SparkSession, sf_dir: str) -> SparkDF:
     from ..operators.similarity import bitext_mine
 
     (embeddings,) = _t(spark, sf_dir, 'embeddings')
-    src = embeddings.where(F.col('vec_id') % 7 == 0).select(
+    # fixture sides sampled (1-in-20 / 1-in-2): exact scoring is
+    # quadratic in |src|x|tgt| by design (production swaps in ANN
+    # candidates); the sample keeps the bench query at ~1/6 of the
+    # full cross while still mining hundreds of pairs at sf0.1
+    src = embeddings.where(F.col('vec_id') % 20 == 0).select(
         F.col('vec_id').alias('src_id'), 'embedding')
-    tgt = embeddings.select(
+    tgt = embeddings.where(F.col('vec_id') % 2 == 0).select(
         (F.col('vec_id') + 100000).alias('tgt_id'), 'embedding')
     out = bitext_mine(src, tgt, k=4, threshold=1.0)
     return out.select(
@@ -5454,6 +5458,77 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> SparkDF:
     return zipf_slope(documents, 'text', top_k=500)
 
 
+def q_hreflang_pairs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """STRAND-style multilingual page alignment signal
+    (``web.extract_hreflang``, NEW r14): every document's planted
+    HTML declares two language alternates (languages and hrefs from
+    doc_id arithmetic, decoy canonical/stylesheet links planted to
+    be IGNORED), the extractor returns the (lang, href) structs in
+    document order, and posexplode flattens them.  The oracle
+    rebuilds both rows per document from the same arithmetic —
+    snippet regex, field extracts, ordering, and decoy-exclusion
+    bugs all break the hash."""
+    from ..operators import web
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    langs = F.array(F.lit('en'), F.lit('de'), F.lit('es'),
+                    F.lit('fr'), F.lit('zh'))
+
+    def alt(j):
+        lang_j = F.element_at(langs,
+                              ((F.col('doc_id') + j) % 5 + 1)
+                              .cast('int'))
+        return F.concat(
+            F.lit('<link rel="alternate" hreflang="'), lang_j,
+            F.lit('" href="https://'), F.col('source'),
+            F.lit('.com/'), lang_j, F.lit('/doc'),
+            F.col('doc_id').cast('string'), F.lit('">'))
+
+    html = F.concat(
+        F.lit('<html><head><link rel="canonical" '
+              'href="https://x.com/c">'),
+        alt(1),
+        F.lit('<link rel="stylesheet" href="/s.css">'),
+        alt(2),
+        F.lit('</head><body></body></html>'))
+    return (documents
+            .select('doc_id',
+                    F.posexplode(web.extract_hreflang(html))
+                    .alias('pos', 'a'))
+            .select('doc_id', 'pos',
+                    F.col('a.lang').alias('lang'),
+                    F.col('a.href').alias('href')))
+
+
+def q_crawl_delays(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Per-host politeness rates (``robots.crawl_delays``, NEW
+    r14): each source host's planted robots.txt carries a
+    ``googlebot`` group with Crawl-delay 60 (must be IGNORED for
+    agent ``*``), a ``*`` group whose delay lines vary by host
+    arithmetic — 2.5 on even hosts, an extra 7 on every third host
+    (the conservative ``min`` must win when both appear), a
+    non-numeric decoy on every fifth host (dropped by validation) —
+    and hosts with no valid delay fall back to the 1.0 default.
+    The oracle replays the CASE arithmetic per host."""
+    from ..operators import robots as rb
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    src_no = F.substring('source', 4, 10).cast('int')
+    hosts = documents.select('source').distinct().select(
+        F.concat(F.col('source'), F.lit('.com')).alias('host'),
+        F.concat(
+            F.lit('User-agent: googlebot\nCrawl-delay: 60\n'
+                  'Disallow: /\n\n'
+                  'User-agent: *\nDisallow: /tmp\n'),
+            F.when(src_no % 2 == 0, F.lit('Crawl-delay: 2.5\n'))
+            .otherwise(F.lit('')),
+            F.when(src_no % 3 == 0, F.lit('Crawl-delay: 7\n'))
+            .otherwise(F.lit('')),
+            F.when(src_no % 5 == 0, F.lit('Crawl-delay: fast\n'))
+            .otherwise(F.lit(''))).alias('robots_txt'))
+    return rb.crawl_delays(hosts)
+
+
 # --------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------
@@ -5474,13 +5549,15 @@ QUERIES: Dict[str, QueryFn] = {
     # 16 r11 fills; the whole registry stays in
     # oldest-driver-green-first order (prior registry order as
     # tie-break), so next round's window is always the tail of the
-    # staleness queue.  The 5 NEW r14 queries (never driver-verified)
+    # staleness queue.  The 7 NEW r14 queries (never driver-verified)
     # sort to the very front by the same rule.
     'q_sitemap_urls': q_sitemap_urls,
     'q_html_meta': q_html_meta,
     'q_bitext_mine': q_bitext_mine,
     'q_crawl_frontier': q_crawl_frontier,
     'q_zipf_slope': q_zipf_slope,
+    'q_hreflang_pairs': q_hreflang_pairs,
+    'q_crawl_delays': q_crawl_delays,
     # last driver-green: r9
     'q_salted_join': q_salted_join,
     'q_balanced_sample': q_balanced_sample,
@@ -5849,6 +5926,31 @@ _SIMHASH_PLANTED_DECISION_SQL = """
 
 ORACLES: Dict[str, str] = {
     # NEW r14 — closed-form replays of the planted fixtures.
+    'q_hreflang_pairs': """
+        WITH alts AS (
+            SELECT doc_id, j - 1 AS pos,
+                   list_extract(['en','de','es','fr','zh'],
+                                ((doc_id + j) % 5 + 1)::INT)
+                       AS lang,
+                   source
+            FROM documents, range(1, 3) t(j)
+        )
+        SELECT doc_id, pos::INT AS pos, lang,
+               'https://' || source || '.com/' || lang || '/doc' ||
+                   doc_id::VARCHAR AS href
+        FROM alts
+    """,
+    'q_crawl_delays': """
+        SELECT DISTINCT source || '.com' AS host,
+               CAST(CASE
+                   WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                       THEN 2.5
+                   WHEN CAST(substr(source, 4) AS INT) % 3 = 0
+                       THEN 7.0
+                   ELSE 1.0
+               END AS DOUBLE) AS crawl_delay
+        FROM documents
+    """,
     'q_crawl_frontier': """
         WITH urls AS (
             SELECT 'https://' || source || '.com/' || lang || '/doc'
@@ -5947,11 +6049,11 @@ ORACLES: Dict[str, str] = {
         -- best) — k and threshold pinned to the query's values.
         WITH s AS (
             SELECT vec_id AS sid, CAST(embedding AS DOUBLE[]) AS sv
-            FROM embeddings WHERE vec_id % 7 = 0
+            FROM embeddings WHERE vec_id % 20 = 0
         ), t AS (
             SELECT vec_id + 100000 AS tid,
                    CAST(embedding AS DOUBLE[]) AS tv
-            FROM embeddings
+            FROM embeddings WHERE vec_id % 2 = 0
         ), scored AS (
             SELECT sid, tid,
                    list_cosine_similarity(sv, tv) AS c

@@ -201,3 +201,35 @@ class TestRobotsSitemaps:
         assert got == {'https://h.com/before-any-group.xml',
                        'https://h.com/mid.xml',
                        'https://h.com/last.xml'}
+
+
+class TestCrawlDelays:
+    def test_group_selection_min_and_default(self, spark_session):
+        from ons_utils_spark.operators.robots import crawl_delays
+        rows = [
+            # googlebot delay ignored for *; * group has 2.5 then 7
+            ('a.com', 'User-agent: googlebot\nCrawl-delay: 60\n\n'
+                      'User-agent: *\nDisallow: /x\n'
+                      'Crawl-delay: 2.5\nCrawl-delay: 7\n'),
+            # invalid value -> default
+            ('b.com', 'User-agent: *\nCrawl-delay: fast\n'),
+            # no delay line at all -> default
+            ('c.com', 'User-agent: *\nDisallow: /p\n'),
+            # delay in an unselected group only -> default
+            ('d.com', 'User-agent: googlebot\nCrawl-delay: 9\n'),
+        ]
+        df = spark_session.createDataFrame(
+            rows, 'host string, robots_txt string')
+        got = {r['host']: r['crawl_delay']
+               for r in crawl_delays(df).collect()}
+        assert got == {'a.com': 2.5, 'b.com': 1.0,
+                       'c.com': 1.0, 'd.com': 1.0}
+
+    def test_specific_agent_delay(self, spark_session):
+        from ons_utils_spark.operators.robots import crawl_delays
+        df = spark_session.createDataFrame(
+            [('a.com', 'User-agent: googlebot\nCrawl-delay: 60\n\n'
+                       'User-agent: *\nCrawl-delay: 2\n')],
+            'host string, robots_txt string')
+        got = crawl_delays(df, user_agent='googlebot').first()
+        assert got['crawl_delay'] == 60.0

@@ -503,3 +503,27 @@ def test_zipf_slope_no_global_sort(spark_session):
         .queryExecution().executedPlan().toString()
     # top-k must plan as TakeOrdered, not a global Sort of the vocab
     assert 'TakeOrderedAndProject' in plan
+
+
+class TestExtractHreflang:
+    def test_pairs_in_order_decoys_ignored(self, spark_session):
+        html = ('<html><head>'
+                '<link rel="canonical" href="https://x.com/c">'
+                '<link rel="alternate" hreflang="de" '
+                'href="https://x.com/de">'
+                '<link rel="stylesheet" href="/s.css">'
+                '<link rel="alternate" hreflang="fr" '
+                'href="https://x.com/fr">'
+                '</head></html>')
+        df = spark_session.createDataFrame([(html,)], 'html string')
+        out = df.select(
+            web.extract_hreflang('html').alias('a')).first()['a']
+        assert [(r['lang'], r['href']) for r in out] == [
+            ('de', 'https://x.com/de'), ('fr', 'https://x.com/fr')]
+
+    def test_pure_codegen(self, spark_session):
+        df = spark_session.createDataFrame([('<html/>',)],
+                                           'html string')
+        plan = df.select(web.extract_hreflang('html'))._jdf \
+            .queryExecution().executedPlan().toString()
+        assert 'Python' not in plan
