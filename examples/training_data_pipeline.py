@@ -56,9 +56,26 @@ def robots_gate(documents: DataFrame) -> DataFrame:
                  F.lit('/page'),
                  (F.col('doc_id') % 50).cast('string')).alias('url'))
     fetchable = rb.crawl_allowed(urls, 'url', rb.parse_robots(hosts))
-    keep = (urls.join(fetchable.where(F.col('allowed')), on='url',
-                      how='left_semi')
-            .select('doc_id'))
+    allowed_urls = urls.join(fetchable.where(F.col('allowed')),
+                             on='url', how='left_semi')
+    # Fetch scheduling for the allowed frontier: per-host politeness
+    # waves (one host-keyed window) spaced by each host's effective
+    # Crawl-delay (1.0s default here — the planted policies carry
+    # none).  The makespan print shows the slowest host's timeline.
+    from ons_utils_spark.operators.web import crawl_frontier, url_host
+
+    frontier = crawl_frontier(
+        allowed_urls.withColumn('host', url_host('url')),
+        'url', 'host', per_host_per_wave=4)
+    delays = rb.crawl_delays(hosts)
+    makespan = (frontier.groupBy('host')
+                .agg(F.max('wave').alias('waves'))
+                .join(F.broadcast(delays), 'host')
+                .agg(F.max(F.col('waves') * 4 * F.col('crawl_delay'))
+                     .alias('sec')).first()['sec'])
+    print(f'frontier politeness makespan: ~{makespan:.0f}s at 4 '
+          'fetches/host/wave')
+    keep = allowed_urls.select('doc_id')
     return documents.join(keep, on='doc_id', how='left_semi')
 
 
