@@ -5529,6 +5529,67 @@ def q_crawl_delays(spark: SparkSession, sf_dir: str) -> SparkDF:
     return rb.crawl_delays(hosts)
 
 
+def q_phash_dedup(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Perceptual image dedup end-to-end (``multimodal.
+    perceptual_hashes`` → ``phash_duplicates``, query NEW r14 —
+    the operators shipped earlier with unit tests only): every 17th
+    document seeds a FAMILY of 2–4 byte-identical JPEGs (REAL
+    encode of a per-family seeded noise tile), all images decode →
+    DCT pHash → Hamming-banded pair join at ≤ 6 bits.  Identical
+    pixels give identical hashes under ANY correct implementation,
+    so within-family pairs are GUARANTEED (Hamming 0) and the
+    oracle replays the family arithmetic closed-form.  Cross-family
+    pairs would need two 64-bit pHashes of independent noise tiles
+    within 6 bits (~1e-10 per pair, deterministic per dataset) — a
+    LOUD guard checks that assumption each run, exactly like the
+    SimHash planted-family queries."""
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        encode_jpeg, perceptual_hashes, phash_duplicates)
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    fams = documents.filter(F.col('doc_id') % 17 == 0).select(
+        F.col('doc_id').alias('__m'),
+        (F.lit(2) + F.col('doc_id') % 3).alias('__n'))
+    members = fams.select(
+        '__m', F.explode(F.sequence(
+            F.lit(0), F.col('__n') - 1)).alias('__j')
+    ).select(
+        (F.col('__m') * 10 + F.col('__j')).alias('media_id'), '__m')
+
+    @F.pandas_udf('binary')
+    def build(m):
+        import numpy as np
+        out = []
+        for m_ in m:
+            # pattern depends ONLY on the family seed: every member
+            # is byte-identical, so pHashes match exactly
+            rng = np.random.default_rng(int(m_))
+            tile = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+            out.append(encode_jpeg(tile, quant=1))
+        return pd.Series(out)
+
+    media = members.select('media_id', build('__m').alias('payload'))
+    hashes = perceptual_hashes(media)
+    pairs = phash_duplicates(hashes, max_hamming=6)
+    rows = pairs.collect()  # bounded: ~3 pairs per planted family
+    got = {(r['id_a'], r['id_b']) for r in rows}
+    want = {(m * 10 + j1, m * 10 + j2)
+            for m, n in fams.collect()
+            for j1 in range(n) for j2 in range(j1 + 1, n)}
+    if got != want or any(r['hamming'] != 0 for r in rows):
+        raise ValueError(
+            'q_phash_dedup planted-family guard tripped: '
+            f'unexpected pairs {sorted(got - want)[:5]}, missing '
+            f'{sorted(want - got)[:5]} — either two independent '
+            'noise tiles pHash-collided within 6 bits (the ~1e-10 '
+            'event the oracle assumes away; reseed the family '
+            'pattern) or the decode/pHash/banding pipeline '
+            'regressed.')
+    return spark.createDataFrame(rows, pairs.schema)
+
+
 # --------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------
@@ -5549,7 +5610,7 @@ QUERIES: Dict[str, QueryFn] = {
     # 16 r11 fills; the whole registry stays in
     # oldest-driver-green-first order (prior registry order as
     # tie-break), so next round's window is always the tail of the
-    # staleness queue.  The 7 NEW r14 queries (never driver-verified)
+    # staleness queue.  The 8 NEW r14 queries (never driver-verified)
     # sort to the very front by the same rule.
     'q_sitemap_urls': q_sitemap_urls,
     'q_html_meta': q_html_meta,
@@ -5558,6 +5619,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_zipf_slope': q_zipf_slope,
     'q_hreflang_pairs': q_hreflang_pairs,
     'q_crawl_delays': q_crawl_delays,
+    'q_phash_dedup': q_phash_dedup,
     # last driver-green: r9
     'q_salted_join': q_salted_join,
     'q_balanced_sample': q_balanced_sample,
@@ -5926,6 +5988,23 @@ _SIMHASH_PLANTED_DECISION_SQL = """
 
 ORACLES: Dict[str, str] = {
     # NEW r14 — closed-form replays of the planted fixtures.
+    'q_phash_dedup': """
+        -- Within-family pairs of the planted byte-identical image
+        -- families (guaranteed Hamming 0); the Spark side's loud
+        -- guard enforces the no-cross-collision assumption.
+        WITH fams AS (
+            SELECT doc_id AS m, 2 + doc_id % 3 AS n
+            FROM documents WHERE doc_id % 17 = 0
+        ), mem AS (
+            -- n is 2..4; constant range + filter (DuckDB's range
+            -- table function takes no lateral column arguments)
+            SELECT m, m * 10 + j AS id
+            FROM fams, range(4) t(j)
+            WHERE j < n
+        )
+        SELECT a.id AS id_a, b.id AS id_b, 0 AS hamming
+        FROM mem a JOIN mem b ON a.m = b.m AND a.id < b.id
+    """,
     'q_hreflang_pairs': """
         WITH alts AS (
             SELECT doc_id, j - 1 AS pos,
