@@ -212,3 +212,47 @@ class TestSortMergePath:
         assert re.search(r'hashpartitioning\(o_orderkey', formatted)
         # partial aggregation still combines map-side above the join
         assert 'partial_sum' in formatted
+
+
+class TestRound14PlanGuards:
+    """Scale properties of the r14 surface."""
+
+    def test_html_meta_is_scan_side_projection(self, spark_session):
+        # one struct extract in the scan projection: no Python, no
+        # join, no aggregate exchange beyond the fixture's widen
+        plan = plan_of(spark_session, 'q_html_meta')
+        assert 'Python' not in plan
+        assert 'Join' not in plan
+
+    def test_sitemap_parse_has_no_python(self, spark_session):
+        plan = plan_of(spark_session, 'q_sitemap_urls')
+        assert 'Python' not in plan
+        assert 'SortMergeJoin' not in plan  # host-level joins stay
+        # broadcast (tiny per-host tables)
+
+    def test_bitext_candidates_join_broadcasts(self, spark_session):
+        # the target side and both hubness-mean frames broadcast;
+        # the only sort-merge-eligible shapes are the rank windows
+        plan = plan_of(spark_session, 'q_bitext_mine')
+        assert 'BroadcastNestedLoopJoin' in plan or \
+            'CartesianProduct' in plan  # the intended scored cross
+        assert 'SortMergeJoin' not in plan
+
+    def test_crawl_frontier_single_host_window(self, spark_session):
+        plan = plan_of(spark_session, 'q_crawl_frontier')
+        assert 'Python' not in plan
+        # the politeness rank is a host-keyed window — the exchange
+        # hash-partitions on host, and nothing plans a global
+        # (single-partition) sort of the frontier
+        assert plan.count('Window') >= 1
+        assert 'hashpartitioning(host' in plan
+        assert 'SinglePartition' not in plan
+
+    def test_zipf_topk_is_take_ordered(self, spark_session):
+        plan = plan_of(spark_session, 'q_zipf_slope')
+        assert 'TakeOrderedAndProject' in plan
+        assert 'partial_count' in plan  # map-side combine on tokens
+
+    def test_crawl_delays_no_python(self, spark_session):
+        plan = plan_of(spark_session, 'q_crawl_delays')
+        assert 'Python' not in plan
