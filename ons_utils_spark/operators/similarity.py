@@ -1067,3 +1067,51 @@ def bitext_mine(
     return out.select(
         F.col('__sid').alias(src_id), F.col('__tid').alias(tgt_id),
         'cosine', 'margin')
+
+
+def maxsim_topk(
+    docs: SparkDF,
+    queries: SparkDF,
+    k: int = 10,
+    doc_id: str = 'doc_id',
+    doc_vecs: str = 'token_vecs',
+    query_id: str = 'query_id',
+    query_vecs: str = 'token_vecs',
+) -> SparkDF:
+    """Late-interaction retrieval (ColBERT MaxSim — Khattab &
+    Zaharia, SIGIR 2020): per query, the top-k documents by
+    ``score(q, d) = Σ_{qt∈q} max_{dt∈d} ⟨qt, dt⟩`` over per-TOKEN
+    embedding matrices (``array<array<double>>`` columns) — the
+    retrieval scorer that keeps token-level interactions the single
+    pooled-vector cosine loses, standard for mining supervision
+    pairs and reranking candidates in retrieval training data.
+
+    Pure codegen: the whole MaxSim is nested higher-order array
+    expressions (``aggregate`` over query tokens of ``array_max``
+    of per-token ``zip_with`` dots) — no UDF, and every fold runs
+    in fixed array order so any engine with list lambdas replays
+    scores bit-exactly.  ``queries`` broadcasts (the small side by
+    construction); the corpus scans once, and the only shuffle is
+    the per-query top-k window on k-survivor rows.  At corpus
+    scale, front it with a pooled-vector ANN candidate stage
+    (``ivf_topk``/``lsh_topk`` on a mean-pooled column) and MaxSim
+    only the candidates — the scorer is candidate-source agnostic.
+    """
+    # disambiguate before the cross join: both sides may carry the
+    # same token-matrix column name
+    d = docs.select(F.col(doc_id), F.col(doc_vecs).alias('__dv'))
+    q = queries.select(F.col(query_id),
+                       F.col(query_vecs).alias('__qv'))
+    dot = lambda a, b: F.aggregate(  # noqa: E731 — local expr alias
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0), lambda s, x: s + x)
+    score = F.aggregate(
+        F.col('__qv'), F.lit(0.0),
+        lambda acc, qt: acc + F.array_max(
+            F.transform(F.col('__dv'), lambda dt: dot(qt, dt))))
+    scored = d.crossJoin(F.broadcast(q)).select(
+        F.col(query_id), F.col(doc_id), score.alias('maxsim'))
+    w = Window.partitionBy(query_id).orderBy(
+        F.col('maxsim').desc(), F.col(doc_id).asc())
+    return (scored.withColumn('__rk', F.row_number().over(w))
+            .filter(F.col('__rk') <= k).drop('__rk'))

@@ -5590,6 +5590,33 @@ def q_phash_dedup(spark: SparkSession, sf_dir: str) -> SparkDF:
     return spark.createDataFrame(rows, pairs.schema)
 
 
+def q_maxsim_topk(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Late-interaction retrieval (``similarity.maxsim_topk``, NEW
+    r14 — ColBERT MaxSim): each embedding reshaped into an 8-token
+    × 8-dim matrix (deterministic slicing, the standard trick for
+    exercising token-level scorers without a token encoder), four
+    planted queries score every document by Σ per-query-token max
+    dot product, top-10 each.  The oracle replays the ENTIRE nested
+    fold in SQL (list lambdas evaluate in fixed array order on both
+    engines), so scores — and therefore ranks and ties — match
+    bit-exactly; no planted-recall argument needed."""
+    from ..operators.similarity import maxsim_topk
+
+    (embeddings,) = _t(spark, sf_dir, 'embeddings')
+    tok = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda i: F.slice(F.col('embedding').cast('array<double>'),
+                          i * 8 + 1, 8))
+    docs = embeddings.select(
+        'vec_id', tok.alias('token_vecs')).where(F.col('vec_id') >= 4)
+    qs = embeddings.select(
+        F.col('vec_id').alias('query_id'),
+        tok.alias('token_vecs')).where(F.col('vec_id') < 4)
+    return maxsim_topk(
+        docs, qs, k=10, doc_id='vec_id').select(
+        'query_id', 'vec_id', F.round('maxsim', 6).alias('maxsim'))
+
+
 # --------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------
@@ -5610,7 +5637,7 @@ QUERIES: Dict[str, QueryFn] = {
     # 16 r11 fills; the whole registry stays in
     # oldest-driver-green-first order (prior registry order as
     # tie-break), so next round's window is always the tail of the
-    # staleness queue.  The 8 NEW r14 queries (never driver-verified)
+    # staleness queue.  The 9 NEW r14 queries (never driver-verified)
     # sort to the very front by the same rule.
     'q_sitemap_urls': q_sitemap_urls,
     'q_html_meta': q_html_meta,
@@ -5620,6 +5647,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_hreflang_pairs': q_hreflang_pairs,
     'q_crawl_delays': q_crawl_delays,
     'q_phash_dedup': q_phash_dedup,
+    'q_maxsim_topk': q_maxsim_topk,
     # last driver-green: r9
     'q_salted_join': q_salted_join,
     'q_balanced_sample': q_balanced_sample,
@@ -5988,6 +6016,31 @@ _SIMHASH_PLANTED_DECISION_SQL = """
 
 ORACLES: Dict[str, str] = {
     # NEW r14 — closed-form replays of the planted fixtures.
+    'q_maxsim_topk': """
+        -- Full MaxSim arithmetic replay: 8x8 token reshape, per
+        -- query-token max dot over doc tokens, sum, top-10 window.
+        WITH toks AS (
+            SELECT vec_id,
+                   list_transform(range(8), i -> list_slice(
+                       CAST(embedding AS DOUBLE[]),
+                       i * 8 + 1, i * 8 + 8)) AS tv
+            FROM embeddings
+        ), scored AS (
+            SELECT q.vec_id AS query_id, d.vec_id,
+                   list_sum(list_transform(q.tv, qt ->
+                       list_max(list_transform(d.tv, dt ->
+                           list_dot_product(qt, dt))))) AS maxsim
+            FROM toks d, toks q
+            WHERE q.vec_id < 4 AND d.vec_id >= 4
+        ), ranked AS (
+            SELECT query_id, vec_id, maxsim,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY maxsim DESC, vec_id ASC) AS rk
+            FROM scored
+        )
+        SELECT query_id, vec_id, round(maxsim, 6) AS maxsim
+        FROM ranked WHERE rk <= 10
+    """,
     'q_phash_dedup': """
         -- Within-family pairs of the planted byte-identical image
         -- families (guaranteed Hamming 0); the Spark side's loud

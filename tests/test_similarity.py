@@ -575,3 +575,35 @@ class TestBitextMine:
         for r in rows:
             assert 0.0 < r['cosine'] <= 1.0001
             assert r['margin'] > 0.0
+
+
+class TestMaxsimTopK:
+    def test_maxsim_scores_and_ranks(self, spark_session):
+        from ons_utils_spark.operators.similarity import maxsim_topk
+        # doc 1 matches both query tokens exactly; doc 2 matches one;
+        # doc 3 is orthogonal.  MaxSim = sum over query tokens of the
+        # best doc-token dot.
+        docs = spark_session.createDataFrame(
+            [(1, [[1.0, 0.0], [0.0, 1.0]]),
+             (2, [[1.0, 0.0], [1.0, 0.0]]),
+             (3, [[0.0, 0.0], [0.0, 0.0]])],
+            'doc_id long, token_vecs array<array<double>>')
+        qs = spark_session.createDataFrame(
+            [(10, [[1.0, 0.0], [0.0, 1.0]])],
+            'query_id long, token_vecs array<array<double>>')
+        out = {r['doc_id']: r['maxsim']
+               for r in maxsim_topk(docs, qs, k=3).collect()}
+        assert out == {1: 2.0, 2: 1.0, 3: 0.0}
+
+    def test_maxsim_is_pure_codegen_and_topk(self, spark_session):
+        from ons_utils_spark.operators.similarity import maxsim_topk
+        docs = spark_session.createDataFrame(
+            [(i, [[float(i), 1.0]]) for i in range(20)],
+            'doc_id long, token_vecs array<array<double>>')
+        qs = spark_session.createDataFrame(
+            [(0, [[1.0, 0.0]])],
+            'query_id long, token_vecs array<array<double>>')
+        df = maxsim_topk(docs, qs, k=5)
+        assert df.count() == 5
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert 'Python' not in plan
