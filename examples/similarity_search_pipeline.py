@@ -74,6 +74,24 @@ def main() -> None:
     print(f'retrieved={results.count()} rows for 5 queries')
     results.orderBy('query_id', F.col('pq_score').desc()).show(10)
 
+    # Late-interaction RERANK of the ANN candidates: reshape each
+    # 64-dim vector into an 8-token x 8-dim matrix and MaxSim-score
+    # only the retrieved ids — the two-stage ColBERT deployment
+    # shape (cheap pooled-vector candidates, token-level rerank).
+    from ons_utils_spark.operators.similarity import maxsim_topk
+    tok = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda i: F.slice(F.col('embedding').cast('array<double>'),
+                          i * 8 + 1, 8))
+    cand = corpus.join(
+        results.select(F.col('vec_id')).distinct(), 'vec_id',
+        'left_semi').select('vec_id', tok.alias('token_vecs'))
+    qtok = emb.limit(5).select(
+        F.col('vec_id').alias('query_id'), tok.alias('token_vecs'))
+    reranked = maxsim_topk(cand, qtok, k=3, doc_id='vec_id')
+    print('MaxSim rerank of the ANN candidates (top-3/query):')
+    reranked.orderBy('query_id', F.col('maxsim').desc()).show(15)
+
     write_parquet(results, os.path.join(out_dir, 'topk'))
     print(f'wrote {out_dir}')
 
