@@ -5630,68 +5630,14 @@ def q_maxsim_topk(spark: SparkSession, sf_dir: str) -> SparkDF:
 # as the suite grows.  New queries enter with no driver row and so
 # sort to the front automatically.
 QUERIES: Dict[str, QueryFn] = {
-    # -- round-14 verification window (first 50) ------------------
+    # -- round-15 verification window (first 50) ------------------
     # Mechanical oldest-verified-first rotation (the rule
-    # tools/gen_query_inventory.py proposes each round): the 33
-    # r9-stale queries lead, then the 1 r10 query (q_pagerank) and
-    # 16 r11 fills; the whole registry stays in
-    # oldest-driver-green-first order (prior registry order as
-    # tie-break), so next round's window is always the tail of the
-    # staleness queue.  The 9 NEW r14 queries (never driver-verified)
-    # sort to the very front by the same rule.
-    'q_sitemap_urls': q_sitemap_urls,
-    'q_html_meta': q_html_meta,
-    'q_bitext_mine': q_bitext_mine,
-    'q_crawl_frontier': q_crawl_frontier,
-    'q_zipf_slope': q_zipf_slope,
-    'q_hreflang_pairs': q_hreflang_pairs,
-    'q_crawl_delays': q_crawl_delays,
-    'q_phash_dedup': q_phash_dedup,
-    'q_maxsim_topk': q_maxsim_topk,
-    # last driver-green: r9
-    'q_salted_join': q_salted_join,
-    'q_balanced_sample': q_balanced_sample,
-    'q_connected_components': q_connected_components,
-    'q19_bracket_revenue': q19_bracket_revenue,
-    'q22_idle_customers': q22_idle_customers,
-    'q2_cheapest_supplier': q2_cheapest_supplier,
-    'q5_local_supplier': q5_local_supplier,
-    'q21_waiting_suppliers': q21_waiting_suppliers,
-    'q_winnow_dups': q_winnow_dups,
-    'q_contamination': q_contamination,
-    'q_rare_token_rate': q_rare_token_rate,
-    'q_length_histogram': q_length_histogram,
-    'q_except_customers': q_except_customers,
-    'q_funnel_stages': q_funnel_stages,
-    'q_sql_flag_year': q_sql_flag_year,
-    'q_quantile_ladder': q_quantile_ladder,
-    'q_first_touch': q_first_touch,
-    'q_calendar_gaps': q_calendar_gaps,
-    'q_price_rank_bands': q_price_rank_bands,
-    'q_regr_price_size': q_regr_price_size,
-    'q_rolling_revenue': q_rolling_revenue,
-    'q_hash_sample': q_hash_sample,
-    'q_fuzzy_parts': q_fuzzy_parts,
-    'q_bigrams_top': q_bigrams_top,
-    'q_entropy_tokens': q_entropy_tokens,
-    'q_skyline_suppliers': q_skyline_suppliers,
-    'q_funnel_events': q_funnel_events,
-    'q_ntile_deciles': q_ntile_deciles,
-    'q_mode_quantity': q_mode_quantity,
-    'q_latest_events': q_latest_events,
-    'q_minhash_dedup': q_minhash_dedup,
-    'q_simhash_dedup': q_simhash_dedup,
-    'q_minhash_dedup_verified': q_minhash_dedup_verified,
-    # last driver-green: r10
-    'q_pagerank': q_pagerank,
+    # tools/gen_query_inventory.py proposes each round): the 43
+    # r11-stale queries lead, then 7 r12 fills; the whole registry
+    # stays in oldest-driver-green-first order (prior registry
+    # order as tie-break), so next round's window is always the
+    # tail of the staleness queue.
     # last driver-green: r11
-    'q_embedding_index_probe': q_embedding_index_probe,
-    'q_incremental_embedding_dedup': q_incremental_embedding_dedup,
-    'q_video_meta': q_video_meta,
-    'q_mp4_keyframes': q_mp4_keyframes,
-    'q_global_shuffle': q_global_shuffle,
-    'q_mixture_interleave': q_mixture_interleave,
-    'q_keyframe_payloads': q_keyframe_payloads,
     'q_incremental_winnow_dedup': q_incremental_winnow_dedup,
     'q_training_shards': q_training_shards,
     'q_shard_resume': q_shard_resume,
@@ -5701,8 +5647,6 @@ QUERIES: Dict[str, QueryFn] = {
     'q8_market_share': q8_market_share,
     'q9_product_profit': q9_product_profit,
     'q10_returned_customers': q10_returned_customers,
-    # ---- below the 50-slot verification window ----
-    # last driver-green: r11
     'q11_important_parts': q11_important_parts,
     'q12_late_shipments': q12_late_shipments,
     'q13_order_distribution': q13_order_distribution,
@@ -5744,6 +5688,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_url_dedup_domains': q_url_dedup_domains,
     'q_incremental_url_dedup': q_incremental_url_dedup,
     'q_triangles': q_triangles,
+    # ---- below the 50-slot verification window ----
     'q_bfs_hops': q_bfs_hops,
     'q_rolling_anomaly': q_rolling_anomaly,
     'q_quality_checks': q_quality_checks,
@@ -5839,6 +5784,57 @@ QUERIES: Dict[str, QueryFn] = {
     'q_asof_tolerance': q_asof_tolerance,
     'q_lookup_join': q_lookup_join,
     'q_global_share': q_global_share,
+    # last driver-green: r14
+    'q_sitemap_urls': q_sitemap_urls,
+    'q_html_meta': q_html_meta,
+    'q_bitext_mine': q_bitext_mine,
+    'q_crawl_frontier': q_crawl_frontier,
+    'q_zipf_slope': q_zipf_slope,
+    'q_hreflang_pairs': q_hreflang_pairs,
+    'q_crawl_delays': q_crawl_delays,
+    'q_phash_dedup': q_phash_dedup,
+    'q_maxsim_topk': q_maxsim_topk,
+    'q_salted_join': q_salted_join,
+    'q_balanced_sample': q_balanced_sample,
+    'q_connected_components': q_connected_components,
+    'q19_bracket_revenue': q19_bracket_revenue,
+    'q22_idle_customers': q22_idle_customers,
+    'q2_cheapest_supplier': q2_cheapest_supplier,
+    'q5_local_supplier': q5_local_supplier,
+    'q21_waiting_suppliers': q21_waiting_suppliers,
+    'q_winnow_dups': q_winnow_dups,
+    'q_contamination': q_contamination,
+    'q_rare_token_rate': q_rare_token_rate,
+    'q_length_histogram': q_length_histogram,
+    'q_except_customers': q_except_customers,
+    'q_funnel_stages': q_funnel_stages,
+    'q_sql_flag_year': q_sql_flag_year,
+    'q_quantile_ladder': q_quantile_ladder,
+    'q_first_touch': q_first_touch,
+    'q_calendar_gaps': q_calendar_gaps,
+    'q_price_rank_bands': q_price_rank_bands,
+    'q_regr_price_size': q_regr_price_size,
+    'q_rolling_revenue': q_rolling_revenue,
+    'q_hash_sample': q_hash_sample,
+    'q_fuzzy_parts': q_fuzzy_parts,
+    'q_bigrams_top': q_bigrams_top,
+    'q_entropy_tokens': q_entropy_tokens,
+    'q_skyline_suppliers': q_skyline_suppliers,
+    'q_funnel_events': q_funnel_events,
+    'q_ntile_deciles': q_ntile_deciles,
+    'q_mode_quantity': q_mode_quantity,
+    'q_latest_events': q_latest_events,
+    'q_minhash_dedup': q_minhash_dedup,
+    'q_simhash_dedup': q_simhash_dedup,
+    'q_minhash_dedup_verified': q_minhash_dedup_verified,
+    'q_pagerank': q_pagerank,
+    'q_embedding_index_probe': q_embedding_index_probe,
+    'q_incremental_embedding_dedup': q_incremental_embedding_dedup,
+    'q_video_meta': q_video_meta,
+    'q_mp4_keyframes': q_mp4_keyframes,
+    'q_global_shuffle': q_global_shuffle,
+    'q_mixture_interleave': q_mixture_interleave,
+    'q_keyframe_payloads': q_keyframe_payloads,
 }
 
 
