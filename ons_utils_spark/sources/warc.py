@@ -114,13 +114,21 @@ def read_warc(
     names the offending files.  Split oversized deliveries (e.g.
     ``split --bytes`` on record boundaries, or re-cut with
     :func:`write_warc`) before ingest.
+
+    EAGER when ``max_file_bytes`` is set (the default): the
+    pre-scan runs a driver-side metadata collect at
+    DataFrame-CONSTRUCTION time — a deliberate fail-loud check, not
+    a plan deferral bug.  Both the pre-scan and the content read
+    share ONE loaded relation (one file listing).  Pass
+    ``max_file_bytes=None`` for a fully lazy plan.
     """
-    reader = (
+    listing = (
         spark.read.format('binaryFile')
-        .option('pathGlobFilter', '*.warc*'))
+        .option('pathGlobFilter', '*.warc*')
+        .load(path))
     if max_file_bytes is not None:
         bad = (
-            reader.load(path)
+            listing
             .select('path', 'length')
             .where(F.col('length') > max_file_bytes)
             .limit(5)
@@ -133,7 +141,7 @@ def read_warc(
                 f'{max_file_bytes}: {names} — binaryFile loads each '
                 'archive whole into one task; re-cut the archives '
                 'or raise/disable max_file_bytes explicitly')
-    files = reader.load(path).select('path', 'content')
+    files = listing.select('path', 'content')
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import gzip
@@ -201,13 +209,21 @@ def write_warc(
 
         from pyspark import TaskContext
 
+        import glob as _glob
+
         ctx = TaskContext.get()
         pid = ctx.partitionId()
         ext = '.warc.gz' if compress else '.warc'
-        final = os.path.join(path, f'part-{pid:05d}{ext}')
+        fname = f'part-{pid:05d}{ext}'
+        final = os.path.join(path, fname)
         # attempt-unique tmp: two concurrent attempts (speculation,
-        # retry racing a zombie) must never interleave into one file
-        tmp = f'{final}.{ctx.taskAttemptId()}.tmp'
+        # retry racing a zombie) must never interleave into one
+        # file.  DOT-prefixed so a leftover from a failed/losing
+        # attempt can never be ingested: Spark's file listing skips
+        # '.'/'_'-prefixed names, and read_warc's '*.warc*' glob
+        # cannot match a name that does not start with 'part-'.
+        tmp = os.path.join(
+            path, f'.{fname}.{ctx.taskAttemptId()}.tmp')
         os.makedirs(path, exist_ok=True)
         n_records = n_bytes = 0
         opener = gzip.open if compress else open
@@ -235,6 +251,16 @@ def write_warc(
                     n_records += 1
                     n_bytes += len(head) + len(body) + 4
         os.replace(tmp, final)
+        # best-effort sweep of losing-attempt tmps for this
+        # partition (speculative/zombie attempts that lost the
+        # rename race) — harmless if another attempt races the
+        # unlink, since tmps are invisible to readers anyway
+        for stale in _glob.glob(
+                os.path.join(path, f'.{fname}.*.tmp')):
+            try:
+                os.remove(stale)
+            except OSError:
+                pass
         yield pd.DataFrame([(final, n_records, n_bytes)],
                            columns=['path', 'n_records', 'n_bytes'])
 

@@ -54,6 +54,37 @@ class TestWarcRoundTrip:
         assert bytes(one['payload']).decode().startswith(
             'payload text 1')
 
+    def test_leftover_tmp_is_invisible_to_reader(
+            self, spark_session, pages, tmp_path):
+        """A losing/failed attempt's tmp file must never be ingested:
+        tmps are dot-prefixed (skipped by Spark's file listing and
+        unmatched by the '*.warc*' glob), and the winning attempt
+        sweeps siblings for its partition."""
+        path = str(tmp_path / 'w')
+        write_warc(
+            pages.repartitionByRange(2, 'target_uri'), path).collect()
+        # plant a partial archive as a zombie attempt's tmp AND a
+        # stale tmp for a partition that never committed
+        junk = b'WARC/1.0\r\nWARC-Type: response\r\n'  # truncated
+        for name in ('.part-00000.warc.77.tmp',
+                     '.part-00099.warc.12.tmp'):
+            with open(os.path.join(path, name), 'wb') as fh:
+                fh.write(junk)
+        assert read_warc(spark_session, path).count() == 40
+
+    def test_winner_sweeps_losing_tmps(self, spark_session, pages,
+                                       tmp_path):
+        path = str(tmp_path / 'w')
+        os.makedirs(path)
+        # pre-plant a losing attempt's tmp for partition 0; the real
+        # write must remove it after its own rename
+        stale = os.path.join(path, '.part-00000.warc.999.tmp')
+        open(stale, 'wb').write(b'partial')
+        write_warc(
+            pages.repartitionByRange(2, 'target_uri'), path).collect()
+        assert not os.path.exists(stale)
+        assert not glob.glob(os.path.join(path, '.*.tmp'))
+
     def test_rewrite_is_byte_stable(self, spark_session, pages,
                                     tmp_path):
         """Deterministic record ids + atomic rename: writing the
