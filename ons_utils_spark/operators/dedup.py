@@ -1613,6 +1613,40 @@ def simhash_index_probe(
 #: explicitly for exact small-corpus runs (the bench oracles do).
 DEFAULT_MAX_SHINGLE_DF = 10_000
 
+#: One-time-per-process flag for the default-cap notice below.
+_default_cap_warned = False
+
+#: Sentinel distinguishing "caller left the cap at its default"
+#: from an explicit ``max_shingle_df=10_000`` (which is silent).
+_CAP_UNSET = object()
+
+
+def _warn_default_shingle_cap(fn_name: str) -> None:
+    """One-time notice that the IMPLICIT hot-shingle cap is active.
+
+    The default changed from ``None`` (exact) to 10k: callers who
+    relied on the old exact default silently lose pairs whose only
+    similarity evidence is shingles with document frequency above
+    the cap.  The drop itself happens lazily executor-side, so call
+    time is the one reliable one-shot channel — warn when the
+    caller DIDN'T choose a cap (arg is the default object), once
+    per process.  Explicit ``max_shingle_df=10_000`` or ``None``
+    both silence it.
+    """
+    global _default_cap_warned
+    if _default_cap_warned:
+        return
+    _default_cap_warned = True
+    warnings.warn(
+        f'{fn_name}: hot-shingle cap defaults to '
+        f'max_shingle_df={DEFAULT_MAX_SHINGLE_DF} (changed from '
+        'None/exact): pairs whose similarity rests only on '
+        'shingles appearing in more documents than the cap are '
+        'dropped. Pass max_shingle_df=None for exact results on '
+        'small corpora, or an explicit cap to acknowledge. '
+        'This notice appears once per process.',
+        stacklevel=3)
+
 
 def ngram_jaccard_join(
     df: SparkDF,
@@ -1620,7 +1654,7 @@ def ngram_jaccard_join(
     text_col: str = 'text',
     shingle_n: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: Optional[int] = DEFAULT_MAX_SHINGLE_DF,
+    max_shingle_df: Optional[int] = _CAP_UNSET,  # type: ignore[assignment]
 ) -> SparkDF:
     """Exact all-pairs Jaccard >= threshold via shingle inverted index.
 
@@ -1631,7 +1665,12 @@ def ngram_jaccard_join(
     boilerplate-heavy corpus makes the self-join quadratic); exact
     for pairs whose similarity rests on rarer shingles.  Pass
     ``None`` to disable for exact runs on corpora known to be small.
+    Leaving the cap at its implicit default emits a once-per-process
+    notice (the default changed from ``None``/exact).
     """
+    if max_shingle_df is _CAP_UNSET:
+        _warn_default_shingle_cap('ngram_jaccard_join')
+        max_shingle_df = DEFAULT_MAX_SHINGLE_DF
     # Barrier right after shingle construction: '__sh' is consumed
     # twice (size + explode) and would otherwise be re-evaluated per
     # consumer. Hash shingles to 64-bit keys pre-shuffle: smaller
@@ -1689,7 +1728,7 @@ def containment_pairs(
     text_col: str = 'text',
     shingle_n: int = 3,
     threshold: float = 0.8,
-    max_shingle_df: Optional[int] = DEFAULT_MAX_SHINGLE_DF,
+    max_shingle_df: Optional[int] = _CAP_UNSET,  # type: ignore[assignment]
 ) -> SparkDF:
     """DIRECTED near-containment pairs: ``(id_a, id_b, containment)``
     where ``containment = |S(a) ∩ S(b)| / |S(a)| >= threshold``
@@ -1708,8 +1747,12 @@ def containment_pairs(
     directions are evaluated, only the contained-side threshold
     emits.  ``max_shingle_df`` caps hot shingles exactly as in the
     Jaccard join (on by default at :data:`DEFAULT_MAX_SHINGLE_DF`;
-    pass ``None`` for exact small-corpus runs).
+    pass ``None`` for exact small-corpus runs; the implicit default
+    emits a once-per-process notice).
     """
+    if max_shingle_df is _CAP_UNSET:
+        _warn_default_shingle_cap('containment_pairs')
+        max_shingle_df = DEFAULT_MAX_SHINGLE_DF
     sh = df.select(
         F.col(id_col).alias('__id'),
         F.transform(

@@ -1582,11 +1582,43 @@ class TestHotShingleCapDefault:
         import inspect
 
         from ons_utils_spark.operators import dedup as dd
+        # The signature default is a sentinel (so an IMPLICIT cap can
+        # be distinguished from an explicit 10k and warned once);
+        # it resolves to the documented constant.
         for fn in (dd.ngram_jaccard_join, dd.containment_pairs):
             sig = inspect.signature(fn)
             assert (sig.parameters['max_shingle_df'].default
-                    == dd.DEFAULT_MAX_SHINGLE_DF)
+                    is dd._CAP_UNSET)
         assert dd.DEFAULT_MAX_SHINGLE_DF == 10_000
+
+    def test_implicit_default_cap_warns_once(self, spark_session):
+        import warnings
+
+        from ons_utils_spark.operators import dedup as dd
+        df = spark_session.createDataFrame(
+            [(1, 'alpha beta gamma delta')], 'doc_id long, text string')
+        old = dd._default_cap_warned
+        try:
+            dd._default_cap_warned = False
+            with warnings.catch_warnings(record=True) as rec:
+                warnings.simplefilter('always')
+                dd.ngram_jaccard_join(df)          # implicit → warns
+                dd.containment_pairs(df)           # already warned
+                dd.ngram_jaccard_join(df, max_shingle_df=None)
+            hits = [w for w in rec
+                    if 'max_shingle_df' in str(w.message)]
+            assert len(hits) == 1
+            # explicit cap (even the same value) stays silent
+            dd._default_cap_warned = False
+            with warnings.catch_warnings(record=True) as rec:
+                warnings.simplefilter('always')
+                dd.ngram_jaccard_join(
+                    df, max_shingle_df=dd.DEFAULT_MAX_SHINGLE_DF)
+                dd.containment_pairs(df, max_shingle_df=None)
+            assert not [w for w in rec
+                        if 'max_shingle_df' in str(w.message)]
+        finally:
+            dd._default_cap_warned = old
 
     def test_cap_drops_boilerplate_evidence(self, spark_session):
         from ons_utils_spark.operators.dedup import (
