@@ -1003,6 +1003,8 @@ def bitext_mine(
     src_vec: str = 'embedding',
     tgt_vec: str = 'embedding',
     mutual: bool = True,
+    broadcast_side: str = 'tgt',
+    candidates: Optional[SparkDF] = None,
 ) -> SparkDF:
     """Margin-based parallel-corpus mining between two embedding
     sets: ``(src_id, tgt_id, cosine, margin)`` pairs whose RATIO
@@ -1020,22 +1022,48 @@ def bitext_mine(
     sides' best margin (ties broken by partner id, so decisions are
     deterministic and engine-replayable).
 
-    Scale shape: one broadcast cross score per direction (the
-    smaller side broadcast — same shape as :func:`cosine_topk`),
-    two per-side top-k windows, then joins on the pair candidates
-    (bounded by ``(|src| + |tgt|) × k`` rows, never |src|×|tgt|).
-    For corpus-scale sides, swap the exact scoring for
-    :func:`ivf_topk`/:func:`lsh_topk` candidates — margin and
-    mutual-best are top-k-source agnostic.
+    Scale shape: exact scoring is ONE broadcast cross —
+    ``broadcast_side`` picks which side is broadcast (default
+    ``'tgt'``; pass ``'src'`` when the source set is the small one,
+    or ``'auto'`` to count both sides EAGERLY and broadcast the
+    smaller) — then two per-side top-k windows and joins on the
+    pair candidates (bounded by ``(|src| + |tgt|) × k`` rows, never
+    |src|×|tgt|).  For corpus-scale sides pass ``candidates``: a
+    pre-joined ``(src_id, tgt_id)`` frame (e.g. from
+    :func:`ivf_topk`/:func:`lsh_topk` on both directions, or
+    hreflang page alignment) — only those pairs are scored (two
+    shuffle joins to fetch the vectors; no cross, no broadcast
+    requirement), and margin/mutual-best run on the candidate set,
+    which IS the Artetxe & Schwenk recipe (their k-NN candidates
+    come from FAISS).  k-nearest means are then means over each
+    side's k best CANDIDATE cosines.
     """
     s = src.select(F.col(src_id).alias('__sid'),
                    F.col(src_vec).cast('array<double>').alias('__sv'))
     t = tgt.select(F.col(tgt_id).alias('__tid'),
                    F.col(tgt_vec).cast('array<double>').alias('__tv'))
-    scored = s.crossJoin(F.broadcast(t)).select(
-        '__sid', '__tid',
-        cosine_similarity(F.col('__sv'), F.col('__tv'))
-        .alias('cosine'))
+    cos = cosine_similarity(F.col('__sv'), F.col('__tv'))
+    if candidates is not None:
+        pairs = (
+            candidates
+            .select(F.col(src_id).alias('__sid'),
+                    F.col(tgt_id).alias('__tid'))
+            .distinct()
+            .join(s, '__sid')
+            .join(t, '__tid'))
+    else:
+        if broadcast_side == 'auto':
+            broadcast_side = 'tgt' if t.count() <= s.count() \
+                else 'src'
+        if broadcast_side == 'tgt':
+            pairs = s.crossJoin(F.broadcast(t))
+        elif broadcast_side == 'src':
+            pairs = t.crossJoin(F.broadcast(s))
+        else:
+            raise ValueError(
+                "broadcast_side must be 'tgt', 'src' or 'auto', "
+                f'got {broadcast_side!r}')
+    scored = pairs.select('__sid', '__tid', cos.alias('cosine'))
     w_s = Window.partitionBy('__sid').orderBy(
         F.col('cosine').desc(), F.col('__tid').asc())
     w_t = Window.partitionBy('__tid').orderBy(
@@ -1077,6 +1105,7 @@ def maxsim_topk(
     doc_vecs: str = 'token_vecs',
     query_id: str = 'query_id',
     query_vecs: str = 'token_vecs',
+    candidates: Optional[SparkDF] = None,
 ) -> SparkDF:
     """Late-interaction retrieval (ColBERT MaxSim — Khattab &
     Zaharia, SIGIR 2020): per query, the top-k documents by
@@ -1093,9 +1122,12 @@ def maxsim_topk(
     scores bit-exactly.  ``queries`` broadcasts (the small side by
     construction); the corpus scans once, and the only shuffle is
     the per-query top-k window on k-survivor rows.  At corpus
-    scale, front it with a pooled-vector ANN candidate stage
-    (``ivf_topk``/``lsh_topk`` on a mean-pooled column) and MaxSim
-    only the candidates — the scorer is candidate-source agnostic.
+    scale pass ``candidates``: a pre-joined ``(query_id, doc_id)``
+    frame from a pooled-vector ANN stage (``ivf_topk``/``lsh_topk``
+    on a mean-pooled column) — only those pairs are MaxSim-scored
+    (two joins to fetch token matrices; the full cross never
+    materializes), and the top-k window ranks within the candidate
+    set.  The scorer is candidate-source agnostic either way.
     """
     # disambiguate before the cross join: both sides may carry the
     # same token-matrix column name
@@ -1109,7 +1141,16 @@ def maxsim_topk(
         F.col('__qv'), F.lit(0.0),
         lambda acc, qt: acc + F.array_max(
             F.transform(F.col('__dv'), lambda dt: dot(qt, dt))))
-    scored = d.crossJoin(F.broadcast(q)).select(
+    if candidates is not None:
+        pairs = (
+            candidates
+            .select(query_id, doc_id)
+            .distinct()
+            .join(d, doc_id)
+            .join(q, query_id))
+    else:
+        pairs = d.crossJoin(F.broadcast(q))
+    scored = pairs.select(
         F.col(query_id), F.col(doc_id), score.alias('maxsim'))
     w = Window.partitionBy(query_id).orderBy(
         F.col('maxsim').desc(), F.col(doc_id).asc())

@@ -576,6 +576,51 @@ class TestBitextMine:
             assert 0.0 < r['cosine'] <= 1.0001
             assert r['margin'] > 0.0
 
+    def test_broadcast_side_orientations_agree(self, spark_session):
+        from ons_utils_spark.operators.similarity import bitext_mine
+        s, t = self._frames(spark_session)
+        key = lambda rows: sorted(  # noqa: E731
+            (r['src_id'], r['tgt_id'], round(r['cosine'], 12),
+             round(r['margin'], 12)) for r in rows)
+        base = key(bitext_mine(s, t, k=2, threshold=0.0,
+                               mutual=False).collect())
+        flipped = key(bitext_mine(s, t, k=2, threshold=0.0,
+                                  mutual=False,
+                                  broadcast_side='src').collect())
+        auto = key(bitext_mine(s, t, k=2, threshold=0.0,
+                               mutual=False,
+                               broadcast_side='auto').collect())
+        assert base == flipped == auto
+        import pytest
+        with pytest.raises(ValueError, match='broadcast_side'):
+            bitext_mine(s, t, broadcast_side='both')
+
+    def test_candidates_path_agrees_with_cross(self, spark_session):
+        from ons_utils_spark.operators.similarity import bitext_mine
+        s, t = self._frames(spark_session)
+        # full cross as the candidate set → identical to the exact
+        # broadcast-cross path (margin/mutual are candidate-source
+        # agnostic)
+        cands = s.select('src_id').crossJoin(t.select('tgt_id'))
+        key = lambda rows: sorted(  # noqa: E731
+            (r['src_id'], r['tgt_id'], round(r['cosine'], 12),
+             round(r['margin'], 12)) for r in rows)
+        exact = key(bitext_mine(s, t, k=2, threshold=1.0).collect())
+        via_cands = key(bitext_mine(
+            s, t, k=2, threshold=1.0, candidates=cands).collect())
+        assert exact == via_cands and exact
+
+    def test_candidates_restrict_scoring(self, spark_session):
+        from ons_utils_spark.operators.similarity import bitext_mine
+        s, t = self._frames(spark_session)
+        # only one allowed pair → nothing else can be emitted, and
+        # duplicate candidate rows must not double-score
+        cands = spark_session.createDataFrame(
+            [(0, 100), (0, 100)], 'src_id long, tgt_id long')
+        out = bitext_mine(s, t, k=2, threshold=0.0,
+                          candidates=cands).collect()
+        assert [(r['src_id'], r['tgt_id']) for r in out] == [(0, 100)]
+
 
 class TestMaxsimTopK:
     def test_maxsim_scores_and_ranks(self, spark_session):
@@ -607,3 +652,28 @@ class TestMaxsimTopK:
         assert df.count() == 5
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert 'Python' not in plan
+
+    def test_maxsim_candidates_agree_and_restrict(self, spark_session):
+        from ons_utils_spark.operators.similarity import maxsim_topk
+        docs = spark_session.createDataFrame(
+            [(1, [[1.0, 0.0], [0.0, 1.0]]),
+             (2, [[1.0, 0.0], [1.0, 0.0]]),
+             (3, [[0.5, 0.5], [0.0, 0.0]])],
+            'doc_id long, token_vecs array<array<double>>')
+        qs = spark_session.createDataFrame(
+            [(10, [[1.0, 0.0], [0.0, 1.0]]),
+             (11, [[0.0, 1.0]])],
+            'query_id long, token_vecs array<array<double>>')
+        full = qs.select('query_id').crossJoin(docs.select('doc_id'))
+        key = lambda rows: sorted(  # noqa: E731
+            (r['query_id'], r['doc_id'], r['maxsim']) for r in rows)
+        exact = key(maxsim_topk(docs, qs, k=2).collect())
+        via = key(maxsim_topk(docs, qs, k=2,
+                              candidates=full).collect())
+        assert exact == via and exact
+        # restricted (and duplicated) candidates: only listed pairs
+        # are scored, ranked within the candidate set
+        some = spark_session.createDataFrame(
+            [(10, 2), (10, 2), (11, 3)], 'query_id long, doc_id long')
+        got = key(maxsim_topk(docs, qs, k=2, candidates=some).collect())
+        assert got == [(10, 2, 1.0), (11, 3, 0.5)]
