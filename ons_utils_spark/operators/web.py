@@ -210,20 +210,47 @@ def with_registrable_domain(df, url_col: str, out_col: str = 'domain',
     return out.withColumn(out_col, expr).drop(*drop)
 
 
-def extract_links(html) -> Column:
-    """All ``href="..."`` targets of an HTML page, in document order
-    (``array<string>``) — one ``regexp_extract_all`` inside
-    whole-stage codegen, no UDF.
+def _tag_attr(t, name: str):
+    """Value of attribute ``name`` inside one tag snippet ``t``,
+    regardless of attribute ORDER and of single- vs double-QUOTING
+    (real-world HTML violates both constantly; requiring
+    double-quotes-in-fixed-order silently drops a large fraction of
+    a real crawl).  Two codegen ``regexp_extract`` passes coalesced
+    — the double-quoted form first, so values may contain the other
+    quote character — NULL when the attribute is absent or empty.
+    Patterns are RE2-safe (no lookaround/backreferences) so any
+    engine replays them.
+    """
+    dq = F.regexp_extract(t, rf'(?is)\b{name}\s*=\s*"([^"]*)"', 1)
+    sq = F.regexp_extract(t, rf"(?is)\b{name}\s*=\s*'([^']*)'", 1)
+    return F.nullif(
+        F.when(dq != '', dq).otherwise(sq), F.lit(''))
 
-    Documented contract: double-quoted ``href`` attributes only
-    (the form every serializer emits); single-quoted or unquoted
-    attributes and ``srcset``-style multi-URL attributes are out of
-    scope — a real-HTML crawl normalizes quoting upstream.  The
-    pattern is engine-portable (no lookbehind) so an oracle replays
-    it verbatim.
+
+def _attr_is(t, name: str, value: str):
+    """True when tag snippet ``t`` carries ``name="<value>"`` (either
+    quoting, any attribute position, case-insensitive value)."""
+    return t.rlike(
+        rf'(?is)\b{name}\s*=\s*["\']{value}["\']')
+
+
+def extract_links(html) -> Column:
+    """All ``href=...`` targets of an HTML page, in document order
+    (``array<string>``) — one ``regexp_extract_all`` plus a
+    quote-stripping ``transform``, all inside whole-stage codegen,
+    no UDF.
+
+    Both quoting styles are accepted (``href="u"`` / ``href='u'``,
+    any attribute position); unquoted attributes and
+    ``srcset``-style multi-URL attributes are out of scope.  The
+    patterns are engine-portable (no lookbehind) so an oracle
+    replays them verbatim.
     """
     h = F.col(html) if isinstance(html, str) else html
-    return F.regexp_extract_all(h, F.lit('href="([^"]*)"'), 1)
+    raw = F.regexp_extract_all(
+        h, F.lit('(?i)\\bhref\\s*=\\s*("[^"]*"|\'[^\']*\')'), 1)
+    return F.transform(
+        raw, lambda v: F.regexp_replace(v, '^["\']|["\']$', ''))
 
 
 def extract_anchors(html) -> Column:
@@ -231,20 +258,24 @@ def extract_anchors(html) -> Column:
     ``array<struct<url:string, text:string>>`` in document order.
 
     Two chained codegen regex passes, no UDF: extract whole
-    ``<a ...href="...">text</a>`` snippets, then split each into its
-    href and inner text.  Same documented contract as
-    :func:`extract_links` (double-quoted href) plus: the inner text
-    must be markup-free (``[^<]*`` — nested elements end the
-    capture), the standard shape of link text in the wild.
+    ``<a ...>text</a>`` snippets, keep those carrying an ``href``
+    (either quoting, any attribute position), then split each into
+    its href and inner text.  The inner text must be markup-free
+    (``[^<]*`` — nested elements end the capture), the standard
+    shape of link text in the wild.
     """
     h = F.col(html) if isinstance(html, str) else html
-    snippet = r'<a\s[^>]*href="[^"]*"[^>]*>[^<]*</a>'
-    tags = F.regexp_extract_all(h, F.lit(f'({snippet})'), 1)
+    snippet = r'<a\s[^>]*>[^<]*</a>'
+    tags = F.filter(
+        F.regexp_extract_all(h, F.lit(f'(?i)({snippet})'), 1),
+        lambda t: t.rlike(
+            '(?is)\\bhref\\s*=\\s*("[^"]*"|\'[^\']*\')'))
     return F.transform(
         tags,
         lambda t: F.struct(
-            F.regexp_extract(t, 'href="([^"]*)"', 1).alias('url'),
-            F.regexp_extract(t, '>([^<]*)</a>$', 1).alias('text')))
+            _tag_attr(t, 'href').alias('url'),
+            F.regexp_extract(t, '(?is)>([^<]*)</a>$', 1)
+            .alias('text')))
 
 
 def anchor_texts(df, html_col: str):
@@ -471,26 +502,36 @@ def extract_html_meta(html) -> Column:
     search/dedup signals, canonical links feed URL dedup, ``lang``
     attributes feed language routing ahead of content language-ID).
 
-    One codegen projection, no UDF.  Documented contract (the same
-    double-quoted-attribute discipline as :func:`extract_links`):
-    attributes double-quoted, ``name``/``rel`` before ``content``/
-    ``href`` (the order every serializer emits); title text
-    markup-free.  Case-insensitive tags, absent fields NULL.
+    One codegen projection, no UDF — tag snippets are extracted
+    first, then independent per-attribute regexes
+    (:func:`_tag_attr`), so attribute ORDER and single- vs
+    double-QUOTING don't drop data (real HTML violates the
+    serializer-order/double-quote conventions constantly).  Title
+    text must be markup-free; case-insensitive tags; absent fields
+    NULL; the FIRST matching tag wins when a page repeats one.
     """
     h = F.col(html) if isinstance(html, str) else html
 
-    def ex(pattern):
-        return F.nullif(
-            F.regexp_extract(h, pattern, 1), F.lit(''))
+    def first_tag(tag: str, pred):
+        snips = F.regexp_extract_all(
+            h, F.lit(rf'(?is)(<{tag}\b[^>]*>)'), 1)
+        return F.try_element_at(F.filter(snips, pred), F.lit(1))
 
+    meta_desc = first_tag(
+        'meta', lambda t: _attr_is(t, 'name', 'description'))
+    link_canon = first_tag(
+        'link', lambda t: _attr_is(t, 'rel', 'canonical'))
+    html_tag = F.try_element_at(
+        F.regexp_extract_all(h, F.lit(r'(?is)(<html\b[^>]*>)'), 1),
+        F.lit(1))
     return F.struct(
-        ex(r'(?is)<title[^>]*>\s*([^<]*?)\s*</title>')
-        .alias('title'),
-        ex(r'(?is)<meta\s+name="description"\s+content="([^"]*)"')
-        .alias('description'),
-        ex(r'(?is)<link\s+rel="canonical"\s+href="([^"]*)"')
-        .alias('canonical_url'),
-        ex(r'(?is)<html\s[^>]*lang="([^"]*)"').alias('lang'),
+        F.nullif(
+            F.regexp_extract(
+                h, r'(?is)<title[^>]*>\s*([^<]*?)\s*</title>', 1),
+            F.lit('')).alias('title'),
+        _tag_attr(meta_desc, 'content').alias('description'),
+        _tag_attr(link_canon, 'href').alias('canonical_url'),
+        _tag_attr(html_tag, 'lang').alias('lang'),
     )
 
 
@@ -545,17 +586,20 @@ def extract_hreflang(html) -> Column:
     page-aligned candidates instead of the full cross product.
 
     Two chained codegen regex passes like :func:`extract_anchors`
-    (snippet extract, then per-snippet field extracts) — no UDF, no
-    shuffle; the same double-quoted, ``rel`` → ``hreflang`` →
-    ``href`` attribute-order contract as the rest of the module.
+    (ALL ``<link>`` snippets first, then a predicate filter plus
+    independent per-attribute extracts) — no UDF, no shuffle, and
+    no attribute-order or quoting requirement: ``rel``/``hreflang``/
+    ``href`` may appear in any order, single- or double-quoted
+    (real-world serializers emit both).
     """
     h = F.col(html) if isinstance(html, str) else html
-    snippet = (r'<link\s+rel="alternate"\s+hreflang="[^"]*"'
-               r'\s+href="[^"]*"')
-    tags = F.regexp_extract_all(h, F.lit(f'({snippet})'), 1)
+    tags = F.filter(
+        F.regexp_extract_all(
+            h, F.lit(r'(?is)(<link\b[^>]*>)'), 1),
+        lambda t: (_attr_is(t, 'rel', 'alternate')
+                   & t.rlike(r'(?is)\bhreflang\s*=')))
     return F.transform(
         tags,
         lambda t: F.struct(
-            F.regexp_extract(t, 'hreflang="([^"]*)"', 1)
-            .alias('lang'),
-            F.regexp_extract(t, 'href="([^"]*)"', 1).alias('href')))
+            _tag_attr(t, 'hreflang').alias('lang'),
+            _tag_attr(t, 'href').alias('href')))

@@ -4833,14 +4833,18 @@ def q_outlink_graph(spark: SparkSession, sf_dir: str) -> SparkDF:
     t = d.select(F.col('doc_id').alias('tgt_id'),
                  F.col('source').alias('tgt_source'),
                  F.col('lang').alias('tgt_lang'))
+    # quote style varies by target parity (r15): the link
+    # extractor must accept single- and double-quoted hrefs alike
+    quo = F.when(F.col('tgt_id') % 2 == 0, F.lit('"')) \
+        .otherwise(F.lit("'"))
     href = F.concat(
-        F.lit('<p>see <a href="HtTpS://WWW.'),
+        F.lit('<p>see <a href='), quo, F.lit('HtTpS://WWW.'),
         F.col('tgt_source'), F.lit('.CoM:443/'),
         F.col('tgt_lang'), F.lit('/page'),
         (F.col('tgt_id') % 25).cast('string'),
         F.when(F.col('tgt_id') % 3 == 0, F.lit('?utm_source=x'))
         .otherwise(F.lit('')),
-        F.lit('#s">link</a></p>'))
+        F.lit('#s'), quo, F.lit('>link</a></p>'))
     pages = (
         links.join(t, 'tgt_id')
         .groupBy('src_id', 'src_source')
@@ -5043,12 +5047,21 @@ def q_anchor_texts(spark: SparkSession, sf_dir: str) -> SparkDF:
     t = d.select(F.col('doc_id').alias('tgt_id'),
                  F.col('source').alias('tgt_source'),
                  F.col('lang').alias('tgt_lang'))
+    # quoting and attribute position vary by target parity (r15):
+    # even targets keep class-before-double-quoted-href; odd emit
+    # single-quoted href first, class after
+    url = F.concat(
+        F.lit('HtTpS://WWW.'), F.col('tgt_source'),
+        F.lit('.CoM:443/'), F.col('tgt_lang'), F.lit('/page'),
+        (F.col('tgt_id') % 25).cast('string'), F.lit('#x'))
     anchor = F.concat(
-        F.lit('<a class="r" href="HtTpS://WWW.'),
-        F.col('tgt_source'), F.lit('.CoM:443/'),
-        F.col('tgt_lang'), F.lit('/page'),
-        (F.col('tgt_id') % 25).cast('string'),
-        F.lit('#x">from '), F.col('src_source'), F.lit('</a>'))
+        F.when(F.col('tgt_id') % 2 == 0,
+               F.concat(F.lit('<a class="r" href="'), url,
+                        F.lit('">')))
+        .otherwise(
+            F.concat(F.lit("<a href='"), url,
+                     F.lit("' class='r'>"))),
+        F.lit('from '), F.col('src_source'), F.lit('</a>'))
     pages = (
         links.join(t, 'tgt_id')
         .groupBy('src_id')
@@ -5350,35 +5363,57 @@ def q_html_meta(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Head-metadata extraction (``web.extract_html_meta``, NEW
     r14): per-document HTML synthesized closed-form — lang
     attribute, whitespace-padded title, and meta-description /
-    canonical-link tags each ABSENT on an arithmetic subset — then
-    the struct extractor flattens back to columns.  The oracle
-    rebuilds every field from the documents arithmetic without
-    parsing HTML, so a regex, trim, case-folding, or NULL-for-absent
-    bug breaks the hash.  The extractor is a single codegen
-    projection (no UDF, no shuffle)."""
+    canonical-link tags each ABSENT on an arithmetic subset, with
+    attribute ORDER and QUOTING varying by id parity (swapped-order
+    single-quoted forms on even ids — r15) — then the struct
+    extractor flattens back to columns.  The oracle rebuilds every
+    field from the documents arithmetic without parsing HTML, so a
+    regex, trim, case-folding, NULL-for-absent, or
+    attribute-order/quoting bug breaks the hash.  The extractor is
+    a single codegen projection (no UDF, no shuffle)."""
     from ..operators import web
 
     (documents,) = _t(spark, sf_dir, 'documents')
     pg = (F.col('doc_id') % 25).cast('string')
+    # attribute ORDER and QUOTING vary by doc arithmetic (swapped /
+    # single-quoted on even ids, the serializer-conventional form on
+    # odd) — the extractor must be insensitive to both; the oracle
+    # rebuilds the VALUES only, so a form-sensitive regex breaks
+    # the hash on half the corpus
+    desc_val = F.concat(F.col('lang'), F.lit(' page '), pg)
+    desc_tag = F.when(
+        F.col('doc_id') % 2 == 0,
+        F.concat(F.lit('<meta content="'), desc_val,
+                 F.lit("\" name='description'>"))
+    ).otherwise(
+        F.concat(F.lit('<meta name="description" content="'),
+                 desc_val, F.lit('">')))
+    canon_val = F.concat(
+        F.lit('https://'), F.col('source'), F.lit('.com/'),
+        F.col('lang'), F.lit('/page'), pg)
+    canon_tag = F.when(
+        F.col('doc_id') % 2 == 0,
+        F.concat(F.lit("<link href='"), canon_val,
+                 F.lit("' rel='canonical'>"))
+    ).otherwise(
+        F.concat(F.lit('<link rel="canonical" href="'), canon_val,
+                 F.lit('">')))
+    html_open = F.when(
+        F.col('doc_id') % 5 == 0,
+        F.concat(F.lit('<HTML data-theme="x" lang=\''),
+                 F.col('lang'), F.lit("'>"))
+    ).otherwise(
+        F.concat(F.lit('<HTML lang="'), F.col('lang'),
+                 F.lit('">')))
     html = F.concat(
-        F.lit('<!DOCTYPE html><HTML lang="'), F.col('lang'),
-        F.lit('"><head><TITLE>  Doc '),
+        F.lit('<!DOCTYPE html>'), html_open,
+        F.lit('<head><TITLE>  Doc '),
         F.col('doc_id').cast('string'),
         F.lit(' of '), F.col('source'), F.lit('  </TITLE>'),
         F.coalesce(
-            F.when(F.col('doc_id') % 4 != 0,
-                   F.concat(F.lit('<meta name="description" '
-                                  'content="'), F.col('lang'),
-                            F.lit(' page '), pg, F.lit('">'))),
-            F.lit('')),
+            F.when(F.col('doc_id') % 4 != 0, desc_tag), F.lit('')),
         F.coalesce(
-            F.when(F.col('doc_id') % 3 != 0,
-                   F.concat(F.lit('<link rel="canonical" '
-                                  'href="https://'),
-                            F.col('source'), F.lit('.com/'),
-                            F.col('lang'), F.lit('/page'), pg,
-                            F.lit('">'))),
-            F.lit('')),
+            F.when(F.col('doc_id') % 3 != 0, canon_tag), F.lit('')),
         F.lit('</head><body><p>'),
         F.substring('text', 1, 40), F.lit('</p></body></html>'))
     meta = documents.select(
@@ -5462,12 +5497,14 @@ def q_hreflang_pairs(spark: SparkSession, sf_dir: str) -> SparkDF:
     """STRAND-style multilingual page alignment signal
     (``web.extract_hreflang``, NEW r14): every document's planted
     HTML declares two language alternates (languages and hrefs from
-    doc_id arithmetic, decoy canonical/stylesheet links planted to
-    be IGNORED), the extractor returns the (lang, href) structs in
-    document order, and posexplode flattens them.  The oracle
-    rebuilds both rows per document from the same arithmetic —
-    snippet regex, field extracts, ordering, and decoy-exclusion
-    bugs all break the hash."""
+    doc_id arithmetic; decoy canonical/stylesheet links AND an
+    hreflang-less rel="alternate" feed link planted to be IGNORED;
+    the second alternate written attribute-SWAPPED and
+    single-QUOTED — r15), the extractor returns the (lang, href)
+    structs in document order, and posexplode flattens them.  The
+    oracle rebuilds both rows per document from the same arithmetic
+    — snippet regex, field extracts, ordering, quoting/order
+    insensitivity, and decoy-exclusion bugs all break the hash."""
     from ..operators import web
 
     (documents,) = _t(spark, sf_dir, 'documents')
@@ -5478,11 +5515,19 @@ def q_hreflang_pairs(spark: SparkSession, sf_dir: str) -> SparkDF:
         lang_j = F.element_at(langs,
                               ((F.col('doc_id') + j) % 5 + 1)
                               .cast('int'))
+        url = F.concat(
+            F.lit('https://'), F.col('source'), F.lit('.com/'),
+            lang_j, F.lit('/doc'), F.col('doc_id').cast('string'))
+        if j == 1:  # serializer-conventional form
+            return F.concat(
+                F.lit('<link rel="alternate" hreflang="'), lang_j,
+                F.lit('" href="'), url, F.lit('">'))
+        # r15: swapped attribute order, single quotes — the
+        # extractor must be form-insensitive (oracle is closed-form)
         return F.concat(
-            F.lit('<link rel="alternate" hreflang="'), lang_j,
-            F.lit('" href="https://'), F.col('source'),
-            F.lit('.com/'), lang_j, F.lit('/doc'),
-            F.col('doc_id').cast('string'), F.lit('">'))
+            F.lit("<link hreflang='"), lang_j,
+            F.lit("' href='"), url,
+            F.lit("' rel=\"alternate\">"))
 
     html = F.concat(
         F.lit('<html><head><link rel="canonical" '
@@ -5490,6 +5535,10 @@ def q_hreflang_pairs(spark: SparkSession, sf_dir: str) -> SparkDF:
         alt(1),
         F.lit('<link rel="stylesheet" href="/s.css">'),
         alt(2),
+        # rel="alternate" WITHOUT hreflang (feed link) — a decoy
+        # the hreflang-presence predicate must exclude
+        F.lit('<link rel="alternate" type="application/rss+xml" '
+              'href="/feed.xml">'),
         F.lit('</head><body></body></html>'))
     return (documents
             .select('doc_id',

@@ -216,14 +216,18 @@ def test_canonicalization_is_pure_codegen(spark_session):
 
 
 def test_extract_links_order_and_contract(spark_session):
+    # document order preserved across quoting styles and attribute
+    # case; values may contain the OTHER quote character
     html = ('<html><a href="https://a.com/1">x</a> text '
-            '<img src="i.png"/><A HREF="nope">case-sensitive</A>'
+            '<img src="i.png"/><A HREF="https://c.net/up">case</A>'
             '<a class="c" href="http://b.org/p?q=1#f">y</a>'
-            "<a href='single-quoted-skipped'></a></html>")
+            '<a href=\'https://sq.io/it"s\'></a></html>')
     df = spark_session.createDataFrame([(html,), (None,), ('',)],
                                        'html string')
     rows = df.select(web.extract_links('html').alias('l')).collect()
-    assert rows[0]['l'] == ['https://a.com/1', 'http://b.org/p?q=1#f']
+    assert rows[0]['l'] == [
+        'https://a.com/1', 'https://c.net/up',
+        'http://b.org/p?q=1#f', 'https://sq.io/it"s']
     assert rows[1]['l'] is None
     assert rows[2]['l'] == []
 
@@ -321,6 +325,23 @@ def test_extract_anchors_pairs(spark_session):
         ('https://a.com/1', 'first'),
         ('https://b.com/2', 'second'),
         ('https://d.com/4', ''),
+    ]
+
+
+def test_extract_anchors_quote_and_order_insensitive(spark_session):
+    # single-quoted hrefs, href-last attribute order, uppercase
+    # tags — all must extract; an anchor with NO href is skipped
+    html = ("<a href='https://s.io/1'>sq</a>"
+            '<A CLASS="r" HREF="https://u.io/2">up</A>'
+            "<a rel='x' href='https://o.io/3' id='z'>mid</a>"
+            '<a name="no-href">skip</a>')
+    df = spark_session.createDataFrame([(html,)], 'html string')
+    pairs = df.select(
+        web.extract_anchors('html').alias('a')).first()['a']
+    assert [(p['url'], p['text']) for p in pairs] == [
+        ('https://s.io/1', 'sq'),
+        ('https://u.io/2', 'up'),
+        ('https://o.io/3', 'mid'),
     ]
 
 
@@ -423,6 +444,44 @@ class TestExtractHtmlMeta:
                 m['canonical_url'], m['lang']) == (
             't', None, None, None)
 
+    def test_attribute_order_and_quoting_insensitive(
+            self, spark_session):
+        # content-before-name, single quotes, lang not the first
+        # html attribute — the real-world forms the old fixed-order
+        # double-quote regexes silently dropped
+        m = self._meta(
+            spark_session,
+            "<html data-theme='d' lang='pt'><head>"
+            '<title>t</title>'
+            "<meta content='uma pagina' name='description'>"
+            "<link href='https://a.com/y' rel='canonical'>"
+            '</head></html>')
+        assert (m['title'], m['description'],
+                m['canonical_url'], m['lang']) == (
+            't', 'uma pagina', 'https://a.com/y', 'pt')
+
+    def test_wrong_name_or_rel_stays_null(self, spark_session):
+        # meta/link tags with other name/rel values must not leak
+        # into the struct even though they carry content/href
+        m = self._meta(
+            spark_session,
+            '<html><head>'
+            '<meta name="keywords" content="nope">'
+            '<link rel="stylesheet" href="/s.css">'
+            '<meta name="description" content="yes">'
+            '</head></html>')
+        assert (m['description'], m['canonical_url']) == (
+            'yes', None)
+
+    def test_first_matching_tag_wins(self, spark_session):
+        m = self._meta(
+            spark_session,
+            '<html><head>'
+            '<meta name="description" content="first">'
+            '<meta name="description" content="second">'
+            '</head></html>')
+        assert m['description'] == 'first'
+
     def test_pure_codegen(self, spark_session):
         df = spark_session.createDataFrame([('<html/>',)],
                                            'html string')
@@ -520,6 +579,24 @@ class TestExtractHreflang:
             web.extract_hreflang('html').alias('a')).first()['a']
         assert [(r['lang'], r['href']) for r in out] == [
             ('de', 'https://x.com/de'), ('fr', 'https://x.com/fr')]
+
+    def test_order_quote_insensitive_and_feed_decoy(
+            self, spark_session):
+        # swapped attribute order + single quotes must extract; an
+        # hreflang-less rel="alternate" (RSS feed link) must NOT
+        html = ('<html><head>'
+                "<link hreflang='es' href='https://x.com/es' "
+                'rel="alternate">'
+                '<link rel="alternate" type="application/rss+xml" '
+                'href="/feed.xml">'
+                '<link href="https://x.com/en" rel="alternate" '
+                'hreflang="en">'
+                '</head></html>')
+        df = spark_session.createDataFrame([(html,)], 'html string')
+        out = df.select(
+            web.extract_hreflang('html').alias('a')).first()['a']
+        assert [(r['lang'], r['href']) for r in out] == [
+            ('es', 'https://x.com/es'), ('en', 'https://x.com/en')]
 
     def test_pure_codegen(self, spark_session):
         df = spark_session.createDataFrame([('<html/>',)],
