@@ -194,6 +194,17 @@ def main() -> None:
         name: round(cold[name], 3)
         for name in _ARTIFACT_CACHED_QUERIES if name in cold
     }
+    # Label the measurement conditions LOUDLY: these walls are
+    # per-stream time measured while `workers` warmup threads share
+    # the executor (FAIR pools), so each INCLUDES contention wait —
+    # an upper bound on per-stream cost, not sequential cost.  An
+    # unwary reader comparing them to the sequential warm medians
+    # would otherwise misread contention as per-query work.
+    extras['cold_artifact_measurement'] = {
+        'concurrent': True,
+        'warmup_pool_workers': workers,
+        'scheduler': 'FAIR (one pool per warmup thread)',
+    }
 
     _emit(samples, repeat, warmup_time, cold, sf, extras, final=True)
     spark.stop()
