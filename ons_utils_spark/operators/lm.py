@@ -29,7 +29,8 @@ from pyspark.sql import functions as F
 
 from .text import normalize_text, tokenize
 
-__all__ = ['bigram_counts', 'unigram_counts', 'ngram_lm_score']
+__all__ = ['bigram_counts', 'unigram_counts', 'ngram_lm_score',
+           'perplexity_buckets']
 
 
 def _bigram_array(text_col: str):
@@ -141,3 +142,77 @@ def ngram_lm_score(
             'lm_logprob',
         )
     )
+
+
+def perplexity_buckets(
+    df: SparkDF,
+    score_col: str,
+    id_col: str,
+    part_col: str = None,
+    n_buckets: int = 3,
+    labels=('head', 'middle', 'tail'),
+    thresholds=None,
+) -> SparkDF:
+    """CCNet-style fluency buckets (Wenzek et al. 2020): split a
+    scored corpus into ``n_buckets`` equal-count slices per
+    ``part_col`` (CCNet buckets per LANGUAGE) — ``head`` is the most
+    fluent slice (HIGHEST ``score_col``, i.e. lowest perplexity),
+    ``tail`` the least.  Returns the input ids plus
+    ``(bucket_idx int, bucket string)``; rows with NULL scores are
+    EXCLUDED (unscorable docs — route them explicitly, don't let
+    them silently dilute a bucket).
+
+    Two paths:
+
+    - **Exact (default)**: one window per partition —
+      ``row_number`` over ``(score desc, id asc)`` (the id
+      tie-break makes bucket edges deterministic and
+      engine-replayable) with the partition count; bucket =
+      ``floor(n_buckets * (rank-1) / count)``.  This is a per-
+      partition SORT: right for oracle-verified runs and for
+      corpora whose largest language fits a sort comfortably.
+    - **Thresholds (the 100 TB path)**: pass ``thresholds`` — a
+      DESCENDING list of ``n_buckets - 1`` score cutoffs (e.g. from
+      ``percentile_approx`` on a sample, per CCNet's published
+      recipe of fitting cutoffs once and reusing them) — and
+      bucketing becomes a pure scan-side projection: no window, no
+      sort, no shuffle.
+    """
+    if len(labels) != n_buckets:
+        raise ValueError(
+            f'need {n_buckets} labels, got {len(labels)}')
+    lab = F.array(*[F.lit(x) for x in labels])
+    out_cols = [id_col] + ([part_col] if part_col else []) \
+        + [score_col]
+    base = df.select(*out_cols).where(F.col(score_col).isNotNull())
+    if thresholds is not None:
+        if len(thresholds) != n_buckets - 1:
+            raise ValueError(
+                f'need {n_buckets - 1} thresholds, '
+                f'got {len(thresholds)}')
+        if list(thresholds) != sorted(thresholds, reverse=True):
+            raise ValueError('thresholds must be descending '
+                             '(head cutoff first)')
+        idx = F.lit(n_buckets - 1)
+        for i, t in reversed(list(enumerate(thresholds))):
+            idx = F.when(F.col(score_col) >= float(t),
+                         F.lit(i)).otherwise(idx)
+        bucketed = base.withColumn('bucket_idx', idx.cast('int'))
+    else:
+        from pyspark.sql import Window
+
+        w = (Window.partitionBy(part_col) if part_col
+             else Window.partitionBy())
+        order = w.orderBy(F.col(score_col).desc(),
+                          F.col(id_col).asc())
+        bucketed = (
+            base
+            .withColumn('__rk', F.row_number().over(order))
+            .withColumn('__n', F.count(F.lit(1)).over(w))
+            .withColumn(
+                'bucket_idx',
+                F.floor(F.lit(n_buckets) * (F.col('__rk') - 1)
+                        / F.col('__n')).cast('int'))
+            .drop('__rk', '__n'))
+    return bucketed.withColumn(
+        'bucket', F.element_at(lab, F.col('bucket_idx') + 1))

@@ -5666,6 +5666,159 @@ def q_maxsim_topk(spark: SparkSession, sf_dir: str) -> SparkDF:
         'query_id', 'vec_id', F.round('maxsim', 6).alias('maxsim'))
 
 
+def q_bitext_candidates(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Candidate-set bitext mining (``similarity.bitext_mine`` with
+    the first-class ``candidates=`` parameter, NEW r15): same
+    src/tgt construction as :func:`q_bitext_mine`, but scoring is
+    restricted to an arithmetic candidate set (src and tgt paired
+    by id residue class mod 40 — the stand-in for ANN/hreflang
+    candidates at corpus scale), so no cross join ever forms.
+    Margin (hubness means over each side's 4 best CANDIDATE
+    cosines) and mutual-best run on the candidate set — the
+    Artetxe & Schwenk deployment shape where FAISS supplies the
+    pairs.  The oracle replays the restricted cross, both top-k
+    windows, the means, the margin, and the mutual row_numbers."""
+    from ..operators.similarity import bitext_mine
+
+    (embeddings,) = _t(spark, sf_dir, 'embeddings')
+    src = embeddings.where(F.col('vec_id') % 20 == 0).select(
+        F.col('vec_id').alias('src_id'), 'embedding')
+    tgt = embeddings.where(F.col('vec_id') % 2 == 0).select(
+        (F.col('vec_id') + 100000).alias('tgt_id'), 'embedding')
+    cands = (
+        src.select('src_id', (F.col('src_id') % 40).alias('__k'))
+        .join(tgt.select(
+            'tgt_id',
+            ((F.col('tgt_id') - 100000) % 40).alias('__k')), '__k')
+        .select('src_id', 'tgt_id'))
+    out = bitext_mine(src, tgt, k=4, threshold=1.0,
+                      candidates=cands)
+    return out.select(
+        'src_id', 'tgt_id',
+        F.round('cosine', 6).alias('cosine'),
+        F.round('margin', 6).alias('margin'))
+
+
+def q_maxsim_candidates(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Candidate-set MaxSim reranking (``similarity.maxsim_topk``
+    with the first-class ``candidates=`` parameter, NEW r15): the
+    :func:`q_maxsim_topk` token reshape, but each query only scores
+    its residue-class share of the corpus (``doc % 4 == query``) —
+    the two-stage retrieval shape where a pooled-vector ANN stage
+    supplies (query, doc) pairs and the late-interaction scorer
+    never materializes the full cross.  The oracle replays the
+    restricted cross and the full nested MaxSim fold bit-exactly."""
+    from ..operators.similarity import maxsim_topk
+
+    (embeddings,) = _t(spark, sf_dir, 'embeddings')
+    tok = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda i: F.slice(F.col('embedding').cast('array<double>'),
+                          i * 8 + 1, 8))
+    docs = embeddings.select(
+        'vec_id', tok.alias('token_vecs')).where(F.col('vec_id') >= 4)
+    qs = embeddings.select(
+        F.col('vec_id').alias('query_id'),
+        tok.alias('token_vecs')).where(F.col('vec_id') < 4)
+    cands = (
+        qs.select('query_id')
+        .join(docs.select('vec_id',
+                          (F.col('vec_id') % 4).alias('__q')),
+              F.col('query_id') == F.col('__q'))
+        .select('query_id', 'vec_id'))
+    return maxsim_topk(
+        docs, qs, k=10, doc_id='vec_id', candidates=cands).select(
+        'query_id', 'vec_id', F.round('maxsim', 6).alias('maxsim'))
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """DSIR importance weights (``operators.dsir``, NEW r15 — Xie
+    et al. NeurIPS 2023, the standard target-domain data-selection
+    recipe): the English slice of the corpus plays the trusted
+    target, the whole corpus the raw pool; every document is
+    weighted by the sum of hashed-unigram+bigram log probability
+    ratios under add-one-smoothed 10k-bucket models.  The bucket
+    hash is the portable md5 recipe, the ratio table is a broadcast
+    ≤10k-row frame, and the only corpus shuffle is the doc-keyed
+    sum — the fixed-model-size property that carries to 100 TB.
+    The oracle replays tokenization, hashing, both count tables,
+    smoothing, and the per-doc sum in SQL."""
+    from ..operators.dsir import dsir_log_weights
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    target = documents.where(F.col('lang') == 'en')
+    out = dsir_log_weights(documents, target, n_buckets=10_000)
+    return out.select(
+        'doc_id', 'n_feats',
+        F.round('log_weight', 6).alias('log_weight'))
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """CCNet head/middle/tail fluency buckets
+    (``lm.perplexity_buckets``, NEW r15 — Wenzek et al. 2020): the
+    corpus is scored by the :func:`q_lm_score` bigram LM, then cut
+    into equal-count terciles PER LANGUAGE by descending score
+    (head = most fluent) — the bucketing CCNet uses to mix
+    web-crawl quality slices.  Scores are rounded to 6 dp BEFORE
+    ranking so bucket edges are engine-replayable (ranking raw
+    doubles would let 1-ulp cross-engine differences flip boundary
+    rows); doc_id breaks remaining ties.  The oracle replays the
+    LM, the rounding, the per-language window, and the floor
+    arithmetic."""
+    from ..operators.lm import ngram_lm_score, perplexity_buckets
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    scored = (
+        ngram_lm_score(documents, documents, min_count=2)
+        .join(documents.select('doc_id', 'lang'), 'doc_id')
+        .select('doc_id', 'lang',
+                F.round('lm_logprob', 6).alias('lm_logprob')))
+    return perplexity_buckets(
+        scored, 'lm_logprob', 'doc_id', part_col='lang').select(
+        'doc_id', 'lang', 'lm_logprob', 'bucket_idx', 'bucket')
+
+
+def _ensure_orc_corpus(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the documents corpus as ORC once per session
+    (artifact-cached like the WARC/ANN artifacts) and return the
+    directory: four files cut by doc_id range."""
+    import tempfile
+
+    from ..sources.readers import write_orc
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    app = spark.sparkContext.applicationId
+    path = os.path.join(tempfile.gettempdir(), 'ons_orc', tag, app)
+
+    def _write():
+        write_orc(documents.repartitionByRange(4, 'doc_id'), path)
+        return path
+
+    return _artifact(f'orc:{sf_dir}@{app}', _write)
+
+
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """ORC source/sink round trip (``sources.readers.read_orc`` /
+    ``write_orc``, NEW r15): the documents corpus written to ORC
+    (4 range-cut files), scanned back, and folded to one row per
+    language — count, id checksum, and total text chars — so a
+    type-mapping, encoding, or row-loss bug anywhere in the ORC
+    path breaks the match.  The oracle recomputes the aggregate
+    straight from the parquet, never touching ORC.  ORC shares
+    parquet's pushdown/pruning properties (columnar + min/max
+    stats); the scan prunes to the three aggregated columns."""
+    from ..sources.readers import read_orc
+
+    path = _ensure_orc_corpus(spark, sf_dir)
+    return (
+        read_orc(spark, path)
+        .groupBy('lang')
+        .agg(F.count(F.lit(1)).alias('n_docs'),
+             F.sum('doc_id').alias('sum_ids'),
+             F.sum(F.length('text')).alias('sum_chars')))
+
+
 # --------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------
@@ -5680,6 +5833,14 @@ def q_maxsim_topk(spark: SparkSession, sf_dir: str) -> SparkDF:
 # sort to the front automatically.
 QUERIES: Dict[str, QueryFn] = {
     # -- round-15 verification window (first 50) ------------------
+    # The 5 NEW r15 queries (never driver-verified) sort to the
+    # very front by the rotation rule; then the r11-stale queries
+    # and r12 fills.
+    'q_bitext_candidates': q_bitext_candidates,
+    'q_maxsim_candidates': q_maxsim_candidates,
+    'q_dsir_weights': q_dsir_weights,
+    'q_ccnet_buckets': q_ccnet_buckets,
+    'q_orc_roundtrip': q_orc_roundtrip,
     # Mechanical oldest-verified-first rotation (the rule
     # tools/gen_query_inventory.py proposes each round): the 43
     # r11-stale queries lead, then 7 r12 fills; the whole registry
@@ -6060,6 +6221,190 @@ _SIMHASH_PLANTED_DECISION_SQL = """
     """
 
 ORACLES: Dict[str, str] = {
+    # NEW r15 — candidate-set scorers, DSIR, CCNet buckets, ORC.
+    'q_bitext_candidates': """
+        -- Ratio-margin replay restricted to the arithmetic
+        -- candidate set (id residue class mod 40): cosines on the
+        -- candidate pairs only, top-4 windows, hubness means,
+        -- margin, mutual best.
+        WITH s AS (
+            SELECT vec_id AS sid, CAST(embedding AS DOUBLE[]) AS sv
+            FROM embeddings WHERE vec_id % 20 = 0
+        ), t AS (
+            SELECT vec_id + 100000 AS tid,
+                   CAST(embedding AS DOUBLE[]) AS tv
+            FROM embeddings WHERE vec_id % 2 = 0
+        ), scored AS (
+            SELECT sid, tid,
+                   list_cosine_similarity(sv, tv) AS c
+            FROM s, t
+            WHERE (tid - 100000) % 40 = sid % 40
+        ), ranked AS (
+            SELECT sid, tid, c,
+                   row_number() OVER (PARTITION BY sid
+                       ORDER BY c DESC, tid ASC) AS rs,
+                   row_number() OVER (PARTITION BY tid
+                       ORDER BY c DESC, sid ASC) AS rt
+            FROM scored
+        ), ms AS (
+            SELECT sid, avg(c) AS m FROM ranked
+            WHERE rs <= 4 GROUP BY sid
+        ), mt AS (
+            SELECT tid, avg(c) AS m FROM ranked
+            WHERE rt <= 4 GROUP BY tid
+        ), cand AS (
+            SELECT r.sid, r.tid, r.c,
+                   r.c / ((ms.m + mt.m) / 2) AS margin
+            FROM ranked r
+            JOIN ms USING (sid) JOIN mt USING (tid)
+            WHERE r.rs <= 4 OR r.rt <= 4
+        ), filt AS (
+            SELECT * FROM cand WHERE margin >= 1.0
+        ), best AS (
+            SELECT sid, tid, c, margin,
+                   row_number() OVER (PARTITION BY sid
+                       ORDER BY margin DESC, tid ASC) AS bs,
+                   row_number() OVER (PARTITION BY tid
+                       ORDER BY margin DESC, sid ASC) AS bt
+            FROM filt
+        )
+        SELECT sid AS src_id, tid AS tgt_id,
+               round(c, 6) AS cosine, round(margin, 6) AS margin
+        FROM best WHERE bs = 1 AND bt = 1
+    """,
+    'q_maxsim_candidates': """
+        -- MaxSim replay restricted to each query's residue-class
+        -- candidate share (doc % 4 == query).
+        WITH toks AS (
+            SELECT vec_id,
+                   list_transform(range(8), i -> list_slice(
+                       CAST(embedding AS DOUBLE[]),
+                       i * 8 + 1, i * 8 + 8)) AS tv
+            FROM embeddings
+        ), scored AS (
+            SELECT q.vec_id AS query_id, d.vec_id,
+                   list_sum(list_transform(q.tv, qt ->
+                       list_max(list_transform(d.tv, dt ->
+                           list_dot_product(qt, dt))))) AS maxsim
+            FROM toks d, toks q
+            WHERE q.vec_id < 4 AND d.vec_id >= 4
+              AND d.vec_id % 4 = q.vec_id
+        ), ranked AS (
+            SELECT query_id, vec_id, maxsim,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY maxsim DESC, vec_id ASC) AS rk
+            FROM scored
+        )
+        SELECT query_id, vec_id, round(maxsim, 6) AS maxsim
+        FROM ranked WHERE rk <= 10
+    """,
+    'q_dsir_weights': """
+        -- Full DSIR replay: tokenize, unigram+bigram features,
+        -- portable md5 bucket hash mod 10k, add-one-smoothed
+        -- target (lang='en') and raw bucket models, per-doc sum of
+        -- log ratios.
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split_regex(
+                       trim(regexp_replace(lower(text), '\\s+', ' ',
+                                           'g')),
+                       ' '), t -> t <> '') AS ts
+            FROM documents
+        ), uni AS (
+            SELECT doc_id, lang, t AS f
+            FROM toks, UNNEST(ts) AS u(t)
+        ), bg AS (
+            SELECT doc_id, lang, ts[i] || ' ' || ts[i + 1] AS f
+            FROM toks, UNNEST(range(1, len(ts))) AS r(i)
+        ), feats AS (
+            SELECT doc_id, lang,
+                   ('0x' || substr(md5(f), 1, 8))::BIGINT % 10000
+                       AS b
+            FROM (SELECT * FROM uni UNION ALL SELECT * FROM bg)
+        ), tgt AS (
+            SELECT b, count(*) AS ct FROM feats
+            WHERE lang = 'en' GROUP BY b
+        ), rawc AS (
+            SELECT b, count(*) AS cr FROM feats GROUP BY b
+        ), tot AS (
+            SELECT (SELECT count(*) FROM feats WHERE lang = 'en')
+                       AS tt,
+                   (SELECT count(*) FROM feats) AS tr
+        ), tbl AS (
+            SELECT r.b,
+                   ln((coalesce(t.ct, 0) + 1.0)
+                      / (tot.tt + 10000.0))
+                   - ln((r.cr + 1.0) / (tot.tr + 10000.0)) AS lr
+            FROM rawc r LEFT JOIN tgt t USING (b) CROSS JOIN tot
+        ), w AS (
+            SELECT doc_id, count(*) AS n_feats, sum(lr) AS lw
+            FROM feats JOIN tbl USING (b) GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(w.n_feats, 0) AS BIGINT) AS n_feats,
+               round(w.lw, 6) AS log_weight
+        FROM documents d LEFT JOIN w USING (doc_id)
+    """,
+    'q_ccnet_buckets': """
+        -- LM replay (q_lm_score arithmetic), scores rounded to
+        -- 6 dp BEFORE the per-language tercile window.
+        WITH toksl AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split_regex(
+                       trim(regexp_replace(lower(text), '\\s+', ' ',
+                                           'g')),
+                       ' '), t -> t <> '') AS ts
+            FROM documents
+        ),
+        bgs AS (
+            SELECT doc_id, lang,
+                   ts[i] || ' ' || ts[i + 1] AS bg,
+                   ts[i] AS w1
+            FROM toksl, UNNEST(range(1, len(ts))) AS r(i)
+        ),
+        big AS (
+            SELECT bg, count(*) AS cb FROM bgs
+            GROUP BY bg HAVING count(*) >= 2
+        ),
+        uni AS (
+            SELECT t AS w1, count(*) AS c1
+            FROM toksl, UNNEST(ts) AS u(t)
+            GROUP BY t
+        ),
+        v AS (SELECT count(*) AS v FROM uni),
+        per_doc AS (
+            SELECT s.doc_id, s.lang,
+                   round(avg(ln((coalesce(b.cb, 0) + 1)
+                                / CAST(coalesce(u.c1, 0) + v.v
+                                       AS DOUBLE))), 6)
+                       AS lm_logprob
+            FROM bgs s
+            LEFT JOIN big b USING (bg)
+            LEFT JOIN uni u USING (w1)
+            CROSS JOIN v
+            GROUP BY s.doc_id, s.lang
+        ),
+        ranked AS (
+            SELECT doc_id, lang, lm_logprob,
+                   row_number() OVER (PARTITION BY lang
+                       ORDER BY lm_logprob DESC, doc_id ASC) AS rk,
+                   count(*) OVER (PARTITION BY lang) AS n
+            FROM per_doc
+        )
+        SELECT doc_id, lang, lm_logprob,
+               CAST(floor(3.0 * (rk - 1) / n) AS INT) AS bucket_idx,
+               list_extract(['head', 'middle', 'tail'],
+                            CAST(floor(3.0 * (rk - 1) / n) AS INT)
+                            + 1) AS bucket
+        FROM ranked
+    """,
+    'q_orc_roundtrip': """
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+               CAST(sum(length(text)) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY lang
+    """,
     # NEW r14 — closed-form replays of the planted fixtures.
     'q_maxsim_topk': """
         -- Full MaxSim arithmetic replay: 8x8 token reshape, per
