@@ -76,19 +76,21 @@ def main() -> None:
 
     # Late-interaction RERANK of the ANN candidates: reshape each
     # 64-dim vector into an 8-token x 8-dim matrix and MaxSim-score
-    # only the retrieved ids — the two-stage ColBERT deployment
-    # shape (cheap pooled-vector candidates, token-level rerank).
+    # ONLY each query's own retrieved pairs via the first-class
+    # candidates= parameter — the two-stage ColBERT deployment
+    # shape (cheap pooled-vector candidates, token-level rerank);
+    # the full query x corpus cross never forms.
     from ons_utils_spark.operators.similarity import maxsim_topk
     tok = F.transform(
         F.sequence(F.lit(0), F.lit(7)),
         lambda i: F.slice(F.col('embedding').cast('array<double>'),
                           i * 8 + 1, 8))
-    cand = corpus.join(
-        results.select(F.col('vec_id')).distinct(), 'vec_id',
-        'left_semi').select('vec_id', tok.alias('token_vecs'))
+    dtok = corpus.select('vec_id', tok.alias('token_vecs'))
     qtok = emb.limit(5).select(
         F.col('vec_id').alias('query_id'), tok.alias('token_vecs'))
-    reranked = maxsim_topk(cand, qtok, k=3, doc_id='vec_id')
+    reranked = maxsim_topk(
+        dtok, qtok, k=3, doc_id='vec_id',
+        candidates=results.select('query_id', 'vec_id'))
     print('MaxSim rerank of the ANN candidates (top-3/query):')
     reranked.orderBy('query_id', F.col('maxsim').desc()).show(15)
 

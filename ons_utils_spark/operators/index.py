@@ -31,7 +31,8 @@ from pyspark.sql import functions as F
 
 from .text import normalize_text, tokenize
 
-__all__ = ['build_inverted_index', 'search_all_terms', 'bm25_rank']
+__all__ = ['build_inverted_index', 'search_all_terms', 'bm25_rank',
+           'bm25_multi_rank', 'mine_hard_negatives']
 
 
 def build_inverted_index(
@@ -173,3 +174,112 @@ def search_all_terms(
         .filter(F.col('__n') == n)
         .select('doc_id')
     )
+
+
+def bm25_multi_rank(
+    df: SparkDF,
+    queries: SparkDF,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    query_id: str = 'query_id',
+    terms_col: str = 'terms',
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> SparkDF:
+    """Okapi BM25 for a whole QUERY SET in one corpus pass:
+    ``(query_id, doc_id, score)`` for every document matching at
+    least one of a query's terms.  Same statistics and formula as
+    :func:`bm25_rank` (always-positive RSJ idf; terms lowercased
+    and deduplicated per query), but the query set is a DataFrame
+    ``(query_id, terms array<string>)`` — the shape of a training
+    batch of retrieval queries.
+
+    Scale shape: the query TERM table (query_id, term — a few rows
+    per query) broadcasts against the exploded corpus tokens, so
+    the heavy explode aggregates only matching tokens and runs ONCE
+    for all queries — never a per-query corpus scan.  Corpus
+    statistics (document lengths, avgdl, per-term df) are shared
+    across queries.  No SQL score oracle (ln-float sums, same as
+    ``bm25_rank``); rank-level results are engine-stable.
+    """
+    qt = (
+        queries.select(
+            F.col(query_id).alias('__q'),
+            F.explode(terms_col).alias('token'))
+        .select('__q', F.lower('token').alias('token'))
+        .distinct())
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias('__doc'),
+                F.explode(
+                    tokenize(normalize_text(text_col))).alias('token'))
+    )
+    dl = toks.groupBy('__doc').agg(F.count(F.lit(1)).alias('__dl'))
+    stats = dl.agg(F.avg('__dl').alias('__avgdl'),
+                   F.count(F.lit(1)).alias('__n'))
+    matched = toks.join(F.broadcast(qt.select('token').distinct()),
+                        'token')
+    tf = matched.groupBy('__doc', 'token').agg(
+        F.count(F.lit(1)).alias('__tf'))
+    dfreq = tf.groupBy('token').agg(
+        F.count(F.lit(1)).alias('__df'))
+    scored = (
+        tf.join(F.broadcast(qt), 'token')
+        .join(F.broadcast(dfreq), 'token')
+        .join(dl, '__doc')
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        1.0 + (F.col('__n') - F.col('__df') + 0.5)
+        / (F.col('__df') + 0.5))
+    tf_norm = (
+        F.col('__tf') * (k1 + 1)
+        / (F.col('__tf')
+           + k1 * (1 - b + b * F.col('__dl') / F.col('__avgdl')))
+    )
+    return (
+        scored.select('__q', '__doc', (idf * tf_norm).alias('__s'))
+        .groupBy('__q', '__doc')
+        .agg(F.sum('__s').alias('score'))
+        .select(F.col('__q').alias(query_id),
+                F.col('__doc').alias(id_col), 'score')
+    )
+
+
+def mine_hard_negatives(
+    df: SparkDF,
+    queries: SparkDF,
+    positives: SparkDF,
+    k: int = 10,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    query_id: str = 'query_id',
+    terms_col: str = 'terms',
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> SparkDF:
+    """BM25 hard-negative mining for retrieval/embedding training
+    (the standard DPR/sentence-transformers recipe, Karpukhin et
+    al. 2020): per query, the ``k`` HIGHEST-BM25 documents that are
+    NOT labeled positives — lexically confusable non-answers, the
+    negatives that actually teach a dense retriever.  Returns
+    ``(query_id, doc_id, rank)`` with rank 1 = hardest.
+
+    One :func:`bm25_multi_rank` corpus pass, an anti-join against
+    ``positives`` (``(query_id, doc_id)`` pairs), then a per-query
+    top-k window over matched docs only.  Rank-level output (score
+    stays internal) — ties break on doc id, so results replay on
+    any engine from the integer (tf, dl, df) triples.
+    """
+    ranked = bm25_multi_rank(
+        df, queries, id_col=id_col, text_col=text_col,
+        query_id=query_id, terms_col=terms_col, k1=k1, b=b)
+    neg = ranked.join(
+        positives.select(query_id, id_col), [query_id, id_col],
+        'left_anti')
+    w = Window.partitionBy(query_id).orderBy(
+        F.col('score').desc(), F.col(id_col).asc())
+    return (
+        neg.withColumn('rank', F.row_number().over(w))
+        .filter(F.col('rank') <= k)
+        .select(query_id, id_col, 'rank'))

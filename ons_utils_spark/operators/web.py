@@ -48,7 +48,7 @@ __all__ = ['canonicalize_url', 'url_host', 'registrable_domain',
            'extract_links', 'extract_anchors',
            'outlink_domain_edges', 'anchor_texts', 'sniff_mime',
            'crawl_diff', 'parse_sitemap', 'extract_html_meta',
-           'extract_hreflang', 'crawl_frontier',
+           'extract_hreflang', 'crawl_frontier', 'fetch_schedule',
            'TRACKING_PARAM_RE', 'TWO_LABEL_SUFFIXES']
 
 # key pattern of query parameters dropped by canonicalization
@@ -603,3 +603,38 @@ def extract_hreflang(html) -> Column:
         lambda t: F.struct(
             _tag_attr(t, 'hreflang').alias('lang'),
             _tag_attr(t, 'href').alias('href')))
+
+
+def fetch_schedule(
+    frontier,
+    delays,
+    host_col: str = 'host',
+    delay_col: str = 'crawl_delay',
+    slot_col: str = 'slot',
+):
+    """Politeness-timed fetch plan: the :func:`crawl_frontier`
+    ranking joined with per-host ``robots.crawl_delays`` rates —
+    each URL gets ``fetch_at_sec = (slot - 1) × crawl_delay``, the
+    earliest time a crawler honoring the host's policy may issue
+    that request (sequential per-host fetching at the declared
+    rate).  This closes the crawl-scheduling story: robots rules →
+    frontier ranking → an actual TIMELINE a fetch fleet can
+    execute against.
+
+    Scale shape: ``delays`` is one row per HOST (tiny next to the
+    frontier) and is explicitly broadcast — the frontier never
+    reshuffles; the arithmetic is a scan projection.  Hosts absent
+    from ``delays`` get NULL ``fetch_at_sec`` (schedule them only
+    after their policy is known — an unfetched robots.txt is not
+    permission).
+    """
+    d = delays.select(
+        F.col(host_col).alias(host_col),
+        F.col(delay_col).cast('double').alias('__delay'))
+    return (
+        frontier
+        .join(F.broadcast(d), host_col, 'left')
+        .withColumn(
+            'fetch_at_sec',
+            (F.col(slot_col) - 1).cast('double') * F.col('__delay'))
+        .drop('__delay'))

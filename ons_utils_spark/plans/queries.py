@@ -5778,6 +5778,71 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> SparkDF:
         'doc_id', 'lang', 'lm_logprob', 'bucket_idx', 'bucket')
 
 
+def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Politeness-timed fetch plan (``web.fetch_schedule``, NEW
+    r15): the :func:`q_crawl_frontier` ranking joined with the
+    :func:`q_crawl_delays` per-host rates — every URL gets the
+    earliest second a policy-honoring crawler may fetch it
+    (``(slot-1) × crawl_delay``), closing the robots → frontier →
+    timeline story.  The delay table (one row per host) broadcasts;
+    the frontier never reshuffles.  The oracle composes the two
+    parent replays and the multiplication (delays are exact binary
+    doubles, so the product hashes stably)."""
+    from ..operators import robots as rb
+    from ..operators import web
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    urls = documents.select(
+        F.concat(F.lit('https://'), F.col('source'), F.lit('.com/'),
+                 F.col('lang'), F.lit('/doc'),
+                 F.col('doc_id').cast('string')).alias('url'),
+        F.concat(F.col('source'), F.lit('.com')).alias('host'),
+        (F.col('doc_id') % 13).alias('priority'))
+    frontier = web.crawl_frontier(urls, priority_col='priority')
+    src_no = F.substring('source', 4, 10).cast('int')
+    hosts = documents.select('source').distinct().select(
+        F.concat(F.col('source'), F.lit('.com')).alias('host'),
+        F.concat(
+            F.lit('User-agent: googlebot\nCrawl-delay: 60\n'
+                  'Disallow: /\n\n'
+                  'User-agent: *\nDisallow: /tmp\n'),
+            F.when(src_no % 2 == 0, F.lit('Crawl-delay: 2.5\n'))
+            .otherwise(F.lit('')),
+            F.when(src_no % 3 == 0, F.lit('Crawl-delay: 7\n'))
+            .otherwise(F.lit('')),
+            F.when(src_no % 5 == 0, F.lit('Crawl-delay: fast\n'))
+            .otherwise(F.lit(''))).alias('robots_txt'))
+    return web.fetch_schedule(
+        frontier, rb.crawl_delays(hosts)).select(
+        'url', 'host', 'slot', 'wave', 'fetch_at_sec')
+
+
+def q_bm25_hard_negatives(spark: SparkSession,
+                          sf_dir: str) -> SparkDF:
+    """BM25 hard-negative mining (``index.mine_hard_negatives``,
+    NEW r15 — the DPR recipe): three term queries rank the corpus
+    in ONE shared pass (``bm25_multi_rank``: query terms broadcast
+    against the exploded tokens, statistics shared), arithmetic
+    positives (``doc_id % 9 == query_id``) are anti-joined away,
+    and the 12 hardest remaining documents per query come back
+    rank-only (scores are ln-float sums — not hash-portable — but
+    the RANKING is engine-stable from integer (tf, dl, df)
+    triples).  The oracle replays the whole BM25 formula per
+    (query, doc), the anti-join, and the per-query window."""
+    from ..operators.index import mine_hard_negatives
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    qs = spark.createDataFrame(
+        [(0, ['spark', 'table']),
+         (1, ['hash', 'join', 'merge']),
+         (2, ['window', 'filter'])],
+        'query_id int, terms array<string>')
+    positives = documents.select(
+        (F.col('doc_id') % 9).cast('int').alias('query_id'),
+        'doc_id').where(F.col('query_id') < 3)
+    return mine_hard_negatives(documents, qs, positives, k=12)
+
+
 def _ensure_orc_corpus(spark: SparkSession, sf_dir: str) -> str:
     """Stage the documents corpus as ORC once per session
     (artifact-cached like the WARC/ANN artifacts) and return the
@@ -5833,7 +5898,7 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> SparkDF:
 # sort to the front automatically.
 QUERIES: Dict[str, QueryFn] = {
     # -- round-15 verification window (first 50) ------------------
-    # The 5 NEW r15 queries (never driver-verified) sort to the
+    # The NEW r15 queries (never driver-verified) sort to the
     # very front by the rotation rule; then the r11-stale queries
     # and r12 fills.
     'q_bitext_candidates': q_bitext_candidates,
@@ -5841,6 +5906,8 @@ QUERIES: Dict[str, QueryFn] = {
     'q_dsir_weights': q_dsir_weights,
     'q_ccnet_buckets': q_ccnet_buckets,
     'q_orc_roundtrip': q_orc_roundtrip,
+    'q_fetch_schedule': q_fetch_schedule,
+    'q_bm25_hard_negatives': q_bm25_hard_negatives,
     # Mechanical oldest-verified-first rotation (the rule
     # tools/gen_query_inventory.py proposes each round): the 43
     # r11-stale queries lead, then 7 r12 fills; the whole registry
@@ -6404,6 +6471,81 @@ ORACLES: Dict[str, str] = {
                CAST(sum(doc_id) AS BIGINT) AS sum_ids,
                CAST(sum(length(text)) AS BIGINT) AS sum_chars
         FROM documents GROUP BY lang
+    """,
+    'q_fetch_schedule': """
+        WITH urls AS (
+            SELECT 'https://' || source || '.com/' || lang || '/doc'
+                       || doc_id::VARCHAR AS url,
+                   source || '.com' AS host,
+                   doc_id % 13 AS priority
+            FROM documents
+        ), ranked AS (
+            SELECT url, host,
+                   row_number() OVER (PARTITION BY host
+                       ORDER BY priority DESC, url ASC) AS slot
+            FROM urls
+        ), delays AS (
+            SELECT DISTINCT source || '.com' AS host,
+                   CAST(CASE
+                       WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                           THEN 2.5
+                       WHEN CAST(substr(source, 4) AS INT) % 3 = 0
+                           THEN 7.0
+                       ELSE 1.0
+                   END AS DOUBLE) AS crawl_delay
+            FROM documents
+        )
+        SELECT url, host, slot,
+               CAST((slot - 1) // 4 AS BIGINT) AS wave,
+               (slot - 1) * crawl_delay AS fetch_at_sec
+        FROM ranked JOIN delays USING (host)
+        WHERE slot <= 10000
+    """,
+    'q_bm25_hard_negatives': """
+        WITH qt(query_id, token) AS (
+            VALUES (0, 'spark'), (0, 'table'),
+                   (1, 'hash'), (1, 'join'), (1, 'merge'),
+                   (2, 'window'), (2, 'filter')
+        ), norm AS (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                       AS t
+            FROM documents WHERE text IS NOT NULL
+        ), tok AS (
+            SELECT doc_id, token FROM (
+                SELECT doc_id, unnest(string_split(t, ' ')) AS token
+                FROM norm
+            ) WHERE token <> ''
+        ), dl AS (
+            SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+        ), stats AS (
+            SELECT avg(dl) AS avgdl, count(*) AS n FROM dl
+        ), tf AS (
+            SELECT doc_id, token, count(*) AS tf
+            FROM tok WHERE token IN (SELECT token FROM qt)
+            GROUP BY doc_id, token
+        ), dfreq AS (
+            SELECT token, count(*) AS df FROM tf GROUP BY token
+        ), scored AS (
+            SELECT q.query_id, tf.doc_id,
+                   sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                       * tf.tf * (1.2 + 1)
+                       / (tf.tf + 1.2 * (1 - 0.75
+                          + 0.75 * dl.dl / s.avgdl))) AS score
+            FROM tf JOIN qt q USING (token)
+                    JOIN dfreq d USING (token)
+                    JOIN dl USING (doc_id), stats s
+            GROUP BY q.query_id, tf.doc_id
+        ), neg AS (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, doc_id ASC) AS rn
+            FROM scored
+            WHERE NOT doc_id % 9 = query_id
+        )
+        SELECT CAST(query_id AS INT) AS query_id, doc_id,
+               CAST(rn AS INT) AS rank
+        FROM neg WHERE rn <= 12
     """,
     # NEW r14 — closed-form replays of the planted fixtures.
     'q_maxsim_topk': """

@@ -97,3 +97,77 @@ def test_search_raises_on_truncated_terms(corpus):
     assert sorted(
         r['doc_id'] for r in
         search_all_terms(idx, ['joins']).collect()) == [2, 3]
+
+
+class TestBm25MultiRank:
+    def _corpus(self, spark):
+        return spark.createDataFrame(
+            [(1, 'spark table spark'),
+             (2, 'table join'),
+             (3, 'hash join merge hash'),
+             (4, 'window filter window'),
+             (5, 'nothing relevant here')],
+            'doc_id long, text string')
+
+    def test_matches_single_query_bm25(self, spark_session):
+        from ons_utils_spark.operators.index import (
+            bm25_multi_rank, bm25_rank)
+        docs = self._corpus(spark_session)
+        single = {r['doc_id']: r['score'] for r in bm25_rank(
+            docs, ['spark', 'table'], top_k=None).collect()}
+        qs = spark_session.createDataFrame(
+            [(0, ['spark', 'table'])],
+            'query_id int, terms array<string>')
+        multi = {r['doc_id']: r['score'] for r in
+                 bm25_multi_rank(docs, qs).collect()}
+        assert multi.keys() == single.keys()
+        for k in single:
+            assert multi[k] == pytest.approx(single[k], rel=1e-12)
+
+    def test_one_pass_covers_all_queries(self, spark_session):
+        from ons_utils_spark.operators.index import bm25_multi_rank
+        docs = self._corpus(spark_session)
+        qs = spark_session.createDataFrame(
+            [(0, ['spark']), (1, ['hash', 'merge']),
+             (2, ['window'])],
+            'query_id int, terms array<string>')
+        out = bm25_multi_rank(docs, qs)
+        got = {(r['query_id'], r['doc_id']) for r in out.collect()}
+        # each query only scores docs matching >= 1 of its terms
+        assert got == {(0, 1), (1, 3), (2, 4)}
+
+
+class TestMineHardNegatives:
+    def test_positives_excluded_and_ranked(self, spark_session):
+        from ons_utils_spark.operators.index import (
+            mine_hard_negatives)
+        docs = spark_session.createDataFrame(
+            [(1, 'spark spark spark'),
+             (2, 'spark table'),
+             (3, 'spark data here'),
+             (4, 'unrelated words')],
+            'doc_id long, text string')
+        qs = spark_session.createDataFrame(
+            [(0, ['spark'])], 'query_id int, terms array<string>')
+        pos = spark_session.createDataFrame(
+            [(0, 1)], 'query_id int, doc_id long')
+        out = [(r['doc_id'], r['rank']) for r in mine_hard_negatives(
+            docs, qs, pos, k=5).orderBy('rank').collect()]
+        # doc 1 (the labeled positive) is gone; doc 4 never matched
+        assert [d for d, _ in out] != []
+        assert 1 not in [d for d, _ in out]
+        assert 4 not in [d for d, _ in out]
+        assert [r for _, r in out] == list(range(1, len(out) + 1))
+
+    def test_k_caps_per_query(self, spark_session):
+        from ons_utils_spark.operators.index import (
+            mine_hard_negatives)
+        docs = spark_session.createDataFrame(
+            [(i, 'spark word%d' % i) for i in range(20)],
+            'doc_id long, text string')
+        qs = spark_session.createDataFrame(
+            [(0, ['spark'])], 'query_id int, terms array<string>')
+        pos = spark_session.createDataFrame(
+            [], 'query_id int, doc_id long')
+        out = mine_hard_negatives(docs, qs, pos, k=7).collect()
+        assert len(out) == 7

@@ -604,3 +604,29 @@ class TestExtractHreflang:
         plan = df.select(web.extract_hreflang('html'))._jdf \
             .queryExecution().executedPlan().toString()
         assert 'Python' not in plan
+
+
+class TestFetchSchedule:
+    def test_timeline_and_unknown_host_null(self, spark_session):
+        frontier = spark_session.createDataFrame(
+            [('u1', 'a.com', 1, 0), ('u2', 'a.com', 2, 0),
+             ('u3', 'a.com', 3, 0), ('u4', 'b.com', 1, 0),
+             ('u5', 'nodelay.com', 2, 0)],
+            'url string, host string, slot int, wave int')
+        delays = spark_session.createDataFrame(
+            [('a.com', 2.5), ('b.com', 1.0)],
+            'host string, crawl_delay double')
+        out = {r['url']: r['fetch_at_sec'] for r in
+               web.fetch_schedule(frontier, delays).collect()}
+        assert out == {'u1': 0.0, 'u2': 2.5, 'u3': 5.0,
+                       'u4': 0.0, 'u5': None}
+
+    def test_delay_table_broadcasts(self, spark_session):
+        frontier = spark_session.createDataFrame(
+            [('u', 'a.com', 1, 0)],
+            'url string, host string, slot int, wave int')
+        delays = spark_session.createDataFrame(
+            [('a.com', 1.0)], 'host string, crawl_delay double')
+        plan = web.fetch_schedule(frontier, delays)._jdf \
+            .queryExecution().executedPlan().toString()
+        assert 'BroadcastHashJoin' in plan
