@@ -82,15 +82,18 @@ def main() -> None:
     # The default budget SCALES with the suite (r11 postmortem: a
     # fixed 540s was outgrown by the 161-query warmup under host load
     # and the driver recorded a repeat=0 cold fallback): warmup
-    # ~0.4s/query idle to ~2s/query contended, plus ~1.1s/query per
-    # warm pass — 150 + 3.5s/query leaves room for warmup + >=2 timed
-    # passes at 161 queries even with a loaded host.  The progressive
-    # result emission below (a flushed line after every completed
-    # pass) makes a harness kill near the timeout lose at most the
-    # in-flight pass, never the whole artifact.
+    # ~0.4s/query idle to ~2s/query contended, plus ~1.1-1.25s/query
+    # per warm pass (re-measured r15 at 200 queries: quiet warmup
+    # ~0.8s/query, quiet pass ~1.15s/query — 150 + 3.5s/query left
+    # exactly 2 passes, a knife edge that silently demoted the
+    # artifact to repeat-2).  150 + 4.2s/query restores headroom for
+    # warmup + 3 timed passes at the current per-query costs.  The
+    # progressive result emission below (a flushed line after every
+    # completed pass) makes a harness kill near the timeout lose at
+    # most the in-flight pass, never the whole artifact.
     budget_s = float(
         os.environ.get('SPARK_GRAFT_BENCH_BUDGET')
-        or max(560, 150 + 3.5 * len(QUERIES)))
+        or max(560, 150 + 4.2 * len(QUERIES)))
     bench_t0 = time.time()
     # Warmup pass, CONCURRENT: each query's first execution pays
     # whole-stage-codegen compilation + JIT (measured ~2x steady
