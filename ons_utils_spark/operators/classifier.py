@@ -43,7 +43,8 @@ from pyspark.sql import functions as F
 
 from .text import normalize_text
 
-__all__ = ['train_token_weights', 'score_texts']
+__all__ = ['train_token_weights', 'score_texts',
+           'calibration_bins']
 
 
 def _tokens(df: SparkDF, text_col: str, keep: Sequence[str],
@@ -133,3 +134,67 @@ def score_texts(
         agg = agg.withColumn(
             'score', F.col('score') / F.col('n_tokens'))
     return agg
+
+
+def calibration_bins(
+    scored: SparkDF,
+    score_col: str = 'score',
+    label_col: str = 'label',
+    id_col: str = 'doc_id',
+    n_bins: int = 10,
+    thresholds=None,
+) -> SparkDF:
+    """Reliability-diagram bins for a quality classifier: rank the
+    scored corpus (score desc, id as the deterministic tie-break),
+    cut into ``n_bins`` equal-count bins, and per bin report
+    ``(bin_idx, n_docs, n_pos, min_score, max_score)`` — bin 0 is
+    the most seed-like slice.  ``n_pos / n_docs`` against the bin's
+    score range is the calibration curve: a filter threshold chosen
+    on an uncalibrated score keeps junk and drops keepers, so this
+    is the diagnostic to run BEFORE committing a corpus-wide
+    quality cut (same role as the CCNet tail inspection).
+
+    Rows with NULL scores are excluded (unscorable docs can't sit
+    in a bin).  The default exact path is one global window — a
+    SORT of the scored corpus; right for verified runs and for
+    integer-mode scores (bit-exact, engine-replayable).  At corpus
+    scale pass ``thresholds`` (a DESCENDING list of ``n_bins - 1``
+    score cutoffs, e.g. from ``percentile_approx`` on a sample) and
+    binning becomes a pure scan projection feeding one n_bins-row
+    aggregate — no sort, no window.
+    """
+    from pyspark.sql import Window
+
+    base = scored.select(
+        F.col(id_col), F.col(score_col), F.col(label_col)
+    ).where(F.col(score_col).isNotNull())
+    if thresholds is not None:
+        if len(thresholds) != n_bins - 1:
+            raise ValueError(
+                f'need {n_bins - 1} thresholds, got {len(thresholds)}')
+        if list(thresholds) != sorted(thresholds, reverse=True):
+            raise ValueError('thresholds must be descending')
+        idx = F.lit(n_bins - 1)
+        for i, t in reversed(list(enumerate(thresholds))):
+            idx = F.when(F.col(score_col) >= t,
+                         F.lit(i)).otherwise(idx)
+        binned = base.withColumn('bin_idx', idx.cast('int'))
+    else:
+        w = Window.partitionBy()
+        order = w.orderBy(F.col(score_col).desc(),
+                          F.col(id_col).asc())
+        binned = (
+            base
+            .withColumn('__rk', F.row_number().over(order))
+            .withColumn('__n', F.count(F.lit(1)).over(w))
+            .withColumn(
+                'bin_idx',
+                F.floor(F.lit(n_bins) * (F.col('__rk') - 1)
+                        / F.col('__n')).cast('int')))
+    return (
+        binned.groupBy('bin_idx')
+        .agg(F.count(F.lit(1)).alias('n_docs'),
+             F.sum(F.col(label_col).cast('long')).alias('n_pos'),
+             F.min(score_col).alias('min_score'),
+             F.max(score_col).alias('max_score'))
+    )

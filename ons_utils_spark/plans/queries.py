@@ -5843,6 +5843,30 @@ def q_bm25_hard_negatives(spark: SparkSession,
     return mine_hard_negatives(documents, qs, positives, k=12)
 
 
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Classifier reliability bins (``classifier.calibration_bins``,
+    NEW r15): the integer-mode seed classifier of
+    :func:`q_seed_classifier` scores the corpus, the scored docs are
+    rank-cut into 10 equal-count bins (integer scores → bit-exact
+    ranks on any engine), and each bin reports its size, its
+    true-seed count, and its score range — the calibration curve a
+    pipeline inspects before committing a corpus-wide quality cut.
+    The oracle replays the integer train+score arithmetic, the
+    global window, and the floor binning."""
+    from ..operators.classifier import (
+        calibration_bins, score_texts, train_token_weights)
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    labeled = documents.withColumn(
+        'is_seed', (F.col('lang') == 'en').cast('int'))
+    wts = train_token_weights(labeled, 'text', 'is_seed',
+                              mode='integer')
+    scored = score_texts(labeled, wts, 'text',
+                         keep=('doc_id', 'is_seed'))
+    return calibration_bins(
+        scored, 'score', 'is_seed', 'doc_id', n_bins=10)
+
+
 def _ensure_orc_corpus(spark: SparkSession, sf_dir: str) -> str:
     """Stage the documents corpus as ORC once per session
     (artifact-cached like the WARC/ANN artifacts) and return the
@@ -5908,6 +5932,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_orc_roundtrip': q_orc_roundtrip,
     'q_fetch_schedule': q_fetch_schedule,
     'q_bm25_hard_negatives': q_bm25_hard_negatives,
+    'q_calibration_bins': q_calibration_bins,
     # Mechanical oldest-verified-first rotation (the rule
     # tools/gen_query_inventory.py proposes each round): the 43
     # r11-stale queries lead, then 7 r12 fills; the whole registry
@@ -6471,6 +6496,58 @@ ORACLES: Dict[str, str] = {
                CAST(sum(doc_id) AS BIGINT) AS sum_ids,
                CAST(sum(length(text)) AS BIGINT) AS sum_chars
         FROM documents GROUP BY lang
+    """,
+    'q_calibration_bins': """
+        -- Integer-classifier replay (q_seed_classifier arithmetic)
+        -- + global rank window + floor binning.
+        WITH norm AS (
+            SELECT doc_id, lang,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                       AS t
+            FROM documents
+        ), toks AS (
+            SELECT doc_id, lang, unnest(string_split(t, ' ')) AS token
+            FROM norm
+        ), tok AS (
+            SELECT * FROM toks WHERE token <> ''
+        ), counts AS (
+            SELECT token,
+                   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c_pos,
+                   CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+                        AS BIGINT) AS c_neg
+            FROM tok GROUP BY token
+        ), tot AS (
+            SELECT CAST(sum(c_pos) AS BIGINT) AS t_pos,
+                   CAST(sum(c_neg) AS BIGINT) AS t_neg,
+                   count(*) AS v
+            FROM counts
+        ), wts AS (
+            SELECT token,
+                   CAST((c_pos + 1) * (t_neg + v)
+                        - (c_neg + 1) * (t_pos + v) AS BIGINT) AS w
+            FROM counts, tot
+        ), scored AS (
+            SELECT t.doc_id,
+                   CAST(max(CASE WHEN t.lang = 'en' THEN 1 ELSE 0
+                            END) AS BIGINT) AS is_seed,
+                   CAST(sum(w.w) AS BIGINT) AS score
+            FROM tok t JOIN wts w USING (token)
+            GROUP BY t.doc_id
+        ), ranked AS (
+            SELECT is_seed, score,
+                   row_number() OVER (ORDER BY score DESC,
+                                      doc_id ASC) AS rk,
+                   count(*) OVER () AS n
+            FROM scored
+        )
+        SELECT CAST(floor(10.0 * (rk - 1) / n) AS INT) AS bin_idx,
+               count(*) AS n_docs,
+               CAST(sum(is_seed) AS BIGINT) AS n_pos,
+               min(score) AS min_score,
+               max(score) AS max_score
+        FROM ranked
+        GROUP BY bin_idx
     """,
     'q_fetch_schedule': """
         WITH urls AS (

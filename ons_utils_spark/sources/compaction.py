@@ -190,6 +190,19 @@ def compact_table(
     plan = compaction_plan(spark, src, target_bytes)
     df = spark.read.parquet(src)
 
+    def _record_layout(sorted_cols) -> None:
+        # durable layout contract for readers and re-compactions:
+        # which clustering (if any) min-max pruning can rely on
+        from .shards import TABLE_LAYOUT_SIDECAR, write_layout_sidecar
+
+        write_layout_sidecar(spark, dst, {
+            'kind': 'compaction',
+            'target_bytes': target_bytes,
+            'partition_by': list(partition_by or []),
+            'sort_by': list(sorted_cols or []),
+            'source': src,
+        }, name=TABLE_LAYOUT_SIDECAR)
+
     if not partition_by:
         total = plan.agg(F.sum('total_bytes')).collect()[0][0] or 0
         n_out = max(1, math.ceil(total / target_bytes))
@@ -198,6 +211,7 @@ def compact_table(
         else:
             out = df.repartition(n_out)
         out.write.mode('overwrite').parquet(dst)
+        _record_layout(sort_by)
         return plan
 
     # Hive-partitioned: broadcast-join each row to its directory's
@@ -233,4 +247,5 @@ def compact_table(
         .drop('__slot', '__n_out', *[f'__p_{c}' for c in part_cols])
         .write.mode('overwrite').partitionBy(*part_cols).parquet(dst)
     )
+    _record_layout(None)
     return plan

@@ -72,6 +72,18 @@ def optimize_write(
         writer = writer.option(
             'maxRecordsPerFile', max_records_per_file)
     writer.parquet(path)
+    # durable layout contract (hidden sidecar, same mechanism as the
+    # training-shard sink): readers and later compactions learn what
+    # clustering min-max pruning can rely on without re-deriving it
+    # from file stats
+    from .shards import TABLE_LAYOUT_SIDECAR, write_layout_sidecar
+
+    write_layout_sidecar(spark, path, {
+        'kind': 'optimize_write',
+        'sort_cols': [str(c) for c in list_convert(sort_cols)],
+        'num_files': n,
+        'max_records_per_file': max_records_per_file,
+    }, name=TABLE_LAYOUT_SIDECAR)
 
 
 def file_stats(

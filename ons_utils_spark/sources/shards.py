@@ -27,11 +27,17 @@ from pyspark.sql import DataFrame as SparkDF
 from pyspark.sql import functions as F
 
 __all__ = ['with_shard_id', 'write_training_shards', 'shard_manifest',
-           'read_training_shards', 'read_layout_sidecar']
+           'read_training_shards', 'read_layout_sidecar',
+           'write_layout_sidecar', 'TABLE_LAYOUT_SIDECAR']
 
 # Underscore-prefixed so Spark/Hadoop file listings treat it as a
 # hidden file (like _SUCCESS) — invisible to spark.read.parquet(path).
 _LAYOUT_SIDECAR = '_shard_layout.json'
+
+#: Sidecar name used by the OTHER partitioned sinks (compaction,
+#: optimize_write) — distinct from the shard sidecar so a compacted
+#: table can never be misread as a training-shard layout.
+TABLE_LAYOUT_SIDECAR = '_table_layout.json'
 
 _INTEGRAL_TYPES = ('byte', 'short', 'integer', 'long')
 
@@ -68,12 +74,18 @@ def _hadoop_path(spark, path: str):
     return fs, p
 
 
-def _write_layout_sidecar(spark, path: str, meta: dict) -> None:
-    """Persist the writer's layout contract next to the shards as ONE
+def write_layout_sidecar(spark, path: str, meta: dict,
+                         name: str = _LAYOUT_SIDECAR) -> None:
+    """Persist a writer's layout contract next to its files as ONE
     hidden file, through the Hadoop FS API so it works on any
     filesystem scheme (local/HDFS/object store) the write itself
-    targeted."""
-    fs, p = _hadoop_path(spark, path.rstrip('/') + '/' + _LAYOUT_SIDECAR)
+    targeted.  The shard sink uses the default name; the other
+    partitioned sinks (compaction, ``optimize_write``, a manual
+    z-order/Hilbert write) record theirs under
+    :data:`TABLE_LAYOUT_SIDECAR` — the durable answer to "what
+    clustering can readers prune on?" that otherwise lives only in
+    the writing job's code."""
+    fs, p = _hadoop_path(spark, path.rstrip('/') + '/' + name)
     out = fs.create(p, True)
     try:
         out.write(bytearray(json.dumps(meta).encode('utf-8')))
@@ -81,10 +93,15 @@ def _write_layout_sidecar(spark, path: str, meta: dict) -> None:
         out.close()
 
 
-def read_layout_sidecar(spark, path: str) -> Optional[dict]:
-    """The layout contract :func:`write_training_shards` persisted, or
+#: Backwards-compatible private alias (pre-r15 internal name).
+_write_layout_sidecar = write_layout_sidecar
+
+
+def read_layout_sidecar(spark, path: str,
+                        name: str = _LAYOUT_SIDECAR) -> Optional[dict]:
+    """The layout contract a sink persisted under ``name``, or
     ``None`` for a pre-sidecar layout."""
-    fs, p = _hadoop_path(spark, path.rstrip('/') + '/' + _LAYOUT_SIDECAR)
+    fs, p = _hadoop_path(spark, path.rstrip('/') + '/' + name)
     if not fs.exists(p):
         return None
     stream = fs.open(p)

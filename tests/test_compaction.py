@@ -183,3 +183,56 @@ class TestCompactPartitioned:
         # null-partition rows survive as NULLs, escaped values intact
         assert dst_df.filter(F.col('k').isNull()).count() == 100
         assert dst_df.filter(F.col('k') == 'a:b').count() == 100
+
+
+class TestLayoutSidecar:
+    def test_compaction_records_contract(self, spark_session,
+                                         tmp_path):
+        import os
+
+        from ons_utils_spark.sources import compaction as cp
+        from ons_utils_spark.sources.shards import (
+            TABLE_LAYOUT_SIDECAR, read_layout_sidecar)
+        src, dst = str(tmp_path / 's'), str(tmp_path / 'd')
+        spark_session.range(100).withColumn(
+            'k', (F.col('id') % 7)).repartition(6) \
+            .write.parquet(src)
+        cp.compact_table(spark_session, src, dst,
+                         target_bytes=1 << 20, sort_by=['k'])
+        meta = read_layout_sidecar(
+            spark_session, dst, name=TABLE_LAYOUT_SIDECAR)
+        assert meta['kind'] == 'compaction'
+        assert meta['sort_by'] == ['k']
+        assert meta['partition_by'] == []
+        assert meta['target_bytes'] == 1 << 20
+        # hidden: invisible to a parquet scan of the directory
+        assert spark_session.read.parquet(dst).count() == 100
+        assert os.path.exists(
+            os.path.join(dst, TABLE_LAYOUT_SIDECAR))
+
+    def test_partitioned_compaction_records_contract(
+            self, spark_session, tmp_path):
+        from ons_utils_spark.sources import compaction as cp
+        from ons_utils_spark.sources.shards import (
+            TABLE_LAYOUT_SIDECAR, read_layout_sidecar)
+        src, dst = str(tmp_path / 's'), str(tmp_path / 'd')
+        spark_session.range(60).withColumn(
+            'p', (F.col('id') % 2).cast('string')) \
+            .repartition(4).write.partitionBy('p').parquet(src)
+        cp.compact_table(spark_session, src, dst,
+                         target_bytes=1 << 20, partition_by=['p'])
+        meta = read_layout_sidecar(
+            spark_session, dst, name=TABLE_LAYOUT_SIDECAR)
+        assert meta['kind'] == 'compaction'
+        assert meta['partition_by'] == ['p']
+        assert meta['sort_by'] == []
+
+    def test_shard_sidecar_name_not_reused(self, spark_session,
+                                           tmp_path):
+        # a compacted table must never be misread as a shard layout
+        from ons_utils_spark.sources import compaction as cp
+        from ons_utils_spark.sources.shards import read_layout_sidecar
+        src, dst = str(tmp_path / 's'), str(tmp_path / 'd')
+        spark_session.range(10).repartition(2).write.parquet(src)
+        cp.compact_table(spark_session, src, dst)
+        assert read_layout_sidecar(spark_session, dst) is None

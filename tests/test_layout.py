@@ -269,3 +269,21 @@ def test_hilbert_null_keys_propagate_on_both_paths(spark_session):
                            method='expr').collect()
     assert ({(r['x'], r['y'], r['__hvalue']) for r in a}
             == {(r['x'], r['y'], r['__hvalue']) for r in e})
+
+
+def test_optimize_write_records_layout_sidecar(spark_session,
+                                               tmp_path):
+    from ons_utils_spark.sources.layout import optimize_write
+    from ons_utils_spark.sources.shards import (
+        TABLE_LAYOUT_SIDECAR, read_layout_sidecar)
+    path = str(tmp_path / 'opt')
+    df = spark_session.range(200).withColumn(
+        'k', (F.col('id') * 37 % 100))
+    optimize_write(df, path, 'k', num_files=3,
+                   max_records_per_file=500)
+    meta = read_layout_sidecar(
+        spark_session, path, name=TABLE_LAYOUT_SIDECAR)
+    assert meta == {'kind': 'optimize_write', 'sort_cols': ['k'],
+                    'num_files': 3, 'max_records_per_file': 500}
+    # the hidden sidecar must not disturb the data read
+    assert spark_session.read.parquet(path).count() == 200

@@ -161,3 +161,52 @@ def test_min_df_filters_rare(labeled):
 def test_invalid_mode_raises(labeled):
     with pytest.raises(ValueError, match='logodds'):
         train_token_weights(labeled, 'text', 'is_seed', mode='bogus')
+
+
+class TestCalibrationBins:
+    def _scored(self, spark):
+        # 10 docs, scores 100..91 descending by id; labels: the top
+        # half is mostly positive (well-calibrated-ish fixture)
+        rows = [(i, 100 - i, 1 if i < 4 or i == 5 else 0)
+                for i in range(10)]
+        return spark.createDataFrame(
+            rows, 'doc_id long, score long, label int')
+
+    def test_equal_count_bins_and_rates(self, spark_session):
+        from ons_utils_spark.operators.classifier import (
+            calibration_bins)
+        out = {r['bin_idx']: r for r in calibration_bins(
+            self._scored(spark_session), n_bins=5).collect()}
+        assert sorted(out) == [0, 1, 2, 3, 4]
+        assert all(out[b]['n_docs'] == 2 for b in out)
+        # bin 0 = docs 0,1 (both pos); bin 2 = docs 4,5 (one pos)
+        assert out[0]['n_pos'] == 2
+        assert out[2]['n_pos'] == 1
+        assert out[4]['n_pos'] == 0
+        assert out[0]['min_score'] == 99
+        assert out[0]['max_score'] == 100
+
+    def test_null_scores_excluded(self, spark_session):
+        from ons_utils_spark.operators.classifier import (
+            calibration_bins)
+        df = spark_session.createDataFrame(
+            [(1, 10, 1), (2, None, 1), (3, 5, 0), (4, 1, 0)],
+            'doc_id long, score long, label int')
+        out = calibration_bins(df, n_bins=3).collect()
+        assert sum(r['n_docs'] for r in out) == 3
+
+    def test_threshold_path_no_window(self, spark_session):
+        from ons_utils_spark.operators.classifier import (
+            calibration_bins)
+        df = self._scored(spark_session)
+        out_df = calibration_bins(df, n_bins=3,
+                                  thresholds=[98, 94])
+        out = {r['bin_idx']: r['n_docs'] for r in out_df.collect()}
+        assert out == {0: 3, 1: 4, 2: 3}
+        plan = out_df._jdf.queryExecution().executedPlan().toString()
+        assert 'Window' not in plan
+        import pytest
+        with pytest.raises(ValueError, match='descending'):
+            calibration_bins(df, n_bins=3, thresholds=[94, 98])
+        with pytest.raises(ValueError, match='thresholds'):
+            calibration_bins(df, n_bins=3, thresholds=[98])
