@@ -26,6 +26,7 @@ __all__ = [
     'stratified_sample_exact', 'weighted_sample_exact',
     'mixture_sample', 'global_order_index',
     'interleaved_mixture_order', 'fractional_epochs',
+    'unimax_allocation',
 ]
 
 _PREFIX_LEN = 6
@@ -578,3 +579,92 @@ def interleaved_mixture_order(
         .withColumn(key_col, (F.col(pos_col) + 1) / F.col('_w'))
         .drop('_tag', '_bkt', '_off', '_w')
     )
+
+
+def unimax_allocation(
+    df: SparkDF,
+    group_col: str,
+    weight_col: 'str | None' = None,
+    max_epochs: float = 1.0,
+    budget: 'float | None' = None,
+    budget_fraction: 'float | None' = None,
+) -> SparkDF:
+    """UniMax budget allocation (Chung et al., ICLR 2023 — the
+    T5X/PaLM-2 multilingual mixing strategy): split a total training
+    budget across groups (languages) as UNIFORMLY as possible while
+    never repeating any group more than ``max_epochs`` times —
+    head languages stop hogging the mixture, tail languages are
+    never oversampled into memorization.
+
+    Water-filling with per-group caps ``cap_g = capacity_g ×
+    max_epochs`` (capacity = ``sum(weight_col)`` per group — tokens,
+    characters, or rows when ``None``): every group receives
+    ``min(cap_g, λ)`` with the water level λ chosen so allocations
+    sum to the budget.  Pass ``budget`` (absolute) or
+    ``budget_fraction`` (× total capacity, resolved IN-PLAN so no
+    driver action).  Returns one row per group:
+    ``(group, capacity, cap, allocation, epochs)``.
+
+    Closed form via windows, no iteration: sort groups by cap
+    ascending — cap-outs are then a PREFIX — and group ``i`` caps
+    out iff ``cap_i × (n−i+1) + prefix_{i−1} < B``; λ spreads the
+    budget left after the k capped groups over the n−k others.  If
+    the budget exceeds every cap the leftover is simply unallocated
+    (every group trains its max_epochs; raise the cap if that is a
+    surprise).  Scale shape: one group-keyed aggregate over the
+    corpus, then ALL windows run over the n_groups-row aggregate
+    (languages number thousands at most) — never over corpus rows.
+    """
+    if (budget is None) == (budget_fraction is None):
+        raise ValueError(
+            'pass exactly one of budget / budget_fraction')
+    if max_epochs <= 0:
+        raise ValueError(f'max_epochs must be > 0: {max_epochs}')
+    from pyspark.sql import Window
+
+    wexpr = F.col(weight_col) if weight_col else F.lit(1)
+    caps = (
+        df.groupBy(group_col)
+        .agg(F.sum(wexpr).cast('double').alias('capacity'))
+        .withColumn('cap', F.col('capacity') * float(max_epochs)))
+    everything = Window.partitionBy()
+    asc = everything.orderBy(F.col('cap').asc(),
+                             F.col(group_col).asc())
+    run = asc.rowsBetween(Window.unboundedPreceding,
+                          Window.currentRow)
+    if budget_fraction is not None:
+        b = (F.sum('capacity').over(everything)
+             * float(budget_fraction))
+    else:
+        b = F.lit(float(budget))
+    n = F.count(F.lit(1)).over(everything)
+    i = F.row_number().over(asc)
+    prefix_prev = F.sum('cap').over(run) - F.col('cap')
+    staged = (
+        caps
+        .withColumn('__b', b)
+        .withColumn(
+            '__capped',
+            F.col('cap') * (n - i + 1) + prefix_prev < F.col('__b'))
+        .withColumn(
+            '__k', F.sum(F.col('__capped').cast('int'))
+            .over(everything))
+        .withColumn(
+            '__pk',
+            F.coalesce(
+                F.sum(F.when(F.col('__capped'), F.col('cap')))
+                .over(everything), F.lit(0.0)))
+        .withColumn(
+            '__lam',
+            F.when(n > F.col('__k'),
+                   (F.col('__b') - F.col('__pk'))
+                   / (n - F.col('__k'))).otherwise(F.lit(0.0))))
+    return staged.select(
+        group_col, 'capacity', 'cap',
+        F.when(F.col('__capped'), F.col('cap'))
+        .otherwise(F.least(F.col('__lam'), F.col('cap')))
+        .alias('allocation'),
+    ).withColumn(
+        'epochs',
+        F.when(F.col('capacity') > 0,
+               F.col('allocation') / F.col('capacity')))

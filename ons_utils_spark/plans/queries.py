@@ -5867,6 +5867,29 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> SparkDF:
         scored, 'score', 'is_seed', 'doc_id', n_bins=10)
 
 
+def q_unimax_mixture(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """UniMax language-budget allocation
+    (``sampling.unimax_allocation``, NEW r15 — Chung et al. ICLR
+    2023, the T5X/PaLM-2 multilingual mixing strategy): per-language
+    character capacities from the documents corpus, a training
+    budget of half the total characters, and a 2-epoch repeat cap —
+    the closed-form water-filling assigns every language
+    ``min(cap, λ)``.  0.5 and 2.0 are binary-exact, capacities are
+    integer sums, and both engines evaluate the identical window
+    arithmetic, so allocations hash-match at 6 dp.  The windows run
+    over the 5-row language aggregate, never corpus rows."""
+    from ..operators.sampling import unimax_allocation
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    out = unimax_allocation(
+        documents, 'lang', 'n_chars',
+        max_epochs=2.0, budget_fraction=0.5)
+    return out.select(
+        'lang', 'capacity', 'cap',
+        F.round('allocation', 6).alias('allocation'),
+        F.round('epochs', 6).alias('epochs'))
+
+
 def _ensure_orc_corpus(spark: SparkSession, sf_dir: str) -> str:
     """Stage the documents corpus as ORC once per session
     (artifact-cached like the WARC/ANN artifacts) and return the
@@ -5933,6 +5956,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_fetch_schedule': q_fetch_schedule,
     'q_bm25_hard_negatives': q_bm25_hard_negatives,
     'q_calibration_bins': q_calibration_bins,
+    'q_unimax_mixture': q_unimax_mixture,
     # Mechanical oldest-verified-first rotation (the rule
     # tools/gen_query_inventory.py proposes each round): the 43
     # r11-stale queries lead, then 7 r12 fills; the whole registry
@@ -6496,6 +6520,47 @@ ORACLES: Dict[str, str] = {
                CAST(sum(doc_id) AS BIGINT) AS sum_ids,
                CAST(sum(length(text)) AS BIGINT) AS sum_chars
         FROM documents GROUP BY lang
+    """,
+    'q_unimax_mixture': """
+        -- Water-filling replay: caps ascending, prefix sums, the
+        -- cap-out predicate, and the water level over the 5-row
+        -- language aggregate.
+        WITH caps AS (
+            SELECT lang,
+                   CAST(sum(n_chars) AS DOUBLE) AS capacity,
+                   CAST(sum(n_chars) AS DOUBLE) * 2.0 AS cap
+            FROM documents GROUP BY lang
+        ), st AS (
+            SELECT lang, capacity, cap,
+                   sum(capacity) OVER () * 0.5 AS b,
+                   count(*) OVER () AS n,
+                   row_number() OVER (ORDER BY cap ASC, lang ASC)
+                       AS i,
+                   sum(cap) OVER (ORDER BY cap ASC, lang ASC
+                                  ROWS UNBOUNDED PRECEDING) - cap
+                       AS pprev
+            FROM caps
+        ), flg AS (
+            SELECT *, cap * (n - i + 1) + pprev < b AS capped
+            FROM st
+        ), lev AS (
+            SELECT *,
+                   sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER ()
+                       AS k,
+                   coalesce(sum(CASE WHEN capped THEN cap END)
+                            OVER (), 0.0) AS pk
+            FROM flg
+        ), alloc AS (
+            SELECT lang, capacity, cap,
+                   CASE WHEN capped THEN cap
+                        ELSE least((b - pk) / (n - k), cap)
+                   END AS a
+            FROM lev
+        )
+        SELECT lang, capacity, cap,
+               round(a, 6) AS allocation,
+               round(a / capacity, 6) AS epochs
+        FROM alloc
     """,
     'q_calibration_bins': """
         -- Integer-classifier replay (q_seed_classifier arithmetic)

@@ -644,3 +644,65 @@ class TestFractionalEpochs:
             df, 'src', 'id', {'g0': 2.5})._jdf.queryExecution() \
             .executedPlan().toString()
         assert 'Exchange' not in plan, plan[:1500]
+
+
+class TestUnimaxAllocation:
+    def _df(self, spark):
+        rows = [('tail', 2), ('mid', 10), ('head', 100)]
+        out = []
+        for g, n in rows:
+            out += [(g, 1)] * n
+        return spark.createDataFrame(out, 'lang string, w int')
+
+    def test_water_filling_with_caps(self, spark_session):
+        from ons_utils_spark.operators.sampling import (
+            unimax_allocation)
+        got = {r['lang']: r for r in unimax_allocation(
+            self._df(spark_session), 'lang', 'w',
+            max_epochs=1.0, budget=30.0).collect()}
+        # caps [2, 10, 100]; tail+mid cap out, head gets the rest
+        assert got['tail']['allocation'] == 2.0
+        assert got['mid']['allocation'] == 10.0
+        assert got['head']['allocation'] == 18.0
+        assert got['tail']['epochs'] == 1.0
+        assert got['head']['epochs'] == pytest.approx(0.18)
+
+    def test_uniform_when_no_cap_binds(self, spark_session):
+        from ons_utils_spark.operators.sampling import (
+            unimax_allocation)
+        df = spark_session.createDataFrame(
+            [('a', 1)] * 10 + [('b', 1)] * 10 + [('c', 1)] * 10,
+            'lang string, w int')
+        got = {r['lang']: r['allocation'] for r in unimax_allocation(
+            df, 'lang', 'w', max_epochs=2.0, budget=30.0).collect()}
+        assert got == {'a': 10.0, 'b': 10.0, 'c': 10.0}
+
+    def test_budget_beyond_caps_leaves_leftover(self, spark_session):
+        from ons_utils_spark.operators.sampling import (
+            unimax_allocation)
+        got = {r['lang']: r['allocation'] for r in unimax_allocation(
+            self._df(spark_session), 'lang', 'w',
+            max_epochs=1.0, budget=1000.0).collect()}
+        assert got == {'tail': 2.0, 'mid': 10.0, 'head': 100.0}
+
+    def test_budget_fraction_resolves_in_plan(self, spark_session):
+        from ons_utils_spark.operators.sampling import (
+            unimax_allocation)
+        got = {r['lang']: r['allocation'] for r in unimax_allocation(
+            self._df(spark_session), 'lang', 'w',
+            max_epochs=1.0, budget_fraction=0.5).collect()}
+        # B = 56: tail 2 + mid 10 cap out, head gets 44
+        assert got == {'tail': 2.0, 'mid': 10.0, 'head': 44.0}
+
+    def test_validation(self, spark_session):
+        from ons_utils_spark.operators.sampling import (
+            unimax_allocation)
+        df = self._df(spark_session)
+        with pytest.raises(ValueError, match='exactly one'):
+            unimax_allocation(df, 'lang', 'w')
+        with pytest.raises(ValueError, match='exactly one'):
+            unimax_allocation(df, 'lang', 'w', budget=1.0,
+                              budget_fraction=0.5)
+        with pytest.raises(ValueError, match='max_epochs'):
+            unimax_allocation(df, 'lang', 'w', max_epochs=0,
+                              budget=1.0)
