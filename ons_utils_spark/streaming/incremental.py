@@ -920,3 +920,83 @@ def incremental_embedding_dedup(
     return foreach_batch_sink(
         vecs_stream, process, checkpoint,
         output_mode='append', available_now=available_now)
+
+
+def compact_incremental_store(
+    spark,
+    store_dir: str,
+    dst: str,
+) -> dict:
+    """OFFLINE maintenance rewrite of an incremental-dedup store:
+    merge the data rows of every fully-committed batch EXCEPT the
+    newest into one batch partition, so a long-lived stream's
+    ``_batch_id=N[/_bucket=K]`` directory (one per micro-batch,
+    small files inside) collapses to O(buckets) well-sized files —
+    probe scans stop paying per-batch file-open overhead that grows
+    linearly with stream age.
+
+    Exactly-once semantics are PRESERVED, not approximated:
+
+    * every ``begin``/``commit`` marker row keeps its original
+      ``_batch_id`` — ``_batch_state`` answers for any batch are
+      unchanged (a compacted batch still reads ``committed``);
+    * only batches strictly older than the newest batch id are
+      merged — Structured Streaming can only replay the LAST batch
+      after a crash, and that batch's rows (and any partial batch's
+      rows) are copied through untouched, so own-batch exclusion
+      and mid-commit reconciliation still see exactly what they
+      wrote;
+    * merged data rows adopt the OLDEST compacted batch id — still
+      strictly smaller than any replayable or future id, so the
+      ``_batch_id != current`` probe filter never misclassifies
+      them.
+
+    Copy-then-swap like ``sources.compaction.compact_table``:
+    ``dst`` must be a NEW directory; stop the stream, compact, swap
+    directories, restart **with the same checkpoint** — the store
+    protocol binds batch ids to one checkpoint lineage (true before
+    compaction too: a fresh checkpoint restarts ids at 0 and
+    collides with historical committed batches).  Returns a report
+    dict ``(batches, committed, compacted_batches,
+    target_batch_id)``.
+    """
+    if os.path.normpath(store_dir) == os.path.normpath(dst):
+        raise ValueError('compact_incremental_store writes to a '
+                         'NEW location; swap directories after the '
+                         f'rewrite (store_dir == dst == {store_dir!r})')
+    store = spark.read.parquet(store_dir)
+    if '_marker' not in store.columns or '_batch_id' not in store.columns:
+        raise ValueError(
+            'not a marker-protocol incremental store (flat or '
+            'pre-_marker layouts cannot be compacted safely): '
+            f'{store_dir}')
+    ids = store.groupBy('_batch_id').agg(
+        F.max((F.col('_marker') == 'commit').cast('int'))
+        .alias('__committed')).collect()
+    all_ids = sorted(r['_batch_id'] for r in ids)
+    committed = sorted(r['_batch_id'] for r in ids
+                       if r['__committed'])
+    compactable = [b for b in committed if b != all_ids[-1]]
+    target = min(compactable) if compactable else None
+    bucketed = '_bucket' in store.columns
+    part_cols = ['_batch_id', '_bucket'] if bucketed \
+        else ['_batch_id']
+
+    is_merged_data = (
+        F.col('_marker').isNull()
+        & F.col('_batch_id').isin(compactable or [-1]))
+    frozen = store.filter(~is_merged_data)
+    bid_type = dict(store.dtypes)['_batch_id']
+    merged = store.filter(is_merged_data).withColumn(
+        '_batch_id', F.lit(target).cast(bid_type)) \
+        if compactable else None
+    out = frozen.unionByName(merged) if merged is not None else frozen
+    # one task -> one file per surviving (batch, bucket) directory
+    (out.repartition(*[F.col(c) for c in part_cols])
+     .write.mode('error').partitionBy(*part_cols).parquet(dst))
+    return {
+        'batches': len(all_ids),
+        'committed': len(committed),
+        'compacted_batches': len(compactable),
+        'target_batch_id': target,
+    }

@@ -894,3 +894,107 @@ class TestIncrementalExactDedup:
             .groupBy('_batch_id').count().collect()
         assert {r['_batch_id']: r['count'] for r in marks} \
             == {0: 1, 1: 1}
+
+
+@pytest.mark.slow
+class TestCompactIncrementalStore:
+    def _drive(self, spark, src_dir, out_dir, store_dir, ckpt):
+        from ons_utils_spark.streaming.incremental import (
+            incremental_exact_dedup)
+        stream = (
+            spark.readStream
+            .schema('doc_id long, text string')
+            .option('maxFilesPerTrigger', 1)
+            .json(str(src_dir))
+        )
+        q = incremental_exact_dedup(
+            stream, out_dir=str(out_dir), store_dir=str(store_dir),
+            checkpoint=str(ckpt), id_col='doc_id', key_col='text')
+        q.awaitTermination(300)
+
+    def test_compacted_store_continues_identically(
+            self, spark_session, tmp_path):
+        import os
+        import shutil
+
+        from ons_utils_spark.streaming.incremental import (
+            _batch_state, compact_incremental_store)
+
+        docs = [(1, 'aaa'), (2, 'bbb'),      # chunk 0
+                (3, 'aaa'), (4, 'ccc'),      # chunk 1 (3 is a dup)
+                (5, 'ddd'), (6, 'bbb')]      # chunk 2 (6 is a dup)
+        _stage(tmp_path, docs, n_chunks=3)
+        self._drive(spark_session, tmp_path / 'docs_src',
+                    tmp_path / 'acc', tmp_path / 'store',
+                    tmp_path / 'ck1')
+        acc = sorted(r['doc_id'] for r in spark_session.read
+                     .parquet(str(tmp_path / 'acc')).collect())
+        assert acc == [1, 2, 4, 5]
+
+        report = compact_incremental_store(
+            spark_session, str(tmp_path / 'store'),
+            str(tmp_path / 'store2'))
+        assert report['batches'] == 3
+        assert report['compacted_batches'] == 2
+        assert report['target_batch_id'] == 0
+
+        store2 = spark_session.read.parquet(str(tmp_path / 'store2'))
+        store1 = spark_session.read.parquet(str(tmp_path / 'store'))
+        # same keys survive; merged data lives under batch 0; the
+        # newest batch (2) is untouched; markers keep their ids
+        keys = lambda df: sorted(  # noqa: E731
+            r['text'] for r in df.filter(
+                F.col('_marker').isNull()).select('text').collect())
+        assert keys(store2) == keys(store1)
+        data_bids = {r['_batch_id'] for r in store2.filter(
+            F.col('_marker').isNull()).select('_batch_id')
+            .distinct().collect()}
+        assert data_bids == {0, 2}
+        for b in (0, 1, 2):
+            committed, partial, _ = _batch_state(store2, b)
+            assert committed and not partial
+        # fewer data files
+        n_files = lambda d: sum(  # noqa: E731
+            f.endswith('.parquet')
+            for _, _, fs in os.walk(str(d)) for f in fs)
+        assert n_files(tmp_path / 'store2') < n_files(
+            tmp_path / 'store')
+
+        # continuation equivalence under the REAL operating recipe
+        # (stop stream → compact → swap store dir → restart with
+        # the SAME checkpoint): a 4th chunk lands in the source and
+        # the resumed stream must accept exactly the same rows
+        # against the compacted store as against the original
+        import time
+
+        import pandas as pd
+
+        more = [(7, 'aaa'), (8, 'eee')]   # 7 is a historical dup
+        p4 = tmp_path / 'docs_src' / '3.json'
+        pd.DataFrame(more, columns=['doc_id', 'text']).to_json(
+            p4, orient='records', lines=True)
+        os.utime(p4, (time.time() + 60,) * 2)
+        ids = lambda d: sorted(  # noqa: E731
+            r['doc_id'] for r in spark_session.read
+            .parquet(str(d)).collect())
+        for tag, store in (('a', 'store'), ('b', 'store2')):
+            out = tmp_path / f'acc4{tag}'
+            shutil.copytree(tmp_path / 'acc', out)
+            ck = tmp_path / f'ck4{tag}'
+            shutil.copytree(tmp_path / 'ck1', ck)
+            self._drive(spark_session, tmp_path / 'docs_src', out,
+                        tmp_path / store, ck)
+            assert ids(out) == [1, 2, 4, 5, 8], tag
+
+    def test_guards(self, spark_session, tmp_path):
+        from ons_utils_spark.streaming.incremental import (
+            compact_incremental_store)
+        with pytest.raises(ValueError, match='NEW location'):
+            compact_incremental_store(
+                spark_session, str(tmp_path / 's'), str(tmp_path / 's'))
+        # a plain parquet dir is not a marker-protocol store
+        spark_session.range(3).write.parquet(str(tmp_path / 'p'))
+        with pytest.raises(ValueError, match='marker-protocol'):
+            compact_incremental_store(
+                spark_session, str(tmp_path / 'p'),
+                str(tmp_path / 'p2'))
