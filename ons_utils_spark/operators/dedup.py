@@ -2689,3 +2689,80 @@ def line_dedup(
         .fillna({text_col: ''})
         .select(*df.columns)
     )
+
+
+def duplicate_sentence_spans(
+    df: SparkDF,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    span: int = 3,
+    min_span_chars: int = 0,
+    dups_only: bool = True,
+) -> SparkDF:
+    """C4's OTHER exact-dedup unit (Raffel et al. 2020 §2.2): find
+    every ``span``-sentence window that occurs more than once across
+    the corpus — the boilerplate paragraphs, license blocks, and
+    syndicated ledes that line-level dedup misses because their line
+    breaks differ between sites.
+
+    Sentences are the non-empty trimmed pieces between terminal
+    punctuation marks (``. ! ?``); each document contributes its
+    ``n - span + 1`` sliding windows.  "First occurrence" is the
+    lowest ``(id, span_idx)`` — a total order, so the keep flag is
+    deterministic under repartitioning.
+
+    Returns one row per duplicated span occurrence (every occurrence
+    when ``dups_only=False``): ``(id_col, span_idx, span_key, n_occ,
+    keep)`` with ``span_idx`` 1-based.  Compose with an anti-join on
+    ``(id, span_idx)`` — or ``keep == False`` — to drop repeats the
+    way C4 does.
+
+    Plan & scale: the window projection is pure codegen (split →
+    trim/filter → sliding ``transform`` over a sequence); ONE shuffle
+    on the 16-byte md5 span key carries ``(key, id, idx)`` — never
+    the span text — and both the count and the rank come from the
+    same partitioning.  A boilerplate span repeated across millions
+    of pages lands in one partition but costs O(occurrences), not
+    O(occurrences²): this reports group membership, not pairs.
+    Spans shorter than ``min_span_chars`` are exempt (never
+    shuffled), the same practicality valve as ``line_dedup``.
+    Engine-portable: md5 + list lambdas replay everywhere
+    (``q_span_dedup``).
+    """
+    if span < 1:
+        raise ValueError(f'span must be >= 1, got {span!r}')
+    sents = F.filter(
+        F.transform(F.split(F.col(text_col), '[.!?]'),
+                    lambda s: F.trim(s)),
+        lambda s: s != '')
+    staged = df.select(F.col(id_col), sents.alias('__sents'))
+    n = F.size(F.col('__sents'))
+    windows = F.when(
+        n >= span,
+        F.transform(
+            F.sequence(F.lit(1), n - span + 1),
+            lambda i: F.array_join(
+                F.slice(F.col('__sents'), i, span), ' '))
+    ).otherwise(F.array().cast('array<string>'))
+    spans = staged.select(
+        id_col,
+        F.posexplode(windows).alias('__pos', '__span'),
+    ).select(
+        id_col,
+        (F.col('__pos') + 1).cast('int').alias('span_idx'),
+        F.col('__span'),
+    )
+    if min_span_chars > 0:
+        spans = spans.filter(F.length('__span') >= min_span_chars)
+    key = F.md5(F.col('__span'))
+    w = Window.partitionBy(key)
+    w_rank = w.orderBy(F.col(id_col).asc(), F.col('span_idx').asc())
+    out = spans.select(
+        id_col, 'span_idx',
+        key.alias('span_key'),
+        F.count(F.lit(1)).over(w).alias('n_occ'),
+        (F.row_number().over(w_rank) == 1).alias('keep'),
+    )
+    if dups_only:
+        out = out.filter(F.col('n_occ') > 1)
+    return out

@@ -439,6 +439,80 @@ def gopher_quality_flags(
         '__g_n_ellipsis', '__g_n_alpha', '__g_n_stop')
 
 
+def c4_quality_flags(
+    df: SparkDF,
+    col: ColumnOrName = 'text',
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+    policy_words: Sequence[str] = ('javascript',),
+    bad_phrases: Sequence[str] = ('lorem ipsum',),
+):
+    """C4 cleaning (Raffel et al. 2020, §2.2) as line-level repair +
+    page-level flags — the other canonical web-corpus recipe next to
+    :func:`gopher_quality_flags`.
+
+    Line rules (a line survives into ``c4_text`` iff ALL hold):
+
+    * ends in a terminal punctuation mark (``. ! ? "``),
+    * has at least ``min_words_per_line`` whitespace words,
+    * contains none of ``policy_words`` (C4 drops any line with the
+      word "javascript" — cookie/JS boilerplate).
+
+    Page flags (TRUE = rule passed; C4 drops the whole page):
+
+    * ``c4_lines``     — the retained text still has at least
+      ``min_sentences`` sentences (terminal-punct count),
+    * ``c4_no_badword``— none of ``bad_phrases`` anywhere on the raw
+      page (stand-in for the public bad-words list, which callers
+      pass in),
+    * ``c4_no_brace``  — no curly bracket (code, not prose),
+    * ``c4_pass``      — all of the above.
+
+    Adds ``c4_text`` (the retained lines re-joined), ``n_kept_lines``
+    and ``n_sentences`` alongside the flags.  One codegen'd
+    projection — the line filter is a higher-order ``filter`` over
+    the split array, every test is a regex/substring the JVM
+    evaluates, and there is no shuffle and no UDF, so the recipe runs
+    at parquet-scan speed at corpus scale.  Engine-portable: an ANSI
+    engine with list lambdas replays every rule (``q_c4_filters``).
+    """
+    c = convert_to_spark_col(col)
+    low_policy = [w.lower() for w in policy_words]
+    low_bad = [p.lower() for p in bad_phrases]
+
+    def _keep(line):
+        ok = F.rtrim(line).rlike('[.!?"]$') & (
+            F.size(F.split(F.trim(line), r'\s+'))
+            >= min_words_per_line)
+        for w in low_policy:
+            ok = ok & ~F.contains(F.lower(line), F.lit(w))
+        return ok
+
+    staged = df.withColumns({
+        '__c4_kept': F.filter(F.split(c, '\n'), _keep),
+    })
+    kept = F.col('__c4_kept')
+    counted = staged.withColumns({
+        'c4_text': F.array_join(kept, '\n'),
+        'n_kept_lines': F.size(kept),
+    }).withColumn(
+        'n_sentences', F.regexp_count(F.col('c4_text'), F.lit('[.!?]')))
+    no_bad = None
+    for p in low_bad:
+        cond = ~F.contains(F.lower(c), F.lit(p))
+        no_bad = cond if no_bad is None else no_bad & cond
+    flags = {
+        'c4_lines': F.col('n_sentences') >= min_sentences,
+        'c4_no_badword': no_bad if no_bad is not None else F.lit(True),
+        'c4_no_brace': ~F.contains(c, F.lit('{')),
+    }
+    out = counted.withColumns(flags)
+    passed = None
+    for name in flags:
+        passed = F.col(name) if passed is None else passed & F.col(name)
+    return out.withColumn('c4_pass', passed).drop('__c4_kept')
+
+
 def language_id(col: ColumnOrName) -> SparkCol:
     """Heuristic language ID over marker-pattern hit counts.
 

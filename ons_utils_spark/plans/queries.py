@@ -5931,6 +5931,95 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> SparkDF:
              F.sum(F.length('text')).alias('sum_chars')))
 
 
+def _c4_pages(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Deterministic web-page synthesis for the C4 queries: the
+    token stream cut into 6-word lines, terminal punctuation by
+    ``(doc_id + line) % 4`` (one line in four gets none), every
+    ``(doc_id + line) % 10 == 0`` line poisoned with 'javascript',
+    and lorem-ipsum / curly-brace tails planted on the ``% 17`` /
+    ``% 13`` id classes — every C4 rule has real work to do and the
+    oracle rebuilds the identical page from the same arithmetic."""
+    (documents,) = _t(spark, sf_dir, 'documents')
+    staged = documents.withColumn('__toks', F.split('text', ' '))
+    toks = F.col('__toks')
+    doc_id = F.col('doc_id')
+    puncts = F.array(F.lit(''), F.lit('.'), F.lit('!'), F.lit('?'))
+    lines = F.transform(
+        F.expr('sequence(1, (size(__toks) + 5) div 6)'),
+        lambda i: F.concat(
+            F.array_join(F.slice(toks, (i - 1) * 6 + 1, 6), ' '),
+            F.when((doc_id + i) % 10 == 0,
+                   F.lit(' enable javascript here.'))
+            .otherwise(F.element_at(
+                puncts, ((doc_id + i) % 4 + 1).cast('int')))))
+    page = F.concat(
+        F.array_join(lines, '\n'),
+        F.when(doc_id % 17 == 0,
+               F.lit('\nthis page contains lorem ipsum text.'))
+        .otherwise(F.lit('')),
+        F.when(doc_id % 13 == 0,
+               F.lit('\nfunction f() { return 1; }'))
+        .otherwise(F.lit('')))
+    return staged.select('doc_id', 'lang', 'source',
+                         page.alias('page'))
+
+
+def q_c4_filters(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """C4 web-cleaning rules (``text.c4_quality_flags``, NEW r15 —
+    Raffel et al. 2020 §2.2): terminal-punctuation + ≥3-word +
+    no-'javascript' line retention repairs each synthesized page,
+    then the page-level lorem-ipsum / curly-brace / ≥5-sentence
+    flags decide its fate.  Everything is one codegen'd projection
+    (higher-order line filter, regex counts — no UDF, no shuffle),
+    and the oracle rebuilds the page and replays every rule with
+    DuckDB list lambdas."""
+    from ..operators.text import c4_quality_flags
+
+    pages = _c4_pages(spark, sf_dir)
+    out = c4_quality_flags(
+        pages, 'page', min_words_per_line=3, min_sentences=5)
+    return out.select(
+        'doc_id', 'n_kept_lines', 'n_sentences',
+        F.length('c4_text').alias('kept_chars'),
+        'c4_lines', 'c4_no_badword', 'c4_no_brace', 'c4_pass')
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """C4 three-sentence-span dedup
+    (``dedup.duplicate_sentence_spans``, NEW r15): the corpus token
+    stream is cut into 5-word '.'-terminated sentences and every
+    ``doc_id % 7 == 0`` page gets the language's shared 4-sentence
+    cookie-banner tail — so each such page contributes exactly two
+    all-boilerplate windows that repeat across its whole language
+    class.  The operator finds them with ONE shuffle on the md5 span
+    key (group membership, never pairs); keep marks the lowest
+    ``(doc_id, span_idx)``.  The oracle rebuilds the identical pages
+    and replays the split / window / md5 / rank arithmetic."""
+    from ..operators.dedup import duplicate_sentence_spans
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    staged = documents.withColumn('__toks', F.split('text', ' '))
+    toks = F.col('__toks')
+    body = F.array_join(
+        F.transform(
+            F.expr('sequence(1, (size(__toks) + 4) div 5)'),
+            lambda i: F.concat(
+                F.array_join(F.slice(toks, (i - 1) * 5 + 1, 5), ' '),
+                F.lit('.'))),
+        ' ')
+    tail = F.when(
+        F.col('doc_id') % 7 == 0,
+        F.concat(F.lit(' cookie notice '), F.col('lang'),
+                 F.lit('. accept all cookies '), F.col('lang'),
+                 F.lit('. privacy policy link '), F.col('lang'),
+                 F.lit('. terms apply '), F.col('lang'), F.lit('.'))
+    ).otherwise(F.lit(''))
+    pages = staged.select(
+        'doc_id', F.concat(body, tail).alias('text'))
+    return duplicate_sentence_spans(pages, span=3).select(
+        'doc_id', 'span_idx', 'span_key', 'n_occ', 'keep')
+
+
 # --------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------
@@ -5948,6 +6037,8 @@ QUERIES: Dict[str, QueryFn] = {
     # The NEW r15 queries (never driver-verified) sort to the
     # very front by the rotation rule; then the r11-stale queries
     # and r12 fills.
+    'q_c4_filters': q_c4_filters,
+    'q_span_dedup': q_span_dedup,
     'q_bitext_candidates': q_bitext_candidates,
     'q_maxsim_candidates': q_maxsim_candidates,
     'q_dsir_weights': q_dsir_weights,
@@ -6337,6 +6428,106 @@ _SIMHASH_PLANTED_DECISION_SQL = """
     """
 
 ORACLES: Dict[str, str] = {
+    # NEW r15 — C4 web-cleaning rules over synthesized pages.
+    'q_c4_filters': """
+        WITH built AS (
+            SELECT doc_id,
+                   string_split(text, ' ') AS toks
+            FROM documents
+        ), pages AS (
+            SELECT doc_id,
+                   array_to_string(list_transform(
+                       range(1, (len(toks) + 5) // 6 + 1), i ->
+                       array_to_string(
+                           toks[(i - 1) * 6 + 1 : (i - 1) * 6 + 6],
+                           ' ') ||
+                       CASE WHEN (doc_id + i) % 10 = 0
+                            THEN ' enable javascript here.'
+                            ELSE (['', '.', '!', '?'])[
+                                CAST((doc_id + i) % 4 + 1 AS INT)]
+                       END), chr(10)) ||
+                   CASE WHEN doc_id % 17 = 0
+                        THEN chr(10) ||
+                             'this page contains lorem ipsum text.'
+                        ELSE '' END ||
+                   CASE WHEN doc_id % 13 = 0
+                        THEN chr(10) || 'function f() { return 1; }'
+                        ELSE '' END AS page
+            FROM built
+        ), kept AS (
+            SELECT doc_id, page,
+                   list_filter(string_split(page, chr(10)), l ->
+                       regexp_matches(rtrim(l), '[.!?"]$')
+                       AND len(regexp_split_to_array(trim(l),
+                                                     '\\s+')) >= 3
+                       AND NOT contains(lower(l), 'javascript'))
+                       AS kl
+            FROM pages
+        ), agg AS (
+            SELECT doc_id, page,
+                   array_to_string(kl, chr(10)) AS c4_text,
+                   CAST(len(kl) AS INT) AS n_kept_lines
+            FROM kept
+        ), counted AS (
+            SELECT doc_id, n_kept_lines,
+                   CAST(len(regexp_extract_all(c4_text, '[.!?]'))
+                        AS INT) AS n_sentences,
+                   CAST(length(c4_text) AS INT) AS kept_chars,
+                   NOT contains(lower(page), 'lorem ipsum')
+                       AS c4_no_badword,
+                   NOT contains(page, '{') AS c4_no_brace
+            FROM agg
+        )
+        SELECT doc_id, n_kept_lines, n_sentences, kept_chars,
+               (n_sentences >= 5) AS c4_lines,
+               c4_no_badword, c4_no_brace,
+               (n_sentences >= 5 AND c4_no_badword AND c4_no_brace)
+                   AS c4_pass
+        FROM counted
+    """,
+    # NEW r15 — C4 three-sentence-span dedup over synthesized pages.
+    'q_span_dedup': """
+        WITH built AS (
+            SELECT doc_id, lang, string_split(text, ' ') AS toks
+            FROM documents
+        ), pages AS (
+            SELECT doc_id,
+                   array_to_string(list_transform(
+                       range(1, (len(toks) + 4) // 5 + 1), i ->
+                       array_to_string(
+                           toks[(i - 1) * 5 + 1 : (i - 1) * 5 + 5],
+                           ' ') || '.'), ' ') ||
+                   CASE WHEN doc_id % 7 = 0
+                        THEN ' cookie notice ' || lang ||
+                             '. accept all cookies ' || lang ||
+                             '. privacy policy link ' || lang ||
+                             '. terms apply ' || lang || '.'
+                        ELSE '' END AS page
+            FROM built
+        ), sents AS (
+            SELECT doc_id,
+                   list_filter(list_transform(
+                       string_split_regex(page, '[.!?]'),
+                       s -> trim(s)), s -> s <> '') AS ss
+            FROM pages
+        ), spans AS (
+            SELECT doc_id,
+                   CAST(i AS INT) AS span_idx,
+                   md5(array_to_string(ss[i : i + 2], ' '))
+                       AS span_key
+            FROM sents, unnest(range(1, len(ss) - 1)) AS t(i)
+        ), marked AS (
+            SELECT doc_id, span_idx, span_key,
+                   count(*) OVER (PARTITION BY span_key) AS n_occ,
+                   (row_number() OVER (
+                        PARTITION BY span_key
+                        ORDER BY doc_id ASC, span_idx ASC) = 1)
+                       AS keep
+            FROM spans
+        )
+        SELECT doc_id, span_idx, span_key, n_occ, keep
+        FROM marked WHERE n_occ > 1
+    """,
     # NEW r15 — candidate-set scorers, DSIR, CCNet buckets, ORC.
     'q_bitext_candidates': """
         -- Ratio-margin replay restricted to the arithmetic

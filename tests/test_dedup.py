@@ -1663,3 +1663,77 @@ def test_dedup_report_histogram(spark_session):
            for r in dedup_report(df, normalize=False).collect()}
     # without normalization the case/whitespace triplet splits
     assert raw == {1: (8), 2: 1}
+
+
+class TestDuplicateSentenceSpans:
+    """C4 three-sentence-span dedup: planted shared paragraphs are
+    found, keep marks the lowest (id, idx), unique spans stay out."""
+
+    def _df(self, spark_session):
+        shared = ('cookie notice here. accept all cookies now. '
+                  'privacy policy link below. terms apply today.')
+        rows = [
+            (1, 'first unique lede sentence one. second thought two. '
+                + shared),
+            (2, 'a different opening sentence. ' + shared),
+            (3, 'totally unrelated doc. nothing repeats here at all. '
+                'three distinct sentences live. four now even.'),
+        ]
+        return spark_session.createDataFrame(
+            rows, 'doc_id long, text string')
+
+    def test_planted_spans_found_and_keep_is_first(
+            self, spark_session):
+        from ons_utils_spark.operators.dedup import (
+            duplicate_sentence_spans)
+        out = duplicate_sentence_spans(self._df(spark_session))
+        rows = out.collect()
+        # the 4 shared sentences yield 2 all-shared windows per doc
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r['doc_id'], []).append(r)
+        assert set(by_doc) == {1, 2}
+        assert all(len(v) == 2 for v in by_doc.values())
+        assert all(r['n_occ'] == 2 for r in rows)
+        # doc 1 has the lower id -> keeps both spans
+        assert all(r['keep'] for r in by_doc[1])
+        assert not any(r['keep'] for r in by_doc[2])
+        # span_idx is 1-based within each doc's window list
+        assert sorted(r['span_idx'] for r in by_doc[1]) == [3, 4]
+        assert sorted(r['span_idx'] for r in by_doc[2]) == [2, 3]
+
+    def test_dups_only_false_reports_everything(self, spark_session):
+        from ons_utils_spark.operators.dedup import (
+            duplicate_sentence_spans)
+        out = duplicate_sentence_spans(
+            self._df(spark_session), dups_only=False)
+        # doc 3: 4 sentences -> 2 windows, all unique, all kept
+        d3 = [r for r in out.collect() if r['doc_id'] == 3]
+        assert len(d3) == 2
+        assert all(r['n_occ'] == 1 and r['keep'] for r in d3)
+
+    def test_short_doc_contributes_nothing(self, spark_session):
+        from ons_utils_spark.operators.dedup import (
+            duplicate_sentence_spans)
+        df = spark_session.createDataFrame(
+            [(1, 'only two sentences. here they are.')],
+            'doc_id long, text string')
+        assert duplicate_sentence_spans(df, dups_only=False) \
+            .count() == 0
+
+    def test_min_span_chars_exempts(self, spark_session):
+        from ons_utils_spark.operators.dedup import (
+            duplicate_sentence_spans)
+        df = spark_session.createDataFrame(
+            [(1, 'a. b. c.'), (2, 'a. b. c.')],
+            'doc_id long, text string')
+        assert duplicate_sentence_spans(df).count() == 2
+        assert duplicate_sentence_spans(
+            df, min_span_chars=20).count() == 0
+
+    def test_bad_span_raises(self, spark_session):
+        from ons_utils_spark.operators.dedup import (
+            duplicate_sentence_spans)
+        with pytest.raises(ValueError):
+            duplicate_sentence_spans(
+                self._df(spark_session), span=0)

@@ -407,6 +407,64 @@ class TestGopherBulletThreshold:
         assert not r['g_bullets']
 
 
+class TestC4Rules:
+    """C4 line + page rules (Raffel et al. 2020) fire on crafted
+    violators and pass on a clean page; the line filter repairs the
+    page rather than only flagging it."""
+
+    PAGE = ('welcome to our fine test page.\n'
+            'short line.\n'
+            'this menu line has no terminal punctuation\n'
+            'please enable javascript to view this content.\n'
+            'a second real sentence of honest prose!\n'
+            'is this a question with enough words?\n'
+            'the final line also ends properly.\n'
+            'and one more sentence to clear the bar.')
+
+    def _row(self, spark_session, text, **kw):
+        from ons_utils_spark.operators.text import c4_quality_flags
+        df = spark_session.createDataFrame([(text,)], 'text string')
+        return c4_quality_flags(df, 'text', **kw).collect()[0]
+
+    def test_line_filter_repairs_page(self, spark_session):
+        r = self._row(spark_session, self.PAGE)
+        kept = r['c4_text'].split('\n')
+        # no-punct and javascript lines are gone; 'short line.' has
+        # only 2 words and is gone too.
+        assert len(kept) == 5 and r['n_kept_lines'] == 5
+        assert all(l[-1] in '.!?"' for l in kept)
+        assert not any('javascript' in l for l in kept)
+        assert r['c4_pass'], dict(r.asDict())
+
+    def test_min_sentences_page_flag(self, spark_session):
+        r = self._row(spark_session,
+                      'one honest sentence only here.',
+                      min_sentences=5)
+        assert not r['c4_lines'] and not r['c4_pass']
+
+    def test_bad_phrase_and_brace_flags(self, spark_session):
+        r = self._row(spark_session,
+                      self.PAGE + '\nLorem Ipsum dolor sit amet.')
+        assert not r['c4_no_badword'] and not r['c4_pass']
+        r2 = self._row(spark_session,
+                       self.PAGE + '\nvar x = { a: 1 };')
+        assert not r2['c4_no_brace'] and not r2['c4_pass']
+
+    def test_word_count_per_line(self, spark_session):
+        r = self._row(spark_session, 'tiny line.\nanother tiny one.',
+                      min_words_per_line=3, min_sentences=1)
+        assert r['n_kept_lines'] == 1  # only the 3-word line stays
+
+    def test_quote_terminal_counts(self, spark_session):
+        r = self._row(spark_session,
+                      'he said "this line ends in a quote"',
+                      min_sentences=0)
+        assert r['n_kept_lines'] == 1
+        # quotes are terminal for the LINE rule but are not
+        # sentence marks for the page count.
+        assert r['n_sentences'] == 0
+
+
 class TestBoilerplateRemoval:
     HTML = ('<div><a href="/">home</a> <a href="/a">about</a></div>'
             '<p>the quick brown fox jumps over the lazy dog</p>'
