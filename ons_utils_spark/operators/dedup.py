@@ -2766,3 +2766,74 @@ def duplicate_sentence_spans(
     if dups_only:
         out = out.filter(F.col('n_occ') > 1)
     return out
+
+
+def ngram_contamination(
+    corpus: SparkDF,
+    benchmark: SparkDF,
+    corpus_id: str = 'doc_id',
+    bench_id: str = 'bench_id',
+    corpus_text: str = 'text',
+    bench_text: str = 'text',
+    n: int = 13,
+) -> SparkDF:
+    """EXACT benchmark decontamination with evidence (the GPT-3 /
+    Brown et al. 2020 appendix-C recipe): report every
+    ``(corpus doc, benchmark item)`` pair sharing at least one exact
+    word ``n``-gram, with the hit count and the earliest corpus
+    position — the audit table a release needs before claiming a
+    training corpus is clean of an eval set.  The approximate
+    membership twin is ``bloom.bloom_decontaminate`` (zero-shuffle,
+    no evidence); this one names the overlapping items.
+
+    Returns ``(corpus_id, bench_id, n_hits, first_pos,
+    n_doc_ngrams)``: ``n_hits`` = how many of the document's
+    positional n-grams appear in that benchmark item's distinct
+    n-gram set, ``first_pos`` = 1-based position of the earliest
+    hit, ``n_doc_ngrams`` = the document's total n-gram count
+    (``n_hits / n_doc_ngrams`` is the contaminated fraction —
+    integers are emitted so the division stays caller-side and
+    engine-exact).
+
+    Plan & scale: benchmark n-grams (eval sets are MB-scale — tiny
+    next to a crawl) explode + distinct once and BROADCAST; the
+    corpus side is one scan building positional n-grams with the
+    O(tokens) ``zip_with`` shingle chain (never the quadratic
+    slice-per-index shape), then a broadcast hash join and one
+    map-side-combinable ``(doc, bench)`` aggregate.  Nothing
+    shuffles the corpus text.  Documents shorter than ``n`` tokens
+    contribute no n-grams (exempt by construction); benchmark items
+    shorter than ``n`` tokens fall back to their whole text as one
+    gram (the ``word_shingles`` rule).  Engine-portable
+    (``q_exact_decontaminate``).
+    """
+    if n < 1:
+        raise ValueError(f'n must be >= 1, got {n!r}')
+    toks = tokenize(normalize_text(corpus_text))
+    k = F.size(toks) - (n - 1)
+    shingled = F.slice(toks, 1, F.greatest(k, F.lit(0)))
+    for offset in range(1, n):
+        shifted = F.slice(toks, offset + 1, F.greatest(k, F.lit(0)))
+        shingled = F.zip_with(
+            shingled, shifted, lambda a, b: F.concat_ws(' ', a, b))
+    grams = (
+        corpus.select(
+            F.col(corpus_id),
+            F.posexplode(shingled).alias('__pos0', '__gram'),
+            F.greatest(k, F.lit(0)).alias('n_doc_ngrams'))
+        .select(corpus_id, 'n_doc_ngrams',
+                (F.col('__pos0') + 1).alias('__pos'), '__gram')
+    )
+    bench_grams = (
+        benchmark.select(
+            F.col(bench_id),
+            F.explode(word_shingles(bench_text, n)).alias('__gram'))
+        .distinct()
+    )
+    return (
+        grams.join(F.broadcast(bench_grams), '__gram')
+        .groupBy(corpus_id, bench_id)
+        .agg(F.count(F.lit(1)).alias('n_hits'),
+             F.min('__pos').cast('int').alias('first_pos'),
+             F.first('n_doc_ngrams').alias('n_doc_ngrams'))
+    )

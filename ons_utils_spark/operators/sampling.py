@@ -668,3 +668,77 @@ def unimax_allocation(
         'epochs',
         F.when(F.col('capacity') > 0,
                F.col('allocation') / F.col('capacity')))
+
+
+def temperature_allocation(
+    df: SparkDF,
+    group_col: str,
+    weight_col: 'str | None' = None,
+    alpha: float = 0.25,
+    budget: 'float | None' = None,
+    quant: int = 1_000_000,
+) -> SparkDF:
+    """Temperature-scaled multinomial mixing weights (the mBERT /
+    XLM-R / mT5 exponential-smoothing recipe, Conneau et al. 2020
+    §3.1): sampling probability ``p_g ∝ capacity_g ** alpha`` —
+    ``alpha=1`` reproduces the natural distribution, ``alpha→0``
+    approaches uniform, and the published sweet spots (0.25 for
+    mT5-scale multilinguality, 0.3/0.5/0.7 for XLM-R) lift tail
+    languages without UniMax's hard epoch cap (its water-filling
+    sibling is :func:`unimax_allocation`).
+
+    Returns one row per group: ``(group, capacity, weight,
+    alloc)`` with ``weight`` the normalized probability and
+    ``alloc = floor(budget × w_q / Σw_q)`` (0 when no ``budget``).
+
+    Exactness contract: ``capacity_g ** alpha`` is quantized to the
+    integer ``w_q = floor(capacity**alpha × quant + 0.5)`` BEFORE
+    normalizing, so the denominator is an integer SUM — associative,
+    order-free — and ``weight = w_q / Σw_q`` plus ``alloc =
+    floor(budget × (w_q / Σw_q))`` are fixed IEEE-double operation
+    chains that replay bit-exactly on any engine.  When ``alpha``
+    is 0.5, 0.25, or 0.125 the power is computed as chained
+    ``sqrt`` (correctly rounded by IEEE 754, hence engine-portable);
+    other alphas use ``pow``, correct to 1 ulp but not formally
+    portable — quantization makes a flip astronomically unlikely,
+    not impossible.
+
+    Scale shape: one group-keyed aggregate over the corpus; the
+    normalization windows run over the groups-row table (thousands
+    at most), never corpus rows.  Compose with
+    :func:`mixture_sample` / :func:`fractional_epochs` to realize
+    the draw.
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError(f'alpha must be in (0, 1], got {alpha!r}')
+    if quant < 1:
+        raise ValueError(f'quant must be >= 1, got {quant!r}')
+    from pyspark.sql import Window
+
+    wexpr = F.col(weight_col) if weight_col else F.lit(1)
+    caps = df.groupBy(group_col).agg(
+        F.sum(wexpr).cast('double').alias('capacity'))
+    x = F.col('capacity')
+    sqrt_chain = {0.5: 1, 0.25: 2, 0.125: 3}
+    if alpha == 1.0:
+        powered = x
+    elif alpha in sqrt_chain:
+        powered = x
+        for _ in range(sqrt_chain[alpha]):
+            powered = F.sqrt(powered)
+    else:
+        powered = F.pow(x, F.lit(float(alpha)))
+    everything = Window.partitionBy()
+    staged = caps.withColumn(
+        '__wq', F.floor(powered * quant + F.lit(0.5)).cast('bigint'))
+    tot = F.sum('__wq').over(everything)
+    out = staged.withColumn(
+        'weight', F.col('__wq') / tot)
+    if budget is not None:
+        alloc = F.floor(
+            F.lit(float(budget)) * (F.col('__wq') / tot)) \
+            .cast('bigint')
+        out = out.withColumn('alloc', alloc)
+    else:
+        out = out.withColumn('alloc', F.lit(0).cast('bigint'))
+    return out.select(group_col, 'capacity', 'weight', 'alloc')

@@ -638,3 +638,48 @@ def fetch_schedule(
             'fetch_at_sec',
             (F.col(slot_col) - 1).cast('double') * F.col('__delay'))
         .drop('__delay'))
+
+
+def quality_blocklist(
+    df: SparkDF,
+    domain_col: str = 'domain',
+    pass_col: str = 'quality_pass',
+    min_docs: int = 3,
+    max_fail_num: int = 1,
+    max_fail_den: int = 4,
+) -> SparkDF:
+    """Domain-level quality census + blocklist derivation (the
+    RefinedWeb / FineWeb URL-filtering shape): aggregate a per-page
+    boolean quality verdict (``gopher_pass``, ``c4_pass``, a
+    classifier cut — anything) up to its domain, and block every
+    domain whose failure rate exceeds ``max_fail_num /
+    max_fail_den`` once at least ``min_docs`` pages have been seen —
+    the evidence floor that stops one bad page from banning a
+    one-page domain.
+
+    Returns one row per domain: ``(domain, n_docs, n_fail,
+    blocked)``.  The ratio test is the integer cross-multiplication
+    ``n_fail × den > n_docs × num`` — no float division, bit-exact
+    on any engine (``q_domain_blocklist``).
+
+    Scale shape: ONE domain-keyed count aggregate (map-side
+    combinable) over the corpus; the output is domains-sized, small
+    enough to broadcast back against the crawl as the actual filter
+    (``df.join(broadcast(blocked_domains), domain_col,
+    'left_anti')``).
+    """
+    if min_docs < 1:
+        raise ValueError(f'min_docs must be >= 1, got {min_docs!r}')
+    if max_fail_num < 0 or max_fail_den < 1:
+        raise ValueError(
+            'max_fail ratio must be >= 0 with positive denominator: '
+            f'{max_fail_num}/{max_fail_den}')
+    agg = df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias('n_docs'),
+        F.sum(F.when(F.col(pass_col), 0).otherwise(1))
+        .alias('n_fail'))
+    return agg.withColumn(
+        'blocked',
+        (F.col('n_docs') >= min_docs)
+        & (F.col('n_fail') * max_fail_den
+           > F.col('n_docs') * max_fail_num))

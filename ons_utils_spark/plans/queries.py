@@ -6020,6 +6020,79 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> SparkDF:
         'doc_id', 'span_idx', 'span_key', 'n_occ', 'keep')
 
 
+def q_exact_decontaminate(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Exact n-gram benchmark decontamination
+    (``dedup.ngram_contamination``, NEW r15 — the GPT-3 appendix-C
+    audit): a synthetic eval set (20-token slices of every
+    ``doc_id % 29 == 0`` document) is searched for verbatim 8-gram
+    overlap against the whole corpus — each slice convicts at least
+    its own source document, with hit counts, earliest positions,
+    and per-doc n-gram totals as integer evidence.  The benchmark
+    n-gram set broadcasts (eval sets are tiny next to a crawl); the
+    corpus is ONE scan with O(tokens) zip_with shingling and a
+    map-side-combinable aggregate.  The oracle replays tokenize /
+    shingle / join / group exactly."""
+    from ..operators.dedup import ngram_contamination
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    bench = (
+        documents.filter(F.col('doc_id') % 29 == 0)
+        .select(F.col('doc_id').alias('bench_id'),
+                F.array_join(
+                    F.slice(F.split('text', ' '), 5, 20), ' ')
+                .alias('text')))
+    return ngram_contamination(documents, bench, n=8).select(
+        'doc_id', 'bench_id', 'n_hits', 'first_pos', 'n_doc_ngrams')
+
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Temperature-scaled language mixing
+    (``sampling.temperature_allocation``, NEW r15 — the mBERT/XLM-R/
+    mT5 ``p ∝ n^α`` recipe at the published α=0.25): per-language
+    character capacities, exponentially smoothed weights, and a
+    10M-token budget split.  α=0.25 runs as ``sqrt(sqrt(x))`` —
+    correctly rounded IEEE ops, so the quantized weights and the
+    floored allocations replay bit-exactly (weights are emitted as
+    ppm integers; the engines' ``round`` tie modes differ, ``floor(x
+    + 0.5)`` does not).  Windows run over the 5-row language
+    aggregate, never corpus rows."""
+    from ..operators.sampling import temperature_allocation
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    out = temperature_allocation(
+        documents, 'lang', 'n_chars', alpha=0.25,
+        budget=10_000_000)
+    return out.select(
+        'lang', 'capacity',
+        F.floor(F.col('weight') * 1000000.0 + 0.5).cast('bigint')
+        .alias('weight_ppm'),
+        'alloc')
+
+
+def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Domain-level quality blocklist (``web.quality_blocklist``,
+    NEW r15 — the RefinedWeb/FineWeb URL-filtering shape): the C4
+    page verdicts of :func:`q_c4_filters` aggregate up to their
+    source domain, and any domain failing more than a quarter of
+    its ≥5 seen pages is blocked — the derived list a crawler feeds
+    back as a broadcast anti-join.  One map-side-combinable count
+    aggregate; the ratio test is an integer cross-multiplication,
+    so the oracle (which shares the C4 flag replay) matches
+    bit-exactly."""
+    from ..operators.text import c4_quality_flags
+    from ..operators.web import quality_blocklist
+
+    pages = _c4_pages(spark, sf_dir)
+    flagged = c4_quality_flags(
+        pages, 'page', min_words_per_line=3, min_sentences=5)
+    per_page = flagged.select(
+        F.concat(F.col('source'), F.lit('.com')).alias('domain'),
+        'c4_pass')
+    return quality_blocklist(
+        per_page, 'domain', 'c4_pass',
+        min_docs=5, max_fail_num=1, max_fail_den=4)
+
+
 # --------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------
@@ -6039,6 +6112,9 @@ QUERIES: Dict[str, QueryFn] = {
     # and r12 fills.
     'q_c4_filters': q_c4_filters,
     'q_span_dedup': q_span_dedup,
+    'q_exact_decontaminate': q_exact_decontaminate,
+    'q_temperature_mixture': q_temperature_mixture,
+    'q_domain_blocklist': q_domain_blocklist,
     'q_bitext_candidates': q_bitext_candidates,
     'q_maxsim_candidates': q_maxsim_candidates,
     'q_dsir_weights': q_dsir_weights,
@@ -6348,6 +6424,67 @@ def _simhash_portable_sql(n_blocks: int = 4) -> str:
 # the same closed form as its batch sibling references the SAME
 # constant instead of risking a drifting copy (the registry test pins
 # every ORACLES key to a dict literal, so sharing happens by value).
+# C4 page synthesis + per-document flag replay (mirrors _c4_pages /
+# text.c4_quality_flags) — ends inside the WITH list so consumers
+# append their own final SELECT (and further CTEs).
+_C4_DOC_FLAGS_SQL = """
+        WITH built AS (
+            SELECT doc_id, source, string_split(text, ' ') AS toks
+            FROM documents
+        ), pages AS (
+            SELECT doc_id, source,
+                   array_to_string(list_transform(
+                       range(1, (len(toks) + 5) // 6 + 1), i ->
+                       array_to_string(
+                           toks[(i - 1) * 6 + 1 : (i - 1) * 6 + 6],
+                           ' ') ||
+                       CASE WHEN (doc_id + i) % 10 = 0
+                            THEN ' enable javascript here.'
+                            ELSE (['', '.', '!', '?'])[
+                                CAST((doc_id + i) % 4 + 1 AS INT)]
+                       END), chr(10)) ||
+                   CASE WHEN doc_id % 17 = 0
+                        THEN chr(10) ||
+                             'this page contains lorem ipsum text.'
+                        ELSE '' END ||
+                   CASE WHEN doc_id % 13 = 0
+                        THEN chr(10) || 'function f() { return 1; }'
+                        ELSE '' END AS page
+            FROM built
+        ), kept AS (
+            SELECT doc_id, source, page,
+                   list_filter(string_split(page, chr(10)), l ->
+                       regexp_matches(rtrim(l), '[.!?"]$')
+                       AND len(regexp_split_to_array(trim(l),
+                                                     '\\s+')) >= 3
+                       AND NOT contains(lower(l), 'javascript'))
+                       AS kl
+            FROM pages
+        ), agg AS (
+            SELECT doc_id, source, page,
+                   array_to_string(kl, chr(10)) AS c4_text,
+                   CAST(len(kl) AS INT) AS n_kept_lines
+            FROM kept
+        ), counted AS (
+            SELECT doc_id, source, n_kept_lines,
+                   CAST(len(regexp_extract_all(c4_text, '[.!?]'))
+                        AS INT) AS n_sentences,
+                   CAST(length(c4_text) AS INT) AS kept_chars,
+                   NOT contains(lower(page), 'lorem ipsum')
+                       AS c4_no_badword,
+                   NOT contains(page, '{') AS c4_no_brace
+            FROM agg
+        ), c4_flags AS (
+            SELECT doc_id, source, n_kept_lines, n_sentences,
+                   kept_chars,
+                   (n_sentences >= 5) AS c4_lines,
+                   c4_no_badword, c4_no_brace,
+                   (n_sentences >= 5 AND c4_no_badword
+                    AND c4_no_brace) AS c4_pass
+            FROM counted
+        )
+    """
+
 _MJPEG_DECODE_SQL = """
         WITH params AS (
             SELECT doc_id AS media_id,
@@ -6428,62 +6565,90 @@ _SIMHASH_PLANTED_DECISION_SQL = """
     """
 
 ORACLES: Dict[str, str] = {
-    # NEW r15 — C4 web-cleaning rules over synthesized pages.
-    'q_c4_filters': """
-        WITH built AS (
-            SELECT doc_id,
-                   string_split(text, ' ') AS toks
-            FROM documents
-        ), pages AS (
-            SELECT doc_id,
-                   array_to_string(list_transform(
-                       range(1, (len(toks) + 5) // 6 + 1), i ->
-                       array_to_string(
-                           toks[(i - 1) * 6 + 1 : (i - 1) * 6 + 6],
-                           ' ') ||
-                       CASE WHEN (doc_id + i) % 10 = 0
-                            THEN ' enable javascript here.'
-                            ELSE (['', '.', '!', '?'])[
-                                CAST((doc_id + i) % 4 + 1 AS INT)]
-                       END), chr(10)) ||
-                   CASE WHEN doc_id % 17 = 0
-                        THEN chr(10) ||
-                             'this page contains lorem ipsum text.'
-                        ELSE '' END ||
-                   CASE WHEN doc_id % 13 = 0
-                        THEN chr(10) || 'function f() { return 1; }'
-                        ELSE '' END AS page
-            FROM built
-        ), kept AS (
-            SELECT doc_id, page,
-                   list_filter(string_split(page, chr(10)), l ->
-                       regexp_matches(rtrim(l), '[.!?"]$')
-                       AND len(regexp_split_to_array(trim(l),
-                                                     '\\s+')) >= 3
-                       AND NOT contains(lower(l), 'javascript'))
-                       AS kl
-            FROM pages
-        ), agg AS (
-            SELECT doc_id, page,
-                   array_to_string(kl, chr(10)) AS c4_text,
-                   CAST(len(kl) AS INT) AS n_kept_lines
-            FROM kept
-        ), counted AS (
-            SELECT doc_id, n_kept_lines,
-                   CAST(len(regexp_extract_all(c4_text, '[.!?]'))
-                        AS INT) AS n_sentences,
-                   CAST(length(c4_text) AS INT) AS kept_chars,
-                   NOT contains(lower(page), 'lorem ipsum')
-                       AS c4_no_badword,
-                   NOT contains(page, '{') AS c4_no_brace
-            FROM agg
-        )
+    # NEW r15 — C4 web-cleaning rules over synthesized pages (the
+    # page build + per-doc flags live in _C4_DOC_FLAGS_SQL, shared
+    # with the domain-blocklist oracle that aggregates them).
+    'q_c4_filters': _C4_DOC_FLAGS_SQL + """
         SELECT doc_id, n_kept_lines, n_sentences, kept_chars,
-               (n_sentences >= 5) AS c4_lines,
-               c4_no_badword, c4_no_brace,
-               (n_sentences >= 5 AND c4_no_badword AND c4_no_brace)
-                   AS c4_pass
-        FROM counted
+               c4_lines, c4_no_badword, c4_no_brace, c4_pass
+        FROM c4_flags
+    """,
+    'q_domain_blocklist': _C4_DOC_FLAGS_SQL + """
+        , census AS (
+            SELECT source || '.com' AS domain,
+                   count(*) AS n_docs,
+                   CAST(sum(CASE WHEN c4_pass THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_fail
+            FROM c4_flags GROUP BY 1
+        )
+        SELECT domain, n_docs, n_fail,
+               (n_docs >= 5 AND n_fail * 4 > n_docs * 1) AS blocked
+        FROM census
+    """,
+    # NEW r15 — temperature-scaled language mixing (α = 0.25 as
+    # sqrt∘sqrt; weights quantized to ppm with floor(x+0.5), never
+    # round(), so engine tie modes cannot diverge).
+    'q_temperature_mixture': """
+        WITH caps AS (
+            SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS capacity
+            FROM documents GROUP BY lang
+        ), q AS (
+            SELECT lang, capacity,
+                   CAST(floor(sqrt(sqrt(capacity)) * 1000000
+                              + 0.5) AS BIGINT) AS wq
+            FROM caps
+        ), t AS (SELECT sum(wq) AS tot FROM q)
+        SELECT lang, capacity,
+               CAST(floor((CAST(wq AS DOUBLE) / CAST(tot AS DOUBLE))
+                          * 1000000.0 + 0.5) AS BIGINT)
+                   AS weight_ppm,
+               CAST(floor(10000000.0 *
+                          (CAST(wq AS DOUBLE) / CAST(tot AS DOUBLE)))
+                    AS BIGINT) AS alloc
+        FROM q, t
+    """,
+    # NEW r15 — exact n-gram benchmark decontamination.
+    'q_exact_decontaminate': """
+        WITH ctoks AS (
+            SELECT doc_id,
+                   list_filter(string_split(trim(regexp_replace(
+                       lower(text), '\\s+', ' ', 'g')), ' '),
+                       t -> t <> '') AS toks
+            FROM documents
+        ), cgrams AS (
+            SELECT doc_id,
+                   CAST(len(toks) - 7 AS INT) AS n_doc_ngrams,
+                   CAST(i AS INT) AS pos,
+                   array_to_string(toks[i : i + 7], ' ') AS gram
+            FROM ctoks, unnest(range(1, len(toks) - 6)) AS t(i)
+            WHERE len(toks) >= 8
+        ), braw AS (
+            SELECT doc_id AS bench_id,
+                   (string_split(text, ' '))[5 : 24] AS bt0
+            FROM documents WHERE doc_id % 29 = 0
+        ), bnorm AS (
+            SELECT bench_id,
+                   list_filter(string_split(trim(regexp_replace(
+                       lower(array_to_string(bt0, ' ')),
+                       '\\s+', ' ', 'g')), ' '),
+                       t -> t <> '') AS bt
+            FROM braw
+        ), bgrams AS (
+            SELECT DISTINCT bench_id,
+                   unnest(CASE WHEN len(bt) >= 8
+                          THEN list_distinct(list_transform(
+                              range(1, len(bt) - 6), i ->
+                              array_to_string(bt[i : i + 7], ' ')))
+                          ELSE [array_to_string(bt, ' ')]
+                          END) AS gram
+            FROM bnorm
+        )
+        SELECT c.doc_id, g.bench_id,
+               count(*) AS n_hits,
+               CAST(min(c.pos) AS INT) AS first_pos,
+               min(c.n_doc_ngrams) AS n_doc_ngrams
+        FROM cgrams c JOIN bgrams g ON c.gram = g.gram
+        GROUP BY c.doc_id, g.bench_id
     """,
     # NEW r15 — C4 three-sentence-span dedup over synthesized pages.
     'q_span_dedup': """

@@ -1737,3 +1737,61 @@ class TestDuplicateSentenceSpans:
         with pytest.raises(ValueError):
             duplicate_sentence_spans(
                 self._df(spark_session), span=0)
+
+
+class TestNgramContamination:
+    def _frames(self, spark_session):
+        corpus = spark_session.createDataFrame(
+            [(1, 'alpha beta gamma delta epsilon zeta eta theta'),
+             (2, 'one two three four five six seven eight nine'),
+             (3, 'alpha beta gamma delta different tail here now'),
+             (4, 'too short')],
+            'doc_id long, text string')
+        bench = spark_session.createDataFrame(
+            [(100, 'ALPHA beta gamma delta'),
+             (101, 'five six seven eight'),
+             (102, 'nothing matches this benchmark entry')],
+            'bench_id long, text string')
+        return corpus, bench
+
+    def test_hits_positions_and_totals(self, spark_session):
+        from ons_utils_spark.operators.dedup import ngram_contamination
+        corpus, bench = self._frames(spark_session)
+        out = ngram_contamination(corpus, bench, n=4)
+        got = {(r['doc_id'], r['bench_id']):
+               (r['n_hits'], r['first_pos'], r['n_doc_ngrams'])
+               for r in out.collect()}
+        # bench 100's single 4-gram opens docs 1 and 3 (case-folded)
+        assert got[(1, 100)] == (1, 1, 5)
+        assert got[(3, 100)] == (1, 1, 5)
+        # bench 101's 4-gram sits at position 5 of doc 2
+        assert got[(2, 101)] == (1, 5, 6)
+        assert len(got) == 3  # bench 102 and doc 4 never appear
+
+    def test_multi_hit_counts(self, spark_session):
+        from ons_utils_spark.operators.dedup import ngram_contamination
+        corpus = spark_session.createDataFrame(
+            [(1, 'a b c d e f')], 'doc_id long, text string')
+        bench = spark_session.createDataFrame(
+            [(9, 'a b c d e')], 'bench_id long, text string')
+        out = ngram_contamination(corpus, bench, n=2).collect()
+        # bench grams {a b, b c, c d, d e}; doc positions 1-4 hit
+        assert out[0]['n_hits'] == 4 and out[0]['first_pos'] == 1
+        assert out[0]['n_doc_ngrams'] == 5
+
+    def test_short_benchmark_whole_text_gram(self, spark_session):
+        from ons_utils_spark.operators.dedup import ngram_contamination
+        corpus = spark_session.createDataFrame(
+            [(1, 'x y z w v u')], 'doc_id long, text string')
+        bench = spark_session.createDataFrame(
+            [(9, 'y z w')], 'bench_id long, text string')
+        # bench shorter than n falls back to its whole text as one
+        # gram of length 3 — which matches doc 1's trigram at pos 2
+        out = ngram_contamination(corpus, bench, n=3).collect()
+        assert out[0]['first_pos'] == 2
+
+    def test_bad_n_raises(self, spark_session):
+        from ons_utils_spark.operators.dedup import ngram_contamination
+        corpus, bench = self._frames(spark_session)
+        with pytest.raises(ValueError):
+            ngram_contamination(corpus, bench, n=0)

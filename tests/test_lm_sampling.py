@@ -706,3 +706,59 @@ class TestUnimaxAllocation:
         with pytest.raises(ValueError, match='max_epochs'):
             unimax_allocation(df, 'lang', 'w', max_epochs=0,
                               budget=1.0)
+
+
+class TestTemperatureAllocation:
+    def _df(self, spark_session):
+        rows = ([('head', 1)] * 81 + [('mid', 1)] * 16
+                + [('tail', 1)] * 1)
+        return spark_session.createDataFrame(
+            rows, 'lang string, w long')
+
+    def test_alpha_one_is_natural(self, spark_session):
+        from ons_utils_spark.operators.sampling import (
+            temperature_allocation)
+        got = {r['lang']: r['weight'] for r in temperature_allocation(
+            self._df(spark_session), 'lang', 'w',
+            alpha=1.0).collect()}
+        assert got['head'] == pytest.approx(81 / 98)
+        assert got['tail'] == pytest.approx(1 / 98)
+
+    def test_alpha_quarter_lifts_tail(self, spark_session):
+        from ons_utils_spark.operators.sampling import (
+            temperature_allocation)
+        import math
+        got = {r['lang']: r['weight'] for r in temperature_allocation(
+            self._df(spark_session), 'lang', 'w',
+            alpha=0.25).collect()}
+        # exact replay of the quantized closed form
+        wq = {k: math.floor(math.sqrt(math.sqrt(v)) * 1e6 + 0.5)
+              for k, v in {'head': 81, 'mid': 16, 'tail': 1}.items()}
+        tot = sum(wq.values())
+        for k in wq:
+            assert got[k] == wq[k] / tot
+        # tail lifted vs natural, head compressed, order preserved
+        assert got['tail'] > 1 / 98 and got['head'] < 81 / 98
+        assert got['head'] > got['mid'] > got['tail']
+
+    def test_budget_alloc_floors(self, spark_session):
+        from ons_utils_spark.operators.sampling import (
+            temperature_allocation)
+        rows = temperature_allocation(
+            self._df(spark_session), 'lang', 'w',
+            alpha=0.5, budget=1000).collect()
+        alloc = {r['lang']: r['alloc'] for r in rows}
+        # sqrt weights 9/4/1 -> 642/285/71 after flooring
+        assert alloc == {'head': 642, 'mid': 285, 'tail': 71}
+        assert sum(alloc.values()) <= 1000
+
+    def test_validation(self, spark_session):
+        from ons_utils_spark.operators.sampling import (
+            temperature_allocation)
+        df = self._df(spark_session)
+        with pytest.raises(ValueError, match='alpha'):
+            temperature_allocation(df, 'lang', 'w', alpha=0.0)
+        with pytest.raises(ValueError, match='alpha'):
+            temperature_allocation(df, 'lang', 'w', alpha=1.5)
+        with pytest.raises(ValueError, match='quant'):
+            temperature_allocation(df, 'lang', 'w', quant=0)

@@ -630,3 +630,41 @@ class TestFetchSchedule:
         plan = web.fetch_schedule(frontier, delays)._jdf \
             .queryExecution().executedPlan().toString()
         assert 'BroadcastHashJoin' in plan
+
+
+class TestQualityBlocklist:
+    def _df(self, spark_session):
+        rows = ([('good.com', True)] * 9 + [('good.com', False)]
+                + [('bad.com', True)] * 2 + [('bad.com', False)] * 2
+                + [('tiny.com', False)])
+        return spark_session.createDataFrame(
+            rows, 'domain string, quality_pass boolean')
+
+    def test_census_and_threshold(self, spark_session):
+        from ons_utils_spark.operators.web import quality_blocklist
+        got = {r['domain']: (r['n_docs'], r['n_fail'], r['blocked'])
+               for r in quality_blocklist(
+                   self._df(spark_session), min_docs=3,
+                   max_fail_num=1, max_fail_den=4).collect()}
+        # 1/10 fails <= 1/4 -> kept; 2/4 > 1/4 -> blocked;
+        # tiny.com fails 100% but is under the evidence floor
+        assert got == {'good.com': (10, 1, False),
+                       'bad.com': (4, 2, True),
+                       'tiny.com': (1, 1, False)}
+
+    def test_exact_boundary_not_blocked(self, spark_session):
+        from ons_utils_spark.operators.web import quality_blocklist
+        rows = [('edge.com', True)] * 3 + [('edge.com', False)]
+        df = spark_session.createDataFrame(
+            rows, 'domain string, quality_pass boolean')
+        r = quality_blocklist(df, min_docs=2).collect()[0]
+        # exactly 1/4 does NOT exceed 1/4
+        assert not r['blocked']
+
+    def test_validation(self, spark_session):
+        from ons_utils_spark.operators.web import quality_blocklist
+        df = self._df(spark_session)
+        with pytest.raises(ValueError, match='min_docs'):
+            quality_blocklist(df, min_docs=0)
+        with pytest.raises(ValueError, match='ratio'):
+            quality_blocklist(df, max_fail_den=0)
