@@ -1156,3 +1156,78 @@ def maxsim_topk(
         F.col('maxsim').desc(), F.col(doc_id).asc())
     return (scored.withColumn('__rk', F.row_number().over(w))
             .filter(F.col('__rk') <= k).drop('__rk'))
+
+
+def matryoshka_topk(
+    corpus: SparkDF,
+    queries: SparkDF,
+    dims: int = 16,
+    k: int = 10,
+    rerank_k: Optional[int] = None,
+    corpus_id: str = 'vec_id',
+    corpus_vec: str = 'embedding',
+    query_id: str = 'query_id',
+    query_vec: str = 'query_vec',
+) -> SparkDF:
+    """Matryoshka adaptive retrieval (Kusupati et al., NeurIPS 2022
+    — the MRL funnel): score the corpus with only the FIRST ``dims``
+    embedding dimensions (cosine is scale-free, so truncation needs
+    no explicit renormalization), shortlist ``rerank_k`` candidates
+    per query, then rerank just the shortlist with the full vectors
+    — the standard cheap-pass/exact-pass deployment for embeddings
+    trained with matryoshka losses, and a useful brute-force
+    cost-cutter even for vanilla embeddings (the funnel is exact
+    whenever the truncated ranking's top-``rerank_k`` contains the
+    true top-``k``; widen ``rerank_k`` to trade cost for recall).
+
+    Returns ``(query_id, rank, vec_id, cosine)`` with the FULL-dim
+    cosine, rank 1..k.
+
+    Plan & scale: stage 1 is the :func:`cosine_topk` shape — corpus
+    scanned once against broadcast queries at ``dims``/full-width
+    arithmetic cost (the win at 100 TB: a 16-of-768 truncation cuts
+    the scan's FLOPs ~50×), one per-query top-``rerank_k`` window
+    over rows that carry only (ids, score).  Stage 2 re-reads ONLY
+    the candidate rows via a broadcast hash join on the (queries ×
+    rerank_k)-row shortlist — full vectors never transit the stage-1
+    window — then a per-query top-``k`` window on the exact score.
+    No shuffle touches corpus vectors in either stage.
+    """
+    if rerank_k is None:
+        rerank_k = 4 * k
+    if dims < 1:
+        raise ValueError(f'dims must be >= 1, got {dims!r}')
+    if rerank_k < k:
+        raise ValueError(
+            f'rerank_k ({rerank_k}) must be >= k ({k})')
+    coarse = corpus.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        cosine_similarity(
+            F.slice(F.col(corpus_vec).cast('array<double>'), 1, dims),
+            F.slice(F.col(query_vec).cast('array<double>'), 1, dims),
+        ).alias('__coarse'),
+    )
+    w1 = Window.partitionBy(query_id).orderBy(
+        F.col('__coarse').desc(), F.col(corpus_id).asc())
+    shortlist = (
+        coarse.withColumn('__rk', F.row_number().over(w1))
+        .filter(F.col('__rk') <= rerank_k)
+        .select(query_id, corpus_id)
+    )
+    enriched = shortlist.join(queries, query_id)
+    exact = corpus.join(F.broadcast(enriched), corpus_id).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        cosine_similarity(
+            F.col(corpus_vec).cast('array<double>'),
+            F.col(query_vec).cast('array<double>'),
+        ).alias('cosine'),
+    )
+    w2 = Window.partitionBy(query_id).orderBy(
+        F.col('cosine').desc(), F.col(corpus_id).asc())
+    return (
+        exact.withColumn('rank', F.row_number().over(w2))
+        .filter(F.col('rank') <= k)
+        .select(query_id, 'rank', corpus_id, 'cosine')
+    )

@@ -6093,6 +6093,31 @@ def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> SparkDF:
         min_docs=5, max_fail_num=1, max_fail_den=4)
 
 
+def q_matryoshka_topk(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Matryoshka adaptive retrieval
+    (``similarity.matryoshka_topk``, NEW r15 — Kusupati et al.
+    2022): a 16-of-64-dim truncated coarse pass shortlists 40
+    candidates per query (cosine is scale-free, so no
+    renormalization), then only the shortlist is rescored at full
+    width — the MRL funnel that cuts a brute-force scan's FLOPs by
+    the truncation ratio at corpus scale.  Queries broadcast; full
+    vectors never transit the stage-1 window.  The oracle replays
+    both stages (sliced-list cosine, both windows) and the funnel's
+    candidate-set semantics exactly."""
+    from ..operators.similarity import matryoshka_topk
+
+    (embeddings,) = _t(spark, sf_dir, 'embeddings')
+    queries = embeddings.filter(F.col('vec_id') < 3).select(
+        F.col('vec_id').alias('query_id'),
+        F.col('embedding').alias('query_vec'))
+    corpus = embeddings.filter(F.col('vec_id') >= 3)
+    out = matryoshka_topk(
+        corpus, queries, dims=16, k=10, rerank_k=40)
+    return out.select(
+        'query_id', 'rank', 'vec_id',
+        F.round('cosine', 4).alias('cosine'))
+
+
 # --------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------
@@ -6115,6 +6140,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_exact_decontaminate': q_exact_decontaminate,
     'q_temperature_mixture': q_temperature_mixture,
     'q_domain_blocklist': q_domain_blocklist,
+    'q_matryoshka_topk': q_matryoshka_topk,
     'q_bitext_candidates': q_bitext_candidates,
     'q_maxsim_candidates': q_maxsim_candidates,
     'q_dsir_weights': q_dsir_weights,
@@ -6584,6 +6610,40 @@ ORACLES: Dict[str, str] = {
         SELECT domain, n_docs, n_fail,
                (n_docs >= 5 AND n_fail * 4 > n_docs * 1) AS blocked
         FROM census
+    """,
+    # NEW r15 — Matryoshka truncate-then-rerank retrieval funnel.
+    'q_matryoshka_topk': """
+        WITH q AS (
+            SELECT vec_id AS query_id,
+                   CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 3
+        ), c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+            FROM embeddings WHERE vec_id >= 3
+        ), coarse AS (
+            SELECT q.query_id, c.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(
+                           c.ev[1:16], q.qv[1:16]) DESC,
+                                c.vec_id ASC) AS rk
+            FROM c, q
+        ), cand AS (
+            SELECT query_id, vec_id FROM coarse WHERE rk <= 40
+        ), rerank AS (
+            SELECT cand.query_id, cand.vec_id,
+                   round(list_cosine_similarity(c.ev, q.qv), 4)
+                       AS cosine,
+                   row_number() OVER (
+                       PARTITION BY cand.query_id
+                       ORDER BY list_cosine_similarity(c.ev, q.qv)
+                                DESC, cand.vec_id ASC) AS rk
+            FROM cand
+            JOIN c ON cand.vec_id = c.vec_id
+            JOIN q ON cand.query_id = q.query_id
+        )
+        SELECT query_id, CAST(rk AS INT) AS rank, vec_id, cosine
+        FROM rerank WHERE rk <= 10
     """,
     # NEW r15 — temperature-scaled language mixing (α = 0.25 as
     # sqrt∘sqrt; weights quantized to ppm with floor(x+0.5), never

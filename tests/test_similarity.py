@@ -677,3 +677,75 @@ class TestMaxsimTopK:
             [(10, 2), (10, 2), (11, 3)], 'query_id long, doc_id long')
         got = key(maxsim_topk(docs, qs, k=2, candidates=some).collect())
         assert got == [(10, 2, 1.0), (11, 3, 0.5)]
+
+
+class TestMatryoshkaTopk:
+    """Truncate-then-rerank funnel: exact when rerank_k covers the
+    true top-k; truncated prefix scoring actually drives stage 1."""
+
+    def _frames(self, spark_session):
+        import numpy as np
+        rng = np.random.default_rng(7)
+        corpus = [(int(i), [float(x) for x in rng.normal(size=8)])
+                  for i in range(40)]
+        queries = [(100, corpus[5][1]), (101, corpus[17][1])]
+        c = spark_session.createDataFrame(
+            corpus, 'vec_id long, embedding array<double>')
+        q = spark_session.createDataFrame(
+            queries, 'query_id long, query_vec array<double>')
+        return c, q
+
+    def test_full_width_funnel_matches_brute_force(
+            self, spark_session):
+        from ons_utils_spark.operators.similarity import (
+            cosine_topk, matryoshka_topk)
+        c, q = self._frames(spark_session)
+        brute = cosine_topk(c, q, k=5)
+        got = matryoshka_topk(c, q, dims=8, k=5, rerank_k=5)
+        want = {(r['query_id'], r['vec_id']) for r in brute.collect()}
+        have = {(r['query_id'], r['vec_id']) for r in got.collect()}
+        # dims = full width and rerank_k = k -> identical ranking
+        assert have == want
+
+    def test_wide_shortlist_recovers_exact_topk(self, spark_session):
+        from ons_utils_spark.operators.similarity import (
+            cosine_topk, matryoshka_topk)
+        c, q = self._frames(spark_session)
+        from pyspark.sql import Window
+        brute = {(r['query_id'], r['rank']): r['vec_id']
+                 for r in cosine_topk(c, q, k=3)
+                 .withColumn('rank', F.row_number().over(
+                     Window.partitionBy('query_id').orderBy(
+                         F.col('cosine').desc(),
+                         F.col('vec_id').asc()))).collect()}
+        got = {(r['query_id'], r['rank']): r['vec_id']
+               for r in matryoshka_topk(
+                   c, q, dims=4, k=3, rerank_k=40).collect()}
+        # rerank_k = |corpus| makes the funnel exact at any dims
+        assert got == brute
+        # each query's own vector is its top hit, cosine ~ 1
+        assert got[(100, 1)] == 5 and got[(101, 1)] == 17
+
+    def test_narrow_dims_changes_stage1(self, spark_session):
+        from ons_utils_spark.operators.similarity import (
+            matryoshka_topk)
+        c, q = self._frames(spark_session)
+        # with a 1-dim coarse pass and no rerank headroom the
+        # shortlist is driven by dimension 1 alone — results must
+        # differ from the exact top-5 for at least one query
+        # (probability of agreement under seed 7 is nil; pinned).
+        got = matryoshka_topk(c, q, dims=1, k=5, rerank_k=5)
+        from ons_utils_spark.operators.similarity import cosine_topk
+        brute = cosine_topk(c, q, k=5)
+        have = {(r['query_id'], r['vec_id']) for r in got.collect()}
+        want = {(r['query_id'], r['vec_id']) for r in brute.collect()}
+        assert have != want
+
+    def test_validation(self, spark_session):
+        from ons_utils_spark.operators.similarity import (
+            matryoshka_topk)
+        c, q = self._frames(spark_session)
+        with pytest.raises(ValueError, match='dims'):
+            matryoshka_topk(c, q, dims=0)
+        with pytest.raises(ValueError, match='rerank_k'):
+            matryoshka_topk(c, q, k=10, rerank_k=5)
