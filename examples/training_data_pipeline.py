@@ -112,6 +112,62 @@ def ingest_url_dedup(documents: DataFrame) -> DataFrame:
     return documents.join(keep, on='doc_id', how='left_semi')
 
 
+def domain_gate(documents: DataFrame, min_docs: int = 10,
+                max_fail_num: int = 2,
+                max_fail_den: int = 5) -> DataFrame:
+    """Domain-level gate (RefinedWeb/FineWeb shape): census every
+    source domain's cheap-quality failure rate, derive the
+    blocklist with an evidence floor, and anti-join it back —
+    one aggregate + one broadcast anti-join, BEFORE any per-doc
+    dedup spends work on pages a domain verdict would discard."""
+    from ons_utils_spark.operators.web import quality_blocklist
+
+    flagged = documents.withColumn(
+        '__q_ok', tx.quality_score('text') >= 0.4)
+    census = quality_blocklist(
+        flagged, 'source', '__q_ok', min_docs=min_docs,
+        max_fail_num=max_fail_num, max_fail_den=max_fail_den)
+    blocked = census.filter('blocked').select('source')
+    return flagged.join(F.broadcast(blocked), 'source',
+                        'left_anti').drop('__q_ok')
+
+
+def contamination_audit(curated: DataFrame,
+                        benchmark: DataFrame,
+                        gram_n: int = 4) -> DataFrame:
+    """EXACT contamination evidence (GPT-3 appendix-C audit table):
+    which benchmark items leak into which surviving documents, how
+    many n-grams, and where.  The Bloom-prefiltered
+    :func:`decontaminate` stage DROPS tainted docs wholesale; this
+    names them — the artifact a release review reads.  Benchmark
+    grams broadcast; the corpus is scanned once."""
+    from ons_utils_spark.operators.dedup import ngram_contamination
+
+    bench = benchmark.select(
+        F.col('doc_id').alias('bench_id'), 'text')
+    return ngram_contamination(curated, bench, n=gram_n)
+
+
+def mixing_plan(train: DataFrame,
+                budget_tokens: int = 50_000) -> DataFrame:
+    """Language-mixture plan for the training run: temperature
+    smoothing (mT5 α=0.25 — sqrt-chain exact) over per-language
+    token capacities, with the UniMax epoch-capped allocation
+    alongside for comparison — both run their windows over the
+    languages-row aggregate, never corpus rows."""
+    from ons_utils_spark.operators.sampling import (
+        temperature_allocation, unimax_allocation)
+
+    temp = temperature_allocation(
+        train, 'lang_pred', 'n_tokens', alpha=0.25,
+        budget=budget_tokens)
+    uni = unimax_allocation(
+        train, 'lang_pred', 'n_tokens', max_epochs=2.0,
+        budget=float(budget_tokens)).select(
+        'lang_pred', F.col('allocation').alias('unimax_alloc'))
+    return temp.join(uni, 'lang_pred')
+
+
 def curate(documents: DataFrame, quality_threshold: float = 0.5,
            jaccard_threshold: float = 0.8) -> DataFrame:
     """Quality-filter then dedup a documents frame (returns curated)."""
@@ -356,13 +412,21 @@ def main() -> None:
     n_url = docs.count()
     print(f'robots gate kept {n_robots}/{n_raw}, '
           f'url-dedup kept {n_url}/{n_robots} docs')
+    docs = domain_gate(docs)
+    n_domain = docs.count()
+    print(f'domain gate kept {n_domain}/{n_url} docs')
     curated = curate(docs)
     n_minhash = curated.count()
     curated = winnow_sweep(curated)
     n_winnow = curated.count()
     # stand-in benchmark set: the 20 lowest doc_ids
-    curated = decontaminate(
-        curated, docs.filter(F.col('doc_id') < 20))
+    benchmark = docs.filter(F.col('doc_id') < 20)
+    audit = contamination_audit(curated, benchmark)
+    n_tainted = audit.select('doc_id').distinct().count()
+    print(f'contamination audit: {n_tainted} docs share >=1 exact '
+          f'4-gram with the benchmark (evidence table has '
+          f'{audit.count()} doc-bench rows)')
+    curated = decontaminate(curated, benchmark)
     n_curated = curated.count()
     print(f'raw={n_raw} after_minhash={n_minhash} '
           f'after_winnow={n_winnow} after_decontam={n_curated} '
@@ -383,6 +447,8 @@ def main() -> None:
     from ons_utils_spark.operators.sampling import (
         global_order_index, mixture_sample)
     train = split.filter(F.col('split') == 'train')
+    print('language mixing plan (temperature α=0.25 vs UniMax):')
+    mixing_plan(train).show()
     mixed = mixture_sample(
         train, 'source', 'doc_id', 'n_chars',
         {f'src{i}': 2500 for i in range(20)}, salt='mix-v1')
