@@ -226,7 +226,7 @@ _ARTIFACT_CACHED_QUERIES = (
     'q_incremental_simhash_dedup', 'q_mjpeg_stream_stats',
     'q_training_shards', 'q_shard_resume',
     'q_warc_records', 'q_warc_mime_stats',
-    'q_orc_roundtrip',
+    'q_orc_roundtrip', 'q_incremental_line_dedup',
 )
 
 

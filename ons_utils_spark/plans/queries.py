@@ -6118,6 +6118,100 @@ def q_matryoshka_topk(spark: SparkSession, sf_dir: str) -> SparkDF:
         F.round('cosine', 4).alias('cosine'))
 
 
+def q_incremental_line_dedup(spark: SparkSession,
+                             sf_dir: str) -> SparkDF:
+    """Streaming line-level boilerplate removal
+    (``streaming.incremental.incremental_line_dedup``, NEW r15):
+    the 12-token-segmented documents of :func:`q_line_dedup` staged
+    as three id-ordered file-source chunks; every micro-batch
+    rewrites its docs to drop lines seen in earlier batches (durable
+    md5 store, bucket-pruned) or earlier in the same batch, under
+    the module's four-append exactly-once protocol.  Under
+    id-ordered arrival the fold is EXACTLY batch ``line_dedup`` —
+    "first occurrence" is the lowest ``(id, pos)`` in both — so this
+    query shares :func:`q_line_dedup`'s closed-form oracle verbatim
+    (same per-source aggregate).  A loud distributed guard raises if
+    the folded corpus diverges from the batch rewrite."""
+    import tempfile
+    import time
+
+    from ..operators.dedup import line_dedup
+    from ..streaming.incremental import incremental_line_dedup
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    app = spark.sparkContext.applicationId
+    root = os.path.join(
+        tempfile.gettempdir(), 'ons_inc_line', tag, app)
+
+    toks = documents.select(
+        'doc_id', 'source', F.split('text', ' ').alias('t'))
+    seg = toks.select(
+        'doc_id', 'source',
+        F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size('t') / F.lit(12.0)).cast('int') - 1),
+                lambda i: F.array_join(
+                    F.slice('t', i * 12 + 1, 12), ' '),
+            ),
+            '\n',
+        ).alias('text'),
+    )
+
+    def _run():
+        src = os.path.join(root, 'src')
+        (seg.repartitionByRange(3, 'doc_id')
+         .write.mode('overwrite').json(src))
+        parts = sorted(p for p in os.listdir(src)
+                       if p.startswith('part-'))
+        base = time.time() - 1000
+        for i, p in enumerate(parts):
+            os.utime(os.path.join(src, p),
+                     (base + 10 * i, base + 10 * i))
+        stream = (
+            spark.readStream
+            .schema('doc_id long, source string, text string')
+            .option('maxFilesPerTrigger', 1)
+            .json(src)
+        )
+        q = incremental_line_dedup(
+            stream,
+            out_dir=os.path.join(root, 'accepted'),
+            store_dir=os.path.join(root, 'store'),
+            checkpoint=os.path.join(root, 'ckpt'),
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(
+                'incremental line dedup stream did not terminate'
+                ' within 600s')
+        accepted = spark.read.parquet(os.path.join(root, 'accepted'))
+        # LOUD guard: the fold must equal the batch rewrite.  The
+        # compare stays DISTRIBUTED (exceptAll both ways, bounded
+        # limit-collects for the message only).
+        want = line_dedup(seg, 'doc_id', 'text') \
+            .select('doc_id', 'source', 'text')
+        got = accepted.select('doc_id', 'source', 'text')
+        extra = got.exceptAll(want).limit(5).collect()
+        missing = want.exceptAll(got).limit(5).collect()
+        if extra or missing:
+            raise RuntimeError(
+                'incremental line dedup diverged from the batch '
+                f'closed form: extra={extra} missing={missing}')
+        return os.path.join(root, 'accepted')
+
+    out_dir = _artifact(f'inc_line:{sf_dir}@{app}', _run)
+    accepted = spark.read.parquet(out_dir)
+    return accepted.groupBy('source').agg(
+        F.count(F.lit(1)).alias('n_docs'),
+        F.sum(F.length('text')).alias('total_chars_after'),
+        F.sum(F.when(F.col('text') == '', 1).otherwise(0))
+        .alias('n_emptied'),
+    )
+
+
 # --------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------
@@ -6141,6 +6235,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_temperature_mixture': q_temperature_mixture,
     'q_domain_blocklist': q_domain_blocklist,
     'q_matryoshka_topk': q_matryoshka_topk,
+    'q_incremental_line_dedup': q_incremental_line_dedup,
     'q_bitext_candidates': q_bitext_candidates,
     'q_maxsim_candidates': q_maxsim_candidates,
     'q_dsir_weights': q_dsir_weights,
@@ -6509,6 +6604,49 @@ _C4_DOC_FLAGS_SQL = """
                     AND c4_no_brace) AS c4_pass
             FROM counted
         )
+    """
+
+# Corpus-level line dedup closed form (12-token segments, keep
+# lowest (doc, pos) per line, per-source aggregate) — shared by
+# the batch query and its streaming fold, which is provably the
+# same rewrite under id-ordered arrival.
+_LINE_DEDUP_SQL = """
+        WITH toks AS (
+            SELECT doc_id, source, string_split(text, ' ') AS t
+            FROM documents
+        ), seg AS (
+            SELECT doc_id, source,
+                   list_transform(
+                       range(0, CAST(ceil(len(t) / 12.0) AS INT)),
+                       i -> array_to_string(
+                           t[i * 12 + 1 : i * 12 + 12], ' '))
+                       AS lines
+            FROM toks
+        ), ln AS (
+            SELECT doc_id, source,
+                   unnest(lines) AS line,
+                   unnest(range(0, len(lines))) AS pos
+            FROM seg
+        ), ranked AS (
+            SELECT doc_id, source, line, pos,
+                   row_number() OVER (
+                       PARTITION BY md5(line)
+                       ORDER BY doc_id, pos) AS rk
+            FROM ln
+        ), rebuilt AS (
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY pos) AS text
+            FROM ranked WHERE rk = 1
+            GROUP BY doc_id
+        )
+        SELECT d.source,
+               count(*) AS n_docs,
+               CAST(sum(length(coalesce(r.text, ''))) AS BIGINT)
+                   AS total_chars_after,
+               CAST(sum(CASE WHEN coalesce(r.text, '') = ''
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_emptied
+        FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+        GROUP BY d.source
     """
 
 _MJPEG_DECODE_SQL = """
@@ -9569,44 +9707,8 @@ ORACLES: Dict[str, str] = {
                     AS BIGINT) AS p90_u6
         FROM orders GROUP BY o_orderstatus
     """,
-    'q_line_dedup': """
-        WITH toks AS (
-            SELECT doc_id, source, string_split(text, ' ') AS t
-            FROM documents
-        ), seg AS (
-            SELECT doc_id, source,
-                   list_transform(
-                       range(0, CAST(ceil(len(t) / 12.0) AS INT)),
-                       i -> array_to_string(
-                           t[i * 12 + 1 : i * 12 + 12], ' '))
-                       AS lines
-            FROM toks
-        ), ln AS (
-            SELECT doc_id, source,
-                   unnest(lines) AS line,
-                   unnest(range(0, len(lines))) AS pos
-            FROM seg
-        ), ranked AS (
-            SELECT doc_id, source, line, pos,
-                   row_number() OVER (
-                       PARTITION BY md5(line)
-                       ORDER BY doc_id, pos) AS rk
-            FROM ln
-        ), rebuilt AS (
-            SELECT doc_id,
-                   string_agg(line, chr(10) ORDER BY pos) AS text
-            FROM ranked WHERE rk = 1
-            GROUP BY doc_id
-        )
-        SELECT d.source,
-               count(*) AS n_docs,
-               CAST(sum(length(coalesce(r.text, ''))) AS BIGINT)
-                   AS total_chars_after,
-               CAST(sum(CASE WHEN coalesce(r.text, '') = ''
-                        THEN 1 ELSE 0 END) AS BIGINT) AS n_emptied
-        FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
-        GROUP BY d.source
-    """,
+    'q_line_dedup': _LINE_DEDUP_SQL,
+    'q_incremental_line_dedup': _LINE_DEDUP_SQL,
     'q_substring_dups': """
         WITH norm AS (
             SELECT doc_id,

@@ -1000,3 +1000,138 @@ def compact_incremental_store(
         'compacted_batches': len(compactable),
         'target_batch_id': target,
     }
+
+
+def incremental_line_dedup(
+    docs_stream: SparkDF,
+    out_dir: str,
+    store_dir: str,
+    checkpoint: str,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    delimiter: str = '\n',
+    min_line_chars: int = 0,
+    available_now: bool = True,
+):
+    """C4-style corpus-level LINE dedup at INGEST — the streaming
+    sibling of :func:`ons_utils_spark.operators.dedup.line_dedup`:
+    every document passes through with its text REWRITTEN to drop
+    lines already seen anywhere earlier (previous batches via the
+    durable store, earlier docs in the same batch via one window) —
+    navigation chrome, cookie banners, and license blocks die at the
+    crawl front door instead of in a later corpus-wide pass.
+
+    Per micro-batch:
+      1. split + ``posexplode`` the batch's lines; lines shorter
+         than ``min_line_chars`` are EXEMPT (always kept, never
+         stored — the valve that stops corpus-wide dedup deleting
+         every "yes." line, and keeps the short tail out of the
+         shuffle and the store),
+      2. in-batch first-occurrence per line md5 (one window keyed
+         on the 16-byte hash — line text never shuffles),
+      3. drop lines whose hash the store already holds (the read
+         partition-prunes to the batch's ``_bucket`` directories),
+      4. rebuild each doc (position-sorted ``collect_list``; a doc
+         whose every line was dropped comes back with empty text —
+         row count is preserved),
+      5. commit in the module's FOUR atomic appends: begin sentinel,
+         ``(key, id)`` store rows, rebuilt docs, commit marker LAST
+         (idempotent replay; mid-commit crashes reconcile the docs
+         append against ``out_dir`` ids).
+
+    Batch-parity contract: under id-ordered arrival the rewritten
+    corpus is EXACTLY what batch ``line_dedup`` produces on the full
+    input — "first occurrence" is the lowest ``(id, position)`` in
+    both — so the fold is closed-form replayable
+    (``q_incremental_line_dedup`` shares the ``q_line_dedup``
+    oracle's rule).
+
+    Returns the started streaming query.
+    """
+    spark = docs_stream.sparkSession
+
+    def process(batch_df: SparkDF, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        have_store = _store_exists(store_dir)
+        partial, data_done = False, False
+        store = None
+        if have_store:
+            store = spark.read.parquet(store_dir)
+            committed, partial, data_done = _batch_state(
+                store, batch_id)
+            if committed:
+                return  # replayed batch — already fully committed
+            store = store.filter(F.col('_batch_id') != batch_id)
+        other_cols = [c for c in batch_df.columns if c != text_col]
+        lines = batch_df.select(
+            *other_cols,
+            F.posexplode(
+                F.split(F.col(text_col),
+                        '\\Q' + delimiter + '\\E'))
+            .alias('__pos', '__line'),
+        )
+        short = F.length('__line') < min_line_chars
+        exempt = lines.filter(short) if min_line_chars > 0 else None
+        cand = (lines.filter(~short) if min_line_chars > 0
+                else lines)
+        cand = cand.withColumn('key', F.md5(F.col('__line')))
+        w = Window.partitionBy('key').orderBy(
+            F.col(id_col).asc(), F.col('__pos').asc())
+        cand = (
+            cand.withColumn('__rk', F.row_number().over(w))
+            .filter(F.col('__rk') == 1).drop('__rk')
+        )
+        if have_store:
+            cand = cand.join(
+                _prune_store_buckets(store, cand.select('key'),
+                                     ('key',))
+                .select('key').filter(F.col('key').isNotNull()),
+                on='key', how='left_anti')
+        keys = cand.select('key', F.col(id_col).alias('id'))
+        layout = (_store_layout(store_dir, store.columns)
+                  if have_store else 'bucketed')
+        if not partial:
+            _append_store(
+                _marker_row(spark, keys.schema.fields, batch_id,
+                            'begin'), store_dir, layout, ('key',))
+        if not data_done:
+            _append_store(
+                keys.withColumn('_batch_id', F.lit(batch_id))
+                .withColumn('_marker', F.lit(None).cast('string')),
+                store_dir, layout, ('key',))
+        kept = cand.drop('key')
+        if exempt is not None:
+            kept = kept.unionByName(exempt)
+        rebuilt = (
+            kept.groupBy(*other_cols)
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct(F.col('__pos').alias('p'),
+                                     F.col('__line').alias('l')))),
+                        lambda s: s['l'],
+                    ),
+                    delimiter,
+                ).alias(text_col)
+            )
+        )
+        base = batch_df.select(*other_cols)
+        docs_out = (
+            base.join(rebuilt, on=other_cols, how='left')
+            .fillna({text_col: ''})
+            .select(*batch_df.columns)
+        )
+        if partial and _store_exists(out_dir):
+            docs_out = docs_out.join(
+                spark.read.parquet(out_dir).select(id_col),
+                on=id_col, how='left_anti')
+        docs_out.write.mode('append').parquet(out_dir)
+        _append_store(
+            _marker_row(spark, keys.schema.fields, batch_id,
+                        'commit'), store_dir, layout, ('key',))
+
+    return foreach_batch_sink(
+        docs_stream, process, checkpoint,
+        output_mode='append', available_now=available_now)

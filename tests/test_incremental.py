@@ -998,3 +998,132 @@ class TestCompactIncrementalStore:
             compact_incremental_store(
                 spark_session, str(tmp_path / 'p'),
                 str(tmp_path / 'p2'))
+
+
+class TestIncrementalLineDedup:
+    """Line-level boilerplate removal at ingest: docs pass through
+    with rewritten text; the fold equals batch line_dedup."""
+
+    def _stage_docs(self, tmp_path, rows, n_chunks=2):
+        import os
+        import time
+
+        import pandas as pd
+
+        src = tmp_path / 'docs_src'
+        src.mkdir()
+        ordered = sorted(rows, key=lambda r: r[0])
+        per = (len(ordered) + n_chunks - 1) // n_chunks
+        base = time.time() - 1000
+        for i in range(n_chunks):
+            chunk = ordered[i * per:(i + 1) * per]
+            if chunk:
+                path = src / f'{i}.json'
+                pd.DataFrame(chunk, columns=['doc_id', 'text']) \
+                    .to_json(path, orient='records', lines=True)
+                os.utime(path, (base + 10 * i, base + 10 * i))
+        return src
+
+    def _run(self, spark, tmp_path, **kw):
+        from ons_utils_spark.streaming.incremental import (
+            incremental_line_dedup)
+
+        stream = (
+            spark.readStream
+            .schema('doc_id long, text string')
+            .option('maxFilesPerTrigger', 1)
+            .json(str(tmp_path / 'docs_src'))
+        )
+        q = incremental_line_dedup(
+            stream,
+            out_dir=str(tmp_path / 'accepted'),
+            store_dir=str(tmp_path / 'store'),
+            checkpoint=str(tmp_path / 'ckpt'),
+            **kw,
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(str(tmp_path / 'accepted'))
+
+    ROWS = [
+        (1, 'unique first line one\ncookie banner text here'),
+        (2, 'cookie banner text here\nown line of doc two'),
+        (10, 'cookie banner text here\nfresh line in doc ten'),
+        (11, 'unique first line one\nanother fresh line'),
+    ]
+
+    def test_matches_batch_line_dedup(self, spark_session, tmp_path):
+        from ons_utils_spark.operators.dedup import line_dedup
+
+        self._stage_docs(tmp_path, self.ROWS, n_chunks=2)
+        got = {r['doc_id']: r['text'] for r in self._run(
+            spark_session, tmp_path).collect()}
+        want = {r['doc_id']: r['text'] for r in line_dedup(
+            spark_session.createDataFrame(
+                self.ROWS, 'doc_id long, text string'),
+            'doc_id', 'text').collect()}
+        assert got == want
+        # the cross-batch boilerplate died in docs 2/10/11
+        assert got[1] == self.ROWS[0][1]
+        assert got[2] == 'own line of doc two'
+        assert got[10] == 'fresh line in doc ten'
+        assert got[11] == 'another fresh line'
+
+    def test_row_count_preserved_and_emptied_doc(
+            self, spark_session, tmp_path):
+        rows = [(1, 'only line'), (10, 'only line')]
+        self._stage_docs(tmp_path, rows, n_chunks=2)
+        got = {r['doc_id']: r['text'] for r in self._run(
+            spark_session, tmp_path).collect()}
+        assert got == {1: 'only line', 10: ''}
+
+    def test_min_line_chars_exempt_and_unstored(
+            self, spark_session, tmp_path):
+        rows = [(1, 'yes.\nlong shared boilerplate line'),
+                (10, 'yes.\nlong shared boilerplate line')]
+        self._stage_docs(tmp_path, rows, n_chunks=2)
+        got = {r['doc_id']: r['text'] for r in self._run(
+            spark_session, tmp_path, min_line_chars=10).collect()}
+        assert got[1] == rows[0][1]
+        assert got[10] == 'yes.'  # short line survives everywhere
+        store = spark_session.read.parquet(str(tmp_path / 'store'))
+        keys = store.filter(F.col('_marker').isNull())
+        import hashlib
+        short_md5 = hashlib.md5(b'yes.').hexdigest()
+        assert keys.filter(F.col('key') == short_md5).count() == 0
+
+    def test_replay_is_idempotent(self, spark_session, tmp_path):
+        from ons_utils_spark.streaming.incremental import _marker_row
+
+        self._stage_docs(tmp_path, self.ROWS, n_chunks=2)
+        # pre-commit batch 0 fully (simulated earlier run), then run
+        import hashlib
+        b0 = [r for r in self.ROWS if r[0] < 10]
+        lines = []
+        seen = set()
+        for did, text in b0:
+            for pos, ln in enumerate(text.split('\n')):
+                h = hashlib.md5(ln.encode()).hexdigest()
+                if h not in seen:
+                    seen.add(h)
+                    lines.append((h, did))
+        keys = spark_session.createDataFrame(
+            lines, 'key string, id long')
+        (_marker_row(spark_session, keys.schema.fields, 0, 'begin')
+            .write.mode('append').parquet(str(tmp_path / 'store')))
+        (keys.withColumn('_batch_id', F.lit(0))
+            .withColumn('_marker', F.lit(None).cast('string'))
+            .write.mode('append').parquet(str(tmp_path / 'store')))
+        from ons_utils_spark.operators.dedup import line_dedup
+        docs0 = line_dedup(
+            spark_session.createDataFrame(
+                b0, 'doc_id long, text string'), 'doc_id', 'text')
+        docs0.write.mode('append').parquet(str(tmp_path / 'accepted'))
+        (_marker_row(spark_session, keys.schema.fields, 0, 'commit')
+            .write.mode('append').parquet(str(tmp_path / 'store')))
+
+        got = {r['doc_id']: r['text'] for r in self._run(
+            spark_session, tmp_path).collect()}
+        # batch 0 replay skipped (no duplicate rows), batch 1 folded
+        assert sorted(got) == [1, 2, 10, 11]
+        assert got[10] == 'fresh line in doc ten'
+        assert got[11] == 'another fresh line'
