@@ -38,8 +38,8 @@ from pyspark.sql import functions as F
 
 from .dedup import _reliable_checkpoint
 
-__all__ = ['pagerank', 'triangle_count', 'bfs_levels',
-           'label_propagation']
+__all__ = ['pagerank', 'personalized_pagerank', 'triangle_count',
+           'bfs_levels', 'label_propagation']
 
 
 def label_propagation(
@@ -432,3 +432,116 @@ def hits(
                 F.coalesce('h', zero).alias('hub'),
                 F.coalesce('a', zero).alias('authority'))
     )
+
+
+def personalized_pagerank(
+    edges: SparkDF,
+    seeds: SparkDF,
+    src: str = 'src',
+    dst: str = 'dst',
+    seed_col: str = 'node',
+    iterations: int = 10,
+    damping: float = 0.85,
+    mode: str = 'float',
+    scale: int = 10 ** 12,
+    checkpoint_every: int = 1,
+    checkpoint_dir: Optional[str] = None,
+) -> SparkDF:
+    """Personalized PageRank (random walk with restart to a SEED
+    set) → ``(node, rank)``: proximity to the seeds instead of
+    global authority — the crawl-frontier prioritizer ("how close
+    is this host to my trusted seeds", the seed-expansion step of
+    quality-classifier bootstrapping) and the standard
+    related-entity scorer.
+
+    Same per-iteration shape as :func:`pagerank` (ONE join + ONE
+    aggregate on node ids, edge frame pre-partitioned on ``src``
+    once and reused, lineage cut every ``checkpoint_every``
+    rounds); only the teleport differs — restart mass
+    ``(1-damping)`` returns to the seeds (uniformly), not to all
+    nodes, and the walk starts ON the seeds.  Every node carries a
+    self-edge (the :func:`pagerank` ``self_loops='all'`` variant),
+    which keeps the one-pass update covering every node — the
+    property that lets a single-reference recursive CTE replay it
+    (``q_personalized_pagerank``).  Seeds not present in the edge
+    list are ignored (inner-joined against the node set).
+
+    ``mode='integer'`` emits bit-exact scaled-long ranks (damping
+    snapped to an exact fraction); ``mode='float'`` is the
+    production scorer.  Rank mass concentrates near the seeds:
+    nodes unreachable from them score 0 (integer) / ~0 (float).
+    """
+    _ckpt = lambda d: _reliable_checkpoint(d, checkpoint_dir)  # noqa: E731
+    if mode not in ('float', 'integer'):
+        raise ValueError(
+            f"mode must be 'float' or 'integer', got {mode!r}")
+    e = edges.select(F.col(src).cast('long').alias('src'),
+                     F.col(dst).cast('long').alias('dst')).distinct()
+    nodes = (
+        e.select(F.col('src').alias('node'))
+        .unionByName(e.select(F.col('dst').alias('node')))
+        .distinct()
+    )
+    seed_nodes = (
+        seeds.select(F.col(seed_col).cast('long').alias('node'))
+        .distinct()
+        .join(nodes, 'node', 'left_semi')
+    )
+    flagged = nodes.join(
+        F.broadcast(seed_nodes.withColumn('__seed', F.lit(1))),
+        'node', 'left').transform(_ckpt)
+    s = flagged.filter(F.col('__seed').isNotNull()).count()
+    if s == 0:
+        raise ValueError('no seed appears in the edge list')
+    e = e.unionByName(
+        nodes.select(F.col('node').alias('src'),
+                     F.col('node').alias('dst'))).distinct()
+    deg = e.groupBy('src').agg(F.count(F.lit(1)).alias('od'))
+    ed = e.join(deg, 'src').repartition('src').transform(_ckpt)
+
+    frac = Fraction(damping).limit_denominator(1000)
+    num, den = frac.numerator, frac.denominator
+    is_seed = F.col('__seed').isNotNull()
+
+    if mode == 'integer':
+        base = (den - num) * scale // (den * s)
+        ranks = flagged.select(
+            'node', F.when(is_seed, scale // s)
+            .otherwise(0).cast('long').alias('r'))
+        for it in range(iterations):
+            inc = (
+                ranks.join(ed, ranks['node'] == ed['src'])
+                .select(F.col('dst').alias('node'),
+                        F.expr('r DIV od').alias('__c'))
+            )
+            agg = inc.groupBy('node').agg(
+                F.sum('__c').alias('__inc'))
+            ranks = flagged.join(agg, 'node', 'left').select(
+                'node',
+                (F.when(is_seed, base).otherwise(0)
+                 + F.expr(f'({num} * coalesce(__inc, 0))'
+                          f' DIV {den}')).cast('bigint').alias('r'),
+            )
+            if (it + 1) % checkpoint_every == 0 \
+                    or it == iterations - 1:
+                ranks = _ckpt(ranks)
+        return ranks.select('node', F.col('r').alias('rank'))
+
+    base = (1.0 - damping) / s
+    ranks = flagged.select(
+        'node', F.when(is_seed, 1.0 / s).otherwise(0.0).alias('r'))
+    for it in range(iterations):
+        inc = (
+            ranks.join(ed, ranks['node'] == ed['src'])
+            .select(F.col('dst').alias('node'),
+                    (F.col('r') / F.col('od')).alias('__c'))
+        )
+        agg = inc.groupBy('node').agg(F.sum('__c').alias('__inc'))
+        ranks = flagged.join(agg, 'node', 'left').select(
+            'node',
+            (F.when(is_seed, base).otherwise(0.0)
+             + damping * F.coalesce('__inc', F.lit(0.0))).alias('r'),
+        )
+        if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
+            ranks = _ckpt(ranks)
+    return ranks.select('node', F.col('r').alias('rank'))

@@ -6212,6 +6212,44 @@ def q_incremental_line_dedup(spark: SparkSession,
     )
 
 
+def q_personalized_pagerank(spark: SparkSession,
+                            sf_dir: str) -> SparkDF:
+    """Personalized PageRank (``graph.personalized_pagerank``,
+    NEW r15 — random walk with restart): seed-proximity scores over
+    the customer→supplier purchase graph with the 20 lowest
+    custkeys as the trusted seed set — the crawl-frontier
+    prioritizer / seed-expansion scorer, next to
+    :func:`q_pagerank`'s global authority.  Integer mode: every
+    step is 64-bit multiply/floor-divide (0.85 → 17/20), restart
+    mass returns only to seeds, and the every-node self-loop keeps
+    the one-pass update total — so the DuckDB recursive CTE
+    replays all 6 iterations bit-exactly.  Top-20 non-zero nodes."""
+    from ..operators.graph import personalized_pagerank
+
+    lineitem, orders = _t(spark, sf_dir, 'lineitem', 'orders')
+    edges = (
+        lineitem.join(orders,
+                      lineitem['l_orderkey'] == orders['o_orderkey'])
+        .select(F.col('o_custkey').alias('src'),
+                (F.col('l_suppkey') + 1000000).alias('dst'))
+    )
+    seeds = (
+        edges.select(F.col('src').alias('node'))
+        .distinct()
+        .orderBy('node')
+        .limit(20)
+    )
+    ranks = personalized_pagerank(
+        edges, seeds, iterations=6, mode='integer')
+    w = Window.orderBy(F.col('rank').desc(), F.col('node').asc())
+    return (
+        ranks.filter(F.col('rank') > 0)
+        .withColumn('pos', F.row_number().over(w))
+        .filter(F.col('pos') <= 20)
+        .select('pos', 'node', F.col('rank').alias('rank_scaled'))
+    )
+
+
 # --------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------
@@ -6236,6 +6274,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_domain_blocklist': q_domain_blocklist,
     'q_matryoshka_topk': q_matryoshka_topk,
     'q_incremental_line_dedup': q_incremental_line_dedup,
+    'q_personalized_pagerank': q_personalized_pagerank,
     'q_bitext_candidates': q_bitext_candidates,
     'q_maxsim_candidates': q_maxsim_candidates,
     'q_dsir_weights': q_dsir_weights,
@@ -6748,6 +6787,57 @@ ORACLES: Dict[str, str] = {
         SELECT domain, n_docs, n_fail,
                (n_docs >= 5 AND n_fail * 4 > n_docs * 1) AS blocked
         FROM census
+    """,
+    # NEW r15 — personalized PageRank (restart to the 20 lowest
+    # seed custkeys; integer replay, every-node self-loop keeps the
+    # single-reference recursion total).
+    'q_personalized_pagerank': """
+        WITH RECURSIVE
+        be AS (
+            SELECT DISTINCT o_custkey AS src,
+                            l_suppkey + 1000000 AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ), nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM be
+                UNION ALL SELECT dst FROM be)
+        ), edges AS (
+            SELECT src, dst FROM (
+                SELECT src, dst FROM be
+                UNION SELECT node, node FROM nodes)
+        ), deg AS (
+            SELECT src, count(*) AS od FROM edges GROUP BY src
+        ), seedset AS (
+            SELECT DISTINCT src AS node FROM be
+            ORDER BY node LIMIT 20
+        ), sn AS (SELECT count(*) AS s FROM seedset),
+        ranks AS (
+            SELECT 0 AS it, node,
+                   CAST(CASE WHEN node IN (SELECT node FROM seedset)
+                        THEN 1000000000000 // (SELECT s FROM sn)
+                        ELSE 0 END AS BIGINT) AS r
+            FROM nodes
+            UNION ALL
+            SELECT r.it + 1, e.dst AS node,
+                   CAST(CASE WHEN e.dst IN
+                             (SELECT node FROM seedset)
+                        THEN (SELECT (3 * 1000000000000) // (20 * s)
+                              FROM sn)
+                        ELSE 0 END
+                        + (17 * sum(r.r // d.od)) // 20
+                        AS BIGINT) AS r
+            FROM ranks r
+            JOIN edges e ON r.node = e.src
+            JOIN deg d ON d.src = r.node
+            WHERE r.it < 6
+            GROUP BY r.it, e.dst
+        )
+        SELECT pos, node, r AS rank_scaled FROM (
+            SELECT node, r,
+                   row_number() OVER (ORDER BY r DESC, node ASC)
+                       AS pos
+            FROM ranks WHERE it = 6 AND r > 0
+        ) WHERE pos <= 20
     """,
     # NEW r15 — Matryoshka truncate-then-rerank retrieval funnel.
     'q_matryoshka_topk': """

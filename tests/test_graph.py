@@ -264,3 +264,84 @@ class TestHits:
             hits(self._edges(spark_session), mode='exact')
         with _pt.raises(ValueError, match='iterations'):
             hits(self._edges(spark_session), iterations=0)
+
+
+class TestPersonalizedPagerank:
+    """Restart-to-seeds walk: mass concentrates near the seeds,
+    unreachable nodes score zero, integer mode is replay-exact."""
+
+    def _edges(self, spark_session):
+        # two components: {1,2,3} a cycle, {10,11} a pair
+        rows = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 10)]
+        return spark_session.createDataFrame(
+            rows, 'src long, dst long')
+
+    def _seeds(self, spark_session, ids):
+        return spark_session.createDataFrame(
+            [(i,) for i in ids], 'node long')
+
+    def test_unreachable_component_scores_zero(self, spark_session):
+        from ons_utils_spark.operators.graph import (
+            personalized_pagerank)
+        got = {r['node']: r['rank'] for r in personalized_pagerank(
+            self._edges(spark_session),
+            self._seeds(spark_session, [1]),
+            iterations=5, mode='integer').collect()}
+        assert got[10] == 0 and got[11] == 0
+        assert got[1] > got[2] > 0 and got[3] > 0
+
+    def test_seed_gets_restart_mass(self, spark_session):
+        from ons_utils_spark.operators.graph import (
+            personalized_pagerank)
+        got = {r['node']: r['rank'] for r in personalized_pagerank(
+            self._edges(spark_session),
+            self._seeds(spark_session, [1]),
+            iterations=8, mode='float').collect()}
+        # the seed outranks every non-seed in its component
+        assert got[1] == max(got.values())
+        assert abs(sum(got.values()) - 1.0) < 1e-6
+
+    def test_integer_replay_matches_local_fold(self, spark_session):
+        from fractions import Fraction
+
+        from ons_utils_spark.operators.graph import (
+            personalized_pagerank)
+        edges = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 10)]
+        seeds = {1, 10}
+        got = {r['node']: r['rank'] for r in personalized_pagerank(
+            self._edges(spark_session).unionByName(
+                self._seeds(spark_session, []).selectExpr(
+                    'node as src', 'node as dst')),
+            self._seeds(spark_session, sorted(seeds)),
+            iterations=4, mode='integer').collect()}
+        # local replay: self-loops on every node, scale 1e12, 17/20
+        scale = 10 ** 12
+        nodes = sorted({x for e in edges for x in e})
+        es = sorted(set(edges) | {(n, n) for n in nodes})
+        od = {n: sum(1 for a, _ in es if a == n) for n in nodes}
+        num, den = Fraction(0.85).limit_denominator(1000) \
+            .numerator, Fraction(0.85).limit_denominator(1000) \
+            .denominator
+        base = (den - num) * scale // (den * len(seeds))
+        r = {n: (scale // len(seeds) if n in seeds else 0)
+             for n in nodes}
+        for _ in range(4):
+            inc = {n: 0 for n in nodes}
+            for a, b in es:
+                inc[b] += r[a] // od[a]
+            r = {n: (base if n in seeds else 0)
+                 + (num * inc[n]) // den for n in nodes}
+        assert got == r
+
+    def test_seed_validation(self, spark_session):
+        from ons_utils_spark.operators.graph import (
+            personalized_pagerank)
+        import pytest as pt
+        with pt.raises(ValueError, match='no seed'):
+            personalized_pagerank(
+                self._edges(spark_session),
+                self._seeds(spark_session, [999]), iterations=2)
+        with pt.raises(ValueError, match='mode'):
+            personalized_pagerank(
+                self._edges(spark_session),
+                self._seeds(spark_session, [1]), mode='bad')
