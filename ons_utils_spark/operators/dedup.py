@@ -2837,3 +2837,165 @@ def ngram_contamination(
              F.min('__pos').cast('int').alias('first_pos'),
              F.first('n_doc_ngrams').alias('n_doc_ngrams'))
     )
+
+
+def duplicate_ngram_fraction(
+    df: SparkDF,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    n: int = 5,
+    max_fraction: float = 0.5,
+) -> SparkDF:
+    """Onion-style per-document duplicate n-gram fraction (Pomikálek
+    2011, "Removing Boilerplate and Duplicate Content from Web
+    Corpora"): the share of a document's positional word n-gram
+    occurrences whose n-gram also occurs in at least one OTHER
+    document.  Onion's resolution — keep a document while its
+    duplicate fraction is small, drop it once most of its content is
+    cross-document repeated — sits between exact dedup (whole-text
+    hash) and MinHash (sampled similarity): it is EXACT on content
+    overlap but never forms pairs, so there is no candidate blowup to
+    cap.  (No reference counterpart — LLM-pipeline extension.)
+
+    Returns ``(id_col, n_ngrams, n_dup, dup_fraction_u6, keep)``:
+    ``n_ngrams`` counts the document's positional n-grams, ``n_dup``
+    of which are cross-document duplicates; ``dup_fraction_u6`` is
+    the integer-quantized ratio (×1e6) and ``keep`` is Onion's
+    verdict at ``max_fraction``.  Documents with fewer than ``n``
+    tokens have no n-grams and return ``n_ngrams = 0``, ``keep =
+    true`` (nothing repeated).
+
+    Plan & scale: grams build with the O(tokens) ``zip_with`` shingle
+    chain and travel as md5 keys (fixed 32-byte shuffle keys, never
+    the raw gram text).  The census is ONE gram-keyed aggregate
+    counting DISTINCT documents per gram — ``count(distinct)`` over
+    the (gram, doc) pre-aggregate, so hot boilerplate grams collapse
+    map-side before the wire.  Membership resolves by joining each
+    document's DISTINCT grams (bounded by doc length) against the
+    census and re-weighting by the per-doc occurrence count — the
+    join never carries per-occurrence rows for hot grams.  No pair
+    join anywhere; state is O(distinct grams).
+    """
+    if n < 1:
+        raise ValueError(f'n must be >= 1, got {n!r}')
+    toks = tokenize(normalize_text(text_col))
+    k = F.size(toks) - (n - 1)
+    shingled = F.slice(toks, 1, F.greatest(k, F.lit(0)))
+    for offset in range(1, n):
+        shifted = F.slice(toks, offset + 1, F.greatest(k, F.lit(0)))
+        shingled = F.zip_with(
+            shingled, shifted, lambda a, b: F.concat_ws(' ', a, b))
+    grams = (
+        df.select(F.col(id_col).alias('__id'),
+                  F.explode(shingled).alias('__gram'))
+        .select('__id', F.md5('__gram').alias('__g'))
+    )
+    # per-(doc, gram) occurrence counts: the only corpus-sized shuffle
+    per_doc = grams.groupBy('__id', '__g').agg(
+        F.count(F.lit(1)).alias('__occ'))
+    census = per_doc.groupBy('__g').agg(
+        F.count(F.lit(1)).alias('__df'))
+    marked = (
+        per_doc.join(census, '__g')
+        .groupBy('__id')
+        .agg(F.sum('__occ').alias('n_ngrams'),
+             F.sum(F.when(F.col('__df') >= 2, F.col('__occ'))
+                   .otherwise(F.lit(0))).alias('n_dup'))
+    )
+    # left-join back so gram-less docs keep a row
+    base = df.select(F.col(id_col).alias('__id')).distinct()
+    out = (
+        base.join(marked, '__id', 'left')
+        .select(
+            F.col('__id').alias(id_col),
+            F.coalesce('n_ngrams', F.lit(0)).alias('n_ngrams'),
+            F.coalesce('n_dup', F.lit(0)).alias('n_dup'))
+        .withColumn(
+            'dup_fraction_u6',
+            F.when(F.col('n_ngrams') > 0,
+                   F.round(F.col('n_dup').cast('double') * 1000000
+                           / F.col('n_ngrams')).cast('bigint'))
+            .otherwise(F.lit(0).cast('bigint')))
+        .withColumn(
+            'keep',
+            F.col('dup_fraction_u6')
+            <= F.lit(int(round(max_fraction * 1000000))))
+    )
+    return out
+
+
+def edit_similarity_pairs(
+    df: SparkDF,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    max_distance: int = 2,
+    max_len: int = 64,
+    normalize: bool = True,
+) -> SparkDF:
+    """Short-text near-duplicate pairs under EXACT Levenshtein
+    distance, found via pigeonhole segment blocking: each (normalized,
+    ``max_len``-truncated) string is cut into ``max_distance + 1``
+    fixed-width segments, candidate pairs must agree EXACTLY on at
+    least one ``(segment index, segment text)`` key, and every
+    candidate is then verified with the native ``levenshtein``
+    (JVM-side, early-exit ``threshold`` form).  The classic titles /
+    URLs / product-names dedup: whole-text hashing misses one-typo
+    variants, MinHash is overkill at these lengths.
+
+    Blocking guarantee: two strings within ``max_distance``
+    SUBSTITUTIONS share an untouched segment (pigeonhole over d+1
+    segments), so substitution-only near-dups are found exactly;
+    insertions/deletions shift segment frames and can escape the
+    blocks (the trade every fixed-frame scheme makes — PassJoin's
+    position-aware multi-match is the complete-recall alternative,
+    at several× the candidate volume).  Precision is exact: the
+    verify step keeps only true ``distance <= max_distance`` pairs.
+
+    Returns ``(id_a, id_b, distance)`` with ``id_a < id_b``, one row
+    per pair.  Scale shape: the self-join is keyed by (segment index,
+    segment value) — bounded-width keys, d+1 rows per document;
+    template-heavy corpora make hot blocks, which the exact verify
+    tolerates but the join must survive, so block keys include the
+    segment INDEX (splits each hot template across d+1 buckets) and
+    candidates dedupe BEFORE the O(L·d) verify.  ``max_len``
+    truncation bounds per-pair verify cost.
+    """
+    if max_distance < 0:
+        raise ValueError(
+            f'max_distance must be >= 0, got {max_distance!r}')
+    src = normalize_text(text_col) if normalize else F.col(text_col)
+    key = F.substring(src, 1, max_len)
+    n_seg = max_distance + 1
+    width = -(-max_len // n_seg)  # ceil
+    segs = F.array(*[
+        F.struct(F.lit(i).alias('si'),
+                 F.substring(key, i * width + 1, width).alias('sv'))
+        for i in range(n_seg)])
+    blocks = (
+        df.select(F.col(id_col).alias('__id'), key.alias('__k'),
+                  F.explode(segs).alias('__s'))
+        .select('__id', '__k', F.col('__s.si').alias('__si'),
+                F.col('__s.sv').alias('__sv'))
+        .filter(F.col('__sv') != '')
+    )
+    a = blocks.select(F.col('__id').alias('id_a'),
+                      F.col('__k').alias('__ka'),
+                      '__si', '__sv')
+    b = blocks.select(F.col('__id').alias('id_b'),
+                      F.col('__k').alias('__kb'),
+                      '__si', '__sv')
+    cand = (
+        a.join(b, on=['__si', '__sv'])
+        .filter(F.col('id_a') < F.col('id_b'))
+        .select('id_a', 'id_b', '__ka', '__kb')
+        .distinct()
+    )
+    dist = F.levenshtein('__ka', '__kb', max_distance)
+    return (
+        cand
+        .filter(F.abs(F.length('__ka') - F.length('__kb'))
+                <= max_distance)
+        .select('id_a', 'id_b', dist.cast('int').alias('distance'))
+        .filter((F.col('distance') >= 0)
+                & (F.col('distance') <= max_distance))
+    )

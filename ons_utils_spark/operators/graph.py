@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from .dedup import _reliable_checkpoint
 
 __all__ = ['pagerank', 'personalized_pagerank', 'triangle_count',
-           'bfs_levels', 'label_propagation']
+           'bfs_levels', 'label_propagation', 'harmonic_centrality']
 
 
 def label_propagation(
@@ -545,3 +545,90 @@ def personalized_pagerank(
         if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
             ranks = _ckpt(ranks)
     return ranks.select('node', F.col('r').alias('rank'))
+
+
+def harmonic_centrality(
+    edges: SparkDF,
+    src: str = 'src',
+    dst: str = 'dst',
+    max_hops: int = 4,
+    directed: bool = True,
+    checkpoint_dir: Optional[str] = None,
+) -> SparkDF:
+    """Harmonic centrality truncated at ``max_hops``:
+    ``H(v) = Σ_{u ≠ v, d(u,v) ≤ max_hops} 1 / d(u,v)`` with distances
+    measured ALONG edge direction INTO ``v`` — the centrality Common
+    Crawl publishes for its host-level webgraph ranking (Boldi &
+    Vigna 2014, "Axioms for Centrality": harmonic is the one
+    geometric centrality that handles disconnected graphs, because
+    unreachable pairs contribute 0 instead of poisoning the mean).
+
+    Exact multi-source BFS: state is the ``(root, node, hop)``
+    shortest-pair frontier, expanded one join + anti-join per round
+    exactly like :func:`bfs_levels` but keyed by (root, node) — work
+    is O(reached pairs × avg degree) per round and lineage is cut
+    every round.  Exact all-pairs state is O(V²) at full diameter:
+    right for host/domain graphs (10⁵–10⁷ nodes after the host
+    rollup, and ``max_hops`` truncates the frontier), NOT for the
+    raw page graph — at that scale run HyperBall (Boldi & Vigna
+    2013): per-node HLL neighbourhood sketches unioned over
+    in-neighbours per round, |ball(v,h)| differences weighted 1/h —
+    the same per-round join shape with O(V · registers) state.
+
+    Returns ``(node, n_reached, harmonic)`` for every node that
+    appears in the edge list: ``n_reached`` counts nodes with a
+    finite inbound distance ≤ ``max_hops``; ``harmonic`` is rounded
+    to 6 places and — deliberately — evaluated as the fixed-order
+    sum ``Σ_h count_h / h`` over the per-hop counts, so the float
+    total is engine-exact (one division per hop level, never a
+    row-order-dependent float sum).
+    """
+    _ckpt = lambda d: _reliable_checkpoint(d, checkpoint_dir)  # noqa: E731
+    e = edges.select(F.col(src).cast('long').alias('s'),
+                     F.col(dst).cast('long').alias('d')).distinct()
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col('d').alias('s'), F.col('s').alias('d'))
+        ).distinct()
+    e = e.repartition('s').transform(_ckpt)
+    nodes = (e.select(F.col('s').alias('node'))
+             .unionByName(e.select(F.col('d').alias('node')))
+             .distinct().transform(_ckpt))
+    # (root, node) pairs at minimum hop; roots walk FORWARD along
+    # edges, so node v accumulates the roots that REACH it.
+    frontier = nodes.select(F.col('node').alias('root'),
+                            F.col('node').alias('n'))
+    seen = frontier.transform(_ckpt)
+    per_hop = None
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier['n'] == e['s'])
+            .select('root', F.col('d').alias('n')).distinct()
+            .join(seen, ['root', 'n'], 'left_anti')
+            .transform(_ckpt)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        counts = nxt.groupBy(F.col('n').alias('node')).agg(
+            F.count(F.lit(1)).alias(f'__c{hop}'))
+        per_hop = counts if per_hop is None else (
+            per_hop.join(counts, 'node', 'outer'))
+        seen = seen.unionByName(nxt).transform(_ckpt)
+        frontier = nxt
+    if per_hop is None:
+        return nodes.select(
+            'node', F.lit(0).cast('bigint').alias('n_reached'),
+            F.lit(0.0).alias('harmonic'))
+    hop_cols = [c for c in per_hop.columns if c.startswith('__c')]
+    out = nodes.join(per_hop, 'node', 'left')
+    reached = None
+    harm = None
+    for c in hop_cols:
+        h = int(c[3:])
+        cnt = F.coalesce(F.col(c), F.lit(0)).cast('bigint')
+        reached = cnt if reached is None else reached + cnt
+        term = cnt.cast('double') / F.lit(float(h))
+        harm = term if harm is None else harm + term
+    return out.select(
+        'node', reached.alias('n_reached'),
+        F.round(harm, 6).alias('harmonic'))

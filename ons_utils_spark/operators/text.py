@@ -643,6 +643,60 @@ def zipf_slope(df, text_col: str = 'text', top_k: int = 1000):
         .alias('freq_rank_corr'))
 
 
+def token_surprisal(
+    df: SparkDF,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    head_k: int = 1000,
+) -> SparkDF:
+    """Per-document mean unigram self-information ("surprisal", in
+    bits) under the corpus's OWN empirical unigram model — the cheap
+    novelty/quality signal data-selection recipes rank by: rare-token-
+    heavy documents score high, stopword/boilerplate-heavy documents
+    score low (self-information filtering is the unigram end of the
+    CCNet/DSIR model-scoring spectrum; no reference counterpart —
+    LLM-pipeline extension surface).
+
+    Two passes over the tokens: (1) ONE token-keyed census (map-side
+    partial combine collapses hot tokens per map task) producing the
+    unigram model; (2) score the exploded corpus against it.  The
+    100 TB shape of pass 2 is skew-aware: the ``head_k`` hottest
+    tokens — stopwords, orders of magnitude hotter than the tail —
+    resolve through a BROADCAST join (TakeOrderedAndProject head,
+    never a global vocab sort), so the only remaining shuffle join is
+    keyed by tail tokens and the stopword skew never hits the wire.
+    The corpus-total denominator rides along as a broadcast one-row
+    frame: no driver collect, the plan stays lazy end-to-end.
+
+    Returns ``(id_col, n_tokens, mean_surprisal)``; the mean is in
+    bits, rounded to 6 places (engine-portable: ``log2`` of integer
+    frequencies, order-insensitive to ~1e-13 before rounding).
+    Token-less documents are absent (nothing to score) — callers
+    left-join if they need them flagged.
+    """
+    toks = df.select(F.col(id_col).alias('__id'),
+                     F.explode(tokenize(text_col)).alias('tok'))
+    census = toks.groupBy('tok').agg(F.count(F.lit(1)).alias('freq'))
+    total = census.agg(F.sum('freq').alias('__n_total'))
+    head = (census.orderBy(F.col('freq').desc(), F.col('tok').asc())
+            .limit(head_k)
+            .withColumnRenamed('freq', '__head_freq'))
+    marked = toks.join(F.broadcast(head), 'tok', 'left')
+    hot = (marked.filter(F.col('__head_freq').isNotNull())
+           .select('__id', F.col('__head_freq').alias('freq')))
+    cold = (marked.filter(F.col('__head_freq').isNull())
+            .select('__id', 'tok')
+            .join(census, 'tok')
+            .select('__id', 'freq'))
+    scored = (hot.unionByName(cold)
+              .join(F.broadcast(total), how='cross'))
+    return (scored.groupBy(F.col('__id').alias(id_col))
+            .agg(F.count(F.lit(1)).alias('n_tokens'),
+                 F.round(
+                     F.avg(F.log2('__n_total') - F.log2('freq')), 6)
+                 .alias('mean_surprisal')))
+
+
 def _positional_ngrams(toks: SparkCol, n: int) -> SparkCol:
     """Positional (non-distinct) word n-grams via the O(tokens)
     shifted-slice ``zip_with`` chain; empty array when the text has

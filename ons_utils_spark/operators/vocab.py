@@ -34,7 +34,8 @@ from pyspark.sql import functions as F
 
 from .text import normalize_text
 
-__all__ = ['token_counts', 'build_vocab', 'vocab_coverage', 'oov_stats']
+__all__ = ['token_counts', 'build_vocab', 'vocab_coverage', 'oov_stats',
+           'tokenizer_fertility']
 
 
 def token_counts(
@@ -135,3 +136,63 @@ def oov_stats(
             'oov_ratio',
             F.col('n_oov').cast('double') / F.col('n_tokens'))
     )
+
+
+def tokenizer_fertility(
+    df: SparkDF,
+    vocab: SparkDF,
+    by: Sequence[str] = ('lang',),
+    text_col: str = 'text',
+    normalize: bool = True,
+) -> SparkDF:
+    """Per-group tokenizer fertility under the word-with-character-
+    fallback cost model: a word present in ``vocab`` encodes as ONE
+    token, an out-of-vocabulary word falls back to its characters
+    (cost = its character length) — the standard upper-bound cost
+    model for how a fixed vocabulary serves each language or corpus
+    slice.  Fertility (modelled tokens per word) is THE tokenizer-
+    fairness number: languages the vocabulary underserves pay a
+    multi-x token premium for the same content (Petrov et al. 2023,
+    "Language Model Tokenizers Introduce Unfairness Between
+    Languages"; Rust et al. 2021 use the same tokens-per-word
+    fertility definition).
+
+    Returns one row per ``by`` group: ``n_words`` (word occurrences),
+    ``n_tokens`` (modelled token cost), and the integer-quantized
+    ratios ``fertility_u6`` (tokens per word × 1e6) and
+    ``oov_ratio_u6`` — quantized so the numbers replay engine-exactly
+    (the ``oov_stats`` convention; ``oov_stats`` itself keeps the raw
+    ``n_oov`` when counts are wanted).
+
+    Scale shape: the bounded vocabulary is explicitly BROADCAST, so
+    the corpus explode resolves membership map-side and never
+    shuffles for the test; the only exchange is the final per-group
+    aggregate (groups = languages/sources — tiny).  Fertility of a
+    real subword tokenizer is strictly lower; this word-or-characters
+    model needs no merge tables, making it the portable screening
+    metric (``operators.bpe`` holds the real BPE when merges exist).
+    """
+    src = normalize_text(text_col) if normalize else F.col(text_col)
+    words = (
+        df.select(*by, F.explode(F.split(src, ' ')).alias('token'))
+        .filter(F.col('token') != '')
+    )
+    marked = words.join(
+        F.broadcast(
+            vocab.select('token').withColumn('__v', F.lit(1))),
+        on='token', how='left')
+    cost = F.when(F.col('__v').isNotNull(), F.lit(1)) \
+        .otherwise(F.length('token'))
+    agg = marked.groupBy(*by).agg(
+        F.count(F.lit(1)).alias('n_words'),
+        F.sum(cost).alias('n_tokens'),
+        F.sum(F.when(F.col('__v').isNull(), 1).otherwise(0))
+        .alias('n_oov'))
+    return agg.select(
+        *by, 'n_words', 'n_tokens',
+        F.round(F.col('n_tokens').cast('double') * 1000000
+                / F.col('n_words')).cast('bigint')
+        .alias('fertility_u6'),
+        F.round(F.col('n_oov').cast('double') * 1000000
+                / F.col('n_words')).cast('bigint')
+        .alias('oov_ratio_u6'))

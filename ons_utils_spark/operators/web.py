@@ -48,6 +48,7 @@ __all__ = ['canonicalize_url', 'url_host', 'registrable_domain',
            'extract_links', 'extract_anchors',
            'outlink_domain_edges', 'anchor_texts', 'sniff_mime',
            'crawl_diff', 'parse_sitemap', 'extract_html_meta',
+           'parse_cdx',
            'extract_hreflang', 'crawl_frontier', 'fetch_schedule',
            'TRACKING_PARAM_RE', 'TWO_LABEL_SUFFIXES']
 
@@ -683,3 +684,41 @@ def quality_blocklist(
         (F.col('n_docs') >= min_docs)
         & (F.col('n_fail') * max_fail_den
            > F.col('n_docs') * max_fail_num))
+
+
+def parse_cdx(df, line_col: str = 'line'):
+    """Parse CDXJ index lines — the Common Crawl / web-archive URL
+    index format, ``<SURT urlkey> <14-digit timestamp> <JSON>`` — into
+    typed columns: ``(urlkey, ts, url, mime, status, digest, length,
+    warc_offset, filename)``.  The CC index is the front door of a
+    crawl pipeline: fetch selection, dedup-by-digest, and WARC byte-
+    range reads all start from these lines, long before any payload
+    is touched.
+
+    Pure codegen: two ``split``-with-limit cuts for the space-
+    delimited head plus ONE ``from_json`` (JVM Jackson, no UDF) for
+    the JSON tail; numeric fields arrive as JSON strings per the CDXJ
+    convention and are cast here, and the timestamp parses as UTC
+    ``yyyyMMddHHmmss``.  Scale: a projection on the line scan — no
+    shuffle, no explode; at 100 TB the index shards read as plain
+    text/gzip splits and every field resolves in the scan stage.
+    Malformed lines (fewer than three fields, or a JSON tail Jackson
+    rejects) yield NULL parsed fields rather than failing the scan —
+    filter ``url IS NULL`` to quarantine them.
+    """
+    parts = F.split(F.col(line_col), ' ', 3)
+    j = F.from_json(
+        F.element_at(parts, 3),
+        'url string, mime string, status string, digest string,'
+        ' length string, offset string, filename string')
+    return df.select(
+        F.element_at(parts, 1).alias('urlkey'),
+        F.to_timestamp(F.element_at(parts, 2), 'yyyyMMddHHmmss')
+        .alias('ts'),
+        j['url'].alias('url'),
+        j['mime'].alias('mime'),
+        j['status'].cast('int').alias('status'),
+        j['digest'].alias('digest'),
+        j['length'].cast('bigint').alias('length'),
+        j['offset'].cast('bigint').alias('warc_offset'),
+        j['filename'].alias('filename'))

@@ -6309,6 +6309,157 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> SparkDF:
         'r_dup10', 'repetition_pass')
 
 
+def q_token_surprisal(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Unigram self-information document scoring
+    (``text.token_surprisal``, NEW r15): per-document mean surprisal
+    in bits under the corpus's own unigram model — the cheap
+    data-selection novelty signal.  ``head_k=20`` deliberately
+    splits the small fixture vocabulary so BOTH paths run: the 20
+    hottest tokens resolve through the broadcast head join, the tail
+    through the token-keyed shuffle join.  The oracle replays
+    census → join → ``log2`` mean directly (the head/tail split is
+    plan shape, not semantics)."""
+    from ..operators.text import token_surprisal
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    return token_surprisal(documents, 'doc_id', 'text', head_k=20)
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Tokenizer-fairness fertility profile
+    (``vocab.tokenizer_fertility`` over ``vocab.build_vocab``, NEW
+    r15): per-language token cost under the word-with-character-
+    fallback model against the corpus's own top-30 word vocabulary —
+    in-vocab words cost 1 token, OOV words fall back to their
+    characters (Petrov et al. 2023's fertility premium).  Integer-
+    quantized ratios (the ``oov_stats`` convention) so the replay is
+    engine-exact; the oracle rebuilds the tie-broken top-30 vocab
+    and the per-language aggregate in SQL."""
+    from ..operators.vocab import build_vocab, tokenizer_fertility
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    vocab = build_vocab(documents, 'text', top_k=30)
+    return tokenizer_fertility(documents, vocab, by=('lang',))
+
+
+def q_onion_dup_ngrams(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Onion-style duplicate n-gram resolution
+    (``dedup.duplicate_ngram_fraction``, NEW r15, Pomikálek 2011):
+    per-document fraction of positional 3-gram occurrences that are
+    cross-document duplicates, with the keep/drop verdict at 20%.
+    Grams travel as md5 keys; the census counts distinct documents
+    per gram from the (doc, gram) pre-aggregate — no pair join
+    anywhere.  The oracle replays normalize → 3-grams → md5 census →
+    occurrence-weighted membership exactly (integer-quantized
+    fraction)."""
+    from ..operators.dedup import duplicate_ngram_fraction
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    return duplicate_ngram_fraction(
+        documents, 'doc_id', 'text', n=3, max_fraction=0.2)
+
+
+def q_edit_similarity(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Pigeonhole-blocked exact Levenshtein pairs
+    (``dedup.edit_similarity_pairs``, NEW r15): short records built
+    from doc_id arithmetic in families of four — a base string (the
+    group id tripled so cross-group distance is always ≥ 3), a
+    one-substitution variant, a two-insertion variant, and a far
+    decoy.  Within each family exactly the (base, sub) d=1 and
+    (base, ins) d=2 pairs survive the d≤2 verify; every cross-family
+    block candidate (shared tail segments) must be rejected by the
+    exact distance.  The oracle replays segmentation, blocking, the
+    length pre-filter, and ``levenshtein`` itself — a blocking,
+    truncation, or verify bug breaks the hash."""
+    from ..operators.dedup import edit_similarity_pairs
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    z = F.lpad(F.expr('(doc_id div 4) * 4').cast('string'), 3, '0')
+    base3 = F.concat(F.lit('entry '), z, F.lit(' '), z,
+                     F.lit(' '), z)
+    v = F.col('doc_id') % 4
+    tail = F.when(v == 1, F.lit(' alpha beta gamma delra')) \
+        .otherwise(F.lit(' alpha beta gamma delta'))
+    suffix = F.when(v == 2, F.lit(' x')) \
+        .when(v == 3, F.lit(' totally different tail content')) \
+        .otherwise(F.lit(''))
+    recs = documents.select(
+        'doc_id', F.concat(base3, tail, suffix).alias('text'))
+    return edit_similarity_pairs(
+        recs, 'doc_id', 'text', max_distance=2, max_len=64)
+
+
+def q_cdx_parse(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """CDXJ crawl-index parsing (``web.parse_cdx``, NEW r15): every
+    document synthesizes its Common Crawl index line — SURT urlkey,
+    14-digit timestamp, JSON tail with string-typed numerics per the
+    CDXJ convention (mime/status vary by doc arithmetic; every 13th
+    line's JSON tail is garbage and must yield NULL parsed fields,
+    never fail the scan).  One ``from_json`` projection, no shuffle.
+    The oracle is closed-form from the same arithmetic — it never
+    parses JSON, so a split, timestamp-format, cast, or
+    malformed-line bug breaks the hash."""
+    from ..operators.web import parse_cdx
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    d = F.col('doc_id')
+    url = F.concat(F.lit('https://'), F.col('source'),
+                   F.lit('.com/'), F.col('lang'), F.lit('/doc'),
+                   d.cast('string'))
+    urlkey = F.concat(F.lit('com,'), F.col('source'), F.lit(')/'),
+                      F.col('lang'), F.lit('/doc'), d.cast('string'))
+    ts = F.concat(F.lit('2026'),
+                  F.lpad((d % 12 + 1).cast('string'), 2, '0'),
+                  F.lpad((d % 28 + 1).cast('string'), 2, '0'),
+                  F.lit('093000'))
+    mime = F.when(d % 3 == 0, F.lit('text/html')) \
+        .when(d % 3 == 1, F.lit('application/pdf')) \
+        .otherwise(F.lit('text/plain'))
+    status = F.when(d % 7 == 0, F.lit('404')).otherwise(F.lit('200'))
+    tail = F.when(d % 13 == 0, F.lit('this is not json {')).otherwise(
+        F.concat(
+            F.lit('{"url": "'), url,
+            F.lit('", "mime": "'), mime,
+            F.lit('", "status": "'), status,
+            F.lit('", "digest": "sha1:D'), d.cast('string'),
+            F.lit('", "length": "'), (F.col('n_chars') * 3)
+            .cast('string'),
+            F.lit('", "offset": "'), (d * 1000).cast('string'),
+            F.lit('", "filename": "crawl/seg'), (d % 10)
+            .cast('string'),
+            F.lit('.warc.gz"}')))
+    lines = documents.select(
+        F.concat(urlkey, F.lit(' '), ts, F.lit(' '), tail)
+        .alias('line'))
+    return parse_cdx(lines)
+
+
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Truncated harmonic centrality (``graph.harmonic_centrality``,
+    NEW r15 — the Common Crawl host-ranking metric, Boldi & Vigna
+    2014) over the DIRECTED customer-nation → supplier-nation trade
+    graph, sparsified by modular arithmetic so the structure is
+    non-trivial; distances accrue along edge direction INTO each
+    node, truncated at 3 hops.  The harmonic sum is evaluated as the
+    fixed-order per-hop expression ``c1/1 + c2/2 + c3/3`` in BOTH
+    engines, so the float replays bit-exactly; the oracle walks the
+    same graph with a deduplicating recursive CTE."""
+    from ..operators.graph import harmonic_centrality
+
+    lineitem, orders, customer, supplier = _t(
+        spark, sf_dir, 'lineitem', 'orders', 'customer', 'supplier')
+    edges = (
+        lineitem
+        .join(orders, lineitem['l_orderkey'] == orders['o_orderkey'])
+        .join(customer, orders['o_custkey'] == customer['c_custkey'])
+        .join(supplier, lineitem['l_suppkey'] == supplier['s_suppkey'])
+        .select(F.col('c_nationkey').alias('src'),
+                F.col('s_nationkey').alias('dst'))
+        .filter((F.col('src') * 31 + F.col('dst') * 17) % 3 == 0)
+    )
+    return harmonic_centrality(edges, max_hops=3, directed=True)
+
+
 # --------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------
@@ -6326,6 +6477,12 @@ QUERIES: Dict[str, QueryFn] = {
     # The NEW r15 queries (never driver-verified) sort to the
     # very front by the rotation rule; then the r11-stale queries
     # and r12 fills.
+    'q_token_surprisal': q_token_surprisal,
+    'q_tokenizer_fertility': q_tokenizer_fertility,
+    'q_onion_dup_ngrams': q_onion_dup_ngrams,
+    'q_edit_similarity': q_edit_similarity,
+    'q_cdx_parse': q_cdx_parse,
+    'q_harmonic_centrality': q_harmonic_centrality,
     'q_c4_filters': q_c4_filters,
     'q_span_dedup': q_span_dedup,
     'q_exact_decontaminate': q_exact_decontaminate,
@@ -6828,6 +6985,227 @@ _SIMHASH_PLANTED_DECISION_SQL = """
     """
 
 ORACLES: Dict[str, str] = {
+    # NEW r15c — unigram self-information document scoring.  The
+    # oracle replays census → join → log2 mean directly; the
+    # operator's broadcast-head/tail-shuffle split is plan shape
+    # only, so any semantic drift in it breaks the hash.
+    'q_token_surprisal': """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(
+                       trim(text), '\\s+'), t -> t <> '')) AS tok
+            FROM documents
+        ), census AS (
+            SELECT tok, count(*) AS freq FROM toks GROUP BY tok
+        ), tot AS (
+            SELECT sum(freq) AS n_total FROM census
+        )
+        SELECT doc_id, count(*) AS n_tokens,
+               round(avg(log2(n_total) - log2(freq)), 6)
+                   AS mean_surprisal
+        FROM toks JOIN census USING (tok) CROSS JOIN tot
+        GROUP BY doc_id
+    """,
+    # NEW r15c — word-with-character-fallback fertility against the
+    # tie-broken top-30 vocabulary, per language.
+    'q_tokenizer_fertility': """
+        WITH norm AS (
+            SELECT lang,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                       AS t
+            FROM documents
+        ), tok AS (
+            SELECT lang, token FROM (
+                SELECT lang, unnest(string_split(t, ' ')) AS token
+                FROM norm
+            ) WHERE token <> ''
+        ), vocab AS (
+            SELECT token FROM (
+                SELECT token, count(*) AS c FROM tok GROUP BY token
+            ) ORDER BY c DESC, token ASC LIMIT 30
+        ), agg AS (
+            SELECT t.lang,
+                   count(*) AS n_words,
+                   CAST(sum(CASE WHEN v.token IS NULL
+                            THEN length(t.token) ELSE 1 END)
+                        AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN v.token IS NULL THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_oov
+            FROM tok t LEFT JOIN vocab v USING (token)
+            GROUP BY t.lang
+        )
+        SELECT lang, n_words, n_tokens,
+               CAST(round(CAST(n_tokens AS DOUBLE) * 1000000
+                          / n_words) AS BIGINT) AS fertility_u6,
+               CAST(round(CAST(n_oov AS DOUBLE) * 1000000
+                          / n_words) AS BIGINT) AS oov_ratio_u6
+        FROM agg
+    """,
+    # NEW r15c — Onion duplicate-3-gram fraction: md5 gram census
+    # from the (doc, gram) pre-aggregate, occurrence-weighted
+    # membership, integer-quantized ratio, keep verdict at 20%.
+    'q_onion_dup_ngrams': """
+        WITH norm AS (
+            SELECT doc_id,
+                   list_filter(string_split(trim(regexp_replace(
+                       lower(text), '\\s+', ' ', 'g')), ' '),
+                       x -> x <> '') AS w
+            FROM documents
+        ), grams AS (
+            SELECT doc_id,
+                   md5(array_to_string(w[i : i + 2], ' ')) AS g
+            FROM norm, unnest(range(1, len(w) - 1)) AS t(i)
+        ), pd AS (
+            SELECT doc_id, g, count(*) AS occ
+            FROM grams GROUP BY doc_id, g
+        ), census AS (
+            SELECT g, count(*) AS df FROM pd GROUP BY g
+        ), m AS (
+            SELECT doc_id,
+                   CAST(sum(occ) AS BIGINT) AS n_ngrams,
+                   CAST(sum(CASE WHEN df >= 2 THEN occ ELSE 0 END)
+                        AS BIGINT) AS n_dup
+            FROM pd JOIN census USING (g) GROUP BY doc_id
+        ), out AS (
+            SELECT d.doc_id,
+                   coalesce(n_ngrams, 0) AS n_ngrams,
+                   coalesce(n_dup, 0) AS n_dup
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN m USING (doc_id)
+        )
+        SELECT doc_id, n_ngrams, n_dup,
+               CASE WHEN n_ngrams > 0
+                    THEN CAST(round(CAST(n_dup AS DOUBLE) * 1000000
+                                    / n_ngrams) AS BIGINT)
+                    ELSE 0 END AS dup_fraction_u6,
+               (CASE WHEN n_ngrams > 0
+                     THEN CAST(round(CAST(n_dup AS DOUBLE) * 1000000
+                                     / n_ngrams) AS BIGINT)
+                     ELSE 0 END) <= 200000 AS keep
+        FROM out
+    """,
+    # NEW r15c — pigeonhole-blocked exact Levenshtein pairs over the
+    # planted family fixture: the oracle replays truncation, the
+    # fixed-width (index, segment) blocking, the length pre-filter,
+    # and the exact distance verify.
+    'q_edit_similarity': """
+        WITH z AS (
+            SELECT doc_id,
+                   lpad(((doc_id // 4) * 4)::VARCHAR, 3, '0') AS zz,
+                   doc_id % 4 AS v
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   'entry ' || zz || ' ' || zz || ' ' || zz ||
+                   CASE WHEN v = 1 THEN ' alpha beta gamma delra'
+                        ELSE ' alpha beta gamma delta' END ||
+                   CASE WHEN v = 2 THEN ' x'
+                        WHEN v = 3
+                        THEN ' totally different tail content'
+                        ELSE '' END AS st
+            FROM z
+        ), k AS (
+            SELECT doc_id, substr(st, 1, 64) AS kk FROM s
+        ), segs AS (
+            SELECT doc_id, kk, i AS si,
+                   substr(kk, i * 22 + 1, 22) AS sv
+            FROM k, unnest([0, 1, 2]) AS t(i)
+        ), f AS (
+            SELECT * FROM segs WHERE sv <> ''
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                            a.kk AS ka, b.kk AS kb
+            FROM f a JOIN f b
+              ON a.si = b.si AND a.sv = b.sv
+             AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               CAST(levenshtein(ka, kb) AS INT) AS distance
+        FROM cand
+        WHERE abs(length(ka) - length(kb)) <= 2
+          AND levenshtein(ka, kb) <= 2
+    """,
+    # NEW r15c — CDXJ index parsing: the oracle is closed-form from
+    # the fixture arithmetic and never parses JSON; malformed lines
+    # (doc_id % 13 = 0) must yield NULL parsed fields.
+    'q_cdx_parse': """
+        SELECT 'com,' || source || ')/' || lang || '/doc'
+                   || doc_id::VARCHAR AS urlkey,
+               strptime('2026' ||
+                        lpad((doc_id % 12 + 1)::VARCHAR, 2, '0') ||
+                        lpad((doc_id % 28 + 1)::VARCHAR, 2, '0') ||
+                        '093000', '%Y%m%d%H%M%S') AS ts,
+               CASE WHEN doc_id % 13 = 0 THEN NULL
+                    ELSE 'https://' || source || '.com/' || lang ||
+                         '/doc' || doc_id::VARCHAR END AS url,
+               CASE WHEN doc_id % 13 = 0 THEN NULL
+                    WHEN doc_id % 3 = 0 THEN 'text/html'
+                    WHEN doc_id % 3 = 1 THEN 'application/pdf'
+                    ELSE 'text/plain' END AS mime,
+               CASE WHEN doc_id % 13 = 0 THEN NULL
+                    WHEN doc_id % 7 = 0 THEN 404
+                    ELSE 200 END::INT AS status,
+               CASE WHEN doc_id % 13 = 0 THEN NULL
+                    ELSE 'sha1:D' || doc_id::VARCHAR END AS digest,
+               CASE WHEN doc_id % 13 = 0 THEN NULL
+                    ELSE n_chars * 3 END::BIGINT AS length,
+               CASE WHEN doc_id % 13 = 0 THEN NULL
+                    ELSE doc_id * 1000 END::BIGINT AS warc_offset,
+               CASE WHEN doc_id % 13 = 0 THEN NULL
+                    ELSE 'crawl/seg' || (doc_id % 10)::VARCHAR ||
+                         '.warc.gz' END AS filename
+        FROM documents
+    """,
+    # NEW r15c — truncated harmonic centrality over the sparsified
+    # nation trade graph: deduplicating recursive CTE for the pair
+    # distances, then the SAME fixed-order per-hop sum as the
+    # operator so the float replays bit-exactly.
+    'q_harmonic_centrality': """
+        WITH RECURSIVE base AS (
+            SELECT DISTINCT c_nationkey AS s, s_nationkey AS d
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE (c_nationkey * 31 + s_nationkey * 17) % 3 = 0
+        ), nodes AS (
+            -- DISTINCT over UNION ALL, not plain UNION: inside a
+            -- WITH RECURSIVE list DuckDB executes a UNION CTE with
+            -- recursive-iteration semantics and leaves duplicates
+            SELECT DISTINCT node FROM (
+                SELECT s AS node FROM base
+                UNION ALL SELECT d FROM base
+            )
+        ), walk AS (
+            SELECT node AS root, node AS n, 0 AS hop FROM nodes
+            UNION
+            SELECT w.root, e.d AS n, w.hop + 1
+            FROM walk w JOIN base e ON w.n = e.s
+            WHERE w.hop < 3
+        ), mind AS (
+            SELECT root, n, min(hop) AS hop
+            FROM walk GROUP BY root, n
+        ), cnts AS (
+            SELECT n AS node, hop, count(*) AS c
+            FROM mind WHERE hop >= 1 GROUP BY n, hop
+        ), wide AS (
+            SELECT node,
+                   coalesce(sum(CASE WHEN hop = 1 THEN c END), 0)
+                       AS c1,
+                   coalesce(sum(CASE WHEN hop = 2 THEN c END), 0)
+                       AS c2,
+                   coalesce(sum(CASE WHEN hop = 3 THEN c END), 0)
+                       AS c3
+            FROM nodes LEFT JOIN cnts USING (node)
+            GROUP BY node
+        )
+        SELECT node,
+               CAST(c1 + c2 + c3 AS BIGINT) AS n_reached,
+               round(CAST(c1 AS DOUBLE) / 1.0
+                     + CAST(c2 AS DOUBLE) / 2.0
+                     + CAST(c3 AS DOUBLE) / 3.0, 6) AS harmonic
+        FROM wide
+    """,
     # NEW r15 — C4 web-cleaning rules over synthesized pages (the
     # page build + per-doc flags live in _C4_DOC_FLAGS_SQL, shared
     # with the domain-blocklist oracle that aggregates them).
