@@ -6460,6 +6460,36 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> SparkDF:
     return harmonic_centrality(edges, max_hops=3, directed=True)
 
 
+def q_hyperball_centrality(spark: SparkSession,
+                           sf_dir: str) -> SparkDF:
+    """HyperBall approximate harmonic centrality
+    (``graph.hyperball_centrality``, NEW r15 — Boldi & Vigna 2013)
+    over the SAME sparsified nation trade graph as
+    ``q_harmonic_centrality``: per-node 16-register HLL counters
+    (p=4) unioned over in-neighbours for 3 rounds, ball-size
+    estimates with the standard small-range correction,
+    clamped increments weighted 1/h.  The element hash is the
+    portable 60-bit md5 fold, so the DuckDB oracle replays the
+    APPROXIMATION itself register-for-register (estimator accuracy
+    vs the exact operator is pinned in unit tests) — a register
+    indexing, rank, union, or correction bug breaks the hash."""
+    from ..operators.graph import hyperball_centrality
+
+    lineitem, orders, customer, supplier = _t(
+        spark, sf_dir, 'lineitem', 'orders', 'customer', 'supplier')
+    edges = (
+        lineitem
+        .join(orders, lineitem['l_orderkey'] == orders['o_orderkey'])
+        .join(customer, orders['o_custkey'] == customer['c_custkey'])
+        .join(supplier, lineitem['l_suppkey'] == supplier['s_suppkey'])
+        .select(F.col('c_nationkey').alias('src'),
+                F.col('s_nationkey').alias('dst'))
+        .filter((F.col('src') * 31 + F.col('dst') * 17) % 3 == 0)
+    )
+    return hyperball_centrality(edges, max_hops=3, p=4,
+                                directed=True)
+
+
 # --------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------
@@ -6478,6 +6508,7 @@ QUERIES: Dict[str, QueryFn] = {
     # very front by the rotation rule; then the r11-stale queries
     # and r12 fills.
     'q_token_surprisal': q_token_surprisal,
+    'q_hyperball_centrality': q_hyperball_centrality,
     'q_tokenizer_fertility': q_tokenizer_fertility,
     'q_onion_dup_ngrams': q_onion_dup_ngrams,
     'q_edit_similarity': q_edit_similarity,
@@ -7155,6 +7186,123 @@ ORACLES: Dict[str, str] = {
                     ELSE 'crawl/seg' || (doc_id % 10)::VARCHAR ||
                          '.warc.gz' END AS filename
         FROM documents
+    """,
+    # NEW r15c — HyperBall: the oracle replays the APPROXIMATION
+    # itself — md5-fold hash, register indexing and ranks, three
+    # in-neighbour union rounds, the small-range-corrected HLL
+    # estimate, and the clamped fixed-order harmonic sum.
+    'q_hyperball_centrality': """
+        WITH RECURSIVE base AS (
+            SELECT DISTINCT c_nationkey AS s, s_nationkey AS d
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE (c_nationkey * 31 + s_nationkey * 17) % 3 = 0
+        ), nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT s AS node FROM base
+                UNION ALL SELECT d FROM base
+            )
+        ), hv AS (
+            -- portable 60-bit hash: fold of the first 15 hex chars
+            -- of md5(node), most-significant first
+            SELECT node,
+                   sum(CAST(strpos('0123456789abcdef',
+                                   substr(md5(node::VARCHAR), i, 1))
+                            - 1 AS BIGINT)
+                       << (4 * (15 - i))) AS h
+            FROM nodes, unnest(range(1, 16)) AS t(i)
+            GROUP BY node
+        ), hr AS (
+            SELECT node, CAST(h % 16 AS INT) AS idx,
+                   CASE WHEN (h >> 4) = 0 THEN 57
+                        ELSE 57 - length(bin(h >> 4)) END AS rk
+            FROM hv
+        ), r0 AS (
+            SELECT node, CAST(j AS INT) AS reg,
+                   CASE WHEN j = idx THEN rk ELSE 0 END AS rk
+            FROM hr, unnest(range(0, 16)) AS t(j)
+        ), r1 AS (
+            SELECT node, reg, max(rk) AS rk FROM (
+                SELECT * FROM r0
+                UNION ALL
+                SELECT e.d AS node, r.reg, r.rk
+                FROM base e JOIN r0 r ON r.node = e.s
+            ) GROUP BY node, reg
+        ), r2 AS (
+            SELECT node, reg, max(rk) AS rk FROM (
+                SELECT * FROM r1
+                UNION ALL
+                SELECT e.d AS node, r.reg, r.rk
+                FROM base e JOIN r1 r ON r.node = e.s
+            ) GROUP BY node, reg
+        ), r3 AS (
+            SELECT node, reg, max(rk) AS rk FROM (
+                SELECT * FROM r2
+                UNION ALL
+                SELECT e.d AS node, r.reg, r.rk
+                FROM base e JOIN r2 r ON r.node = e.s
+            ) GROUP BY node, reg
+        ), e0 AS (
+            SELECT node,
+                   CASE WHEN ((0.673::DOUBLE * 16.0) * 16.0)
+                             / sum(power(2.0, -rk)) <= 40.0
+                         AND sum(CASE WHEN rk = 0 THEN 1 ELSE 0 END)
+                             > 0
+                        THEN 16.0 * ln(16.0 /
+                            sum(CASE WHEN rk = 0 THEN 1 ELSE 0 END))
+                        ELSE ((0.673::DOUBLE * 16.0) * 16.0)
+                             / sum(power(2.0, -rk)) END AS e
+            FROM r0 GROUP BY node
+        ), e1 AS (
+            SELECT node,
+                   CASE WHEN ((0.673::DOUBLE * 16.0) * 16.0)
+                             / sum(power(2.0, -rk)) <= 40.0
+                         AND sum(CASE WHEN rk = 0 THEN 1 ELSE 0 END)
+                             > 0
+                        THEN 16.0 * ln(16.0 /
+                            sum(CASE WHEN rk = 0 THEN 1 ELSE 0 END))
+                        ELSE ((0.673::DOUBLE * 16.0) * 16.0)
+                             / sum(power(2.0, -rk)) END AS e
+            FROM r1 GROUP BY node
+        ), e2 AS (
+            SELECT node,
+                   CASE WHEN ((0.673::DOUBLE * 16.0) * 16.0)
+                             / sum(power(2.0, -rk)) <= 40.0
+                         AND sum(CASE WHEN rk = 0 THEN 1 ELSE 0 END)
+                             > 0
+                        THEN 16.0 * ln(16.0 /
+                            sum(CASE WHEN rk = 0 THEN 1 ELSE 0 END))
+                        ELSE ((0.673::DOUBLE * 16.0) * 16.0)
+                             / sum(power(2.0, -rk)) END AS e
+            FROM r2 GROUP BY node
+        ), e3 AS (
+            SELECT node,
+                   CASE WHEN ((0.673::DOUBLE * 16.0) * 16.0)
+                             / sum(power(2.0, -rk)) <= 40.0
+                         AND sum(CASE WHEN rk = 0 THEN 1 ELSE 0 END)
+                             > 0
+                        THEN 16.0 * ln(16.0 /
+                            sum(CASE WHEN rk = 0 THEN 1 ELSE 0 END))
+                        ELSE ((0.673::DOUBLE * 16.0) * 16.0)
+                             / sum(power(2.0, -rk)) END AS e
+            FROM r3 GROUP BY node
+        )
+        SELECT n.node,
+               round((greatest(e1.e - e0.e, 0.0)
+                      + greatest(e2.e - e1.e, 0.0))
+                     + greatest(e3.e - e2.e, 0.0), 6)
+                   AS reached_approx,
+               round((greatest(e1.e - e0.e, 0.0) / 1.0
+                      + greatest(e2.e - e1.e, 0.0) / 2.0)
+                     + greatest(e3.e - e2.e, 0.0) / 3.0, 6)
+                   AS harmonic_approx
+        FROM nodes n
+        JOIN e0 ON e0.node = n.node
+        JOIN e1 ON e1.node = n.node
+        JOIN e2 ON e2.node = n.node
+        JOIN e3 ON e3.node = n.node
     """,
     # NEW r15c — truncated harmonic centrality over the sparsified
     # nation trade graph: deduplicating recursive CTE for the pair

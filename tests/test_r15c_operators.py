@@ -219,3 +219,56 @@ class TestHarmonicCentrality:
         # 3/4 unreachable from 1/2 and vice versa — no poisoning
         assert out[2]['n_reached'] == 1
         assert out[4]['n_reached'] == 1
+
+
+class TestHyperballCentrality:
+    @pytest.fixture
+    def ring_chords(self, spark_session):
+        edges = [(i, (i + 1) % 40) for i in range(40)] + \
+            [(i, (i * 7 + 3) % 40) for i in range(40)]
+        return spark_session.createDataFrame(
+            edges, 'src long, dst long')
+
+    def test_tracks_exact_within_estimator_error(self, ring_chords):
+        from ons_utils_spark.operators.graph import (
+            hyperball_centrality)
+        ex = {r['node']: r['harmonic'] for r in harmonic_centrality(
+            ring_chords, max_hops=3).collect()}
+        ap = {r['node']: r['harmonic_approx'] for r in
+              hyperball_centrality(
+                  ring_chords, max_hops=3, p=6).collect()}
+        assert set(ap) == set(ex)
+        rel = [abs(ap[n] - ex[n]) / ex[n] for n in ex if ex[n] > 0]
+        # stderr ≈ 1.04/sqrt(64) ≈ 13% per estimate; the mean over
+        # 40 nodes should sit well inside it
+        assert sum(rel) / len(rel) < 0.15
+        assert max(rel) < 0.45
+
+    def test_deterministic(self, ring_chords):
+        from ons_utils_spark.operators.graph import (
+            hyperball_centrality)
+        a = sorted(map(tuple, hyperball_centrality(
+            ring_chords, max_hops=2, p=4).collect()))
+        b = sorted(map(tuple, hyperball_centrality(
+            ring_chords, max_hops=2, p=4).collect()))
+        assert a == b
+
+    def test_sink_sees_sources(self, spark_session):
+        from ons_utils_spark.operators.graph import (
+            hyperball_centrality)
+        # star into 5: node 5's 1-hop ball holds all four sources
+        edges = spark_session.createDataFrame(
+            [(1, 5), (2, 5), (3, 5), (4, 5)], 'src long, dst long')
+        out = {r['node']: r for r in hyperball_centrality(
+            edges, max_hops=2, p=6).collect()}
+        assert out[5]['harmonic_approx'] > out[1]['harmonic_approx']
+        # sources have empty inbound balls -> exactly zero increments
+        assert out[1]['harmonic_approx'] == 0.0
+
+    def test_bad_p(self, spark_session):
+        from ons_utils_spark.operators.graph import (
+            hyperball_centrality)
+        edges = spark_session.createDataFrame(
+            [(1, 2)], 'src long, dst long')
+        with pytest.raises(ValueError):
+            hyperball_centrality(edges, p=3)
