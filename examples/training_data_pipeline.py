@@ -283,6 +283,38 @@ def vocab_report(curated: DataFrame, top_k: int = 500) -> DataFrame:
     return oov_stats(curated, vocab, by=('lang_pred',))
 
 
+def fertility_report(curated: DataFrame,
+                     top_k: int = 500) -> DataFrame:
+    """Tokenizer-fairness artifact: per-language fertility (tokens
+    per word) under the word-or-characters cost model against the
+    same top-``top_k`` vocabulary — the premium each language pays
+    for a shared vocabulary (Petrov et al. 2023)."""
+    from ons_utils_spark.operators.vocab import (
+        build_vocab, tokenizer_fertility)
+
+    vocab = build_vocab(curated, 'text', top_k=top_k)
+    return tokenizer_fertility(curated, vocab, by=('lang_pred',))
+
+
+def onion_gate(documents: DataFrame,
+               max_fraction: float = 0.8) -> DataFrame:
+    """Onion-style cross-document repetition gate (Pomikálek 2011),
+    run BEFORE pairwise dedup: drop documents whose positional
+    5-gram occurrences are mostly cross-document duplicates.  Exact
+    on content overlap with NO pair join (md5 gram census), so it
+    cheaply strips boilerplate-dominated pages and shrinks the
+    MinHash stage's candidate volume."""
+    from ons_utils_spark.operators.dedup import (
+        duplicate_ngram_fraction)
+
+    verdicts = duplicate_ngram_fraction(
+        documents, 'doc_id', 'text', n=5,
+        max_fraction=max_fraction)
+    return documents.join(
+        verdicts.filter(F.col('keep')).select('doc_id'),
+        on='doc_id', how='inner')
+
+
 def to_training_chunks(curated: DataFrame, chunk_tokens: int = 256,
                        overlap_tokens: int = 32) -> DataFrame:
     """Final corpus-prep step: PII-redact then split each curated doc
@@ -415,6 +447,9 @@ def main() -> None:
     docs = domain_gate(docs)
     n_domain = docs.count()
     print(f'domain gate kept {n_domain}/{n_url} docs')
+    docs = onion_gate(docs)
+    n_onion = docs.count()
+    print(f'onion repetition gate kept {n_onion}/{n_domain} docs')
     curated = curate(docs)
     n_minhash = curated.count()
     curated = winnow_sweep(curated)
@@ -434,6 +469,7 @@ def main() -> None:
     curated = seed_score(curated)
     report(curated).show()
     vocab_report(curated, top_k=200).show()
+    fertility_report(curated, top_k=200).show()
 
     split = holdout_split(curated)
     split.groupBy('split').count().show()
