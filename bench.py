@@ -320,29 +320,43 @@ def _emit(samples: dict, repeat: int, warmup_time: float, cold: dict,
             prev_sf = prev.get('sf')
         except Exception:  # noqa: BLE001 — missing/corrupt prior
             prev, prev_repeat, prev_sf = {}, 0, None
-        if prev_repeat >= 1 and prev_sf is not None and prev_sf != sf_val:
-            # A different-SF run (e.g. a quick sf0.01 smoke) must
-            # never displace the canonical artifact — side file.
-            out_path = os.path.join(here, f'BENCH_full_sf{sf}.json')
-        elif repeat < prev_repeat:
-            out_path = os.path.join(here, 'BENCH_full_cold.json')
-        elif repeat == prev_repeat and _looks_load_inflated(
-                full, prev):
-            # VALUE-AWARE guard (r12 judge finding): an equal-repeat
-            # run under noisy-neighbor load displaced a quiet-window
-            # artifact and poisoned exactly the gate-watched dedup
-            # rows (controls 1.09x vs heavies 1.9-2.8x).  Quiet-window
-            # medians stand: an equal-repeat run replaces the
-            # committed artifact only if its suite total improves OR
-            # its untouched TPC-H controls read at least as quiet
-            # (a genuine regression shows slower totals under QUIET
-            # controls and still lands; uniform control inflation is
-            # host load, not code).
-            out_path = os.path.join(here, 'BENCH_full_loaded.json')
+        out_path = os.path.join(
+            here, _artifact_filename(full, prev, repeat, prev_repeat,
+                                     prev_sf, sf_val, sf))
         with open(out_path, 'w') as fh:
             json.dump(full, fh, indent=1)
         print('extras:', json.dumps(extras), flush=True)
     print(_compact_line(full), flush=True)
+
+
+def _artifact_filename(full: dict, prev: dict, repeat: int,
+                       prev_repeat: int, prev_sf, sf_val,
+                       sf: str) -> str:
+    """Which file this run's full record lands in.
+
+    Artifact discipline (r5/r6 postmortems + r12/r15 guard cases):
+
+    * a different-SF run (e.g. a quick sf0.01 smoke) never displaces
+      the canonical artifact — ``BENCH_full_sf<sf>.json``;
+    * a LOWER-repeat run never displaces a higher-repeat record —
+      ``BENCH_full_cold.json``;
+    * the VALUE-AWARE guard (r12 judge finding): a run displaces the
+      committed artifact only if its common-query subtotal improves
+      OR its untouched TPC-H controls read at least as quiet —
+      uniform control inflation is host load, not code
+      (``BENCH_full_loaded.json``).  r15 loophole closed: this check
+      now applies to HIGHER-repeat runs too — a repeat-5 run under
+      intermittent load auto-promoted over the quiet repeat-3 record
+      purely on the repeat count (controls 1.17x), so repeat count
+      alone no longer buys displacement.
+    """
+    if prev_repeat >= 1 and prev_sf is not None and prev_sf != sf_val:
+        return f'BENCH_full_sf{sf}.json'
+    if repeat < prev_repeat:
+        return 'BENCH_full_cold.json'
+    if _looks_load_inflated(full, prev):
+        return 'BENCH_full_loaded.json'
+    return 'BENCH_full.json'
 
 
 def _looks_load_inflated(full: dict, prev: dict) -> bool:

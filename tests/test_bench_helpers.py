@@ -166,6 +166,41 @@ def test_load_inflated_guard_still_refuses_inflation_with_growth():
     assert bench._looks_load_inflated(new, prev)
 
 
+def test_artifact_filename_higher_repeat_cannot_launder_load():
+    """r15 loophole: a HIGHER-repeat run under intermittent load must
+    not displace the quiet record purely on its repeat count — the
+    value-aware control check applies at any repeat (observed: a
+    repeat-5 run with controls 1.17x auto-promoted over the quiet
+    repeat-3 artifact)."""
+    prev = _full(100.0, [1.0, 1.0, 1.0], [4.0])
+    new = _full(140.0, [1.4, 1.5, 1.4], [5.6])
+    name = bench._artifact_filename(
+        new, prev, repeat=5, prev_repeat=3,
+        prev_sf=0.1, sf_val=0.1, sf='0.1')
+    assert name == 'BENCH_full_loaded.json'
+
+
+def test_artifact_filename_quiet_higher_repeat_lands():
+    prev = _full(100.0, [1.0, 1.0, 1.0], [4.0])
+    new = _full(101.0, [1.0, 1.01, 0.99], [4.1])
+    name = bench._artifact_filename(
+        new, prev, repeat=5, prev_repeat=3,
+        prev_sf=0.1, sf_val=0.1, sf='0.1')
+    assert name == 'BENCH_full.json'
+
+
+def test_artifact_filename_lower_repeat_and_other_sf_side_files():
+    prev = _full(100.0, [1.0, 1.0, 1.0], [4.0])
+    new = _full(90.0, [0.9, 0.9, 0.9], [3.0])
+    assert bench._artifact_filename(
+        new, prev, repeat=2, prev_repeat=3,
+        prev_sf=0.1, sf_val=0.1, sf='0.1') == 'BENCH_full_cold.json'
+    assert bench._artifact_filename(
+        new, prev, repeat=3, prev_repeat=3,
+        prev_sf=0.1, sf_val=0.01,
+        sf='0.01') == 'BENCH_full_sf0.01.json'
+
+
 def test_compact_line_stays_under_tail_capture():
     queries = {f'q_{i:03d}': 1.234 for i in range(200)}
     full = {
