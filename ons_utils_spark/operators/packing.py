@@ -49,7 +49,8 @@ from pyspark.sql import types as T
 
 ColumnOrName = Union[str, SparkCol]
 
-__all__ = ['pack_greedy', 'pack_stats', 'assemble_bins']
+__all__ = ['pack_greedy', 'pack_stats', 'assemble_bins',
+           'length_bucket_batches']
 
 
 def _pack_bins(tokens: Iterable[int], budget: int) -> List[int]:
@@ -145,3 +146,68 @@ def assemble_bins(
                 sep).alias('sequence'),
         )
     )
+
+
+def length_bucket_batches(
+    df: SparkDF,
+    id_col: str = 'doc_id',
+    len_col: str = 'n_tokens',
+    bucket_width: int = 64,
+    batch_size: int = 8,
+) -> SparkDF:
+    """Length-grouped batching with padding-efficiency accounting —
+    the OTHER standard answer to padding waste (packing fills a
+    token budget; length-grouping keeps one-sequence-per-row
+    semantics and batches similar lengths together, the
+    ``group_by_length`` strategy in mainstream training loaders).
+    Sequences bucket by ``ceil(len / bucket_width)``; within each
+    bucket they order by (length DESC, id) — deterministic across
+    partitionings — and cut into batches of ``batch_size``.  Each
+    batch pads to ITS OWN max length, so the whole cost model is:
+
+        padded_tokens = batch_max_len × n_seqs
+
+    Returns one row per ``(bucket, batch_id)`` with ``n_seqs``,
+    ``max_len``, ``sum_tokens``, ``padded_tokens`` and the
+    integer-quantized ``efficiency_u6`` (sum/padded × 1e6) — the
+    number a curation dashboard tracks to size ``bucket_width``.
+
+    Scale shape: ONE window partitioned by bucket (buckets are
+    bounded: max sequence length / width — hundreds, not corpus-
+    scale... but each bucket's rows land on one task, so for 100 TB
+    corpora feed PER-SHARD frames, exactly like ``pack_greedy``'s
+    packing-unit rule) followed by one (bucket, batch) aggregate.
+    All integer arithmetic — the oracle replays the window verbatim.
+    """
+    if bucket_width < 1 or batch_size < 1:
+        raise ValueError(
+            f'bucket_width and batch_size must be >= 1, got '
+            f'{bucket_width!r}, {batch_size!r}')
+    from pyspark.sql import Window
+
+    ln = F.col(len_col).cast('long')
+    staged = df.select(
+        F.col(id_col).alias('__id'), ln.alias('__len'),
+        F.ceil(ln / F.lit(bucket_width)).cast('int').alias('bucket'))
+    w = Window.partitionBy('bucket').orderBy(
+        F.col('__len').desc(), F.col('__id').asc())
+    batched = staged.withColumn(
+        'batch_id',
+        ((F.row_number().over(w) - 1) / batch_size)
+        .cast('int'))
+    out = (
+        batched.groupBy('bucket', 'batch_id')
+        .agg(F.count(F.lit(1)).alias('n_seqs'),
+             F.max('__len').alias('max_len'),
+             F.sum('__len').alias('sum_tokens'))
+        .withColumn('padded_tokens',
+                    F.col('max_len') * F.col('n_seqs'))
+        .withColumn(
+            'efficiency_u6',
+            F.when(F.col('padded_tokens') > 0,
+                   F.round(F.col('sum_tokens').cast('double')
+                           * 1000000 / F.col('padded_tokens'))
+                   .cast('bigint'))
+            .otherwise(F.lit(1000000).cast('bigint')))
+    )
+    return out

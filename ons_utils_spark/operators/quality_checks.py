@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 __all__ = [
     'Check', 'is_complete', 'is_unique', 'has_min', 'has_max',
     'is_in_set', 'is_non_negative', 'satisfies', 'run_checks',
+    'k_anonymity', 'cohens_kappa',
 ]
 
 
@@ -129,3 +130,93 @@ def run_checks(df: SparkDF, checks: Sequence[Check]) -> SparkDF:
         data,
         'check string, column string, n_rows long, violations long,'
         ' observed string, expected string, passed boolean')
+
+
+def k_anonymity(
+    df: SparkDF,
+    quasi_cols: Sequence[str],
+    k: int = 5,
+) -> SparkDF:
+    """Per-equivalence-class k-anonymity report (Sweeney 2002): group
+    the frame by its quasi-identifier columns and flag classes with
+    fewer than ``k`` rows — the release-gate check a dataset must
+    pass before rows with quasi-identifiers (location, demographic
+    buckets, rare metadata combinations) leave the pipeline.
+    Returns ``(*quasi_cols, n_rows, k_anonymous)``, one row per
+    equivalence class; the release rule is "suppress or generalize
+    every class where ``k_anonymous`` is false".
+
+    ONE hash aggregate keyed on the quasi-identifier tuple (map-side
+    partial combine) — the same single-pass cost as any census, at
+    any table size.  Skewed classes are exactly the safe ones, so
+    key skew is benign here.
+    """
+    if k < 1:
+        raise ValueError(f'k must be >= 1, got {k!r}')
+    if not quasi_cols:
+        raise ValueError('quasi_cols must be non-empty')
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias('n_rows'))
+        .withColumn('k_anonymous', F.col('n_rows') >= k)
+    )
+
+
+def cohens_kappa(
+    df: SparkDF,
+    rater_a: str,
+    rater_b: str,
+) -> SparkDF:
+    """Cohen's kappa inter-annotator agreement (Cohen 1960) over a
+    frame of doubly-labeled items — the standard QA number for a
+    labeling campaign before its labels train a classifier.
+    Returns ONE row ``(n_items, n_agree, chance_pairs, kappa_u6)``
+    where ``kappa_u6`` is kappa × 1e6 as an integer computed from
+    the EXACT closed form
+
+        kappa = (n_agree·N − Σ_c nA_c·nB_c) / (N² − Σ_c nA_c·nB_c)
+
+    — all-integer arithmetic (observed minus chance agreement over
+    one minus chance), so the value replays engine-exactly with no
+    float accumulation anywhere.  Degenerate case: when chance
+    agreement is total (``N² = Σ nA·nB``, e.g. both raters constant)
+    kappa is undefined and ``kappa_u6`` is NULL.
+
+    Plan: one (a, b) census (single shuffle, map-side combine),
+    marginals re-aggregated from the census (label-cardinality-sized,
+    tiny), one broadcast-scale join on label — the item table is
+    scanned once.
+    """
+    counts = (
+        df.select(F.col(rater_a).alias('__a'),
+                  F.col(rater_b).alias('__b'))
+        .groupBy('__a', '__b')
+        .agg(F.count(F.lit(1)).alias('__n'))
+    )
+    na = counts.groupBy('__a').agg(F.sum('__n').alias('__na')) \
+        .withColumnRenamed('__a', '__lab')
+    nb = counts.groupBy('__b').agg(F.sum('__n').alias('__nb')) \
+        .withColumnRenamed('__b', '__lab')
+    chance = (
+        na.join(nb, '__lab')
+        .agg(F.coalesce(
+            F.sum(F.col('__na') * F.col('__nb')), F.lit(0))
+            .alias('__chance'))
+    )
+    agree = counts.agg(
+        F.sum('__n').alias('__n_items'),
+        F.sum(F.when(F.col('__a') == F.col('__b'), F.col('__n'))
+              .otherwise(F.lit(0))).alias('__agree'))
+    joined = agree.join(F.broadcast(chance), how='cross')
+    n = F.col('__n_items')
+    denom = n * n - F.col('__chance')
+    kappa_u6 = F.when(
+        denom != 0,
+        F.round((F.col('__agree') * n - F.col('__chance'))
+                .cast('double') * 1000000 / denom.cast('double'))
+        .cast('bigint'))
+    return joined.select(
+        n.alias('n_items'),
+        F.col('__agree').alias('n_agree'),
+        F.col('__chance').alias('chance_pairs'),
+        kappa_u6.alias('kappa_u6'))

@@ -6490,6 +6490,59 @@ def q_hyperball_centrality(spark: SparkSession,
                                 directed=True)
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """k-anonymity release gate (``quality_checks.k_anonymity``, NEW
+    r15, Sweeney 2002): equivalence classes over the customer
+    quasi-identifier pair (nation, market segment) with the k=5
+    verdict — the census a dataset passes before quasi-identifying
+    columns ship.  One hash aggregate; the oracle replays the
+    census and threshold directly."""
+    from ..operators.quality_checks import k_anonymity
+
+    (customer,) = _t(spark, sf_dir, 'customer')
+    return k_anonymity(
+        customer, ['c_nationkey', 'c_mktsegment'], k=5)
+
+
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Inter-annotator agreement (``quality_checks.cohens_kappa``,
+    NEW r15, Cohen 1960): rater A is each document's language label,
+    rater B mislabels every 7th document one step around the
+    language cycle — kappa from the EXACT all-integer closed form
+    (agree·N − Σ nA·nB) / (N² − Σ nA·nB), quantized ×1e6, so the
+    oracle replays the census, the marginals, and the division with
+    zero float accumulation."""
+    from ..operators.quality_checks import cohens_kappa
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    nxt = (F.when(F.col('lang') == 'en', 'de')
+           .when(F.col('lang') == 'de', 'es')
+           .when(F.col('lang') == 'es', 'fr')
+           .when(F.col('lang') == 'fr', 'zh')
+           .otherwise('en'))
+    rated = documents.select(
+        F.col('lang').alias('a'),
+        F.when(F.col('doc_id') % 7 == 0, nxt)
+        .otherwise(F.col('lang')).alias('b'))
+    return cohens_kappa(rated, 'a', 'b')
+
+
+def q_length_batches(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Length-grouped batching efficiency
+    (``packing.length_bucket_batches``, NEW r15 — the
+    group_by_length loader strategy): documents bucket by
+    ``ceil(n_chars/64)``, order (length DESC, id) within bucket,
+    cut into batches of 8, each padding to its own max — per-batch
+    padding efficiency ×1e6, all integer.  The oracle replays the
+    window, the batch division, and the cost model verbatim."""
+    from ..operators.packing import length_bucket_batches
+
+    (documents,) = _t(spark, sf_dir, 'documents')
+    return length_bucket_batches(
+        documents, 'doc_id', 'n_chars',
+        bucket_width=64, batch_size=8)
+
+
 # --------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------
@@ -6509,6 +6562,9 @@ QUERIES: Dict[str, QueryFn] = {
     # and r12 fills.
     'q_token_surprisal': q_token_surprisal,
     'q_hyperball_centrality': q_hyperball_centrality,
+    'q_k_anonymity': q_k_anonymity,
+    'q_cohens_kappa': q_cohens_kappa,
+    'q_length_batches': q_length_batches,
     'q_tokenizer_fertility': q_tokenizer_fertility,
     'q_onion_dup_ngrams': q_onion_dup_ngrams,
     'q_edit_similarity': q_edit_similarity,
@@ -7186,6 +7242,87 @@ ORACLES: Dict[str, str] = {
                     ELSE 'crawl/seg' || (doc_id % 10)::VARCHAR ||
                          '.warc.gz' END AS filename
         FROM documents
+    """,
+    # NEW r15e — k-anonymity census over customer quasi-identifiers.
+    'q_k_anonymity': """
+        SELECT c_nationkey, c_mktsegment,
+               count(*) AS n_rows,
+               count(*) >= 5 AS k_anonymous
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment
+    """,
+    # NEW r15e — Cohen's kappa from the exact all-integer closed
+    # form over the planted every-7th-doc label-cycle confusion.
+    'q_cohens_kappa': """
+        WITH rated AS (
+            SELECT lang AS a,
+                   CASE WHEN doc_id % 7 = 0 THEN
+                        CASE lang WHEN 'en' THEN 'de'
+                                  WHEN 'de' THEN 'es'
+                                  WHEN 'es' THEN 'fr'
+                                  WHEN 'fr' THEN 'zh'
+                                  ELSE 'en' END
+                        ELSE lang END AS b
+            FROM documents
+        ), counts AS (
+            SELECT a, b, count(*) AS n FROM rated GROUP BY a, b
+        ), na AS (
+            SELECT a AS lab, CAST(sum(n) AS BIGINT) AS na
+            FROM counts GROUP BY a
+        ), nb AS (
+            SELECT b AS lab, CAST(sum(n) AS BIGINT) AS nb
+            FROM counts GROUP BY b
+        ), chance AS (
+            -- coalesce: DISJOINT label sets (empty join) mean zero
+            -- chance agreement, not NULL
+            SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS ch
+            FROM na JOIN nb USING (lab)
+        ), agg AS (
+            SELECT CAST(sum(n) AS BIGINT) AS n_items,
+                   CAST(sum(CASE WHEN a = b THEN n ELSE 0 END)
+                        AS BIGINT) AS n_agree
+            FROM counts
+        )
+        SELECT n_items, n_agree, ch AS chance_pairs,
+               CASE WHEN n_items * n_items - ch <> 0
+                    THEN CAST(round(
+                        CAST(n_agree * n_items - ch AS DOUBLE)
+                        * 1000000
+                        / CAST(n_items * n_items - ch AS DOUBLE))
+                        AS BIGINT)
+               END AS kappa_u6
+        FROM agg CROSS JOIN chance
+    """,
+    # NEW r15e — length-grouped batching cost model: window, batch
+    # division, per-batch pad-to-own-max replayed verbatim.
+    'q_length_batches': """
+        WITH staged AS (
+            SELECT doc_id AS id, n_chars AS len,
+                   CAST(ceil(n_chars / 64.0) AS INT) AS bucket
+            FROM documents
+        ), b AS (
+            SELECT bucket,
+                   CAST((row_number() OVER (
+                       PARTITION BY bucket
+                       ORDER BY len DESC, id ASC) - 1) // 8
+                       AS INT) AS batch_id,
+                   len
+            FROM staged
+        ), agg AS (
+            SELECT bucket, batch_id,
+                   count(*) AS n_seqs,
+                   max(len) AS max_len,
+                   CAST(sum(len) AS BIGINT) AS sum_tokens
+            FROM b GROUP BY bucket, batch_id
+        )
+        SELECT bucket, batch_id, n_seqs, max_len, sum_tokens,
+               max_len * n_seqs AS padded_tokens,
+               CASE WHEN max_len * n_seqs > 0
+                    THEN CAST(round(CAST(sum_tokens AS DOUBLE)
+                                    * 1000000
+                                    / (max_len * n_seqs)) AS BIGINT)
+                    ELSE 1000000 END AS efficiency_u6
+        FROM agg
     """,
     # NEW r15c — HyperBall: the oracle replays the APPROXIMATION
     # itself — md5-fold hash, register indexing and ranks, three
