@@ -34,6 +34,9 @@ SENSITIVE = (
     'q_scd2_history', 'q_interval_join', 'q_ewma',
     # round-5 session-2: event-time window framing (rolling z-score)
     'q_rolling_anomaly',
+    # round-15: CDXJ timestamp parsing (to_timestamp under the
+    # read-time UTC pin)
+    'q_cdx_parse',
 )
 
 
