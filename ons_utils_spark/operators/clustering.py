@@ -56,7 +56,10 @@ def connected_components(
     # localCheckpoint (not persist): each round's plan would otherwise
     # embed every previous round — plan size grows exponentially and
     # the DRIVER OOMs during analysis after ~10 iterations.
-    sym = sym.repartition('a').transform(_ckpt)
+    # Partition on 'b' — the key EVERY round's label join uses — so
+    # the edge frame is never re-exchanged inside the loop; only the
+    # one-off init aggregate below pays an exchange on 'a'.
+    sym = sym.repartition('b').transform(_ckpt)
 
     labels = (
         sym.groupBy('a')

@@ -85,11 +85,14 @@ def label_propagation(
     ).distinct()
     nodes = sym.select(F.col('a').alias('node')).distinct() \
         .transform(_ckpt)
-    # self-vote edges: each node hears its own label once per round
+    # self-vote edges: each node hears its own label once per round.
+    # Partition on 'b' — the key every round's label join uses — so
+    # the edge frame is never re-exchanged inside the loop (guide
+    # §2.4: two operations keyed the same way share one exchange).
     sym = sym.unionByName(
         nodes.select(F.col('node').alias('a'),
                      F.col('node').alias('b'))
-    ).repartition('a').transform(_ckpt)
+    ).repartition('b').transform(_ckpt)
     labels = nodes.select('node', F.col('node').alias('label'))
     for _ in range(iterations):
         counts = (
@@ -97,21 +100,26 @@ def label_propagation(
             .groupBy(sym['a'].alias('n'), 'label')
             .agg(F.count(F.lit(1)).alias('c'))
         )
-        from pyspark.sql import Window
-        w = Window.partitionBy('n')
+        # argmax in ONE aggregation: max over (count, ~label) picks
+        # the max count and, among ties, the smallest label —
+        # bitwise NOT is strictly decreasing over the full long
+        # range (no negation overflow at LONG_MIN).  Replaces the
+        # max-over-window + filter + min-agg chain (one extra
+        # shuffle + sort per round).
         best = (
-            counts.withColumn('m', F.max('c').over(w))
-            .filter(F.col('c') == F.col('m'))
-            .groupBy('n')
-            .agg(F.min('label').alias('label'))
+            counts.groupBy('n')
+            .agg(F.max(F.struct(
+                F.col('c').alias('c'),
+                F.bitwise_not(F.col('label')).alias('nl')))
+                .alias('__m'))
+            .select('n', F.bitwise_not(F.col('__m.nl')).alias('label'))
         )
-        labels = (
-            nodes.join(best, nodes['node'] == best['n'], 'left')
-            .select(nodes['node'],
-                    F.coalesce(best['label'], nodes['node'])
-                    .alias('label'))
+        # the self-vote edge guarantees every node appears in
+        # `counts`, so `best` covers the full node set — the
+        # nodes-frame left join (one shuffle join per round) is
+        # redundant and skipped.
+        labels = best.select(F.col('n').alias('node'), 'label') \
             .transform(_ckpt)
-        )
     return labels
 
 
@@ -148,21 +156,31 @@ def bfs_levels(
     e = e.repartition('s').transform(_ckpt)
     frontier = sources.select(
         F.col(node).cast('long').alias('n')).distinct()
-    levels = frontier.select(
+    # visited state = the UNION of the per-hop checkpointed
+    # frontiers: each hop's new nodes are materialized exactly once
+    # (as `nxt`), never re-written as part of a growing `levels`
+    # frame — the anti-join and the final result read the same
+    # checkpointed RDDs (one materialization per hop instead of two).
+    first = frontier.select(
         'n', F.lit(0).cast('int').alias('hop')).transform(_ckpt)
+    parts = [first]
+    visited = first.select('n')
     for hop in range(1, max_hops + 1):
         nxt = (
             frontier.join(e, frontier['n'] == e['s'])
             .select(F.col('d').alias('n')).distinct()
-            .join(levels.select('n'), 'n', 'left_anti')
+            .join(visited, 'n', 'left_anti')
             .transform(_ckpt)
         )
         if nxt.limit(1).count() == 0:
             break
-        levels = levels.unionByName(
-            nxt.select('n', F.lit(hop).cast('int').alias('hop'))
-        ).transform(_ckpt)
+        part = nxt.select('n', F.lit(hop).cast('int').alias('hop'))
+        parts.append(part)
+        visited = visited.unionByName(nxt)
         frontier = nxt
+    levels = parts[0]
+    for part in parts[1:]:
+        levels = levels.unionByName(part)
     return levels.select(F.col('n').alias('node'), 'hop')
 
 
@@ -225,10 +243,22 @@ def triangle_count(
         F.struct(F.col('e1.dt'), F.col('e1.t'))
         < F.struct(F.col('e2.dt'), F.col('e2.t')),
     ]).select(F.col('e1.t').alias('w1'), F.col('e2.t').alias('w2'))
+    # ONE pass over the wedge join for both counts: `oriented` is
+    # distinct, so the closing-edge key (w1, w2) is unique and a
+    # left join preserves wedge multiplicity — count(*) is the wedge
+    # count and the matched rows are the triangles.  (Previously the
+    # wedge self-join was executed twice: once for the triangle
+    # inner join, once for the bare wedge count.)
     closing = oriented.select(F.col('s').alias('w1'),
-                              F.col('t').alias('w2'))
-    n_tri = wedges.join(closing, on=['w1', 'w2']).count()
-    n_edges, n_wedges = oriented.count(), wedges.count()
+                              F.col('t').alias('w2'),
+                              F.lit(1).alias('__hit'))
+    stats = wedges.join(closing, on=['w1', 'w2'], how='left').agg(
+        F.count(F.lit(1)).alias('n_wedges'),
+        F.sum(F.coalesce(F.col('__hit'), F.lit(0))).alias('n_tri'),
+    ).first()
+    n_wedges = stats['n_wedges']
+    n_tri = int(stats['n_tri'] or 0)
+    n_edges = oriented.count()
     spark = edges.sparkSession
     return spark.createDataFrame(
         [(n_edges, n_wedges, n_tri)],
@@ -311,6 +341,15 @@ def pagerank(
     frac = Fraction(damping).limit_denominator(1000)
     num, den = frac.numerator, frac.denominator
 
+    # With self_loops='all' EVERY node has a self-edge, so the
+    # per-round aggregate already covers every node (each node is the
+    # dst of its own self-edge and `ranks` spans all nodes by
+    # induction from the init).  The nodes-frame left join is then a
+    # no-op — skipping it removes one shuffle join per iteration
+    # (guide §2.4: remove shuffles outright).  The other modes keep
+    # the join: a node with no in-edges is absent from the aggregate.
+    cover = self_loops == 'all'
+
     if mode == 'integer':
         ranks = nodes.select(
             'node', F.lit(scale // n).cast('long').alias('r'))
@@ -322,7 +361,8 @@ def pagerank(
                         F.expr('r DIV od').alias('__c'))
             )
             agg = inc.groupBy('node').agg(F.sum('__c').alias('__inc'))
-            ranks = nodes.join(agg, 'node', 'left').select(
+            upd = agg if cover else nodes.join(agg, 'node', 'left')
+            ranks = upd.select(
                 'node',
                 F.expr(
                     f'CAST({base} + ({num} * coalesce(__inc, 0))'
@@ -342,7 +382,8 @@ def pagerank(
                     (F.col('r') / F.col('od')).alias('__c'))
         )
         agg = inc.groupBy('node').agg(F.sum('__c').alias('__inc'))
-        ranks = nodes.join(agg, 'node', 'left').select(
+        upd = agg if cover else nodes.join(agg, 'node', 'left')
+        ranks = upd.select(
             'node',
             (F.lit(base)
              + damping * F.coalesce('__inc', F.lit(0.0)))
@@ -397,8 +438,16 @@ def hits(
     # one partitioning per join orientation, reused every round
     e_by_src = e.repartition('src').transform(_ckpt)
     e_by_dst = e.repartition('dst').transform(_ckpt)
-    srcs = e.select(F.col('src').alias('node')).distinct()
-    dsts = e.select(F.col('dst').alias('node')).distinct()
+    # node sets derive from the MATERIALIZED edge frames: every
+    # downstream use (h init, the final outer join — which the
+    # caller may scan more than once) then reads a checkpointed RDD
+    # instead of re-running the caller's whole edge build per use
+    # (observed: the upstream lineitem⋈orders build re-executed four
+    # times in the final action's plan).
+    srcs = e_by_src.select(F.col('src').alias('node')).distinct() \
+        .transform(_ckpt)
+    dsts = e_by_dst.select(F.col('dst').alias('node')).distinct() \
+        .transform(_ckpt)
 
     one = F.lit(1).cast('long') if mode == 'integer' else F.lit(1.0)
     h = srcs.select('node', one.alias('h'))
@@ -425,8 +474,9 @@ def hits(
             h = h.select('node', (F.col('h') / norm).alias('h'))
         h = _ckpt(h)
     zero = F.lit(0).cast('long') if mode == 'integer' else F.lit(0.0)
+    nodes = srcs.unionByName(dsts).distinct().transform(_ckpt)
     return (
-        srcs.unionByName(dsts).distinct()
+        nodes
         .join(h, 'node', 'left')
         .join(a, 'node', 'left')
         .select('node',
@@ -503,6 +553,17 @@ def personalized_pagerank(
     frac = Fraction(damping).limit_denominator(1000)
     num, den = frac.numerator, frac.denominator
     is_seed = F.col('__seed').isNotNull()
+    # Every node carries a self-edge, so the per-round aggregate
+    # covers every node (same argument as pagerank self_loops='all').
+    # The per-round teleport only needs the seed FLAG, which the tiny
+    # seed set provides via a broadcast join — replacing the shuffle
+    # join against the full flagged node frame with a zero-shuffle
+    # broadcast hash join (guide §3.1); the rank state keeps its
+    # groupBy partitioning for the next round's edge join.  Derive
+    # the seed rows from the CHECKPOINTED flagged frame: building
+    # them from the raw seed lineage would re-run the whole edge
+    # scan inside every round's broadcast build.
+    seed_marks = flagged.filter(is_seed).select('node', '__seed')
 
     if mode == 'integer':
         base = (den - num) * scale // (den * s)
@@ -517,7 +578,9 @@ def personalized_pagerank(
             )
             agg = inc.groupBy('node').agg(
                 F.sum('__c').alias('__inc'))
-            ranks = flagged.join(agg, 'node', 'left').select(
+            ranks = agg.join(
+                F.broadcast(seed_marks), 'node', 'left'
+            ).select(
                 'node',
                 (F.when(is_seed, base).otherwise(0)
                  + F.expr(f'({num} * coalesce(__inc, 0))'
@@ -538,7 +601,9 @@ def personalized_pagerank(
                     (F.col('r') / F.col('od')).alias('__c'))
         )
         agg = inc.groupBy('node').agg(F.sum('__c').alias('__inc'))
-        ranks = flagged.join(agg, 'node', 'left').select(
+        ranks = agg.join(
+            F.broadcast(seed_marks), 'node', 'left'
+        ).select(
             'node',
             (F.when(is_seed, base).otherwise(0.0)
              + damping * F.coalesce('__inc', F.lit(0.0))).alias('r'),
@@ -599,6 +664,11 @@ def harmonic_centrality(
     # edges, so node v accumulates the roots that REACH it.
     frontier = nodes.select(F.col('node').alias('root'),
                             F.col('node').alias('n'))
+    # The visited-pair state is the big frame here (O(reached
+    # pairs)): keep it as the UNION of the per-hop checkpointed
+    # frontiers instead of re-materializing the whole growing set
+    # every round — each pair is written once, at the hop that
+    # discovered it.
     seen = frontier.transform(_ckpt)
     per_hop = None
     for hop in range(1, max_hops + 1):
@@ -614,7 +684,7 @@ def harmonic_centrality(
             F.count(F.lit(1)).alias(f'__c{hop}'))
         per_hop = counts if per_hop is None else (
             per_hop.join(counts, 'node', 'outer'))
-        seen = seen.unionByName(nxt).transform(_ckpt)
+        seen = seen.unionByName(nxt)
         frontier = nxt
     if per_hop is None:
         return nodes.select(
