@@ -1838,10 +1838,9 @@ def q_price_trim(spark: SparkSession, sf_dir: str) -> SparkDF:
     from ..functions.approx import filter_by_percentile_range
 
     (lineitem,) = _t(spark, sf_dir, 'lineitem')
-    # exact-percentile partials are CPU-heavy per input split — widen
-    # a coarse scan (structural no-op on well-split inputs)
-    from ..sources.readers import ensure_min_parallelism
-    lineitem = ensure_min_parallelism(lineitem)
+    # No widen: the sort+pick exact percentile shuffles into its own
+    # per-group sort, so a pre-repartition of the raw rows is a pure
+    # extra exchange (r15 A/B: 4.1 -> 1.6 s without it).
     trimmed = filter_by_percentile_range(
         lineitem, 'l_extendedprice', 0.01, 0.99)
     return trimmed.groupBy('l_returnflag').agg(
@@ -3342,10 +3341,9 @@ def q_winsorized_revenue(spark: SparkSession, sf_dir: str) -> SparkDF:
     bias), one percentile agg broadcast onto the rows — then compare
     clipped vs raw sums per return flag."""
     from ..functions.approx import winsorize
-    from ..sources.readers import ensure_min_parallelism
 
     (lineitem,) = _t(spark, sf_dir, 'lineitem')
-    lineitem = ensure_min_parallelism(lineitem)
+    # No widen — see q_price_trim.
     clipped = winsorize(lineitem, 'l_extendedprice', 0.05, 0.95,
                         output_col='price_w')
     # DECIMAL-staged sums (TODO pitfall #4): double summation order
@@ -3464,8 +3462,7 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> SparkDF:
     from ..functions.approx import robust_outlier_flags
 
     (lineitem,) = _t(spark, sf_dir, 'lineitem')
-    from ..sources.readers import ensure_min_parallelism
-    lineitem = ensure_min_parallelism(lineitem)
+    # No widen — see q_price_trim.
     flagged = robust_outlier_flags(
         lineitem, 'l_extendedprice', keys='l_returnflag', z=3.5)
     return flagged.groupBy('l_returnflag').agg(

@@ -256,3 +256,77 @@ class TestDistinctSketchTable:
                    ['grp']).collect()}
         for grp in (0, 1):
             assert abs(est[grp] - 5000) / 5000 < 0.05
+
+
+class TestSortedPickPercentiles:
+    """The codegen sort+pick exact-percentile path must be
+    bit-identical to ``F.percentile`` (it replaced the aggregate in
+    the exact branches of filter_by_percentile_range / winsorize /
+    robust_outlier_flags)."""
+
+    @staticmethod
+    def _bits(x):
+        import struct
+        return None if x is None else struct.pack('<d', x)
+
+    def _check(self, df, col, ps, keys):
+        from ons_utils_spark.functions.approx import (
+            _sorted_pick_percentiles)
+        c = F.col(col)
+        key_list = list(keys)
+        if key_list:
+            ref_rows = df.groupBy(*key_list).agg(
+                F.percentile(c, F.array(*[F.lit(p) for p in ps]))
+                .alias('b')).collect()
+            ref = {tuple(r[k] for k in key_list): r['b']
+                   for r in ref_rows}
+            got_rows = _sorted_pick_percentiles(
+                df, c, ps, key_list).collect()
+            got = {tuple(r[k] for k in key_list): r['__b']
+                   for r in got_rows}
+        else:
+            ref = {(): df.agg(
+                F.percentile(c, F.array(*[F.lit(p) for p in ps]))
+                .alias('b')).collect()[0]['b']}
+            got = {(): _sorted_pick_percentiles(
+                df, c, ps, []).collect()[0]['__b']}
+        assert set(ref) == set(got)
+        for k in ref:
+            for a, b in zip(ref[k], got[k]):
+                assert self._bits(a) == self._bits(b), (k, ref, got)
+
+    def test_global_bits_match_percentile_agg(self, spark_session):
+        import random
+        rng = random.Random(1514)
+        rows = [(rng.choice('ABC'), rng.uniform(-1e6, 1e6))
+                for _ in range(4001)]
+        df = spark_session.createDataFrame(rows, 'g string, v double')
+        self._check(df, 'v', [0.01, 0.5, 0.99], [])
+        self._check(df, 'v', [0.0, 1.0], [])
+
+    def test_grouped_bits_match_percentile_agg(self, spark_session):
+        import random
+        rng = random.Random(2718)
+        rows = [(rng.choice('ABC'), float(rng.randint(0, 500)))
+                for _ in range(3000)]
+        df = spark_session.createDataFrame(rows, 'g string, v double')
+        self._check(df, 'v', [0.05, 0.95], ['g'])
+        self._check(df, 'v', [0.5], ['g'])
+
+    def test_nulls_and_duplicates(self, spark_session):
+        rows = [(None,), (2.0,), (2.0,), (2.0,), (7.0,), (None,),
+                (1.0,), (7.0,)]
+        df = spark_session.createDataFrame(rows, 'v double')
+        self._check(df, 'v', [0.25, 0.5, 0.75], [])
+
+    def test_all_null_and_empty_inputs(self, spark_session):
+        from ons_utils_spark.functions.approx import (
+            _sorted_pick_percentiles)
+        e = spark_session.createDataFrame([(None,)], 'v double')
+        out = _sorted_pick_percentiles(
+            e, F.col('v'), [0.5], []).collect()
+        assert len(out) == 1 and out[0]['__b'][0] is None
+        e2 = spark_session.createDataFrame([], 'v double')
+        out2 = _sorted_pick_percentiles(
+            e2, F.col('v'), [0.5], []).collect()
+        assert len(out2) == 1 and out2[0]['__b'][0] is None
