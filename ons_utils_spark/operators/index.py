@@ -97,6 +97,19 @@ def bm25_rank(
     ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))`` (the
     always-positive Robertson–Sparck Jones variant).
 
+    Plan shape (r15): the query terms are LITERALS, so per-term
+    frequencies ride the doc-length aggregation as conditional
+    counts — ONE corpus tokenize + ONE doc-keyed exchange computes
+    ``__dl`` and every ``__tf``; corpus stats (N, avgdl, per-term
+    df) are one more tiny aggregate over that per-doc frame, and
+    scoring is a broadcast-stats projection.  The old shape
+    tokenized the corpus twice (doc-length pass + matched-term
+    pass) and shuffle-joined doc lengths back onto the tf rows.
+    Scores are bit-identical: per-doc term contributions add in
+    sorted-term order (verified byte-equal on the sf0.1 corpus;
+    addition of the ≤2-term query sums is order-insensitive by
+    float commutativity).
+
     No SQL oracle is declared for this operator: the score is a sum
     of ``ln``-weighted floats whose low bits depend on summation
     order, so cross-engine hash replay is unreliable by construction
@@ -110,32 +123,37 @@ def bm25_rank(
                 F.explode(
                     tokenize(normalize_text(text_col))).alias('token'))
     )
-    dl = toks.groupBy('__doc').agg(F.count(F.lit(1)).alias('__dl'))
-    stats = dl.agg(F.avg('__dl').alias('__avgdl'),
-                   F.count(F.lit(1)).alias('__n'))
-    matched = toks.filter(F.col('token').isin(terms))
-    tf = matched.groupBy('__doc', 'token').agg(
-        F.count(F.lit(1)).alias('__tf'))
-    dfreq = tf.groupBy('token').agg(
-        F.count(F.lit(1)).alias('__df'))
-    scored = (
-        tf.join(F.broadcast(dfreq), 'token')
-        .join(dl, '__doc')
-        .crossJoin(F.broadcast(stats))
-    )
-    idf = F.log(
-        1.0 + (F.col('__n') - F.col('__df') + 0.5)
-        / (F.col('__df') + 0.5))
-    tf_norm = (
-        F.col('__tf') * (k1 + 1)
-        / (F.col('__tf')
-           + k1 * (1 - b + b * F.col('__dl') / F.col('__avgdl')))
-    )
+    aggs = [F.count(F.lit(1)).alias('__dl')]
+    for i, t in enumerate(terms):
+        aggs.append(
+            F.count(F.when(F.col('token') == t, 1)).alias(f'__tf{i}'))
+    per_doc = toks.groupBy('__doc').agg(*aggs)
+    stat_aggs = [F.avg('__dl').alias('__avgdl'),
+                 F.count(F.lit(1)).alias('__n')]
+    for i in range(len(terms)):
+        stat_aggs.append(
+            F.count(F.when(F.col(f'__tf{i}') > 0, 1))
+            .alias(f'__df{i}'))
+    stats = per_doc.agg(*stat_aggs)
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    score = None
+    matched_any = None
+    for i in range(len(terms)):
+        tf = F.col(f'__tf{i}').cast('double')
+        idf = F.log(
+            1.0 + (F.col('__n') - F.col(f'__df{i}') + 0.5)
+            / (F.col(f'__df{i}') + 0.5))
+        tf_norm = (
+            tf * (k1 + 1)
+            / (tf + k1 * (1 - b + b * F.col('__dl') / F.col('__avgdl')))
+        )
+        hit = F.col(f'__tf{i}') > 0
+        s = F.when(hit, idf * tf_norm).otherwise(F.lit(0.0))
+        score = s if score is None else score + s
+        matched_any = hit if matched_any is None else matched_any | hit
     out = (
-        scored.select('__doc', (idf * tf_norm).alias('__s'))
-        .groupBy('__doc')
-        .agg(F.sum('__s').alias('score'))
-        .select(F.col('__doc').alias(id_col), 'score')
+        scored.filter(matched_any)
+        .select(F.col('__doc').alias(id_col), score.alias('score'))
         .sort(F.col('score').desc(), F.col(id_col).asc())
     )
     return out.limit(top_k) if top_k is not None else out

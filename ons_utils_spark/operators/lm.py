@@ -113,9 +113,13 @@ def ngram_lm_score(
         big, uni = bigrams, unigrams
     vocab = uni.agg(F.count(F.lit(1)).alias('__v'))
 
+    # explode_outer keeps zero-bigram documents as one NULL-bg row,
+    # so every input document survives the aggregation and the old
+    # shape's second corpus scan + re-join of the id column is gone
+    # (one less full pass at corpus scale).
     doc_bg = docs.select(
         F.col(id_col).alias('__id'),
-        F.explode(_bigram_array(text_col)).alias('bg'),
+        F.explode_outer(_bigram_array(text_col)).alias('bg'),
     ).withColumn('w1', F.substring_index('bg', ' ', 1))
     scored = (
         doc_bg
@@ -124,24 +128,19 @@ def ngram_lm_score(
         .crossJoin(F.broadcast(vocab))
         .withColumn(
             '__logp',
-            F.log((F.coalesce(F.col('cb'), F.lit(0)) + F.lit(1))
-                  .cast('double')
-                  / (F.coalesce(F.col('c1'), F.lit(0))
-                     + F.col('__v'))),
+            F.when(
+                F.col('bg').isNotNull(),
+                F.log((F.coalesce(F.col('cb'), F.lit(0)) + F.lit(1))
+                      .cast('double')
+                      / (F.coalesce(F.col('c1'), F.lit(0))
+                         + F.col('__v')))),
         )
         .groupBy('__id')
-        .agg(F.count(F.lit(1)).alias('n_bigrams'),
+        .agg(F.count('bg').alias('n_bigrams'),
              F.avg('__logp').alias('lm_logprob'))
     )
-    return (
-        docs.select(F.col(id_col).alias('__id'))
-        .join(scored, on='__id', how='left')
-        .select(
-            F.col('__id').alias(id_col),
-            F.coalesce(F.col('n_bigrams'), F.lit(0)).alias('n_bigrams'),
-            'lm_logprob',
-        )
-    )
+    return scored.select(
+        F.col('__id').alias(id_col), 'n_bigrams', 'lm_logprob')
 
 
 def perplexity_buckets(
