@@ -580,13 +580,26 @@ def _set_fingerprint(hs_col):
     return F.xxhash64(F.array_sort(F.array_distinct(hs_col)))
 
 
-def _reliable_checkpoint(df: SparkDF, checkpoint_dir: Optional[str]):
-    """Eagerly materialize ``df``, durably when a directory is given.
+def _reliable_checkpoint(df: SparkDF, checkpoint_dir: Optional[str],
+                         eager: bool = True):
+    """Materialize ``df`` behind a lineage cut, durably when a
+    directory is given.
 
     ``localCheckpoint`` blocks live in executor storage and die with
     any executor loss — fine on local[], a recompute-on-failure
     hazard on a real cluster.  With ``checkpoint_dir`` set the
     lineage cut is a reliable checkpoint on shared storage instead.
+
+    ``eager=False`` defers the local materialization to the first
+    action that reads the frame: iterative operators cut lineage
+    once per round, and an eager cut makes every round a separate
+    scheduler job — lazy cuts let one downstream job compute a whole
+    chain of rounds stage-by-stage (same stages, a fraction of the
+    job round-trips; Spark still persists each marked RDD and
+    truncates its lineage when that job finishes).  The RELIABLE
+    branch stays eager regardless: a lazily triggered ``checkpoint``
+    recomputes its RDD from lineage during the checkpoint write —
+    the classic double-compute trap.
 
     The session-global checkpoint directory is restored afterwards if
     one was already configured (``setCheckpointDir`` is global state;
@@ -595,7 +608,7 @@ def _reliable_checkpoint(df: SparkDF, checkpoint_dir: Optional[str]):
     no public unset — which is documented rather than hidden.
     """
     if checkpoint_dir is None:
-        return df.localCheckpoint(eager=True)
+        return df.localCheckpoint(eager=eager)
     sc = df.sparkSession.sparkContext
     prev = sc._jsc.sc().getCheckpointDir()
     prev = prev.get() if prev.isDefined() else None
@@ -1832,6 +1845,7 @@ def winnow_fingerprints(
     text_col: str = 'text',
     k: int = 4,
     w: int = 3,
+    _distinct: bool = True,
 ) -> SparkDF:
     """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
     per document, the minimum k-gram hash of every window of ``w``
@@ -1850,7 +1864,10 @@ def winnow_fingerprints(
     ``transform(sequence(...), i -> slice(...))``, which re-evaluates
     the upstream array per element (known Catalyst inlining pitfall).
 
-    Returns distinct ``(id, fp)`` rows.
+    Returns distinct ``(id, fp)`` rows.  ``_distinct=False``
+    (internal) skips the dedup exchange for callers that fold it
+    into their own fp-keyed aggregation
+    (:func:`winnow_dup_pairs`'s ``collect_set``).
     """
     toks = F.split(F.lower(F.col(text_col)), ' ')
     n_grams = F.size(toks) - (k - 1)
@@ -1877,10 +1894,8 @@ def winnow_fingerprints(
         win_min = F.zip_with(
             win_min, F.slice(F.col('h'), off + 1, n_wins),
             lambda a, b: F.least(a, b))
-    return (
-        with_h.select('id', F.explode(win_min).alias('fp'))
-        .distinct()
-    )
+    out = with_h.select('id', F.explode(win_min).alias('fp'))
+    return out.distinct() if _distinct else out
 
 
 def winnow_dup_pairs(
@@ -1899,27 +1914,34 @@ def winnow_dup_pairs(
     recomputing the fingerprint pipeline per side.
 
     ``max_fp_df`` drops fingerprints appearing in more than that many
-    documents before the join — the hot-key cap for corpus-scale
-    boilerplate (same role as ``max_shingle_df`` in
+    documents before pair expansion — the hot-key cap for
+    corpus-scale boilerplate (same role as ``max_shingle_df`` in
     :func:`ngram_jaccard_join`); detection stays exact for pairs
-    whose overlap rests on rarer fingerprints."""
+    whose overlap rests on rarer fingerprints.
+
+    Shape (r15): ONE fp-keyed exchange builds the per-fingerprint
+    posting set (``collect_set`` dedups the per-doc repeats in the
+    same aggregation — the old per-(id, fp) ``distinct`` exchange is
+    gone), and pairs expand from each posting row's id array with two
+    generators instead of a self-join (the old
+    ``repartition(fp)`` + join reused one exchange but still paid
+    the join machinery; expansion fan-out is the same O(|postings|²)
+    per fingerprint either way, and ``max_fp_df`` is the cap for
+    boilerplate keys).  3 exchanges → 2."""
     fps = winnow_fingerprints(
         df, id_col=id_col, text_col=text_col, k=k, w=w,
-    ).repartition(F.col('fp'))
+        _distinct=False)
+    posting = fps.groupBy('fp').agg(F.collect_set('id').alias('ids'))
     if max_fp_df is not None:
-        hot = (
-            fps.groupBy('fp').count()
-            .filter(F.col('count') > max_fp_df)
-            .select('fp')
-        )
-        fps = fps.join(hot, on='fp', how='left_anti')
-    a, b = fps.alias('a'), fps.alias('b')
+        posting = posting.filter(F.size('ids') <= max_fp_df)
+    pairs = (
+        posting
+        .select(F.explode('ids').alias('id_a'), 'ids')
+        .select('id_a', F.explode(
+            F.filter('ids', lambda y: y > F.col('id_a'))).alias('id_b'))
+    )
     return (
-        a.join(b, on=[
-            F.col('a.fp') == F.col('b.fp'),
-            F.col('a.id') < F.col('b.id'),
-        ])
-        .groupBy(F.col('a.id').alias('id_a'), F.col('b.id').alias('id_b'))
+        pairs.groupBy('id_a', 'id_b')
         .agg(F.count(F.lit(1)).alias('n_shared'))
         .filter(F.col('n_shared') >= min_shared)
     )

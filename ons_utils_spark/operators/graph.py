@@ -453,7 +453,15 @@ def hits(
     h = srcs.select('node', one.alias('h'))
     a = None
     for _ in range(iterations):
-        a = (
+        # checkpoint the PRE-norm aggregate and apply the norm as a
+        # projection over the cut: the norm's own ``first()`` then
+        # materializes the very frame the next half-step reads,
+        # instead of executing the join+aggregate once for the norm
+        # job and again for the (previously post-norm) checkpoint —
+        # one join+aggregate per half-step, not two.  Values are
+        # unchanged: the division happens on the same aggregate rows
+        # either side of the cut.
+        a = _ckpt(
             e_by_src.join(h, e_by_src['src'] == h['node'])
             .groupBy(F.col('dst').alias('node'))
             .agg(F.sum('h').alias('a'))
@@ -462,8 +470,7 @@ def hits(
             norm = a.agg(
                 F.sqrt(F.sum(F.col('a') * F.col('a')))).first()[0]
             a = a.select('node', (F.col('a') / norm).alias('a'))
-        a = _ckpt(a)
-        h = (
+        h = _ckpt(
             e_by_dst.join(a, e_by_dst['dst'] == a['node'])
             .groupBy(F.col('src').alias('node'))
             .agg(F.sum('a').alias('h'))
@@ -472,7 +479,6 @@ def hits(
             norm = h.agg(
                 F.sqrt(F.sum(F.col('h') * F.col('h')))).first()[0]
             h = h.select('node', (F.col('h') / norm).alias('h'))
-        h = _ckpt(h)
     zero = F.lit(0).cast('long') if mode == 'integer' else F.lit(0.0)
     nodes = srcs.unionByName(dsts).distinct().transform(_ckpt)
     return (

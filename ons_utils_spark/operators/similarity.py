@@ -1072,12 +1072,20 @@ def bitext_mine(
         '__sid', '__tid', 'cosine',
         F.row_number().over(w_s).alias('__rs'),
         F.row_number().over(w_t).alias('__rt'))
+    # Lineage cut on the candidate set (bounded by (|src|+|tgt|)×k):
+    # the hubness means, the margin join, and the mutual-best windows
+    # all reference this frame — without the cut each reference
+    # re-executes the scoring pass + both rank windows (the r15
+    # before-plan held TWELVE copies of the cross product).
+    cands0 = (
+        ranked.where((F.col('__rs') <= k) | (F.col('__rt') <= k))
+        .localCheckpoint(eager=False))
     # per-side hubness denominators: mean of the k nearest cosines
-    mean_s = (ranked.where(F.col('__rs') <= k).groupBy('__sid')
+    mean_s = (cands0.where(F.col('__rs') <= k).groupBy('__sid')
               .agg(F.avg('cosine').alias('__ms')))
-    mean_t = (ranked.where(F.col('__rt') <= k).groupBy('__tid')
+    mean_t = (cands0.where(F.col('__rt') <= k).groupBy('__tid')
               .agg(F.avg('cosine').alias('__mt')))
-    cands = (ranked.where((F.col('__rs') <= k) | (F.col('__rt') <= k))
+    cands = (cands0
              .join(F.broadcast(mean_s), '__sid')
              .join(F.broadcast(mean_t), '__tid')
              .withColumn('margin',

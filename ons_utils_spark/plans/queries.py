@@ -3928,7 +3928,7 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> SparkDF:
     # the CC iteration both read the checkpointed pair frame
     pairs = dd.winnow_dup_pairs(
         documents, 'doc_id', 'text', k=4, w=3,
-        min_shared=20).localCheckpoint()
+        min_shared=20).localCheckpoint(eager=False)
     # LOUD guard (same pattern as q_incremental_winnow_dedup): the
     # oracle recovers components as least(x, min(partner)), which is
     # only the true component when the pair graph is a union of
@@ -3989,7 +3989,7 @@ def q_dedup_keep_best_embedding(spark: SparkSession,
                  .unionByName(_clone(20_000_000, 0.5))
     pairs = dd.embedding_near_duplicates(
         corpus, 'vec_id', 'embedding', threshold=0.95
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # LOUD guard: the oracle assumes the pair set is exactly the
     # planted within-family pairs (3 per family).  Pair count is
     # families-sized, so the collect is driver-bounded.
