@@ -2470,31 +2470,39 @@ def source_overlap(
     site, a shard ingested twice, a mirrored dump) that doc-level
     dedup can't see cheaply.
 
-    Shape: distinct ``(group, shingle)`` (one hash agg — the corpus
-    collapses to its per-group shingle vocabulary), then a self-join
-    on shingle with ``group_a < group_b`` and a pair-count agg.
-    Per-shingle join fan-out is bounded by the number of GROUPS (≤
+    Shape (r15): ONE shingle-keyed exchange builds the per-shingle
+    GROUP posting set (``collect_set`` dedups each group's repeats
+    in the same aggregation — the old shape paid a distinct
+    exchange on ``(group, shingle)`` and then a self-join on
+    shingle), group pairs expand from each posting row's array with
+    two generators, and per-group sizes re-read the posting frame.
+    Per-shingle fan-out is bounded by the number of GROUPS (≤
     C(g,2) pairs even for a shingle present everywhere), not by
     document frequency — so unlike document-pair Jaccard no hot-key
     cap is needed as long as the grouping is a bounded shard key
-    (source/snapshot/language), which is the intended use.
+    (source/snapshot/language), which is the intended use (and what
+    bounds the posting arrays).
 
     Output: ``(g_a, g_b, n_a, n_b, n_common, jaccard)`` for every
     group pair sharing at least one shingle.
     """
-    sh = (
+    posting = (
         df.select(
             F.col(group_col).alias('g'),
             F.explode(word_shingles(text_col, n)).alias('sh'))
-        .distinct()
+        .groupBy('sh').agg(F.collect_set('g').alias('gs'))
+        .localCheckpoint(eager=False)
     )
-    sizes = sh.groupBy('g').agg(F.count(F.lit(1)).alias('n_sh'))
+    sizes = (
+        posting.select(F.explode('gs').alias('g'))
+        .groupBy('g').agg(F.count(F.lit(1)).alias('n_sh'))
+    )
     inter = (
-        sh.alias('a')
-        .join(sh.alias('b'),
-              (F.col('a.sh') == F.col('b.sh'))
-              & (F.col('a.g') < F.col('b.g')))
-        .groupBy(F.col('a.g').alias('g_a'), F.col('b.g').alias('g_b'))
+        posting
+        .select(F.explode('gs').alias('g_a'), 'gs')
+        .select('g_a', F.explode(
+            F.filter('gs', lambda y: y > F.col('g_a'))).alias('g_b'))
+        .groupBy('g_a', 'g_b')
         .agg(F.count(F.lit(1)).alias('n_common'))
     )
     # group-count table is tiny (one row per shard) — broadcast both
@@ -2573,10 +2581,14 @@ def exact_substring_pairs(
             F.transform(
                 F.sequence(F.lit(1),
                            F.length('norm') - (min_len - 1)),
+                # unhex folds the 32-hex-char md5 to its 16 raw
+                # bytes: equality is bijection-preserved, and the
+                # window key — shuffled once per corpus CHARACTER —
+                # moves half the bytes (guide §2.3 narrower keys)
                 lambda i: F.struct(
                     i.alias('pos'),
-                    F.md5(F.substring('norm', i, min_len)
-                          .cast('string')).alias('w')),
+                    F.unhex(F.md5(F.substring('norm', i, min_len)
+                                  .cast('string'))).alias('w')),
             )
         ).alias('pw'),
     ).select('id', F.col('pw.pos').alias('pos'), F.col('pw.w').alias('w'))
@@ -2938,31 +2950,37 @@ def duplicate_ngram_fraction(
         shifted = F.slice(toks, offset + 1, F.greatest(k, F.lit(0)))
         shingled = F.zip_with(
             shingled, shifted, lambda a, b: F.concat_ws(' ', a, b))
+    # explode_outer keeps gram-less documents (fewer than ``n``
+    # tokens) as ONE NULL-gram row through the whole aggregation
+    # chain, so the old shape's second corpus scan + distinct + id
+    # re-join is gone (one less full pass at corpus scale — the same
+    # move as ``ngram_lm_score``).
     grams = (
         df.select(F.col(id_col).alias('__id'),
-                  F.explode(shingled).alias('__gram'))
+                  F.explode_outer(shingled).alias('__gram'))
         .select('__id', F.md5('__gram').alias('__g'))
     )
     # per-(doc, gram) occurrence counts: the only corpus-sized shuffle
     per_doc = grams.groupBy('__id', '__g').agg(
         F.count(F.lit(1)).alias('__occ'))
-    census = per_doc.groupBy('__g').agg(
-        F.count(F.lit(1)).alias('__df'))
+    census = per_doc.filter(F.col('__g').isNotNull()).groupBy(
+        '__g').agg(F.count(F.lit(1)).alias('__df'))
+    # left join: the NULL-gram rows match no census row and must
+    # survive to keep their document's output row
     marked = (
-        per_doc.join(census, '__g')
+        per_doc.join(census, '__g', 'left')
         .groupBy('__id')
-        .agg(F.sum('__occ').alias('n_ngrams'),
+        .agg(F.sum(F.when(F.col('__g').isNotNull(), F.col('__occ'))
+                   .otherwise(F.lit(0))).alias('n_ngrams'),
              F.sum(F.when(F.col('__df') >= 2, F.col('__occ'))
                    .otherwise(F.lit(0))).alias('n_dup'))
     )
-    # left-join back so gram-less docs keep a row
-    base = df.select(F.col(id_col).alias('__id')).distinct()
     out = (
-        base.join(marked, '__id', 'left')
+        marked
         .select(
             F.col('__id').alias(id_col),
-            F.coalesce('n_ngrams', F.lit(0)).alias('n_ngrams'),
-            F.coalesce('n_dup', F.lit(0)).alias('n_dup'))
+            F.col('n_ngrams'),
+            F.col('n_dup'))
         .withColumn(
             'dup_fraction_u6',
             F.when(F.col('n_ngrams') > 0,
