@@ -125,24 +125,28 @@ def dsir_log_weights(
                      / (F.col('__tr') + s * n_buckets)))
             .alias('__lr'))
     )
+    # explode_outer keeps zero-feature documents (NULL/empty text) as
+    # one NULL-bucket row through the SAME aggregation — count('__lr')
+    # gives n_feats=0 and sum of the NULL '__lr' gives NULL
+    # log_weight, exactly the old left-join contract — so the second
+    # full scan of ``raw`` (the id re-join) is gone.  The table join
+    # flips inner → left for the NULL rows; counting '__lr' rather
+    # than 'b' preserves the old inner-join semantics for features
+    # whose bucket is absent from a user-supplied stale raw_counts
+    # (when the counts are fit here, every raw bucket is present and
+    # the branch is moot).
     doc_feats = raw.select(
         F.col(id_col).alias('__id'),
-        F.explode(hashed_ngram_buckets(text_col, n_buckets))
+        F.explode_outer(hashed_ngram_buckets(text_col, n_buckets))
         .alias('b'))
-    weights = (
-        doc_feats
-        .join(F.broadcast(table), 'b')
-        .groupBy('__id')
-        .agg(F.count(F.lit(1)).alias('n_feats'),
-             F.sum('__lr').alias('log_weight'))
-    )
     return (
-        raw.select(F.col(id_col))
-        .join(weights.withColumnRenamed('__id', id_col),
-              id_col, 'left')
+        doc_feats
+        .join(F.broadcast(table), 'b', 'left')
+        .groupBy('__id')
+        .agg(F.count('__lr').alias('n_feats'),
+             F.sum('__lr').alias('log_weight'))
         .select(
-            id_col,
-            F.coalesce('n_feats', F.lit(0)).cast('bigint')
-            .alias('n_feats'),
+            F.col('__id').alias(id_col),
+            F.col('n_feats').cast('bigint').alias('n_feats'),
             F.col('log_weight'))
     )

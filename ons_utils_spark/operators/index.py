@@ -232,13 +232,37 @@ def bm25_multi_rank(
                 F.explode(
                     tokenize(normalize_text(text_col))).alias('token'))
     )
-    dl = toks.groupBy('__doc').agg(F.count(F.lit(1)).alias('__dl'))
+    # ONE corpus tokenize pass computes doc lengths AND matched term
+    # frequencies: unmatched tokens collapse onto a per-doc NULL key
+    # in the same (__doc, token)-keyed aggregation (a broadcast left
+    # join against the distinct term set marks matches), so the old
+    # second explode pass — and its separate doc-length shuffle — is
+    # gone.  Grouping unmatched tokens under NULL keeps the exchange
+    # one row per (doc, matched term) plus one per doc, the same
+    # bytes the tf shuffle alone used to move.  The lazy lineage cut
+    # is what makes the sharing real: ``per`` feeds FOUR consumers
+    # (tf chain, df, dl, global stats) and without the cut Catalyst
+    # specializes the join per branch (the tf branch's not-null
+    # filter turns it back into an inner join) so no two branches
+    # share an exchange — the plan re-tokenized the corpus four
+    # times (counted in plans/r15/q_bm25_hard_negatives_before.txt).
+    # ``per`` is one row per document plus one per (document,
+    # matched term) — corpus-COUNT-scale, never corpus-BYTES-scale —
+    # so materializing it is cheap at any corpus size.
+    marks = F.broadcast(
+        qt.select('token').distinct().withColumn('__m', F.lit(1)))
+    per = (
+        toks.join(marks, 'token', 'left')
+        .groupBy('__doc',
+                 F.when(F.col('__m') == 1, F.col('token'))
+                 .alias('token'))
+        .agg(F.count(F.lit(1)).alias('__tf'))
+        .localCheckpoint(eager=False)
+    )
+    dl = per.groupBy('__doc').agg(F.sum('__tf').alias('__dl'))
     stats = dl.agg(F.avg('__dl').alias('__avgdl'),
                    F.count(F.lit(1)).alias('__n'))
-    matched = toks.join(F.broadcast(qt.select('token').distinct()),
-                        'token')
-    tf = matched.groupBy('__doc', 'token').agg(
-        F.count(F.lit(1)).alias('__tf'))
+    tf = per.filter(F.col('token').isNotNull())
     dfreq = tf.groupBy('token').agg(
         F.count(F.lit(1)).alias('__df'))
     scored = (
