@@ -76,7 +76,14 @@ def label_propagation(
     recompute of every round so far — set it for any long-running
     cluster job.
     """
-    _ckpt = lambda d: _reliable_checkpoint(d, checkpoint_dir)  # noqa: E731
+    # Per-round cuts are LAZY here (fixed-iteration loop, no
+    # mid-loop actions): the final action materializes the whole
+    # round chain stage-by-stage in ONE job instead of one eager
+    # scheduler job per round — same stages, fewer job round-trips
+    # (the connected_components precedent; ops with limit/count
+    # loop breaks stay eager, see OPTIMIZATION_r15.md).
+    _ckpt = lambda d: _reliable_checkpoint(  # noqa: E731
+        d, checkpoint_dir, eager=False)
     e = edges.select(F.col(src).cast('long').alias('a'),
                      F.col(dst).cast('long').alias('b')) \
         .filter(F.col('a') != F.col('b'))
@@ -301,7 +308,14 @@ def pagerank(
     :func:`label_propagation`) — executor loss then costs one round,
     not the whole run.
     """
-    _ckpt = lambda d: _reliable_checkpoint(d, checkpoint_dir)  # noqa: E731
+    # Per-round cuts are LAZY here (fixed-iteration loop, no
+    # mid-loop actions): the final action materializes the whole
+    # round chain stage-by-stage in ONE job instead of one eager
+    # scheduler job per round — same stages, fewer job round-trips
+    # (the connected_components precedent; ops with limit/count
+    # loop breaks stay eager, see OPTIMIZATION_r15.md).
+    _ckpt = lambda d: _reliable_checkpoint(  # noqa: E731
+        d, checkpoint_dir, eager=False)
     if mode not in ('float', 'integer'):
         raise ValueError(f"mode must be 'float' or 'integer', got {mode!r}")
     if self_loops not in ('dangling', 'all', 'none'):
@@ -528,7 +542,14 @@ def personalized_pagerank(
     production scorer.  Rank mass concentrates near the seeds:
     nodes unreachable from them score 0 (integer) / ~0 (float).
     """
-    _ckpt = lambda d: _reliable_checkpoint(d, checkpoint_dir)  # noqa: E731
+    # Per-round cuts are LAZY here (fixed-iteration loop, no
+    # mid-loop actions): the final action materializes the whole
+    # round chain stage-by-stage in ONE job instead of one eager
+    # scheduler job per round — same stages, fewer job round-trips
+    # (the connected_components precedent; ops with limit/count
+    # loop breaks stay eager, see OPTIMIZATION_r15.md).
+    _ckpt = lambda d: _reliable_checkpoint(  # noqa: E731
+        d, checkpoint_dir, eager=False)
     if mode not in ('float', 'integer'):
         raise ValueError(
             f"mode must be 'float' or 'integer', got {mode!r}")
