@@ -136,14 +136,18 @@ class TestPlanGuards:
         assert bhj >= 4, plan
         assert smj <= 1, plan
 
-    def test_winnow_reuses_fingerprint_exchange(self, spark_session):
-        """Both sides of the winnow self-join must read ONE
-        fingerprint exchange (the repartition barrier), not recompute
-        the md5 pipeline per side."""
+    def test_winnow_pairs_have_no_self_join(self, spark_session):
+        """r15 §8 shape: winnow candidate pairs expand from ONE
+        fingerprint-keyed posting aggregation (collect_set) via
+        generators — there must be NO self-join in the plan at all
+        (the pre-r15 shape's self-join recomputed the md5 pipeline
+        per side unless a ReusedExchange barrier saved it; this
+        guard's ancestor asserted that barrier)."""
         df = QUERIES['q_winnow_dups'](spark_session, SF)
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert 'ReusedExchange' in plan
+        assert 'Join' not in plan, plan
+        assert 'Generate' in plan, plan
 
     def test_minhash_reuses_shingle_exchange(self, spark_session):
         """The band/bucket repartition barrier must make the LSH
@@ -231,11 +235,14 @@ class TestRound14PlanGuards:
         # broadcast (tiny per-host tables)
 
     def test_bitext_candidates_join_broadcasts(self, spark_session):
-        # the target side and both hubness-mean frames broadcast;
-        # the only sort-merge-eligible shapes are the rank windows
+        # r15 §11: the scored cross executes ONCE behind the
+        # candidate-set lineage cut (it used to re-execute 12× across
+        # the margin/mutual-best branches), so the final plan reads
+        # the cut's RDD scan instead of showing the
+        # BroadcastNestedLoopJoin itself; nothing downstream may
+        # degrade to a sort-merge join.
         plan = plan_of(spark_session, 'q_bitext_mine')
-        assert 'BroadcastNestedLoopJoin' in plan or \
-            'CartesianProduct' in plan  # the intended scored cross
+        assert 'Scan ExistingRDD' in plan  # the candidate cut
         assert 'SortMergeJoin' not in plan
 
     def test_crawl_frontier_single_host_window(self, spark_session):
