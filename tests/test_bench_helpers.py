@@ -156,6 +156,29 @@ def test_load_inflated_guard_lets_broader_coverage_land():
     assert not bench._looks_load_inflated(new, prev)
 
 
+def test_load_inflated_guard_refuses_bursty_median_inflation():
+    """r15 steal postmortem: BURSTY hypervisor load inflates heavy-
+    query medians while the scattered sub-second controls stay quiet
+    (median ratio ≤ 1.05) — the old controls-only test let such a
+    run displace a strictly better same-code record.  When the
+    candidate's own per-pass MINS still beat the committed subtotal,
+    the median slowdown is bursts, not steady state — divert."""
+    prev = _full(100.0, [1.0, 1.0, 1.0], [4.0])
+    new = _full(120.0, [1.0, 1.02, 0.99], [23.0])  # heavy median 23s
+    new['queries_min'] = dict(new['queries'], q_heavy_0=3.5)
+    assert bench._looks_load_inflated(new, prev)
+
+
+def test_load_inflated_guard_lets_min_confirmed_regression_land():
+    """The flip side: when even the candidate's mins exceed the
+    committed subtotal, the slowdown reproduces in every pass — a
+    genuine steady-state regression that must be recorded."""
+    prev = _full(100.0, [1.0, 1.0, 1.0], [4.0])
+    new = _full(110.0, [1.0, 1.02, 0.99], [14.0])
+    new['queries_min'] = {k: v * 0.98 for k, v in new['queries'].items()}
+    assert not bench._looks_load_inflated(new, prev)
+
+
 def test_load_inflated_guard_still_refuses_inflation_with_growth():
     """Coverage growth must not become a laundering channel: if the
     shared queries ARE uniformly control-inflated, divert even when
