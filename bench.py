@@ -384,15 +384,21 @@ def _looks_load_inflated(full: dict, prev: dict) -> bool:
 
     A slower run must additionally prove the slowdown is a STEADY
     STATE, not bursts: its per-query MINS across passes (recorded as
-    ``queries_min``) must also exceed the committed subtotal.  The
-    r15 hypervisor-steal postmortem showed BURSTY load that spares
-    the scattered sub-second controls while inflating heavy-query
-    medians — under the old controls-only test such a run displaced
-    a strictly better same-code record twice in one session.  A
-    genuine code regression raises the min too; a burst does not
-    (the min is the round's load-robust A/B statistic).  Artifacts
-    predating ``queries_min`` fall back to medians, preserving the
-    pinned quiet-regression and uniform-inflation behaviors."""
+    ``queries_min``) must also exceed the committed record's own
+    mins (its medians when the artifact predates ``queries_min``).
+    The r15 hypervisor-steal postmortem showed BURSTY load that
+    spares the scattered sub-second controls while inflating
+    heavy-query medians — under the old controls-only test such a
+    run displaced a strictly better same-code record twice in one
+    session.  A genuine code regression raises the min too; a burst
+    does not (the min is the round's load-robust A/B statistic).
+    The baseline must be min-vs-min (r15 advisor finding): comparing
+    candidate mins against committed MEDIANS let any regression
+    smaller than the documented ~10-25% median-over-min spread hide
+    below the median subtotal and be diverted forever.  A candidate
+    lacking ``queries_min`` (pre-r15 fixture) uses its medians on
+    both sides, preserving the pinned quiet-regression and
+    uniform-inflation behaviors."""
     import re
 
     if not prev.get('value'):
@@ -406,9 +412,10 @@ def _looks_load_inflated(full: dict, prev: dict) -> bool:
             <= sum(prev_q[k] for k in common):
         return False
     mins = full.get('queries_min') or full['queries']
+    prev_mins = prev.get('queries_min') or prev_q
     if sum(mins.get(k, full['queries'][k]) for k in common) \
-            <= sum(prev_q[k] for k in common):
-        return True  # quiet-state mins beat the record: bursty load
+            <= sum(prev_mins.get(k, prev_q[k]) for k in common):
+        return True  # quiet-state mins beat the record's own mins: bursty
     ratios = [
         full['queries'][k] / prev_q[k]
         for k in common if re.match(r'^q\d', k)

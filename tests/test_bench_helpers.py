@@ -179,6 +179,32 @@ def test_load_inflated_guard_lets_min_confirmed_regression_land():
     assert not bench._looks_load_inflated(new, prev)
 
 
+def test_load_inflated_guard_min_baseline_catches_small_regressions():
+    """r15 advisor finding: with the committed artifact carrying
+    queries_min, the burst baseline must be the committed MINS, not
+    the medians — otherwise any real regression smaller than the
+    ~10-25% median-over-min spread keeps candidate mins below the
+    committed median subtotal and is diverted forever."""
+    prev = _full(100.0, [1.0, 1.0, 1.0], [4.0])
+    prev['queries_min'] = {k: v * 0.8 for k, v in prev['queries'].items()}
+    new = _full(110.0, [1.0, 1.02, 0.99], [14.0])
+    new['queries_min'] = {k: v * 0.9 for k, v in new['queries'].items()}
+    # candidate min-subtotal (~15.3) exceeds committed mins (5.6) but
+    # controls are quiet: a reproducing regression, must land.
+    assert not bench._looks_load_inflated(new, prev)
+
+
+def test_load_inflated_guard_bursty_against_committed_mins():
+    """Bursts still divert under the min-vs-min baseline: candidate
+    mins at or below the committed record's own mins prove the code
+    can still reach the recorded quiet state."""
+    prev = _full(100.0, [1.0, 1.0, 1.0], [4.0])
+    prev['queries_min'] = dict(prev['queries'])
+    new = _full(120.0, [1.0, 1.02, 0.99], [23.0])
+    new['queries_min'] = dict(new['queries'], q_heavy_0=3.5)
+    assert bench._looks_load_inflated(new, prev)
+
+
 def test_load_inflated_guard_still_refuses_inflation_with_growth():
     """Coverage growth must not become a laundering channel: if the
     shared queries ARE uniformly control-inflated, divert even when
