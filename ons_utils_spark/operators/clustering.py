@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame as SparkDF
 from pyspark.sql import functions as F
 
 from .dedup import _reliable_checkpoint
+from .graph import BROADCAST_STATE_MAX_NODES
 
 
 def connected_components(
@@ -30,6 +31,7 @@ def connected_components(
     id_b: str = 'id_b',
     max_iterations: int = 20,
     checkpoint_dir: Optional[str] = None,
+    broadcast_state_nodes: int = 0,
 ) -> SparkDF:
     """Resolve pair edges to components: ``(node, component)`` where
     component = min node id reachable from ``node``.
@@ -76,15 +78,27 @@ def connected_components(
         )
         .transform(_ckpt)
     )
+    # broadcast_state_nodes > 0: every label-side join below
+    # broadcasts while the node count stays under the threshold.
+    # Defaults OFF — the r16 position-matched A/B measured the
+    # broadcast arm consistently slower here (0/4 paired wins, min
+    # 2.50 vs 1.85 s at sf0.1): the per-round driver collects cost
+    # more than the small exchanges they save.  For dense-graph
+    # deployments where re-exchanging the edge frame per round
+    # dominates, turn it on (see graph.BROADCAST_STATE_MAX_NODES).
+    bcast = 0 < broadcast_state_nodes and \
+        labels.count() <= broadcast_state_nodes
+    _b = (lambda d: F.broadcast(d)) if bcast else (lambda d: d)
 
     for it in range(max_iterations):
         # pass 1 — neighbor min: label(a) = min(label(a), label(b))
         # over edges. Alone this moves labels ONE hop per round, so a
         # path of length L would need L rounds — the 20-iteration cap
         # would silently return unconverged labels on long chains.
+        lb = _b(labels)
         neighbor_labels = (
             sym.join(
-                labels, sym['b'] == labels['node'], 'inner'
+                lb, sym['b'] == lb['node'], 'inner'
             )
             .select(sym['a'].alias('node'), F.col('comp'))
         )
@@ -102,7 +116,7 @@ def connected_components(
             new_labels = _ckpt(new_labels)
             changed = (
                 new_labels.alias('n')
-                .join(labels.alias('o'), 'node')
+                .join(_b(labels.alias('o')), 'node')
                 .filter(F.col('n.comp') != F.col('o.comp'))
                 .limit(1)
                 .count()
@@ -112,10 +126,10 @@ def connected_components(
         # pass 2 — pointer doubling: label(node) = label(label(node)).
         # Labels now jump 2^r hops after r rounds, so even a pure
         # path converges in O(log L) rounds.
-        pointees = new_labels.select(
+        pointees = _b(new_labels.select(
             F.col('node').alias('__pnode'),
             F.col('comp').alias('__pcomp'),
-        )
+        ))
         new_labels = (
             new_labels.join(
                 pointees,
@@ -142,7 +156,7 @@ def connected_components(
         if it % 2 == 1 or it == max_iterations - 1:
             changed = (
                 labels.alias('n')
-                .join(prev.alias('o'), 'node')
+                .join(_b(prev.alias('o')), 'node')
                 .filter(F.col('n.comp') != F.col('o.comp'))
                 .limit(1)
                 .count()

@@ -42,6 +42,25 @@ __all__ = ['pagerank', 'personalized_pagerank', 'triangle_count',
            'bfs_levels', 'label_propagation', 'harmonic_centrality',
            'hyperball_centrality']
 
+# Size-adaptive state broadcast for the iterative operators.  The
+# per-round node-state frame (ranks / labels / frontier) is exactly
+# node-sized, but it sits behind a lineage cut where AQE sees no
+# statistics and the planner defaults every per-round join to
+# sort-merge — both the edge frame AND the state are re-exchanged
+# every round (the pre-checkpoint edge repartition does not survive
+# the cut: OPTIMIZATION_r15.md §18).  The node count IS known
+# exactly at build time, so when it is at most this many rows the
+# state side is broadcast explicitly (guide §3.1: size estimates
+# are unreliable after opaque boundaries — hint when you know):
+# the edge frame is then only scanned, never exchanged, and each
+# round's single exchange is the post-combine aggregate.  Above the
+# threshold the sort-merge shape stands — broadcasting a
+# billion-node rank vector would OOM the driver.  4M (node, value)
+# rows ≈ 64 MB of data / a few hundred MB as a built hash relation,
+# inside the guide's "a few hundred MB is usually fine" envelope;
+# size it to your driver/executor memory on a real cluster.
+BROADCAST_STATE_MAX_NODES = 4_000_000
+
 
 def label_propagation(
     edges: SparkDF,
@@ -49,6 +68,7 @@ def label_propagation(
     dst: str = 'dst',
     iterations: int = 5,
     checkpoint_dir: Optional[str] = None,
+    broadcast_state_nodes: int = BROADCAST_STATE_MAX_NODES,
 ) -> SparkDF:
     """Community detection by synchronous label propagation
     (Raghavan et al. 2007) → ``(node, label)``.
@@ -87,24 +107,40 @@ def label_propagation(
     e = edges.select(F.col(src).cast('long').alias('a'),
                      F.col(dst).cast('long').alias('b')) \
         .filter(F.col('a') != F.col('b'))
+    # Materialize the symmetric edge frame FIRST and derive the node
+    # set from the cut (see :func:`pagerank`): separate lineage cuts
+    # each re-execute their upstream during plan compile, so cutting
+    # before the derivations runs the caller's edge build ONCE.  The
+    # pre-checkpoint repartition normalizes the checkpoint's block
+    # parallelism only (it does not survive the cut as a physical
+    # partitioning — OPTIMIZATION_r15.md §18).
     sym = e.unionByName(
         e.select(F.col('b').alias('a'), F.col('a').alias('b'))
-    ).distinct()
+    ).distinct().repartition('b').transform(_ckpt)
     nodes = sym.select(F.col('a').alias('node')).distinct() \
         .transform(_ckpt)
-    # self-vote edges: each node hears its own label once per round.
-    # Partition on 'b' — the key every round's label join uses — so
-    # the edge frame is never re-exchanged inside the loop (guide
-    # §2.4: two operations keyed the same way share one exchange).
-    sym = sym.unionByName(
-        nodes.select(F.col('node').alias('a'),
-                     F.col('node').alias('b'))
-    ).repartition('b').transform(_ckpt)
+    # node count is exact and cheap here (one job over the
+    # checkpointed node frame); under the threshold every round's
+    # label join broadcasts the node-sized label state — the edge
+    # frame is scanned, never exchanged (see
+    # BROADCAST_STATE_MAX_NODES).
+    bcast = 0 < nodes.count() <= broadcast_state_nodes
     labels = nodes.select('node', F.col('node').alias('label'))
     for _ in range(iterations):
+        lb = F.broadcast(labels) if bcast else labels
+        # the self-vote is the label frame itself, unioned BELOW the
+        # aggregation: one (node, own-label) row per node is exactly
+        # the vote the former (node, node) self-edge produced through
+        # the join, without carrying n extra edges in `sym` or
+        # re-deriving the node set during the `sym` build.
+        votes = (
+            sym.join(lb, sym['b'] == lb['node'])
+            .select(sym['a'].alias('n'), 'label')
+        )
         counts = (
-            sym.join(labels, sym['b'] == labels['node'])
-            .groupBy(sym['a'].alias('n'), 'label')
+            votes.unionByName(
+                labels.select(F.col('node').alias('n'), 'label'))
+            .groupBy('n', 'label')
             .agg(F.count(F.lit(1)).alias('c'))
         )
         # argmax in ONE aggregation: max over (count, ~label) picks
@@ -121,10 +157,10 @@ def label_propagation(
                 .alias('__m'))
             .select('n', F.bitwise_not(F.col('__m.nl')).alias('label'))
         )
-        # the self-vote edge guarantees every node appears in
-        # `counts`, so `best` covers the full node set — the
-        # nodes-frame left join (one shuffle join per round) is
-        # redundant and skipped.
+        # the self-vote union guarantees every node appears in
+        # `counts` (labels spans all nodes by induction), so `best`
+        # covers the full node set — the nodes-frame left join (one
+        # shuffle join per round) is redundant and skipped.
         labels = best.select(F.col('n').alias('node'), 'label') \
             .transform(_ckpt)
     return labels
@@ -139,6 +175,7 @@ def bfs_levels(
     max_hops: int = 6,
     directed: bool = True,
     checkpoint_dir: Optional[str] = None,
+    broadcast_state_nodes: int = BROADCAST_STATE_MAX_NODES,
 ) -> SparkDF:
     """Minimum hop distance from a source set → ``(node, hop)``.
 
@@ -152,6 +189,14 @@ def bfs_levels(
     All integer — the DuckDB oracle replays it with a UNION
     (deduplicating) recursive CTE whose state is bounded by
     nodes × hops.
+
+    The expand join and the anti-join broadcast their state side
+    PER HOP while its exact count (the emptiness check already
+    materializes each frontier) stays under
+    ``broadcast_state_nodes`` (see ``BROADCAST_STATE_MAX_NODES``) —
+    on a huge graph the early small-frontier hops broadcast and the
+    bulk hops fall back to sort-merge, each hop choosing from its
+    own measured size.
     """
     _ckpt = lambda d: _reliable_checkpoint(d, checkpoint_dir)  # noqa: E731
     e = edges.select(F.col(src).cast('long').alias('s'),
@@ -170,20 +215,30 @@ def bfs_levels(
     # checkpointed RDDs (one materialization per hop instead of two).
     first = frontier.select(
         'n', F.lit(0).cast('int').alias('hop')).transform(_ckpt)
+    frontier_n = first.count()
+    visited_n = frontier_n
     parts = [first]
     visited = first.select('n')
     for hop in range(1, max_hops + 1):
-        nxt = (
-            frontier.join(e, frontier['n'] == e['s'])
+        f = F.broadcast(frontier) \
+            if 0 < frontier_n <= broadcast_state_nodes else frontier
+        cand = (
+            f.join(e, f['n'] == e['s'])
             .select(F.col('d').alias('n')).distinct()
-            .join(visited, 'n', 'left_anti')
-            .transform(_ckpt)
         )
-        if nxt.limit(1).count() == 0:
+        v = F.broadcast(visited) \
+            if 0 < visited_n <= broadcast_state_nodes else visited
+        nxt = cand.join(v, 'n', 'left_anti').transform(_ckpt)
+        # count() doubles as the emptiness check AND the next hop's
+        # broadcast-size measurement; it reads the just-checkpointed
+        # blocks, same cost class as the limit(1).count() it replaces
+        frontier_n = nxt.count()
+        if frontier_n == 0:
             break
         part = nxt.select('n', F.lit(hop).cast('int').alias('hop'))
         parts.append(part)
         visited = visited.unionByName(nxt)
+        visited_n += frontier_n
         frontier = nxt
     levels = parts[0]
     for part in parts[1:]:
@@ -283,6 +338,7 @@ def pagerank(
     self_loops: str = 'dangling',
     checkpoint_every: int = 1,
     checkpoint_dir: Optional[str] = None,
+    broadcast_state_nodes: int = BROADCAST_STATE_MAX_NODES,
 ) -> SparkDF:
     """PageRank of a directed edge list → ``(node, rank)``.
 
@@ -307,6 +363,12 @@ def pagerank(
     cut to a reliable checkpoint on shared storage (see
     :func:`label_propagation`) — executor loss then costs one round,
     not the whole run.
+
+    ``broadcast_state_nodes``: when the graph has at most this many
+    nodes the per-round join BROADCASTS the rank state (see
+    ``BROADCAST_STATE_MAX_NODES``) — the edge frame is scanned, never
+    exchanged, and each round's only shuffle is the post-combine
+    aggregate.  Set 0 to force the sort-merge shape.
     """
     # Per-round cuts are LAZY here (fixed-iteration loop, no
     # mid-loop actions): the final action materializes the whole
@@ -323,8 +385,17 @@ def pagerank(
             f"self_loops must be 'dangling', 'all' or 'none', "
             f'got {self_loops!r}')
 
+    # Materialize the distinct edge frame FIRST: `nodes` and `ed`
+    # are separate lineage cuts, and each cut's plan-compile under
+    # AQE executes its whole upstream — without this cut the
+    # caller's edge build (typically the expensive part: fact-table
+    # scans + join + distinct) ran once per derived frame (measured
+    # r16: two full builds inside q_pagerank, three inside
+    # q_personalized_pagerank).  Every derivation below reads the
+    # materialized RDD instead.
     e = edges.select(F.col(src).cast('long').alias('src'),
-                     F.col(dst).cast('long').alias('dst')).distinct()
+                     F.col(dst).cast('long').alias('dst')) \
+        .distinct().transform(_ckpt)
     nodes = (
         e.select(F.col('src').alias('node'))
         .unionByName(e.select(F.col('dst').alias('node')))
@@ -332,9 +403,15 @@ def pagerank(
         .transform(_ckpt)
     )
     if self_loops == 'all':
-        e = e.unionByName(
+        # {e} ∪ {(n,n) ∀n} == {e: src≠dst} ∪ {(n,n) ∀n}: dropping
+        # the existing self-edges first makes the union disjoint, so
+        # the post-union distinct (a full exchange + dedup of the
+        # edge set) is unnecessary (guide §2.4 — `e` is already
+        # distinct and the self-loop frame is distinct by
+        # construction from the distinct node set).
+        e = e.filter(F.col('src') != F.col('dst')).unionByName(
             nodes.select(F.col('node').alias('src'),
-                         F.col('node').alias('dst'))).distinct()
+                         F.col('node').alias('dst')))
     elif self_loops == 'dangling':
         sinks = nodes.join(
             e.select(F.col('src').alias('node')).distinct(),
@@ -363,14 +440,16 @@ def pagerank(
     # (guide §2.4: remove shuffles outright).  The other modes keep
     # the join: a node with no in-edges is absent from the aggregate.
     cover = self_loops == 'all'
+    bcast = 0 < n <= broadcast_state_nodes
 
     if mode == 'integer':
         ranks = nodes.select(
             'node', F.lit(scale // n).cast('long').alias('r'))
         base = (den - num) * scale // (den * n)
         for it in range(iterations):
+            r = F.broadcast(ranks) if bcast else ranks
             inc = (
-                ranks.join(ed, ranks['node'] == ed['src'])
+                r.join(ed, r['node'] == ed['src'])
                 .select(F.col('dst').alias('node'),
                         F.expr('r DIV od').alias('__c'))
             )
@@ -390,8 +469,9 @@ def pagerank(
     ranks = nodes.select('node', F.lit(1.0 / n).alias('r'))
     base = (1.0 - damping) / n
     for it in range(iterations):
+        r = F.broadcast(ranks) if bcast else ranks
         inc = (
-            ranks.join(ed, ranks['node'] == ed['src'])
+            r.join(ed, r['node'] == ed['src'])
             .select(F.col('dst').alias('node'),
                     (F.col('r') / F.col('od')).alias('__c'))
         )
@@ -415,6 +495,7 @@ def hits(
     iterations: int = 3,
     mode: str = 'float',
     checkpoint_dir: Optional[str] = None,
+    broadcast_state_nodes: int = BROADCAST_STATE_MAX_NODES,
 ) -> SparkDF:
     """HITS hubs and authorities (Kleinberg 1999) of a directed edge
     list → ``(node, hub, authority)`` — hubs point AT good content,
@@ -425,9 +506,12 @@ def hits(
 
     Power iteration, one join + one aggregate per half-step
     (``a_t = Eᵀ·h_{t-1}`` then ``h_t = E·a_t``), lineage cut per
-    round — identical scale shape to :func:`pagerank`; the edge
-    frame is partitioned once per orientation and reused every
-    round.  Duplicate edges collapse first.
+    round — identical scale shape to :func:`pagerank`, including the
+    size-adaptive state broadcast (``broadcast_state_nodes``; see
+    ``BROADCAST_STATE_MAX_NODES``): under the threshold each
+    half-step broadcasts the node-sized score vector and the edge
+    frame is scanned, never exchanged.  Duplicate edges collapse
+    first.
 
     ``mode='float'`` (production): L2-normalize both vectors each
     round — the standard convergent form.  ``mode='integer'``
@@ -449,10 +533,11 @@ def hits(
 
     e = edges.select(F.col(src).cast('long').alias('src'),
                      F.col(dst).cast('long').alias('dst')).distinct()
-    # one partitioning per join orientation, reused every round
+    # the checkpointed edge frame (the repartition normalizes the
+    # checkpoint's block parallelism — it does NOT survive the cut
+    # as a physical partitioning, OPTIMIZATION_r15.md §18)
     e_by_src = e.repartition('src').transform(_ckpt)
-    e_by_dst = e.repartition('dst').transform(_ckpt)
-    # node sets derive from the MATERIALIZED edge frames: every
+    # node sets derive from the MATERIALIZED edge frame: every
     # downstream use (h init, the final outer join — which the
     # caller may scan more than once) then reads a checkpointed RDD
     # instead of re-running the caller's whole edge build per use
@@ -460,8 +545,16 @@ def hits(
     # times in the final action's plan).
     srcs = e_by_src.select(F.col('src').alias('node')).distinct() \
         .transform(_ckpt)
-    dsts = e_by_dst.select(F.col('dst').alias('node')).distinct() \
+    dsts = e_by_src.select(F.col('dst').alias('node')).distinct() \
         .transform(_ckpt)
+    nodes = srcs.unionByName(dsts).distinct().transform(_ckpt)
+    bcast = 0 < nodes.count() <= broadcast_state_nodes
+    # with the state broadcast the half-step joins never exchange
+    # the edge frame, so ONE materialized copy serves both
+    # orientations; the sort-merge fallback keeps a second copy
+    # whose build reads the checkpointed frame, not the raw lineage
+    e_by_dst = e_by_src if bcast \
+        else e_by_src.repartition('dst').transform(_ckpt)
 
     one = F.lit(1).cast('long') if mode == 'integer' else F.lit(1.0)
     h = srcs.select('node', one.alias('h'))
@@ -475,8 +568,9 @@ def hits(
         # one join+aggregate per half-step, not two.  Values are
         # unchanged: the division happens on the same aggregate rows
         # either side of the cut.
+        hh = F.broadcast(h) if bcast else h
         a = _ckpt(
-            e_by_src.join(h, e_by_src['src'] == h['node'])
+            e_by_src.join(hh, e_by_src['src'] == hh['node'])
             .groupBy(F.col('dst').alias('node'))
             .agg(F.sum('h').alias('a'))
         )
@@ -484,8 +578,9 @@ def hits(
             norm = a.agg(
                 F.sqrt(F.sum(F.col('a') * F.col('a')))).first()[0]
             a = a.select('node', (F.col('a') / norm).alias('a'))
+        aa = F.broadcast(a) if bcast else a
         h = _ckpt(
-            e_by_dst.join(a, e_by_dst['dst'] == a['node'])
+            e_by_dst.join(aa, e_by_dst['dst'] == aa['node'])
             .groupBy(F.col('src').alias('node'))
             .agg(F.sum('a').alias('h'))
         )
@@ -494,11 +589,10 @@ def hits(
                 F.sqrt(F.sum(F.col('h') * F.col('h')))).first()[0]
             h = h.select('node', (F.col('h') / norm).alias('h'))
     zero = F.lit(0).cast('long') if mode == 'integer' else F.lit(0.0)
-    nodes = srcs.unionByName(dsts).distinct().transform(_ckpt)
     return (
         nodes
-        .join(h, 'node', 'left')
-        .join(a, 'node', 'left')
+        .join(F.broadcast(h) if bcast else h, 'node', 'left')
+        .join(F.broadcast(a) if bcast else a, 'node', 'left')
         .select('node',
                 F.coalesce('h', zero).alias('hub'),
                 F.coalesce('a', zero).alias('authority'))
@@ -517,6 +611,7 @@ def personalized_pagerank(
     scale: int = 10 ** 12,
     checkpoint_every: int = 1,
     checkpoint_dir: Optional[str] = None,
+    broadcast_state_nodes: int = BROADCAST_STATE_MAX_NODES,
 ) -> SparkDF:
     """Personalized PageRank (random walk with restart to a SEED
     set) → ``(node, rank)``: proximity to the seeds instead of
@@ -553,8 +648,13 @@ def personalized_pagerank(
     if mode not in ('float', 'integer'):
         raise ValueError(
             f"mode must be 'float' or 'integer', got {mode!r}")
+    # Materialize the distinct edge frame FIRST — see the identical
+    # cut in :func:`pagerank`: the flagged-node and degree-edge
+    # lineage cuts would otherwise each re-execute the caller's
+    # whole edge build during their plan compile.
     e = edges.select(F.col(src).cast('long').alias('src'),
-                     F.col(dst).cast('long').alias('dst')).distinct()
+                     F.col(dst).cast('long').alias('dst')) \
+        .distinct().transform(_ckpt)
     nodes = (
         e.select(F.col('src').alias('node'))
         .unionByName(e.select(F.col('dst').alias('node')))
@@ -568,12 +668,25 @@ def personalized_pagerank(
     flagged = nodes.join(
         F.broadcast(seed_nodes.withColumn('__seed', F.lit(1))),
         'node', 'left').transform(_ckpt)
-    s = flagged.filter(F.col('__seed').isNotNull()).count()
+    # one materializing job returns BOTH counts (seed count for the
+    # teleport mass, node count for the broadcast-state decision)
+    row = flagged.agg(
+        F.count(F.lit(1)).alias('__n'),
+        F.count('__seed').alias('__s')).first()
+    n, s = row['__n'], row['__s']
     if s == 0:
         raise ValueError('no seed appears in the edge list')
-    e = e.unionByName(
-        nodes.select(F.col('node').alias('src'),
-                     F.col('node').alias('dst'))).distinct()
+    bcast = 0 < n <= broadcast_state_nodes
+    # disjoint union — see the pagerank self_loops='all' note: `e`
+    # is distinct and the self-loop frame is distinct, so filtering
+    # existing self-edges first removes the post-union distinct (a
+    # full exchange + dedup of the edge set).  Self-loops derive
+    # from the CHECKPOINTED flagged frame (the node set + flag), not
+    # the raw `nodes` lineage — the degree build below then reads
+    # two materialized RDDs and nothing else.
+    e = e.filter(F.col('src') != F.col('dst')).unionByName(
+        flagged.select(F.col('node').alias('src'),
+                       F.col('node').alias('dst')))
     deg = e.groupBy('src').agg(F.count(F.lit(1)).alias('od'))
     ed = e.join(deg, 'src').repartition('src').transform(_ckpt)
 
@@ -598,8 +711,9 @@ def personalized_pagerank(
             'node', F.when(is_seed, scale // s)
             .otherwise(0).cast('long').alias('r'))
         for it in range(iterations):
+            r = F.broadcast(ranks) if bcast else ranks
             inc = (
-                ranks.join(ed, ranks['node'] == ed['src'])
+                r.join(ed, r['node'] == ed['src'])
                 .select(F.col('dst').alias('node'),
                         F.expr('r DIV od').alias('__c'))
             )
@@ -622,8 +736,9 @@ def personalized_pagerank(
     ranks = flagged.select(
         'node', F.when(is_seed, 1.0 / s).otherwise(0.0).alias('r'))
     for it in range(iterations):
+        r = F.broadcast(ranks) if bcast else ranks
         inc = (
-            ranks.join(ed, ranks['node'] == ed['src'])
+            r.join(ed, r['node'] == ed['src'])
             .select(F.col('dst').alias('node'),
                     (F.col('r') / F.col('od')).alias('__c'))
         )
