@@ -1055,10 +1055,26 @@ def bitext_mine(
         if broadcast_side == 'auto':
             broadcast_side = 'tgt' if t.count() <= s.count() \
                 else 'src'
+        # Pre-partition the STREAM side by its id before the cross:
+        # the broadcast cross preserves the stream side's
+        # partitioning, so that side's top-k rank window below is
+        # satisfied without re-exchanging the whole |src|×|tgt|
+        # scored frame — one exchange of |stream| vector rows
+        # replaces one exchange of the cross product (guide §2.4:
+        # operations keyed the same way share one exchange; the
+        # other side's window still pays its full exchange).  The
+        # partition count is pinned to the session's shuffle
+        # parallelism: an unpinned column repartition gets
+        # AQE-coalesced on the (tiny) stream side, which would run
+        # the whole quadratic scoring pass in one task.
+        nparts = int(s.sparkSession.conf.get(
+            'spark.sql.shuffle.partitions'))
         if broadcast_side == 'tgt':
-            pairs = s.crossJoin(F.broadcast(t))
+            pairs = s.repartition(nparts, '__sid') \
+                .crossJoin(F.broadcast(t))
         elif broadcast_side == 'src':
-            pairs = t.crossJoin(F.broadcast(s))
+            pairs = t.repartition(nparts, '__tid') \
+                .crossJoin(F.broadcast(s))
         else:
             raise ValueError(
                 "broadcast_side must be 'tgt', 'src' or 'auto', "
@@ -1068,10 +1084,14 @@ def bitext_mine(
         F.col('cosine').desc(), F.col('__tid').asc())
     w_t = Window.partitionBy('__tid').orderBy(
         F.col('cosine').desc(), F.col('__sid').asc())
-    ranked = scored.select(
-        '__sid', '__tid', 'cosine',
-        F.row_number().over(w_s).alias('__rs'),
-        F.row_number().over(w_t).alias('__rt'))
+    # chained (not one select): the __sid window must evaluate FIRST,
+    # while the frame still carries the stream side's pre-cross
+    # partitioning — evaluated after the __tid window it would need
+    # its own full re-exchange of the scored frame.
+    ranked = (
+        scored
+        .withColumn('__rs', F.row_number().over(w_s))
+        .withColumn('__rt', F.row_number().over(w_t)))
     # Lineage cut on the candidate set (bounded by (|src|+|tgt|)×k):
     # the hubness means, the margin join, and the mutual-best windows
     # all reference this frame — without the cut each reference
