@@ -9,12 +9,15 @@ hub records in entity graphs.  The reference engine
 of the extension surface.
 
 Spark-first design: the rank vector and edge list stay DataFrames;
-each iteration is one join + one aggregate (both shuffles keyed on
-node ids), with ``localCheckpoint`` per iteration to stop the plan
-from embedding every previous round (driver analysis blow-up — same
-pattern as ``connected_components``).  At 100 TB scale the edge
-list dominates: pre-partition it on ``src`` once and the per-round
-join co-locates; rank state is O(nodes), orders smaller.
+each iteration is one join + one aggregate, with ``localCheckpoint``
+per iteration to stop the plan from embedding every previous round
+(driver analysis blow-up — same pattern as
+``connected_components``).  At 100 TB scale the edge list
+dominates: it is materialized ONCE, and while the node count stays
+under ``BROADCAST_STATE_MAX_NODES`` the per-round join broadcasts
+the O(nodes) rank state so the edge frame is scanned, never
+exchanged; above the threshold the join falls back to sort-merge
+(a billion-node rank vector must not be collected).
 
 Two arithmetic modes (same pattern as ``operators/classifier.py``):
 
@@ -420,8 +423,11 @@ def pagerank(
             sinks.select(F.col('node').alias('src'),
                          F.col('node').alias('dst')))
     deg = e.groupBy('src').agg(F.count(F.lit(1)).alias('od'))
-    # one edge frame carrying out-degree, partitioned on src once —
-    # every iteration's join reuses this partitioning
+    # one edge frame carrying out-degree, materialized once; the
+    # repartition normalizes the checkpoint's block parallelism
+    # (it does not survive the cut as a physical partitioning —
+    # OPTIMIZATION_r15.md §18); the loop's exchange elision comes
+    # from broadcasting the rank state
     ed = (
         e.join(deg, 'src')
         .repartition('src')
@@ -621,9 +627,10 @@ def personalized_pagerank(
     related-entity scorer.
 
     Same per-iteration shape as :func:`pagerank` (ONE join + ONE
-    aggregate on node ids, edge frame pre-partitioned on ``src``
-    once and reused, lineage cut every ``checkpoint_every``
-    rounds); only the teleport differs — restart mass
+    aggregate on node ids, edge frame materialized once, node-sized
+    rank state broadcast under ``broadcast_state_nodes``, lineage
+    cut every ``checkpoint_every`` rounds); only the teleport
+    differs — restart mass
     ``(1-damping)`` returns to the seeds (uniformly), not to all
     nodes, and the walk starts ON the seeds.  Every node carries a
     self-edge (the :func:`pagerank` ``self_loops='all'`` variant),
